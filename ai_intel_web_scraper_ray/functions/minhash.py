@@ -1,0 +1,109 @@
+"""MinHash signatures + LSH banding for near-duplicate detection.
+
+The reference uses datasketch MinHash/MinHashLSH over lowercase word 3-shingles
+with 128 permutations and a 0.7 Jaccard threshold
+(reference: competitive-intel/processors/deduplicator.py:105-158).  datasketch
+is not available here, so this is a from-scratch vectorized implementation:
+
+- shingle hashing: polars' deterministic seeded string hash (vectorized,
+  stable across processes for a pinned polars version);
+- signature: 128 universal-hash permutations ``(a*h + b) mod 2^64`` with fixed
+  seeded odd multipliers, min-reduced with numpy;
+- LSH: b bands × r rows banding of the signature; candidate = shares ≥1 band
+  bucket; candidates are then *verified* with the signature-estimated Jaccard
+  ≥ threshold.  (The reference accepts raw LSH hits unverified — probabilistic;
+  we pin the deterministic verified semantics and the in-test oracle uses the
+  same rule, see tests/oracle.py.)
+
+The greedy keep-first resolution over candidate edges lives in
+stages/dedup.py — it must replay arrival order, see SURVEY.md §7.5.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import polars as pl
+
+NUM_PERM = 128
+SHINGLE_WORDS = 3
+DEFAULT_THRESHOLD = 0.7
+LSH_BANDS = 32          # 32 bands × 4 rows over 128 perms
+LSH_ROWS = NUM_PERM // LSH_BANDS
+_HASH_SEED = 42
+_PERM_SEED = 1337
+
+_rng = np.random.RandomState(_PERM_SEED)
+# Odd multipliers → bijective affine maps mod 2^64.
+_PERM_A = (_rng.randint(0, 2**63 - 1, size=NUM_PERM, dtype=np.uint64) * 2 + 1).astype(np.uint64)
+_PERM_B = _rng.randint(0, 2**63 - 1, size=NUM_PERM, dtype=np.uint64).astype(np.uint64)
+
+_EMPTY_SIG = np.full(NUM_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+
+
+def shingles(text: str, k: int = SHINGLE_WORDS) -> List[str]:
+    words = text.lower().split()
+    if len(words) < k:
+        return []
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def shingle_hashes(text: str) -> np.ndarray:
+    sh = shingles(text)
+    if not sh:
+        return np.empty(0, dtype=np.uint64)
+    return pl.Series(sh).hash(seed=_HASH_SEED).to_numpy().astype(np.uint64)
+
+
+def signature(text: str) -> np.ndarray:
+    """128-perm MinHash signature (uint64[NUM_PERM]); all-max for empty."""
+    h = shingle_hashes(text)
+    if h.size == 0:
+        return _EMPTY_SIG.copy()
+    with np.errstate(over="ignore"):
+        # (n_shingles, NUM_PERM) — fine for typical docs; chunk very large docs.
+        if h.size > 8192:
+            mins = _EMPTY_SIG.copy()
+            for start in range(0, h.size, 8192):
+                block = h[start : start + 8192]
+                vals = block[:, None] * _PERM_A[None, :] + _PERM_B[None, :]
+                mins = np.minimum(mins, vals.min(axis=0))
+            return mins
+        vals = h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]
+        return vals.min(axis=0)
+
+
+def signatures_batch(texts: Sequence[str]) -> np.ndarray:
+    """(len(texts), NUM_PERM) uint64 signature matrix."""
+    out = np.empty((len(texts), NUM_PERM), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        out[i] = signature(t)
+    return out
+
+
+def band_hashes(sig: np.ndarray) -> np.ndarray:
+    """Collapse each of the LSH_BANDS bands to one uint64 bucket hash."""
+    assert sig.shape[-1] == NUM_PERM
+    bands = sig.reshape(*sig.shape[:-1], LSH_BANDS, LSH_ROWS)
+    with np.errstate(over="ignore"):
+        mix = np.uint64(0xC2B2AE3D27D4EB4F)
+        acc = np.zeros(bands.shape[:-1], dtype=np.uint64)
+        for r in range(LSH_ROWS):
+            acc = (acc * mix) + bands[..., r]
+        # include band index so identical row-chunks in different bands differ
+        acc = acc + (np.arange(LSH_BANDS, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    return acc
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float(np.count_nonzero(sig_a == sig_b)) / NUM_PERM
+
+
+def exact_jaccard(text_a: str, text_b: str) -> float:
+    sa, sb = set(shingles(text_a)), set(shingles(text_b))
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)

@@ -1,0 +1,38 @@
+"""The `process` pipeline: clean → tag → quality-filter → dedup.
+
+Mirrors the reference `python pipeline.py process`
+(reference: competitive-intel/pipeline.py:161-223, fixed stage order at
+processors/deduplicator.py:37-70) as a streaming Dataset chain; the only wide
+operations are the three dedup shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+from ..stages import dedup as dedup_stages
+from ..stages import transforms as tf
+
+
+def process_pipeline(
+    ds,
+    topic_keywords: Optional[Dict[str, Sequence[str]]] = None,
+    competitor_keywords: Optional[Dict[str, Sequence[str]]] = None,
+    min_word_count: int = 100,
+    tagger_concurrency: int = 4,
+    run_minhash: bool = True,
+):
+    """records Dataset → processed records Dataset."""
+    ds = tf.clean_stage(ds)
+    ds = tf.tag_stage(
+        ds,
+        concurrency=tagger_concurrency,
+        topic_keywords=topic_keywords,
+        competitor_keywords=competitor_keywords,
+    )
+    ds = tf.quality_filter_stage(ds, min_word_count=min_word_count)
+    ds = dedup_stages.exact_url_dedup(ds)
+    ds = dedup_stages.github_id_dedup(ds)
+    if run_minhash:
+        ds, _ = dedup_stages.minhash_dedup(ds)
+    return ds

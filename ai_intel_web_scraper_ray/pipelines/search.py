@@ -1,0 +1,156 @@
+"""Vector similarity search + rank fusion over embedding columns.
+
+- Brute-force cosine top-k (the reference's ChromaDB ``n_results`` query,
+  reference: competitive-intel/vectorstore/store.py:172-231) as a distributed
+  numpy matmul per batch against a broadcast query matrix; per-block partial
+  top-k, merged on the driver — never materializes the corpus.
+- LSH-bucketed ANN variant (random-hyperplane signs) as the 100-TB scale
+  path: probe only the buckets matching the query signature.
+- RRF fusion of k ranked lists (reference: webapp/rag/retriever.py:222-255):
+  score(id) = Σ 1/(rrf_k + rank + 1), keep max-original-score copy per id.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..functions.embed import cosine_scores
+
+RRF_K = 60
+
+
+def _batch_topk(batch: pa.Table, query_ref, k: int, vec_col: str, id_col: str,
+                round_to: Optional[int]) -> pa.Table:
+    queries = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
+    vecs = np.stack(batch[vec_col].to_numpy(zero_copy_only=False))
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    out_ids, out_scores, out_qids = [], [], []
+    for qi in range(queries.shape[0]):
+        scores = cosine_scores(vecs, queries[qi])
+        if round_to is not None:
+            scores = np.round(scores, round_to)
+        take = min(k, len(scores))
+        # partial top-k within the block; ties resolved later by (score, id)
+        idx = np.argpartition(-scores, take - 1)[:take] if take < len(scores) else np.arange(len(scores))
+        out_ids.append(ids[idx])
+        out_scores.append(scores[idx])
+        out_qids.append(np.full(take, qi, dtype=np.int64))
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_qids), pa.int64()),
+            id_col: pa.array(np.concatenate(out_ids)),
+            "score": pa.array(np.concatenate(out_scores), pa.float64()),
+        }
+    )
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: Optional[int] = None,
+) -> pd.DataFrame:
+    """Top-k nearest rows per query vector.  ``queries``: (nq, dim).
+    Returns DataFrame(query_id, id, score, rank) with deterministic
+    (-score, id) ordering."""
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float64))
+    query_ref = ray.put(queries)
+    partials = ds.map_batches(
+        lambda t: _batch_topk(t, query_ref, k, vec_col, id_col, round_to),
+        batch_format="pyarrow",
+    )
+    df = partials.to_pandas()  # ≤ nq * k * n_blocks rows — small
+    df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True], kind="stable")
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount()
+    return df
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (scale path)
+# ---------------------------------------------------------------------------
+
+
+class HyperplaneLSH:
+    """Random-hyperplane sign buckets; deterministic planes from a seed."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 99):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+    def bucket(self, vecs: np.ndarray) -> np.ndarray:
+        signs = (np.atleast_2d(vecs) @ self.planes.T) > 0
+        weights = (1 << np.arange(signs.shape[1], dtype=np.int64))
+        return (signs.astype(np.int64) * weights).sum(axis=1)
+
+
+def lsh_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    seed: int = 99,
+) -> pd.DataFrame:
+    """Approximate top-k: score only rows whose LSH bucket matches the
+    query's (single-probe).  Bucket assignment is a vectorized map_batches;
+    at scale the bucket column is written partitioned so probes read one
+    partition."""
+    query = np.asarray(query, dtype=np.float64).reshape(-1)
+    lsh = HyperplaneLSH(query.shape[0], n_planes, seed)
+    qbucket = int(lsh.bucket(query)[0])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch[vec_col].to_numpy(zero_copy_only=False))
+        buckets = lsh.bucket(vecs)
+        mask = buckets == qbucket
+        if not mask.any():
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "score": pa.array([], pa.float64())})
+        scores = cosine_scores(vecs[mask], query)
+        return pa.table({id_col: batch[id_col].filter(pa.array(mask)),
+                         "score": pa.array(scores, pa.float64())})
+
+    df = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
+    df["rank"] = np.arange(len(df))
+    return df.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# RRF fusion
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(ranked_lists: Sequence[pd.DataFrame], id_col: str = "chunk_id",
+             score_col: str = "score", n: int = 10, rrf_k: int = RRF_K) -> pd.DataFrame:
+    """Fuse ranked result lists (each with id + score ordered best-first).
+    rrf_score(id) = Σ_lists 1/(rrf_k + rank + 1); keeps the max original
+    score seen per id (reference: retriever.py:222-255)."""
+    acc: Dict = {}
+    for lst in ranked_lists:
+        for rank, row in enumerate(lst.itertuples(index=False)):
+            rid = getattr(row, id_col)
+            orig = getattr(row, score_col)
+            e = acc.get(rid)
+            contrib = 1.0 / (rrf_k + rank + 1)
+            if e is None:
+                acc[rid] = [contrib, orig]
+            else:
+                e[0] += contrib
+                e[1] = max(e[1], orig)
+    out = pd.DataFrame(
+        [(rid, v[0], v[1]) for rid, v in acc.items()],
+        columns=[id_col, "rrf_score", score_col],
+    )
+    out = out.sort_values(["rrf_score", id_col], ascending=[False, True], kind="stable").head(n)
+    return out.reset_index(drop=True)

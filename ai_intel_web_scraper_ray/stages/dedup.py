@@ -1,0 +1,236 @@
+"""Distributed deduplication stages.
+
+Three levels, mirroring the reference pipeline order
+(reference: competitive-intel/processors/deduplicator.py:37-70):
+
+1. exact URL dedup   — shuffle key ``url.rstrip('/').lower()``, keep the row
+   with the smallest ``arrival_seq`` (the reference's keep-first-in-list-order,
+   deduplicator.py:72-81).  A per-batch combiner drops within-batch losers
+   before the shuffle so the groupby moves one row per (key, batch) at most.
+2. GitHub id dedup   — shuffle key ``{origin}-issue|discussion-{number}``;
+   non-GitHub rows bypass the shuffle entirely (deduplicator.py:83-103).
+3. MinHash near-dup  — signature map_batches → LSH band explode →
+   groupby(band) verified candidate edges → greedy keep-first replay in
+   arrival_seq order per connected component (deduplicator.py:105-146; the
+   greedy pass is deliberately NOT transitive-closure dedup, see
+   SURVEY.md §7.5).
+
+Scale notes: the verified candidate-edge graph is sparse by construction
+(edges require estimated Jaccard ≥ 0.7), so the greedy resolution runs on the
+driver over O(E) edges; everything upstream is partition-parallel.  Band rows
+carry the 1 KiB signature so verification happens inside the band groupby
+without a second join; if signature shipping ever dominates, switch to the
+two-pass variant (hash-only first pass to find non-singleton buckets).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Dict, List, Sequence, Set, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import minhash as mh
+
+# ---------------------------------------------------------------------------
+# 1. exact URL dedup
+# ---------------------------------------------------------------------------
+
+
+def _first_per_key(t: pa.Table, key_col: str, seq_col: str) -> pa.Table:
+    """Arrow-native keep-min-seq-per-key via take (no pandas round-trip, so
+    list/struct columns survive untouched)."""
+    keys = t[key_col].to_pylist()
+    seqs = t[seq_col].to_numpy(zero_copy_only=False)
+    best: Dict = {}
+    for i, (k, s) in enumerate(zip(keys, seqs)):
+        cur = best.get(k)
+        if cur is None or s < cur[0]:
+            best[k] = (s, i)
+    idx = sorted(i for _, i in best.values())
+    return t.take(pa.array(idx, pa.int64()))
+
+
+def exact_url_dedup(ds, url_col: str = "url", seq_col: str = "arrival_seq"):
+    """Keep the first-arrived row per canonical URL key."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        key = pc.utf8_lower(pc.utf8_rtrim(t[url_col], "/"))
+        t = t.append_column("_dedup_key", key)
+        # within-batch combiner: keep min-seq row per key before the shuffle
+        return _first_per_key(t, "_dedup_key", seq_col)
+
+    ds = ds.map_batches(add_key, batch_format="pyarrow")
+    ds = ds.groupby("_dedup_key").map_groups(
+        lambda g: _first_per_key(g, "_dedup_key", seq_col), batch_format="pyarrow"
+    )
+    return ds.drop_columns(["_dedup_key"])
+
+
+# ---------------------------------------------------------------------------
+# 2. GitHub id dedup
+# ---------------------------------------------------------------------------
+
+GITHUB_TYPES = ("github_issue", "github_discussion")
+
+
+def github_id_dedup(ds, seq_col: str = "arrival_seq"):
+    """Dedup GitHub issues/discussions on (origin, kind, number); everything
+    else passes through without shuffling."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        stypes = t["source_type"].to_pylist()
+        origins = t["origin"].to_pylist()
+        metas = t["metadata"].to_pylist() if "metadata" in t.schema.names else [{}] * len(t)
+        keys = []
+        for st, origin, meta in zip(stypes, origins, metas):
+            meta = meta or {}
+            if st == "github_issue":
+                keys.append(f"{origin}-issue-{meta.get('issue_number', '')}")
+            elif st == "github_discussion":
+                keys.append(f"{origin}-discussion-{meta.get('discussion_number', '')}")
+            else:
+                keys.append("")
+        return t.append_column("_gh_key", pa.array(keys, pa.string()))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    passthrough = keyed.map_batches(
+        lambda t: t.filter(pc.equal(t["_gh_key"], "")), batch_format="pyarrow"
+    )
+    github = keyed.map_batches(
+        lambda t: t.filter(pc.not_equal(t["_gh_key"], "")), batch_format="pyarrow"
+    )
+    github = github.groupby("_gh_key").map_groups(
+        lambda g: _first_per_key(g, "_gh_key", seq_col), batch_format="pyarrow"
+    )
+    return passthrough.union(github).drop_columns(["_gh_key"])
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash LSH near-dup
+# ---------------------------------------------------------------------------
+
+
+def greedy_resolve(edges: Sequence[Tuple[int, int]], seqs: Dict[str, int] = None) -> Set:
+    """Replay the reference's sequential keep-first pass over a candidate
+    graph.
+
+    ``edges`` are (a, b) pairs of node keys; order within a pair is
+    irrelevant.  Nodes are compared by their sort key (arrival_seq); pass
+    ``seqs`` to map node-id → seq, else node keys must sort like seqs.
+    Returns the set of dropped nodes.  A node is dropped iff some *kept*
+    neighbor has a smaller seq — processed in ascending seq order, exactly
+    the LSH query-then-insert loop of deduplicator.py:122-144.
+    """
+    adj = defaultdict(set)
+    nodes = set()
+    for a, b in edges:
+        if a == b:
+            continue
+        adj[a].add(b)
+        adj[b].add(a)
+        nodes.add(a)
+        nodes.add(b)
+    keyf = (lambda n: seqs[n]) if seqs else (lambda n: n)
+    dropped: Set = set()
+    kept: Set = set()
+    for node in sorted(nodes, key=keyf):
+        if any(nb in kept for nb in adj[node]):
+            dropped.add(node)
+        else:
+            kept.add(node)
+    return dropped
+
+
+def minhash_dedup(
+    ds,
+    id_col: str = "id",
+    text_col: str = "text",
+    seq_col: str = "arrival_seq",
+    threshold: float = mh.DEFAULT_THRESHOLD,
+):
+    """Drop near-duplicate rows (estimated Jaccard ≥ threshold), keeping the
+    first arrival of each near-dup cluster per the greedy reference
+    semantics.  Returns (deduped_ds, n_dropped)."""
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t[text_col].to_pylist()]
+        sigs = mh.signatures_batch(texts)          # (n, 128) uint64
+        bands = mh.band_hashes(sigs)               # (n, 32) uint64
+        n = len(texts)
+        ids = t[id_col].to_pylist()
+        seqs = t[seq_col].to_numpy(zero_copy_only=False)
+        nb = mh.LSH_BANDS
+        out = pa.table(
+            {
+                "band": pa.array(bands.reshape(-1), pa.uint64()),
+                id_col: pa.array(np.repeat(ids, nb)),
+                seq_col: pa.array(np.repeat(seqs, nb), pa.int64()),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(np.repeat(sigs, nb, axis=0).reshape(-1), pa.uint64()), mh.NUM_PERM
+                ),
+            }
+        )
+        return out
+
+    def verified_edges(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
+        g = group.sort_values(seq_col, kind="stable").drop_duplicates(id_col)
+        if len(g) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
+        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in g["sig"]])
+        ids = g[id_col].to_numpy()
+        seqs = g[seq_col].to_numpy()
+        rows = []
+        m = len(g)
+        # pairwise estimated Jaccard via signature agreement
+        for i in range(m - 1):
+            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            for off in np.nonzero(agree >= threshold)[0]:
+                j = i + 1 + off
+                rows.append((ids[i], ids[j], seqs[i], seqs[j]))
+        if not rows:
+            return pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
+        out = pd.DataFrame(rows, columns=["a_id", "b_id", "a_seq", "b_seq"])
+        return out
+
+    bands = ds.map_batches(to_bands, batch_format="pyarrow")
+    edges_ds = bands.groupby("band").map_groups(verified_edges, batch_format="pandas")
+    edges_df = edges_ds.to_pandas()  # sparse by construction — small
+
+    seqs: Dict = {}
+    pairs: List[Tuple] = []
+    for a, b, sa, sb in edges_df[["a_id", "b_id", "a_seq", "b_seq"]].itertuples(index=False):
+        seqs[a] = int(sa)
+        seqs[b] = int(sb)
+        pairs.append((a, b))
+    dropped = greedy_resolve(pairs, seqs)
+
+    if not dropped:
+        return ds, 0
+    dropped_list = sorted(dropped)
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[id_col], value_set=pa.array(dropped_list))
+        return t.filter(pc.invert(mask))
+
+    return ds.map_batches(drop_rows, batch_format="pyarrow"), len(dropped)
+
+
+# ---------------------------------------------------------------------------
+# Generic exact text dedup (training-data addition): hash-partition on a
+# content hash, keep first by a sort key.  SQL-oracle-friendly.
+# ---------------------------------------------------------------------------
+
+
+def exact_text_dedup(ds, text_col: str = "text", order_col: str = "doc_id"):
+    ds = ds.map_batches(
+        lambda t: _first_per_key(t, text_col, order_col), batch_format="pyarrow"
+    )
+    return ds.groupby(text_col).map_groups(
+        lambda g: _first_per_key(g, text_col, order_col), batch_format="pyarrow"
+    )

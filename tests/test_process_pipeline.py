@@ -1,0 +1,137 @@
+"""Distributed stages vs the sequential conformance oracle."""
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from ai_intel_web_scraper_ray.pipelines.process import process_pipeline
+from ai_intel_web_scraper_ray.stages import dedup as dd
+from ai_intel_web_scraper_ray.stages import transforms as tf
+
+from . import fixtures, oracle
+
+RECORDS = fixtures.make_source_records(60)
+
+
+def make_ds():
+    return rd.from_arrow(fixtures.records_to_table(RECORDS))
+
+
+def by_id(df: pd.DataFrame) -> pd.DataFrame:
+    return df.sort_values("arrival_seq").reset_index(drop=True)
+
+
+class TestCleanStage:
+    def test_matches_oracle(self):
+        out = by_id(tf.clean_stage(make_ds()).to_pandas())
+        exp = oracle.oracle_clean(RECORDS)
+        assert len(out) == len(exp)
+        for i, e in enumerate(exp):
+            assert out.loc[i, "text"] == e["text"], f"row {i}"
+            assert out.loc[i, "word_count"] == e["word_count"]
+
+
+class TestTagStage:
+    def test_matches_oracle(self):
+        ds = tf.clean_stage(make_ds())
+        ds = tf.tag_stage(ds, concurrency=2, topic_keywords=fixtures.TOPIC_KEYWORDS)
+        out = by_id(ds.to_pandas())
+        exp = oracle.oracle_tag(oracle.oracle_clean(RECORDS), fixtures.TOPIC_KEYWORDS)
+        for i, e in enumerate(exp):
+            assert list(out.loc[i, "topics"]) == e["topics"], f"row {i}: {out.loc[i, 'topics']} vs {e['topics']}"
+
+
+class TestQualityFilter:
+    def _prepped(self):
+        ds = tf.clean_stage(make_ds())
+        return tf.tag_stage(ds, concurrency=2, topic_keywords=fixtures.TOPIC_KEYWORDS)
+
+    def test_kept_set_matches_oracle(self):
+        out = tf.quality_filter_stage(self._prepped()).to_pandas()
+        exp_records = oracle.oracle_tag(oracle.oracle_clean(RECORDS), fixtures.TOPIC_KEYWORDS)
+        kept, reasons = oracle.oracle_filter(exp_records)
+        assert sorted(out["arrival_seq"]) == sorted(r["arrival_seq"] for r in kept)
+
+    def test_reason_histogram(self):
+        hist = tf.removal_histogram(self._prepped()).to_pandas()
+        exp_records = oracle.oracle_tag(oracle.oracle_clean(RECORDS), fixtures.TOPIC_KEYWORDS)
+        _, reasons = oracle.oracle_filter(exp_records)
+        got = dict(zip(hist["removal_reason"], hist["count()"]))
+        assert got == reasons
+
+
+class TestDedup:
+    def test_url_dedup_keeps_first(self):
+        out = dd.exact_url_dedup(make_ds()).to_pandas()
+        exp = oracle.oracle_url_dedup(RECORDS)
+        assert sorted(out["arrival_seq"]) == sorted(r["arrival_seq"] for r in exp)
+
+    def test_github_dedup(self):
+        out = dd.github_id_dedup(make_ds()).to_pandas()
+        exp = oracle.oracle_github_dedup(RECORDS)
+        assert sorted(out["arrival_seq"]) == sorted(r["arrival_seq"] for r in exp)
+
+    def test_minhash_dedup_greedy_order(self):
+        ds, n_dropped = dd.minhash_dedup(make_ds())
+        out = ds.to_pandas()
+        exp = oracle.oracle_minhash_dedup(RECORDS)
+        assert sorted(out["arrival_seq"]) == sorted(r["arrival_seq"] for r in exp)
+        assert n_dropped == len(RECORDS) - len(exp)
+        # the fixture family guarantees at least the 0.9-Jaccard near-dup drops
+        assert n_dropped >= 1
+
+    def test_greedy_not_transitive(self):
+        # chain a-b, b-c without a-c: greedy keeps a, drops b, KEEPS c
+        dropped = dd.greedy_resolve([("a", "b"), ("b", "c")], {"a": 0, "b": 1, "c": 2})
+        assert dropped == {"b"}
+
+
+class TestFullProcess:
+    def test_matches_oracle_end_to_end(self):
+        ds = process_pipeline(make_ds(), topic_keywords=fixtures.TOPIC_KEYWORDS)
+        out = ds.to_pandas()
+        exp = oracle.oracle_process(RECORDS, fixtures.TOPIC_KEYWORDS)
+        assert sorted(out["arrival_seq"]) == sorted(r["arrival_seq"] for r in exp)
+        # text content equality for the kept rows
+        exp_by_seq = {r["arrival_seq"]: r for r in exp}
+        for _, row in out.iterrows():
+            assert row["text"] == exp_by_seq[row["arrival_seq"]]["text"]
+            assert list(row["topics"]) == exp_by_seq[row["arrival_seq"]]["topics"]
+
+
+class TestAnalysisStages:
+    def test_sentiment_stage(self):
+        from ai_intel_web_scraper_ray.functions.sentiment import estimate_sentiment
+
+        ds = tf.sentiment_stage(make_ds(), out_col="sent2")
+        out = by_id(ds.to_pandas())
+        for i, r in enumerate(RECORDS):
+            assert out.loc[i, "sent2"] == estimate_sentiment(r["text"])
+
+    def test_langid_stage(self):
+        from ai_intel_web_scraper_ray.functions.langid import detect_lang
+
+        ds = tf.langid_stage(make_ds())
+        out = by_id(ds.to_pandas())
+        for i, r in enumerate(RECORDS):
+            assert out.loc[i, "pred_lang"] == detect_lang(r["text"])
+
+    def test_token_count_stage(self):
+        from ai_intel_web_scraper_ray.functions.tokenizer import count_tokens
+
+        ds = tf.token_count_stage(make_ds())
+        out = by_id(ds.to_pandas())
+        for i, r in enumerate(RECORDS[:10]):
+            assert out.loc[i, "n_tokens"] == count_tokens(r["text"])
+            assert out.loc[i, "n_ws_tokens"] == len(r["text"].split())
+
+    def test_quality_score_stage(self):
+        from ai_intel_web_scraper_ray.functions.quality import quality_features
+
+        ds = tf.quality_score_stage(make_ds())
+        out = by_id(ds.to_pandas())
+        for i, r in enumerate(RECORDS[:10]):
+            f = quality_features(r["text"])
+            assert out.loc[i, "n_words"] == f["n_words"]
+            assert out.loc[i, "stop_hits"] == f["stop_hits"]
+            assert out.loc[i, "stop_ratio"] == pytest.approx(round(f["stop_ratio"], 6))
