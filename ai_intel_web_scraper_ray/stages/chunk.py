@@ -54,6 +54,19 @@ SECTION_HEADERS = re.compile(r"^(#{1,4})\s+(.+)$", re.MULTILINE)
 SEPARATORS = ["\n## ", "\n### ", "\n#### ", "\n\n", "\n", ". ", " "]
 
 
+def _as_list(x) -> list:
+    """Normalize None / numpy array / list to a plain list (pandas batches
+    deliver Arrow list columns as ndarrays)."""
+    if x is None:
+        return []
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    try:
+        return list(x)
+    except TypeError:
+        return [x]
+
+
 def chunk_id(competitor: str, parent_doc_id: str, chunk_index: int, text: str) -> str:
     h = hashlib.sha256(f"{parent_doc_id}:{chunk_index}:{text[:100]}".encode()).hexdigest()[:12]
     return f"{competitor}-chunk-{h}"
@@ -191,7 +204,7 @@ class Chunker:
 
     def chunk_github_issue(self, title: str, text: str, meta: dict) -> List[str]:
         chunks: List[str] = []
-        labels = meta.get("labels") or []
+        labels = _as_list(meta.get("labels"))
         state = meta.get("state") or "unknown"
         label_str = f" [{', '.join(labels)}]" if labels else ""
         body = f"{title}{label_str} (state: {state})\n{text}"
@@ -202,7 +215,7 @@ class Chunker:
 
         buffer: List[str] = []
         buffer_tokens = 0
-        for comment in meta.get("top_comments") or []:
+        for comment in _as_list(meta.get("top_comments")):
             ctext = f"Comment on '{title}': {comment}"
             ct = count_tokens(ctext)
             if ct >= self.chunk_tokens:
@@ -248,7 +261,7 @@ class Chunker:
                 chunks.append(post.strip())
         else:
             chunks.extend(sc.strip() for sc in self.recursive_split(post))
-        for comment in meta.get("top_comments") or []:
+        for comment in _as_list(meta.get("top_comments")):
             ctext = f"Community comment on '{title}': {comment}"
             ct = count_tokens(ctext)
             if ct < MIN_CHUNK_TOKENS:
@@ -295,7 +308,7 @@ class Chunker:
             texts = self.chunk_generic(text, title)
 
         origin = rec.get("origin") or ""
-        topics = rec.get("topics") or ["unclassified"]
+        topics = _as_list(rec.get("topics")) or ["unclassified"]
         prefix = context_prefix(origin, stype, topics, self.topic_names)
         out = []
         for i, t in enumerate(texts):
