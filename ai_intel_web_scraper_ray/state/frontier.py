@@ -1,0 +1,174 @@
+"""Sharded URL-frontier actor.
+
+Each shard owns a hash partition of canonical-URL space
+(shard = sha256(url) % num_shards, functions/urls.py:frontier_shard) and
+holds, per the north rule:
+
+- the partition's seen-set (cuckoo filter + exact backing store,
+  state/seenset.py) with check-and-insert-at-enqueue semantics — the
+  distributed equivalent of the reference's ``visited`` set
+  (reference: competitive-intel/scrapers/docs_scraper.py:117-164);
+- a priority heap keyed (depth, discovery_seq) — BFS order within the shard;
+- per-host politeness buckets (state/politeness.py) consulted when leasing
+  fetch work;
+- a robots cache (state/robots.py), config-defeasible;
+- lineage counters (offered / admitted / emitted) and checkpoint snapshots.
+
+Two usage modes:
+- *strict* conformance crawl: the driver keeps the global BFS order and uses
+  only ``offer`` (ordered check-and-insert); see pipelines/crawl.py.
+- *scalable* crawl: shards hand out politeness-scheduled leases via ``take``;
+  global ordering is per-shard BFS, which preserves the seen-SET invariant
+  while letting all shards progress independently.
+
+Hot-host skew: a host's fetch leases all flow through the shard that owns the
+host name (host→shard routing is separate from URL→shard seen-set routing),
+so one token bucket exists per host no matter how many shards hold its URLs.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import ray
+
+from ..functions.urls import frontier_shard, host_of
+from .politeness import HostPoliteness
+from .robots import RobotsCache
+from .seenset import SeenSet
+
+
+@ray.remote(num_cpus=0.25)
+class FrontierShard:
+    def __init__(
+        self,
+        shard_id: int,
+        num_shards: int,
+        min_delay: float = 0.0,
+        respect_robots: bool = False,
+        robots_texts: Optional[Dict[str, str]] = None,
+        capacity_hint: int = 1 << 16,
+    ):
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.seen = SeenSet(capacity_hint)
+        self.heap: List[Tuple[int, int, str]] = []  # (depth, discovery_seq, url)
+        self.politeness = HostPoliteness(min_delay)
+        robots_texts = robots_texts or {}
+        self.robots = RobotsCache(
+            fetch_robots=lambda host: robots_texts.get(host),
+            respect_robots=respect_robots,
+        )
+        self._seq = 0
+        self.offered = 0
+        self.admitted = 0
+        self.emitted = 0
+
+    # -- seen-set / enqueue ------------------------------------------------
+
+    def offer(self, items: Sequence[Tuple[str, int]], enqueue: bool = True) -> List[bool]:
+        """Ordered check-and-insert of (url, depth) items.  Returns one bool
+        per item: True iff the URL was new (now marked seen and, if
+        ``enqueue`` and robots-allowed, pushed on the heap)."""
+        out = []
+        for url, depth in items:
+            self.offered += 1
+            is_new = self.seen.check_and_insert(url)
+            if is_new and enqueue and self.robots.allowed(url):
+                heapq.heappush(self.heap, (depth, self._seq, url))
+                self._seq += 1
+                self.admitted += 1
+            out.append(is_new)
+        return out
+
+    # -- scalable-mode leases ---------------------------------------------
+
+    def push(self, items: Sequence[Tuple[str, int]]) -> int:
+        """Enqueue already-admitted (url, depth) items on this shard's heap
+        WITHOUT touching the seen set.  Used for host-affinity routing: the
+        URL-hash shard owns seen-set membership; the HOST-hash shard owns the
+        fetch queue + the host's single politeness bucket (SURVEY.md §7.5.5:
+        two keys, two routings)."""
+        pushed = 0
+        for url, depth in items:
+            if self.robots.allowed(url):
+                heapq.heappush(self.heap, (depth, self._seq, url))
+                self._seq += 1
+                self.admitted += 1
+                pushed += 1
+        return pushed
+
+    def take(self, n: int, now: float) -> List[Tuple[str, int, float]]:
+        """Pop up to n (url, depth, scheduled_time) leases in (depth, seq)
+        order, politeness-scheduled per host."""
+        out = []
+        while self.heap and len(out) < n:
+            depth, _, url = heapq.heappop(self.heap)
+            t = self.politeness.reserve(host_of(url), now)
+            out.append((url, depth, t))
+            self.emitted += 1
+        return out
+
+    def pending(self) -> int:
+        return len(self.heap)
+
+    # -- introspection / checkpoint ---------------------------------------
+
+    def seen_snapshot(self) -> List[str]:
+        return self.seen.snapshot()
+
+    def stats(self) -> Dict[str, int]:
+        return {
+            "shard": self.shard_id,
+            "seen": len(self.seen),
+            "pending": len(self.heap),
+            "offered": self.offered,
+            "admitted": self.admitted,
+            "emitted": self.emitted,
+            "filter_negatives": self.seen.filter_negatives,
+            "filter_positives": self.seen.filter_positives,
+        }
+
+    def checkpoint(self) -> Dict:
+        return {
+            "shard_id": self.shard_id,
+            "seen": self.seen.snapshot(),
+            "heap": sorted(self.heap),
+            "seq": self._seq,
+            "politeness": self.politeness.snapshot(),
+            "counters": (self.offered, self.admitted, self.emitted),
+        }
+
+    def restore(self, state: Dict) -> None:
+        self.seen = SeenSet.restore(state["seen"])
+        self.heap = [tuple(x) for x in state["heap"]]
+        heapq.heapify(self.heap)
+        self._seq = state["seq"]
+        self.politeness.restore(state["politeness"])
+        self.offered, self.admitted, self.emitted = state["counters"]
+
+
+def make_shards(
+    num_shards: int,
+    min_delay: float = 0.0,
+    respect_robots: bool = False,
+    robots_texts: Optional[Dict[str, str]] = None,
+    capacity_hint: int = 1 << 16,
+):
+    return [
+        FrontierShard.remote(
+            i, num_shards, min_delay, respect_robots, robots_texts, capacity_hint
+        )
+        for i in range(num_shards)
+    ]
+
+
+def shard_of(url: str, num_shards: int) -> int:
+    return frontier_shard(url, num_shards)
+
+
+def host_shard_of(url: str, num_shards: int) -> int:
+    """Home shard of a URL's host — owns the host's fetch queue and its one
+    politeness bucket."""
+    return frontier_shard(host_of(url), num_shards)

@@ -1,0 +1,54 @@
+"""robots.txt cache.
+
+The reference never consults robots.txt (it only self-identifies via UA,
+reference: competitive-intel/scrapers/utils.py:22-26); the north rule adds
+robots handling as a new, config-defeasible capability: with
+``respect_robots=False`` (the default, matching the reference) every URL is
+allowed, so reference-equality tests hold; with ``respect_robots=True`` the
+per-host robots.txt (fetched once per host, cached) gates enqueue.
+
+Parsing uses stdlib ``urllib.robotparser`` fed from the fetcher, so the
+cache works identically against the mock web graph and a real fetcher.
+"""
+
+from __future__ import annotations
+
+import urllib.robotparser
+from typing import Callable, Dict, Optional
+
+from ..functions.urls import host_of
+
+
+class RobotsCache:
+    def __init__(
+        self,
+        fetch_robots: Optional[Callable[[str], Optional[str]]] = None,
+        user_agent: str = "CompetitiveIntel/1.0",
+        respect_robots: bool = False,
+    ):
+        self.fetch_robots = fetch_robots
+        self.user_agent = user_agent
+        self.respect = respect_robots
+        self._cache: Dict[str, Optional[urllib.robotparser.RobotFileParser]] = {}
+
+    def allowed(self, url: str) -> bool:
+        if not self.respect:
+            return True
+        host = host_of(url)
+        if host not in self._cache:
+            parser = None
+            text = self.fetch_robots(host) if self.fetch_robots else None
+            if text is not None:
+                parser = urllib.robotparser.RobotFileParser()
+                parser.parse(text.splitlines())
+            self._cache[host] = parser
+        parser = self._cache[host]
+        return True if parser is None else parser.can_fetch(self.user_agent, url)
+
+    def snapshot(self) -> Dict[str, Optional[str]]:
+        # robots text is re-fetchable; checkpoint only the host list
+        return {h: None for h in self._cache}
+
+    def restore_hosts(self, hosts) -> None:
+        # lazily re-fetch on next use; nothing to do beyond clearing
+        self._cache = {}

@@ -1,0 +1,174 @@
+"""URL seen-set: cuckoo filter fast path + exact backing store.
+
+Design (north rule: "cuckoo-filter URL-seen set (bloom fallback for spill)"):
+
+- A cuckoo filter (Fan et al., CoNEXT'14 — public algorithm) answers
+  "definitely new" in O(1) with ~3% FP at 0.95 load: 4-slot buckets, 16-bit
+  fingerprints, two candidate buckets via partial-key cuckoo hashing,
+  bounded eviction kicks.
+- Because the engine must reproduce the reference's *exact* seen set
+  (BASELINE.json), a positive filter hit is confirmed against an exact
+  per-shard backing store: in this sandbox a Python set; at 10^10-URL scale a
+  spilled on-disk hash partition, which the filter shields from ~97% of
+  lookups (new URLs never touch it).
+- When the cuckoo filter fills past its eviction bound, new fingerprints
+  overflow into a bloom filter (the "spill fallback") instead of failing.
+
+Everything is deterministic: hashes are sha256-derived, no process salt.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterable, List, Optional, Set, Tuple
+
+import numpy as np
+
+_MAX_KICKS = 500
+
+
+def _h(url: str) -> int:
+    return int.from_bytes(hashlib.sha256(url.encode()).digest()[:8], "big")
+
+
+class BloomFilter:
+    """Plain k-hash bloom filter over a numpy bit array."""
+
+    def __init__(self, capacity: int, fp_rate: float = 0.01):
+        m = max(64, int(-capacity * math.log(fp_rate) / (math.log(2) ** 2)))
+        self.m = m
+        self.k = max(1, int(round((m / capacity) * math.log(2))))
+        self.bits = np.zeros((m + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, key: int) -> List[int]:
+        h1 = key & 0xFFFFFFFF
+        h2 = (key >> 32) | 1
+        return [((h1 + i * h2) % self.m) for i in range(self.k)]
+
+    def add(self, key: int) -> None:
+        for p in self._positions(key):
+            self.bits[p >> 6] |= np.uint64(1) << np.uint64(p & 63)
+
+    def __contains__(self, key: int) -> bool:
+        for p in self._positions(key):
+            if not (self.bits[p >> 6] >> np.uint64(p & 63)) & np.uint64(1):
+                return False
+        return True
+
+
+class CuckooFilter:
+    """4-way bucketed cuckoo filter with 16-bit fingerprints and a bloom
+    spill for insert overflow."""
+
+    def __init__(self, capacity: int = 1 << 16):
+        nbuckets = 1 << max(4, int(math.ceil(math.log2(max(16, capacity) / 4))))
+        self.nbuckets = nbuckets
+        self.table = np.zeros((nbuckets, 4), dtype=np.uint16)  # 0 = empty
+        self.spill: Optional[BloomFilter] = None
+        self.count = 0
+        self._rng = np.random.RandomState(17)
+
+    @staticmethod
+    def _fp_hash(fp: int) -> int:
+        return int.from_bytes(hashlib.sha256(fp.to_bytes(2, "big")).digest()[:4], "big")
+
+    def _fp_and_buckets(self, key: int) -> Tuple[int, int, int]:
+        fp = (key & 0xFFFF) or 1
+        i1 = (key >> 16) % self.nbuckets
+        # partial-key cuckoo hashing: i2 = i1 xor hash(fp); nbuckets is a
+        # power of two, so the xor relation survives the mod and is symmetric
+        i2 = (i1 ^ self._fp_hash(fp)) % self.nbuckets
+        return fp, i1, i2
+
+    def _spill_key(self, i: int, fp: int) -> int:
+        """Canonical spill key for a (bucket, fingerprint): identical whether
+        computed from the item's primary or alternate bucket, so a
+        fingerprint evicted from EITHER bucket is still found."""
+        alt = (i ^ self._fp_hash(fp)) % self.nbuckets
+        return min(i, alt) * 65536 + fp
+
+    def __contains__(self, key: int) -> bool:
+        fp, i1, i2 = self._fp_and_buckets(key)
+        if (self.table[i1] == fp).any() or (self.table[i2] == fp).any():
+            return True
+        return self.spill is not None and self._spill_key(i1, fp) in self.spill
+
+    def add(self, key: int) -> None:
+        fp, i1, i2 = self._fp_and_buckets(key)
+        for i in (i1, i2):
+            slots = self.table[i]
+            empties = np.nonzero(slots == 0)[0]
+            if empties.size:
+                slots[empties[0]] = fp
+                self.count += 1
+                return
+        # evict loop: swap the new fingerprint in; walk the victim chain
+        i = i1 if self._rng.rand() < 0.5 else i2
+        cur = fp
+        for _ in range(_MAX_KICKS):
+            slot = self._rng.randint(0, 4)
+            cur, self.table[i][slot] = int(self.table[i][slot]), cur
+            i = (i ^ self._fp_hash(cur)) % self.nbuckets
+            slots = self.table[i]
+            empties = np.nonzero(slots == 0)[0]
+            if empties.size:
+                slots[empties[0]] = cur
+                self.count += 1
+                return
+        # kicks exhausted: `cur` is the homeless VICTIM fingerprint sitting
+        # (conceptually) in bucket chain position i — spill it by canonical
+        # (bucket, fp) key so lookups from either of its buckets hit
+        if self.spill is None:
+            self.spill = BloomFilter(capacity=max(4096, self.nbuckets * 4))
+        self.spill.add(self._spill_key(i, cur))
+        self.count += 1
+
+
+class SeenSet:
+    """check-and-insert seen set: cuckoo fast negative path + exact store."""
+
+    def __init__(self, capacity_hint: int = 1 << 16):
+        self.filter = CuckooFilter(capacity_hint)
+        self.exact: Set[str] = set()
+        self.filter_negatives = 0   # fast-path hits (exact store untouched)
+        self.filter_positives = 0
+
+    def check_and_insert(self, url: str) -> bool:
+        """True if url was new (and is now marked seen)."""
+        key = _h(url)
+        if key not in self.filter:
+            self.filter_negatives += 1
+            self.filter.add(key)
+            self.exact.add(url)
+            return True
+        self.filter_positives += 1
+        if url in self.exact:
+            return False
+        self.filter.add(key)
+        self.exact.add(url)
+        return True
+
+    def check_and_insert_batch(self, urls: Iterable[str]) -> List[bool]:
+        return [self.check_and_insert(u) for u in urls]
+
+    def __contains__(self, url: str) -> bool:
+        key = _h(url)
+        if key not in self.filter:
+            return False
+        return url in self.exact
+
+    def __len__(self) -> int:
+        return len(self.exact)
+
+    def snapshot(self) -> List[str]:
+        return sorted(self.exact)
+
+    @classmethod
+    def restore(cls, urls: Iterable[str], capacity_hint: int = 1 << 16) -> "SeenSet":
+        s = cls(capacity_hint)
+        for u in urls:
+            s.check_and_insert(u)
+        s.filter_negatives = 0
+        s.filter_positives = 0
+        return s

@@ -1,0 +1,152 @@
+"""Crawl conformance: distributed frontier vs sequential reference BFS."""
+
+import pytest
+
+from ai_intel_web_scraper_ray.pipelines.crawl import crawl_scalable, crawl_strict
+from ai_intel_web_scraper_ray.state.seenset import BloomFilter, CuckooFilter, SeenSet
+
+from . import fixtures, oracle
+
+PAGES = fixtures.make_web_graph()
+PAGES_BY_URL = {p["url"]: p for p in PAGES}
+BASE = "https://docs.hot.example/p0"
+
+
+def run_both(base=BASE, selector="article", max_depth=3, max_pages=200,
+             exclude=("/excluded/",), num_shards=4, round_size=16):
+    got = crawl_strict(
+        PAGES, base, selector, max_depth, max_pages, exclude,
+        num_shards=num_shards, round_size=round_size,
+    )
+    exp_order, exp_seen = oracle.oracle_crawl(
+        PAGES_BY_URL, base, selector, max_depth, max_pages, exclude
+    )
+    return got, exp_order, exp_seen
+
+
+class TestStrictCrawl:
+    def test_order_and_seen_equality(self):
+        got, exp_order, exp_seen = run_both()
+        assert got["order"] == exp_order
+        assert got["seen"] == exp_seen
+
+    def test_budget_cut(self):
+        got, exp_order, exp_seen = run_both(max_pages=7, round_size=5)
+        assert len(got["order"]) == 7
+        assert got["order"] == exp_order
+        assert got["seen"] == exp_seen
+
+    def test_depth_cut(self):
+        got, exp_order, exp_seen = run_both(max_depth=1)
+        assert got["order"] == exp_order
+        assert got["seen"] == exp_seen
+
+    def test_round_and_shard_invariance(self):
+        a, exp_order, exp_seen = run_both(num_shards=2, round_size=3)
+        b, _, _ = run_both(num_shards=7, round_size=50)
+        assert a["order"] == exp_order == b["order"]
+        assert a["seen"] == exp_seen == b["seen"]
+
+    def test_cold_host(self):
+        got, exp_order, exp_seen = run_both(base="https://docs.cold1.example/p0")
+        assert got["order"] == exp_order
+        assert got["seen"] == exp_seen
+        assert len(exp_order) > 3
+
+    def test_extract_content_matches_oracle(self):
+        got, *_ = run_both(max_pages=10)
+        from ai_intel_web_scraper_ray.functions.htmlx import extract_content
+
+        for rec in got["records"]:
+            title, text = extract_content(PAGES_BY_URL[rec["url"]]["html"], "article", rec["url"])
+            assert rec["title"] == title
+            assert rec["text"] == text
+            assert "## Section one" in text  # structure preserved
+            assert "cookies" not in text     # banner pruned
+
+
+class TestCheckpointResume:
+    def test_resume_identical(self, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        partial = crawl_strict(
+            PAGES, BASE, max_pages=50, exclude_patterns=("/excluded/",),
+            round_size=8, checkpoint_dir=ckpt, checkpoint_every_rounds=1,
+            stop_after_rounds=2,
+        )
+        assert len(partial["order"]) < 50
+        resumed = crawl_strict(
+            PAGES, BASE, max_pages=50, exclude_patterns=("/excluded/",),
+            round_size=8, checkpoint_dir=ckpt, resume=True,
+        )
+        full = crawl_strict(
+            PAGES, BASE, max_pages=50, exclude_patterns=("/excluded/",), round_size=8
+        )
+        assert resumed["order"] == full["order"]
+        assert resumed["seen"] == full["seen"]
+
+
+class TestScalableCrawl:
+    def test_seen_set_matches_reference_when_unbounded(self):
+        got = crawl_scalable(
+            PAGES, [BASE], max_depth=3, exclude_patterns=("/excluded/",),
+            num_shards=4,
+        )
+        _, exp_seen = oracle.oracle_crawl(
+            PAGES_BY_URL, BASE, "article", 3, 10**9, ("/excluded/",)
+        )
+        assert got["seen"] == exp_seen
+        exp_order, _ = oracle.oracle_crawl(
+            PAGES_BY_URL, BASE, "article", 3, 10**9, ("/excluded/",)
+        )
+        assert sorted(r["url"] for r in got["records"]) == sorted(exp_order)
+
+    def test_politeness_virtual_clock(self):
+        got = crawl_scalable(
+            PAGES, [BASE], max_depth=3, exclude_patterns=("/excluded/",),
+            num_shards=4, min_delay=0.5,
+        )
+        n = len(got["records"])
+        # one host ⇒ serial politeness floor: (n-1) * min_delay lower bound
+        assert got["virtual_time"] >= (n - 1) * 0.5
+
+    def test_robots_gating(self):
+        robots = {"docs.hot.example": "User-agent: *\nDisallow: /p1\n"}
+        got = crawl_scalable(
+            PAGES, [BASE], max_depth=3, exclude_patterns=("/excluded/",),
+            num_shards=2, respect_robots=True, robots_texts=robots,
+        )
+        urls = {r["url"] for r in got["records"]}
+        assert BASE in urls  # seed itself allowed (p0)
+        assert not any(u.startswith("https://docs.hot.example/p1") for u in urls)
+
+
+class TestSeenSet:
+    def test_cuckoo_membership(self):
+        f = CuckooFilter(1024)
+        keys = [hash(f"k{i}") & ((1 << 63) - 1) for i in range(500)]
+        for k in keys:
+            f.add(k)
+        assert all(k in f for k in keys)  # no false negatives
+
+    def test_bloom(self):
+        b = BloomFilter(1000)
+        for i in range(500):
+            b.add(i * 2654435761)
+        assert all((i * 2654435761) in b for i in range(500))
+        fps = sum((i * 40503 + 7) in b for i in range(10000, 20000))
+        assert fps < 500  # ~1% target
+
+    def test_seenset_exactness(self):
+        s = SeenSet(256)
+        urls = [f"https://h/{i}" for i in range(2000)]
+        assert all(s.check_and_insert(u) for u in urls)
+        assert not any(s.check_and_insert(u) for u in urls)
+        assert len(s) == 2000
+
+    def test_snapshot_restore(self):
+        s = SeenSet(128)
+        for i in range(100):
+            s.check_and_insert(f"u{i}")
+        r = SeenSet.restore(s.snapshot())
+        assert not r.check_and_insert("u5")
+        assert r.check_and_insert("new")
