@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (documents → clean → tag → quality
+filter → dedup → chunk → embed) on sf0.001.  ``queries()`` exposes one
+callable per implemented operator family (SURVEY.md §2); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible query — column
+names and math match exactly (integer ppm ratios, explicit rounding of
+float aggregates, identical RE2-safe regex patterns).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,343 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+
+def _documents_as_records(sf_dir: str):
+    """documents.parquet → SourceRecord-shaped Dataset (generic adapter)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def adapt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        doc_ids = t["doc_id"].to_pylist()
+        sources = t["source"].to_pylist()
+        t = t.append_column("id", pa.array([str(d) for d in doc_ids], pa.string()))
+        t = t.append_column("origin", pa.array(["testdata"] * n, pa.string()))
+        t = t.append_column("source_type", pa.array(["official_docs"] * n, pa.string()))
+        t = t.append_column(
+            "url", pa.array([f"https://testdata.example/{s}/{d}" for s, d in zip(sources, doc_ids)], pa.string())
+        )
+        t = t.append_column("title", pa.array([f"Doc {d}" for d in doc_ids], pa.string()))
+        t = t.append_column("word_count", pc.cast(pc.count_substring_regex(t["text"], r"\S+"), pa.int32()))
+        t = t.append_column("arrival_seq", pc.cast(t["doc_id"], pa.int64()))
+        t = t.append_column("credibility", pa.array(["official"] * n, pa.string()))
+        return t
+
+    return ds.map_batches(adapt, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: process + vectorize over sf0.001 documents."""
+    from ai_intel_web_scraper_ray.pipelines.process import process_pipeline
+    from ai_intel_web_scraper_ray.pipelines.vectorize import vectorize_pipeline
+
+    ds = _documents_as_records("/root/testdata/sf0.001")
+    ds = process_pipeline(ds, min_word_count=10, tagger_concurrency=2)
+    ds = vectorize_pipeline(ds, chunk_concurrency=2, embed_concurrency=2)
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _crawl_fixture_query(sf_dir: str) -> pd.DataFrame:
+    """Distributed strict crawl over the deterministic synthetic web graph
+    (rows-only check; order equality vs the sequential oracle is pinned by
+    pytest — tests/test_crawl.py)."""
+    from ai_intel_web_scraper_ray.pipelines.crawl import crawl_strict
+    from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+
+    pages = make_web_graph()
+    res = crawl_strict(pages, "https://docs.hot.example/p0",
+                       exclude_patterns=("/excluded/",), num_shards=4, round_size=32)
+    df = pd.DataFrame(res["records"])[["url", "depth", "crawl_rank", "title"]]
+    return df
+
+
+def _chunk_documents_query(sf_dir: str) -> pd.DataFrame:
+    """Chunk the documents table via the actor-pool flat map (rows-only)."""
+    from ai_intel_web_scraper_ray.pipelines.vectorize import vectorize_pipeline
+
+    ds = _documents_as_records(sf_dir)
+    out = vectorize_pipeline(ds, chunk_concurrency=2, embed_concurrency=2)
+    df = out.select_columns(["chunk_id", "parent_doc_id", "chunk_index", "token_count"]).to_pandas()
+    return df.sort_values(["parent_doc_id", "chunk_index"]).reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+    from ai_intel_web_scraper_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
+    return {
+        # relational / aggregate / join / sort / window machinery
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_top_orders": rel.q3_top_orders,
+        "q5_nation_revenue": rel.q5_nation_revenue,
+        "events_tumbling": rel.events_tumbling,
+        "events_sessions": rel.events_sessions,
+        "orders_gap_stats": rel.orders_gap_stats,
+        # document/text operators
+        "docs_lang_distribution": dq.docs_lang_distribution,
+        "docs_token_stats": dq.docs_token_stats,
+        "docs_quality_scores": dq.docs_quality_scores,
+        "docs_langid": dq.docs_langid,
+        "docs_sentiment": dq.docs_sentiment,
+        "docs_primary_topic": dq.docs_primary_topic,
+        "docs_exact_dedup": dq.docs_exact_dedup,
+        "docs_minhash_dedup": dq.docs_minhash_dedup,       # rows-only
+        "docs_simhash": dq.docs_simhash,                   # rows-only
+        # similarity search
+        "emb_knn": dq.emb_knn,
+        "emb_knn_labels": dq.emb_knn_labels,
+        "emb_label_centroids": dq.emb_label_centroids,
+        "emb_rrf": dq.emb_rrf,
+        # crawl + chunking (non-SQL, rows-only)
+        "crawl_fixture": _crawl_fixture_query,
+        "chunk_documents": _chunk_documents_query,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB) — generated so regex/keyword lists can't drift from
+# the Python implementations
+# ---------------------------------------------------------------------------
+
+
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _sentiment_sql() -> str:
+    from ai_intel_web_scraper_ray.functions.sentiment import (
+        NEGATIVE_SIGNALS,
+        POSITIVE_SIGNALS,
+    )
+
+    neg = " + ".join(
+        f"(CASE WHEN lower(text) LIKE '%{_sql_quote(s)}%' THEN 1 ELSE 0 END)"
+        for s in NEGATIVE_SIGNALS
+    )
+    pos = " + ".join(
+        f"(CASE WHEN lower(text) LIKE '%{_sql_quote(s)}%' THEN 1 ELSE 0 END)"
+        for s in POSITIVE_SIGNALS
+    )
+    return f"""
+        WITH scored AS (
+            SELECT ({neg}) AS neg, ({pos}) AS pos FROM documents
+        )
+        SELECT CASE
+                 WHEN neg > pos + 1 THEN 'negative'
+                 WHEN pos > neg + 1 THEN 'positive'
+                 WHEN neg > 0 AND pos > 0 THEN 'mixed'
+                 ELSE 'neutral'
+               END AS sentiment,
+               COUNT(*) AS n
+        FROM scored GROUP BY 1 ORDER BY 1
     """
-    return {}
+
+
+def _langid_sql() -> str:
+    from ai_intel_web_scraper_ray.functions.langid import LANG_STOPWORDS
+
+    score_cols = []
+    for lang, words in LANG_STOPWORDS:
+        pat = r"\b(?:" + "|".join(words) + r")\b"
+        score_cols.append(f"len(regexp_extract_all(lower(text), '{pat}')) AS s_{lang}")
+    langs = [lang for lang, _ in LANG_STOPWORDS]
+    branches = []
+    for i, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        conds += [f"s_{lang} >= s_{other}" for other in langs if other != lang]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    return f"""
+        WITH scored AS (SELECT {", ".join(score_cols)} FROM documents)
+        SELECT {case} AS pred_lang, COUNT(*) AS n
+        FROM scored GROUP BY 1 ORDER BY 1
+    """
+
+
+def _primary_topic_sql() -> str:
+    from ai_intel_web_scraper_ray.functions.tagging import DEFAULT_TOPIC_KEYWORDS
+
+    topics = list(DEFAULT_TOPIC_KEYWORDS.keys())
+    score_cols = []
+    for t in topics:
+        terms = []
+        for kw in DEFAULT_TOPIC_KEYWORDS[t]:
+            w = 2 + kw.count(" ")
+            pat = r"\b" + kw.lower() + r"\b"
+            terms.append(f"{w} * len(regexp_extract_all(lower(text), '{_sql_quote(pat)}'))")
+        score_cols.append(f"({' + '.join(terms)}) AS s_{t}")
+    branches = []
+    for t in topics:
+        conds = [f"s_{t} > 0"] + [f"s_{t} >= s_{o}" for o in topics if o != t]
+        branches.append(f"WHEN {' AND '.join(conds)} THEN '{t}'")
+    case = "CASE " + " ".join(branches) + " ELSE 'unclassified' END"
+    return f"""
+        WITH scored AS (SELECT {", ".join(score_cols)} FROM documents)
+        SELECT {case} AS primary_topic, COUNT(*) AS n
+        FROM scored GROUP BY 1 ORDER BY 1
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ai_intel_web_scraper_ray.functions.quality import QUALITY_STOPWORDS
+    from ai_intel_web_scraper_ray.functions.tokenizer import TOKEN_PATTERN
+    from ai_intel_web_scraper_ray.pipelines.relational import SESSION_GAP_MIN
+
+    stop_pat = r"\b(?:" + "|".join(QUALITY_STOPWORDS) + r")\b"
+
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   COUNT(*) AS n_rows,
+                   ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_orders": """
+            SELECT l.l_orderkey, o.o_orderdate,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, l.l_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT n.n_name AS nation,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            ORDER BY nation
+        """,
+        "events_tumbling": """
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+            FROM events
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "events_sessions": f"""
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+                FROM events
+            )
+            SELECT user_id, COUNT(*) AS n_events,
+                   SUM(CASE WHEN gap > INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1 ELSE 0 END) + 1 AS n_sessions
+            FROM gaps GROUP BY user_id ORDER BY user_id
+        """,
+        "orders_gap_stats": """
+            WITH gaps AS (
+                SELECT o_custkey, o_orderdate,
+                       date_diff('day', LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate), o_orderdate) AS gap
+                FROM orders
+            )
+            SELECT o_custkey, COUNT(*) AS n_orders,
+                   COALESCE(MAX(gap), 0) AS max_gap_days
+            FROM gaps GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "docs_lang_distribution": """
+            SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "docs_token_stats": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
+                   len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_quality_scores": f"""
+            WITH f AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_words,
+                       len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS n_punct,
+                       len(regexp_extract_all(lower(text), '{stop_pat}')) AS stop_hits
+                FROM documents
+            )
+            SELECT doc_id, n_words, n_punct, stop_hits,
+                   CAST(FLOOR(stop_hits * 1000000.0 / GREATEST(n_words, 1)) AS BIGINT) AS stop_ppm,
+                   CAST(FLOOR(n_punct * 1000000.0 / GREATEST(n_words, 1)) AS BIGINT) AS punct_ppm
+            FROM f ORDER BY doc_id
+        """,
+        "docs_langid": _langid_sql(),
+        "docs_sentiment": _sentiment_sql(),
+        "docs_primary_topic": _primary_topic_sql(),
+        "docs_exact_dedup": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        "emb_knn": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS score
+            FROM embeddings
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+            LIMIT 10
+        """,
+        "emb_knn_labels": """
+            WITH scored AS (
+                SELECT vec_id, label,
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS score
+                FROM embeddings
+            ), top AS (
+                SELECT * FROM scored ORDER BY score DESC, vec_id LIMIT 50
+            )
+            SELECT label, COUNT(*) AS n FROM top GROUP BY label ORDER BY label
+        """,
+        "emb_label_centroids": """
+            SELECT label, COUNT(*) AS n,
+                   ROUND(SUM(embedding[1]) / COUNT(*), 6) AS mean_e0
+            FROM embeddings GROUP BY label ORDER BY label
+        """,
+        "emb_rrf": """
+            WITH s0 AS (
+                SELECT vec_id,
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS score
+                FROM embeddings
+            ), r0 AS (
+                SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) - 1 AS rnk
+                FROM s0 ORDER BY score DESC, vec_id LIMIT 20
+            ), s1 AS (
+                SELECT vec_id,
+                       list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 1)) AS score
+                FROM embeddings
+            ), r1 AS (
+                SELECT vec_id, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) - 1 AS rnk
+                FROM s1 ORDER BY score DESC, vec_id LIMIT 20
+            ), unioned AS (
+                SELECT * FROM r0 UNION ALL SELECT * FROM r1
+            )
+            SELECT vec_id, ROUND(SUM(1.0 / (60 + rnk + 1)), 6) AS rrf_score
+            FROM unioned GROUP BY vec_id
+            ORDER BY rrf_score DESC, vec_id
+            LIMIT 10
+        """,
+    }

@@ -1,0 +1,227 @@
+"""Document / embedding queries over the driver testdata tables.
+
+These expose the engine's text-analysis and training-data operators
+(dedup, language-ID, token counting, quality scoring, topic tagging,
+sentiment, similarity search) as small result tables whose column names and
+math exactly match the DuckDB oracle SQL in __ray_entry__.py.
+
+Integer-weighted topic scoring (weight_x2 = 2 + n_spaces so all scores are
+exact integers) is the SQL-checkable twin of the reference tagger's float
+scoring (reference: competitive-intel/processors/topic_tagger.py:121-142,
+whose full float semantics are pinned by tests/oracle.py instead).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions import langid as langid_fn
+from ..functions import sentiment as sentiment_fn
+from ..functions.tagging import DEFAULT_TOPIC_KEYWORDS
+from ..stages import dedup as dd
+from ..stages import transforms as tf
+from .search import brute_force_topk, rrf_fuse
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _emb(sf_dir: str):
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# simple distribution
+# ---------------------------------------------------------------------------
+
+
+def docs_lang_distribution(sf_dir: str) -> pd.DataFrame:
+    out = _docs(sf_dir, ["lang"]).groupby("lang").count().to_pandas()
+    out = out.rename(columns={"count()": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# token counting / quality scoring / langid / sentiment / topics
+# ---------------------------------------------------------------------------
+
+
+def docs_token_stats(sf_dir: str) -> pd.DataFrame:
+    ds = tf.token_count_stage(_docs(sf_dir, ["doc_id", "text"]))
+    out = ds.select_columns(["doc_id", "n_tokens", "n_ws_tokens"]).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_quality_scores(sf_dir: str) -> pd.DataFrame:
+    ds = tf.quality_score_stage(_docs(sf_dir, ["doc_id", "text"]))
+    out = ds.select_columns(
+        ["doc_id", "n_words", "n_punct", "stop_hits", "stop_ppm", "punct_ppm"]
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_langid(sf_dir: str) -> pd.DataFrame:
+    ds = tf.langid_stage(_docs(sf_dir, ["doc_id", "text"]))
+    out = ds.groupby("pred_lang").count().to_pandas().rename(columns={"count()": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("pred_lang").reset_index(drop=True)
+
+
+def docs_sentiment(sf_dir: str) -> pd.DataFrame:
+    ds = tf.sentiment_stage(_docs(sf_dir, ["doc_id", "text"]))
+    out = ds.groupby("sentiment").count().to_pandas().rename(columns={"count()": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("sentiment").reset_index(drop=True)
+
+
+# integer-weighted topic scoring (SQL-exact twin of the reference tagger)
+TOPIC_ORDER: List[str] = list(DEFAULT_TOPIC_KEYWORDS.keys())
+
+
+def primary_topic_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    lower = pc.utf8_lower(pc.coalesce(batch[text_col], ""))
+    n = len(batch)
+    scores = np.zeros((n, len(TOPIC_ORDER)), dtype=np.int64)
+    for ti, topic in enumerate(TOPIC_ORDER):
+        for kw in DEFAULT_TOPIC_KEYWORDS[topic]:
+            w = 2 + kw.count(" ")
+            pat = r"\b" + re.escape(kw.lower()) + r"\b"
+            scores[:, ti] += w * pc.count_substring_regex(lower, pat).to_numpy(zero_copy_only=False)
+    best = np.argmax(scores, axis=1)  # first-max tiebreak = topic order
+    has = scores.max(axis=1) > 0
+    topics = np.array(TOPIC_ORDER)
+    out = np.where(has, topics[best], "unclassified")
+    return batch.append_column("primary_topic", pa.array(out.tolist(), pa.string()))
+
+
+def docs_primary_topic(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(primary_topic_batch, batch_format="pyarrow")
+    out = ds.groupby("primary_topic").count().to_pandas().rename(columns={"count()": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("primary_topic").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def docs_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Kept doc per exact text (min doc_id) + copy count."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = df.groupby("text", as_index=False).agg(doc_id=("doc_id", "min"),
+                                                   n_copies=("doc_id", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": [g["doc_id"].min()],
+            "n_copies": [g["n_copies"].sum()],
+        })
+
+    out = parts.groupby("text").map_groups(merge, batch_format="pandas").to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """Near-dup dedup (greedy keep-first by doc_id) — non-SQL, rows-only."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.append_column("id", t["doc_id"]).append_column("arrival_seq", t["doc_id"]),
+        batch_format="pyarrow",
+    )
+    deduped, n_dropped = dd.minhash_dedup(ds)
+    out = deduped.select_columns(["doc_id"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_simhash(sf_dir: str) -> pd.DataFrame:
+    """64-bit SimHash per doc (deterministic) — non-SQL, rows-only."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(tf.simhash_batch, batch_format="pyarrow")
+    out = ds.select_columns(["doc_id", "simhash"]).to_pandas()
+    out["simhash"] = out["simhash"].astype("uint64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(sf_dir: str, vec_id: int) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "==", vec_id)])
+    return np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+
+
+def emb_knn(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    q = _query_vec(sf_dir, 0)
+    df = brute_force_topk(_emb(sf_dir), q[None, :], k=k)
+    out = pd.DataFrame({
+        "vec_id": df["vec_id"].astype("int64"),
+        "score": df["score"].round(6),
+    })
+    return out.reset_index(drop=True)
+
+
+def emb_knn_labels(sf_dir: str) -> pd.DataFrame:
+    q = _query_vec(sf_dir, 0)
+    top = brute_force_topk(_emb(sf_dir), q[None, :], k=50)
+    ids = set(top["vec_id"])
+    emb = _emb(sf_dir).select_columns(["vec_id", "label"]).to_pandas()
+    sel = emb[emb["vec_id"].isin(ids)]
+    out = sel.groupby("label", as_index=False).agg(n=("vec_id", "size"))
+    out["label"] = out["label"].astype("int32")
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("label").reset_index(drop=True)
+
+
+def emb_label_centroids(sf_dir: str) -> pd.DataFrame:
+    ds = _emb(sf_dir)
+
+    def partial(t: pa.Table) -> pa.Table:
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        e0 = np.array([v[0] for v in t["embedding"].to_pylist()], dtype=np.float64)
+        df = pd.DataFrame({"label": labels, "s": e0, "n": 1})
+        g = df.groupby("label", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("label", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
+    out["mean_e0"] = (out["s"] / out["n"]).round(6)
+    out["label"] = out["label"].astype("int32")
+    out["n"] = out["n"].astype("int64")
+    return out[["label", "n", "mean_e0"]].sort_values("label").reset_index(drop=True)
+
+
+def emb_rrf(sf_dir: str) -> pd.DataFrame:
+    ds = _emb(sf_dir)
+    q0, q1 = _query_vec(sf_dir, 0), _query_vec(sf_dir, 1)
+    df = brute_force_topk(ds, np.stack([q0, q1]), k=20)
+    l0 = df[df["query_id"] == 0].rename(columns={"vec_id": "chunk_id"})
+    l1 = df[df["query_id"] == 1].rename(columns={"vec_id": "chunk_id"})
+    fused = rrf_fuse([l0.reset_index(drop=True), l1.reset_index(drop=True)], n=10)
+    out = pd.DataFrame({
+        "vec_id": fused["chunk_id"].astype("int64"),
+        "rrf_score": fused["rrf_score"].round(6),
+    })
+    return out.reset_index(drop=True)

@@ -78,35 +78,36 @@ GITHUB_TYPES = ("github_issue", "github_discussion")
 
 
 def github_id_dedup(ds, seq_col: str = "arrival_seq"):
-    """Dedup GitHub issues/discussions on (origin, kind, number); everything
-    else passes through without shuffling."""
+    """Dedup GitHub issues/discussions on (origin, kind, number).  Non-GitHub
+    rows get a unique singleton key so one groupby covers both populations —
+    no Union operator (a Union feeding chained actor pools deadlocks Ray
+    2.49's streaming executor) and even hash distribution of the
+    passthrough rows."""
 
     def add_key(t: pa.Table) -> pa.Table:
         stypes = t["source_type"].to_pylist()
         origins = t["origin"].to_pylist()
         metas = t["metadata"].to_pylist() if "metadata" in t.schema.names else [{}] * len(t)
+        seqs = t[seq_col].to_pylist()
         keys = []
-        for st, origin, meta in zip(stypes, origins, metas):
+        for st, origin, meta, seq in zip(stypes, origins, metas, seqs):
             meta = meta or {}
             if st == "github_issue":
                 keys.append(f"{origin}-issue-{meta.get('issue_number', '')}")
             elif st == "github_discussion":
                 keys.append(f"{origin}-discussion-{meta.get('discussion_number', '')}")
             else:
-                keys.append("")
+                keys.append(f"_row-{seq}")
         return t.append_column("_gh_key", pa.array(keys, pa.string()))
 
     keyed = ds.map_batches(add_key, batch_format="pyarrow")
-    passthrough = keyed.map_batches(
-        lambda t: t.filter(pc.equal(t["_gh_key"], "")), batch_format="pyarrow"
+    keyed = keyed.map_batches(
+        lambda t: _first_per_key(t, "_gh_key", seq_col), batch_format="pyarrow"
     )
-    github = keyed.map_batches(
-        lambda t: t.filter(pc.not_equal(t["_gh_key"], "")), batch_format="pyarrow"
-    )
-    github = github.groupby("_gh_key").map_groups(
+    deduped = keyed.groupby("_gh_key").map_groups(
         lambda g: _first_per_key(g, "_gh_key", seq_col), batch_format="pyarrow"
     )
-    return passthrough.union(github).drop_columns(["_gh_key"])
+    return deduped.drop_columns(["_gh_key"])
 
 
 # ---------------------------------------------------------------------------

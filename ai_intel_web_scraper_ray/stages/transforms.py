@@ -262,7 +262,9 @@ def token_count_stage(ds, **kwargs):
 
 def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Exact count features (SQL-verifiable): word count, punct count,
-    stopword hits, ratios rounded to 6dp."""
+    stopword hits, ratios as exact integer parts-per-million (floor of the
+    IEEE double division — bit-identical in numpy and DuckDB, unlike
+    decimal rounding whose half-way rule differs)."""
     text = pc.coalesce(batch[text_col], "")
     lower = pc.utf8_lower(text)
     n_words = pc.count_substring_regex(text, r"[A-Za-z0-9_]+").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -270,13 +272,13 @@ def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     stop_pat = r"\b(?:" + "|".join(quality_fn.QUALITY_STOPWORDS) + r")\b"
     stop_hits = pc.count_substring_regex(lower, stop_pat).to_numpy(zero_copy_only=False).astype(np.int64)
     safe = np.maximum(n_words, 1)
-    stop_ratio = np.round(stop_hits / safe, 6)
-    punct_ratio = np.round(n_punct / safe, 6)
+    stop_ppm = np.floor(stop_hits * 1_000_000.0 / safe).astype(np.int64)
+    punct_ppm = np.floor(n_punct * 1_000_000.0 / safe).astype(np.int64)
     batch = batch.append_column("n_words", pa.array(n_words, pa.int64()))
     batch = batch.append_column("n_punct", pa.array(n_punct, pa.int64()))
     batch = batch.append_column("stop_hits", pa.array(stop_hits, pa.int64()))
-    batch = batch.append_column("stop_ratio", pa.array(stop_ratio, pa.float64()))
-    return batch.append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
+    batch = batch.append_column("stop_ppm", pa.array(stop_ppm, pa.int64()))
+    return batch.append_column("punct_ppm", pa.array(punct_ppm, pa.int64()))
 
 
 def quality_score_stage(ds, **kwargs):

@@ -181,87 +181,10 @@ def make_source_records(n: int = 60, seed: int = SEED) -> List[dict]:
 
 
 # ---------------------------------------------------------------------------
-# Synthetic web graph (FIXTURES.md §2)
+# Synthetic web graph (FIXTURES.md §2) — shared with the bench harness
 # ---------------------------------------------------------------------------
 
-
-def _page_html(url: str, title: str, body_paras: List[str], links: List[str],
-               selector_variant: int, include_noise: bool = True) -> str:
-    anchors = "\n".join(f'<a href="{l}">link {j}</a>' for j, l in enumerate(links))
-    paras = "\n".join(f"<p>{p}</p>" for p in body_paras)
-    noise = (
-        '<nav><a href="/nav-only">nav link</a>Navigation menu</nav>'
-        '<header>Site header</header>'
-        '<div class="cookie-banner">We use cookies. Accept all cookies.</div>'
-        '<aside>side bar text</aside>'
-    ) if include_noise else ""
-    code = '<pre class="language-sql">SELECT fast FROM tbl</pre>'
-    table = "<table><tr><th>db</th><th>speed</th></tr><tr><td>acme</td><td>fast</td></tr></table>"
-    heading = "<h2>Section one</h2>"
-    content = f"{heading}{paras}{code}{table}<ul><li>item one</li><li>item two</li></ul>{anchors}"
-    if selector_variant == 0:
-        area = f"<article>{content}</article>"
-    elif selector_variant == 1:
-        area = f"<main>{content}</main>"
-    else:
-        area = f'<div class="content">{content}</div>'
-    footer = "<footer>Footer stuff</footer>" if include_noise else ""
-    return f"<html><head><title>{title}</title></head><body>{noise}{area}{footer}</body></html>"
-
-
-def make_web_graph(seed: int = SEED) -> List[dict]:
-    """Deterministic multi-host web graph; hot host = host0 with ~50% of
-    URLs; depth deeper than max_depth; dup links; 404/500/429 sprinkling;
-    fragment/query/extension links to exercise canonicalization."""
-    rng = random.Random(seed)
-    hosts = ["docs.hot.example", "docs.cold1.example", "docs.cold2.example"]
-    pages: List[dict] = []
-    n_per_host = {0: 40, 1: 20, 2: 20}
-
-    for hi, host in enumerate(hosts):
-        n = n_per_host[hi]
-        for p in range(n):
-            url = f"https://{host}/p{p}"
-            links: List[str] = []
-            # tree-ish forward links + some random cross links and dups
-            for child in (p * 2 + 1, p * 2 + 2, p + 7):
-                if child < n:
-                    links.append(f"/p{child}")
-            if p % 3 == 0 and n > 1:
-                links.append(f"/p{rng.randrange(n)}#frag")       # fragment variant
-                links.append(f"/p{rng.randrange(n)}?utm=x")      # query variant
-            links.append(f"/p{p}")                                # self link (dup)
-            links.append("/assets/logo.png")                      # excluded ext
-            links.append(f"https://{hosts[(hi + 1) % 3]}/p0")     # cross-domain
-            if p % 5 == 4:
-                links.append("/excluded/skipme")                  # exclude pattern target
-            status = 200
-            if p % 11 == 9:
-                status = 404
-            elif p % 13 == 12:
-                status = 500
-            elif p % 17 == 16:
-                status = 429
-            body = [
-                f"The fast query engine on {host} page {p} joins each table. " * 6,
-                _sentence(rng, 60),
-            ]
-            html = _page_html(url, f"{host} page {p}", body, links, selector_variant=p % 3)
-            pages.append(
-                {
-                    "url": url,
-                    "host": host,
-                    "status": status,
-                    "html": html,
-                    "out_links": links,
-                    "latency_ms": 5 + (40 if hi == 0 else 10) + rng.randrange(10),
-                }
-            )
-    # an excluded page + orphan deep pages
-    pages.append({"url": "https://docs.hot.example/excluded/skipme", "host": hosts[0],
-                  "status": 200, "html": _page_html("x", "excluded", ["body"], [], 0),
-                  "out_links": [], "latency_ms": 5})
-    return pages
+from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph  # noqa: E402,F401
 
 
 def records_to_table(records: List[dict]):

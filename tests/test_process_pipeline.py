@@ -134,4 +134,5 @@ class TestAnalysisStages:
             f = quality_features(r["text"])
             assert out.loc[i, "n_words"] == f["n_words"]
             assert out.loc[i, "stop_hits"] == f["stop_hits"]
-            assert out.loc[i, "stop_ratio"] == pytest.approx(round(f["stop_ratio"], 6))
+            import math
+            assert out.loc[i, "stop_ppm"] == math.floor(f["stop_hits"] * 1e6 / max(f["n_words"], 1))

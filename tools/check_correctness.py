@@ -1,0 +1,116 @@
+"""Local stand-in for the driver's correctness gate: run every queries()
+entry and its oracle_sql() twin at a given sf, compare row count + sorted
+schema + order-insensitive values.  Usage:
+
+    python tools/check_correctness.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+
+def to_pandas(res):
+    import pyarrow as pa
+
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+    return df
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list:
+    problems = []
+    if len(ray_df) != len(sql_df):
+        problems.append(f"rowcount {len(ray_df)} vs {len(sql_df)}")
+    rc, sc = sorted(ray_df.columns), sorted(sql_df.columns)
+    if rc != sc:
+        problems.append(f"columns {rc} vs {sc}")
+        return problems
+    a, b = canon(ray_df), canon(sql_df)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+                ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True)
+                exact = np.array_equal(av.astype(float), bv.astype(float))
+                if not ok:
+                    problems.append(f"col {c}: float mismatch")
+                elif not exact:
+                    problems.append(f"col {c}: float close-but-not-exact (hash would differ)")
+            else:
+                if not np.array_equal(av, bv):
+                    bad = np.nonzero(av != bv)[0][:3]
+                    problems.append(f"col {c}: value mismatch at rows {bad.tolist()} ray={av[bad]} sql={bv[bad]}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for tbl in ("region nation customer supplier part orders lineitem events documents embeddings".split()):
+        con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')")
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    n_fail = 0
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            ray_df = to_pandas(fn(sf_dir))
+        except Exception as e:
+            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+            n_fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in sqls:
+            print(f"ok   {name}: rows-only ({len(ray_df)} rows, {dt:.1f}s)")
+            continue
+        try:
+            sql_df = con.execute(sqls[name]).fetch_df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL raised {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, ray_df, sql_df)
+        if problems:
+            print(f"FAIL {name}: {problems}")
+            n_fail += 1
+        else:
+            print(f"ok   {name}: match ({len(ray_df)} rows, {dt:.1f}s)")
+    print(f"\n{len(qs) - n_fail}/{len(qs)} queries ok")
+    ray.shutdown()
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
