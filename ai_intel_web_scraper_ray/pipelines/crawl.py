@@ -54,6 +54,76 @@ def _excluded(url: str, patterns: Sequence[str]) -> bool:
     return any(p in url for p in patterns)
 
 
+def pages_to_table_ref(pages: List[dict]):
+    """Mock web graph → Arrow table in the object store.  Arrow string
+    buffers transfer ZERO-COPY through plasma — a fetch worker maps the
+    table once instead of unpickling a multi-hundred-MB Python dict per
+    task (which is what a ``{url: html}`` dict broadcast costs)."""
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "url": pa.array([p["url"] for p in pages], pa.string()),
+            "status": pa.array([p["status"] for p in pages], pa.int32()),
+            "html": pa.array([p["html"] for p in pages], pa.large_string()),
+        }
+    )
+    return ray.put(t)
+
+
+@ray.remote
+class FetchExtractWorker:
+    """Fetch+extract worker actor (streaming crawl).
+
+    Holds the zero-copy Arrow page store and the frontier shard handles;
+    the real-HTTP variant would hold a connection pool here instead
+    (reference: scrapers/utils.py:43-85 fetch with retry).  Discovered
+    links are routed shard-to-shard without a driver round trip; extracted
+    records are parked in the object store and only counts return."""
+
+    def __init__(self, pages_table_ref, content_selector: str,
+                 exclude_patterns: List[str], max_depth: int,
+                 shards, num_shards: int, seed_domains: List[str]):
+        table = ray.get(pages_table_ref) if not hasattr(pages_table_ref, "column_names") else pages_table_ref
+        self.idx = {u: i for i, u in enumerate(table["url"].to_pylist())}
+        self.status = table["status"].to_pylist()
+        self.html = table["html"]  # ChunkedArray — per-row .as_py() copies one string
+        self.content_selector = content_selector
+        self.exclude = list(exclude_patterns)
+        self.max_depth = max_depth
+        self.shards = shards
+        self.num_shards = num_shards
+        self.seed_domains = seed_domains
+
+    def fetch_extract(self, items: List[Tuple[str, int]]) -> Tuple[int, int, "ray.ObjectRef"]:
+        records: List[dict] = []
+        discovered: List[Tuple[str, int]] = []
+        for url, depth in items:
+            if _excluded(url, self.exclude):
+                continue
+            i = self.idx.get(url)
+            if i is None or self.status[i] != 200:
+                continue
+            html = self.html[i].as_py()
+            title, text = extract_content(html, self.content_selector, url)
+            if not text.strip():
+                continue
+            records.append({"url": url, "depth": depth, "title": title, "text": text})
+            if depth < self.max_depth:
+                for link in extract_links(html, url, self.content_selector):
+                    norm = normalize_url(link)
+                    if not _excluded(norm, self.exclude) and any(
+                        is_same_domain(norm, seed) for seed in self.seed_domains
+                    ):
+                        discovered.append((norm, depth + 1))
+        by_shard: Dict[int, List[Tuple[str, int]]] = defaultdict(list)
+        for it in discovered:
+            by_shard[shard_of(it[0], self.num_shards)].append(it)
+        for sid, batch in by_shard.items():
+            self.shards[sid].offer_route.remote(batch)
+        return len(records), len(discovered), ray.put(records)
+
+
 @ray.remote
 def fetch_extract_chunk(
     pages: Dict[str, dict],
@@ -205,14 +275,13 @@ def crawl_strict(
         by_shard: Dict[int, List[Tuple[int, int, str, int]]] = defaultdict(list)
         for t in link_batch:
             by_shard[shard_of(t[2], num_shards)].append(t)
-        futs = {
-            sid: shards[sid].offer.remote([(t[2], t[3]) for t in items], False)
-            for sid, items in by_shard.items()
-        }
+        sids = list(by_shard)
+        all_flags = ray.get(
+            [shards[sid].offer.remote([(t[2], t[3]) for t in by_shard[sid]], False) for sid in sids]
+        )
         new_links: List[Tuple[int, int, str, int]] = []
-        for sid, items in by_shard.items():
-            flags = ray.get(futs[sid])
-            new_links.extend(t for t, is_new in zip(items, flags) if is_new)
+        for sid, flags in zip(sids, all_flags):
+            new_links.extend(t for t, is_new in zip(by_shard[sid], flags) if is_new)
         new_links.sort(key=lambda t: (t[0], t[1]))
         order.extend((t[2], t[3]) for t in new_links)
 
@@ -245,72 +314,138 @@ def crawl_scalable(
     exclude_patterns: Sequence[str] = (),
     num_shards: int = 8,
     lease_per_shard: int = 128,
-    chunk_size: int = 64,
+    chunk_size: Optional[int] = None,
     min_delay: float = 0.0,
     respect_robots: bool = False,
     robots_texts: Optional[Dict[str, str]] = None,
-    pages_ref=None,
+    pages_table_ref=None,
+    materialize_records: bool = True,
+    num_workers: Optional[int] = None,
 ) -> dict:
-    """Throughput-shaped crawl: all shards lease politeness-scheduled work
-    each round; no global order barrier.  Virtual clock (no sleeping)."""
-    if pages_ref is None:
-        pages_ref = ray.put({p["url"]: {"status": p["status"], "html": p["html"]} for p in pages})
+    """Throughput-shaped crawl: a fetch/extract worker actor pool fed by
+    politeness-scheduled leases from the frontier shards; links route
+    shard-to-shard; no global order barrier.  Virtual clock (no sleeping)."""
+    if pages_table_ref is None:
+        pages_table_ref = pages_to_table_ref(pages)
     shards = make_shards(num_shards, min_delay, respect_robots, robots_texts)
+    ray.get([s.set_peers.remote(shards) for s in shards])
 
-    def admit(items: List[Tuple[str, int]]) -> None:
-        """check-and-insert on the URL-hash shard; enqueue admitted URLs on
-        the HOST-hash shard (single politeness bucket per host)."""
-        by_url_shard: Dict[int, List[Tuple[str, int]]] = defaultdict(list)
+    offers_sent = 0
+
+    def offer_async(items: List[Tuple[str, int]]) -> int:
+        """Fire-and-forget: route (url, depth) items to their URL-hash
+        shards; shards check-and-insert and forward admitted URLs straight
+        to the host-home shards' fetch queues (no driver round trip)."""
+        by_shard: Dict[int, List[Tuple[str, int]]] = defaultdict(list)
         for it in items:
-            by_url_shard[shard_of(it[0], num_shards)].append(it)
-        futs = {
-            sid: shards[sid].offer.remote(batch, False)
-            for sid, batch in by_url_shard.items()
-        }
-        by_host_shard: Dict[int, List[Tuple[str, int]]] = defaultdict(list)
-        for sid, batch in by_url_shard.items():
-            flags = ray.get(futs[sid])
-            for it, is_new in zip(batch, flags):
-                if is_new:
-                    by_host_shard[host_shard_of(it[0], num_shards)].append(it)
-        if by_host_shard:
-            ray.get([shards[sid].push.remote(b) for sid, b in by_host_shard.items()])
+            by_shard[shard_of(it[0], num_shards)].append(it)
+        for sid, batch in by_shard.items():
+            shards[sid].offer_route.remote(batch)
+        return len(items)
 
-    admit([(normalize_url(s), 0) for s in seeds])
+    seed_items = [(normalize_url(s), 0) for s in seeds]
+    offers_sent += offer_async(seed_items)
+    seed_domains = [normalize_url(s) for s in seeds]
+
+    n_records = 0
+    record_refs: List = []
+    now = 0.0
+    exclude_list = list(exclude_patterns)
+
+    import os as _os
+
+    if num_workers is None:
+        avail = int(ray.available_resources().get("CPU", _os.cpu_count() or 8))
+        # leave room for the frontier shards (0.25 CPU each) + driver slack,
+        # else the last worker actor never schedules and its queued calls
+        # would stall quiescence
+        num_workers = max(2, avail - int(num_shards * 0.25 + 1) - 1)
+    workers = [
+        FetchExtractWorker.remote(
+            pages_table_ref, content_selector, exclude_list, max_depth,
+            shards, num_shards, seed_domains,
+        )
+        for _ in range(num_workers)
+    ]
+    worker_load = [0] * num_workers
+
+    # Fully-async driver: per-shard take() futures and fetch futures share
+    # one ray.wait loop — no barrier across shards, so one slow shard (busy
+    # draining offer_route messages) never stalls the others' dispatch.
+    take_out: Dict = {}   # take future -> shard id
+    fetch_out: Dict = {}  # fetch future -> worker id
+    idle_shards: set = set()
+
+    def issue_take(sid: int) -> None:
+        take_out[shards[sid].take.remote(lease_per_shard, now)] = sid
+
+    def spawn_fetches(lease) -> None:
+        nonlocal now
+        flat = []
+        for url, depth, t in lease:
+            flat.append((url, depth))
+            now = max(now, t)
+        chunk = chunk_size or max(32, len(flat) // num_workers // 2 + 1)
+        for i in range(0, len(flat), chunk):
+            part = flat[i : i + chunk]
+            wid = min(range(num_workers), key=worker_load.__getitem__)
+            fut = workers[wid].fetch_extract.remote(part)
+            worker_load[wid] += 1
+            fetch_out[fut] = wid
+
+    for sid in range(num_shards):
+        issue_take(sid)
+
+    while n_records < max_pages:
+        if not take_out and not fetch_out:
+            # everything idle: quiescent only when every routed message has
+            # landed and all heaps are empty (flow-counter conservation)
+            flows = ray.get([s.flow_counts.remote() for s in shards])
+            offers_received = sum(f[0] for f in flows)
+            pushes_balanced = sum(f[1] for f in flows) == sum(f[2] for f in flows)
+            pending = sum(f[3] for f in flows)
+            if offers_received == offers_sent and pushes_balanced and pending == 0:
+                break
+            idle_shards.clear()
+            for sid in range(num_shards):
+                issue_take(sid)
+            continue
+        done, _ = ray.wait(
+            list(take_out) + list(fetch_out),
+            num_returns=min(len(take_out) + len(fetch_out), 8),
+        )
+        woke_idle = False
+        for fut in done:
+            if fut in take_out:
+                sid = take_out.pop(fut)
+                lease = ray.get(fut)
+                if lease:
+                    spawn_fetches(lease)
+                    issue_take(sid)
+                else:
+                    idle_shards.add(sid)
+            else:
+                wid = fetch_out.pop(fut)
+                worker_load[wid] -= 1
+                n_rec, n_offers, rec_ref = ray.get(fut)
+                n_records += n_rec
+                offers_sent += n_offers
+                record_refs.append(rec_ref)
+                woke_idle = True
+        if woke_idle and idle_shards:
+            # new links may have landed on shards we stopped polling
+            for sid in list(idle_shards):
+                idle_shards.discard(sid)
+                issue_take(sid)
 
     records: List[dict] = []
-    now = 0.0
-    while len(records) < max_pages:
-        leases = ray.get([s.take.remote(lease_per_shard, now) for s in shards])
-        flat: List[Tuple[str, int]] = []
-        sched_max = now
-        for lease in leases:
-            for url, depth, t in lease:
-                flat.append((url, depth))
-                sched_max = max(sched_max, t)
-        if not flat:
-            break
-        now = sched_max
-        results = _round_fetch(
-            pages_ref, flat, content_selector, list(exclude_patterns), max_depth, chunk_size
-        )
-        discovered: List[Tuple[str, int]] = []
-        for res in results:
-            if not res["ok"]:
-                continue
-            if len(records) < max_pages:
-                records.append(
-                    {"url": res["url"], "depth": res["depth"], "title": res["title"],
-                     "text": res["text"], "crawl_rank": len(records)}
-                )
-            for link in res["links"]:
-                norm = normalize_url(link)
-                if not _excluded(norm, exclude_patterns) and any(
-                    is_same_domain(norm, seed) for seed in seeds
-                ):
-                    discovered.append((norm, res["depth"] + 1))
-        if discovered:
-            admit(discovered)
+    if materialize_records:
+        for chunk_records in ray.get(record_refs):
+            for r in chunk_records:
+                if len(records) >= max_pages:
+                    break
+                r["crawl_rank"] = len(records)
+                records.append(r)
 
     seen: set = set()
     for snap in ray.get([s.seen_snapshot.remote() for s in shards]):
@@ -318,4 +453,8 @@ def crawl_scalable(
     stats = ray.get([s.stats.remote() for s in shards])
     for s in shards:
         ray.kill(s)
-    return {"records": records, "seen": seen, "stats": stats, "virtual_time": now}
+    for w in workers:
+        ray.kill(w)
+    return {"records": records, "n_records": min(n_records, max_pages),
+            "record_refs": record_refs, "seen": seen, "stats": stats,
+            "virtual_time": now}

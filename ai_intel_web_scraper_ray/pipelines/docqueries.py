@@ -31,8 +31,11 @@ from ..stages import transforms as tf
 from .search import brute_force_topk, rrf_fuse
 
 
-def _docs(sf_dir: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+def _docs(sf_dir: str, columns=None, num_blocks: int = 8):
+    # the testdata tables are single small files → one block → serial maps;
+    # split so CPU-bound per-batch work parallelizes
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns,
+                           override_num_blocks=num_blocks)
 
 
 def _emb(sf_dir: str):

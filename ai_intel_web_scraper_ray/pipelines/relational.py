@@ -27,8 +27,10 @@ import ray
 import ray.data as rd
 
 
-def _read(sf_dir: str, table: str, columns=None):
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+def _read(sf_dir: str, table: str, columns=None, num_blocks: int = 8):
+    # single-file tables → split for map/shuffle parallelism
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
+                           override_num_blocks=num_blocks)
 
 
 # ---------------------------------------------------------------------------

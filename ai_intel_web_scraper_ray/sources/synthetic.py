@@ -108,13 +108,44 @@ def make_web_graph(
     return pages
 
 
-def make_bench_web_graph(n_pages: int = 20000, seed: int = 42) -> List[dict]:
-    """Larger single-config graph for throughput benchmarking: one hot host
-    with 50% of pages + 8 cold hosts, all status 200, branching factor ~3."""
+def make_bench_web_graph(n_pages: int = 20000, seed: int = 42,
+                         paras_per_page: int = 200) -> List[dict]:
+    """Larger graph for throughput benchmarking: one hot host with 50% of
+    pages + 8 cold hosts, all status 200, branching factor ~3.
+
+    Pages are structurally realistic (~200 elements, ~20 KB) — extraction
+    cost is per-element, so element-rich pages are what make the fetch+
+    extract stage compute-bound like a real crawl.  Paragraphs come from a
+    pre-wrapped pool so graph construction stays O(n_pages) string joins."""
+    rng = random.Random(seed)
+    pool = [f"<p>{sentence(rng, 15)}</p>" for _ in range(512)]
     hosts = ["hot.bench.example"] + [f"cold{i}.bench.example" for i in range(8)]
     per_host = {0: n_pages // 2}
     rest = n_pages - per_host[0]
     for i in range(1, 9):
         per_host[i] = rest // 8
-    return make_web_graph(seed=seed, hosts=hosts, pages_per_host=per_host,
-                          para_words=120, error_sprinkle=False)
+
+    noise = (
+        '<nav><a href="/nav-only">nav link</a>Navigation menu</nav>'
+        '<header>Site header</header>'
+        '<div class="cookie-banner">We use cookies. Accept all cookies.</div>'
+    )
+    code = '<pre class="language-sql">SELECT fast FROM tbl</pre>'
+    table = "<table><tr><th>db</th><th>speed</th></tr><tr><td>acme</td><td>fast</td></tr></table>"
+    pages: List[dict] = []
+    for hi, host in enumerate(hosts):
+        n = per_host.get(hi, 0)
+        for p in range(n):
+            url = f"https://{host}/p{p}"
+            links = [f"/p{c}" for c in (p * 2 + 1, p * 2 + 2, p + 7) if c < n]
+            anchors = "".join(f'<a href="{l}">l</a>' for l in links)
+            start = (p * 37) % (512 - paras_per_page) if paras_per_page < 512 else 0
+            paras = "".join(pool[start : start + paras_per_page])
+            html = (
+                f"<html><head><title>{host} page {p}</title></head><body>{noise}"
+                f"<article><h2>Section one</h2>{paras}{code}{table}{anchors}</article>"
+                f"<footer>Footer stuff</footer></body></html>"
+            )
+            pages.append({"url": url, "host": host, "status": 200, "html": html,
+                          "out_links": links, "latency_ms": 5})
+    return pages

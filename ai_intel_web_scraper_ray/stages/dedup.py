@@ -152,10 +152,27 @@ def minhash_dedup(
     text_col: str = "text",
     seq_col: str = "arrival_seq",
     threshold: float = mh.DEFAULT_THRESHOLD,
+    materialize_input: bool = True,
 ):
     """Drop near-duplicate rows (estimated Jaccard ≥ threshold), keeping the
     first arrival of each near-dup cluster per the greedy reference
-    semantics.  Returns (deduped_ds, n_dropped)."""
+    semantics.  Returns (deduped_ds, n_dropped).
+
+    Two passes read the input (edge discovery, then the drop filter), so by
+    default the input is materialized once in the object store instead of
+    re-executing the upstream chain twice.  At 100-TB scale, persist the
+    upstream stage to partitioned parquet and pass that read in with
+    ``materialize_input=False`` — same two-pass structure, storage-backed
+    (the reference's stage-file pattern, RUNBOOK.md:43)."""
+    if materialize_input:
+        ds = ds.materialize()
+
+    # Coarse shuffle buckets: groupby on the raw band value would invoke the
+    # per-group Python callback once per distinct band hash (≈ rows × 32) —
+    # catastrophically chatty.  Instead shuffle on band % NUM_BUCKETS and
+    # resolve the per-band grouping vectorized inside each bucket.
+    NUM_BUCKETS = 64
+    MAX_GROUP = 256  # degenerate-band guard (e.g. thousands of empty docs)
 
     def to_bands(t: pa.Table) -> pa.Table:
         texts = [x or "" for x in t[text_col].to_pylist()]
@@ -165,9 +182,11 @@ def minhash_dedup(
         ids = t[id_col].to_pylist()
         seqs = t[seq_col].to_numpy(zero_copy_only=False)
         nb = mh.LSH_BANDS
+        flat_bands = bands.reshape(-1)
         out = pa.table(
             {
-                "band": pa.array(bands.reshape(-1), pa.uint64()),
+                "band": pa.array(flat_bands, pa.uint64()),
+                "bucket": pa.array((flat_bands % NUM_BUCKETS).astype(np.int64), pa.int64()),
                 id_col: pa.array(np.repeat(ids, nb)),
                 seq_col: pa.array(np.repeat(seqs, nb), pa.int64()),
                 "sig": pa.FixedSizeListArray.from_arrays(
@@ -177,31 +196,45 @@ def minhash_dedup(
         )
         return out
 
-    def verified_edges(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
-        g = group.sort_values(seq_col, kind="stable").drop_duplicates(id_col)
-        if len(g) < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
-        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in g["sig"]])
-        ids = g[id_col].to_numpy()
-        seqs = g[seq_col].to_numpy()
+    def bucket_edges(bucket: pd.DataFrame) -> pd.DataFrame:
+        """All verified candidate edges within one coarse bucket: pandas
+        C-level grouping by band, numpy pairwise verification per
+        multi-member band."""
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
+        if len(bucket) < 2:
+            return empty
+        counts = bucket["band"].value_counts()
+        multi = counts[counts > 1].index
+        if len(multi) == 0:
+            return empty
         rows = []
-        m = len(g)
-        # pairwise estimated Jaccard via signature agreement
-        for i in range(m - 1):
-            agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for off in np.nonzero(agree >= threshold)[0]:
-                j = i + 1 + off
-                rows.append((ids[i], ids[j], seqs[i], seqs[j]))
+        for band_val, g in bucket[bucket["band"].isin(multi)].groupby("band", sort=False):
+            g = g.sort_values(seq_col, kind="stable").drop_duplicates(id_col)
+            m = len(g)
+            if m < 2:
+                continue
+            if m > MAX_GROUP:
+                # near-dup bands are cliques in practice; cap the quadratic
+                # blowup by pairing everything against the earliest arrivals
+                g = g.iloc[: MAX_GROUP]
+                m = MAX_GROUP
+            sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in g["sig"]])
+            ids = g[id_col].to_numpy()
+            seqs = g[seq_col].to_numpy()
+            for i in range(m - 1):
+                agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+                for off in np.nonzero(agree >= threshold)[0]:
+                    j = i + 1 + off
+                    rows.append((ids[i], ids[j], seqs[i], seqs[j]))
         if not rows:
-            return pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
-        out = pd.DataFrame(rows, columns=["a_id", "b_id", "a_seq", "b_seq"])
-        return out
+            return empty
+        return pd.DataFrame(rows, columns=["a_id", "b_id", "a_seq", "b_seq"])
 
     bands = ds.map_batches(to_bands, batch_format="pyarrow")
-    edges_ds = bands.groupby("band").map_groups(verified_edges, batch_format="pandas")
+    edges_ds = bands.groupby("bucket").map_groups(bucket_edges, batch_format="pandas")
     edges_df = edges_ds.to_pandas()  # sparse by construction — small
+    if len(edges_df):
+        edges_df = edges_df.drop_duplicates(["a_id", "b_id"])
 
     seqs: Dict = {}
     pairs: List[Tuple] = []

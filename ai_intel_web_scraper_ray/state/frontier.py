@@ -64,6 +64,11 @@ class FrontierShard:
         self.offered = 0
         self.admitted = 0
         self.emitted = 0
+        # streaming-mode flow accounting (quiescence detection)
+        self.peers = None
+        self.offers_received = 0
+        self.pushes_sent = 0
+        self.pushes_received = 0
 
     # -- seen-set / enqueue ------------------------------------------------
 
@@ -82,14 +87,37 @@ class FrontierShard:
             out.append(is_new)
         return out
 
-    # -- scalable-mode leases ---------------------------------------------
+    # -- streaming mode: shard-to-shard routing ---------------------------
 
-    def push(self, items: Sequence[Tuple[str, int]]) -> int:
-        """Enqueue already-admitted (url, depth) items on this shard's heap
-        WITHOUT touching the seen set.  Used for host-affinity routing: the
-        URL-hash shard owns seen-set membership; the HOST-hash shard owns the
-        fetch queue + the host's single politeness bucket (SURVEY.md §7.5.5:
-        two keys, two routings)."""
+    def set_peers(self, peers) -> None:
+        """Handles to all frontier shards (including self) for direct
+        admitted-link routing without a driver round trip."""
+        self.peers = peers
+
+    def offer_route(self, items: Sequence[Tuple[str, int]]) -> None:
+        """check-and-insert each (url, depth) on THIS shard's seen set (the
+        caller routed by URL hash), then forward admitted items straight to
+        their host-home shards' fetch queues.  Fire-and-forget from the
+        driver; flow counters make quiescence detectable."""
+        from ..functions.urls import frontier_shard as _fs
+
+        self.offers_received += len(items)
+        by_host: dict = {}
+        for url, depth in items:
+            self.offered += 1
+            if self.seen.check_and_insert(url):
+                hs = _fs(host_of(url), self.num_shards)
+                by_host.setdefault(hs, []).append((url, depth))
+        for hs, batch in by_host.items():
+            self.pushes_sent += len(batch)
+            if hs == self.shard_id:
+                self._push_local(batch, count_received=True)
+            else:
+                self.peers[hs].push.remote(batch)
+
+    def _push_local(self, items: Sequence[Tuple[str, int]], count_received: bool = False) -> int:
+        if count_received:
+            self.pushes_received += len(items)
         pushed = 0
         for url, depth in items:
             if self.robots.allowed(url):
@@ -98,6 +126,20 @@ class FrontierShard:
                 self.admitted += 1
                 pushed += 1
         return pushed
+
+    def flow_counts(self) -> Tuple[int, int, int, int]:
+        """(offers_received, pushes_sent, pushes_received, pending)"""
+        return (self.offers_received, self.pushes_sent, self.pushes_received, len(self.heap))
+
+    # -- scalable-mode leases ---------------------------------------------
+
+    def push(self, items: Sequence[Tuple[str, int]]) -> int:
+        """Enqueue already-admitted (url, depth) items on this shard's heap
+        WITHOUT touching the seen set.  Used for host-affinity routing: the
+        URL-hash shard owns seen-set membership; the HOST-hash shard owns the
+        fetch queue + the host's single politeness bucket (SURVEY.md §7.5.5:
+        two keys, two routings)."""
+        return self._push_local(items, count_received=True)
 
     def take(self, n: int, now: float) -> List[Tuple[str, int, float]]:
         """Pop up to n (url, depth, scheduled_time) leases in (depth, seq)

@@ -1,0 +1,181 @@
+"""Benchmark harness.
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints ONE
+JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "crawl_urls_per_sec": ..., "crawl_docs_per_sec": ...}
+
+`--scaling` runs the same bench twice in fresh processes (num_cpus=8 then 32)
+on the same input and prints throughput at both plus the scaling efficiency —
+the sandbox surrogate for the north rule's N→4N-node criterion (BASELINE.md).
+
+Headline pieces:
+- crawl: scalable sharded-frontier fetch+extract over the synthetic web
+  graph (politeness off ⇒ throughput-bound) — URLs/s and docs/s
+- process: clean → tag → quality-filter → dedup over documents
+- vectorize: chunk → embed over documents
+- relational/search: TPC-H Q1 shape, tumbling windows, brute-force kNN,
+  MinHash near-dup
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from __ray_entry__ import _documents_as_records
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+    from ai_intel_web_scraper_ray.pipelines import relational as rel
+    from ai_intel_web_scraper_ray.pipelines.crawl import crawl_scalable
+    from ai_intel_web_scraper_ray.pipelines.process import process_pipeline
+    from ai_intel_web_scraper_ray.pipelines.vectorize import vectorize_pipeline
+    from ai_intel_web_scraper_ray.sources.synthetic import make_bench_web_graph
+
+    # warm the OS page cache so we measure compute + shuffle, not first read
+    import ray.data as rd
+
+    for tbl in ("lineitem", "documents", "embeddings", "events", "orders"):
+        rd.read_parquet(f"{sf_dir}/{tbl}.parquet").count()
+
+    timings: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # -- machine CPU-scaling baseline -------------------------------------
+    # This sandbox's cores throttle under load (pure-Python work scales at
+    # ~0.6 efficiency 8→32 actors), so --scaling reports crawl efficiency
+    # both raw and normalized by this baseline; a real N→4N node cluster
+    # adds full cores per node.
+    @ray.remote
+    def _burn(n: int) -> int:
+        s = 0
+        for i in range(n):
+            s += i * i
+        return s
+
+    k = max(2, num_cpus - 2)
+    n_iter = 3_000_000
+    t0 = time.perf_counter()
+    ray.get([_burn.remote(n_iter) for _ in range(k * 3)])
+    cpu_baseline = round(k * 3 * n_iter / (time.perf_counter() - t0) / 1e6, 1)
+
+    # -- crawl throughput --------------------------------------------------
+    n_pages = int(os.environ.get("GRAFT_CRAWL_PAGES", "24000"))
+    pages = make_bench_web_graph(n_pages)
+    import ray as _ray
+
+    from ai_intel_web_scraper_ray.pipelines.crawl import pages_to_table_ref
+
+    pages_table_ref = pages_to_table_ref(pages)
+    # wide seed list (the north-rule scenario is a 10^10-URL frontier that
+    # is never starved, not a 9-seed BFS ramp): every 50th page + roots
+    seeds = sorted({f"https://{p['host']}/p0" for p in pages}
+                   | {p["url"] for i, p in enumerate(pages) if i % 50 == 0})
+    t0 = time.perf_counter()
+    res = crawl_scalable(
+        [], seeds, max_depth=10**9, num_shards=min(8, max(4, num_cpus // 4)),
+        lease_per_shard=4096, pages_table_ref=pages_table_ref,
+        materialize_records=False,
+    )
+    crawl_sec = time.perf_counter() - t0
+    timings["crawl"] = round(crawl_sec, 3)
+    n_crawled = res["n_records"]
+    n_seen = len(res["seen"])
+    crawl_urls_per_sec = round(n_seen / crawl_sec, 1)
+    crawl_docs_per_sec = round(n_crawled / crawl_sec, 1)
+
+    # -- process + vectorize ----------------------------------------------
+    timed("process", lambda: process_pipeline(
+        _documents_as_records(sf_dir, num_blocks=max(8, num_cpus // 4)), min_word_count=10,
+        tagger_concurrency=max(2, num_cpus // 4)).count())
+    timed("vectorize", lambda: vectorize_pipeline(
+        _documents_as_records(sf_dir, num_blocks=max(8, num_cpus // 4)),
+        chunk_concurrency=max(2, num_cpus // 4),
+        embed_concurrency=max(2, num_cpus // 4)).count())
+
+    # -- relational / search ----------------------------------------------
+    timed("q1_pricing_summary", lambda: rel.q1_pricing_summary(sf_dir))
+    timed("events_tumbling", lambda: rel.events_tumbling(sf_dir))
+    timed("events_sessions", lambda: rel.events_sessions(sf_dir))
+    timed("emb_knn", lambda: dq.emb_knn(sf_dir))
+    timed("docs_minhash_dedup", lambda: dq.docs_minhash_dedup(sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_pipeline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "crawl_pages": n_crawled,
+        "crawl_seen_urls": n_seen,
+        "crawl_urls_per_sec": crawl_urls_per_sec,
+        "crawl_docs_per_sec": crawl_docs_per_sec,
+        "cpu_baseline_miter_per_sec": cpu_baseline,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_subprocess(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                          capture_output=True, text=True, check=True)
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_subprocess(lo)
+        r_hi = run_subprocess(hi)
+        # efficiency on the crawl fetch+extract throughput (the north-rule
+        # metric) and on total wall time
+        thr_ratio = r_hi["crawl_docs_per_sec"] / max(r_lo["crawl_docs_per_sec"], 1e-9)
+        thr_eff = round(thr_ratio / (hi / lo), 3)
+        time_eff = round((r_lo["value"] / max(r_hi["value"], 1e-9)) / (hi / lo), 3)
+        base_ratio = r_hi["cpu_baseline_miter_per_sec"] / max(r_lo["cpu_baseline_miter_per_sec"], 1e-9)
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "num_cpus_lo": lo, "num_cpus_hi": hi,
+            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+            "crawl_docs_per_sec_lo": r_lo["crawl_docs_per_sec"],
+            "crawl_docs_per_sec_hi": r_hi["crawl_docs_per_sec"],
+            "crawl_throughput_scaling_efficiency": thr_eff,
+            "cpu_baseline_lo": r_lo["cpu_baseline_miter_per_sec"],
+            "cpu_baseline_hi": r_hi["cpu_baseline_miter_per_sec"],
+            "machine_cpu_scaling_efficiency": round(base_ratio / (hi / lo), 3),
+            "crawl_efficiency_normalized_to_machine": round(thr_ratio / max(base_ratio, 1e-9), 3),
+            "total_time_scaling_efficiency": time_eff,
+        }))
+        return
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(run_bench(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()
