@@ -119,6 +119,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_primary_topic": dq.docs_primary_topic,
         "docs_exact_dedup": dq.docs_exact_dedup,
         "docs_minhash_dedup": dq.docs_minhash_dedup,       # rows-only
+        "docs_ngram_dedup": dq.docs_ngram_dedup,           # rows-only
+        "docs_simhash_dedup": dq.docs_simhash_dedup,       # rows-only
+        "emb_cosine_dedup": dq.emb_cosine_dedup,           # rows-only
+        "media_decode": dq.media_decode,                   # rows-only
         "docs_simhash": dq.docs_simhash,                   # rows-only
         # similarity search
         "emb_knn": dq.emb_knn,

@@ -155,6 +155,53 @@ def docs_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_ngram_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact-Jaccard-verified near-dup dedup (rows-only check)."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.append_column("id", t["doc_id"]).append_column("arrival_seq", t["doc_id"]),
+        batch_format="pyarrow",
+    )
+    deduped, _ = dd.ngram_jaccard_dedup(ds)
+    out = deduped.select_columns(["doc_id"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_simhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """SimHash hamming ≤ 3 near-dup dedup (rows-only check)."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.append_column("id", t["doc_id"]).append_column("arrival_seq", t["doc_id"]),
+        batch_format="pyarrow",
+    )
+    deduped, _ = dd.simhash_dedup(ds)
+    out = deduped.select_columns(["doc_id"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def emb_cosine_dedup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup dedup over the embeddings table
+    (rows-only check)."""
+    deduped, _ = dd.embedding_cosine_dedup(_emb(sf_dir), threshold=0.95)
+    out = deduped.select_columns(["vec_id"]).to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def media_decode(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing demo: synthesize deterministic media payloads
+    for each document and run the decode actor-pool stage (rows-only)."""
+    from ..stages.multimodal import media_decode_stage, synthesize_media_table
+
+    doc_ids = _docs(sf_dir, ["doc_id"]).to_pandas()["doc_id"].tolist()
+    refs = [f"media://img/{d}" for d in doc_ids]
+    table = synthesize_media_table(refs)
+    ds = rd.from_arrow(table)
+    out = media_decode_stage(ds, concurrency=2).to_pandas()
+    out = out[["media_ref", "pixel_mean", "pixel_std", "decode_ok"]]
+    return out.sort_values("media_ref").reset_index(drop=True)
+
+
 def docs_simhash(sf_dir: str) -> pd.DataFrame:
     """64-bit SimHash per doc (deterministic) — non-SQL, rows-only."""
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(tf.simhash_batch, batch_format="pyarrow")

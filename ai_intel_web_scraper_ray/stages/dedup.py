@@ -268,3 +268,267 @@ def exact_text_dedup(ds, text_col: str = "text", order_col: str = "doc_id"):
     return ds.groupby(text_col).map_groups(
         lambda g: _first_per_key(g, text_col, order_col), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram-Jaccard-verified near-dup (training-data addition): MinHash-LSH
+# candidate generation, but verification on the EXACT shingle Jaccard
+# instead of the signature estimate.
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_dedup(
+    ds,
+    id_col: str = "id",
+    text_col: str = "text",
+    seq_col: str = "arrival_seq",
+    threshold: float = 0.7,
+    materialize_input: bool = True,
+):
+    """Like minhash_dedup, but candidate pairs are verified with the exact
+    word-3-shingle Jaccard (texts shipped into the band groupby alongside
+    signatures).  Higher precision, higher shuffle volume — choose per
+    corpus.  Returns (deduped_ds, n_dropped)."""
+    if materialize_input:
+        ds = ds.materialize()
+    NUM_BUCKETS = 64
+    MAX_GROUP = 256
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        texts = [x or "" for x in t[text_col].to_pylist()]
+        sigs = mh.signatures_batch(texts)
+        bands = mh.band_hashes(sigs)
+        nb = mh.LSH_BANDS
+        flat = bands.reshape(-1)
+        return pa.table(
+            {
+                "band": pa.array(flat, pa.uint64()),
+                "bucket": pa.array((flat % NUM_BUCKETS).astype(np.int64), pa.int64()),
+                id_col: pa.array(np.repeat(t[id_col].to_pylist(), nb)),
+                seq_col: pa.array(
+                    np.repeat(t[seq_col].to_numpy(zero_copy_only=False), nb), pa.int64()
+                ),
+                "_text": pa.array(np.repeat(texts, nb)),
+            }
+        )
+
+    def bucket_edges(bucket: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
+        counts = bucket["band"].value_counts()
+        multi = counts[counts > 1].index
+        if len(multi) == 0:
+            return empty
+        rows = []
+        for _, g in bucket[bucket["band"].isin(multi)].groupby("band", sort=False):
+            g = g.sort_values(seq_col, kind="stable").drop_duplicates(id_col)
+            if len(g) < 2:
+                continue
+            g = g.iloc[:MAX_GROUP]
+            shingle_sets = [set(mh.shingles(t)) for t in g["_text"]]
+            ids = g[id_col].to_numpy()
+            seqs = g[seq_col].to_numpy()
+            for i in range(len(g) - 1):
+                for j in range(i + 1, len(g)):
+                    sa, sb = shingle_sets[i], shingle_sets[j]
+                    if not sa and not sb:
+                        jac = 1.0
+                    elif not sa or not sb:
+                        jac = 0.0
+                    else:
+                        jac = len(sa & sb) / len(sa | sb)
+                    if jac >= threshold:
+                        rows.append((ids[i], ids[j], seqs[i], seqs[j]))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["a_id", "b_id", "a_seq", "b_seq"])
+
+    bands = ds.map_batches(to_bands, batch_format="pyarrow")
+    edges_df = bands.groupby("bucket").map_groups(bucket_edges, batch_format="pandas").to_pandas()
+    if len(edges_df):
+        edges_df = edges_df.drop_duplicates(["a_id", "b_id"])
+    seqs: Dict = {}
+    pairs: List[Tuple] = []
+    for a, b, sa, sb in edges_df[["a_id", "b_id", "a_seq", "b_seq"]].itertuples(index=False):
+        seqs[a] = int(sa)
+        seqs[b] = int(sb)
+        pairs.append((a, b))
+    dropped = greedy_resolve(pairs, seqs)
+    if not dropped:
+        return ds, 0
+    dropped_list = sorted(dropped)
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[id_col], value_set=pa.array(dropped_list))
+        return t.filter(pc.invert(mask))
+
+    return ds.map_batches(drop_rows, batch_format="pyarrow"), len(dropped)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (training-data addition): 64-bit SimHash, pigeonhole
+# banding — hamming ≤ k implies at least one of k+1 equal-width chunks is
+# identical, so groupby chunk value finds all candidates exactly.
+# ---------------------------------------------------------------------------
+
+
+def simhash_dedup(
+    ds,
+    id_col: str = "id",
+    text_col: str = "text",
+    seq_col: str = "arrival_seq",
+    max_hamming: int = 3,
+    materialize_input: bool = True,
+):
+    """Near-dup rows with SimHash hamming distance ≤ max_hamming dropped
+    (greedy keep-first).  Candidate recall is EXACT by the pigeonhole
+    principle with max_hamming+1 chunks.  Returns (deduped_ds, n_dropped)."""
+    from ..functions import simhash as sh
+
+    if materialize_input:
+        ds = ds.materialize()
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+
+    def to_chunks(t: pa.Table) -> pa.Table:
+        vals = sh.simhash_batch([x or "" for x in t[text_col].to_pylist()])
+        ids = t[id_col].to_pylist()
+        seqs = t[seq_col].to_numpy(zero_copy_only=False)
+        parts = []
+        for c in range(n_chunks):
+            chunk_val = (vals >> np.uint64(c * chunk_bits)) & np.uint64((1 << chunk_bits) - 1)
+            # salt with the chunk index so chunk c values never collide with chunk c'
+            key = chunk_val.astype(np.int64) * n_chunks + c
+            parts.append(
+                pa.table(
+                    {
+                        "chunk_key": pa.array(key, pa.int64()),
+                        "bucket": pa.array(key % 64, pa.int64()),
+                        id_col: pa.array(ids),
+                        seq_col: pa.array(seqs, pa.int64()),
+                        "_sim": pa.array(vals, pa.uint64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def bucket_edges(bucket: pd.DataFrame) -> pd.DataFrame:
+        # coarse bucket shuffle, per-chunk_key grouping vectorized inside
+        empty = pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
+        counts = bucket["chunk_key"].value_counts()
+        multi = counts[counts > 1].index
+        if len(multi) == 0:
+            return empty
+        rows = []
+        for _, g in bucket[bucket["chunk_key"].isin(multi)].groupby("chunk_key", sort=False):
+            g = g.sort_values(seq_col, kind="stable").drop_duplicates(id_col)
+            if len(g) < 2:
+                continue
+            g = g.iloc[:256]
+            sims = g["_sim"].to_numpy().astype(np.uint64)
+            ids = g[id_col].to_numpy()
+            seqs = g[seq_col].to_numpy()
+            for i in range(len(g) - 1):
+                x = sims[i] ^ sims[i + 1 :]
+                ham = np.array([bin(int(v)).count("1") for v in x])
+                for off in np.nonzero(ham <= max_hamming)[0]:
+                    j = i + 1 + off
+                    rows.append((ids[i], ids[j], seqs[i], seqs[j]))
+        if not rows:
+            return empty
+        return pd.DataFrame(rows, columns=["a_id", "b_id", "a_seq", "b_seq"])
+
+    chunks = ds.map_batches(to_chunks, batch_format="pyarrow")
+    edges_df = chunks.groupby("bucket").map_groups(bucket_edges, batch_format="pandas").to_pandas()
+    if len(edges_df):
+        edges_df = edges_df.drop_duplicates(["a_id", "b_id"])
+    seqs: Dict = {}
+    pairs: List[Tuple] = []
+    for a, b, sa, sb in edges_df[["a_id", "b_id", "a_seq", "b_seq"]].itertuples(index=False):
+        seqs[a] = int(sa)
+        seqs[b] = int(sb)
+        pairs.append((a, b))
+    dropped = greedy_resolve(pairs, seqs)
+    if not dropped:
+        return ds, 0
+    dropped_list = sorted(dropped)
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[id_col], value_set=pa.array(dropped_list))
+        return t.filter(pc.invert(mask))
+
+    return ds.map_batches(drop_rows, batch_format="pyarrow"), len(dropped)
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (training-data addition): LSH-bucketed
+# hyperplane candidates verified by cosine ≥ threshold.
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_dedup(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 1234,
+    materialize_input: bool = True,
+):
+    """Near-dup by embedding cosine: random-hyperplane buckets (+1 salt
+    rotation for recall) → per-bucket pairwise cosine ≥ threshold →
+    keep-min-id per greedy order.  Returns (deduped_ds, n_dropped)."""
+    if materialize_input:
+        ds = ds.materialize()
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        from ..pipelines.search import HyperplaneLSH
+
+        vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        unit = vecs / norms
+        ids = t[id_col].to_pylist()
+        tables = []
+        for rot in range(2):  # two independent plane sets → higher recall
+            lsh = HyperplaneLSH(vecs.shape[1], n_planes, seed + rot)
+            buckets = lsh.bucket(unit) * 2 + rot
+            tables.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(buckets, pa.int64()),
+                        id_col: pa.array(ids),
+                        "_vec": pa.FixedSizeListArray.from_arrays(
+                            pa.array(unit.astype(np.float32).reshape(-1), pa.float32()),
+                            vecs.shape[1],
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a_id": [], "b_id": []})
+        g = g.drop_duplicates(id_col)
+        if len(g) < 2:
+            return empty
+        vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g["_vec"]])
+        ids = g[id_col].to_numpy()
+        sims = vecs @ vecs.T
+        ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
+        if not len(ai):
+            return empty
+        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+
+    buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
+    edges = buckets.groupby("bucket").map_groups(bucket_edges, batch_format="pandas").to_pandas()
+    pairs = [tuple(x) for x in edges[["a_id", "b_id"]].itertuples(index=False)] if len(edges) else []
+    dropped = greedy_resolve(pairs)
+    if not dropped:
+        return ds, 0
+    dropped_list = sorted(dropped)
+
+    def drop_rows(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[id_col], value_set=pa.array(dropped_list))
+        return t.filter(pc.invert(mask))
+
+    return ds.map_batches(drop_rows, batch_format="pyarrow"), len(dropped)

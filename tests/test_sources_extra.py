@@ -1,0 +1,209 @@
+"""Interleaved docs, validated readers, resumable writers, multimodal
+stages, grouping operators, extra dedup variants."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from ai_intel_web_scraper_ray.sources import interleaved as il
+from ai_intel_web_scraper_ray.sources.readers import (
+    SkipCounter,
+    read_source_records,
+    validate_source_records_batch,
+)
+from ai_intel_web_scraper_ray.sources.writers import PartitionedWriter
+from ai_intel_web_scraper_ray.stages import dedup as dd
+from ai_intel_web_scraper_ray.stages import grouping as gr
+from ai_intel_web_scraper_ray.stages import multimodal as mm
+
+from . import fixtures
+
+RECORDS = fixtures.make_source_records(40)
+
+
+class TestInterleaved:
+    def test_roundtrip_degenerate_case(self):
+        t = fixtures.records_to_table(RECORDS)
+        inter = il.records_to_interleaved_batch(t)
+        assert inter.schema.field("spans").type == pa.list_(il.SPAN_TYPE)
+        flat = il.interleaved_to_records_batch(inter)
+        orig_ids = [r["id"] for r in RECORDS]
+        assert flat["doc_id"].to_pylist() == orig_ids
+        assert flat["title"].to_pylist() == [r["title"] for r in RECORDS]
+        assert flat["text"].to_pylist() == [r["text"] for r in RECORDS]
+        # comment spans survive
+        by_id = dict(zip(flat["doc_id"].to_pylist(), flat["top_comments"].to_pylist()))
+        for r in RECORDS:
+            meta = r.get("metadata") or {}
+            exp = list(meta.get("top_comments") or [])
+            assert by_id[r["id"]] == exp
+
+    def test_span_equality_detects_diff(self):
+        t = fixtures.records_to_table(RECORDS[:5])
+        a = il.records_to_interleaved_batch(t)
+        il.assert_span_equality(a, a)
+        mutated = [dict(r) for r in RECORDS[:5]]
+        mutated[2] = dict(mutated[2], text=mutated[2]["text"] + " CHANGED")
+        b = il.records_to_interleaved_batch(fixtures.records_to_table(mutated))
+        with pytest.raises(AssertionError, match="span 1"):
+            il.assert_span_equality(a, b)
+
+    def test_fixture_interleaved_matches(self):
+        # the test-fixture builder and the engine builder agree on spans
+        docs = fixtures.records_to_interleaved(RECORDS)
+        engine = il.records_to_interleaved_batch(fixtures.records_to_table(RECORDS))
+        eng_seqs = il.span_sequences(engine)
+        for d in docs:
+            seq = [(s["kind"], s["text"], s["media_ref"]) for s in d["spans"]]
+            # fixture adds media spans for seq%4==0 which engine builder
+            # only adds when media_refs present — compare the text spans
+            text_spans = [s for s in seq if s[0] != "media"]
+            eng_text = [s for s in eng_seqs[d["doc_id"]] if s[0] != "media"]
+            assert text_spans == eng_text
+
+
+class TestReaders:
+    def test_skip_and_count(self, tmp_path):
+        t = fixtures.records_to_table(RECORDS[:10])
+        # corrupt two rows: empty id, bad source_type
+        ids = t["id"].to_pylist()
+        ids[3] = ""
+        st = t["source_type"].to_pylist()
+        st[7] = "not_a_type"
+        t = t.set_column(t.schema.get_field_index("id"), "id", pa.array(ids))
+        t = t.set_column(t.schema.get_field_index("source_type"), "source_type", pa.array(st))
+        import pyarrow.parquet as pq
+
+        pq.write_table(t, str(tmp_path / "recs.parquet"))
+        counter = SkipCounter.remote()
+        ds = read_source_records(str(tmp_path), counter=counter)
+        out = ds.to_pandas()
+        assert len(out) == 8
+        assert ray.get(counter.get.remote()) == {"invalid_record": 2}
+
+
+class TestWriter:
+    def test_resume_skips_completed(self, tmp_path):
+        w = PartitionedWriter(str(tmp_path / "out"))
+        t = pa.table({"x": pa.array([1, 2, 3])})
+        assert w.write_partition("p0", t)
+        assert not w.write_partition("p0", t)  # already done
+        assert w.write_partition("p1", t)
+        w2 = PartitionedWriter(str(tmp_path / "out"))  # fresh process sim
+        assert w2.completed() == {"p0", "p1"}
+        assert not w2.write_partition("p1", t)
+
+
+class TestMultimodal:
+    def test_decode_stage(self):
+        refs = [f"media://img/{i}" for i in range(20)]
+        table = mm.synthesize_media_table(refs)
+        ds = rd.from_arrow(table)
+        out = mm.media_decode_stage(ds, concurrency=2, batch_size=8).to_pandas()
+        assert len(out) == 20
+        assert out["decode_ok"].all()
+        assert "payload" not in out.columns
+        # deterministic features
+        out2 = mm.media_decode_stage(rd.from_arrow(table), concurrency=2).to_pandas()
+        a = out.sort_values("media_ref").reset_index(drop=True)
+        b = out2.sort_values("media_ref").reset_index(drop=True)
+        assert (a["pixel_mean"] == b["pixel_mean"]).all()
+
+    def test_decode_skip_policy(self):
+        table = mm.synthesize_media_table(["m1", "m2"])
+        # empty payload row
+        bad = pa.table({
+            "media_ref": pa.array(["m3"]), "media_type": pa.array(["image"]),
+            "payload": pa.array([b""], pa.binary()),
+            "width": pa.array([4], pa.int32()), "height": pa.array([4], pa.int32()),
+            "duration_ms": pa.array([None], pa.int32()),
+        })
+        ds = rd.from_arrow(pa.concat_tables([table, bad]))
+        out = mm.media_decode_stage(ds, concurrency=2).to_pandas()
+        assert out["decode_ok"].sum() == 2
+
+    def test_frame_sample(self):
+        table = mm.synthesize_media_table(["v1", "v2"], media_type="video")
+        ds = rd.from_arrow(table)
+        out = ds.map_batches(mm.FrameSampleStage, fn_constructor_kwargs={"frames_per_video": 3},
+                             batch_format="pyarrow", concurrency=2).to_pandas()
+        assert len(out) == 6
+        assert sorted(out["frame_index"].unique()) == [0, 1, 2]
+
+
+class TestGrouping:
+    def _ds(self):
+        return rd.from_arrow(fixtures.records_to_table(RECORDS))
+
+    def test_explode_topics(self):
+        recs = [dict(r, topics=["a", "b"]) if i % 2 == 0 else dict(r, topics=["a"])
+                for i, r in enumerate(RECORDS[:6])]
+        ds = rd.from_arrow(fixtures.records_to_table(recs))
+        out = gr.explode_topics(ds).to_pandas()
+        assert len(out) == 3 * 2 + 3 * 1
+        counts = gr.topic_group_counts(ds).to_pandas()
+        got = dict(zip(counts["topic"], counts["count()"]))
+        assert got == {"a": 6, "b": 3}
+
+    def test_pack_by_credibility(self):
+        df = pd.DataFrame({
+            "text": ["community text", "official text", "third party text"],
+            "credibility": ["community", "official", "third_party"],
+        })
+        packed = gr.pack_by_credibility(df, char_budget=1000)
+        assert packed.index("official") < packed.index("third party") < packed.index("community")
+        small = gr.pack_by_credibility(df, char_budget=20)
+        assert "truncated" in small
+
+    def test_pair_origins(self):
+        recs = []
+        for i, r in enumerate(RECORDS[:8]):
+            recs.append(dict(r, topics=["t1"], origin="kx" if i % 2 == 0 else "acme"))
+        ds = rd.from_arrow(fixtures.records_to_table(recs))
+        out = gr.pair_origins_by_topic(ds, "kx").to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0]["n_primary"] == 4
+        assert out.iloc[0]["n_competitor"] == 4
+
+
+class TestExtraDedup:
+    def _near_dup_ds(self):
+        base = "word " * 30 + " ".join(f"tok{i}" for i in range(100))
+        texts = [base, base + " tiny", " ".join(f"other{i}" for i in range(100))]
+        t = pa.table({
+            "id": pa.array(["a", "b", "c"]),
+            "arrival_seq": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(texts),
+        })
+        return rd.from_arrow(t)
+
+    def test_ngram_jaccard_dedup(self):
+        ds, n = dd.ngram_jaccard_dedup(self._near_dup_ds())
+        kept = sorted(ds.to_pandas()["id"])
+        assert kept == ["a", "c"]
+        assert n == 1
+
+    def test_simhash_dedup(self):
+        ds, n = dd.simhash_dedup(self._near_dup_ds())
+        kept = sorted(ds.to_pandas()["id"])
+        assert kept == ["a", "c"]
+        assert n == 1
+
+    def test_embedding_cosine_dedup(self):
+        rng = np.random.RandomState(3)
+        base = rng.standard_normal(16)
+        near = base + rng.standard_normal(16) * 0.01
+        far = rng.standard_normal(16)
+        vecs = np.stack([base, near, far]).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array([0, 1, 2], pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), pa.float32()), 16),
+        })
+        ds, n = dd.embedding_cosine_dedup(rd.from_arrow(t))
+        kept = sorted(ds.to_pandas()["vec_id"])
+        assert kept == [0, 2]
+        assert n == 1
