@@ -233,8 +233,10 @@ def minhash_dedup(
     bands = ds.map_batches(to_bands, batch_format="pyarrow")
     edges_ds = bands.groupby("bucket").map_groups(bucket_edges, batch_format="pandas")
     edges_df = edges_ds.to_pandas()  # sparse by construction — small
-    if len(edges_df):
+    if len(edges_df) and "a_id" in edges_df.columns:
         edges_df = edges_df.drop_duplicates(["a_id", "b_id"])
+    else:
+        edges_df = pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
 
     seqs: Dict = {}
     pairs: List[Tuple] = []
@@ -344,8 +346,10 @@ def ngram_jaccard_dedup(
 
     bands = ds.map_batches(to_bands, batch_format="pyarrow")
     edges_df = bands.groupby("bucket").map_groups(bucket_edges, batch_format="pandas").to_pandas()
-    if len(edges_df):
+    if len(edges_df) and "a_id" in edges_df.columns:
         edges_df = edges_df.drop_duplicates(["a_id", "b_id"])
+    else:
+        edges_df = pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
     seqs: Dict = {}
     pairs: List[Tuple] = []
     for a, b, sa, sb in edges_df[["a_id", "b_id", "a_seq", "b_seq"]].itertuples(index=False):
@@ -439,8 +443,10 @@ def simhash_dedup(
 
     chunks = ds.map_batches(to_chunks, batch_format="pyarrow")
     edges_df = chunks.groupby("bucket").map_groups(bucket_edges, batch_format="pandas").to_pandas()
-    if len(edges_df):
+    if len(edges_df) and "a_id" in edges_df.columns:
         edges_df = edges_df.drop_duplicates(["a_id", "b_id"])
+    else:
+        edges_df = pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
     seqs: Dict = {}
     pairs: List[Tuple] = []
     for a, b, sa, sb in edges_df[["a_id", "b_id", "a_seq", "b_seq"]].itertuples(index=False):
@@ -521,7 +527,11 @@ def embedding_cosine_dedup(
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
     edges = buckets.groupby("bucket").map_groups(bucket_edges, batch_format="pandas").to_pandas()
-    pairs = [tuple(x) for x in edges[["a_id", "b_id"]].itertuples(index=False)] if len(edges) else []
+    pairs = (
+        [tuple(x) for x in edges[["a_id", "b_id"]].itertuples(index=False)]
+        if len(edges) and "a_id" in edges.columns
+        else []
+    )
     dropped = greedy_resolve(pairs)
     if not dropped:
         return ds, 0
