@@ -107,8 +107,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_top_orders": rel.q3_top_orders,
         "q5_nation_revenue": rel.q5_nation_revenue,
+        "q6_revenue_delta": rel.q6_revenue_delta,
+        "part_type_stats": rel.part_type_stats,
+        "supplier_nation_acct": rel.supplier_nation_acct,
         "events_tumbling": rel.events_tumbling,
         "events_sessions": rel.events_sessions,
+        "events_props_k": rel.events_props_k,
         "orders_gap_stats": rel.orders_gap_stats,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
@@ -117,6 +121,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid": dq.docs_langid,
         "docs_sentiment": dq.docs_sentiment,
         "docs_primary_topic": dq.docs_primary_topic,
+        "docs_url_canonical": dq.docs_url_canonical,
+        "docs_top_tokens": dq.docs_top_tokens,
+        "docs_fingerprints": dq.docs_fingerprints,         # rows-only
         "docs_exact_dedup": dq.docs_exact_dedup,
         "docs_minhash_dedup": dq.docs_minhash_dedup,       # rows-only
         "docs_ngram_dedup": dq.docs_ngram_dedup,           # rows-only
@@ -286,6 +293,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, COUNT(*) AS n_orders,
                    COALESCE(MAX(gap), 0) AS max_gap_days
             FROM gaps GROUP BY o_custkey ORDER BY o_custkey
+        """,
+        "q6_revenue_delta": """
+            SELECT ROUND(COALESCE(SUM(l_extendedprice * l_discount), 0), 2) AS revenue,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "part_type_stats": """
+            SELECT p_type, COUNT(*) AS n,
+                   ROUND(SUM(p_retailprice) / COUNT(*), 4) AS avg_price
+            FROM part GROUP BY p_type ORDER BY p_type
+        """,
+        "supplier_nation_acct": """
+            SELECT n.n_name AS nation, COUNT(*) AS n,
+                   ROUND(SUM(s.s_acctbal) / COUNT(*), 4) AS avg_acctbal
+            FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY nation
+        """,
+        "events_props_k": r"""
+            SELECT event_type, COUNT(*) AS n,
+                   SUM(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS sum_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "docs_url_canonical": """
+            SELECT doc_id,
+                   'https://ex.example/' || source || '/' || CAST(doc_id AS VARCHAR) AS canonical_url
+            FROM documents ORDER BY doc_id
+        """,
+        "docs_top_tokens": """
+            SELECT word, COUNT(*) AS n FROM (
+                SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+                FROM documents
+            ) GROUP BY word ORDER BY n DESC, word LIMIT 20
         """,
         "docs_lang_distribution": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang

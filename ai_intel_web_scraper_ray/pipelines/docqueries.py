@@ -211,6 +211,77 @@ def docs_simhash(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization / term frequency / fingerprints
+# ---------------------------------------------------------------------------
+
+
+def docs_url_canonical(sf_dir: str) -> pd.DataFrame:
+    """Canonicalize synthetic per-doc URLs (fragment+query dropped, trailing
+    slash stripped) with the real normalize_url; the oracle mimics the
+    restricted shape with string ops."""
+    from ..functions.urls import normalize_url
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+
+    def canon(t: pa.Table) -> pa.Table:
+        doc_ids = t["doc_id"].to_pylist()
+        sources = t["source"].to_pylist()
+        urls = [
+            normalize_url(f"https://ex.example/{s}/{d}/?utm=x#frag")
+            for s, d in zip(sources, doc_ids)
+        ]
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "canonical_url": pa.array(urls, pa.string()),
+        })
+
+    out = ds.map_batches(canon, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global term frequency top-k: per-batch vectorized counting (partial
+    aggregation — one row per (word, batch)), then a tiny merge."""
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(re.findall(r"[a-z0-9_]+", (text or "").lower()))
+        words = list(c.keys())
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "n": pa.array([c[w] for w in words], pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby("word", as_index=False)["n"].sum()
+    out = out.sort_values(["n", "word"], ascending=[False, True]).head(k)
+    out["n"] = out["n"].astype("int64")
+    return out.reset_index(drop=True)
+
+
+def docs_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprint count per doc (rows-only check)."""
+    from ..functions.fingerprint import fingerprint
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        counts = [len(fingerprint(x or "")) for x in t["text"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_fingerprints": pa.array(counts, pa.int64()),
+        })
+
+    out = ds.map_batches(fp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
 

@@ -142,6 +142,94 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Q6-shape: filtered scalar aggregate (predicate + projection pruned read)
+# ---------------------------------------------------------------------------
+
+
+def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], 0.05), pc.less_equal(t["l_discount"], 0.07)),
+                pc.less(t["l_quantity"], 24),
+            ),
+        )
+        t = t.filter(mask)
+        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
+        return pa.table({"revenue": pa.array([rev], pa.float64()),
+                         "n_rows": pa.array([len(t)], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pd.DataFrame({
+        "revenue": [round(parts["revenue"].sum(), 2)],
+        "n_rows": [int(parts["n_rows"].sum())],
+    })
+
+
+# ---------------------------------------------------------------------------
+# part / supplier dimension aggregates
+# ---------------------------------------------------------------------------
+
+
+def part_type_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "part", ["p_type", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("p_type", as_index=False).agg(
+            n=("p_retailprice", "size"), s=("p_retailprice", "sum")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("p_type", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+    out["avg_price"] = (out["s"] / out["n"]).round(4)
+    out["n"] = out["n"].astype("int64")
+    return out[["p_type", "n", "avg_price"]].sort_values("p_type").reset_index(drop=True)
+
+
+def supplier_nation_acct(sf_dir: str) -> pd.DataFrame:
+    nation = _read(sf_dir, "nation").to_pandas()
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("s_nationkey", as_index=False).agg(
+            n=("s_acctbal", "size"), s=("s_acctbal", "sum")
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("s_nationkey", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+    out = agg.merge(nation, left_on="s_nationkey", right_on="n_nationkey")
+    out = out.rename(columns={"n_name": "nation"})
+    out["avg_acctbal"] = (out["s"] / out["n"]).round(4)
+    out["n"] = out["n"].astype("int64")
+    return out[["nation", "n", "avg_acctbal"]].sort_values("nation").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# events: JSON props extraction
+# ---------------------------------------------------------------------------
+
+
+def events_props_k(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["k"] = df["props"].str.extract(r"(\d+)").astype("int64")
+        return df.groupby("event_type", as_index=False).agg(n=("k", "size"), sum_k=("k", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False).agg(n=("n", "sum"), sum_k=("sum_k", "sum"))
+    out["n"] = out["n"].astype("int64")
+    out["sum_k"] = out["sum_k"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # events: tumbling window aggregate
 # ---------------------------------------------------------------------------
 
