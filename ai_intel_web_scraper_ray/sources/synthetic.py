@@ -108,6 +108,69 @@ def make_web_graph(
     return pages
 
 
+def make_blog_graph(seed: int = 42, n_listing_pages: int = 4,
+                    posts_per_listing: int = 6) -> List[dict]:
+    """Blog site fixture: /blog listing with ?paged=2..N pagination, post
+    pages with slugs (some <50 words, some keyword-rich), category listing
+    pages, date-pattern posts — exercises the blog scraper heuristics
+    (reference blog_scraper.py:145-173)."""
+    rng = random.Random(seed)
+    host = "blog.example"
+    base = f"https://{host}/blog"
+    pages: List[dict] = []
+
+    def listing_html(page_no: int) -> str:
+        links = []
+        for j in range(posts_per_listing):
+            links.append(f"/blog/fast-query-post-{page_no}-{j}")
+        links.append("/blog/2024-year-review")       # date-pattern post
+        links.append("/blog/category/engineering")   # listing-like
+        links.append(f"/blog?paged={page_no + 1}")   # next page (query param → dropped by canonicalizer)
+        links.append("/blog/tiny-post-x")            # short post
+        body = [sentence(rng, 30)]
+        return page_html(f"{base}?paged={page_no}", f"Blog page {page_no}", body, links, 0)
+
+    # listing pages: base + ?paged=2..n (query-string URLs — fetched raw)
+    pages.append({"url": base, "host": host, "status": 200,
+                  "html": listing_html(1), "out_links": [], "latency_ms": 5})
+    for n in range(2, n_listing_pages + 1):
+        pages.append({"url": f"{base}?paged={n}", "host": host, "status": 200,
+                      "html": listing_html(n), "out_links": [], "latency_ms": 5})
+    # category listing discovered via links
+    cat_links = [f"/blog/deep-dive-cat-{j}" for j in range(3)]
+    pages.append({"url": f"{base}/category/engineering", "host": host, "status": 200,
+                  "html": page_html("x", "Category", [sentence(rng, 20)], cat_links, 0),
+                  "out_links": [], "latency_ms": 5})
+
+    def post_html(title: str, rich: bool, long: bool) -> str:
+        kw = "benchmark throughput fast query " if rich else ""
+        if not long:
+            # genuinely below the 50-word floor even with page furniture
+            return (f"<html><head><title>{title}</title></head><body>"
+                    f"<article><p>{sentence(rng, 8)}</p></article></body></html>")
+        body = [kw + sentence(rng, 120) + " Posted 2024-03-15", sentence(rng, 80)]
+        return page_html("x", title, body, ["/blog"], 0)
+
+    for n in range(1, n_listing_pages + 1):
+        for j in range(posts_per_listing):
+            pages.append({
+                "url": f"{base}/fast-query-post-{n}-{j}", "host": host, "status": 200,
+                "html": post_html(f"Fast query post {n}-{j}", rich=(j % 2 == 0), long=True),
+                "out_links": [], "latency_ms": 5,
+            })
+    pages.append({"url": f"{base}/2024-year-review", "host": host, "status": 200,
+                  "html": post_html("2024 year review", rich=True, long=True),
+                  "out_links": [], "latency_ms": 5})
+    for j in range(3):
+        pages.append({"url": f"{base}/deep-dive-cat-{j}", "host": host, "status": 200,
+                      "html": post_html(f"Deep dive {j}", rich=False, long=True),
+                      "out_links": [], "latency_ms": 5})
+    pages.append({"url": f"{base}/tiny-post-x", "host": host, "status": 200,
+                  "html": post_html("Tiny", rich=False, long=False),
+                  "out_links": [], "latency_ms": 5})
+    return pages
+
+
 def make_bench_web_graph(n_pages: int = 20000, seed: int = 42,
                          paras_per_page: int = 200) -> List[dict]:
     """Larger graph for throughput benchmarking: one hot host with 50% of

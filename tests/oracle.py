@@ -222,6 +222,88 @@ def oracle_process(records: List[dict], topic_keywords: Dict[str, Sequence[str]]
 
 
 # ---------------------------------------------------------------------------
+# blog crawl (sequential — the reference BlogScraper loop)
+# ---------------------------------------------------------------------------
+
+
+def oracle_blog_crawl(
+    pages: Dict[str, dict],
+    base_url: str,
+    content_selector: str = "article",
+    max_pages: int = 50,
+    priority_keywords: Sequence[str] = (),
+    pagination_pattern: str = "",
+) -> List[dict]:
+    """Sequential replay of blog_scraper.py:36-143 + _scrape_post."""
+    from ai_intel_web_scraper_ray.functions.urls import count_words, record_id
+    from ai_intel_web_scraper_ray.pipelines.blogcrawl import (
+        looks_like_listing_page,
+        looks_like_post_url,
+        score_relevance,
+    )
+
+    visited = set()
+    post_urls: List[str] = []
+    queue: deque = deque()
+    start = normalize_url(base_url)
+    queue.append(start)
+    visited.add(start)
+
+    if pagination_pattern:
+        for n in range(2, 100):
+            queue.append(base_url.rstrip("/") + pagination_pattern.format(page=n))
+    else:
+        probe = base_url.rstrip("/") + "?paged=2"
+        if pages.get(probe, {}).get("status") == 200:
+            for n in range(2, 100):
+                queue.append(base_url.rstrip("/") + f"?paged={n}")
+
+    pages_checked = 0
+    while queue and pages_checked < max_pages * 2:
+        url = queue.popleft()
+        pages_checked += 1
+        page = pages.get(url)
+        if page is None or page["status"] != 200:
+            continue
+        for link in extract_links(page["html"], url):
+            norm = normalize_url(link)
+            if norm in visited:
+                continue
+            visited.add(norm)
+            if not is_same_domain(norm, base_url):
+                continue
+            if looks_like_post_url(norm, base_url):
+                post_urls.append(norm)
+            elif looks_like_listing_page(norm, base_url):
+                queue.append(norm)
+
+    post_urls = list(dict.fromkeys(post_urls))
+
+    records: List[dict] = []
+    for url in post_urls:
+        page = pages.get(url)
+        if page is None or page["status"] != 200:
+            continue
+        title, text = extract_content(page["html"], content_selector, url)
+        if not text.strip() or count_words(text) < 50:
+            continue
+        blob = title + " " + text
+        records.append(
+            {
+                "id": record_id("blog", "blog", url),
+                "url": url,
+                "title": title,
+                "relevance_score": score_relevance(blob, priority_keywords),
+            }
+        )
+        if len(records) >= max_pages:
+            break
+
+    records.sort(key=lambda r: r["relevance_score"], reverse=True)
+    return records
+
+
+# ---------------------------------------------------------------------------
 # crawl (sequential BFS — the reference _crawl loop)
 # ---------------------------------------------------------------------------
 
