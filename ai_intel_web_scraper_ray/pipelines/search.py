@@ -27,6 +27,10 @@ RRF_K = 60
 
 def _batch_topk(batch: pa.Table, query_ref, k: int, vec_col: str, id_col: str,
                 round_to: Optional[int]) -> pa.Table:
+    if len(batch) == 0:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], batch[id_col].type),
+                         "score": pa.array([], pa.float64())})
     queries = ray.get(query_ref) if not isinstance(query_ref, np.ndarray) else query_ref
     vecs = np.stack(batch[vec_col].to_numpy(zero_copy_only=False))
     ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -68,6 +72,8 @@ def brute_force_topk(
         batch_format="pyarrow",
     )
     df = partials.to_pandas()  # ≤ nq * k * n_blocks rows — small
+    if not len(df) or "query_id" not in df.columns:
+        return pd.DataFrame({"query_id": [], id_col: [], "score": [], "rank": []})
     df = df.sort_values(["query_id", "score", id_col], ascending=[True, False, True], kind="stable")
     df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
     df["rank"] = df.groupby("query_id").cumcount()
