@@ -321,15 +321,27 @@ def crawl_scalable(
     pages_table_ref=None,
     materialize_records: bool = True,
     num_workers: Optional[int] = None,
+    checkpoint_dir: Optional[str] = None,
+    resume: bool = False,
+    stop_after_fetches: Optional[int] = None,
 ) -> dict:
     """Throughput-shaped crawl: a fetch/extract worker actor pool fed by
     politeness-scheduled leases from the frontier shards; links route
-    shard-to-shard; no global order barrier.  Virtual clock (no sleeping)."""
+    shard-to-shard; no global order barrier.  Virtual clock (no sleeping).
+
+    Checkpoint/resume: with ``checkpoint_dir`` + ``stop_after_fetches``, the
+    crawl stops after N fetch-task completions, re-pushes every outstanding
+    lease back onto its host shard (so nothing in flight is lost), snapshots
+    all shard state (seen set, heap, politeness, flow counters) and persists
+    the records crawled so far; ``resume=True`` continues to completion and
+    the union of partial+resumed records equals an uninterrupted run's."""
     if pages_table_ref is None:
         pages_table_ref = pages_to_table_ref(pages)
     shards = make_shards(num_shards, min_delay, respect_robots, robots_texts)
     ray.get([s.set_peers.remote(shards) for s in shards])
 
+    ckpt = CrawlCheckpoint(checkpoint_dir) if checkpoint_dir else None
+    prior_records: List[dict] = []
     offers_sent = 0
 
     def offer_async(items: List[Tuple[str, int]]) -> int:
@@ -343,13 +355,21 @@ def crawl_scalable(
             shards[sid].offer_route.remote(batch)
         return len(items)
 
-    seed_items = [(normalize_url(s), 0) for s in seeds]
-    offers_sent += offer_async(seed_items)
+    state = ckpt.load() if (ckpt and resume) else None
     seed_domains = [normalize_url(s) for s in seeds]
+    if state:
+        d = state["driver"]
+        offers_sent = d["offers_sent"]
+        prior_records = d["records"]
+        ray.get([s.restore.remote(st) for s, st in zip(shards, state["shards"])])
+    else:
+        seed_items = [(normalize_url(s), 0) for s in seeds]
+        offers_sent += offer_async(seed_items)
 
-    n_records = 0
+    n_records = len(prior_records)
     record_refs: List = []
-    now = 0.0
+    now = state["driver"]["now"] if state else 0.0
+    n_fetch_completions = 0
     exclude_list = list(exclude_patterns)
 
     import os as _os
@@ -391,7 +411,7 @@ def crawl_scalable(
             wid = min(range(num_workers), key=worker_load.__getitem__)
             fut = workers[wid].fetch_extract.remote(part)
             worker_load[wid] += 1
-            fetch_out[fut] = wid
+            fetch_out[fut] = (wid, part)
 
     for sid in range(num_shards):
         issue_take(sid)
@@ -425,20 +445,54 @@ def crawl_scalable(
                 else:
                     idle_shards.add(sid)
             else:
-                wid = fetch_out.pop(fut)
+                wid, _part = fetch_out.pop(fut)
                 worker_load[wid] -= 1
                 n_rec, n_offers, rec_ref = ray.get(fut)
                 n_records += n_rec
                 offers_sent += n_offers
                 record_refs.append(rec_ref)
+                n_fetch_completions += 1
                 woke_idle = True
+        if stop_after_fetches is not None and n_fetch_completions >= stop_after_fetches:
+            break
         if woke_idle and idle_shards:
             # new links may have landed on shards we stopped polling
             for sid in list(idle_shards):
                 idle_shards.discard(sid)
                 issue_take(sid)
 
-    records: List[dict] = []
+    # Interrupted mid-crawl: settle everything in flight, then snapshot.
+    # 1. drain outstanding take futures and re-push their leases;
+    # 2. let outstanding fetch tasks finish, COUNT their routed offers
+    #    (flow-counter balance) but DISCARD their records, and re-push
+    #    their leases so resume re-fetches those pages;
+    # 3. wait until the shards' flow counters balance (all routed messages
+    #    landed) before snapshotting.
+    interrupted = stop_after_fetches is not None and (fetch_out or take_out)
+    if interrupted and ckpt:
+        import time as _time
+
+        by_host: Dict[int, List[Tuple[str, int]]] = defaultdict(list)
+        for fut, sid in list(take_out.items()):
+            for url, depth, _t in ray.get(fut):
+                by_host[host_shard_of(url, num_shards)].append((url, depth))
+        take_out.clear()
+        for fut, (wid, part) in list(fetch_out.items()):
+            _n_rec, n_offers, _ref = ray.get(fut)
+            offers_sent += n_offers
+            for it in part:
+                by_host[host_shard_of(it[0], num_shards)].append(it)
+        fetch_out.clear()
+        if by_host:
+            ray.get([shards[sid].push_external.remote(b) for sid, b in by_host.items()])
+        for _ in range(200):  # settle routed messages
+            flows = ray.get([s.flow_counts.remote() for s in shards])
+            if (sum(f[0] for f in flows) == offers_sent
+                    and sum(f[1] for f in flows) == sum(f[2] for f in flows)):
+                break
+            _time.sleep(0.01)
+
+    records: List[dict] = list(prior_records)
     if materialize_records:
         for chunk_records in ray.get(record_refs):
             for r in chunk_records:
@@ -446,6 +500,13 @@ def crawl_scalable(
                     break
                 r["crawl_rank"] = len(records)
                 records.append(r)
+
+    if ckpt:
+        shard_states = ray.get([s.checkpoint.remote() for s in shards])
+        ckpt.save(
+            {"offers_sent": offers_sent, "records": records, "now": now},
+            shard_states,
+        )
 
     seen: set = set()
     for snap in ray.get([s.seen_snapshot.remote() for s in shards]):

@@ -104,3 +104,29 @@ def pack_by_credibility(df: pd.DataFrame, text_col: str = "text",
 def relevance_sort(ds, score_col: str = "relevance_score", descending: bool = True):
     """O1: full sort by relevance score."""
     return ds.sort(score_col, descending=descending)
+
+
+def status_counts(ds, stage_col: str = "source_type") -> pd.DataFrame:
+    """A1: records per stage/type (reference pipeline.py:358-414)."""
+    out = ds.groupby(stage_col).count().to_pandas().rename(columns={"count()": "n"})
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(stage_col).reset_index(drop=True)
+
+
+def store_breakdowns(chunks_ds) -> Dict[str, pd.DataFrame]:
+    """A4: chunk-store breakdowns by competitor / source_type / primary
+    topic / credibility, each count-desc (reference vectorstore/store.py:258-316)."""
+
+    def primary_topic(t: pa.Table) -> pa.Table:
+        first = pc.list_element(
+            pc.list_slice(t["topic_ids"], 0, 1, return_fixed_size_list=False), 0
+        )
+        return t.append_column("primary_topic", first)
+
+    with_pt = chunks_ds.map_batches(primary_topic, batch_format="pyarrow")
+    out: Dict[str, pd.DataFrame] = {}
+    for col in ("competitor", "source_type", "primary_topic", "credibility"):
+        df = with_pt.groupby(col).count().to_pandas().rename(columns={"count()": "n"})
+        df["n"] = df["n"].astype("int64")
+        out[col] = df.sort_values(["n", col], ascending=[False, True]).reset_index(drop=True)
+    return out

@@ -138,7 +138,14 @@ class FrontierShard:
         WITHOUT touching the seen set.  Used for host-affinity routing: the
         URL-hash shard owns seen-set membership; the HOST-hash shard owns the
         fetch queue + the host's single politeness bucket (SURVEY.md §7.5.5:
-        two keys, two routings)."""
+        two keys, two routings).  Counts received only — the SENDING shard
+        counted pushes_sent in offer_route."""
+        return self._push_local(items, count_received=True)
+
+    def push_external(self, items: Sequence[Tuple[str, int]]) -> int:
+        """Driver-originated push (checkpoint lease re-entry): counts both
+        sent and received here so flow conservation stays balanced."""
+        self.pushes_sent += len(items)
         return self._push_local(items, count_received=True)
 
     def take(self, n: int, now: float) -> List[Tuple[str, int, float]]:
@@ -180,6 +187,7 @@ class FrontierShard:
             "seq": self._seq,
             "politeness": self.politeness.snapshot(),
             "counters": (self.offered, self.admitted, self.emitted),
+            "flows": (self.offers_received, self.pushes_sent, self.pushes_received),
         }
 
     def restore(self, state: Dict) -> None:
@@ -189,6 +197,9 @@ class FrontierShard:
         self._seq = state["seq"]
         self.politeness.restore(state["politeness"])
         self.offered, self.admitted, self.emitted = state["counters"]
+        flows = state.get("flows")
+        if flows:
+            self.offers_received, self.pushes_sent, self.pushes_received = flows
 
 
 def make_shards(

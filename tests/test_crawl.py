@@ -85,6 +85,22 @@ class TestCheckpointResume:
         assert resumed["seen"] == full["seen"]
 
 
+class TestScalableCheckpointResume:
+    def test_interrupt_and_resume_completes_crawl(self, tmp_path):
+        ckpt = str(tmp_path / "sckpt")
+        common = dict(max_depth=3, exclude_patterns=("/excluded/",), num_shards=3,
+                      lease_per_shard=4, chunk_size=4, num_workers=2)
+        partial = crawl_scalable(PAGES, [BASE], checkpoint_dir=ckpt,
+                                 stop_after_fetches=2, **common)
+        full = crawl_scalable(PAGES, [BASE], **common)
+        assert len(partial["records"]) < len(full["records"])
+        resumed = crawl_scalable(PAGES, [BASE], checkpoint_dir=ckpt, resume=True,
+                                 **common)
+        assert sorted(r["url"] for r in resumed["records"]) == \
+            sorted(r["url"] for r in full["records"])
+        assert resumed["seen"] == full["seen"]
+
+
 class TestScalableCrawl:
     def test_seen_set_matches_reference_when_unbounded(self):
         got = crawl_scalable(
