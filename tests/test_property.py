@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the deterministic kernels."""
+
+import string
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ai_intel_web_scraper_ray.functions import minhash, tokenizer, urls
+from ai_intel_web_scraper_ray.stages.chunk import Chunker
+from ai_intel_web_scraper_ray.stages.dedup import greedy_resolve
+
+url_path = st.text(alphabet=string.ascii_lowercase + string.digits + "/-_.", max_size=30)
+texts = st.text(alphabet=string.ascii_letters + string.digits + " .,\n#|-", max_size=500)
+
+
+class TestUrlProperties:
+    @given(url_path)
+    @settings(max_examples=100, deadline=None)
+    def test_normalize_idempotent(self, path):
+        u = f"https://h.example/{path}"
+        once = urls.normalize_url(u)
+        assert urls.normalize_url(once) == once
+
+    @given(url_path, st.text(alphabet=string.ascii_lowercase, max_size=10),
+           st.text(alphabet=string.ascii_lowercase, max_size=10))
+    @settings(max_examples=100, deadline=None)
+    def test_normalize_strips_query_fragment(self, path, q, frag):
+        u = f"https://h.example/{path}?{q}#{frag}"
+        n = urls.normalize_url(u)
+        assert "?" not in n and "#" not in n
+
+
+class TestTokenizerProperties:
+    @given(texts)
+    @settings(max_examples=100, deadline=None)
+    def test_count_equals_spans(self, text):
+        assert tokenizer.count_tokens(text) == len(tokenizer.encode_spans(text))
+
+    @given(texts)
+    @settings(max_examples=100, deadline=None)
+    def test_full_slice_covers_stripped_text(self, text):
+        spans = tokenizer.encode_spans(text)
+        s = tokenizer.slice_by_tokens(text, spans, 0, len(spans))
+        # slicing all tokens reproduces the text minus leading/trailing junk
+        assert s == "" or s in text
+
+
+class TestMinhashProperties:
+    @given(texts)
+    @settings(max_examples=30, deadline=None)
+    def test_self_similarity(self, text):
+        sig = minhash.signature(text)
+        assert minhash.est_jaccard(sig, sig) == 1.0
+
+    @given(st.lists(st.sampled_from("abcdefgh"), min_size=10, max_size=40))
+    @settings(max_examples=30, deadline=None)
+    def test_batch_matches_single(self, words):
+        t = " ".join(words)
+        batch = minhash.signatures_batch([t, t + " extra tail words here"])
+        assert (batch[0] == minhash.signature(t)).all()
+
+
+class TestChunkerProperties:
+    CH = Chunker()
+
+    @given(texts)
+    @settings(max_examples=50, deadline=None)
+    def test_split_parts_within_budget_or_single(self, text):
+        parts = self.CH.recursive_split(text)
+        for p in parts:
+            # each part fits the chunk budget unless splitting was impossible
+            assert tokenizer.count_tokens(p) <= 800 or len(parts) == 1
+
+    @given(texts)
+    @settings(max_examples=50, deadline=None)
+    def test_no_empty_parts(self, text):
+        for p in self.CH.recursive_split(text):
+            assert p.strip() or not text.strip()
+
+
+class TestGreedyResolveProperties:
+    @given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)), max_size=30))
+    @settings(max_examples=100, deadline=None)
+    def test_kept_set_is_maximal_independent_prefix(self, edges):
+        dropped = greedy_resolve(edges)
+        adj = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        nodes = sorted(adj)
+        kept = [n for n in nodes if n not in dropped]
+        # every dropped node has a kept smaller neighbor; every kept node has none
+        for n in nodes:
+            smaller_kept_nb = any(m in kept and m < n for m in adj[n])
+            assert (n in dropped) == smaller_kept_nb
