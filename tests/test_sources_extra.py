@@ -97,6 +97,31 @@ class TestWriter:
         assert not w2.write_partition("p1", t)
 
 
+class TestPartitionedDatasetWrite:
+    def test_streaming_partitioned_write(self, tmp_path):
+        import glob
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ai_intel_web_scraper_ray.sources.writers import write_dataset_partitioned
+
+        ds = rd.range(500).map_batches(
+            lambda t: t.append_column("v", t["id"]), batch_format="pyarrow"
+        )
+
+        def pfn(t):
+            return pc.cast(pc.bit_wise_and(t["id"], 3), pa.string())
+
+        root = str(tmp_path / "out")
+        write_dataset_partitioned(ds, root, pfn)
+        parts = sorted(glob.glob(f"{root}/_part=*"))
+        assert len(parts) == 4
+        files = glob.glob(f"{root}/**/*.parquet", recursive=True)
+        total = sum(pq.read_table(f).num_rows for f in files)
+        assert total == 500
+
+
 class TestMultimodal:
     def test_decode_stage(self):
         refs = [f"media://img/{i}" for i in range(20)]
