@@ -54,20 +54,62 @@ def _first_per_key(t: pa.Table, key_col: str, seq_col: str) -> pa.Table:
     return t.take(pa.array(idx, pa.int64()))
 
 
-def exact_url_dedup(ds, url_col: str = "url", seq_col: str = "arrival_seq"):
-    """Keep the first-arrived row per canonical URL key."""
+def _losers_per_key(t: pa.Table, key_col: str, seq_col: str) -> pa.Table:
+    """All seqs except the min per key — the rows to DROP."""
+    keys = t[key_col].to_pylist()
+    seqs = t[seq_col].to_numpy(zero_copy_only=False)
+    best: Dict = {}
+    losers: List[int] = []
+    for k, s in zip(keys, seqs):
+        cur = best.get(k)
+        if cur is None:
+            best[k] = s
+        elif s < cur:
+            losers.append(int(cur))
+            best[k] = s
+        else:
+            losers.append(int(s))
+    return pa.table({seq_col: pa.array(losers, pa.int64())})
 
-    def add_key(t: pa.Table) -> pa.Table:
+
+def _drop_by_seq(ds, loser_seqs, seq_col: str):
+    if not len(loser_seqs):
+        return ds
+    value_set = pa.array(sorted(int(s) for s in loser_seqs), pa.int64())
+
+    def drop(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t[seq_col], value_set=value_set)))
+
+    return ds.map_batches(drop, batch_format="pyarrow")
+
+
+def exact_url_dedup(ds, url_col: str = "url", seq_col: str = "arrival_seq",
+                    materialize_input: bool = True):
+    """Keep the first-arrived row per canonical URL key.
+
+    Scale shape: only the (key, seq) PROJECTION shuffles (tens of bytes per
+    row instead of the full multi-KB document rows); the grouped pass emits
+    just the losing seqs, which are broadcast back as a drop filter.  The
+    loser set is bounded by the duplicate count — small for real corpora; a
+    corpus that is mostly duplicates should flip to a full-row shuffle
+    instead (the dup rate is observable from the projection pass)."""
+    if materialize_input:
+        ds = ds.materialize()
+
+    def project(t: pa.Table) -> pa.Table:
+        # full projection, no within-batch combine: a local combine would
+        # swallow within-batch losers before they can be reported
         key = pc.utf8_lower(pc.utf8_rtrim(t[url_col], "/"))
-        t = t.append_column("_dedup_key", key)
-        # within-batch combiner: keep min-seq row per key before the shuffle
-        return _first_per_key(t, "_dedup_key", seq_col)
+        return pa.table({"_dedup_key": key, seq_col: pc.cast(t[seq_col], pa.int64())})
 
-    ds = ds.map_batches(add_key, batch_format="pyarrow")
-    ds = ds.groupby("_dedup_key").map_groups(
-        lambda g: _first_per_key(g, "_dedup_key", seq_col), batch_format="pyarrow"
+    losers_ds = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("_dedup_key")
+        .map_groups(lambda g: _losers_per_key(g, "_dedup_key", seq_col), batch_format="pyarrow")
     )
-    return ds.drop_columns(["_dedup_key"])
+    losers = losers_ds.to_pandas()
+    loser_seqs = losers[seq_col].tolist() if len(losers) and seq_col in losers.columns else []
+    return _drop_by_seq(ds, loser_seqs, seq_col)
 
 
 # ---------------------------------------------------------------------------
@@ -77,19 +119,21 @@ def exact_url_dedup(ds, url_col: str = "url", seq_col: str = "arrival_seq"):
 GITHUB_TYPES = ("github_issue", "github_discussion")
 
 
-def github_id_dedup(ds, seq_col: str = "arrival_seq"):
-    """Dedup GitHub issues/discussions on (origin, kind, number).  Non-GitHub
-    rows get a unique singleton key so one groupby covers both populations —
-    no Union operator (a Union feeding chained actor pools deadlocks Ray
-    2.49's streaming executor) and even hash distribution of the
-    passthrough rows."""
+def github_id_dedup(ds, seq_col: str = "arrival_seq", materialize_input: bool = True):
+    """Dedup GitHub issues/discussions on (origin, kind, number).
 
-    def add_key(t: pa.Table) -> pa.Table:
+    Scale shape: only GitHub rows' (key, seq) projection shuffles; losing
+    seqs broadcast back as a drop filter.  Non-GitHub rows never move
+    (deduplicator.py:83-103 passthrough semantics)."""
+
+    def project(t: pa.Table) -> pa.Table:
+        # only GitHub rows enter the projection shuffle; everything else
+        # has no key and cannot lose
         stypes = t["source_type"].to_pylist()
         origins = t["origin"].to_pylist()
         metas = t["metadata"].to_pylist() if "metadata" in t.schema.names else [{}] * len(t)
         seqs = t[seq_col].to_pylist()
-        keys = []
+        keys, out_seqs = [], []
         for st, origin, meta, seq in zip(stypes, origins, metas, seqs):
             meta = meta or {}
             if st == "github_issue":
@@ -97,17 +141,21 @@ def github_id_dedup(ds, seq_col: str = "arrival_seq"):
             elif st == "github_discussion":
                 keys.append(f"{origin}-discussion-{meta.get('discussion_number', '')}")
             else:
-                keys.append(f"_row-{seq}")
-        return t.append_column("_gh_key", pa.array(keys, pa.string()))
+                continue
+            out_seqs.append(seq)
+        return pa.table({"_gh_key": pa.array(keys, pa.string()),
+                         seq_col: pa.array(out_seqs, pa.int64())})
 
-    keyed = ds.map_batches(add_key, batch_format="pyarrow")
-    keyed = keyed.map_batches(
-        lambda t: _first_per_key(t, "_gh_key", seq_col), batch_format="pyarrow"
+    if materialize_input:
+        ds = ds.materialize()
+    losers_ds = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("_gh_key")
+        .map_groups(lambda g: _losers_per_key(g, "_gh_key", seq_col), batch_format="pyarrow")
     )
-    deduped = keyed.groupby("_gh_key").map_groups(
-        lambda g: _first_per_key(g, "_gh_key", seq_col), batch_format="pyarrow"
-    )
-    return deduped.drop_columns(["_gh_key"])
+    losers = losers_ds.to_pandas()
+    loser_seqs = losers[seq_col].tolist() if len(losers) and seq_col in losers.columns else []
+    return _drop_by_seq(ds, loser_seqs, seq_col)
 
 
 # ---------------------------------------------------------------------------
@@ -263,13 +311,31 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
-def exact_text_dedup(ds, text_col: str = "text", order_col: str = "doc_id"):
-    ds = ds.map_batches(
-        lambda t: _first_per_key(t, text_col, order_col), batch_format="pyarrow"
+def exact_text_dedup(ds, text_col: str = "text", order_col: str = "doc_id",
+                     materialize_input: bool = True):
+    """Exact content dedup: shuffle only (sha256(text), order) projections,
+    broadcast losing orders back as a drop filter — document bodies never
+    move through the shuffle."""
+    import hashlib
+
+    if materialize_input:
+        ds = ds.materialize()
+
+    def project(t: pa.Table) -> pa.Table:
+        hashes = [hashlib.sha256((x or "").encode()).hexdigest()
+                  for x in t[text_col].to_pylist()]
+        return pa.table({"_text_hash": pa.array(hashes, pa.string()),
+                         order_col: pc.cast(t[order_col], pa.int64())})
+
+    losers_ds = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("_text_hash")
+        .map_groups(lambda g: _losers_per_key(g, "_text_hash", order_col),
+                    batch_format="pyarrow")
     )
-    return ds.groupby(text_col).map_groups(
-        lambda g: _first_per_key(g, text_col, order_col), batch_format="pyarrow"
-    )
+    losers = losers_ds.to_pandas()
+    loser_orders = losers[order_col].tolist() if len(losers) and order_col in losers.columns else []
+    return _drop_by_seq(ds, loser_orders, order_col)
 
 
 # ---------------------------------------------------------------------------
