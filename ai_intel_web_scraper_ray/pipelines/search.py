@@ -133,6 +133,76 @@ def lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF ANN (scale path #2): coarse k-means centroids, probe nprobe cells
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(ds, n_centroids: int = 16, sample_rows: int = 2048,
+                        vec_col: str = "embedding", iters: int = 8,
+                        seed: int = 7) -> np.ndarray:
+    """Seeded Lloyd's k-means on a driver-side sample (IVF coarse
+    quantizer).  The sample is the first ``sample_rows`` rows —
+    deterministic; at scale use ds.random_sample(frac, seed)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    rng = np.random.RandomState(seed)
+    cents = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                cents[c] = X[mask].mean(axis=0)
+    return cents
+
+
+def ivf_topk(
+    ds,
+    query: np.ndarray,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: Optional[np.ndarray] = None,
+) -> pd.DataFrame:
+    """Approximate top-k: score only rows assigned to the ``nprobe``
+    centroids nearest the query.  Assignment is a vectorized map_batches;
+    at scale the assignment column is written partitioned (one parquet
+    partition per cell) so probes read nprobe partitions only."""
+    query = np.asarray(query, dtype=np.float64).reshape(-1)
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, n_centroids, vec_col=vec_col)
+    cents_ref = ray.put(centroids)
+    qd = ((centroids - query[None, :]) ** 2).sum(axis=1)
+    probe_cells = set(np.argsort(qd)[:nprobe].tolist())
+
+    def probe(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "score": pa.array([], pa.float64())})
+        cents = ray.get(cents_ref)
+        vecs = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        mask = np.isin(assign, list(probe_cells))
+        if not mask.any():
+            return pa.table({id_col: pa.array([], batch[id_col].type),
+                             "score": pa.array([], pa.float64())})
+        scores = cosine_scores(vecs[mask], query)
+        return pa.table({id_col: batch[id_col].filter(pa.array(mask)),
+                         "score": pa.array(scores, pa.float64())})
+
+    df = ds.map_batches(probe, batch_format="pyarrow").to_pandas()
+    if not len(df):
+        return pd.DataFrame({id_col: [], "score": [], "rank": []})
+    df = df.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
+    df["rank"] = np.arange(len(df))
+    return df.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # RRF fusion
 # ---------------------------------------------------------------------------
 

@@ -199,6 +199,17 @@ class TestSearch:
         df = lsh_topk(ds, vecs[3], k=5, n_planes=6)
         assert 3 in set(df["vec_id"])
 
+    def test_ivf_topk_contains_self_and_approximates(self):
+        from ai_intel_web_scraper_ray.pipelines.search import ivf_topk
+
+        ds, vecs = self._embeddings_ds()
+        df = ivf_topk(ds, vecs[7], k=5, n_centroids=8, nprobe=3)
+        assert df.iloc[0]["vec_id"] == 7
+        # probing all cells == exact brute force
+        full = ivf_topk(ds, vecs[7], k=5, n_centroids=8, nprobe=8)
+        exact = brute_force_topk(ds, vecs[7][None, :], k=5)
+        assert list(full["vec_id"]) == list(exact["vec_id"])
+
     def test_rrf(self):
         l1 = pd.DataFrame({"chunk_id": ["a", "b", "c"], "score": [0.9, 0.8, 0.7]})
         l2 = pd.DataFrame({"chunk_id": ["b", "a", "d"], "score": [0.95, 0.5, 0.4]})
