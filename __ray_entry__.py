@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sentiment": dq.docs_sentiment,
         "docs_primary_topic": dq.docs_primary_topic,
         "docs_url_canonical": dq.docs_url_canonical,
+        "docs_interleaved_roundtrip": dq.docs_interleaved_roundtrip,
         "docs_top_tokens": dq.docs_top_tokens,
         "docs_fingerprints": dq.docs_fingerprints,         # rows-only
         "docs_exact_dedup": dq.docs_exact_dedup,
@@ -330,6 +331,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) GROUP BY word ORDER BY n DESC, word LIMIT 20
         """,
+        "docs_interleaved_roundtrip": """
+            SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, text,
+                   CAST(2 AS BIGINT) AS n_spans
+            FROM documents ORDER BY doc_id
+        """,
+        "chunk_documents": f"""
+            WITH body AS (
+                SELECT doc_id,
+                       '[Testdata | Official Docs | General] Doc ' ||
+                       CAST(doc_id AS VARCHAR) || chr(10) || text AS chunk_text
+                FROM documents
+            )
+            SELECT 'testdata-chunk-' || substr(sha256(CAST(doc_id AS VARCHAR) || ':0:' ||
+                        substr(chunk_text, 1, 100)), 1, 12) AS chunk_id,
+                   CAST(doc_id AS VARCHAR) AS parent_doc_id,
+                   CAST(0 AS INTEGER) AS chunk_index,
+                   CAST(len(regexp_extract_all(chunk_text, '{{TOKENPAT}}')) AS INTEGER) AS token_count
+            FROM body ORDER BY doc_id
+        """.replace("{TOKENPAT}", TOKEN_PATTERN),
         "docs_lang_distribution": """
             SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang ORDER BY lang
         """,

@@ -281,6 +281,36 @@ def docs_fingerprints(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_interleaved_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Documents → interleaved span table → flattened back: exercises the
+    input_hint codec both ways; SQL-checkable because the degenerate
+    mapping is lossless (title span + body span)."""
+    from ..sources.interleaved import (
+        interleaved_to_records_batch,
+        records_to_interleaved_batch,
+    )
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        n = len(t)
+        t = t.append_column("id", pa.array([str(d) for d in t["doc_id"].to_pylist()]))
+        t = t.append_column("title", pa.array(
+            [f"Doc {d}" for d in t["doc_id"].to_pylist()]))
+        inter = records_to_interleaved_batch(t)
+        flat = interleaved_to_records_batch(inter)
+        return pa.table({
+            "doc_id": pa.array([int(x) for x in flat["doc_id"].to_pylist()], pa.int64()),
+            "title": flat["title"],
+            "text": flat["text"],
+            "n_spans": pa.array(
+                [len(s) for s in inter["spans"].to_pylist()], pa.int64()),
+        })
+
+    out = ds.map_batches(roundtrip, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
