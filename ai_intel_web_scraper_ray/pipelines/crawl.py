@@ -468,8 +468,7 @@ def crawl_scalable(
     #    their leases so resume re-fetches those pages;
     # 3. wait until the shards' flow counters balance (all routed messages
     #    landed) before snapshotting.
-    interrupted = stop_after_fetches is not None and (fetch_out or take_out)
-    if interrupted and ckpt:
+    if ckpt:
         import time as _time
 
         by_host: Dict[int, List[Tuple[str, int]]] = defaultdict(list)
@@ -485,7 +484,10 @@ def crawl_scalable(
         fetch_out.clear()
         if by_host:
             ray.get([shards[sid].push_external.remote(b) for sid, b in by_host.items()])
-        for _ in range(200):  # settle routed messages
+        # settle: a snapshot taken while offer/push messages are still in
+        # flight would freeze the restored flow counters unbalanced and the
+        # resumed run could never detect quiescence
+        for _ in range(500):
             flows = ray.get([s.flow_counts.remote() for s in shards])
             if (sum(f[0] for f in flows) == offers_sent
                     and sum(f[1] for f in flows) == sum(f[2] for f in flows)):
@@ -494,12 +496,19 @@ def crawl_scalable(
 
     records: List[dict] = list(prior_records)
     if materialize_records:
+        # depth-refinement may re-fetch a page at a smaller depth → dedupe
+        # by URL keeping the first occurrence
+        seen_urls = {r["url"] for r in records}
         for chunk_records in ray.get(record_refs):
             for r in chunk_records:
                 if len(records) >= max_pages:
                     break
+                if r["url"] in seen_urls:
+                    continue
+                seen_urls.add(r["url"])
                 r["crawl_rank"] = len(records)
                 records.append(r)
+        n_records = len(records)
 
     if ckpt:
         shard_states = ray.get([s.checkpoint.remote() for s in shards])

@@ -96,16 +96,35 @@ class FrontierShard:
 
     def offer_route(self, items: Sequence[Tuple[str, int]]) -> None:
         """check-and-insert each (url, depth) on THIS shard's seen set (the
-        caller routed by URL hash), then forward admitted items straight to
-        their host-home shards' fetch queues.  Fire-and-forget from the
-        driver; flow counters make quiescence detectable."""
+        caller routed by URL hash), then enqueue admitted items.
+
+        Routing: with politeness ON (min_delay > 0) an admitted URL goes to
+        its HOST's home shard, which owns the host's single token bucket —
+        correctness over balance, and throughput is politeness-capped per
+        host anyway.  With politeness OFF the queue stays HERE (URL-hash
+        shard): perfectly hash-balanced, no forwarding hop, which is the
+        hot-host skew split the north rule requires (a 50%-of-corpus host
+        no longer serializes behind one shard's queue).  Robots checks work
+        on any shard (every shard holds the robots cache)."""
         from ..functions.urls import frontier_shard as _fs
 
         self.offers_received += len(items)
+        # monotone depth refinement: 'new' AND 'better' (strictly smaller
+        # depth) sightings are (re-)admitted, so depth-cutoff decisions
+        # converge to BFS-minimal depths under any message ordering
+        if self.politeness.min_delay <= 0:
+            admitted = []
+            for url, depth in items:
+                self.offered += 1
+                if self.seen.offer_depth(url, depth) != "dup":
+                    admitted.append((url, depth))
+            self.pushes_sent += len(admitted)
+            self._push_local(admitted, count_received=True)
+            return
         by_host: dict = {}
         for url, depth in items:
             self.offered += 1
-            if self.seen.check_and_insert(url):
+            if self.seen.offer_depth(url, depth) != "dup":
                 hs = _fs(host_of(url), self.num_shards)
                 by_host.setdefault(hs, []).append((url, depth))
         for hs, batch in by_host.items():
@@ -182,7 +201,7 @@ class FrontierShard:
     def checkpoint(self) -> Dict:
         return {
             "shard_id": self.shard_id,
-            "seen": self.seen.snapshot(),
+            "seen": self.seen.snapshot_items(),
             "heap": sorted(self.heap),
             "seq": self._seq,
             "politeness": self.politeness.snapshot(),

@@ -126,28 +126,56 @@ class CuckooFilter:
 
 
 class SeenSet:
-    """check-and-insert seen set: cuckoo fast negative path + exact store."""
+    """check-and-insert seen set: cuckoo fast negative path + exact store.
+
+    The exact store maps url → best (minimal) known crawl depth.  Plain
+    membership (``check_and_insert``) ignores depth; ``offer_depth``
+    implements monotone depth refinement for the asynchronous crawl: a URL
+    first reached via a deep path may later be re-admitted at a smaller
+    depth, so depth-cutoff decisions converge to BFS-minimal depths
+    regardless of message arrival order (without this, an async crawl's
+    ``max_depth`` frontier is race-dependent)."""
 
     def __init__(self, capacity_hint: int = 1 << 16):
         self.filter = CuckooFilter(capacity_hint)
-        self.exact: Set[str] = set()
+        self.exact: Dict[str, int] = {}
         self.filter_negatives = 0   # fast-path hits (exact store untouched)
         self.filter_positives = 0
 
-    def check_and_insert(self, url: str) -> bool:
+    def check_and_insert(self, url: str, depth: int = 0) -> bool:
         """True if url was new (and is now marked seen)."""
         key = _h(url)
         if key not in self.filter:
             self.filter_negatives += 1
             self.filter.add(key)
-            self.exact.add(url)
+            self.exact[url] = depth
             return True
         self.filter_positives += 1
         if url in self.exact:
             return False
         self.filter.add(key)
-        self.exact.add(url)
+        self.exact[url] = depth
         return True
+
+    def offer_depth(self, url: str, depth: int) -> str:
+        """'new' (first sighting), 'better' (strictly smaller depth than
+        recorded — caller should re-admit for expansion), or 'dup'."""
+        key = _h(url)
+        if key not in self.filter:
+            self.filter_negatives += 1
+            self.filter.add(key)
+            self.exact[url] = depth
+            return "new"
+        self.filter_positives += 1
+        cur = self.exact.get(url)
+        if cur is None:
+            self.filter.add(key)
+            self.exact[url] = depth
+            return "new"
+        if depth < cur:
+            self.exact[url] = depth
+            return "better"
+        return "dup"
 
     def check_and_insert_batch(self, urls: Iterable[str]) -> List[bool]:
         return [self.check_and_insert(u) for u in urls]
@@ -164,11 +192,18 @@ class SeenSet:
     def snapshot(self) -> List[str]:
         return sorted(self.exact)
 
+    def snapshot_items(self) -> List[Tuple[str, int]]:
+        return sorted(self.exact.items())
+
     @classmethod
-    def restore(cls, urls: Iterable[str], capacity_hint: int = 1 << 16) -> "SeenSet":
+    def restore(cls, items: Iterable, capacity_hint: int = 1 << 16) -> "SeenSet":
+        """Accepts plain urls or (url, depth) pairs."""
         s = cls(capacity_hint)
-        for u in urls:
-            s.check_and_insert(u)
+        for it in items:
+            if isinstance(it, str):
+                s.check_and_insert(it)
+            else:
+                s.check_and_insert(it[0], int(it[1]))
         s.filter_negatives = 0
         s.filter_positives = 0
         return s
