@@ -337,7 +337,8 @@ def crawl_scalable(
     the union of partial+resumed records equals an uninterrupted run's."""
     if pages_table_ref is None:
         pages_table_ref = pages_to_table_ref(pages)
-    shards = make_shards(num_shards, min_delay, respect_robots, robots_texts)
+    shards = make_shards(num_shards, min_delay, respect_robots, robots_texts,
+                         depth_refinement=max_depth < 10**6)
     ray.get([s.set_peers.remote(shards) for s in shards])
 
     ckpt = CrawlCheckpoint(checkpoint_dir) if checkpoint_dir else None

@@ -49,9 +49,14 @@ class FrontierShard:
         respect_robots: bool = False,
         robots_texts: Optional[Dict[str, str]] = None,
         capacity_hint: int = 1 << 16,
+        depth_refinement: bool = True,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
+        # re-admission on smaller-depth sightings only matters when a depth
+        # cutoff can flip expansion decisions; with an unbounded max_depth
+        # the crawl sets this False and saves the re-fetches
+        self.depth_refinement = depth_refinement
         self.seen = SeenSet(capacity_hint)
         self.heap: List[Tuple[int, int, str]] = []  # (depth, discovery_seq, url)
         self.politeness = HostPoliteness(min_delay)
@@ -112,11 +117,15 @@ class FrontierShard:
         # monotone depth refinement: 'new' AND 'better' (strictly smaller
         # depth) sightings are (re-)admitted, so depth-cutoff decisions
         # converge to BFS-minimal depths under any message ordering
+        def admit_status(url: str, depth: int) -> bool:
+            st = self.seen.offer_depth(url, depth)
+            return st == "new" or (st == "better" and self.depth_refinement)
+
         if self.politeness.min_delay <= 0:
             admitted = []
             for url, depth in items:
                 self.offered += 1
-                if self.seen.offer_depth(url, depth) != "dup":
+                if admit_status(url, depth):
                     admitted.append((url, depth))
             self.pushes_sent += len(admitted)
             self._push_local(admitted, count_received=True)
@@ -124,7 +133,7 @@ class FrontierShard:
         by_host: dict = {}
         for url, depth in items:
             self.offered += 1
-            if self.seen.offer_depth(url, depth) != "dup":
+            if admit_status(url, depth):
                 hs = _fs(host_of(url), self.num_shards)
                 by_host.setdefault(hs, []).append((url, depth))
         for hs, batch in by_host.items():
@@ -227,10 +236,12 @@ def make_shards(
     respect_robots: bool = False,
     robots_texts: Optional[Dict[str, str]] = None,
     capacity_hint: int = 1 << 16,
+    depth_refinement: bool = True,
 ):
     return [
         FrontierShard.remote(
-            i, num_shards, min_delay, respect_robots, robots_texts, capacity_hint
+            i, num_shards, min_delay, respect_robots, robots_texts, capacity_hint,
+            depth_refinement,
         )
         for i in range(num_shards)
     ]
