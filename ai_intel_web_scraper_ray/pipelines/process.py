@@ -31,8 +31,14 @@ def process_pipeline(
         competitor_keywords=competitor_keywords,
     )
     ds = tf.quality_filter_stage(ds, min_word_count=min_word_count)
-    ds = dedup_stages.exact_url_dedup(ds)
-    ds = dedup_stages.github_id_dedup(ds)
+    # one materialization boundary: the three dedup passes each read their
+    # input twice (projection/edge discovery + the final drop filter), so
+    # pin the post-filter corpus once instead of once per pass.  At 100-TB
+    # scale this boundary is a partitioned-parquet stage write instead
+    # (the reference's stage-file pattern, RUNBOOK.md:43).
+    ds = ds.materialize()
+    ds = dedup_stages.exact_url_dedup(ds, materialize_input=False)
+    ds = dedup_stages.github_id_dedup(ds, materialize_input=False)
     if run_minhash:
-        ds, _ = dedup_stages.minhash_dedup(ds)
+        ds, _ = dedup_stages.minhash_dedup(ds, materialize_input=False)
     return ds

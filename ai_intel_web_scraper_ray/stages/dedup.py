@@ -194,6 +194,15 @@ def greedy_resolve(edges: Sequence[Tuple[int, int]], seqs: Dict[str, int] = None
     return dropped
 
 
+
+def _sig_matrix(col) -> np.ndarray:
+    """FixedSizeList<uint64> column → (n, NUM_PERM) matrix, zero-copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(-1, mh.NUM_PERM)
+
+
 def minhash_dedup(
     ds,
     id_col: str = "id",
@@ -201,6 +210,7 @@ def minhash_dedup(
     seq_col: str = "arrival_seq",
     threshold: float = mh.DEFAULT_THRESHOLD,
     materialize_input: bool = True,
+    two_pass: bool = None,
 ):
     """Drop near-duplicate rows (estimated Jaccard ≥ threshold), keeping the
     first arrival of each near-dup cluster per the greedy reference
@@ -222,27 +232,79 @@ def minhash_dedup(
     NUM_BUCKETS = 64
     MAX_GROUP = 256  # degenerate-band guard (e.g. thousands of empty docs)
 
-    def to_bands(t: pa.Table) -> pa.Table:
+    # Pass 0: signatures once, pinned (1 KiB/row — the expensive compute).
+    def to_sigs(t: pa.Table) -> pa.Table:
         texts = [x or "" for x in t[text_col].to_pylist()]
         sigs = mh.signatures_batch(texts)          # (n, 128) uint64
-        bands = mh.band_hashes(sigs)               # (n, 32) uint64
-        n = len(texts)
-        ids = t[id_col].to_pylist()
-        seqs = t[seq_col].to_numpy(zero_copy_only=False)
-        nb = mh.LSH_BANDS
-        flat_bands = bands.reshape(-1)
-        out = pa.table(
+        return pa.table(
             {
-                "band": pa.array(flat_bands, pa.uint64()),
-                "bucket": pa.array((flat_bands % NUM_BUCKETS).astype(np.int64), pa.int64()),
-                id_col: pa.array(np.repeat(ids, nb)),
-                seq_col: pa.array(np.repeat(seqs, nb), pa.int64()),
+                id_col: t[id_col],
+                seq_col: pc.cast(t[seq_col], pa.int64()),
                 "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(np.repeat(sigs, nb, axis=0).reshape(-1), pa.uint64()), mh.NUM_PERM
+                    pa.array(sigs.reshape(-1), pa.uint64()), mh.NUM_PERM
                 ),
             }
         )
-        return out
+
+    sig_ds = ds.map_batches(to_sigs, batch_format="pyarrow").materialize()
+
+    # Adaptive pass structure: shipping every band row with its 1 KiB
+    # signature costs ~32 KiB/doc of shuffle; above a size cutoff it is
+    # cheaper to first shuffle BARE band values (8 bytes/row) to find
+    # multi-member bands, then ship signatures only for that sliver.
+    if two_pass is None:
+        two_pass = sig_ds.count() > 100_000
+
+    multi_set = None
+    if two_pass:
+        def to_band_only(t: pa.Table) -> pa.Table:
+            sigs = _sig_matrix(t["sig"])
+            bands = mh.band_hashes(sigs)
+            return pa.table({"band": pa.array(bands.reshape(-1), pa.uint64())})
+
+        band_counts = (
+            sig_ds.map_batches(to_band_only, batch_format="pyarrow")
+            .groupby("band").count().to_pandas()
+        )
+        multi_bands = band_counts.loc[band_counts["count()"] > 1, "band"].to_numpy()
+        if len(multi_bands) == 0:
+            return ds, 0
+        multi_set = pa.array(multi_bands.astype(np.uint64), pa.uint64())
+
+    # Pass 2: ship signatures ONLY for rows having at least one multi-member
+    # band, and only those band rows — the near-dup candidate sliver.
+    def to_bands(t: pa.Table) -> pa.Table:
+        sigs = _sig_matrix(t["sig"])
+        bands = mh.band_hashes(sigs)               # (n, 32) uint64
+        nb = mh.LSH_BANDS
+        flat = bands.reshape(-1)
+        if multi_set is not None:
+            keep = pc.is_in(pa.array(flat, pa.uint64()), value_set=multi_set).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            keep = np.ones(len(flat), dtype=bool)
+        if not keep.any():
+            return pa.table({
+                "band": pa.array([], pa.uint64()),
+                "bucket": pa.array([], pa.int64()),
+                id_col: pa.array([], t[id_col].type),
+                seq_col: pa.array([], pa.int64()),
+                "sig": pa.array([], pa.list_(pa.uint64())),
+            })
+        ids = np.repeat(t[id_col].to_pylist(), nb)[keep]
+        seqs = np.repeat(t[seq_col].to_numpy(zero_copy_only=False), nb)[keep]
+        row_idx = np.repeat(np.arange(len(t)), nb)[keep]
+        kept_bands = flat[keep]
+        return pa.table(
+            {
+                "band": pa.array(kept_bands, pa.uint64()),
+                "bucket": pa.array((kept_bands % NUM_BUCKETS).astype(np.int64), pa.int64()),
+                id_col: pa.array(ids),
+                seq_col: pa.array(seqs, pa.int64()),
+                "sig": pa.array([sigs[i].tolist() for i in row_idx], pa.list_(pa.uint64())),
+            }
+        )
 
     def bucket_edges(bucket: pd.DataFrame) -> pd.DataFrame:
         """All verified candidate edges within one coarse bucket: pandas
@@ -278,7 +340,7 @@ def minhash_dedup(
             return empty
         return pd.DataFrame(rows, columns=["a_id", "b_id", "a_seq", "b_seq"])
 
-    bands = ds.map_batches(to_bands, batch_format="pyarrow")
+    bands = sig_ds.map_batches(to_bands, batch_format="pyarrow")
     edges_ds = bands.groupby("bucket").map_groups(bucket_edges, batch_format="pandas")
     edges_df = edges_ds.to_pandas()  # sparse by construction — small
     if len(edges_df) and "a_id" in edges_df.columns:

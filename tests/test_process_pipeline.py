@@ -80,6 +80,13 @@ class TestDedup:
         # the fixture family guarantees at least the 0.9-Jaccard near-dup drops
         assert n_dropped >= 1
 
+    def test_minhash_two_pass_same_result(self):
+        # the scale path (band-count pre-pass) must match the direct path
+        ds1, n1 = dd.minhash_dedup(make_ds(), two_pass=True)
+        ds2, n2 = dd.minhash_dedup(make_ds(), two_pass=False)
+        assert n1 == n2
+        assert sorted(ds1.to_pandas()["arrival_seq"]) == sorted(ds2.to_pandas()["arrival_seq"])
+
     def test_greedy_not_transitive(self):
         # chain a-b, b-c without a-c: greedy keeps a, drops b, KEEPS c
         dropped = dd.greedy_resolve([("a", "b"), ("b", "c")], {"a": 0, "b": 1, "c": 2})
