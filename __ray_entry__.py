@@ -237,9 +237,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   SUM(l_quantity) AS sum_qty,
+                   SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_base_price,
+                   SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_disc_price,
                    COUNT(*) AS n_rows,
                    ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
             FROM lineitem
@@ -249,7 +249,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q3_top_orders": """
             SELECT l.l_orderkey, o.o_orderdate,
-                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+                   SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -260,7 +260,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_nation_revenue": """
             SELECT n.n_name AS nation,
-                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+                   SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
             FROM lineitem l
             JOIN orders o ON l.l_orderkey = o.o_orderkey
             JOIN customer c ON o.o_custkey = c.c_custkey
@@ -296,7 +296,7 @@ def oracle_sql() -> dict[str, str]:
             FROM gaps GROUP BY o_custkey ORDER BY o_custkey
         """,
         "q6_revenue_delta": """
-            SELECT ROUND(COALESCE(SUM(l_extendedprice * l_discount), 0), 2) AS revenue,
+            SELECT COALESCE(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)), 0) / 100.0 AS revenue,
                    COUNT(*) AS n_rows
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'

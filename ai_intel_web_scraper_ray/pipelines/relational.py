@@ -47,14 +47,19 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["l_shipdate"], cutoff))
-        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t = t.append_column("disc_price", disc_price)
         df = t.select(["l_returnflag", "l_linestatus", "l_quantity",
-                       "l_extendedprice", "disc_price"]).to_pandas()
+                       "l_extendedprice", "l_discount"]).to_pandas()
+        # per-row integer cents (floor(x*100+0.5) is bit-stable on identical
+        # doubles in numpy and DuckDB, unlike decimal rounding whose
+        # half-way rule differs); integer sums are then order-independent
+        df["base_cents"] = np.floor(df["l_extendedprice"] * 100 + 0.5).astype("int64")
+        df["disc_cents"] = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
+        ).astype("int64")
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("l_quantity", "sum"),
-            sum_base_price=("l_extendedprice", "sum"),
-            sum_disc_price=("disc_price", "sum"),
+            base_cents=("base_cents", "sum"),
+            disc_cents=("disc_cents", "sum"),
             n_rows=("l_quantity", "size"),
         )
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -62,15 +67,16 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = partials.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
         sum_qty=("sum_qty", "sum"),
-        sum_base_price=("sum_base_price", "sum"),
-        sum_disc_price=("sum_disc_price", "sum"),
+        base_cents=("base_cents", "sum"),
+        disc_cents=("disc_cents", "sum"),
         n_rows=("n_rows", "sum"),
     )
     out["avg_qty"] = (out["sum_qty"] / out["n_rows"]).round(6)
-    out["sum_qty"] = out["sum_qty"].round(2)
-    out["sum_base_price"] = out["sum_base_price"].round(2)
-    out["sum_disc_price"] = out["sum_disc_price"].round(2)
+    out["sum_base_price"] = out["base_cents"] / 100.0
+    out["sum_disc_price"] = out["disc_cents"] / 100.0
     out["n_rows"] = out["n_rows"].astype("int64")
+    out = out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "n_rows", "avg_qty"]]
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
@@ -92,14 +98,16 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
         okeys = ray.get(okeys_ref)
         df = t.to_pandas()
         df = df[df["l_orderkey"].isin(okeys)]
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby("l_orderkey", as_index=False)["revenue"].sum()
+        df["rev_cents"] = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        g = df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    rev = partials.groupby("l_orderkey", as_index=False)["revenue"].sum()
+    rev = partials.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
     rev = rev.merge(o_small, left_on="l_orderkey", right_on="o_orderkey")
-    rev["revenue"] = rev["revenue"].round(2)
+    rev["revenue"] = rev["rev_cents"] / 100.0
     rev = rev.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
     return rev[["l_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
 
@@ -128,16 +136,18 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
         df = t.to_pandas()
         df["nk"] = df["l_orderkey"].map(omap)
         df = df.dropna(subset=["nk"])
-        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
-        g = df.groupby("nk", as_index=False)["revenue"].sum()
+        df["rev_cents"] = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        g = df.groupby("nk", as_index=False)["rev_cents"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    rev = partials.groupby("nk", as_index=False)["revenue"].sum()
+    rev = partials.groupby("nk", as_index=False)["rev_cents"].sum()
     rev["nk"] = rev["nk"].astype("int32")
     out = rev.merge(nation, left_on="nk", right_on="n_nationkey")
     out = out.rename(columns={"n_name": "nation"})
-    out["revenue"] = out["revenue"].round(2)
+    out["revenue"] = out["rev_cents"] / 100.0
     return out[["nation", "revenue"]].sort_values("nation").reset_index(drop=True)
 
 
@@ -160,13 +170,14 @@ def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
             ),
         )
         t = t.filter(mask)
-        rev = pc.sum(pc.multiply(t["l_extendedprice"], t["l_discount"])).as_py() or 0.0
-        return pa.table({"revenue": pa.array([rev], pa.float64()),
+        vals = pc.multiply(t["l_extendedprice"], t["l_discount"]).to_numpy(zero_copy_only=False)
+        cents = int(np.floor(vals * 100 + 0.5).astype("int64").sum()) if len(vals) else 0
+        return pa.table({"rev_cents": pa.array([cents], pa.int64()),
                          "n_rows": pa.array([len(t)], pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return pd.DataFrame({
-        "revenue": [round(parts["revenue"].sum(), 2)],
+        "revenue": [parts["rev_cents"].sum() / 100.0],
         "n_rows": [int(parts["n_rows"].sum())],
     })
 
