@@ -14,7 +14,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -30,8 +34,6 @@ def main():
 
     if not ray.is_initialized():
         # on a cluster the job server injects RAY_ADDRESS; locally fall back
-        import os
-
         ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
                  include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
@@ -58,9 +60,6 @@ def main():
                           "seen": len(res["seen"]), "sec": round(dt, 2),
                           "docs_per_sec": round(res["n_records"] / dt, 1)}))
     elif args.mode == "process":
-        import sys
-
-        sys.path.insert(0, ".")
         from __ray_entry__ import _documents_as_records
         from ai_intel_web_scraper_ray.pipelines.process import process_pipeline
 
@@ -70,7 +69,6 @@ def main():
                           "sec": round(time.perf_counter() - t0, 2)}))
     else:
         import subprocess
-        import sys
 
         subprocess.run([sys.executable, "bench.py"], check=True)
     ray.shutdown()
