@@ -106,6 +106,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     crawl_urls_per_sec = round(n_seen / crawl_sec, 1)
     crawl_docs_per_sec = round(n_crawled / crawl_sec, 1)
 
+    # -- politeness-bound crawl (virtual clock) ---------------------------
+    # small graph, per-host min-delay on: verifies the token-bucket floor
+    # (virtual time ≥ (pages_on_hottest_host - 1) × delay) while wall time
+    # stays parallel — the politeness-vs-throughput split the reference
+    # cannot make (it sleeps for real, RUNBOOK.md:480)
+    polite_pages = make_bench_web_graph(2000)
+    t0 = time.perf_counter()
+    polite = crawl_scalable(
+        polite_pages, sorted({f"https://{p['host']}/p0" for p in polite_pages}),
+        max_depth=10**9, num_shards=4, lease_per_shard=512, min_delay=0.05,
+        materialize_records=False,
+    )
+    polite_wall = round(time.perf_counter() - t0, 3)
+    timings["crawl_polite"] = polite_wall
+
     # -- process + vectorize ----------------------------------------------
     timed("process", lambda: process_pipeline(
         _documents_as_records(sf_dir, num_blocks=max(8, num_cpus // 4)), min_word_count=10,
@@ -134,6 +149,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "crawl_seen_urls": n_seen,
         "crawl_urls_per_sec": crawl_urls_per_sec,
         "crawl_docs_per_sec": crawl_docs_per_sec,
+        "crawl_polite_pages": polite["n_records"],
+        "crawl_polite_virtual_sec": round(polite["virtual_time"], 2),
+        "crawl_polite_wall_sec": polite_wall,
         "cpu_baseline_miter_per_sec": cpu_baseline,
     }
     ray.shutdown()
