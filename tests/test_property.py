@@ -78,6 +78,32 @@ class TestChunkerProperties:
             assert p.strip() or not text.strip()
 
 
+class TestHtmlRobustness:
+    soup = st.text(
+        alphabet=string.ascii_letters + string.digits + "<>/=\"' \n&;#-",
+        max_size=400,
+    )
+
+    @given(soup)
+    @settings(max_examples=150, deadline=None)
+    def test_extract_never_raises_on_tag_soup(self, html):
+        from ai_intel_web_scraper_ray.functions.htmlx import extract_content, extract_links
+
+        title, text = extract_content(html, "article")
+        assert isinstance(title, str) and isinstance(text, str)
+        links = extract_links(html, "https://h.example/base")
+        assert all(l.startswith("https://h.example") for l in links)
+
+    @given(soup)
+    @settings(max_examples=50, deadline=None)
+    def test_unclosed_tags_and_nesting(self, inner):
+        from ai_intel_web_scraper_ray.functions.htmlx import extract_content
+
+        html = f"<html><body><article><div><p>{inner}<pre>x</article>"
+        title, text = extract_content(html, "article")
+        assert isinstance(text, str)
+
+
 class TestGreedyResolveProperties:
     @given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)), max_size=30))
     @settings(max_examples=100, deadline=None)
