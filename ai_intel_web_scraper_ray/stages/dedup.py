@@ -17,10 +17,12 @@ Three levels, mirroring the reference pipeline order
 
 Scale notes: the verified candidate-edge graph is sparse by construction
 (edges require estimated Jaccard ≥ 0.7), so the greedy resolution runs on the
-driver over O(E) edges; everything upstream is partition-parallel.  Band rows
-carry the 1 KiB signature so verification happens inside the band groupby
-without a second join; if signature shipping ever dominates, switch to the
-two-pass variant (hash-only first pass to find non-singleton buckets).
+driver over O(E) edges; everything upstream is partition-parallel.  Above
+100k rows the MinHash path runs two-pass: bare 8-byte band values shuffle
+first to find multi-member bands, then signatures ship only for that sliver
+(~256 B/doc instead of ~32 KiB/doc); exact URL/GitHub/text dedup shuffle
+only (key, seq) projections and broadcast losing seqs back as drop filters
+— document bodies never move through any dedup shuffle.
 """
 
 from __future__ import annotations

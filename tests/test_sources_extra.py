@@ -194,6 +194,27 @@ class TestGrouping:
         assert out.iloc[0]["n_competitor"] == 4
 
 
+class TestBreakdowns:
+    def test_status_counts_and_store_breakdowns(self):
+        from ai_intel_web_scraper_ray.pipelines.vectorize import vectorize_pipeline
+        from ai_intel_web_scraper_ray.stages.grouping import status_counts, store_breakdowns
+
+        records = fixtures.make_source_records(30)
+        ds = rd.from_arrow(fixtures.records_to_table(records))
+        sc = status_counts(ds)
+        assert sc["n"].sum() == 30
+        assert "official_docs" in set(sc["source_type"])
+
+        chunks = vectorize_pipeline(ds, topic_names=fixtures.TOPIC_NAMES,
+                                    chunk_concurrency=2, embed_concurrency=2)
+        bd = store_breakdowns(chunks)
+        assert set(bd) == {"competitor", "source_type", "primary_topic", "credibility"}
+        total = bd["competitor"]["n"].sum()
+        for k in bd:
+            assert bd[k]["n"].sum() == total       # every breakdown covers all chunks
+            assert bd[k]["n"].is_monotonic_decreasing or len(bd[k]) == 1
+
+
 class TestExtraDedup:
     def _near_dup_ds(self):
         base = "word " * 30 + " ".join(f"tok{i}" for i in range(100))
