@@ -202,7 +202,7 @@ class TestBreakdowns:
         records = fixtures.make_source_records(30)
         ds = rd.from_arrow(fixtures.records_to_table(records))
         sc = status_counts(ds)
-        assert sc["n"].sum() == 30
+        assert sc["n"].sum() == len(records)
         assert "official_docs" in set(sc["source_type"])
 
         chunks = vectorize_pipeline(ds, topic_names=fixtures.TOPIC_NAMES,
