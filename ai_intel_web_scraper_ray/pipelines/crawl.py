@@ -27,13 +27,14 @@ Two modes:
   reachable page extracted); crawl ORDER is per-shard BFS, documented.
 
 The fetcher here is the deterministic mock over the synthetic web-graph
-table (FIXTURES.md §2) — a real HTTP fetcher drops into `_fetch_one` with
+table (FIXTURES.md §2) — a real HTTP fetcher drops into
+`FetchExtractWorker.fetch_extract` (connection pool in __init__) with
 retry/backoff exactly as reference utils.py:43-85.
 
-Checkpoint/resume: `CrawlCheckpoint` persists the driver order list +
-per-shard snapshots (seen set, heap, politeness, counters) as JSON +
-parquet-able lists; `crawl_strict(..., checkpoint_dir=, resume=True)`
-continues mid-crawl and produces identical results (tested).
+Checkpoint/resume: `CrawlCheckpoint` persists driver state + per-shard
+snapshots (seen set with depths, heap, politeness, flow counters); both
+modes resume mid-crawl — strict reproduces identical order+seen, scalable
+reproduces the identical record/seen SETS (both tested).
 """
 
 from __future__ import annotations
