@@ -356,10 +356,11 @@ class ChunkStage:
 
 
 def chunk_stage(ds, concurrency: int = 4, batch_size: int = 256, **kwargs):
+    # autoscaling pool (min 1) — see transforms.tag_stage
     return ds.map_batches(
         ChunkStage,
         fn_constructor_kwargs=kwargs,
         batch_format="pandas",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, max(1, concurrency)),
     )

@@ -49,10 +49,11 @@ class EmbedStage:
 
 
 def embed_stage(ds, concurrency: int = 4, batch_size: int = EMBED_BATCH_SIZE, **kwargs):
+    # autoscaling pool (min 1) — see transforms.tag_stage
     return ds.map_batches(
         EmbedStage,
         fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, max(1, concurrency)),
     )

@@ -150,5 +150,6 @@ def media_decode_stage(ds, concurrency: int = 4, batch_size: int = 64, **kwargs)
     ~64 MB per-actor budget; callers with bigger media pass smaller."""
     return ds.map_batches(
         MediaDecodeStage, fn_constructor_kwargs=kwargs,
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency,
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=(1, max(1, concurrency)),
     )

@@ -130,12 +130,14 @@ class TopicTagStage:
 
 
 def tag_stage(ds, concurrency: int = 4, batch_size: int = 4096, **kwargs):
+    # autoscaling pool (min 1): a fixed-size pool that reserves every CPU
+    # can starve the read stage and deadlock on small sessions
     return ds.map_batches(
         TopicTagStage,
         fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=(1, max(1, concurrency)),
     )
 
 
