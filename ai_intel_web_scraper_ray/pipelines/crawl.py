@@ -380,8 +380,9 @@ def crawl_scalable(
         avail = int(ray.available_resources().get("CPU", _os.cpu_count() or 8))
         # leave room for the frontier shards (0.25 CPU each) + driver slack,
         # else the last worker actor never schedules and its queued calls
-        # would stall quiescence
-        num_workers = max(2, avail - int(num_shards * 0.25 + 1) - 1)
+        # would stall quiescence (floor of 1, NOT 2 — a 2-worker floor on a
+        # 2-CPU session oversubscribes and hangs the same way)
+        num_workers = max(1, avail - int(num_shards * 0.25 + 1) - 1)
     workers = [
         FetchExtractWorker.remote(
             pages_table_ref, content_selector, exclude_list, max_depth,

@@ -355,7 +355,35 @@ class ChunkStage:
         return pd.DataFrame(rows)
 
 
+_TASK_CHUNKERS: Dict[tuple, "ChunkStage"] = {}
+
+
+def _chunk_task_fn(kwargs: dict):
+    """Stateless-task fallback: one cached ChunkStage per worker process
+    (module-level), so tiny sessions where chained actor pools would starve
+    the read stage still stream."""
+    key = tuple(sorted((k, repr(v)) for k, v in kwargs.items()))
+
+    def fn(batch):
+        inst = _TASK_CHUNKERS.get(key)
+        if inst is None:
+            inst = ChunkStage(**kwargs)
+            _TASK_CHUNKERS[key] = inst
+        return inst(batch)
+
+    return fn
+
+
 def chunk_stage(ds, concurrency: int = 4, batch_size: int = 256, **kwargs):
+    import ray
+
+    avail = ray.available_resources().get("CPU", 8)
+    if avail < 3:
+        # chained actor pools deadlock on ≤2-CPU sessions (each pool's
+        # min actor pins a CPU, starving the read tasks) — fall back to
+        # plain tasks with a per-worker cached instance
+        return ds.map_batches(_chunk_task_fn(kwargs), batch_format="pandas",
+                              batch_size=batch_size)
     # autoscaling pool (min 1) — see transforms.tag_stage
     return ds.map_batches(
         ChunkStage,

@@ -48,7 +48,30 @@ class EmbedStage:
         return batch.append_column(self.out_col, arr)
 
 
+_TASK_EMBEDDERS: dict = {}
+
+
+def _embed_task_fn(kwargs: dict):
+    """Stateless-task fallback for tiny sessions (see chunk_stage)."""
+    key = tuple(sorted((k, repr(v)) for k, v in kwargs.items()))
+
+    def fn(batch):
+        inst = _TASK_EMBEDDERS.get(key)
+        if inst is None:
+            inst = EmbedStage(**kwargs)
+            _TASK_EMBEDDERS[key] = inst
+        return inst(batch)
+
+    return fn
+
+
 def embed_stage(ds, concurrency: int = 4, batch_size: int = EMBED_BATCH_SIZE, **kwargs):
+    import ray
+
+    avail = ray.available_resources().get("CPU", 8)
+    if avail < 3:
+        return ds.map_batches(_embed_task_fn(kwargs), batch_format="pyarrow",
+                              batch_size=batch_size)
     # autoscaling pool (min 1) — see transforms.tag_stage
     return ds.map_batches(
         EmbedStage,
