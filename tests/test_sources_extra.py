@@ -82,6 +82,14 @@ class TestReaders:
         ds = read_source_records(str(tmp_path), counter=counter)
         out = ds.to_pandas()
         assert len(out) == 8
+        # counter adds are fire-and-forget from map tasks → eventually
+        # consistent; poll briefly
+        import time
+
+        for _ in range(100):
+            if ray.get(counter.get.remote()) == {"invalid_record": 2}:
+                break
+            time.sleep(0.05)
         assert ray.get(counter.get.remote()) == {"invalid_record": 2}
 
 
