@@ -282,7 +282,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT user_id, COUNT(*) AS n_events,
-                   SUM(CASE WHEN gap > INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1 ELSE 0 END) + 1 AS n_sessions
+                   CAST(SUM(CASE WHEN gap > INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions
             FROM gaps GROUP BY user_id ORDER BY user_id
         """,
         "orders_gap_stats": """
@@ -317,7 +317,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_props_k": r"""
             SELECT event_type, COUNT(*) AS n,
-                   SUM(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS sum_k
+                   CAST(SUM(CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "docs_url_canonical": """

@@ -4,11 +4,14 @@ These exercise the engine's aggregate / join / sort / window machinery (the
 Ray Data equivalents of the reference's groupby-topic, credibility-sort and
 status-count operators, SURVEY.md §2.5-§2.7) at TPC-H-ish scale:
 
-- dimension joins are BROADCAST (ray.put once, merged per batch) — never a
-  shuffle for the small side;
+- TRUE dimension joins (nation, customer→segment/nation) are BROADCAST
+  (ray.put once, merged per batch) — never a shuffle for the small side;
+- fact⋈fact joins (lineitem⋈orders) are hash-SHUFFLE joins via
+  ``Dataset.join`` — the driver never holds a fact-table-derived map;
 - aggregates pre-aggregate per batch where the key count is bounded, then
   run one small groupby;
-- window/as-of logic is groupby(key).map_groups over ts-sorted groups.
+- window/lag logic is ONE range sort on (key, ts) + per-block vectorized
+  ``diff`` masked at key boundaries (no per-key Python callbacks).
 
 Every function takes ``sf_dir`` and returns a small pandas DataFrame whose
 column names match the oracle SQL aliases in __ray_entry__.py exactly.
@@ -86,30 +89,47 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def q3_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Fact⋈fact is a hash-SHUFFLE join on the order key; only the true
+    dimension (customer→segment) is broadcast.  No driver-side structure is
+    ever O(|orders|): the filtered orders stay a Dataset all the way into
+    ``Dataset.join`` and the driver only sees the final 10 rows."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_keys = set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
-    o_small = orders[orders["o_custkey"].isin(seg_keys)][["o_orderkey", "o_orderdate"]]
-    okeys_ref = ray.put(set(o_small["o_orderkey"]))
+    seg_keys_ref = ray.put(
+        set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
+    )
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        okeys = ray.get(okeys_ref)
-        df = t.to_pandas()
-        df = df[df["l_orderkey"].isin(okeys)]
+    def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
+        seg_keys = ray.get(seg_keys_ref)
+        df = df[df["o_custkey"].isin(seg_keys)]
+        return df[["o_orderkey", "o_orderdate"]]
+
+    orders_ds = orders_ds.map_batches(filter_orders, batch_format="pandas")
+
+    line_ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
         df["rev_cents"] = np.floor(
             df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
         ).astype("int64")
-        g = df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    rev = partials.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
-    rev = rev.merge(o_small, left_on="l_orderkey", right_on="o_orderkey")
-    rev["revenue"] = rev["rev_cents"] / 100.0
-    rev = rev.sort_values(["revenue", "l_orderkey"], ascending=[False, True]).head(10)
-    return rev[["l_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
+    line_ds = line_ds.map_batches(line_partial, batch_format="pandas")
+
+    joined = line_ds.join(
+        orders_ds, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    # per-batch partials already hold ≤1 row per (orderkey, batch); finish the
+    # per-orderkey sum distributed, then take the global top-10 via sort+limit
+    rev = joined.groupby(["l_orderkey", "o_orderdate"]).sum("rev_cents")
+    top = rev.sort(["sum(rev_cents)", "l_orderkey"], descending=[True, False]) \
+             .limit(10).to_pandas()
+    top["revenue"] = top["sum(rev_cents)"] / 100.0
+    return top[["l_orderkey", "o_orderdate", "revenue"]].reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -118,31 +138,47 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """Broadcast only the true dimensions (customer→nation: one int per
+    customer; nation: 25 rows).  lineitem⋈orders is a hash-SHUFFLE join on
+    the order key via ``Dataset.join`` — the driver never builds any
+    O(|orders|) or O(|lineitem|) structure.  Per-batch partials reduce the
+    post-join rows to ≤25 per batch before the driver combine."""
     nation = _read(sf_dir, "nation").to_pandas()
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).to_pandas()
-    cust_nation = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    order_nation = {
-        ok: cust_nation[ck]
-        for ok, ck in zip(orders["o_orderkey"], orders["o_custkey"])
-        if ck in cust_nation
-    }
-    map_ref = ray.put(order_nation)
+    cust_nation_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
 
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        omap = ray.get(map_ref)
-        df = t.to_pandas()
-        df["nk"] = df["l_orderkey"].map(omap)
+    def orders_nk(df: pd.DataFrame) -> pd.DataFrame:
+        cust_nation = ray.get(cust_nation_ref)
+        df = df.copy()
+        df["nk"] = df["o_custkey"].map(cust_nation)
         df = df.dropna(subset=["nk"])
+        df["nk"] = df["nk"].astype("int32")
+        return df[["o_orderkey", "nk"]]
+
+    orders_ds = orders_ds.map_batches(orders_nk, batch_format="pandas")
+
+    line_ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
         df["rev_cents"] = np.floor(
             df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
         ).astype("int64")
-        g = df.groupby("nk", as_index=False)["rev_cents"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    line_ds = line_ds.map_batches(line_partial, batch_format="pandas")
+
+    joined = line_ds.join(
+        orders_ds, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def nk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("nk", as_index=False)["rev_cents"].sum()
+
+    partials = joined.map_batches(nk_partial, batch_format="pandas").to_pandas()
     rev = partials.groupby("nk", as_index=False)["rev_cents"].sum()
     rev["nk"] = rev["nk"].astype("int32")
     out = rev.merge(nation, left_on="nk", right_on="n_nationkey")
@@ -272,20 +308,39 @@ SESSION_GAP_MIN = 30
 
 
 def events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Sessionization as a vectorized lag: ONE range sort on (user_id, ts),
+    then per-BLOCK pandas ``diff`` masked at user boundaries — not one Python
+    callback per user.  A user can straddle adjacent sorted blocks; each block
+    emits per-user partials (n_events, in-block big-gap count, min/max ts) and
+    the boundary gaps are closed with one vectorized shift over the partials,
+    whose size is O(n_users + straddles) — the same order as the output."""
     ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ds = ds.sort(["user_id", "ts"])
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gaps = g["ts"].diff()
-        n_sessions = int((gaps > pd.Timedelta(minutes=SESSION_GAP_MIN)).sum()) + 1
-        return pd.DataFrame(
-            {"user_id": [g["user_id"].iloc[0]], "n_events": [len(g)], "n_sessions": [n_sessions]}
+    def block_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # block is sorted by (user_id, ts); diff once, mask at user boundaries
+        gaps = df["ts"].diff()
+        boundary = df["user_id"].ne(df["user_id"].shift())
+        big = (gaps > gap) & ~boundary
+        out = df.assign(_big=big).groupby("user_id", sort=False).agg(
+            n_events=("ts", "size"), n_gaps=("_big", "sum"),
+            min_ts=("ts", "min"), max_ts=("ts", "max"),
         )
+        return out.reset_index()
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
-    out["user_id"] = out["user_id"].astype("int64")
-    out["n_events"] = out["n_events"].astype("int64")
-    out["n_sessions"] = out["n_sessions"].astype("int64")
+    parts = ds.map_batches(block_partials, batch_format="pandas", batch_size=None).to_pandas()
+    parts = parts.sort_values(["user_id", "min_ts"], kind="stable").reset_index(drop=True)
+    same = parts["user_id"].eq(parts["user_id"].shift())
+    bgap = parts["min_ts"] - parts["max_ts"].shift()
+    parts["n_gaps"] = parts["n_gaps"] + (same & (bgap > gap)).astype("int64")
+    out = parts.groupby("user_id", as_index=False).agg(
+        n_events=("n_events", "sum"), n_gaps=("n_gaps", "sum")
+    )
+    out["n_sessions"] = out["n_gaps"] + 1
+    out = out[["user_id", "n_events", "n_sessions"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -295,20 +350,35 @@ def events_sessions(sf_dir: str) -> pd.DataFrame:
 
 
 def orders_gap_stats(sf_dir: str) -> pd.DataFrame:
+    """Lag window, same vectorized shape as :func:`events_sessions`: ONE
+    range sort on (o_custkey, o_orderdate), per-block ``diff`` masked at
+    customer boundaries, then one vectorized shift over the per-block
+    partials to close straddled-customer boundary gaps."""
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    ds = ds.sort(["o_custkey", "o_orderdate"])
 
-    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("o_orderdate")
-        gaps = g["o_orderdate"].diff().dt.days.dropna()
-        return pd.DataFrame(
-            {
-                "o_custkey": [g["o_custkey"].iloc[0]],
-                "n_orders": [len(g)],
-                "max_gap_days": [int(gaps.max()) if len(gaps) else 0],
-            }
+    def block_partials(df: pd.DataFrame) -> pd.DataFrame:
+        gaps = df["o_orderdate"].diff().dt.days
+        boundary = df["o_custkey"].ne(df["o_custkey"].shift())
+        local_gap = gaps.where(~boundary, other=np.nan)
+        out = df.assign(_gap=local_gap).groupby("o_custkey", sort=False).agg(
+            n_orders=("o_orderdate", "size"),
+            max_gap=("_gap", "max"),
+            min_d=("o_orderdate", "min"),
+            max_d=("o_orderdate", "max"),
         )
+        return out.reset_index()
 
-    out = ds.groupby("o_custkey").map_groups(per_cust, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(block_partials, batch_format="pandas", batch_size=None).to_pandas()
+    parts = parts.sort_values(["o_custkey", "min_d"], kind="stable").reset_index(drop=True)
+    same = parts["o_custkey"].eq(parts["o_custkey"].shift())
+    bgap = (parts["min_d"] - parts["max_d"].shift()).dt.days.where(same)
+    parts["max_gap"] = parts[["max_gap"]].assign(b=bgap).max(axis=1)
+    out = parts.groupby("o_custkey", as_index=False).agg(
+        n_orders=("n_orders", "sum"), max_gap=("max_gap", "max")
+    )
+    out["max_gap_days"] = out["max_gap"].fillna(0)
+    out = out[["o_custkey", "n_orders", "max_gap_days"]]
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("o_custkey").reset_index(drop=True)

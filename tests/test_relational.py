@@ -1,0 +1,124 @@
+"""Relational-query tests: DuckDB oracle parity at sf0.001 plus structural
+scale-shape guards (VERDICT r1 items 2-3).
+
+The scale guards are source-level regression tests: q3/q5 must join the
+fact tables with a hash-shuffle ``Dataset.join`` (never a driver-built map
+over ``orders``), and the window queries must use one vectorized lag per
+block (never a Python callback per key via ``map_groups``).
+"""
+
+from __future__ import annotations
+
+import inspect
+
+import duckdb
+import pytest
+
+import __ray_entry__ as entrymod
+from ai_intel_web_scraper_ray.pipelines import relational as rel
+from tools.check_correctness import compare, to_pandas
+
+SF_DIR = "/root/testdata/sf0.001"
+
+ORACLE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "q6_revenue_delta",
+    "part_type_stats",
+    "supplier_nation_acct",
+    "events_tumbling",
+    "events_sessions",
+    "events_props_k",
+    "orders_gap_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for tbl in "region nation customer supplier part orders lineitem events".split():
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF_DIR}/{tbl}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_parity(name, duck):
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    ray_df = to_pandas(qs[name](SF_DIR))
+    sql_df = duck.execute(sqls[name]).fetch_df()
+    problems = compare(name, ray_df, sql_df)
+    assert not problems, f"{name}: {problems}"
+
+
+# ---------------------------------------------------------------------------
+# scale-shape guards
+# ---------------------------------------------------------------------------
+
+
+def test_fact_joins_are_shuffle_not_driver_maps():
+    """q3/q5 must never build a driver-side structure over the orders fact
+    table (VERDICT r1 'What's wrong' #2): the orders Dataset flows into
+    ``Dataset.join`` and the only ``to_pandas()`` collections are true
+    dimensions (customer, nation) or bounded partials."""
+    for fn in (rel.q3_top_orders, rel.q5_nation_revenue):
+        src = inspect.getsource(fn)
+        assert ".join(" in src, f"{fn.__name__} no longer uses a shuffle join"
+        # the orders read must stay a Dataset: no driver collection of it
+        assert '"orders"' in src
+        for bad in ("order_nation", 'orders").to_pandas', "orders.to_pandas",
+                    "zip(orders"):
+            assert bad not in src, f"{fn.__name__} builds a driver-side orders map"
+
+
+def test_window_queries_are_vectorized_lag():
+    """events_sessions / orders_gap_stats must not run one Python callback
+    per key (VERDICT r1 'What's wrong' #3): no map_groups, one sorted
+    vectorized diff per block instead."""
+    for fn in (rel.events_sessions, rel.orders_gap_stats):
+        src = inspect.getsource(fn)
+        assert "map_groups" not in src, f"{fn.__name__} regressed to per-key callbacks"
+        assert ".sort(" in src and ".diff()" in src
+
+
+def test_session_boundary_straddle():
+    """A user whose sorted events straddle blocks must still count the
+    boundary gap: force tiny blocks so every user straddles, then compare
+    with the single-partition answer."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ai_intel_web_scraper_ray.pipelines.relational import SESSION_GAP_MIN
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for uid in range(4):
+        ts = base
+        for i in range(10):
+            # alternate small / large gaps → several sessions per user
+            ts = ts + pd.Timedelta(minutes=5 if i % 3 else SESSION_GAP_MIN + 10)
+            rows.append({"user_id": uid, "ts": ts})
+    df = pd.DataFrame(rows)
+
+    expected = {}
+    for uid, g in df.groupby("user_id"):
+        gaps = g.sort_values("ts")["ts"].diff()
+        expected[uid] = int((gaps > pd.Timedelta(minutes=SESSION_GAP_MIN)).sum()) + 1
+
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.sample(frac=1, random_state=7).reset_index(drop=True).to_parquet(
+            os.path.join(tmp, "events.parquet")
+        )
+        # monkeypatch-free: call the pipeline against the tmp dir; _read's
+        # override_num_blocks=8 splits 40 rows into tiny blocks, so sorted
+        # users straddle block boundaries
+        out = rel.events_sessions(tmp)
+
+    got = dict(zip(out["user_id"], out["n_sessions"]))
+    assert got == expected

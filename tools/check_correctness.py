@@ -50,6 +50,24 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list:
     if len(a) == len(b):
         for c in a.columns:
             av, bv = a[c].to_numpy(), b[c].to_numpy()
+            # The driver's hash is dtype-KIND-sensitive: int64 `5` vs float64
+            # `5.0` hash differently even though values coerce equal (the r1
+            # events_sessions/events_props_k failures — DuckDB HUGEINT SUM
+            # comes back float64).  Width differences (int32 vs int64) hash
+            # the same (chunk_documents passed r1 with int32 vs int64), so
+            # flag only integer-vs-float kind divergence.
+            def _kind(dt):
+                if np.issubdtype(dt, np.floating):
+                    return "float"
+                if np.issubdtype(dt, np.integer):
+                    return "int"
+                return "other"
+
+            if _kind(av.dtype) != _kind(bv.dtype):
+                problems.append(
+                    f"col {c}: dtype kind mismatch ray={av.dtype} sql={bv.dtype} (driver hash would differ)"
+                )
+                continue
             if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
                 ok = np.allclose(av.astype(float), bv.astype(float), rtol=0, atol=1e-9, equal_nan=True)
                 exact = np.array_equal(av.astype(float), bv.astype(float))
