@@ -42,20 +42,6 @@ from ..functions import minhash as mh
 # ---------------------------------------------------------------------------
 
 
-def _first_per_key(t: pa.Table, key_col: str, seq_col: str) -> pa.Table:
-    """Arrow-native keep-min-seq-per-key via take (no pandas round-trip, so
-    list/struct columns survive untouched)."""
-    keys = t[key_col].to_pylist()
-    seqs = t[seq_col].to_numpy(zero_copy_only=False)
-    best: Dict = {}
-    for i, (k, s) in enumerate(zip(keys, seqs)):
-        cur = best.get(k)
-        if cur is None or s < cur[0]:
-            best[k] = (s, i)
-    idx = sorted(i for _, i in best.values())
-    return t.take(pa.array(idx, pa.int64()))
-
-
 def _losers_per_key(t: pa.Table, key_col: str, seq_col: str) -> pa.Table:
     """All seqs except the min per key — the rows to DROP."""
     keys = t[key_col].to_pylist()
@@ -322,22 +308,33 @@ def minhash_dedup(
         rows = []
         for band_val, g in bucket[bucket["band"].isin(multi)].groupby("band", sort=False):
             g = g.sort_values(seq_col, kind="stable").drop_duplicates(id_col)
-            m = len(g)
-            if m < 2:
+            if len(g) < 2:
                 continue
-            if m > MAX_GROUP:
-                # near-dup bands are cliques in practice; cap the quadratic
-                # blowup by pairing everything against the earliest arrivals
-                g = g.iloc[: MAX_GROUP]
-                m = MAX_GROUP
-            sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in g["sig"]])
-            ids = g[id_col].to_numpy()
-            seqs = g[seq_col].to_numpy()
-            for i in range(m - 1):
-                agree = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            # Cap the quadratic blowup on degenerate bands: the earliest
+            # MAX_GROUP arrivals pair among themselves; every row beyond the
+            # cap pairs against that retained slice only (near-dup bands are
+            # cliques in practice, so the earliest kept member catches each
+            # tail row).  Total work is O(m · MAX_GROUP), not O(m²), and no
+            # row is silently skipped.
+            head, tail = g.iloc[:MAX_GROUP], g.iloc[MAX_GROUP:]
+            hsigs = np.stack([np.asarray(s, dtype=np.uint64) for s in head["sig"]])
+            hids = head[id_col].to_numpy()
+            hseqs = head[seq_col].to_numpy()
+            for i in range(len(head) - 1):
+                agree = (hsigs[i + 1 :] == hsigs[i]).mean(axis=1)
                 for off in np.nonzero(agree >= threshold)[0]:
                     j = i + 1 + off
-                    rows.append((ids[i], ids[j], seqs[i], seqs[j]))
+                    rows.append((hids[i], hids[j], hseqs[i], hseqs[j]))
+            if len(tail):
+                tids = tail[id_col].to_numpy()
+                tseqs = tail[seq_col].to_numpy()
+                tsigs = np.stack([np.asarray(s, dtype=np.uint64) for s in tail["sig"]])
+                for lo in range(0, len(tail), 512):  # bound broadcast memory
+                    chunk = tsigs[lo : lo + 512]
+                    agree = (chunk[:, None, :] == hsigs[None, :, :]).mean(axis=2)
+                    ti, hi = np.nonzero(agree >= threshold)
+                    for a, b in zip(ti, hi):
+                        rows.append((hids[b], tids[lo + a], hseqs[b], tseqs[lo + a]))
         if not rows:
             return empty
         return pd.DataFrame(rows, columns=["a_id", "b_id", "a_seq", "b_seq"])
@@ -455,20 +452,28 @@ def ngram_jaccard_dedup(
             g = g.sort_values(seq_col, kind="stable").drop_duplicates(id_col)
             if len(g) < 2:
                 continue
-            g = g.iloc[:MAX_GROUP]
+            # same cap semantics as minhash_dedup: earliest MAX_GROUP pair
+            # among themselves, each tail row pairs against that slice only
+            # (O(m · MAX_GROUP) set intersections, no silent skips)
             shingle_sets = [set(mh.shingles(t)) for t in g["_text"]]
             ids = g[id_col].to_numpy()
             seqs = g[seq_col].to_numpy()
-            for i in range(len(g) - 1):
-                for j in range(i + 1, len(g)):
-                    sa, sb = shingle_sets[i], shingle_sets[j]
-                    if not sa and not sb:
-                        jac = 1.0
-                    elif not sa or not sb:
-                        jac = 0.0
-                    else:
-                        jac = len(sa & sb) / len(sa | sb)
-                    if jac >= threshold:
+
+            def jac(sa, sb):
+                if not sa and not sb:
+                    return 1.0
+                if not sa or not sb:
+                    return 0.0
+                return len(sa & sb) / len(sa | sb)
+
+            hn = min(len(g), MAX_GROUP)
+            for i in range(hn - 1):
+                for j in range(i + 1, hn):
+                    if jac(shingle_sets[i], shingle_sets[j]) >= threshold:
+                        rows.append((ids[i], ids[j], seqs[i], seqs[j]))
+            for j in range(hn, len(g)):
+                for i in range(hn):
+                    if jac(shingle_sets[i], shingle_sets[j]) >= threshold:
                         rows.append((ids[i], ids[j], seqs[i], seqs[j]))
         if not rows:
             return empty
@@ -503,6 +508,15 @@ def ngram_jaccard_dedup(
 # banding — hamming ≤ k implies at least one of k+1 equal-width chunks is
 # identical, so groupby chunk value finds all candidates exactly.
 # ---------------------------------------------------------------------------
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (SWAR), no Python-int round trip."""
+    x = x.astype(np.uint64, copy=True)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
 
 
 def simhash_dedup(
@@ -553,20 +567,28 @@ def simhash_dedup(
         if len(multi) == 0:
             return empty
         rows = []
+        MAX_GROUP = 256
         for _, g in bucket[bucket["chunk_key"].isin(multi)].groupby("chunk_key", sort=False):
             g = g.sort_values(seq_col, kind="stable").drop_duplicates(id_col)
             if len(g) < 2:
                 continue
-            g = g.iloc[:256]
             sims = g["_sim"].to_numpy().astype(np.uint64)
             ids = g[id_col].to_numpy()
             seqs = g[seq_col].to_numpy()
-            for i in range(len(g) - 1):
-                x = sims[i] ^ sims[i + 1 :]
-                ham = np.array([bin(int(v)).count("1") for v in x])
+            # cap semantics match minhash_dedup: earliest MAX_GROUP pair
+            # among themselves; tail rows pair against that slice only
+            hn = min(len(g), MAX_GROUP)
+            for i in range(hn - 1):
+                x = sims[i] ^ sims[i + 1 : hn]
+                ham = _popcount64(x)
                 for off in np.nonzero(ham <= max_hamming)[0]:
                     j = i + 1 + off
                     rows.append((ids[i], ids[j], seqs[i], seqs[j]))
+            if len(g) > hn:
+                for j in range(hn, len(g)):
+                    ham = _popcount64(sims[:hn] ^ sims[j])
+                    for i in np.nonzero(ham <= max_hamming)[0]:
+                        rows.append((ids[i], ids[j], seqs[i], seqs[j]))
         if not rows:
             return empty
         return pd.DataFrame(rows, columns=["a_id", "b_id", "a_seq", "b_seq"])
@@ -606,15 +628,22 @@ def embedding_cosine_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_planes: int = 16,
     seed: int = 1234,
     materialize_input: bool = True,
 ):
-    """Near-dup by embedding cosine: random-hyperplane buckets (+1 salt
-    rotation for recall) → per-bucket pairwise cosine ≥ threshold →
-    keep-min-id per greedy order.  Returns (deduped_ds, n_dropped)."""
+    """Near-dup by embedding cosine: random-hyperplane buckets (two
+    independent plane sets for recall — multi-probe) → per-bucket pairwise
+    cosine ≥ threshold → keep-min-id per greedy order.  Returns
+    (deduped_ds, n_dropped).
+
+    Scale shape: 16 planes → 65k buckets per rotation, so at 10⁹ vectors a
+    bucket holds ~15k rows, and the per-bucket pairwise work is additionally
+    capped at O(m · MAX_GROUP) with the same head/tail semantics as the text
+    dedup paths (tail rows pair against the earliest-id slice only)."""
     if materialize_input:
         ds = ds.materialize()
+    MAX_GROUP = 256
 
     def to_buckets(t: pa.Table) -> pa.Table:
         from ..pipelines.search import HyperplaneLSH
@@ -644,16 +673,30 @@ def embedding_cosine_dedup(
 
     def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"a_id": [], "b_id": []})
-        g = g.drop_duplicates(id_col)
+        # greedy order key is the id itself → "earliest" = smallest id
+        g = g.drop_duplicates(id_col).sort_values(id_col, kind="stable")
         if len(g) < 2:
             return empty
         vecs = np.stack([np.asarray(v, dtype=np.float64) for v in g["_vec"]])
         ids = g[id_col].to_numpy()
-        sims = vecs @ vecs.T
+        hn = min(len(g), MAX_GROUP)
+        head = vecs[:hn]
+        sims = head @ head.T
         ai, bi = np.nonzero(np.triu(sims >= threshold, k=1))
-        if not len(ai):
+        out_a, out_b = [ids[ai]], [ids[bi]]
+        # tail rows pair against the retained smallest-id slice only, in
+        # bounded matmul chunks — O(m · MAX_GROUP) instead of O(m²)
+        for lo in range(hn, len(g), 4096):
+            chunk = vecs[lo : lo + 4096]
+            sims = chunk @ head.T
+            ti, hi = np.nonzero(sims >= threshold)
+            out_a.append(ids[hi])
+            out_b.append(ids[lo + ti])
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        if not len(a):
             return empty
-        return pd.DataFrame({"a_id": ids[ai], "b_id": ids[bi]})
+        return pd.DataFrame({"a_id": a, "b_id": b})
 
     buckets = ds.map_batches(to_buckets, batch_format="pyarrow")
     edges = buckets.groupby("bucket").map_groups(bucket_edges, batch_format="pandas").to_pandas()

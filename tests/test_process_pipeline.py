@@ -92,6 +92,38 @@ class TestDedup:
         dropped = dd.greedy_resolve([("a", "b"), ("b", "c")], {"a": 0, "b": 1, "c": 2})
         assert dropped == {"b"}
 
+    def test_verified_lsh_deviation_is_pinned(self):
+        """DOCUMENTED DEVIATION from the reference (deduplicator.py:122-144):
+        the reference accepts raw datasketch-LSH band hits unverified; this
+        engine verifies est_jaccard ≥ threshold before accepting an edge.
+        This fixture is a pair that COLLIDES in at least one LSH band (the
+        reference would drop one) but whose estimated Jaccard is below the
+        0.7 threshold (this engine keeps both) — asserting the divergence is
+        known and bounded, not invisible."""
+        import pyarrow as pa
+
+        from ai_intel_web_scraper_ray.functions import minhash as mh
+
+        base_words = [f"w{i}" for i in range(60)]
+        base = " ".join(base_words)
+        # deterministic given the pinned minhash permutations: shares the
+        # first 47 words, the rest replaced → est_jaccard ≈ 0.60 < 0.7
+        var = " ".join(base_words[:47] + [f"x{i}" for i in range(13)])
+        sigs = mh.signatures_batch([base, var])
+        est = float((sigs[0] == sigs[1]).mean())
+        bands = mh.band_hashes(sigs)
+        assert set(bands[0]) & set(bands[1]), "fixture must collide in a band"
+        assert est < mh.DEFAULT_THRESHOLD, "fixture must fail verification"
+
+        t = pa.table({
+            "id": pa.array(["a", "b"]),
+            "arrival_seq": pa.array([0, 1], pa.int64()),
+            "text": pa.array([base, var]),
+        })
+        ds, n_dropped = dd.minhash_dedup(rd.from_arrow(t))
+        assert n_dropped == 0            # raw-LSH reference would drop one
+        assert sorted(ds.to_pandas()["id"]) == ["a", "b"]
+
 
 class TestFullProcess:
     def test_matches_oracle_end_to_end(self):

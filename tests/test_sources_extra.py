@@ -261,3 +261,55 @@ class TestExtraDedup:
         kept = sorted(ds.to_pandas()["vec_id"])
         assert kept == [0, 2]
         assert n == 1
+
+    def test_embedding_cosine_dense_bucket_capped(self):
+        """A deliberately degenerate bucket (600 near-identical vectors, well
+        past MAX_GROUP=256) must still drop everything but the smallest id —
+        tail rows pair against the retained earliest-id slice — and finish in
+        bounded time (O(m·MAX_GROUP), not O(m²))."""
+        import time
+
+        rng = np.random.RandomState(11)
+        base = rng.standard_normal(16)
+        n_rows = 600
+        vecs = (base[None, :] + rng.standard_normal((n_rows, 16)) * 1e-4).astype(np.float32)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n_rows), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(vecs.reshape(-1), pa.float32()), 16),
+        })
+        t0 = time.time()
+        ds, n = dd.embedding_cosine_dedup(rd.from_arrow(t))
+        assert time.time() - t0 < 60
+        kept = ds.to_pandas()["vec_id"].tolist()
+        assert kept == [0]
+        assert n == n_rows - 1
+
+    def test_minhash_dense_band_tail_recall(self):
+        """Rows beyond the per-band MAX_GROUP cap must still be compared
+        (against the retained earliest-arrival slice): 300 identical docs >
+        MAX_GROUP=256 → exactly one survivor."""
+        n_rows = 300
+        text = "identical " * 50
+        t = pa.table({
+            "id": pa.array([f"d{i:04d}" for i in range(n_rows)]),
+            "arrival_seq": pa.array(np.arange(n_rows), pa.int64()),
+            "text": pa.array([text] * n_rows),
+        })
+        ds, n = dd.minhash_dedup(rd.from_arrow(t))
+        kept = ds.to_pandas()["id"].tolist()
+        assert kept == ["d0000"]
+        assert n == n_rows - 1
+
+    def test_simhash_dense_group_tail_recall(self):
+        n_rows = 300
+        text = "identical " * 50
+        t = pa.table({
+            "id": pa.array([f"d{i:04d}" for i in range(n_rows)]),
+            "arrival_seq": pa.array(np.arange(n_rows), pa.int64()),
+            "text": pa.array([text] * n_rows),
+        })
+        ds, n = dd.simhash_dedup(rd.from_arrow(t))
+        kept = ds.to_pandas()["id"].tolist()
+        assert kept == ["d0000"]
+        assert n == n_rows - 1
