@@ -76,36 +76,83 @@ def pages_to_table_ref(pages: List[dict]):
 class FetchExtractWorker:
     """Fetch+extract worker actor (streaming crawl).
 
-    Holds the zero-copy Arrow page store and the frontier shard handles;
-    the real-HTTP variant would hold a connection pool here instead
-    (reference: scrapers/utils.py:43-85 fetch with retry).  Discovered
-    links are routed shard-to-shard without a driver round trip; extracted
-    records are parked in the object store and only counts return."""
+    Holds the zero-copy Arrow page store and the frontier shard handles; a
+    real-HTTP transport (sources/http_transport.py, reference
+    scrapers/utils.py:43-85 session + retry ladder) plugs in via
+    ``transport`` — its connection pool is built once per actor on first
+    fetch.  Discovered links are routed shard-to-shard without a driver
+    round trip; extracted records either park in the object store (counts
+    return) or, with ``records_dir``, stream to per-worker parquet
+    fragments so the driver never holds record bodies at all."""
 
     def __init__(self, pages_table_ref, content_selector: str,
                  exclude_patterns: List[str], max_depth: int,
-                 shards, num_shards: int, seed_domains: List[str]):
-        table = ray.get(pages_table_ref) if not hasattr(pages_table_ref, "column_names") else pages_table_ref
-        self.idx = {u: i for i, u in enumerate(table["url"].to_pylist())}
-        self.status = table["status"].to_pylist()
-        self.html = table["html"]  # ChunkedArray — per-row .as_py() copies one string
+                 shards, num_shards: int, seed_domains: List[str],
+                 wid: int = 0, records_dir: Optional[str] = None,
+                 transport=None):
+        if transport is not None:
+            self.idx = self.status = self.html = None
+        else:
+            table = ray.get(pages_table_ref) if not hasattr(pages_table_ref, "column_names") else pages_table_ref
+            self.idx = {u: i for i, u in enumerate(table["url"].to_pylist())}
+            self.status = table["status"].to_pylist()
+            self.html = table["html"]  # ChunkedArray — per-row .as_py() copies one string
+        self.transport = transport
         self.content_selector = content_selector
         self.exclude = list(exclude_patterns)
         self.max_depth = max_depth
         self.shards = shards
         self.num_shards = num_shards
         self.seed_domains = seed_domains
+        self.wid = wid
+        self.records_dir = records_dir
+        self._frag_seq = 0
+        if records_dir:
+            os.makedirs(os.path.join(records_dir, "frags"), exist_ok=True)
 
-    def fetch_extract(self, items: List[Tuple[str, int]]) -> Tuple[int, int, "ray.ObjectRef"]:
+    def _fetch_html(self, url: str) -> Optional[str]:
+        if self.transport is not None:
+            return self.transport.fetch(url)
+        i = self.idx.get(url)
+        if i is None or self.status[i] != 200:
+            return None
+        return self.html[i].as_py()
+
+    def _write_fragment(self, records: List[dict]) -> str:
+        """Append one atomic parquet fragment (tmp + rename).  The filename
+        carries (wid, pid, seq) so resumed runs never collide with prior
+        fragments; ``frag_row`` preserves intra-fragment extraction order
+        for deterministic downstream keep-first dedup."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        name = f"frag-w{self.wid:03d}-{os.getpid()}-{self._frag_seq:06d}.parquet"
+        self._frag_seq += 1
+        t = pa.table({
+            "url": pa.array([r["url"] for r in records], pa.string()),
+            "depth": pa.array([r["depth"] for r in records], pa.int32()),
+            "title": pa.array([r["title"] for r in records], pa.string()),
+            "text": pa.array([r["text"] for r in records], pa.large_string()),
+            "frag_row": pa.array(range(len(records)), pa.int32()),
+        })
+        final = os.path.join(self.records_dir, "frags", name)
+        tmp = final + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, final)
+        return name
+
+    def fetch_extract(self, items: List[Tuple[str, int]]) -> Tuple[int, int, object]:
+        """Returns (n_records, n_discovered, payload) where payload is an
+        object-store ref of the records, or the fragment filename (str) when
+        streaming to ``records_dir``, or None for an empty streamed batch."""
         records: List[dict] = []
         discovered: List[Tuple[str, int]] = []
         for url, depth in items:
             if _excluded(url, self.exclude):
                 continue
-            i = self.idx.get(url)
-            if i is None or self.status[i] != 200:
+            html = self._fetch_html(url)
+            if html is None:
                 continue
-            html = self.html[i].as_py()
             title, text = extract_content(html, self.content_selector, url)
             if not text.strip():
                 continue
@@ -122,7 +169,36 @@ class FetchExtractWorker:
             by_shard[shard_of(it[0], self.num_shards)].append(it)
         for sid, batch in by_shard.items():
             self.shards[sid].offer_route.remote(batch)
+        if self.records_dir is not None:
+            frag = self._write_fragment(records) if records else None
+            return len(records), len(discovered), frag
         return len(records), len(discovered), ray.put(records)
+
+    def fetch_extract_ordered(self, items: List[Tuple[str, int]]) -> List[dict]:
+        """Ordered-replay variant: one result dict per item, order preserved,
+        raw link lists RETURNED (not routed) so the driver's sequential
+        replay does the ordered check-and-insert.  Same per-actor Arrow page
+        store / HTTP session as fetch_extract."""
+        out = []
+        for url, depth in items:
+            res = {"url": url, "depth": depth, "ok": False, "title": "",
+                   "text": "", "links": []}
+            if _excluded(url, self.exclude):
+                out.append(res)
+                continue
+            html = self._fetch_html(url)
+            if html is None:
+                out.append(res)
+                continue
+            title, text = extract_content(html, self.content_selector, url)
+            if not text.strip():
+                out.append(res)
+                continue
+            res.update(ok=True, title=title, text=text)
+            if depth < self.max_depth:
+                res["links"] = extract_links(html, url, self.content_selector)
+            out.append(res)
+        return out
 
 
 @ray.remote
@@ -306,6 +382,135 @@ def crawl_strict(
     return {"records": records, "order": [r["url"] for r in records], "seen": seen, "stats": stats}
 
 
+def crawl_ordered(
+    pages: List[dict],
+    base_url: str,
+    content_selector: str = "article",
+    max_depth: int = 3,
+    max_pages: int = 200,
+    exclude_patterns: Sequence[str] = (),
+    num_shards: int = 4,
+    window: int = 512,
+    chunk_size: int = 32,
+    pages_ref=None,
+) -> dict:
+    """Reference crawl ORDER + seen-set equality at fetch throughput: the
+    windowed ordered replay from NOTES_r1 #3.
+
+    ``crawl_strict`` pays a round barrier: fetch K, wait for ALL, replay,
+    repeat — wall time is rounds × slowest-fetch.  Here fetches are
+    speculatively dispatched for a sliding WINDOW ahead of the sequential
+    replay cursor; results buffer out of order; the replay consumes them the
+    moment the head block lands, extends the order with newly admitted
+    links (which immediately widens the dispatchable window) and keeps
+    going.  The replay itself is the same sequential budget + ordered
+    check-and-insert as crawl_strict, so crawl order and seen set are
+    bit-equal to the sequential reference (tests pin both); only the fetch
+    scheduling overlaps.  Over-fetched results beyond a budget cut are
+    discarded unreplayed — stop-at-budget semantics unchanged.
+
+    Scale note: the driver holds the order list and replay cursor (O(pages)
+    strings — same as the reference's own BFS queue); fetch bandwidth is the
+    worker pool's (each actor maps the Arrow page store ONCE — per-task dict
+    unpickling is what made the naive version 10× slower).  For corpora
+    where even the order list can't fit one node, order conformance is the
+    wrong requirement — use crawl_scalable.
+    """
+    if pages_ref is None:
+        pages_ref = pages_to_table_ref(pages)
+    shards = make_shards(num_shards)
+
+    import os as _os
+
+    avail = int(ray.available_resources().get("CPU", _os.cpu_count() or 8))
+    num_workers = max(1, avail - int(num_shards * 0.25 + 1) - 1)
+    workers = [
+        FetchExtractWorker.remote(
+            pages_ref, content_selector, list(exclude_patterns), max_depth,
+            [], num_shards, [],
+        )
+        for _ in range(num_workers)
+    ]
+    worker_load = [0] * num_workers
+
+    start = normalize_url(base_url)
+    order: List[Tuple[str, int]] = [(start, 0)]
+    pop = 0            # replay cursor (results consumed)
+    dispatch = 0       # dispatch cursor (fetches issued)
+    records: List[dict] = []
+    ray.get(shards[shard_of(start, num_shards)].offer.remote([(start, 0)], False))
+
+    pending: Dict = {}          # future -> block start index
+    buffered: Dict[int, List[dict]] = {}
+    budget_hit = False
+
+    while (pop < len(order) or pending or buffered) and not budget_hit:
+        # top-up: keep up to `window` positions in flight ahead of the replay
+        while dispatch < len(order) and dispatch - pop < window:
+            end = min(dispatch + chunk_size, len(order), pop + window)
+            items = order[dispatch:end]
+            wid = min(range(num_workers), key=worker_load.__getitem__)
+            fut = workers[wid].fetch_extract_ordered.remote(items)
+            worker_load[wid] += 1
+            pending[fut] = (dispatch, wid)
+            dispatch = end
+
+        if pending:
+            done, _ = ray.wait(list(pending), num_returns=1)
+            for fut in done:
+                start_idx, wid = pending.pop(fut)
+                worker_load[wid] -= 1
+                buffered[start_idx] = ray.get(fut)
+
+        # replay every contiguous block available at the cursor
+        link_batch: List[Tuple[int, int, str, int]] = []  # (abs page idx, link j, url, depth)
+        while pop in buffered and not budget_hit:
+            for res in buffered.pop(pop):
+                if len(records) >= max_pages:
+                    budget_hit = True
+                    break
+                abs_i = pop
+                pop += 1
+                if not res["ok"]:
+                    continue
+                records.append({
+                    "url": res["url"], "depth": res["depth"], "title": res["title"],
+                    "text": res["text"], "crawl_rank": len(records),
+                })
+                for j, link in enumerate(res["links"]):
+                    norm = normalize_url(link)
+                    if is_same_domain(norm, base_url) and not _excluded(norm, exclude_patterns):
+                        link_batch.append((abs_i, j, norm, res["depth"] + 1))
+
+        if link_batch:
+            # ordered sharded check-and-insert, exactly crawl_strict's shape
+            by_shard: Dict[int, List[Tuple[int, int, str, int]]] = defaultdict(list)
+            for t in link_batch:
+                by_shard[shard_of(t[2], num_shards)].append(t)
+            sids = list(by_shard)
+            all_flags = ray.get(
+                [shards[sid].offer.remote([(t[2], t[3]) for t in by_shard[sid]], False)
+                 for sid in sids]
+            )
+            new_links: List[Tuple[int, int, str, int]] = []
+            for sid, flags in zip(sids, all_flags):
+                new_links.extend(t for t, is_new in zip(by_shard[sid], flags) if is_new)
+            new_links.sort(key=lambda t: (t[0], t[1]))
+            order.extend((t[2], t[3]) for t in new_links)
+
+    seen: set = set()
+    for snap in ray.get([s.seen_snapshot.remote() for s in shards]):
+        seen.update(snap)
+    seen.add(start)
+    stats = ray.get([s.stats.remote() for s in shards])
+    for s in shards:
+        ray.kill(s)
+    for w in workers:
+        ray.kill(w)
+    return {"records": records, "order": [r["url"] for r in records], "seen": seen,
+            "stats": stats}
+
+
 def crawl_scalable(
     pages: List[dict],
     seeds: Sequence[str],
@@ -325,18 +530,35 @@ def crawl_scalable(
     checkpoint_dir: Optional[str] = None,
     resume: bool = False,
     stop_after_fetches: Optional[int] = None,
+    records_dir: Optional[str] = None,
+    transport=None,
+    wall_clock_politeness: bool = False,
 ) -> dict:
     """Throughput-shaped crawl: a fetch/extract worker actor pool fed by
     politeness-scheduled leases from the frontier shards; links route
-    shard-to-shard; no global order barrier.  Virtual clock (no sleeping).
+    shard-to-shard; no global order barrier.
+
+    POLITENESS CLOCK: by default the lease schedule runs on a VIRTUAL clock
+    (no sleeping) — correct for the mock transport and for measuring
+    scheduler throughput, but min_delay is NOT enforced in wall time.  With
+    a live ``transport`` you MUST pass ``wall_clock_politeness=True``: the
+    driver then holds every lease whose scheduled time is still in the
+    future and dispatches it only once the wall clock reaches it.
+
+    RECORD STREAMING: with ``records_dir``, workers append extracted
+    records to per-worker atomic parquet fragments and only counts +
+    fragment names cross the driver — the driver never holds record bodies
+    and the checkpoint stores the fragment manifest, not the records.  Read
+    the result back with :func:`load_crawl_records`.
 
     Checkpoint/resume: with ``checkpoint_dir`` + ``stop_after_fetches``, the
     crawl stops after N fetch-task completions, re-pushes every outstanding
     lease back onto its host shard (so nothing in flight is lost), snapshots
     all shard state (seen set, heap, politeness, flow counters) and persists
-    the records crawled so far; ``resume=True`` continues to completion and
-    the union of partial+resumed records equals an uninterrupted run's."""
-    if pages_table_ref is None:
+    the records crawled so far (or their fragment manifest); ``resume=True``
+    continues to completion and the union of partial+resumed records equals
+    an uninterrupted run's."""
+    if pages_table_ref is None and transport is None:
         pages_table_ref = pages_to_table_ref(pages)
     shards = make_shards(num_shards, min_delay, respect_robots, robots_texts,
                          depth_refinement=max_depth < 10**6)
@@ -344,6 +566,7 @@ def crawl_scalable(
 
     ckpt = CrawlCheckpoint(checkpoint_dir) if checkpoint_dir else None
     prior_records: List[dict] = []
+    frag_manifest: List[Tuple[str, int]] = []  # (fragment name, n_records)
     offers_sent = 0
 
     def offer_async(items: List[Tuple[str, int]]) -> int:
@@ -362,13 +585,14 @@ def crawl_scalable(
     if state:
         d = state["driver"]
         offers_sent = d["offers_sent"]
-        prior_records = d["records"]
+        prior_records = d.get("records", [])
+        frag_manifest = [tuple(x) for x in d.get("frags", [])]
         ray.get([s.restore.remote(st) for s, st in zip(shards, state["shards"])])
     else:
         seed_items = [(normalize_url(s), 0) for s in seeds]
         offers_sent += offer_async(seed_items)
 
-    n_records = len(prior_records)
+    n_records = len(prior_records) + sum(n for _, n in frag_manifest)
     record_refs: List = []
     now = state["driver"]["now"] if state else 0.0
     n_fetch_completions = 0
@@ -387,8 +611,9 @@ def crawl_scalable(
         FetchExtractWorker.remote(
             pages_table_ref, content_selector, exclude_list, max_depth,
             shards, num_shards, seed_domains,
+            wid=w, records_dir=records_dir, transport=transport,
         )
-        for _ in range(num_workers)
+        for w in range(num_workers)
     ]
     worker_load = [0] * num_workers
 
@@ -399,15 +624,20 @@ def crawl_scalable(
     fetch_out: Dict = {}  # fetch future -> worker id
     idle_shards: set = set()
 
-    def issue_take(sid: int) -> None:
-        take_out[shards[sid].take.remote(lease_per_shard, now)] = sid
+    import heapq
+    import time as _time_mod
 
-    def spawn_fetches(lease) -> None:
-        nonlocal now
-        flat = []
-        for url, depth, t in lease:
-            flat.append((url, depth))
-            now = max(now, t)
+    delayed: List[Tuple[float, str, int]] = []  # (not-before wall t, url, depth)
+    wall_t0 = _time_mod.monotonic()
+
+    def wall_now() -> float:
+        return _time_mod.monotonic() - wall_t0
+
+    def issue_take(sid: int) -> None:
+        t = wall_now() if wall_clock_politeness else now
+        take_out[shards[sid].take.remote(lease_per_shard, t)] = sid
+
+    def dispatch_items(flat: List[Tuple[str, int]]) -> None:
         chunk = chunk_size or max(32, len(flat) // num_workers // 2 + 1)
         for i in range(0, len(flat), chunk):
             part = flat[i : i + chunk]
@@ -416,10 +646,41 @@ def crawl_scalable(
             worker_load[wid] += 1
             fetch_out[fut] = (wid, part)
 
+    def spawn_fetches(lease) -> None:
+        nonlocal now
+        flat = []
+        for url, depth, t in lease:
+            if wall_clock_politeness and t > wall_now():
+                # hold the lease until its scheduled wall time — with a live
+                # transport this is what enforces min_delay per host
+                heapq.heappush(delayed, (t, url, depth))
+                continue
+            flat.append((url, depth))
+            now = max(now, t)
+        if flat:
+            dispatch_items(flat)
+
+    def release_due() -> None:
+        due: List[Tuple[str, int]] = []
+        w = wall_now()
+        while delayed and delayed[0][0] <= w:
+            _t, url, depth = heapq.heappop(delayed)
+            due.append((url, depth))
+        if due:
+            dispatch_items(due)
+
     for sid in range(num_shards):
         issue_take(sid)
 
     while n_records < max_pages:
+        if wall_clock_politeness:
+            release_due()
+        if not take_out and not fetch_out and delayed:
+            # everything else idle but held leases remain: sleep to the next
+            # scheduled dispatch instead of spinning
+            _time_mod.sleep(max(0.0, delayed[0][0] - wall_now()))
+            release_due()
+            continue
         if not take_out and not fetch_out:
             # everything idle: quiescent only when every routed message has
             # landed and all heaps are empty (flow-counter conservation)
@@ -450,10 +711,14 @@ def crawl_scalable(
             else:
                 wid, _part = fetch_out.pop(fut)
                 worker_load[wid] -= 1
-                n_rec, n_offers, rec_ref = ray.get(fut)
+                n_rec, n_offers, payload = ray.get(fut)
                 n_records += n_rec
                 offers_sent += n_offers
-                record_refs.append(rec_ref)
+                if records_dir is not None:
+                    if payload is not None:
+                        frag_manifest.append((payload, n_rec))
+                else:
+                    record_refs.append(payload)
                 n_fetch_completions += 1
                 woke_idle = True
         if stop_after_fetches is not None and n_fetch_completions >= stop_after_fetches:
@@ -479,9 +744,20 @@ def crawl_scalable(
             for url, depth, _t in ray.get(fut):
                 by_host[host_shard_of(url, num_shards)].append((url, depth))
         take_out.clear()
+        for _t, url, depth in delayed:  # held wall-clock leases re-push too
+            by_host[host_shard_of(url, num_shards)].append((url, depth))
+        delayed.clear()
         for fut, (wid, part) in list(fetch_out.items()):
-            _n_rec, n_offers, _ref = ray.get(fut)
+            _n_rec, n_offers, payload = ray.get(fut)
             offers_sent += n_offers
+            if records_dir is not None and payload is not None:
+                # worker already wrote the fragment, but these records are
+                # DISCARDED (their leases re-push for re-fetch on resume) —
+                # delete the orphan so resume can't double-count it
+                try:
+                    os.remove(os.path.join(records_dir, "frags", payload))
+                except OSError:
+                    pass
             for it in part:
                 by_host[host_shard_of(it[0], num_shards)].append(it)
         fetch_out.clear()
@@ -498,7 +774,15 @@ def crawl_scalable(
             _time.sleep(0.01)
 
     records: List[dict] = list(prior_records)
-    if materialize_records:
+    if records_dir is not None:
+        # records live in worker-written parquet fragments; the driver holds
+        # only (fragment name, count).  Persist the manifest so readers and
+        # resumed runs trust exactly the committed fragments.
+        manifest_tmp = os.path.join(records_dir, "_manifest.json.tmp")
+        with open(manifest_tmp, "w") as f:
+            json.dump({"fragments": [[p, n] for p, n in frag_manifest]}, f)
+        os.replace(manifest_tmp, os.path.join(records_dir, "_manifest.json"))
+    elif materialize_records:
         # depth-refinement may re-fetch a page at a smaller depth → dedupe
         # by URL keeping the first occurrence
         seen_urls = {r["url"] for r in records}
@@ -515,10 +799,13 @@ def crawl_scalable(
 
     if ckpt:
         shard_states = ray.get([s.checkpoint.remote() for s in shards])
-        ckpt.save(
-            {"offers_sent": offers_sent, "records": records, "now": now},
-            shard_states,
-        )
+        if records_dir is not None:
+            driver_state = {"offers_sent": offers_sent, "now": now,
+                            "frags": [[p, n] for p, n in frag_manifest]}
+        else:
+            driver_state = {"offers_sent": offers_sent, "records": records,
+                            "now": now}
+        ckpt.save(driver_state, shard_states)
 
     seen: set = set()
     for snap in ray.get([s.seen_snapshot.remote() for s in shards]):
@@ -530,4 +817,54 @@ def crawl_scalable(
         ray.kill(w)
     return {"records": records, "n_records": min(n_records, max_pages),
             "record_refs": record_refs, "seen": seen, "stats": stats,
-            "virtual_time": now}
+            "virtual_time": now, "records_path": records_dir,
+            "frag_manifest": frag_manifest}
+
+
+def load_crawl_records(records_dir: str, max_pages: Optional[int] = None):
+    """Read a streamed crawl's committed record fragments back as a Ray
+    Dataset, deduped by URL keeping the first occurrence in deterministic
+    fragment order (sorted fragment name, then intra-fragment ``frag_row``)
+    with a ``crawl_rank`` column — the streaming analogue of
+    ``crawl_scalable``'s driver-side materialization.
+
+    Test-scale helper: the final rank assignment sorts the (already
+    URL-deduped) records; at 100-TB scale keep the unsorted Dataset and skip
+    ranks."""
+    import pandas as pd
+    import ray.data as rd
+
+    with open(os.path.join(records_dir, "_manifest.json")) as f:
+        frag_names = [p for p, _n in json.load(f)["fragments"]]
+    if not frag_names:
+        return rd.from_items([])
+    order_of = {name: i for i, name in enumerate(sorted(frag_names))}
+    paths = [os.path.join(records_dir, "frags", p) for p in sorted(frag_names)]
+    ds = rd.read_parquet(paths, include_paths=True)
+
+    def add_order(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        frag_idx = df["path"].map(lambda p: order_of[os.path.basename(p)])
+        df["_order"] = frag_idx.astype("int64") * 1_000_000_000 + df["frag_row"].astype("int64")
+        return df.drop(columns=["path"])
+
+    ds = ds.map_batches(add_order, batch_format="pandas")
+    from ..stages.dedup import exact_url_dedup
+
+    ds = exact_url_dedup(ds, url_col="url", seq_col="_order")
+    ds = ds.sort("_order")
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["frag_row"])
+
+    ds = ds.map_batches(finalize, batch_format="pandas")
+    if max_pages is not None:
+        ds = ds.limit(max_pages)
+    # materialize ranks via a window-free trick: _order is globally unique
+    # and sorted; rank = position.  Assign per-block using cumulative counts.
+    df = ds.to_pandas() if ds.count() <= 1_000_000 else None
+    if df is not None:
+        df = df.sort_values("_order").reset_index(drop=True)
+        df["crawl_rank"] = df.index.astype("int64")
+        return rd.from_pandas(df.drop(columns=["_order"]))
+    return ds

@@ -106,6 +106,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     crawl_urls_per_sec = round(n_seen / crawl_sec, 1)
     crawl_docs_per_sec = round(n_crawled / crawl_sec, 1)
 
+    # -- ordered crawl (reference order at throughput) ---------------------
+    # windowed ordered replay from one seed: crawl ORDER is bit-equal to the
+    # sequential reference (pinned by tests/test_crawl_streaming.py) while
+    # fetches overlap — the conformance-without-the-round-barrier mode
+    from ai_intel_web_scraper_ray.pipelines.crawl import crawl_ordered
+
+    t0 = time.perf_counter()
+    ores = crawl_ordered(
+        [], pages[0]["url"], max_depth=10**7, max_pages=10**9,
+        num_shards=min(8, max(4, num_cpus // 4)), window=4096, chunk_size=64,
+        pages_ref=pages_table_ref,
+    )
+    ordered_sec = time.perf_counter() - t0
+    timings["crawl_ordered"] = round(ordered_sec, 3)
+    ordered_docs_per_sec = round(len(ores["records"]) / ordered_sec, 1)
+
     # -- politeness-bound crawl (virtual clock) ---------------------------
     # small graph, per-host min-delay on: verifies the token-bucket floor
     # (virtual time ≥ (pages_on_hottest_host - 1) × delay) while wall time
@@ -152,6 +168,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "crawl_polite_pages": polite["n_records"],
         "crawl_polite_virtual_sec": round(polite["virtual_time"], 2),
         "crawl_polite_wall_sec": polite_wall,
+        "crawl_ordered_pages": len(ores["records"]),
+        "crawl_ordered_docs_per_sec": ordered_docs_per_sec,
         "cpu_baseline_miter_per_sec": cpu_baseline,
     }
     ray.shutdown()
@@ -167,27 +185,45 @@ def run_subprocess(ncpu: int) -> dict:
 
 def main():
     if "--scaling" in sys.argv:
+        # Repeats are BAKED IN (VERDICT r1 #9): run lo/hi interleaved N
+        # times (default 3, $GRAFT_SCALING_REPEATS) so ambient-load skew on
+        # a shared host can't make one lucky pair the headline; report every
+        # per-pair efficiency plus the medians (raw and machine-normalized).
         lo, hi = 8, 32
-        r_lo = run_subprocess(lo)
-        r_hi = run_subprocess(hi)
-        # efficiency on the crawl fetch+extract throughput (the north-rule
-        # metric) and on total wall time
-        thr_ratio = r_hi["crawl_docs_per_sec"] / max(r_lo["crawl_docs_per_sec"], 1e-9)
-        thr_eff = round(thr_ratio / (hi / lo), 3)
-        time_eff = round((r_lo["value"] / max(r_hi["value"], 1e-9)) / (hi / lo), 3)
-        base_ratio = r_hi["cpu_baseline_miter_per_sec"] / max(r_lo["cpu_baseline_miter_per_sec"], 1e-9)
+        repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+        runs = []
+        for _ in range(repeats):
+            r_lo = run_subprocess(lo)
+            r_hi = run_subprocess(hi)
+            thr_ratio = r_hi["crawl_docs_per_sec"] / max(r_lo["crawl_docs_per_sec"], 1e-9)
+            base_ratio = r_hi["cpu_baseline_miter_per_sec"] / max(r_lo["cpu_baseline_miter_per_sec"], 1e-9)
+            runs.append({
+                "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+                "crawl_docs_per_sec_lo": r_lo["crawl_docs_per_sec"],
+                "crawl_docs_per_sec_hi": r_hi["crawl_docs_per_sec"],
+                "cpu_baseline_lo": r_lo["cpu_baseline_miter_per_sec"],
+                "cpu_baseline_hi": r_hi["cpu_baseline_miter_per_sec"],
+                "raw_efficiency": round(thr_ratio / (hi / lo), 3),
+                "machine_cpu_scaling_efficiency": round(base_ratio / (hi / lo), 3),
+                "normalized_efficiency": round(thr_ratio / max(base_ratio, 1e-9), 3),
+                "total_time_scaling_efficiency": round(
+                    (r_lo["value"] / max(r_hi["value"], 1e-9)) / (hi / lo), 3),
+            })
+
+        def median(xs):
+            xs = sorted(xs)
+            n = len(xs)
+            return xs[n // 2] if n % 2 else round((xs[n // 2 - 1] + xs[n // 2]) / 2, 3)
+
         print(json.dumps({
             "metric": "scaling_efficiency",
             "num_cpus_lo": lo, "num_cpus_hi": hi,
-            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
-            "crawl_docs_per_sec_lo": r_lo["crawl_docs_per_sec"],
-            "crawl_docs_per_sec_hi": r_hi["crawl_docs_per_sec"],
-            "crawl_throughput_scaling_efficiency": thr_eff,
-            "cpu_baseline_lo": r_lo["cpu_baseline_miter_per_sec"],
-            "cpu_baseline_hi": r_hi["cpu_baseline_miter_per_sec"],
-            "machine_cpu_scaling_efficiency": round(base_ratio / (hi / lo), 3),
-            "crawl_efficiency_normalized_to_machine": round(thr_ratio / max(base_ratio, 1e-9), 3),
-            "total_time_scaling_efficiency": time_eff,
+            "repeats": repeats,
+            "runs": runs,
+            "median_raw_efficiency": median([r["raw_efficiency"] for r in runs]),
+            "median_normalized_efficiency": median([r["normalized_efficiency"] for r in runs]),
+            "median_machine_cpu_efficiency": median(
+                [r["machine_cpu_scaling_efficiency"] for r in runs]),
         }))
         return
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
