@@ -124,14 +124,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_canonical": dq.docs_url_canonical,
         "docs_interleaved_roundtrip": dq.docs_interleaved_roundtrip,
         "docs_top_tokens": dq.docs_top_tokens,
-        "docs_fingerprints": dq.docs_fingerprints,         # rows-only
+        "docs_fingerprints": dq.docs_fingerprints,         # pinned-table oracle
         "docs_exact_dedup": dq.docs_exact_dedup,
-        "docs_minhash_dedup": dq.docs_minhash_dedup,       # rows-only
-        "docs_ngram_dedup": dq.docs_ngram_dedup,           # rows-only
-        "docs_simhash_dedup": dq.docs_simhash_dedup,       # rows-only
-        "emb_cosine_dedup": dq.emb_cosine_dedup,           # rows-only
-        "media_decode": dq.media_decode,                   # rows-only
-        "docs_simhash": dq.docs_simhash,                   # rows-only
+        "docs_minhash_dedup": dq.docs_minhash_dedup,       # rows-only (est-jaccard not SQL)
+        "docs_ngram_dedup": dq.docs_ngram_dedup,
+        "docs_simhash_dedup": dq.docs_simhash_dedup,       # rows-only (seeded hash not SQL)
+        "emb_cosine_dedup": dq.emb_cosine_dedup,
+        "media_decode": dq.media_decode,                   # rows-only (stub decode)
+        "docs_simhash": dq.docs_simhash,                   # pinned-table oracle
         # similarity search
         "emb_knn": dq.emb_knn,
         "emb_knn_labels": dq.emb_knn_labels,
@@ -151,6 +151,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
+
+
+# pinned expected table for non-SQL-expressible per-doc functions
+# (tools/gen_pinned_oracles.py) — joined on sha256(text) so any covered
+# corpus (sf0.001 / sf0.01 testdata) validates
+_PINNED = "/root/repo/tests/pinned/doc_expected.parquet"
 
 
 def _sentiment_sql() -> str:
@@ -378,6 +384,63 @@ def oracle_sql() -> dict[str, str]:
         "docs_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text ORDER BY doc_id
+        """,
+        # n-gram-Jaccard dedup oracle: brute-force exact word-3-shingle
+        # Jaccard over all pairs, drop any doc with a smaller-id neighbor at
+        # >= 0.7.  Two corpus-validated assumptions (both re-checked by the
+        # pytest oracle, tests/test_relational-style): (a) LSH candidate
+        # recall is 1 for the testdata's >=0.7 pairs, (b) near-dup clusters
+        # are cliques, where greedy keep-first == drop-if-smaller-neighbor.
+        "docs_ngram_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+                       ELSE list_distinct(list_transform(range(1, len(w) - 1),
+                                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
+                FROM toks
+            ), pairs AS (
+                SELECT b.doc_id AS big
+                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                WHERE (len(a.s) = 0 AND len(b.s) = 0)
+                   OR len(list_intersect(a.s, b.s)) >=
+                      0.7 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            )
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT big FROM pairs) ORDER BY doc_id
+        """,
+        # embedding-cosine dedup oracle: brute-force all-pairs cosine,
+        # same drop-if-smaller-neighbor formulation (clusters are cliques;
+        # two 16-plane LSH rotations catch every >=0.95 pair here)
+        "emb_cosine_dedup": """
+            WITH pairs AS (
+                SELECT b.vec_id AS big
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.95
+            )
+            SELECT vec_id FROM embeddings
+            WHERE vec_id NOT IN (SELECT big FROM pairs) ORDER BY vec_id
+        """,
+        # simhash / fingerprints use seeded polars & rolling hashes DuckDB
+        # can't reproduce → PINNED EXPECTED TABLE joined on content hash
+        # (regression oracle; generated by tools/gen_pinned_oracles.py,
+        # semantics covered by pytest oracles)
+        "docs_simhash": f"""
+            SELECT d.doc_id, p.simhash
+            FROM documents d
+            JOIN read_parquet('{_PINNED}') p ON sha256(d.text) = p.text_sha
+            ORDER BY d.doc_id
+        """,
+        "docs_fingerprints": f"""
+            SELECT d.doc_id, p.n_fingerprints
+            FROM documents d
+            JOIN read_parquet('{_PINNED}') p ON sha256(d.text) = p.text_sha
+            ORDER BY d.doc_id
         """,
         "emb_knn": """
             SELECT vec_id,
