@@ -240,8 +240,11 @@ def docs_url_canonical(sf_dir: str) -> pd.DataFrame:
 
 
 def docs_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
-    """Global term frequency top-k: per-batch vectorized counting (partial
-    aggregation — one row per (word, batch)), then a tiny merge."""
+    """Global term frequency top-k: per-batch partial counts (one row per
+    (word, batch)), then a distributed ``groupby("word")`` shuffle — an
+    unbounded web vocabulary never lands on the driver; only the per-block
+    top-k candidates do (each global top-k word is a within-block top-k of
+    some block, so the driver merge over blocks×k rows is exact)."""
     ds = _docs(sf_dir, ["text"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -256,11 +259,16 @@ def docs_top_tokens(sf_dir: str, k: int = 20) -> pd.DataFrame:
             "n": pa.array([c[w] for w in words], pa.int64()),
         })
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = parts.groupby("word", as_index=False)["n"].sum()
+    totals = ds.map_batches(partial, batch_format="pyarrow").groupby("word").sum("n")
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["sum(n)", "word"], ascending=[False, True]).head(k)
+
+    cands = totals.map_batches(block_topk, batch_format="pandas", batch_size=None).to_pandas()
+    out = cands.rename(columns={"sum(n)": "n"})
     out = out.sort_values(["n", "word"], ascending=[False, True]).head(k)
     out["n"] = out["n"].astype("int64")
-    return out.reset_index(drop=True)
+    return out[["word", "n"]].reset_index(drop=True)
 
 
 def docs_fingerprints(sf_dir: str) -> pd.DataFrame:

