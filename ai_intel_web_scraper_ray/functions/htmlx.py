@@ -243,6 +243,57 @@ def extract_content(html: str, content_selector: str = "article", url: str = "")
     return title, _structured_text(area)
 
 
+def extract_page(
+    html: str,
+    content_selector: str = "article",
+    base_url: str = "",
+    collect_links: bool = True,
+) -> Tuple[str, str, List[str]]:
+    """Single-parse (title, structured_text, links).
+
+    ``parse_html`` is ~2/3 of the per-page cost (profiled: 2.6 s of 3.9 s
+    per 500 bench pages) and ``extract_content`` + ``extract_links`` each
+    paid it.  Semantics are identical to calling both on fresh parses:
+    links are collected BEFORE the content-area prune mutates the tree,
+    exactly as ``extract_links``'s own parse would see it."""
+    root = parse_html(html)
+
+    links: List[str] = []
+    if collect_links:
+        content = select_one(root, content_selector) or select_one(root, "body")
+        if content is not None:
+            for a in content.find_all("a"):
+                href = a.attrs.get("href")
+                if not href:
+                    continue
+                full = normalize_url(href, base_url)
+                if is_same_domain(full, base_url) and is_html_url(full):
+                    links.append(full)
+        links = list(dict.fromkeys(links))
+
+    title = ""
+    t = select_one(root, "title")
+    if t:
+        title = t.get_text(strip=True)
+    if not title:
+        h1 = select_one(root, "h1")
+        if h1:
+            title = h1.get_text(strip=True)
+
+    area = select_one(root, content_selector)
+    if area is None:
+        for fb in _FALLBACK_SELECTORS:
+            area = select_one(root, fb)
+            if area is not None:
+                break
+    if area is None:
+        area = select_one(root, "body")
+    if area is None:
+        return title, "", links
+    _prune(area)
+    return title, _structured_text(area), links
+
+
 def extract_links(html: str, base_url: str, content_selector: str = "body") -> List[str]:
     """Same-domain html links in the content area, canonicalized; first-
     occurrence order (deterministic refinement of the reference's

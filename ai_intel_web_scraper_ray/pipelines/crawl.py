@@ -46,7 +46,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import ray
 
-from ..functions.htmlx import extract_content, extract_links
+from ..functions.htmlx import extract_page
 from ..functions.urls import is_same_domain, normalize_url
 from ..state.frontier import host_shard_of, make_shards, shard_of
 
@@ -153,17 +153,18 @@ class FetchExtractWorker:
             html = self._fetch_html(url)
             if html is None:
                 continue
-            title, text = extract_content(html, self.content_selector, url)
+            title, text, links = extract_page(
+                html, self.content_selector, url, collect_links=depth < self.max_depth
+            )
             if not text.strip():
                 continue
             records.append({"url": url, "depth": depth, "title": title, "text": text})
-            if depth < self.max_depth:
-                for link in extract_links(html, url, self.content_selector):
-                    norm = normalize_url(link)
-                    if not _excluded(norm, self.exclude) and any(
-                        is_same_domain(norm, seed) for seed in self.seed_domains
-                    ):
-                        discovered.append((norm, depth + 1))
+            for link in links:
+                norm = normalize_url(link)
+                if not _excluded(norm, self.exclude) and any(
+                    is_same_domain(norm, seed) for seed in self.seed_domains
+                ):
+                    discovered.append((norm, depth + 1))
         by_shard: Dict[int, List[Tuple[str, int]]] = defaultdict(list)
         for it in discovered:
             by_shard[shard_of(it[0], self.num_shards)].append(it)
@@ -190,13 +191,13 @@ class FetchExtractWorker:
             if html is None:
                 out.append(res)
                 continue
-            title, text = extract_content(html, self.content_selector, url)
+            title, text, links = extract_page(
+                html, self.content_selector, url, collect_links=depth < self.max_depth
+            )
             if not text.strip():
                 out.append(res)
                 continue
-            res.update(ok=True, title=title, text=text)
-            if depth < self.max_depth:
-                res["links"] = extract_links(html, url, self.content_selector)
+            res.update(ok=True, title=title, text=text, links=links)
             out.append(res)
         return out
 
@@ -226,14 +227,14 @@ def fetch_extract_chunk(
             out.append(res)
             continue
         html = page["html"]
-        title, text = extract_content(html, content_selector, url)
+        title, text, links = extract_page(
+            html, content_selector, url, collect_links=depth < max_depth
+        )
         if not text.strip():
             res["skipped"] = "empty"
             out.append(res)
             continue
-        res.update(ok=True, title=title, text=text)
-        if depth < max_depth:
-            res["links"] = extract_links(html, url, content_selector)
+        res.update(ok=True, title=title, text=text, links=links)
         out.append(res)
     return out
 

@@ -183,6 +183,119 @@ def greedy_resolve(edges: Sequence[Tuple[int, int]], seqs: Dict[str, int] = None
 
 
 
+def greedy_resolve_distributed(edges_ds, max_iters: int = 50):
+    """Distributed replay of :func:`greedy_resolve` for edge sets too large
+    for the driver (NOTES_r1 #4: the driver pass is O(E) memory — at 10⁹
+    docs with a 10 % dup rate the edge list alone is ~10 GB).
+
+    ``edges_ds``: Dataset with columns (a_id, b_id, a_seq, b_seq).
+    Returns a Dataset with column ``dropped_id``.
+
+    Two phases, both partition-parallel:
+
+    1. connected components by min-seq label propagation — every node starts
+       labeled with its own seq; each round, each edge endpoint takes the
+       min of the two labels (two hash joins + a groupby-min per round);
+       converges in O(component diameter) rounds, and near-dup components
+       are cliques/short chains (diameter ≤ ~3);
+    2. ``groupby(component).map_groups`` — the order-sensitive sequential
+       greedy runs inside each component, which is a single near-dup
+       cluster (tiny), so the per-group Python cost is bounded by cluster
+       size, never corpus size.
+    """
+    import ray.data as rd
+
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    # hash-join partitions sized to the edge count: tiny graphs get 1
+    # partition (empty hash partitions lose their schema and break the
+    # downstream pyarrow join); big graphs get real parallelism
+    npart = max(1, min(32, n_edges // 10_000 + 1))
+
+    def to_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[["a_id", "a_seq"]].rename(columns={"a_id": "id", "a_seq": "seq"})
+        b = df[["b_id", "b_seq"]].rename(columns={"b_id": "id", "b_seq": "seq"})
+        return pd.concat([a, b], ignore_index=True).drop_duplicates("id")
+
+    def canon(df: pd.DataFrame) -> pa.Table:
+        """Pin the (id, label) schema even for empty blocks, so no
+        schemaless empty block ever reaches a join input."""
+        src = df["label"] if "label" in df.columns else df.get("min(seq)", df.get("min(label)"))
+        return pa.table({
+            "id": pa.array(list(df["id"]) if "id" in df.columns else [], pa.string()),
+            "label": pa.array([int(x) for x in src] if src is not None else [], pa.int64()),
+        })
+
+    labels = (
+        edges_ds.map_batches(to_nodes, batch_format="pandas")
+        .groupby("id").min("seq")
+        .map_batches(canon, batch_format="pandas")
+        .materialize()
+    )
+    label_sum = labels.sum("label")
+
+    for _ in range(max_iters):
+        ea = edges_ds.select_columns(["a_id", "b_id"]).join(
+            labels, join_type="inner", num_partitions=npart,
+            on=("a_id",), right_on=("id",),
+        )  # (a_id, b_id, label)  — label of a
+
+        def msgs(df: pd.DataFrame) -> pa.Table:
+            # each edge sends a's label to b (propagation is symmetric over
+            # rounds: b's label flows back through b's own edges next round);
+            # arrow output keeps every block type uniform for the union
+            return pa.table({"id": pa.array(list(df["b_id"]), pa.string()),
+                             "label": pa.array(list(df["label"]), pa.int64())})
+
+        prop = ea.map_batches(msgs, batch_format="pandas")
+        eb = edges_ds.select_columns(["a_id", "b_id"]).join(
+            labels, join_type="inner", num_partitions=npart,
+            on=("b_id",), right_on=("id",),
+        )
+
+        def msgs_rev(df: pd.DataFrame) -> pa.Table:
+            return pa.table({"id": pa.array(list(df["a_id"]), pa.string()),
+                             "label": pa.array(list(df["label"]), pa.int64())})
+
+        prop_rev = eb.map_batches(msgs_rev, batch_format="pandas")
+        new_labels = (
+            labels.union(prop).union(prop_rev)
+            .groupby("id").min("label")
+            .map_batches(canon, batch_format="pandas")
+            .materialize()
+        )
+        # Convergence check without a join (anti-joins choke on the empty
+        # schemaless blocks tiny partitions produce): labels only ever
+        # DECREASE under min-propagation, so the label sum is a strictly
+        # decreasing potential — unchanged sum ⇔ fixpoint.
+        new_sum = new_labels.sum("label")
+        labels = new_labels
+        if new_sum == label_sum:
+            break
+        label_sum = new_sum
+
+    # phase 2: per-component sequential greedy (components are clusters)
+    comp_edges = edges_ds.join(
+        labels, join_type="inner", num_partitions=npart,
+        on=("a_id",), right_on=("id",),
+    )
+
+    def per_component(g: pd.DataFrame) -> pd.DataFrame:
+        seqs: Dict = {}
+        pairs: List[Tuple] = []
+        for a, b, sa, sb in g[["a_id", "b_id", "a_seq", "b_seq"]].itertuples(index=False):
+            seqs[a] = int(sa)
+            seqs[b] = int(sb)
+            pairs.append((a, b))
+        dropped = greedy_resolve(pairs, seqs)
+        return pd.DataFrame({"dropped_id": sorted(dropped)})
+
+    out = comp_edges.groupby("label").map_groups(per_component, batch_format="pandas")
+    if out.count() == 0:
+        return rd.from_items([])
+    return out
+
+
 def _sig_matrix(col) -> np.ndarray:
     """FixedSizeList<uint64> column → (n, NUM_PERM) matrix, zero-copy."""
     if isinstance(col, pa.ChunkedArray):
@@ -199,10 +312,15 @@ def minhash_dedup(
     threshold: float = mh.DEFAULT_THRESHOLD,
     materialize_input: bool = True,
     two_pass: bool = None,
+    distributed_resolve: bool = None,
 ):
     """Drop near-duplicate rows (estimated Jaccard ≥ threshold), keeping the
     first arrival of each near-dup cluster per the greedy reference
     semantics.  Returns (deduped_ds, n_dropped).
+
+    ``distributed_resolve``: run the greedy replay per connected component
+    via :func:`greedy_resolve_distributed` instead of the driver O(E) pass;
+    default auto-switches above 2 M candidate edges.
 
     Two passes read the input (edge discovery, then the drop filter), so by
     default the input is materialized once in the object store instead of
@@ -341,19 +459,34 @@ def minhash_dedup(
 
     bands = sig_ds.map_batches(to_bands, batch_format="pyarrow")
     edges_ds = bands.groupby("bucket").map_groups(bucket_edges, batch_format="pandas")
-    edges_df = edges_ds.to_pandas()  # sparse by construction — small
-    if len(edges_df) and "a_id" in edges_df.columns:
-        edges_df = edges_df.drop_duplicates(["a_id", "b_id"])
-    else:
-        edges_df = pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if distributed_resolve is None:
+        distributed_resolve = n_edges > 2_000_000
 
-    seqs: Dict = {}
-    pairs: List[Tuple] = []
-    for a, b, sa, sb in edges_df[["a_id", "b_id", "a_seq", "b_seq"]].itertuples(index=False):
-        seqs[a] = int(sa)
-        seqs[b] = int(sb)
-        pairs.append((a, b))
-    dropped = greedy_resolve(pairs, seqs)
+    if n_edges == 0:
+        return ds, 0
+    if distributed_resolve:
+        dedup_edges = edges_ds.map_batches(
+            lambda df: df.drop_duplicates(["a_id", "b_id"]), batch_format="pandas"
+        )
+        dropped_out = greedy_resolve_distributed(dedup_edges)
+        dropped_df = dropped_out.to_pandas()
+        dropped = (
+            set(dropped_df["dropped_id"])
+            if len(dropped_df) and "dropped_id" in dropped_df.columns
+            else set()
+        )
+    else:
+        edges_df = edges_ds.to_pandas()  # sparse by construction — small
+        edges_df = edges_df.drop_duplicates(["a_id", "b_id"])
+        seqs: Dict = {}
+        pairs: List[Tuple] = []
+        for a, b, sa, sb in edges_df[["a_id", "b_id", "a_seq", "b_seq"]].itertuples(index=False):
+            seqs[a] = int(sa)
+            seqs[b] = int(sb)
+            pairs.append((a, b))
+        dropped = greedy_resolve(pairs, seqs)
 
     if not dropped:
         return ds, 0

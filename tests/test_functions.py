@@ -273,3 +273,21 @@ class TestHtmlx:
     def test_extract_links_order_first_occurrence(self):
         html = "<body><a href='/b'>1</a><a href='/a'>2</a><a href='/b'>3</a></body>"
         assert htmlx.extract_links(html, "https://a.io/") == ["https://a.io/b", "https://a.io/a"]
+
+    def test_extract_page_equals_separate_parses(self):
+        """extract_page (single parse, used in the crawl hot path) must equal
+        extract_content + extract_links on fresh parses — including pages
+        where the content-area prune would otherwise eat links."""
+        from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+
+        cases = [(self.HTML, "https://a.io/base")]
+        cases += [(p["html"], p["url"]) for p in make_web_graph()[:20]]
+        for html, url in cases:
+            title, text = htmlx.extract_content(html, "article", url)
+            links = htmlx.extract_links(html, url, "article")
+            t2, x2, l2 = htmlx.extract_page(html, "article", url)
+            assert (t2, x2, l2) == (title, text, links)
+        # collect_links=False skips link work but keeps content identical
+        t3, x3, l3 = htmlx.extract_page(self.HTML, "article", "https://a.io/base",
+                                        collect_links=False)
+        assert l3 == [] and x3 == htmlx.extract_content(self.HTML, "article")[1]

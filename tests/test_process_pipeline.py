@@ -92,6 +92,32 @@ class TestDedup:
         dropped = dd.greedy_resolve([("a", "b"), ("b", "c")], {"a": 0, "b": 1, "c": 2})
         assert dropped == {"b"}
 
+    def test_distributed_greedy_matches_driver(self):
+        """greedy_resolve_distributed (label-propagation components +
+        per-component replay) must equal the driver O(E) pass — including
+        the non-transitive chain case and multiple components."""
+        edges = [
+            # chain: a-b, b-c (greedy keeps a, c; drops b)
+            ("a", "b", 0, 1), ("b", "c", 1, 2),
+            # clique of 3 in another component: keeps d, drops e, f
+            ("d", "e", 10, 11), ("d", "f", 10, 12), ("e", "f", 11, 12),
+            # 2-node component
+            ("x", "y", 20, 21),
+        ]
+        df = pd.DataFrame(edges, columns=["a_id", "b_id", "a_seq", "b_seq"])
+        exp = dd.greedy_resolve(
+            [(a, b) for a, b, _, _ in edges],
+            {n: s for a, b, sa, sb in edges for n, s in ((a, sa), (b, sb))},
+        )
+        got = dd.greedy_resolve_distributed(rd.from_pandas(df)).to_pandas()
+        assert set(got["dropped_id"]) == exp == {"b", "e", "f", "y"}
+
+    def test_minhash_distributed_resolve_same_result(self):
+        ds1, n1 = dd.minhash_dedup(make_ds(), distributed_resolve=True)
+        ds2, n2 = dd.minhash_dedup(make_ds(), distributed_resolve=False)
+        assert n1 == n2
+        assert sorted(ds1.to_pandas()["arrival_seq"]) == sorted(ds2.to_pandas()["arrival_seq"])
+
     def test_verified_lsh_deviation_is_pinned(self):
         """DOCUMENTED DEVIATION from the reference (deduplicator.py:122-144):
         the reference accepts raw datasketch-LSH band hits unverified; this
