@@ -88,6 +88,21 @@ def _crawl_fixture_query(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _crawl_fixture_ordered_query(sf_dir: str) -> pd.DataFrame:
+    """Windowed ordered replay (crawl_ordered): same bit-exact reference
+    order as crawl_strict but with fetches overlapped — pytest pins order
+    equality; the driver sees the rows (rows-only check)."""
+    from ai_intel_web_scraper_ray.pipelines.crawl import crawl_ordered
+    from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+
+    pages = make_web_graph()
+    res = crawl_ordered(pages, "https://docs.hot.example/p0",
+                        exclude_patterns=("/excluded/",), num_shards=4,
+                        window=64, chunk_size=8)
+    df = pd.DataFrame(res["records"])[["url", "depth", "crawl_rank", "title"]]
+    return df
+
+
 def _chunk_documents_query(sf_dir: str) -> pd.DataFrame:
     """Chunk the documents table via the actor-pool flat map (rows-only)."""
     from ai_intel_web_scraper_ray.pipelines.vectorize import vectorize_pipeline
@@ -139,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_rrf": dq.emb_rrf,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
+        "crawl_fixture_ordered": _crawl_fixture_ordered_query,
         "chunk_documents": _chunk_documents_query,
     }
 
@@ -157,6 +173,7 @@ def _sql_quote(s: str) -> str:
 # (tools/gen_pinned_oracles.py) — joined on sha256(text) so any covered
 # corpus (sf0.001 / sf0.01 testdata) validates
 _PINNED = "/root/repo/tests/pinned/doc_expected.parquet"
+_PINNED_CRAWL = "/root/repo/tests/pinned/crawl_expected.parquet"
 
 
 def _sentiment_sql() -> str:
@@ -441,6 +458,18 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN read_parquet('{_PINNED}') p ON sha256(d.text) = p.text_sha
             ORDER BY d.doc_id
+        """,
+        # crawl order oracle: pinned table generated by the INDEPENDENT
+        # sequential BFS oracle (tools/gen_pinned_oracles.py replaying
+        # tests/oracle.py semantics) — both crawl modes must hash-match the
+        # full (url, depth, crawl_rank, title) order
+        "crawl_fixture": f"""
+            SELECT url, depth, crawl_rank, title
+            FROM read_parquet('{_PINNED_CRAWL}') ORDER BY crawl_rank
+        """,
+        "crawl_fixture_ordered": f"""
+            SELECT url, depth, crawl_rank, title
+            FROM read_parquet('{_PINNED_CRAWL}') ORDER BY crawl_rank
         """,
         "emb_knn": """
             SELECT vec_id,
