@@ -28,7 +28,7 @@ only (key, seq) projections and broadcast losing seqs back as drop filters
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Dict, List, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 import pandas as pd
@@ -296,6 +296,34 @@ def greedy_resolve_distributed(edges_ds, max_iters: int = 50):
     return out
 
 
+def _resolve_edges(edges_ds, distributed_resolve: Optional[bool]) -> Set:
+    """Shared tail of every near-dup path: candidate-edge Dataset →
+    dropped-id set, via the driver greedy (small edge sets) or the
+    distributed per-component replay (auto above 2M edges)."""
+    edges_ds = edges_ds.materialize()
+    n_edges = edges_ds.count()
+    if n_edges == 0:
+        return set()
+    if distributed_resolve is None:
+        distributed_resolve = n_edges > 2_000_000
+    if distributed_resolve:
+        dedup_edges = edges_ds.map_batches(
+            lambda df: df.drop_duplicates(["a_id", "b_id"]), batch_format="pandas"
+        )
+        dropped_df = greedy_resolve_distributed(dedup_edges).to_pandas()
+        if not len(dropped_df) or "dropped_id" not in dropped_df.columns:
+            return set()
+        return set(dropped_df["dropped_id"])
+    edges_df = edges_ds.to_pandas().drop_duplicates(["a_id", "b_id"])
+    seqs: Dict = {}
+    pairs: List[Tuple] = []
+    for a, b, sa, sb in edges_df[["a_id", "b_id", "a_seq", "b_seq"]].itertuples(index=False):
+        seqs[a] = int(sa)
+        seqs[b] = int(sb)
+        pairs.append((a, b))
+    return greedy_resolve(pairs, seqs)
+
+
 def _sig_matrix(col) -> np.ndarray:
     """FixedSizeList<uint64> column → (n, NUM_PERM) matrix, zero-copy."""
     if isinstance(col, pa.ChunkedArray):
@@ -358,24 +386,44 @@ def minhash_dedup(
     # signature costs ~32 KiB/doc of shuffle; above a size cutoff it is
     # cheaper to first shuffle BARE band values (8 bytes/row) to find
     # multi-member bands, then ship signatures only for that sliver.
+    # two-pass wins as soon as the corpus isn't tiny: shipping bare 8-byte
+    # bands first costs one cheap 64-bucket shuffle and cuts the signature
+    # shuffle to the multi-band sliver (measured 5.3 s vs 17.3 s one-pass at
+    # sf0.1 after the partial-count fix)
     if two_pass is None:
-        two_pass = sig_ds.count() > 100_000
+        two_pass = sig_ds.count() > 2_000
 
     multi_set = None
     if two_pass:
-        def to_band_only(t: pa.Table) -> pa.Table:
+        # Find multi-member bands WITHOUT a high-cardinality groupby: a
+        # groupby("band") over ~rows×32 mostly-distinct keys invokes Ray's
+        # per-key aggregate machinery per band (measured 33 s for 153k
+        # distinct keys at sf0.1).  Instead: per-batch partial counts
+        # (np.unique), shuffle on band%NUM_BUCKETS (64 keys), vectorized
+        # pandas merge per bucket.  Only the multi-band values (the
+        # near-dup sliver) reach the driver.
+        def to_band_partial(t: pa.Table) -> pa.Table:
             sigs = _sig_matrix(t["sig"])
-            bands = mh.band_hashes(sigs)
-            return pa.table({"band": pa.array(bands.reshape(-1), pa.uint64())})
+            bands = mh.band_hashes(sigs).reshape(-1)
+            u, c = np.unique(bands, return_counts=True)
+            return pa.table({
+                "band": pa.array(u, pa.uint64()),
+                "n": pa.array(c, pa.int64()),
+                "bucket": pa.array((u % NUM_BUCKETS).astype(np.int64), pa.int64()),
+            })
 
-        band_counts = (
-            sig_ds.map_batches(to_band_only, batch_format="pyarrow")
-            .groupby("band").count().to_pandas()
+        def bucket_multi(df: pd.DataFrame) -> pd.DataFrame:
+            g = df.groupby("band", sort=False)["n"].sum()
+            return pd.DataFrame({"band": g[g > 1].index.to_numpy()})
+
+        multi_df = (
+            sig_ds.map_batches(to_band_partial, batch_format="pyarrow")
+            .groupby("bucket").map_groups(bucket_multi, batch_format="pandas")
+            .to_pandas()
         )
-        multi_bands = band_counts.loc[band_counts["count()"] > 1, "band"].to_numpy()
-        if len(multi_bands) == 0:
+        if not len(multi_df) or "band" not in multi_df.columns:
             return ds, 0
-        multi_set = pa.array(multi_bands.astype(np.uint64), pa.uint64())
+        multi_set = pa.array(multi_df["band"].to_numpy().astype(np.uint64), pa.uint64())
 
     # Pass 2: ship signatures ONLY for rows having at least one multi-member
     # band, and only those band rows — the near-dup candidate sliver.
@@ -459,35 +507,7 @@ def minhash_dedup(
 
     bands = sig_ds.map_batches(to_bands, batch_format="pyarrow")
     edges_ds = bands.groupby("bucket").map_groups(bucket_edges, batch_format="pandas")
-    edges_ds = edges_ds.materialize()
-    n_edges = edges_ds.count()
-    if distributed_resolve is None:
-        distributed_resolve = n_edges > 2_000_000
-
-    if n_edges == 0:
-        return ds, 0
-    if distributed_resolve:
-        dedup_edges = edges_ds.map_batches(
-            lambda df: df.drop_duplicates(["a_id", "b_id"]), batch_format="pandas"
-        )
-        dropped_out = greedy_resolve_distributed(dedup_edges)
-        dropped_df = dropped_out.to_pandas()
-        dropped = (
-            set(dropped_df["dropped_id"])
-            if len(dropped_df) and "dropped_id" in dropped_df.columns
-            else set()
-        )
-    else:
-        edges_df = edges_ds.to_pandas()  # sparse by construction — small
-        edges_df = edges_df.drop_duplicates(["a_id", "b_id"])
-        seqs: Dict = {}
-        pairs: List[Tuple] = []
-        for a, b, sa, sb in edges_df[["a_id", "b_id", "a_seq", "b_seq"]].itertuples(index=False):
-            seqs[a] = int(sa)
-            seqs[b] = int(sb)
-            pairs.append((a, b))
-        dropped = greedy_resolve(pairs, seqs)
-
+    dropped = _resolve_edges(edges_ds, distributed_resolve)
     if not dropped:
         return ds, 0
     dropped_list = sorted(dropped)
@@ -546,6 +566,7 @@ def ngram_jaccard_dedup(
     seq_col: str = "arrival_seq",
     threshold: float = 0.7,
     materialize_input: bool = True,
+    distributed_resolve: bool = None,
 ):
     """Like minhash_dedup, but candidate pairs are verified with the exact
     word-3-shingle Jaccard (texts shipped into the band groupby alongside
@@ -613,18 +634,8 @@ def ngram_jaccard_dedup(
         return pd.DataFrame(rows, columns=["a_id", "b_id", "a_seq", "b_seq"])
 
     bands = ds.map_batches(to_bands, batch_format="pyarrow")
-    edges_df = bands.groupby("bucket").map_groups(bucket_edges, batch_format="pandas").to_pandas()
-    if len(edges_df) and "a_id" in edges_df.columns:
-        edges_df = edges_df.drop_duplicates(["a_id", "b_id"])
-    else:
-        edges_df = pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
-    seqs: Dict = {}
-    pairs: List[Tuple] = []
-    for a, b, sa, sb in edges_df[["a_id", "b_id", "a_seq", "b_seq"]].itertuples(index=False):
-        seqs[a] = int(sa)
-        seqs[b] = int(sb)
-        pairs.append((a, b))
-    dropped = greedy_resolve(pairs, seqs)
+    edges_ds = bands.groupby("bucket").map_groups(bucket_edges, batch_format="pandas")
+    dropped = _resolve_edges(edges_ds, distributed_resolve)
     if not dropped:
         return ds, 0
     dropped_list = sorted(dropped)
@@ -659,6 +670,7 @@ def simhash_dedup(
     seq_col: str = "arrival_seq",
     max_hamming: int = 3,
     materialize_input: bool = True,
+    distributed_resolve: bool = None,
 ):
     """Near-dup rows with SimHash hamming distance ≤ max_hamming dropped
     (greedy keep-first).  Candidate recall is EXACT by the pigeonhole
@@ -727,18 +739,8 @@ def simhash_dedup(
         return pd.DataFrame(rows, columns=["a_id", "b_id", "a_seq", "b_seq"])
 
     chunks = ds.map_batches(to_chunks, batch_format="pyarrow")
-    edges_df = chunks.groupby("bucket").map_groups(bucket_edges, batch_format="pandas").to_pandas()
-    if len(edges_df) and "a_id" in edges_df.columns:
-        edges_df = edges_df.drop_duplicates(["a_id", "b_id"])
-    else:
-        edges_df = pd.DataFrame({"a_id": [], "b_id": [], "a_seq": [], "b_seq": []})
-    seqs: Dict = {}
-    pairs: List[Tuple] = []
-    for a, b, sa, sb in edges_df[["a_id", "b_id", "a_seq", "b_seq"]].itertuples(index=False):
-        seqs[a] = int(sa)
-        seqs[b] = int(sb)
-        pairs.append((a, b))
-    dropped = greedy_resolve(pairs, seqs)
+    edges_ds = chunks.groupby("bucket").map_groups(bucket_edges, batch_format="pandas")
+    dropped = _resolve_edges(edges_ds, distributed_resolve)
     if not dropped:
         return ds, 0
     dropped_list = sorted(dropped)
