@@ -81,15 +81,14 @@ class FrontierShard:
         """Ordered check-and-insert of (url, depth) items.  Returns one bool
         per item: True iff the URL was new (now marked seen and, if
         ``enqueue`` and robots-allowed, pushed on the heap)."""
-        out = []
-        for url, depth in items:
-            self.offered += 1
-            is_new = self.seen.check_and_insert(url)
-            if is_new and enqueue and self.robots.allowed(url):
-                heapq.heappush(self.heap, (depth, self._seq, url))
-                self._seq += 1
-                self.admitted += 1
-            out.append(is_new)
+        self.offered += len(items)
+        out = self.seen.check_and_insert_batch([u for u, _ in items])
+        if enqueue:
+            for (url, depth), is_new in zip(items, out):
+                if is_new and self.robots.allowed(url):
+                    heapq.heappush(self.heap, (depth, self._seq, url))
+                    self._seq += 1
+                    self.admitted += 1
         return out
 
     # -- streaming mode: shard-to-shard routing ---------------------------
@@ -114,28 +113,25 @@ class FrontierShard:
         from ..functions.urls import frontier_shard as _fs
 
         self.offers_received += len(items)
+        self.offered += len(items)
         # monotone depth refinement: 'new' AND 'better' (strictly smaller
         # depth) sightings are (re-)admitted, so depth-cutoff decisions
-        # converge to BFS-minimal depths under any message ordering
-        def admit_status(url: str, depth: int) -> bool:
-            st = self.seen.offer_depth(url, depth)
-            return st == "new" or (st == "better" and self.depth_refinement)
+        # converge to BFS-minimal depths under any message ordering.
+        # One vectorized seen-set pass over the batch; only the admitted
+        # sliver pays the per-URL routing below.
+        statuses = self.seen.offer_depth_batch(items)
+        ok = ("new", "better") if self.depth_refinement else ("new",)
 
         if self.politeness.min_delay <= 0:
-            admitted = []
-            for url, depth in items:
-                self.offered += 1
-                if admit_status(url, depth):
-                    admitted.append((url, depth))
+            admitted = [it for it, st in zip(items, statuses) if st in ok]
             self.pushes_sent += len(admitted)
             self._push_local(admitted, count_received=True)
             return
         by_host: dict = {}
-        for url, depth in items:
-            self.offered += 1
-            if admit_status(url, depth):
-                hs = _fs(host_of(url), self.num_shards)
-                by_host.setdefault(hs, []).append((url, depth))
+        for it, st in zip(items, statuses):
+            if st in ok:
+                hs = _fs(host_of(it[0]), self.num_shards)
+                by_host.setdefault(hs, []).append(it)
         for hs, batch in by_host.items():
             self.pushes_sent += len(batch)
             if hs == self.shard_id:

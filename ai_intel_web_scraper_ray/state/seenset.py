@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import math
-from typing import Dict, Iterable, List, Optional, Set, Tuple
+from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
 
@@ -30,6 +30,26 @@ _MAX_KICKS = 500
 
 def _h(url: str) -> int:
     return int.from_bytes(hashlib.sha256(url.encode()).digest()[:8], "big")
+
+
+# fingerprint-hash lookup table: _fp_hash has only 65536 possible inputs, and
+# the scalar path paid one sha256 PER CALL (3 sha256/url on the frontier hot
+# path).  Built lazily once per process (~60 ms), shared by every filter.
+_FP_LUT_NP: Optional[np.ndarray] = None
+_FP_LUT_LIST: Optional[List[int]] = None
+
+
+def _fp_lut() -> np.ndarray:
+    global _FP_LUT_NP, _FP_LUT_LIST
+    if _FP_LUT_NP is None:
+        vals = np.empty(65536, dtype=np.uint64)
+        for fp in range(65536):
+            vals[fp] = int.from_bytes(
+                hashlib.sha256(fp.to_bytes(2, "big")).digest()[:4], "big"
+            )
+        _FP_LUT_NP = vals
+        _FP_LUT_LIST = vals.tolist()
+    return _FP_LUT_NP
 
 
 class BloomFilter:
@@ -68,10 +88,11 @@ class CuckooFilter:
         self.spill: Optional[BloomFilter] = None
         self.count = 0
         self._rng = np.random.RandomState(17)
+        self._lut = _fp_lut()
+        self._lut_list = _FP_LUT_LIST
 
-    @staticmethod
-    def _fp_hash(fp: int) -> int:
-        return int.from_bytes(hashlib.sha256(fp.to_bytes(2, "big")).digest()[:4], "big")
+    def _fp_hash(self, fp: int) -> int:
+        return self._lut_list[fp]
 
     def _fp_and_buckets(self, key: int) -> Tuple[int, int, int]:
         fp = (key & 0xFFFF) or 1
@@ -90,19 +111,42 @@ class CuckooFilter:
 
     def __contains__(self, key: int) -> bool:
         fp, i1, i2 = self._fp_and_buckets(key)
-        if (self.table[i1] == fp).any() or (self.table[i2] == fp).any():
+        if fp in self.table[i1].tolist() or fp in self.table[i2].tolist():
             return True
         return self.spill is not None and self._spill_key(i1, fp) in self.spill
+
+    def contains_batch(self, keys: np.ndarray) -> np.ndarray:
+        """Vectorized membership over a uint64 key array → bool mask.
+
+        One gather + compare over the whole batch instead of per-key tiny
+        ``.any()`` calls; the rare spill filter is consulted scalar for
+        table-miss rows only (it is usually ``None``)."""
+        nb = np.uint64(self.nbuckets)
+        fp = (keys & np.uint64(0xFFFF)).astype(np.int64)
+        fp[fp == 0] = 1
+        i1 = ((keys >> np.uint64(16)) % nb).astype(np.int64)
+        i2 = ((i1.astype(np.uint64) ^ self._lut[fp]) % nb).astype(np.int64)
+        fp16 = fp.astype(np.uint16)[:, None]
+        present = (self.table[i1] == fp16).any(axis=1) | (
+            self.table[i2] == fp16
+        ).any(axis=1)
+        if self.spill is not None:
+            for idx in np.nonzero(~present)[0]:
+                f = int(fp[idx])
+                if self._spill_key(int(i1[idx]), f) in self.spill:
+                    present[idx] = True
+        return present
 
     def add(self, key: int) -> None:
         fp, i1, i2 = self._fp_and_buckets(key)
         for i in (i1, i2):
             slots = self.table[i]
-            empties = np.nonzero(slots == 0)[0]
-            if empties.size:
-                slots[empties[0]] = fp
-                self.count += 1
-                return
+            row = slots.tolist()
+            for j in range(4):
+                if row[j] == 0:
+                    slots[j] = fp
+                    self.count += 1
+                    return
         # evict loop: swap the new fingerprint in; walk the victim chain
         i = i1 if self._rng.rand() < 0.5 else i2
         cur = fp
@@ -177,8 +221,83 @@ class SeenSet:
             return "better"
         return "dup"
 
-    def check_and_insert_batch(self, urls: Iterable[str]) -> List[bool]:
-        return [self.check_and_insert(u) for u in urls]
+    def check_and_insert_batch(self, urls: Sequence[str], depth: int = 0) -> List[bool]:
+        """Batch check-and-insert: one vectorized filter pass over the whole
+        batch, then scalar bookkeeping only on the admit/confirm sliver.
+
+        Equivalent to calling :meth:`check_and_insert` per URL in order —
+        intra-batch duplicates are caught by the exact store (which every
+        filter insert accompanies), so a stale vectorized 'absent' for the
+        second copy of a URL cannot re-admit it."""
+        urls = list(urls)
+        if not urls:
+            return []
+        keys = np.fromiter((_h(u) for u in urls), dtype=np.uint64, count=len(urls))
+        present = self.filter.contains_batch(keys)
+        out: List[bool] = []
+        exact = self.exact
+        for idx, url in enumerate(urls):
+            if present[idx]:
+                self.filter_positives += 1
+                if url in exact:
+                    out.append(False)
+                    continue
+                self.filter.add(int(keys[idx]))
+                exact[url] = depth
+                out.append(True)
+                continue
+            if url in exact:
+                # intra-batch duplicate: an earlier row of this batch already
+                # inserted it (the precheck mask is stale) — scalar semantics
+                # would take the filter-positive path here
+                self.filter_positives += 1
+                out.append(False)
+                continue
+            self.filter_negatives += 1
+            self.filter.add(int(keys[idx]))
+            exact[url] = depth
+            out.append(True)
+        return out
+
+    def offer_depth_batch(self, items: Sequence[Tuple[str, int]]) -> List[str]:
+        """Batch :meth:`offer_depth`: vectorized filter precheck, scalar
+        depth bookkeeping.  Returns one status per (url, depth) item."""
+        items = list(items)
+        if not items:
+            return []
+        keys = np.fromiter((_h(u) for u, _ in items), dtype=np.uint64, count=len(items))
+        present = self.filter.contains_batch(keys)
+        out: List[str] = []
+        exact = self.exact
+        for idx, (url, depth) in enumerate(items):
+            if present[idx]:
+                self.filter_positives += 1
+                cur = exact.get(url)
+                if cur is None:
+                    self.filter.add(int(keys[idx]))
+                    exact[url] = depth
+                    out.append("new")
+                elif depth < cur:
+                    exact[url] = depth
+                    out.append("better")
+                else:
+                    out.append("dup")
+                continue
+            cur = exact.get(url)
+            if cur is not None:
+                # intra-batch duplicate (see check_and_insert_batch)
+                self.filter_positives += 1
+                if depth < cur:
+                    exact[url] = depth
+                    out.append("better")
+                else:
+                    out.append("dup")
+                continue
+            self.filter_negatives += 1
+            self.filter.add(int(keys[idx]))
+            exact[url] = depth
+            out.append("new")
+        return out
 
     def __contains__(self, url: str) -> bool:
         key = _h(url)
