@@ -141,9 +141,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": dq.docs_top_tokens,
         "docs_fingerprints": dq.docs_fingerprints,         # pinned-table oracle
         "docs_exact_dedup": dq.docs_exact_dedup,
-        "docs_minhash_dedup": dq.docs_minhash_dedup,       # rows-only (est-jaccard not SQL)
+        "docs_minhash_dedup": dq.docs_minhash_dedup,       # pinned-table oracle
         "docs_ngram_dedup": dq.docs_ngram_dedup,
-        "docs_simhash_dedup": dq.docs_simhash_dedup,       # rows-only (seeded hash not SQL)
+        "docs_simhash_dedup": dq.docs_simhash_dedup,       # pinned-table oracle
         "emb_cosine_dedup": dq.emb_cosine_dedup,
         "media_decode": dq.media_decode,                   # rows-only (stub decode)
         "docs_simhash": dq.docs_simhash,                   # pinned-table oracle
@@ -174,6 +174,7 @@ def _sql_quote(s: str) -> str:
 # corpus (sf0.001 / sf0.01 testdata) validates
 _PINNED = "/root/repo/tests/pinned/doc_expected.parquet"
 _PINNED_CRAWL = "/root/repo/tests/pinned/crawl_expected.parquet"
+_PINNED_DEDUP = "/root/repo/tests/pinned/dedup_expected.parquet"
 
 
 def _sentiment_sql() -> str:
@@ -452,6 +453,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             JOIN read_parquet('{_PINNED}') p ON sha256(d.text) = p.text_sha
             ORDER BY d.doc_id
+        """,
+        # minhash / simhash near-dup SURVIVOR sets: whole-corpus results of
+        # seeded-hash algorithms DuckDB can't express → pinned per corpus,
+        # keyed by document count (tools/gen_pinned_oracles.py regenerates;
+        # candidate-gen + greedy replay there are independent sequential
+        # reimplementations)
+        "docs_minhash_dedup": f"""
+            SELECT p.doc_id FROM read_parquet('{_PINNED_DEDUP}') p
+            WHERE p.algo = 'minhash'
+              AND p.corpus_min_sha = (SELECT MIN(sha256(text)) FROM documents)
+            ORDER BY p.doc_id
+        """,
+        "docs_simhash_dedup": f"""
+            SELECT p.doc_id FROM read_parquet('{_PINNED_DEDUP}') p
+            WHERE p.algo = 'simhash'
+              AND p.corpus_min_sha = (SELECT MIN(sha256(text)) FROM documents)
+            ORDER BY p.doc_id
         """,
         "docs_fingerprints": f"""
             SELECT d.doc_id, p.n_fingerprints

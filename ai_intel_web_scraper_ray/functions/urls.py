@@ -109,13 +109,22 @@ def _parse_date_str(s: str) -> Optional[date]:
 
 
 def extract_date_from_text(text: str) -> Optional[date]:
-    """First date-looking string in the leading 500 chars
-    (reference: scrapers/utils.py:260-276)."""
+    """First date-looking string in the leading 500 chars, parsed with
+    dateutil's permissive parser exactly as the reference does
+    (reference: scrapers/utils.py:260-276); the explicit three-format
+    parser above is the fallback when dateutil is absent."""
     head = text[:500]
     for pat in _DATE_PATTERNS:
         m = pat.search(head)
         if m:
-            d = _parse_date_str(m.group(1))
-            if d:
-                return d
+            try:
+                from dateutil.parser import parse as _dateparse
+
+                return _dateparse(m.group(1)).date()
+            except ImportError:
+                d = _parse_date_str(m.group(1))
+                if d:
+                    return d
+            except ValueError:
+                pass
     return None

@@ -829,9 +829,13 @@ def load_crawl_records(records_dir: str, max_pages: Optional[int] = None):
     with a ``crawl_rank`` column — the streaming analogue of
     ``crawl_scalable``'s driver-side materialization.
 
-    Test-scale helper: the final rank assignment sorts the (already
-    URL-deduped) records; at 100-TB scale keep the unsorted Dataset and skip
-    ranks."""
+    Ranks are assigned DISTRIBUTED: ``_order = frag_idx·10⁹ + frag_row`` is
+    globally unique, fragments are small (one worker chunk each), so
+    rank = prefix-sum offset of the fragment (per-fragment survivor counts,
+    a #fragments-row driver table) + within-fragment position (vectorized
+    inside a ``groupby(frag)``).  No global sort, no driver
+    materialization — works at any corpus size."""
+    import numpy as np
     import pandas as pd
     import ray.data as rd
 
@@ -853,19 +857,38 @@ def load_crawl_records(records_dir: str, max_pages: Optional[int] = None):
     from ..stages.dedup import exact_url_dedup
 
     ds = exact_url_dedup(ds, url_col="url", seq_col="_order")
-    ds = ds.sort("_order")
+    ds = ds.materialize()
 
-    def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop(columns=["frag_row"])
+    # pass 1: per-fragment survivor counts — partial np.unique per batch,
+    # merged on the driver (#fragments rows; each fragment is one worker
+    # chunk, so this table is ~n_records/chunk_size rows, not n_records)
+    def frag_partials(df: pd.DataFrame) -> pd.DataFrame:
+        fi, c = np.unique(df["_order"].to_numpy() // 1_000_000_000,
+                          return_counts=True)
+        return pd.DataFrame({"frag_idx": fi, "n": c})
 
-    ds = ds.map_batches(finalize, batch_format="pandas")
+    partials = ds.map_batches(frag_partials, batch_format="pandas").to_pandas()
+    counts = partials.groupby("frag_idx")["n"].sum().sort_index()
+    offsets = counts.cumsum().shift(fill_value=0)
+    offset_of = offsets.to_dict()
+
+    # pass 2: within-fragment position via one groupby(frag) — frag_row is
+    # unique within a fragment, so rank(method) choice is immaterial
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        frag = int(df["_order"].iloc[0] // 1_000_000_000)
+        within = df["frag_row"].rank(method="first").astype("int64") - 1
+        df["crawl_rank"] = offset_of[frag] + within
+        return df.drop(columns=["frag_row", "_order"])
+
+    ds = ds.add_column("_frag", lambda df: df["_order"] // 1_000_000_000,
+                       batch_format="pandas")
+    ds = ds.groupby("_frag").map_groups(rank_group, batch_format="pandas")
+    ds = ds.map_batches(lambda df: df.drop(columns=["_frag"]),
+                        batch_format="pandas")
     if max_pages is not None:
-        ds = ds.limit(max_pages)
-    # materialize ranks via a window-free trick: _order is globally unique
-    # and sorted; rank = position.  Assign per-block using cumulative counts.
-    df = ds.to_pandas() if ds.count() <= 1_000_000 else None
-    if df is not None:
-        df = df.sort_values("_order").reset_index(drop=True)
-        df["crawl_rank"] = df.index.astype("int64")
-        return rd.from_pandas(df.drop(columns=["_order"]))
+        # the max_pages smallest ranks == the crawl's first max_pages pages
+        ds = ds.map_batches(
+            lambda df: df[df["crawl_rank"] < max_pages], batch_format="pandas"
+        )
     return ds

@@ -87,6 +87,113 @@ def gen_crawl_expected() -> None:
     print(f"wrote {len(t)} crawl rows -> {CRAWL_OUT}")
 
 
+DEDUP_OUT = os.path.join(os.path.dirname(OUT), "dedup_expected.parquet")
+
+
+def _greedy_survivors(n_docs: int, doc_ids, edges) -> list:
+    """Sequential keep-first replay (independent reimplementation of the
+    reference's LSH query-then-insert loop): in ascending doc_id order,
+    drop a doc iff some KEPT smaller-id doc is its neighbor."""
+    from collections import defaultdict as _dd
+
+    adj = _dd(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    kept = set()
+    out = []
+    for d in sorted(doc_ids):
+        if any(nb in kept for nb in adj[d]):
+            continue
+        kept.add(d)
+        out.append(d)
+    return out
+
+
+def _minhash_edges(doc_ids, texts, threshold: float = 0.7) -> list:
+    """Candidate pairs sharing >=1 LSH band, verified est_jaccard >=
+    threshold — banded-candidate semantics replayed with a plain
+    dict-of-buckets, then vectorized signature comparison per pair."""
+    import numpy as np
+
+    from ai_intel_web_scraper_ray.functions import minhash as mh
+
+    sigs = {d: mh.signature(t or "") for d, t in zip(doc_ids, texts)}
+    buckets: dict = {}
+    cand = set()
+    for d in doc_ids:
+        for off, b in enumerate(mh.band_hashes(sigs[d]).tolist()):
+            key = (off, b)
+            for other in buckets.get(key, ()):
+                cand.add((other, d) if other < d else (d, other))
+            buckets.setdefault(key, []).append(d)
+    edges = []
+    for a, b in cand:
+        if float((sigs[a] == sigs[b]).mean()) >= threshold:
+            edges.append((a, b))
+    return edges
+
+
+def _simhash_edges(doc_ids, texts, max_hamming: int = 3) -> list:
+    """Candidate pairs within hamming <= max_hamming of each other's
+    64-bit simhash.  Pigeonhole: any pair at distance <= 3 agrees exactly
+    on >=1 of 4 disjoint 16-bit chunks, so chunk-bucket candidates have
+    exact recall; verify with a true popcount."""
+    import numpy as np
+
+    from ai_intel_web_scraper_ray.functions.simhash import simhash_batch
+
+    sims = simhash_batch([t or "" for t in texts]).astype(np.uint64)
+    by_id = dict(zip(doc_ids, sims.tolist()))
+    buckets: dict = {}
+    cand = set()
+    for d, s in zip(doc_ids, sims.tolist()):
+        for c in range(4):
+            key = (c, (s >> (16 * c)) & 0xFFFF)
+            for other in buckets.get(key, ()):
+                cand.add((other, d) if other < d else (d, other))
+            buckets.setdefault(key, []).append(d)
+    edges = []
+    for a, b in cand:
+        if bin(by_id[a] ^ by_id[b]).count("1") <= max_hamming:
+            edges.append((a, b))
+    return edges
+
+
+def gen_dedup_expected() -> None:
+    """Pin the minhash / simhash near-dup SURVIVOR sets per test corpus,
+    keyed by the corpus' MIN(sha256(text)) — content-derived, distinct
+    across sf levels (sf0.001 and sf0.01 both hold 500 docs, so a count
+    key would collide) and computable in DuckDB — so the driver can
+    hash-check the two dedup queries it cannot express in SQL.
+    Candidate generation + greedy resolution here are independent
+    sequential reimplementations; the signature/simhash VALUES reuse the
+    production kernels (those are pinned separately in doc_expected /
+    validated by pytest oracles)."""
+    frames = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        t = pq.read_table(f"/root/testdata/{sf}/documents.parquet",
+                          columns=["doc_id", "text"])
+        doc_ids = [int(x) for x in t["doc_id"].to_pylist()]
+        texts = t["text"].to_pylist()
+        n = len(doc_ids)
+        corpus_key = min(hashlib.sha256(x.encode()).hexdigest()
+                         for x in texts if x is not None)
+        for algo, edge_fn in (("minhash", _minhash_edges),
+                              ("simhash", _simhash_edges)):
+            survivors = _greedy_survivors(n, doc_ids, edge_fn(doc_ids, texts))
+            frames.append(pa.table({
+                "corpus_min_sha": pa.array([corpus_key] * len(survivors),
+                                           pa.string()),
+                "algo": pa.array([algo] * len(survivors), pa.string()),
+                "doc_id": pa.array(survivors, pa.int64()),
+            }))
+            print(f"{sf} {algo}: {len(survivors)}/{n} survive")
+    out = pa.concat_tables(frames)
+    pq.write_table(out, DEDUP_OUT)
+    print(f"wrote {len(out)} dedup rows -> {DEDUP_OUT}")
+
+
 def main() -> None:
     rows = {}
     for sf in ("sf0.001", "sf0.01"):
@@ -106,6 +213,7 @@ def main() -> None:
     pq.write_table(out, OUT)
     print(f"wrote {len(out)} pinned rows -> {OUT}")
     gen_crawl_expected()
+    gen_dedup_expected()
 
 
 if __name__ == "__main__":
