@@ -166,3 +166,36 @@ class TestSeenSet:
         r = SeenSet.restore(s.snapshot())
         assert not r.check_and_insert("u5")
         assert r.check_and_insert("new")
+
+    def test_batch_matches_scalar(self):
+        """Batch APIs must replay scalar semantics exactly — results,
+        exact store, filter table bits, and diagnostic counters — including
+        intra-batch duplicates and depth refinement."""
+        urls = [f"https://h{i % 7}/p{i}" for i in range(600)]
+        mix = ([(u, 2) for u in urls[:300]]
+               + [(u, 2) for u in urls[100:400]]     # intra-batch dups
+               + [(u, 1) for u in urls[200:500]])    # smaller-depth resights
+        a, b = SeenSet(256), SeenSet(256)
+        got_a = [a.offer_depth(u, d) for u, d in mix]
+        got_b = b.offer_depth_batch(mix)
+        assert got_a == got_b
+        assert a.exact == b.exact
+        assert (a.filter.table == b.filter.table).all()
+        assert (a.filter_negatives, a.filter_positives) == (
+            b.filter_negatives, b.filter_positives)
+
+        c, d = SeenSet(256), SeenSet(256)
+        us = urls[:300] + urls[100:400]
+        assert [c.check_and_insert(u) for u in us] == d.check_and_insert_batch(us)
+        assert c.exact == d.exact
+        assert (c.filter.table == d.filter.table).all()
+
+    def test_batch_with_spill(self):
+        """A deliberately-tiny filter overflows into the bloom spill; the
+        vectorized precheck must still consult it (no false negatives)."""
+        s = SeenSet(16)   # 16-bucket floor, fills fast
+        urls = [f"https://spill/{i}" for i in range(5000)]
+        s.check_and_insert_batch(urls)
+        assert s.filter.spill is not None   # spill actually engaged
+        assert not any(s.check_and_insert_batch(urls))
+        assert len(s) == 5000
