@@ -89,7 +89,12 @@ class FetchExtractWorker:
                  exclude_patterns: List[str], max_depth: int,
                  shards, num_shards: int, seed_domains: List[str],
                  wid: int = 0, records_dir: Optional[str] = None,
-                 transport=None):
+                 transport=None, keep_payloads: bool = True):
+        # keep_payloads=False: caller wants counts + seen set only (a
+        # conformance/throughput scan) — skip the object-store put of record
+        # bodies nobody will read (concurrent puts from a full worker pool
+        # contend on plasma)
+        self.keep_payloads = keep_payloads
         if transport is not None:
             self.idx = self.status = self.html = None
         else:
@@ -173,6 +178,8 @@ class FetchExtractWorker:
         if self.records_dir is not None:
             frag = self._write_fragment(records) if records else None
             return len(records), len(discovered), frag
+        if not self.keep_payloads:
+            return len(records), len(discovered), None
         return len(records), len(discovered), ray.put(records)
 
     def fetch_extract_ordered(self, items: List[Tuple[str, int]]) -> List[dict]:
@@ -613,6 +620,7 @@ def crawl_scalable(
             pages_table_ref, content_selector, exclude_list, max_depth,
             shards, num_shards, seed_domains,
             wid=w, records_dir=records_dir, transport=transport,
+            keep_payloads=materialize_records or records_dir is not None,
         )
         for w in range(num_workers)
     ]
@@ -718,7 +726,7 @@ def crawl_scalable(
                 if records_dir is not None:
                     if payload is not None:
                         frag_manifest.append((payload, n_rec))
-                else:
+                elif payload is not None:
                     record_refs.append(payload)
                 n_fetch_completions += 1
                 woke_idle = True
