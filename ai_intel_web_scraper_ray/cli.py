@@ -8,6 +8,8 @@ generate / status / export) over parquet stage directories.
     python -m ai_intel_web_scraper_ray.cli generate --in data/processed --primary kx --out data/entries
     python -m ai_intel_web_scraper_ray.cli status --dir data
     python -m ai_intel_web_scraper_ray.cli export --in data/entries --out battlecard.md
+    python -m ai_intel_web_scraper_ray.cli vector-status --in data/chunks
+    python -m ai_intel_web_scraper_ray.cli vector-query "fast scans" --in data/chunks --top-k 5
 
 The CLI owns its Ray session (guarded init); library code never does.
 ``crawl`` here runs against a synthetic web graph config (no network in
@@ -63,12 +65,20 @@ def cmd_crawl(args):
     print(f"crawled {len(res['records'])} pages, seen {len(res['seen'])} urls -> {args.out}")
 
 
+def _records_path(path: str) -> str:
+    """A crawl output dir holds records.parquet AND interleaved.parquet
+    (different schemas) — point the source-record reader at the records
+    file when present so the recursive glob can't mix the two."""
+    rec = os.path.join(path, "records.parquet")
+    return rec if os.path.isdir(path) and os.path.exists(rec) else path
+
+
 def cmd_process(args):
     _ray_init()
     from .pipelines.process import process_pipeline
     from .sources.readers import read_source_records
 
-    ds = read_source_records(args.input)
+    ds = read_source_records(_records_path(args.input))
     ds = process_pipeline(ds, min_word_count=args.min_words)
     ds.write_parquet(args.out)
     print(f"processed -> {args.out}")
@@ -79,7 +89,7 @@ def cmd_vectorize(args):
     from .pipelines.vectorize import vectorize_pipeline
     from .sources.readers import read_source_records
 
-    ds = read_source_records(args.input)
+    ds = read_source_records(_records_path(args.input))
     out = vectorize_pipeline(ds, chunk_tokens=args.chunk_tokens,
                              overlap_tokens=args.overlap_tokens)
     out.write_parquet(args.out)
@@ -91,7 +101,7 @@ def cmd_generate(args):
     from .pipelines.generate import generate_comparisons
     from .sources.readers import read_source_records
 
-    ds = read_source_records(args.input)
+    ds = read_source_records(_records_path(args.input))
     entries = generate_comparisons(ds, args.primary, args.out)
     print(f"generated {len(entries)} topic entries -> {args.out}")
 
@@ -108,6 +118,71 @@ def cmd_status(args):
             continue
         n = rd.read_parquet(files).count()
         print(f"{os.path.basename(sub)}: {n} rows in {len(files)} files")
+
+
+def cmd_vector_status(args):
+    """Vector-store statistics over a chunks parquet directory
+    (reference: competitive-intel/pipeline.py:cmd_vector_status — ChromaDB
+    collection counts + sample metadata keys)."""
+    _ray_init()
+    import ray.data as rd
+
+    ds = rd.read_parquet(args.input)
+    n = ds.count()
+    cols = [c for c in ds.schema().names if c not in ("embedding", "text")]
+    print("=" * 70)
+    print("VECTOR STORE STATUS")
+    print("=" * 70)
+    print(f"\n  Collection: {os.path.basename(os.path.normpath(args.input))}")
+    print(f"    Vectors stored: {n}")
+    print(f"    Metadata fields: {', '.join(cols)}")
+    if "competitor" in cols:
+        by = ds.groupby("competitor").count().to_pandas()
+        for _, row in by.iterrows():
+            print(f"      {row['competitor']}: {row['count()']}")
+    print("\n" + "=" * 70)
+
+
+def cmd_vector_query(args):
+    """Test query against the chunk store (reference:
+    pipeline.py:cmd_vector_query — embed the query text, filtered top-k,
+    print score/topic/source per hit)."""
+    _ray_init()
+    import ray.data as rd
+
+    from .pipelines.retrieval import ChunkRetriever
+
+    ds = rd.read_parquet(args.input)
+    name = os.path.basename(os.path.normpath(args.input))
+    sch = ds.schema()
+    dim = sch.types[sch.names.index("embedding")].list_size
+    retr = ChunkRetriever({name: ds}, embed_dim=dim)
+    fused = retr.retrieve(
+        args.query,
+        competitors=[args.competitor] if args.competitor else None,
+        topics=[args.topic] if args.topic else None,
+        n_results=args.top_k,
+    )
+    meta = ds.map_batches(
+        lambda df: df[df["chunk_id"].isin(list(fused["chunk_id"]))],
+        batch_format="pandas",
+    ).to_pandas()
+    meta = fused.merge(meta, on="chunk_id", how="left")
+    print(f'\nQuery: "{args.query}"')
+    print(f"Results: {len(meta)}")
+    print("-" * 50)
+    for i, row in meta.iterrows():
+        tids = row.get("topic_ids")
+        topic = tids[0] if isinstance(tids, (list, tuple)) and len(tids) else (
+            tids.tolist()[0] if getattr(tids, "size", 0) else "?")
+        print(f"\n[{i + 1}] Score: {row['rrf_score']:.4f} | "
+              f"{row.get('competitor', '?')} | {row.get('source_type', '?')}")
+        print(f"    Topic: {topic}")
+        print(f"    Chunk: {row['chunk_id']}")
+        print(f"    Source: {row.get('source_title', '?')}")
+        print(f"    URL: {row.get('source_url', '?')}")
+        preview = str(row.get("text", ""))[:200].replace("\n", " ")
+        print(f"    Text: {preview}...")
 
 
 def cmd_export(args):
@@ -151,6 +226,18 @@ def main(argv=None):
     c = sub.add_parser("status")
     c.add_argument("--dir", required=True)
     c.set_defaults(fn=cmd_status)
+
+    c = sub.add_parser("vector-status")
+    c.add_argument("--in", dest="input", required=True)
+    c.set_defaults(fn=cmd_vector_status)
+
+    c = sub.add_parser("vector-query")
+    c.add_argument("query")
+    c.add_argument("--in", dest="input", required=True)
+    c.add_argument("--top-k", type=int, default=5)
+    c.add_argument("--competitor")
+    c.add_argument("--topic")
+    c.set_defaults(fn=cmd_vector_query)
 
     c = sub.add_parser("export")
     c.add_argument("--in", dest="input", required=True)
