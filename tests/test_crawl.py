@@ -102,6 +102,22 @@ class TestScalableCheckpointResume:
 
 
 class TestScalableCrawl:
+    def test_throughput_scan_counts_match_materialized(self):
+        """materialize_records=False (counts + seen set only) must agree
+        with the materializing run — and ship NO record payloads at all
+        (workers skip the object-store put in that mode)."""
+        full = crawl_scalable(PAGES, [BASE], max_depth=3,
+                              exclude_patterns=("/excluded/",),
+                              num_shards=3, num_workers=2)
+        scan = crawl_scalable(PAGES, [BASE], max_depth=3,
+                              exclude_patterns=("/excluded/",),
+                              num_shards=3, num_workers=2,
+                              materialize_records=False)
+        assert scan["n_records"] == len(full["records"])
+        assert scan["seen"] == full["seen"]
+        assert scan["records"] == []
+        assert scan["record_refs"] == []
+
     def test_seen_set_matches_reference_when_unbounded(self):
         got = crawl_scalable(
             PAGES, [BASE], max_depth=3, exclude_patterns=("/excluded/",),
