@@ -880,20 +880,22 @@ def load_crawl_records(records_dir: str, max_pages: Optional[int] = None):
     offsets = counts.cumsum().shift(fill_value=0)
     offset_of = offsets.to_dict()
 
-    # pass 2: within-fragment position via one groupby(frag) — frag_row is
-    # unique within a fragment, so rank(method) choice is immaterial
-    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+    # pass 2: within-fragment position.  Shuffle on frag%64 (bounded key
+    # space — one Python call per BUCKET, not per fragment) and rank all
+    # of a bucket's fragments in one vectorized pandas groupby; frag_row
+    # is unique within a fragment, so rank(method) choice is immaterial.
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        frag = int(df["_order"].iloc[0] // 1_000_000_000)
-        within = df["frag_row"].rank(method="first").astype("int64") - 1
-        df["crawl_rank"] = offset_of[frag] + within
-        return df.drop(columns=["frag_row", "_order"])
+        frag = (df["_order"] // 1_000_000_000).astype("int64")
+        within = df.groupby(frag)["frag_row"].rank(method="first").astype("int64") - 1
+        df["crawl_rank"] = frag.map(offset_of) + within
+        return df.drop(columns=["frag_row", "_order", "_bucket"])
 
-    ds = ds.add_column("_frag", lambda df: df["_order"] // 1_000_000_000,
-                       batch_format="pandas")
-    ds = ds.groupby("_frag").map_groups(rank_group, batch_format="pandas")
-    ds = ds.map_batches(lambda df: df.drop(columns=["_frag"]),
-                        batch_format="pandas")
+    ds = ds.add_column(
+        "_bucket", lambda df: (df["_order"] // 1_000_000_000) % 64,
+        batch_format="pandas",
+    )
+    ds = ds.groupby("_bucket").map_groups(rank_bucket, batch_format="pandas")
     if max_pages is not None:
         # the max_pages smallest ranks == the crawl's first max_pages pages
         ds = ds.map_batches(
