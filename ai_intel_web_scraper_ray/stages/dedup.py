@@ -42,22 +42,36 @@ from ..functions import minhash as mh
 # ---------------------------------------------------------------------------
 
 
-def _losers_per_key(t: pa.Table, key_col: str, seq_col: str) -> pa.Table:
-    """All seqs except the min per key — the rows to DROP."""
-    keys = t[key_col].to_pylist()
-    seqs = t[seq_col].to_numpy(zero_copy_only=False)
-    best: Dict = {}
-    losers: List[int] = []
-    for k, s in zip(keys, seqs):
-        cur = best.get(k)
-        if cur is None:
-            best[k] = s
-        elif s < cur:
-            losers.append(int(cur))
-            best[k] = s
-        else:
-            losers.append(int(s))
-    return pa.table({seq_col: pa.array(losers, pa.int64())})
+_N_KEY_BUCKETS = 1024
+
+
+def _bucketed_losers(proj_ds, key_col: str, seq_col: str):
+    """(key, seq) projection Dataset → losing-seq Dataset.
+
+    Shuffles on hash(key) % 1024 instead of the raw key: a groupby over
+    the raw key invokes the per-group Python callback once per DISTINCT
+    key (≈ once per row for mostly-unique corpora); bucketing bounds the
+    callback count at 1024 and resolves every key inside a bucket in one
+    vectorized pass.  pandas' hash_array is deterministic (fixed default
+    hash key), so re-executed tasks route identically."""
+    def to_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_kb"] = (
+            pd.util.hash_array(df[key_col].to_numpy(dtype=object))
+            % _N_KEY_BUCKETS
+        ).astype("int64")
+        return df
+
+    def bucket_losers(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, seq_col], kind="mergesort")
+        out = df.loc[df[key_col].duplicated(keep="first"), [seq_col]]
+        return out.astype({seq_col: "int64"})
+
+    return (
+        proj_ds.map_batches(to_bucket, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(bucket_losers, batch_format="pandas")
+    )
 
 
 def _drop_by_seq(ds, loser_seqs, seq_col: str):
@@ -90,10 +104,8 @@ def exact_url_dedup(ds, url_col: str = "url", seq_col: str = "arrival_seq",
         key = pc.utf8_lower(pc.utf8_rtrim(t[url_col], "/"))
         return pa.table({"_dedup_key": key, seq_col: pc.cast(t[seq_col], pa.int64())})
 
-    losers_ds = (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("_dedup_key")
-        .map_groups(lambda g: _losers_per_key(g, "_dedup_key", seq_col), batch_format="pyarrow")
+    losers_ds = _bucketed_losers(
+        ds.map_batches(project, batch_format="pyarrow"), "_dedup_key", seq_col
     )
     losers = losers_ds.to_pandas()
     loser_seqs = losers[seq_col].tolist() if len(losers) and seq_col in losers.columns else []
@@ -136,10 +148,8 @@ def github_id_dedup(ds, seq_col: str = "arrival_seq", materialize_input: bool = 
 
     if materialize_input:
         ds = ds.materialize()
-    losers_ds = (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("_gh_key")
-        .map_groups(lambda g: _losers_per_key(g, "_gh_key", seq_col), batch_format="pyarrow")
+    losers_ds = _bucketed_losers(
+        ds.map_batches(project, batch_format="pyarrow"), "_gh_key", seq_col
     )
     losers = losers_ds.to_pandas()
     loser_seqs = losers[seq_col].tolist() if len(losers) and seq_col in losers.columns else []
@@ -541,11 +551,8 @@ def exact_text_dedup(ds, text_col: str = "text", order_col: str = "doc_id",
         return pa.table({"_text_hash": pa.array(hashes, pa.string()),
                          order_col: pc.cast(t[order_col], pa.int64())})
 
-    losers_ds = (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby("_text_hash")
-        .map_groups(lambda g: _losers_per_key(g, "_text_hash", order_col),
-                    batch_format="pyarrow")
+    losers_ds = _bucketed_losers(
+        ds.map_batches(project, batch_format="pyarrow"), "_text_hash", order_col
     )
     losers = losers_ds.to_pandas()
     loser_orders = losers[order_col].tolist() if len(losers) and order_col in losers.columns else []
