@@ -131,13 +131,24 @@ def docs_exact_dedup(sf_dir: str) -> pd.DataFrame:
 
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": [g["doc_id"].min()],
-            "n_copies": [g["n_copies"].sum()],
-        })
+    # merge partials under a bounded bucket key — a groupby("text") would
+    # invoke the per-group callback once per distinct text; one vectorized
+    # pandas groupby per bucket instead
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_tb"] = (pd.util.hash_array(df["text"].to_numpy(dtype=object)) % 64
+                     ).astype("int64")
+        return df
 
-    out = parts.groupby("text").map_groups(merge, batch_format="pandas").to_pandas()
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("text", as_index=False).agg(
+            doc_id=("doc_id", "min"), n_copies=("n_copies", "sum"))
+
+    out = (
+        parts.map_batches(bucketize, batch_format="pandas")
+        .groupby("_tb").map_groups(merge_bucket, batch_format="pandas")
+        .to_pandas()[["doc_id", "n_copies"]]
+    )
     out["doc_id"] = out["doc_id"].astype("int64")
     out["n_copies"] = out["n_copies"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)

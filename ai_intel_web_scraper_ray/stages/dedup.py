@@ -290,7 +290,17 @@ def greedy_resolve_distributed(edges_ds, max_iters: int = 50):
         on=("a_id",), right_on=("id",),
     )
 
-    def per_component(g: pd.DataFrame) -> pd.DataFrame:
+    # One Python callback per label-hash BUCKET, not per component: the
+    # greedy replay over a union of DISJOINT components equals the
+    # per-component replays (nodes of different components never share an
+    # edge), so running greedy_resolve once over a whole bucket is exact
+    # while bounding the callback count at _N_KEY_BUCKETS.
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_cb"] = (df["label"].astype("int64") % _N_KEY_BUCKETS).astype("int64")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         seqs: Dict = {}
         pairs: List[Tuple] = []
         for a, b, sa, sb in g[["a_id", "b_id", "a_seq", "b_seq"]].itertuples(index=False):
@@ -300,7 +310,10 @@ def greedy_resolve_distributed(edges_ds, max_iters: int = 50):
         dropped = greedy_resolve(pairs, seqs)
         return pd.DataFrame({"dropped_id": sorted(dropped)})
 
-    out = comp_edges.groupby("label").map_groups(per_component, batch_format="pandas")
+    out = (
+        comp_edges.map_batches(bucketize, batch_format="pandas")
+        .groupby("_cb").map_groups(per_bucket, batch_format="pandas")
+    )
     if out.count() == 0:
         return rd.from_items([])
     return out
