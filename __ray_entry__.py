@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": rel.q3_top_orders,
         "q5_nation_revenue": rel.q5_nation_revenue,
         "q6_revenue_delta": rel.q6_revenue_delta,
+        "q4_order_priority": rel.q4_order_priority,
+        "q12_priority_lines": rel.q12_priority_lines,
+        "q14_promo_revenue": rel.q14_promo_revenue,
         "part_type_stats": rel.part_type_stats,
         "supplier_nation_acct": rel.supplier_nation_acct,
         "events_tumbling": rel.events_tumbling,
@@ -327,6 +330,40 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate <  TIMESTAMP '1997-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q12_priority_lines": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "q14_promo_revenue": """
+            WITH j AS (
+                SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_cents,
+                       CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-07-01'
+            )
+            SELECT CAST(SUM(rev_cents * is_promo) AS BIGINT) AS promo_cents,
+                   CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+                   ROUND(100.0 * SUM(rev_cents * is_promo) / SUM(rev_cents), 6) AS promo_pct
+            FROM j
         """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,

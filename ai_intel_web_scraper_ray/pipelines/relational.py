@@ -382,3 +382,160 @@ def orders_gap_stats(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q4-shape: order-priority counts with an EXISTS semijoin on lineitem
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(sf_dir: str) -> pd.DataFrame:
+    """Orders in 1996 having at least one returned ('R') lineitem, counted
+    per priority.  The semijoin is a hash-shuffle join of the date-filtered
+    orders against the (returnflag-filtered, batch-deduped) lineitem KEY
+    projection; post-join order duplicates (one per matching lineitem that
+    survived batch-level dedup) are removed under a bounded key-bucket
+    groupby, never per distinct orderkey."""
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
+        t = t.filter(m)
+        return t.select(["o_orderkey", "o_orderpriority"])
+
+    orders_ds = orders_ds.map_batches(filter_orders, batch_format="pyarrow")
+
+    keys_ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+
+    def returned_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        # batch-level dedup only (cheap); cross-batch dups resolved after the join
+        ids = np.unique(t["l_orderkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"l_orderkey": pa.array(ids, pa.int64())})
+
+    keys_ds = keys_ds.map_batches(returned_keys, batch_format="pyarrow")
+
+    joined = orders_ds.join(
+        keys_ds, join_type="inner", num_partitions=8,
+        on=("o_orderkey",), right_on=("l_orderkey",),
+    )
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ob"] = (df["o_orderkey"].astype("int64") % 256).astype("int64")
+        return df
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("o_orderkey")
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("o_orderkey", "size"))
+
+    parts = (
+        joined.map_batches(bucketize, batch_format="pandas")
+        .groupby("_ob").map_groups(bucket_counts, batch_format="pandas")
+        .to_pandas()
+    )
+    out = parts.groupby("o_orderpriority", as_index=False)["n_orders"].sum()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q12-shape: high/low order-priority line counts per linestatus
+# ---------------------------------------------------------------------------
+
+
+def q12_priority_lines(sf_dir: str) -> pd.DataFrame:
+    """lineitem⋈orders hash-shuffle join, then per-batch conditional
+    partial counts over the bounded linestatus key."""
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    line_ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"])
+
+    def filter_lines(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi))
+        return t.filter(m).select(["l_orderkey", "l_linestatus"])
+
+    line_ds = line_ds.map_batches(filter_lines, batch_format="pyarrow")
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    joined = line_ds.join(
+        orders_ds, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        high = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"])
+        df["high"] = high.astype("int64")
+        df["low"] = (~high).astype("int64")
+        return df.groupby("l_linestatus", as_index=False).agg(
+            high_line_count=("high", "sum"), low_line_count=("low", "sum"))
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("l_linestatus", as_index=False).agg(
+        high_line_count=("high_line_count", "sum"),
+        low_line_count=("low_line_count", "sum"))
+    for c in ("high_line_count", "low_line_count"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q14-shape: promo revenue share (lineitem⋈part hash-shuffle join)
+# ---------------------------------------------------------------------------
+
+
+def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """part scales with SF (it is NOT a broadcastable dimension at 100 TB),
+    so lineitem⋈part is a hash-shuffle join on the part key; revenue uses
+    the same per-row integer-cents trick as q1/q6 so the int sums are
+    order-independent and the final ratio is bit-stable vs DuckDB."""
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-07-01", "us"))
+
+    line_ds = _read(sf_dir, "lineitem",
+                    ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def line_proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= pd.Timestamp("1996-01-01"))
+                & (df["l_shipdate"] < pd.Timestamp("1996-07-01"))].copy()
+        df["rev_cents"] = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        return df[["l_partkey", "rev_cents"]]
+
+    line_ds = line_ds.map_batches(line_proj, batch_format="pandas")
+
+    part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def part_proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["is_promo"] = df["p_type"].str.startswith("PROMO").astype("int64")
+        return df[["p_partkey", "is_promo"]]
+
+    part_ds = part_ds.map_batches(part_proj, batch_format="pandas")
+
+    joined = line_ds.join(
+        part_ds, join_type="inner", num_partitions=8,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "promo_cents": [int((df["rev_cents"] * df["is_promo"]).sum())],
+            "total_cents": [int(df["rev_cents"].sum())],
+        })
+
+    parts = joined.map_batches(partial, batch_format="pandas").to_pandas()
+    promo = int(parts["promo_cents"].sum())
+    total = int(parts["total_cents"].sum())
+    return pd.DataFrame({
+        "promo_cents": pd.Series([promo], dtype="int64"),
+        "total_cents": pd.Series([total], dtype="int64"),
+        "promo_pct": [round(100.0 * promo / total, 6)],
+    })

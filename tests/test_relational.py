@@ -25,6 +25,9 @@ ORACLE_QUERIES = [
     "q3_top_orders",
     "q5_nation_revenue",
     "q6_revenue_delta",
+    "q4_order_priority",
+    "q12_priority_lines",
+    "q14_promo_revenue",
     "part_type_stats",
     "supplier_nation_acct",
     "events_tumbling",
