@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_type_stats": rel.part_type_stats,
         "supplier_nation_acct": rel.supplier_nation_acct,
         "events_tumbling": rel.events_tumbling,
+        "events_hopping": rel.events_hopping,
+        "events_asof_click": rel.events_asof_click,
         "events_sessions": rel.events_sessions,
         "events_props_k": rel.events_props_k,
         "orders_gap_stats": rel.orders_gap_stats,
@@ -301,6 +303,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        "events_hopping": """
+            WITH hops AS (
+                SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                       time_bucket(INTERVAL '30 minutes', ts) AS slot
+                FROM events
+            ), exploded AS (
+                SELECT cents, slot AS window_start FROM hops
+                UNION ALL
+                SELECT cents, slot - INTERVAL '30 minutes' FROM hops
+            )
+            SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(cents) AS BIGINT) AS sum_cents
+            FROM exploded GROUP BY window_start ORDER BY window_start
+        """,
+        "events_asof_click": """
+            SELECT p.event_id,
+                   c.event_id AS prior_click_id,
+                   CAST(date_diff('microsecond', c.ts, p.ts) AS BIGINT)
+                       AS usecs_since_click
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id
         """,
         "events_sessions": f"""
             WITH gaps AS (

@@ -539,3 +539,103 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
         "total_cents": pd.Series([total], dtype="int64"),
         "promo_pct": [round(100.0 * promo / total, 6)],
     })
+
+
+# ---------------------------------------------------------------------------
+# events: HOPPING window (streaming-window family — each event lands in
+# length/hop overlapping windows, emitted by a vectorized per-batch explode)
+# ---------------------------------------------------------------------------
+
+HOP_MINUTES = 30
+HOP_LENGTH_MINUTES = 60
+
+
+def events_hopping(sf_dir: str) -> pd.DataFrame:
+    """1-hour windows hopping every 30 minutes: each event belongs to
+    length/hop = 2 windows.  The explode is a vectorized per-batch concat
+    (no per-row Python), partial-aggregated inside the batch before the
+    small cross-batch merge — window count is bounded by the time span, so
+    the driver combine is O(windows), not O(events).  Value sums use
+    integer cents so summation order cannot change the hash."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    hop = pd.Timedelta(minutes=HOP_MINUTES)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.floor(df["value"] * 100 + 0.5).astype("int64")
+        # window starts at every hop boundary; a 60-min window covers the
+        # event's own hop slot and the previous one
+        slot = df["ts"].dt.floor(f"{HOP_MINUTES}min")
+        a = df[["cents"]].assign(window_start=slot)
+        b = df[["cents"]].assign(window_start=slot - hop)
+        both = pd.concat([a, b], ignore_index=True)
+        return both.groupby("window_start", as_index=False).agg(
+            n_events=("cents", "size"), sum_cents=("cents", "sum"))
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = partials.groupby("window_start", as_index=False).agg(
+        n_events=("n_events", "sum"), sum_cents=("sum_cents", "sum"))
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_cents"] = out["sum_cents"].astype("int64")
+    return out.sort_values("window_start").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# events: AS-OF join (custom operator — Ray Data has no asof join; built as
+# bounded-bucket co-partition + per-bucket vectorized pandas merge_asof)
+# ---------------------------------------------------------------------------
+
+_ASOF_BUCKETS = 64
+
+
+def events_asof_click(sf_dir: str) -> pd.DataFrame:
+    """For each purchase event, the user's most recent click at-or-before
+    the purchase (inner as-of semantics — purchases with no prior click
+    drop).
+
+    Partitioning assumption (documented per the custom-operator rule): both
+    sides co-partition on hash(user_id) % 64 — every row of one user lands
+    in ONE bucket, so each bucket's ``pd.merge_asof`` (sorted on ts,
+    by=user_id) sees the user's full history.  Python callback count is
+    bounded at 64; all matching work is the vectorized pandas kernel."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["purchase", "click"])].copy()
+        df["_ab"] = (df["user_id"].astype("int64") % _ASOF_BUCKETS).astype("int64")
+        return df[["event_id", "ts", "user_id", "event_type", "_ab"]]
+
+    def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
+        right = g[g["event_type"] == "click"].sort_values("ts", kind="mergesort")
+        right = right.rename(columns={"event_id": "prior_click_id", "ts": "click_ts"})
+        if not len(left) or not len(right):
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "prior_click_id": pd.Series([], dtype="int64"),
+                                 "usecs_since_click": pd.Series([], dtype="int64")})
+        m = pd.merge_asof(
+            left, right[["prior_click_id", "click_ts", "user_id"]],
+            left_on="ts", right_on="click_ts", by="user_id",
+            direction="backward", allow_exact_matches=True,
+        )
+        m = m.dropna(subset=["prior_click_id"])
+        out = pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "prior_click_id": m["prior_click_id"].astype("int64"),
+            "usecs_since_click": ((m["ts"] - m["click_ts"])
+                                  // pd.Timedelta(microseconds=1)).astype("int64"),
+        })
+        return out
+
+    out = (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("_ab").map_groups(bucket_asof, batch_format="pandas")
+        .to_pandas()
+    )
+    if "event_id" not in out.columns:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "prior_click_id": pd.Series([], dtype="int64"),
+                             "usecs_since_click": pd.Series([], dtype="int64")})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -28,6 +28,8 @@ ORACLE_QUERIES = [
     "q4_order_priority",
     "q12_priority_lines",
     "q14_promo_revenue",
+    "events_hopping",
+    "events_asof_click",
     "part_type_stats",
     "supplier_nation_acct",
     "events_tumbling",
