@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling": rel.events_tumbling,
         "events_hopping": rel.events_hopping,
         "events_asof_click": rel.events_asof_click,
+        "events_value_range_join": rel.events_value_range_join,
         "events_sessions": rel.events_sessions,
         "events_props_k": rel.events_props_k,
         "orders_gap_stats": rel.orders_gap_stats,
@@ -327,6 +328,19 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
             ORDER BY p.event_id
+        """,
+        "events_value_range_join": """
+            WITH pc AS (
+                SELECT event_id, date_trunc('hour', ts) AS h,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                       event_type
+                FROM events WHERE event_type IN ('purchase', 'click')
+            )
+            SELECT p.event_id, CAST(COUNT(c.cents) AS BIGINT) AS n_close_clicks
+            FROM (SELECT * FROM pc WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT * FROM pc WHERE event_type = 'click') c
+              ON p.h = c.h AND abs(p.cents - c.cents) <= 50
+            GROUP BY p.event_id ORDER BY p.event_id
         """,
         "events_sessions": f"""
             WITH gaps AS (

@@ -30,6 +30,7 @@ ORACLE_QUERIES = [
     "q14_promo_revenue",
     "events_hopping",
     "events_asof_click",
+    "events_value_range_join",
     "part_type_stats",
     "supplier_nation_acct",
     "events_tumbling",
