@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
+        "docs_token_percentiles": dq.docs_token_percentiles,
         "docs_quality_scores": dq.docs_quality_scores,
         "docs_langid": dq.docs_langid,
         "docs_sentiment": dq.docs_sentiment,
@@ -459,6 +460,17 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens,
                    len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "docs_token_percentiles": f"""
+            WITH t AS (
+                SELECT len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
+                FROM documents
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_disc(n_tokens, 0.5)  AS BIGINT) AS p50,
+                   CAST(quantile_disc(n_tokens, 0.9)  AS BIGINT) AS p90,
+                   CAST(quantile_disc(n_tokens, 0.99) AS BIGINT) AS p99
+            FROM t
         """,
         "docs_quality_scores": f"""
             WITH f AS (

@@ -395,3 +395,35 @@ def emb_rrf(sf_dir: str) -> pd.DataFrame:
         "rrf_score": fused["rrf_score"].round(6),
     })
     return out.reset_index(drop=True)
+
+
+def docs_token_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact token-count percentiles via a bounded-domain histogram merge:
+    each batch emits (n_tokens, count) partials (np.unique — the domain is
+    token COUNTS, thousands of distinct values, not documents), the driver
+    merges the tiny histogram and reads the exact discrete quantile at
+    index ceil(q·n)−1 — DuckDB quantile_disc semantics.  Scales to any
+    corpus size: the shuffle volume is O(distinct counts × batches)."""
+    ds = tf.token_count_stage(_docs(sf_dir, ["doc_id", "text"]))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t["n_tokens"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"n_tokens": pa.array(u.astype("int64"), pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    parts = ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    hist = parts.groupby("n_tokens")["n"].sum().sort_index()
+    n = int(hist.sum())
+    cum = hist.cumsum()
+
+    def q_disc(q: float) -> int:
+        idx = int(np.ceil(q * n)) - 1          # 0-based rank of the quantile
+        return int(cum.index[(cum > idx).argmax()])
+
+    return pd.DataFrame({
+        "n_docs": pd.Series([n], dtype="int64"),
+        "p50": pd.Series([q_disc(0.5)], dtype="int64"),
+        "p90": pd.Series([q_disc(0.9)], dtype="int64"),
+        "p99": pd.Series([q_disc(0.99)], dtype="int64"),
+    })
