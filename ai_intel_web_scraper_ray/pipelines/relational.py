@@ -648,59 +648,50 @@ def events_asof_click(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 RANGE_BAND = 0.5
+_RANGE_HOUR_BUCKETS = 64
 
 
 def events_value_range_join(sf_dir: str) -> pd.DataFrame:
     """Per purchase event: how many click events in the same hour have a
     value within ±RANGE_BAND.  Non-equi joins have no Ray Data primitive;
-    the banded-bucket construction keeps the shuffle an equality shuffle:
-    bucket key = (hour, floor(value/band)); a click explodes into its own
-    band and both neighbors, a purchase stays in its own band, so any pair
-    with |Δvalue| ≤ band shares exactly one bucket (no dedup pass) and
-    per-bucket work is the vectorized pairwise check over a bounded band
-    population.  Purchases with no qualifying click still emit n=0 (left
-    semantics)."""
+    this one shuffles on hash(hour) % 64 (bounded — one Python callback
+    per bucket, each holding complete hours) and counts each purchase's
+    qualifying clicks with two vectorized ``np.searchsorted`` calls over
+    the bucket's (hour, cents) composite key — exact integer cents on both
+    sides so the ±0.50 boundary is bit-stable vs the DuckDB twin.
+    Purchases with no qualifying click still emit n=0 (left semantics)."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
-
     BAND_CENTS = int(RANGE_BAND * 100)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
+    def project(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["event_type"].isin(["purchase", "click"])].copy()
-        # exact integer cents: float |delta| <= 0.5 is boundary-unstable
-        # (6.55-6.05 != 0.5 in binary); the SQL twin uses the same cents
         df["cents"] = np.floor(df["value"] * 100 + 0.5).astype("int64")
-        # epoch-hours (NOT raw ns — ns*1e5 overflows int64)
+        # epoch-hours (NOT raw ns — composing with raw ns overflows int64)
         df["hour"] = (df["ts"].values.astype("datetime64[ns]").astype("int64")
                       // 3_600_000_000_000)
-        df["band"] = df["cents"] // BAND_CENTS
-        left = df[df["event_type"] == "purchase"][
-            ["event_id", "hour", "band", "cents"]].assign(side=0)
-        right = df[df["event_type"] == "click"][["hour", "band", "cents"]]
-        parts = [left] + [
-            right.assign(band=right["band"] + k, side=1, event_id=-1)
-            for k in (-1, 0, 1)
-        ]
-        out = pd.concat(parts, ignore_index=True)
-        out["bkey"] = out["hour"] * 1_000_000 + out["band"]
-        return out[["bkey", "side", "event_id", "cents"]]
+        df["_hb"] = (df["hour"] % _RANGE_HOUR_BUCKETS).astype("int64")
+        df["side"] = (df["event_type"] == "click").astype("int64")
+        return df[["event_id", "hour", "cents", "side", "_hb"]]
 
-    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == 0]
         if not len(left):
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "n_close_clicks": pd.Series([], dtype="int64")})
-        rv = g.loc[g["side"] == 1, "cents"].to_numpy()
-        lv = left["cents"].to_numpy()
-        if len(rv):
-            n = (np.abs(lv[:, None] - rv[None, :]) <= BAND_CENTS).sum(axis=1)
-        else:
-            n = np.zeros(len(lv), dtype=np.int64)
+        right = g[g["side"] == 1]
+        # composite (hour, cents) key: cents < 10^7, so ranges never cross
+        # an hour boundary in key space
+        rkey = np.sort(right["hour"].to_numpy() * 10_000_000
+                       + right["cents"].to_numpy())
+        base = left["hour"].to_numpy() * 10_000_000 + left["cents"].to_numpy()
+        n = (np.searchsorted(rkey, base + BAND_CENTS, side="right")
+             - np.searchsorted(rkey, base - BAND_CENTS, side="left"))
         return pd.DataFrame({"event_id": left["event_id"].to_numpy().astype("int64"),
                              "n_close_clicks": n.astype("int64")})
 
     out = (
-        ds.map_batches(explode, batch_format="pandas")
-        .groupby("bkey").map_groups(bucket_join, batch_format="pandas")
+        ds.map_batches(project, batch_format="pandas")
+        .groupby("_hb").map_groups(bucket_count, batch_format="pandas")
         .to_pandas()
     )
     if "event_id" not in out.columns:

@@ -166,6 +166,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("q1_pricing_summary", lambda: rel.q1_pricing_summary(sf_dir))
     timed("events_tumbling", lambda: rel.events_tumbling(sf_dir))
     timed("events_sessions", lambda: rel.events_sessions(sf_dir))
+    timed("events_asof_click", lambda: rel.events_asof_click(sf_dir))
+    timed("events_value_range_join", lambda: rel.events_value_range_join(sf_dir))
     timed("emb_knn", lambda: dq.emb_knn(sf_dir))
     timed("docs_minhash_dedup", lambda: dq.docs_minhash_dedup(sf_dir))
 
