@@ -370,7 +370,8 @@ def emb_label_centroids(sf_dir: str) -> pd.DataFrame:
 
     def partial(t: pa.Table) -> pa.Table:
         labels = t["label"].to_numpy(zero_copy_only=False)
-        e0 = np.array([v[0] for v in t["embedding"].to_pylist()], dtype=np.float64)
+        e0 = pc.list_element(t["embedding"], 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
         df = pd.DataFrame({"label": labels, "s": e0, "n": 1})
         g = df.groupby("label", as_index=False).agg(s=("s", "sum"), n=("n", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
