@@ -495,9 +495,6 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
     so lineitem⋈part is a hash-shuffle join on the part key; revenue uses
     the same per-row integer-cents trick as q1/q6 so the int sums are
     order-independent and the final ratio is bit-stable vs DuckDB."""
-    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
-    hi = pa.scalar(np.datetime64("1996-07-01", "us"))
-
     line_ds = _read(sf_dir, "lineitem",
                     ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
 

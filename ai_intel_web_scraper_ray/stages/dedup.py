@@ -227,12 +227,20 @@ def greedy_resolve_distributed(edges_ds, max_iters: int = 50):
         b = df[["b_id", "b_seq"]].rename(columns={"b_id": "id", "b_seq": "seq"})
         return pd.concat([a, b], ignore_index=True).drop_duplicates("id")
 
+    # pin the id dtype from the edge schema — callers use string ids
+    # (urls) OR int64 ids (doc_ids); forcing pa.string() crashed the
+    # integer-id paths the moment distributed resolve engaged
+    schema = edges_ds.schema()
+    id_type = schema.types[schema.names.index("a_id")]
+    if not isinstance(id_type, pa.DataType):
+        id_type = pa.string()
+
     def canon(df: pd.DataFrame) -> pa.Table:
         """Pin the (id, label) schema even for empty blocks, so no
         schemaless empty block ever reaches a join input."""
         src = df["label"] if "label" in df.columns else df.get("min(seq)", df.get("min(label)"))
         return pa.table({
-            "id": pa.array(list(df["id"]) if "id" in df.columns else [], pa.string()),
+            "id": pa.array(list(df["id"]) if "id" in df.columns else [], id_type),
             "label": pa.array([int(x) for x in src] if src is not None else [], pa.int64()),
         })
 
@@ -254,7 +262,7 @@ def greedy_resolve_distributed(edges_ds, max_iters: int = 50):
             # each edge sends a's label to b (propagation is symmetric over
             # rounds: b's label flows back through b's own edges next round);
             # arrow output keeps every block type uniform for the union
-            return pa.table({"id": pa.array(list(df["b_id"]), pa.string()),
+            return pa.table({"id": pa.array(list(df["b_id"]), id_type),
                              "label": pa.array(list(df["label"]), pa.int64())})
 
         prop = ea.map_batches(msgs, batch_format="pandas")
@@ -264,7 +272,7 @@ def greedy_resolve_distributed(edges_ds, max_iters: int = 50):
         )
 
         def msgs_rev(df: pd.DataFrame) -> pa.Table:
-            return pa.table({"id": pa.array(list(df["a_id"]), pa.string()),
+            return pa.table({"id": pa.array(list(df["a_id"]), id_type),
                              "label": pa.array(list(df["label"]), pa.int64())})
 
         prop_rev = eb.map_batches(msgs_rev, batch_format="pandas")

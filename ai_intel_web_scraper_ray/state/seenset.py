@@ -228,7 +228,12 @@ class SeenSet:
         Equivalent to calling :meth:`check_and_insert` per URL in order —
         intra-batch duplicates are caught by the exact store (which every
         filter insert accompanies), so a stale vectorized 'absent' for the
-        second copy of a URL cannot re-admit it."""
+        second copy of a URL cannot re-admit it.  Returned bools, the exact
+        store and the filter table are bit-exact vs the scalar replay; the
+        filter_negatives/positives DIAGNOSTIC counters can differ when two
+        DISTINCT urls in one batch collide on (fingerprint, bucket) — the
+        precheck mask predates the first one's insert, so the second counts
+        as a negative where scalar replay counted a positive."""
         urls = list(urls)
         if not urls:
             return []
