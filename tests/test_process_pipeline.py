@@ -118,6 +118,22 @@ class TestDedup:
         assert n1 == n2
         assert sorted(ds1.to_pandas()["arrival_seq"]) == sorted(ds2.to_pandas()["arrival_seq"])
 
+    def test_distributed_resolve_integer_ids(self):
+        """The distributed resolver must accept INTEGER id columns (the
+        doc_id-keyed queries): canon() once pinned pa.string() and crashed
+        with ArrowTypeError the moment the distributed path engaged."""
+        docs = pd.DataFrame({
+            "id": range(10),
+            "arrival_seq": range(10),
+            "text": ["alpha beta gamma delta epsilon zeta"] * 5
+                    + [f"unique text number {i} with words" for i in range(5)],
+        })
+        for fn in (dd.minhash_dedup, dd.ngram_jaccard_dedup, dd.simhash_dedup):
+            d1, n1 = fn(rd.from_pandas(docs), distributed_resolve=True)
+            d2, n2 = fn(rd.from_pandas(docs), distributed_resolve=False)
+            assert n1 == n2 > 0
+            assert sorted(d1.to_pandas()["id"]) == sorted(d2.to_pandas()["id"])
+
     def test_verified_lsh_deviation_is_pinned(self):
         """DOCUMENTED DEVIATION from the reference (deduplicator.py:122-144):
         the reference accepts raw datasketch-LSH band hits unverified; this
