@@ -13,6 +13,7 @@ here (or in the library) calls ray.init()/ray.shutdown().
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
@@ -179,9 +180,11 @@ def _sql_quote(s: str) -> str:
 # pinned expected table for non-SQL-expressible per-doc functions
 # (tools/gen_pinned_oracles.py) — joined on sha256(text) so any covered
 # corpus (sf0.001 / sf0.01 testdata) validates
-_PINNED = "/root/repo/tests/pinned/doc_expected.parquet"
-_PINNED_CRAWL = "/root/repo/tests/pinned/crawl_expected.parquet"
-_PINNED_DEDUP = "/root/repo/tests/pinned/dedup_expected.parquet"
+_PINNED_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "pinned")
+_PINNED = os.path.join(_PINNED_DIR, "doc_expected.parquet")
+_PINNED_CRAWL = os.path.join(_PINNED_DIR, "crawl_expected.parquet")
+_PINNED_DEDUP = os.path.join(_PINNED_DIR, "dedup_expected.parquet")
 
 
 def _sentiment_sql() -> str:

@@ -566,6 +566,15 @@ def crawl_scalable(
     the records crawled so far (or their fragment manifest); ``resume=True``
     continues to completion and the union of partial+resumed records equals
     an uninterrupted run's."""
+    if transport is not None and min_delay > 0 and not wall_clock_politeness:
+        # the virtual politeness clock does not sleep; against a live
+        # transport that would hammer real hosts at full speed while
+        # CLAIMING a min_delay — make the documented MUST a mechanism
+        raise ValueError(
+            "crawl_scalable: a live transport with min_delay > 0 requires "
+            "wall_clock_politeness=True (the virtual clock does not enforce "
+            "min_delay in wall time)"
+        )
     if pages_table_ref is None and transport is None:
         pages_table_ref = pages_to_table_ref(pages)
     shards = make_shards(num_shards, min_delay, respect_robots, robots_texts,
@@ -832,10 +841,12 @@ def crawl_scalable(
 
 def load_crawl_records(records_dir: str, max_pages: Optional[int] = None):
     """Read a streamed crawl's committed record fragments back as a Ray
-    Dataset, deduped by URL keeping the first occurrence in deterministic
-    fragment order (sorted fragment name, then intra-fragment ``frag_row``)
-    with a ``crawl_rank`` column — the streaming analogue of
-    ``crawl_scalable``'s driver-side materialization.
+    Dataset, deduped by URL keeping the first occurrence in MANIFEST order
+    (the driver appends fragments in fetch-completion order, so keep-first
+    here matches the in-memory run's driver materialization; a
+    name-sorted order would instead tie-break by (wid, pid) and could keep
+    a depth-refined re-fetch over the first arrival) with a ``crawl_rank``
+    column.
 
     Ranks are assigned DISTRIBUTED: ``_order = frag_idx·10⁹ + frag_row`` is
     globally unique, fragments are small (one worker chunk each), so
@@ -851,8 +862,8 @@ def load_crawl_records(records_dir: str, max_pages: Optional[int] = None):
         frag_names = [p for p, _n in json.load(f)["fragments"]]
     if not frag_names:
         return rd.from_items([])
-    order_of = {name: i for i, name in enumerate(sorted(frag_names))}
-    paths = [os.path.join(records_dir, "frags", p) for p in sorted(frag_names)]
+    order_of = {name: i for i, name in enumerate(frag_names)}
+    paths = [os.path.join(records_dir, "frags", p) for p in frag_names]
     ds = rd.read_parquet(paths, include_paths=True)
 
     def add_order(df: pd.DataFrame) -> pd.DataFrame:

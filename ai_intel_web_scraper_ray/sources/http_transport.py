@@ -50,7 +50,7 @@ class HttpTransport:
         headers: Optional[Dict[str, str]] = None,
         timeout: float = 30.0,
         max_attempts: int = 3,
-        backoff_base: float = 2.0,
+        backoff_min: float = 2.0,
         backoff_max: float = 10.0,
         get_fn: Optional[Callable] = None,
         sleep_fn: Callable[[float], None] = time.sleep,
@@ -58,7 +58,7 @@ class HttpTransport:
         self.headers = {**DEFAULT_HEADERS, **(headers or {})}
         self.timeout = timeout
         self.max_attempts = max_attempts
-        self.backoff_base = backoff_base
+        self.backoff_min = backoff_min
         self.backoff_max = backoff_max
         self._get_fn = get_fn
         self._sleep = sleep_fn
@@ -99,9 +99,9 @@ class HttpTransport:
                 if attempt + 1 >= self.max_attempts:
                     self.counters["gave_up"] += 1
                     return None
-                # tenacity wait_exponential(multiplier=1, min=2, max=10):
-                # 2s, 4s, 8s... capped at 10s
-                delay = min(max(self.backoff_base, 2.0 ** (attempt + 1)), self.backoff_max)
+                # tenacity wait_exponential(multiplier=1, min=backoff_min,
+                # max=backoff_max): 2s, 4s, 8s… clamped to [min, max]
+                delay = min(max(self.backoff_min, 2.0 ** (attempt + 1)), self.backoff_max)
                 self.counters["retries"] += 1
                 self._sleep(delay)
                 continue

@@ -291,6 +291,19 @@ def greedy_resolve_distributed(edges_ds, max_iters: int = 50):
         if new_sum == label_sum:
             break
         label_sum = new_sum
+    else:
+        # non-convergence must be VISIBLE: a component chain longer than
+        # max_iters hops would be left split across labels and the split
+        # shards under-deduplicate independently
+        import warnings
+
+        warnings.warn(
+            f"greedy_resolve_distributed: label propagation did not "
+            f"converge in {max_iters} rounds — components with diameter "
+            f"> {max_iters} are split and may under-deduplicate; raise "
+            f"max_iters",
+            RuntimeWarning,
+        )
 
     # phase 2: per-component sequential greedy (components are clusters)
     comp_edges = edges_ds.join(
@@ -321,16 +334,28 @@ def greedy_resolve_distributed(edges_ds, max_iters: int = 50):
     out = (
         comp_edges.map_batches(bucketize, batch_format="pandas")
         .groupby("_cb").map_groups(per_bucket, batch_format="pandas")
+        .materialize()   # count() below must not re-run phase 2 for the caller
     )
     if out.count() == 0:
         return rd.from_items([])
     return out
 
 
-def _resolve_edges(edges_ds, distributed_resolve: Optional[bool]) -> Set:
+# above this many dropped ids, the drop filter stays a DATASET and is
+# applied as a hash anti-join — funnelling the ids through a driver set +
+# pc.is_in broadcast would rebuild the O(#duplicates) driver structure the
+# distributed resolver exists to avoid
+_DROP_BROADCAST_MAX = 1_000_000
+
+
+def _resolve_edges(edges_ds, distributed_resolve: Optional[bool]):
     """Shared tail of every near-dup path: candidate-edge Dataset →
-    dropped-id set, via the driver greedy (small edge sets) or the
-    distributed per-component replay (auto above 2M edges)."""
+    dropped ids, via the driver greedy (small edge sets) or the
+    distributed per-component replay (auto above 2M edges).
+
+    Returns a ``set`` when the dropped ids are broadcastable, else a
+    materialized Dataset with column ``dropped_id`` (feed to
+    :func:`_apply_drop`)."""
     edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
     if n_edges == 0:
@@ -341,8 +366,14 @@ def _resolve_edges(edges_ds, distributed_resolve: Optional[bool]) -> Set:
         dedup_edges = edges_ds.map_batches(
             lambda df: df.drop_duplicates(["a_id", "b_id"]), batch_format="pandas"
         )
-        dropped_df = greedy_resolve_distributed(dedup_edges).to_pandas()
-        if not len(dropped_df) or "dropped_id" not in dropped_df.columns:
+        dropped_ds = greedy_resolve_distributed(dedup_edges)
+        n_dropped = dropped_ds.count()
+        if n_dropped == 0:
+            return set()
+        if n_dropped > _DROP_BROADCAST_MAX:
+            return dropped_ds
+        dropped_df = dropped_ds.to_pandas()
+        if "dropped_id" not in dropped_df.columns:
             return set()
         return set(dropped_df["dropped_id"])
     edges_df = edges_ds.to_pandas().drop_duplicates(["a_id", "b_id"])
@@ -353,6 +384,30 @@ def _resolve_edges(edges_ds, distributed_resolve: Optional[bool]) -> Set:
         seqs[b] = int(sb)
         pairs.append((a, b))
     return greedy_resolve(pairs, seqs)
+
+
+def _apply_drop(ds, id_col: str, dropped):
+    """Drop rows whose ``id_col`` is in ``dropped`` → (ds, n_dropped).
+
+    ``dropped`` is a set (small → broadcast ``pc.is_in`` filter, rows never
+    shuffle) or a Dataset['dropped_id'] (large → hash LEFT-ANTI join; both
+    sides shuffle once, nothing lands on the driver)."""
+    if isinstance(dropped, set):
+        if not dropped:
+            return ds, 0
+        value_set = pa.array(sorted(dropped))
+
+        def drop_rows(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t[id_col], value_set=value_set)
+            return t.filter(pc.invert(mask))
+
+        return ds.map_batches(drop_rows, batch_format="pyarrow"), len(dropped)
+    n_dropped = dropped.count()
+    out = ds.join(
+        dropped, join_type="left_anti", num_partitions=32,
+        on=(id_col,), right_on=("dropped_id",),
+    )
+    return out, n_dropped
 
 
 def _sig_matrix(col) -> np.ndarray:
@@ -539,15 +594,7 @@ def minhash_dedup(
     bands = sig_ds.map_batches(to_bands, batch_format="pyarrow")
     edges_ds = bands.groupby("bucket").map_groups(bucket_edges, batch_format="pandas")
     dropped = _resolve_edges(edges_ds, distributed_resolve)
-    if not dropped:
-        return ds, 0
-    dropped_list = sorted(dropped)
-
-    def drop_rows(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t[id_col], value_set=pa.array(dropped_list))
-        return t.filter(pc.invert(mask))
-
-    return ds.map_batches(drop_rows, batch_format="pyarrow"), len(dropped)
+    return _apply_drop(ds, id_col, dropped)
 
 
 # ---------------------------------------------------------------------------
@@ -664,15 +711,7 @@ def ngram_jaccard_dedup(
     bands = ds.map_batches(to_bands, batch_format="pyarrow")
     edges_ds = bands.groupby("bucket").map_groups(bucket_edges, batch_format="pandas")
     dropped = _resolve_edges(edges_ds, distributed_resolve)
-    if not dropped:
-        return ds, 0
-    dropped_list = sorted(dropped)
-
-    def drop_rows(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t[id_col], value_set=pa.array(dropped_list))
-        return t.filter(pc.invert(mask))
-
-    return ds.map_batches(drop_rows, batch_format="pyarrow"), len(dropped)
+    return _apply_drop(ds, id_col, dropped)
 
 
 # ---------------------------------------------------------------------------
@@ -769,15 +808,7 @@ def simhash_dedup(
     chunks = ds.map_batches(to_chunks, batch_format="pyarrow")
     edges_ds = chunks.groupby("bucket").map_groups(bucket_edges, batch_format="pandas")
     dropped = _resolve_edges(edges_ds, distributed_resolve)
-    if not dropped:
-        return ds, 0
-    dropped_list = sorted(dropped)
-
-    def drop_rows(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t[id_col], value_set=pa.array(dropped_list))
-        return t.filter(pc.invert(mask))
-
-    return ds.map_batches(drop_rows, batch_format="pyarrow"), len(dropped)
+    return _apply_drop(ds, id_col, dropped)
 
 
 # ---------------------------------------------------------------------------
@@ -825,8 +856,12 @@ def embedding_cosine_dedup(
                     {
                         "bucket": pa.array(buckets, pa.int64()),
                         id_col: pa.array(ids),
+                        # float64 through the shuffle: this query is
+                        # oracle-checked against DuckDB's DOUBLE cosine, and
+                        # a float32 round-trip can flip threshold-boundary
+                        # pairs to the other side of 0.95
                         "_vec": pa.FixedSizeListArray.from_arrays(
-                            pa.array(unit.astype(np.float32).reshape(-1), pa.float32()),
+                            pa.array(unit.reshape(-1), pa.float64()),
                             vecs.shape[1],
                         ),
                     }
