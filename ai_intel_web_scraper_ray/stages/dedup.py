@@ -390,8 +390,17 @@ def _apply_drop(ds, id_col: str, dropped):
     """Drop rows whose ``id_col`` is in ``dropped`` → (ds, n_dropped).
 
     ``dropped`` is a set (small → broadcast ``pc.is_in`` filter, rows never
-    shuffle) or a Dataset['dropped_id'] (large → hash LEFT-ANTI join; both
-    sides shuffle once, nothing lands on the driver)."""
+    shuffle) or a Dataset['dropped_id'] (large).  The large path assembles
+    ONE sorted id array inside a remote task — the driver only ever holds
+    the ObjectRef — and every filter task reads it zero-copy from plasma
+    for a vectorized ``np.searchsorted`` membership test.  Rows never
+    shuffle on either path.  (A hash LEFT-ANTI ``Dataset.join`` was tried
+    first, but Ray's Acero join rejects list/struct non-key columns, which
+    real document rows carry.)  Scale bound: the array is one plasma copy
+    per node — ~8 GB at 10⁹ dropped ids; beyond that, partition the drop
+    filter by id range."""
+    import ray
+
     if isinstance(dropped, set):
         if not dropped:
             return ds, 0
@@ -402,12 +411,29 @@ def _apply_drop(ds, id_col: str, dropped):
             return t.filter(pc.invert(mask))
 
         return ds.map_batches(drop_rows, batch_format="pyarrow"), len(dropped)
+
     n_dropped = dropped.count()
-    out = ds.join(
-        dropped, join_type="left_anti", num_partitions=32,
-        on=(id_col,), right_on=("dropped_id",),
-    )
-    return out, n_dropped
+    if n_dropped == 0:
+        return ds, 0
+
+    @ray.remote
+    def assemble(*block_refs) -> np.ndarray:
+        parts = [
+            b["dropped_id"].to_numpy(zero_copy_only=False) for b in block_refs
+        ]
+        return np.sort(np.concatenate(parts))
+
+    arr_ref = assemble.remote(*list(dropped.to_arrow_refs()))
+
+    def drop_rows_sorted(t: pa.Table) -> pa.Table:
+        arr = ray.get(arr_ref)             # zero-copy from plasma
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(arr, ids)
+        pos[pos >= len(arr)] = len(arr) - 1
+        mask = arr[pos] == ids
+        return t.filter(pa.array(~mask))
+
+    return ds.map_batches(drop_rows_sorted, batch_format="pyarrow"), n_dropped
 
 
 def _sig_matrix(col) -> np.ndarray:

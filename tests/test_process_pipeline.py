@@ -166,6 +166,36 @@ class TestDedup:
         assert n_dropped == 0            # raw-LSH reference would drop one
         assert sorted(ds.to_pandas()["id"]) == ["a", "b"]
 
+    def test_apply_drop_dataset_path(self):
+        """The >1M-id drop path (Dataset filter, plasma-shared sorted array
+        + searchsorted) must match the broadcast-set path — including rows
+        whose ids sort before/after every dropped id, and string ids."""
+        import pyarrow as pa
+
+        t = pa.table({
+            "id": pa.array(["a", "b", "c", "d", "zz"]),
+            "arrival_seq": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "payload": pa.array([[1, 2], [3], [], [4, 5], [6]],
+                                pa.list_(pa.int64())),  # non-key list col
+        })
+        dropped_ds = rd.from_items([{"dropped_id": "b"}, {"dropped_id": "zz"}])
+        out, n = dd._apply_drop(rd.from_arrow(t), "id", dropped_ds)
+        assert n == 2
+        assert sorted(out.to_pandas()["id"]) == ["a", "c", "d"]
+
+        # integer ids through the same path
+        ti = pa.table({"id": pa.array([10, 20, 30], pa.int64())})
+        di = rd.from_items([{"dropped_id": 20}])
+        out, n = dd._apply_drop(rd.from_arrow(ti), "id", di)
+        assert n == 1
+        assert sorted(out.to_pandas()["id"]) == [10, 30]
+
+        # empty drop Dataset is a no-op
+        de = rd.from_items([{"dropped_id": "x"}]).filter(lambda r: False)
+        out, n = dd._apply_drop(rd.from_arrow(ti), "id", de)
+        assert n == 0
+        assert out.count() == 3
+
 
 class TestFullProcess:
     def test_matches_oracle_end_to_end(self):
