@@ -148,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_interleaved_roundtrip": dq.docs_interleaved_roundtrip,
         "docs_top_tokens": dq.docs_top_tokens,
         "docs_fingerprints": dq.docs_fingerprints,         # pinned-table oracle
+        "docs_top_per_source": dq.docs_top_per_source,
+        "docs_decontaminate": dq.docs_decontaminate,
         "docs_exact_dedup": dq.docs_exact_dedup,
         "docs_minhash_dedup": dq.docs_minhash_dedup,       # pinned-table oracle
         "docs_ngram_dedup": dq.docs_ngram_dedup,
@@ -491,6 +493,40 @@ def oracle_sql() -> dict[str, str]:
         "docs_langid": _langid_sql(),
         "docs_sentiment": _sentiment_sql(),
         "docs_primary_topic": _primary_topic_sql(),
+        "docs_top_per_source": """
+            SELECT doc_id, source, n_chars FROM (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id) AS rn
+                FROM documents) WHERE rn <= 3
+            ORDER BY source, doc_id
+        """,
+        # decontamination oracle: word-8-gram overlap of training docs
+        # (doc_id % 7 <> 0) against the benchmark split (doc_id % 7 = 0);
+        # n_hits = distinct overlapping grams per training doc
+        "docs_decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(w) - 6),
+                           i -> {G8})) AS s
+                FROM toks
+            ), bench AS (
+                SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 7 = 0
+            ), hits AS (
+                SELECT t.doc_id, COUNT(*) AS n_hits
+                FROM (SELECT doc_id, unnest(s) AS g FROM sh
+                      WHERE doc_id % 7 <> 0) t
+                JOIN bench USING (g) GROUP BY t.doc_id
+            )
+            SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+            FROM hits ORDER BY doc_id
+        """.replace("{G8}", " || ' ' || ".join(f"w[i+{j}]" for j in range(8))),
         "docs_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text ORDER BY doc_id

@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions import langid as langid_fn
+from ..functions import minhash as mh
 from ..functions import sentiment as sentiment_fn
 from ..functions.tagging import DEFAULT_TOPIC_KEYWORDS
 from ..stages import dedup as dd
@@ -428,3 +429,108 @@ def docs_token_percentiles(sf_dir: str) -> pd.DataFrame:
         "p90": pd.Series([q_disc(0.9)], dtype="int64"),
         "p99": pd.Series([q_disc(0.99)], dtype="int64"),
     })
+
+
+_N_SOURCE_BUCKETS = 64
+
+
+def docs_top_per_source(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Per-key top-k selection — keep the k longest docs per source with a
+    deterministic doc_id tiebreak (the "best documents per domain"
+    primitive of a training-data curation pipeline).
+
+    Scale shape: a per-block PARTIAL top-k runs before any shuffle (a row
+    outside its block's per-source top-k can never be in the global
+    top-k), so the exchange moves at most k rows per (block, source).
+    The final pass buckets sources by a stable hash
+    (``pd.util.hash_array`` — deterministic across workers) so per-group
+    Python callbacks are bounded at ``_N_SOURCE_BUCKETS`` no matter how
+    many distinct sources/domains the corpus has; each bucket resolves
+    all its sources in ONE vectorized sort+head."""
+    ds = _docs(sf_dir, ["doc_id", "source", "n_chars"])
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["source", "n_chars", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("source", sort=False).head(k)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_kb"] = (
+            pd.util.hash_array(df["source"].to_numpy(dtype=object))
+            % _N_SOURCE_BUCKETS
+        ).astype("int64")
+        return df
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        return topk(df).drop(columns="_kb")
+
+    out = (
+        ds.map_batches(topk, batch_format="pandas")
+        .map_batches(bucketize, batch_format="pandas")
+        .groupby("_kb")
+        .map_groups(final, batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.sort_values(["source", "doc_id"]).reset_index(drop=True)
+    return out[["doc_id", "source", "n_chars"]].astype(
+        {"doc_id": "int64", "n_chars": "int64"})
+
+
+def docs_decontaminate(sf_dir: str, n: int = 8, bench_mod: int = 7) -> pd.DataFrame:
+    """Train/eval decontamination: flag every training document sharing at
+    least one word 8-gram with the benchmark split (here: doc_id %
+    bench_mod == 0 stands in for a held-out eval set).  Returns
+    (doc_id, n_hits) where n_hits counts the doc's DISTINCT overlapping
+    8-grams — the standard n-gram-overlap contamination check used when
+    assembling LLM training corpora.
+
+    Scale shape: the benchmark side is the SMALL side by construction
+    (eval suites are MBs; training corpora are TBs), so its distinct
+    grams are collected once and broadcast via ``ray.put`` — every filter
+    task does one vectorized ``pc.is_in`` over its batch's grams; the
+    training data never shuffles.  At larger bench sets, swap the exact
+    string set for a bloom/hashed-gram set (same plumbing)."""
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def bench_grams(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        grams = set()
+        for d, tx in zip(ids, t["text"].to_pylist()):
+            if d % bench_mod == 0:
+                grams.update(mh.shingles(tx, n))
+        return pa.table({"gram": pa.array(sorted(grams), pa.string())})
+
+    parts = ds.map_batches(bench_grams, batch_format="pyarrow").to_pandas()
+    gram_ref = ray.put(pa.array(parts["gram"].unique(), pa.string()))
+
+    def count_hits(t: pa.Table) -> pa.Table:
+        value_set = ray.get(gram_ref)      # zero-copy from plasma
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rep_ids: List[int] = []
+        rep_grams: List[str] = []
+        for d, tx in zip(ids, t["text"].to_pylist()):
+            if d % bench_mod == 0:
+                continue
+            sh = set(mh.shingles(tx, n))
+            rep_ids.extend([int(d)] * len(sh))
+            rep_grams.extend(sh)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_hits": pa.array([], pa.int64())})
+        if not rep_ids:
+            return empty
+        hit = pc.is_in(pa.array(rep_grams, pa.string()), value_set=value_set)
+        df = pd.DataFrame({"doc_id": rep_ids,
+                           "h": hit.to_numpy(zero_copy_only=False)})
+        agg = df[df["h"]].groupby("doc_id").size()
+        if agg.empty:
+            return empty
+        return pa.table({
+            "doc_id": pa.array(agg.index.to_numpy().astype("int64"), pa.int64()),
+            "n_hits": pa.array(agg.to_numpy().astype("int64"), pa.int64()),
+        })
+
+    out = ds.map_batches(count_hits, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

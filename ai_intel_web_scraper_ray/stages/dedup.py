@@ -342,9 +342,9 @@ def greedy_resolve_distributed(edges_ds, max_iters: int = 50):
 
 
 # above this many dropped ids, the drop filter stays a DATASET and is
-# applied as a hash anti-join — funnelling the ids through a driver set +
-# pc.is_in broadcast would rebuild the O(#duplicates) driver structure the
-# distributed resolver exists to avoid
+# applied via a plasma-shared sorted id array (see _apply_drop) — funnelling
+# the ids through a driver set + pc.is_in broadcast would rebuild the
+# O(#duplicates) driver structure the distributed resolver exists to avoid
 _DROP_BROADCAST_MAX = 1_000_000
 
 

@@ -102,3 +102,71 @@ class TestHoppingWindow:
         sf_dir, df = events_dir
         got = rel.events_hopping(sf_dir)
         assert got["n_events"].sum() == 2 * len(df)
+
+
+def _random_docs(seed: int, n: int = 300) -> pd.DataFrame:
+    """Random documents with heavy n_chars ties (small value domain) and
+    deliberate 8-gram overlap: every 9th doc copies an 8-word span from a
+    benchmark doc (doc_id % 7 == 0)."""
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(3, 40)))
+        for _ in range(n)
+    ]
+    for i in range(0, n, 9):
+        donor = 7 * rng.randint(0, max(n // 7, 1))
+        if donor < n and donor % 7 == 0 and i % 7 != 0:
+            words = texts[donor].split()
+            if len(words) >= 8:
+                start = rng.randint(0, len(words) - 7)
+                texts[i] = texts[i] + " " + " ".join(words[start:start + 8])
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64"),
+        "text": texts,
+        "lang": ["en"] * n,
+        "source": [f"src{rng.randint(0, 8)}" for _ in range(n)],
+        "n_chars": rng.randint(10, 15, size=n).astype("int64"),  # many ties
+    })
+
+
+@pytest.fixture(params=[3, 19])
+def docs_dir(request, tmp_path):
+    df = _random_docs(request.param)
+    df.to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path), df
+
+
+class TestTopPerSource:
+    def test_matches_bruteforce(self, docs_dir):
+        from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+        sf_dir, df = docs_dir
+        got = dq.docs_top_per_source(sf_dir)
+
+        exp = df.sort_values(["source", "n_chars", "doc_id"],
+                             ascending=[True, False, True], kind="mergesort")
+        exp = exp.groupby("source", sort=False).head(3)
+        exp = exp.sort_values(["source", "doc_id"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, exp[["doc_id", "source", "n_chars"]])
+
+
+class TestDecontaminate:
+    def test_matches_bruteforce(self, docs_dir):
+        from ai_intel_web_scraper_ray.functions import minhash as mh
+        from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+        sf_dir, df = docs_dir
+        got = dq.docs_decontaminate(sf_dir)
+
+        bench = set()
+        for _, r in df[df["doc_id"] % 7 == 0].iterrows():
+            bench.update(mh.shingles(r["text"], 8))
+        rows = []
+        for _, r in df[df["doc_id"] % 7 != 0].iterrows():
+            hits = len(set(mh.shingles(r["text"], 8)) & bench)
+            if hits:
+                rows.append((r["doc_id"], hits))
+        exp = pd.DataFrame(rows, columns=["doc_id", "n_hits"]).astype("int64")
+        exp = exp.sort_values("doc_id").reset_index(drop=True)
+        assert len(exp) > 0, "fixture must produce contamination"
+        pd.testing.assert_frame_equal(got, exp)
