@@ -127,6 +127,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": rel.q4_order_priority,
         "q12_priority_lines": rel.q12_priority_lines,
         "q14_promo_revenue": rel.q14_promo_revenue,
+        "q10_returned_revenue": rel.q10_returned_revenue,
+        "q19_branch_revenue": rel.q19_branch_revenue,
+        "events_distinct_users": rel.events_distinct_users,
         "part_type_stats": rel.part_type_stats,
         "supplier_nation_acct": rel.supplier_nation_acct,
         "events_tumbling": rel.events_tumbling,
@@ -410,6 +413,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
                    ROUND(100.0 * SUM(rev_cents * is_promo) / SUM(rev_cents), 6) AS promo_pct
             FROM j
+        """,
+        "q10_returned_revenue": """
+            WITH rev AS (
+                SELECT o_custkey,
+                       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS cents
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1996-04-01'
+                GROUP BY o_custkey
+            )
+            SELECT c_custkey, c_name, n_name AS nation, cents / 100.0 AS revenue
+            FROM rev JOIN customer ON c_custkey = o_custkey
+                     JOIN nation ON c_nationkey = n_nationkey
+            ORDER BY cents DESC, c_custkey LIMIT 20
+        """,
+        "q19_branch_revenue": """
+            WITH m AS (
+                SELECT CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                       AND l_quantity BETWEEN 1 AND 11)
+                   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+                       AND l_quantity BETWEEN 10 AND 20)
+                   OR (p_brand = 'Brand#20' AND p_size BETWEEN 25 AND 50
+                       AND l_quantity BETWEEN 20 AND 35)
+            )
+            SELECT COALESCE(SUM(cents), 0) / 100.0 AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM m
+        """,
+        "events_distinct_users": """
+            SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,

@@ -697,3 +697,155 @@ def events_value_range_join(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# events: COUNT(DISTINCT) — two-level distinct aggregation
+# ---------------------------------------------------------------------------
+
+
+def events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT user_id) per event_type via two-level distinct: a
+    per-batch ``drop_duplicates`` shrinks the exchange to this batch's
+    unique (event_type, user_id) pairs, the groupby shuffle dedups
+    globally, and a per-batch count partial reduces to ≤|event_types|
+    rows before the driver combine — the driver never sees user ids."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    pre = ds.map_batches(
+        lambda df: df.drop_duplicates(), batch_format="pandas")
+    uniq = pre.groupby(["event_type", "user_id"]).count()
+
+    def cnt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_users=("user_id", "size"))
+
+    parts = uniq.map_batches(cnt, batch_format="pandas").to_pandas()
+    out = parts.groupby("event_type", as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q10-shape: top customers by returned-item revenue (double shuffle join
+# tail: lineitem⋈orders on the order key, then a distributed groupby on
+# the customer key; names resolved only for the final 20 rows)
+# ---------------------------------------------------------------------------
+
+
+def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """Returned-item ('R') revenue per customer in 1996Q1, top 20.  Both
+    joins are scale-safe: lineitem⋈orders hash-shuffles on the order key
+    and the per-customer revenue finishes in a distributed groupby; the
+    customer table is touched ONLY to resolve names for the 20 winners
+    (a broadcast `pc.is_in` filter — never a driver-side map over it)."""
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["o_orderdate"] >= pd.Timestamp("1996-01-01"))
+                & (df["o_orderdate"] < pd.Timestamp("1996-04-01"))]
+        return df[["o_orderkey", "o_custkey"]]
+
+    orders_ds = orders_ds.map_batches(filter_orders, batch_format="pandas")
+
+    line_ds = _read(sf_dir, "lineitem",
+                    ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_returnflag"] == "R"].copy()
+        df["rev_cents"] = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        return df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
+
+    line_ds = line_ds.map_batches(line_partial, batch_format="pandas")
+
+    joined = line_ds.join(
+        orders_ds, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    rev = joined.groupby("o_custkey").sum("rev_cents")
+    top = rev.sort(["sum(rev_cents)", "o_custkey"], descending=[True, False]) \
+             .limit(20).to_pandas()
+
+    winner_keys = pa.array(top["o_custkey"].astype("int64"))
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=winner_keys)),
+            batch_format="pyarrow")
+        .to_pandas()
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey") \
+             .merge(nation, left_on="c_nationkey", right_on="n_nationkey")
+    out = out.rename(columns={"n_name": "nation"})
+    out["revenue"] = out["sum(rev_cents)"] / 100.0
+    out = out.sort_values(["sum(rev_cents)", "c_custkey"],
+                          ascending=[False, True], kind="mergesort")
+    out["c_custkey"] = out["c_custkey"].astype("int64")
+    return out[["c_custkey", "c_name", "nation", "revenue"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q19-shape: disjunctive predicate join — three (brand, size, quantity)
+# OR-branches; the part side collapses to three broadcast key sets so the
+# fact table never shuffles
+# ---------------------------------------------------------------------------
+
+_Q19_BRANCHES = (
+    # (p_brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#1", 1, 15, 1, 11),
+    ("Brand#13", 10, 30, 10, 20),
+    ("Brand#20", 25, 50, 20, 35),
+)
+
+
+def q19_branch_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue matching any of three coupled (part attrs × lineitem
+    quantity) OR-branches.  part scales with SF but each branch's
+    predicate selects ~1/25 of it, and only the KEYS survive — three int
+    sets broadcast once via ``ray.put``; lineitem streams through one
+    vectorized filter with zero shuffles."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def branch_keys(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for bi, (brand, slo, shi, _, _) in enumerate(_Q19_BRANCHES):
+            keys = df.loc[(df["p_brand"] == brand)
+                          & (df["p_size"] >= slo) & (df["p_size"] <= shi),
+                          "p_partkey"]
+            out.append(pd.DataFrame({"branch": bi, "p_partkey": keys}))
+        return pd.concat(out, ignore_index=True)
+
+    keys_df = part.map_batches(branch_keys, batch_format="pandas").to_pandas()
+    branch_sets_ref = ray.put([
+        set(keys_df.loc[keys_df["branch"] == bi, "p_partkey"])
+        for bi in range(len(_Q19_BRANCHES))
+    ])
+
+    line_ds = _read(sf_dir, "lineitem",
+                    ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        branch_sets = ray.get(branch_sets_ref)
+        mask = np.zeros(len(df), dtype=bool)
+        for (_, _, _, qlo, qhi), keys in zip(_Q19_BRANCHES, branch_sets):
+            mask |= (df["l_partkey"].isin(keys).to_numpy()
+                     & (df["l_quantity"] >= qlo).to_numpy()
+                     & (df["l_quantity"] <= qhi).to_numpy())
+        df = df[mask]
+        cents = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        return pd.DataFrame({"rev_cents": [int(cents.sum())],
+                             "n_rows": [len(df)]})
+
+    parts = line_ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cents = int(parts["rev_cents"].sum())
+    return pd.DataFrame({
+        "revenue": [cents / 100.0],
+        "n_rows": pd.Series([int(parts["n_rows"].sum())], dtype="int64"),
+    })
