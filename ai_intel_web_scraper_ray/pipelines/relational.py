@@ -802,13 +802,26 @@ _Q19_BRANCHES = (
     ("Brand#20", 25, 50, 20, 35),
 )
 
+# broadcast the filtered part keys only while they stay a genuinely small
+# side (q14's rule stands: the FULL part table is never broadcastable);
+# above this the query falls back to the q14-style hash-shuffle join
+_Q19_BROADCAST_MAX = 5_000_000
 
-def q19_branch_revenue(sf_dir: str) -> pd.DataFrame:
+
+def q19_branch_revenue(sf_dir: str,
+                       broadcast_max: int = _Q19_BROADCAST_MAX) -> pd.DataFrame:
     """Revenue matching any of three coupled (part attrs × lineitem
-    quantity) OR-branches.  part scales with SF but each branch's
-    predicate selects ~1/25 of it, and only the KEYS survive — three int
-    sets broadcast once via ``ray.put``; lineitem streams through one
-    vectorized filter with zero shuffles."""
+    quantity) OR-branches.  Two execution paths, auto-selected by the
+    SIZE of the filtered part side — the branch predicates keep ~6 % of
+    part, and whether that survives as a broadcastable small side depends
+    on SF, so the plan must not hard-code either answer:
+
+    - filtered keys ≤ ``broadcast_max``: three int key sets broadcast
+      once via ``ray.put``; lineitem streams through one vectorized
+      filter with ZERO shuffles;
+    - larger: lineitem⋈part hash-shuffle join on the part key (exactly
+      q14's shape), with the branch predicate evaluated post-join — the
+      driver never holds the keys."""
     part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
 
     def branch_keys(df: pd.DataFrame) -> pd.DataFrame:
@@ -820,32 +833,69 @@ def q19_branch_revenue(sf_dir: str) -> pd.DataFrame:
             out.append(pd.DataFrame({"branch": bi, "p_partkey": keys}))
         return pd.concat(out, ignore_index=True)
 
-    keys_df = part.map_batches(branch_keys, batch_format="pandas").to_pandas()
-    branch_sets_ref = ray.put([
-        set(keys_df.loc[keys_df["branch"] == bi, "p_partkey"])
-        for bi in range(len(_Q19_BRANCHES))
-    ])
+    keys_ds = part.map_batches(branch_keys, batch_format="pandas").materialize()
 
     line_ds = _read(sf_dir, "lineitem",
                     ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        branch_sets = ray.get(branch_sets_ref)
+    def finish(parts: pd.DataFrame) -> pd.DataFrame:
+        cents = int(parts["rev_cents"].sum())
+        return pd.DataFrame({
+            "revenue": [cents / 100.0],
+            "n_rows": pd.Series([int(parts["n_rows"].sum())], dtype="int64"),
+        })
+
+    if keys_ds.count() <= broadcast_max:
+        keys_df = keys_ds.to_pandas()
+        branch_sets_ref = ray.put([
+            set(keys_df.loc[keys_df["branch"] == bi, "p_partkey"])
+            for bi in range(len(_Q19_BRANCHES))
+        ])
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            branch_sets = ray.get(branch_sets_ref)
+            mask = np.zeros(len(df), dtype=bool)
+            for (_, _, _, qlo, qhi), keys in zip(_Q19_BRANCHES, branch_sets):
+                mask |= (df["l_partkey"].isin(keys).to_numpy()
+                         & (df["l_quantity"] >= qlo).to_numpy()
+                         & (df["l_quantity"] <= qhi).to_numpy())
+            df = df[mask]
+            cents = np.floor(
+                df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
+            ).astype("int64")
+            return pd.DataFrame({"rev_cents": [int(cents.sum())],
+                                 "n_rows": [len(df)]})
+
+        parts = line_ds.map_batches(partial, batch_format="pandas").to_pandas()
+        return finish(parts)
+
+    # shuffle-join fallback: pre-filter lineitem to the union of the
+    # branches' quantity ranges, join on the part key, apply the coupled
+    # (branch, quantity) predicate post-join
+    qlo_min = min(b[3] for b in _Q19_BRANCHES)
+    qhi_max = max(b[4] for b in _Q19_BRANCHES)
+
+    def line_proj(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_quantity"] >= qlo_min) & (df["l_quantity"] <= qhi_max)].copy()
+        df["rev_cents"] = np.floor(
+            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
+        ).astype("int64")
+        return df[["l_partkey", "l_quantity", "rev_cents"]]
+
+    joined = line_ds.map_batches(line_proj, batch_format="pandas").join(
+        keys_ds, join_type="inner", num_partitions=8,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def post_join(df: pd.DataFrame) -> pd.DataFrame:
         mask = np.zeros(len(df), dtype=bool)
-        for (_, _, _, qlo, qhi), keys in zip(_Q19_BRANCHES, branch_sets):
-            mask |= (df["l_partkey"].isin(keys).to_numpy()
+        for bi, (_, _, _, qlo, qhi) in enumerate(_Q19_BRANCHES):
+            mask |= ((df["branch"] == bi).to_numpy()
                      & (df["l_quantity"] >= qlo).to_numpy()
                      & (df["l_quantity"] <= qhi).to_numpy())
         df = df[mask]
-        cents = np.floor(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
-        ).astype("int64")
-        return pd.DataFrame({"rev_cents": [int(cents.sum())],
+        return pd.DataFrame({"rev_cents": [int(df["rev_cents"].sum())],
                              "n_rows": [len(df)]})
 
-    parts = line_ds.map_batches(partial, batch_format="pandas").to_pandas()
-    cents = int(parts["rev_cents"].sum())
-    return pd.DataFrame({
-        "revenue": [cents / 100.0],
-        "n_rows": pd.Series([int(parts["n_rows"].sum())], dtype="int64"),
-    })
+    parts = joined.map_batches(post_join, batch_format="pandas").to_pandas()
+    return finish(parts)

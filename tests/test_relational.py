@@ -128,3 +128,17 @@ def test_session_boundary_straddle():
 
     got = dict(zip(out["user_id"], out["n_sessions"]))
     assert got == expected
+
+
+class TestQ19DualPath:
+    def test_fallback_join_matches_broadcast(self):
+        """q19's two plans (broadcast key sets vs lineitem⋈part shuffle
+        join) must agree — broadcast_max=0 forces the join path."""
+        import pandas as pd
+
+        from ai_intel_web_scraper_ray.pipelines import relational as rel
+        sf_dir = "/root/testdata/sf0.001"
+        a = rel.q19_branch_revenue(sf_dir)
+        b = rel.q19_branch_revenue(sf_dir, broadcast_max=0)
+        pd.testing.assert_frame_equal(a, b)
+        assert int(a["n_rows"].iloc[0]) > 0
