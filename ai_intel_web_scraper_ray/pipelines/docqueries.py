@@ -452,7 +452,9 @@ def docs_top_per_source(sf_dir: str, k: int = 3) -> pd.DataFrame:
     def topk(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["source", "n_chars", "doc_id"],
                             ascending=[True, False, True], kind="mergesort")
-        return df.groupby("source", sort=False).head(k)
+        # dropna=False: a NULL source is its own partition (the SQL oracle's
+        # row_number() OVER (PARTITION BY source) keeps NULL rows too)
+        return df.groupby("source", sort=False, dropna=False).head(k)
 
     def bucketize(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()

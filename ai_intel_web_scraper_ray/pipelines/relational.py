@@ -36,6 +36,29 @@ def _read(sf_dir: str, table: str, columns=None, num_blocks: int = 8):
                            override_num_blocks=num_blocks)
 
 
+def _rev_cents(price, discount) -> np.ndarray:
+    """Per-row discounted revenue in integer cents.
+
+    ``floor(x*100 + 0.5)`` is bit-stable on identical doubles in numpy and
+    DuckDB (unlike decimal rounding, whose half-way rule differs on
+    terminating binary fractions); integer-cent sums are then
+    order-independent across block/partition layouts.  Every monetary
+    aggregate in this module MUST round through this one helper."""
+    return np.floor(
+        np.asarray(price) * (1 - np.asarray(discount)) * 100 + 0.5
+    ).astype("int64")
+
+
+def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
+    """Vectorized membership test against a SORTED numeric array —
+    O(n log m) searchsorted, no per-batch hash-set rebuild."""
+    if len(sorted_arr) == 0:
+        return np.zeros(len(values), dtype=bool)
+    pos = np.searchsorted(sorted_arr, values)
+    pos[pos >= len(sorted_arr)] = len(sorted_arr) - 1
+    return sorted_arr[pos] == values
+
+
 # ---------------------------------------------------------------------------
 # Q1: pricing summary (TPC-H Q1 shape) — pure groupby aggregate
 # ---------------------------------------------------------------------------
@@ -56,9 +79,7 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         # doubles in numpy and DuckDB, unlike decimal rounding whose
         # half-way rule differs); integer sums are then order-independent
         df["base_cents"] = np.floor(df["l_extendedprice"] * 100 + 0.5).astype("int64")
-        df["disc_cents"] = np.floor(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
-        ).astype("int64")
+        df["disc_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
         g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
             sum_qty=("l_quantity", "sum"),
             base_cents=("base_cents", "sum"),
@@ -94,15 +115,18 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
     ever O(|orders|): the filtered orders stay a Dataset all the way into
     ``Dataset.join`` and the driver only sees the final 10 rows."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_keys_ref = ray.put(
-        set(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"])
-    )
+    # sorted int64 array, not a Python set — numeric numpy arrays are
+    # zero-copy from plasma; a pickled set re-deserializes per batch task
+    seg_keys_ref = ray.put(np.sort(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
+        .to_numpy(dtype="int64")
+    ))
 
     orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
     def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
         seg_keys = ray.get(seg_keys_ref)
-        df = df[df["o_custkey"].isin(seg_keys)]
+        df = df[_in_sorted(df["o_custkey"].to_numpy(dtype="int64"), seg_keys)]
         return df[["o_orderkey", "o_orderdate"]]
 
     orders_ds = orders_ds.map_batches(filter_orders, batch_format="pandas")
@@ -111,9 +135,7 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 
     def line_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["rev_cents"] = np.floor(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
-        ).astype("int64")
+        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
         return df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
 
     line_ds = line_ds.map_batches(line_partial, batch_format="pandas")
@@ -145,16 +167,23 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
     post-join rows to ≤25 per batch before the driver combine."""
     nation = _read(sf_dir, "nation").to_pandas()
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust_nation_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    # two parallel numpy arrays sorted by custkey, not a Python dict —
+    # numeric numpy arrays are zero-copy from plasma; a pickled dict
+    # re-deserializes per batch task
+    order = np.argsort(cust["c_custkey"].to_numpy(dtype="int64"))
+    cust_nation_ref = ray.put((
+        cust["c_custkey"].to_numpy(dtype="int64")[order],
+        cust["c_nationkey"].to_numpy(dtype="int32")[order],
+    ))
 
     orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
     def orders_nk(df: pd.DataFrame) -> pd.DataFrame:
-        cust_nation = ray.get(cust_nation_ref)
-        df = df.copy()
-        df["nk"] = df["o_custkey"].map(cust_nation)
-        df = df.dropna(subset=["nk"])
-        df["nk"] = df["nk"].astype("int32")
+        keys, nks = ray.get(cust_nation_ref)
+        ck = df["o_custkey"].to_numpy(dtype="int64")
+        hit = _in_sorted(ck, keys)
+        df = df[hit].copy()
+        df["nk"] = nks[np.searchsorted(keys, ck[hit])]
         return df[["o_orderkey", "nk"]]
 
     orders_ds = orders_ds.map_batches(orders_nk, batch_format="pandas")
@@ -163,9 +192,7 @@ def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
 
     def line_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["rev_cents"] = np.floor(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
-        ).astype("int64")
+        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
         return df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
 
     line_ds = line_ds.map_batches(line_partial, batch_format="pandas")
@@ -501,9 +528,7 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
     def line_proj(df: pd.DataFrame) -> pd.DataFrame:
         df = df[(df["l_shipdate"] >= pd.Timestamp("1996-01-01"))
                 & (df["l_shipdate"] < pd.Timestamp("1996-07-01"))].copy()
-        df["rev_cents"] = np.floor(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
-        ).astype("int64")
+        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
         return df[["l_partkey", "rev_cents"]]
 
     line_ds = line_ds.map_batches(line_proj, batch_format="pandas")
@@ -753,9 +778,7 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
 
     def line_partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_returnflag"] == "R"].copy()
-        df["rev_cents"] = np.floor(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
-        ).astype("int64")
+        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
         return df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
 
     line_ds = line_ds.map_batches(line_partial, batch_format="pandas")
@@ -847,22 +870,25 @@ def q19_branch_revenue(sf_dir: str,
 
     if keys_ds.count() <= broadcast_max:
         keys_df = keys_ds.to_pandas()
-        branch_sets_ref = ray.put([
-            set(keys_df.loc[keys_df["branch"] == bi, "p_partkey"])
+        # Sorted int64 numpy arrays, NOT Python sets: Ray zero-copies numeric
+        # numpy arrays from plasma (one mapped copy per node), whereas a
+        # pickled set would be fully re-deserialized by every batch task.
+        branch_keys_ref = ray.put([
+            np.sort(keys_df.loc[keys_df["branch"] == bi, "p_partkey"]
+                    .to_numpy(dtype="int64"))
             for bi in range(len(_Q19_BRANCHES))
         ])
 
         def partial(df: pd.DataFrame) -> pd.DataFrame:
-            branch_sets = ray.get(branch_sets_ref)
+            branch_keys = ray.get(branch_keys_ref)
+            partkeys = df["l_partkey"].to_numpy(dtype="int64")
             mask = np.zeros(len(df), dtype=bool)
-            for (_, _, _, qlo, qhi), keys in zip(_Q19_BRANCHES, branch_sets):
-                mask |= (df["l_partkey"].isin(keys).to_numpy()
+            for (_, _, _, qlo, qhi), keys in zip(_Q19_BRANCHES, branch_keys):
+                mask |= (_in_sorted(partkeys, keys)
                          & (df["l_quantity"] >= qlo).to_numpy()
                          & (df["l_quantity"] <= qhi).to_numpy())
             df = df[mask]
-            cents = np.floor(
-                df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
-            ).astype("int64")
+            cents = _rev_cents(df["l_extendedprice"], df["l_discount"])
             return pd.DataFrame({"rev_cents": [int(cents.sum())],
                                  "n_rows": [len(df)]})
 
@@ -877,9 +903,7 @@ def q19_branch_revenue(sf_dir: str,
 
     def line_proj(df: pd.DataFrame) -> pd.DataFrame:
         df = df[(df["l_quantity"] >= qlo_min) & (df["l_quantity"] <= qhi_max)].copy()
-        df["rev_cents"] = np.floor(
-            df["l_extendedprice"] * (1 - df["l_discount"]) * 100 + 0.5
-        ).astype("int64")
+        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
         return df[["l_partkey", "l_quantity", "rev_cents"]]
 
     joined = line_ds.map_batches(line_proj, batch_format="pandas").join(

@@ -386,19 +386,42 @@ def _resolve_edges(edges_ds, distributed_resolve: Optional[bool]):
     return greedy_resolve(pairs, seqs)
 
 
+_DROP_HASH_SEED = 7
+
+
+def _hash_ids_u64(col) -> np.ndarray:
+    """Deterministic vectorized uint64 hash of an id column (polars seeded
+    hash — the same primitive minhash shingling relies on).  Null ids hash
+    to SOME value but callers must mask them with a validity mask."""
+    import polars as pl
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pl.from_arrow(col).hash(seed=_DROP_HASH_SEED).to_numpy().astype(np.uint64)
+
+
 def _apply_drop(ds, id_col: str, dropped):
     """Drop rows whose ``id_col`` is in ``dropped`` → (ds, n_dropped).
 
+    Anti-join semantics throughout: rows with a NULL id never match and are
+    always kept.
+
     ``dropped`` is a set (small → broadcast ``pc.is_in`` filter, rows never
-    shuffle) or a Dataset['dropped_id'] (large).  The large path assembles
-    ONE sorted id array inside a remote task — the driver only ever holds
-    the ObjectRef — and every filter task reads it zero-copy from plasma
-    for a vectorized ``np.searchsorted`` membership test.  Rows never
-    shuffle on either path.  (A hash LEFT-ANTI ``Dataset.join`` was tried
-    first, but Ray's Acero join rejects list/struct non-key columns, which
-    real document rows carry.)  Scale bound: the array is one plasma copy
-    per node — ~8 GB at 10⁹ dropped ids; beyond that, partition the drop
-    filter by id range."""
+    shuffle) or a Dataset['dropped_id'] (large).  The large path assembles,
+    inside a remote task (the driver only ever holds the ObjectRef), a
+    SORTED uint64 hash array of the dropped ids plus the ids themselves
+    ordered by hash.  Both are zero-copy from plasma — the hash array is a
+    numeric numpy array and the ids ride in an Arrow table — so filter
+    tasks pay one mmap per node, never a per-task unpickle (a numpy OBJECT
+    array of string ids would be pickled; Ray only zero-copies numeric
+    buffers).  Membership is a vectorized ``np.searchsorted`` on the hash
+    plus an exact id compare on the (rare) hash hits, so the filter is
+    exact, not probabilistic.  Rows never shuffle on either path.  (A hash
+    LEFT-ANTI ``Dataset.join`` was tried first, but Ray's Acero join
+    rejects list/struct non-key columns, which real document rows carry.)
+    Scale bound: hashes + ids are one plasma copy per node — ~8 GB + id
+    bytes at 10⁹ dropped ids; beyond that, partition the drop filter by
+    hash range."""
     import ray
 
     if isinstance(dropped, set):
@@ -407,6 +430,7 @@ def _apply_drop(ds, id_col: str, dropped):
         value_set = pa.array(sorted(dropped))
 
         def drop_rows(t: pa.Table) -> pa.Table:
+            # pc.is_in yields False for null ids → invert keeps them
             mask = pc.is_in(t[id_col], value_set=value_set)
             return t.filter(pc.invert(mask))
 
@@ -417,21 +441,47 @@ def _apply_drop(ds, id_col: str, dropped):
         return ds, 0
 
     @ray.remote
-    def assemble(*block_refs) -> np.ndarray:
-        parts = [
-            b["dropped_id"].to_numpy(zero_copy_only=False) for b in block_refs
-        ]
-        return np.sort(np.concatenate(parts))
+    def assemble(*block_refs):
+        chunks = [b["dropped_id"].combine_chunks() for b in block_refs]
+        ids = pa.concat_arrays([c.drop_null() for c in chunks])
+        h = _hash_ids_u64(ids)
+        order = np.argsort(h, kind="stable")
+        return (np.ascontiguousarray(h[order]),
+                pa.table({"id": ids.take(pa.array(order))}))
 
-    arr_ref = assemble.remote(*list(dropped.to_arrow_refs()))
+    ref = assemble.remote(*list(dropped.to_arrow_refs()))
 
     def drop_rows_sorted(t: pa.Table) -> pa.Table:
-        arr = ray.get(arr_ref)             # zero-copy from plasma
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(arr, ids)
-        pos[pos >= len(arr)] = len(arr) - 1
-        mask = arr[pos] == ids
-        return t.filter(pa.array(~mask))
+        hashes, ids_tbl = ray.get(ref)     # zero-copy from plasma
+        col = t[id_col]
+        bh = _hash_ids_u64(col)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(hashes, bh, side="left")
+        clamped = np.minimum(lo, len(hashes) - 1)
+        cand = (hashes[clamped] == bh) & valid
+        drop = np.zeros(len(t), dtype=bool)
+        cand_idx = np.nonzero(cand)[0]
+        if len(cand_idx):
+            sorted_ids = ids_tbl["id"].combine_chunks()
+            cand_ids = col.combine_chunks().take(pa.array(cand_idx))
+            # exact verify: compare each candidate to the FIRST dropped id
+            # sharing its hash (vectorized); hash collisions among dropped
+            # ids are ~m²/2⁶⁴, so the >1-span loop below almost never runs
+            first = sorted_ids.take(pa.array(lo[cand_idx]))
+            eq = pc.equal(cand_ids, first).to_numpy(zero_copy_only=False)
+            drop[cand_idx[eq]] = True
+            unresolved = np.nonzero(~eq)[0]
+            if len(unresolved):
+                hi = np.searchsorted(hashes, bh[cand_idx[unresolved]],
+                                     side="right")
+                for j, end in zip(unresolved, hi):
+                    row = cand_idx[j]
+                    target = cand_ids[j].as_py()
+                    for k in range(lo[row] + 1, end):
+                        if sorted_ids[k].as_py() == target:
+                            drop[row] = True
+                            break
+        return t.filter(pa.array(~drop))
 
     return ds.map_batches(drop_rows_sorted, batch_format="pyarrow"), n_dropped
 

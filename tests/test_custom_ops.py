@@ -150,6 +150,24 @@ class TestTopPerSource:
         pd.testing.assert_frame_equal(
             got, exp[["doc_id", "source", "n_chars"]])
 
+    def test_null_source_is_its_own_partition(self, tmp_path):
+        """A NULL source must form its own top-k partition (SQL
+        row_number() OVER (PARTITION BY source) keeps NULL rows) — the
+        default pandas groupby dropna=True silently deleted them."""
+        from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+        df = _random_docs(12)
+        df.loc[df["doc_id"] % 3 == 0, "source"] = None
+        df.to_parquet(tmp_path / "documents.parquet")
+        got = dq.docs_top_per_source(str(tmp_path))
+
+        exp = df.sort_values(["source", "n_chars", "doc_id"],
+                             ascending=[True, False, True], kind="mergesort")
+        exp = exp.groupby("source", sort=False, dropna=False).head(3)
+        exp = exp.sort_values(["source", "doc_id"]).reset_index(drop=True)
+        assert exp["source"].isna().any()
+        pd.testing.assert_frame_equal(
+            got, exp[["doc_id", "source", "n_chars"]])
+
 
 class TestDecontaminate:
     def test_matches_bruteforce(self, docs_dir):

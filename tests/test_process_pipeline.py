@@ -196,6 +196,29 @@ class TestDedup:
         assert n == 0
         assert out.count() == 3
 
+    def test_apply_drop_null_ids_kept(self):
+        """Anti-join semantics: rows with a NULL id never match and must
+        survive BOTH drop paths (the r1 searchsorted path crashed on None
+        in a string id column); null dropped_ids match nothing."""
+        import pyarrow as pa
+
+        t = pa.table({
+            "id": pa.array(["a", None, "b", None, "c"]),
+            "arrival_seq": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        })
+        # small/broadcast-set path
+        out, n = dd._apply_drop(rd.from_arrow(t), "id", {"b"})
+        got = out.to_pandas()["id"]
+        assert n == 1
+        assert sorted(got.dropna()) == ["a", "c"] and got.isna().sum() == 2
+
+        # large/Dataset path, including a null dropped_id
+        dropped = rd.from_arrow(
+            pa.table({"dropped_id": pa.array(["b", None, "zz"])}))
+        out, n = dd._apply_drop(rd.from_arrow(t), "id", dropped)
+        got = out.to_pandas()["id"]
+        assert sorted(got.dropna()) == ["a", "c"] and got.isna().sum() == 2
+
 
 class TestFullProcess:
     def test_matches_oracle_end_to_end(self):

@@ -137,8 +137,7 @@ class TestQ19DualPath:
         import pandas as pd
 
         from ai_intel_web_scraper_ray.pipelines import relational as rel
-        sf_dir = "/root/testdata/sf0.001"
-        a = rel.q19_branch_revenue(sf_dir)
-        b = rel.q19_branch_revenue(sf_dir, broadcast_max=0)
+        a = rel.q19_branch_revenue(SF_DIR)
+        b = rel.q19_branch_revenue(SF_DIR, broadcast_max=0)
         pd.testing.assert_frame_equal(a, b)
         assert int(a["n_rows"].iloc[0]) > 0
