@@ -129,6 +129,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q14_promo_revenue": rel.q14_promo_revenue,
         "q10_returned_revenue": rel.q10_returned_revenue,
         "q19_branch_revenue": rel.q19_branch_revenue,
+        "q7_nation_trade": rel.q7_nation_trade,
+        "q13_order_count_dist": rel.q13_order_count_dist,
+        "q17_small_qty_revenue": rel.q17_small_qty_revenue,
+        "q18_large_orders": rel.q18_large_orders,
+        "q22_idle_rich_customers": rel.q22_idle_rich_customers,
         "events_distinct_users": rel.events_distinct_users,
         "part_type_stats": rel.part_type_stats,
         "supplier_nation_acct": rel.supplier_nation_acct,
@@ -443,6 +448,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(SUM(cents), 0) / 100.0 AS revenue,
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM m
+        """,
+        "q7_nation_trade": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            WHERE s.s_nationkey IN (3, 15) AND c.c_nationkey IN (3, 15)
+              AND s.s_nationkey <> c.c_nationkey
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q13_order_count_dist": """
+            SELECT CAST(c_count AS BIGINT) AS c_count,
+                   CAST(COUNT(*) AS BIGINT) AS custdist
+            FROM (SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                  GROUP BY c.c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+        """,
+        "q17_small_qty_revenue": """
+            SELECT FLOOR((SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 / 7.0) * 100 + 0.5) / 100.0 AS avg_yearly
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_brand = 'Brand#23'
+              AND l.l_quantity < 0.2 * (SELECT AVG(l2.l_quantity)
+                                        FROM lineitem l2
+                                        WHERE l2.l_partkey = l.l_partkey)
+        """,
+        "q18_large_orders": """
+            SELECT c.c_name, CAST(o.o_custkey AS BIGINT) AS o_custkey,
+                   CAST(o.o_orderkey AS BIGINT) AS o_orderkey, o.o_orderdate,
+                   CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) / 100.0 AS o_totalprice,
+                   SUM(l.l_quantity) AS sum_qty
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2, 3, 4, 5
+            HAVING SUM(l.l_quantity) > 300
+            ORDER BY o_totalprice DESC, o.o_orderdate ASC, o_orderkey ASC
+            LIMIT 100
+        """,
+        "q22_idle_rich_customers": """
+            SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_custs,
+                   SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS total_acctbal
+            FROM customer c
+            WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                    * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+                  > (SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))
+                     FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "events_distinct_users": """
             SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

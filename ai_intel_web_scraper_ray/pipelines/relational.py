@@ -59,6 +59,30 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     return sorted_arr[pos] == values
 
 
+def _join_partitions(sf_dir: str, table: str, selectivity: float = 1.0,
+                     target_bytes: int = 32 << 20, cap: int = 64) -> int:
+    """Size ``Dataset.join``'s hash partitions to the data actually
+    flowing through the exchange.
+
+    Ray's hash-shuffle join crashes when a partition receives ZERO blocks
+    from one side (the empty partition loses its schema and the
+    per-partition pyarrow join can't find the key column) — so a heavily
+    filtered small input must NOT be spread over many partitions.  We
+    size from the driving table's on-disk bytes × the feed's estimated
+    selectivity: ~one partition per ``target_bytes`` of post-filter
+    data, clamped to [1, cap].  Deterministic, no extra execution pass.
+    At cluster scale the cap (64 here, sized for one 32-CPU node) should
+    rise with the node count."""
+    import os
+
+    try:
+        nbytes = os.path.getsize(f"{sf_dir}/{table}.parquet")
+    except OSError:
+        return 8
+    eff = int(nbytes * max(0.0, min(1.0, selectivity)))
+    return max(1, min(cap, eff // target_bytes + 1))
+
+
 # ---------------------------------------------------------------------------
 # Q1: pricing summary (TPC-H Q1 shape) — pure groupby aggregate
 # ---------------------------------------------------------------------------
@@ -923,3 +947,385 @@ def q19_branch_revenue(sf_dir: str,
 
     parts = joined.map_batches(post_join, batch_format="pandas").to_pandas()
     return finish(parts)
+
+
+# ---------------------------------------------------------------------------
+# Q7-shape: bilateral nation trade volume — two broadcast dimension maps
+# (supplier→nation, customer→nation) feeding one fact⋈fact shuffle join,
+# grouped by (supp_nation, cust_nation, year)
+# ---------------------------------------------------------------------------
+
+_Q7_NATIONS = (3, 15)  # nationkeys traded between, both directions
+
+
+def q7_nation_trade(sf_dir: str) -> pd.DataFrame:
+    """Revenue shipped between two nations, by direction and ship year.
+
+    Scale shape: supplier→nationkey and customer→nationkey are TRUE
+    dimensions (one int per key) broadcast once via ``ray.put``; both fact
+    tables are pre-filtered to the two nations BEFORE the
+    lineitem⋈orders hash-shuffle join, so the exchange moves only the
+    qualifying ~2/N_nations fraction of each side.  The cross-pair
+    predicate (supp_nation != cust_nation) applies post-join and the
+    final groupby has ≤ 2×2×n_years groups — per-batch partials reduce it
+    to pennies before the driver combine."""
+    n_lo, n_hi = _Q7_NATIONS
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_order = np.argsort(supp["s_suppkey"].to_numpy(dtype="int64"))
+    supp_ref = ray.put((
+        supp["s_suppkey"].to_numpy(dtype="int64")[s_order],
+        supp["s_nationkey"].to_numpy(dtype="int32")[s_order],
+    ))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    c_order = np.argsort(cust["c_custkey"].to_numpy(dtype="int64"))
+    cust_ref = ray.put((
+        cust["c_custkey"].to_numpy(dtype="int64")[c_order],
+        cust["c_nationkey"].to_numpy(dtype="int32")[c_order],
+    ))
+
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    # the nation filters are selective enough that a block can come out
+    # EMPTY — pin an explicit Arrow schema on every block feeding the
+    # hash-shuffle join, else the empty partition loses its key dtype and
+    # the per-partition pyarrow join crashes (see NOTES_r2 sharp edges)
+    orders_schema = pa.schema([("o_orderkey", pa.int64()),
+                               ("cust_nk", pa.int32())])
+
+    def orders_nk(df: pd.DataFrame) -> pa.Table:
+        keys, nks = ray.get(cust_ref)
+        ck = df["o_custkey"].to_numpy(dtype="int64")
+        hit = _in_sorted(ck, keys)
+        df = df[hit].copy()
+        df["cust_nk"] = nks[np.searchsorted(keys, ck[hit])]
+        df = df[df["cust_nk"].isin((n_lo, n_hi))]
+        return pa.Table.from_pandas(df[["o_orderkey", "cust_nk"]],
+                                    schema=orders_schema,
+                                    preserve_index=False)
+
+    orders_ds = orders_ds.map_batches(orders_nk, batch_format="pandas")
+
+    line_ds = _read(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_shipdate"])
+    lo_ts = pd.Timestamp("1996-01-01")
+    hi_ts = pd.Timestamp("1998-01-01")
+
+    line_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("supp_nk", pa.int32()),
+                             ("l_year", pa.int64()),
+                             ("rev_cents", pa.int64())])
+
+    def line_partial(df: pd.DataFrame) -> pa.Table:
+        df = df[(df["l_shipdate"] >= lo_ts) & (df["l_shipdate"] < hi_ts)]
+        keys, nks = ray.get(supp_ref)
+        sk = df["l_suppkey"].to_numpy(dtype="int64")
+        hit = _in_sorted(sk, keys)
+        df = df[hit].copy()
+        df["supp_nk"] = nks[np.searchsorted(keys, sk[hit])]
+        df = df[df["supp_nk"].isin((n_lo, n_hi))].copy()
+        df["l_year"] = df["l_shipdate"].dt.year.astype("int64")
+        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
+        out = df.groupby(["l_orderkey", "supp_nk", "l_year"],
+                         as_index=False)["rev_cents"].sum()
+        return pa.Table.from_pandas(out, schema=line_schema,
+                                    preserve_index=False)
+
+    line_ds = line_ds.map_batches(line_partial, batch_format="pandas")
+
+    # ~2/25 nations × ~2/7 ship years survive the feed filters
+    n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.03)
+    # Dataset.join materializes both inputs anyway (NOTES_r2 sharp edges),
+    # so materializing here is free — and lets us catch a GLOBALLY empty
+    # side (possible at tiny SF: no supplier in the nation pair), which
+    # would otherwise crash Ray's hash-shuffle join with a schemaless
+    # empty partition.  SQL semantics for an empty inner-join side is an
+    # empty result.
+    line_m = line_ds.materialize()
+    orders_m = orders_ds.materialize()
+    if line_m.count() == 0 or orders_m.count() == 0:
+        return pd.DataFrame({
+            "supp_nation": pd.Series([], dtype="object"),
+            "cust_nation": pd.Series([], dtype="object"),
+            "l_year": pd.Series([], dtype="int64"),
+            "revenue": pd.Series([], dtype="float64"),
+        })
+    joined = line_m.join(
+        orders_m, join_type="inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["supp_nk"].to_numpy() != df["cust_nk"].to_numpy()]
+        return df.groupby(["supp_nk", "cust_nk", "l_year"],
+                          as_index=False)["rev_cents"].sum()
+
+    parts = joined.map_batches(pair_partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["supp_nk", "cust_nk", "l_year"],
+                        as_index=False)["rev_cents"].sum()
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    agg["supp_nation"] = agg["supp_nk"].map(nk_name)
+    agg["cust_nation"] = agg["cust_nk"].map(nk_name)
+    agg["revenue"] = agg["rev_cents"] / 100.0
+    agg = agg.sort_values(["supp_nation", "cust_nation", "l_year"],
+                          kind="mergesort")
+    return agg[["supp_nation", "cust_nation", "l_year",
+                "revenue"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q13-shape: customer order-count distribution — LEFT-JOIN shape done as a
+# distributed count groupby plus an arithmetic zero bucket (never a
+# customer⋈orders row exchange)
+# ---------------------------------------------------------------------------
+
+
+def q13_order_count_dist(sf_dir: str) -> pd.DataFrame:
+    """How many customers placed exactly k orders, for every k (including
+    0).  The LEFT JOIN in the SQL twin never happens as a row exchange
+    here: per-customer order counts come from one distributed groupby over
+    orders (per-batch partials first), the count-of-counts histogram is
+    again per-batch partials over THAT result, and the k=0 bucket is pure
+    arithmetic — |customer| minus the number of distinct ordering
+    customers, both distributed counts.  No driver structure is
+    O(|orders|) or O(|customer|)."""
+    orders_ds = _read(sf_dir, "orders", ["o_custkey"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_custkey", as_index=False).size()
+        return out.rename(columns={"size": "n"})
+
+    per_cust = orders_ds.map_batches(count_partial, batch_format="pandas") \
+                        .groupby("o_custkey").sum("n")
+    n_ordering = per_cust.count()
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("sum(n)", as_index=False).size()
+        out = out.rename(columns={"sum(n)": "c_count", "size": "custdist"})
+        return out
+
+    hist = per_cust.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    hist = hist.groupby("c_count", as_index=False)["custdist"].sum()
+
+    n_customers = _read(sf_dir, "customer", ["c_custkey"]).count()
+    n_zero = n_customers - n_ordering
+    if n_zero > 0:
+        hist = pd.concat([hist, pd.DataFrame({"c_count": [0],
+                                              "custdist": [n_zero]})],
+                         ignore_index=True)
+
+    hist["c_count"] = hist["c_count"].astype("int64")
+    hist["custdist"] = hist["custdist"].astype("int64")
+    hist = hist.sort_values(["custdist", "c_count"],
+                            ascending=[False, False], kind="mergesort")
+    return hist.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q17-shape: small-quantity revenue — per-part average correlated subquery
+# done as two streaming passes over the fact table with a broadcast
+# per-part threshold between them
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#23"
+
+
+def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """Average yearly revenue lost if small-quantity orders (below 20 % of
+    the part's average order quantity) of one brand were dropped.
+
+    The correlated subquery (per-part AVG over the same fact table)
+    becomes: pass 1 streams lineitem pre-filtered to the brand's part
+    keys (broadcast sorted int64 array) into per-batch (partkey, sum_qty,
+    n) partials + one small groupby; the driver turns that ~|brand parts|
+    result into a broadcast threshold array; pass 2 streams lineitem
+    again with a vectorized ``searchsorted`` threshold compare.  The
+    quantity average is exact (quantities are integral doubles, so any
+    summation order is lossless), and revenue sums in integer cents."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    brand_keys = part.map_batches(
+        lambda df: df.loc[df["p_brand"] == _Q17_BRAND, ["p_partkey"]],
+        batch_format="pandas").to_pandas()
+    keys_ref = ray.put(np.sort(brand_keys["p_partkey"].to_numpy(dtype="int64")))
+
+    line_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        df = df[_in_sorted(df["l_partkey"].to_numpy(dtype="int64"), keys)]
+        out = df.groupby("l_partkey", as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"))
+        return out
+
+    qty = _read(sf_dir, "lineitem", line_cols) \
+        .map_batches(qty_partial, batch_format="pandas").to_pandas()
+    qty = qty.groupby("l_partkey", as_index=False).agg(
+        sum_qty=("sum_qty", "sum"), n=("n", "sum"))
+    order = np.argsort(qty["l_partkey"].to_numpy(dtype="int64"))
+    thresh_ref = ray.put((
+        qty["l_partkey"].to_numpy(dtype="int64")[order],
+        (0.2 * (qty["sum_qty"].to_numpy() / qty["n"].to_numpy()))[order],
+    ))
+
+    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys, thresh = ray.get(thresh_ref)
+        pk = df["l_partkey"].to_numpy(dtype="int64")
+        hit = _in_sorted(pk, keys)
+        df = df[hit]
+        small = df["l_quantity"].to_numpy() < thresh[
+            np.searchsorted(keys, pk[hit])]
+        df = df[small]
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
+        return pd.DataFrame({"price_cents": [int(cents.sum())]})
+
+    parts = _read(sf_dir, "lineitem", line_cols) \
+        .map_batches(rev_partial, batch_format="pandas").to_pandas()
+    total_cents = int(parts["price_cents"].sum())
+    # floor(x*100+0.5)/100, NOT Python round(): round() is banker's
+    # rounding, the oracle SQL mirrors this exact half-away formula
+    v = total_cents / 100.0 / 7.0
+    return pd.DataFrame({"avg_yearly": [np.floor(v * 100 + 0.5) / 100.0]})
+
+
+# ---------------------------------------------------------------------------
+# Q18-shape: large orders — distributed HAVING over a fact groupby, winners
+# resolved by broadcast `pc.is_in` (the qualifying set is tiny by
+# construction; orders/customer rows never shuffle)
+# ---------------------------------------------------------------------------
+
+_Q18_MIN_QTY = 300.0
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """Top-100 biggest orders whose total line quantity exceeds a
+    threshold.  Per-orderkey quantity sums run as per-batch partials + one
+    distributed groupby; the HAVING filter applies inside ``map_batches``
+    on the grouped result, so only the qualifying handful of orderkeys
+    (46 at sf0.01) ever reaches the driver.  Orders and customer rows are
+    then filtered by broadcast ``pc.is_in`` on those winners — neither
+    table shuffles, and names resolve only for the ≤100 output rows."""
+    line_ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
+
+    big = line_ds.map_batches(qty_partial, batch_format="pandas") \
+        .groupby("l_orderkey").sum("l_quantity") \
+        .map_batches(lambda df: df[df["sum(l_quantity)"] > _Q18_MIN_QTY],
+                     batch_format="pandas") \
+        .to_pandas()
+    big = big.rename(columns={"sum(l_quantity)": "sum_qty"})
+
+    winner_keys = pa.array(big["l_orderkey"].astype("int64"))
+    orders = (
+        _read(sf_dir, "orders",
+              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["o_orderkey"], value_set=winner_keys)),
+            batch_format="pyarrow")
+        .to_pandas()
+    )
+    cust_keys = pa.array(orders["o_custkey"].astype("int64"))
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=cust_keys)),
+            batch_format="pyarrow")
+        .to_pandas()
+    )
+
+    out = big.merge(orders, left_on="l_orderkey", right_on="o_orderkey") \
+             .merge(cust, left_on="o_custkey", right_on="c_custkey")
+    out["total_cents"] = np.floor(
+        out["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    out = out.sort_values(["total_cents", "o_orderdate", "o_orderkey"],
+                          ascending=[False, True, True], kind="mergesort") \
+             .head(100)
+    out["o_totalprice"] = out["total_cents"] / 100.0
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    out["o_custkey"] = out["o_custkey"].astype("int64")
+    return out[["c_name", "o_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q22-shape: rich idle customers — exact integer-arithmetic scalar average
+# plus a plasma-shared sorted-key anti-join (NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_Q22_PRIORITY = "1-URGENT"
+
+
+def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
+    """Per-segment count and balance of customers whose account balance
+    beats the positive-balance average and who never placed an URGENT
+    order.
+
+    Scale shape: the scalar average is (sum_cents, n) partials — and the
+    threshold compare is EXACT integer math (`bal_cents * n > sum_cents`),
+    immune to float summation order on both engine and oracle sides.  The
+    NOT-EXISTS side (distinct urgent custkeys) is assembled into ONE
+    sorted int64 array inside a remote task — the driver holds only the
+    ObjectRef, filter tasks mmap it zero-copy from plasma and run a
+    vectorized ``searchsorted`` anti-membership test.  Customer rows never
+    shuffle."""
+    cust_cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
+
+    def avg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pos = df.loc[df["c_acctbal"] > 0, "c_acctbal"].to_numpy()
+        cents = np.floor(pos * 100 + 0.5).astype("int64")
+        return pd.DataFrame({"sum_cents": [int(cents.sum())],
+                             "n": [len(pos)]})
+
+    parts = _read(sf_dir, "customer", cust_cols) \
+        .map_batches(avg_partial, batch_format="pandas").to_pandas()
+    sum_cents = int(parts["sum_cents"].sum())
+    n_pos = int(parts["n"].sum())
+
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda df: df.loc[df["o_orderpriority"] == _Q22_PRIORITY,
+                              ["o_custkey"]].drop_duplicates(),
+            batch_format="pandas") \
+        .groupby("o_custkey").count()
+
+    @ray.remote
+    def assemble(*tables) -> np.ndarray:
+        # varargs so Ray resolves each block ref (refs nested inside a
+        # list arrive unresolved); blocks may be Arrow or pandas
+        import pyarrow as _pa
+        tables = [t if isinstance(t, _pa.Table) else _pa.Table.from_pandas(t)
+                  for t in tables]
+        keys = _pa.concat_tables(
+            [t.select(["o_custkey"]) for t in tables])["o_custkey"]
+        return np.sort(keys.to_numpy(zero_copy_only=False).astype("int64"))
+
+    urgent_ref = assemble.remote(*urgent.to_arrow_refs())
+
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        urgent_keys = ray.get(urgent_ref)
+        bal_cents = np.floor(
+            df["c_acctbal"].to_numpy() * 100 + 0.5).astype("int64")
+        rich = bal_cents * n_pos > sum_cents
+        idle = ~_in_sorted(df["c_custkey"].to_numpy(dtype="int64"),
+                           urgent_keys)
+        df = df[rich & idle].copy()
+        df["bal_cents"] = bal_cents[rich & idle]
+        out = df.groupby("c_mktsegment", as_index=False).agg(
+            n_custs=("c_custkey", "size"), sum_cents=("bal_cents", "sum"))
+        return out
+
+    parts = _read(sf_dir, "customer", cust_cols) \
+        .map_batches(seg_partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("c_mktsegment", as_index=False).agg(
+        n_custs=("n_custs", "sum"), sum_cents=("sum_cents", "sum"))
+    agg["total_acctbal"] = agg["sum_cents"] / 100.0
+    agg["n_custs"] = agg["n_custs"].astype("int64")
+    agg = agg.sort_values("c_mktsegment", kind="mergesort")
+    return agg[["c_mktsegment", "n_custs",
+                "total_acctbal"]].reset_index(drop=True)

@@ -83,7 +83,12 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import ray
 
     if not ray.is_initialized():
@@ -102,6 +107,8 @@ def main():
     sqls = entrymod.oracle_sql()
     n_fail = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             ray_df = to_pandas(fn(sf_dir))
