@@ -134,6 +134,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": rel.q17_small_qty_revenue,
         "q18_large_orders": rel.q18_large_orders,
         "q22_idle_rich_customers": rel.q22_idle_rich_customers,
+        "q8_market_share": rel.q8_market_share,
+        "q9_nation_profit": rel.q9_nation_profit,
+        "q15_top_supplier": rel.q15_top_supplier,
+        "q16_supplier_count": rel.q16_supplier_count,
+        "events_funnel": rel.events_funnel,
+        "events_rolling_avg": rel.events_rolling_avg,
         "events_distinct_users": rel.events_distinct_users,
         "part_type_stats": rel.part_type_stats,
         "supplier_nation_acct": rel.supplier_nation_acct,
@@ -506,6 +512,84 @@ def oracle_sql() -> dict[str, str]:
                               WHERE o.o_custkey = c.c_custkey
                                 AND o.o_orderpriority = '1-URGENT')
             GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "q8_market_share": """
+            WITH l AS (
+                SELECT l.l_orderkey,
+                       CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                       CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+                       CASE WHEN s.s_nationkey = 15
+                            THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                            ELSE 0 END AS tgt
+                FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            )
+            SELECT l_year, CAST(SUM(tgt) AS BIGINT) AS tgt_cents,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents,
+                   ROUND(SUM(tgt) * 1.0 / SUM(cents), 6) AS mkt_share
+            FROM l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+            WHERE nc.n_regionkey = 0
+            GROUP BY l_year ORDER BY l_year
+        """,
+        "q9_nation_profit": """
+            SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                   SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                       - CAST(FLOOR(l.l_extendedprice * l.l_tax * 100 + 0.5) AS BIGINT)) / 100.0 AS profit
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE p.p_name LIKE '%widget%'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q15_top_supplier": """
+            WITH r AS (
+                SELECT l_suppkey,
+                       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS rev_cents
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   r.rev_cents / 100.0 AS total_revenue
+            FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.rev_cents = (SELECT MAX(rev_cents) FROM r)
+            ORDER BY s_suppkey
+        """,
+        "q16_supplier_count": """
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13'
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "events_funnel": """
+            WITH s0 AS (SELECT user_id, MIN(ts) AS prev_ts FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            s1 AS (SELECT e.user_id, MIN(e.ts) AS prev_ts FROM events e
+                   JOIN s0 ON e.user_id = s0.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s0.prev_ts
+                   GROUP BY e.user_id),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS prev_ts FROM events e
+                   JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s1.prev_ts
+                   GROUP BY e.user_id)
+            SELECT stage, n_users FROM (
+                SELECT 'view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+                UNION ALL SELECT 'click', CAST(COUNT(*) AS BIGINT) FROM s1
+                UNION ALL SELECT 'purchase', CAST(COUNT(*) AS BIGINT) FROM s2
+            ) ORDER BY stage
+        """,
+        "events_rolling_avg": """
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   ROUND(AVG(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / 100.0, 6) AS roll_avg
+            FROM events ORDER BY event_id
         """,
         "events_distinct_users": """
             SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

@@ -1361,3 +1361,377 @@ def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
     agg = agg.sort_values("c_mktsegment", kind="mergesort")
     return agg[["c_mktsegment", "n_custs",
                 "total_acctbal"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q8-shape: market share — what fraction of the revenue flowing to one
+# customer region is supplied by one target nation, per ship year
+# ---------------------------------------------------------------------------
+
+_Q8_REGION = 0    # customer region under analysis
+_Q8_NATION = 15   # supplier nation whose share we measure
+
+
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """Target nation's share of revenue shipped to one customer region.
+
+    Scale shape: nation (25 rows) resolves the region membership on the
+    driver; customer→nationkey and supplier→is-target are broadcast
+    sorted-array lookups.  The lineitem feed pre-aggregates
+    (orderkey, year) → (total cents, target-nation cents) per batch, the
+    orders feed keeps only in-region orderkeys, and the two meet in ONE
+    hash-shuffle join on the order key.  Post-join partials reduce to
+    ≤ n_years rows per batch; the driver divides two exact integer sums
+    (q14's ratio idiom)."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region_nks = np.sort(nation.loc[nation["n_regionkey"] == _Q8_REGION,
+                                    "n_nationkey"].to_numpy(dtype="int64"))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    in_region = _in_sorted(cust["c_nationkey"].to_numpy(dtype="int64"),
+                           region_nks)
+    cust_ref = ray.put(np.sort(
+        cust.loc[in_region, "c_custkey"].to_numpy(dtype="int64")))
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    tgt_ref = ray.put(np.sort(
+        supp.loc[supp["s_nationkey"] == _Q8_NATION,
+                 "s_suppkey"].to_numpy(dtype="int64")))
+
+    orders_schema = pa.schema([("o_orderkey", pa.int64())])
+
+    def orders_feed(df: pd.DataFrame) -> pa.Table:
+        keys = ray.get(cust_ref)
+        df = df[_in_sorted(df["o_custkey"].to_numpy(dtype="int64"), keys)]
+        return pa.Table.from_pandas(df[["o_orderkey"]],
+                                    schema=orders_schema,
+                                    preserve_index=False)
+
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
+        .map_batches(orders_feed, batch_format="pandas")
+
+    line_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("l_year", pa.int64()),
+                             ("cents", pa.int64()),
+                             ("tgt_cents", pa.int64())])
+
+    def line_feed(df: pd.DataFrame) -> pa.Table:
+        tgt = ray.get(tgt_ref)
+        df = df.copy()
+        df["l_year"] = df["l_shipdate"].dt.year.astype("int64")
+        df["cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
+        is_tgt = _in_sorted(df["l_suppkey"].to_numpy(dtype="int64"), tgt)
+        df["tgt_cents"] = np.where(is_tgt, df["cents"].to_numpy(), 0)
+        out = df.groupby(["l_orderkey", "l_year"], as_index=False).agg(
+            cents=("cents", "sum"), tgt_cents=("tgt_cents", "sum"))
+        return pa.Table.from_pandas(out, schema=line_schema,
+                                    preserve_index=False)
+
+    line_ds = _read(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_shipdate"]) \
+        .map_batches(line_feed, batch_format="pandas")
+
+    joined = line_ds.join(
+        orders_ds, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def year_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_year", as_index=False).agg(
+            cents=("cents", "sum"), tgt_cents=("tgt_cents", "sum"))
+
+    parts = joined.map_batches(year_partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("l_year", as_index=False).agg(
+        cents=("cents", "sum"), tgt_cents=("tgt_cents", "sum"))
+    agg = agg.sort_values("l_year", kind="mergesort")
+    return pd.DataFrame({
+        "l_year": agg["l_year"].astype("int64").to_numpy(),
+        "tgt_cents": agg["tgt_cents"].astype("int64").to_numpy(),
+        "total_cents": agg["cents"].astype("int64").to_numpy(),
+        "mkt_share": [round(t / c, 6) for t, c in
+                      zip(agg["tgt_cents"], agg["cents"])],
+    })
+
+
+# ---------------------------------------------------------------------------
+# Q9-shape: nation profit by year for one part family — all sides of the
+# star resolve by broadcast, so NO shuffle at all: one streaming pass over
+# lineitem with a bounded (25 nations × years) groupby
+# ---------------------------------------------------------------------------
+
+_Q9_PART_FAMILY = "widget"  # substring of p_name
+
+
+def q9_nation_profit(sf_dir: str) -> pd.DataFrame:
+    """Profit (revenue minus tax) booked per supplier nation and ship
+    year, for parts of one family.
+
+    part→membership and supplier→nationkey are broadcast sorted arrays;
+    profit is computed per row in integer cents
+    (rev_cents − floor(extprice·tax·100+0.5)), so sums are
+    order-independent.  The groupby key space is ≤ 25 nations × n_years —
+    per-batch partials collapse each batch to pennies and the driver
+    combine is trivial.  No shuffle anywhere."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    fam = part.map_batches(
+        lambda df: df.loc[df["p_name"].str.contains(_Q9_PART_FAMILY,
+                                                    regex=False),
+                          ["p_partkey"]],
+        batch_format="pandas").to_pandas()
+    fam_ref = ray.put(np.sort(fam["p_partkey"].to_numpy(dtype="int64")))
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    s_order = np.argsort(supp["s_suppkey"].to_numpy(dtype="int64"))
+    supp_ref = ray.put((
+        supp["s_suppkey"].to_numpy(dtype="int64")[s_order],
+        supp["s_nationkey"].to_numpy(dtype="int32")[s_order],
+    ))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        fam_keys = ray.get(fam_ref)
+        keys, nks = ray.get(supp_ref)
+        df = df[_in_sorted(df["l_partkey"].to_numpy(dtype="int64"), fam_keys)]
+        sk = df["l_suppkey"].to_numpy(dtype="int64")
+        hit = _in_sorted(sk, keys)
+        df = df[hit].copy()
+        df["nk"] = nks[np.searchsorted(keys, sk[hit])]
+        df["l_year"] = df["l_shipdate"].dt.year.astype("int64")
+        rev = _rev_cents(df["l_extendedprice"], df["l_discount"])
+        tax = np.floor(df["l_extendedprice"].to_numpy()
+                       * df["l_tax"].to_numpy() * 100 + 0.5).astype("int64")
+        df["profit_cents"] = rev - tax
+        return df.groupby(["nk", "l_year"],
+                          as_index=False)["profit_cents"].sum()
+
+    parts = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
+                   "l_tax", "l_shipdate"]) \
+        .map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["nk", "l_year"], as_index=False)["profit_cents"].sum()
+
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    agg["nation"] = agg["nk"].map(
+        dict(zip(nation["n_nationkey"], nation["n_name"])))
+    agg["profit"] = agg["profit_cents"] / 100.0
+    agg = agg.sort_values(["nation", "l_year"], kind="mergesort")
+    out = agg[["nation", "l_year", "profit"]].reset_index(drop=True)
+    out["l_year"] = out["l_year"].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Q15-shape: top supplier(s) by quarterly revenue — bucketed per-supplier
+# sums, then an exact integer max and an equality filter
+# ---------------------------------------------------------------------------
+
+_Q15_LO = "1996-01-01"
+_Q15_HI = "1996-04-01"
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """Supplier(s) whose revenue over one quarter equals the global max.
+
+    Per-supplier sums use the bucketed-aggregation pattern (per-batch
+    partials + 64 hash buckets + one vectorized pandas groupby per
+    bucket); the bucket stage ALSO emits only its local max rows, so the
+    driver sees ≤ 64 candidate rows, takes the exact integer max, and
+    resolves names from the (SF-bounded) supplier dimension for the
+    winners only."""
+    lo = pd.Timestamp(_Q15_LO)
+    hi = pd.Timestamp(_Q15_HI)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)].copy()
+        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
+        out = df.groupby("l_suppkey", as_index=False)["rev_cents"].sum()
+        out["_b"] = (out["l_suppkey"].astype("int64") % 64).astype("int64")
+        return out
+
+    def bucket_max(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_suppkey", as_index=False)["rev_cents"].sum()
+        return out[out["rev_cents"] == out["rev_cents"].max()]
+
+    cands = _read(sf_dir, "lineitem",
+                  ["l_suppkey", "l_extendedprice", "l_discount",
+                   "l_shipdate"]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_max, batch_format="pandas") \
+        .to_pandas()
+    best = int(cands["rev_cents"].max())
+    winners = cands[cands["rev_cents"] == best].copy()
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]).to_pandas()
+    out = winners.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out["total_revenue"] = out["rev_cents"] / 100.0
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out = out.sort_values("s_suppkey", kind="mergesort")
+    return out[["s_suppkey", "s_name", "total_revenue"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q16-shape: distinct suppliers per part attribute triple — shuffle join on
+# the part key, then a DISTINCT under a bounded attribute-hash bucket
+# ---------------------------------------------------------------------------
+
+_Q16_EXCLUDE_BRAND = "Brand#13"
+
+
+def q16_supplier_count(sf_dir: str) -> pd.DataFrame:
+    """How many distinct suppliers ship each (brand, type, size) part
+    class, excluding one brand.  part scales with SF (not broadcastable),
+    so lineitem⋈part is a hash-shuffle join on the part key; the DISTINCT
+    (attrs, suppkey) dedup runs per-batch first, then under a bounded
+    64-value attribute-hash bucket — never per distinct attribute
+    triple."""
+    part_schema = pa.schema([("p_partkey", pa.int64()),
+                             ("p_brand", pa.string()),
+                             ("p_type", pa.string()),
+                             ("p_size", pa.int64())])
+
+    def part_feed(df: pd.DataFrame) -> pa.Table:
+        df = df[df["p_brand"] != _Q16_EXCLUDE_BRAND]
+        return pa.Table.from_pandas(
+            df[["p_partkey", "p_brand", "p_type", "p_size"]],
+            schema=part_schema, preserve_index=False)
+
+    part_ds = _read(sf_dir, "part",
+                    ["p_partkey", "p_brand", "p_type", "p_size"]) \
+        .map_batches(part_feed, batch_format="pandas")
+
+    line_ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def line_feed(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["l_partkey", "l_suppkey"])
+
+    line_ds = line_ds.map_batches(line_feed, batch_format="pandas")
+
+    joined = line_ds.join(
+        part_ds, join_type="inner", num_partitions=8,
+        on=("l_partkey",), right_on=("p_partkey",),
+    )
+
+    def dedup_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+        df = df.copy()
+        key = (df["p_brand"].astype(str) + "|" + df["p_type"].astype(str)
+               + "|" + df["p_size"].astype(str))
+        df["_b"] = (pd.util.hash_pandas_object(key, index=False)
+                    % 64).astype("int64")
+        return df[["p_brand", "p_type", "p_size", "l_suppkey", "_b"]]
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["p_brand", "p_type", "p_size", "l_suppkey"])
+        return df.groupby(["p_brand", "p_type", "p_size"],
+                          as_index=False).agg(supplier_cnt=("l_suppkey",
+                                                            "size"))
+
+    out = joined.map_batches(dedup_batch, batch_format="pandas") \
+                .groupby("_b").map_groups(bucket_count,
+                                          batch_format="pandas") \
+                .to_pandas()
+    out["p_size"] = out["p_size"].astype("int64")
+    out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+    out = out.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True], kind="mergesort")
+    return out[["p_brand", "p_type", "p_size",
+                "supplier_cnt"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# events: ordered 3-stage funnel (view → click → purchase) — per-user
+# sequence matching under a bounded user-hash bucket
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str) -> pd.DataFrame:
+    """How many users complete each prefix of the ordered funnel
+    view → click → purchase (a later stage only counts if it happens
+    STRICTLY AFTER the user's earliest qualifying previous stage).
+
+    Users are hash-bucketed (user_id % 64) so each bucket holds complete
+    user histories; inside a bucket every stage is a vectorized
+    groupby-min + merge + compare — no per-user Python.  Each bucket
+    emits one 3-row count partial, so ≤ 64×3 rows reach the driver."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(_FUNNEL_STAGES)].copy()
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df[["user_id", "ts", "event_type", "_b"]]
+
+    def bucket_funnel(df: pd.DataFrame) -> pd.DataFrame:
+        reached = df.loc[df["event_type"] == _FUNNEL_STAGES[0]] \
+            .groupby("user_id", as_index=False)["ts"].min() \
+            .rename(columns={"ts": "prev_ts"})
+        counts = [len(reached)]
+        for stage in _FUNNEL_STAGES[1:]:
+            ev = df[df["event_type"] == stage].merge(reached, on="user_id")
+            ev = ev[ev["ts"] > ev["prev_ts"]]
+            reached = ev.groupby("user_id", as_index=False)["ts"].min() \
+                        .rename(columns={"ts": "prev_ts"})
+            counts.append(len(reached))
+        return pd.DataFrame({"stage": list(_FUNNEL_STAGES),
+                             "n_users": counts})
+
+    parts = ds.map_batches(keep, batch_format="pandas") \
+              .groupby("_b").map_groups(bucket_funnel,
+                                        batch_format="pandas") \
+              .to_pandas()
+    out = parts.groupby("stage", as_index=False)["n_users"].sum()
+    out["n_users"] = out["n_users"].astype("int64")
+    out = out.sort_values("stage", kind="mergesort")
+    return out[["stage", "n_users"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# events: per-user rolling average over the last 4 events (ROWS window) —
+# vectorized shift-and-mask, no rolling-API per-group state
+# ---------------------------------------------------------------------------
+
+_ROLL_WINDOW = 4
+
+
+def events_rolling_avg(sf_dir: str) -> pd.DataFrame:
+    """Rolling mean of ``value`` over each user's last 4 events ordered by
+    (ts, event_id).
+
+    Users are hash-bucketed (complete history per bucket); within a
+    bucket the ROWS window is THREE shifted adds masked at user
+    boundaries — integer cents keep the windowed sums exact, so the
+    engine and the SQL window AVG agree bit-for-bit after round(6).
+    Output is one row per event (id-keyed), ≤ |events| rows total."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df
+
+    def bucket_roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        cents = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        uid = df["user_id"].to_numpy()
+        s = cents.astype("float64").copy()
+        n = np.ones(len(df))
+        for k in range(1, _ROLL_WINDOW):
+            same = np.zeros(len(df), dtype=bool)
+            same[k:] = uid[k:] == uid[:-k]
+            shifted = np.zeros(len(df))
+            shifted[k:] = cents[:-k]
+            s += np.where(same, shifted, 0.0)
+            n += same
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "roll_avg": np.round(s / n / 100.0, 6),
+        })
+
+    out = ds.map_batches(keep, batch_format="pandas") \
+            .groupby("_b").map_groups(bucket_roll, batch_format="pandas") \
+            .to_pandas()
+    out["event_id"] = out["event_id"].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)

@@ -28,6 +28,17 @@ ORACLE_QUERIES = [
     "q4_order_priority",
     "q12_priority_lines",
     "q14_promo_revenue",
+    "q7_nation_trade",
+    "q8_market_share",
+    "q9_nation_profit",
+    "q13_order_count_dist",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q22_idle_rich_customers",
+    "events_funnel",
+    "events_rolling_avg",
     "events_hopping",
     "events_asof_click",
     "events_value_range_join",
