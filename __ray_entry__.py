@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_fingerprints": dq.docs_fingerprints,         # pinned-table oracle
         "docs_top_per_source": dq.docs_top_per_source,
         "docs_decontaminate": dq.docs_decontaminate,
+        "docs_stratified_sample": dq.docs_stratified_sample,
         "docs_exact_dedup": dq.docs_exact_dedup,
         "docs_minhash_dedup": dq.docs_minhash_dedup,       # pinned-table oracle
         "docs_ngram_dedup": dq.docs_ngram_dedup,
@@ -711,6 +712,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
             FROM hits ORDER BY doc_id
         """.replace("{G8}", " || ' ' || ".join(f"w[i+{j}]" for j in range(8))),
+        # deterministic stratified sample: keep iff
+        # ((doc_id*K) mod 2^32) mod 100 < rate(lang) — same arithmetic as
+        # docqueries._SAMPLE_* so the exact sample set is pinned
+        "docs_stratified_sample": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            WHERE ((doc_id * 2654435761) % 4294967296) % 100 <
+                  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+                            WHEN 'fr' THEN 20 WHEN 'es' THEN 10
+                            ELSE 5 END
+            GROUP BY lang ORDER BY lang
+        """,
         "docs_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text ORDER BY doc_id

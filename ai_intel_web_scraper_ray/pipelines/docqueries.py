@@ -536,3 +536,49 @@ def docs_decontaminate(sf_dir: str, n: int = 8, bench_mod: int = 7) -> pd.DataFr
 
     out = ds.map_batches(count_hits, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling (training-data mixing): deterministic per-language
+# rates via a multiplicative id hash — no RNG state, no shuffle, and the
+# exact same sample set on every run / any partitioning
+# ---------------------------------------------------------------------------
+
+# Knuth multiplicative hash over the integer doc id; 32-bit wrap keeps the
+# product SQL-expressible (doc_id * K < 2^63 for any realistic id space)
+_SAMPLE_HASH_K = 2654435761
+_SAMPLE_HASH_MOD = 4294967296
+# per-language sample percentage (training-mix weights); unlisted → 5 %
+_SAMPLE_RATES: Dict[str, int] = {"en": 50, "de": 30, "fr": 20, "es": 10}
+_SAMPLE_DEFAULT_RATE = 5
+
+
+def docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sample of documents at per-language rates.
+
+    Each row's fate is a pure function of its id — keep iff
+    ``((doc_id·K) mod 2³²) mod 100 < rate(lang)`` — so the sample is
+    reproducible across runs, partitionings and engines (the SQL twin
+    evaluates the same arithmetic), and at 100 TB the filter runs
+    embarrassingly parallel inside ``map_batches`` with NO shuffle, RNG
+    state, or coordination.  The result reports per-language membership
+    (count + id checksum + char volume), pinning the exact sample set."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        h = (ids * _SAMPLE_HASH_K) % _SAMPLE_HASH_MOD % 100
+        rates = df["lang"].map(_SAMPLE_RATES).fillna(
+            _SAMPLE_DEFAULT_RATE).to_numpy(dtype="int64")
+        kept = df[h < rates]
+        return kept.groupby("lang", as_index=False).agg(
+            n_sampled=("doc_id", "size"), id_checksum=("doc_id", "sum"),
+            sum_chars=("n_chars", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("lang", as_index=False).agg(
+        n_sampled=("n_sampled", "sum"), id_checksum=("id_checksum", "sum"),
+        sum_chars=("sum_chars", "sum"))
+    for c in ("n_sampled", "id_checksum", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
