@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
         "docs_token_percentiles": dq.docs_token_percentiles,
+        "docs_token_percentiles_by_lang": dq.docs_token_percentiles_by_lang,
         "docs_quality_scores": dq.docs_quality_scores,
         "docs_langid": dq.docs_langid,
         "docs_sentiment": dq.docs_sentiment,
@@ -176,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_knn": dq.emb_knn,
         "emb_knn_labels": dq.emb_knn_labels,
         "emb_label_centroids": dq.emb_label_centroids,
+        "emb_centroid_distances": dq.emb_centroid_distances,
         "emb_rrf": dq.emb_rrf,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
@@ -662,6 +664,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(n_tokens, 0.99) AS BIGINT) AS p99
             FROM t
         """,
+        "docs_token_percentiles_by_lang": f"""
+            WITH t AS (
+                SELECT lang,
+                       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
+                FROM documents
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(quantile_disc(n_tokens, 0.5)  AS BIGINT) AS p50,
+                   CAST(quantile_disc(n_tokens, 0.9)  AS BIGINT) AS p90,
+                   CAST(quantile_disc(n_tokens, 0.99) AS BIGINT) AS p99
+            FROM t GROUP BY lang ORDER BY lang
+        """,
         "docs_quality_scores": f"""
             WITH f AS (
                 SELECT doc_id,
@@ -841,6 +855,23 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(embedding[1]) / COUNT(*), 6) AS mean_e0
             FROM embeddings GROUP BY label ORDER BY label
         """,
+        # cosine of per-label SUM vectors == cosine of centroids (the 1/n
+        # scaling cancels); the 64 SUM terms are generated below
+        "emb_centroid_distances": """
+            WITH s AS (SELECT label, {SUMS} FROM embeddings GROUP BY label)
+            SELECT CAST(a.label AS BIGINT) AS label_a,
+                   CAST(b.label AS BIGINT) AS label_b,
+                   ROUND(({DOT}) / (sqrt({NA}) * sqrt({NB})), 6) AS cos_sim
+            FROM s a JOIN s b ON a.label < b.label
+            ORDER BY label_a, label_b
+        """.replace("{SUMS}", ", ".join(
+            f"SUM(embedding[{i + 1}]) AS s{i}" for i in range(64))
+        ).replace("{DOT}", " + ".join(
+            f"a.s{i}*b.s{i}" for i in range(64))
+        ).replace("{NA}", " + ".join(
+            f"a.s{i}*a.s{i}" for i in range(64))
+        ).replace("{NB}", " + ".join(
+            f"b.s{i}*b.s{i}" for i in range(64))),
         "emb_rrf": """
             WITH s0 AS (
                 SELECT vec_id,

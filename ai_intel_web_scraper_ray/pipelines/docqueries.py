@@ -582,3 +582,92 @@ def docs_stratified_sample(sf_dir: str) -> pd.DataFrame:
     for c in ("n_sampled", "id_checksum", "sum_chars"):
         out[c] = out[c].astype("int64")
     return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# per-group exact quantiles: token-count percentiles BY LANGUAGE via the
+# same bounded-domain histogram merge as docs_token_percentiles — the
+# GROUP BY adds a bounded key, not a shuffle
+# ---------------------------------------------------------------------------
+
+
+def docs_token_percentiles_by_lang(sf_dir: str) -> pd.DataFrame:
+    """Exact per-language token-count percentiles (quantile_disc
+    semantics).  Each batch emits (lang, n_tokens, count) histogram
+    partials — the domain is (languages × distinct token counts), tiny
+    regardless of corpus size — and the driver merges them and reads the
+    exact discrete quantile per language.  Same scale shape as the global
+    :func:`docs_token_percentiles`; the group key rides the histogram."""
+    ds = tf.token_count_stage(_docs(sf_dir, ["doc_id", "lang", "text"]))
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "n_tokens"], as_index=False).agg(
+            n=("doc_id", "size"))
+
+    parts = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    hist = parts.groupby(["lang", "n_tokens"], as_index=False)["n"].sum()
+
+    rows = []
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("n_tokens")
+        n = int(g["n"].sum())
+        cum = g["n"].cumsum().to_numpy()
+        toks = g["n_tokens"].to_numpy()
+
+        def q_disc(q: float) -> int:
+            idx = int(np.ceil(q * n)) - 1
+            return int(toks[np.argmax(cum > idx)])
+
+        rows.append({"lang": lang, "n_docs": n, "p50": q_disc(0.5),
+                     "p90": q_disc(0.9), "p99": q_disc(0.99)})
+    out = pd.DataFrame(rows)
+    for c in ("n_docs", "p50", "p90", "p99"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# pairwise label-centroid cosine similarity — distributed element-wise sum
+# partials (labels × dim, bounded), driver does the 10×10 cosine matrix
+# ---------------------------------------------------------------------------
+
+_EMB_DIM = 64
+
+
+def emb_centroid_distances(sf_dir: str) -> pd.DataFrame:
+    """Cosine similarity between every pair of label centroids.
+
+    Each batch scatter-adds its vectors into per-label element-wise sums
+    (a labels×dim partial — bounded by the label vocabulary, independent
+    of corpus size); the driver merges partials and computes the pairwise
+    cosine ONCE on the tiny labels×dim matrix.  Cosine of the SUM vector
+    equals cosine of the centroid (the 1/n scaling cancels), so no
+    count bookkeeping is needed."""
+    ds = _emb(sf_dir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        acc = np.zeros((len(uniq), mat.shape[1]))
+        np.add.at(acc, inv, mat)
+        out = pd.DataFrame(acc, columns=[f"s{i}" for i in range(mat.shape[1])])
+        out.insert(0, "label", uniq.astype("int64"))
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    sums = parts.groupby("label", as_index=False).sum()
+    labels = sums["label"].to_numpy(dtype="int64")
+    mat = sums[[f"s{i}" for i in range(_EMB_DIM)]].to_numpy()
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+
+    ia, ib = np.triu_indices(len(labels), k=1)
+    out = pd.DataFrame({
+        "label_a": labels[ia],
+        "label_b": labels[ib],
+        "cos_sim": np.round(cos[ia, ib], 6),
+    })
+    out = out.sort_values(["label_a", "label_b"], kind="mergesort")
+    return out.reset_index(drop=True)
