@@ -135,11 +135,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_orders": rel.q18_large_orders,
         "q22_idle_rich_customers": rel.q22_idle_rich_customers,
         "q8_market_share": rel.q8_market_share,
+        "q21_late_suppliers": rel.q21_late_suppliers,
         "q9_nation_profit": rel.q9_nation_profit,
         "q15_top_supplier": rel.q15_top_supplier,
         "q16_supplier_count": rel.q16_supplier_count,
         "events_funnel": rel.events_funnel,
         "events_rolling_avg": rel.events_rolling_avg,
+        "events_value_stats": rel.events_value_stats,
         "events_distinct_users": rel.events_distinct_users,
         "part_type_stats": rel.part_type_stats,
         "supplier_nation_acct": rel.supplier_nation_acct,
@@ -536,6 +538,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE nc.n_regionkey = 0
             GROUP BY l_year ORDER BY l_year
         """,
+        "q21_late_suppliers": """
+            WITH late AS (
+                SELECT l.l_suppkey, COUNT(*) AS n_late
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+                WHERE date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                GROUP BY l.l_suppkey
+            ), top AS (
+                SELECT * FROM late
+                ORDER BY n_late DESC, l_suppkey ASC LIMIT 10
+            )
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   CAST(t.n_late AS BIGINT) AS n_late
+            FROM top t JOIN supplier s ON t.l_suppkey = s.s_suppkey
+            ORDER BY n_late DESC, s_suppkey ASC
+        """,
         "q9_nation_profit": """
             SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
                    SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
@@ -593,6 +610,23 @@ def oracle_sql() -> dict[str, str]:
                          OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) / 100.0, 6) AS roll_avg
             FROM events ORDER BY event_id
+        """,
+        # moments from exact integer cents so the closed-form mean/stddev
+        # is partitioning-independent on both engines (NOT STDDEV_POP,
+        # whose streaming accumulation is visit-order-dependent)
+        "events_value_stats": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+                FROM events
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(SUM(c) * 1.0 / COUNT(*) / 100.0, 6) AS mean_value,
+                   ROUND(sqrt(GREATEST(
+                       (SUM(c * c) * 1.0 / COUNT(*)
+                        - (SUM(c) * 1.0 / COUNT(*)) * (SUM(c) * 1.0 / COUNT(*)))
+                       / 10000.0, 0)), 6) AS stddev_pop
+            FROM c GROUP BY event_type ORDER BY event_type
         """,
         "events_distinct_users": """
             SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users

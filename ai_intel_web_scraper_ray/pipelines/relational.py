@@ -1762,3 +1762,125 @@ def events_rolling_avg(sf_dir: str) -> pd.DataFrame:
             .to_pandas()
     out["event_id"] = out["event_id"].astype("int64")
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# events: distributed moments — exact integer (sum, sum-of-squares, count)
+# partials so mean and population stddev are bit-stable across any block
+# layout and match the oracle's identical closed-form expression
+# ---------------------------------------------------------------------------
+
+
+def events_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type mean and population stddev of ``value``.
+
+    Naive streaming variance (Welford / DuckDB's STDDEV_POP) accumulates
+    floats in visit order and can't match bit-for-bit across different
+    partitionings — so BOTH sides compute from exact integer moments
+    instead: values become cents (int64), each batch emits
+    (n, Σc, Σc²) per type — c² sums stay < 2⁶³ for any realistic event
+    volume — and mean/stddev come from the same closed form
+    sqrt(E[c²] − E[c]²) on the merged integers, rounded identically."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        c = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        df["c"] = c
+        df["c2"] = c * c
+        return df.groupby("event_type", as_index=False).agg(
+            n=("c", "size"), s=("c", "sum"), s2=("c2", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby("event_type", as_index=False).agg(
+        n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"))
+    n = agg["n"].to_numpy(dtype="float64")
+    s = agg["s"].to_numpy(dtype="float64")
+    s2 = agg["s2"].to_numpy(dtype="float64")
+    mean = s / n / 100.0
+    var = (s2 / n - (s / n) ** 2) / 10000.0
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n": agg["n"].astype("int64"),
+        "mean_value": np.round(mean, 6),
+        "stddev_pop": np.round(np.sqrt(np.maximum(var, 0.0)), 6),
+    })
+    return out.sort_values("event_type",
+                           kind="mergesort").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q21-shape (adapted: no receipt/commit dates in this schema): suppliers
+# ranked by late shipments — lineitem⋈orders shuffle join on the order
+# key, then bucketed per-supplier counts with per-bucket top-k partials
+# ---------------------------------------------------------------------------
+
+_Q21_LATE_DAYS = 90
+_Q21_TOP = 10
+
+
+def q21_late_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Top suppliers by number of lineitems shipped more than 90 days
+    after the order date (the reference Q21 'kept waiting' shape on the
+    columns this schema has).  lineitem⋈orders hash-shuffles on the order
+    key; the late filter is a vectorized date diff post-join; per-supplier
+    counts finish under a 64-way supplier-hash bucket whose per-bucket
+    top-k partials bound the driver merge to ≤ 64×k rows.  Supplier names
+    resolve via broadcast ``pc.is_in`` for the k winners only."""
+    line_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("l_suppkey", pa.int64()),
+                             ("l_shipdate", pa.timestamp("us"))])
+
+    def line_feed(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            df[["l_orderkey", "l_suppkey", "l_shipdate"]],
+            schema=line_schema, preserve_index=False)
+
+    line_ds = _read(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_shipdate"]) \
+        .map_batches(line_feed, batch_format="pandas")
+
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    joined = line_ds.join(
+        orders_ds, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def late_partial(df: pd.DataFrame) -> pd.DataFrame:
+        late = (df["l_shipdate"] - df["o_orderdate"]).dt.days > _Q21_LATE_DAYS
+        df = df[late]
+        out = df.groupby("l_suppkey", as_index=False).agg(
+            n_late=("l_orderkey", "size"))
+        out["_b"] = (out["l_suppkey"].astype("int64") % 64).astype("int64")
+        return out
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_suppkey", as_index=False)["n_late"].sum()
+        return out.sort_values(["n_late", "l_suppkey"],
+                               ascending=[False, True],
+                               kind="mergesort").head(_Q21_TOP)
+
+    cands = joined.map_batches(late_partial, batch_format="pandas") \
+                  .groupby("_b").map_groups(bucket_top,
+                                            batch_format="pandas") \
+                  .to_pandas()
+    top = cands.sort_values(["n_late", "l_suppkey"],
+                            ascending=[False, True],
+                            kind="mergesort").head(_Q21_TOP)
+
+    winner_keys = pa.array(top["l_suppkey"].astype("int64"))
+    supp = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+        .map_batches(
+            lambda t: t.filter(pc.is_in(t["s_suppkey"],
+                                        value_set=winner_keys)),
+            batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = top.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["n_late"] = out["n_late"].astype("int64")
+    out = out.sort_values(["n_late", "s_suppkey"],
+                          ascending=[False, True], kind="mergesort")
+    return out[["s_suppkey", "s_name", "n_late"]].reset_index(drop=True)

@@ -36,9 +36,11 @@ ORACLE_QUERIES = [
     "q16_supplier_count",
     "q17_small_qty_revenue",
     "q18_large_orders",
+    "q21_late_suppliers",
     "q22_idle_rich_customers",
     "events_funnel",
     "events_rolling_avg",
+    "events_value_stats",
     "events_hopping",
     "events_asof_click",
     "events_value_range_join",
