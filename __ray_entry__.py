@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": rel.events_funnel,
         "events_rolling_avg": rel.events_rolling_avg,
         "events_value_stats": rel.events_value_stats,
+        "events_top_user_per_window": rel.events_top_user_per_window,
         "events_distinct_users": rel.events_distinct_users,
         "part_type_stats": rel.part_type_stats,
         "supplier_nation_acct": rel.supplier_nation_acct,
@@ -168,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_per_source": dq.docs_top_per_source,
         "docs_decontaminate": dq.docs_decontaminate,
         "docs_stratified_sample": dq.docs_stratified_sample,
+        "docs_write_roundtrip": dq.docs_write_roundtrip,
         "docs_exact_dedup": dq.docs_exact_dedup,
         "docs_minhash_dedup": dq.docs_minhash_dedup,       # pinned-table oracle
         "docs_ngram_dedup": dq.docs_ngram_dedup,
@@ -628,6 +630,19 @@ def oracle_sql() -> dict[str, str]:
                        / 10000.0, 0)), 6) AS stddev_pop
             FROM c GROUP BY event_type ORDER BY event_type
         """,
+        "events_top_user_per_window": """
+            WITH s AS (
+                SELECT date_trunc('hour', ts) AS window_start, user_id,
+                       SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents
+                FROM events GROUP BY 1, 2
+            )
+            SELECT window_start, CAST(user_id AS BIGINT) AS user_id,
+                   cents / 100.0 AS sum_value
+            FROM s
+            QUALIFY row_number() OVER (PARTITION BY window_start
+                                       ORDER BY cents DESC, user_id ASC) = 1
+            ORDER BY window_start
+        """,
         "events_distinct_users": """
             SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
@@ -760,6 +775,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
             FROM hits ORDER BY doc_id
         """.replace("{G8}", " || ' ' || ".join(f"w[i+{j}]" for j in range(8))),
+        # the engine writes documents through the partitioned sink and
+        # reads them back; the oracle aggregates the ORIGINAL table — a
+        # row lost/duplicated/mutated in the write→read path mismatches
+        "docs_write_roundtrip": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
         # deterministic stratified sample: keep iff
         # ((doc_id*K) mod 2^32) mod 100 < rate(lang) — same arithmetic as
         # docqueries._SAMPLE_* so the exact sample set is pinned

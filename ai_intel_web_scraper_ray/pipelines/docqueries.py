@@ -671,3 +671,58 @@ def emb_centroid_distances(sf_dir: str) -> pd.DataFrame:
     })
     out = out.sort_values(["label_a", "label_b"], kind="mergesort")
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# partitioned-sink roundtrip: write documents lang-partitioned (the
+# resumable Lance-style layout), read the partitioned output back, and
+# aggregate — losslessness is oracle-checked against the ORIGINAL table
+# ---------------------------------------------------------------------------
+
+
+def docs_write_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Write → read → aggregate roundtrip through the partitioned sink.
+
+    Streams documents into a lang-partitioned parquet layout (one
+    directory per partition value — the resumable-output shape:
+    a failed run can skip finished partitions), reads the partitioned
+    dataset back, and returns per-language (count, id checksum, char
+    volume).  The oracle runs the same aggregate on the ORIGINAL table,
+    so a row lost/duplicated/mutated anywhere in the write→read path is
+    a hash mismatch.  Uses a fresh temp dir per call; no driver
+    materialization in either direction."""
+    import shutil
+    import tempfile
+
+    from ..sources.writers import write_dataset_partitioned
+
+    root = tempfile.mkdtemp(prefix="aiws_roundtrip_")
+    try:
+        ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        write_dataset_partitioned(
+            ds, root,
+            partition_fn=lambda t: t["lang"].cast(pa.string()).combine_chunks(),
+        )
+
+        back = rd.read_parquet(root)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            # aggregate by the hive partition column (`part`), not the
+            # stored lang column, so the roundtrip also checks partition
+            # ASSIGNMENT, not just row survival
+            out = df.groupby("part", as_index=False).agg(
+                n_docs=("doc_id", "size"), id_checksum=("doc_id", "sum"),
+                sum_chars=("n_chars", "sum"))
+            return out.rename(columns={"part": "lang"})
+
+        parts = back.map_batches(partial, batch_format="pandas").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    out = parts.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), id_checksum=("id_checksum", "sum"),
+        sum_chars=("sum_chars", "sum"))
+    out["lang"] = out["lang"].astype(str)
+    for c in ("n_docs", "id_checksum", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang", kind="mergesort").reset_index(drop=True)

@@ -1884,3 +1884,48 @@ def q21_late_suppliers(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values(["n_late", "s_suppkey"],
                           ascending=[False, True], kind="mergesort")
     return out[["s_suppkey", "s_name", "n_late"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# events: windowed top-k — the top user by spend inside every tumbling
+# hour (per-batch partials, window-hash buckets, per-bucket winners)
+# ---------------------------------------------------------------------------
+
+
+def events_top_user_per_window(sf_dir: str) -> pd.DataFrame:
+    """The single top user by total ``value`` in each tumbling hour
+    (ties break to the smaller user id).
+
+    Per-batch partials pre-sum (window, user) in integer cents; windows
+    are hash-bucketed (a window's rows all land in one bucket), each
+    bucket finishes its sums and emits ONLY its per-window winners, so
+    the driver merge is O(n_windows).  Integer cents make the winner
+    deterministic under any summation order."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["window_start"] = df["ts"].dt.floor("h")
+        df["cents"] = np.floor(
+            df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        out = df.groupby(["window_start", "user_id"],
+                         as_index=False)["cents"].sum()
+        out["_b"] = (out["window_start"].astype("int64") % 64).astype("int64")
+        return out
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["window_start", "user_id"],
+                         as_index=False)["cents"].sum()
+        out = out.sort_values(["window_start", "cents", "user_id"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return out.groupby("window_start", as_index=False).head(1)
+
+    top = ds.map_batches(partial, batch_format="pandas") \
+            .groupby("_b").map_groups(bucket_top, batch_format="pandas") \
+            .to_pandas()
+    top["sum_value"] = top["cents"] / 100.0
+    top["user_id"] = top["user_id"].astype("int64")
+    top = top.sort_values("window_start", kind="mergesort")
+    return top[["window_start", "user_id",
+                "sum_value"]].reset_index(drop=True)

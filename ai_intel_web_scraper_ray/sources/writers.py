@@ -71,10 +71,13 @@ def write_dataset_partitioned(
     column (streaming, no driver materialization)."""
     import ray.data  # noqa: F401
 
+    # the column must NOT start with "_": hive dirs are named
+    # "<col>=<value>" and pyarrow dataset discovery skips underscore-
+    # prefixed paths, so "_part=..." partitions would be invisible on read
     def add_part(t: pa.Table) -> pa.Table:
-        return t.append_column("_part", partition_fn(t))
+        return t.append_column("part", partition_fn(t))
 
     ds = ds.map_batches(add_part, batch_format="pyarrow")
-    ds.write_parquet(root, partition_cols=["_part"],
+    ds.write_parquet(root, partition_cols=["part"],
                      min_rows_per_file=max_rows_per_file)
     return [root]

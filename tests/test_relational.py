@@ -41,6 +41,7 @@ ORACLE_QUERIES = [
     "events_funnel",
     "events_rolling_avg",
     "events_value_stats",
+    "events_top_user_per_window",
     "events_hopping",
     "events_asof_click",
     "events_value_range_join",

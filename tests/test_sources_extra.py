@@ -123,11 +123,15 @@ class TestPartitionedDatasetWrite:
 
         root = str(tmp_path / "out")
         write_dataset_partitioned(ds, root, pfn)
-        parts = sorted(glob.glob(f"{root}/_part=*"))
+        parts = sorted(glob.glob(f"{root}/part=*"))
         assert len(parts) == 4
         files = glob.glob(f"{root}/**/*.parquet", recursive=True)
         total = sum(pq.read_table(f).num_rows for f in files)
         assert total == 500
+        # the layout must be READABLE as a dataset: pyarrow skips
+        # underscore-prefixed paths, so a "_part=..." naming would make
+        # every partition invisible (regression for the rename to "part")
+        assert rd.read_parquet(root).count() == 500
 
 
 class TestMultimodal:
