@@ -143,6 +143,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_avg": rel.events_rolling_avg,
         "events_value_stats": rel.events_value_stats,
         "events_top_user_per_window": rel.events_top_user_per_window,
+        "events_hopping_distinct": rel.events_hopping_distinct,
+        "q2_min_cost_part": rel.q2_min_cost_part,
         "events_distinct_users": rel.events_distinct_users,
         "part_type_stats": rel.part_type_stats,
         "supplier_nation_acct": rel.supplier_nation_acct,
@@ -629,6 +631,32 @@ def oracle_sql() -> dict[str, str]:
                         - (SUM(c) * 1.0 / COUNT(*)) * (SUM(c) * 1.0 / COUNT(*)))
                        / 10000.0, 0)), 6) AS stddev_pop
             FROM c GROUP BY event_type ORDER BY event_type
+        """,
+        "events_hopping_distinct": """
+            WITH hops AS (
+                SELECT user_id,
+                       time_bucket(INTERVAL '30 minutes', ts) AS slot
+                FROM events
+            ), exploded AS (
+                SELECT user_id, slot AS window_start FROM hops
+                UNION ALL
+                SELECT user_id, slot - INTERVAL '30 minutes' FROM hops
+            )
+            SELECT window_start,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM exploded GROUP BY window_start ORDER BY window_start
+        """,
+        "q2_min_cost_part": """
+            SELECT p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(p_partkey AS BIGINT) AS p_partkey, p_name,
+                   CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) / 100.0
+                       AS p_retailprice
+            FROM part
+            QUALIFY row_number() OVER (
+                PARTITION BY p_type, p_size
+                ORDER BY CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) ASC,
+                         p_partkey ASC) = 1
+            ORDER BY p_type, p_size
         """,
         "events_top_user_per_window": """
             WITH s AS (

@@ -1929,3 +1929,89 @@ def events_top_user_per_window(sf_dir: str) -> pd.DataFrame:
     top = top.sort_values("window_start", kind="mergesort")
     return top[["window_start", "user_id",
                 "sum_value"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# events: hopping-window DISTINCT users — explode + window-hash-bucketed
+# global dedup (a window's rows all land in one bucket)
+# ---------------------------------------------------------------------------
+
+
+def events_hopping_distinct(sf_dir: str) -> pd.DataFrame:
+    """Distinct users per overlapping 60-minute window hopping every 30
+    minutes.  The vectorized per-batch explode (each event lands in
+    exactly two windows) feeds a per-batch dedup, then windows are
+    hash-bucketed so each window's global dedup happens inside ONE
+    bucket with one vectorized ``drop_duplicates`` — a window never
+    spans buckets, so per-bucket counts ARE the final counts and the
+    driver only concatenates."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    hop = pd.Timedelta(minutes=HOP_MINUTES)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        slot = df["ts"].dt.floor(f"{HOP_MINUTES}min")
+        out = pd.concat([
+            pd.DataFrame({"window_start": slot, "user_id": df["user_id"]}),
+            pd.DataFrame({"window_start": slot - hop,
+                          "user_id": df["user_id"]}),
+        ], ignore_index=True).drop_duplicates()
+        out["_b"] = (out["window_start"].astype("int64") % 64).astype("int64")
+        return out
+
+    def bucket_count(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["window_start", "user_id"])
+        return df.groupby("window_start", as_index=False).agg(
+            n_users=("user_id", "size"))
+
+    out = ds.map_batches(explode, batch_format="pandas") \
+            .groupby("_b").map_groups(bucket_count, batch_format="pandas") \
+            .to_pandas()
+    out["n_users"] = out["n_users"].astype("int64")
+    out = out.sort_values("window_start", kind="mergesort")
+    return out[["window_start", "n_users"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q2-shape (adapted: no partsupp in this schema): grouped argmin — the
+# cheapest part per (type, size) class, with full row join-back
+# ---------------------------------------------------------------------------
+
+
+def q2_min_cost_part(sf_dir: str) -> pd.DataFrame:
+    """The cheapest part in every (p_type, p_size) class (ties break to
+    the smaller part key) — the reference Q2 min-cost-supplier shape on
+    the columns this schema has.
+
+    Grouped ARGMIN with row join-back, shuffle-free beyond one bounded
+    bucket exchange: each batch keeps only its per-class winner (one
+    vectorized sort + head(1) per group), classes are hash-bucketed by
+    size so a class never spans buckets, and each bucket emits its final
+    winner rows directly — integer-cents comparison makes the winner
+    deterministic."""
+    ds = _read(sf_dir, "part",
+               ["p_partkey", "p_name", "p_type", "p_size", "p_retailprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.floor(
+            df["p_retailprice"].to_numpy() * 100 + 0.5).astype("int64")
+        df = df.sort_values(["p_type", "p_size", "cents", "p_partkey"],
+                            kind="mergesort")
+        out = df.groupby(["p_type", "p_size"], as_index=False).head(1)
+        out["_b"] = (out["p_size"].astype("int64") % 64).astype("int64")
+        return out
+
+    def bucket_argmin(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["p_type", "p_size", "cents", "p_partkey"],
+                            kind="mergesort")
+        return df.groupby(["p_type", "p_size"], as_index=False).head(1)
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+            .groupby("_b").map_groups(bucket_argmin, batch_format="pandas") \
+            .to_pandas()
+    out["p_retailprice"] = out["cents"] / 100.0
+    out["p_size"] = out["p_size"].astype("int64")
+    out["p_partkey"] = out["p_partkey"].astype("int64")
+    out = out.sort_values(["p_type", "p_size"], kind="mergesort")
+    return out[["p_type", "p_size", "p_partkey", "p_name",
+                "p_retailprice"]].reset_index(drop=True)

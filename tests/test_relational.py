@@ -42,6 +42,8 @@ ORACLE_QUERIES = [
     "events_rolling_avg",
     "events_value_stats",
     "events_top_user_per_window",
+    "events_hopping_distinct",
+    "q2_min_cost_part",
     "events_hopping",
     "events_asof_click",
     "events_value_range_join",
