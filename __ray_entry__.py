@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_user_per_window": rel.events_top_user_per_window,
         "events_hopping_distinct": rel.events_hopping_distinct,
         "q2_min_cost_part": rel.q2_min_cost_part,
+        "q5_rollup_revenue": rel.q5_rollup_revenue,
         "events_distinct_users": rel.events_distinct_users,
         "part_type_stats": rel.part_type_stats,
         "supplier_nation_acct": rel.supplier_nation_acct,
@@ -645,6 +646,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM exploded GROUP BY window_start ORDER BY window_start
+        """,
+        "q5_rollup_revenue": """
+            WITH j AS (
+                SELECT r.r_name AS region, n.n_name AS nation,
+                       CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents
+                FROM lineitem l
+                JOIN orders o ON l.l_orderkey = o.o_orderkey
+                JOIN customer c ON o.o_custkey = c.c_custkey
+                JOIN nation n ON c.c_nationkey = n.n_nationkey
+                JOIN region r ON n.n_regionkey = r.r_regionkey
+            )
+            SELECT COALESCE(region, 'ALL') AS region,
+                   COALESCE(nation, 'ALL') AS nation,
+                   SUM(cents) / 100.0 AS revenue
+            FROM j GROUP BY ROLLUP(region, nation)
+            ORDER BY 1, 2
         """,
         "q2_min_cost_part": """
             SELECT p_type, CAST(p_size AS BIGINT) AS p_size,

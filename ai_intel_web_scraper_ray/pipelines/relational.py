@@ -2015,3 +2015,79 @@ def q2_min_cost_part(sf_dir: str) -> pd.DataFrame:
     out = out.sort_values(["p_type", "p_size"], kind="mergesort")
     return out[["p_type", "p_size", "p_partkey", "p_name",
                 "p_retailprice"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP-shape: revenue by (region, nation) with region subtotals and a
+# grand total — multi-level aggregation derived from ONE distributed pass
+# ---------------------------------------------------------------------------
+
+
+def q5_rollup_revenue(sf_dir: str) -> pd.DataFrame:
+    """Revenue rolled up region ⊃ nation ⊃ grand total.
+
+    One distributed pass computes the finest level (per-nation integer
+    cents — the q5 shape: broadcast customer→nation, lineitem⋈orders
+    hash-shuffle join, bounded groupby); the coarser rollup levels are
+    pure arithmetic over that ≤|nations|-row result on the driver, which
+    is the right plan at ANY scale when the finest group-by key is
+    bounded — a second shuffle per rollup level would recompute the same
+    sums.  Subtotal labels use 'ALL' (not NULL) so ordering and hashing
+    are deterministic."""
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    order = np.argsort(cust["c_custkey"].to_numpy(dtype="int64"))
+    cust_ref = ray.put((
+        cust["c_custkey"].to_numpy(dtype="int64")[order],
+        cust["c_nationkey"].to_numpy(dtype="int32")[order],
+    ))
+
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def orders_nk(df: pd.DataFrame) -> pd.DataFrame:
+        keys, nks = ray.get(cust_ref)
+        ck = df["o_custkey"].to_numpy(dtype="int64")
+        hit = _in_sorted(ck, keys)
+        df = df[hit].copy()
+        df["nk"] = nks[np.searchsorted(keys, ck[hit])]
+        return df[["o_orderkey", "nk"]]
+
+    orders_ds = orders_ds.map_batches(orders_nk, batch_format="pandas")
+
+    line_ds = _read(sf_dir, "lineitem",
+                    ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
+        return df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
+
+    line_ds = line_ds.map_batches(line_partial, batch_format="pandas")
+
+    joined = line_ds.join(
+        orders_ds, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def nk_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("nk", as_index=False)["rev_cents"].sum()
+
+    parts = joined.map_batches(nk_partial, batch_format="pandas").to_pandas()
+    base = parts.groupby("nk", as_index=False)["rev_cents"].sum()
+    base["nk"] = base["nk"].astype("int64")
+    base = base.merge(nation, left_on="nk", right_on="n_nationkey") \
+               .merge(region, left_on="n_regionkey", right_on="r_regionkey")
+
+    fine = base[["r_name", "n_name", "rev_cents"]].rename(
+        columns={"r_name": "region", "n_name": "nation"})
+    sub = fine.groupby("region", as_index=False)["rev_cents"].sum()
+    sub["nation"] = "ALL"
+    total = pd.DataFrame({"region": ["ALL"], "nation": ["ALL"],
+                          "rev_cents": [fine["rev_cents"].sum()]})
+    out = pd.concat([fine, sub[["region", "nation", "rev_cents"]], total],
+                    ignore_index=True)
+    out["revenue"] = out["rev_cents"] / 100.0
+    out = out.sort_values(["region", "nation"], kind="mergesort")
+    return out[["region", "nation", "revenue"]].reset_index(drop=True)

@@ -44,6 +44,7 @@ ORACLE_QUERIES = [
     "events_top_user_per_window",
     "events_hopping_distinct",
     "q2_min_cost_part",
+    "q5_rollup_revenue",
     "events_hopping",
     "events_asof_click",
     "events_value_range_join",
