@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": dq.docs_decontaminate,
         "docs_stratified_sample": dq.docs_stratified_sample,
         "docs_write_roundtrip": dq.docs_write_roundtrip,
+        "docs_repetition": dq.docs_repetition,
         "docs_exact_dedup": dq.docs_exact_dedup,
         "docs_minhash_dedup": dq.docs_minhash_dedup,       # pinned-table oracle
         "docs_ngram_dedup": dq.docs_ngram_dedup,
@@ -843,6 +844,26 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 5 END
             GROUP BY lang ORDER BY lang
         """,
+        # intra-doc duplicate-8-gram ratio; grams built exactly like the
+        # decontaminate oracle (lowercase whitespace split, 8-word join)
+        "docs_repetition": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_transform(range(1, len(w) - 6), i -> {G8}) AS g
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(len(g) AS BIGINT) AS n_grams,
+                   CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+                   CAST(FLOOR((len(g) - len(list_distinct(g))) * 1000000.0
+                              / GREATEST(len(g), 1)) AS BIGINT) AS dup_ppm
+            FROM sh ORDER BY doc_id
+        """.replace("{G8}", " || ' ' || ".join(f"w[i+{j}]" for j in range(8))),
         "docs_exact_dedup": """
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text ORDER BY doc_id

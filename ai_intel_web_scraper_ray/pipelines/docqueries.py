@@ -726,3 +726,40 @@ def docs_write_roundtrip(sf_dir: str) -> pd.DataFrame:
     for c in ("n_docs", "id_checksum", "sum_chars"):
         out[c] = out[c].astype("int64")
     return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# intra-document repetition (Gopher-style boilerplate rule): duplicate
+# word-8-gram fraction per document — row-local, embarrassingly parallel
+# ---------------------------------------------------------------------------
+
+
+def docs_repetition(sf_dir: str, n: int = 8) -> pd.DataFrame:
+    """Duplicate word-8-gram ratio per document (the Gopher/C4-family
+    boilerplate signal: a high ratio means repeated sentences/menus).
+
+    Row-local — no shuffle, no state; scores are exact integer
+    parts-per-million (floor of the IEEE double division, bit-identical
+    in numpy and DuckDB) so the oracle matches exactly.  Documents
+    shorter than n words score 0 over 0 grams."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_grams = np.zeros(len(ids), dtype=np.int64)
+        n_distinct = np.zeros(len(ids), dtype=np.int64)
+        for i, tx in enumerate(t["text"].to_pylist()):
+            sh = mh.shingles(tx, n)
+            n_grams[i] = len(sh)
+            n_distinct[i] = len(set(sh))
+        dup_ppm = np.floor((n_grams - n_distinct) * 1_000_000.0
+                           / np.maximum(n_grams, 1)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids.astype("int64"), pa.int64()),
+            "n_grams": pa.array(n_grams, pa.int64()),
+            "n_distinct": pa.array(n_distinct, pa.int64()),
+            "dup_ppm": pa.array(dup_ppm, pa.int64()),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -19,6 +19,8 @@ ORACLE_QUERIES = [
     "docs_stratified_sample",
     "docs_token_percentiles_by_lang",
     "emb_centroid_distances",
+    "docs_repetition",
+    "docs_write_roundtrip",
 ]
 
 
