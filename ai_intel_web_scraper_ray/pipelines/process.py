@@ -20,13 +20,19 @@ def process_pipeline(
     competitor_keywords: Optional[Dict[str, Sequence[str]]] = None,
     min_word_count: int = 100,
     tagger_concurrency: int = 4,
+    tagger_batch_size: int = 4096,
     run_minhash: bool = True,
 ):
-    """records Dataset → processed records Dataset."""
+    """records Dataset → processed records Dataset.
+
+    ``tagger_batch_size``: 4096 amortizes per-batch overhead at corpus
+    scale; benchmarks over small corpora should shrink it so the actor
+    pool actually fans out (tasks ≈ rows / batch_size)."""
     ds = tf.clean_stage(ds)
     ds = tf.tag_stage(
         ds,
         concurrency=tagger_concurrency,
+        batch_size=tagger_batch_size,
         topic_keywords=topic_keywords,
         competitor_keywords=competitor_keywords,
     )

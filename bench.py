@@ -156,7 +156,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # -- process + vectorize ----------------------------------------------
     timed("process", lambda: process_pipeline(
         _documents_as_records(sf_dir, num_blocks=max(8, num_cpus // 4)), min_word_count=10,
-        tagger_concurrency=max(2, num_cpus // 4)).count())
+        tagger_concurrency=max(2, num_cpus // 4),
+        tagger_batch_size=512).count())
     timed("vectorize", lambda: vectorize_pipeline(
         _documents_as_records(sf_dir, num_blocks=max(8, num_cpus // 4)),
         chunk_concurrency=max(2, num_cpus // 4),
