@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_stats": rel.events_value_stats,
         "events_top_user_per_window": rel.events_top_user_per_window,
         "events_hopping_distinct": rel.events_hopping_distinct,
+        "events_retention": rel.events_retention,
         "q2_min_cost_part": rel.q2_min_cost_part,
         "q5_rollup_revenue": rel.q5_rollup_revenue,
         "events_distinct_users": rel.events_distinct_users,
@@ -633,6 +634,18 @@ def oracle_sql() -> dict[str, str]:
                         - (SUM(c) * 1.0 / COUNT(*)) * (SUM(c) * 1.0 / COUNT(*)))
                        / 10000.0, 0)), 6) AS stddev_pop
             FROM c GROUP BY event_type ORDER BY event_type
+        """,
+        "events_retention": """
+            WITH ud AS (
+                SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+                FROM events
+            )
+            SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_active,
+                   CAST(SUM(CASE WHEN b.user_id IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+            FROM ud a LEFT JOIN ud b
+              ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+            GROUP BY a.day ORDER BY a.day
         """,
         "events_hopping_distinct": """
             WITH hops AS (

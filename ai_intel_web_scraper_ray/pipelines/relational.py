@@ -1000,8 +1000,10 @@ def q19_branch_revenue(sf_dir: str,
 _Q7_NATIONS = (3, 15)  # nationkeys traded between, both directions
 
 
-def q7_nation_trade(sf_dir: str) -> pd.DataFrame:
+def q7_nation_trade(sf_dir: str, nations=None) -> pd.DataFrame:
     """Revenue shipped between two nations, by direction and ship year.
+    ``nations`` overrides the default pair (tests use a supplier-less
+    pair to pin the empty-join-side guard).
 
     Scale shape: supplier→nationkey and customer→nationkey are TRUE
     dimensions (one int per key) broadcast once via ``ray.put``; both fact
@@ -1011,7 +1013,7 @@ def q7_nation_trade(sf_dir: str) -> pd.DataFrame:
     predicate (supp_nation != cust_nation) applies post-join and the
     final groupby has ≤ 2×2×n_years groups — per-batch partials reduce it
     to pennies before the driver combine."""
-    n_lo, n_hi = _Q7_NATIONS
+    n_lo, n_hi = nations if nations is not None else _Q7_NATIONS
 
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     s_order = np.argsort(supp["s_suppkey"].to_numpy(dtype="int64"))
@@ -2091,3 +2093,63 @@ def q5_rollup_revenue(sf_dir: str) -> pd.DataFrame:
     out["revenue"] = out["rev_cents"] / 100.0
     out = out.sort_values(["region", "nation"], kind="mergesort")
     return out[["region", "nation", "revenue"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# events: day-over-day retention — per-user activity calendars under
+# user-hash buckets, next-day membership via vectorized searchsorted
+# ---------------------------------------------------------------------------
+
+
+def events_retention(sf_dir: str) -> pd.DataFrame:
+    """For every active day: how many users were active, and how many of
+    them were also active the next day (day-over-day retention).
+
+    The self-join in the SQL twin never happens as a row exchange:
+    per-batch (user, day) dedup shrinks the exchange to activity pairs,
+    users are hash-bucketed so each bucket holds complete per-user
+    calendars, and next-day membership is a vectorized ``searchsorted``
+    over each bucket's sorted (user, day) arrays.  Buckets emit per-day
+    partial counts (≤ n_days rows each) and the driver sums them."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "day": df["ts"].dt.floor("D"),
+        }).drop_duplicates()
+        out["_b"] = (out["user_id"].astype("int64") % 64).astype("int64")
+        return out
+
+    def bucket_retention(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"])
+        uid = df["user_id"].to_numpy(dtype="int64")
+        # unit-safe epoch-day index (the column may arrive as ns or us
+        # timestamps depending on the arrow<->pandas hop)
+        day_idx = df["day"].to_numpy().astype("datetime64[D]").astype("int64")
+        # encode (uid, epoch-day) into one int64 so next-day membership is
+        # a single searchsorted: epoch-day indexes stay < 2_000_000 for
+        # any calendar horizon, so uid * 2e6 + day_idx never collides and
+        # fits int64 up to ~4.6e12 users
+        enc = uid * 2_000_000 + day_idx
+        enc_sorted = np.sort(enc)
+        nxt = enc + 1
+        p = np.searchsorted(enc_sorted, nxt)
+        p[p >= len(enc_sorted)] = len(enc_sorted) - 1
+        retained = enc_sorted[p] == nxt
+        out = pd.DataFrame({"day": df["day"].to_numpy(),
+                            "active": 1,
+                            "retained": retained.astype("int64")})
+        return out.groupby("day", as_index=False).agg(
+            n_active=("active", "sum"), n_retained=("retained", "sum"))
+
+    parts = ds.map_batches(pairs, batch_format="pandas") \
+              .groupby("_b").map_groups(bucket_retention,
+                                        batch_format="pandas") \
+              .to_pandas()
+    out = parts.groupby("day", as_index=False).agg(
+        n_active=("n_active", "sum"), n_retained=("n_retained", "sum"))
+    out["n_active"] = out["n_active"].astype("int64")
+    out["n_retained"] = out["n_retained"].astype("int64")
+    out = out.sort_values("day", kind="mergesort")
+    return out[["day", "n_active", "n_retained"]].reset_index(drop=True)

@@ -43,6 +43,7 @@ ORACLE_QUERIES = [
     "events_value_stats",
     "events_top_user_per_window",
     "events_hopping_distinct",
+    "events_retention",
     "q2_min_cost_part",
     "q5_rollup_revenue",
     "events_hopping",
@@ -158,3 +159,18 @@ class TestQ19DualPath:
         b = rel.q19_branch_revenue(SF_DIR, broadcast_max=0)
         pd.testing.assert_frame_equal(a, b)
         assert int(a["n_rows"].iloc[0]) > 0
+
+
+def test_q7_empty_join_side_returns_empty_frame():
+    """Regression: a nation pair with NO suppliers at this SF makes the
+    lineitem join side globally empty — Ray's hash-shuffle join would
+    crash on the schemaless empty partition, so q7 must detect it and
+    return the SQL-correct empty result with a stable schema.
+    (sf0.001 suppliers cover nationkeys {3,8,12,13,15,18,19,20,21,24};
+    1 and 2 have none.)"""
+    out = rel.q7_nation_trade(SF_DIR, nations=(1, 2))
+    assert len(out) == 0
+    assert list(out.columns) == ["supp_nation", "cust_nation", "l_year",
+                                 "revenue"]
+    assert str(out["l_year"].dtype) == "int64"
+    assert str(out["revenue"].dtype) == "float64"
