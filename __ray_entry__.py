@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_user_per_window": rel.events_top_user_per_window,
         "events_hopping_distinct": rel.events_hopping_distinct,
         "events_retention": rel.events_retention,
+        "events_view_no_purchase": rel.events_view_no_purchase,
+        "parts_co_ordered": rel.parts_co_ordered,
         "q2_min_cost_part": rel.q2_min_cost_part,
         "q5_rollup_revenue": rel.q5_rollup_revenue,
         "events_distinct_users": rel.events_distinct_users,
@@ -634,6 +636,34 @@ def oracle_sql() -> dict[str, str]:
                         - (SUM(c) * 1.0 / COUNT(*)) * (SUM(c) * 1.0 / COUNT(*)))
                        / 10000.0, 0)), 6) AS stddev_pop
             FROM c GROUP BY event_type ORDER BY event_type
+        """,
+        "parts_co_ordered": """
+            WITH p AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+                SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                       COUNT(*) AS n
+                FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey
+                                 AND a.l_partkey < b.l_partkey
+                GROUP BY 1, 2
+            )
+            SELECT CAST(part_a AS BIGINT) AS part_a,
+                   CAST(part_b AS BIGINT) AS part_b,
+                   CAST(n AS BIGINT) AS n
+            FROM pairs
+            ORDER BY n DESC, part_a ASC, part_b ASC LIMIT 20
+        """,
+        "events_view_no_purchase": """
+            WITH v AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'view'),
+            b AS (SELECT DISTINCT user_id FROM events
+                  WHERE event_type = 'purchase')
+            SELECT CAST((SELECT COUNT(*) FROM v
+                         WHERE user_id NOT IN (SELECT user_id FROM b))
+                        AS BIGINT) AS n_view_no_purchase,
+                   CAST((SELECT COUNT(*) FROM v
+                         WHERE user_id IN (SELECT user_id FROM b))
+                        AS BIGINT) AS n_view_and_purchase
         """,
         "events_retention": """
             WITH ud AS (

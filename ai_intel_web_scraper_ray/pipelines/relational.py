@@ -2153,3 +2153,102 @@ def events_retention(sf_dir: str) -> pd.DataFrame:
     out["n_retained"] = out["n_retained"].astype("int64")
     out = out.sort_values("day", kind="mergesort")
     return out[["day", "n_active", "n_retained"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence: part pairs ordered together — the SQL
+# self-join becomes per-order pair generation under order-hash buckets
+# ---------------------------------------------------------------------------
+
+_BASKET_TOP = 20
+
+
+def parts_co_ordered(sf_dir: str) -> pd.DataFrame:
+    """Top part pairs appearing in the same order (market-basket shape).
+
+    The oracle's lineitem self-join never happens as a row exchange:
+    orders are hash-bucketed so each bucket holds complete baskets, pair
+    generation is a vectorized per-bucket merge of each order against
+    itself (baskets are small — ~7 lineitems — so the blowup is bounded
+    per order, not quadratic in the table), and pair counts finish under
+    a pair-hash bucket with per-bucket top-k partials."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        out = out.copy()
+        out["_b"] = (out["l_orderkey"].astype("int64") % 64).astype("int64")
+        return out
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = m.groupby(["l_partkey_x", "l_partkey_y"],
+                        as_index=False).size().rename(columns={"size": "n"})
+        # re-bucket by pair hash so cross-order counts co-locate
+        out["_p"] = ((out["l_partkey_x"].astype("int64") * 1_000_003
+                      + out["l_partkey_y"].astype("int64")) % 64).astype("int64")
+        return out
+
+    def pair_top(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["l_partkey_x", "l_partkey_y"],
+                         as_index=False)["n"].sum()
+        return out.sort_values(["n", "l_partkey_x", "l_partkey_y"],
+                               ascending=[False, True, True],
+                               kind="mergesort").head(_BASKET_TOP)
+
+    cands = ds.map_batches(dedup_bucket, batch_format="pandas") \
+              .groupby("_b").map_groups(gen_pairs, batch_format="pandas") \
+              .groupby("_p").map_groups(pair_top, batch_format="pandas") \
+              .to_pandas()
+    top = cands.sort_values(["n", "l_partkey_x", "l_partkey_y"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(_BASKET_TOP)
+    for c in ("l_partkey_x", "l_partkey_y", "n"):
+        top[c] = top[c].astype("int64")
+    return top.rename(columns={"l_partkey_x": "part_a",
+                               "l_partkey_y": "part_b"}) \
+              .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# events: conversion gap — users who viewed but never purchased
+# (set-membership anti-join under user-hash buckets)
+# ---------------------------------------------------------------------------
+
+
+def events_view_no_purchase(sf_dir: str) -> pd.DataFrame:
+    """Global counts of users who viewed but never purchased, and of
+    viewers who did convert.
+    The anti-join runs as per-bucket set arithmetic: users are
+    hash-bucketed with complete histories, each bucket computes its
+    viewer and purchaser id sets vectorized, and emits two partial
+    counts; the driver sums ≤ 64×1 rows."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("view", "purchase"))]
+        out = df.drop_duplicates().copy()
+        out["_b"] = (out["user_id"].astype("int64") % 64).astype("int64")
+        return out
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "event_type"])
+        viewers = set(df.loc[df["event_type"] == "view", "user_id"])
+        buyers = set(df.loc[df["event_type"] == "purchase", "user_id"])
+        return pd.DataFrame({
+            "n_view_no_purchase": [len(viewers - buyers)],
+            "n_view_and_purchase": [len(viewers & buyers)],
+        })
+
+    parts = ds.map_batches(keep, batch_format="pandas") \
+              .groupby("_b").map_groups(bucket_counts,
+                                        batch_format="pandas") \
+              .to_pandas()
+    return pd.DataFrame({
+        "n_view_no_purchase": pd.Series([int(parts["n_view_no_purchase"].sum())],
+                                        dtype="int64"),
+        "n_view_and_purchase": pd.Series([int(parts["n_view_and_purchase"].sum())],
+                                         dtype="int64"),
+    })

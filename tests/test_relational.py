@@ -44,6 +44,8 @@ ORACLE_QUERIES = [
     "events_top_user_per_window",
     "events_hopping_distinct",
     "events_retention",
+    "events_view_no_purchase",
+    "parts_co_ordered",
     "q2_min_cost_part",
     "q5_rollup_revenue",
     "events_hopping",
