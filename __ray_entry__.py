@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_stratified_sample": dq.docs_stratified_sample,
         "docs_write_roundtrip": dq.docs_write_roundtrip,
         "docs_repetition": dq.docs_repetition,
+        "docs_crossdup": dq.docs_crossdup,
         "docs_exact_dedup": dq.docs_exact_dedup,
         "docs_minhash_dedup": dq.docs_minhash_dedup,       # pinned-table oracle
         "docs_ngram_dedup": dq.docs_ngram_dedup,
@@ -911,6 +912,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
             FROM documents GROUP BY text ORDER BY doc_id
         """,
+        # cross-document duplicate-8-gram share; grams tokenized exactly
+        # like the repetition oracle (lowercase whitespace split), deduped
+        # per doc, "duplicate" = present in >= 2 distinct docs.  The
+        # engine compares 64-bit gram hashes; the oracle compares exact
+        # strings (collision risk documented in docqueries.docs_crossdup).
+        "docs_crossdup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(range(1, len(w) - 6),
+                                                    i -> {G8})) AS g
+                FROM toks
+            ), dg AS (
+                SELECT doc_id, UNNEST(g) AS gram FROM sh
+            ), dup AS (
+                SELECT gram FROM dg GROUP BY gram HAVING COUNT(*) >= 2
+            ), per_doc AS (
+                SELECT dg.doc_id, COUNT(*) AS ng,
+                       SUM(CASE WHEN dup.gram IS NOT NULL
+                                THEN 1 ELSE 0 END) AS nd
+                FROM dg LEFT JOIN dup USING (gram)
+                GROUP BY dg.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(COALESCE(p.ng, 0) AS BIGINT) AS n_distinct_grams,
+                   CAST(FLOOR(COALESCE(p.nd, 0) * 1000000.0
+                              / GREATEST(COALESCE(p.ng, 0), 1)) AS BIGINT)
+                       AS crossdup_ppm
+            FROM toks t LEFT JOIN per_doc p USING (doc_id)
+            ORDER BY doc_id
+        """.replace("{G8}", " || ' ' || ".join(f"w[i+{j}]" for j in range(8))),
         # n-gram-Jaccard dedup oracle: brute-force exact word-3-shingle
         # Jaccard over all pairs, drop any doc with a smaller-id neighbor at
         # >= 0.7.  Two corpus-validated assumptions (both re-checked by the

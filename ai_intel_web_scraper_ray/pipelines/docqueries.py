@@ -763,3 +763,112 @@ def docs_repetition(sf_dir: str, n: int = 8) -> pd.DataFrame:
 
     out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate n-grams (substring-dedup signal): which grams
+# appear in >= 2 distinct documents, and what share of each document is
+# made of them — the corpus-level complement of docs_repetition
+# ---------------------------------------------------------------------------
+
+
+def docs_crossdup(sf_dir: str, n: int = 8) -> pd.DataFrame:
+    """Cross-document duplicate word-8-gram share per document — the
+    Lee-et-al-2022-style substring-dedup signal ("Deduplicating Training
+    Data Makes Language Models Better"): for each document, the ppm of its
+    DISTINCT 8-grams that also occur in at least one OTHER document.
+    ``docs_repetition`` measures intra-document boilerplate; this measures
+    corpus-level copying (mirrors, syndication, template farms).
+
+    Scale shape:
+    - phase 1 ships only (gram_hash: uint64, partial_count) rows — grams
+      are deduped per document, hashed (polars 64-bit, the MinHash
+      pipeline's hasher), and pre-counted per batch, so the exchange
+      volume is bounded by distinct-grams-per-batch, never raw text;
+    - the per-gram count groupby runs under a bounded 64-value hash
+      bucket (the repo-wide bucketed-aggregation pattern), each bucket
+      emitting only grams with count >= 2;
+    - the dup-gram set is assembled SORTED inside a remote task (the
+      driver only holds the ObjectRef); phase 2 is a zero-copy plasma
+      read + vectorized ``np.searchsorted`` membership per batch — the
+      same exact-membership plumbing as the dedup drop filters.
+
+    Partitioning assumption: the dup-gram hash array fits one worker's
+    heap (8 bytes/gram → ~1 GB per 10⁸ cross-doc-duplicated grams).  At
+    100 TB, keep phase 1 as-is and replace the broadcast in phase 2 with
+    a (gram_hash, doc_id) shuffle join against the dup set partitioned by
+    the same hash — identical semantics, one more exchange.
+
+    The oracle compares exact gram STRINGS; the engine compares 64-bit
+    hashes — a collision flips a membership with p ≈ m²/2⁶⁵ (negligible
+    at any scale this runs at, and only ever inflates n_dup by 1)."""
+    import polars as pl
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _hash_grams(grams: List[str]) -> np.ndarray:
+        return pl.Series(grams).hash(seed=0).to_numpy().astype(np.uint64)
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        grams: List[str] = []
+        for tx in t["text"].to_pylist():
+            grams.extend(set(mh.shingles(tx, n)))
+        if not grams:
+            return pa.table({"gh": pa.array([], pa.uint64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int64())})
+        gh = _hash_grams(grams)
+        vc = pd.Series(gh).value_counts()        # docs-per-gram, this batch
+        ghu = vc.index.to_numpy().astype(np.uint64)
+        return pa.table({
+            "gh": pa.array(ghu, pa.uint64()),
+            "cnt": pa.array(vc.to_numpy().astype(np.int64), pa.int64()),
+            "_b": pa.array((ghu % 64).astype(np.int64), pa.int64()),
+        })
+
+    def bucket_dups(df: pd.DataFrame) -> pd.DataFrame:
+        agg = df.groupby("gh", as_index=False)["cnt"].sum()
+        return agg.loc[agg["cnt"] >= 2, ["gh"]]
+
+    dup_ds = ds.map_batches(gram_partial, batch_format="pyarrow") \
+               .groupby("_b").map_groups(bucket_dups, batch_format="pandas")
+
+    @ray.remote
+    def assemble(*blocks) -> np.ndarray:
+        arrs = [b["gh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                for b in blocks]
+        if not arrs:
+            return np.empty(0, dtype=np.uint64)
+        return np.sort(np.concatenate(arrs))
+
+    dup_ref = assemble.remote(*list(dup_ds.to_arrow_refs()))
+
+    def score(t: pa.Table) -> pa.Table:
+        dup = ray.get(dup_ref)             # zero-copy from plasma
+        texts = t["text"].to_pylist()
+        per_doc = [sorted(set(mh.shingles(tx, n))) for tx in texts]
+        lens = np.fromiter((len(g) for g in per_doc), dtype=np.int64,
+                           count=len(per_doc))
+        n_dup = np.zeros(len(per_doc), dtype=np.int64)
+        flat = [g for lst in per_doc for g in lst]
+        if flat and len(dup):
+            gh = _hash_grams(flat)
+            pos = np.searchsorted(dup, gh)
+            pos[pos >= len(dup)] = len(dup) - 1
+            hit = (dup[pos] == gh)
+            idx = np.repeat(np.arange(len(per_doc)), lens)
+            n_dup = np.bincount(idx, weights=hit,
+                                minlength=len(per_doc)).astype(np.int64)
+        ppm = np.floor(n_dup * 1_000_000.0
+                       / np.maximum(lens, 1)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(
+                t["doc_id"].to_numpy(zero_copy_only=False).astype("int64"),
+                pa.int64()),
+            "n_distinct_grams": pa.array(lens, pa.int64()),
+            "crossdup_ppm": pa.array(ppm, pa.int64()),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -21,6 +21,7 @@ ORACLE_QUERIES = [
     "emb_centroid_distances",
     "docs_repetition",
     "docs_write_roundtrip",
+    "docs_crossdup",
 ]
 
 
@@ -88,3 +89,43 @@ def test_centroid_distances_match_numpy_reference():
     assert list(got["label_a"]) == list(expect["label_a"])
     assert list(got["label_b"]) == list(expect["label_b"])
     np.testing.assert_allclose(got["cos_sim"], expect["cos_sim"], atol=2e-6)
+
+
+def test_crossdup_brute_force_reference():
+    """Single-process brute force over raw parquet: a gram is a cross-doc
+    duplicate iff >= 2 distinct doc_ids contain it (per-doc distinct)."""
+    from collections import Counter
+
+    from ai_intel_web_scraper_ray.functions import minhash as mh
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"])
+    per_doc = {int(d): set(mh.shingles(t, 8))
+               for d, t in zip(docs["doc_id"], docs["text"])}
+    counts = Counter(g for s in per_doc.values() for g in s)
+    got = dq.docs_crossdup(SF_DIR)
+    for _, row in got.iterrows():
+        grams = per_doc[int(row["doc_id"])]
+        nd = sum(1 for g in grams if counts[g] >= 2)
+        assert int(row["n_distinct_grams"]) == len(grams)
+        expect_ppm = int(np.floor(nd * 1_000_000.0 / max(len(grams), 1)))
+        assert int(row["crossdup_ppm"]) == expect_ppm
+
+
+def test_crossdup_is_partitioning_invariant():
+    """1-block and 16-block layouts must agree (the dup-gram set and the
+    per-batch membership pass are layout-independent)."""
+    import ai_intel_web_scraper_ray.pipelines.docqueries as d
+
+    base = d.docs_crossdup(SF_DIR)
+    orig = d._docs
+
+    def docs16(sf_dir, columns=None, num_blocks=8):
+        return orig(sf_dir, columns, num_blocks=16)
+
+    d._docs = docs16
+    try:
+        re16 = d.docs_crossdup(SF_DIR)
+    finally:
+        d._docs = orig
+    pd.testing.assert_frame_equal(base, re16)
