@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_idle_rich_customers": rel.q22_idle_rich_customers,
         "q8_market_share": rel.q8_market_share,
         "q21_late_suppliers": rel.q21_late_suppliers,
+        "q11_part_value_share": rel.q11_part_value_share,
+        "q20_excess_shippers": rel.q20_excess_shippers,
         "q9_nation_profit": rel.q9_nation_profit,
         "q15_top_supplier": rel.q15_top_supplier,
         "q16_supplier_count": rel.q16_supplier_count,
@@ -562,6 +564,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_late AS BIGINT) AS n_late
             FROM top t JOIN supplier s ON t.l_suppkey = s.s_suppkey
             ORDER BY n_late DESC, s_suppkey ASC
+        """,
+        # Q11 adapted to lineitem (no partsupp in the testdata): per-part
+        # revenue share from one nation's suppliers, HAVING > fraction of
+        # the nation total
+        "q11_part_value_share": """
+            WITH f AS (
+                SELECT l_partkey,
+                       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount)
+                                      * 100 + 0.5) AS BIGINT)) AS v
+                FROM lineitem
+                WHERE l_suppkey IN (
+                    SELECT s_suppkey FROM supplier
+                    JOIN nation ON s_nationkey = n_nationkey
+                    WHERE n_name = 'NATION_3')
+                GROUP BY l_partkey
+            )
+            SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
+                   CAST(v AS BIGINT) AS value_cents
+            FROM f
+            WHERE v > (SELECT SUM(v) FROM f) * 0.001
+            ORDER BY value_cents DESC, l_partkey
+        """,
+        # Q20 adapted to lineitem (no partsupp): suppliers who shipped more
+        # than 1.2x the average supplier's quantity of 'small'-prefixed
+        # parts over a two-year window
+        "q20_excess_shippers": """
+            WITH f AS (
+                SELECT l_suppkey,
+                       SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+                FROM lineitem
+                WHERE l_partkey IN (
+                        SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'small%')
+                  AND l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey
+            )
+            SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+                   CAST(f.total_qty AS BIGINT) AS total_qty
+            FROM f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+            WHERE f.total_qty > (SELECT AVG(total_qty) FROM f) * 1.2
+            ORDER BY s_suppkey
         """,
         "q9_nation_profit": """
             SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,

@@ -2252,3 +2252,163 @@ def events_view_no_purchase(sf_dir: str) -> pd.DataFrame:
         "n_view_and_purchase": pd.Series([int(parts["n_view_and_purchase"].sum())],
                                          dtype="int64"),
     })
+
+
+# ---------------------------------------------------------------------------
+# Q11-shape: important parts by value share — per-part sums with a HAVING
+# against a global scalar (two streaming passes, broadcast threshold).
+# Adapted to lineitem: the testdata has no partsupp table, so "stock value"
+# becomes discounted revenue from one nation's suppliers.
+# ---------------------------------------------------------------------------
+
+_Q11_NATION = "NATION_3"
+_Q11_FRACTION = 0.001
+
+
+def q11_part_value_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape: parts whose revenue from one nation's suppliers
+    exceeds FRACTION of that nation's total revenue.
+
+    Scale shape: the nation's supplier keys are a broadcast SORTED int64
+    array (one ``ray.put``, ``searchsorted`` membership per batch — the
+    q17/q19 keyset pattern); pass 1 streams lineitem into a scalar total
+    via 1-row per-batch partials; pass 2 re-streams into bucketed
+    per-part sums (64 partkey-hash buckets, one vectorized pandas groupby
+    per bucket) with the threshold applied INSIDE the bucket — the driver
+    never holds per-part state, only the winners, and the winner count is
+    bounded by 1/FRACTION by construction (shares sum to 1)."""
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nk = int(nat.loc[nat["n_name"] == _Q11_NATION, "n_nationkey"].iloc[0])
+    keys_ref = ray.put(np.sort(
+        supp.loc[supp["s_nationkey"] == nk, "s_suppkey"]
+        .to_numpy(dtype="int64")))
+
+    cols = ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
+
+    def total_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        df = df[_in_sorted(df["l_suppkey"].to_numpy(dtype="int64"), keys)]
+        return pd.DataFrame({"v": [int(_rev_cents(
+            df["l_extendedprice"], df["l_discount"]).sum())]})
+
+    total = int(_read(sf_dir, "lineitem", cols)
+                .map_batches(total_partial, batch_format="pandas")
+                .to_pandas()["v"].sum())
+    # int64 total < 2^53 cents → the double product matches DuckDB's
+    # HUGEINT-to-double promotion bit-for-bit
+    thr = total * _Q11_FRACTION
+
+    def part_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        df = df[_in_sorted(df["l_suppkey"].to_numpy(dtype="int64"),
+                           keys)].copy()
+        df["v"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
+        out = df.groupby("l_partkey", as_index=False)["v"].sum()
+        out["_b"] = (out["l_partkey"].astype("int64") % 64).astype("int64")
+        return out[["l_partkey", "v", "_b"]]
+
+    def bucket_winners(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("l_partkey", as_index=False)["v"].sum()
+        return out[out["v"].to_numpy() > thr]
+
+    out = _read(sf_dir, "lineitem", cols) \
+        .map_batches(part_partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_winners, batch_format="pandas") \
+        .to_pandas()
+    if out.empty:
+        return pd.DataFrame({"l_partkey": pd.Series([], dtype="int64"),
+                             "value_cents": pd.Series([], dtype="int64")})
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    out["value_cents"] = out["v"].astype("int64")
+    out = out.sort_values(["value_cents", "l_partkey"],
+                          ascending=[False, True], kind="mergesort")
+    return out[["l_partkey", "value_cents"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Q20-shape: excess shippers — semi-join on a part-name prefix + a
+# correlated threshold (supplier total vs the all-supplier average).
+# Adapted to lineitem: no partsupp, so "excess stock" becomes "shipped more
+# than MULT × the average supplier's quantity of those parts".
+# ---------------------------------------------------------------------------
+
+_Q20_PREFIX = "small"
+_Q20_LO = "1996-01-01"
+_Q20_HI = "1998-01-01"
+_Q20_MULT = 1.2
+
+
+def q20_excess_shippers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 shape: suppliers whose shipped quantity of PREFIX-named
+    parts over a two-year window exceeds MULT × the average such total.
+
+    Scale shape: the prefix part keys are a broadcast sorted int64 array
+    (lineitem never shuffles); per-supplier totals run as bucketed
+    aggregation (64 suppkey-hash buckets); the bucket output (ONE row per
+    qualifying supplier) is materialized once and consumed twice — a
+    1-row-per-batch moment partial for the exact global average, then a
+    broadcast-threshold filter whose winners (a small tail by
+    construction) are the only rows the driver collects.  Names resolve
+    via a ``pc.is_in`` filter over the supplier dimension for winners
+    only (the q15 pattern).  Quantities are integral doubles → int64
+    sums, so every aggregate is order-independent and SQL-exact."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+    pk = part.map_batches(
+        lambda df: df.loc[df["p_name"].str.startswith(_Q20_PREFIX),
+                          ["p_partkey"]],
+        batch_format="pandas").to_pandas()
+    keys_ref = ray.put(np.sort(pk["p_partkey"].to_numpy(dtype="int64")))
+    lo = pd.Timestamp(_Q20_LO)
+    hi = pd.Timestamp(_Q20_HI)
+
+    def supp_partial(df: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(keys_ref)
+        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+        df = df[_in_sorted(df["l_partkey"].to_numpy(dtype="int64"),
+                           keys)].copy()
+        df["q"] = df["l_quantity"].to_numpy().astype("int64")
+        out = df.groupby("l_suppkey", as_index=False)["q"].sum()
+        out["_b"] = (out["l_suppkey"].astype("int64") % 64).astype("int64")
+        return out[["l_suppkey", "q", "_b"]]
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_suppkey", as_index=False)["q"].sum()
+
+    per_supp = _read(sf_dir, "lineitem",
+                     ["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"]) \
+        .map_batches(supp_partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_sum, batch_format="pandas") \
+        .materialize()
+
+    moments = per_supp.map_batches(
+        lambda df: pd.DataFrame({"s": [int(df["q"].sum())],
+                                 "n": [len(df)]}),
+        batch_format="pandas").to_pandas()
+    n_supp = int(moments["n"].sum())
+    if n_supp == 0:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_qty": pd.Series([], dtype="int64")})
+    # int/int → correctly-rounded double, same as DuckDB's AVG(BIGINT)
+    thr = (int(moments["s"].sum()) / n_supp) * _Q20_MULT
+
+    winners = per_supp.map_batches(
+        lambda df: df[df["q"].to_numpy() > thr],
+        batch_format="pandas").to_pandas()
+    if winners.empty:
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_qty": pd.Series([], dtype="int64")})
+    win_keys = pa.array(
+        np.sort(winners["l_suppkey"].to_numpy(dtype="int64")))
+    names = _read(sf_dir, "supplier", ["s_suppkey", "s_name"]) \
+        .map_batches(
+            lambda t: t.filter(pc.is_in(pc.cast(t["s_suppkey"], pa.int64()),
+                                        value_set=win_keys)),
+            batch_format="pyarrow").to_pandas()
+    out = winners.merge(names, left_on="l_suppkey", right_on="s_suppkey")
+    out["s_suppkey"] = out["s_suppkey"].astype("int64")
+    out["total_qty"] = out["q"].astype("int64")
+    out = out.sort_values("s_suppkey", kind="mergesort")
+    return out[["s_suppkey", "s_name", "total_qty"]].reset_index(drop=True)

@@ -37,6 +37,8 @@ ORACLE_QUERIES = [
     "q17_small_qty_revenue",
     "q18_large_orders",
     "q21_late_suppliers",
+    "q11_part_value_share",
+    "q20_excess_shippers",
     "q22_idle_rich_customers",
     "events_funnel",
     "events_rolling_avg",
