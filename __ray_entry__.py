@@ -193,6 +193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_label_centroids": dq.emb_label_centroids,
         "emb_centroid_distances": dq.emb_centroid_distances,
         "emb_rrf": dq.emb_rrf,
+        "emb_range_search": dq.emb_range_search,
+        "docs_tfidf_top_terms": dq.docs_tfidf_top_terms,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -1076,6 +1078,44 @@ def oracle_sql() -> dict[str, str]:
         "crawl_fixture_ordered": f"""
             SELECT url, depth, crawl_rank, title
             FROM read_parquet('{_PINNED_CRAWL}') ORDER BY crawl_rank
+        """,
+        # radius search: every vector above the cosine threshold vs vec 0;
+        # scores rounded BEFORE the compare, exactly like the engine
+        "emb_range_search": """
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 6) AS score
+            FROM embeddings
+            WHERE ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                        WHERE vec_id = 0)), 6) >= 0.1
+            ORDER BY score DESC, vec_id
+        """,
+        # per-language scaled term relevance: tf(lang, word) * 1e6 // df(word)
+        # (integer-exact tf-over-df ranking), top 5 per language
+        "docs_tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, lang, UNNEST(w) AS word FROM toks
+            ), tf AS (
+                SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tok GROUP BY lang, word
+            ), df AS (
+                SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+                FROM tok GROUP BY word
+            )
+            SELECT tf.lang, tf.word, tf.tf, df.df,
+                   CAST(tf.tf * 1000000 // df.df AS BIGINT) AS score_q
+            FROM tf JOIN df USING (word)
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY tf.lang
+                ORDER BY tf.tf * 1000000 // df.df DESC, tf.word) <= 5
+            ORDER BY lang, score_q DESC, word
         """,
         "emb_knn": """
             SELECT vec_id,

@@ -872,3 +872,103 @@ def docs_crossdup(sf_dir: str, n: int = 8) -> pd.DataFrame:
 
     out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# radius similarity search (the vector store's "all matches above a score"
+# API) and per-language scaled term relevance (tf-over-df) — the training-
+# data mixing view of "what characterizes each language bucket"
+# ---------------------------------------------------------------------------
+
+_RANGE_SEARCH_THRESHOLD = 0.1
+
+
+def emb_range_search(sf_dir: str) -> pd.DataFrame:
+    """All vectors with cosine >= threshold to the vec_id=0 query — the
+    radius-search twin of ``emb_knn``.  Per-block filter, driver collects
+    only matches (see ``search.range_search``)."""
+    from .search import range_search
+
+    q = _query_vec(sf_dir, 0)
+    return range_search(_emb(sf_dir), q, _RANGE_SEARCH_THRESHOLD)
+
+
+_TFIDF_TOP_K = 5
+
+
+def docs_tfidf_top_terms(sf_dir: str, k: int = _TFIDF_TOP_K) -> pd.DataFrame:
+    """Top-k most characteristic terms per language by scaled
+    term-frequency-over-document-frequency: score_q = tf(lang, word) *
+    1e6 // df(word) — the integer-exact monotone twin of tf-idf ranking
+    (log-idf reorders nothing within a fixed word's score; the integer
+    form is what makes the oracle hash-stable).
+
+    Scale shape: one pass emits per-batch partial rows (lang, word,
+    tf_partial, df_partial) — df_partial counts the batch's DISTINCT docs
+    containing the word, and since every doc lives in exactly one batch
+    and one lang, summing per-lang partials gives the exact global df.
+    The per-word merge runs under a bounded 64-value word-hash bucket
+    (the repo-wide bucketed-aggregation pattern — never one Python
+    callback per word on an unbounded vocabulary); a bucket colocates
+    every row of its words, computes each word's global df, scores its
+    langs, and emits at most k candidate rows per (lang, bucket); the
+    driver merges ≤ k × langs × 64 candidates — bounded by output size,
+    not vocabulary."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs_out: List[str] = []
+        words_out: List[str] = []
+        tf_out: List[int] = []
+        df_out: List[int] = []
+        acc: Dict[tuple, list] = {}
+        for lg, tx in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            words = tx.lower().split()
+            seen = set()
+            for w in words:
+                key = (lg, w)
+                ent = acc.get(key)
+                if ent is None:
+                    ent = acc[key] = [0, 0]
+                ent[0] += 1
+                if w not in seen:
+                    seen.add(w)
+                    ent[1] += 1
+        for (lg, w), (tf, df) in acc.items():
+            langs_out.append(lg)
+            words_out.append(w)
+            tf_out.append(tf)
+            df_out.append(df)
+        buckets = (pd.util.hash_pandas_object(
+            pd.Series(words_out, dtype=object), index=False)
+            % 64).astype("int64")
+        return pa.table({
+            "lang": pa.array(langs_out, pa.string()),
+            "word": pa.array(words_out, pa.string()),
+            "tf": pa.array(tf_out, pa.int64()),
+            "df_p": pa.array(df_out, pa.int64()),
+            "_b": pa.array(buckets.to_numpy(), pa.int64()),
+        })
+
+    def word_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one group = one word-hash bucket; every row of a given word is
+        # here, so per-word global df is exact
+        agg = df.groupby(["lang", "word"], as_index=False).agg(
+            tf=("tf", "sum"), df_p=("df_p", "sum"))
+        gdf = agg.groupby("word")["df_p"].transform("sum")
+        agg["df"] = gdf.astype("int64")
+        agg["score_q"] = (agg["tf"] * 1_000_000) // agg["df"]
+        agg = agg.sort_values(["lang", "score_q", "word"],
+                              ascending=[True, False, True], kind="mergesort")
+        return agg.groupby("lang", as_index=False).head(k)[
+            ["lang", "word", "tf", "df", "score_q"]]
+
+    cands = ds.map_batches(partial, batch_format="pyarrow") \
+              .groupby("_b").map_groups(word_bucket, batch_format="pandas") \
+              .to_pandas()
+    cands = cands.sort_values(["lang", "score_q", "word"],
+                              ascending=[True, False, True], kind="mergesort")
+    out = cands.groupby("lang", as_index=False).head(k).copy()
+    for c in ("tf", "df", "score_q"):
+        out[c] = out[c].astype("int64")
+    return out.reset_index(drop=True)

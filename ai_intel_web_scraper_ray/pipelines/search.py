@@ -80,6 +80,53 @@ def brute_force_topk(
     return df
 
 
+def range_search(
+    ds,
+    query: np.ndarray,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: Optional[int] = 6,
+) -> pd.DataFrame:
+    """Radius similarity search: every row with cosine(query) >= threshold
+    (the other half of a vector store's query API, next to top-k).
+
+    Each block filters locally and emits ONLY its matches, so the driver
+    collects O(|result|) rows no matter the corpus size — the caller picks
+    the threshold, and a threshold that matches everything is the caller
+    materializing the dataset, not a property of the operator.  Scores are
+    rounded BEFORE the compare so the boundary is reproducible (and
+    SQL-checkable) across summation orders."""
+    q = np.asarray(query, dtype=np.float64).reshape(-1)
+    query_ref = ray.put(q)
+
+    def batch_filter(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
+        qv = ray.get(query_ref)
+        vecs = np.stack(t[vec_col].to_numpy(zero_copy_only=False))
+        scores = cosine_scores(vecs, qv)
+        if round_to is not None:
+            scores = np.round(scores, round_to)
+        mask = scores >= threshold
+        if not mask.any():
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False)[mask]
+        return pa.table({
+            id_col: pa.array(ids.astype("int64"), pa.int64()),
+            "score": pa.array(scores[mask], pa.float64()),
+        })
+
+    df = ds.map_batches(batch_filter, batch_format="pyarrow").to_pandas()
+    if df.empty:
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    return df.sort_values(["score", id_col], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # LSH-bucketed ANN (scale path)
 # ---------------------------------------------------------------------------

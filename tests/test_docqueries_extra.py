@@ -22,6 +22,8 @@ ORACLE_QUERIES = [
     "docs_repetition",
     "docs_write_roundtrip",
     "docs_crossdup",
+    "emb_range_search",
+    "docs_tfidf_top_terms",
 ]
 
 
@@ -129,3 +131,48 @@ def test_crossdup_is_partitioning_invariant():
     finally:
         d._docs = orig
     pd.testing.assert_frame_equal(base, re16)
+
+
+def test_range_search_matches_brute_force():
+    """Radius search == brute-force numpy filter over the raw parquet, at
+    several thresholds including one that matches nothing."""
+    from ai_intel_web_scraper_ray.pipelines.search import range_search
+    import ray.data as rd
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    mat = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    q = mat[ids == 0][0]
+    qn = q / np.linalg.norm(q)
+    norms = np.linalg.norm(mat, axis=1)
+    scores = np.round((mat @ qn) / norms, 6)
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                         override_num_blocks=8)
+    for thr in (0.1, 0.5, 2.0):
+        got = range_search(ds, q, thr)
+        mask = scores >= thr
+        order = np.lexsort((ids[mask], -scores[mask]))
+        assert list(got["vec_id"]) == list(ids[mask][order])
+        np.testing.assert_allclose(got["score"], scores[mask][order],
+                                   atol=2e-6)
+        assert got["vec_id"].dtype == np.int64
+
+
+def test_tfidf_is_partitioning_invariant():
+    import ai_intel_web_scraper_ray.pipelines.docqueries as d
+
+    base = d.docs_tfidf_top_terms(SF_DIR)
+    assert len(base) > 0 and set(base.columns) == {
+        "lang", "word", "tf", "df", "score_q"}
+    orig = d._docs
+
+    def docs16(sf_dir, columns=None, num_blocks=8):
+        return orig(sf_dir, columns, num_blocks=16)
+
+    d._docs = docs16
+    try:
+        re16 = d.docs_tfidf_top_terms(SF_DIR)
+    finally:
+        d._docs = orig
+    pd.testing.assert_frame_equal(base.reset_index(drop=True),
+                                  re16.reset_index(drop=True))
