@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_rrf": dq.emb_rrf,
         "emb_range_search": dq.emb_range_search,
         "docs_tfidf_top_terms": dq.docs_tfidf_top_terms,
+        "docs_pack_blocks": dq.docs_pack_blocks,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -1116,6 +1117,27 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY tf.lang
                 ORDER BY tf.tf * 1000000 // df.df DESC, tf.word) <= 5
             ORDER BY lang, score_q DESC, word
+        """,
+        # sequence packing: exclusive prefix sum of whitespace token
+        # counts in doc_id order, cut into 256-token blocks
+        "docs_pack_blocks": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS s
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(s // 256 AS BIGINT) AS pack_id,
+                   CAST(s % 256 AS BIGINT) AS pack_offset
+            FROM c ORDER BY doc_id
         """,
         "emb_knn": """
             SELECT vec_id,

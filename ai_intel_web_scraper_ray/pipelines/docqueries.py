@@ -972,3 +972,85 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = _TFIDF_TOP_K) -> pd.DataFrame:
     for c in ("tf", "df", "score_q"):
         out[c] = out[c].astype("int64")
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (LM training batch assembly): concatenate documents in
+# doc_id order, split into fixed-size token blocks, report each document's
+# (pack_id, pack_offset) — a distributed exclusive prefix sum
+# ---------------------------------------------------------------------------
+
+_PACK_BLOCK_TOKENS = 256
+
+
+def docs_pack_blocks(sf_dir: str,
+                     block_tokens: int = _PACK_BLOCK_TOKENS) -> pd.DataFrame:
+    """Sequence packing: where does each document land when the corpus is
+    concatenated in doc_id order and cut into ``block_tokens``-sized
+    training blocks (the standard "concat-then-chunk" packing used to
+    assemble LM training batches)?  Returns (doc_id, n_tokens, pack_id,
+    pack_offset) where pack_id/pack_offset locate the document's FIRST
+    token.
+
+    Scale shape — document text NEVER moves:
+    - pass 0 projects (doc_id, n_tokens) with a vectorized Arrow regex
+      count (16 bytes/doc);
+    - the projection is range-sorted by doc_id — the only shuffle, over
+      the 16-byte rows;
+    - per-block token totals (ONE row per Ray block) reach the driver for
+      the exclusive prefix-sum offsets — the ``load_crawl_records`` rank
+      pattern: driver state is O(#blocks), never O(#docs);
+    - a second pass over the SAME materialized sorted blocks
+      (``batch_size=None`` → batch == block, so both passes see identical
+      block boundaries) adds block_offset + within-block exclusive cumsum,
+      entirely vectorized."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(
+                pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
+        })
+
+    proj = ds.map_batches(project, batch_format="pyarrow") \
+             .sort("doc_id").materialize()
+
+    def block_total(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"first_id": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "first_id": pa.array([int(ids[0])], pa.int64()),
+            "total": pa.array(
+                [int(t["n_tokens"].to_numpy(zero_copy_only=False).sum())],
+                pa.int64()),
+        })
+
+    parts = proj.map_batches(block_total, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    parts = parts.sort_values("first_id").reset_index(drop=True)
+    offsets = parts["total"].cumsum().shift(fill_value=0).astype("int64")
+    offset_of = dict(zip(parts["first_id"].astype("int64"), offsets))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "pack_id": pa.array([], pa.int64()),
+                             "pack_offset": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        start = offset_of[int(ids[0])] + np.concatenate(
+            ([0], np.cumsum(nt)[:-1]))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "pack_id": pa.array(start // block_tokens, pa.int64()),
+            "pack_offset": pa.array(start % block_tokens, pa.int64()),
+        })
+
+    out = proj.map_batches(assign, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -24,6 +24,7 @@ ORACLE_QUERIES = [
     "docs_crossdup",
     "emb_range_search",
     "docs_tfidf_top_terms",
+    "docs_pack_blocks",
 ]
 
 
@@ -176,3 +177,29 @@ def test_tfidf_is_partitioning_invariant():
         d._docs = orig
     pd.testing.assert_frame_equal(base.reset_index(drop=True),
                                   re16.reset_index(drop=True))
+
+
+def test_pack_blocks_prefix_sum_properties():
+    """Packing invariants: starts are the exclusive prefix sum of token
+    counts in doc_id order; offsets < block size; pack ids nondecreasing;
+    and the result is identical across block layouts."""
+    got = dq.docs_pack_blocks(SF_DIR)
+    starts = (got["pack_id"].to_numpy() * dq._PACK_BLOCK_TOKENS
+              + got["pack_offset"].to_numpy())
+    expect = np.concatenate(([0], np.cumsum(got["n_tokens"].to_numpy())[:-1]))
+    assert (starts == expect).all()
+    assert (got["pack_offset"] < dq._PACK_BLOCK_TOKENS).all()
+    assert (np.diff(got["pack_id"].to_numpy()) >= 0).all()
+
+    import ai_intel_web_scraper_ray.pipelines.docqueries as d
+    orig = d._docs
+
+    def docs16(sf_dir, columns=None, num_blocks=8):
+        return orig(sf_dir, columns, num_blocks=16)
+
+    d._docs = docs16
+    try:
+        re16 = d.docs_pack_blocks(SF_DIR)
+    finally:
+        d._docs = orig
+    pd.testing.assert_frame_equal(got, re16)
