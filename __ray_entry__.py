@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_distinct": rel.events_hopping_distinct,
         "events_retention": rel.events_retention,
         "events_view_no_purchase": rel.events_view_no_purchase,
+        "events_user_paths": rel.events_user_paths,
         "parts_co_ordered": rel.parts_co_ordered,
         "q2_min_cost_part": rel.q2_min_cost_part,
         "q5_rollup_revenue": rel.q5_rollup_revenue,
@@ -196,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_range_search": dq.emb_range_search,
         "docs_tfidf_top_terms": dq.docs_tfidf_top_terms,
         "docs_pack_blocks": dq.docs_pack_blocks,
+        "emb_kmeans_assign": dq.emb_kmeans_assign,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -609,6 +611,22 @@ def oracle_sql() -> dict[str, str]:
             FROM f JOIN supplier s ON f.l_suppkey = s.s_suppkey
             WHERE f.total_qty > (SELECT AVG(total_qty) FROM f) * 1.2
             ORDER BY s_suppkey
+        """,
+        # top-5 most common 3-event paths over per-user (ts, event_id)-
+        # ordered histories
+        "events_user_paths": """
+            WITH seq AS (
+                SELECT user_id,
+                       list(event_type ORDER BY ts, event_id) AS s
+                FROM events GROUP BY user_id
+            ), tri AS (
+                SELECT UNNEST(list_transform(range(1, len(s) - 1),
+                           i -> s[i] || '>' || s[i+1] || '>' || s[i+2])) AS path
+                FROM seq
+            )
+            SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tri GROUP BY path
+            ORDER BY n DESC, path LIMIT 5
         """,
         "q9_nation_profit": """
             SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
@@ -1138,6 +1156,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s // 256 AS BIGINT) AS pack_id,
                    CAST(s % 256 AS BIGINT) AS pack_offset
             FROM c ORDER BY doc_id
+        """,
+        # spherical k-means assignment vs the vec_id<8 seed centroids;
+        # integer member checksums so no float ever aggregates
+        "emb_kmeans_assign": """
+            WITH cents AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, c.cid,
+                       ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS score
+                FROM embeddings e CROSS JOIN cents c
+            ), best AS (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, cid) AS rn
+                FROM scored
+            )
+            SELECT CAST(cid AS BIGINT) AS cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+            FROM best WHERE rn = 1 GROUP BY cid ORDER BY cid
         """,
         "emb_knn": """
             SELECT vec_id,

@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions import langid as langid_fn
+from ..functions.embed import cosine_scores
 from ..functions import minhash as mh
 from ..functions import sentiment as sentiment_fn
 from ..functions.tagging import DEFAULT_TOPIC_KEYWORDS
@@ -1054,3 +1055,66 @@ def docs_pack_blocks(sf_dir: str,
     out = proj.map_batches(assign, batch_format="pyarrow",
                            batch_size=None).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# spherical k-means assignment step: nearest seed centroid by cosine —
+# the clustering view of the vector family (and exactly the IVF cell
+# assignment, exposed as a checkable aggregate)
+# ---------------------------------------------------------------------------
+
+_KMEANS_SEEDS = 8
+
+
+def emb_kmeans_assign(sf_dir: str,
+                      n_seeds: int = _KMEANS_SEEDS) -> pd.DataFrame:
+    """One spherical-k-means assignment pass: every vector joins its
+    highest-cosine seed centroid (seeds = the vectors with vec_id <
+    n_seeds, a deterministic init; ties break to the lowest centroid id).
+    Returns per-cluster size and an integer member-id checksum — floats
+    never aggregate, so the result is summation-order independent.
+
+    Scale shape: the (n_seeds × dim) centroid matrix is one ``ray.put``
+    broadcast; each batch computes an (n × n_seeds) cosine matrix, rounds
+    to 6 (the family-wide reproducible-compare convention), takes a
+    vectorized argmax, and emits ONE ≤ n_seeds-row partial; the driver
+    merges ≤ n_seeds × blocks rows."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n_seeds)])
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
+    cents = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]) \
+        .astype(np.float64)
+    cents_ref = ray.put(cents)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cluster_id": pa.array([], pa.int64()),
+                          "n_members": pa.array([], pa.int64()),
+                          "id_checksum": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        c = ray.get(cents_ref)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        # one cosine_scores pass per centroid — the family's SQL-validated
+        # (m @ q) / (|m||q|) formula, so round(6) agrees with DuckDB
+        scores = np.round(np.column_stack(
+            [cosine_scores(vecs, c[j]) for j in range(c.shape[0])]), 6)
+        best = np.argmax(scores, axis=1)      # first max → lowest cid
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        agg = pd.DataFrame({"cluster_id": best.astype("int64"),
+                            "vec_id": ids}) \
+            .groupby("cluster_id", as_index=False) \
+            .agg(n_members=("vec_id", "size"), id_checksum=("vec_id", "sum"))
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    parts = _emb(sf_dir).map_batches(partial, batch_format="pyarrow") \
+                        .to_pandas()
+    out = parts.groupby("cluster_id", as_index=False).agg(
+        n_members=("n_members", "sum"), id_checksum=("id_checksum", "sum"))
+    for c in ("cluster_id", "n_members", "id_checksum"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("cluster_id").reset_index(drop=True)

@@ -2412,3 +2412,57 @@ def q20_excess_shippers(sf_dir: str) -> pd.DataFrame:
     out["total_qty"] = out["q"].astype("int64")
     out = out.sort_values("s_suppkey", kind="mergesort")
     return out[["s_suppkey", "s_name", "total_qty"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# events: path mining — the most common 3-event sequences (trigrams of a
+# user's event-type history), funnel discovery's unsupervised cousin
+# ---------------------------------------------------------------------------
+
+_PATHS_TOP_K = 5
+
+
+def events_user_paths(sf_dir: str, k: int = _PATHS_TOP_K) -> pd.DataFrame:
+    """Top-k most common length-3 event-type paths across all users'
+    histories ordered by (ts, event_id).
+
+    Users are hash-bucketed (user_id % 64, complete history per bucket);
+    inside a bucket ONE pandas sort orders every user's events and the
+    trigram build is two shifts masked at user boundaries — no per-user
+    Python.  The path key space is |event types|³ (bounded), so each
+    bucket emits at most that many count partials and the driver merge is
+    O(64 × |paths|), independent of event volume."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df[["user_id", "ts", "event_id", "event_type", "_b"]]
+
+    def bucket_paths(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy(dtype=object)
+        if len(df) < 3:
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        same3 = (uid[:-2] == uid[1:-1]) & (uid[1:-1] == uid[2:])
+        tri = pd.Series(et[:-2][same3]) + ">" \
+            + pd.Series(et[1:-1][same3]).values + ">" \
+            + pd.Series(et[2:][same3]).values
+        vc = tri.value_counts()
+        return pd.DataFrame({"path": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy().astype("int64")})
+
+    parts = ds.map_batches(keep, batch_format="pandas") \
+              .groupby("_b").map_groups(bucket_paths,
+                                        batch_format="pandas") \
+              .to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"path": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    out = parts.groupby("path", as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    out = out.sort_values(["n", "path"], ascending=[False, True],
+                          kind="mergesort").head(k)
+    return out[["path", "n"]].reset_index(drop=True)

@@ -25,6 +25,7 @@ ORACLE_QUERIES = [
     "emb_range_search",
     "docs_tfidf_top_terms",
     "docs_pack_blocks",
+    "emb_kmeans_assign",
 ]
 
 

@@ -47,6 +47,7 @@ ORACLE_QUERIES = [
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
+    "events_user_paths",
     "parts_co_ordered",
     "q2_min_cost_part",
     "q5_rollup_revenue",
