@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": rel.events_retention,
         "events_view_no_purchase": rel.events_view_no_purchase,
         "events_user_paths": rel.events_user_paths,
+        "events_pivot": rel.events_pivot,
         "parts_co_ordered": rel.parts_co_ordered,
         "q2_min_cost_part": rel.q2_min_cost_part,
         "q5_rollup_revenue": rel.q5_rollup_revenue,
@@ -627,6 +628,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(COUNT(*) AS BIGINT) AS n
             FROM tri GROUP BY path
             ORDER BY n DESC, path LIMIT 5
+        """,
+        # daily event-type crosstab (COUNT FILTER pivot)
+        "events_pivot": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+                       AS n_click,
+                   CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+                       AS n_error,
+                   CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+                       AS n_purchase,
+                   CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)
+                       AS n_signup,
+                   CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)
+                       AS n_view,
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM events GROUP BY 1 ORDER BY 1
         """,
         "q9_nation_profit": """
             SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,

@@ -2466,3 +2466,41 @@ def events_user_paths(sf_dir: str, k: int = _PATHS_TOP_K) -> pd.DataFrame:
     out = out.sort_values(["n", "path"], ascending=[False, True],
                           kind="mergesort").head(k)
     return out[["path", "n"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# events: daily pivot — the crosstab (wide) view of the tumbling window:
+# one row per day, one count column per event type
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def events_pivot(sf_dir: str) -> pd.DataFrame:
+    """Per-day event counts pivoted into one column per event type plus a
+    total — the wide/crosstab shape (SQL ``COUNT(*) FILTER``).
+
+    Per-batch partial: one vectorized pandas groupby over (day, type) —
+    ≤ days×types rows per batch; the driver merge is one pivot over those
+    bounded partials (the events_tumbling pattern — window keys are
+    calendar-bounded, not data-bounded).  Unknown event types count only
+    toward ``n_total``, exactly like the FILTER columns in the SQL."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["day"] = df["ts"].dt.floor("D")
+        return df.groupby(["day", "event_type"], as_index=False).agg(
+            n=("event_type", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = parts.groupby(["day", "event_type"], as_index=False)["n"].sum()
+    wide = merged.pivot_table(index="day", columns="event_type", values="n",
+                              aggfunc="sum", fill_value=0)
+    out = pd.DataFrame({"day": wide.index})
+    for et in _PIVOT_TYPES:
+        col = wide[et].to_numpy() if et in wide.columns else 0
+        out[f"n_{et}"] = pd.Series(col, dtype="int64").to_numpy()
+    out["n_total"] = merged.groupby("day")["n"].sum() \
+        .reindex(wide.index).fillna(0).astype("int64").to_numpy()
+    return out.sort_values("day").reset_index(drop=True)

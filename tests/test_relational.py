@@ -48,6 +48,7 @@ ORACLE_QUERIES = [
     "events_retention",
     "events_view_no_purchase",
     "events_user_paths",
+    "events_pivot",
     "parts_co_ordered",
     "q2_min_cost_part",
     "q5_rollup_revenue",
