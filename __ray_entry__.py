@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_view_no_purchase": rel.events_view_no_purchase,
         "events_user_paths": rel.events_user_paths,
         "events_pivot": rel.events_pivot,
+        "orders_monthly_growth": rel.orders_monthly_growth,
         "parts_co_ordered": rel.parts_co_ordered,
         "q2_min_cost_part": rel.q2_min_cost_part,
         "q5_rollup_revenue": rel.q5_rollup_revenue,
@@ -199,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top_terms": dq.docs_tfidf_top_terms,
         "docs_pack_blocks": dq.docs_pack_blocks,
         "emb_kmeans_assign": dq.emb_kmeans_assign,
+        "docs_langid_confusion": dq.docs_langid_confusion,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -255,7 +257,7 @@ def _sentiment_sql() -> str:
     """
 
 
-def _langid_sql() -> str:
+def _langid_sql(confusion: bool = False) -> str:
     from ai_intel_web_scraper_ray.functions.langid import LANG_STOPWORDS
 
     score_cols = []
@@ -269,6 +271,13 @@ def _langid_sql() -> str:
         conds += [f"s_{lang} >= s_{other}" for other in langs if other != lang]
         branches.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
     case = "CASE " + " ".join(branches) + " ELSE 'und' END"
+    if confusion:
+        return f"""
+            WITH scored AS (SELECT lang, {", ".join(score_cols)}
+                            FROM documents)
+            SELECT lang, {case} AS pred_lang, COUNT(*) AS n
+            FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+        """
     return f"""
         WITH scored AS (SELECT {", ".join(score_cols)} FROM documents)
         SELECT {case} AS pred_lang, COUNT(*) AS n
@@ -645,6 +654,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_total
             FROM events GROUP BY 1 ORDER BY 1
         """,
+        # month-over-month revenue growth: LAG over the monthly aggregate
+        "orders_monthly_growth": """
+            WITH m AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                           AS month,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS revenue_cents
+                FROM orders GROUP BY 1
+            )
+            SELECT month, CAST(revenue_cents AS BIGINT) AS revenue_cents,
+                   CAST(COALESCE(revenue_cents
+                                 - LAG(revenue_cents) OVER (ORDER BY month),
+                                 0) AS BIGINT) AS delta_cents
+            FROM m ORDER BY month
+        """,
         "q9_nation_profit": """
             SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
                    SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
@@ -911,6 +935,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f ORDER BY doc_id
         """,
         "docs_langid": _langid_sql(),
+        "docs_langid_confusion": _langid_sql(confusion=True),
         "docs_sentiment": _sentiment_sql(),
         "docs_primary_topic": _primary_topic_sql(),
         "docs_top_per_source": """

@@ -1118,3 +1118,22 @@ def emb_kmeans_assign(sf_dir: str,
     for c in ("cluster_id", "n_members", "id_checksum"):
         out[c] = out[c].astype("int64")
     return out.sort_values("cluster_id").reset_index(drop=True)
+
+
+def docs_langid_confusion(sf_dir: str) -> pd.DataFrame:
+    """Label-vs-predicted language confusion matrix for the n-gram
+    language-ID heuristic — the quality-control view of ``docs_langid``.
+
+    Key space is |langs|² (bounded), so each batch emits one vectorized
+    crosstab partial and the driver merge is O(|langs|²), independent of
+    corpus size."""
+    ds = tf.langid_stage(_docs(sf_dir, ["doc_id", "lang", "text"]))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "pred_lang"], as_index=False).agg(
+            n=("lang", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["lang", "pred_lang"], as_index=False)["n"].sum()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "pred_lang"]).reset_index(drop=True)

@@ -2504,3 +2504,33 @@ def events_pivot(sf_dir: str) -> pd.DataFrame:
     out["n_total"] = merged.groupby("day")["n"].sum() \
         .reindex(wide.index).fillna(0).astype("int64").to_numpy()
     return out.sort_values("day").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# orders: month-over-month revenue growth — LAG over an aggregated series
+# ---------------------------------------------------------------------------
+
+
+def orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
+    """Monthly order revenue and its month-over-month delta (LAG over the
+    aggregate, first month = 0).
+
+    Months are calendar-bounded, so per-batch partials merge on the
+    driver (the events_tumbling pattern) and the LAG is one vectorized
+    ``diff`` over the ≤ #months-row series — never a row-level window."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["month"] = df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        df["cents"] = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        return df.groupby("month", as_index=False)["cents"].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby("month", as_index=False)["cents"].sum() \
+               .sort_values("month").reset_index(drop=True)
+    rev = out["cents"].to_numpy()
+    out["revenue_cents"] = rev
+    out["delta_cents"] = np.concatenate(([0], np.diff(rev))).astype("int64")
+    return out[["month", "revenue_cents", "delta_cents"]]
