@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_paths": rel.events_user_paths,
         "events_pivot": rel.events_pivot,
         "orders_monthly_growth": rel.orders_monthly_growth,
+        "orders_running_total": rel.orders_running_total,
         "parts_co_ordered": rel.parts_co_ordered,
         "q2_min_cost_part": rel.q2_min_cost_part,
         "q5_rollup_revenue": rel.q5_rollup_revenue,
@@ -201,6 +202,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pack_blocks": dq.docs_pack_blocks,
         "emb_kmeans_assign": dq.emb_kmeans_assign,
         "docs_langid_confusion": dq.docs_langid_confusion,
+        "docs_lang_centered": dq.docs_lang_centered,
+        "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
+        "emb_nn_within_label": dq.emb_nn_within_label,
+        "emb_int8_quantize": dq.emb_int8_quantize,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -669,6 +674,22 @@ def oracle_sql() -> dict[str, str]:
                                  0) AS BIGINT) AS delta_cents
             FROM m ORDER BY month
         """,
+        # running total per customer (UNBOUNDED PRECEDING window frame)
+        "orders_running_total": """
+            WITH t AS (
+                SELECT o_orderkey, o_custkey, o_orderdate,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM orders
+            )
+            SELECT o_orderkey,
+                   CAST(SUM(cents) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS run_cents
+            FROM t ORDER BY o_orderkey
+        """,
         "q9_nation_profit": """
             SELECT n.n_name AS nation, CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
                    SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
@@ -936,6 +957,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "docs_langid": _langid_sql(),
         "docs_langid_confusion": _langid_sql(confusion=True),
+        # per-language mean-centered token counts, exact integer micro units
+        # (floor-divided mean is the rounding contract on both sides)
+        "docs_lang_centered": f"""
+            WITH t AS (
+                SELECT doc_id, lang,
+                       len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                           AS n_tokens
+                FROM documents
+            ), s AS (
+                SELECT lang, COUNT(*) AS cnt, SUM(n_tokens) AS total
+                FROM t GROUP BY lang
+            )
+            SELECT t.doc_id, t.lang, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(t.n_tokens * 1000000
+                        - (s.total * 1000000) // s.cnt AS BIGINT) AS dev_micro
+            FROM t JOIN s USING (lang) ORDER BY t.doc_id
+        """,
+        # histogram of exact-duplicate group sizes (engine groups by
+        # sha256(text) prefix; SQL groups by the text itself — identical
+        # absent a 64-bit hash collision)
+        "docs_dup_cluster_sizes": """
+            WITH g AS (
+                SELECT COUNT(*) AS group_size FROM documents GROUP BY text
+            )
+            SELECT CAST(group_size AS BIGINT) AS group_size,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups
+            FROM g GROUP BY group_size ORDER BY group_size
+        """,
         "docs_sentiment": _sentiment_sql(),
         "docs_primary_topic": _primary_topic_sql(),
         "docs_top_per_source": """
@@ -1220,6 +1269,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_members,
                    CAST(SUM(vec_id) AS BIGINT) AS id_checksum
             FROM best WHERE rn = 1 GROUP BY cid ORDER BY cid
+        """,
+        # nearest neighbor within each label (kNN self-join co-partitioned
+        # on the join key); rank on the 6-dp-rounded score with nn_id
+        # tiebreak, exactly the engine's argmax order
+        "emb_nn_within_label": """
+            WITH scored AS (
+                SELECT a.vec_id AS vec_id, b.vec_id AS nn_id,
+                       ROUND(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])), 6) AS score
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id <> b.vec_id
+            ), best AS (
+                SELECT vec_id, nn_id, score,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, nn_id) AS rn
+                FROM scored
+            )
+            SELECT vec_id, nn_id, score FROM best
+            WHERE rn = 1 ORDER BY vec_id
+        """,
+        # global int8 scalar quantization: per-dim min/max over the corpus,
+        # codes = floor(((x - mn) * 255) / (mx - mn)) — the identical IEEE
+        # double expression the engine evaluates, so no rounding slack
+        "emb_int8_quantize": """
+            WITH flat AS (
+                SELECT vec_id, d.d AS d,
+                       CAST(embedding[d.d] AS DOUBLE) AS val
+                FROM embeddings
+                CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS d) d
+            ), stats AS (
+                SELECT d, MIN(val) AS mn, MAX(val) AS mx FROM flat GROUP BY d
+            ), codes AS (
+                SELECT vec_id, d,
+                       CASE WHEN mx = mn THEN 0
+                            ELSE CAST(LEAST(GREATEST(
+                                FLOOR((val - mn) * 255 / (mx - mn)),
+                                0), 255) AS BIGINT)
+                       END AS c
+                FROM flat JOIN stats USING (d)
+            )
+            SELECT vec_id, CAST(SUM(c) AS BIGINT) AS code_sum,
+                   CAST(SUM(c * d) AS BIGINT) AS code_checksum
+            FROM codes GROUP BY vec_id ORDER BY vec_id
         """,
         "emb_knn": """
             SELECT vec_id,

@@ -1137,3 +1137,221 @@ def docs_langid_confusion(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby(["lang", "pred_lang"], as_index=False)["n"].sum()
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# kNN self-join within a co-partition key (nearest neighbor per vector,
+# restricted to its own label) — the "find each example's closest sibling"
+# primitive used for near-dup mining and hard-negative selection
+# ---------------------------------------------------------------------------
+
+_NN_BLOCK_ROWS = 1024
+
+
+def emb_nn_within_label(sf_dir: str) -> pd.DataFrame:
+    """Nearest neighbor of every vector WITHIN its label group (cosine,
+    deterministic ``(score DESC, nn_id ASC)`` tie-break on the 6-dp-rounded
+    score, exactly like the oracle's ROW_NUMBER ordering).
+
+    Scale shape: this is a kNN SELF-join co-partitioned on the join key
+    (label) — ``groupby(label).map_groups`` ships each label's vectors to
+    one task and never compares across labels, so the exchange is one
+    hash shuffle of the vectors, not an all-pairs broadcast.  Inside a
+    group the scores are computed in ``_NN_BLOCK_ROWS`` row blocks
+    (memory O(block × |group|), compute O(|group|²) — the intrinsic cost
+    of exact NN).  PARTITIONING ASSUMPTION: one label's vectors fit in a
+    worker (rows × dim floats); for web-scale labels, sub-bucket each
+    label with the LSH planes from ``embedding_cosine_dedup`` and accept
+    approximate NN (same plumbing, documented trade).  Singleton labels
+    emit nothing (no neighbor exists) — matching the SQL, whose rn=1 row
+    vanishes when the self-join partner set is empty."""
+
+    def nn_group(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "nn_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        df = df.sort_values("vec_id").reset_index(drop=True)
+        ids = df["vec_id"].to_numpy(dtype="int64")
+        mat = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        nn_ids = np.empty(len(df), dtype="int64")
+        nn_scores = np.empty(len(df), dtype="float64")
+        for lo in range(0, len(df), _NN_BLOCK_ROWS):
+            hi = min(lo + _NN_BLOCK_ROWS, len(df))
+            sims = (mat[lo:hi] @ mat.T) / np.outer(norms[lo:hi], norms)
+            sims = np.round(sims, 6)
+            # exclude self before taking the max
+            sims[np.arange(hi - lo), np.arange(lo, hi)] = -np.inf
+            best = sims.max(axis=1)
+            # ids are sorted ascending → first max column = lowest nn_id
+            nn_ids[lo:hi] = ids[np.argmax(sims == best[:, None], axis=1)]
+            nn_scores[lo:hi] = best
+        return pd.DataFrame({"vec_id": ids, "nn_id": nn_ids,
+                             "score": nn_scores})
+
+    out = _emb(sf_dir).groupby("label") \
+        .map_groups(nn_group, batch_format="pandas").to_pandas()
+    for c in ("vec_id", "nn_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization of the embedding column — the storage-compression
+# pass a 100-TB vector corpus runs before ANN indexing (4× smaller, and the
+# quantized codes are what IVF/LSH partitions would store)
+# ---------------------------------------------------------------------------
+
+
+def emb_int8_quantize(sf_dir: str) -> pd.DataFrame:
+    """Two-pass global scalar quantization: pass 1 computes per-dimension
+    global (min, max) from per-block vectorized partials (the driver merges
+    a dim-sized table — O(dims × blocks), never O(rows)); pass 2 maps each
+    value to ``floor((x - mn) * 255 / (mx - mn))`` clipped to [0, 255].
+
+    The quantization expression is evaluated in IEEE double with the SAME
+    association order as the oracle SQL (``((x - mn) * 255) / (mx - mn)``),
+    so codes are bit-identical to DuckDB's — no rounding slack needed.
+    Output is one row per vector with integer code checksums (sum and
+    ordinal-weighted sum), the partition-independent way to pin all 64
+    codes without emitting a 500×64 table.  Constant dimensions
+    (mx == mn) quantize to 0 on both sides."""
+    ds = _emb(sf_dir)
+
+    def mm_partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"d": pa.array([], pa.int64()),
+                             "mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        return pa.table({
+            "d": pa.array(np.arange(mat.shape[1], dtype="int64")),
+            "mn": pa.array(mat.min(axis=0), pa.float64()),
+            "mx": pa.array(mat.max(axis=0), pa.float64())})
+
+    parts = ds.map_batches(mm_partial, batch_format="pyarrow").to_pandas()
+    stats = parts.groupby("d").agg(mn=("mn", "min"), mx=("mx", "max")) \
+        .sort_index()
+    mn = stats["mn"].to_numpy()
+    mx = stats["mx"].to_numpy()
+    span = mx - mn
+    const_dim = span == 0.0
+    span_safe = np.where(const_dim, 1.0, span)
+    weights = np.arange(1, len(mn) + 1, dtype="int64")
+
+    def quantize(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "code_sum": pa.array([], pa.int64()),
+                             "code_checksum": pa.array([], pa.int64())})
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        codes = np.floor((mat - mn) * 255.0 / span_safe)
+        codes = np.clip(codes, 0.0, 255.0).astype(np.int64)
+        codes[:, const_dim] = 0
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "code_sum": pa.array(codes.sum(axis=1), pa.int64()),
+            "code_checksum": pa.array((codes * weights).sum(axis=1),
+                                      pa.int64())})
+
+    out = _emb(sf_dir).map_batches(quantize, batch_format="pyarrow") \
+        .to_pandas()
+    for c in ("vec_id", "code_sum", "code_checksum"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# group-stats broadcast normalization: each document's token-count deviation
+# from its LANGUAGE's mean — the "normalize a feature within its stratum"
+# primitive of quality filtering (z-score siblings swap the denominator)
+# ---------------------------------------------------------------------------
+
+
+def docs_lang_centered(sf_dir: str) -> pd.DataFrame:
+    """Per-document deviation from the per-language mean token count, in
+    exact integer micro-tokens: ``dev_micro = n_tokens·10⁶ −
+    (Σ n_tokens · 10⁶) // count`` per language.
+
+    Scale shape: pass 1 reduces to O(|langs|) (count, sum) partials per
+    block; the per-language mean (a handful of scalars) is computed with
+    arbitrary-precision Python ints on the driver and BROADCAST into pass
+    2's map — the document table itself never shuffles.  Keeping the mean
+    in floor-divided micro units makes both sides integer-exact (a float
+    mean would need a rounding contract; ``//`` is the contract)."""
+    ds = tf.token_count_stage(_docs(sf_dir, ["doc_id", "lang", "text"]))
+
+    def stat_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("lang", as_index=False).agg(
+            cnt=("n_tokens", "size"), total=("n_tokens", "sum"))
+
+    parts = ds.map_batches(stat_partial, batch_format="pandas").to_pandas()
+    stats = parts.groupby("lang").agg(cnt=("cnt", "sum"),
+                                      total=("total", "sum"))
+    mean_micro = {lang: (int(r.total) * 1_000_000) // int(r.cnt)
+                  for lang, r in stats.iterrows()}
+
+    def center(df: pd.DataFrame) -> pd.DataFrame:
+        mm = df["lang"].map(mean_micro).to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "lang": df["lang"],
+            "n_tokens": df["n_tokens"].astype("int64"),
+            "dev_micro": df["n_tokens"].to_numpy(dtype="int64")
+            * 1_000_000 - mm})
+
+    out = ds.map_batches(center, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster size histogram — the dedup observability view (how much
+# of the corpus is exact-duplicated, and in how big clusters?)
+# ---------------------------------------------------------------------------
+
+_N_CLUSTER_BUCKETS = 64
+
+
+def docs_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Histogram of exact-duplicate group sizes: group documents by
+    content hash, then count groups per size.
+
+    Scale shape: a double aggregation where BOTH keys are shuffled as
+    projections — each block emits (sha256-derived bucket, hash, partial
+    count); per-group sizes finish under ``_N_CLUSTER_BUCKETS`` hash
+    buckets (one vectorized pandas groupby per bucket); each bucket then
+    collapses to its own (size, n_groups) histogram partial, so the
+    driver merge is O(buckets × distinct sizes) — independent of corpus
+    size.  Document BODIES never move: only 16-hex-char hash prefixes
+    (collision-free at 2⁻³² per pair × corpus) ride the exchange."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["text"])
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        hs = [hashlib.sha256((x or "").encode()).hexdigest()[:16]
+              for x in t["text"].to_pylist()]
+        df = pd.DataFrame({"h": hs})
+        agg = df.groupby("h", as_index=False).agg(n=("h", "size"))
+        hb = np.frombuffer(
+            bytes.fromhex("".join(x[:8] for x in agg["h"]))
+            if len(agg) else b"", dtype=">u4").astype("int64")
+        agg["_b"] = hb % _N_CLUSTER_BUCKETS
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    def bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
+        sizes = df.groupby("h")["n"].sum()
+        u, c = np.unique(sizes.to_numpy(dtype="int64"), return_counts=True)
+        return pd.DataFrame({"group_size": u.astype("int64"),
+                             "n_groups": c.astype("int64")})
+
+    parts = ds.map_batches(hash_partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(bucket_hist, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby("group_size", as_index=False)["n_groups"].sum()
+    for c in ("group_size", "n_groups"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("group_size").reset_index(drop=True)

@@ -2534,3 +2534,51 @@ def orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
     out["revenue_cents"] = rev
     out["delta_cents"] = np.concatenate(([0], np.diff(rev))).astype("int64")
     return out[["month", "revenue_cents", "delta_cents"]]
+
+
+# ---------------------------------------------------------------------------
+# running total (UNBOUNDED PRECEDING window): cumulative revenue per customer
+# over order time — the one window frame shape not yet covered (rolling_avg
+# is a bounded ROWS frame, retention a self-join, sessions a lag)
+# ---------------------------------------------------------------------------
+
+_N_RUN_BUCKETS = 64
+
+
+def orders_running_total(sf_dir: str) -> pd.DataFrame:
+    """Cumulative ``o_totalprice`` per customer ordered by
+    (o_orderdate, o_orderkey), exact integer cents.
+
+    Scale shape: customers are hash-bucketed (complete history per
+    bucket, ``_N_RUN_BUCKETS`` bounded per-group callbacks); inside a
+    bucket ONE mergesort + ONE pandas ``groupby().cumsum()`` (C kernel)
+    computes every customer's running sum — no per-key Python.  Output is
+    one row per order; integer cents keep the prefix sums bit-stable
+    under any block layout, so the window SUM matches the oracle
+    hash-for-hash."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["o_custkey"].astype("int64")
+                    % _N_RUN_BUCKETS).astype("int64")
+        return df
+
+    def bucket_cumsum(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort").reset_index(drop=True)
+        cents = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        run = pd.Series(cents).groupby(
+            df["o_custkey"].to_numpy()).cumsum().to_numpy()
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "run_cents": run.astype("int64")})
+
+    out = ds.map_batches(keep, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_cumsum, batch_format="pandas") \
+        .to_pandas()
+    for c in ("o_orderkey", "run_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)

@@ -26,6 +26,11 @@ ORACLE_QUERIES = [
     "docs_tfidf_top_terms",
     "docs_pack_blocks",
     "emb_kmeans_assign",
+    "docs_langid_confusion",
+    "docs_lang_centered",
+    "docs_dup_cluster_sizes",
+    "emb_nn_within_label",
+    "emb_int8_quantize",
 ]
 
 
@@ -204,3 +209,48 @@ def test_pack_blocks_prefix_sum_properties():
     finally:
         d._docs = orig
     pd.testing.assert_frame_equal(got, re16)
+
+
+def test_dup_cluster_sizes_with_real_duplicates(tmp_path):
+    """The testdata corpus has no exact duplicates (histogram = {1: n}),
+    so build one that does: 3 singletons + one pair + one triple, and
+    check the full multi-size histogram and partitioning-invariance."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    texts = (["unique %d" % i for i in range(3)]
+             + ["pair text"] * 2 + ["triple text"] * 3)
+    pq.write_table(
+        pa.table({"doc_id": list(range(len(texts))), "text": texts,
+                  "lang": ["en"] * len(texts),
+                  "source": ["t"] * len(texts),
+                  "n_chars": [len(t) for t in texts]}),
+        tmp_path / "documents.parquet")
+    out = dq.docs_dup_cluster_sizes(str(tmp_path))
+    assert list(out["group_size"]) == [1, 2, 3]
+    assert list(out["n_groups"]) == [3, 1, 1]
+
+
+def test_nn_within_label_singleton_and_symmetry(tmp_path):
+    """A singleton label emits no row (no neighbor exists); in a two-vector
+    label each is the other's NN with an identical rounded score."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(5, 8)).astype(np.float32)
+    labels = [0, 0, 1, 2, 2]
+    pq.write_table(
+        pa.table({"vec_id": list(range(5)),
+                  "embedding": [v.tolist() for v in vecs],
+                  "label": pa.array(labels, pa.int32())}),
+        tmp_path / "embeddings.parquet")
+    out = dq.emb_nn_within_label(str(tmp_path))
+    assert list(out["vec_id"]) == [0, 1, 3, 4]
+    # label 1 is a singleton → vec_id 2 must NOT appear
+    out = out.set_index("vec_id")
+    assert 2 not in out.index
+    assert out.loc[0, "nn_id"] == 1 and out.loc[1, "nn_id"] == 0
+    assert out.loc[3, "nn_id"] == 4 and out.loc[4, "nn_id"] == 3
+    assert out.loc[0, "score"] == out.loc[1, "score"]

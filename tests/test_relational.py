@@ -49,6 +49,8 @@ ORACLE_QUERIES = [
     "events_view_no_purchase",
     "events_user_paths",
     "events_pivot",
+    "orders_monthly_growth",
+    "orders_running_total",
     "parts_co_ordered",
     "q2_min_cost_part",
     "q5_rollup_revenue",
