@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": rel.events_pivot,
         "orders_monthly_growth": rel.orders_monthly_growth,
         "orders_running_total": rel.orders_running_total,
+        "events_dau_wau": rel.events_dau_wau,
         "parts_co_ordered": rel.parts_co_ordered,
         "q2_min_cost_part": rel.q2_min_cost_part,
         "q5_rollup_revenue": rel.q5_rollup_revenue,
@@ -201,8 +202,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_tfidf_top_terms": dq.docs_tfidf_top_terms,
         "docs_pack_blocks": dq.docs_pack_blocks,
         "emb_kmeans_assign": dq.emb_kmeans_assign,
+        "emb_kmeans_iterate": dq.emb_kmeans_iterate,
         "docs_langid_confusion": dq.docs_langid_confusion,
         "docs_lang_centered": dq.docs_lang_centered,
+        "docs_percent_rank": dq.docs_percent_rank,
+        "docs_bigram_lift": dq.docs_bigram_lift,
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
         "emb_nn_within_label": dq.emb_nn_within_label,
         "emb_int8_quantize": dq.emb_int8_quantize,
@@ -674,6 +678,29 @@ def oracle_sql() -> dict[str, str]:
                                  0) AS BIGINT) AS delta_cents
             FROM m ORDER BY month
         """,
+        # DAU / trailing-7-day WAU / stickiness — sliding-window
+        # COUNT(DISTINCT); the engine decomposes it into user-bucketed
+        # distinct pairs + a bounded 7× explode
+        "events_dau_wau": """
+            WITH u AS (
+                SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                           AS day, user_id
+                FROM events
+            ), days AS (SELECT DISTINCT day FROM u)
+            SELECT d.day,
+                   CAST((SELECT COUNT(*) FROM u WHERE u.day = d.day)
+                        AS BIGINT) AS dau,
+                   CAST((SELECT COUNT(DISTINCT user_id) FROM u
+                         WHERE u.day BETWEEN d.day - INTERVAL 6 DAY
+                                         AND d.day) AS BIGINT) AS wau,
+                   CAST((SELECT COUNT(*) FROM u WHERE u.day = d.day)
+                        * 1000000
+                        // (SELECT COUNT(DISTINCT user_id) FROM u
+                            WHERE u.day BETWEEN d.day - INTERVAL 6 DAY
+                                            AND d.day) AS BIGINT)
+                       AS stickiness_micro
+            FROM days d ORDER BY d.day
+        """,
         # running total per customer (UNBOUNDED PRECEDING window frame)
         "orders_running_total": """
             WITH t AS (
@@ -973,6 +1000,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_tokens * 1000000
                         - (s.total * 1000000) // s.cnt AS BIGINT) AS dev_micro
             FROM t JOIN s USING (lang) ORDER BY t.doc_id
+        """,
+        # exact global percent-rank in integer micro units; RANK()-1 ==
+        # count-of-strictly-smaller, which the engine reads from a merged
+        # histogram instead of a global sort
+        "docs_percent_rank": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST((RANK() OVER (ORDER BY n_tokens) - 1) * 1000000
+                        // ((SELECT COUNT(*) FROM t) - 1) AS BIGINT)
+                       AS pr_micro
+            FROM t ORDER BY doc_id
+        """,
+        # top bigram collocations by scaled lift (integer-exact monotone
+        # twin of PMI); engine joins c(w1)/c(w2) via two word-hash-bucket
+        # exchanges, min-support filtered before scoring
+        "docs_bigram_lift": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), big0 AS (
+                SELECT doc_id, UNNEST(range(1, len(w))) AS i, w FROM toks
+            ), big AS (
+                SELECT w[i] AS w1, w[i + 1] AS w2 FROM big0
+            ), tok AS (
+                SELECT UNNEST(w) AS word FROM toks
+            ), uni AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+                FROM tok GROUP BY word
+            ), total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok),
+            bc AS (
+                SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+                FROM big GROUP BY w1, w2 HAVING COUNT(*) >= 5
+            )
+            SELECT bc.w1, bc.w2, bc.n,
+                   u1.c AS c1, u2.c AS c2,
+                   CAST(bc.n * (SELECT t FROM total) * 1000000
+                        // (u1.c * u2.c) AS BIGINT) AS lift_q
+            FROM bc
+            JOIN uni u1 ON bc.w1 = u1.word
+            JOIN uni u2 ON bc.w2 = u2.word
+            ORDER BY lift_q DESC, w1, w2 LIMIT 20
         """,
         # histogram of exact-duplicate group sizes (engine groups by
         # sha256(text) prefix; SQL groups by the text itself — identical
@@ -1314,6 +1389,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c * d) AS BIGINT) AS code_checksum
             FROM codes GROUP BY vec_id ORDER BY vec_id
         """,
+        # two Lloyd iterations of spherical k-means; ROUND(AVG, 6) after
+        # the recompute is the inter-iteration reproducibility contract
+        # shared with the engine (64 per-dim mean terms generated below)
+        "emb_kmeans_iterate": """
+            WITH cents0 AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), s1 AS (
+                SELECT e.vec_id, c.cid,
+                       ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS score
+                FROM embeddings e CROSS JOIN cents0 c
+            ), a1 AS (
+                SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY score DESC, cid) AS rn
+                    FROM s1) WHERE rn = 1
+            ), m AS (
+                SELECT a1.cid, {MEANS}
+                FROM a1 JOIN embeddings e USING (vec_id) GROUP BY a1.cid
+            ), s2 AS (
+                SELECT e.vec_id, m.cid,
+                       ROUND(({DOT}) / (sqrt({NE}) * sqrt({NM})), 6) AS score
+                FROM embeddings e CROSS JOIN m
+            ), a2 AS (
+                SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY score DESC, cid) AS rn
+                    FROM s2) WHERE rn = 1
+            )
+            SELECT CAST(cid AS BIGINT) AS cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(vec_id) AS BIGINT) AS id_checksum
+            FROM a2 GROUP BY cid ORDER BY cid
+        """.replace("{MEANS}", ", ".join(
+            f"ROUND(AVG(CAST(e.embedding[{i + 1}] AS DOUBLE)), 6) AS m{i}"
+            for i in range(64))
+        ).replace("{DOT}", " + ".join(
+            f"CAST(e.embedding[{i + 1}] AS DOUBLE) * m.m{i}"
+            for i in range(64))
+        ).replace("{NE}", " + ".join(
+            f"CAST(e.embedding[{i + 1}] AS DOUBLE)"
+            f" * CAST(e.embedding[{i + 1}] AS DOUBLE)"
+            for i in range(64))
+        ).replace("{NM}", " + ".join(
+            f"m.m{i} * m.m{i}" for i in range(64))),
         "emb_knn": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

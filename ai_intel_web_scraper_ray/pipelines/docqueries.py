@@ -1355,3 +1355,260 @@ def docs_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
     for c in ("group_size", "n_groups"):
         out[c] = out[c].astype("int64")
     return out.sort_values("group_size").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# global percent-rank WITHOUT a global sort: the bounded-domain histogram
+# gives every row its exact global rank from a broadcast cumulative table —
+# the scale-correct way to rank 10^12 rows by a low-cardinality feature
+# ---------------------------------------------------------------------------
+
+
+def docs_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """Exact PERCENT_RANK of every document by token count, as floor-
+    divided integer micro units: ``pr_micro = #strictly-smaller · 10⁶ //
+    (n − 1)`` (SQL ``(RANK() − 1) · 10⁶ // (n − 1)`` — identical by the
+    rank/count-smaller identity, ties share a rank).
+
+    Scale shape: NO global sort — pass 1 merges per-block (value, count)
+    histogram partials over the bounded token-count domain (the
+    docs_token_percentiles pattern); the driver builds the cumulative
+    below-count table (O(distinct values)) and BROADCASTS it; pass 2 is
+    a searchsorted lookup per batch.  An all-to-all range sort would
+    move every row twice to produce the same integer."""
+    ds = tf.token_count_stage(_docs(sf_dir, ["doc_id", "text"]))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t["n_tokens"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"v": pa.array(u.astype("int64"), pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    parts = ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    hist = parts.groupby("v")["n"].sum().sort_index()
+    domain = hist.index.to_numpy(dtype="int64")
+    counts = hist.to_numpy(dtype="int64")
+    below = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    n_total = int(counts.sum())
+    denom = max(n_total - 1, 1)
+
+    def rank_map(t: pa.Table) -> pa.Table:
+        v = t["n_tokens"].to_numpy(zero_copy_only=False).astype("int64")
+        smaller = below[np.searchsorted(domain, v)]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tokens": pa.array(v, pa.int64()),
+            "pr_micro": pa.array(smaller * 1_000_000 // denom, pa.int64())})
+
+    out = ds.map_batches(rank_map, batch_format="pyarrow").to_pandas()
+    for c in ("doc_id", "n_tokens", "pr_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# collocation mining: top bigrams by scaled lift — a pair-counting pass plus
+# TWO word-key shuffle joins (c(w1), c(w2)) over an unbounded vocabulary
+# ---------------------------------------------------------------------------
+
+_LIFT_MIN_SUPPORT = 5
+_LIFT_TOP_K = 20
+
+
+def docs_bigram_lift(sf_dir: str, k: int = _LIFT_TOP_K) -> pd.DataFrame:
+    """Top-k adjacent-word collocations by scaled lift:
+    ``lift_q = n(w1,w2) · N · 10⁶ // (c(w1) · c(w2))`` where N is the
+    corpus token count — the integer-exact monotone twin of PMI ranking
+    (log reorders nothing).
+
+    Scale shape: batch partials emit unigram AND bigram counts; the
+    unigram join is TWO bucketed exchanges on the repo's 64-way word-hash
+    bucket — round 1 colocates bigrams with c(w1) (bucket key hash(w1)),
+    round 2 re-keys the survivors by hash(w2) — so an unbounded
+    vocabulary never needs a per-word callback or a driver-side dict.
+    Min-support filtering (n ≥ 5) runs BEFORE scoring, and scores are
+    Python big-ints over the few surviving candidates (n·N·10⁶ can pass
+    2⁶³ on a web corpus).  Each round-2 bucket emits only its top-k, so
+    the driver merges ≤ 64·k candidate rows."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uni: Dict[str, int] = {}
+        big: Dict[tuple, int] = {}
+        for tx in t["text"].to_pylist():
+            words = (tx or "").lower().split()
+            for w in words:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(words, words[1:]):
+                big[(a, b)] = big.get((a, b), 0) + 1
+        w1 = [w for w in uni] + [p[0] for p in big]
+        w2 = [""] * len(uni) + [p[1] for p in big]
+        n = list(uni.values()) + list(big.values())
+        kind = ["u"] * len(uni) + ["b"] * len(big)
+        bucket = (pd.util.hash_pandas_object(
+            pd.Series(w1, dtype=object), index=False) % 64).astype("int64")
+        return pa.table({
+            "w1": pa.array(w1, pa.string()),
+            "w2": pa.array(w2, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "kind": pa.array(kind, pa.string()),
+            "_b": pa.array(bucket.to_numpy(), pa.int64())})
+
+    def join_c1(df: pd.DataFrame) -> pd.DataFrame:
+        # one bucket holds ALL rows whose w1 hashes here: every unigram
+        # count for those words and every bigram keyed by them
+        uni = df[df["kind"] == "u"].groupby("w1", as_index=False)["n"].sum() \
+            .rename(columns={"w1": "w", "n": "c"})
+        big = df[df["kind"] == "b"].groupby(["w1", "w2"], as_index=False)[
+            "n"].sum()
+        big = big[big["n"] >= _LIFT_MIN_SUPPORT]
+        big = big.merge(uni.rename(columns={"w": "w1", "c": "c1"}), on="w1")
+        # re-key the survivors and the unigram table by hash(w2)/hash(w)
+        big["_b2"] = (pd.util.hash_pandas_object(
+            big["w2"].astype(object), index=False) % 64).astype("int64")
+        big["kind"] = "b"
+        uni["_b2"] = (pd.util.hash_pandas_object(
+            uni["w"].astype(object), index=False) % 64).astype("int64")
+        uni["kind"] = "u"
+        uni = uni.rename(columns={"w": "w2"})
+        uni["w1"] = ""
+        uni["c1"] = 0
+        uni["n"] = uni.pop("c")
+        return pd.concat(
+            [big[["w1", "w2", "n", "c1", "kind", "_b2"]],
+             uni[["w1", "w2", "n", "c1", "kind", "_b2"]]],
+            ignore_index=True)
+
+    def make_join_c2(total_tokens: int):
+        def join_c2(df: pd.DataFrame) -> pd.DataFrame:
+            uni = df[df["kind"] == "u"].groupby("w2", as_index=False)[
+                "n"].sum().rename(columns={"n": "c2"})
+            big = df[df["kind"] == "b"].merge(uni, on="w2")
+            if not len(big):
+                return pd.DataFrame({
+                    "w1": pd.Series([], dtype=object),
+                    "w2": pd.Series([], dtype=object),
+                    "n": pd.Series([], dtype="int64"),
+                    "c1": pd.Series([], dtype="int64"),
+                    "c2": pd.Series([], dtype="int64"),
+                    "lift_q": pd.Series([], dtype="int64")})
+            lift = [int(n) * total_tokens * 1_000_000
+                    // (int(c1) * int(c2))
+                    for n, c1, c2 in zip(big["n"], big["c1"], big["c2"])]
+            big = big.assign(lift_q=pd.Series(lift, index=big.index,
+                                              dtype="int64"))
+            big = big.sort_values(["lift_q", "w1", "w2"],
+                                  ascending=[False, True, True],
+                                  kind="mergesort").head(k)
+            return big[["w1", "w2", "n", "c1", "c2", "lift_q"]]
+        return join_c2
+
+    # corpus token count: one tiny scalar pass (whitespace tokens)
+    total_tokens = int(tf.token_count_stage(
+        _docs(sf_dir, ["doc_id", "text"])).sum("n_ws_tokens"))
+
+    cands = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(join_c1, batch_format="pandas") \
+        .groupby("_b2").map_groups(make_join_c2(total_tokens),
+                                   batch_format="pandas") \
+        .to_pandas()
+    out = cands.sort_values(["lift_q", "w1", "w2"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(k).reset_index(drop=True)
+    for c in ("n", "c1", "c2", "lift_q"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# iterative distributed ML: TWO Lloyd iterations of spherical k-means.
+# The rounded-centroid contract (ROUND(mean, 6) after every recompute) is
+# what makes an ITERATIVE float algorithm reproducible across block layouts
+# and engines — without it, summation-order ulps compound across iterations
+# ---------------------------------------------------------------------------
+
+
+def emb_kmeans_iterate(sf_dir: str,
+                       n_seeds: int = _KMEANS_SEEDS) -> pd.DataFrame:
+    """Spherical k-means, two full Lloyd iterations: assign to the
+    vec_id < n_seeds seed centroids, recompute centroids as the member
+    MEAN rounded to 6 dp, re-assign, and report per-cluster size and
+    integer member-id checksums.
+
+    Scale shape per iteration: the centroid matrix is a ``ray.put``
+    broadcast; assignment is one vectorized (n × k) cosine per batch;
+    the centroid recompute emits ≤ k rows of (count, Σ-vector) partials
+    per block — the driver merges O(k × blocks) rows and never sees a
+    vector.  The ROUND(mean, 6) between iterations is the contract that
+    pins the float fixpoint: both engine and oracle round, so the
+    iteration-2 input is bit-identical no matter the partial-sum order.
+    Clusters emptied by iteration 1 simply vanish (matching the SQL,
+    where the rn=1 join has no rows for them)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n_seeds)])
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
+    cents = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]) \
+        .astype(np.float64)
+    cents_ref = ray.put(cents)
+    dim = cents.shape[1]
+
+    def sum_partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"cluster_id": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")}
+        cols.update({f"s{i}": pd.Series([], dtype="float64")
+                     for i in range(dim)})
+        if len(t) == 0:
+            return pd.DataFrame(cols)
+        c = ray.get(cents_ref)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        scores = np.round(np.column_stack(
+            [cosine_scores(vecs, c[j]) for j in range(c.shape[0])]), 6)
+        best = np.argmax(scores, axis=1)
+        rows = []
+        for cid in np.unique(best):
+            m = vecs[best == cid]
+            rows.append([int(cid), m.shape[0]] + list(m.sum(axis=0)))
+        return pd.DataFrame(rows, columns=list(cols))
+
+    parts = _emb(sf_dir).map_batches(sum_partial, batch_format="pyarrow") \
+        .to_pandas()
+    agg = parts.groupby("cluster_id").sum().sort_index()
+    cids = agg.index.to_numpy(dtype="int64")
+    n = agg["n"].to_numpy(dtype="float64")[:, None]
+    sums = agg[[f"s{i}" for i in range(dim)]].to_numpy(dtype="float64")
+    cents2 = np.round(sums / n, 6)           # THE inter-iteration contract
+    cents2_ref = ray.put(cents2)
+    cids_ref = ray.put(cids)
+
+    def assign2(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cluster_id": pa.array([], pa.int64()),
+                          "n_members": pa.array([], pa.int64()),
+                          "id_checksum": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        c2 = ray.get(cents2_ref)
+        cid_map = ray.get(cids_ref)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        scores = np.round(np.column_stack(
+            [cosine_scores(vecs, c2[j]) for j in range(c2.shape[0])]), 6)
+        best = cid_map[np.argmax(scores, axis=1)]   # first max → lowest cid
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        agg2 = pd.DataFrame({"cluster_id": best.astype("int64"),
+                             "vec_id": ids}) \
+            .groupby("cluster_id", as_index=False) \
+            .agg(n_members=("vec_id", "size"), id_checksum=("vec_id", "sum"))
+        return pa.Table.from_pandas(agg2, preserve_index=False)
+
+    parts2 = _emb(sf_dir).map_batches(assign2, batch_format="pyarrow") \
+        .to_pandas()
+    out = parts2.groupby("cluster_id", as_index=False).agg(
+        n_members=("n_members", "sum"), id_checksum=("id_checksum", "sum"))
+    for c in ("cluster_id", "n_members", "id_checksum"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("cluster_id").reset_index(drop=True)

@@ -2582,3 +2582,67 @@ def orders_running_total(sf_dir: str) -> pd.DataFrame:
     for c in ("o_orderkey", "run_cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness: COUNT(DISTINCT) under a SLIDING calendar window —
+# the one distinct-aggregation shape not yet covered (events_distinct_users
+# is global, events_hopping_distinct is per-window-start over event rows)
+# ---------------------------------------------------------------------------
+
+_N_DAU_BUCKETS = 64
+_WAU_DAYS = 7
+
+
+def events_dau_wau(sf_dir: str) -> pd.DataFrame:
+    """Daily active users, trailing-7-day active users, and the
+    DAU/WAU "stickiness" ratio in exact integer micro units.
+
+    Scale shape: sliding-window COUNT(DISTINCT) decomposes into (1) a
+    distinct-(day, user) pass under user-hash buckets (a user's whole
+    history lands in one bucket, so per-bucket distinct counts are
+    exact partials that SUM across buckets), and (2) a bounded 7×
+    explode of each (day, user) pair onto the window days it serves —
+    the classic turn-a-window-into-a-groupby move, shuffling pair
+    PROJECTIONS only.  Driver merge is O(days × buckets); the ratio is
+    floor-divided micro units so no float ever aggregates."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "day": df["ts"].dt.floor("D"),
+            "user_id": df["user_id"].astype("int64")}).drop_duplicates()
+        out["_b"] = (out["user_id"] % _N_DAU_BUCKETS).astype("int64")
+        return out
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df[["day", "user_id"]].drop_duplicates()
+        dau = pairs.groupby("day", as_index=False).agg(
+            n=("user_id", "size"))
+        dau["kind"] = "dau"
+        ex = pd.concat([
+            pd.DataFrame({"day": pairs["day"]
+                          + pd.to_timedelta(k, unit="D"),
+                          "user_id": pairs["user_id"]})
+            for k in range(_WAU_DAYS)], ignore_index=True) \
+            .drop_duplicates()
+        wau = ex.groupby("day", as_index=False).agg(n=("user_id", "size"))
+        wau["kind"] = "wau"
+        return pd.concat([dau, wau], ignore_index=True)
+
+    parts = ds.map_batches(pair_partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_counts, batch_format="pandas") \
+        .to_pandas()
+    merged = parts.groupby(["day", "kind"], as_index=False)["n"].sum()
+    wide = merged.pivot_table(index="day", columns="kind", values="n",
+                              aggfunc="sum", fill_value=0)
+    # only days that actually had events (WAU explode creates future days)
+    wide = wide[wide.get("dau", pd.Series(0, index=wide.index)) > 0]
+    dau = wide["dau"].to_numpy(dtype="int64")
+    wau = wide["wau"].to_numpy(dtype="int64")
+    return pd.DataFrame({
+        "day": wide.index,
+        "dau": dau,
+        "wau": wau,
+        "stickiness_micro": dau * 1_000_000 // np.maximum(wau, 1),
+    }).sort_values("day").reset_index(drop=True)

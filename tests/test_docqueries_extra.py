@@ -31,6 +31,9 @@ ORACLE_QUERIES = [
     "docs_dup_cluster_sizes",
     "emb_nn_within_label",
     "emb_int8_quantize",
+    "docs_percent_rank",
+    "docs_bigram_lift",
+    "emb_kmeans_iterate",
 ]
 
 

@@ -51,6 +51,7 @@ ORACLE_QUERIES = [
     "events_pivot",
     "orders_monthly_growth",
     "orders_running_total",
+    "events_dau_wau",
     "parts_co_ordered",
     "q2_min_cost_part",
     "q5_rollup_revenue",
