@@ -74,6 +74,11 @@ class FrontierShard:
         self.offers_received = 0
         self.pushes_sent = 0
         self.pushes_received = 0
+        # self-leasing mode accounting: a worker that takes a tracked lease
+        # owes a complete_lease() once the lease's discovered links have
+        # been handed to offer_route — until then the crawl is not quiescent
+        self.leases_outstanding = 0
+        self.offers_sent_acc = 0
 
     # -- seen-set / enqueue ------------------------------------------------
 
@@ -172,16 +177,41 @@ class FrontierShard:
         self.pushes_sent += len(items)
         return self._push_local(items, count_received=True)
 
-    def take(self, n: int, now: float) -> List[Tuple[str, int, float]]:
+    def take(self, n: int, now: float,
+             track_lease: bool = False) -> List[Tuple[str, int, float]]:
         """Pop up to n (url, depth, scheduled_time) leases in (depth, seq)
-        order, politeness-scheduled per host."""
+        order, politeness-scheduled per host.
+
+        ``track_lease=True`` (self-leasing workers) counts a non-empty
+        lease as outstanding INSIDE this call — there is no window where
+        URLs have left the heap but no counter records the debt — and the
+        worker must settle it with :meth:`complete_lease`."""
         out = []
         while self.heap and len(out) < n:
             depth, _, url = heapq.heappop(self.heap)
             t = self.politeness.reserve(host_of(url), now)
             out.append((url, depth, t))
             self.emitted += 1
+        if track_lease and out:
+            self.leases_outstanding += 1
         return out
+
+    def complete_lease(self, n_offers: int) -> None:
+        """Settle one tracked lease: the worker has fetched every leased
+        URL and already ISSUED offer_route calls for the n_offers links it
+        discovered (issue-then-settle order is what makes the quiescence
+        snapshot race-free: an unsettled lease keeps leases_outstanding
+        > 0, and a settled one makes offers_sent_acc >= the in-flight
+        offers, so 'received == sent' can only hold once they landed)."""
+        self.leases_outstanding -= 1
+        self.offers_sent_acc += n_offers
+
+    def selflease_counts(self) -> Tuple[int, int, int, int, int, int]:
+        """(offers_received, pushes_sent, pushes_received, pending,
+        leases_outstanding, offers_sent_acc) — the self-leasing quiescence
+        snapshot (flow_counts stays 4-wide for the driver-loop mode)."""
+        return (self.offers_received, self.pushes_sent, self.pushes_received,
+                len(self.heap), self.leases_outstanding, self.offers_sent_acc)
 
     def pending(self) -> int:
         return len(self.heap)

@@ -186,3 +186,50 @@ class TestHttpTransport:
         assert sorted(r["url"] for r in res["records"]) == \
             sorted(r["url"] for r in full["records"])
         assert res["seen"] == full["seen"]
+
+
+class TestSelfLeasing:
+    """crawl_scalable(self_leasing=True): workers pull leases straight from
+    the frontier shards; the driver does zero per-page work.  Crawl OUTPUT
+    (record multiset + seen set) must equal the driver-loop mode's."""
+
+    def test_equality_with_driver_loop(self):
+        a = crawl_scalable(PAGES, [BASE], max_depth=3, exclude_patterns=EXC,
+                           num_shards=3, num_workers=2, self_leasing=True)
+        b = crawl_scalable(PAGES, [BASE], max_depth=3, exclude_patterns=EXC,
+                           num_shards=3, num_workers=2)
+        assert sorted(r["url"] for r in a["records"]) == \
+            sorted(r["url"] for r in b["records"])
+        assert a["seen"] == b["seen"]
+
+    def test_streams_fragments(self, tmp_path):
+        recs = str(tmp_path / "recs")
+        res = crawl_scalable(PAGES, [BASE], max_depth=3, exclude_patterns=EXC,
+                             num_shards=3, num_workers=2, records_dir=recs,
+                             self_leasing=True)
+        assert res["records"] == []          # driver held no bodies
+        df = load_crawl_records(recs).to_pandas()
+        assert len(df) == res["n_records"] > 0
+
+    def test_guard_rejects_unsupported_modes(self):
+        import pytest
+
+        for kw in (dict(min_delay=0.1),
+                   dict(checkpoint_dir="/tmp/selflease-guard"),
+                   dict(stop_after_fetches=5),
+                   dict(wall_clock_politeness=True),
+                   dict(max_pages=10)):
+            with pytest.raises(ValueError):
+                crawl_scalable(PAGES, [BASE], self_leasing=True, **kw)
+
+    def test_repeated_quiescence_is_deterministic(self):
+        counts = set()
+        seens = set()
+        for _ in range(3):
+            res = crawl_scalable(PAGES, [BASE], max_depth=3,
+                                 exclude_patterns=EXC, num_shards=4,
+                                 num_workers=3, self_leasing=True,
+                                 materialize_records=False)
+            counts.add(res["n_records"])
+            seens.add(frozenset(res["seen"]))
+        assert len(counts) == 1 and len(seens) == 1
