@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_langid_confusion": dq.docs_langid_confusion,
         "docs_lang_centered": dq.docs_lang_centered,
         "docs_percent_rank": dq.docs_percent_rank,
+        "docs_ntile": dq.docs_ntile,
+        "docs_vector_enrich": dq.docs_vector_enrich,
         "docs_bigram_lift": dq.docs_bigram_lift,
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
         "emb_nn_within_label": dq.emb_nn_within_label,
@@ -1016,6 +1018,31 @@ def oracle_sql() -> dict[str, str]:
                         // ((SELECT COUNT(*) FROM t) - 1) AS BIGINT)
                        AS pr_micro
             FROM t ORDER BY doc_id
+        """,
+        # NTILE(4) quartiles with the doc_id tiebreak; engine derives the
+        # global ROW_NUMBER from a histogram + per-value cumcount, no sort
+        "docs_ntile": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '{TOKEN_PATTERN}'))
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(NTILE(4) OVER (ORDER BY n_tokens, doc_id)
+                        AS BIGINT) AS tile
+            FROM t ORDER BY doc_id
+        """,
+        # documents ⋈ embeddings enrichment join on doc_id = vec_id; the
+        # norm collapses the vector to one rounded scalar pre-join
+        "docs_vector_enrich": """
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   CAST(e.label AS BIGINT) AS label,
+                   ROUND(sqrt(list_sum(list_transform(
+                       CAST(e.embedding AS DOUBLE[]), x -> x * x))), 6)
+                       AS vnorm
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            ORDER BY d.doc_id
         """,
         # top bigram collocations by scaled lift (integer-exact monotone
         # twin of PMI); engine joins c(w1)/c(w2) via two word-hash-bucket

@@ -1612,3 +1612,109 @@ def emb_kmeans_iterate(sf_dir: str,
     for c in ("cluster_id", "n_members", "id_checksum"):
         out[c] = out[c].astype("int64")
     return out.sort_values("cluster_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# NTILE quartiles WITHOUT a global sort: global ROW_NUMBER (value histogram
+# for the cross-value offset + per-value cumcount for the doc_id tiebreak),
+# then the SQL NTILE remainder rule applied to the 0-based row number
+# ---------------------------------------------------------------------------
+
+_NTILE_N = 4
+
+
+def docs_ntile(sf_dir: str, n_tiles: int = _NTILE_N) -> pd.DataFrame:
+    """Quartile assignment by token count with the exact SQL semantics of
+    ``NTILE(4) OVER (ORDER BY n_tokens, doc_id)``.
+
+    Scale shape: the global ROW_NUMBER decomposes into (a) the merged
+    value histogram's cumulative below-count (O(distinct values), the
+    docs_percent_rank pattern) and (b) a per-value doc_id rank computed
+    under 64-way value-hash buckets — one mergesort + one pandas
+    ``groupby().cumcount()`` C kernel per bucket, never a per-value
+    callback.  The NTILE remainder rule (first n%k tiles get one extra
+    row) is pure integer arithmetic on the 0-based row number, applied
+    identically on both sides — no sort, no shuffle of document rows."""
+    ds = tf.token_count_stage(_docs(sf_dir, ["doc_id", "text"]))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            t["n_tokens"].to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"v": pa.array(u.astype("int64"), pa.int64()),
+                         "n": pa.array(c, pa.int64())})
+
+    parts = ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+    hist = parts.groupby("v")["n"].sum().sort_index()
+    domain = hist.index.to_numpy(dtype="int64")
+    counts = hist.to_numpy(dtype="int64")
+    below = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    n_total = int(counts.sum())
+    q, rem = divmod(n_total, n_tiles)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "n_tokens"]].copy()
+        df["_b"] = (df["n_tokens"].astype("int64") % 64).astype("int64")
+        return df
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["n_tokens", "doc_id"],
+                            kind="mergesort").reset_index(drop=True)
+        v = df["n_tokens"].to_numpy(dtype="int64")
+        within = df.groupby("n_tokens").cumcount().to_numpy()
+        r0 = below[np.searchsorted(domain, v)] + within   # 0-based ROW_NUMBER
+        cut = rem * (q + 1)
+        tile = np.where(r0 < cut, r0 // max(q + 1, 1),
+                        rem + (r0 - cut) // max(q, 1)) + 1
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_tokens": v,
+            "tile": tile.astype("int64")})
+
+    out = ds.map_batches(bucketize, batch_format="pandas") \
+        .groupby("_b").map_groups(rank_bucket, batch_format="pandas") \
+        .to_pandas()
+    for c in ("doc_id", "n_tokens", "tile"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# cross-table enrichment join: documents ⋈ embeddings on doc_id == vec_id —
+# the "attach each training document's embedding features" pass
+# ---------------------------------------------------------------------------
+
+
+def docs_vector_enrich(sf_dir: str) -> pd.DataFrame:
+    """Inner-join documents to their embedding rows (doc_id = vec_id) and
+    emit per-doc text+vector features (lang, n_chars, label, L2 norm).
+
+    Scale shape: a fact⋈fact hash-shuffle ``Dataset.join`` on the id key —
+    BOTH tables are corpus-sized so neither side broadcasts; the vector
+    norm is reduced to one rounded scalar per row BEFORE the join, so the
+    exchange ships (id, label, norm) projections, never the vectors."""
+    emb = _emb(sf_dir)
+
+    def vec_feats(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64()),
+                             "vnorm": pa.array([], pa.float64())})
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        return pa.table({
+            "doc_id": pa.array(
+                t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")),
+            "label": pa.array(
+                t["label"].to_numpy(zero_copy_only=False).astype("int64")),
+            "vnorm": pa.array(
+                np.round(np.sqrt((mat * mat).sum(axis=1)), 6), pa.float64())})
+
+    feats = emb.map_batches(vec_feats, batch_format="pyarrow")
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+    joined = docs.join(feats, join_type="inner", num_partitions=8,
+                       on=("doc_id",))
+    out = joined.to_pandas()
+    for c in ("doc_id", "n_chars", "label"):
+        out[c] = out[c].astype("int64")
+    return out[["doc_id", "lang", "n_chars", "label", "vnorm"]] \
+        .sort_values("doc_id").reset_index(drop=True)

@@ -34,6 +34,8 @@ ORACLE_QUERIES = [
     "docs_percent_rank",
     "docs_bigram_lift",
     "emb_kmeans_iterate",
+    "docs_ntile",
+    "docs_vector_enrich",
 ]
 
 
