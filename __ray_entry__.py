@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_running_total": rel.orders_running_total,
         "events_dau_wau": rel.events_dau_wau,
         "parts_co_ordered": rel.parts_co_ordered,
+        "parts_components": rel.parts_components,
         "q2_min_cost_part": rel.q2_min_cost_part,
         "q5_rollup_revenue": rel.q5_rollup_revenue,
         "events_distinct_users": rel.events_distinct_users,
@@ -702,6 +703,36 @@ def oracle_sql() -> dict[str, str]:
                                             AND d.day) AS BIGINT)
                        AS stickiness_micro
             FROM days d ORDER BY d.day
+        """,
+        # connected components of the support-3 co-order part graph; the
+        # oracle is recursive-CTE reachability (O(sum comp²) rows — fine
+        # at oracle scale), the engine is min-label propagation
+        "parts_components": """
+            WITH RECURSIVE d AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM d l1 JOIN d l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 3
+            ),
+            edges AS (
+                SELECT a, b FROM pairs
+                UNION ALL SELECT b AS a, a AS b FROM pairs
+            ),
+            nodes AS (SELECT DISTINCT a AS id FROM edges),
+            r(id, reach) AS (
+                SELECT id, id AS reach FROM nodes
+                UNION
+                SELECT r.id, e.b AS reach FROM r JOIN edges e
+                  ON e.a = r.reach
+            ),
+            comp AS (SELECT id, MIN(reach) AS component_id FROM r GROUP BY id)
+            SELECT CAST(component_id AS BIGINT) AS component_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(id) AS BIGINT) AS part_checksum
+            FROM comp GROUP BY 1 ORDER BY 1
         """,
         # running total per customer (UNBOUNDED PRECEDING window frame)
         "orders_running_total": """

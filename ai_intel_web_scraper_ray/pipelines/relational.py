@@ -2646,3 +2646,89 @@ def events_dau_wau(sf_dir: str) -> pd.DataFrame:
         "wau": wau,
         "stickiness_micro": dau * 1_000_000 // np.maximum(wau, 1),
     }).sort_values("day").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# connected components of the part co-order graph — the distributed
+# ITERATIVE GRAPH algorithm (min-label propagation) exposed as a public,
+# SQL-oracle-checked query (the oracle is a recursive-CTE reachability)
+# ---------------------------------------------------------------------------
+
+_COMP_SUPPORT = 3
+
+
+def parts_components(sf_dir: str, support: int = _COMP_SUPPORT) -> pd.DataFrame:
+    """Connected components of the graph whose nodes are parts and whose
+    edges join parts co-ordered in ≥ ``support`` distinct orders; each
+    component is labeled by its minimum part key and reported as
+    (component_id, n_parts, part_checksum).
+
+    Scale shape: edge building is the market-basket pipeline (order-hash
+    buckets → per-bucket vectorized self-merge → pair-hash-bucketed count
+    merge, never a row-level self-join exchange); components come from
+    ``stages.dedup.label_components`` — per-round two hash joins + a
+    bucketed groupby-min, rounds bounded by component diameter, the
+    strictly-decreasing label-sum potential detecting the fixpoint.  The
+    final per-component stats run under label-hash buckets.  The DuckDB
+    twin is a WITH RECURSIVE reachability closure — O(Σ|component|²)
+    rows, fine at oracle scale, which is exactly why the ENGINE side
+    does propagation instead."""
+    from ..stages.dedup import label_components
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["l_orderkey", "l_partkey"]).copy()
+        out["_b"] = (out["l_orderkey"].astype("int64") % 64).astype("int64")
+        return out
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = m.groupby(["l_partkey_x", "l_partkey_y"],
+                        as_index=False).size().rename(columns={"size": "n"})
+        out["_p"] = ((out["l_partkey_x"].astype("int64") * 1_000_003
+                      + out["l_partkey_y"].astype("int64")) % 64) \
+            .astype("int64")
+        return out
+
+    def pair_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["l_partkey_x", "l_partkey_y"],
+                         as_index=False)["n"].sum()
+        out = out[out["n"] >= support]
+        a = out["l_partkey_x"].astype("int64")
+        b = out["l_partkey_y"].astype("int64")
+        return pd.DataFrame({"a_id": a, "b_id": b,
+                             "a_seq": a, "b_seq": b})
+
+    edges = ds.map_batches(dedup_bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(gen_pairs, batch_format="pandas") \
+        .groupby("_p").map_groups(pair_edges, batch_format="pandas") \
+        .materialize()
+    empty = pd.DataFrame({"component_id": pd.Series([], dtype="int64"),
+                          "n_parts": pd.Series([], dtype="int64"),
+                          "part_checksum": pd.Series([], dtype="int64")})
+    if edges.count() == 0:
+        return empty
+
+    labels, _, _ = label_components(edges)
+
+    def lab_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_lb"] = (df["label"].astype("int64") % 64).astype("int64")
+        return df
+
+    def comp_stats(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("label", as_index=False).agg(
+            n_parts=("id", "size"), part_checksum=("id", "sum"))
+        return out.rename(columns={"label": "component_id"})
+
+    out = labels.map_batches(lab_bucket, batch_format="pandas") \
+        .groupby("_lb").map_groups(comp_stats, batch_format="pandas") \
+        .to_pandas()
+    if not len(out):
+        return empty
+    for c in ("component_id", "n_parts", "part_checksum"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("component_id").reset_index(drop=True)

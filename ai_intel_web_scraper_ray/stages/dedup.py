@@ -193,27 +193,24 @@ def greedy_resolve(edges: Sequence[Tuple[int, int]], seqs: Dict[str, int] = None
 
 
 
-def greedy_resolve_distributed(edges_ds, max_iters: int = 50):
-    """Distributed replay of :func:`greedy_resolve` for edge sets too large
-    for the driver (NOTES_r1 #4: the driver pass is O(E) memory — at 10⁹
-    docs with a 10 % dup rate the edge list alone is ~10 GB).
+def label_components(edges_ds, max_iters: int = 50):
+    """Connected components by min-label propagation — the reusable
+    iterative-graph core of :func:`greedy_resolve_distributed`, also
+    driven directly by the public ``parts_components`` query.
 
-    ``edges_ds``: Dataset with columns (a_id, b_id, a_seq, b_seq).
-    Returns a Dataset with column ``dropped_id``.
+    ``edges_ds``: Dataset with columns (a_id, b_id, a_seq, b_seq) where
+    ``seq`` is each endpoint's initial integer label (dedup uses arrival
+    seqs; generic graphs pass the node id itself).  Every node starts
+    with its own label; each round every edge endpoint takes the min of
+    the two labels (two hash joins + a bucketed groupby-min per round);
+    the label SUM is a strictly decreasing potential, so an unchanged
+    sum detects the fixpoint without an anti-join.  Converges in
+    O(component diameter) rounds.
 
-    Two phases, both partition-parallel:
-
-    1. connected components by min-seq label propagation — every node starts
-       labeled with its own seq; each round, each edge endpoint takes the
-       min of the two labels (two hash joins + a groupby-min per round);
-       converges in O(component diameter) rounds, and near-dup components
-       are cliques/short chains (diameter ≤ ~3);
-    2. ``groupby(component).map_groups`` — the order-sensitive sequential
-       greedy runs inside each component, which is a single near-dup
-       cluster (tiny), so the per-group Python cost is bounded by cluster
-       size, never corpus size.
-    """
-    import ray.data as rd
+    Returns ``(labels, edges_materialized, npart)`` — labels is a
+    Dataset with columns (id, label) giving each node its component's
+    minimum seq."""
+    import ray.data as rd  # noqa: F401  (kept for parity with callers)
 
     edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
@@ -327,6 +324,30 @@ def greedy_resolve_distributed(edges_ds, max_iters: int = 50):
             f"max_iters",
             RuntimeWarning,
         )
+    return labels, edges_ds, npart
+
+
+def greedy_resolve_distributed(edges_ds, max_iters: int = 50):
+    """Distributed replay of :func:`greedy_resolve` for edge sets too large
+    for the driver (NOTES_r1 #4: the driver pass is O(E) memory — at 10⁹
+    docs with a 10 % dup rate the edge list alone is ~10 GB).
+
+    ``edges_ds``: Dataset with columns (a_id, b_id, a_seq, b_seq).
+    Returns a Dataset with column ``dropped_id``.
+
+    Two phases, both partition-parallel:
+
+    1. connected components via :func:`label_components` (min-seq label
+       propagation; near-dup components are cliques/short chains, so a
+       handful of rounds);
+    2. ``groupby(component).map_groups`` — the order-sensitive sequential
+       greedy runs inside each component, which is a single near-dup
+       cluster (tiny), so the per-group Python cost is bounded by cluster
+       size, never corpus size.
+    """
+    import ray.data as rd
+
+    labels, edges_ds, npart = label_components(edges_ds, max_iters)
 
     # phase 2: per-component sequential greedy (components are clusters)
     comp_edges = edges_ds.join(

@@ -53,6 +53,7 @@ ORACLE_QUERIES = [
     "orders_running_total",
     "events_dau_wau",
     "parts_co_ordered",
+    "parts_components",
     "q2_min_cost_part",
     "q5_rollup_revenue",
     "events_hopping",
