@@ -188,3 +188,154 @@ class TestDecontaminate:
         exp = exp.sort_values("doc_id").reset_index(drop=True)
         assert len(exp) > 0, "fixture must produce contamination"
         pd.testing.assert_frame_equal(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# fifth-batch operators: sliding-window DAU/WAU, running totals, and the
+# sort-free rank family, against brute-force (and DuckDB-window) oracles
+# on random inputs with day gaps and heavy value ties
+# ---------------------------------------------------------------------------
+
+
+def _random_multiday_events(seed: int, n: int = 500) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    base = pd.Timestamp("2024-01-01").value
+    # sparse day set → real holes inside trailing-7-day windows
+    days = np.sort(rng.choice(60, size=18, replace=False))
+    day_ns = rng.choice(days, size=n) * 86_400 * 10**9
+    within = rng.randint(0, 86_400 * 10**9, size=n)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.to_datetime(base + day_ns + within, unit="ns").floor("us"),
+        "user_id": rng.randint(0, 15, size=n).astype("int64"),
+        "event_type": rng.choice(["view", "click"], size=n),
+        "value": np.round(rng.uniform(0, 30, size=n), 2),
+        "props": ['{"k": 1}'] * n,
+    })
+
+
+@pytest.fixture(params=[5, 31, 77])
+def multiday_dir(request, tmp_path):
+    df = _random_multiday_events(request.param)
+    df.to_parquet(tmp_path / "events.parquet")
+    return str(tmp_path), df
+
+
+class TestDauWau:
+    def test_matches_bruteforce(self, multiday_dir):
+        sf_dir, df = multiday_dir
+        got = rel.events_dau_wau(sf_dir)
+        pairs = pd.DataFrame({
+            "day": df["ts"].dt.floor("D"), "user_id": df["user_id"]
+        }).drop_duplicates()
+        rows = []
+        for d in sorted(pairs["day"].unique()):
+            dau = pairs[pairs["day"] == d]["user_id"].nunique()
+            lo = d - pd.Timedelta(days=6)
+            wau = pairs[(pairs["day"] >= lo)
+                        & (pairs["day"] <= d)]["user_id"].nunique()
+            rows.append((d, dau, wau, dau * 1_000_000 // wau))
+        exp = pd.DataFrame(rows, columns=["day", "dau", "wau",
+                                          "stickiness_micro"])
+        for c in ("dau", "wau", "stickiness_micro"):
+            exp[c] = exp[c].astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def _random_orders(seed: int, n: int = 600) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    base = pd.Timestamp("2024-01-01").value
+    # coarse dates → heavy (custkey, date) ties exercising the orderkey
+    # tiebreak in the window order
+    return pd.DataFrame({
+        "o_orderkey": np.arange(n, dtype="int64"),
+        "o_custkey": rng.randint(0, 25, size=n).astype("int64"),
+        "o_orderdate": pd.to_datetime(
+            base + rng.randint(0, 10, size=n) * 86_400 * 10**9, unit="ns"),
+        "o_totalprice": np.round(rng.uniform(1, 500, size=n), 2),
+        "o_orderstatus": ["O"] * n,
+        "o_orderpriority": ["1-URGENT"] * n,
+    })
+
+
+@pytest.fixture(params=[3, 44])
+def orders_dir(request, tmp_path):
+    df = _random_orders(request.param)
+    df.to_parquet(tmp_path / "orders.parquet")
+    return str(tmp_path), df
+
+
+class TestRunningTotal:
+    def test_matches_bruteforce(self, orders_dir):
+        sf_dir, df = orders_dir
+        got = rel.orders_running_total(sf_dir)
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        run = pd.Series(cents).groupby(
+            df["o_custkey"].to_numpy()).cumsum().to_numpy()
+        exp = pd.DataFrame({"o_orderkey": df["o_orderkey"].to_numpy(),
+                            "run_cents": run}) \
+            .sort_values("o_orderkey").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def _random_ranked_docs(seed: int, n: int = 400) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    # tiny token-count domain → massive ties (the rank/ntile stress case)
+    k = rng.randint(1, 12, size=n)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype="int64"),
+        "text": ["word " * int(x) for x in k],
+        "lang": ["en"] * n,
+        "source": ["s"] * n,
+        "n_chars": [5 * int(x) for x in k],
+    })
+
+
+@pytest.fixture(params=[9, 62])
+def ranked_docs_dir(request, tmp_path):
+    df = _random_ranked_docs(request.param)
+    df.to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path), df
+
+
+class TestRankFamily:
+    def test_percent_rank_matches_duckdb(self, ranked_docs_dir):
+        import duckdb
+
+        from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+        sf_dir, _ = ranked_docs_dir
+        got = dq.docs_percent_rank(sf_dir)
+        con = duckdb.connect()
+        from ai_intel_web_scraper_ray.functions.tokenizer import TOKEN_PATTERN
+        exp = con.execute(f"""
+            WITH t AS (SELECT doc_id,
+                       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
+                       FROM read_parquet('{sf_dir}/documents.parquet'))
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST((RANK() OVER (ORDER BY n_tokens) - 1) * 1000000
+                        // ((SELECT COUNT(*) FROM t) - 1) AS BIGINT) AS pr_micro
+            FROM t ORDER BY doc_id""").fetch_df()
+        con.close()
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_ntile_matches_duckdb(self, ranked_docs_dir):
+        import duckdb
+
+        from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+        sf_dir, _ = ranked_docs_dir
+        got = dq.docs_ntile(sf_dir)
+        con = duckdb.connect()
+        from ai_intel_web_scraper_ray.functions.tokenizer import TOKEN_PATTERN
+        exp = con.execute(f"""
+            WITH t AS (SELECT doc_id,
+                       len(regexp_extract_all(text, '{TOKEN_PATTERN}')) AS n_tokens
+                       FROM read_parquet('{sf_dir}/documents.parquet'))
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(NTILE(4) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS tile
+            FROM t ORDER BY doc_id""").fetch_df()
+        con.close()
+        pd.testing.assert_frame_equal(got, exp)
