@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_wau": rel.events_dau_wau,
         "parts_co_ordered": rel.parts_co_ordered,
         "parts_components": rel.parts_components,
+        "lineitem_partition_prune": rel.lineitem_partition_prune,
         "q2_min_cost_part": rel.q2_min_cost_part,
         "q5_rollup_revenue": rel.q5_rollup_revenue,
         "events_distinct_users": rel.events_distinct_users,
@@ -703,6 +704,17 @@ def oracle_sql() -> dict[str, str]:
                                             AND d.day) AS BIGINT)
                        AS stickiness_micro
             FROM days d ORDER BY d.day
+        """,
+        # hive-partitioned write + pruned single-partition read; the SQL
+        # twin filters the same rows it never had to scan around
+        "lineitem_partition_prune": """
+            SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS qty_cents,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS price_cents
+            FROM lineitem WHERE l_returnflag = 'R'
+            GROUP BY 1 ORDER BY 1
         """,
         # connected components of the support-3 co-order part graph; the
         # oracle is recursive-CTE reachability (O(sum comp²) rows — fine

@@ -2732,3 +2732,54 @@ def parts_components(sf_dir: str, support: int = _COMP_SUPPORT) -> pd.DataFrame:
     for c in ("component_id", "n_parts", "part_checksum"):
         out[c] = out[c].astype("int64")
     return out.sort_values("component_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# storage-layout operator: hive-partitioned write + PRUNED read — only the
+# selected partition's files are ever opened (the "prune at the read" rule
+# made demonstrable: the filter becomes a directory, not a scan predicate)
+# ---------------------------------------------------------------------------
+
+
+def lineitem_partition_prune(sf_dir: str) -> pd.DataFrame:
+    """Write lineitem hive-partitioned by ``l_returnflag``, then read ONLY
+    the ``l_returnflag=R`` partition directory back and aggregate it per
+    linestatus (exact integer cents).
+
+    Scale shape: the write is one streaming pass producing one directory
+    per key value; the read opens just the selected directory — at 100 TB
+    a returnflag filter that scans-and-discards reads ~3× the bytes this
+    layout reads.  The partition column itself lives in the directory
+    name, not the files, so the pruned read ships two value columns and
+    one group column, nothing else."""
+    import shutil
+    import tempfile
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+    out_dir = tempfile.mkdtemp(prefix="aiws-prune-")
+    try:
+        ds.write_parquet(out_dir, partition_cols=["l_returnflag"])
+        pruned = rd.read_parquet(f"{out_dir}/l_returnflag=R")
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["qty_cents"] = np.floor(
+                df["l_quantity"].to_numpy() * 100 + 0.5).astype("int64")
+            df["price_cents"] = np.floor(
+                df["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
+            return df.groupby("l_linestatus", as_index=False).agg(
+                n=("l_linestatus", "size"), qty_cents=("qty_cents", "sum"),
+                price_cents=("price_cents", "sum"))
+
+        parts = pruned.map_batches(partial, batch_format="pandas") \
+            .to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    out = parts.groupby("l_linestatus", as_index=False).agg(
+        n=("n", "sum"), qty_cents=("qty_cents", "sum"),
+        price_cents=("price_cents", "sum"))
+    for c in ("n", "qty_cents", "price_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("l_linestatus").reset_index(drop=True)

@@ -54,6 +54,7 @@ ORACLE_QUERIES = [
     "events_dau_wau",
     "parts_co_ordered",
     "parts_components",
+    "lineitem_partition_prune",
     "q2_min_cost_part",
     "q5_rollup_revenue",
     "events_hopping",
