@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_co_ordered": rel.parts_co_ordered,
         "parts_components": rel.parts_components,
         "lineitem_partition_prune": rel.lineitem_partition_prune,
+        "events_type_overlap": rel.events_type_overlap,
         "q2_min_cost_part": rel.q2_min_cost_part,
         "q5_rollup_revenue": rel.q5_rollup_revenue,
         "events_distinct_users": rel.events_distinct_users,
@@ -704,6 +705,28 @@ def oracle_sql() -> dict[str, str]:
                                             AND d.day) AS BIGINT)
                        AS stickiness_micro
             FROM days d ORDER BY d.day
+        """,
+        # pairwise audience overlap between event types (set intersection
+        # via per-bucket membership matrices in the engine)
+        "events_type_overlap": """
+            WITH u AS (SELECT DISTINCT event_type, user_id FROM events),
+            s AS (SELECT event_type, COUNT(*) AS n FROM u GROUP BY 1),
+            x AS (
+                SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       COUNT(*) AS n_both
+                FROM u a JOIN u b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+                GROUP BY 1, 2
+            )
+            SELECT x.type_a, x.type_b,
+                   CAST(x.n_both AS BIGINT) AS n_both,
+                   CAST(sa.n + sb.n - x.n_both AS BIGINT) AS n_either,
+                   CAST(x.n_both * 1000000
+                        // GREATEST(sa.n + sb.n - x.n_both, 1) AS BIGINT)
+                       AS jaccard_ppm
+            FROM x JOIN s sa ON x.type_a = sa.event_type
+                   JOIN s sb ON x.type_b = sb.event_type
+            ORDER BY type_a, type_b
         """,
         # hive-partitioned write + pruned single-partition read; the SQL
         # twin filters the same rows it never had to scan around

@@ -2783,3 +2783,61 @@ def lineitem_partition_prune(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "qty_cents", "price_cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values("l_linestatus").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# audience overlap: pairwise |A∩B| / |A∪B| / Jaccard between the user SETS
+# of each event type — distributed set intersection via per-bucket boolean
+# membership matrices (M.T @ M), never a pairwise row exchange
+# ---------------------------------------------------------------------------
+
+
+def events_type_overlap(sf_dir: str) -> pd.DataFrame:
+    """For every event-type pair (a < b): users doing both, users doing
+    either, and Jaccard similarity in floor-divided ppm.
+
+    Scale shape: users are hash-bucketed (each user's type memberships
+    co-locate); a bucket builds its users×types boolean matrix once and
+    emits the |types|×|types| co-membership matrix ``M.T @ M`` — one
+    integer partial per bucket, independent of user count.  The driver
+    merges 64 tiny matrices; the SQL self-join over distinct (type,
+    user) pairs never happens as a row exchange."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates().copy()
+        out["_b"] = (out["user_id"].astype("int64") % 64).astype("int64")
+        return out
+
+    def bucket_matrix(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = df[["event_type", "user_id"]].drop_duplicates()
+        ct = pd.crosstab(pairs["user_id"], pairs["event_type"])
+        m = (ct.to_numpy() > 0).astype("int64")
+        co = m.T @ m                        # co-membership counts
+        types = list(ct.columns)
+        rows = []
+        for i, ta in enumerate(types):
+            for j, tb in enumerate(types):
+                if ta <= tb:                # keep diagonal for |A| merges
+                    rows.append((ta, tb, int(co[i, j])))
+        return pd.DataFrame(rows, columns=["type_a", "type_b", "n"])
+
+    parts = ds.map_batches(pair_partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_matrix, batch_format="pandas") \
+        .to_pandas()
+    merged = parts.groupby(["type_a", "type_b"], as_index=False)["n"].sum()
+    sizes = {r.type_a: int(r.n) for r in
+             merged[merged["type_a"] == merged["type_b"]].itertuples()}
+    off = merged[(merged["type_a"] < merged["type_b"])
+                 & (merged["n"] > 0)].copy()   # SQL's inner join drops
+    inter = off["n"].to_numpy(dtype="int64")   # zero-intersection pairs
+    na = off["type_a"].map(sizes).to_numpy(dtype="int64")
+    nb = off["type_b"].map(sizes).to_numpy(dtype="int64")
+    union = na + nb - inter
+    out = pd.DataFrame({
+        "type_a": off["type_a"], "type_b": off["type_b"],
+        "n_both": inter, "n_either": union,
+        "jaccard_ppm": inter * 1_000_000 // np.maximum(union, 1)})
+    for c in ("n_both", "n_either", "jaccard_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)

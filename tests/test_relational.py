@@ -55,6 +55,7 @@ ORACLE_QUERIES = [
     "parts_co_ordered",
     "parts_components",
     "lineitem_partition_prune",
+    "events_type_overlap",
     "q2_min_cost_part",
     "q5_rollup_revenue",
     "events_hopping",
