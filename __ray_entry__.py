@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_components": rel.parts_components,
         "lineitem_partition_prune": rel.lineitem_partition_prune,
         "events_type_overlap": rel.events_type_overlap,
+        "orders_spend_rank": rel.orders_spend_rank,
         "q2_min_cost_part": rel.q2_min_cost_part,
         "q5_rollup_revenue": rel.q5_rollup_revenue,
         "events_distinct_users": rel.events_distinct_users,
@@ -705,6 +706,21 @@ def oracle_sql() -> dict[str, str]:
                                             AND d.day) AS BIGINT)
                        AS stickiness_micro
             FROM days d ORDER BY d.day
+        """,
+        # global ROW_NUMBER over per-customer spend (range sort + block
+        # prefix offsets in the engine — the unbounded-domain rank path)
+        "orders_spend_rank": """
+            WITH s AS (
+                SELECT o_custkey,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS spend_cents
+                FROM orders GROUP BY 1
+            )
+            SELECT o_custkey, CAST(spend_cents AS BIGINT) AS spend_cents,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY spend_cents DESC, o_custkey) AS BIGINT)
+                       AS spend_rank
+            FROM s ORDER BY o_custkey
         """,
         # pairwise audience overlap between event types (set intersection
         # via per-bucket membership matrices in the engine)

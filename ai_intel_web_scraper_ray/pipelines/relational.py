@@ -2841,3 +2841,81 @@ def events_type_overlap(sf_dir: str) -> pd.DataFrame:
     for c in ("n_both", "n_either", "jaccard_ppm"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# global ROW_NUMBER over an UNBOUNDED domain: range sort + per-block prefix
+# offsets (the sort-based complement of docs_percent_rank's histogram rank,
+# for keys with ~one distinct value per row where a histogram IS the data)
+# ---------------------------------------------------------------------------
+
+
+def orders_spend_rank(sf_dir: str) -> pd.DataFrame:
+    """Every customer's total spend and global spend rank
+    (``ROW_NUMBER() OVER (ORDER BY spend DESC, custkey)``).
+
+    Scale shape: per-customer sums reduce under 64-way customer-hash
+    buckets; the ranking is ONE range sort of the (custkey, spend)
+    projection — Ray's sort range-partitions so block k holds ranks
+    strictly after block k-1 — then per-block counts make an exclusive
+    prefix on the driver (O(blocks) scalars) and each block adds
+    offset + arange, fully vectorized.  This is the correct plan when
+    the rank key has ~|rows| distinct values: the percent-rank histogram
+    trick would ship the whole table to the driver as its 'histogram'."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def spend_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cents"] = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        out = df.groupby("o_custkey", as_index=False)["cents"].sum()
+        out["_b"] = (out["o_custkey"].astype("int64") % 64).astype("int64")
+        return out
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_custkey", as_index=False)["cents"].sum()
+        return out.rename(columns={"cents": "spend_cents"})
+
+    spend = ds.map_batches(spend_partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_sum, batch_format="pandas") \
+        .sort([("spend_cents"), ("o_custkey")], descending=[True, False]) \
+        .materialize()
+
+    def block_count(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"first_cust": pa.array([], pa.int64()),
+                             "first_spend": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "first_cust": pa.array(
+                [int(t["o_custkey"][0].as_py())], pa.int64()),
+            "first_spend": pa.array(
+                [int(t["spend_cents"][0].as_py())], pa.int64()),
+            "n": pa.array([len(t)], pa.int64())})
+
+    parts = spend.map_batches(block_count, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    # block order = range-partition order = (spend DESC, custkey ASC)
+    parts = parts.sort_values(["first_spend", "first_cust"],
+                              ascending=[False, True]).reset_index(drop=True)
+    offsets = parts["n"].cumsum().shift(fill_value=0).astype("int64")
+    offset_of = dict(zip(parts["first_cust"].astype("int64"), offsets))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "spend_cents": pa.array([], pa.int64()),
+                             "spend_rank": pa.array([], pa.int64())})
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        base = offset_of[int(cust[0])]
+        return pa.table({
+            "o_custkey": pa.array(cust, pa.int64()),
+            "spend_cents": pc.cast(t["spend_cents"], pa.int64()),
+            "spend_rank": pa.array(
+                base + 1 + np.arange(len(t), dtype="int64"), pa.int64())})
+
+    out = spend.map_batches(assign, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    for c in ("o_custkey", "spend_cents", "spend_rank"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_custkey").reset_index(drop=True)

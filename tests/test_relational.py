@@ -56,6 +56,7 @@ ORACLE_QUERIES = [
     "parts_components",
     "lineitem_partition_prune",
     "events_type_overlap",
+    "orders_spend_rank",
     "q2_min_cost_part",
     "q5_rollup_revenue",
     "events_hopping",
