@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ntile": dq.docs_ntile,
         "docs_vector_enrich": dq.docs_vector_enrich,
         "docs_bigram_lift": dq.docs_bigram_lift,
+        "docs_rarity_score": dq.docs_rarity_score,
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
         "emb_nn_within_label": dq.emb_nn_within_label,
         "emb_int8_quantize": dq.emb_int8_quantize,
@@ -1125,6 +1126,26 @@ def oracle_sql() -> dict[str, str]:
                        AS vnorm
             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
             ORDER BY d.doc_id
+        """,
+        # mean token rarity per document (corpus-count lookup via a
+        # word-key exchange, then per-doc floor-divided mean)
+        "docs_rarity_score": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, UNNEST(w) AS word FROM toks
+            ), cnt AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+                FROM tok GROUP BY word
+            )
+            SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS ntok,
+                   CAST(SUM(1000000 // cnt.c) // COUNT(*) AS BIGINT)
+                       AS avg_rarity_q
+            FROM tok t JOIN cnt USING (word)
+            GROUP BY t.doc_id ORDER BY t.doc_id
         """,
         # top bigram collocations by scaled lift (integer-exact monotone
         # twin of PMI); engine joins c(w1)/c(w2) via two word-hash-bucket

@@ -1718,3 +1718,70 @@ def docs_vector_enrich(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     return out[["doc_id", "lang", "n_chars", "label", "vnorm"]] \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# corpus-statistics document scoring: mean token rarity — per-token corpus
+# counts attached via a word-key exchange, then re-keyed by doc for the
+# per-document mean (two chained shuffles on DIFFERENT keys)
+# ---------------------------------------------------------------------------
+
+
+def docs_rarity_score(sf_dir: str) -> pd.DataFrame:
+    """Mean token rarity per document: ``rarity(w) = 10⁶ // c(w)`` (corpus
+    count) averaged over the document's tokens with floor division — the
+    integer-exact "is this document full of rare words" quality signal.
+
+    Scale shape: batch partials emit per-(doc, word) counts; round 1
+    colocates them with the corpus word counts under the 64-way word-hash
+    bucket (vocabulary never becomes a driver dict); round 2 re-keys the
+    scored (doc, Σ rarity·n, n) partials by doc-hash bucket and reduces
+    to one row per document.  Both exchanges ship integer projections."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        doc_ids: List[int] = []
+        words: List[str] = []
+        ns: List[int] = []
+        for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            acc: Dict[str, int] = {}
+            for w in (tx or "").lower().split():
+                acc[w] = acc.get(w, 0) + 1
+            for w, n in acc.items():
+                doc_ids.append(did)
+                words.append(w)
+                ns.append(n)
+        bucket = (pd.util.hash_pandas_object(
+            pd.Series(words, dtype=object), index=False) % 64).astype("int64")
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "word": pa.array(words, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "_b": pa.array(bucket.to_numpy(), pa.int64())})
+
+    def word_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a word are here → exact corpus count; score each
+        # (doc, word) partial and re-key by doc
+        cnt = df.groupby("word")["n"].transform("sum")
+        rarity = (1_000_000 // cnt).astype("int64")
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "rsum": (rarity * df["n"]).astype("int64"),
+            "ntok": df["n"].astype("int64")})
+        out = out.groupby("doc_id", as_index=False).sum()
+        out["_d"] = (out["doc_id"] % 64).astype("int64")
+        return out
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", as_index=False).agg(
+            rsum=("rsum", "sum"), ntok=("ntok", "sum"))
+        out["avg_rarity_q"] = (out["rsum"] // out["ntok"]).astype("int64")
+        return out[["doc_id", "ntok", "avg_rarity_q"]]
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(word_bucket, batch_format="pandas") \
+        .groupby("_d").map_groups(doc_bucket, batch_format="pandas") \
+        .to_pandas()
+    for c in ("doc_id", "ntok", "avg_rarity_q"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -36,6 +36,7 @@ ORACLE_QUERIES = [
     "emb_kmeans_iterate",
     "docs_ntile",
     "docs_vector_enrich",
+    "docs_rarity_score",
 ]
 
 
