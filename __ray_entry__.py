@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": rel.events_sessions,
         "events_props_k": rel.events_props_k,
         "orders_gap_stats": rel.orders_gap_stats,
+        "events_top_users": rel.events_top_users,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -214,6 +215,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vector_enrich": dq.docs_vector_enrich,
         "docs_bigram_lift": dq.docs_bigram_lift,
         "docs_rarity_score": dq.docs_rarity_score,
+        "docs_interleaved_media_stats": dq.docs_interleaved_media_stats,
+        "docs_media_ref_counts": dq.docs_media_ref_counts,
+        "docs_inverted_index": dq.docs_inverted_index,
+        "docs_mixture_weights": dq.docs_mixture_weights,
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
         "emb_nn_within_label": dq.emb_nn_within_label,
         "emb_int8_quantize": dq.emb_int8_quantize,
@@ -976,6 +981,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        "events_top_users": """
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+            ORDER BY n DESC, user_id LIMIT 20
+        """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,
                    ROUND(SUM(p_retailprice) / COUNT(*), 4) AS avg_price
@@ -1146,6 +1157,76 @@ def oracle_sql() -> dict[str, str]:
                        AS avg_rarity_q
             FROM tok t JOIN cnt USING (word)
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        # interleaved span stats: title+body spans plus one media span per
+        # 'sp'-prefixed token (the engine runs the REAL span codec; the SQL
+        # twin derives the same counts/positions from the text)
+        "docs_interleaved_media_stats": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(w) AS word,
+                       generate_subscripts(w, 1) AS pos
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(2 + COUNT(CASE WHEN word LIKE 'sp%' THEN 1 END)
+                        AS BIGINT) AS n_spans,
+                   CAST(COUNT(CASE WHEN word LIKE 'sp%' THEN 1 END)
+                        AS BIGINT) AS n_media,
+                   CAST(COALESCE(MIN(CASE WHEN word LIKE 'sp%' THEN pos END),
+                                 0) AS BIGINT) AS first_pos
+            FROM tok GROUP BY doc_id ORDER BY doc_id
+        """,
+        # shared-media-asset census over the interleaved corpus
+        "docs_media_ref_counts": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(w) AS word FROM toks
+            )
+            SELECT 'img://' || word AS media_ref,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans
+            FROM tok WHERE word LIKE 'sp%'
+            GROUP BY word ORDER BY n_docs DESC, media_ref
+        """,
+        # posting-list build over the doc_id % 17 == 0 index shard
+        "docs_inverted_index": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents WHERE doc_id % 17 = 0
+            ), tok AS (
+                SELECT doc_id, unnest(w) AS word FROM toks
+            ), dtok AS (
+                SELECT DISTINCT doc_id, word FROM tok
+            )
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS df_docs,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM dtok GROUP BY word ORDER BY df_docs DESC, word
+        """,
+        # per-language token totals + equalizing upweight factor (ppm)
+        "docs_mixture_weights": r"""
+            WITH lt AS (
+                SELECT lang,
+                       CAST(SUM(len(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x != ''))) AS BIGINT) AS lang_tokens
+                FROM documents GROUP BY lang
+            )
+            SELECT lang, lang_tokens,
+                   CAST((SELECT MIN(lang_tokens) FROM lt) * 1000000
+                        // lang_tokens AS BIGINT) AS weight_ppm
+            FROM lt ORDER BY lang
         """,
         # top bigram collocations by scaled lift (integer-exact monotone
         # twin of PMI); engine joins c(w1)/c(w2) via two word-hash-bucket

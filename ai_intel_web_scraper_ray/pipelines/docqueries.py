@@ -1785,3 +1785,201 @@ def docs_rarity_score(sf_dir: str) -> pd.DataFrame:
     for c in ("doc_id", "ntok", "avg_rarity_q"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# interleaved-payload operators: synthesize media spans deterministically
+# from the text (every token with the trigger prefix becomes a media span),
+# run the REAL span codec, and compute over the span table — the engine's
+# canonical interleaved text+media document shape (BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+_MEDIA_TRIGGER_PREFIX = "sp"
+
+
+def _interleaved_with_media(t: pa.Table, positional_refs: bool) -> pa.Table:
+    """documents batch → interleaved span table via the codec, with one
+    media span per trigger-prefixed token.  ``positional_refs`` appends the
+    1-based token position to the ref (unique per occurrence); otherwise the
+    ref is ``img://{word}`` (reused across docs — the CC-style shared-asset
+    shape)."""
+    from ..sources.interleaved import records_to_interleaved_batch
+
+    ids = t["doc_id"].to_pylist()
+    texts = t["text"].to_pylist()
+    recs = pa.table({
+        "id": pa.array([str(d) for d in ids], pa.string()),
+        "title": pa.array([f"Doc {d}" for d in ids], pa.string()),
+        "text": pa.array(texts, pa.string()),
+        "media_refs": pa.array(
+            [[f"img://{w}/{i + 1}" if positional_refs else f"img://{w}"
+              for i, w in enumerate((tx or "").lower().split())
+              if w.startswith(_MEDIA_TRIGGER_PREFIX)]
+             for tx in texts],
+            pa.list_(pa.string())),
+    })
+    return records_to_interleaved_batch(recs)
+
+
+def docs_interleaved_media_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-document span statistics over the interleaved table: total span
+    count, media-span count, and the 1-based token position of the first
+    media trigger (0 when the doc has none).
+
+    Scale shape: span synthesis + stats are one row-local Arrow batch
+    transform — no exchange; the span table itself never leaves the
+    workers, only the 4-int projection does."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        inter = _interleaved_with_media(t, positional_refs=True)
+        doc_ids: List[int] = []
+        n_spans: List[int] = []
+        n_media: List[int] = []
+        first_pos: List[int] = []
+        for did, spans in zip(inter["doc_id"].to_pylist(),
+                              inter["spans"].to_pylist()):
+            media = [s for s in spans if s["kind"] == "media"]
+            positions = [int(s["media_ref"].rsplit("/", 1)[1]) for s in media]
+            doc_ids.append(int(did))
+            n_spans.append(len(spans))
+            n_media.append(len(media))
+            first_pos.append(min(positions) if positions else 0)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "n_media": pa.array(n_media, pa.int64()),
+            "first_pos": pa.array(first_pos, pa.int64())})
+
+    out = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def docs_media_ref_counts(sf_dir: str) -> pd.DataFrame:
+    """Shared-media-asset census over the interleaved corpus: for each
+    ``img://{word}`` ref, how many documents embed it and how many total
+    media spans point at it — the signal an image-dedup / asset-cache stage
+    keys on.
+
+    Scale shape: per-batch partials pre-aggregate (ref, doc) occurrence
+    counts and per-batch-distinct doc flags; the exchange ships ≤|refs|×
+    blocks integer rows under a ref-hash bucket, and each bucket owns its
+    refs end-to-end (exact distinct-doc counts, no driver sets)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        inter = _interleaved_with_media(t, positional_refs=False)
+        acc: Dict[tuple, int] = {}
+        for did, spans in zip(inter["doc_id"].to_pylist(),
+                              inter["spans"].to_pylist()):
+            for s in spans:
+                if s["kind"] == "media":
+                    key = (s["media_ref"], int(did))
+                    acc[key] = acc.get(key, 0) + 1
+        refs = [k[0] for k in acc]
+        bucket = (pd.util.hash_pandas_object(
+            pd.Series(refs, dtype=object), index=False) % 64).astype("int64")
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "doc_id": pa.array([k[1] for k in acc], pa.int64()),
+            "n": pa.array(list(acc.values()), pa.int64()),
+            "_b": pa.array(bucket.to_numpy(), pa.int64())})
+
+    def ref_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("media_ref", as_index=False).agg(
+            n_docs=("doc_id", "nunique"), n_spans=("n", "sum"))
+        return out
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(ref_bucket, batch_format="pandas") \
+        .to_pandas()
+    for c in ("n_docs", "n_spans"):
+        out[c] = out[c].astype("int64")
+    return out[["media_ref", "n_docs", "n_spans"]] \
+        .sort_values(["n_docs", "media_ref"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# inverted-index build: posting lists per word over a deterministic doc
+# shard (doc_id % 17 == 0 keeps postings bounded at any SF for the gate;
+# a full index is the same operator fanned over shards)
+# ---------------------------------------------------------------------------
+
+_INDEX_SHARD_MOD = 17
+
+
+def docs_inverted_index(sf_dir: str) -> pd.DataFrame:
+    """Posting-list construction: word → (document frequency, comma-joined
+    sorted doc ids) over the ``doc_id % 17 == 0`` shard.
+
+    Scale shape: per-batch distinct (word, doc_id) pairs are the only
+    exchange; a word-hash bucket colocates each word's postings so the
+    sorted list is assembled once per word inside its bucket — the driver
+    receives finished postings rows, never raw pairs.  At web scale the
+    shard predicate is the index partitioner (one such job per shard)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        words: List[str] = []
+        ids: List[int] = []
+        for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if int(did) % _INDEX_SHARD_MOD != 0:
+                continue
+            for w in set((tx or "").lower().split()):
+                words.append(w)
+                ids.append(int(did))
+        bucket = (pd.util.hash_pandas_object(
+            pd.Series(words, dtype=object), index=False) % 64).astype("int64")
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "doc_id": pa.array(ids, pa.int64()),
+            "_b": pa.array(bucket.to_numpy(), pa.int64())})
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["word", "doc_id"]).sort_values(
+            ["word", "doc_id"], kind="mergesort")
+        out = df.groupby("word", as_index=False).agg(
+            df_docs=("doc_id", "size"),
+            postings=("doc_id", lambda s: ",".join(str(x) for x in s)))
+        return out
+
+    out = ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("_b").map_groups(assemble, batch_format="pandas") \
+        .to_pandas()
+    out["df_docs"] = out["df_docs"].astype("int64")
+    return out[["word", "df_docs", "postings"]] \
+        .sort_values(["df_docs", "word"], ascending=[False, True]) \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# training-mixture reweighting: per-language upweight factors that equalize
+# token contributions (the DoReMi-flavored static mixture step)
+# ---------------------------------------------------------------------------
+
+
+def docs_mixture_weights(sf_dir: str) -> pd.DataFrame:
+    """Per-language token totals and the integer-ppm upweight factor that
+    equalizes each language's token contribution to the smallest language
+    (``weight_ppm = min_total * 1e6 // lang_total``).
+
+    Scale shape: one streaming pass of per-batch (lang, token-count)
+    partials into a ≤|langs|-row groupby; the min + division happen on the
+    driver over that tiny frame.  No text leaves the workers."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].fillna("").str.split().str.len().astype("int64")
+        return pd.DataFrame({"lang": df["lang"], "ntok": n}) \
+            .groupby("lang", as_index=False)["ntok"].sum()
+
+    totals = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("lang").sum("ntok").to_pandas()
+    totals = totals.rename(columns={"sum(ntok)": "lang_tokens"})
+    totals["lang_tokens"] = totals["lang_tokens"].astype("int64")
+    target = int(totals["lang_tokens"].min())
+    totals["weight_ppm"] = (
+        target * 1_000_000 // totals["lang_tokens"]).astype("int64")
+    return totals[["lang", "lang_tokens", "weight_ppm"]] \
+        .sort_values("lang").reset_index(drop=True)

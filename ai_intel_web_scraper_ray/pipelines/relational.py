@@ -2919,3 +2919,39 @@ def orders_spend_rank(sf_dir: str) -> pd.DataFrame:
     for c in ("o_custkey", "spend_cents", "spend_rank"):
         out[c] = out[c].astype("int64")
     return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# exact global heavy hitters: top-20 users by event count — per-batch
+# partials under a user-hash bucket; each bucket owns its users end-to-end
+# so per-bucket top-20s merge exactly on the driver
+# ---------------------------------------------------------------------------
+
+
+def events_top_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """The 20 most active users by event count (ties to the smaller id).
+
+    Scale shape: per-batch ``value_counts`` partials shrink the exchange to
+    ≤|users|×blocks integer rows; the user-hash bucket colocates each
+    user's partials (totals are exact, not sketched), and only each
+    bucket's local top-20 reaches the driver — a 64×20-row merge."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).agg(n=("user_id", "size"))
+        out["_b"] = (out["user_id"].astype("int64") % 64).astype("int64")
+        return out
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False)["n"].sum()
+        return out.sort_values(["n", "user_id"], ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    tops = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_top, batch_format="pandas") \
+        .to_pandas()
+    out = tops.sort_values(["n", "user_id"], ascending=[False, True],
+                           kind="mergesort").head(k)
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return out[["user_id", "n"]].reset_index(drop=True)

@@ -37,6 +37,10 @@ ORACLE_QUERIES = [
     "docs_ntile",
     "docs_vector_enrich",
     "docs_rarity_score",
+    "docs_interleaved_media_stats",
+    "docs_media_ref_counts",
+    "docs_inverted_index",
+    "docs_mixture_weights",
 ]
 
 

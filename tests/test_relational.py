@@ -44,6 +44,7 @@ ORACLE_QUERIES = [
     "events_rolling_avg",
     "events_value_stats",
     "events_top_user_per_window",
+    "events_top_users",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
