@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_k": rel.events_props_k,
         "orders_gap_stats": rel.orders_gap_stats,
         "events_top_users": rel.events_top_users,
+        "parts_pagerank": rel.parts_pagerank,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -987,6 +988,38 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
             ORDER BY n DESC, user_id LIMIT 20
         """,
+        # two unrolled integer-ppm PageRank iterations over the directed
+        # co-order part graph (same per-edge floor-division order as the
+        # engine: contribution floors per edge, damping floors per node)
+        "parts_pagerank": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS (
+                SELECT a.l_partkey AS src, c.l_partkey AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM b a JOIN b c USING (l_orderkey)
+                WHERE a.l_partkey != c.l_partkey
+                GROUP BY 1, 2
+            ),
+            ow AS (SELECT src, CAST(SUM(n) AS BIGINT) AS outw
+                   FROM e0 GROUP BY src),
+            e AS (SELECT e0.src, e0.dst, e0.n, ow.outw
+                  FROM e0 JOIN ow USING (src)),
+            r1 AS (
+                SELECT dst AS node,
+                       150000 + 850 * SUM(1000000 * n // outw) // 1000
+                           AS rank
+                FROM e GROUP BY dst
+            ),
+            r2 AS (
+                SELECT e.dst AS node,
+                       150000 + 850 * SUM(r1.rank * e.n // e.outw) // 1000
+                           AS rank_ppm
+                FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst
+            )
+            SELECT CAST(node AS BIGINT) AS part,
+                   CAST(rank_ppm AS BIGINT) AS rank_ppm
+            FROM r2 ORDER BY rank_ppm DESC, part LIMIT 20
+        """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,
                    ROUND(SUM(p_retailprice) / COUNT(*), 4) AS avg_price
@@ -1173,11 +1206,11 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks
             )
             SELECT doc_id,
-                   CAST(2 + COUNT(CASE WHEN word LIKE 'sp%' THEN 1 END)
+                   CAST(2 + COUNT(CASE WHEN word LIKE 's%' THEN 1 END)
                         AS BIGINT) AS n_spans,
-                   CAST(COUNT(CASE WHEN word LIKE 'sp%' THEN 1 END)
+                   CAST(COUNT(CASE WHEN word LIKE 's%' THEN 1 END)
                         AS BIGINT) AS n_media,
-                   CAST(COALESCE(MIN(CASE WHEN word LIKE 'sp%' THEN pos END),
+                   CAST(COALESCE(MIN(CASE WHEN word LIKE 's%' THEN pos END),
                                  0) AS BIGINT) AS first_pos
             FROM tok GROUP BY doc_id ORDER BY doc_id
         """,
@@ -1194,7 +1227,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'img://' || word AS media_ref,
                    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
                    CAST(COUNT(*) AS BIGINT) AS n_spans
-            FROM tok WHERE word LIKE 'sp%'
+            FROM tok WHERE word LIKE 's%'
             GROUP BY word ORDER BY n_docs DESC, media_ref
         """,
         # posting-list build over the doc_id % 17 == 0 index shard

@@ -1727,6 +1727,24 @@ def docs_vector_enrich(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _doc_word_counts(t: pa.Table) -> pd.DataFrame:
+    """Vectorized (doc_id, word, n) token partials for one batch: C-backed
+    lower/split/explode + one pandas groupby — no Python loop over rows.
+    Tokenization contract (whitespace split of lowercased text, empties
+    dropped) matches the oracle SQL's regexp_split_to_array twin."""
+    df = pd.DataFrame({"doc_id": t["doc_id"].to_pandas().astype("int64"),
+                       "word": t["text"].to_pandas().fillna("")
+                       .str.lower().str.split()})
+    ex = df.explode("word", ignore_index=True).dropna(subset=["word"])
+    return ex.groupby(["doc_id", "word"], as_index=False).size() \
+        .rename(columns={"size": "n"})
+
+
+def _word_bucket_col(words: pd.Series, mod: int = 64) -> np.ndarray:
+    return (pd.util.hash_pandas_object(
+        words.astype(object), index=False).to_numpy() % mod).astype("int64")
+
+
 def docs_rarity_score(sf_dir: str) -> pd.DataFrame:
     """Mean token rarity per document: ``rarity(w) = 10⁶ // c(w)`` (corpus
     count) averaged over the document's tokens with floor division — the
@@ -1739,25 +1757,10 @@ def docs_rarity_score(sf_dir: str) -> pd.DataFrame:
     to one row per document.  Both exchanges ship integer projections."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        doc_ids: List[int] = []
-        words: List[str] = []
-        ns: List[int] = []
-        for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            acc: Dict[str, int] = {}
-            for w in (tx or "").lower().split():
-                acc[w] = acc.get(w, 0) + 1
-            for w, n in acc.items():
-                doc_ids.append(did)
-                words.append(w)
-                ns.append(n)
-        bucket = (pd.util.hash_pandas_object(
-            pd.Series(words, dtype=object), index=False) % 64).astype("int64")
-        return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "word": pa.array(words, pa.string()),
-            "n": pa.array(ns, pa.int64()),
-            "_b": pa.array(bucket.to_numpy(), pa.int64())})
+    def partial(t: pa.Table) -> pd.DataFrame:
+        out = _doc_word_counts(t)
+        out["_b"] = _word_bucket_col(out["word"])
+        return out
 
     def word_bucket(df: pd.DataFrame) -> pd.DataFrame:
         # all rows of a word are here → exact corpus count; score each
@@ -1794,7 +1797,7 @@ def docs_rarity_score(sf_dir: str) -> pd.DataFrame:
 # canonical interleaved text+media document shape (BASELINE.json input_hint)
 # ---------------------------------------------------------------------------
 
-_MEDIA_TRIGGER_PREFIX = "sp"
+_MEDIA_TRIGGER_PREFIX = "s"
 
 
 def _interleaved_with_media(t: pa.Table, positional_refs: bool) -> pa.Table:
@@ -1920,21 +1923,12 @@ def docs_inverted_index(sf_dir: str) -> pd.DataFrame:
     shard predicate is the index partitioner (one such job per shard)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def pairs(t: pa.Table) -> pa.Table:
-        words: List[str] = []
-        ids: List[int] = []
-        for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            if int(did) % _INDEX_SHARD_MOD != 0:
-                continue
-            for w in set((tx or "").lower().split()):
-                words.append(w)
-                ids.append(int(did))
-        bucket = (pd.util.hash_pandas_object(
-            pd.Series(words, dtype=object), index=False) % 64).astype("int64")
-        return pa.table({
-            "word": pa.array(words, pa.string()),
-            "doc_id": pa.array(ids, pa.int64()),
-            "_b": pa.array(bucket.to_numpy(), pa.int64())})
+    def pairs(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype("int64")
+        t = t.filter(pa.array(ids % _INDEX_SHARD_MOD == 0))
+        out = _doc_word_counts(t)[["word", "doc_id"]]
+        out["_b"] = _word_bucket_col(out["word"])
+        return out
 
     def assemble(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["word", "doc_id"]).sort_values(

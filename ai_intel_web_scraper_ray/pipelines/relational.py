@@ -2955,3 +2955,106 @@ def events_top_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
     out["user_id"] = out["user_id"].astype("int64")
     out["n"] = out["n"].astype("int64")
     return out[["user_id", "n"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# iterative graph ranking: PageRank over the directed co-order part graph
+# (both directions of every co-order pair, edge weight = co-order count).
+# Integer-ppm arithmetic makes the float-free fixpoint reproducible, so the
+# DuckDB twin can unroll the same two iterations exactly.
+# ---------------------------------------------------------------------------
+
+_PAGERANK_TOP = 20
+
+
+def parts_pagerank(sf_dir: str, k: int = _PAGERANK_TOP) -> pd.DataFrame:
+    """Two PageRank iterations over the co-order part graph; top-k parts by
+    final rank (ppm, damping 0.85 as 850/1000 integer ops).
+
+    Scale shape: basket pair-generation is the bounded per-order blowup
+    from ``parts_co_ordered``; the edge table (src, dst, n, outw) is built
+    under a src-hash bucket (outw is exact — a src's edges are colocated)
+    and MATERIALIZED once because both iterations stream over it (the
+    loop-invariant input of any iterative graph op).  Iteration 1 folds the
+    uniform start rank analytically (contribution = 10⁶·n // outw, row-
+    local); iteration 2 attaches rank₁ to edges with a hash-shuffle
+    ``Dataset.join`` on src and reduces contributions under a dst-hash
+    bucket.  Ranks live in datasets keyed by node throughout — no driver
+    rank vector, no broadcast of an unbounded node domain."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["l_orderkey", "l_partkey"]).copy()
+        out["_b"] = (out["l_orderkey"].astype("int64") % 64).astype("int64")
+        return out
+
+    def gen_dir_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+        out = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False) \
+            .size().rename(columns={"l_partkey_x": "src",
+                                    "l_partkey_y": "dst", "size": "n"})
+        out["_s"] = (out["src"].astype("int64") % 64).astype("int64")
+        return out
+
+    def finish_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["src", "dst"], as_index=False)["n"].sum()
+        out["outw"] = out.groupby("src")["n"].transform("sum")
+        return out[["src", "dst", "n", "outw"]]
+
+    edges = ds.map_batches(dedup_bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(gen_dir_pairs, batch_format="pandas") \
+        .groupby("_s").map_groups(finish_edges, batch_format="pandas") \
+        .materialize()
+
+    def contrib1(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "dst": df["dst"].astype("int64"),
+            "c": (1_000_000 * df["n"].astype("int64"))
+            // df["outw"].astype("int64")})
+        out = out.groupby("dst", as_index=False)["c"].sum()
+        out["_d"] = (out["dst"] % 64).astype("int64")
+        return out
+
+    def damp(df: pd.DataFrame, rank_col: str) -> pd.DataFrame:
+        out = df.groupby("dst", as_index=False)["c"].sum()
+        return pd.DataFrame({
+            "node": out["dst"].astype("int64"),
+            rank_col: (150_000 + 850 * out["c"] // 1_000).astype("int64")})
+
+    rank1 = edges.map_batches(contrib1, batch_format="pandas") \
+        .groupby("_d").map_groups(
+            lambda df: damp(df, "rank"), batch_format="pandas")
+
+    n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.5, cap=16)
+    joined = edges.join(rank1, join_type="inner",
+                        num_partitions=n_parts,
+                        on=("src",), right_on=("node",))
+
+    def contrib2(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "dst": df["dst"].astype("int64"),
+            "c": (df["rank"].astype("int64") * df["n"].astype("int64"))
+            // df["outw"].astype("int64")})
+        out = out.groupby("dst", as_index=False)["c"].sum()
+        out["_d"] = (out["dst"] % 64).astype("int64")
+        return out
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["rank_ppm", "node"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    tops = joined.map_batches(contrib2, batch_format="pandas") \
+        .groupby("_d").map_groups(
+            lambda df: bucket_top(damp(df, "rank_ppm")),
+            batch_format="pandas") \
+        .to_pandas()
+    out = tops.sort_values(["rank_ppm", "node"],
+                           ascending=[False, True],
+                           kind="mergesort").head(k)
+    out = out.rename(columns={"node": "part"})
+    for c in ("part", "rank_ppm"):
+        out[c] = out[c].astype("int64")
+    return out[["part", "rank_ppm"]].reset_index(drop=True)

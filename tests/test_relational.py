@@ -45,6 +45,7 @@ ORACLE_QUERIES = [
     "events_value_stats",
     "events_top_user_per_window",
     "events_top_users",
+    "parts_pagerank",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
