@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_gap_stats": rel.orders_gap_stats,
         "events_top_users": rel.events_top_users,
         "parts_pagerank": rel.parts_pagerank,
+        "events_kmv_distinct": rel.events_kmv_distinct,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -1019,6 +1020,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS part,
                    CAST(rank_ppm AS BIGINT) AS rank_ppm
             FROM r2 ORDER BY rank_ppm DESC, part LIMIT 20
+        """,
+        # the IDENTICAL KMV sketch (md5-based) run in SQL — deterministic,
+        # so the estimate itself is hash-checked, not approximated
+        "events_kmv_distinct": """
+            WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+            h AS (
+                SELECT DISTINCT event_type,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) AS h32
+                FROM du
+            ),
+            r AS (
+                SELECT event_type, h32,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY h32) AS rn
+                FROM h
+            )
+            SELECT event_type, CAST(h32 AS BIGINT) AS kth_hash,
+                   CAST(7 * 4294967296 // h32 AS BIGINT) AS est_users
+            FROM r WHERE rn = 8 ORDER BY event_type
         """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,

@@ -3058,3 +3058,59 @@ def parts_pagerank(sf_dir: str, k: int = _PAGERANK_TOP) -> pd.DataFrame:
     for c in ("part", "rank_ppm"):
         out[c] = out[c].astype("int64")
     return out[["part", "rank_ppm"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# mergeable cardinality sketch: KMV (k-minimum-values) distinct-user
+# estimate per event type.  md5 is the shared hash so the DuckDB twin runs
+# the IDENTICAL sketch — the estimate is deterministic, not "approximately
+# checked".
+# ---------------------------------------------------------------------------
+
+_KMV_K = 8
+
+
+def events_kmv_distinct(sf_dir: str, k: int = _KMV_K) -> pd.DataFrame:
+    """Distinct users per event type via a KMV sketch: keep the k smallest
+    distinct 32-bit hash values; estimate = (k-1) * 2³² // kth_min.
+
+    Scale shape: this is the sketch whose partials MERGE — each batch
+    emits its local k smallest (type, hash) rows (a bounded projection,
+    never user ids at volume), the type-bucket merge takes the k smallest
+    of the union, and the driver sees ≤ |types| finished sketches.  Unlike
+    the exact `events_distinct_users` exchange (all distinct pairs), the
+    KMV exchange is O(types × k × blocks) regardless of cardinality."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates()
+        h = df["user_id"].map(
+            lambda u: int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16))
+        out = pd.DataFrame({"event_type": df["event_type"],
+                            "h32": h.astype("int64")})
+        out = out.drop_duplicates()
+        return out.sort_values("h32").groupby(
+            "event_type", as_index=False).head(k)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates().sort_values("h32")
+        df = df.groupby("event_type", as_index=False).head(k)
+        kth = df.groupby("event_type", as_index=False).agg(
+            kth_hash=("h32", "last"), n=("h32", "size"))
+        kth = kth[kth["n"] == k]
+        kth["est_users"] = ((k - 1) * 4294967296
+                            // kth["kth_hash"]).astype("int64")
+        return kth[["event_type", "kth_hash", "est_users"]]
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("event_type").map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+    if out.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "kth_hash": pd.Series([], dtype="int64"),
+                             "est_users": pd.Series([], dtype="int64")})
+    for c in ("kth_hash", "est_users"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -46,6 +46,7 @@ ORACLE_QUERIES = [
     "events_top_user_per_window",
     "events_top_users",
     "parts_pagerank",
+    "events_kmv_distinct",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
