@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_users": rel.events_top_users,
         "parts_pagerank": rel.parts_pagerank,
         "events_kmv_distinct": rel.events_kmv_distinct,
+        "orders_bloom_semijoin": rel.orders_bloom_semijoin,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -1040,6 +1041,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, CAST(h32 AS BIGINT) AS kth_hash,
                    CAST(7 * 4294967296 // h32 AS BIGINT) AS est_users
             FROM r WHERE rn = 8 ORDER BY event_type
+        """,
+        # the engine side runs a Bloom-prefiltered semi-join (exact after
+        # the verify join), so the plain SQL semi-join is the oracle
+        "orders_bloom_semijoin": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'AUTOMOBILE'
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,

@@ -3114,3 +3114,73 @@ def events_kmv_distinct(sf_dir: str, k: int = _KMV_K) -> pd.DataFrame:
     for c in ("kth_hash", "est_users"):
         out[c] = out[c].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter broadcast semi-join: orders from one customer segment.
+# The small side never ships its keyset — each block emits a fixed 128 KiB
+# bitmap partial, the driver ORs ≤ blocks bitmaps, and probe tasks drop
+# non-matching orders vectorized; an exact hash-shuffle join over the few
+# survivors removes bloom false positives, so the result is exact.
+# ---------------------------------------------------------------------------
+
+
+def orders_bloom_semijoin(sf_dir: str,
+                          segment: str = "AUTOMOBILE") -> pd.DataFrame:
+    """Order count + total price (cents) per order priority for orders
+    placed by customers in ``segment``, via a Bloom-prefiltered semi-join.
+
+    Scale shape: the keyset-broadcast alternative is O(|matching
+    customers|) on the driver — the exact pattern that broke q5 in round 1.
+    Here the driver holds only ≤ blocks × 128 KiB of OR-mergeable bitmaps
+    (`functions/bloom.py`), one `ray.put` broadcasts the merged filter, and
+    the orders scan drops ~4/5 of rows before the exact `Dataset.join`
+    against the customer-key projection confirms the survivors."""
+    import ray
+
+    from ..functions.bloom import (bloom_merge, bloom_might_contain,
+                                   bloom_partial)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def cust_keys(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["c_mktsegment"] == segment][["c_custkey"]]
+        return out
+
+    keys_ds = cust.map_batches(cust_keys, batch_format="pandas") \
+        .materialize()
+
+    def to_bitmap(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bitmap": [
+            bloom_partial(df["c_custkey"].to_numpy(dtype="int64"))]})
+
+    partials = keys_ds.map_batches(to_bitmap, batch_format="pandas",
+                                   batch_size=None).to_pandas()
+    bloom_ref = ray.put(bloom_merge(partials["bitmap"].tolist()))
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bitmap = ray.get(bloom_ref)
+        keep = bloom_might_contain(
+            bitmap, df["o_custkey"].to_numpy(dtype="int64"))
+        out = df[keep].copy()
+        out["cents"] = np.floor(
+            out["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        return out[["o_custkey", "o_orderpriority", "cents"]]
+
+    n_parts = _join_partitions(sf_dir, "orders", selectivity=0.25, cap=16)
+    joined = orders.map_batches(probe, batch_format="pandas").join(
+        keys_ds, join_type="inner", num_partitions=n_parts,
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n_orders=("cents", "size"), sum_cents=("cents", "sum"))
+
+    out = joined.map_batches(agg, batch_format="pandas").to_pandas()
+    out = out.groupby("o_orderpriority", as_index=False).sum()
+    for c in ("n_orders", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

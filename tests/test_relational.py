@@ -47,6 +47,7 @@ ORACLE_QUERIES = [
     "events_top_users",
     "parts_pagerank",
     "events_kmv_distinct",
+    "orders_bloom_semijoin",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
