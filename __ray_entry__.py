@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_pagerank": rel.parts_pagerank,
         "events_kmv_distinct": rel.events_kmv_distinct,
         "orders_bloom_semijoin": rel.orders_bloom_semijoin,
+        "parts_triangles": rel.parts_triangles,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -1052,6 +1053,26 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             WHERE c.c_mktsegment = 'AUTOMOBILE'
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        # triangle census of the ≥2-times-co-ordered part graph (id-oriented
+        # wedge enumeration, same orientation as the engine)
+        "parts_triangles": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT a.l_partkey AS u, c.l_partkey AS v
+                FROM b a JOIN b c USING (l_orderkey)
+                WHERE a.l_partkey < c.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            w AS (
+                SELECT e1.v AS y, e2.v AS z
+                FROM e e1 JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+            )
+            SELECT CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_wedges,
+                   CAST((SELECT COUNT(*) FROM w
+                         JOIN e ON w.y = e.u AND w.z = e.v) AS BIGINT)
+                       AS n_triangles
         """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,

@@ -48,6 +48,7 @@ ORACLE_QUERIES = [
     "parts_pagerank",
     "events_kmv_distinct",
     "orders_bloom_semijoin",
+    "parts_triangles",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
