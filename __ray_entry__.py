@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kmv_distinct": rel.events_kmv_distinct,
         "orders_bloom_semijoin": rel.orders_bloom_semijoin,
         "parts_triangles": rel.parts_triangles,
+        "events_new_users_daily": rel.events_new_users_daily,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -223,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_media_ref_counts": dq.docs_media_ref_counts,
         "docs_inverted_index": dq.docs_inverted_index,
         "docs_mixture_weights": dq.docs_mixture_weights,
+        "docs_train_val_test": dq.docs_train_val_test,
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
         "emb_nn_within_label": dq.emb_nn_within_label,
         "emb_int8_quantize": dq.emb_int8_quantize,
@@ -1074,6 +1076,14 @@ def oracle_sql() -> dict[str, str]:
                          JOIN e ON w.y = e.u AND w.z = e.v) AS BIGINT)
                        AS n_triangles
         """,
+        "events_new_users_daily": """
+            WITH f AS (
+                SELECT user_id, MIN(date_trunc('day', ts)) AS day
+                FROM events GROUP BY user_id
+            )
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+            FROM f GROUP BY day ORDER BY day
+        """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,
                    ROUND(SUM(p_retailprice) / COUNT(*), 4) AS avg_price
@@ -1314,6 +1324,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT MIN(lang_tokens) FROM lt) * 1000000
                         // lang_tokens AS BIGINT) AS weight_ppm
             FROM lt ORDER BY lang
+        """,
+        # 80/10/10 split routed by the same md5-32 hash as the engine
+        "docs_train_val_test": r"""
+            WITH s AS (
+                SELECT lang,
+                       CASE
+                           WHEN CAST(('0x' || substr(
+                               md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 10 < 8 THEN 'train'
+                           WHEN CAST(('0x' || substr(
+                               md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 10 < 9 THEN 'val'
+                           ELSE 'test'
+                       END AS split,
+                       len(list_filter(regexp_split_to_array(lower(text),
+                                                             '\s+'),
+                                       x -> x != '')) AS ntok
+                FROM documents
+            )
+            SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS n_tokens
+            FROM s GROUP BY lang, split ORDER BY lang, split
         """,
         # top bigram collocations by scaled lift (integer-exact monotone
         # twin of PMI); engine joins c(w1)/c(w2) via two word-hash-bucket

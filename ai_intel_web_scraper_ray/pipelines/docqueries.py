@@ -1977,3 +1977,40 @@ def docs_mixture_weights(sf_dir: str) -> pd.DataFrame:
         target * 1_000_000 // totals["lang_tokens"]).astype("int64")
     return totals[["lang", "lang_tokens", "weight_ppm"]] \
         .sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split: md5-hash routing (the shared-hash
+# trick from events_kmv_distinct) so membership is a pure row property —
+# reproducible across runs, partitionings, and engines
+# ---------------------------------------------------------------------------
+
+
+def docs_train_val_test(sf_dir: str) -> pd.DataFrame:
+    """Per-(lang, split) document and token counts for an 80/10/10
+    train/val/test split routed by ``md5(doc_id) % 10`` — the
+    deterministic split a training pipeline snapshots alongside the data.
+
+    Scale shape: split assignment is row-local (no shuffle, no RNG state);
+    one tiny (lang × 3)-row aggregate leaves the workers."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(
+            lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16))
+        bucket = (h % 10).to_numpy()
+        split = np.where(bucket < 8, "train",
+                         np.where(bucket < 9, "val", "test"))
+        ntok = df["text"].fillna("").str.split().str.len().astype("int64")
+        out = pd.DataFrame({"lang": df["lang"], "split": split,
+                            "ntok": ntok})
+        return out.groupby(["lang", "split"], as_index=False).agg(
+            n_docs=("ntok", "size"), n_tokens=("ntok", "sum"))
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    out = parts.groupby(["lang", "split"], as_index=False).sum()
+    for c in ("n_docs", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)

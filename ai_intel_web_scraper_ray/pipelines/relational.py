@@ -3257,3 +3257,39 @@ def parts_triangles(sf_dir: str, min_weight: int = 2) -> pd.DataFrame:
 
     return pd.DataFrame({"n_edges": [n_edges], "n_wedges": [n_wedges],
                          "n_triangles": [n_triangles]}).astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# incremental-metric shape: new users per day (count of first-ever-seen
+# users) — the min-reduce that underlies every "first touch" metric
+# ---------------------------------------------------------------------------
+
+
+def events_new_users_daily(sf_dir: str) -> pd.DataFrame:
+    """Count of users whose FIRST event falls on each day.
+
+    Scale shape: per-batch (user, min-day) partials shrink the exchange to
+    ≤|users|×blocks rows; the user-hash bucket finishes the global min per
+    user (all partials of a user colocate) and emits per-day count
+    partials, so the driver merges ≤ 64×|days| rows and never sees user
+    ids."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["day"] = df["ts"].dt.floor("D")
+        out = df.groupby("user_id", as_index=False)["day"].min()
+        out["_b"] = (out["user_id"].astype("int64") % 64).astype("int64")
+        return out
+
+    def bucket_days(df: pd.DataFrame) -> pd.DataFrame:
+        first = df.groupby("user_id", as_index=False)["day"].min()
+        return first.groupby("day", as_index=False).agg(
+            n_new=("user_id", "size"))
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_days, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby("day", as_index=False)["n_new"].sum()
+    out["n_new"] = out["n_new"].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)

@@ -41,6 +41,7 @@ ORACLE_QUERIES = [
     "docs_media_ref_counts",
     "docs_inverted_index",
     "docs_mixture_weights",
+    "docs_train_val_test",
 ]
 
 

@@ -49,6 +49,7 @@ ORACLE_QUERIES = [
     "events_kmv_distinct",
     "orders_bloom_semijoin",
     "parts_triangles",
+    "events_new_users_daily",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
