@@ -176,6 +176,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_bloom_semijoin": rel.orders_bloom_semijoin,
         "parts_triangles": rel.parts_triangles,
         "events_new_users_daily": rel.events_new_users_daily,
+        "orders_profile": rel.orders_profile,
+        "events_daily_ewma": rel.events_daily_ewma,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -1083,6 +1085,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
             FROM f GROUP BY day ORDER BY day
+        """,
+        "orders_profile": """
+            SELECT 'o_custkey' AS col,
+                   CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+                   CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+                   CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority',
+                   CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+                   MIN(o_orderpriority), MAX(o_orderpriority)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus',
+                   CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+                   MIN(o_orderstatus), MAX(o_orderstatus)
+            FROM orders
+            ORDER BY col
+        """,
+        # the same integer EWMA recurrence, replayed by a recursive CTE
+        "events_daily_ewma": """
+            WITH RECURSIVE h AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY date_trunc('day', ts))
+                           AS i
+                FROM events GROUP BY 1, 2
+            ), r AS (
+                SELECT event_type, day, n, i, n AS ewma_q
+                FROM h WHERE i = 1
+                UNION ALL
+                SELECT h.event_type, h.day, h.n, h.i,
+                       (3 * r.ewma_q + h.n) // 4
+                FROM h JOIN r ON h.event_type = r.event_type
+                            AND h.i = r.i + 1
+            )
+            SELECT event_type, day, n, CAST(ewma_q AS BIGINT) AS ewma_q
+            FROM r ORDER BY event_type, day
         """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,

@@ -3293,3 +3293,132 @@ def events_new_users_daily(sf_dir: str) -> pd.DataFrame:
     out = parts.groupby("day", as_index=False)["n_new"].sum()
     out["n_new"] = out["n_new"].astype("int64")
     return out.sort_values("day").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# data profiling: per-column null count, exact distinct count, min / max in
+# ONE scan + one bounded distinct exchange — the validation pass a pipeline
+# runs before trusting 100 TB of input
+# ---------------------------------------------------------------------------
+
+_PROFILE_INT_COLS = ("o_custkey",)
+_PROFILE_STR_COLS = ("o_orderstatus", "o_orderpriority")
+
+
+def orders_profile(sf_dir: str) -> pd.DataFrame:
+    """Column profile of ``orders`` (int + string columns; floats and
+    timestamps are profiled via their integer twins elsewhere — string
+    formatting of those types is engine-specific, so the profiler keeps to
+    types with a canonical text form).
+
+    Scale shape: null/min/max partials are one tiny typed row per (column,
+    batch); the distinct count is exact, not sketched — per-batch distinct
+    (col, value) pairs dedup globally under a value-hash bucket and only
+    per-column count partials reach the driver.  One scan feeds both."""
+    cols = list(_PROFILE_INT_COLS + _PROFILE_STR_COLS)
+    ds = _read(sf_dir, "orders", cols).materialize()
+
+    def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in cols:
+            s = df[c]
+            vals = s.dropna()
+            is_int = c in _PROFILE_INT_COLS
+            rows.append({
+                "col": c,
+                "n_nulls": int(s.isna().sum()),
+                "min_i": int(vals.min()) if is_int and len(vals) else None,
+                "max_i": int(vals.max()) if is_int and len(vals) else None,
+                "min_s": str(vals.min()) if not is_int and len(vals) else None,
+                "max_s": str(vals.max()) if not is_int and len(vals) else None,
+            })
+        return pd.DataFrame(rows)
+
+    mm = ds.map_batches(mm_partial, batch_format="pandas").to_pandas()
+
+    def dv_partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = [pd.DataFrame({"col": c, "val": df[c].dropna()
+                                .astype(str).unique()}) for c in cols]
+        out = pd.concat(frames, ignore_index=True)
+        out["_b"] = (pd.util.hash_pandas_object(
+            out["col"] + "\x00" + out["val"], index=False) % 64) \
+            .astype("int64")
+        return out
+
+    def dv_count(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["col", "val"])
+        return df.groupby("col", as_index=False).agg(n=("val", "size"))
+
+    dv = ds.map_batches(dv_partial, batch_format="pandas") \
+        .groupby("_b").map_groups(dv_count, batch_format="pandas") \
+        .to_pandas()
+    dv = dv.groupby("col", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_distinct"})
+
+    rows = []
+    for c in cols:
+        g = mm[mm["col"] == c]
+        if c in _PROFILE_INT_COLS:
+            min_v = str(int(g["min_i"].dropna().min()))
+            max_v = str(int(g["max_i"].dropna().max()))
+        else:
+            min_v = str(g["min_s"].dropna().min())
+            max_v = str(g["max_s"].dropna().max())
+        rows.append({"col": c, "n_nulls": int(g["n_nulls"].sum()),
+                     "min_v": min_v, "max_v": max_v})
+    out = pd.DataFrame(rows).merge(dv, on="col")
+    for c in ("n_nulls", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    return out[["col", "n_nulls", "n_distinct", "min_v", "max_v"]] \
+        .sort_values("col").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# sequential-recurrence operator: integer EWMA over each type's daily count
+# series — the "reduce to a bounded series, then scan it where it lives"
+# pattern for stateful time-series smoothing
+# ---------------------------------------------------------------------------
+
+
+def events_daily_ewma(sf_dir: str) -> pd.DataFrame:
+    """Per-type daily event counts smoothed by the integer EWMA
+    ``s_t = (3·s_{t-1} + x_t) // 4`` (s_0 = x_0) — floor division makes
+    the inherently sequential recurrence reproducible, so the DuckDB twin
+    can replay it with a recursive CTE.
+
+    Scale shape: the count reduction is the distributed part (per-batch
+    (type, day) partials, ≤|types|×|days|×blocks rows); each type's
+    complete bounded series lands in its type-hash bucket where the scan
+    runs IN the worker — per-key series recurrences distribute by key,
+    they never run on the driver."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["day"] = df["ts"].dt.floor("D")
+        return df.groupby(["event_type", "day"], as_index=False) \
+            .agg(n=("ts", "size"))
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["event_type", "day"], as_index=False)["n"].sum()
+        frames = []
+        for et, g in df.groupby("event_type", sort=False):
+            g = g.sort_values("day", kind="mergesort")
+            x = g["n"].to_numpy(dtype="int64")
+            s = np.empty_like(x)
+            acc = x[0]
+            s[0] = acc
+            for i in range(1, len(x)):
+                acc = (3 * acc + x[i]) // 4
+                s[i] = acc
+            g = g.copy()
+            g["ewma_q"] = s
+            frames.append(g)
+        return pd.concat(frames, ignore_index=True)
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("event_type").map_groups(scan, batch_format="pandas") \
+        .to_pandas()
+    for c in ("n", "ewma_q"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)

@@ -50,6 +50,8 @@ ORACLE_QUERIES = [
     "orders_bloom_semijoin",
     "parts_triangles",
     "events_new_users_daily",
+    "orders_profile",
+    "events_daily_ewma",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
