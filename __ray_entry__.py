@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_new_users_daily": rel.events_new_users_daily,
         "orders_profile": rel.orders_profile,
         "events_daily_ewma": rel.events_daily_ewma,
+        "events_session_table": rel.events_session_table,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -227,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index": dq.docs_inverted_index,
         "docs_mixture_weights": dq.docs_mixture_weights,
         "docs_train_val_test": dq.docs_train_val_test,
+        "docs_lang_vocab_overlap": dq.docs_lang_vocab_overlap,
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
         "emb_nn_within_label": dq.emb_nn_within_label,
         "emb_int8_quantize": dq.emb_int8_quantize,
@@ -1128,6 +1130,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, day, n, CAST(ewma_q AS BIGINT) AS ewma_q
             FROM r ORDER BY event_type, day
         """,
+        "events_session_table": """
+            WITH s AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ), t AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM s
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(session_id AS BIGINT) AS session_id,
+                   MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM t GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,
                    ROUND(SUM(p_retailprice) / COUNT(*), 4) AS avg_price
@@ -1390,6 +1414,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(ntok) AS BIGINT) AS n_tokens
             FROM s GROUP BY lang, split ORDER BY lang, split
+        """,
+        # shared vocabulary per language pair (unbounded-domain set
+        # intersection; the engine uses word-bucket membership matrices)
+        "docs_lang_vocab_overlap": r"""
+            WITH toks AS (
+                SELECT lang,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), tok AS (
+                SELECT lang, unnest(w) AS word FROM toks
+            ), lw AS (
+                SELECT DISTINCT lang, word FROM tok
+            )
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM lw a JOIN lw b ON a.word = b.word AND a.lang < b.lang
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # top bigram collocations by scaled lift (integer-exact monotone
         # twin of PMI); engine joins c(w1)/c(w2) via two word-hash-bucket

@@ -2014,3 +2014,50 @@ def docs_train_val_test(sf_dir: str) -> pd.DataFrame:
     for c in ("n_docs", "n_tokens"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus vocabulary overlap: set intersection over an UNBOUNDED word
+# domain — the complement of events_type_overlap's bounded-domain version
+# ---------------------------------------------------------------------------
+
+
+def docs_lang_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Shared-vocabulary size for every language pair.
+
+    Scale shape: per-batch distinct (lang, word) pairs are the exchange;
+    each word-hash bucket sees every language a word occurs in, builds one
+    boolean word×lang membership matrix, and emits a |langs|² count
+    partial (``M.T @ M``) — the unbounded word domain is never globally
+    collected, and the driver merges 64 tiny matrices."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame({
+            "lang": df["lang"],
+            "word": df["text"].fillna("").str.lower().str.split(),
+        }).explode("word", ignore_index=True).dropna(subset=["word"])
+        ex = ex.drop_duplicates()
+        ex["_b"] = _word_bucket_col(ex["word"])
+        return ex
+
+    def bucket_overlap(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["lang", "word"])
+        m = pd.crosstab(df["word"], df["lang"]).astype(bool)
+        co = m.T.to_numpy().astype("int64") @ m.to_numpy().astype("int64")
+        langs = list(m.columns)
+        rows = []
+        for i, la in enumerate(langs):
+            for j, lb in enumerate(langs):
+                if la < lb:
+                    rows.append({"lang_a": la, "lang_b": lb,
+                                 "n_shared": int(co[i, j])})
+        return pd.DataFrame(rows, columns=["lang_a", "lang_b", "n_shared"])
+
+    parts = ds.map_batches(pairs, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_overlap, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby(["lang_a", "lang_b"], as_index=False)["n_shared"] \
+        .sum()
+    out["n_shared"] = out["n_shared"].astype("int64")
+    return out.sort_values(["lang_a", "lang_b"]).reset_index(drop=True)

@@ -3422,3 +3422,47 @@ def events_daily_ewma(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "ewma_q"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# sessionization to a session TABLE (ids + bounds), not just per-user
+# stats: the event-to-entity assignment every funnel/attribution pipeline
+# starts from
+# ---------------------------------------------------------------------------
+
+
+def events_session_table(sf_dir: str) -> pd.DataFrame:
+    """One row per session: (user, session_id, start, end, event count),
+    sessions split at >30-minute gaps (same contract as
+    ``events_sessions``).
+
+    Scale shape: user-hash buckets hold complete histories; inside a
+    bucket ONE sort + diff + boundary mask + per-user cumsum (all C
+    kernels) assigns every event its session id, and only the per-session
+    aggregate rows leave the bucket."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df
+
+    def bucket_sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        boundary = df["user_id"].ne(df["user_id"].shift())
+        brk = ((df["ts"].diff() > gap) & ~boundary).astype("int64")
+        df = df.assign(session_id=brk.groupby(
+            df["user_id"], sort=False).cumsum())
+        out = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            start_ts=("ts", "min"), end_ts=("ts", "max"),
+            n_events=("ts", "size"))
+        return out
+
+    out = ds.map_batches(keep, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_sessions, batch_format="pandas") \
+        .to_pandas()
+    for c in ("user_id", "session_id", "n_events"):
+        out[c] = out[c].astype("int64")
+    return out[["user_id", "session_id", "start_ts", "end_ts", "n_events"]] \
+        .sort_values(["user_id", "session_id"]).reset_index(drop=True)

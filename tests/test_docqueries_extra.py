@@ -42,6 +42,7 @@ ORACLE_QUERIES = [
     "docs_inverted_index",
     "docs_mixture_weights",
     "docs_train_val_test",
+    "docs_lang_vocab_overlap",
 ]
 
 

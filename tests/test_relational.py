@@ -52,6 +52,7 @@ ORACLE_QUERIES = [
     "events_new_users_daily",
     "orders_profile",
     "events_daily_ewma",
+    "events_session_table",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
