@@ -3316,7 +3316,9 @@ def orders_profile(sf_dir: str) -> pd.DataFrame:
     (col, value) pairs dedup globally under a value-hash bucket and only
     per-column count partials reach the driver.  One scan feeds both."""
     cols = list(_PROFILE_INT_COLS + _PROFILE_STR_COLS)
-    ds = _read(sf_dir, "orders", cols).materialize()
+    # two streaming scans of the column-pruned read — cheaper than pinning
+    # the whole projection in the object store between the two passes
+    ds = _read(sf_dir, "orders", cols)
 
     def mm_partial(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
