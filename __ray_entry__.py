@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mixture_weights": dq.docs_mixture_weights,
         "docs_train_val_test": dq.docs_train_val_test,
         "docs_lang_vocab_overlap": dq.docs_lang_vocab_overlap,
+        "docs_incremental_dedup": dq.docs_incremental_dedup,
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
         "emb_nn_within_label": dq.emb_nn_within_label,
         "emb_int8_quantize": dq.emb_int8_quantize,
@@ -1432,6 +1433,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_shared
             FROM lw a JOIN lw b ON a.word = b.word AND a.lang < b.lang
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # incremental-ingest dedup: arrivals (odd doc_id) vs the ingested
+        # corpus (even doc_id); shared md5 hash, first arrival wins
+        "docs_incremental_dedup": """
+            WITH base AS (
+                SELECT DISTINCT md5(text) AS h FROM documents
+                WHERE doc_id % 2 = 0
+            ), inc AS (
+                SELECT doc_id, lang, md5(text) AS h FROM documents
+                WHERE doc_id % 2 = 1
+            ), surv AS (
+                SELECT lang FROM (
+                    SELECT i.lang, row_number() OVER (
+                        PARTITION BY i.h ORDER BY i.doc_id) AS rn
+                    FROM inc i
+                    WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.h = i.h)
+                ) WHERE rn = 1
+            ), n_in AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_incoming
+                FROM inc GROUP BY lang
+            ), n_sv AS (
+                SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_survivors
+                FROM surv GROUP BY lang
+            )
+            SELECT n_in.lang, n_in.n_incoming,
+                   CAST(COALESCE(n_sv.n_survivors, 0) AS BIGINT)
+                       AS n_survivors
+            FROM n_in LEFT JOIN n_sv USING (lang) ORDER BY n_in.lang
         """,
         # top bigram collocations by scaled lift (integer-exact monotone
         # twin of PMI); engine joins c(w1)/c(w2) via two word-hash-bucket

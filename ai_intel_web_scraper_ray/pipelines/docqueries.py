@@ -2061,3 +2061,62 @@ def docs_lang_vocab_overlap(sf_dir: str) -> pd.DataFrame:
         .sum()
     out["n_shared"] = out["n_shared"].astype("int64")
     return out.sort_values(["lang_a", "lang_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental-ingest dedup: a NEW batch of documents deduped against the
+# already-ingested corpus — the streaming-append shape (new data probes the
+# historical index; history is never rescanned per arriving doc)
+# ---------------------------------------------------------------------------
+
+
+def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Treat ``doc_id % 2 == 0`` as the ingested corpus and ``% 2 == 1`` as
+    the arriving batch: an arriving doc survives iff its text hash is
+    unseen in the corpus AND it is the first (min doc_id) arrival with
+    that hash.  Returns per-language (n_incoming, n_survivors).
+
+    Scale shape: both sides ship only (md5, …) projections; a hash bucket
+    colocates each hash's corpus row with its arrivals, so membership +
+    first-arrival resolve per bucket with set arithmetic — no broadcast
+    corpus index, no driver sets.  md5 is the shared-hash conformance
+    choice (see events_kmv_distinct)."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["text"].fillna("").map(
+            lambda t: hashlib.md5(t.encode()).hexdigest())
+        out = pd.DataFrame({
+            "h": h,
+            "doc_id": df["doc_id"].astype("int64"),
+            "lang": df["lang"],
+            "incoming": (df["doc_id"].astype("int64") % 2 == 1)})
+        out["_b"] = _word_bucket_col(out["h"])
+        return out
+
+    def bucket_resolve(df: pd.DataFrame) -> pd.DataFrame:
+        base = set(df.loc[~df["incoming"], "h"])
+        inc = df[df["incoming"]]
+        if inc.empty:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "n_incoming": pd.Series([], dtype="int64"),
+                                 "n_survivors": pd.Series([], dtype="int64")})
+        fresh = inc[~inc["h"].isin(base)]
+        surv = fresh.sort_values("doc_id").drop_duplicates("h", keep="first")
+        n_in = inc.groupby("lang", as_index=False).agg(
+            n_incoming=("h", "size"))
+        n_sv = surv.groupby("lang", as_index=False).agg(
+            n_survivors=("h", "size"))
+        out = n_in.merge(n_sv, on="lang", how="left").fillna(0)
+        out["n_survivors"] = out["n_survivors"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_resolve, batch_format="pandas") \
+        .to_pandas()
+    out = parts.groupby("lang", as_index=False).sum()
+    for c in ("n_incoming", "n_survivors"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)

@@ -43,6 +43,7 @@ ORACLE_QUERIES = [
     "docs_mixture_weights",
     "docs_train_val_test",
     "docs_lang_vocab_overlap",
+    "docs_incremental_dedup",
 ]
 
 
