@@ -73,6 +73,36 @@ def _records_path(path: str) -> str:
     return rec if os.path.isdir(path) and os.path.exists(rec) else path
 
 
+def cmd_crawl_multi(args):
+    """Crawl EVERY competitor config through one shared frontier: per-host
+    rate limits and excludes come from the compiled plan
+    (sources/config.py); records stream to worker-written parquet."""
+    _ray_init()
+
+    from .pipelines.crawl import crawl_scalable, load_crawl_records
+    from .sources.config import compile_competitor_configs, load_configs
+    from .sources.synthetic import make_web_graph
+
+    cfgs = load_configs(args.configs)
+    plan = compile_competitor_configs(cfgs)
+    from urllib.parse import urlparse
+
+    hosts = sorted({urlparse(s).netloc for s in plan["seeds"]})
+    pages = make_web_graph(seed=42, hosts=hosts,
+                           pages_per_host={i: 40 for i in range(len(hosts))})
+    os.makedirs(args.out, exist_ok=True)
+    res = crawl_scalable(
+        pages, plan["seeds"], max_depth=plan["max_depth"],
+        num_shards=4, per_host_delay=plan["per_host_delay"],
+        per_host_excludes=plan["per_host_excludes"],
+        materialize_records=False, records_dir=args.out,
+    )
+    n = load_crawl_records(args.out).count()
+    print(f"crawled {len(cfgs)} sources, {n} pages, "
+          f"seen {len(res['seen'])} urls, "
+          f"virtual politeness floor {res['virtual_time']:.2f}s -> {args.out}")
+
+
 def cmd_process(args):
     _ray_init()
     from .pipelines.process import process_pipeline
@@ -203,6 +233,12 @@ def main(argv=None):
     c.add_argument("--out", required=True)
     c.add_argument("--resume", action="store_true")
     c.set_defaults(fn=cmd_crawl)
+
+    c = sub.add_parser("crawl-multi")
+    c.add_argument("--configs", required=True,
+                   help="directory of competitor config JSONs (or one file)")
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_crawl_multi)
 
     c = sub.add_parser("process")
     c.add_argument("--in", dest="input", required=True)

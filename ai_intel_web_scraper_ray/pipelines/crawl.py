@@ -89,7 +89,8 @@ class FetchExtractWorker:
                  exclude_patterns: List[str], max_depth: int,
                  shards, num_shards: int, seed_domains: List[str],
                  wid: int = 0, records_dir: Optional[str] = None,
-                 transport=None, keep_payloads: bool = True):
+                 transport=None, keep_payloads: bool = True,
+                 per_host_excludes: Optional[Dict[str, List[str]]] = None):
         # keep_payloads=False: caller wants counts + seen set only (a
         # conformance/throughput scan) — skip the object-store put of record
         # bodies nobody will read (concurrent puts from a full worker pool
@@ -105,6 +106,9 @@ class FetchExtractWorker:
         self.transport = transport
         self.content_selector = content_selector
         self.exclude = list(exclude_patterns)
+        # per-source exclude patterns keyed by host (reference configs carry
+        # exclude_patterns per competitor; sources/config.py compiles them)
+        self.per_host_excludes = dict(per_host_excludes or {})
         self.max_depth = max_depth
         self.shards = shards
         self.num_shards = num_shards
@@ -122,6 +126,17 @@ class FetchExtractWorker:
         if i is None or self.status[i] != 200:
             return None
         return self.html[i].as_py()
+
+    def _is_excluded(self, url: str) -> bool:
+        if _excluded(url, self.exclude):
+            return True
+        if self.per_host_excludes:
+            from ..functions.urls import host_of
+
+            pats = self.per_host_excludes.get(host_of(url))
+            if pats and _excluded(url, pats):
+                return True
+        return False
 
     def _write_fragment(self, records: List[dict]) -> str:
         """Append one atomic parquet fragment (tmp + rename).  The filename
@@ -153,7 +168,7 @@ class FetchExtractWorker:
         records: List[dict] = []
         discovered: List[Tuple[str, int]] = []
         for url, depth in items:
-            if _excluded(url, self.exclude):
+            if self._is_excluded(url):
                 continue
             html = self._fetch_html(url)
             if html is None:
@@ -166,7 +181,7 @@ class FetchExtractWorker:
             records.append({"url": url, "depth": depth, "title": title, "text": text})
             for link in links:
                 norm = normalize_url(link)
-                if not _excluded(norm, self.exclude) and any(
+                if not self._is_excluded(norm) and any(
                     is_same_domain(norm, seed) for seed in self.seed_domains
                 ):
                     discovered.append((norm, depth + 1))
@@ -280,7 +295,7 @@ class FetchExtractWorker:
         for url, depth in items:
             res = {"url": url, "depth": depth, "ok": False, "title": "",
                    "text": "", "links": []}
-            if _excluded(url, self.exclude):
+            if self._is_excluded(url):
                 out.append(res)
                 continue
             html = self._fetch_html(url)
@@ -631,6 +646,8 @@ def crawl_scalable(
     transport=None,
     wall_clock_politeness: bool = False,
     self_leasing: bool = False,
+    per_host_delay: Optional[Dict[str, float]] = None,
+    per_host_excludes: Optional[Dict[str, List[str]]] = None,
 ) -> dict:
     """Throughput-shaped crawl: a fetch/extract worker actor pool fed by
     politeness-scheduled leases from the frontier shards; links route
@@ -669,7 +686,9 @@ def crawl_scalable(
     the records crawled so far (or their fragment manifest); ``resume=True``
     continues to completion and the union of partial+resumed records equals
     an uninterrupted run's."""
-    if transport is not None and min_delay > 0 and not wall_clock_politeness:
+    polite = min_delay > 0 or any(
+        d > 0 for d in (per_host_delay or {}).values())
+    if transport is not None and polite and not wall_clock_politeness:
         # the virtual politeness clock does not sleep; against a live
         # transport that would hammer real hosts at full speed while
         # CLAIMING a min_delay — make the documented MUST a mechanism
@@ -679,7 +698,7 @@ def crawl_scalable(
             "min_delay in wall time)"
         )
     if self_leasing and (checkpoint_dir or stop_after_fetches is not None
-                         or wall_clock_politeness or min_delay > 0
+                         or wall_clock_politeness or polite
                          or max_pages < 10**9):
         raise ValueError(
             "crawl_scalable: self_leasing is the politeness-off, "
@@ -688,7 +707,8 @@ def crawl_scalable(
     if pages_table_ref is None and transport is None:
         pages_table_ref = pages_to_table_ref(pages)
     shards = make_shards(num_shards, min_delay, respect_robots, robots_texts,
-                         depth_refinement=max_depth < 10**6)
+                         depth_refinement=max_depth < 10**6,
+                         per_host_delay=per_host_delay)
     ray.get([s.set_peers.remote(shards) for s in shards])
 
     ckpt = CrawlCheckpoint(checkpoint_dir) if checkpoint_dir else None
@@ -740,6 +760,7 @@ def crawl_scalable(
             shards, num_shards, seed_domains,
             wid=w, records_dir=records_dir, transport=transport,
             keep_payloads=materialize_records or records_dir is not None,
+            per_host_excludes=per_host_excludes,
         )
         for w in range(num_workers)
     ]

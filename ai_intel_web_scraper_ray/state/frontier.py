@@ -50,6 +50,7 @@ class FrontierShard:
         robots_texts: Optional[Dict[str, str]] = None,
         capacity_hint: int = 1 << 16,
         depth_refinement: bool = True,
+        per_host_delay: Optional[Dict[str, float]] = None,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -59,7 +60,7 @@ class FrontierShard:
         self.depth_refinement = depth_refinement
         self.seen = SeenSet(capacity_hint)
         self.heap: List[Tuple[int, int, str]] = []  # (depth, discovery_seq, url)
-        self.politeness = HostPoliteness(min_delay)
+        self.politeness = HostPoliteness(min_delay, per_host_delay)
         robots_texts = robots_texts or {}
         self.robots = RobotsCache(
             fetch_robots=lambda host: robots_texts.get(host),
@@ -127,7 +128,7 @@ class FrontierShard:
         statuses = self.seen.offer_depth_batch(items)
         ok = ("new", "better") if self.depth_refinement else ("new",)
 
-        if self.politeness.min_delay <= 0:
+        if not self.politeness.active:
             admitted = [it for it, st in zip(items, statuses) if st in ok]
             self.pushes_sent += len(admitted)
             self._push_local(admitted, count_received=True)
@@ -263,11 +264,12 @@ def make_shards(
     robots_texts: Optional[Dict[str, str]] = None,
     capacity_hint: int = 1 << 16,
     depth_refinement: bool = True,
+    per_host_delay: Optional[Dict[str, float]] = None,
 ):
     return [
         FrontierShard.remote(
             i, num_shards, min_delay, respect_robots, robots_texts, capacity_hint,
-            depth_refinement,
+            depth_refinement, per_host_delay,
         )
         for i in range(num_shards)
     ]

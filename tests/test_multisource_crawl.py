@@ -1,0 +1,77 @@
+"""Multi-source crawl plan: competitor configs compile to per-host
+politeness + per-host excludes on one shared frontier
+(sources/config.py; reference config/competitors/*.json consumed at
+docs_scraper.py:52-58)."""
+
+from __future__ import annotations
+
+from ai_intel_web_scraper_ray.pipelines.crawl import crawl_scalable
+from ai_intel_web_scraper_ray.sources.config import compile_competitor_configs
+from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+
+CFG_A = {
+    "name": "alpha",
+    "base_url": "https://docs.hot.example/p0",
+    "rate_limit_seconds": 0.05,
+    "exclude_patterns": ["/p3"],
+    "max_pages": 100,
+    "max_depth": 9,
+    "topic_keywords": ["ingest", "query"],
+}
+CFG_B = {
+    "name": "beta",
+    "base_url": "https://docs.cold1.example/p0",
+    "content_selector": "article",
+    "max_depth": 9,
+}
+
+
+def test_compile_plan_fields():
+    plan = compile_competitor_configs([CFG_A, CFG_B])
+    assert plan["seeds"] == ["https://docs.hot.example/p0",
+                             "https://docs.cold1.example/p0"]
+    assert plan["per_host_delay"] == {"docs.hot.example": 0.05}
+    assert plan["per_host_excludes"] == {"docs.hot.example": ["/p3"]}
+    assert plan["budgets"] == {"docs.hot.example": 100}
+    assert plan["topic_keywords"]["alpha"] == ["ingest", "query"]
+    assert plan["max_depth"] == 9
+
+
+def test_multisource_crawl_per_host_semantics(ray_session):
+    pages = make_web_graph(
+        hosts=["docs.hot.example", "docs.cold1.example"],
+        pages_per_host={0: 20, 1: 20},
+        error_sprinkle=False,
+    )
+    plan = compile_competitor_configs([CFG_A, CFG_B])
+    res = crawl_scalable(
+        pages, plan["seeds"], max_depth=plan["max_depth"],
+        num_shards=4, lease_per_shard=64,
+        per_host_delay=plan["per_host_delay"],
+        per_host_excludes=plan["per_host_excludes"],
+    )
+    urls = {r["url"] for r in res["records"]}
+    # the exclude pattern is scoped to ITS host: hot/p3 dropped, cold1/p3 kept
+    assert "https://docs.hot.example/p3" not in urls
+    assert "https://docs.cold1.example/p3" in urls
+    # both sources crawled through the one shared frontier
+    assert any(u.startswith("https://docs.hot.example/") for u in urls)
+    assert any(u.startswith("https://docs.cold1.example/") for u in urls)
+    # per-host politeness: only the rate-limited host pays a virtual-clock
+    # floor — ~19 fetches of docs.hot.example at 0.05 s/fetch
+    n_hot = sum(u.startswith("https://docs.hot.example/") for u in urls)
+    assert res["virtual_time"] >= (n_hot - 1) * 0.05
+
+
+def test_no_delay_hosts_keep_zero_virtual_time(ray_session):
+    pages = make_web_graph(
+        hosts=["docs.cold1.example"], pages_per_host={0: 20},
+        error_sprinkle=False,
+    )
+    res = crawl_scalable(
+        pages, ["https://docs.cold1.example/p0"], max_depth=9,
+        num_shards=2, lease_per_shard=64,
+        per_host_delay={"docs.hot.example": 0.05},  # other host only
+    )
+    assert res["virtual_time"] == 0.0
+    assert len(res["records"]) > 0
