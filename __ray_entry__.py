@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_train_val_test": dq.docs_train_val_test,
         "docs_lang_vocab_overlap": dq.docs_lang_vocab_overlap,
         "docs_incremental_dedup": dq.docs_incremental_dedup,
+        "emb_pq_codes": dq.emb_pq_codes,
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
         "emb_nn_within_label": dq.emb_nn_within_label,
         "emb_int8_quantize": dq.emb_int8_quantize,
@@ -339,6 +340,15 @@ def _primary_topic_sql() -> str:
         SELECT {case} AS primary_topic, COUNT(*) AS n
         FROM scored GROUP BY 1 ORDER BY 1
     """
+
+
+def _pq_dist_sql(s: int, sub: int = 16) -> str:
+    """Squared-L2 distance over subspace ``s`` (dims s*16+1 .. s*16+16,
+    1-indexed), matching emb_pq_codes' float contract."""
+    return " + ".join(
+        f"(CAST(e.embedding[{i + 1}] AS DOUBLE) - cb.ce[{i + 1}])"
+        f" * (CAST(e.embedding[{i + 1}] AS DOUBLE) - cb.ce[{i + 1}])"
+        for i in range(s * sub, (s + 1) * sub))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1882,6 +1892,46 @@ def oracle_sql() -> dict[str, str]:
             for i in range(64))
         ).replace("{NM}", " + ".join(
             f"m.m{i} * m.m{i}" for i in range(64))),
+        # product-quantization codes: per-subspace ROUND(L2², 6) argmin
+        # against the vec_id<8 codebook — same rounding contract as the
+        # kmeans twins, generated over the 4×16-dim subspaces
+        "emb_pq_codes": """
+            WITH cb AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), d AS (
+                SELECT e.vec_id, cb.cid,
+                       ROUND({D0}, 6) AS d0, ROUND({D1}, 6) AS d1,
+                       ROUND({D2}, 6) AS d2, ROUND({D3}, 6) AS d3
+                FROM embeddings e CROSS JOIN cb
+            ), a0 AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d0, cid) AS rn FROM d)
+                WHERE rn = 1),
+            a1 AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d1, cid) AS rn FROM d)
+                WHERE rn = 1),
+            a2 AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+                WHERE rn = 1),
+            a3 AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d3, cid) AS rn FROM d)
+                WHERE rn = 1)
+            SELECT CAST(a0.vec_id AS BIGINT) AS vec_id,
+                   CAST(a0.cid AS BIGINT) AS code_0,
+                   CAST(a1.cid AS BIGINT) AS code_1,
+                   CAST(a2.cid AS BIGINT) AS code_2,
+                   CAST(a3.cid AS BIGINT) AS code_3
+            FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+                    JOIN a3 USING (vec_id)
+            ORDER BY vec_id
+        """.replace("{D0}", _pq_dist_sql(0)).replace(
+            "{D1}", _pq_dist_sql(1)).replace(
+            "{D2}", _pq_dist_sql(2)).replace(
+            "{D3}", _pq_dist_sql(3)),
         "emb_knn": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -2120,3 +2120,55 @@ def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     for c in ("n_incoming", "n_survivors"):
         out[c] = out[c].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# product quantization: the vector-compression encode stage for 100-TB ANN
+# (64 dims → 4 subspace codes against an 8-centroid codebook per subspace)
+# ---------------------------------------------------------------------------
+
+_PQ_SUBSPACES = 4
+_PQ_K = 8
+
+
+def emb_pq_codes(sf_dir: str, n_sub: int = _PQ_SUBSPACES,
+                 k: int = _PQ_K) -> pd.DataFrame:
+    """PQ-encode every embedding: split the 64 dims into ``n_sub``
+    contiguous subspaces, code each against the deterministic codebook
+    (the ``vec_id < k`` vectors restricted to that subspace) by
+    ROUND(L2², 6) argmin, ties to the smaller centroid id — the rounding
+    is the same float contract as ``emb_kmeans_assign``, so the DuckDB
+    twin reproduces the codes exactly.
+
+    Scale shape: the codebook is one ``ray.put`` broadcast (n_sub×k×16
+    floats); encoding is a row-local vectorized einsum per batch — no
+    shuffle, 64 floats compress to ``n_sub`` small ints per row (the
+    whole point at 10⁹ vectors)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", k)])
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
+    cb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]) \
+        .astype(np.float64)
+    dim = cb.shape[1]
+    sub = dim // n_sub
+    cb_ref = ray.put(cb.reshape(k, n_sub, sub))
+
+    def encode(batch: pa.Table) -> pd.DataFrame:
+        cbk = ray.get(cb_ref)  # (k, n_sub, sub)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        v = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64).reshape(len(ids), n_sub, sub)
+        out = {"vec_id": ids}
+        for s in range(n_sub):
+            diff = v[:, None, s, :] - cbk[None, :, s, :]     # (n, k, sub)
+            d = np.round((diff * diff).sum(axis=-1), 6)      # (n, k)
+            out[f"code_{s}"] = np.argmin(d, axis=1).astype("int64")
+        return pd.DataFrame(out)
+
+    out = _emb(sf_dir).map_batches(encode, batch_format="pyarrow") \
+        .to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -44,6 +44,7 @@ ORACLE_QUERIES = [
     "docs_train_val_test",
     "docs_lang_vocab_overlap",
     "docs_incremental_dedup",
+    "emb_pq_codes",
 ]
 
 
