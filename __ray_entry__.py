@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_vocab_overlap": dq.docs_lang_vocab_overlap,
         "docs_incremental_dedup": dq.docs_incremental_dedup,
         "emb_pq_codes": dq.emb_pq_codes,
+        "emb_pq_adc_topk": dq.emb_pq_adc_topk,
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
         "emb_nn_within_label": dq.emb_nn_within_label,
         "emb_int8_quantize": dq.emb_int8_quantize,
@@ -342,12 +343,12 @@ def _primary_topic_sql() -> str:
     """
 
 
-def _pq_dist_sql(s: int, sub: int = 16) -> str:
+def _pq_dist_sql(s: int, sub: int = 16, lhs: str = "e.embedding") -> str:
     """Squared-L2 distance over subspace ``s`` (dims s*16+1 .. s*16+16,
     1-indexed), matching emb_pq_codes' float contract."""
     return " + ".join(
-        f"(CAST(e.embedding[{i + 1}] AS DOUBLE) - cb.ce[{i + 1}])"
-        f" * (CAST(e.embedding[{i + 1}] AS DOUBLE) - cb.ce[{i + 1}])"
+        f"(CAST({lhs}[{i + 1}] AS DOUBLE) - cb.ce[{i + 1}])"
+        f" * (CAST({lhs}[{i + 1}] AS DOUBLE) - cb.ce[{i + 1}])"
         for i in range(s * sub, (s + 1) * sub))
 
 
@@ -1932,6 +1933,58 @@ def oracle_sql() -> dict[str, str]:
             "{D1}", _pq_dist_sql(1)).replace(
             "{D2}", _pq_dist_sql(2)).replace(
             "{D3}", _pq_dist_sql(3)),
+        # ADC search over the PQ codes: per-subspace LUT from the query
+        # (vec_id 0) to the codebook, approximate distance = Σ LUT[code_s]
+        "emb_pq_adc_topk": """
+            WITH cb AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id = 0
+            ), lut AS (
+                SELECT cb.cid,
+                       ROUND({L0}, 6) AS l0, ROUND({L1}, 6) AS l1,
+                       ROUND({L2}, 6) AS l2, ROUND({L3}, 6) AS l3
+                FROM cb CROSS JOIN q
+            ), d AS (
+                SELECT e.vec_id, cb.cid,
+                       ROUND({D0}, 6) AS d0, ROUND({D1}, 6) AS d1,
+                       ROUND({D2}, 6) AS d2, ROUND({D3}, 6) AS d3
+                FROM embeddings e CROSS JOIN cb
+            ), a0 AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d0, cid) AS rn FROM d)
+                WHERE rn = 1),
+            a1 AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d1, cid) AS rn FROM d)
+                WHERE rn = 1),
+            a2 AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d)
+                WHERE rn = 1),
+            a3 AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d3, cid) AS rn FROM d)
+                WHERE rn = 1)
+            SELECT CAST(a0.vec_id AS BIGINT) AS vec_id,
+                   ROUND(l0.l0 + l1.l1 + l2.l2 + l3.l3, 6) AS adc
+            FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+                    JOIN a3 USING (vec_id)
+                 JOIN lut l0 ON l0.cid = a0.cid
+                 JOIN lut l1 ON l1.cid = a1.cid
+                 JOIN lut l2 ON l2.cid = a2.cid
+                 JOIN lut l3 ON l3.cid = a3.cid
+            ORDER BY adc, a0.vec_id LIMIT 10
+        """.replace("{D0}", _pq_dist_sql(0)).replace(
+            "{D1}", _pq_dist_sql(1)).replace(
+            "{D2}", _pq_dist_sql(2)).replace(
+            "{D3}", _pq_dist_sql(3)).replace(
+            "{L0}", _pq_dist_sql(0, lhs="q.qe")).replace(
+            "{L1}", _pq_dist_sql(1, lhs="q.qe")).replace(
+            "{L2}", _pq_dist_sql(2, lhs="q.qe")).replace(
+            "{L3}", _pq_dist_sql(3, lhs="q.qe")),
         "emb_knn": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -2172,3 +2172,56 @@ def emb_pq_codes(sf_dir: str, n_sub: int = _PQ_SUBSPACES,
     out = _emb(sf_dir).map_batches(encode, batch_format="pyarrow") \
         .to_pandas()
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def emb_pq_adc_topk(sf_dir: str, n_sub: int = _PQ_SUBSPACES,
+                    k_cent: int = _PQ_K, k: int = 10) -> pd.DataFrame:
+    """Asymmetric-distance (ADC) top-k search over the PQ codes: the query
+    (vec_id 0) precomputes one ROUND(L2², 6) lookup table per subspace
+    against the codebook; each vector's approximate distance is the sum of
+    its codes' table entries.  Ties break to the smaller vec_id.
+
+    Scale shape: this is WHY PQ exists at 10⁹ vectors — search touches
+    only the n_sub small-int codes per row plus a broadcast (n_sub × k)
+    LUT, never the float vectors; per-block partial top-k bounds the
+    driver merge at blocks × k rows (same exactness argument as
+    emb_knn)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", k_cent)])
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
+    cb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]) \
+        .astype(np.float64)
+    dim = cb.shape[1]
+    sub = dim // n_sub
+    q = _query_vec(sf_dir, 0).astype(np.float64).reshape(n_sub, sub)
+    cbs = cb.reshape(k_cent, n_sub, sub)
+    # LUT[s, c] = ROUND(L2²(q_s, codebook[c]_s), 6) — same contract as the
+    # encode stage, so the SQL twin's generated expressions match exactly
+    diff = q[None, :, :] - cbs                      # (k, n_sub, sub)
+    lut = np.round((diff * diff).sum(axis=-1).T, 6)  # (n_sub, k)
+    cb_ref = ray.put(cbs)
+    lut_ref = ray.put(lut)
+
+    def block_topk(batch: pa.Table) -> pd.DataFrame:
+        cbk = ray.get(cb_ref)
+        lt = ray.get(lut_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        v = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64).reshape(len(ids), n_sub, sub)
+        adc = np.zeros(len(ids), dtype=np.float64)
+        for s in range(n_sub):
+            d = np.round(((v[:, None, s, :] - cbk[None, :, s, :]) ** 2)
+                         .sum(axis=-1), 6)
+            adc += lt[s][np.argmin(d, axis=1)]
+        out = pd.DataFrame({"vec_id": ids, "adc": np.round(adc, 6)})
+        return out.sort_values(["adc", "vec_id"]).head(k)
+
+    cands = _emb(sf_dir).map_batches(block_topk, batch_format="pyarrow") \
+        .to_pandas()
+    out = cands.sort_values(["adc", "vec_id"]).head(k)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out[["vec_id", "adc"]].reset_index(drop=True)

@@ -45,6 +45,7 @@ ORACLE_QUERIES = [
     "docs_lang_vocab_overlap",
     "docs_incremental_dedup",
     "emb_pq_codes",
+    "emb_pq_adc_topk",
 ]
 
 
