@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_profile": rel.orders_profile,
         "events_daily_ewma": rel.events_daily_ewma,
         "events_session_table": rel.events_session_table,
+        "lineitem_zorder_sample": rel.lineitem_zorder_sample,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -232,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_incremental_dedup": dq.docs_incremental_dedup,
         "emb_pq_codes": dq.emb_pq_codes,
         "emb_pq_adc_topk": dq.emb_pq_adc_topk,
+        "emb_prefix_fidelity": dq.emb_prefix_fidelity,
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
         "emb_nn_within_label": dq.emb_nn_within_label,
         "emb_int8_quantize": dq.emb_int8_quantize,
@@ -1164,6 +1166,21 @@ def oracle_sql() -> dict[str, str]:
             FROM t GROUP BY user_id, session_id
             ORDER BY user_id, session_id
         """,
+        # Z-order (Morton) layout key: 8-bit interleave of two coordinates
+        "lineitem_zorder_sample": """
+            WITH kk AS (
+                SELECT l_orderkey, l_partkey % 256 AS a,
+                       l_suppkey % 256 AS b
+                FROM lineitem
+            )
+            SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST({Z} AS BIGINT) AS zkey
+            FROM kk ORDER BY zkey, l_orderkey LIMIT 20
+        """.replace("{Z}", " + ".join(
+            f"(((a >> {i}) & 1) * {1 << (2 * i)})"
+            f" + (((b >> {i}) & 1) * {1 << (2 * i + 1)})"
+            for i in range(8))),
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,
                    ROUND(SUM(p_retailprice) / COUNT(*), 4) AS avg_price
@@ -1985,6 +2002,23 @@ def oracle_sql() -> dict[str, str]:
             "{L1}", _pq_dist_sql(1, lhs="q.qe")).replace(
             "{L2}", _pq_dist_sql(2, lhs="q.qe")).replace(
             "{L3}", _pq_dist_sql(3, lhs="q.qe")),
+        # Matryoshka-style prefix search fidelity (rank by 16-dim prefix)
+        "emb_prefix_fidelity": """
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qe,
+                       CAST(embedding[1:16] AS DOUBLE[]) AS qp
+                FROM embeddings WHERE vec_id = 0
+            )
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding[1:16] AS DOUBLE[]),
+                       (SELECT qp FROM q)), 6) AS pcos,
+                   ROUND(list_cosine_similarity(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT qe FROM q)), 6) AS fcos
+            FROM embeddings
+            ORDER BY pcos DESC, vec_id LIMIT 10
+        """,
         "emb_knn": """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

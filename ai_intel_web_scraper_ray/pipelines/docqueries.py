@@ -2225,3 +2225,46 @@ def emb_pq_adc_topk(sf_dir: str, n_sub: int = _PQ_SUBSPACES,
     out = cands.sort_values(["adc", "vec_id"]).head(k)
     out["vec_id"] = out["vec_id"].astype("int64")
     return out[["vec_id", "adc"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# truncated-embedding (Matryoshka-style) search fidelity: rank by the
+# 16-dim PREFIX, report both prefix and full cosine — the cheap-first
+# retrieval cascade signal
+# ---------------------------------------------------------------------------
+
+
+def emb_prefix_fidelity(sf_dir: str, prefix: int = 16,
+                        k: int = 10) -> pd.DataFrame:
+    """Top-k vectors by PREFIX-cosine to query vec 0, with the full-vector
+    cosine alongside — how much ranking quality a 4× cheaper first-stage
+    scan retains.
+
+    Scale shape: row-local vectorized cosines per batch + per-block
+    partial top-k (driver merges blocks×k rows); at 10⁹ vectors the
+    prefix scan reads a 4×-smaller column and the full cosine is computed
+    only for the survivors — here both are reported for the fidelity
+    check."""
+    q = _query_vec(sf_dir, 0).astype(np.float64)
+    qp = q[:prefix]
+
+    def block_topk(batch: pa.Table) -> pd.DataFrame:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        v = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        vp = v[:, :prefix]
+        pcos = np.round(
+            (vp @ qp) / (np.linalg.norm(vp, axis=1)
+                         * np.linalg.norm(qp)), 6)
+        fcos = np.round(
+            (v @ q) / (np.linalg.norm(v, axis=1) * np.linalg.norm(q)), 6)
+        out = pd.DataFrame({"vec_id": ids, "pcos": pcos, "fcos": fcos})
+        return out.sort_values(["pcos", "vec_id"],
+                               ascending=[False, True]).head(k)
+
+    cands = _emb(sf_dir).map_batches(block_topk, batch_format="pyarrow") \
+        .to_pandas()
+    out = cands.sort_values(["pcos", "vec_id"],
+                            ascending=[False, True]).head(k)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out[["vec_id", "pcos", "fcos"]].reset_index(drop=True)

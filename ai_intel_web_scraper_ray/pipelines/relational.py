@@ -3468,3 +3468,42 @@ def events_session_table(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     return out[["user_id", "session_id", "start_ts", "end_ts", "n_events"]] \
         .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# space-filling-curve layout key: Z-order (Morton) interleave of two
+# coordinates — the multi-dimensional data-clustering key a 100-TB layout
+# sorts by so range predicates on EITHER column prune contiguous runs
+# ---------------------------------------------------------------------------
+
+
+def lineitem_zorder_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """The first ``k`` lineitems in Z-order over (l_partkey % 256,
+    l_suppkey % 256) (8 bits each interleaved; ties to the smaller
+    orderkey).
+
+    Scale shape: the Morton key is vectorized numpy bit math per batch
+    (row-local); the global head-k comes from per-block partial top-k +
+    an O(blocks×k) driver merge — in a real layout job the SAME key
+    feeds ``Dataset.sort`` + ``write_parquet`` to cluster the table."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey"])
+
+    def zkey(df: pd.DataFrame) -> pd.DataFrame:
+        a = (df["l_partkey"].to_numpy(dtype="int64") % 256)
+        b = (df["l_suppkey"].to_numpy(dtype="int64") % 256)
+        z = np.zeros(len(df), dtype="int64")
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        out = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].astype("int64"),
+            "a": a.astype("int64"), "b": b.astype("int64"),
+            "zkey": z})
+        return out.sort_values(["zkey", "l_orderkey"]).head(k)
+
+    cands = ds.map_batches(zkey, batch_format="pandas").to_pandas()
+    out = cands.sort_values(["zkey", "l_orderkey"]).head(k)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out[["l_orderkey", "a", "b", "zkey"]].reset_index(drop=True)

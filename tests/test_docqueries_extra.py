@@ -46,6 +46,7 @@ ORACLE_QUERIES = [
     "docs_incremental_dedup",
     "emb_pq_codes",
     "emb_pq_adc_topk",
+    "emb_prefix_fidelity",
 ]
 
 

@@ -53,6 +53,7 @@ ORACLE_QUERIES = [
     "orders_profile",
     "events_daily_ewma",
     "events_session_table",
+    "lineitem_zorder_sample",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
