@@ -1,0 +1,187 @@
+"""Randomized brute-force conformance for this session's operators
+(session table, EWMA recurrence, heavy hitters, KMV sketch, PageRank,
+triangle census) — the driver gate pins them on the fixed corpus; these
+cover random inputs across seeds."""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+
+def _random_events(seed: int, n: int = 400) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    base = pd.Timestamp("2024-01-01").value
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype="int64"),
+        "ts": pd.to_datetime(
+            base + rng.randint(0, 5 * 86400 * 10**9, size=n), unit="ns"
+        ).floor("us"),
+        "user_id": rng.randint(0, 10, size=n).astype("int64"),
+        "event_type": rng.choice(
+            ["purchase", "click", "view", "error", "signup"], size=n),
+        "value": np.round(rng.uniform(0, 30, size=n), 2),
+        "props": ['{"k": 1}'] * n,
+    })
+
+
+@pytest.fixture(params=[3, 41, 77])
+def events_dir(request, tmp_path):
+    df = _random_events(request.param)
+    df.to_parquet(tmp_path / "events.parquet")
+    return str(tmp_path), df
+
+
+class TestSessionTable:
+    def test_matches_bruteforce(self, events_dir):
+        sf_dir, df = events_dir
+        got = rel.events_session_table(sf_dir)
+        gap = pd.Timedelta(minutes=30)
+        rows = []
+        for uid, g in df.sort_values(["user_id", "ts"]).groupby("user_id"):
+            sid = 0
+            prev = None
+            bucket: list = []
+            for ts in g["ts"]:
+                if prev is not None and ts - prev > gap:
+                    rows.append((uid, sid, bucket[0], bucket[-1],
+                                 len(bucket)))
+                    sid += 1
+                    bucket = []
+                bucket.append(ts)
+                prev = ts
+            rows.append((uid, sid, bucket[0], bucket[-1], len(bucket)))
+        exp = pd.DataFrame(rows, columns=[
+            "user_id", "session_id", "start_ts", "end_ts", "n_events"]) \
+            .sort_values(["user_id", "session_id"]).reset_index(drop=True)
+        for c in ("user_id", "session_id", "n_events"):
+            exp[c] = exp[c].astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
+
+
+class TestDailyEwma:
+    def test_matches_bruteforce(self, events_dir):
+        sf_dir, df = events_dir
+        got = rel.events_daily_ewma(sf_dir)
+        d = df.copy()
+        d["day"] = d["ts"].dt.floor("D")
+        counts = d.groupby(["event_type", "day"]).size().rename("n") \
+            .reset_index()
+        rows = []
+        for et, g in counts.groupby("event_type"):
+            g = g.sort_values("day")
+            acc = None
+            for _, r in g.iterrows():
+                acc = int(r["n"]) if acc is None \
+                    else (3 * acc + int(r["n"])) // 4
+                rows.append((et, r["day"], int(r["n"]), acc))
+        exp = pd.DataFrame(rows, columns=["event_type", "day", "n",
+                                          "ewma_q"]) \
+            .sort_values(["event_type", "day"]).reset_index(drop=True)
+        for c in ("n", "ewma_q"):
+            exp[c] = exp[c].astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
+
+
+class TestTopUsersAndKmv:
+    def test_top_users(self, events_dir):
+        sf_dir, df = events_dir
+        got = rel.events_top_users(sf_dir)
+        vc = df.groupby("user_id").size().rename("n").reset_index()
+        exp = vc.sort_values(["n", "user_id"], ascending=[False, True],
+                             kind="mergesort").head(20) \
+            .reset_index(drop=True).astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_kmv(self, events_dir):
+        sf_dir, df = events_dir
+        got = rel.events_kmv_distinct(sf_dir)
+        rows = []
+        for et, g in df.groupby("event_type"):
+            hs = sorted({int(hashlib.md5(str(u).encode()).hexdigest()[:8],
+                             16) for u in g["user_id"].unique()})
+            if len(hs) < 8:
+                continue
+            kth = hs[7]
+            rows.append((et, kth, 7 * 4294967296 // kth))
+        exp = pd.DataFrame(rows, columns=["event_type", "kth_hash",
+                                          "est_users"]) \
+            .sort_values("event_type").reset_index(drop=True)
+        for c in ("kth_hash", "est_users"):
+            exp[c] = exp[c].astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
+
+
+def _random_lineitem(seed: int, n_orders: int = 80,
+                     n_parts: int = 25) -> pd.DataFrame:
+    rng = np.random.RandomState(seed)
+    rows = []
+    for ok in range(n_orders):
+        for pk in rng.choice(n_parts, size=rng.randint(2, 6),
+                             replace=False):
+            rows.append((ok, int(pk), int(rng.randint(1, 4))))
+    return pd.DataFrame(rows, columns=["l_orderkey", "l_partkey",
+                                       "l_suppkey"]).astype("int64")
+
+
+@pytest.fixture(params=[5, 19])
+def lineitem_dir(request, tmp_path):
+    df = _random_lineitem(request.param)
+    df.to_parquet(tmp_path / "lineitem.parquet")
+    return str(tmp_path), df
+
+
+def _edges(df: pd.DataFrame) -> dict:
+    """directed (src, dst) -> co-order count."""
+    e: dict = {}
+    for _, g in df.drop_duplicates(["l_orderkey", "l_partkey"]) \
+            .groupby("l_orderkey"):
+        for a, b in itertools.permutations(g["l_partkey"].tolist(), 2):
+            e[(a, b)] = e.get((a, b), 0) + 1
+    return e
+
+
+class TestPagerank:
+    def test_matches_bruteforce(self, lineitem_dir):
+        sf_dir, df = lineitem_dir
+        got = rel.parts_pagerank(sf_dir)
+        e = _edges(df)
+        outw: dict = {}
+        for (s, _d), n in e.items():
+            outw[s] = outw.get(s, 0) + n
+        r1: dict = {}
+        for (s, d), n in e.items():
+            r1[d] = r1.get(d, 0) + 1_000_000 * n // outw[s]
+        r1 = {d: 150_000 + 850 * v // 1_000 for d, v in r1.items()}
+        r2: dict = {}
+        for (s, d), n in e.items():
+            r2[d] = r2.get(d, 0) + r1[s] * n // outw[s]
+        r2 = {d: 150_000 + 850 * v // 1_000 for d, v in r2.items()}
+        exp = pd.DataFrame(sorted(r2.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:20],
+                           columns=["part", "rank_ppm"]).astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
+
+
+class TestTriangles:
+    def test_matches_bruteforce(self, lineitem_dir):
+        sf_dir, df = lineitem_dir
+        got = rel.parts_triangles(sf_dir)
+        e = _edges(df)
+        und = {(a, b) for (a, b), n in e.items() if a < b and n >= 2}
+        nodes = sorted({x for ab in und for x in ab})
+        adj = {x: {b for (a, b) in und if a == x} for x in nodes}
+        wedges = sum(len(list(itertools.combinations(sorted(adj[x]), 2)))
+                     for x in nodes)
+        tris = sum(1 for x in nodes
+                   for (y, z) in itertools.combinations(sorted(adj[x]), 2)
+                   if (y, z) in und)
+        exp = pd.DataFrame({"n_edges": [len(und)], "n_wedges": [wedges],
+                            "n_triangles": [tris]}).astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
