@@ -95,6 +95,7 @@ def cmd_crawl_multi(args):
         pages, plan["seeds"], max_depth=plan["max_depth"],
         num_shards=4, per_host_delay=plan["per_host_delay"],
         per_host_excludes=plan["per_host_excludes"],
+        per_host_budget=plan["budgets"],
         materialize_records=False, records_dir=args.out,
     )
     n = load_crawl_records(args.out).count()

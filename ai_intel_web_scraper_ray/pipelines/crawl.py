@@ -648,6 +648,7 @@ def crawl_scalable(
     self_leasing: bool = False,
     per_host_delay: Optional[Dict[str, float]] = None,
     per_host_excludes: Optional[Dict[str, List[str]]] = None,
+    per_host_budget: Optional[Dict[str, int]] = None,
 ) -> dict:
     """Throughput-shaped crawl: a fetch/extract worker actor pool fed by
     politeness-scheduled leases from the frontier shards; links route
@@ -708,7 +709,8 @@ def crawl_scalable(
         pages_table_ref = pages_to_table_ref(pages)
     shards = make_shards(num_shards, min_delay, respect_robots, robots_texts,
                          depth_refinement=max_depth < 10**6,
-                         per_host_delay=per_host_delay)
+                         per_host_delay=per_host_delay,
+                         per_host_budget=per_host_budget)
     ray.get([s.set_peers.remote(shards) for s in shards])
 
     ckpt = CrawlCheckpoint(checkpoint_dir) if checkpoint_dir else None

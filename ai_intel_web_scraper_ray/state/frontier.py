@@ -51,6 +51,7 @@ class FrontierShard:
         capacity_hint: int = 1 << 16,
         depth_refinement: bool = True,
         per_host_delay: Optional[Dict[str, float]] = None,
+        per_host_budget: Optional[Dict[str, int]] = None,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -61,6 +62,14 @@ class FrontierShard:
         self.seen = SeenSet(capacity_hint)
         self.heap: List[Tuple[int, int, str]] = []  # (depth, discovery_seq, url)
         self.politeness = HostPoliteness(min_delay, per_host_delay)
+        # per-host fetch budgets (lease-level: counts fetch ATTEMPTS of
+        # leased URLs; the reference's successful-extract budget semantics
+        # are owned by the strict/ordered modes).  Budgets require
+        # host-affinity routing — see offer_route — so each host's counter
+        # lives whole on its home shard and stays globally exact.
+        self.per_host_budget: Dict[str, int] = dict(per_host_budget or {})
+        self.emitted_by_host: Dict[str, int] = {}
+        self.budget_dropped = 0
         robots_texts = robots_texts or {}
         self.robots = RobotsCache(
             fetch_robots=lambda host: robots_texts.get(host),
@@ -128,7 +137,7 @@ class FrontierShard:
         statuses = self.seen.offer_depth_batch(items)
         ok = ("new", "better") if self.depth_refinement else ("new",)
 
-        if not self.politeness.active:
+        if not (self.politeness.active or self.per_host_budget):
             admitted = [it for it, st in zip(items, statuses) if st in ok]
             self.pushes_sent += len(admitted)
             self._push_local(admitted, count_received=True)
@@ -190,7 +199,17 @@ class FrontierShard:
         out = []
         while self.heap and len(out) < n:
             depth, _, url = heapq.heappop(self.heap)
-            t = self.politeness.reserve(host_of(url), now)
+            host = host_of(url)
+            if self.per_host_budget:
+                cap = self.per_host_budget.get(host)
+                used = self.emitted_by_host.get(host, 0)
+                if cap is not None and used >= cap:
+                    # budget exhausted: drop, never requeue (the
+                    # reference's stop-at-budget discard), keep counting
+                    self.budget_dropped += 1
+                    continue
+                self.emitted_by_host[host] = used + 1
+            t = self.politeness.reserve(host, now)
             out.append((url, depth, t))
             self.emitted += 1
         if track_lease and out:
@@ -232,6 +251,7 @@ class FrontierShard:
             "emitted": self.emitted,
             "filter_negatives": self.seen.filter_negatives,
             "filter_positives": self.seen.filter_positives,
+            "budget_dropped": self.budget_dropped,
         }
 
     def checkpoint(self) -> Dict:
@@ -242,6 +262,8 @@ class FrontierShard:
             "seq": self._seq,
             "politeness": self.politeness.snapshot(),
             "counters": (self.offered, self.admitted, self.emitted),
+            "emitted_by_host": dict(self.emitted_by_host),
+            "budget_dropped": self.budget_dropped,
             "flows": (self.offers_received, self.pushes_sent, self.pushes_received),
         }
 
@@ -252,6 +274,8 @@ class FrontierShard:
         self._seq = state["seq"]
         self.politeness.restore(state["politeness"])
         self.offered, self.admitted, self.emitted = state["counters"]
+        self.emitted_by_host = dict(state.get("emitted_by_host", {}))
+        self.budget_dropped = state.get("budget_dropped", 0)
         flows = state.get("flows")
         if flows:
             self.offers_received, self.pushes_sent, self.pushes_received = flows
@@ -265,11 +289,12 @@ def make_shards(
     capacity_hint: int = 1 << 16,
     depth_refinement: bool = True,
     per_host_delay: Optional[Dict[str, float]] = None,
+    per_host_budget: Optional[Dict[str, int]] = None,
 ):
     return [
         FrontierShard.remote(
             i, num_shards, min_delay, respect_robots, robots_texts, capacity_hint,
-            depth_refinement, per_host_delay,
+            depth_refinement, per_host_delay, per_host_budget,
         )
         for i in range(num_shards)
     ]

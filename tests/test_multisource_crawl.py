@@ -75,3 +75,25 @@ def test_no_delay_hosts_keep_zero_virtual_time(ray_session):
     )
     assert res["virtual_time"] == 0.0
     assert len(res["records"]) > 0
+
+
+def test_per_host_budget_caps_fetches(ray_session):
+    pages = make_web_graph(
+        hosts=["docs.hot.example", "docs.cold1.example"],
+        pages_per_host={0: 20, 1: 20},
+        error_sprinkle=False,
+    )
+    res = crawl_scalable(
+        pages,
+        ["https://docs.hot.example/p0", "https://docs.cold1.example/p0"],
+        max_depth=9, num_shards=4, lease_per_shard=64,
+        per_host_budget={"docs.hot.example": 5},
+    )
+    urls = {r["url"] for r in res["records"]}
+    n_hot = sum(u.startswith("https://docs.hot.example/") for u in urls)
+    n_cold = sum(u.startswith("https://docs.cold1.example/") for u in urls)
+    # lease-level budget: at most 5 hot fetch attempts ever leave the shard
+    assert n_hot <= 5
+    assert n_cold > 5  # the other host is unaffected
+    stats = res["stats"]
+    assert sum(s["budget_dropped"] for s in stats) > 0
