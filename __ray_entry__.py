@@ -1365,15 +1365,20 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, unnest(w) AS word,
                        generate_subscripts(w, 1) AS pos
                 FROM toks
+            ), agg AS (
+                SELECT doc_id,
+                       COUNT(CASE WHEN word LIKE 's%' THEN 1 END) AS n_media,
+                       MIN(CASE WHEN word LIKE 's%' THEN pos END) AS first_pos
+                FROM tok GROUP BY doc_id
             )
-            SELECT doc_id,
-                   CAST(2 + COUNT(CASE WHEN word LIKE 's%' THEN 1 END)
-                        AS BIGINT) AS n_spans,
-                   CAST(COUNT(CASE WHEN word LIKE 's%' THEN 1 END)
-                        AS BIGINT) AS n_media,
-                   CAST(COALESCE(MIN(CASE WHEN word LIKE 's%' THEN pos END),
-                                 0) AS BIGINT) AS first_pos
-            FROM tok GROUP BY doc_id ORDER BY doc_id
+            -- LEFT JOIN from documents: an empty/whitespace-only doc has
+            -- no token rows but the codec still emits its title+body spans
+            SELECT d.doc_id,
+                   CAST(2 + COALESCE(a.n_media, 0) AS BIGINT) AS n_spans,
+                   CAST(COALESCE(a.n_media, 0) AS BIGINT) AS n_media,
+                   CAST(COALESCE(a.first_pos, 0) AS BIGINT) AS first_pos
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         # shared-media-asset census over the interleaved corpus
         "docs_media_ref_counts": r"""

@@ -96,6 +96,7 @@ def cmd_crawl_multi(args):
         num_shards=4, per_host_delay=plan["per_host_delay"],
         per_host_excludes=plan["per_host_excludes"],
         per_host_budget=plan["budgets"],
+        per_host_selectors=plan["selectors"],
         materialize_records=False, records_dir=args.out,
     )
     n = load_crawl_records(args.out).count()

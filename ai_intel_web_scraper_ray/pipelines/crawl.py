@@ -90,7 +90,8 @@ class FetchExtractWorker:
                  shards, num_shards: int, seed_domains: List[str],
                  wid: int = 0, records_dir: Optional[str] = None,
                  transport=None, keep_payloads: bool = True,
-                 per_host_excludes: Optional[Dict[str, List[str]]] = None):
+                 per_host_excludes: Optional[Dict[str, List[str]]] = None,
+                 per_host_selectors: Optional[Dict[str, str]] = None):
         # keep_payloads=False: caller wants counts + seen set only (a
         # conformance/throughput scan) — skip the object-store put of record
         # bodies nobody will read (concurrent puts from a full worker pool
@@ -106,9 +107,11 @@ class FetchExtractWorker:
         self.transport = transport
         self.content_selector = content_selector
         self.exclude = list(exclude_patterns)
-        # per-source exclude patterns keyed by host (reference configs carry
-        # exclude_patterns per competitor; sources/config.py compiles them)
+        # per-source exclude patterns / content selectors keyed by host
+        # (reference configs carry both per competitor; sources/config.py
+        # compiles them)
         self.per_host_excludes = dict(per_host_excludes or {})
+        self.per_host_selectors = dict(per_host_selectors or {})
         self.max_depth = max_depth
         self.shards = shards
         self.num_shards = num_shards
@@ -126,6 +129,14 @@ class FetchExtractWorker:
         if i is None or self.status[i] != 200:
             return None
         return self.html[i].as_py()
+
+    def _selector_for(self, url: str) -> str:
+        if self.per_host_selectors:
+            from ..functions.urls import host_of
+
+            return self.per_host_selectors.get(host_of(url),
+                                               self.content_selector)
+        return self.content_selector
 
     def _is_excluded(self, url: str) -> bool:
         if _excluded(url, self.exclude):
@@ -174,7 +185,8 @@ class FetchExtractWorker:
             if html is None:
                 continue
             title, text, links = extract_page(
-                html, self.content_selector, url, collect_links=depth < self.max_depth
+                html, self._selector_for(url), url,
+                collect_links=depth < self.max_depth
             )
             if not text.strip():
                 continue
@@ -303,7 +315,8 @@ class FetchExtractWorker:
                 out.append(res)
                 continue
             title, text, links = extract_page(
-                html, self.content_selector, url, collect_links=depth < self.max_depth
+                html, self._selector_for(url), url,
+                collect_links=depth < self.max_depth
             )
             if not text.strip():
                 out.append(res)
@@ -649,6 +662,7 @@ def crawl_scalable(
     per_host_delay: Optional[Dict[str, float]] = None,
     per_host_excludes: Optional[Dict[str, List[str]]] = None,
     per_host_budget: Optional[Dict[str, int]] = None,
+    per_host_selectors: Optional[Dict[str, str]] = None,
 ) -> dict:
     """Throughput-shaped crawl: a fetch/extract worker actor pool fed by
     politeness-scheduled leases from the frontier shards; links route
@@ -763,6 +777,7 @@ def crawl_scalable(
             wid=w, records_dir=records_dir, transport=transport,
             keep_payloads=materialize_records or records_dir is not None,
             per_host_excludes=per_host_excludes,
+            per_host_selectors=per_host_selectors,
         )
         for w in range(num_workers)
     ]

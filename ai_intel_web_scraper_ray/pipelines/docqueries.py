@@ -1941,6 +1941,11 @@ def docs_inverted_index(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(pairs, batch_format="pyarrow") \
         .groupby("_b").map_groups(assemble, batch_format="pandas") \
         .to_pandas()
+    if out.empty:
+        # empty index shard → schema-less empty; match the oracle
+        return pd.DataFrame({"word": pd.Series([], dtype=object),
+                             "df_docs": pd.Series([], dtype="int64"),
+                             "postings": pd.Series([], dtype=object)})
     out["df_docs"] = out["df_docs"].astype("int64")
     return out[["word", "df_docs", "postings"]] \
         .sort_values(["df_docs", "word"], ascending=[False, True]) \
@@ -2049,7 +2054,9 @@ def docs_lang_vocab_overlap(sf_dir: str) -> pd.DataFrame:
         rows = []
         for i, la in enumerate(langs):
             for j, lb in enumerate(langs):
-                if la < lb:
+                # co == 0 pairs are omitted: the oracle's inner join on
+                # word never yields a row for pairs with no shared word
+                if la < lb and co[i, j] > 0:
                     rows.append({"lang_a": la, "lang_b": lb,
                                  "n_shared": int(co[i, j])})
         return pd.DataFrame(rows, columns=["lang_a", "lang_b", "n_shared"])
@@ -2057,6 +2064,12 @@ def docs_lang_vocab_overlap(sf_dir: str) -> pd.DataFrame:
     parts = ds.map_batches(pairs, batch_format="pandas") \
         .groupby("_b").map_groups(bucket_overlap, batch_format="pandas") \
         .to_pandas()
+    if parts.empty:
+        # every bucket empty → Ray drops the schema; return the typed
+        # empty frame the oracle's inner join would produce
+        return pd.DataFrame({"lang_a": pd.Series([], dtype=object),
+                             "lang_b": pd.Series([], dtype=object),
+                             "n_shared": pd.Series([], dtype="int64")})
     out = parts.groupby(["lang_a", "lang_b"], as_index=False)["n_shared"] \
         .sum()
     out["n_shared"] = out["n_shared"].astype("int64")
@@ -2116,6 +2129,11 @@ def docs_incremental_dedup(sf_dir: str) -> pd.DataFrame:
     parts = ds.map_batches(partial, batch_format="pandas") \
         .groupby("_b").map_groups(bucket_resolve, batch_format="pandas") \
         .to_pandas()
+    if parts.empty:
+        # no arriving docs at all → schema-less empty; match the oracle
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "n_incoming": pd.Series([], dtype="int64"),
+                             "n_survivors": pd.Series([], dtype="int64")})
     out = parts.groupby("lang", as_index=False).sum()
     for c in ("n_incoming", "n_survivors"):
         out[c] = out[c].astype("int64")

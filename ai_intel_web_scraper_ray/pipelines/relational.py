@@ -3023,6 +3023,13 @@ def parts_pagerank(sf_dir: str, k: int = _PAGERANK_TOP) -> pd.DataFrame:
             "node": out["dst"].astype("int64"),
             rank_col: (150_000 + 850 * out["c"] // 1_000).astype("int64")})
 
+    if edges.count() == 0:
+        # no co-ordered pair anywhere: Dataset.join on a schema-less empty
+        # side crashes the hash shuffle (see _join_partitions) — return
+        # the oracle's empty top-20 directly
+        return pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                             "rank_ppm": pd.Series([], dtype="int64")})
+
     rank1 = edges.map_batches(contrib1, batch_format="pandas") \
         .groupby("_d").map_groups(
             lambda df: damp(df, "rank"), batch_format="pandas")
@@ -3246,11 +3253,21 @@ def parts_triangles(sf_dir: str, min_weight: int = 2) -> pd.DataFrame:
         return pd.DataFrame({"y": m["v_x"].astype("int64"),
                              "z": m["v_y"].astype("int64")})
 
+    if n_edges == 0:
+        return pd.DataFrame({"n_edges": [0], "n_wedges": [0],
+                             "n_triangles": [0]}).astype("int64")
+
     wedges = edges.map_batches(bucket_u, batch_format="pandas") \
         .groupby("_u").map_groups(gen_wedges, batch_format="pandas") \
         .materialize()
     n_wedges = wedges.count()
 
+    if n_wedges == 0:
+        # an empty join side loses its schema and crashes the hash
+        # shuffle (see _join_partitions) — and zero wedges means zero
+        # triangles anyway
+        return pd.DataFrame({"n_edges": [n_edges], "n_wedges": [0],
+                             "n_triangles": [0]}).astype("int64")
     tri = wedges.join(edges, join_type="inner", num_partitions=4,
                       on=("y", "z"), right_on=("u", "v"))
     n_triangles = tri.count()

@@ -183,7 +183,18 @@ class FrontierShard:
 
     def push_external(self, items: Sequence[Tuple[str, int]]) -> int:
         """Driver-originated push (checkpoint lease re-entry): counts both
-        sent and received here so flow conservation stays balanced."""
+        sent and received here so flow conservation stays balanced.
+
+        Re-entered items were already LEASED once (budget charged in
+        take()); refund that charge so an interrupted+resumed budgeted
+        crawl fetches the same pages as an uninterrupted one."""
+        if self.per_host_budget:
+            for url, _depth in items:
+                h = host_of(url)
+                if h in self.per_host_budget:
+                    used = self.emitted_by_host.get(h, 0)
+                    if used > 0:
+                        self.emitted_by_host[h] = used - 1
         self.pushes_sent += len(items)
         return self._push_local(items, count_received=True)
 

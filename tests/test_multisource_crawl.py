@@ -97,3 +97,44 @@ def test_per_host_budget_caps_fetches(ray_session):
     assert n_cold > 5  # the other host is unaffected
     stats = res["stats"]
     assert sum(s["budget_dropped"] for s in stats) > 0
+
+
+def test_budget_refund_on_checkpoint_resume(ray_session, tmp_path):
+    """An interrupted+resumed budgeted crawl must fetch the same pages as
+    an uninterrupted one: leases in flight at the checkpoint are re-pushed
+    AND their budget charge refunded (frontier.push_external)."""
+    pages = make_web_graph(hosts=["docs.hot.example"],
+                           pages_per_host={0: 20}, error_sprinkle=False)
+    seeds = ["https://docs.hot.example/p0"]
+    budget = {"docs.hot.example": 7}
+
+    full = crawl_scalable(pages, seeds, max_depth=9, num_shards=2,
+                          lease_per_shard=4, per_host_budget=budget)
+    ck = str(tmp_path / "ck")
+    part = crawl_scalable(pages, seeds, max_depth=9, num_shards=2,
+                          lease_per_shard=4, per_host_budget=budget,
+                          checkpoint_dir=ck, stop_after_fetches=1)
+    res = crawl_scalable(pages, seeds, max_depth=9, num_shards=2,
+                         lease_per_shard=4, per_host_budget=budget,
+                         checkpoint_dir=ck, resume=True)
+    n_full = len({r["url"] for r in full["records"]})
+    n_resumed = len({r["url"] for r in part["records"]}
+                    | {r["url"] for r in res["records"]})
+    assert n_resumed == n_full
+
+
+def test_per_host_selector_overrides_extraction(ray_session):
+    pages = make_web_graph(hosts=["docs.hot.example"],
+                           pages_per_host={0: 6}, error_sprinkle=False)
+    seeds = ["https://docs.hot.example/p0"]
+    a = crawl_scalable(pages, seeds, max_depth=9, num_shards=2)
+    b = crawl_scalable(pages, seeds, max_depth=9, num_shards=2,
+                       per_host_selectors={"docs.hot.example": "aside"})
+    ta = {r["url"]: r["text"] for r in a["records"]}
+    tb = {r["url"]: r["text"] for r in b["records"]}
+    # the override selects the sidebar content instead of the article —
+    # and since the aside holds no links, discovery stops at the seed
+    # (the selector really did scope BOTH extraction and link collection)
+    assert all(t == "side bar text" for t in tb.values())
+    assert all(t != "side bar text" for t in ta.values())
+    assert len(ta) > 1 and len(tb) == 1

@@ -185,3 +185,62 @@ class TestTriangles:
         exp = pd.DataFrame({"n_edges": [len(und)], "n_wedges": [wedges],
                             "n_triangles": [tris]}).astype("int64")
         pd.testing.assert_frame_equal(got, exp)
+
+
+class TestEmptyInputGuards:
+    """Degenerate corpora that collapse every bucket to an empty frame
+    (Ray drops the block schema) — each operator must return its typed
+    empty/zero result like its oracle, not crash."""
+
+    def test_inverted_index_empty_shard(self, tmp_path):
+        from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+        df = pd.DataFrame({"doc_id": np.arange(1, 17, dtype="int64"),
+                           "lang": ["en"] * 16,
+                           "text": ["alpha beta"] * 16})
+        df.to_parquet(tmp_path / "documents.parquet")
+        out = dq.docs_inverted_index(str(tmp_path))
+        assert list(out.columns) == ["word", "df_docs", "postings"]
+        assert len(out) == 0
+
+    def test_vocab_overlap_single_language(self, tmp_path):
+        from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+        df = pd.DataFrame({"doc_id": np.arange(6, dtype="int64"),
+                           "lang": ["en"] * 6,
+                           "text": ["alpha beta gamma"] * 6})
+        df.to_parquet(tmp_path / "documents.parquet")
+        out = dq.docs_lang_vocab_overlap(str(tmp_path))
+        assert list(out.columns) == ["lang_a", "lang_b", "n_shared"]
+        assert len(out) == 0
+
+    def test_incremental_dedup_no_arrivals(self, tmp_path):
+        from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+        df = pd.DataFrame({"doc_id": np.arange(0, 20, 2, dtype="int64"),
+                           "lang": ["en"] * 10,
+                           "text": [f"doc {i}" for i in range(10)]})
+        df.to_parquet(tmp_path / "documents.parquet")
+        out = dq.docs_incremental_dedup(str(tmp_path))
+        assert list(out.columns) == ["lang", "n_incoming", "n_survivors"]
+        assert len(out) == 0
+
+    def test_pagerank_and_triangles_empty_graph(self, tmp_path):
+        # single-part orders → no co-order pair anywhere
+        df = pd.DataFrame({"l_orderkey": np.arange(30, dtype="int64"),
+                           "l_partkey": np.arange(30, dtype="int64"),
+                           "l_suppkey": np.ones(30, dtype="int64")})
+        df.to_parquet(tmp_path / "lineitem.parquet")
+        pr = rel.parts_pagerank(str(tmp_path))
+        assert list(pr.columns) == ["part", "rank_ppm"] and len(pr) == 0
+        tr = rel.parts_triangles(str(tmp_path))
+        assert tr.iloc[0].tolist() == [0, 0, 0]
+
+    def test_triangles_no_wedge_join_crash(self, tmp_path):
+        # every pair co-ordered exactly once → n>=2 filter empties edges
+        rows = []
+        for ok in range(10):
+            rows.append((ok, 2 * ok, 1))
+            rows.append((ok, 2 * ok + 1, 1))
+        df = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey",
+                                         "l_suppkey"]).astype("int64")
+        df.to_parquet(tmp_path / "lineitem.parquet")
+        tr = rel.parts_triangles(str(tmp_path))
+        assert tr.iloc[0].tolist() == [0, 0, 0]
