@@ -121,3 +121,66 @@ class TestGreedyResolveProperties:
         for n in nodes:
             smaller_kept_nb = any(m in kept and m < n for m in adj[n])
             assert (n in dropped) == smaller_kept_nb
+
+
+class TestBloomProperties:
+    @given(st.lists(st.integers(-2**62, 2**62), max_size=200),
+           st.lists(st.integers(-2**62, 2**62), max_size=200))
+    @settings(max_examples=50, deadline=None)
+    def test_no_false_negatives_and_merge(self, a, b):
+        import numpy as np
+
+        from ai_intel_web_scraper_ray.functions.bloom import (
+            bloom_merge, bloom_might_contain, bloom_partial)
+
+        aa = np.array(a, dtype=np.int64)
+        bb = np.array(b, dtype=np.int64)
+        merged = bloom_merge([bloom_partial(aa), bloom_partial(bb)])
+        both = np.concatenate([aa, bb])
+        if len(both):
+            assert bloom_might_contain(merged, both).all()
+        union = bloom_merge([bloom_partial(both)])
+        assert np.array_equal(merged, union)
+
+
+class TestZOrderProperties:
+    @given(st.lists(st.tuples(st.integers(0, 255), st.integers(0, 255)),
+                    min_size=1, max_size=50))
+    @settings(max_examples=50, deadline=None)
+    def test_interleave_is_invertible(self, pairs):
+        # the Morton key must round-trip: de-interleaving its bits
+        # recovers (a, b) exactly — no two coordinate pairs collide
+        import numpy as np
+        a = np.array([p[0] for p in pairs], dtype="int64")
+        b = np.array([p[1] for p in pairs], dtype="int64")
+        z = np.zeros(len(pairs), dtype="int64")
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        ra = np.zeros_like(z)
+        rb = np.zeros_like(z)
+        for i in range(8):
+            ra |= ((z >> (2 * i)) & 1) << i
+            rb |= ((z >> (2 * i + 1)) & 1) << i
+        assert (ra == a).all() and (rb == b).all()
+
+
+class TestConfigCompilerProperties:
+    @given(st.lists(st.tuples(st.sampled_from("abcd"),
+                              st.floats(0, 2, allow_nan=False),
+                              st.integers(1, 100)),
+                    min_size=1, max_size=8))
+    @settings(max_examples=50, deadline=None)
+    def test_stricter_budget_and_slower_delay_win(self, cfgs):
+        from ai_intel_web_scraper_ray.sources.config import (
+            compile_competitor_configs)
+
+        plan = compile_competitor_configs([
+            {"base_url": f"https://{h}.example/p0",
+             "rate_limit_seconds": d, "max_pages": m}
+            for h, d, m in cfgs])
+        for h, d, m in cfgs:
+            host = f"{h}.example"
+            if d > 0:
+                assert plan["per_host_delay"][host] >= d
+            assert plan["budgets"][host] <= m
