@@ -180,6 +180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_ewma": rel.events_daily_ewma,
         "events_session_table": rel.events_session_table,
         "lineitem_zorder_sample": rel.lineitem_zorder_sample,
+        "events_cube": rel.events_cube,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -1181,6 +1182,18 @@ def oracle_sql() -> dict[str, str]:
             f"(((a >> {i}) & 1) * {1 << (2 * i)})"
             f" + (((b >> {i}) & 1) * {1 << (2 * i + 1)})"
             for i in range(8))),
+        "events_cube": """
+            WITH base AS (
+                SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                       event_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT COALESCE(day, 'ALL') AS day,
+                   COALESCE(event_type, 'ALL') AS event_type,
+                   CAST(SUM(n) AS BIGINT) AS n
+            FROM base GROUP BY CUBE(day, event_type)
+            ORDER BY day, event_type
+        """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,
                    ROUND(SUM(p_retailprice) / COUNT(*), 4) AS avg_price

@@ -3524,3 +3524,42 @@ def lineitem_zorder_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out[["l_orderkey", "a", "b", "zkey"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping over (day, event_type) — all four aggregation lattices in
+# one distributed pass (the ROLLUP complement; see q5_rollup_revenue for
+# the derive-coarse-from-fine argument)
+# ---------------------------------------------------------------------------
+
+
+def events_cube(sf_dir: str) -> pd.DataFrame:
+    """Event counts with CUBE subtotals over (day, event_type): every
+    (day, type), per-day, per-type, and grand-total row, subtotal labels
+    'ALL'.
+
+    Scale shape: ONE distributed pass computes the finest lattice cell
+    (per-batch partials → ≤|days|×|types| rows); the three coarser levels
+    are arithmetic over that bounded frame on the driver — a shuffle per
+    CUBE level would recompute the same sums."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "day": df["ts"].dt.strftime("%Y-%m-%d"),
+            "event_type": df["event_type"]})
+        return out.groupby(["day", "event_type"], as_index=False) \
+            .agg(n=("day", "size"))
+
+    base = ds.map_batches(partial, batch_format="pandas").to_pandas() \
+        .groupby(["day", "event_type"], as_index=False)["n"].sum()
+    by_day = base.groupby("day", as_index=False)["n"].sum()
+    by_day["event_type"] = "ALL"
+    by_type = base.groupby("event_type", as_index=False)["n"].sum()
+    by_type["day"] = "ALL"
+    total = pd.DataFrame({"day": ["ALL"], "event_type": ["ALL"],
+                          "n": [base["n"].sum()]})
+    out = pd.concat([base, by_day, by_type, total], ignore_index=True)
+    out["n"] = out["n"].astype("int64")
+    return out[["day", "event_type", "n"]] \
+        .sort_values(["day", "event_type"]).reset_index(drop=True)

@@ -54,6 +54,7 @@ ORACLE_QUERIES = [
     "events_daily_ewma",
     "events_session_table",
     "lineitem_zorder_sample",
+    "events_cube",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
