@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session_table": rel.events_session_table,
         "lineitem_zorder_sample": rel.lineitem_zorder_sample,
         "events_cube": rel.events_cube,
+        "orders_price_median": rel.orders_price_median,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -1193,6 +1194,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n) AS BIGINT) AS n
             FROM base GROUP BY CUBE(day, event_type)
             ORDER BY day, event_type
+        """,
+        "orders_price_median": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(quantile_disc(
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
+                       0.5) AS BIGINT) AS median_cents
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,

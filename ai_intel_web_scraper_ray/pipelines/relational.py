@@ -3563,3 +3563,45 @@ def events_cube(sf_dir: str) -> pd.DataFrame:
     out["n"] = out["n"].astype("int64")
     return out[["day", "event_type", "n"]] \
         .sort_values(["day", "event_type"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# exact distributed median (order-statistic selection) per group
+# ---------------------------------------------------------------------------
+
+
+def orders_price_median(sf_dir: str) -> pd.DataFrame:
+    """Exact median order price (cents, discrete quantile: the
+    ``(n-1)//2``-th order statistic, DuckDB ``quantile_disc(0.5)``) per
+    order priority.
+
+    Scale shape: the exchange ships only the (priority, cents) integer
+    projection; each priority's values colocate in its hash bucket where
+    an O(n) ``np.partition`` selects the statistic — no global sort.  For
+    groups too large for one bucket's memory, the same selection runs as
+    iterative histogram refinement (see docs_token_percentiles for the
+    bounded-domain variant); at the testdata's group sizes the direct
+    selection is the right plan."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderpriority": df["o_orderpriority"],
+            "cents": np.floor(
+                df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")})
+
+    def bucket_median(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pri, g in df.groupby("o_orderpriority", sort=False):
+            v = g["cents"].to_numpy()
+            k = (len(v) - 1) // 2
+            rows.append((pri, len(v), int(np.partition(v, k)[k])))
+        return pd.DataFrame(rows, columns=["o_orderpriority", "n_orders",
+                                           "median_cents"])
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("o_orderpriority") \
+        .map_groups(bucket_median, batch_format="pandas").to_pandas()
+    for c in ("n_orders", "median_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

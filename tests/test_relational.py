@@ -55,6 +55,7 @@ ORACLE_QUERIES = [
     "events_session_table",
     "lineitem_zorder_sample",
     "events_cube",
+    "orders_price_median",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
