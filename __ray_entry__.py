@@ -1191,7 +1191,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT COALESCE(day, 'ALL') AS day,
                    COALESCE(event_type, 'ALL') AS event_type,
-                   CAST(SUM(n) AS BIGINT) AS n
+                   CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n
             FROM base GROUP BY CUBE(day, event_type)
             ORDER BY day, event_type
         """,

@@ -3494,6 +3494,16 @@ def events_session_table(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def morton_key_8bit(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Interleave two 8-bit coordinate arrays into one Z-order key
+    (bit i of ``a`` → bit 2i, bit i of ``b`` → bit 2i+1)."""
+    z = np.zeros(len(a), dtype="int64")
+    for i in range(8):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
 def lineitem_zorder_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """The first ``k`` lineitems in Z-order over (l_partkey % 256,
     l_suppkey % 256) (8 bits each interleaved; ties to the smaller
@@ -3509,10 +3519,7 @@ def lineitem_zorder_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
     def zkey(df: pd.DataFrame) -> pd.DataFrame:
         a = (df["l_partkey"].to_numpy(dtype="int64") % 256)
         b = (df["l_suppkey"].to_numpy(dtype="int64") % 256)
-        z = np.zeros(len(df), dtype="int64")
-        for i in range(8):
-            z |= ((a >> i) & 1) << (2 * i)
-            z |= ((b >> i) & 1) << (2 * i + 1)
+        z = morton_key_8bit(a, b)
         out = pd.DataFrame({
             "l_orderkey": df["l_orderkey"].astype("int64"),
             "a": a.astype("int64"), "b": b.astype("int64"),
@@ -3551,8 +3558,12 @@ def events_cube(sf_dir: str) -> pd.DataFrame:
         return out.groupby(["day", "event_type"], as_index=False) \
             .agg(n=("day", "size"))
 
-    base = ds.map_batches(partial, batch_format="pandas").to_pandas() \
-        .groupby(["day", "event_type"], as_index=False)["n"].sum()
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        # SQL's CUBE still emits the () grouping set over an empty input
+        return pd.DataFrame({"day": ["ALL"], "event_type": ["ALL"],
+                             "n": pd.Series([0], dtype="int64")})
+    base = parts.groupby(["day", "event_type"], as_index=False)["n"].sum()
     by_day = base.groupby("day", as_index=False)["n"].sum()
     by_day["event_type"] = "ALL"
     by_type = base.groupby("event_type", as_index=False)["n"].sum()
@@ -3602,6 +3613,10 @@ def orders_price_median(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(partial, batch_format="pandas") \
         .groupby("o_orderpriority") \
         .map_groups(bucket_median, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
+                             "n_orders": pd.Series([], dtype="int64"),
+                             "median_cents": pd.Series([], dtype="int64")})
     for c in ("n_orders", "median_cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)

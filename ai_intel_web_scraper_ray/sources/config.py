@@ -65,6 +65,7 @@ def compile_competitor_configs(
     per_host_excludes: Dict[str, List[str]] = {}
     budgets: Dict[str, int] = {}
     selectors: Dict[str, str] = {}
+    explicit_selector: set = set()
     topic_keywords: Dict[str, List[str]] = {}
     max_depth = 0
 
@@ -83,7 +84,15 @@ def compile_competitor_configs(
         if cfg.get("max_pages"):
             budgets[host] = min(budgets.get(host, 10**9),
                                 int(cfg["max_pages"]))
-        selectors[host] = cfg.get("content_selector", "article")
+        # explicit selector beats the default regardless of config order;
+        # two EXPLICIT selectors for one host keep the first (configs load
+        # in sorted filename order, so the merge is deterministic) —
+        # unlike delay/budget there is no "stricter" ordering to take
+        if "content_selector" in cfg and host not in explicit_selector:
+            selectors[host] = cfg["content_selector"]
+            explicit_selector.add(host)
+        else:
+            selectors.setdefault(host, "article")
         name = cfg.get("name") or host
         topic_keywords[name] = list(cfg.get("topic_keywords", ()))
         max_depth = max(max_depth, int(cfg.get("max_depth", 3)))

@@ -138,3 +138,14 @@ def test_per_host_selector_overrides_extraction(ray_session):
     assert all(t == "side bar text" for t in tb.values())
     assert all(t != "side bar text" for t in ta.values())
     assert len(ta) > 1 and len(tb) == 1
+
+
+def test_selector_merge_explicit_beats_default_any_order():
+    plan = compile_competitor_configs([
+        {"base_url": "https://h1.example/p0"},                      # default
+        {"base_url": "https://h1.example/blog", "content_selector": "main"},
+        {"base_url": "https://h2.example/p0", "content_selector": "div"},
+        {"base_url": "https://h2.example/docs", "content_selector": "nav"},
+    ])
+    # explicit beats an earlier default; first explicit wins between two
+    assert plan["selectors"] == {"h1.example": "main", "h2.example": "div"}

@@ -148,15 +148,15 @@ class TestZOrderProperties:
                     min_size=1, max_size=50))
     @settings(max_examples=50, deadline=None)
     def test_interleave_is_invertible(self, pairs):
-        # the Morton key must round-trip: de-interleaving its bits
+        # the REPO's Morton key must round-trip: de-interleaving its bits
         # recovers (a, b) exactly — no two coordinate pairs collide
         import numpy as np
+
+        from ai_intel_web_scraper_ray.pipelines.relational import (
+            morton_key_8bit)
         a = np.array([p[0] for p in pairs], dtype="int64")
         b = np.array([p[1] for p in pairs], dtype="int64")
-        z = np.zeros(len(pairs), dtype="int64")
-        for i in range(8):
-            z |= ((a >> i) & 1) << (2 * i)
-            z |= ((b >> i) & 1) << (2 * i + 1)
+        z = morton_key_8bit(a, b)
         ra = np.zeros_like(z)
         rb = np.zeros_like(z)
         for i in range(8):

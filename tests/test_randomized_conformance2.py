@@ -244,3 +244,26 @@ class TestEmptyInputGuards:
         df.to_parquet(tmp_path / "lineitem.parquet")
         tr = rel.parts_triangles(str(tmp_path))
         assert tr.iloc[0].tolist() == [0, 0, 0]
+
+    def test_cube_and_median_empty_tables(self, tmp_path):
+        pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                      "ts": pd.Series([], dtype="datetime64[us]"),
+                      "user_id": pd.Series([], dtype="int64"),
+                      "event_type": pd.Series([], dtype=object),
+                      "value": pd.Series([], dtype="float64"),
+                      "props": pd.Series([], dtype=object)}) \
+            .to_parquet(tmp_path / "events.parquet")
+        cube = rel.events_cube(str(tmp_path))
+        # SQL's CUBE still emits the () grouping set over an empty input
+        assert cube.iloc[0].tolist() == ["ALL", "ALL", 0]
+        pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                      "o_custkey": pd.Series([], dtype="int64"),
+                      "o_orderstatus": pd.Series([], dtype=object),
+                      "o_totalprice": pd.Series([], dtype="float64"),
+                      "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                      "o_orderpriority": pd.Series([], dtype=object)}) \
+            .to_parquet(tmp_path / "orders.parquet")
+        med = rel.orders_price_median(str(tmp_path))
+        assert list(med.columns) == ["o_orderpriority", "n_orders",
+                                     "median_cents"]
+        assert len(med) == 0
