@@ -99,6 +99,13 @@ def cmd_crawl_multi(args):
         per_host_selectors=plan["selectors"],
         materialize_records=False, records_dir=args.out,
     )
+    from .pipelines.full import crawl_dataset_to_source_records
+
+    recs = crawl_dataset_to_source_records(load_crawl_records(args.out))
+    # write the SourceRecord form next to the fragments so `process` /
+    # `vectorize` chain directly off this directory (same layout contract
+    # as cmd_crawl: <out>/records.parquet)
+    recs.write_parquet(os.path.join(args.out, "records.parquet"))
     n = load_crawl_records(args.out).count()
     print(f"crawled {len(cfgs)} sources, {n} pages, "
           f"seen {len(res['seen'])} urls, "

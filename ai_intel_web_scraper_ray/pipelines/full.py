@@ -89,3 +89,20 @@ def crawl_process_vectorize(
         pq.write_table(interleaved, f"{out_dir}/interleaved.parquet")
         chunks.write_parquet(f"{out_dir}/chunks")
     return {"crawl": res, "interleaved": interleaved, "chunks": chunks}
+
+
+def crawl_dataset_to_source_records(ds):
+    """Streamed crawl fragments (url, depth, title, text, crawl_rank — see
+    ``load_crawl_records``) → SourceRecord-shaped Dataset, one vectorized
+    batch conversion per block (the distributed twin of
+    :func:`crawl_records_to_source_table`, which takes driver-side lists).
+
+    Rank-derived ``arrival_seq`` comes straight from ``crawl_rank``, so the
+    downstream keep-first dedup order matches an in-memory run's."""
+    def convert(t):
+        rows = t.to_pylist()
+        for r in rows:
+            r.setdefault("crawl_rank", r.get("frag_row", 0))
+        return crawl_records_to_source_table(rows)
+
+    return ds.map_batches(convert, batch_format="pyarrow")

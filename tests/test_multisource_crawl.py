@@ -149,3 +149,34 @@ def test_selector_merge_explicit_beats_default_any_order():
     ])
     # explicit beats an earlier default; first explicit wins between two
     assert plan["selectors"] == {"h1.example": "main", "h2.example": "div"}
+
+
+def test_crawl_multi_cli_chains_into_process(ray_session, tmp_path, capsys):
+    import json
+    import os
+
+    from ai_intel_web_scraper_ray import cli
+
+    cfgd = tmp_path / "cfgs"
+    cfgd.mkdir()
+    (cfgd / "a.json").write_text(json.dumps({
+        "name": "alpha", "base_url": "https://docs.hot.example/p0",
+        "rate_limit_seconds": 0.01, "max_depth": 9}))
+    (cfgd / "b.json").write_text(json.dumps({
+        "name": "beta", "base_url": "https://docs.cold1.example/p0",
+        "max_depth": 9}))
+    raw = str(tmp_path / "raw")
+    processed = str(tmp_path / "processed")
+
+    cli.main(["crawl-multi", "--configs", str(cfgd), "--out", raw])
+    out = capsys.readouterr().out
+    assert "crawled 2 sources" in out
+    assert os.path.exists(os.path.join(raw, "records.parquet"))
+
+    cli.main(["process", "--in", raw, "--out", processed,
+              "--min-words", "5"])
+    assert "processed" in capsys.readouterr().out
+    import ray.data as rd
+
+    n = rd.read_parquet(processed).count()
+    assert n > 0
