@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_range_search": dq.emb_range_search,
         "docs_tfidf_top_terms": dq.docs_tfidf_top_terms,
         "docs_pack_blocks": dq.docs_pack_blocks,
+        "docs_interleaved_pack": dq.docs_interleaved_pack,
         "emb_kmeans_assign": dq.emb_kmeans_assign,
         "emb_kmeans_iterate": dq.emb_kmeans_iterate,
         "docs_langid_confusion": dq.docs_langid_confusion,
@@ -1819,6 +1820,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM t
             )
             SELECT doc_id, n_tokens,
+                   CAST(s // 256 AS BIGINT) AS pack_id,
+                   CAST(s % 256 AS BIGINT) AS pack_offset
+            FROM c ORDER BY doc_id
+        """,
+        # multimodal-aware packing: cost = text tokens + 64 per media span
+        # (trigger-prefixed tokens, same rule as docs_interleaved_media_stats)
+        "docs_interleaved_pack": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text, '\S+'))
+                            + 64 * len(regexp_extract_all(
+                                  text, '(^|\s)[sS]')) AS BIGINT) AS n_cost
+                FROM documents
+            ), c AS (
+                SELECT doc_id, n_cost,
+                       COALESCE(SUM(n_cost) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS s
+                FROM t
+            )
+            SELECT doc_id, n_cost,
                    CAST(s // 256 AS BIGINT) AS pack_id,
                    CAST(s % 256 AS BIGINT) AS pack_offset
             FROM c ORDER BY doc_id

@@ -984,6 +984,53 @@ def docs_tfidf_top_terms(sf_dir: str, k: int = _TFIDF_TOP_K) -> pd.DataFrame:
 _PACK_BLOCK_TOKENS = 256
 
 
+def _pack_by_cost(proj, block_tokens: int, cost_col: str) -> pd.DataFrame:
+    """The pack core shared by docs_pack_blocks / docs_interleaved_pack:
+    range-sort the (doc_id, cost) projection, per-Ray-block totals →
+    driver exclusive prefix offsets (O(#blocks) state), second pass over
+    the SAME materialized blocks adds offset + within-block cumsum."""
+    proj = proj.sort("doc_id").materialize()
+
+    def block_total(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"first_id": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "first_id": pa.array([int(ids[0])], pa.int64()),
+            "total": pa.array(
+                [int(t[cost_col].to_numpy(zero_copy_only=False).sum())],
+                pa.int64()),
+        })
+
+    parts = proj.map_batches(block_total, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    parts = parts.sort_values("first_id").reset_index(drop=True)
+    offsets = parts["total"].cumsum().shift(fill_value=0).astype("int64")
+    offset_of = dict(zip(parts["first_id"].astype("int64"), offsets))
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             cost_col: pa.array([], pa.int64()),
+                             "pack_id": pa.array([], pa.int64()),
+                             "pack_offset": pa.array([], pa.int64())})
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nt = t[cost_col].to_numpy(zero_copy_only=False)
+        start = offset_of[int(ids[0])] + np.concatenate(
+            ([0], np.cumsum(nt)[:-1]))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            cost_col: pa.array(nt, pa.int64()),
+            "pack_id": pa.array(start // block_tokens, pa.int64()),
+            "pack_offset": pa.array(start % block_tokens, pa.int64()),
+        })
+
+    out = proj.map_batches(assign, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def docs_pack_blocks(sf_dir: str,
                      block_tokens: int = _PACK_BLOCK_TOKENS) -> pd.DataFrame:
     """Sequence packing: where does each document land when the corpus is
@@ -1014,47 +1061,8 @@ def docs_pack_blocks(sf_dir: str,
                 pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
         })
 
-    proj = ds.map_batches(project, batch_format="pyarrow") \
-             .sort("doc_id").materialize()
-
-    def block_total(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table({"first_id": pa.array([], pa.int64()),
-                             "total": pa.array([], pa.int64())})
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "first_id": pa.array([int(ids[0])], pa.int64()),
-            "total": pa.array(
-                [int(t["n_tokens"].to_numpy(zero_copy_only=False).sum())],
-                pa.int64()),
-        })
-
-    parts = proj.map_batches(block_total, batch_format="pyarrow",
-                             batch_size=None).to_pandas()
-    parts = parts.sort_values("first_id").reset_index(drop=True)
-    offsets = parts["total"].cumsum().shift(fill_value=0).astype("int64")
-    offset_of = dict(zip(parts["first_id"].astype("int64"), offsets))
-
-    def assign(t: pa.Table) -> pa.Table:
-        if len(t) == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "n_tokens": pa.array([], pa.int64()),
-                             "pack_id": pa.array([], pa.int64()),
-                             "pack_offset": pa.array([], pa.int64())})
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
-        start = offset_of[int(ids[0])] + np.concatenate(
-            ([0], np.cumsum(nt)[:-1]))
-        return pa.table({
-            "doc_id": pa.array(ids, pa.int64()),
-            "n_tokens": pa.array(nt, pa.int64()),
-            "pack_id": pa.array(start // block_tokens, pa.int64()),
-            "pack_offset": pa.array(start % block_tokens, pa.int64()),
-        })
-
-    out = proj.map_batches(assign, batch_format="pyarrow",
-                           batch_size=None).to_pandas()
-    return out.sort_values("doc_id").reset_index(drop=True)
+    return _pack_by_cost(ds.map_batches(project, batch_format="pyarrow"),
+                         block_tokens, "n_tokens")
 
 
 # ---------------------------------------------------------------------------
@@ -2286,3 +2294,34 @@ def emb_prefix_fidelity(sf_dir: str, prefix: int = 16,
                             ascending=[False, True]).head(k)
     out["vec_id"] = out["vec_id"].astype("int64")
     return out[["vec_id", "pcos", "fcos"]].reset_index(drop=True)
+
+
+def docs_interleaved_pack(sf_dir: str,
+                          block_tokens: int = _PACK_BLOCK_TOKENS,
+                          media_tokens: int = 64) -> pd.DataFrame:
+    """Multimodal-aware sequence packing over the interleaved corpus: a
+    document's cost is its text tokens PLUS a fixed ``media_tokens``
+    budget per media span (the vision-token placeholder cost in an
+    interleaved text+image training batch).  Same two-pass prefix-sum
+    machinery as ``docs_pack_blocks`` — text and media never move, only
+    the (doc_id, cost) projection.
+
+    Both counts are single-pass Arrow regex kernels over the raw text:
+    tokens = ``\\S+`` matches; media spans = trigger-prefixed tokens
+    (``(?:^|\\s)[sS]``), the same synthesis rule as
+    docs_interleaved_media_stats."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def project(t: pa.Table) -> pa.Table:
+        ntok = pc.cast(pc.count_substring_regex(t["text"], r"\S+"),
+                       pa.int64())
+        nmed = pc.cast(pc.count_substring_regex(t["text"], r"(?:^|\s)[sS]"),
+                       pa.int64())
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_cost": pc.add(ntok, pc.multiply(
+                nmed, pa.scalar(media_tokens, pa.int64()))),
+        })
+
+    return _pack_by_cost(ds.map_batches(project, batch_format="pyarrow"),
+                         block_tokens, "n_cost")

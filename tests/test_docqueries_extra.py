@@ -47,6 +47,7 @@ ORACLE_QUERIES = [
     "emb_pq_codes",
     "emb_pq_adc_topk",
     "emb_prefix_fidelity",
+    "docs_interleaved_pack",
 ]
 
 
