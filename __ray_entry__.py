@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_zorder_sample": rel.lineitem_zorder_sample,
         "events_cube": rel.events_cube,
         "orders_price_median": rel.orders_price_median,
+        "events_range_window": rel.events_range_window,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -1203,6 +1204,20 @@ def oracle_sql() -> dict[str, str]:
                        CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT),
                        0.5) AS BIGINT) AS median_cents
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        # interval-bounded RANGE frame (gap-aware), vs rolling_avg's ROWS
+        "events_range_window": """
+            WITH d AS (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT event_type, day, n,
+                   CAST(SUM(n) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       RANGE BETWEEN INTERVAL 2 DAY PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS sum_3d
+            FROM d ORDER BY event_type, day
         """,
         "part_type_stats": """
             SELECT p_type, COUNT(*) AS n,

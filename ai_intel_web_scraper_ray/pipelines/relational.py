@@ -3620,3 +3620,50 @@ def orders_price_median(sf_dir: str) -> pd.DataFrame:
     for c in ("n_orders", "median_cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame window (interval-bounded, gap-aware) — the complement of
+# events_rolling_avg's ROWS frame: the frame is defined by TIME distance,
+# so missing days shrink it
+# ---------------------------------------------------------------------------
+
+
+def events_range_window(sf_dir: str, days: int = 3) -> pd.DataFrame:
+    """Per-type daily counts with a trailing 3-DAY RANGE sum (``RANGE
+    BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW``): days absent from
+    the series contribute nothing, so the frame is time-bounded, not
+    row-bounded.
+
+    Scale shape: the distributed part is the (type, day) count reduction;
+    each type's bounded day series lands whole in its hash bucket where
+    prefix sums + one ``searchsorted`` evaluate every frame vectorized —
+    O(|days|) per type, no per-row window scan."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["day"] = df["ts"].dt.floor("D")
+        return df.groupby(["event_type", "day"], as_index=False) \
+            .agg(n=("ts", "size"))
+
+    def bucket_window(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["event_type", "day"], as_index=False)["n"].sum()
+        frames = []
+        for et, g in df.groupby("event_type", sort=False):
+            g = g.sort_values("day")
+            d = g["day"].to_numpy(dtype="datetime64[D]").astype("int64")
+            n = g["n"].to_numpy(dtype="int64")
+            csum = np.concatenate(([0], np.cumsum(n)))
+            left = np.searchsorted(d, d - (days - 1), side="left")
+            g = g.copy()
+            g["sum_3d"] = csum[np.arange(1, len(n) + 1)] - csum[left]
+            frames.append(g)
+        return pd.concat(frames, ignore_index=True)
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("event_type") \
+        .map_groups(bucket_window, batch_format="pandas").to_pandas()
+    for c in ("n", "sum_3d"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["event_type", "day"]).reset_index(drop=True)

@@ -56,6 +56,7 @@ ORACLE_QUERIES = [
     "lineitem_zorder_sample",
     "events_cube",
     "orders_price_median",
+    "events_range_window",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
