@@ -700,7 +700,19 @@ def crawl_scalable(
     all shard state (seen set, heap, politeness, flow counters) and persists
     the records crawled so far (or their fragment manifest); ``resume=True``
     continues to completion and the union of partial+resumed records equals
-    an uninterrupted run's."""
+    an uninterrupted run's.
+
+    FAILURE MODEL: a fetch-worker death mid-task surfaces as an error
+    rather than being silently retried, BY DESIGN: the dead task may have
+    already routed link offers shard-to-shard, and without per-task
+    generation tokens the flow-counter quiescence check cannot reconcile a
+    replayed task's double-counted offers (an in-place retry could either
+    hang termination detection or falsely terminate).  The designed
+    recovery is the checkpoint path — rerun from the last snapshot, whose
+    settle step re-pushes in-flight leases and rebalances the counters —
+    i.e. periodic ``stop_after_fetches`` checkpoints are the unit of fault
+    tolerance on a real cluster, exactly like any other lineage-free
+    stateful shuffle."""
     polite = min_delay > 0 or any(
         d > 0 for d in (per_host_delay or {}).values())
     if transport is not None and polite and not wall_clock_politeness:
