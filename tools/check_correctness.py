@@ -106,9 +106,11 @@ def main():
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
     n_fail = 0
+    n_run = 0
     for name, fn in qs.items():
         if only is not None and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             ray_df = to_pandas(fn(sf_dir))
@@ -132,7 +134,8 @@ def main():
             n_fail += 1
         else:
             print(f"ok   {name}: match ({len(ray_df)} rows, {dt:.1f}s)")
-    print(f"\n{len(qs) - n_fail}/{len(qs)} queries ok")
+    print(f"\n{n_run - n_fail}/{n_run} queries ok"
+          + (f" (of {len(qs)} registered)" if n_run != len(qs) else ""))
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
