@@ -267,3 +267,75 @@ class TestEmptyInputGuards:
         assert list(med.columns) == ["o_orderpriority", "n_orders",
                                      "median_cents"]
         assert len(med) == 0
+
+
+class TestCubeRangeMedian:
+    def test_cube_matches_bruteforce(self, events_dir):
+        sf_dir, df = events_dir
+        got = rel.events_cube(sf_dir)
+        d = df.copy()
+        d["day"] = d["ts"].dt.strftime("%Y-%m-%d")
+        base = d.groupby(["day", "event_type"]).size().rename("n") \
+            .reset_index()
+        by_day = base.groupby("day", as_index=False)["n"].sum()
+        by_day["event_type"] = "ALL"
+        by_type = base.groupby("event_type", as_index=False)["n"].sum()
+        by_type["day"] = "ALL"
+        total = pd.DataFrame({"day": ["ALL"], "event_type": ["ALL"],
+                              "n": [base["n"].sum()]})
+        exp = pd.concat([base, by_day, by_type, total], ignore_index=True)
+        exp["n"] = exp["n"].astype("int64")
+        exp = exp[["day", "event_type", "n"]] \
+            .sort_values(["day", "event_type"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_range_window_matches_bruteforce(self, events_dir):
+        sf_dir, df = events_dir
+        got = rel.events_range_window(sf_dir)
+        d = df.copy()
+        d["day"] = d["ts"].dt.floor("D")
+        counts = d.groupby(["event_type", "day"]).size().rename("n") \
+            .reset_index()
+        rows = []
+        for et, g in counts.groupby("event_type"):
+            g = g.sort_values("day")
+            for _, r in g.iterrows():
+                lo = r["day"] - pd.Timedelta(days=2)
+                win = g[(g["day"] >= lo) & (g["day"] <= r["day"])]
+                rows.append((et, r["day"], int(r["n"]),
+                             int(win["n"].sum())))
+        exp = pd.DataFrame(rows, columns=["event_type", "day", "n",
+                                          "sum_3d"]) \
+            .sort_values(["event_type", "day"]).reset_index(drop=True)
+        for c in ("n", "sum_3d"):
+            exp[c] = exp[c].astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
+
+    @pytest.mark.parametrize("seed", [9, 31])
+    def test_median_matches_bruteforce(self, seed, tmp_path):
+        rng = np.random.RandomState(seed)
+        n = 500
+        df = pd.DataFrame({
+            "o_orderkey": np.arange(n, dtype="int64"),
+            "o_custkey": rng.randint(0, 50, size=n).astype("int64"),
+            "o_orderstatus": rng.choice(["O", "F", "P"], size=n),
+            "o_totalprice": np.round(rng.uniform(1, 1000, size=n), 2),
+            "o_orderdate": pd.Timestamp("2024-01-01"),
+            "o_orderpriority": rng.choice(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM"], size=n),
+        })
+        df.to_parquet(tmp_path / "orders.parquet")
+        got = rel.orders_price_median(str(tmp_path))
+        cents = np.floor(df["o_totalprice"].to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        d = df.assign(cents=cents)
+        rows = []
+        for pri, g in d.groupby("o_orderpriority"):
+            v = np.sort(g["cents"].to_numpy())
+            rows.append((pri, len(v), int(v[(len(v) - 1) // 2])))
+        exp = pd.DataFrame(rows, columns=["o_orderpriority", "n_orders",
+                                          "median_cents"]) \
+            .sort_values("o_orderpriority").reset_index(drop=True)
+        for c in ("n_orders", "median_cents"):
+            exp[c] = exp[c].astype("int64")
+        pd.testing.assert_frame_equal(got, exp)
