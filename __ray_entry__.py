@@ -104,6 +104,31 @@ def _crawl_fixture_ordered_query(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _crawl_multi_fixture_query(sf_dir: str) -> pd.DataFrame:
+    """Multi-source crawl through one shared frontier (compiled competitor
+    configs: per-host politeness + per-host excludes).  Record SET +
+    monotone min-depths are deterministic (per-shard BFS order is not) and
+    hash-checked against the pinned independent per-host sequential BFS
+    (tools/gen_pinned_oracles.py:gen_crawl_multi_expected)."""
+    from ai_intel_web_scraper_ray.pipelines.crawl import crawl_scalable
+    from ai_intel_web_scraper_ray.sources.config import (
+        compile_competitor_configs)
+    from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+    from tools.gen_pinned_oracles import CRAWL_MULTI_CONFIGS
+
+    pages = make_web_graph(
+        hosts=["docs.hot.example", "docs.cold1.example"],
+        pages_per_host={0: 20, 1: 20}, error_sprinkle=False)
+    plan = compile_competitor_configs(CRAWL_MULTI_CONFIGS)
+    res = crawl_scalable(
+        pages, plan["seeds"], max_depth=plan["max_depth"], num_shards=4,
+        lease_per_shard=64, per_host_delay=plan["per_host_delay"],
+        per_host_excludes=plan["per_host_excludes"])
+    df = pd.DataFrame(res["records"])[["url", "depth", "title"]]
+    df["depth"] = df["depth"].astype("int64")
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def _chunk_documents_query(sf_dir: str) -> pd.DataFrame:
     """Chunk the documents table via the actor-pool flat map (rows-only)."""
     from ai_intel_web_scraper_ray.pipelines.vectorize import vectorize_pipeline
@@ -244,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
+        "crawl_multi_fixture": _crawl_multi_fixture_query,
         "chunk_documents": _chunk_documents_query,
     }
 
@@ -266,6 +292,7 @@ _PINNED_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 _PINNED = os.path.join(_PINNED_DIR, "doc_expected.parquet")
 _PINNED_CRAWL = os.path.join(_PINNED_DIR, "crawl_expected.parquet")
 _PINNED_DEDUP = os.path.join(_PINNED_DIR, "dedup_expected.parquet")
+_PINNED_CRAWL_MULTI = os.path.join(_PINNED_DIR, "crawl_multi_expected.parquet")
 
 
 def _sentiment_sql() -> str:
@@ -1779,6 +1806,10 @@ def oracle_sql() -> dict[str, str]:
         "crawl_fixture_ordered": f"""
             SELECT url, depth, crawl_rank, title
             FROM read_parquet('{_PINNED_CRAWL}') ORDER BY crawl_rank
+        """,
+        "crawl_multi_fixture": f"""
+            SELECT url, depth, title
+            FROM read_parquet('{_PINNED_CRAWL_MULTI}') ORDER BY url
         """,
         # radius search: every vector above the cosine threshold vs vec 0;
         # scores rounded BEFORE the compare, exactly like the engine

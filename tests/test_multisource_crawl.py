@@ -180,3 +180,18 @@ def test_crawl_multi_cli_chains_into_process(ray_session, tmp_path, capsys):
 
     n = rd.read_parquet(processed).count()
     assert n > 0
+
+
+def test_crawl_multi_fixture_matches_pinned_oracle(ray_session):
+    """Engine record set + min-depths vs the independent per-host
+    sequential BFS pinned by tools/gen_pinned_oracles.py."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from tools.check_correctness import compare, to_pandas
+
+    ray_df = to_pandas(entrymod.queries()["crawl_multi_fixture"](""))
+    sql_df = duckdb.connect().execute(
+        entrymod.oracle_sql()["crawl_multi_fixture"]).fetch_df()
+    problems = compare("crawl_multi_fixture", ray_df, sql_df)
+    assert not problems, problems

@@ -194,6 +194,69 @@ def gen_dedup_expected() -> None:
     print(f"wrote {len(out)} dedup rows -> {DEDUP_OUT}")
 
 
+CRAWL_MULTI_OUT = os.path.join(os.path.dirname(OUT),
+                               "crawl_multi_expected.parquet")
+
+# the fixture plan mirrored by __ray_entry__._crawl_multi_fixture_query
+CRAWL_MULTI_CONFIGS = [
+    {"name": "alpha", "base_url": "https://docs.hot.example/p0",
+     "rate_limit_seconds": 0.01, "exclude_patterns": ["/p3"],
+     "max_depth": 9},
+    {"name": "beta", "base_url": "https://docs.cold1.example/p0",
+     "max_depth": 9},
+]
+
+
+def gen_crawl_multi_expected() -> None:
+    """Pin the multi-source crawl's record SET + min-depths from an
+    INDEPENDENT per-host sequential BFS (per-host excludes applied at
+    dequeue AND enqueue, same as the reference loop).  crawl_scalable's
+    per-shard BFS gives no global order, but the set and the monotone
+    min-depths are deterministic — those are what the driver hashes."""
+    from collections import deque
+
+    from ai_intel_web_scraper_ray.functions.htmlx import extract_content, extract_links
+    from ai_intel_web_scraper_ray.functions.urls import is_same_domain, normalize_url
+    from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+
+    pages = {p["url"]: p for p in make_web_graph(
+        hosts=["docs.hot.example", "docs.cold1.example"],
+        pages_per_host={0: 20, 1: 20}, error_sprinkle=False)}
+    records = []
+    for cfg in CRAWL_MULTI_CONFIGS:
+        base_url = normalize_url(cfg["base_url"])
+        exclude = tuple(cfg.get("exclude_patterns", ()))
+        visited = {base_url}
+        queue = deque([(base_url, 0)])
+        while queue:
+            url, depth = queue.popleft()
+            if any(p in url for p in exclude):
+                continue
+            page = pages.get(url)
+            if page is None or page["status"] != 200:
+                continue
+            title, text = extract_content(page["html"], "article", url)
+            if not text.strip():
+                continue
+            records.append({"url": url, "depth": depth, "title": title})
+            if depth < cfg["max_depth"]:
+                for link in extract_links(page["html"], url, "article"):
+                    norm = normalize_url(link)
+                    if norm not in visited \
+                            and is_same_domain(norm, base_url) \
+                            and not any(p in norm for p in exclude):
+                        visited.add(norm)
+                        queue.append((norm, depth + 1))
+    records.sort(key=lambda r: r["url"])
+    t = pa.table({
+        "url": pa.array([r["url"] for r in records], pa.string()),
+        "depth": pa.array([r["depth"] for r in records], pa.int64()),
+        "title": pa.array([r["title"] for r in records], pa.string()),
+    })
+    pq.write_table(t, CRAWL_MULTI_OUT)
+    print(f"wrote {len(t)} multi-crawl rows -> {CRAWL_MULTI_OUT}")
+
+
 def main() -> None:
     rows = {}
     for sf in ("sf0.001", "sf0.01"):
@@ -213,6 +276,7 @@ def main() -> None:
     pq.write_table(out, OUT)
     print(f"wrote {len(out)} pinned rows -> {OUT}")
     gen_crawl_expected()
+    gen_crawl_multi_expected()
     gen_dedup_expected()
 
 
