@@ -129,6 +129,27 @@ def _crawl_multi_fixture_query(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def _crawl_multi_ordered_query(sf_dir: str) -> pd.DataFrame:
+    """Multi-source REFERENCE-ORDER crawl: one windowed ordered replay per
+    source (the reference scrapes configs one at a time), global
+    crawl_rank = concatenation — hash-checked against the same pinned
+    independent sequential BFS, ORDER INCLUDED."""
+    from ai_intel_web_scraper_ray.pipelines.crawl import crawl_multi_ordered
+    from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+    from tools.gen_pinned_oracles import CRAWL_MULTI_CONFIGS
+
+    pages = make_web_graph(
+        hosts=["docs.hot.example", "docs.cold1.example"],
+        pages_per_host={0: 20, 1: 20}, error_sprinkle=False)
+    res = crawl_multi_ordered(pages, CRAWL_MULTI_CONFIGS, num_shards=4,
+                              window=64, chunk_size=8)
+    df = pd.DataFrame(res["records"])[["url", "depth", "crawl_rank",
+                                       "title"]]
+    for c in ("depth", "crawl_rank"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values("crawl_rank").reset_index(drop=True)
+
+
 def _chunk_documents_query(sf_dir: str) -> pd.DataFrame:
     """Chunk the documents table via the actor-pool flat map (rows-only)."""
     from ai_intel_web_scraper_ray.pipelines.vectorize import vectorize_pipeline
@@ -270,6 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
         "crawl_multi_fixture": _crawl_multi_fixture_query,
+        "crawl_multi_ordered_fixture": _crawl_multi_ordered_query,
         "chunk_documents": _chunk_documents_query,
     }
 
@@ -293,6 +315,8 @@ _PINNED = os.path.join(_PINNED_DIR, "doc_expected.parquet")
 _PINNED_CRAWL = os.path.join(_PINNED_DIR, "crawl_expected.parquet")
 _PINNED_DEDUP = os.path.join(_PINNED_DIR, "dedup_expected.parquet")
 _PINNED_CRAWL_MULTI = os.path.join(_PINNED_DIR, "crawl_multi_expected.parquet")
+_PINNED_CRAWL_MULTI_ORDERED = os.path.join(
+    _PINNED_DIR, "crawl_multi_ordered_expected.parquet")
 
 
 def _sentiment_sql() -> str:
@@ -1810,6 +1834,11 @@ def oracle_sql() -> dict[str, str]:
         "crawl_multi_fixture": f"""
             SELECT url, depth, title
             FROM read_parquet('{_PINNED_CRAWL_MULTI}') ORDER BY url
+        """,
+        "crawl_multi_ordered_fixture": f"""
+            SELECT url, depth, crawl_rank, title
+            FROM read_parquet('{_PINNED_CRAWL_MULTI_ORDERED}')
+            ORDER BY crawl_rank
         """,
         # radius search: every vector above the cosine threshold vs vec 0;
         # scores rounded BEFORE the compare, exactly like the engine

@@ -1086,3 +1086,52 @@ def load_crawl_records(records_dir: str, max_pages: Optional[int] = None):
             lambda df: df[df["crawl_rank"] < max_pages], batch_format="pandas"
         )
     return ds
+
+
+def crawl_multi_ordered(
+    pages: List[dict],
+    configs: Sequence[dict],
+    num_shards: int = 4,
+    window: int = 512,
+    chunk_size: int = 32,
+) -> dict:
+    """Reference-order multi-source crawl: the reference crawls its
+    competitor configs ONE AT A TIME (reference pipeline.py scrape loop),
+    so multi-source order conformance is the concatenation of per-source
+    BFS orders.  Each source runs through :func:`crawl_ordered` (windowed
+    ordered replay — order + seen set bit-equal to the sequential loop)
+    with ITS OWN selector / excludes / depth / budget from the config;
+    ``crawl_rank`` is re-based so the global order is the concatenation.
+
+    The zero-copy page table is built ONCE and shared by every source's
+    worker pool."""
+    from ..sources.config import compile_competitor_configs
+    from ..functions.urls import host_of
+
+    plan = compile_competitor_configs(list(configs))
+    pages_ref = pages_to_table_ref(pages)
+    records: List[dict] = []
+    seen: set = set()
+    per_source: List[dict] = []
+    for cfg in configs:
+        base = normalize_url(cfg["base_url"])
+        host = host_of(base)
+        res = crawl_ordered(
+            [], base,
+            content_selector=plan["selectors"].get(host, "article"),
+            max_depth=int(cfg.get("max_depth", 3)),
+            max_pages=int(cfg.get("max_pages", 10**9)),
+            exclude_patterns=plan["per_host_excludes"].get(host, ()),
+            num_shards=num_shards, window=window, chunk_size=chunk_size,
+            pages_ref=pages_ref,
+        )
+        base_rank = len(records)
+        for r in res["records"]:
+            r = dict(r)
+            r["crawl_rank"] = base_rank + r["crawl_rank"]
+            records.append(r)
+        seen |= set(res["seen"])
+        per_source.append({"source": cfg.get("name") or host,
+                           "n_records": len(res["records"]),
+                           "n_seen": len(res["seen"])})
+    return {"records": records, "seen": seen, "per_source": per_source}

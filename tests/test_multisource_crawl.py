@@ -195,3 +195,19 @@ def test_crawl_multi_fixture_matches_pinned_oracle(ray_session):
         entrymod.oracle_sql()["crawl_multi_fixture"]).fetch_df()
     problems = compare("crawl_multi_fixture", ray_df, sql_df)
     assert not problems, problems
+
+
+def test_crawl_multi_ordered_matches_pinned_order(ray_session):
+    """Concatenated per-source reference ORDER (the reference scrapes
+    configs one at a time) vs the independent sequential BFS."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    from tools.check_correctness import compare, to_pandas
+
+    ray_df = to_pandas(
+        entrymod.queries()["crawl_multi_ordered_fixture"](""))
+    sql_df = duckdb.connect().execute(
+        entrymod.oracle_sql()["crawl_multi_ordered_fixture"]).fetch_df()
+    problems = compare("crawl_multi_ordered_fixture", ray_df, sql_df)
+    assert not problems, problems

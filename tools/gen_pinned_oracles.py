@@ -196,6 +196,8 @@ def gen_dedup_expected() -> None:
 
 CRAWL_MULTI_OUT = os.path.join(os.path.dirname(OUT),
                                "crawl_multi_expected.parquet")
+CRAWL_MULTI_ORDERED_OUT = os.path.join(
+    os.path.dirname(OUT), "crawl_multi_ordered_expected.parquet")
 
 # the fixture plan mirrored by __ray_entry__._crawl_multi_fixture_query
 CRAWL_MULTI_CONFIGS = [
@@ -247,6 +249,17 @@ def gen_crawl_multi_expected() -> None:
                             and not any(p in norm for p in exclude):
                         visited.add(norm)
                         queue.append((norm, depth + 1))
+    # ORDERED twin first: records are already in concatenated per-source
+    # BFS order (the reference scrapes sources one at a time)
+    t_ord = pa.table({
+        "url": pa.array([r["url"] for r in records], pa.string()),
+        "depth": pa.array([r["depth"] for r in records], pa.int64()),
+        "crawl_rank": pa.array(range(len(records)), pa.int64()),
+        "title": pa.array([r["title"] for r in records], pa.string()),
+    })
+    pq.write_table(t_ord, CRAWL_MULTI_ORDERED_OUT)
+    print(f"wrote {len(t_ord)} ordered multi-crawl rows -> "
+          f"{CRAWL_MULTI_ORDERED_OUT}")
     records.sort(key=lambda r: r["url"])
     t = pa.table({
         "url": pa.array([r["url"] for r in records], pa.string()),
