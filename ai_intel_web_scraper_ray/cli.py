@@ -106,7 +106,9 @@ def cmd_crawl_multi(args):
     # `vectorize` chain directly off this directory (same layout contract
     # as cmd_crawl: <out>/records.parquet)
     recs.write_parquet(os.path.join(args.out, "records.parquet"))
-    n = load_crawl_records(args.out).count()
+    import ray.data as rd
+
+    n = rd.read_parquet(os.path.join(args.out, "records.parquet")).count()
     print(f"crawled {len(cfgs)} sources, {n} pages, "
           f"seen {len(res['seen'])} urls, "
           f"virtual politeness floor {res['virtual_time']:.2f}s -> {args.out}")

@@ -1104,11 +1104,13 @@ def crawl_multi_ordered(
     ``crawl_rank`` is re-based so the global order is the concatenation.
 
     The zero-copy page table is built ONCE and shared by every source's
-    worker pool."""
-    from ..sources.config import compile_competitor_configs
+    worker pool.  Each source uses its config's OWN values directly —
+    NOT the compiled plan's per-host merge (two same-host configs keep
+    their separate excludes/selectors here, exactly like the reference's
+    sequential per-config loop; the merged plan is only for the SHARED
+    frontier of crawl_scalable, where one host has one queue)."""
     from ..functions.urls import host_of
 
-    plan = compile_competitor_configs(list(configs))
     pages_ref = pages_to_table_ref(pages)
     records: List[dict] = []
     seen: set = set()
@@ -1118,10 +1120,10 @@ def crawl_multi_ordered(
         host = host_of(base)
         res = crawl_ordered(
             [], base,
-            content_selector=plan["selectors"].get(host, "article"),
+            content_selector=cfg.get("content_selector", "article"),
             max_depth=int(cfg.get("max_depth", 3)),
             max_pages=int(cfg.get("max_pages", 10**9)),
-            exclude_patterns=plan["per_host_excludes"].get(host, ()),
+            exclude_patterns=tuple(cfg.get("exclude_patterns", ())),
             num_shards=num_shards, window=window, chunk_size=chunk_size,
             pages_ref=pages_ref,
         )

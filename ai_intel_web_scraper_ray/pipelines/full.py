@@ -100,9 +100,12 @@ def crawl_dataset_to_source_records(ds):
     Rank-derived ``arrival_seq`` comes straight from ``crawl_rank``, so the
     downstream keep-first dedup order matches an in-memory run's."""
     def convert(t):
-        rows = t.to_pylist()
-        for r in rows:
-            r.setdefault("crawl_rank", r.get("frag_row", 0))
-        return crawl_records_to_source_table(rows)
+        if "crawl_rank" not in t.column_names:
+            # frag_row alone is only unique WITHIN a fragment — a silent
+            # fallback would make keep-first dedup pick arbitrary winners
+            raise ValueError(
+                "crawl_dataset_to_source_records needs load_crawl_records "
+                "output (with crawl_rank), not raw fragments")
+        return crawl_records_to_source_table(t.to_pylist())
 
     return ds.map_batches(convert, batch_format="pyarrow")

@@ -3664,6 +3664,11 @@ def events_range_window(sf_dir: str, days: int = 3) -> pd.DataFrame:
     out = ds.map_batches(partial, batch_format="pandas") \
         .groupby("event_type") \
         .map_groups(bucket_window, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "day": pd.Series([], dtype="datetime64[us]"),
+                             "n": pd.Series([], dtype="int64"),
+                             "sum_3d": pd.Series([], dtype="int64")})
     for c in ("n", "sum_3d"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)

@@ -211,3 +211,25 @@ def test_crawl_multi_ordered_matches_pinned_order(ray_session):
         entrymod.oracle_sql()["crawl_multi_ordered_fixture"]).fetch_df()
     problems = compare("crawl_multi_ordered_fixture", ray_df, sql_df)
     assert not problems, problems
+
+
+def test_multi_ordered_same_host_configs_keep_own_excludes(ray_session):
+    """Two configs on ONE host: each source's ordered crawl must use ITS
+    OWN excludes (reference scrapes configs independently), not the
+    plan's per-host merge."""
+    from ai_intel_web_scraper_ray.pipelines.crawl import crawl_multi_ordered
+
+    pages = make_web_graph(hosts=["docs.hot.example"],
+                           pages_per_host={0: 20}, error_sprinkle=False)
+    res = crawl_multi_ordered(pages, [
+        {"name": "a", "base_url": "https://docs.hot.example/p0",
+         "exclude_patterns": ["/p3"], "max_depth": 9},
+        {"name": "b", "base_url": "https://docs.hot.example/p1",
+         "max_depth": 9},
+    ], num_shards=2, window=32, chunk_size=8)
+    a_n, b_n = (s["n_records"] for s in res["per_source"])
+    # source b (no excludes) reaches /p3; source a does not
+    urls_b = {r["url"] for r in res["records"][a_n:]}
+    assert "https://docs.hot.example/p3" in urls_b
+    urls_a = {r["url"] for r in res["records"][:a_n]}
+    assert "https://docs.hot.example/p3" not in urls_a

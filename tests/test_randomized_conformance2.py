@@ -339,3 +339,15 @@ class TestCubeRangeMedian:
         for c in ("n_orders", "median_cents"):
             exp[c] = exp[c].astype("int64")
         pd.testing.assert_frame_equal(got, exp)
+
+    def test_range_window_empty_table(self, tmp_path):
+        pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                      "ts": pd.Series([], dtype="datetime64[us]"),
+                      "user_id": pd.Series([], dtype="int64"),
+                      "event_type": pd.Series([], dtype=object),
+                      "value": pd.Series([], dtype="float64"),
+                      "props": pd.Series([], dtype=object)}) \
+            .to_parquet(tmp_path / "events.parquet")
+        out = rel.events_range_window(str(tmp_path))
+        assert list(out.columns) == ["event_type", "day", "n", "sum_3d"]
+        assert len(out) == 0

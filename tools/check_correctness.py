@@ -105,6 +105,11 @@ def main():
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    if only is not None:
+        unknown = only - set(qs)
+        if unknown:
+            print(f"FATAL: --only names not in queries(): {sorted(unknown)}")
+            sys.exit(2)
     n_fail = 0
     n_run = 0
     for name, fn in qs.items():
