@@ -272,7 +272,7 @@ def gen_crawl_multi_expected() -> None:
 
 def main() -> None:
     rows = {}
-    for sf in ("sf0.001", "sf0.01"):
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
         t = pq.read_table(f"/root/testdata/{sf}/documents.parquet", columns=["text"])
         texts = t["text"].to_pylist()
         sims = simhash_batch([x or "" for x in texts])
