@@ -150,6 +150,41 @@ def _crawl_multi_ordered_query(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("crawl_rank").reset_index(drop=True)
 
 
+def _crawl_interleaved_fixture_query(sf_dir: str) -> pd.DataFrame:
+    """The north-star archival flow end to end, span-level: streamed crawl
+    with media capture (worker-written fragments, driver never holds
+    bodies) → load_crawl_records (keep-first dedup + distributed ranks) →
+    map_batches interleave (input_hint shape) → partitioned parquet →
+    read back → one flat row per span.  Hash-checked against the pinned
+    INDEPENDENT sequential BFS + codec replay
+    (tools/gen_pinned_oracles.py:gen_crawl_interleaved_expected)."""
+    import tempfile
+
+    import pyarrow as pa
+
+    from ai_intel_web_scraper_ray.pipelines.crawl import crawl_scalable
+    from ai_intel_web_scraper_ray.pipelines.full import (
+        write_interleaved_from_crawl,
+    )
+    from ai_intel_web_scraper_ray.sources.interleaved import spans_to_rows
+    from ai_intel_web_scraper_ray.sources.readers import read_interleaved_docs
+    from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+
+    pages = make_web_graph()
+    with tempfile.TemporaryDirectory() as tmp:
+        recs = os.path.join(tmp, "recs")
+        out = os.path.join(tmp, "inter")
+        crawl_scalable(pages, ["https://docs.hot.example/p0"], max_depth=3,
+                       exclude_patterns=("/excluded/",), num_shards=4,
+                       materialize_records=False, records_dir=recs,
+                       capture_media_refs=True)
+        write_interleaved_from_crawl(recs, out)
+        df = (read_interleaved_docs(out)
+              .map_batches(spans_to_rows, batch_format="pyarrow")
+              .to_pandas())
+    return df.sort_values(["doc_id", "span_offset"]).reset_index(drop=True)
+
+
 def _chunk_documents_query(sf_dir: str) -> pd.DataFrame:
     """Chunk the documents table via the actor-pool flat map (rows-only)."""
     from ai_intel_web_scraper_ray.pipelines.vectorize import vectorize_pipeline
@@ -291,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
         "crawl_multi_fixture": _crawl_multi_fixture_query,
+        "crawl_interleaved_fixture": _crawl_interleaved_fixture_query,
         "crawl_multi_ordered_fixture": _crawl_multi_ordered_query,
         "chunk_documents": _chunk_documents_query,
     }
@@ -315,6 +351,8 @@ _PINNED = os.path.join(_PINNED_DIR, "doc_expected.parquet")
 _PINNED_CRAWL = os.path.join(_PINNED_DIR, "crawl_expected.parquet")
 _PINNED_DEDUP = os.path.join(_PINNED_DIR, "dedup_expected.parquet")
 _PINNED_CRAWL_MULTI = os.path.join(_PINNED_DIR, "crawl_multi_expected.parquet")
+_PINNED_CRAWL_INTERLEAVED = os.path.join(
+    _PINNED_DIR, "crawl_interleaved_expected.parquet")
 _PINNED_CRAWL_MULTI_ORDERED = os.path.join(
     _PINNED_DIR, "crawl_multi_ordered_expected.parquet")
 
@@ -1834,6 +1872,13 @@ def oracle_sql() -> dict[str, str]:
         "crawl_multi_fixture": f"""
             SELECT url, depth, title
             FROM read_parquet('{_PINNED_CRAWL_MULTI}') ORDER BY url
+        """,
+        # span-level interleaved archival table for the fixture crawl,
+        # pinned by an independent sequential BFS + codec replay
+        "crawl_interleaved_fixture": f"""
+            SELECT doc_id, span_offset, kind, text, media_ref
+            FROM read_parquet('{_PINNED_CRAWL_INTERLEAVED}')
+            ORDER BY doc_id, span_offset
         """,
         "crawl_multi_ordered_fixture": f"""
             SELECT url, depth, crawl_rank, title

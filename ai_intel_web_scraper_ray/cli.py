@@ -98,14 +98,24 @@ def cmd_crawl_multi(args):
         per_host_budget=plan["budgets"],
         per_host_selectors=plan["selectors"],
         materialize_records=False, records_dir=args.out,
+        capture_media_refs=True,
     )
-    from .pipelines.full import crawl_dataset_to_source_records
+    from .pipelines.full import (
+        crawl_dataset_to_interleaved,
+        crawl_dataset_to_source_records,
+    )
 
-    recs = crawl_dataset_to_source_records(load_crawl_records(args.out))
+    loaded = load_crawl_records(args.out)
+    recs = crawl_dataset_to_source_records(loaded)
     # write the SourceRecord form next to the fragments so `process` /
     # `vectorize` chain directly off this directory (same layout contract
     # as cmd_crawl: <out>/records.parquet)
     recs.write_parquet(os.path.join(args.out, "records.parquet"))
+    # ... and the interleaved text+media payload (input_hint shape) as a
+    # partitioned table — the distributed twin of cmd_crawl's driver-side
+    # interleaved.parquet
+    crawl_dataset_to_interleaved(loaded).write_parquet(
+        os.path.join(args.out, "interleaved"))
     import ray.data as rd
 
     n = rd.read_parquet(os.path.join(args.out, "records.parquet")).count()

@@ -248,18 +248,28 @@ def extract_page(
     content_selector: str = "article",
     base_url: str = "",
     collect_links: bool = True,
-) -> Tuple[str, str, List[str]]:
-    """Single-parse (title, structured_text, links).
+    collect_media: bool = False,
+) -> Tuple[str, str, List[str], List[str]]:
+    """Single-parse (title, structured_text, links, media_refs).
 
     ``parse_html`` is ~2/3 of the per-page cost (profiled: 2.6 s of 3.9 s
     per 500 bench pages) and ``extract_content`` + ``extract_links`` each
     paid it.  Semantics are identical to calling both on fresh parses:
     links are collected BEFORE the content-area prune mutates the tree,
-    exactly as ``extract_links``'s own parse would see it."""
+    exactly as ``extract_links``'s own parse would see it.
+
+    ``collect_media``: also return same-domain NON-html links (the anchors
+    ``is_html_url`` rejects — images, pdfs, archives) canonicalized in
+    first-occurrence order.  The reference crawler silently drops these
+    (scrapers/docs_scraper.py link filter); the engine records them as the
+    ``media`` spans of the interleaved text+media payload
+    (sources/interleaved.py).  Media anchors are scanned even at max depth
+    (where ``collect_links=False``): they are payload, not frontier."""
     root = parse_html(html)
 
     links: List[str] = []
-    if collect_links:
+    media: List[str] = []
+    if collect_links or collect_media:
         content = select_one(root, content_selector) or select_one(root, "body")
         if content is not None:
             for a in content.find_all("a"):
@@ -267,9 +277,15 @@ def extract_page(
                 if not href:
                     continue
                 full = normalize_url(href, base_url)
-                if is_same_domain(full, base_url) and is_html_url(full):
-                    links.append(full)
+                if not is_same_domain(full, base_url):
+                    continue
+                if is_html_url(full):
+                    if collect_links:
+                        links.append(full)
+                elif collect_media:
+                    media.append(full)
         links = list(dict.fromkeys(links))
+        media = list(dict.fromkeys(media))
 
     title = ""
     t = select_one(root, "title")
@@ -289,9 +305,9 @@ def extract_page(
     if area is None:
         area = select_one(root, "body")
     if area is None:
-        return title, "", links
+        return title, "", links, media
     _prune(area)
-    return title, _structured_text(area), links
+    return title, _structured_text(area), links, media
 
 
 def extract_links(html: str, base_url: str, content_selector: str = "body") -> List[str]:

@@ -91,7 +91,8 @@ class FetchExtractWorker:
                  wid: int = 0, records_dir: Optional[str] = None,
                  transport=None, keep_payloads: bool = True,
                  per_host_excludes: Optional[Dict[str, List[str]]] = None,
-                 per_host_selectors: Optional[Dict[str, str]] = None):
+                 per_host_selectors: Optional[Dict[str, str]] = None,
+                 capture_media_refs: bool = False):
         # keep_payloads=False: caller wants counts + seen set only (a
         # conformance/throughput scan) — skip the object-store put of record
         # bodies nobody will read (concurrent puts from a full worker pool
@@ -117,6 +118,7 @@ class FetchExtractWorker:
         self.num_shards = num_shards
         self.seed_domains = seed_domains
         self.wid = wid
+        self.capture_media_refs = capture_media_refs
         self.records_dir = records_dir
         self._frag_seq = 0
         if records_dir:
@@ -159,13 +161,27 @@ class FetchExtractWorker:
 
         name = f"frag-w{self.wid:03d}-{os.getpid()}-{self._frag_seq:06d}.parquet"
         self._frag_seq += 1
-        t = pa.table({
+        cols = {
             "url": pa.array([r["url"] for r in records], pa.string()),
             "depth": pa.array([r["depth"] for r in records], pa.int32()),
             "title": pa.array([r["title"] for r in records], pa.string()),
             "text": pa.array([r["text"] for r in records], pa.large_string()),
             "frag_row": pa.array(range(len(records)), pa.int32()),
-        })
+        }
+        if self.capture_media_refs:
+            # packed as one \x1f-joined string, NOT list<string>: fragment
+            # rows flow through pandas block stages in load_crawl_records
+            # (add_order / rank_bucket), and Ray's pandas→arrow conversion
+            # rejects object columns of ndarrays.  The separator is
+            # stripped from refs (a control char in an href is malformed
+            # markup anyway) so unpacking is unambiguous.
+            cols["media_refs_packed"] = pa.array(
+                ["\x1f".join(ref.replace("\x1f", "")
+                             for ref in (r.get("media_refs") or []))
+                 for r in records],
+                pa.string(),
+            )
+        t = pa.table(cols)
         final = os.path.join(self.records_dir, "frags", name)
         tmp = final + ".tmp"
         pq.write_table(t, tmp)
@@ -184,13 +200,17 @@ class FetchExtractWorker:
             html = self._fetch_html(url)
             if html is None:
                 continue
-            title, text, links = extract_page(
+            title, text, links, media = extract_page(
                 html, self._selector_for(url), url,
-                collect_links=depth < self.max_depth
+                collect_links=depth < self.max_depth,
+                collect_media=self.capture_media_refs,
             )
             if not text.strip():
                 continue
-            records.append({"url": url, "depth": depth, "title": title, "text": text})
+            rec = {"url": url, "depth": depth, "title": title, "text": text}
+            if self.capture_media_refs:
+                rec["media_refs"] = media
+            records.append(rec)
             for link in links:
                 norm = normalize_url(link)
                 if not self._is_excluded(norm) and any(
@@ -314,7 +334,7 @@ class FetchExtractWorker:
             if html is None:
                 out.append(res)
                 continue
-            title, text, links = extract_page(
+            title, text, links, _media = extract_page(
                 html, self._selector_for(url), url,
                 collect_links=depth < self.max_depth
             )
@@ -351,7 +371,7 @@ def fetch_extract_chunk(
             out.append(res)
             continue
         html = page["html"]
-        title, text, links = extract_page(
+        title, text, links, _media = extract_page(
             html, content_selector, url, collect_links=depth < max_depth
         )
         if not text.strip():
@@ -663,6 +683,7 @@ def crawl_scalable(
     per_host_excludes: Optional[Dict[str, List[str]]] = None,
     per_host_budget: Optional[Dict[str, int]] = None,
     per_host_selectors: Optional[Dict[str, str]] = None,
+    capture_media_refs: bool = False,
 ) -> dict:
     """Throughput-shaped crawl: a fetch/extract worker actor pool fed by
     politeness-scheduled leases from the frontier shards; links route
@@ -687,6 +708,14 @@ def crawl_scalable(
     a live ``transport`` you MUST pass ``wall_clock_politeness=True``: the
     driver then holds every lease whose scheduled time is still in the
     future and dispatches it only once the wall clock reaches it.
+
+    MEDIA CAPTURE (``capture_media_refs=True``): each record additionally
+    carries the page's same-domain non-html anchors (canonicalized,
+    first-occurrence order) in a ``media_refs`` column — the raw material
+    for the interleaved text+media payload (see
+    ``pipelines.full.crawl_dataset_to_interleaved``).  Off by default so
+    conformance-mode outputs stay byte-identical to the reference, which
+    drops these links.
 
     RECORD STREAMING: with ``records_dir``, workers append extracted
     records to per-worker atomic parquet fragments and only counts +
@@ -790,6 +819,7 @@ def crawl_scalable(
             keep_payloads=materialize_records or records_dir is not None,
             per_host_excludes=per_host_excludes,
             per_host_selectors=per_host_selectors,
+            capture_media_refs=capture_media_refs,
         )
         for w in range(num_workers)
     ]

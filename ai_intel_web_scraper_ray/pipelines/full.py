@@ -91,6 +91,47 @@ def crawl_process_vectorize(
     return {"crawl": res, "interleaved": interleaved, "chunks": chunks}
 
 
+def crawl_dataset_to_interleaved(ds, origin: str = "crawl"):
+    """Streamed crawl records (``load_crawl_records`` output, or any
+    Dataset with url/title/text and optional media_refs) → interleaved
+    text+media docs Dataset in the input_hint shape (doc_id, spans) — the
+    distributed twin of :func:`crawl_records_to_interleaved`.
+
+    This is the north-star archival flow at scale: fetched pages stream
+    from the worker-written fragments through one ``map_batches``
+    conversion per block into the span table; record bodies never touch
+    the driver.  The codec's empty batch still carries the full typed
+    schema, so all-empty blocks can't drop it.
+
+    Fragments carry media refs packed as a \\x1f-joined string column
+    (``media_refs_packed`` — flat so the pandas block stages in
+    ``load_crawl_records`` can't mangle a list column); unpacked here."""
+
+    def convert(t: pa.Table) -> pa.Table:
+        rows = t.to_pylist()
+        for r in rows:
+            packed = r.pop("media_refs_packed", None)
+            if packed:
+                r["media_refs"] = packed.split("\x1f")
+        return crawl_records_to_interleaved(rows, origin=origin)
+
+    return ds.map_batches(convert, batch_format="pyarrow")
+
+
+def write_interleaved_from_crawl(records_dir: str, out_dir: str,
+                                 origin: str = "crawl",
+                                 max_pages: Optional[int] = None) -> str:
+    """Streamed crawl fragments → partitioned interleaved-docs table on
+    disk (a directory of parquet fragments, the Lance-style layout
+    ``sources.readers.read_interleaved_docs`` reads; Lance itself is
+    unavailable in this environment — see writers.py).  Returns out_dir."""
+    from .crawl import load_crawl_records
+
+    ds = load_crawl_records(records_dir, max_pages=max_pages)
+    crawl_dataset_to_interleaved(ds, origin=origin).write_parquet(out_dir)
+    return out_dir
+
+
 def crawl_dataset_to_source_records(ds):
     """Streamed crawl fragments (url, depth, title, text, crawl_rank — see
     ``load_crawl_records``) → SourceRecord-shaped Dataset, one vectorized

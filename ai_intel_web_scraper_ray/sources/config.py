@@ -35,16 +35,18 @@ from ..functions.urls import host_of, normalize_url
 
 def load_configs(path: str) -> List[dict]:
     """Read every ``*.json`` in a directory (sorted, deterministic) or a
-    single config file."""
+    single config file holding one config object OR a list of them."""
     if os.path.isdir(path):
         cfgs = []
         for name in sorted(os.listdir(path)):
             if name.endswith(".json"):
                 with open(os.path.join(path, name)) as f:
-                    cfgs.append(json.load(f))
+                    loaded = json.load(f)
+                    cfgs.extend(loaded if isinstance(loaded, list) else [loaded])
         return cfgs
     with open(path) as f:
-        return [json.load(f)]
+        loaded = json.load(f)
+        return loaded if isinstance(loaded, list) else [loaded]
 
 
 def compile_competitor_configs(

@@ -97,6 +97,34 @@ def interleaved_to_records_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def spans_to_rows(batch: pa.Table) -> pa.Table:
+    """Interleaved docs → one flat row per span
+    (doc_id, span_offset, kind, text, media_ref) in offset order — the
+    SQL-comparable form of the span-sequence invariant (offset as int64 so
+    a DuckDB twin's BIGINT hashes match)."""
+    doc_ids: List[str] = []
+    offs: List[int] = []
+    kinds: List[str] = []
+    texts: List[str] = []
+    refs: List[str] = []
+    for did, spans in zip(batch["doc_id"].to_pylist(), batch["spans"].to_pylist()):
+        for s in sorted(spans or [], key=lambda s: s["offset"]):
+            doc_ids.append(did)
+            offs.append(int(s["offset"]))
+            kinds.append(s["kind"])
+            texts.append(s["text"])
+            refs.append(s["media_ref"])
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.string()),
+            "span_offset": pa.array(offs, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "media_ref": pa.array(refs, pa.string()),
+        }
+    )
+
+
 def span_sequences(batch: pa.Table) -> Dict[str, List[Tuple[str, str, str]]]:
     """doc_id → [(kind, text, media_ref), ...] in offset order — the
     conformance comparison form."""
@@ -127,7 +155,8 @@ def assert_span_equality(a: pa.Table, b: pa.Table) -> None:
 
 
 def crawl_records_to_interleaved(records: Sequence[dict], origin: str = "crawl") -> pa.Table:
-    """Crawled page records (url/title/text) → interleaved docs with
+    """Crawled page records (url/title/text, optional media_refs from
+    ``crawl_scalable(capture_media_refs=True)``) → interleaved docs with
     deterministic ids (reference id scheme, scrapers/utils.py:249-252)."""
     from ..functions.urls import record_id
 
@@ -138,6 +167,7 @@ def crawl_records_to_interleaved(records: Sequence[dict], origin: str = "crawl")
                 "id": record_id(origin, "official_docs", r["url"]),
                 "title": r.get("title") or "",
                 "text": r.get("text") or "",
+                "media_refs": r.get("media_refs") or [],
                 "metadata": {},
             }
         )

@@ -78,6 +78,54 @@ class TestStreamedRecords:
         assert resumed["seen"] == full["seen"]
 
 
+class TestInterleavedFromCrawl:
+    """capture_media_refs + the distributed fragments → interleaved-docs
+    writer (the north-star archival flow: pages stream through map_batches
+    into the input_hint span table; bodies never touch the driver)."""
+
+    def test_distributed_interleaved_matches_driver_side(self, tmp_path):
+        import pyarrow as pa
+
+        from ai_intel_web_scraper_ray.pipelines.full import (
+            write_interleaved_from_crawl,
+        )
+        from ai_intel_web_scraper_ray.sources.interleaved import (
+            assert_span_equality,
+            crawl_records_to_interleaved,
+            span_sequences,
+        )
+        from ai_intel_web_scraper_ray.sources.readers import read_interleaved_docs
+
+        recs = str(tmp_path / "recs")
+        out = str(tmp_path / "inter")
+        res = crawl_scalable(PAGES, [BASE], max_depth=3, exclude_patterns=EXC,
+                             num_shards=3, num_workers=2, records_dir=recs,
+                             capture_media_refs=True)
+        assert res["records"] == []          # driver held no bodies
+        write_interleaved_from_crawl(recs, out)
+        got = pa.concat_tables(
+            list(read_interleaved_docs(out).iter_batches(batch_format="pyarrow"))
+        )
+        full = crawl_scalable(PAGES, [BASE], max_depth=3, exclude_patterns=EXC,
+                              num_shards=3, num_workers=2,
+                              capture_media_refs=True)
+        exp = crawl_records_to_interleaved(full["records"])
+        assert_span_equality(got, exp)
+        # the graph links /assets/logo.png from every page: media spans
+        # must actually be present, with the canonicalized absolute ref
+        seqs = span_sequences(exp)
+        media_refs = {ref for seq in seqs.values()
+                      for kind, _txt, ref in seq if kind == "media"}
+        assert any(ref.endswith("/assets/logo.png") for ref in media_refs)
+
+    def test_capture_off_keeps_legacy_fragment_schema(self, tmp_path):
+        recs = str(tmp_path / "recs")
+        crawl_scalable(PAGES, [BASE], max_depth=2, exclude_patterns=EXC,
+                       num_shards=2, num_workers=2, records_dir=recs)
+        df = load_crawl_records(recs).to_pandas()
+        assert "media_refs_packed" not in df.columns
+
+
 class TestWallClockPoliteness:
     def test_min_delay_enforced_in_wall_time(self):
         """ADVICE r1 (medium): with wall_clock_politeness leased URLs must

@@ -285,9 +285,35 @@ class TestHtmlx:
         for html, url in cases:
             title, text = htmlx.extract_content(html, "article", url)
             links = htmlx.extract_links(html, url, "article")
-            t2, x2, l2 = htmlx.extract_page(html, "article", url)
+            t2, x2, l2, m2 = htmlx.extract_page(html, "article", url)
             assert (t2, x2, l2) == (title, text, links)
+            assert m2 == []  # media capture is opt-in
         # collect_links=False skips link work but keeps content identical
-        t3, x3, l3 = htmlx.extract_page(self.HTML, "article", "https://a.io/base",
-                                        collect_links=False)
+        t3, x3, l3, _ = htmlx.extract_page(self.HTML, "article", "https://a.io/base",
+                                           collect_links=False)
         assert l3 == [] and x3 == htmlx.extract_content(self.HTML, "article")[1]
+
+    def test_extract_page_collects_media_refs(self):
+        """collect_media=True: same-domain non-html anchors come back
+        canonicalized in first-occurrence order, html links unchanged;
+        media anchors are collected even when links are not (max depth)."""
+        html = (
+            "<html><head><title>T</title></head><body><article>"
+            '<a href="/a">a</a>'
+            '<a href="/assets/logo.png">logo</a>'
+            '<a href="/files/doc.pdf">pdf</a>'
+            '<a href="/assets/logo.png">logo again</a>'
+            '<a href="https://other.io/pic.png">offsite</a>'
+            "</article></body></html>"
+        )
+        base = "https://a.io/base"
+        t, x, links, media = htmlx.extract_page(html, "article", base,
+                                                collect_media=True)
+        assert links == ["https://a.io/a"]
+        assert media == ["https://a.io/assets/logo.png",
+                         "https://a.io/files/doc.pdf"]
+        # at max depth: links off, media still captured
+        _, _, l2, m2 = htmlx.extract_page(html, "article", base,
+                                          collect_links=False,
+                                          collect_media=True)
+        assert l2 == [] and m2 == media

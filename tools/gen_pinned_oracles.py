@@ -87,6 +87,77 @@ def gen_crawl_expected() -> None:
     print(f"wrote {len(t)} crawl rows -> {CRAWL_OUT}")
 
 
+CRAWL_INTERLEAVED_OUT = os.path.join(os.path.dirname(OUT),
+                                     "crawl_interleaved_expected.parquet")
+
+
+def gen_crawl_interleaved_expected() -> None:
+    """Pin the span-level interleaved archival table for the fixture crawl:
+    the same independent sequential BFS as gen_crawl_expected, but each
+    fetched page also captures its same-domain non-html anchors
+    (extract_page collect_media) and is encoded through the codec's
+    record_to_spans — one flat row per span.  The engine twin
+    (crawl_interleaved_fixture) must reproduce this through the FULL
+    distributed path: streamed worker fragments → load_crawl_records
+    (dedup + rank) → map_batches interleave → partitioned write → read →
+    flatten."""
+    from collections import deque
+
+    from ai_intel_web_scraper_ray.functions.htmlx import extract_page
+    from ai_intel_web_scraper_ray.functions.urls import (
+        is_same_domain,
+        normalize_url,
+        record_id,
+    )
+    from ai_intel_web_scraper_ray.sources.interleaved import record_to_spans
+    from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+
+    pages = {p["url"]: p for p in make_web_graph()}
+    base_url = "https://docs.hot.example/p0"
+    exclude = ("/excluded/",)
+    max_depth, selector = 3, "article"
+
+    visited, rows = set(), []
+    start = normalize_url(base_url)
+    queue = deque([(start, 0)])
+    visited.add(start)
+    while queue:
+        url, depth = queue.popleft()
+        if any(p in url for p in exclude):
+            continue
+        page = pages.get(url)
+        if page is None or page["status"] != 200:
+            continue
+        title, text, links, media = extract_page(
+            page["html"], selector, url,
+            collect_links=depth < max_depth, collect_media=True)
+        if not text.strip():
+            continue
+        doc_id = record_id("crawl", "official_docs", url)
+        spans = record_to_spans(
+            {"title": title, "text": text, "media_refs": media})
+        for s in spans:
+            rows.append((doc_id, s["offset"], s["kind"], s["text"],
+                         s["media_ref"]))
+        if depth < max_depth:
+            for link in links:
+                norm = normalize_url(link)
+                if norm not in visited and is_same_domain(norm, base_url) \
+                        and not any(p in norm for p in exclude):
+                    visited.add(norm)
+                    queue.append((norm, depth + 1))
+
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.string()),
+        "span_offset": pa.array([r[1] for r in rows], pa.int64()),
+        "kind": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "media_ref": pa.array([r[4] for r in rows], pa.string()),
+    })
+    pq.write_table(t, CRAWL_INTERLEAVED_OUT)
+    print(f"wrote {len(t)} interleaved span rows -> {CRAWL_INTERLEAVED_OUT}")
+
+
 DEDUP_OUT = os.path.join(os.path.dirname(OUT), "dedup_expected.parquet")
 
 
@@ -289,6 +360,7 @@ def main() -> None:
     pq.write_table(out, OUT)
     print(f"wrote {len(out)} pinned rows -> {OUT}")
     gen_crawl_expected()
+    gen_crawl_interleaved_expected()
     gen_crawl_multi_expected()
     gen_dedup_expected()
 
