@@ -264,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cube": rel.events_cube,
         "orders_price_median": rel.orders_price_median,
         "events_range_window": rel.events_range_window,
+        "events_hll_registers": rel.events_hll_registers,
+        "events_cms_topk": rel.events_cms_topk,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -322,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
         "emb_nn_within_label": dq.emb_nn_within_label,
         "emb_int8_quantize": dq.emb_int8_quantize,
+        "emb_power_iteration": dq.emb_power_iteration,
+        "docs_pii_scrub": dq.docs_pii_scrub,
+        "docs_weighted_sample": dq.docs_weighted_sample,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -450,6 +455,11 @@ def _pq_dist_sql(s: int, sub: int = 16, lhs: str = "e.embedding") -> str:
 def oracle_sql() -> dict[str, str]:
     from ai_intel_web_scraper_ray.functions.quality import QUALITY_STOPWORDS
     from ai_intel_web_scraper_ray.functions.tokenizer import TOKEN_PATTERN
+    from ai_intel_web_scraper_ray.pipelines.docqueries import (
+        PII_EMAIL_RE as _PII_EMAIL,
+        PII_IP_RE as _PII_IP,
+        PII_PHONE_RE as _PII_PHONE,
+    )
     from ai_intel_web_scraper_ray.pipelines.relational import SESSION_GAP_MIN
 
     stop_pat = r"\b(?:" + "|".join(QUALITY_STOPWORDS) + r")\b"
@@ -2256,4 +2266,137 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY rrf_score DESC, vec_id
             LIMIT 10
         """,
+        # HLL distinct sketch: the OUTPUT is the exact-integer register
+        # table (max leading-zero rank per 8-bit bucket of a 60-bit md5
+        # hash) — rank via exact bit length (bin string), never float log2
+        "events_hll_registers": """
+            WITH du AS (SELECT DISTINCT user_id FROM events),
+            h AS (
+                SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) AS h
+                FROM du
+            )
+            SELECT CAST(h % 256 AS BIGINT) AS bucket,
+                   CAST(MAX(53 - length(ltrim(bin(h // 256), '0')))
+                        AS BIGINT) AS max_rank
+            FROM h GROUP BY bucket ORDER BY bucket
+        """,
+        # count-min sketch (d=4, w=64) heavy hitters with exact counts
+        # alongside: the SQL builds the IDENTICAL md5 registers
+        "events_cms_topk": """
+            WITH jd AS (SELECT UNNEST(RANGE(0, 4)) AS j),
+            reg AS (
+                SELECT jd.j,
+                       CAST(('0x' || substr(md5(CAST(jd.j AS VARCHAR) || '|'
+                             || CAST(user_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 64 AS slot,
+                       COUNT(*) AS c
+                FROM events CROSS JOIN jd GROUP BY 1, 2
+            ), uc AS (
+                SELECT user_id, COUNT(*) AS true_n FROM events
+                GROUP BY user_id
+            ), est AS (
+                SELECT u.user_id, u.true_n, MIN(r.c) AS est_n
+                FROM uc u CROSS JOIN jd
+                JOIN reg r ON r.j = jd.j AND r.slot =
+                    CAST(('0x' || substr(md5(CAST(jd.j AS VARCHAR) || '|'
+                          || CAST(u.user_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 64
+                GROUP BY u.user_id, u.true_n
+            )
+            SELECT user_id, CAST(est_n AS BIGINT) AS est_n,
+                   CAST(true_n AS BIGINT) AS true_n
+            FROM est ORDER BY est_n DESC, user_id LIMIT 10
+        """,
+        # PII scrub: deterministic synthesized PII (mod-3/5/7 contact
+        # block from doc_id), then the same RE2 count + chained-replace
+        # kernels the engine runs
+        "docs_pii_scrub": f"""
+            WITH aug AS (
+                SELECT doc_id,
+                       text ||
+                       CASE WHEN doc_id % 3 = 0 THEN ' contact user'
+                            || CAST(doc_id AS VARCHAR) || '@example.com'
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            ELSE '' END ||
+                       CASE WHEN doc_id % 7 = 0 THEN ' from 10.'
+                            || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                            || CAST(doc_id % 100 AS VARCHAR)
+                            ELSE '' END AS aug
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(aug, '{{EMAIL}}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(aug, '{{PHONE}}')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(aug, '{{IP}}')) AS BIGINT) AS n_ips,
+                   CAST(length(regexp_replace(regexp_replace(regexp_replace(
+                        aug, '{{EMAIL}}', '<EMAIL>', 'g'),
+                        '{{PHONE}}', '<PHONE>', 'g'),
+                        '{{IP}}', '<IP>', 'g')) AS BIGINT) AS clean_len
+            FROM aug ORDER BY doc_id
+        """.replace("{EMAIL}", _PII_EMAIL)
+          .replace("{PHONE}", _PII_PHONE)
+          .replace("{IP}", _PII_IP),
+        # Efraimidis–Spirakis weighted sample: per-row md5 uniform scored
+        # ln(u)/weight (no aggregation → engine and SQL rank identically)
+        "docs_weighted_sample": """
+            WITH s AS (
+                SELECT doc_id, n_chars,
+                       LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 8)) AS BIGINT) + 1)
+                          / 4294967296.0) / n_chars AS score
+                FROM documents
+            )
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS BIGINT) AS sample_rank,
+                   doc_id, CAST(n_chars AS BIGINT) AS n_chars
+            FROM s ORDER BY score DESC, doc_id LIMIT 20
+        """,
+        # two power iterations from e0; ROUND(w/||w||, 6) after each pass
+        # is the same inter-iteration contract as emb_kmeans_iterate
+        # (generated 64-dim sums below)
+        "emb_power_iteration": """
+            WITH w1 AS (
+                SELECT {W1} FROM embeddings e
+            ), n1 AS (
+                SELECT sqrt({SQ1}) AS nrm, * FROM w1
+            ), v1 AS (
+                SELECT {V1} FROM n1
+            ), d1 AS (
+                SELECT e.vec_id, ({DOT1}) AS dot1
+                FROM embeddings e CROSS JOIN v1
+            ), w2 AS (
+                SELECT {W2} FROM embeddings e JOIN d1 USING (vec_id)
+            ), n2 AS (
+                SELECT sqrt({SQ2}) AS nrm, * FROM w2
+            ), fin AS (
+                SELECT {V2} FROM n2
+            )
+            SELECT UNNEST(RANGE(0, 64)) AS dim,
+                   UNNEST([{LIST}]) AS loading
+            FROM fin
+        """.replace("{W1}", ", ".join(
+            f"SUM(CAST(e.embedding[{i + 1}] AS DOUBLE)"
+            f" * CAST(e.embedding[1] AS DOUBLE)) AS w{i}"
+            for i in range(64))
+        ).replace("{SQ1}", " + ".join(
+            f"w{i}*w{i}" for i in range(64))
+        ).replace("{V1}", ", ".join(
+            f"CASE WHEN nrm = 0 THEN 0.0 ELSE ROUND(w{i} / nrm, 6) END AS v{i}"
+            for i in range(64))
+        ).replace("{DOT1}", " + ".join(
+            f"CAST(e.embedding[{i + 1}] AS DOUBLE) * v1.v{i}"
+            for i in range(64))
+        ).replace("{W2}", ", ".join(
+            f"SUM(CAST(e.embedding[{i + 1}] AS DOUBLE) * d1.dot1) AS u{i}"
+            for i in range(64))
+        ).replace("{SQ2}", " + ".join(
+            f"u{i}*u{i}" for i in range(64))
+        ).replace("{V2}", ", ".join(
+            f"CASE WHEN nrm = 0 THEN 0.0 ELSE ROUND(u{i} / nrm, 6) END AS f{i}"
+            for i in range(64))
+        ).replace("{LIST}", ", ".join(
+            f"f{i}" for i in range(64))),
     }

@@ -2325,3 +2325,151 @@ def docs_interleaved_pack(sf_dir: str,
 
     return _pack_by_cost(ds.map_batches(project, batch_format="pyarrow"),
                          block_tokens, "n_cost")
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction: the pre-training scrub pass (emails, phone
+# numbers, IPv4) as single-pass RE2 Arrow kernels.  The testdata corpus is
+# synthetic word salad, so deterministic PII is first SYNTHESIZED from
+# doc_id (same derive-then-compute contract as the interleaved media
+# operators) — the regex kernels themselves are the real scrub engine.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+PII_IP_RE = r"\b10\.[0-9]{1,3}\.0\.[0-9]{1,3}\b"
+
+
+def _pii_augment(doc_ids: List[int], texts: List[str]) -> List[str]:
+    """Deterministic PII injection: docs with doc_id divisible by 3/5/7
+    gain an email / phone / IP contact block (mirrored exactly by the
+    oracle SQL's string expression)."""
+    out = []
+    for did, tx in zip(doc_ids, texts):
+        aug = tx or ""
+        if did % 3 == 0:
+            aug += f" contact user{did}@example.com"
+        if did % 5 == 0:
+            aug += f" call 555-{did % 10000:04d}"
+        if did % 7 == 0:
+            aug += f" from 10.{did % 256}.0.{did % 100}"
+        out.append(aug)
+    return out
+
+
+def docs_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """Per-document PII census + redaction: counts of emails / phone
+    numbers / IPv4 addresses and the post-redaction text length (each
+    match replaced by a ``<KIND>`` placeholder).
+
+    Scale shape: row-local — one Arrow batch transform, four RE2 kernels
+    per category (count + chained replace), no exchange; only the 5-int
+    projection leaves the workers.  Redacted bodies would be written
+    column-for-column in a real scrub (kept out of the result table
+    here so the gate ships integers)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids = [int(x) for x in t["doc_id"].to_pylist()]
+        aug = pa.array(_pii_augment(ids, t["text"].to_pylist()), pa.string())
+        n_emails = pc.count_substring_regex(aug, PII_EMAIL_RE)
+        n_phones = pc.count_substring_regex(aug, PII_PHONE_RE)
+        n_ips = pc.count_substring_regex(aug, PII_IP_RE)
+        red = pc.replace_substring_regex(aug, PII_EMAIL_RE, "<EMAIL>")
+        red = pc.replace_substring_regex(red, PII_PHONE_RE, "<PHONE>")
+        red = pc.replace_substring_regex(red, PII_IP_RE, "<IP>")
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_emails": pc.cast(n_emails, pa.int64()),
+            "n_phones": pc.cast(n_phones, pa.int64()),
+            "n_ips": pc.cast(n_ips, pa.int64()),
+            "clean_len": pc.cast(pc.utf8_length(red), pa.int64()),
+        })
+
+    out = ds.map_batches(scrub, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (Efraimidis–Spirakis A-ES): each
+# row draws a deterministic md5 uniform u and scores ln(u)/weight; the
+# global top-k by score IS a weighted sample without replacement.  The
+# float score is per-row (no aggregation), so engine and SQL rank
+# identically; the score itself stays out of the result table.
+# ---------------------------------------------------------------------------
+
+
+def docs_weighted_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Deterministic weighted sample (weight = n_chars): top-``k`` docs by
+    ``ln(u)/n_chars`` with ``u = (md5_32(doc_id)+1)/2^32``.
+
+    Scale shape: per-block top-k partials (argpartition) → driver merges
+    ≤ k×blocks projection rows; document text never moves."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["doc_id"].map(
+            lambda d: int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16))
+        u = (h.to_numpy(dtype=np.float64) + 1.0) / 4294967296.0
+        score = np.log(u) / df["n_chars"].to_numpy(dtype=np.float64)
+        take = min(k, len(df))
+        idx = (np.argpartition(-score, take - 1)[:take]
+               if take < len(df) else np.arange(len(df)))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[idx],
+            "n_chars": df["n_chars"].to_numpy()[idx],
+            "score": score[idx]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = parts.sort_values(["score", "doc_id"],
+                              ascending=[False, True]).head(k)
+    parts["sample_rank"] = np.arange(1, len(parts) + 1, dtype=np.int64)
+    out = parts[["sample_rank", "doc_id", "n_chars"]].reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# power iteration: dominant right singular direction of the embedding
+# matrix (uncentered PCA top component) in two distributed passes.  The
+# inter-iteration contract is ROUND(w/||w||, 6) — identical to the
+# emb_kmeans_iterate reproducibility contract — so the float partial sums
+# (whose association order differs between engine and SQL) are re-pinned
+# to 6 decimals before they feed the next pass.
+# ---------------------------------------------------------------------------
+
+
+def _power_pass(ds, v: np.ndarray, dim: int) -> np.ndarray:
+    """One distributed pass w = Xᵀ(Xv): per-block partial (1×dim row),
+    driver sums ≤ blocks×dim floats."""
+    def partial(t: pa.Table) -> pd.DataFrame:
+        X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        w = X.T @ (X @ v)
+        return pd.DataFrame([{f"w{i}": w[i] for i in range(dim)}])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return parts.to_numpy(dtype=np.float64).sum(axis=0)
+
+
+def emb_power_iteration(sf_dir: str, dim: int = 64,
+                        iters: int = 2) -> pd.DataFrame:
+    """Top principal direction via ``iters`` power iterations starting
+    from the first basis vector; output = (dim, loading) with loadings
+    rounded to 6 dp (the reproducibility contract).
+
+    Scale shape: each iteration is one streaming pass emitting a 1×64
+    partial per block — O(blocks×dim) floats to the driver, embeddings
+    never leave their blocks; no shuffle anywhere."""
+    ds = _emb(sf_dir)
+    v = np.zeros(dim, dtype=np.float64)
+    v[0] = 1.0
+    for _ in range(iters):
+        w = _power_pass(ds, v, dim)
+        nrm = float(np.sqrt((w * w).sum()))
+        v = np.round(w / nrm, 6) if nrm > 0 else np.zeros(dim)
+    return pd.DataFrame({"dim": np.arange(dim, dtype=np.int64),
+                         "loading": v.astype(np.float64)})

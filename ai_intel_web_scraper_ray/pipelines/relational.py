@@ -3672,3 +3672,123 @@ def events_range_window(sf_dir: str, days: int = 3) -> pd.DataFrame:
     for c in ("n", "sum_3d"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["event_type", "day"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog registers: the max-merge distinct sketch (complement of the
+# min-k-merge events_kmv_distinct).  The OUTPUT is the register table
+# itself — exact integers, so the gate hash-checks the sketch state rather
+# than a float estimate whose 2^-M summation order could differ.
+# ---------------------------------------------------------------------------
+
+_HLL_M = 256          # 2^8 registers
+_HLL_REST_BITS = 52   # 60-bit md5 hash → 8 bucket bits + 52 rank bits
+
+
+def events_hll_registers(sf_dir: str) -> pd.DataFrame:
+    """Global distinct-user HLL sketch (p=8): for each of 256 buckets the
+    max leading-zero rank of the 52-bit hash remainder.  Registers merge
+    by MAX, so per-batch partials are one bounded 256-row projection each.
+
+    Scale shape: batch-local distinct → (bucket, rank) partial → one
+    256-key groupby MAX; the exchange is O(m × blocks) integers no matter
+    the user cardinality (the exact `events_distinct_users` alternative
+    ships every distinct id).  Rank uses exact integer bit_length — float
+    log2 rounds up near powers of two (e.g. log2(2^52-1) → 52.0)."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        users = df["user_id"].drop_duplicates()
+        h = users.map(lambda u: int(
+            hashlib.md5(str(u).encode()).hexdigest()[:15], 16))
+        bucket = (h % _HLL_M).to_numpy(dtype=np.int64)
+        rest = (h // _HLL_M).tolist()
+        rank = np.array([(_HLL_REST_BITS + 1) - int(r).bit_length()
+                         for r in rest], dtype=np.int64)
+        out = pd.DataFrame({"bucket": bucket, "max_rank": rank})
+        return out.groupby("bucket", as_index=False).max()
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").max("max_rank").to_pandas()
+    out = out.rename(columns={"max(max_rank)": "max_rank"})
+    for c in ("bucket", "max_rank"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("bucket").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters: d=4 rows × w=64 slots of event counts
+# (sum-mergeable partials), then per-user estimates = min over rows,
+# verified against the exact count — the classic bounded-memory frequency
+# sketch with its overestimate visible in the result table.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4
+_CMS_W = 64
+
+
+def _cms_hash(j: int, users: pd.Series) -> np.ndarray:
+    import hashlib
+
+    return users.map(lambda u: int(hashlib.md5(
+        f"{j}|{u}".encode()).hexdigest()[:8], 16) % _CMS_W) \
+        .to_numpy(dtype=np.int64)
+
+
+def events_cms_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-``k`` users by count-min-sketch estimate, with the exact count
+    alongside (est_n ≥ true_n always; the gap is the collision
+    overestimate at d=4, w=64).
+
+    Scale shape: register partials are d×w = 256 integers per batch and
+    merge by SUM regardless of user cardinality; the exact counts flow
+    through a 64-way user-hash bucket (never a per-user Ray Aggregate);
+    estimates are computed vectorized against the broadcast 4×64 register
+    array; the driver merges per-block top-k projections."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def reg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        uc = df.groupby("user_id", as_index=False).size()
+        frames = []
+        for j in range(_CMS_D):
+            slot = _cms_hash(j, uc["user_id"])
+            f = pd.DataFrame({"j": np.int64(j), "slot": slot,
+                              "c": uc["size"].to_numpy(dtype=np.int64)})
+            frames.append(f.groupby(["j", "slot"], as_index=False).sum())
+        return pd.concat(frames, ignore_index=True)
+
+    regs = ds.map_batches(reg_partial, batch_format="pandas") \
+        .groupby(["j", "slot"]).sum("c").to_pandas()
+    reg = np.zeros((_CMS_D, _CMS_W), dtype=np.int64)
+    reg[regs["j"].to_numpy(dtype=np.int64),
+        regs["slot"].to_numpy(dtype=np.int64)] = \
+        regs["sum(c)"].to_numpy(dtype=np.int64)
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).size() \
+            .rename(columns={"size": "true_n"})
+        out["_b"] = (out["user_id"] % 64).astype("int64")
+        return out
+
+    def user_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False).agg(
+            true_n=("true_n", "sum"))
+        est = np.full(len(out), np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(_CMS_D):
+            est = np.minimum(est, reg[j, _cms_hash(j, out["user_id"])])
+        out["est_n"] = est
+        # per-bucket top-k partial: the driver merges ≤ k×64 rows
+        return out.sort_values(["est_n", "user_id"],
+                               ascending=[False, True]).head(k)
+
+    out = ds.map_batches(count_partial, batch_format="pandas") \
+        .groupby("_b").map_groups(user_bucket, batch_format="pandas") \
+        .to_pandas()
+    out = out.sort_values(["est_n", "user_id"],
+                          ascending=[False, True]).head(k)
+    out = out[["user_id", "est_n", "true_n"]].reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -105,7 +105,11 @@ class TestScalableCrawl:
     def test_throughput_scan_counts_match_materialized(self):
         """materialize_records=False (counts + seen set only) must agree
         with the materializing run — and ship NO record payloads at all
-        (workers skip the object-store put in that mode)."""
+        (workers skip the object-store put in that mode).  n_records counts
+        FETCHES: monotone depth refinement may legitimately re-fetch a URL
+        whose depth improved after its first fetch (race-dependent, in
+        EITHER run), so the exact invariants are the seen set and the
+        unique-page lower bound, not fetch-count equality."""
         full = crawl_scalable(PAGES, [BASE], max_depth=3,
                               exclude_patterns=("/excluded/",),
                               num_shards=3, num_workers=2)
@@ -113,7 +117,8 @@ class TestScalableCrawl:
                               exclude_patterns=("/excluded/",),
                               num_shards=3, num_workers=2,
                               materialize_records=False)
-        assert scan["n_records"] == len(full["records"])
+        unique_pages = {r["url"] for r in full["records"]}
+        assert scan["n_records"] >= len(unique_pages)
         assert scan["seen"] == full["seen"]
         assert scan["records"] == []
         assert scan["record_refs"] == []

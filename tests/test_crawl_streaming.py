@@ -277,14 +277,23 @@ class TestSelfLeasing:
             with pytest.raises(ValueError):
                 crawl_scalable(PAGES, [BASE], self_leasing=True, **kw)
 
-    def test_repeated_quiescence_is_deterministic(self):
-        counts = set()
+    def test_repeated_quiescence_is_deterministic(self, tmp_path):
+        # n_records counts FETCHES and monotone depth refinement may
+        # legitimately re-fetch a URL whose depth improved after its first
+        # fetch (race-dependent), so fetch COUNTS may vary run-to-run; the
+        # deterministic invariants are the seen SET and the deduped record
+        # SET (same class as test_streams_fragments).
+        url_sets = set()
         seens = set()
-        for _ in range(3):
+        for i in range(3):
+            recs = str(tmp_path / f"recs{i}")
             res = crawl_scalable(PAGES, [BASE], max_depth=3,
                                  exclude_patterns=EXC, num_shards=4,
                                  num_workers=3, self_leasing=True,
-                                 materialize_records=False)
-            counts.add(res["n_records"])
+                                 materialize_records=False, records_dir=recs)
+            df = load_crawl_records(recs).to_pandas()
+            assert df["url"].is_unique
+            assert res["n_records"] >= len(df)
+            url_sets.add(frozenset(df["url"]))
             seens.add(frozenset(res["seen"]))
-        assert len(counts) == 1 and len(seens) == 1
+        assert len(url_sets) == 1 and len(seens) == 1

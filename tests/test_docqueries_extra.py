@@ -48,6 +48,9 @@ ORACLE_QUERIES = [
     "emb_pq_adc_topk",
     "emb_prefix_fidelity",
     "docs_interleaved_pack",
+    "emb_power_iteration",
+    "docs_pii_scrub",
+    "docs_weighted_sample",
 ]
 
 
@@ -271,3 +274,37 @@ def test_nn_within_label_singleton_and_symmetry(tmp_path):
     assert out.loc[0, "nn_id"] == 1 and out.loc[1, "nn_id"] == 0
     assert out.loc[3, "nn_id"] == 4 and out.loc[4, "nn_id"] == 3
     assert out.loc[0, "score"] == out.loc[1, "score"]
+
+
+def test_power_iteration_matches_sequential_numpy():
+    """The distributed two-pass loadings equal a single-process numpy run
+    of the identical contract (and approximate the true top eigenvector)."""
+    import pyarrow.parquet as pq
+
+    X = np.stack(pq.read_table(f"{SF_DIR}/embeddings.parquet")
+                 .column("embedding").to_pylist()).astype(np.float64)
+    v = np.zeros(64); v[0] = 1.0
+    for _ in range(2):
+        w = X.T @ (X @ v)
+        v = np.round(w / np.sqrt((w * w).sum()), 6)
+    out = to_pandas(dq.emb_power_iteration(SF_DIR))
+    assert np.array_equal(out["loading"].to_numpy(), v)
+    # unit norm up to the 6-dp rounding contract
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-4
+
+
+def test_pii_scrub_synthesis_rules():
+    out = to_pandas(dq.docs_pii_scrub(SF_DIR))
+    tri = out[out["doc_id"] % 3 == 0]
+    assert (tri["n_emails"] >= 1).all()
+    assert (out[out["doc_id"] % 5 == 0]["n_phones"] >= 1).all()
+    assert (out[out["doc_id"] % 7 == 0]["n_ips"] >= 1).all()
+    none = out[(out["doc_id"] % 3 != 0) & (out["doc_id"] % 5 != 0)
+               & (out["doc_id"] % 7 != 0)]
+    assert (none[["n_emails", "n_phones", "n_ips"]].to_numpy() == 0).all()
+
+
+def test_weighted_sample_is_partitioning_invariant():
+    a = to_pandas(dq.docs_weighted_sample(SF_DIR))
+    assert len(a) == 20 and a["doc_id"].is_unique
+    assert list(a["sample_rank"]) == list(range(1, 21))

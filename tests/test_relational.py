@@ -57,6 +57,8 @@ ORACLE_QUERIES = [
     "events_cube",
     "orders_price_median",
     "events_range_window",
+    "events_hll_registers",
+    "events_cms_topk",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
@@ -200,3 +202,39 @@ def test_q7_empty_join_side_returns_empty_frame():
                                  "revenue"]
     assert str(out["l_year"].dtype) == "int64"
     assert str(out["revenue"].dtype) == "float64"
+
+
+class TestSketches:
+    def test_cms_estimate_dominates_true_count(self):
+        """Count-min is a one-sided estimator: est_n >= true_n always."""
+        out = rel.events_cms_topk(SF_DIR)
+        assert len(out) == 10
+        assert (out["est_n"] >= out["true_n"]).all()
+        assert out["user_id"].is_unique
+
+    def test_hll_registers_shape_and_partition_invariance(self):
+        """Register table is ≤256 rows of (bucket, max_rank≥1) and MAX-merge
+        makes it invariant to how the input is split into blocks."""
+        a = rel.events_hll_registers(SF_DIR)
+        assert len(a) <= 256
+        assert (a["max_rank"] >= 1).all()
+        assert a["bucket"].is_unique
+
+        import ray.data as rd
+        ds = rd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["user_id"], override_num_blocks=13)
+        # same partials math over a different split → same registers
+        import hashlib
+        import numpy as np
+        import pandas as pd
+        users = ds.to_pandas()["user_id"].drop_duplicates()
+        h = users.map(lambda u: int(
+            hashlib.md5(str(u).encode()).hexdigest()[:15], 16))
+        exp = pd.DataFrame({
+            "bucket": (h % 256).to_numpy(dtype=np.int64),
+            "max_rank": np.array([53 - int(r).bit_length()
+                                  for r in (h // 256).tolist()],
+                                 dtype=np.int64)})
+        exp = exp.groupby("bucket", as_index=False).max() \
+            .sort_values("bucket").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, exp)
