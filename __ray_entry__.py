@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_nn_within_label": dq.emb_nn_within_label,
         "emb_int8_quantize": dq.emb_int8_quantize,
         "emb_power_iteration": dq.emb_power_iteration,
+        "emb_ivf_recall": dq.emb_ivf_recall,
         "docs_pii_scrub": dq.docs_pii_scrub,
         "docs_weighted_sample": dq.docs_weighted_sample,
         # crawl + chunking (non-SQL, rows-only)
@@ -2399,4 +2400,97 @@ def oracle_sql() -> dict[str, str]:
             for i in range(64))
         ).replace("{LIST}", ", ".join(
             f"f{i}" for i in range(64))),
+        # IVF-ANN recall audit: rebuild the identical index (vec_id<8
+        # seeds + one ROUND-6 Lloyd step, same contract as the kmeans
+        # twins), probe nprobe=2 cells per query, rank in-cell, and
+        # compare against the exact top-10 — checksums pin both sets
+        "emb_ivf_recall": """
+            WITH cents0 AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), s1 AS (
+                SELECT e.vec_id, c.cid,
+                       ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS score
+                FROM embeddings e CROSS JOIN cents0 c
+            ), a1 AS (
+                SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid,
+                           ROW_NUMBER() OVER (PARTITION BY vec_id
+                                              ORDER BY score DESC, cid) AS rn
+                    FROM s1) WHERE rn = 1
+            ), m AS (
+                SELECT a1.cid, {MEANS}
+                FROM a1 JOIN embeddings e USING (vec_id) GROUP BY a1.cid
+            ), cells AS (
+                SELECT vec_id, cid FROM (
+                    SELECT e.vec_id, m.cid,
+                           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+                               ROUND(({DOT}) / (sqrt({NE}) * sqrt({NM})), 6)
+                               DESC, m.cid) AS rn
+                    FROM embeddings e CROSS JOIN m) WHERE rn = 1
+            ), probed AS (
+                SELECT qid, cid FROM (
+                    SELECT q.vec_id AS qid, m.cid,
+                           ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                               ROUND(({QDOT}) / (sqrt({QN}) * sqrt({NM})), 6)
+                               DESC, m.cid) AS rn
+                    FROM embeddings q CROSS JOIN m
+                    WHERE q.vec_id < 4) WHERE rn <= 2
+            ), sc AS (
+                SELECT q.vec_id AS qid, e.vec_id AS vid,
+                       ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]),
+                           CAST(q.embedding AS DOUBLE[])), 6) AS s
+                FROM embeddings e CROSS JOIN embeddings q
+                WHERE q.vec_id < 4 AND e.vec_id <> q.vec_id
+            ), brute AS (
+                SELECT qid, vid FROM (
+                    SELECT qid, vid,
+                           ROW_NUMBER() OVER (PARTITION BY qid
+                                              ORDER BY s DESC, vid) AS rn
+                    FROM sc) WHERE rn <= 10
+            ), ann AS (
+                SELECT qid, vid FROM (
+                    SELECT sc.qid, sc.vid,
+                           ROW_NUMBER() OVER (PARTITION BY sc.qid
+                                              ORDER BY sc.s DESC, sc.vid) AS rn
+                    FROM sc JOIN cells ON sc.vid = cells.vec_id
+                            JOIN probed p ON p.qid = sc.qid
+                                         AND p.cid = cells.cid
+                    ) WHERE rn <= 10
+            ), r AS (
+                SELECT b.qid,
+                       SUM(CASE WHEN a.vid IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+                       SUM(b.vid) AS exact_sum
+                FROM brute b LEFT JOIN ann a ON a.qid = b.qid AND a.vid = b.vid
+                GROUP BY b.qid
+            ), asum AS (
+                SELECT qid, SUM(vid) AS ann_sum FROM ann GROUP BY qid
+            )
+            SELECT r.qid AS query_id,
+                   CAST(r.hits AS BIGINT) AS recall_hits,
+                   CAST(r.exact_sum AS BIGINT) AS exact_checksum,
+                   CAST(COALESCE(asum.ann_sum, 0) AS BIGINT) AS ann_checksum
+            FROM r LEFT JOIN asum ON asum.qid = r.qid
+            ORDER BY query_id
+        """.replace("{MEANS}", ", ".join(
+            f"ROUND(AVG(CAST(e.embedding[{i + 1}] AS DOUBLE)), 6) AS m{i}"
+            for i in range(64))
+        ).replace("{DOT}", " + ".join(
+            f"CAST(e.embedding[{i + 1}] AS DOUBLE) * m.m{i}"
+            for i in range(64))
+        ).replace("{NE}", " + ".join(
+            f"CAST(e.embedding[{i + 1}] AS DOUBLE)"
+            f" * CAST(e.embedding[{i + 1}] AS DOUBLE)"
+            for i in range(64))
+        ).replace("{QDOT}", " + ".join(
+            f"CAST(q.embedding[{i + 1}] AS DOUBLE) * m.m{i}"
+            for i in range(64))
+        ).replace("{QN}", " + ".join(
+            f"CAST(q.embedding[{i + 1}] AS DOUBLE)"
+            f" * CAST(q.embedding[{i + 1}] AS DOUBLE)"
+            for i in range(64))
+        ).replace("{NM}", " + ".join(
+            f"m.m{i} * m.m{i}" for i in range(64))),
     }

@@ -2473,3 +2473,137 @@ def emb_power_iteration(sf_dir: str, dim: int = 64,
         v = np.round(w / nrm, 6) if nrm > 0 else np.zeros(dim)
     return pd.DataFrame({"dim": np.arange(dim, dtype=np.int64),
                          "loading": v.astype(np.float64)})
+
+
+# ---------------------------------------------------------------------------
+# IVF-ANN recall audit: the inverted-file search SHAPE (cell assignment →
+# nprobe probe → in-cell rank) made gate-checkable.  Centroids follow the
+# emb_kmeans_iterate contract (vec_id < 8 seeds, one Lloyd step, ROUND-6
+# means) so the oracle can rebuild the identical index in SQL; the result
+# compares the probed top-k against the exact top-k per query.
+# ---------------------------------------------------------------------------
+
+
+def emb_ivf_recall(sf_dir: str, n_seeds: int = 8, nprobe: int = 2,
+                   k: int = 10, n_queries: int = 4) -> pd.DataFrame:
+    """Recall@k of nprobe-cell IVF search vs brute force for the first
+    ``n_queries`` corpus vectors (self excluded), with id checksums pinning
+    BOTH top-k sets — the audit row for the bucket-partitioned ANN path.
+
+    Scale shape: one pass of O(k×blocks) centroid-sum partials builds the
+    index (vectors never leave their blocks), one pass emits ≤ 2k rows per
+    (query, block) of top-k partials (probed + exact); the driver merges
+    projections only.  At corpus scale the exact arm is the expensive one
+    — the audit runs on a sample of queries, which is exactly how recall
+    is monitored in production ANN systems."""
+    import pyarrow.parquet as pq
+    import ray
+
+    seeds_t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"],
+                            filters=[("vec_id", "<", n_seeds)])
+    order = np.argsort(seeds_t["vec_id"].to_numpy(zero_copy_only=False))
+    cents = np.stack(
+        seeds_t["embedding"].to_numpy(zero_copy_only=False)[order]) \
+        .astype(np.float64)
+    dim = cents.shape[1]
+    cents_ref = ray.put(cents)
+
+    # ---- pass 1: one Lloyd step (identical to emb_kmeans_iterate) ----
+    def sum_partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"cluster_id": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")}
+        cols.update({f"s{i}": pd.Series([], dtype="float64")
+                     for i in range(dim)})
+        if len(t) == 0:
+            return pd.DataFrame(cols)
+        c = ray.get(cents_ref)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        scores = np.round(np.column_stack(
+            [cosine_scores(vecs, c[j]) for j in range(c.shape[0])]), 6)
+        best = np.argmax(scores, axis=1)
+        rows = []
+        for cid in np.unique(best):
+            m = vecs[best == cid]
+            rows.append([int(cid), m.shape[0]] + list(m.sum(axis=0)))
+        return pd.DataFrame(rows, columns=list(cols))
+
+    parts = _emb(sf_dir).map_batches(sum_partial, batch_format="pyarrow") \
+        .to_pandas()
+    agg = parts.groupby("cluster_id").sum().sort_index()
+    cids = agg.index.to_numpy(dtype="int64")
+    sums = agg[[f"s{i}" for i in range(dim)]].to_numpy(dtype="float64")
+    cents2 = np.round(sums / agg["n"].to_numpy(dtype="float64")[:, None], 6)
+
+    # ---- probe lists: nprobe best cells per query (driver-side, tiny) ----
+    q_t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "<", n_queries)])
+    qorder = np.argsort(q_t["vec_id"].to_numpy(zero_copy_only=False))
+    queries = np.stack(
+        q_t["embedding"].to_numpy(zero_copy_only=False)[qorder]) \
+        .astype(np.float64)
+    probed = {}
+    for qi in range(queries.shape[0]):
+        s = np.round(cosine_scores(cents2, queries[qi]), 6)
+        # rank by (score desc, cid asc)
+        top = cids[np.lexsort((cids, -s))[:nprobe]]
+        probed[qi] = set(int(c) for c in top)
+    cents2_ref = ray.put(cents2)
+    cids_ref = ray.put(cids)
+    queries_ref = ray.put(queries)
+    probed_ref = ray.put(probed)
+
+    # ---- pass 2: per-block top-k partials, probed + exact arms ----
+    def topk_partial(t: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                              "vec_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64"),
+                              "arm": pd.Series([], dtype=object)})
+        if len(t) == 0:
+            return empty
+        c2, cid_map, qs, pr = (ray.get(cents2_ref), ray.get(cids_ref),
+                               ray.get(queries_ref), ray.get(probed_ref))
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        cell_scores = np.round(np.column_stack(
+            [cosine_scores(vecs, c2[j]) for j in range(c2.shape[0])]), 6)
+        cell = cid_map[np.argmax(cell_scores, axis=1)]
+        frames = []
+        for qi in range(qs.shape[0]):
+            s = np.round(cosine_scores(vecs, qs[qi]), 6)
+            notself = ids != qi
+            for arm, mask in (("exact", notself),
+                              ("ann", notself & np.isin(
+                                  cell, list(pr[qi])))):
+                mids, ms = ids[mask], s[mask]
+                take = min(k, len(mids))
+                if take == 0:
+                    continue
+                idx = np.lexsort((mids, -ms))[:take]
+                frames.append(pd.DataFrame({
+                    "query_id": np.int64(qi), "vec_id": mids[idx],
+                    "score": ms[idx], "arm": arm}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    merged = _emb(sf_dir).map_batches(topk_partial, batch_format="pyarrow") \
+        .to_pandas()
+    rows = []
+    for qi in range(queries.shape[0]):
+        sub = merged[merged["query_id"] == qi]
+        sets = {}
+        for arm in ("exact", "ann"):
+            a = sub[sub["arm"] == arm].sort_values(
+                ["score", "vec_id"], ascending=[False, True]).head(k)
+            sets[arm] = set(a["vec_id"].tolist())
+        rows.append({
+            "query_id": qi,
+            "recall_hits": len(sets["exact"] & sets["ann"]),
+            "exact_checksum": sum(sets["exact"]),
+            "ann_checksum": sum(sets["ann"])})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("query_id").reset_index(drop=True)

@@ -51,6 +51,7 @@ ORACLE_QUERIES = [
     "emb_power_iteration",
     "docs_pii_scrub",
     "docs_weighted_sample",
+    "emb_ivf_recall",
 ]
 
 
@@ -308,3 +309,14 @@ def test_weighted_sample_is_partitioning_invariant():
     a = to_pandas(dq.docs_weighted_sample(SF_DIR))
     assert len(a) == 20 and a["doc_id"].is_unique
     assert list(a["sample_rank"]) == list(range(1, 21))
+
+
+def test_ivf_recall_bounds_and_full_probe_is_exact():
+    """recall_hits ∈ [0, 10]; probing ALL cells makes IVF == brute force
+    (recall 10/10 and identical checksums)."""
+    out = to_pandas(dq.emb_ivf_recall(SF_DIR))
+    assert len(out) == 4
+    assert out["recall_hits"].between(0, 10).all()
+    full = to_pandas(dq.emb_ivf_recall(SF_DIR, nprobe=8))
+    assert (full["recall_hits"] == 10).all()
+    assert (full["ann_checksum"] == full["exact_checksum"]).all()
