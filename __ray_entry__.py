@@ -266,6 +266,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_window": rel.events_range_window,
         "events_hll_registers": rel.events_hll_registers,
         "events_cms_topk": rel.events_cms_topk,
+        "events_watermark_late": rel.events_watermark_late,
+        "orders_incremental_agg": rel.orders_incremental_agg,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -2308,6 +2310,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(est_n AS BIGINT) AS est_n,
                    CAST(true_n AS BIGINT) AS true_n
             FROM est ORDER BY est_n DESC, user_id LIMIT 10
+        """,
+        # event-time watermark audit: late = older than the running
+        # arrival-order event-time max minus 15 min (first arrival exempt)
+        "events_watermark_late": """
+            WITH w AS (
+                SELECT event_type, ts,
+                       MAX(ts) OVER (ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS prev_max
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN prev_max IS NOT NULL
+                                  AND ts < prev_max - INTERVAL 15 MINUTE
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+            FROM w GROUP BY event_type ORDER BY event_type
+        """,
+        # incremental-maintenance merge (base < cutoff ⊕ delta = cutoff)
+        # vs the full recompute
+        "orders_incremental_agg": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM orders
+            WHERE o_orderdate <= DATE '1995-06-17'
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         # PII scrub: deterministic synthesized PII (mod-3/5/7 contact
         # block from doc_id), then the same RE2 count + chained-replace

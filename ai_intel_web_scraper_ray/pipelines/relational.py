@@ -3792,3 +3792,135 @@ def events_cms_topk(sf_dir: str, k: int = 10) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# event-time watermark / late-data audit: how many events would a
+# streaming engine drop at a 15-minute watermark, replaying the log in
+# ARRIVAL order (event_id)?  The running event-time max is a distributed
+# prefix scan — per-block maxima to the driver (O(#blocks) state), then a
+# vectorized within-block cummax pass — never a per-row loop.
+# ---------------------------------------------------------------------------
+
+_WATERMARK_DELAY_US = 15 * 60 * 1_000_000
+
+
+def events_watermark_late(sf_dir: str) -> pd.DataFrame:
+    """Per event type: total events and how many arrive LATE — event time
+    older than (max event time seen so far in arrival order) minus the
+    15-minute watermark delay.  The first arrival is never late.
+
+    Scale shape: the (event_id, ts, type) projection is range-sorted by
+    arrival id (the only shuffle); pass 1 ships ONE (first_id, max_ts)
+    row per block; the driver computes exclusive prefix maxima over
+    blocks; pass 2 re-reads the SAME materialized blocks
+    (batch_size=None pins batch == block) and does a vectorized
+    cummax + compare, emitting per-(block, type) count partials."""
+    proj = _read(sf_dir, "events", ["event_id", "ts", "event_type"]) \
+        .sort("event_id").materialize()
+
+    def block_max(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"first_id": pa.array([], pa.int64()),
+                             "max_ts": pa.array([], pa.int64())})
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype("int64")
+        return pa.table({"first_id": pa.array([int(ids[0])], pa.int64()),
+                         "max_ts": pa.array([int(ts.max())], pa.int64())})
+
+    parts = proj.map_batches(block_max, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    parts = parts.sort_values("first_id").reset_index(drop=True)
+    prefix = parts["max_ts"].cummax().shift(1)
+    entry_max = {int(f): (None if pd.isna(p) else int(p))
+                 for f, p in zip(parts["first_id"], prefix)}
+
+    def late_partial(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "n_late": pd.Series([], dtype="int64")})
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]") \
+            .astype("int64")
+        entry = entry_max[int(ids[0])]
+        shifted = np.concatenate(
+            ([np.iinfo(np.int64).min if entry is None else entry],
+             np.maximum.accumulate(ts)[:-1]))
+        if entry is not None:
+            shifted = np.maximum(shifted, entry)
+        late = ts < shifted - _WATERMARK_DELAY_US
+        # the global first arrival has no predecessor → never late
+        if entry is None:
+            late[0] = False
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "late": late})
+        out = df.groupby("event_type", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"))
+        return out.astype({"n_events": "int64", "n_late": "int64"})
+
+    out = proj.map_batches(late_partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    out = out.groupby("event_type", as_index=False).sum()
+    for c in ("n_events", "n_late"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance: a materialized per-priority order
+# aggregate is refreshed by MERGING a day's delta partial into the base —
+# the view-maintenance path a streaming warehouse runs instead of a full
+# recompute.  The gate checks the merged result against the full SQL
+# recompute, so merge-associativity is what's being verified.
+# ---------------------------------------------------------------------------
+
+_INCR_CUTOFF = "1995-06-17"
+
+
+def orders_incremental_agg(sf_dir: str,
+                           cutoff: str = _INCR_CUTOFF) -> pd.DataFrame:
+    """(n_orders, sum_cents) per order priority as of ``cutoff``, computed
+    as base(< cutoff) ⊕ delta(= cutoff) — two independent streaming
+    aggregations whose bounded partials merge by addition.
+
+    Scale shape: each arm is a column-pruned filtered scan emitting
+    ≤ |priorities| rows per block; the merge is a driver-side add over
+    ≤ 2×|priorities| rows.  A real deployment keeps the base table
+    materialized and only ever runs the delta arm — this query verifies
+    that merge path against the full recompute oracle."""
+    cut = np.datetime64(cutoff)
+
+    def arm(op) -> pd.DataFrame:
+        ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority",
+                                      "o_totalprice"])
+
+        def partial(t: pa.Table) -> pd.DataFrame:
+            d = t["o_orderdate"].to_numpy(zero_copy_only=False) \
+                .astype("datetime64[D]")
+            mask = op(d, cut)
+            if not mask.any():
+                return pd.DataFrame({
+                    "o_orderpriority": pd.Series([], dtype=object),
+                    "n_orders": pd.Series([], dtype="int64"),
+                    "sum_cents": pd.Series([], dtype="int64")})
+            price = t["o_totalprice"].to_numpy(zero_copy_only=False)[mask]
+            cents = np.floor(price * 100 + 0.5).astype("int64")
+            df = pd.DataFrame({
+                "o_orderpriority": np.asarray(
+                    t["o_orderpriority"].to_pylist(), dtype=object)[mask],
+                "n": 1, "c": cents})
+            out = df.groupby("o_orderpriority", as_index=False).agg(
+                n_orders=("n", "sum"), sum_cents=("c", "sum"))
+            return out.astype({"n_orders": "int64", "sum_cents": "int64"})
+
+        return ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+
+    base = arm(np.less)
+    delta = arm(np.equal)
+    merged = pd.concat([base, delta], ignore_index=True) \
+        .groupby("o_orderpriority", as_index=False).sum()
+    for c in ("n_orders", "sum_cents"):
+        merged[c] = merged[c].astype("int64")
+    return merged.sort_values("o_orderpriority").reset_index(drop=True)

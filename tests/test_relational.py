@@ -59,6 +59,8 @@ ORACLE_QUERIES = [
     "events_range_window",
     "events_hll_registers",
     "events_cms_topk",
+    "events_watermark_late",
+    "orders_incremental_agg",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
@@ -238,3 +240,42 @@ class TestSketches:
         exp = exp.groupby("bucket", as_index=False).max() \
             .sort_values("bucket").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, exp)
+
+    def test_watermark_late_is_partitioning_invariant(self):
+        """The distributed prefix-max must not depend on block boundaries:
+        a sequential pandas replay is the ground truth."""
+        import pandas as pd
+        a = rel.events_watermark_late(SF_DIR)
+        ev = pd.read_parquet(f"{SF_DIR}/events.parquet",
+                             columns=["event_id", "ts", "event_type"]) \
+            .sort_values("event_id")
+        prev_max = ev["ts"].cummax().shift(1)
+        late = ev["ts"] < prev_max - pd.Timedelta(minutes=15)
+        exp = pd.DataFrame({"event_type": ev["event_type"], "late": late}) \
+            .groupby("event_type", as_index=False) \
+            .agg(n_events=("late", "size"), n_late=("late", "sum")) \
+            .astype({"n_events": "int64", "n_late": "int64"}) \
+            .sort_values("event_type").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, exp)
+
+    def test_incremental_merge_equals_single_pass(self):
+        """base(<D) ⊕ delta(=D) must equal one aggregation over <=D."""
+        import numpy as np
+        import pandas as pd
+        merged = rel.orders_incremental_agg(SF_DIR)
+        o = pd.read_parquet(f"{SF_DIR}/orders.parquet",
+                            columns=["o_orderdate", "o_orderpriority",
+                                     "o_totalprice"])
+        m = o["o_orderdate"].to_numpy().astype("datetime64[D]") <= \
+            np.datetime64("1995-06-17")
+        sub = o[m]
+        exp = pd.DataFrame({
+            "o_orderpriority": sub["o_orderpriority"],
+            "n": 1,
+            "c": np.floor(sub["o_totalprice"].to_numpy() * 100 + 0.5)
+                .astype("int64")}) \
+            .groupby("o_orderpriority", as_index=False) \
+            .agg(n_orders=("n", "sum"), sum_cents=("c", "sum")) \
+            .astype({"n_orders": "int64", "sum_cents": "int64"}) \
+            .sort_values("o_orderpriority").reset_index(drop=True)
+        pd.testing.assert_frame_equal(merged, exp)
