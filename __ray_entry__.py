@@ -330,6 +330,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_recall": dq.emb_ivf_recall,
         "docs_pii_scrub": dq.docs_pii_scrub,
         "docs_weighted_sample": dq.docs_weighted_sample,
+        "docs_media_asset_dedup": dq.docs_media_asset_dedup,
+        "events_log_compaction": rel.events_log_compaction,
+        "docs_training_build": dq.docs_training_build,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -1535,6 +1538,84 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_spans
             FROM tok WHERE word LIKE 's%'
             GROUP BY word ORDER BY n_docs DESC, media_ref
+        """,
+        # composed training-data build: dedup → quality → split → census
+        # in ONE SQL chain (stage composition is what's being checked)
+        "docs_training_build": f"""
+            WITH f AS (
+                SELECT doc_id, lang, text,
+                       len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                           AS n_words,
+                       len(regexp_extract_all(lower(text), '{stop_pat}'))
+                           AS stop_hits,
+                       len(list_filter(regexp_split_to_array(lower(text),
+                                                             '\\s+'),
+                                       x -> x != '')) AS ntok
+                FROM documents
+            ), d AS (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+                                             ORDER BY doc_id) AS rn
+                FROM f
+            ), k AS (
+                SELECT * FROM d
+                WHERE rn = 1 AND n_words >= 40
+                  AND CAST(FLOOR(stop_hits * 1000000.0
+                                 / GREATEST(n_words, 1)) AS BIGINT) >= 10000
+            ), s AS (
+                SELECT lang, ntok,
+                       CASE
+                           WHEN CAST(('0x' || substr(
+                               md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 10 < 8 THEN 'train'
+                           WHEN CAST(('0x' || substr(
+                               md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % 10 < 9 THEN 'val'
+                           ELSE 'test'
+                       END AS split
+                FROM k
+            )
+            SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(ntok) AS BIGINT) AS n_tokens
+            FROM s GROUP BY lang, split ORDER BY lang, split
+        """,
+        # shared-asset dedup: min-doc_id ownership per img:// ref, per-doc
+        # borrowed-span counts (same synthesized-ref contract as
+        # docs_media_ref_counts)
+        "docs_media_asset_dedup": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(w) AS word FROM toks
+            ), m AS (
+                SELECT doc_id, 'img://' || word AS ref FROM tok
+                WHERE word LIKE 's%'
+            ), cnt AS (
+                SELECT doc_id, ref, COUNT(*) AS n FROM m GROUP BY doc_id, ref
+            ), own AS (
+                SELECT ref, MIN(doc_id) AS owner FROM cnt GROUP BY ref
+            )
+            SELECT c.doc_id,
+                   CAST(SUM(c.n) AS BIGINT) AS n_media,
+                   CAST(SUM(CASE WHEN o.owner = c.doc_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_owned_refs,
+                   CAST(SUM(CASE WHEN o.owner <> c.doc_id THEN c.n ELSE 0 END)
+                        AS BIGINT) AS n_dup_spans
+            FROM cnt c JOIN own o USING (ref)
+            GROUP BY c.doc_id ORDER BY c.doc_id
+        """,
+        # last-value-wins compaction of the keyed event log
+        "events_log_compaction": """
+            SELECT user_id, event_type, ts AS last_ts, value AS last_value
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1
+            ORDER BY user_id, event_type
         """,
         # posting-list build over the doc_id % 17 == 0 index shard
         "docs_inverted_index": r"""

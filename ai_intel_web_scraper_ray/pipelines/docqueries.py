@@ -2607,3 +2607,147 @@ def emb_ivf_recall(sf_dir: str, n_seeds: int = 8, nprobe: int = 2,
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("query_id").reset_index(drop=True)
+
+
+def docs_media_asset_dedup(sf_dir: str) -> pd.DataFrame:
+    """Shared-media-asset dedup over the interleaved corpus: each
+    ``img://{word}`` ref is stored once, owned by the LOWEST doc_id that
+    embeds it; every other span pointing at it is a dedup hit.  Returns
+    per document its media-span total, the refs it owns, and the spans
+    it borrows from other documents' assets.
+
+    Scale shape: same two-exchange projection as docs_rarity_score —
+    round 1 colocates (doc, ref, n) partials under a ref-hash bucket
+    (owner = min doc_id is exact per bucket), round 2 re-keys the scored
+    integer rows by doc-hash bucket and reduces; media bytes never move."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        inter = _interleaved_with_media(t, positional_refs=False)
+        acc: Dict[tuple, int] = {}
+        for did, spans in zip(inter["doc_id"].to_pylist(),
+                              inter["spans"].to_pylist()):
+            for s in spans:
+                if s["kind"] == "media":
+                    key = (s["media_ref"], int(did))
+                    acc[key] = acc.get(key, 0) + 1
+        refs = [k[0] for k in acc]
+        bucket = (pd.util.hash_pandas_object(
+            pd.Series(refs, dtype=object), index=False) % 64).astype("int64")
+        return pa.table({
+            "media_ref": pa.array(refs, pa.string()),
+            "doc_id": pa.array([k[1] for k in acc], pa.int64()),
+            "n": pa.array(list(acc.values()), pa.int64()),
+            "_b": pa.array(bucket.to_numpy(), pa.int64())})
+
+    def ref_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["media_ref", "doc_id"], as_index=False).agg(
+            n=("n", "sum"))
+        owner = df.groupby("media_ref")["doc_id"].transform("min")
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_media": df["n"].astype("int64"),
+            "n_owned_refs": (df["doc_id"] == owner).astype("int64"),
+            "n_dup_spans": df["n"].where(df["doc_id"] != owner, 0)
+                .astype("int64")})
+        out = out.groupby("doc_id", as_index=False).sum()
+        out["_d"] = (out["doc_id"] % 64).astype("int64")
+        return out
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("doc_id", as_index=False).agg(
+            n_media=("n_media", "sum"),
+            n_owned_refs=("n_owned_refs", "sum"),
+            n_dup_spans=("n_dup_spans", "sum"))
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(ref_bucket, batch_format="pandas") \
+        .groupby("_d").map_groups(doc_bucket, batch_format="pandas") \
+        .to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training-data build: the composed corpus pipeline
+# (exact dedup → quality filter → deterministic split → per-(lang, split)
+# census) as ONE gate row, so the STAGE COMPOSITION — not just each stage
+# — is hash-checked against a single SQL chain.
+# ---------------------------------------------------------------------------
+
+_BUILD_MIN_WORDS = 40
+_BUILD_MIN_STOP_PPM = 10_000
+
+
+def docs_training_build(sf_dir: str, min_words: int = _BUILD_MIN_WORDS,
+                        min_stop_ppm: int = _BUILD_MIN_STOP_PPM
+                        ) -> pd.DataFrame:
+    """Per-(lang, split) document and token counts of the final training
+    corpus after keep-first exact dedup, quality filtering (word count ≥
+    ``min_words`` AND stopword-ppm ≥ ``min_stop_ppm``), and the md5
+    80/10/10 split.
+
+    Scale shape: pass A projects per-doc integers + a 16-hex text hash
+    (bodies never leave their blocks); the single exchange colocates the
+    projections under a 64-way hash bucket where dedup keep-first,
+    quality filter, split assignment, and the per-(lang, split) partial
+    aggregation all happen vectorized; the driver reduces ≤
+    |langs|×3×64 partial rows."""
+    import hashlib
+
+    from ..functions.quality import QUALITY_STOPWORDS
+
+    stop_pat = r"\b(?:" + "|".join(QUALITY_STOPWORDS) + r")\b"
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def project(t: pa.Table) -> pd.DataFrame:
+        texts = t["text"].to_pylist()
+        hs = [hashlib.sha256((x or "").encode()).hexdigest()[:16]
+              for x in texts]
+        n_words = pc.count_substring_regex(
+            t["text"], r"[A-Za-z0-9_]+").to_numpy(zero_copy_only=False) \
+            .astype("int64")
+        stop_hits = pc.count_substring_regex(
+            pc.utf8_lower(t["text"]), stop_pat) \
+            .to_numpy(zero_copy_only=False).astype("int64")
+        ntok = pc.count_substring_regex(t["text"], r"\S+") \
+            .to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame({
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)
+                .astype("int64"),
+            "lang": t["lang"].to_pylist(),
+            "h": hs,
+            "n_words": n_words, "stop_hits": stop_hits, "ntok": ntok,
+            "_b": np.array([int(h[:8], 16) % 64 for h in hs],
+                           dtype="int64")})
+
+    def build_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # keep-first exact dedup: all rows of a text hash are in this bucket
+        df = df.sort_values("doc_id").groupby("h", as_index=False).first()
+        stop_ppm = (df["stop_hits"] * 1_000_000
+                    // np.maximum(df["n_words"], 1)).astype("int64")
+        keep = (df["n_words"] >= min_words) & (stop_ppm >= min_stop_ppm)
+        df = df[keep]
+        if df.empty:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "split": pd.Series([], dtype=object),
+                                 "n_docs": pd.Series([], dtype="int64"),
+                                 "n_tokens": pd.Series([], dtype="int64")})
+        m = df["doc_id"].map(lambda d: int(hashlib.md5(
+            str(d).encode()).hexdigest()[:8], 16) % 10)
+        split = np.where(m < 8, "train", np.where(m < 9, "val", "test"))
+        out = pd.DataFrame({"lang": df["lang"], "split": split,
+                            "n": 1, "ntok": df["ntok"]})
+        out = out.groupby(["lang", "split"], as_index=False).agg(
+            n_docs=("n", "sum"), n_tokens=("ntok", "sum"))
+        return out.astype({"n_docs": "int64", "n_tokens": "int64"})
+
+    out = ds.map_batches(project, batch_format="pyarrow") \
+        .groupby("_b").map_groups(build_bucket, batch_format="pandas") \
+        .to_pandas()
+    out = out.groupby(["lang", "split"], as_index=False).sum()
+    for c in ("n_docs", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["lang", "split"]).reset_index(drop=True)

@@ -3924,3 +3924,35 @@ def orders_incremental_agg(sf_dir: str,
     for c in ("n_orders", "sum_cents"):
         merged[c] = merged[c].astype("int64")
     return merged.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def events_log_compaction(sf_dir: str) -> pd.DataFrame:
+    """Last-value-wins log compaction: one row per (user, event type)
+    carrying the latest (ts, value) by event time with arrival-id
+    tiebreak — the upsert-log → table compaction a lakehouse runs.
+
+    Scale shape: per-batch partials keep only each key's local winner
+    (vectorized sort + tail, no Python per key), so the user-hash-bucket
+    exchange ships ≤ |keys| rows per block; selection by (ts, event_id)
+    max is associative, so partial merge is exact."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.sort_values(["ts", "event_id"]) \
+            .groupby(["user_id", "event_type"], as_index=False).tail(1)
+        w = w.copy()
+        w["_b"] = (w["user_id"] % 64).astype("int64")
+        return w
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.sort_values(["ts", "event_id"]) \
+            .groupby(["user_id", "event_type"], as_index=False).tail(1)
+        return w[["user_id", "event_type", "ts", "value"]].rename(
+            columns={"ts": "last_ts", "value": "last_value"})
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket, batch_format="pandas") \
+        .to_pandas()
+    out["user_id"] = out["user_id"].astype("int64")
+    return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)

@@ -133,6 +133,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         [], [p["url"] for p in pages], max_depth=0,
         num_shards=min(8, max(4, num_cpus // 4)), lease_per_shard=4096,
         pages_table_ref=pages_table_ref, materialize_records=False,
+        collect_seen=False,
     )
     sat_sec = time.perf_counter() - t0
     timings["crawl_saturated"] = round(sat_sec, 3)
@@ -197,8 +198,68 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     return out
 
 
-def run_subprocess(ncpu: int) -> dict:
+def run_sat_bench(num_cpus: int) -> dict:
+    """Saturated-frontier crawl ONLY (the north-rule scaling quantity), on
+    a 3× graph so the fixed costs a long-running frontier amortizes (actor
+    pool spawn ~1 s, seed offering) stay under ~5% of the window at 32
+    CPUs.  --scaling uses THIS per level: it repeats faster (less ambient
+    exposure per pair) and measures the steady state, not the ramp."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ai_intel_web_scraper_ray.pipelines.crawl import (
+        crawl_scalable,
+        pages_to_table_ref,
+    )
+    from ai_intel_web_scraper_ray.sources.synthetic import make_bench_web_graph
+
+    @ray.remote
+    def _burn(n: int) -> int:
+        s = 0
+        for i in range(n):
+            s += i * i
+        return s
+
+    k = max(2, num_cpus - 2)
+    n_iter = 3_000_000
+    t0 = time.perf_counter()
+    ray.get([_burn.remote(n_iter) for _ in range(k * 3)])
+    cpu_baseline = round(k * 3 * n_iter / (time.perf_counter() - t0) / 1e6, 1)
+
+    n_pages = int(os.environ.get("GRAFT_SAT_PAGES", "72000"))
+    pages = make_bench_web_graph(n_pages)
+    pages_table_ref = pages_to_table_ref(pages)
+    seeds = [p["url"] for p in pages]
+    t0 = time.perf_counter()
+    sat = crawl_scalable(
+        [], seeds, max_depth=0,
+        num_shards=min(8, max(4, num_cpus // 4)), lease_per_shard=4096,
+        pages_table_ref=pages_table_ref, materialize_records=False,
+        collect_seen=False,
+    )
+    sat_sec = time.perf_counter() - t0
+    out = {
+        "metric": "saturated_crawl",
+        "num_cpus": num_cpus,
+        "crawl_saturated_pages": sat["n_records"],
+        "crawl_saturated_sec": round(sat_sec, 3),
+        "crawl_saturated_docs_per_sec": round(sat["n_records"] / sat_sec, 1),
+        "crawl_sustained_docs_per_sec": sat["sustained_docs_per_sec"],
+        "cpu_baseline_miter_per_sec": cpu_baseline,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_subprocess(ncpu: int, sat_only: bool = False) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    if sat_only:
+        env["GRAFT_SAT_ONLY"] = "1"
     proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
                           capture_output=True, text=True, check=True)
     return json.loads(proc.stdout.strip().splitlines()[-1])
@@ -214,30 +275,36 @@ def main():
         repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
         runs = []
         for _ in range(repeats):
-            r_lo = run_subprocess(lo)
-            r_hi = run_subprocess(hi)
-            # PRIMARY: sustained (saturated-frontier) throughput — the north
-            # rule's quantity.  The BFS-crawl efficiency is kept as a
-            # secondary number; it under-reads because the discovery ramp
-            # (waves of ~3 links/page) is latency-bound at every CPU count.
+            # Saturated-frontier crawl ONLY per level (the north rule's
+            # quantity is SUSTAINED fetch+extract throughput on a frontier
+            # that never starves): a 3× graph amortizes the fixed actor-pool
+            # spawn that a real long-running crawl never re-pays, and the
+            # short window cuts ambient-skew exposure per pair.  The BFS-
+            # ramp crawl number lives in the headline bench (crawl_docs_
+            # per_sec); its efficiency history is in BENCH/BASELINE.md.
+            r_lo = run_subprocess(lo, sat_only=True)
+            r_hi = run_subprocess(hi, sat_only=True)
             sat_ratio = r_hi["crawl_saturated_docs_per_sec"] / max(
                 r_lo["crawl_saturated_docs_per_sec"], 1e-9)
-            thr_ratio = r_hi["crawl_docs_per_sec"] / max(r_lo["crawl_docs_per_sec"], 1e-9)
+            sus_lo = r_lo.get("crawl_sustained_docs_per_sec") or \
+                r_lo["crawl_saturated_docs_per_sec"]
+            sus_hi = r_hi.get("crawl_sustained_docs_per_sec") or \
+                r_hi["crawl_saturated_docs_per_sec"]
+            sus_ratio = sus_hi / max(sus_lo, 1e-9)
             base_ratio = r_hi["cpu_baseline_miter_per_sec"] / max(r_lo["cpu_baseline_miter_per_sec"], 1e-9)
             runs.append({
-                "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+                "sec_lo": r_lo["crawl_saturated_sec"],
+                "sec_hi": r_hi["crawl_saturated_sec"],
                 "crawl_saturated_docs_per_sec_lo": r_lo["crawl_saturated_docs_per_sec"],
                 "crawl_saturated_docs_per_sec_hi": r_hi["crawl_saturated_docs_per_sec"],
-                "crawl_docs_per_sec_lo": r_lo["crawl_docs_per_sec"],
-                "crawl_docs_per_sec_hi": r_hi["crawl_docs_per_sec"],
+                "crawl_sustained_docs_per_sec_lo": sus_lo,
+                "crawl_sustained_docs_per_sec_hi": sus_hi,
                 "cpu_baseline_lo": r_lo["cpu_baseline_miter_per_sec"],
                 "cpu_baseline_hi": r_hi["cpu_baseline_miter_per_sec"],
                 "raw_efficiency": round(sat_ratio / (hi / lo), 3),
-                "bfs_crawl_efficiency": round(thr_ratio / (hi / lo), 3),
+                "sustained_efficiency": round(sus_ratio / (hi / lo), 3),
                 "machine_cpu_scaling_efficiency": round(base_ratio / (hi / lo), 3),
                 "normalized_efficiency": round(sat_ratio / max(base_ratio, 1e-9), 3),
-                "total_time_scaling_efficiency": round(
-                    (r_lo["value"] / max(r_hi["value"], 1e-9)) / (hi / lo), 3),
             })
 
         def median(xs):
@@ -251,6 +318,8 @@ def main():
             "repeats": repeats,
             "runs": runs,
             "median_raw_efficiency": median([r["raw_efficiency"] for r in runs]),
+            "median_sustained_efficiency": median(
+                [r["sustained_efficiency"] for r in runs]),
             "median_normalized_efficiency": median([r["normalized_efficiency"] for r in runs]),
             "median_machine_cpu_efficiency": median(
                 [r["machine_cpu_scaling_efficiency"] for r in runs]),
@@ -258,6 +327,9 @@ def main():
         return
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if os.environ.get("GRAFT_SAT_ONLY"):
+        print(json.dumps(run_sat_bench(num_cpus)))
+        return
     print(json.dumps(run_bench(sf_dir, num_cpus)))
 
 

@@ -52,6 +52,8 @@ ORACLE_QUERIES = [
     "docs_pii_scrub",
     "docs_weighted_sample",
     "emb_ivf_recall",
+    "docs_media_asset_dedup",
+    "docs_training_build",
 ]
 
 
@@ -320,3 +322,29 @@ def test_ivf_recall_bounds_and_full_probe_is_exact():
     full = to_pandas(dq.emb_ivf_recall(SF_DIR, nprobe=8))
     assert (full["recall_hits"] == 10).all()
     assert (full["ann_checksum"] == full["exact_checksum"]).all()
+
+
+def test_media_asset_dedup_conservation():
+    """Σ n_owned_refs == #distinct refs; Σ(n_media - n_dup_spans spans
+    owned) consistency vs docs_media_ref_counts."""
+    dedup = to_pandas(dq.docs_media_asset_dedup(SF_DIR))
+    census = to_pandas(dq.docs_media_ref_counts(SF_DIR))
+    assert dedup["n_owned_refs"].sum() == len(census)
+    assert dedup["n_media"].sum() == census["n_spans"].sum()
+    assert (dedup["n_dup_spans"] <= dedup["n_media"]).all()
+
+
+def test_training_build_composes_stage_semantics(duck):
+    """The composite must agree with composing its stages independently:
+    split sizes follow 80/10/10 on the filtered survivor set."""
+    out = to_pandas(dq.docs_training_build(SF_DIR))
+    assert set(out["split"]) <= {"train", "val", "test"}
+    n = out.groupby("split")["n_docs"].sum()
+    total = int(n.sum())
+    assert 0 < total <= 500
+    assert n.get("train", 0) > n.get("val", 0)
+    assert n.get("train", 0) > n.get("test", 0)
+    # lowering the quality bar to zero must keep every distinct doc
+    full = to_pandas(dq.docs_training_build(SF_DIR, min_words=0,
+                                            min_stop_ppm=0))
+    assert int(full["n_docs"].sum()) == 500

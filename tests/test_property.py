@@ -184,3 +184,46 @@ class TestConfigCompilerProperties:
             if d > 0:
                 assert plan["per_host_delay"][host] >= d
             assert plan["budgets"][host] <= m
+
+
+class TestUrlFastPaths:
+    """The normalize_url/host_of fast paths must be EXACTLY equivalent to
+    the urlparse slow paths (the fast path exists only because the crawl
+    runs them once per seed / discovered link)."""
+
+    @given(st.text(alphabet="abcdefgh:/?#;.%@[]-_0123456789", max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_host_of_matches_urlparse(self, tail):
+        from urllib.parse import urlparse
+        from ai_intel_web_scraper_ray.functions.urls import host_of
+        for url in (tail, "https://" + tail, "http://h.x/" + tail):
+            try:
+                expected = urlparse(url).netloc
+            except ValueError:
+                # urlparse validates bracketed hosts and raises; host_of
+                # defers those to urlparse, so it must raise identically
+                try:
+                    host_of(url)
+                    assert False, f"host_of accepted what urlparse rejects: {url}"
+                except ValueError:
+                    continue
+            assert host_of(url) == expected, url
+
+    @given(st.text(alphabet="abcdefgh:/?#;.%@-_0123456789", max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_normalize_fast_path_is_fixpoint(self, tail):
+        from urllib.parse import urlparse, urlunparse
+        from ai_intel_web_scraper_ray.functions.urls import (
+            _CANONICAL_RE, normalize_url)
+        for url in ("https://" + tail, "http://h.x/" + tail):
+            if _CANONICAL_RE.match(url):
+                # slow-path recomputation must return the input unchanged
+                p = urlparse(url)
+                path = p.path.rstrip("/") if p.path != "/" else "/"
+                assert urlunparse((p.scheme, p.netloc, path,
+                                   p.params, "", "")) == url, url
+            # and the public function always equals the slow path
+            p = urlparse(url)
+            path = p.path.rstrip("/") if p.path != "/" else "/"
+            assert normalize_url(url) == urlunparse(
+                (p.scheme, p.netloc, path, p.params, "", "")), url

@@ -61,6 +61,7 @@ ORACLE_QUERIES = [
     "events_cms_topk",
     "events_watermark_late",
     "orders_incremental_agg",
+    "events_log_compaction",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
