@@ -328,6 +328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_int8_quantize": dq.emb_int8_quantize,
         "emb_power_iteration": dq.emb_power_iteration,
         "emb_ivf_recall": dq.emb_ivf_recall,
+        "emb_mips_topk": dq.emb_mips_topk,
         "docs_pii_scrub": dq.docs_pii_scrub,
         "docs_weighted_sample": dq.docs_weighted_sample,
         "docs_media_asset_dedup": dq.docs_media_asset_dedup,
@@ -2511,6 +2512,22 @@ def oracle_sql() -> dict[str, str]:
             for i in range(64))
         ).replace("{LIST}", ", ".join(
             f"f{i}" for i in range(64))),
+        # MIPS via the norm-augmentation reduction: the engine ranks
+        # through the augmented-cosine transform, the oracle ranks by the
+        # raw inner product — agreement proves the reduction
+        "emb_mips_topk": """
+            SELECT vec_id,
+                   ROUND(list_inner_product(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)), 6) AS ip
+            FROM embeddings
+            ORDER BY list_inner_product(
+                       CAST(embedding AS DOUBLE[]),
+                       (SELECT CAST(embedding AS DOUBLE[])
+                        FROM embeddings WHERE vec_id = 0)) DESC, vec_id
+            LIMIT 10
+        """,
         # IVF-ANN recall audit: rebuild the identical index (vec_id<8
         # seeds + one ROUND-6 Lloyd step, same contract as the kmeans
         # twins), probe nprobe=2 cells per query, rank in-cell, and

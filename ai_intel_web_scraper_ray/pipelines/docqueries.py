@@ -2751,3 +2751,64 @@ def docs_training_build(sf_dir: str, min_words: int = _BUILD_MIN_WORDS,
     for c in ("n_docs", "n_tokens"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+def emb_mips_topk(sf_dir: str, k: int = 10, query_id: int = 0) -> pd.DataFrame:
+    """Maximum-inner-product top-k via the norm-augmentation reduction
+    (Bachrach et al. / Shrivastava-Li asymmetric transform): each vector
+    gains a dimension sqrt(M² − ‖x‖²) with M = corpus max norm, the query
+    gains 0, and cosine argmax over the augmented space IS the MIPS
+    answer — the transform that lets an existing cosine-ANN index serve
+    inner-product queries.  The engine RANKS through the transform and
+    reports the true inner products; the SQL twin ranks by inner product
+    directly, so the reduction's correctness is what the gate checks.
+
+    Scale shape: pass 1 ships one max-norm scalar per block; pass 2 is
+    per-block augmented-cosine top-k partials (k×blocks projection rows
+    to the driver), embeddings never move."""
+    import pyarrow.parquet as pq
+
+    q_t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "=", query_id)])
+    q = np.stack(q_t["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)[0]
+
+    ds = _emb(sf_dir)
+
+    def max_norm(t: pa.Table) -> pd.DataFrame:
+        X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        return pd.DataFrame({"m": [float(np.sqrt((X * X).sum(axis=1)).max())]})
+
+    M = float(ds.map_batches(max_norm, batch_format="pyarrow")
+              .to_pandas()["m"].max())
+    q_aug = np.concatenate([q, [0.0]])
+    q_aug_norm = float(np.sqrt((q_aug * q_aug).sum()))
+
+    def topk_partial(t: pa.Table) -> pd.DataFrame:
+        X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        norms2 = (X * X).sum(axis=1)
+        aug = np.sqrt(np.maximum(M * M - norms2, 0.0))
+        # augmented cosine: (x·q + aug·0) / (M · ‖q_aug‖) — the augmented
+        # vector norm is M BY CONSTRUCTION, so ranking by this equals
+        # ranking by the raw inner product x·q
+        # augmented-norm invariant: ‖(x, aug)‖ == M by construction
+        assert np.allclose(norms2 + aug * aug, M * M, rtol=1e-9)
+        ip = X @ q
+        score = ip / (M * q_aug_norm)
+        take = min(k, len(ids))
+        idx = np.lexsort((ids, -score))[:take]
+        return pd.DataFrame({"vec_id": ids[idx],
+                             "ip": np.round(ip[idx], 6),
+                             "score": score[idx]})
+
+    parts = ds.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    out = parts.sort_values(["score", "vec_id"],
+                            ascending=[False, True]).head(k)
+    out = out[["vec_id", "ip"]].reset_index(drop=True)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["ip"] = out["ip"].astype("float64")
+    return out

@@ -54,6 +54,7 @@ ORACLE_QUERIES = [
     "emb_ivf_recall",
     "docs_media_asset_dedup",
     "docs_training_build",
+    "emb_mips_topk",
 ]
 
 
@@ -348,3 +349,16 @@ def test_training_build_composes_stage_semantics(duck):
     full = to_pandas(dq.docs_training_build(SF_DIR, min_words=0,
                                             min_stop_ppm=0))
     assert int(full["n_docs"].sum()) == 500
+
+
+def test_mips_transform_equals_numpy_argmax():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    ip = X @ X[ids.tolist().index(0)]
+    order = np.lexsort((ids, -ip))[:10]
+    out = to_pandas(dq.emb_mips_topk(SF_DIR))
+    assert list(out["vec_id"]) == list(ids[order])
+    assert np.allclose(out["ip"], np.round(ip[order], 6))
