@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_mips_topk": dq.emb_mips_topk,
         "docs_pii_scrub": dq.docs_pii_scrub,
         "docs_weighted_sample": dq.docs_weighted_sample,
+        "docs_compaction_roundtrip": dq.docs_compaction_roundtrip,
         "docs_media_asset_dedup": dq.docs_media_asset_dedup,
         "events_log_compaction": rel.events_log_compaction,
         "docs_training_build": dq.docs_training_build,
@@ -1539,6 +1540,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_spans
             FROM tok WHERE word LIKE 's%'
             GROUP BY word ORDER BY n_docs DESC, media_ref
+        """,
+        # small-file compaction roundtrip: aggregate on the compacted
+        # layout vs the original table
+        "docs_compaction_roundtrip": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         # composed training-data build: dedup → quality → split → census
         # in ONE SQL chain (stage composition is what's being checked)

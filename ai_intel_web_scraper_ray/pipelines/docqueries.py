@@ -2812,3 +2812,58 @@ def emb_mips_topk(sf_dir: str, k: int = 10, query_id: int = 0) -> pd.DataFrame:
     out["vec_id"] = out["vec_id"].astype("int64")
     out["ip"] = out["ip"].astype("float64")
     return out
+
+
+def docs_compaction_roundtrip(sf_dir: str,
+                              small_blocks: int = 64,
+                              target_blocks: int = 4) -> pd.DataFrame:
+    """Small-file compaction — the lakehouse maintenance pass: documents
+    land as ``small_blocks`` tiny parquet fragments (the shape a
+    streaming crawl leaves behind), are compacted by a streaming
+    read → repartition → write into ``target_blocks`` files, and the
+    compacted layout is aggregated per language.  The oracle runs the
+    same aggregate on the ORIGINAL table, so any row lost, duplicated or
+    mutated by EITHER write, the repartition, or either read is a hash
+    mismatch.  The file-count contract (fragments actually merged) is
+    pinned by the pytest twin, which the gate can't see.
+
+    Scale shape: both writes stream block-by-block (no driver
+    materialization); repartition is the one exchange and moves only the
+    3-column projection."""
+    import glob
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="aiws_compact_")
+    small_dir = f"{root}/small"
+    compact_dir = f"{root}/compact"
+    try:
+        ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"],
+                   num_blocks=small_blocks)
+        ds.write_parquet(small_dir)
+        n_small = len(glob.glob(f"{small_dir}/*.parquet"))
+
+        rd.read_parquet(small_dir).repartition(target_blocks) \
+            .write_parquet(compact_dir)
+        n_compact = len(glob.glob(f"{compact_dir}/*.parquet"))
+        # compaction must actually compact (pytest asserts the counts;
+        # this guard makes a silent no-op loud in the gate too)
+        assert n_compact < n_small, (n_compact, n_small)
+
+        back = rd.read_parquet(compact_dir)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby("lang", as_index=False).agg(
+                n_docs=("doc_id", "size"), id_checksum=("doc_id", "sum"),
+                sum_chars=("n_chars", "sum"))
+
+        parts = back.map_batches(partial, batch_format="pandas").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    out = parts.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), id_checksum=("id_checksum", "sum"),
+        sum_chars=("sum_chars", "sum"))
+    for c in ("n_docs", "id_checksum", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)

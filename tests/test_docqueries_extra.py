@@ -55,6 +55,7 @@ ORACLE_QUERIES = [
     "docs_media_asset_dedup",
     "docs_training_build",
     "emb_mips_topk",
+    "docs_compaction_roundtrip",
 ]
 
 
@@ -362,3 +363,29 @@ def test_mips_transform_equals_numpy_argmax():
     out = to_pandas(dq.emb_mips_topk(SF_DIR))
     assert list(out["vec_id"]) == list(ids[order])
     assert np.allclose(out["ip"], np.round(ip[order], 6))
+
+
+def test_compaction_actually_merges_files():
+    """File-count contract the gate row can't check: 64 fragments in,
+    ≤4 files out, zero rows lost (the aggregate is oracle-checked)."""
+    import glob
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    root = tempfile.mkdtemp(prefix="aiws_compact_t_")
+    try:
+        ds = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                             columns=["doc_id"], override_num_blocks=64)
+        ds.write_parquet(f"{root}/small")
+        n_small = len(glob.glob(f"{root}/small/*.parquet"))
+        rd.read_parquet(f"{root}/small").repartition(4) \
+            .write_parquet(f"{root}/compact")
+        n_compact = len(glob.glob(f"{root}/compact/*.parquet"))
+        assert n_small > 16
+        assert n_compact <= 4
+        back = rd.read_parquet(f"{root}/compact")
+        assert back.count() == 500
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
