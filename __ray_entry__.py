@@ -267,6 +267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_registers": rel.events_hll_registers,
         "events_cms_topk": rel.events_cms_topk,
         "events_watermark_late": rel.events_watermark_late,
+        "events_window_join": rel.events_window_join,
         "orders_incremental_agg": rel.orders_incremental_agg,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
@@ -332,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_pii_scrub": dq.docs_pii_scrub,
         "docs_weighted_sample": dq.docs_weighted_sample,
         "docs_compaction_roundtrip": dq.docs_compaction_roundtrip,
+        "docs_minhash_recall": dq.docs_minhash_recall,
         "docs_media_asset_dedup": dq.docs_media_asset_dedup,
         "events_log_compaction": rel.events_log_compaction,
         "docs_training_build": dq.docs_training_build,
@@ -1541,6 +1543,60 @@ def oracle_sql() -> dict[str, str]:
             FROM tok WHERE word LIKE 's%'
             GROUP BY word ORDER BY n_docs DESC, media_ref
         """,
+        # MinHash-LSH recall audit: md5-shared 16-perm signatures, 4x4
+        # bands, exact shingle-Jaccard pair set rebuilt in SQL
+        "docs_minhash_recall": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), shs AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 1, 1)),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+                FROM toks
+            ), sizes AS (
+                SELECT doc_id, len(s) AS n FROM shs
+            ), tok AS (
+                SELECT doc_id, unnest(s) AS sh FROM shs
+            ), copair AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS co
+                FROM tok a JOIN tok b
+                  ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ), exact AS (
+                SELECT pa, pb FROM copair
+                JOIN sizes sa ON sa.doc_id = pa
+                JOIN sizes sb ON sb.doc_id = pb
+                WHERE co * 1000000 >= 500000 * (sa.n + sb.n - co)
+            ), h AS (
+                SELECT doc_id, i.i AS i,
+                       MIN(CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR)
+                           || '|' || sh), 1, 8)) AS BIGINT)) AS mh
+                FROM tok CROSS JOIN (SELECT UNNEST(RANGE(0, 16)) AS i) i
+                GROUP BY doc_id, i.i
+            ), bands AS (
+                SELECT doc_id, CAST(i // 4 AS VARCHAR) || ':' ||
+                       string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS key
+                FROM h GROUP BY doc_id, i // 4
+            ), cands AS (
+                SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+                FROM bands a JOIN bands b
+                  ON a.key = b.key AND a.doc_id < b.doc_id
+            ), tp AS (
+                SELECT COUNT(*) AS n FROM cands c
+                JOIN exact e ON c.pa = e.pa AND c.pb = e.pb
+            )
+            SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+                   CAST((SELECT COUNT(*) FROM cands) AS BIGINT) AS n_candidate_pairs,
+                   CAST((SELECT n FROM tp) AS BIGINT) AS n_true_candidates,
+                   CAST(CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN 1000000
+                        ELSE 1000000 * (SELECT n FROM tp)
+                             // (SELECT COUNT(*) FROM exact)
+                        END AS BIGINT) AS recall_ppm
+        """,
         # small-file compaction roundtrip: aggregate on the compacted
         # layout vs the original table
         "docs_compaction_roundtrip": """
@@ -2401,6 +2457,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(est_n AS BIGINT) AS est_n,
                    CAST(true_n AS BIGINT) AS true_n
             FROM est ORDER BY est_n DESC, user_id LIMIT 10
+        """,
+        # windowed stream-stream join (click within the hour before the
+        # purchase, same user), integer-cents value volume per day
+        "events_window_join": """
+            SELECT CAST(date_trunc('day', p.ts) AS TIMESTAMP) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(CAST(FLOOR(c.value * 100 + 0.5) AS BIGINT)
+                            + CAST(FLOOR(p.value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+            GROUP BY 1 ORDER BY 1
         """,
         # event-time watermark audit: late = older than the running
         # arrival-order event-time max minus 15 min (first arrival exempt)

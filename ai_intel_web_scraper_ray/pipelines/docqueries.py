@@ -2867,3 +2867,132 @@ def docs_compaction_roundtrip(sf_dir: str,
     for c in ("n_docs", "id_checksum", "sum_chars"):
         out[c] = out[c].astype("int64")
     return out.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH recall audit: the banded-LSH candidate generator measured
+# against the EXACT shingle-Jaccard pair set, with an md5-shared hash
+# family so the DuckDB twin rebuilds the identical signatures — the LSH
+# shape itself (shingle → signature → band → candidate) is hash-checked,
+# complementing the pinned-survivor-set oracles of docs_minhash_dedup.
+# ---------------------------------------------------------------------------
+
+_MHA_PERMS = 16
+_MHA_BAND_ROWS = 4
+
+
+def _mha_shingles(text: str) -> List[str]:
+    w = [x for x in (text or "").lower().split() if x]
+    return sorted({" ".join(w[i:i + 3]) for i in range(len(w) - 2)})
+
+
+def docs_minhash_recall(sf_dir: str,
+                        theta_ppm: int = 500_000) -> pd.DataFrame:
+    """One-row audit: exact Jaccard-≥θ pair count, banded-LSH candidate
+    count, true candidates, and recall in ppm (16 md5 perms, 4 bands × 4
+    rows, 3-word shingles).
+
+    Scale shape: ONE projection pass emits both arms' keyed rows
+    ("S:<shingle>" postings and "B:<band-sig>" keys) with their hash
+    bucket; one bucket exchange generates pair partials vectorized per
+    key, one pair-hash exchange merges them — two shuffles total, no
+    row-wise filters.  Only pair AGGREGATES and the (bounded,
+    near-duplicate) pair lists reach the driver; per-doc shingle counts
+    broadcast as a dict at audit scale — at corpus scale that lookup
+    becomes one more hash-bucket join, and hot shingles/bands need the
+    MAX_GROUP cap of the dedup paths (this is the audit, run on a
+    sample)."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def sizes_partial(t: pa.Table) -> pd.DataFrame:
+        dids = [int(x) for x in t["doc_id"].to_pylist()]
+        ns = [len(_mha_shingles(tx)) for tx in t["text"].to_pylist()]
+        return pd.DataFrame({"doc_id": np.array(dids, dtype="int64"),
+                             "n": np.array(ns, dtype="int64")})
+
+    sizes = ds.map_batches(sizes_partial, batch_format="pyarrow").to_pandas()
+    size_of = dict(zip(sizes["doc_id"].astype("int64"),
+                       sizes["n"].astype("int64")))
+
+    def project(t: pa.Table) -> pd.DataFrame:
+        keys: List[str] = []
+        dids: List[int] = []
+        for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            did = int(did)
+            shs = _mha_shingles(tx)
+            if not shs:
+                continue
+            sig = [min(int(hashlib.md5(f"{i}|{s}".encode())
+                           .hexdigest()[:8], 16) for s in shs)
+                   for i in range(_MHA_PERMS)]
+            keys.extend("S:" + s for s in shs)
+            dids.extend([did] * len(shs))
+            for b in range(_MHA_PERMS // _MHA_BAND_ROWS):
+                row = sig[b * _MHA_BAND_ROWS:(b + 1) * _MHA_BAND_ROWS]
+                keys.append(f"B:{b}:" + ",".join(str(h) for h in row))
+                dids.append(did)
+        bucket = (pd.util.hash_pandas_object(
+            pd.Series(keys, dtype=object), index=False) % 64).astype("int64")
+        return pd.DataFrame({"key": keys,
+                             "doc_id": np.array(dids, dtype="int64"),
+                             "_b": bucket.to_numpy()})
+
+    def key_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"kind": pd.Series([], dtype=object),
+                              "a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "co": pd.Series([], dtype="int64"),
+                              "_p": pd.Series([], dtype="int64")})
+        kinds: List[str] = []
+        out_a: List[int] = []
+        out_b: List[int] = []
+        for key, sub in g.groupby("key", sort=False):
+            ids = np.unique(sub["doc_id"].to_numpy(dtype=np.int64))
+            if len(ids) < 2:
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            kinds.extend([key[0]] * len(ia))
+            out_a.extend(ids[ia].tolist())
+            out_b.extend(ids[ib].tolist())
+        if not out_a:
+            return empty
+        df = pd.DataFrame({"kind": kinds,
+                           "a": np.array(out_a, dtype="int64"),
+                           "b": np.array(out_b, dtype="int64")})
+        out = df.groupby(["kind", "a", "b"], as_index=False).size() \
+            .rename(columns={"size": "co"})
+        out["_p"] = ((out["a"] * 1_000_003 + out["b"]) % 64).astype("int64")
+        return out
+
+    def pair_merge(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby(["kind", "a", "b"], as_index=False).agg(
+            co=("co", "sum"))
+
+    pairs = ds.map_batches(project, batch_format="pyarrow") \
+        .groupby("_b").map_groups(key_pairs, batch_format="pandas") \
+        .groupby("_p").map_groups(pair_merge, batch_format="pandas") \
+        .to_pandas()
+
+    exact_pairs: set = set()
+    cand_pairs: set = set()
+    if not pairs.empty:
+        ex = pairs[pairs["kind"] == "S"]
+        na = ex["a"].map(size_of).to_numpy(dtype=np.int64)
+        nb = ex["b"].map(size_of).to_numpy(dtype=np.int64)
+        co = ex["co"].to_numpy(dtype=np.int64)
+        keep = co * 1_000_000 >= theta_ppm * (na + nb - co)
+        exact_pairs = set(zip(ex["a"].to_numpy()[keep].tolist(),
+                              ex["b"].to_numpy()[keep].tolist()))
+        cd = pairs[pairs["kind"] == "B"]
+        cand_pairs = set(zip(cd["a"].tolist(), cd["b"].tolist()))
+
+    inter = len(exact_pairs & cand_pairs)
+    recall_ppm = (1_000_000 * inter // len(exact_pairs)
+                  if exact_pairs else 1_000_000)
+    return pd.DataFrame({
+        "n_exact_pairs": pd.Series([len(exact_pairs)], dtype="int64"),
+        "n_candidate_pairs": pd.Series([len(cand_pairs)], dtype="int64"),
+        "n_true_candidates": pd.Series([inter], dtype="int64"),
+        "recall_ppm": pd.Series([recall_ppm], dtype="int64")})

@@ -3956,3 +3956,83 @@ def events_log_compaction(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     out["user_id"] = out["user_id"].astype("int64")
     return out.sort_values(["user_id", "event_type"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# windowed stream-stream join: click ⋈ purchase per user within a 1-hour
+# event-time window — BOTH sides are the big fact stream, so this is the
+# co-partition-by-key + in-bucket interval-scan shape (the as-of join's
+# sibling that keeps ALL pairs, not just the latest match).
+# ---------------------------------------------------------------------------
+
+_WJOIN_WINDOW_US = 3_600_000_000
+_WJOIN_SPAN = 10**14  # composite-key stride; bucket-local ts offsets < this
+
+
+def events_window_join(sf_dir: str) -> pd.DataFrame:
+    """Per purchase day: how many (click, purchase) same-user pairs where
+    the click lands within the hour before the purchase (inclusive both
+    ends), and the integer-cents value volume of those pairs.
+
+    Scale shape: one user-hash-bucket exchange co-partitions both sides;
+    inside a bucket the join is two ``np.searchsorted`` calls on a
+    (user, ts-offset) composite key plus a prefix-sum for the click-value
+    side — no per-user Python, no pair materialization (counts and sums
+    only); each bucket emits ≤ |days| partial rows."""
+    ds = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["purchase", "click"])].copy()
+        df["cents"] = np.floor(df["value"] * 100 + 0.5).astype("int64")
+        df["ts_us"] = df["ts"].values.astype("datetime64[us]").astype("int64")
+        df["side"] = (df["event_type"] == "click").astype("int64")
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df[["user_id", "ts_us", "cents", "side", "_b"]]
+
+    def bucket_join(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                              "n_pairs": pd.Series([], dtype="int64"),
+                              "sum_cents": pd.Series([], dtype="int64")})
+        p = g[g["side"] == 0]
+        c = g[g["side"] == 1]
+        if not len(p) or not len(c):
+            return empty
+        base = int(g["ts_us"].min())
+        off_p = p["ts_us"].to_numpy() - base
+        off_c = c["ts_us"].to_numpy() - base
+        users_p = p["user_id"].to_numpy(dtype=np.int64)
+        users_c = c["user_id"].to_numpy(dtype=np.int64)
+        assert off_p.max() < _WJOIN_SPAN - _WJOIN_WINDOW_US
+        assert users_p.max() < (2**62) // _WJOIN_SPAN
+        ckey = users_c * _WJOIN_SPAN + off_c
+        order = np.argsort(ckey, kind="stable")
+        ckey = ckey[order]
+        c_cents = c["cents"].to_numpy()[order]
+        cs = np.concatenate(([0], np.cumsum(c_cents)))
+        pkey = users_p * _WJOIN_SPAN + off_p
+        lo = np.searchsorted(ckey, pkey - _WJOIN_WINDOW_US, side="left")
+        hi = np.searchsorted(ckey, pkey, side="right")
+        n = (hi - lo).astype("int64")
+        click_sum = cs[hi] - cs[lo]
+        pair_cents = click_sum + n * p["cents"].to_numpy()
+        day = p["ts_us"].to_numpy().astype("datetime64[us]") \
+            .astype("datetime64[D]")
+        out = pd.DataFrame({"day": day.astype("datetime64[us]"),
+                            "n_pairs": n, "sum_cents": pair_cents})
+        out = out[out["n_pairs"] > 0]
+        if out.empty:
+            return empty
+        return out.groupby("day", as_index=False).sum() \
+            .astype({"n_pairs": "int64", "sum_cents": "int64"})
+
+    parts = ds.map_batches(project, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_join, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                             "n_pairs": pd.Series([], dtype="int64"),
+                             "sum_cents": pd.Series([], dtype="int64")})
+    out = parts.groupby("day", as_index=False).sum()
+    for c in ("n_pairs", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("day").reset_index(drop=True)

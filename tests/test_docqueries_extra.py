@@ -56,6 +56,7 @@ ORACLE_QUERIES = [
     "docs_training_build",
     "emb_mips_topk",
     "docs_compaction_roundtrip",
+    "docs_minhash_recall",
 ]
 
 
@@ -389,3 +390,15 @@ def test_compaction_actually_merges_files():
         assert back.count() == 500
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_minhash_recall_audit_bounds():
+    out = to_pandas(dq.docs_minhash_recall(SF_DIR))
+    r = out.iloc[0]
+    assert 0 <= r["n_true_candidates"] <= r["n_exact_pairs"]
+    assert r["n_true_candidates"] <= r["n_candidate_pairs"]
+    assert 0 <= r["recall_ppm"] <= 1_000_000
+    # the sf0.001 corpus has real near-duplicates, so the audit is not
+    # vacuous (and 4x4 banding at theta=0.5 should catch most of them)
+    assert r["n_exact_pairs"] > 0
+    assert r["recall_ppm"] >= 500_000

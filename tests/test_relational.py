@@ -62,6 +62,7 @@ ORACLE_QUERIES = [
     "events_watermark_late",
     "orders_incremental_agg",
     "events_log_compaction",
+    "events_window_join",
     "events_hopping_distinct",
     "events_retention",
     "events_view_no_purchase",
