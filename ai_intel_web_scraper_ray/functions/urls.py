@@ -27,11 +27,15 @@ NON_HTML_EXTENSIONS = (
 
 
 # already-canonical absolute http(s) URL with a plain path: no query, no
-# fragment, no params, no trailing slash (except bare root, handled below).
-# Matching this proves normalize_url would return the input unchanged, so
-# the urlparse round trip (≈25 µs) is skipped — on a 72k-URL seed list the
-# fast path turns seconds of driver-side canonicalization into ~0.1 s.
-_CANONICAL_RE = re.compile(r"^https?://[^/?#]+(?:/[^?#;]*[^/?#;])?$")
+# fragment, no params, no trailing slash (except bare root, handled below),
+# and no tab/CR/LF anywhere (urlsplit STRIPS those per the URL spec, so a
+# URL containing them is never canonical; \Z not $ — $ matches before a
+# trailing newline).  Matching this proves normalize_url would return the
+# input unchanged, so the urlparse round trip (≈25 µs) is skipped — on a
+# 72k-URL seed list the fast path turns seconds of driver-side
+# canonicalization into ~0.1 s.
+_CANONICAL_RE = re.compile(
+    r"\Ahttps?://[^/?#\t\r\n]+(?:/[^?#;\t\r\n]*[^/?#;\t\r\n])?\Z")
 
 
 def normalize_url(url: str, base_url: Optional[str] = None) -> str:
@@ -84,8 +88,10 @@ def host_of(url: str) -> str:
                 cut = j
         host = rest[:cut]
         # bracketed (IPv6) hosts go through urlparse, which also VALIDATES
-        # them (raising on malformed input, same as before the fast path)
-        if "[" not in host and "]" not in host:
+        # them (raising on malformed input, same as before the fast path);
+        # tab/CR/LF anywhere defers to urlparse, which strips them
+        if ("[" not in host and "]" not in host
+                and "\t" not in url and "\r" not in url and "\n" not in url):
             return host
     return urlparse(url).netloc
 

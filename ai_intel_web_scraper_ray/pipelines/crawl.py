@@ -817,12 +817,10 @@ def crawl_scalable(
         return len(items)
 
     state = ckpt.load() if (ckpt and resume) else None
-    from ..functions.urls import host_of as _host_of
-
     norm_seeds = [normalize_url(s) for s in seeds]
     # deduped seed HOSTS (is_same_domain is exact netloc equality, so the
     # per-link admission check only ever needs the host set)
-    seed_domains = sorted({_host_of(u) for u in norm_seeds})
+    seed_domains = sorted({host_of(u) for u in norm_seeds})
     if state:
         d = state["driver"]
         offers_sent = d["offers_sent"]
@@ -834,6 +832,8 @@ def crawl_scalable(
         offers_sent += offer_async(seed_items)
 
     n_records = len(prior_records) + sum(n for _, n in frag_manifest)
+    n_records_at_start = n_records  # resumed runs exclude prior sessions
+                                    # from the sustained-throughput window
     record_refs: List = []
     now = state["driver"]["now"] if state else 0.0
     n_fetch_completions = 0
@@ -1122,9 +1122,11 @@ def crawl_scalable(
     # COMPLETION instead would miss work already in flight when the driver
     # processes it, over-reading badly at high worker counts)
     sustained = None
+    n_this_session = n_records - n_records_at_start
     if (not self_leasing and t_first_dispatch is not None
-            and t_loop_end > t_first_dispatch and n_records > 0):
-        sustained = round(n_records / (t_loop_end - t_first_dispatch), 1)
+            and t_loop_end > t_first_dispatch and n_this_session > 0):
+        sustained = round(n_this_session
+                          / (t_loop_end - t_first_dispatch), 1)
     return {"records": records, "n_records": min(n_records, max_pages),
             "record_refs": record_refs, "seen": seen,
             "n_seen": len(seen) if collect_seen else n_seen_total,

@@ -3998,12 +3998,15 @@ def events_window_join(sf_dir: str) -> pd.DataFrame:
         if not len(p) or not len(c):
             return empty
         base = int(g["ts_us"].min())
+        # no-bleed guards cover the WHOLE group (both sides): the bucket's
+        # time span must fit the composite stride minus the window, and
+        # every user id (click-only ones included) must not overflow
+        assert int(g["ts_us"].max()) - base < _WJOIN_SPAN - _WJOIN_WINDOW_US
+        assert int(g["user_id"].max()) < (2**62) // _WJOIN_SPAN
         off_p = p["ts_us"].to_numpy() - base
         off_c = c["ts_us"].to_numpy() - base
         users_p = p["user_id"].to_numpy(dtype=np.int64)
         users_c = c["user_id"].to_numpy(dtype=np.int64)
-        assert off_p.max() < _WJOIN_SPAN - _WJOIN_WINDOW_US
-        assert users_p.max() < (2**62) // _WJOIN_SPAN
         ckey = users_c * _WJOIN_SPAN + off_c
         order = np.argsort(ckey, kind="stable")
         ckey = ckey[order]

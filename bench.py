@@ -30,6 +30,45 @@ import sys
 import time
 
 
+
+def _cpu_baseline(num_cpus: int) -> float:
+    """Same-process pure-Python busy-loop throughput (Miter/s) — the
+    machine's own CPU-scaling ceiling, shared by the headline bench and
+    --scaling so both normalize against the identical baseline."""
+    import ray
+
+    @ray.remote
+    def _burn(n: int) -> int:
+        s = 0
+        for i in range(n):
+            s += i * i
+        return s
+
+    k = max(2, num_cpus - 2)
+    n_iter = 3_000_000
+    t0 = time.perf_counter()
+    ray.get([_burn.remote(n_iter) for _ in range(k * 3)])
+    return round(k * 3 * n_iter / (time.perf_counter() - t0) / 1e6, 1)
+
+
+def _saturated_crawl(num_cpus: int, pages_table_ref, seeds) -> dict:
+    """The north-rule scaling quantity: one saturated-frontier scan with
+    the config BOTH the headline bench and --scaling measure."""
+    from ai_intel_web_scraper_ray.pipelines.crawl import crawl_scalable
+
+    t0 = time.perf_counter()
+    sat = crawl_scalable(
+        [], seeds, max_depth=0,
+        num_shards=min(8, max(4, num_cpus // 4)), lease_per_shard=4096,
+        pages_table_ref=pages_table_ref, materialize_records=False,
+        collect_seen=False,
+    )
+    sec = time.perf_counter() - t0
+    return {"n_records": sat["n_records"], "sec": sec,
+            "docs_per_sec": round(sat["n_records"] / sec, 1),
+            "sustained": sat["sustained_docs_per_sec"]}
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -63,23 +102,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # -- machine CPU-scaling baseline -------------------------------------
-    # This sandbox's cores throttle under load (pure-Python work scales at
-    # ~0.6 efficiency 8→32 actors), so --scaling reports crawl efficiency
-    # both raw and normalized by this baseline; a real N→4N node cluster
-    # adds full cores per node.
-    @ray.remote
-    def _burn(n: int) -> int:
-        s = 0
-        for i in range(n):
-            s += i * i
-        return s
-
-    k = max(2, num_cpus - 2)
-    n_iter = 3_000_000
-    t0 = time.perf_counter()
-    ray.get([_burn.remote(n_iter) for _ in range(k * 3)])
-    cpu_baseline = round(k * 3 * n_iter / (time.perf_counter() - t0) / 1e6, 1)
+    # -- machine CPU-scaling baseline (cores throttle under load; see
+    # _cpu_baseline) -------------------------------------------------------
+    cpu_baseline = _cpu_baseline(num_cpus)
 
     # -- crawl throughput --------------------------------------------------
     n_pages = int(os.environ.get("GRAFT_CRAWL_PAGES", "24000"))
@@ -128,16 +153,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     # discovery-ramp latency (waves of ~3 links/page) into the number; here
     # every URL is seeded up front, measuring the steady state the rule
     # describes.  Scaling efficiency is computed on THIS number.
-    t0 = time.perf_counter()
-    sat = crawl_scalable(
-        [], [p["url"] for p in pages], max_depth=0,
-        num_shards=min(8, max(4, num_cpus // 4)), lease_per_shard=4096,
-        pages_table_ref=pages_table_ref, materialize_records=False,
-        collect_seen=False,
-    )
-    sat_sec = time.perf_counter() - t0
-    timings["crawl_saturated"] = round(sat_sec, 3)
-    sat_docs_per_sec = round(sat["n_records"] / sat_sec, 1)
+    sat = _saturated_crawl(num_cpus, pages_table_ref,
+                           [p["url"] for p in pages])
+    timings["crawl_saturated"] = round(sat["sec"], 3)
+    sat_docs_per_sec = sat["docs_per_sec"]
 
     # -- politeness-bound crawl (virtual clock) ---------------------------
     # small graph, per-host min-delay on: verifies the token-bucket floor
@@ -212,44 +231,23 @@ def run_sat_bench(num_cpus: int) -> dict:
 
     DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from ai_intel_web_scraper_ray.pipelines.crawl import (
-        crawl_scalable,
-        pages_to_table_ref,
-    )
+    from ai_intel_web_scraper_ray.pipelines.crawl import pages_to_table_ref
     from ai_intel_web_scraper_ray.sources.synthetic import make_bench_web_graph
 
-    @ray.remote
-    def _burn(n: int) -> int:
-        s = 0
-        for i in range(n):
-            s += i * i
-        return s
-
-    k = max(2, num_cpus - 2)
-    n_iter = 3_000_000
-    t0 = time.perf_counter()
-    ray.get([_burn.remote(n_iter) for _ in range(k * 3)])
-    cpu_baseline = round(k * 3 * n_iter / (time.perf_counter() - t0) / 1e6, 1)
+    cpu_baseline = _cpu_baseline(num_cpus)
 
     n_pages = int(os.environ.get("GRAFT_SAT_PAGES", "72000"))
     pages = make_bench_web_graph(n_pages)
     pages_table_ref = pages_to_table_ref(pages)
-    seeds = [p["url"] for p in pages]
-    t0 = time.perf_counter()
-    sat = crawl_scalable(
-        [], seeds, max_depth=0,
-        num_shards=min(8, max(4, num_cpus // 4)), lease_per_shard=4096,
-        pages_table_ref=pages_table_ref, materialize_records=False,
-        collect_seen=False,
-    )
-    sat_sec = time.perf_counter() - t0
+    sat = _saturated_crawl(num_cpus, pages_table_ref,
+                           [p["url"] for p in pages])
     out = {
         "metric": "saturated_crawl",
         "num_cpus": num_cpus,
         "crawl_saturated_pages": sat["n_records"],
-        "crawl_saturated_sec": round(sat_sec, 3),
-        "crawl_saturated_docs_per_sec": round(sat["n_records"] / sat_sec, 1),
-        "crawl_sustained_docs_per_sec": sat["sustained_docs_per_sec"],
+        "crawl_saturated_sec": round(sat["sec"], 3),
+        "crawl_saturated_docs_per_sec": sat["docs_per_sec"],
+        "crawl_sustained_docs_per_sec": sat["sustained"],
         "cpu_baseline_miter_per_sec": cpu_baseline,
     }
     ray.shutdown()

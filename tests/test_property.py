@@ -191,7 +191,7 @@ class TestUrlFastPaths:
     the urlparse slow paths (the fast path exists only because the crawl
     runs them once per seed / discovered link)."""
 
-    @given(st.text(alphabet="abcdefgh:/?#;.%@[]-_0123456789", max_size=40))
+    @given(st.text(alphabet="abcdefgh:/?#;.%@[]-_0123456789\t\r\n ", max_size=40))
     @settings(max_examples=300, deadline=None)
     def test_host_of_matches_urlparse(self, tail):
         from urllib.parse import urlparse
@@ -209,7 +209,7 @@ class TestUrlFastPaths:
                     continue
             assert host_of(url) == expected, url
 
-    @given(st.text(alphabet="abcdefgh:/?#;.%@-_0123456789", max_size=40))
+    @given(st.text(alphabet="abcdefgh:/?#;.%@-_0123456789\t\r\n ", max_size=40))
     @settings(max_examples=300, deadline=None)
     def test_normalize_fast_path_is_fixpoint(self, tail):
         from urllib.parse import urlparse, urlunparse
