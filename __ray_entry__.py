@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_late": rel.events_watermark_late,
         "events_window_join": rel.events_window_join,
         "orders_incremental_agg": rel.orders_incremental_agg,
+        "events_anomaly_mad": rel.events_anomaly_mad,
+        "events_transition_matrix": rel.events_transition_matrix,
+        "orders_skyline": rel.orders_skyline,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -319,6 +322,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_inverted_index": dq.docs_inverted_index,
         "docs_mixture_weights": dq.docs_mixture_weights,
         "docs_train_val_test": dq.docs_train_val_test,
+        "emb_semdedup": dq.emb_semdedup,
+        "docs_quality_classifier": dq.docs_quality_classifier,
+        "docs_dsir_weights": dq.docs_dsir_weights,
+        "docs_edit_dedup": dq.docs_edit_dedup,
         "docs_lang_vocab_overlap": dq.docs_lang_vocab_overlap,
         "docs_incremental_dedup": dq.docs_incremental_dedup,
         "emb_pq_codes": dq.emb_pq_codes,
@@ -1735,6 +1742,178 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(ntok) AS BIGINT) AS n_tokens
             FROM s GROUP BY lang, split ORDER BY lang, split
+        """,
+        # robust median/MAD outlier flagging per event type; both medians
+        # are quantile_disc(0.5) = the (n-1)//2-th order statistic
+        "events_anomaly_mad": """
+            WITH v AS (
+                SELECT event_id, event_type,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ), med AS (
+                SELECT event_type, quantile_disc(cents, 0.5) AS med
+                FROM v GROUP BY event_type
+            ), dev AS (
+                SELECT v.event_id, v.event_type, v.cents,
+                       abs(v.cents - m.med) AS dev
+                FROM v JOIN med m USING (event_type)
+            ), mad AS (
+                SELECT event_type, quantile_disc(dev, 0.5) AS mad
+                FROM dev GROUP BY event_type
+            )
+            SELECT d.event_id, d.event_type, CAST(d.cents AS BIGINT) AS cents,
+                   CAST(d.dev AS BIGINT) AS dev
+            FROM dev d JOIN mad m USING (event_type)
+            WHERE d.dev > 3 * m.mad
+            ORDER BY d.event_id
+        """,
+        # first-order Markov transition table over per-user sequences,
+        # probabilities as exact integer ppm of the row marginal
+        "events_transition_matrix": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            ), counts AS (
+                SELECT prev_type AS from_type, event_type AS to_type,
+                       COUNT(*) AS n
+                FROM seq WHERE prev_type IS NOT NULL
+                GROUP BY 1, 2
+            )
+            SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+                   CAST(n * 1000000
+                        // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+                       AS prob_ppm
+            FROM counts ORDER BY from_type, to_type
+        """,
+        # Pareto skyline of 1995 orders (price maximal, date minimal);
+        # equal pairs don't dominate — NOT EXISTS keeps both
+        "orders_skyline": """
+            WITH o95 AS (
+                SELECT o_orderkey,
+                       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                           AS cents,
+                       o_orderdate
+                FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1996-01-01'
+            )
+            SELECT a.o_orderkey, a.cents, a.o_orderdate
+            FROM o95 a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM o95 b
+                WHERE b.cents >= a.cents AND b.o_orderdate <= a.o_orderdate
+                  AND (b.cents > a.cents OR b.o_orderdate < a.o_orderdate)
+            )
+            ORDER BY a.o_orderkey
+        """,
+        # SemDeDup: nearest-seed-centroid assignment (the emb_kmeans_assign
+        # contract) then drop-if-lower-id-neighbor-≥-tau within the cluster
+        "emb_semdedup": """
+            WITH cents AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, c.cid,
+                       ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.ce), 6) AS score
+                FROM embeddings e CROSS JOIN cents c
+            ), best AS (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY score DESC, cid) AS rn
+                FROM scored
+            ), assign AS (
+                SELECT vec_id, cid FROM best WHERE rn = 1
+            ), dropped AS (
+                SELECT DISTINCT a.vec_id
+                FROM assign a
+                JOIN assign b ON a.cid = b.cid AND b.vec_id < a.vec_id
+                JOIN embeddings ea ON ea.vec_id = a.vec_id
+                JOIN embeddings eb ON eb.vec_id = b.vec_id
+                WHERE ROUND(list_cosine_similarity(
+                          CAST(ea.embedding AS DOUBLE[]),
+                          CAST(eb.embedding AS DOUBLE[])), 6) >= 0.40
+            )
+            SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+                   CAST(a.cid AS BIGINT) AS cluster_id
+            FROM assign a
+            WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+            ORDER BY a.vec_id
+        """,
+        # hashed-linear quality classifier: md5-shared feature hashing, the
+        # pinned integer weight expression w(b) = (b·2654435761) % 2003 − 1001
+        "docs_quality_classifier": r"""
+            WITH w AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(lower(text),
+                                                                '\s+'),
+                                          x -> x != '')) AS word
+                FROM documents
+            ), scored AS (
+                SELECT doc_id,
+                       (CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+                           % 1024) * 2654435761 % 2003 - 1001 AS wgt
+                FROM w
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(wgt) AS BIGINT) AS score_sum,
+                   CASE WHEN SUM(wgt) >= 0 THEN 'keep' ELSE 'drop' END AS label
+            FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        # DSIR importance ratios: add-one-smoothed 256-bucket hashed-unigram
+        # target/raw frequency ratio in exact integer ppm (HUGEINT twin of
+        # the engine's Python big-int arithmetic)
+        "docs_dsir_weights": r"""
+            WITH w AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(word), 1, 8)) AS BIGINT)
+                           % 256 AS b
+                FROM (SELECT doc_id, lang,
+                             unnest(list_filter(
+                                 regexp_split_to_array(lower(text), '\s+'),
+                                 x -> x != '')) AS word
+                      FROM documents)
+            ), counts AS (
+                SELECT b, COUNT(*) AS r_b,
+                       COUNT(*) FILTER (WHERE lang = 'en') AS t_b
+                FROM w GROUP BY b
+            ), tot AS (
+                SELECT SUM(r_b) AS R, SUM(t_b) AS T FROM counts
+            ), ratios AS (
+                SELECT b,
+                       CAST((CAST(t_b + 1 AS HUGEINT) * (R + 256) * 1000000)
+                            // (CAST(r_b + 1 AS HUGEINT) * (T + 256))
+                            AS BIGINT) AS ratio_ppm
+                FROM counts, tot
+            )
+            SELECT CAST(w.doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(r.ratio_ppm) AS BIGINT) AS dsir_sum
+            FROM w JOIN ratios r USING (b)
+            GROUP BY w.doc_id ORDER BY doc_id
+        """,
+        # edit-distance fuzzy dedup on normalized 32-char heads: drop iff a
+        # same-lang lower-id doc sits within Levenshtein 4 (±4 length band)
+        "docs_edit_dedup": r"""
+            WITH h AS (
+                SELECT doc_id, lang,
+                       substr(regexp_replace(lower(COALESCE(text, '')),
+                                             '\s+', ' ', 'g'), 1, 32) AS head
+                FROM documents
+            ), dropped AS (
+                SELECT DISTINCT a.doc_id
+                FROM h a JOIN h b
+                  ON a.lang = b.lang AND b.doc_id < a.doc_id
+                 AND abs(length(a.head) - length(b.head)) <= 4
+                 AND levenshtein(a.head, b.head) <= 4
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM h
+            WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+            ORDER BY doc_id
         """,
         # shared vocabulary per language pair (unbounded-domain set
         # intersection; the engine uses word-bucket membership matrices)

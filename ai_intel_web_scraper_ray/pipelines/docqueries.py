@@ -2996,3 +2996,317 @@ def docs_minhash_recall(sf_dir: str,
         "n_candidate_pairs": pd.Series([len(cand_pairs)], dtype="int64"),
         "n_true_candidates": pd.Series([inter], dtype="int64"),
         "recall_ppm": pd.Series([recall_ppm], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-pairwise semantic dedup, Abbas et al. 2023,
+# arXiv:2303.09540): k-means-style cluster assignment bounds the pairwise
+# cosine work to within-cluster blocks — the scale path the flat
+# LSH-bucketed embedding_cosine_dedup (stages/dedup.py) trades recall for
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_TAU = 0.40
+
+
+def emb_semdedup(sf_dir: str, n_seeds: int = _KMEANS_SEEDS,
+                 tau: float = _SEMDEDUP_TAU) -> pd.DataFrame:
+    """SemDeDup: assign every vector to its highest-cosine seed centroid
+    (the emb_kmeans_assign contract: round(cos,6), first-max → lowest
+    cid), then WITHIN each cluster drop any vector that has a lower-id
+    neighbor at cosine ≥ tau.  Survivors keep their cluster id.  tau=0.40
+    is calibrated to the synthetic table (max pairwise cosine ≈ 0.51) so
+    the drop path and the cluster restriction are both exercised: a
+    ≥-tau pair in DIFFERENT clusters must survive.
+
+    Scale shape: the centroid matrix is one ``ray.put`` broadcast and
+    assignment is a vectorized per-batch argmax; the pairwise stage
+    shuffles only on ``cluster_id`` (at real scale k ~ sqrt(n) bounds the
+    group size) and each group does ONE blocked lower-triangular matmul —
+    O(block × group) memory, no Python pair loop."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n_seeds)])
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
+    cents = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]) \
+        .astype(np.float64)
+    cents_ref = ray.put(cents)
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float32()))})
+        c = ray.get(cents_ref)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        scores = np.round(np.column_stack(
+            [cosine_scores(vecs, c[j]) for j in range(c.shape[0])]), 6)
+        best = np.argmax(scores, axis=1)
+        return pa.table({
+            "vec_id": pc.cast(t["vec_id"], pa.int64()),
+            "cluster_id": pa.array(best.astype("int64"), pa.int64()),
+            "embedding": t["embedding"]})
+
+    assigned = _emb(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+    def cluster_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cluster_id": pd.Series([], dtype="int64")})
+        df = df.sort_values("vec_id").reset_index(drop=True)
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        norms[norms == 0.0] = 1.0
+        n = len(df)
+        dropped = np.zeros(n, dtype=bool)
+        block = 1024
+        for lo in range(1, n, block):
+            hi = min(lo + block, n)
+            # rows lo:hi vs ALL lower-id rows 0:hi (strict lower via mask)
+            sims = np.round(
+                (vecs[lo:hi] @ vecs[:hi].T)
+                / np.outer(norms[lo:hi], norms[:hi]), 6)
+            idx = np.arange(lo, hi)[:, None] > np.arange(hi)[None, :]
+            dropped[lo:hi] |= ((sims >= tau) & idx).any(axis=1)
+        out = df.loc[~dropped, ["vec_id", "cluster_id"]].copy()
+        for c in ("vec_id", "cluster_id"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = assigned.groupby("cluster_id").map_groups(
+        cluster_dedup, batch_format="pandas").to_pandas()
+    for c in ("vec_id", "cluster_id"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# hashed-linear quality classifier (fastText-style bag-of-words scorer with
+# a deterministic weight expression instead of learned weights — the model-
+# based quality-filter slot in a training-data build, run as a pure
+# row-local map)
+# ---------------------------------------------------------------------------
+
+_QCLS_BUCKETS = 1024
+_QCLS_MULT = 2654435761
+_QCLS_MOD = 2003
+_QCLS_SHIFT = 1001
+
+
+def _md5_32(values) -> np.ndarray:
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+         for v in values], dtype=np.int64)
+
+
+def docs_quality_classifier(sf_dir: str) -> pd.DataFrame:
+    """Linear bag-of-words document scorer over hashed features:
+    ``score = Σ_tokens w(md5_32(word) % 1024)`` with the pinned integer
+    weight expression ``w(b) = (b·2654435761) % 2003 − 1001`` — the
+    deterministic stand-in for a learned fastText-style quality model
+    (weights would arrive as a broadcast table; the hash→weight→sum
+    plumbing is identical).  label = keep iff score ≥ 0.
+
+    Scale shape: entirely row-local (no shuffle) — each batch hashes its
+    own vocabulary once (dict-of-uniques, not per-token), weights are an
+    O(1) expression, one bounded row per doc leaves the worker."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "word": df["text"].fillna("").str.lower().str.split(),
+        }).explode("word", ignore_index=True).dropna(subset=["word"])
+        if len(ex) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "score_sum": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype=object)})
+        uniq = ex["word"].unique()
+        w = (_md5_32(uniq) % _QCLS_BUCKETS) * _QCLS_MULT % _QCLS_MOD \
+            - _QCLS_SHIFT
+        ex["wgt"] = ex["word"].map(dict(zip(uniq, w)))
+        out = ex.groupby("doc_id", as_index=False).agg(
+            n_tokens=("wgt", "size"), score_sum=("wgt", "sum"))
+        out["label"] = np.where(out["score_sum"] >= 0, "keep", "drop")
+        for c in ("doc_id", "n_tokens", "score_sum"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): hashed-
+# unigram importance ratios of a target distribution (lang='en') over the
+# raw corpus — the data-selection scorer a targeted pretraining mix uses
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+
+
+def docs_dsir_weights(sf_dir: str, n_buckets: int = _DSIR_BUCKETS,
+                      target_lang: str = _DSIR_TARGET_LANG) -> pd.DataFrame:
+    """Per-document DSIR importance score: hash every token into 256
+    buckets (md5-shared so the SQL twin runs the identical hash), estimate
+    add-one-smoothed bucket frequencies for the TARGET slice (lang='en')
+    and the RAW corpus, and score each document by the sum of its tokens'
+    integer ratio ``ratio_ppm(b) = ((t_b+1)·(R+B)·10⁶) // ((r_b+1)·(T+B))``
+    — the exact-integer monotone twin of the log-likelihood-ratio sum
+    (log reorders nothing; Python big-ints in the engine, HUGEINT in SQL).
+
+    Scale shape: pass 1 merges per-batch bucket-count partials over the
+    BOUNDED 256-bucket domain (never the raw vocabulary); the driver
+    builds the 256-entry ratio table and broadcasts it; pass 2 is a
+    vectorized per-batch lookup+sum.  Two streaming scans, no shuffle."""
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def bucket_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        ex = pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "lang": df["lang"],
+            "word": df["text"].fillna("").str.lower().str.split(),
+        }).explode("word", ignore_index=True).dropna(subset=["word"])
+        if len(ex) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "lang": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype="int64")})
+        uniq = ex["word"].unique()
+        b = _md5_32(uniq) % n_buckets
+        ex["b"] = ex["word"].map(dict(zip(uniq, b))).astype("int64")
+        return ex[["doc_id", "lang", "b"]]
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("b", as_index=False).agg(
+            r_b=("b", "size"),
+            t_b=("lang", lambda s: int((s == target_lang).sum())))
+        return g
+
+    parts = ds.map_batches(bucket_tokens, batch_format="pandas") \
+              .map_batches(count_partial, batch_format="pandas").to_pandas()
+    counts = parts.groupby("b").agg(
+        r_b=("r_b", "sum"), t_b=("t_b", "sum")).sort_index()
+    R = int(counts["r_b"].sum())
+    T = int(counts["t_b"].sum())
+    ratio = np.full(n_buckets, 0, dtype=np.int64)
+    for b, row in counts.iterrows():
+        # Python big-int: (t+1)(R+B)·10⁶ can pass 2⁶³ on a web corpus
+        ratio[int(b)] = (int(row["t_b"] + 1) * (R + n_buckets) * 1_000_000
+                         ) // (int(row["r_b"] + 1) * (T + n_buckets))
+    ratio_ref = ray.put(ratio)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(ratio_ref)
+        ex = bucket_tokens(df)
+        if len(ex) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "dsir_sum": pd.Series([], dtype="int64")})
+        ex["ratio"] = lut[ex["b"].to_numpy(dtype=np.int64)]
+        out = ex.groupby("doc_id", as_index=False).agg(
+            n_tokens=("ratio", "size"), dsir_sum=("ratio", "sum"))
+        for c in ("doc_id", "n_tokens", "dsir_sum"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup: batched-DP Levenshtein over normalized document
+# heads — the fuzzy-dedup family member that catches small in-place edits
+# (typo/whitespace/template noise) Jaccard shingles over-penalize
+# ---------------------------------------------------------------------------
+
+_EDIT_HEAD_CHARS = 32
+_EDIT_MAX_DIST = 4
+
+
+def _batched_levenshtein(a_codes: np.ndarray, a_len: np.ndarray,
+                         b_codes: np.ndarray, b_len: np.ndarray) -> np.ndarray:
+    """Levenshtein over P string pairs at once: (P, L) padded codepoint
+    arrays, vectorized across the pair axis (the DP recurrence is
+    sequential in (i, j) but every step is one P-length numpy op)."""
+    P, L = a_codes.shape
+    rows = np.arange(P)
+    result = np.where(a_len == 0, b_len, -1).astype(np.int64)
+    prev = np.tile(np.arange(L + 1, dtype=np.int64), (P, 1))
+    for i in range(1, L + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        cost = (a_codes[:, i - 1][:, None] != b_codes).astype(np.int64)
+        for j in range(1, L + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost[:, j - 1])
+        # pairs whose a-string ends at row i read their answer here,
+        # BEFORE the DP walks on into the zero padding
+        done = a_len == i
+        if done.any():
+            result[done] = cur[rows[done], b_len[done]]
+        prev = cur
+    return result
+
+
+def docs_edit_dedup(sf_dir: str, head_chars: int = _EDIT_HEAD_CHARS,
+                    max_dist: int = _EDIT_MAX_DIST) -> pd.DataFrame:
+    """Keep-lowest-id fuzzy dedup on edit distance: a doc is dropped iff a
+    lower-id doc in the SAME language has a normalized 32-char head
+    (lowercased, whitespace collapsed) within Levenshtein distance 4 and
+    head length within ±4.  Returns the survivor ids.
+
+    Scale shape: only (doc_id, head) projections shuffle (groupby lang —
+    at web scale the blocking key adds a head-length band, making groups
+    bounded); within a group candidate pairs are length-band filtered
+    first, then ONE batched-DP Levenshtein pass scores all pairs
+    simultaneously — no per-pair Python loop."""
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+
+    def heads(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["text"].fillna("").str.lower() \
+            .str.replace(r"\s+", " ", regex=True).str.slice(0, head_chars)
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "lang": df["lang"], "head": h})
+
+    def group_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+        df = df.sort_values("doc_id").reset_index(drop=True)
+        n = len(df)
+        if n <= 1:
+            return df[["doc_id"]]
+        texts = df["head"].tolist()
+        lens = np.array([len(t) for t in texts], dtype=np.int64)
+        codes = np.zeros((n, head_chars), dtype=np.int32)
+        for i, t in enumerate(texts):
+            codes[i, :len(t)] = np.frombuffer(
+                t.encode("utf-32-le"), dtype=np.uint32)[:head_chars]
+        ia, ib = np.triu_indices(n, k=1)  # ia < ib → a is the lower id
+        band = np.abs(lens[ia] - lens[ib]) <= max_dist
+        ia, ib = ia[band], ib[band]
+        dropped = np.zeros(n, dtype=bool)
+        block = 65536
+        for lo in range(0, len(ia), block):
+            sa, sb = ia[lo:lo + block], ib[lo:lo + block]
+            d = _batched_levenshtein(codes[sa], lens[sa], codes[sb], lens[sb])
+            hit = d <= max_dist
+            dropped[sb[hit]] = True
+        return df.loc[~dropped, ["doc_id"]]
+
+    out = ds.map_batches(heads, batch_format="pandas") \
+            .groupby("lang").map_groups(group_dedup, batch_format="pandas") \
+            .to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

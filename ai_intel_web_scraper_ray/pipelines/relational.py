@@ -4039,3 +4039,192 @@ def events_window_join(sf_dir: str) -> pd.DataFrame:
     for c in ("n_pairs", "sum_cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values("day").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# robust anomaly detection: median/MAD outlier flagging per event type —
+# the quality-monitoring pass a streaming ingest runs before admitting a
+# day's data (robust statistics so the outliers themselves can't shift the
+# threshold, unlike mean/stddev z-scores)
+# ---------------------------------------------------------------------------
+
+_MAD_K = 3
+
+
+def events_anomaly_mad(sf_dir: str, k: int = _MAD_K) -> pd.DataFrame:
+    """Events whose value (cents) deviates from their type's median by
+    more than k × MAD (median absolute deviation), both medians as the
+    discrete ``(n-1)//2``-th order statistic (``quantile_disc(0.5)`` —
+    the orders_price_median contract).
+
+    Scale shape: the exchange ships the (event_id, type, cents) integer
+    projection once; each type's rows colocate in its hash bucket where
+    TWO O(n) ``np.partition`` selections (median, then MAD) and one
+    vectorized filter flag the outliers — no global sort, no second scan
+    of the raw table.  Bounded-domain histogram refinement replaces the
+    in-bucket selection for groups beyond one bucket's memory (the
+    docs_token_percentiles pattern)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"],
+            "cents": np.floor(
+                df["value"].to_numpy() * 100 + 0.5).astype("int64")})
+
+    def bucket_outliers(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for et, g in df.groupby("event_type", sort=False):
+            v = g["cents"].to_numpy()
+            med = int(np.partition(v, (len(v) - 1) // 2)[(len(v) - 1) // 2])
+            dev = np.abs(v - med)
+            mad = int(np.partition(dev, (len(dev) - 1) // 2)[
+                (len(dev) - 1) // 2])
+            keep = dev > k * mad
+            frames.append(pd.DataFrame({
+                "event_id": g["event_id"].to_numpy()[keep],
+                "event_type": et,
+                "cents": v[keep],
+                "dev": dev[keep]}))
+        if not frames:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "event_type": pd.Series([], dtype=object),
+                                 "cents": pd.Series([], dtype="int64"),
+                                 "dev": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("event_type") \
+        .map_groups(bucket_outliers, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "event_type": pd.Series([], dtype=object),
+                             "cents": pd.Series([], dtype="int64"),
+                             "dev": pd.Series([], dtype="int64")})
+    for c in ("event_id", "cents", "dev"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix over per-user event sequences — the full
+# (from, to) probability table (events_user_paths is the top-k trigram
+# view; this is the bounded |types|² first-order model)
+# ---------------------------------------------------------------------------
+
+
+def events_transition_matrix(sf_dir: str) -> pd.DataFrame:
+    """First-order event-type transition counts and probabilities over
+    every user's history ordered by (ts, event_id):
+    ``prob_ppm = n(from,to) · 10⁶ // Σ_to n(from,·)``.
+
+    Scale shape: users hash-bucket (user_id % 64, whole history per
+    bucket); inside a bucket ONE sort + shift-masked bigram build (no
+    per-user Python); the transition key space is |types|² (bounded) so
+    each bucket emits one tiny count partial and the driver merge plus
+    row-marginal division is O(|types|²)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df[["user_id", "ts", "event_id", "event_type", "_b"]]
+
+    def bucket_transitions(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2 or "user_id" not in df.columns:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy(dtype=object)
+        same = uid[:-1] == uid[1:]
+        pairs = pd.DataFrame({"from_type": et[:-1][same],
+                              "to_type": et[1:][same]})
+        out = pairs.groupby(["from_type", "to_type"], as_index=False) \
+            .agg(n=("to_type", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = ds.map_batches(keep, batch_format="pandas") \
+              .groupby("_b").map_groups(bucket_transitions,
+                                        batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                             "to_type": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64"),
+                             "prob_ppm": pd.Series([], dtype="int64")})
+    out = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
+    marg = out.groupby("from_type")["n"].transform("sum")
+    out["prob_ppm"] = (out["n"].astype("int64") * 1_000_000
+                       // marg.astype("int64"))
+    for c in ("n", "prob_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["from_type", "to_type"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# skyline (Pareto frontier): maximal orders under (price ↑ better,
+# earlier date ↑ better) — the multi-objective shortlist operator; local
+# per-block skylines merge associatively, so the all-to-all never happens
+# ---------------------------------------------------------------------------
+
+
+def _skyline_filter(cents: np.ndarray, day: np.ndarray) -> np.ndarray:
+    """Boolean survivor mask: row i is dominated iff some j has
+    cents_j ≥ cents_i AND day_j ≤ day_i with at least one strict.
+    Vectorized O(n²) dominance test — blocks are bounded, and the merged
+    candidate set a skyline produces is tiny relative to its input."""
+    ge = cents[:, None] >= cents[None, :]
+    le = day[:, None] <= day[None, :]
+    strict = (cents[:, None] > cents[None, :]) | (day[:, None] < day[None, :])
+    dominated = (ge & le & strict).any(axis=0)
+    return ~dominated
+
+
+def orders_skyline(sf_dir: str) -> pd.DataFrame:
+    """Pareto-optimal 1995 orders: no other 1995 order is both ≥ price
+    and ≤ date with one strict.  Equal (price, date) pairs don't dominate
+    each other — both survive, exactly like the SQL ``NOT EXISTS``.
+
+    Scale shape: each block computes its LOCAL skyline (dominance is
+    transitive, so a globally maximal row is maximal in its block —
+    per-block filtering is lossless); only the ≤√-sized candidate
+    partials reach the driver for the final merge.  The year filter is
+    pushed into the parquet read."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["o_orderdate"] >= pd.Timestamp("1995-01-01"))
+                & (df["o_orderdate"] < pd.Timestamp("1996-01-01"))]
+        if len(df) == 0:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "cents": pd.Series([], dtype="int64"),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]")})
+        cents = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        day = df["o_orderdate"].to_numpy(
+            dtype="datetime64[us]").astype("int64")
+        keep = _skyline_filter(cents, day)
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].to_numpy()[keep],
+            "cents": cents[keep],
+            "o_orderdate": df["o_orderdate"].to_numpy()[keep]})
+
+    cand = ds.map_batches(local_skyline, batch_format="pandas").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "cents": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]")})
+    cents = cand["cents"].to_numpy(dtype="int64")
+    day = cand["o_orderdate"].to_numpy(
+        dtype="datetime64[us]").astype("int64")
+    keep = _skyline_filter(cents, day)
+    out = cand.loc[keep].copy()
+    for c in ("o_orderkey", "cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)

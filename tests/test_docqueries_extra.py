@@ -57,6 +57,10 @@ ORACLE_QUERIES = [
     "emb_mips_topk",
     "docs_compaction_roundtrip",
     "docs_minhash_recall",
+    "emb_semdedup",
+    "docs_quality_classifier",
+    "docs_dsir_weights",
+    "docs_edit_dedup",
 ]
 
 
@@ -402,3 +406,36 @@ def test_minhash_recall_audit_bounds():
     # vacuous (and 4x4 banding at theta=0.5 should catch most of them)
     assert r["n_exact_pairs"] > 0
     assert r["recall_ppm"] >= 500_000
+
+
+def test_semdedup_and_edit_dedup_drop_paths_fire():
+    """Thresholds are calibrated to the synthetic tables so the dedup
+    queries actually drop rows — a dedup gate row that returns its input
+    unchanged would pin nothing."""
+    sem = dq.emb_semdedup(SF_DIR)
+    assert len(sem) < 500
+    ed = dq.docs_edit_dedup(SF_DIR)
+    n_docs = len(pd.read_parquet(f"{SF_DIR}/documents.parquet"))
+    assert len(ed) < n_docs
+
+
+def test_quality_classifier_is_partitioning_invariant():
+    """Feature hashing + weight lookup is a pure row property: 1 block
+    and 16 blocks give identical scores."""
+    import ray.data as rd
+
+    base = dq.docs_quality_classifier(SF_DIR)
+    one = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                          columns=["doc_id", "text"],
+                          override_num_blocks=1).to_pandas()
+    import hashlib
+
+    ex = pd.DataFrame({
+        "doc_id": one["doc_id"],
+        "word": one["text"].fillna("").str.lower().str.split(),
+    }).explode("word", ignore_index=True).dropna(subset=["word"])
+    w = ex["word"].map(lambda t: (int(hashlib.md5(t.encode()).hexdigest()[:8],
+                                      16) % 1024) * 2654435761 % 2003 - 1001)
+    ref = ex.assign(wgt=w).groupby("doc_id", as_index=False)["wgt"].sum() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(base["score_sum"]) == list(ref["wgt"].astype("int64"))

@@ -87,6 +87,9 @@ ORACLE_QUERIES = [
     "events_sessions",
     "events_props_k",
     "orders_gap_stats",
+    "events_anomaly_mad",
+    "events_transition_matrix",
+    "orders_skyline",
 ]
 
 
