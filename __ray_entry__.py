@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_mixture_weights": dq.docs_mixture_weights,
         "docs_train_val_test": dq.docs_train_val_test,
         "emb_semdedup": dq.emb_semdedup,
+        "docs_epoch_shuffle": dq.docs_epoch_shuffle,
         "docs_quality_classifier": dq.docs_quality_classifier,
         "docs_dsir_weights": dq.docs_dsir_weights,
         "docs_edit_dedup": dq.docs_edit_dedup,
@@ -1808,6 +1809,25 @@ def oracle_sql() -> dict[str, str]:
                   AND (b.cents > a.cents OR b.o_orderdate < a.o_orderdate)
             )
             ORDER BY a.o_orderkey
+        """,
+        # seeded epoch shuffle: md5 shuffle key, exact global rank (the
+        # engine ranks via bucket histograms, never a global sort)
+        "docs_epoch_shuffle": """
+            WITH k AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5('1-' ||
+                           CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS skey
+                FROM documents
+            ), r AS (
+                SELECT doc_id, skey,
+                       ROW_NUMBER() OVER (ORDER BY skey, doc_id) - 1 AS pos
+                FROM k
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(skey AS BIGINT) AS skey,
+                   CAST(pos AS BIGINT) AS pos,
+                   CAST(pos % 8 AS BIGINT) AS shard
+            FROM r ORDER BY doc_id
         """,
         # SemDeDup: nearest-seed-centroid assignment (the emb_kmeans_assign
         # contract) then drop-if-lower-id-neighbor-≥-tau within the cluster

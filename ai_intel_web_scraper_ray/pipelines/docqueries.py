@@ -3310,3 +3310,83 @@ def docs_edit_dedup(sf_dir: str, head_chars: int = _EDIT_HEAD_CHARS,
             .to_pandas()
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# deterministic epoch shuffle: the dataloader-side global permutation
+# (seeded, reproducible, shardable) computed WITHOUT a global sort — the
+# bucket-histogram rank machinery of docs_percent_rank applied to an
+# md5 shuffle key
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SEED = 1
+_SHUFFLE_SHARDS = 8
+_SHUFFLE_RANK_BUCKETS = 4096
+
+
+def docs_epoch_shuffle(sf_dir: str, seed: int = _SHUFFLE_SEED,
+                       n_shards: int = _SHUFFLE_SHARDS) -> pd.DataFrame:
+    """Seeded global shuffle position and shard for every document:
+    ``skey = md5_32(f"{seed}-{doc_id}")``, ``pos`` = rank of (skey,
+    doc_id), ``shard = pos % n_shards`` — the reproducible epoch
+    permutation a training dataloader snapshots (same seed ⇒ same order
+    on any cluster shape).
+
+    Scale shape: NO global sort.  Pass 1 merges per-block histograms over
+    the TOP-12-bits-of-skey bucket domain (4096 ints); the driver
+    broadcasts cumulative below-counts; pass 2 groups rows by bucket —
+    key collisions can't cross buckets, so ``pos = below[bucket] +
+    local_rank`` after one small in-bucket sort is the exact global
+    rank."""
+    import hashlib
+
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        skey = np.array(
+            [int(hashlib.md5(f"{seed}-{d}".encode()).hexdigest()[:8], 16)
+             for d in ids], dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "skey": skey,
+            "_bucket": (skey >> 20).astype("int64")})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pandas")
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df["_bucket"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"b": u.astype("int64"),
+                             "n": c.astype("int64")})
+
+    parts = keyed_ds.map_batches(hist, batch_format="pandas").to_pandas()
+    counts = np.zeros(_SHUFFLE_RANK_BUCKETS, dtype=np.int64)
+    merged = parts.groupby("b")["n"].sum()
+    counts[merged.index.to_numpy(dtype=np.int64)] = \
+        merged.to_numpy(dtype=np.int64)
+    below = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    below_ref = ray.put(below)
+
+    def rank(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "doc_id" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "skey": pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64"),
+                                 "shard": pd.Series([], dtype="int64")})
+        lut = ray.get(below_ref)
+        df = df.sort_values(["skey", "doc_id"]).reset_index(drop=True)
+        b = int(df["_bucket"].iloc[0])
+        pos = lut[b] + np.arange(len(df), dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "skey": df["skey"].astype("int64"),
+            "pos": pos,
+            "shard": pos % n_shards})
+
+    out = keyed_ds.groupby("_bucket").map_groups(
+        rank, batch_format="pandas").to_pandas()
+    for c in ("doc_id", "skey", "pos", "shard"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

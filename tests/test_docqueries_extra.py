@@ -61,6 +61,7 @@ ORACLE_QUERIES = [
     "docs_quality_classifier",
     "docs_dsir_weights",
     "docs_edit_dedup",
+    "docs_epoch_shuffle",
 ]
 
 
