@@ -3029,6 +3029,9 @@ def emb_semdedup(sf_dir: str, n_seeds: int = _KMEANS_SEEDS,
     t = pq.read_table(f"{sf_dir}/embeddings.parquet",
                       columns=["vec_id", "embedding"],
                       filters=[("vec_id", "<", n_seeds)])
+    if len(t) == 0:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
     order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
     cents = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]) \
         .astype(np.float64)
@@ -3078,6 +3081,9 @@ def emb_semdedup(sf_dir: str, n_seeds: int = _KMEANS_SEEDS,
 
     out = assigned.groupby("cluster_id").map_groups(
         cluster_dedup, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
     for c in ("vec_id", "cluster_id"):
         out[c] = out[c].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)
@@ -3140,6 +3146,11 @@ def docs_quality_classifier(sf_dir: str) -> pd.DataFrame:
         return out
 
     out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_tokens": pd.Series([], dtype="int64"),
+                             "score_sum": pd.Series([], dtype="int64"),
+                             "label": pd.Series([], dtype=object)})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -3194,6 +3205,10 @@ def docs_dsir_weights(sf_dir: str, n_buckets: int = _DSIR_BUCKETS,
 
     parts = ds.map_batches(bucket_tokens, batch_format="pandas") \
               .map_batches(count_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_tokens": pd.Series([], dtype="int64"),
+                             "dsir_sum": pd.Series([], dtype="int64")})
     counts = parts.groupby("b").agg(
         r_b=("r_b", "sum"), t_b=("t_b", "sum")).sort_index()
     R = int(counts["r_b"].sum())
@@ -3236,9 +3251,11 @@ _EDIT_MAX_DIST = 4
 
 def _batched_levenshtein(a_codes: np.ndarray, a_len: np.ndarray,
                          b_codes: np.ndarray, b_len: np.ndarray) -> np.ndarray:
-    """Levenshtein over P string pairs at once: (P, L) padded codepoint
-    arrays, vectorized across the pair axis (the DP recurrence is
-    sequential in (i, j) but every step is one P-length numpy op)."""
+    """Levenshtein over P string pairs at once: (P, L) padded UTF-8 BYTE
+    arrays (DuckDB's ``levenshtein()`` edits bytes, not codepoints — the
+    engine matches that contract), vectorized across the pair axis (the
+    DP recurrence is sequential in (i, j) but every step is one P-length
+    numpy op)."""
     P, L = a_codes.shape
     rows = np.arange(P)
     result = np.where(a_len == 0, b_len, -1).astype(np.int64)
@@ -3275,8 +3292,11 @@ def docs_edit_dedup(sf_dir: str, head_chars: int = _EDIT_HEAD_CHARS,
     ds = _docs(sf_dir, ["doc_id", "lang", "text"])
 
     def heads(df: pd.DataFrame) -> pd.DataFrame:
+        # [\t\n\f\r ] is RE2's \s — python's \s also matches \v and
+        # unicode spaces, which DuckDB's regexp_replace would keep
         h = df["text"].fillna("").str.lower() \
-            .str.replace(r"\s+", " ", regex=True).str.slice(0, head_chars)
+            .str.replace(r"[\t\n\f\r ]+", " ", regex=True) \
+            .str.slice(0, head_chars)
         return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
                              "lang": df["lang"], "head": h})
 
@@ -3288,13 +3308,17 @@ def docs_edit_dedup(sf_dir: str, head_chars: int = _EDIT_HEAD_CHARS,
         if n <= 1:
             return df[["doc_id"]]
         texts = df["head"].tolist()
-        lens = np.array([len(t) for t in texts], dtype=np.int64)
-        codes = np.zeros((n, head_chars), dtype=np.int32)
-        for i, t in enumerate(texts):
-            codes[i, :len(t)] = np.frombuffer(
-                t.encode("utf-32-le"), dtype=np.uint32)[:head_chars]
+        # the ±max_dist length band is in CHARS (SQL length()); the DP
+        # itself runs over UTF-8 BYTES (SQL levenshtein())
+        char_lens = np.array([len(t) for t in texts], dtype=np.int64)
+        raw = [t.encode("utf-8") for t in texts]
+        lens = np.array([len(b) for b in raw], dtype=np.int64)
+        width = max(int(lens.max()), 1)
+        codes = np.zeros((n, width), dtype=np.int32)
+        for i, b in enumerate(raw):
+            codes[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
         ia, ib = np.triu_indices(n, k=1)  # ia < ib → a is the lower id
-        band = np.abs(lens[ia] - lens[ib]) <= max_dist
+        band = np.abs(char_lens[ia] - char_lens[ib]) <= max_dist
         ia, ib = ia[band], ib[band]
         dropped = np.zeros(n, dtype=bool)
         block = 65536
@@ -3308,6 +3332,8 @@ def docs_edit_dedup(sf_dir: str, head_chars: int = _EDIT_HEAD_CHARS,
     out = ds.map_batches(heads, batch_format="pandas") \
             .groupby("lang").map_groups(group_dedup, batch_format="pandas") \
             .to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
     out["doc_id"] = out["doc_id"].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -3338,17 +3364,13 @@ def docs_epoch_shuffle(sf_dir: str, seed: int = _SHUFFLE_SEED,
     key collisions can't cross buckets, so ``pos = below[bucket] +
     local_rank`` after one small in-bucket sort is the exact global
     rank."""
-    import hashlib
-
     import ray
 
     ds = _docs(sf_dir, ["doc_id"])
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].astype("int64")
-        skey = np.array(
-            [int(hashlib.md5(f"{seed}-{d}".encode()).hexdigest()[:8], 16)
-             for d in ids], dtype=np.int64)
+        skey = _md5_32([f"{seed}-{d}" for d in ids])
         return pd.DataFrame({
             "doc_id": ids,
             "skey": skey,
@@ -3362,6 +3384,12 @@ def docs_epoch_shuffle(sf_dir: str, seed: int = _SHUFFLE_SEED,
                              "n": c.astype("int64")})
 
     parts = keyed_ds.map_batches(hist, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "skey": pd.Series([], dtype="int64"),
+                          "pos": pd.Series([], dtype="int64"),
+                          "shard": pd.Series([], dtype="int64")})
+    if parts.empty:
+        return empty
     counts = np.zeros(_SHUFFLE_RANK_BUCKETS, dtype=np.int64)
     merged = parts.groupby("b")["n"].sum()
     counts[merged.index.to_numpy(dtype=np.int64)] = \
@@ -3387,6 +3415,8 @@ def docs_epoch_shuffle(sf_dir: str, seed: int = _SHUFFLE_SEED,
 
     out = keyed_ds.groupby("_bucket").map_groups(
         rank, batch_format="pandas").to_pandas()
+    if out.empty:
+        return empty
     for c in ("doc_id", "skey", "pos", "shard"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)

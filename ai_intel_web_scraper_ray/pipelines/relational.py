@@ -4192,13 +4192,20 @@ def orders_skyline(sf_dir: str) -> pd.DataFrame:
     transitive, so a globally maximal row is maximal in its block —
     per-block filtering is lossless); only the ≤√-sized candidate
     partials reach the driver for the final merge.  The year filter is
-    pushed into the parquet read."""
-    ds = _read(sf_dir, "orders",
-               ["o_orderkey", "o_totalprice", "o_orderdate"])
+    pushed into the parquet scan (pyarrow dataset filter expression —
+    non-matching row groups never leave storage)."""
+    import datetime
+
+    import pyarrow.dataset as pds
+
+    year = ((pds.field("o_orderdate") >= datetime.datetime(1995, 1, 1))
+            & (pds.field("o_orderdate") < datetime.datetime(1996, 1, 1)))
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice",
+                                  "o_orderdate"],
+                         filter=year, override_num_blocks=8)
 
     def local_skyline(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[(df["o_orderdate"] >= pd.Timestamp("1995-01-01"))
-                & (df["o_orderdate"] < pd.Timestamp("1996-01-01"))]
         if len(df) == 0:
             return pd.DataFrame({
                 "o_orderkey": pd.Series([], dtype="int64"),

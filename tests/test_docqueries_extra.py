@@ -440,3 +440,78 @@ def test_quality_classifier_is_partitioning_invariant():
     ref = ex.assign(wgt=w).groupby("doc_id", as_index=False)["wgt"].sum() \
         .sort_values("doc_id").reset_index(drop=True)
     assert list(base["score_sum"]) == list(ref["wgt"].astype("int64"))
+
+
+def test_edit_dedup_byte_semantics_match_duckdb_on_non_ascii(tmp_path):
+    """DuckDB's levenshtein() edits BYTES and RE2's \\s is ASCII-only;
+    the engine must match both on non-ASCII text (the shipped corpus is
+    pure ASCII, so this pins the contract the gate can't see).  The
+    'héllö wörld xyzw' pair is 3 edits in codepoints (≤4 → dropped) but
+    6 in bytes (kept) — byte semantics is observable in the survivors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (0, "en", "hello world xyzw padd padd padd"),
+        (1, "en", "héllö wörld xyzw padd padd padd"),  # é ö ö
+        (2, "en", "hello world xyzw padd padd pads"),  # 1 ASCII edit vs 0
+        (3, "zh", "中文文档 abc def ghi jkl"),
+        (4, "zh", "中文文件 abc def ghi jkl"),  # 1 char, 3 bytes
+        (5, "en", "a b c nbsp stays intact here"),  # RE2 keeps NBSP
+        (6, "en", "a b c nbsp stays intact here"),
+        (7, "en", "tab\tand\vvertical ws here padd"),  # \v: neither collapses
+        (8, "en", "tab and\vvertical ws here padd"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["t"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[2]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    got = dq.docs_edit_dedup(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    sql_df = con.execute(entrymod.oracle_sql()["docs_edit_dedup"]).fetch_df()
+    con.close()
+    assert list(got["doc_id"]) == list(sql_df["doc_id"])
+    # the byte-vs-codepoint discriminator: doc 1 survives (8 byte edits)
+    assert 1 in set(got["doc_id"])
+    # the plain ASCII near-dup is dropped
+    assert 2 not in set(got["doc_id"])
+
+
+def test_new_doc_operators_handle_empty_tables(tmp_path):
+    """An empty shard must be a no-op, not a driver-side KeyError."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "text": pa.array([], pa.string()),
+        "lang": pa.array([], pa.string()),
+        "source": pa.array([], pa.string()),
+        "n_chars": pa.array([], pa.int64()),
+    })
+    embs = pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32())),
+        "label": pa.array([], pa.int32()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    pq.write_table(embs, tmp_path / "embeddings.parquet")
+    sf = str(tmp_path)
+    for fn, cols in [
+        (dq.docs_quality_classifier,
+         ["doc_id", "n_tokens", "score_sum", "label"]),
+        (dq.docs_dsir_weights, ["doc_id", "n_tokens", "dsir_sum"]),
+        (dq.docs_edit_dedup, ["doc_id"]),
+        (dq.docs_epoch_shuffle, ["doc_id", "skey", "pos", "shard"]),
+        (dq.emb_semdedup, ["vec_id", "cluster_id"]),
+    ]:
+        out = fn(sf)
+        assert len(out) == 0, fn.__name__
+        assert list(out.columns) == cols, fn.__name__
