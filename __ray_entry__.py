@@ -345,6 +345,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_media_asset_dedup": dq.docs_media_asset_dedup,
         "events_log_compaction": rel.events_log_compaction,
         "docs_training_build": dq.docs_training_build,
+        "docs_lm_score": dq.docs_lm_score,
+        "emb_hard_negatives": dq.emb_hard_negatives,
+        "emb_kcenter": dq.emb_kcenter,
+        "events_linreg": rel.events_linreg,
+        "events_concurrency": rel.events_concurrency,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -378,6 +383,35 @@ _PINNED_CRAWL_INTERLEAVED = os.path.join(
     _PINNED_DIR, "crawl_interleaved_expected.parquet")
 _PINNED_CRAWL_MULTI_ORDERED = os.path.join(
     _PINNED_DIR, "crawl_multi_ordered_expected.parquet")
+
+
+def _kcenter_sql(k: int) -> str:
+    """Unrolled greedy farthest-point CTE chain: level i's candidate is
+    the argmin of the running GREATEST-of-rounded-cosines against the
+    i centers selected so far (ties → lowest vec_id) — the exact
+    contract of ``emb_kcenter``."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings),",
+        "c0 AS (SELECT vec_id, v FROM e WHERE vec_id = 0),",
+        "m1 AS (SELECT e.vec_id, e.v, ROUND(list_cosine_similarity("
+        "e.v, (SELECT v FROM c0)), 6) AS ms FROM e),",
+        "c1 AS (SELECT vec_id, v, ms FROM m1 ORDER BY ms, vec_id LIMIT 1)",
+    ]
+    for i in range(2, k):
+        parts.append(
+            f", m{i} AS (SELECT m{i-1}.vec_id, m{i-1}.v, GREATEST("
+            f"m{i-1}.ms, ROUND(list_cosine_similarity(m{i-1}.v, "
+            f"(SELECT v FROM c{i-1})), 6)) AS ms FROM m{i-1})")
+        parts.append(
+            f", c{i} AS (SELECT vec_id, v, ms FROM m{i} "
+            f"ORDER BY ms, vec_id LIMIT 1)")
+    sel = ["SELECT CAST(0 AS BIGINT) AS sel_rank, vec_id,"
+           " CAST(1.0 AS DOUBLE) AS maxsim FROM c0"]
+    sel += [f"UNION ALL SELECT CAST({i} AS BIGINT), vec_id, ms FROM c{i}"
+            for i in range(1, k)]
+    return ("\n".join(parts) + "\nSELECT * FROM (" + "\n".join(sel)
+            + ") ORDER BY sel_rank")
 
 
 def _sentiment_sql() -> str:
@@ -2899,4 +2933,113 @@ def oracle_sql() -> dict[str, str]:
             for i in range(64))
         ).replace("{NM}", " + ".join(
             f"m.m{i} * m.m{i}" for i in range(64))),
+        # corpus-trained bigram LM score: p(w2|w1) in ppm, floor-divided
+        # twice (integer-exact) — single-token docs have no bigrams
+        "docs_lm_score": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(w) AS word,
+                       generate_subscripts(w, 1) AS pos
+                FROM toks
+            ), uni AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS c1
+                FROM tok GROUP BY word
+            ), big AS (
+                SELECT a.doc_id, a.word AS w1, b.word AS w2
+                FROM tok a JOIN tok b
+                  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            ), bc AS (
+                SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+                FROM big GROUP BY w1, w2
+            )
+            SELECT big.doc_id, CAST(COUNT(*) AS BIGINT) AS nbig,
+                   CAST(SUM(1000000 * bc.c12 // uni.c1) // COUNT(*)
+                        AS BIGINT) AS avg_lm_q
+            FROM big JOIN bc ON big.w1 = bc.w1 AND big.w2 = bc.w2
+                     JOIN uni ON uni.word = big.w1
+            GROUP BY big.doc_id ORDER BY big.doc_id
+        """,
+        # hard negatives: top-5 nearest with a DIFFERENT label per query;
+        # rounded-before-rank so numpy and DuckDB order identically
+        "emb_hard_negatives": """
+            WITH q AS (
+                SELECT vec_id AS qid, label AS qlabel,
+                       CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 4
+            ), s AS (
+                SELECT q.qid, e.vec_id,
+                       ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS score
+                FROM q JOIN embeddings e ON e.label != q.qlabel
+            )
+            SELECT qid AS query_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, vec_id) - 1 AS BIGINT)
+                       AS "rank",
+                   vec_id, score
+            FROM s
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY qid
+                        ORDER BY score DESC, vec_id) <= 5
+            ORDER BY query_id, "rank"
+        """,
+        # greedy farthest-point (k-center) selection, unrolled CTE chain
+        "emb_kcenter": _kcenter_sql(6),
+        # per-type OLS slope from exact HUGEINT moments; // truncates
+        # toward zero in DuckDB and the engine mirrors it
+        "events_linreg": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(datediff('hour', TIMESTAMP '2024-01-01', ts)
+                            AS HUGEINT) AS x,
+                       CAST(FLOOR(value * 100 + 0.5) AS HUGEINT) AS y
+                FROM events
+            ), m AS (
+                SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                       SUM(x) AS sx, SUM(y) AS sy,
+                       SUM(x * x) AS sxx, SUM(x * y) AS sxy
+                FROM c GROUP BY event_type
+            )
+            SELECT event_type, CAST(n AS BIGINT) AS n,
+                   CAST(sy AS BIGINT) AS sum_cents,
+                   CAST(CASE WHEN n * sxx - sx * sx = 0 THEN 0
+                             ELSE ((n * sxy - sx * sy) * 1000000)
+                                  // (n * sxx - sx * sx)
+                        END AS BIGINT) AS slope_ppm
+            FROM m ORDER BY event_type
+        """,
+        # sweep line: per-day max concurrent sessions; ends sort before
+        # starts at equal instants (d=-1 < 1), RANGE peers collapse
+        "events_concurrency": """
+            WITH s AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                    ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ), t AS (
+                SELECT user_id, ts,
+                       SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING)
+                           AS session_id
+                FROM s
+            ), sess AS (
+                SELECT user_id, session_id,
+                       MIN(ts) AS start_ts, MAX(ts) AS end_ts
+                FROM t GROUP BY user_id, session_id
+            ), b AS (
+                SELECT start_ts AS ts, 1 AS d FROM sess
+                UNION ALL SELECT end_ts, -1 FROM sess
+            ), r AS (
+                SELECT ts, d, SUM(d) OVER (ORDER BY ts, d) AS running
+                FROM b
+            )
+            SELECT date_trunc('day', ts) AS day,
+                   CAST(MAX(running) AS BIGINT) AS max_concurrent
+            FROM r GROUP BY 1 ORDER BY 1
+        """,
     }

@@ -3420,3 +3420,252 @@ def docs_epoch_shuffle(sf_dir: str, seed: int = _SHUFFLE_SEED,
     for c in ("doc_id", "skey", "pos", "shard"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality score: a bigram language model TRAINED ON THE
+# CORPUS ITSELF scores every document by its mean bigram probability (in
+# ppm, integer-exact) — the "does this text look like the reference
+# distribution" filter a web-scale pipeline runs before training
+# ---------------------------------------------------------------------------
+
+
+def docs_lm_score(sf_dir: str) -> pd.DataFrame:
+    """Per document: bigram count and mean conditional bigram probability
+    ``avg over bigrams of 10⁶·c(w1,w2) // c(w1)`` (floor-divided twice —
+    integer-exact, summation-order independent).  Documents with fewer
+    than two tokens have no bigrams and are absent, matching the SQL twin.
+
+    Scale shape: the LM "training" and the scoring share one exchange —
+    per-batch (doc, w1, w2, n) bigram partials and (w1, n) unigram
+    partials are co-keyed by hash(w1), so each w1-bucket holds everything
+    needed to finish c(w1) and c(w1,w2) exactly and score its partials;
+    a doc-hash exchange then reduces to one row per document.  The
+    vocabulary never becomes a driver structure, and only integer
+    projections move."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ex = pd.DataFrame({
+            "doc_id": t["doc_id"].to_pandas().astype("int64"),
+            "word": t["text"].to_pandas().fillna("").str.lower().str.split(),
+        }).explode("word", ignore_index=True).dropna(subset=["word"])
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "w1": pd.Series([], dtype=object),
+            "w2": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "_b": pd.Series([], dtype="int64")})
+        if len(ex) == 0:
+            return empty
+        # unigram partials: every token occurrence counts (doc-final too)
+        uni = ex.groupby("word", as_index=False).size() \
+            .rename(columns={"word": "w1", "size": "n"})
+        uni["doc_id"] = np.int64(-1)
+        uni["w2"] = ""
+        # bigram partials: consecutive rows within a doc are consecutive
+        # tokens (explode preserves order; docs are contiguous)
+        nxt_same = ex["doc_id"].eq(ex["doc_id"].shift(-1))
+        big = pd.DataFrame({"doc_id": ex["doc_id"][nxt_same],
+                            "w1": ex["word"][nxt_same],
+                            "w2": ex["word"].shift(-1)[nxt_same]})
+        bg = big.groupby(["doc_id", "w1", "w2"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out = pd.concat([uni[["doc_id", "w1", "w2", "n"]],
+                         bg[["doc_id", "w1", "w2", "n"]]],
+                        ignore_index=True)
+        out["n"] = out["n"].astype("int64")
+        out["_b"] = _word_bucket_col(out["w1"])
+        return out
+
+    def w1_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # all partials of a w1 colocate → exact c(w1) and c(w1,w2)
+        is_uni = df["doc_id"].eq(-1)
+        c1 = df[is_uni].groupby("w1")["n"].sum()
+        bg = df[~is_uni]
+        if len(bg) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "psum": pd.Series([], dtype="int64"),
+                                 "nbig": pd.Series([], dtype="int64"),
+                                 "_d": pd.Series([], dtype="int64")})
+        c12 = bg.groupby(["w1", "w2"])["n"].transform("sum")
+        p = (1_000_000 * c12 // bg["w1"].map(c1)).astype("int64")
+        out = pd.DataFrame({
+            "doc_id": bg["doc_id"].astype("int64"),
+            "psum": (p * bg["n"]).astype("int64"),
+            "nbig": bg["n"].astype("int64")})
+        out = out.groupby("doc_id", as_index=False).sum()
+        out["_d"] = (out["doc_id"] % 64).astype("int64")
+        return out
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("doc_id", as_index=False).agg(
+            psum=("psum", "sum"), nbig=("nbig", "sum"))
+        out["avg_lm_q"] = (out["psum"] // out["nbig"]).astype("int64")
+        return out[["doc_id", "nbig", "avg_lm_q"]]
+
+    out = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(w1_bucket, batch_format="pandas") \
+        .groupby("_d").map_groups(doc_bucket, batch_format="pandas") \
+        .to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "nbig": pd.Series([], dtype="int64"),
+                             "avg_lm_q": pd.Series([], dtype="int64")})
+    for c in ("doc_id", "nbig", "avg_lm_q"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining: for each query vector, the nearest neighbors whose
+# label DIFFERS from the query's — the contrastive-training sampler that
+# pairs every anchor with its most confusable negatives
+# ---------------------------------------------------------------------------
+
+_HARDNEG_QUERIES = 4
+_HARDNEG_K = 5
+
+
+def emb_hard_negatives(sf_dir: str, n_queries: int = _HARDNEG_QUERIES,
+                       k: int = _HARDNEG_K) -> pd.DataFrame:
+    """Top-``k`` highest-cosine vectors with a different label, per query
+    (queries = vec_id < ``n_queries``).  Scores are rounded to 6 BEFORE
+    ranking (ties break on vec_id), so numpy and DuckDB order
+    identically.
+
+    Scale shape: the (n_queries × dim) query matrix + labels are one
+    ``ray.put`` broadcast; each block masks label ≠ query-label, computes
+    the cosine matrix, and emits a ≤ n_queries·k partial; the driver
+    merges ≤ n_queries·k·blocks rows."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.embed import cosine_scores
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      filters=[("vec_id", "<", n_queries)])
+    empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                          "rank": pd.Series([], dtype="int64"),
+                          "vec_id": pd.Series([], dtype="int64"),
+                          "score": pd.Series([], dtype="float64")})
+    if len(t) == 0:
+        return empty
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
+    qids = t["vec_id"].to_numpy(zero_copy_only=False)[order].astype("int64")
+    qlabels = t["label"].to_numpy(zero_copy_only=False)[order].astype("int64")
+    qvecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]) \
+        .astype(np.float64)
+    bundle_ref = ray.put((qids, qlabels, qvecs))
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return empty[["query_id", "vec_id", "score"]]
+        qi, ql, qv = ray.get(bundle_ref)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        labels = t["label"].to_numpy(zero_copy_only=False).astype("int64")
+        frames = []
+        for j in range(len(qi)):
+            mask = labels != ql[j]
+            if not mask.any():
+                continue
+            s = np.round(cosine_scores(vecs[mask], qv[j]), 6)
+            take = min(k, len(s))
+            idx = np.argpartition(-s, take - 1)[:take] \
+                if take < len(s) else np.arange(len(s))
+            frames.append(pd.DataFrame({
+                "query_id": np.full(take, qi[j], dtype=np.int64),
+                "vec_id": ids[mask][idx],
+                "score": s[idx]}))
+        if not frames:
+            return empty[["query_id", "vec_id", "score"]]
+        return pd.concat(frames, ignore_index=True)
+
+    df = _emb(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    if df.empty:
+        return empty
+    df = df.sort_values(["query_id", "score", "vec_id"],
+                        ascending=[True, False, True], kind="stable")
+    df = df.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount().astype("int64")
+    for c in ("query_id", "vec_id"):
+        df[c] = df[c].astype("int64")
+    return df[["query_id", "rank", "vec_id", "score"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset: greedy farthest-point selection — the diverse-subset
+# sampler a curation pipeline uses to pick maximally spread exemplars
+# (Gonzalez 2-approximation); each round is one streaming argmin over the
+# corpus against the broadcast center set
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 6
+
+
+def emb_kcenter(sf_dir: str, k: int = _KCENTER_K) -> pd.DataFrame:
+    """Greedy max-min selection under cosine similarity: seed = vec_id 0;
+    each round picks the vector whose maximum similarity to the selected
+    set is LOWEST (ties → lowest vec_id).  Similarities are rounded to 6
+    before the max/argmin (the family-wide reproducible-compare
+    convention), so numpy and the unrolled-CTE DuckDB twin agree.
+
+    Scale shape: k−1 streaming passes; each broadcasts the ≤ k×dim center
+    matrix, recomputes every block's max-similarity column vectorized,
+    and emits ONE candidate row (argmin with its vector) per block — the
+    driver merges ≤ blocks rows per round and never holds the corpus.
+    Selected centers score 1.0 against themselves, so they are never
+    re-picked."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from ..functions.embed import cosine_scores
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "=", 0)])
+    empty = pd.DataFrame({"sel_rank": pd.Series([], dtype="int64"),
+                          "vec_id": pd.Series([], dtype="int64"),
+                          "maxsim": pd.Series([], dtype="float64")})
+    if len(t) == 0:
+        return empty
+    seed = np.asarray(t["embedding"][0].as_py(), dtype=np.float64)
+    centers = [seed]
+    rows = [(0, 0, 1.0)]
+    ds = _emb(sf_dir).select_columns(["vec_id", "embedding"])
+
+    for r in range(1, k):
+        cref = ray.put(np.stack(centers))
+
+        def cand(t: pa.Table) -> pd.DataFrame:
+            e = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                              "maxsim": pd.Series([], dtype="float64"),
+                              "vec": pd.Series([], dtype=object)})
+            if len(t) == 0:
+                return e
+            c = ray.get(cref)
+            vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+            sims = np.column_stack(
+                [np.round(cosine_scores(vecs, c[j]), 6)
+                 for j in range(c.shape[0])])
+            ms = sims.max(axis=1)
+            i = int(np.lexsort((ids, ms))[0])  # (maxsim, vec_id) argmin
+            return pd.DataFrame({"vec_id": [int(ids[i])],
+                                 "maxsim": [float(ms[i])],
+                                 "vec": [vecs[i].tolist()]})
+
+        cands = ds.map_batches(cand, batch_format="pyarrow").to_pandas()
+        cands = cands.sort_values(["maxsim", "vec_id"]).reset_index(drop=True)
+        pick = cands.iloc[0]
+        centers.append(np.asarray(pick["vec"], dtype=np.float64))
+        rows.append((r, int(pick["vec_id"]), float(pick["maxsim"])))
+
+    return pd.DataFrame({
+        "sel_rank": pd.Series([r[0] for r in rows], dtype="int64"),
+        "vec_id": pd.Series([r[1] for r in rows], dtype="int64"),
+        "maxsim": pd.Series([r[2] for r in rows], dtype="float64")})

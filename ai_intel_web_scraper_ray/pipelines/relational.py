@@ -4235,3 +4235,183 @@ def orders_skyline(sf_dir: str) -> pd.DataFrame:
     for c in ("o_orderkey", "cents"):
         out[c] = out[c].astype("int64")
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# distributed least squares: per-event-type linear trend of value (cents)
+# over time, fitted from EXACT integer moments (n, Σx, Σy, Σx², Σxy) — the
+# closed-form normal equation needs one streaming pass of distributive
+# partials, never a residual iteration, so the fit is summation-order
+# independent and SQL-checkable at any scale
+# ---------------------------------------------------------------------------
+
+# hours between the unix epoch and the corpus origin; x = hours since
+# origin keeps Σx² (and n·Σx² − (Σx)²) far inside int64 for a multi-year
+# corpus where raw epoch-hours would overflow the moment products
+_LINREG_ORIGIN_H = int(pd.Timestamp("2024-01-01").value // 3_600_000_000_000)
+
+
+def events_linreg(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type OLS slope of ``value`` (in cents) against event time
+    (in hours since 2024-01-01): ``slope_ppm = (n·Σxy − Σx·Σy)·10⁶ /
+    (n·Σx² − (Σx)²)``, integer-truncated toward zero (DuckDB ``//``
+    semantics — NOT Python floor; the engine mirrors the truncation
+    explicitly so negative slopes agree).
+
+    Scale shape: each block emits ONE 5-integer moment row per event type
+    (distributive partials — the classic parallel-regression shape); the
+    driver merges ≤ types × blocks rows and finishes the division in
+    Python big ints (the ×10⁶ numerator can exceed int64; SQL uses
+    HUGEINT for the same step)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "sx": pd.Series([], dtype="int64"),
+                "sy": pd.Series([], dtype="int64"),
+                "sxx": pd.Series([], dtype="int64"),
+                "sxy": pd.Series([], dtype="int64")})
+        x = (df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+             // 3_600_000_000) - _LINREG_ORIGIN_H
+        y = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"].to_numpy(),
+                          "n": 1, "sx": x, "sy": y,
+                          "sxx": x * x, "sxy": x * y})
+        return g.groupby("event_type", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64"),
+                             "sum_cents": pd.Series([], dtype="int64"),
+                             "slope_ppm": pd.Series([], dtype="int64")})
+    agg = parts.groupby("event_type", as_index=False).sum()
+    slopes = []
+    for _, r in agg.iterrows():
+        # Python big ints: n·Σxy·10⁶ exceeds int64 at web-scale n
+        n, sx, sy, sxx, sxy = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                               int(r["sxx"]), int(r["sxy"]))
+        num = (n * sxy - sx * sy) * 1_000_000
+        den = n * sxx - sx * sx
+        if den == 0:
+            slopes.append(0)
+        else:
+            q = abs(num) // den  # den > 0 (variance); mirror DuckDB trunc
+            slopes.append(q if num >= 0 else -q)
+    out = pd.DataFrame({"event_type": agg["event_type"],
+                        "n": agg["n"].astype("int64"),
+                        "sum_cents": agg["sy"].astype("int64"),
+                        "slope_ppm": pd.Series(slopes, dtype="int64")})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# sweep line: maximum concurrent sessions per day.  Sessions (the 30-min-gap
+# contract shared with events_session_table) become ±1 boundary events; a
+# distributed prefix sum over the globally sorted UNIQUE boundaries yields
+# the running concurrency, and each block emits one per-day max partial —
+# the interval-overlap aggregation a scheduler/capacity pipeline runs
+# ---------------------------------------------------------------------------
+
+
+def events_concurrency(sf_dir: str) -> pd.DataFrame:
+    """Per day: the maximum number of sessions simultaneously open at any
+    boundary instant that day.  Ends sort before starts at the same
+    timestamp (``d=-1 < d=+1``), so back-to-back sessions don't overlap
+    and zero-length (single-event) sessions never raise the count — the
+    same peer semantics as SQL's RANGE-framed ``SUM(d) OVER (ORDER BY
+    ts, d)``.
+
+    Scale shape: three exchanges, all projections — (1) user-hash buckets
+    sessionize complete histories (one sort + diff + cumsum per bucket,
+    the events_session_table kernel) and emit ±1 boundary rows; (2) a
+    ts-hash bucket collapses duplicate (ts, d) keys so the global sort
+    never splits a peer group across blocks; (3) a range sort by (ts, d),
+    then the two-pass prefix-sum idiom (per-block net totals → driver
+    exclusive prefix over ≤ blocks rows → per-block running + per-day max
+    partials).  The driver only ever sees block totals and day maxima."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df
+
+    def bucket_boundaries(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        boundary = df["user_id"].ne(df["user_id"].shift())
+        brk = ((df["ts"].diff() > gap) & ~boundary).astype("int64")
+        df = df.assign(session_id=brk.groupby(
+            df["user_id"], sort=False).cumsum())
+        s = df.groupby(["user_id", "session_id"], as_index=False).agg(
+            start=("ts", "min"), end=("ts", "max"))
+        st = s["start"].to_numpy().astype("datetime64[us]").astype("int64")
+        en = s["end"].to_numpy().astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame({
+            "ts_us": np.concatenate([st, en]),
+            "d": np.concatenate([np.ones(len(st), dtype=np.int64),
+                                 -np.ones(len(en), dtype=np.int64)])})
+        out["_tb"] = (out["ts_us"] % 64).astype("int64")
+        return out
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        # unique (ts, d) keys with net counts — peer groups can no longer
+        # straddle sort-block boundaries, so per-block cumsums are exact
+        out = df.groupby(["ts_us", "d"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    bnd = ds.map_batches(keep, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_boundaries, batch_format="pandas") \
+        .groupby("_tb").map_groups(collapse, batch_format="pandas") \
+        .sort(["ts_us", "d"]).materialize()
+
+    def block_tot(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return pd.DataFrame({"first_ts": pd.Series([], dtype="int64"),
+                                 "first_d": pd.Series([], dtype="int64"),
+                                 "tot": pd.Series([], dtype="int64")})
+        d = t["d"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        return pd.DataFrame({
+            "first_ts": [int(t["ts_us"][0].as_py())],
+            "first_d": [int(t["d"][0].as_py())],
+            "tot": [int((d * n).sum())]})
+
+    parts = bnd.map_batches(block_tot, batch_format="pyarrow",
+                            batch_size=None).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                             "max_concurrent": pd.Series([], dtype="int64")})
+    parts = parts.sort_values(["first_ts", "first_d"]).reset_index(drop=True)
+    prefix = parts["tot"].cumsum().shift(1, fill_value=0)
+    entry = {(int(f), int(fd)): int(p) for f, fd, p in
+             zip(parts["first_ts"], parts["first_d"], prefix)}
+
+    def day_max(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return pd.DataFrame({"day_us": pd.Series([], dtype="int64"),
+                                 "mx": pd.Series([], dtype="int64")})
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        base = entry[(int(ts[0]), int(d[0]))]
+        running = base + np.cumsum(d * n)
+        day = (ts // 86_400_000_000) * 86_400_000_000
+        out = pd.DataFrame({"day_us": day, "running": running}) \
+            .groupby("day_us", as_index=False)["running"].max() \
+            .rename(columns={"running": "mx"})
+        return out.astype({"day_us": "int64", "mx": "int64"})
+
+    mx = bnd.map_batches(day_max, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    out = mx.groupby("day_us", as_index=False)["mx"].max()
+    return pd.DataFrame({
+        "day": pd.to_datetime(out["day_us"], unit="us"),
+        "max_concurrent": out["mx"].astype("int64"),
+    }).sort_values("day").reset_index(drop=True)

@@ -62,6 +62,9 @@ ORACLE_QUERIES = [
     "docs_dsir_weights",
     "docs_edit_dedup",
     "docs_epoch_shuffle",
+    "docs_lm_score",
+    "emb_hard_negatives",
+    "emb_kcenter",
 ]
 
 
@@ -511,6 +514,9 @@ def test_new_doc_operators_handle_empty_tables(tmp_path):
         (dq.docs_edit_dedup, ["doc_id"]),
         (dq.docs_epoch_shuffle, ["doc_id", "skey", "pos", "shard"]),
         (dq.emb_semdedup, ["vec_id", "cluster_id"]),
+        (dq.docs_lm_score, ["doc_id", "nbig", "avg_lm_q"]),
+        (dq.emb_hard_negatives, ["query_id", "rank", "vec_id", "score"]),
+        (dq.emb_kcenter, ["sel_rank", "vec_id", "maxsim"]),
     ]:
         out = fn(sf)
         assert len(out) == 0, fn.__name__

@@ -90,6 +90,8 @@ ORACLE_QUERIES = [
     "events_anomaly_mad",
     "events_transition_matrix",
     "orders_skyline",
+    "events_linreg",
+    "events_concurrency",
 ]
 
 
@@ -284,3 +286,81 @@ class TestSketches:
             .astype({"n_orders": "int64", "sum_cents": "int64"}) \
             .sort_values("o_orderpriority").reset_index(drop=True)
         pd.testing.assert_frame_equal(merged, exp)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_str, user_id, event_type, value)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+        "props": pa.array(['{"k": 0}'] * len(rows), pa.string()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+
+def test_linreg_truncates_toward_zero_like_duckdb(tmp_path):
+    """DuckDB's integer ``//`` truncates toward zero; Python's floors.
+    A negative non-exact slope is observable: −491e6/14 is −35,071,428.57…,
+    so trunc gives −35071428 while floor would give −35071429 — the engine
+    must pin the DuckDB semantics."""
+    import pandas as pd
+
+    _write_events(tmp_path, [
+        (0, "2024-01-01 00:30:00", 1, "a", 1.00),   # x=0h, y=100c
+        (1, "2024-01-01 01:30:00", 1, "a", 0.91),   # x=1h, y=91c
+        (2, "2024-01-01 03:30:00", 1, "a", 0.00),   # x=3h, y=0c
+    ])
+    got = rel.events_linreg(str(tmp_path))
+    assert list(got["slope_ppm"]) == [-35071428]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    sql_df = con.execute(entrymod.oracle_sql()["events_linreg"]).fetch_df()
+    con.close()
+    problems = compare("events_linreg", got, to_pandas(sql_df))
+    assert not problems, problems
+
+
+def test_concurrency_tie_and_zero_length_semantics(tmp_path):
+    """Pins the boundary contract the shipped corpus can't exercise:
+    (day 1) an end and a start at the SAME microsecond don't overlap
+    (ends sort first) and a single-event session is zero-length and never
+    raises the count → max 1 despite three sessions; (day 2) two sessions
+    ending at the same instant form a −1 peer group whose net −2 must be
+    applied as one collapsed step → max 2."""
+    import pandas as pd
+
+    _write_events(tmp_path, [
+        # day 1: u1 session 10:00–10:10; u2 zero-length at 10:05;
+        # u3 starts exactly at u1's end
+        (0, "2024-01-01 10:00:00", 1, "a", 1.0),
+        (1, "2024-01-01 10:10:00", 1, "a", 1.0),
+        (2, "2024-01-01 10:05:00", 2, "a", 1.0),
+        (3, "2024-01-01 10:10:00", 3, "a", 1.0),
+        (4, "2024-01-01 10:15:00", 3, "a", 1.0),
+        # day 2: u4 and u5 overlap and END at the same instant
+        (5, "2024-01-02 10:00:00", 4, "a", 1.0),
+        (6, "2024-01-02 10:20:00", 4, "a", 1.0),
+        (7, "2024-01-02 10:02:00", 5, "a", 1.0),
+        (8, "2024-01-02 10:20:00", 5, "a", 1.0),
+    ])
+    got = rel.events_concurrency(str(tmp_path))
+    assert list(got["max_concurrent"]) == [1, 2]
+    assert list(got["day"]) == [pd.Timestamp("2024-01-01"),
+                                pd.Timestamp("2024-01-02")]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    sql_df = con.execute(
+        entrymod.oracle_sql()["events_concurrency"]).fetch_df()
+    con.close()
+    problems = compare("events_concurrency", got, to_pandas(sql_df))
+    assert not problems, problems
