@@ -909,8 +909,23 @@ def crawl_scalable(
     # saturated docs/s at 28 workers (4.4k → 5.5k on the 24k graph).  The
     # queue holds (url, depth) tuples already leased from the shards, so
     # the interrupt path re-pushes it exactly like in-flight leases.
+    #
+    # ADAPTIVE CHUNKS: the queue is FLAT and each dispatch carves
+    # queue-depth ÷ 8 items, clamped to [32, 256].  The driver loop pays
+    # O(1) ray.wait/ray.get work PER TASK, so a saturated frontier wants
+    # few big tasks (the previous per-lease formula froze chunks at ~74
+    # items for 28 workers, capping the driver at ~130 completions/s —
+    # the whole 8→32-CPU scaling gap: 28 workers measured 4.8k docs/s at
+    # chunk 74 vs 10.5k at 256 on the 72k graph), while the BFS ramp
+    # wants many small ones so a 40-link frontier still fans out across
+    # workers.  Sizing by what's QUEUED at carve time serves both (one
+    # 4096-URL lease → 256-item chunks immediately; dividing by free
+    # slots instead ramped too slowly and measured ~10% lower); 256 stays
+    # the cap because a bigger chunk re-freezes tail assignment (1024
+    # measured ~12% slower).
     dispatch_q: deque = deque()
     MAX_OUTSTANDING = 2
+    CHUNK_MIN, CHUNK_MAX = 32, 256
     t_first_dispatch: Optional[float] = None
 
     def fill_workers() -> None:
@@ -919,7 +934,10 @@ def crawl_scalable(
             wid = min(range(num_workers), key=worker_load.__getitem__)
             if worker_load[wid] >= MAX_OUTSTANDING:
                 return
-            part = dispatch_q.popleft()
+            n = chunk_size or max(
+                CHUNK_MIN, min(CHUNK_MAX, len(dispatch_q) // 8))
+            part = [dispatch_q.popleft()
+                    for _ in range(min(n, len(dispatch_q)))]
             if t_first_dispatch is None:
                 t_first_dispatch = wall_now()
             fut = workers[wid].fetch_extract.remote(part)
@@ -927,9 +945,7 @@ def crawl_scalable(
             fetch_out[fut] = (wid, part)
 
     def dispatch_items(flat: List[Tuple[str, int]]) -> None:
-        chunk = chunk_size or max(32, len(flat) // num_workers // 2 + 1)
-        for i in range(0, len(flat), chunk):
-            dispatch_q.append(flat[i : i + chunk])
+        dispatch_q.extend(flat)
         fill_workers()
 
     def spawn_fetches(lease) -> None:
@@ -1037,9 +1053,8 @@ def crawl_scalable(
         for _t, url, depth in delayed:  # held wall-clock leases re-push too
             by_host[host_shard_of(url, num_shards)].append((url, depth))
         delayed.clear()
-        for part in dispatch_q:  # queued-but-undispatched chunks re-push too
-            for it in part:
-                by_host[host_shard_of(it[0], num_shards)].append(it)
+        for it in dispatch_q:  # queued-but-undispatched items re-push too
+            by_host[host_shard_of(it[0], num_shards)].append(it)
         dispatch_q.clear()
         for fut, (wid, part) in list(fetch_out.items()):
             _n_rec, n_offers, payload = ray.get(fut)

@@ -102,11 +102,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         timings[name] = round(time.perf_counter() - t0, 3)
         return out
 
-    # -- machine CPU-scaling baseline (cores throttle under load; see
-    # _cpu_baseline) -------------------------------------------------------
-    cpu_baseline = _cpu_baseline(num_cpus)
-
     # -- crawl throughput --------------------------------------------------
+    # (the machine CPU-scaling baseline runs at the END of the bench: the
+    # all-core busy loop depletes the VM's CPU burst budget and measurably
+    # throttles whatever runs NEXT — 15-35% off the saturated crawl when
+    # the burn preceded it, and asymmetrically worse at 32 CPUs than 8,
+    # which suppressed every pre-fix scaling ratio)
     n_pages = int(os.environ.get("GRAFT_CRAWL_PAGES", "24000"))
     pages = make_bench_web_graph(n_pages)
     import ray as _ray
@@ -192,6 +193,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("emb_knn", lambda: dq.emb_knn(sf_dir))
     timed("docs_minhash_dedup", lambda: dq.docs_minhash_dedup(sf_dir))
 
+    # -- machine CPU-scaling baseline, AFTER every measured window (the
+    # burn throttles what follows it; see the note at the top) ------------
+    cpu_baseline = _cpu_baseline(num_cpus)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_pipeline_total",
@@ -234,13 +239,14 @@ def run_sat_bench(num_cpus: int) -> dict:
     from ai_intel_web_scraper_ray.pipelines.crawl import pages_to_table_ref
     from ai_intel_web_scraper_ray.sources.synthetic import make_bench_web_graph
 
-    cpu_baseline = _cpu_baseline(num_cpus)
-
     n_pages = int(os.environ.get("GRAFT_SAT_PAGES", "72000"))
     pages = make_bench_web_graph(n_pages)
     pages_table_ref = pages_to_table_ref(pages)
     sat = _saturated_crawl(num_cpus, pages_table_ref,
                            [p["url"] for p in pages])
+    # baseline AFTER the measured window (see run_bench: the burn
+    # throttles what follows it, not what preceded it)
+    cpu_baseline = _cpu_baseline(num_cpus)
     out = {
         "metric": "saturated_crawl",
         "num_cpus": num_cpus,
@@ -321,6 +327,15 @@ def main():
             "median_normalized_efficiency": median([r["normalized_efficiency"] for r in runs]),
             "median_machine_cpu_efficiency": median(
                 [r["machine_cpu_scaling_efficiency"] for r in runs]),
+            # the baseline burn runs AFTER each measured window (running it
+            # BEFORE throttled the crawl itself — the all-core busy loop
+            # depletes the VM's CPU burst budget, 15-35% off the very
+            # quantity being measured, worse at 32 CPUs than 8).  A post-
+            # window baseline reads the residual-throttle state, so the
+            # normalized/machine columns are diagnostics only now; the
+            # headline criterion is median_raw_efficiency (clean windows).
+            "normalization_caveat": "cpu_baseline measured post-window; "
+                "raw/sustained are the headline numbers",
         }))
         return
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
