@@ -63,7 +63,17 @@ class Node:
             stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
 
     def find_all(self, tag: str) -> List["Node"]:
-        return [n for n in self.iter_nodes() if n.tag == tag]
+        # inline preorder loop — same order as iter_nodes, without the
+        # per-node generator resume (find_all("a") walks every node of the
+        # content subtree on every page, the hottest tree query)
+        out: List["Node"] = []
+        stack = [self]
+        while stack:
+            n = stack.pop()
+            if n.tag == tag:
+                out.append(n)
+            stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
+        return out
 
     def get_text(self, strip: bool = False, sep: str = "") -> str:
         parts: List[str] = []
@@ -90,13 +100,15 @@ class _TreeBuilder(HTMLParser):
         self.stack = [self.root]
 
     def handle_starttag(self, tag, attrs):
-        node = Node(tag, {k: (v or "") for k, v in attrs}, self.stack[-1])
+        node = Node(tag, {k: (v or "") for k, v in attrs} if attrs else {},
+                    self.stack[-1])
         self.stack[-1].children.append(node)
         if tag not in VOID_TAGS:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):
-        node = Node(tag, {k: (v or "") for k, v in attrs}, self.stack[-1])
+        node = Node(tag, {k: (v or "") for k, v in attrs} if attrs else {},
+                    self.stack[-1])
         self.stack[-1].children.append(node)
 
     def handle_endtag(self, tag):
@@ -117,30 +129,45 @@ def parse_html(html: str) -> Node:
 
 
 def select_one(root: Node, selector: str) -> Optional[Node]:
-    """Tiny CSS subset: 'tag', '.class', '#id', \"[role='x']\"."""
+    """Tiny CSS subset: 'tag', '.class', '#id', \"[role='x']\".  Inline
+    preorder loops (same first-match-in-document-order semantics as
+    iterating ``iter_nodes``, minus the generator overhead — this runs
+    several times per page on the crawl hot path)."""
     selector = selector.strip()
     if selector.startswith("."):
         want = selector[1:]
-        for n in root.iter_nodes():
+        stack = [root]
+        while stack:
+            n = stack.pop()
             if want in n.classes():
                 return n
+            stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
         return None
     if selector.startswith("#"):
         want = selector[1:]
-        for n in root.iter_nodes():
+        stack = [root]
+        while stack:
+            n = stack.pop()
             if n.attrs.get("id") == want:
                 return n
+            stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
         return None
     m = re.fullmatch(r"\[(\w+)=['\"]?([^'\"\]]+)['\"]?\]", selector)
     if m:
         attr, want = m.group(1), m.group(2)
-        for n in root.iter_nodes():
+        stack = [root]
+        while stack:
+            n = stack.pop()
             if n.tag != "[document]" and n.attrs.get(attr) == want:
                 return n
+            stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
         return None
-    for n in root.iter_nodes():
+    stack = [root]
+    while stack:
+        n = stack.pop()
         if n.tag == selector:
             return n
+        stack.extend(c for c in reversed(n.children) if isinstance(c, Node))
     return None
 
 
@@ -267,10 +294,21 @@ def extract_page(
     (where ``collect_links=False``): they are payload, not frontier."""
     root = parse_html(html)
 
+    # the selector area is queried for BOTH the link scan and the content
+    # extraction — resolve it once per page (body lazily, only on miss)
+    area_sel = select_one(root, content_selector)
+    _body: List[Optional[Node]] = []
+
+    def body() -> Optional[Node]:
+        if not _body:
+            _body.append(area_sel if content_selector == "body"
+                         else select_one(root, "body"))
+        return _body[0]
+
     links: List[str] = []
     media: List[str] = []
     if collect_links or collect_media:
-        content = select_one(root, content_selector) or select_one(root, "body")
+        content = area_sel if area_sel is not None else body()
         if content is not None:
             for a in content.find_all("a"):
                 href = a.attrs.get("href")
@@ -296,14 +334,14 @@ def extract_page(
         if h1:
             title = h1.get_text(strip=True)
 
-    area = select_one(root, content_selector)
+    area = area_sel
     if area is None:
         for fb in _FALLBACK_SELECTORS:
             area = select_one(root, fb)
             if area is not None:
                 break
     if area is None:
-        area = select_one(root, "body")
+        area = body()
     if area is None:
         return title, "", links, media
     _prune(area)
