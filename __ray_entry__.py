@@ -350,6 +350,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_kcenter": dq.emb_kcenter,
         "events_linreg": rel.events_linreg,
         "events_concurrency": rel.events_concurrency,
+        "parts_bfs_levels": rel.parts_bfs_levels,
+        "events_gap_fill": rel.events_gap_fill,
+        "docs_phrase_search": dq.docs_phrase_search,
+        "emb_random_projection": dq.emb_random_projection,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -412,6 +416,24 @@ def _kcenter_sql(k: int) -> str:
             for i in range(1, k)]
     return ("\n".join(parts) + "\nSELECT * FROM (" + "\n".join(sel)
             + ") ORDER BY sel_rank")
+
+
+def _random_projection_sql(n_out: int = 16, dim: int = 64) -> str:
+    """Generated ±1-projection twin: one UNION ALL branch per output dim,
+    each a left-to-right sum in input-dim order (the association order the
+    engine reproduces with its sequential accumulate)."""
+    from ai_intel_web_scraper_ray.pipelines.docqueries import _rp_sign
+
+    branches = []
+    for j in range(n_out):
+        terms = " + ".join(
+            f"({_rp_sign(i, j)}) * CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i in range(dim))
+        branches.append(
+            f"SELECT vec_id, CAST({j} AS BIGINT) AS dim, "
+            f"ROUND({terms}, 6) AS value FROM embeddings")
+    return ("SELECT * FROM (" + " UNION ALL ".join(branches)
+            + ") ORDER BY vec_id, dim")
 
 
 def _sentiment_sql() -> str:
@@ -3042,4 +3064,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(running) AS BIGINT) AS max_concurrent
             FROM r GROUP BY 1 ORDER BY 1
         """,
+        # BFS hop distance over the co-order part graph (≤ 4 hops from the
+        # min edge endpoint); recursive reach closure, MIN(level) per node
+        "parts_bfs_levels": """
+            WITH RECURSIVE dedup AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+                SELECT a.l_partkey AS x, b.l_partkey AS y
+                FROM dedup a JOIN dedup b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY x, y HAVING COUNT(*) >= 2
+            ), e AS (
+                SELECT x AS a, y AS b FROM pairs
+                UNION ALL SELECT y, x FROM pairs
+            ), reach(pk, lvl) AS (
+                SELECT MIN(a), 0 FROM e HAVING COUNT(*) > 0
+                UNION
+                SELECT e.b, r.lvl + 1 FROM reach r JOIN e ON e.a = r.pk
+                WHERE r.lvl < 4
+            )
+            SELECT pk AS l_partkey, CAST(MIN(lvl) AS BIGINT) AS level
+            FROM reach GROUP BY pk ORDER BY pk
+        """,
+        # hourly resample + last-observation-carried-forward per type
+        "events_gap_fill": """
+            WITH c AS (
+                SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events
+            ), hl AS (
+                SELECT event_type, hour, cents FROM (
+                    SELECT event_type, ts_us // 3600000000 AS hour, cents,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY event_type, ts_us // 3600000000
+                               ORDER BY ts_us DESC, event_id DESC) AS rn
+                    FROM c) WHERE rn = 1
+            ), bounds AS (
+                SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM hl
+            ), firsts AS (
+                SELECT event_type, MIN(hour) AS fh FROM hl
+                GROUP BY event_type
+            ), axis AS (
+                SELECT f.event_type, g.hour
+                FROM firsts f CROSS JOIN (
+                    SELECT UNNEST(generate_series(
+                        (SELECT lo FROM bounds),
+                        (SELECT hi FROM bounds))) AS hour) g
+                WHERE g.hour >= f.fh
+            )
+            SELECT a.event_type,
+                   make_timestamp(a.hour * 3600000000) AS hour,
+                   CAST(LAST_VALUE(hl.cents IGNORE NULLS) OVER (
+                       PARTITION BY a.event_type ORDER BY a.hour)
+                       AS BIGINT) AS cents,
+                   CAST(CASE WHEN hl.cents IS NULL THEN 1 ELSE 0 END
+                        AS BIGINT) AS filled
+            FROM axis a LEFT JOIN hl
+              ON hl.event_type = a.event_type AND hl.hour = a.hour
+            ORDER BY a.event_type, a.hour
+        """,
+        # positional-posting intersection: exact phrase "hash join"
+        "docs_phrase_search": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, unnest(w) AS word,
+                       generate_subscripts(w, 1) AS pos
+                FROM toks
+            ), p1 AS (
+                SELECT doc_id, pos FROM tok WHERE word = 'hash'
+            ), p2 AS (
+                SELECT doc_id, pos FROM tok WHERE word = 'join'
+            )
+            SELECT p1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+            FROM p1 JOIN p2
+              ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+            GROUP BY p1.doc_id ORDER BY p1.doc_id
+        """,
+        # ±1 Johnson–Lindenstrauss projection, generated left-to-right sums
+        "emb_random_projection": _random_projection_sql(),
     }

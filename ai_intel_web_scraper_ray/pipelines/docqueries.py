@@ -3669,3 +3669,133 @@ def emb_kcenter(sf_dir: str, k: int = _KCENTER_K) -> pd.DataFrame:
         "sel_rank": pd.Series([r[0] for r in rows], dtype="int64"),
         "vec_id": pd.Series([r[1] for r in rows], dtype="int64"),
         "maxsim": pd.Series([r[2] for r in rows], dtype="float64")})
+
+
+# ---------------------------------------------------------------------------
+# phrase search over positional postings: answer "w1 w2" adjacency from the
+# (doc, position) posting lists alone — the retrieval-side consumer of the
+# inverted index (texts never re-scanned at query time beyond the posting
+# fetch)
+# ---------------------------------------------------------------------------
+
+_PHRASE_W1 = "hash"
+_PHRASE_W2 = "join"
+
+
+def docs_phrase_search(sf_dir: str, w1: str = _PHRASE_W1,
+                       w2: str = _PHRASE_W2) -> pd.DataFrame:
+    """Documents containing the exact phrase ``w1 w2`` (adjacent tokens),
+    with the match count — the positional-posting-intersection query shape.
+
+    Scale shape: the scan emits (doc, pos) postings ONLY for the two query
+    words (at real scale this read comes from the persisted positional
+    index — docs_inverted_index builds it — so the corpus text is never
+    touched); a doc-hash bucket colocates both words' postings per
+    document and ONE searchsorted per (doc-run) finds adjacencies — no
+    per-position Python."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def postings(t: pa.Table) -> pd.DataFrame:
+        ex = pd.DataFrame({
+            "doc_id": t["doc_id"].to_pandas().astype("int64"),
+            "word": t["text"].to_pandas().fillna("").str.lower().str.split(),
+        }).explode("word", ignore_index=True).dropna(subset=["word"])
+        if len(ex) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64"),
+                                 "w": pd.Series([], dtype="int64"),
+                                 "_b": pd.Series([], dtype="int64")})
+        ex["pos"] = ex.groupby("doc_id").cumcount() + 1  # 1-based
+        hit = ex[ex["word"].isin([w1, w2])]
+        out = pd.DataFrame({
+            "doc_id": hit["doc_id"].astype("int64"),
+            "pos": hit["pos"].astype("int64"),
+            "w": (hit["word"] == w2).astype("int64")})  # 0=w1, 1=w2
+        out["_b"] = (out["doc_id"] % 64).astype("int64")
+        return out
+
+    def intersect(df: pd.DataFrame) -> pd.DataFrame:
+        p1 = df[df["w"] == 0].sort_values(["doc_id", "pos"])
+        p2 = df[df["w"] == 1].sort_values(["doc_id", "pos"])
+        if len(p1) == 0 or len(p2) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_matches": pd.Series([], dtype="int64")})
+        # adjacency = membership of (doc, pos+1) of w1 in w2's postings,
+        # via one searchsorted over the composite sorted key
+        k1 = p1["doc_id"].to_numpy() * (1 << 32) + p1["pos"].to_numpy() + 1
+        k2 = p2["doc_id"].to_numpy() * (1 << 32) + p2["pos"].to_numpy()
+        i = np.searchsorted(k2, k1)
+        ok = (i < len(k2)) & (k2[np.minimum(i, len(k2) - 1)] == k1)
+        m = pd.DataFrame({"doc_id": p1["doc_id"].to_numpy()[ok]})
+        if len(m) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_matches": pd.Series([], dtype="int64")})
+        out = m.groupby("doc_id", as_index=False).size() \
+            .rename(columns={"size": "n_matches"})
+        return out.astype({"doc_id": "int64", "n_matches": "int64"})
+
+    out = ds.map_batches(postings, batch_format="pyarrow") \
+        .groupby("_b").map_groups(intersect, batch_format="pandas") \
+        .to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_matches": pd.Series([], dtype="int64")})
+    for c in ("doc_id", "n_matches"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection: 64-dim embeddings → 16-dim ±1
+# sketch — the dimensionality-reduction front end of large-scale ANN /
+# clustering; the sign matrix is an md5 expression shared with the SQL twin
+# ---------------------------------------------------------------------------
+
+_RP_OUT_DIMS = 16
+
+
+def _rp_sign(i: int, j: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"rp-{i}-{j}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def emb_random_projection(sf_dir: str, n_out: int = _RP_OUT_DIMS) -> pd.DataFrame:
+    """±1 random projection of every embedding to ``n_out`` dims, exploded
+    to (vec_id, dim, value).  Values accumulate STRICTLY in input-dim
+    order (one vectorized add per dim, not a matmul) so the float64
+    association order matches the SQL twin's left-to-right sum, and
+    ROUND(…, 6) agrees bit-for-bit — the emb_int8_quantize contract.
+
+    Scale shape: row-local (no shuffle); the 64×n_out sign matrix is a
+    module-level constant in every worker."""
+    signs = np.array([[_rp_sign(i, j) for j in range(n_out)]
+                      for i in range(_EMB_DIM)], dtype=np.float64)
+
+    def project(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "dim": pd.Series([], dtype="int64"),
+                                 "value": pd.Series([], dtype="float64")})
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        n = len(t)
+        acc = np.zeros((n, n_out), dtype=np.float64)
+        for i in range(vecs.shape[1]):  # left-to-right, matching the SQL
+            acc += vecs[:, i:i + 1] * signs[i]
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return pd.DataFrame({
+            "vec_id": np.repeat(ids, n_out),
+            "dim": np.tile(np.arange(n_out, dtype=np.int64), n),
+            "value": np.round(acc.ravel(), 6)})
+
+    out = _emb(sf_dir).map_batches(project, batch_format="pyarrow") \
+        .to_pandas()
+    if out.empty:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                             "dim": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
+    for c in ("vec_id", "dim"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)

@@ -2657,24 +2657,12 @@ def events_dau_wau(sf_dir: str) -> pd.DataFrame:
 _COMP_SUPPORT = 3
 
 
-def parts_components(sf_dir: str, support: int = _COMP_SUPPORT) -> pd.DataFrame:
-    """Connected components of the graph whose nodes are parts and whose
-    edges join parts co-ordered in ≥ ``support`` distinct orders; each
-    component is labeled by its minimum part key and reported as
-    (component_id, n_parts, part_checksum).
-
-    Scale shape: edge building is the market-basket pipeline (order-hash
-    buckets → per-bucket vectorized self-merge → pair-hash-bucketed count
-    merge, never a row-level self-join exchange); components come from
-    ``stages.dedup.label_components`` — per-round two hash joins + a
-    bucketed groupby-min, rounds bounded by component diameter, the
-    strictly-decreasing label-sum potential detecting the fixpoint.  The
-    final per-component stats run under label-hash buckets.  The DuckDB
-    twin is a WITH RECURSIVE reachability closure — O(Σ|component|²)
-    rows, fine at oracle scale, which is exactly why the ENGINE side
-    does propagation instead."""
-    from ..stages.dedup import label_components
-
+def _co_order_edges(sf_dir: str, support: int):
+    """Materialized co-order edge Dataset (a_id, b_id, a_seq, b_seq):
+    parts co-ordered in ≥ ``support`` distinct orders.  The market-basket
+    pipeline — order-hash buckets → per-bucket vectorized self-merge →
+    pair-hash-bucketed count merge, never a row-level self-join exchange.
+    Shared by ``parts_components`` and ``parts_bfs_levels``."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -2702,10 +2690,27 @@ def parts_components(sf_dir: str, support: int = _COMP_SUPPORT) -> pd.DataFrame:
         return pd.DataFrame({"a_id": a, "b_id": b,
                              "a_seq": a, "b_seq": b})
 
-    edges = ds.map_batches(dedup_bucket, batch_format="pandas") \
+    return ds.map_batches(dedup_bucket, batch_format="pandas") \
         .groupby("_b").map_groups(gen_pairs, batch_format="pandas") \
         .groupby("_p").map_groups(pair_edges, batch_format="pandas") \
         .materialize()
+
+
+def parts_components(sf_dir: str, support: int = _COMP_SUPPORT) -> pd.DataFrame:
+    """Connected components of the co-order part graph
+    (:func:`_co_order_edges`); each component is labeled by its minimum
+    part key and reported as (component_id, n_parts, part_checksum).
+
+    Scale shape: components come from ``stages.dedup.label_components`` —
+    per-round two hash joins + a bucketed groupby-min, rounds bounded by
+    component diameter, the strictly-decreasing label-sum potential
+    detecting the fixpoint.  The final per-component stats run under
+    label-hash buckets.  The DuckDB twin is a WITH RECURSIVE reachability
+    closure — O(Σ|component|²) rows, fine at oracle scale, which is
+    exactly why the ENGINE side does propagation instead."""
+    from ..stages.dedup import label_components
+
+    edges = _co_order_edges(sf_dir, support)
     empty = pd.DataFrame({"component_id": pd.Series([], dtype="int64"),
                           "n_parts": pd.Series([], dtype="int64"),
                           "part_checksum": pd.Series([], dtype="int64")})
@@ -4415,3 +4420,174 @@ def events_concurrency(sf_dir: str) -> pd.DataFrame:
         "day": pd.to_datetime(out["day_us"], unit="us"),
         "max_concurrent": out["mx"].astype("int64"),
     }).sort_values("day").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# frontier BFS: hop distance from a source node over the co-order graph —
+# the per-query traversal shape (k rounds of frontier expansion against a
+# distributed edge set), complementing parts_components' global fixpoint
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_LEVEL = 4
+_BFS_SUPPORT = 2  # denser than parts_components' graph: the min-key
+                  # source reaches 135-200 nodes across 3-4 hop levels on
+                  # the shipped corpora (support 3 leaves a 2-node island)
+
+
+def parts_bfs_levels(sf_dir: str, support: int = _BFS_SUPPORT,
+                     max_level: int = _BFS_MAX_LEVEL) -> pd.DataFrame:
+    """Hop distance (≤ ``max_level``) from the minimum part key in the
+    co-order edge set, BFS over undirected edges.
+
+    Scale shape: the edge Dataset never leaves the workers; each round
+    broadcasts the current frontier SET (≤ |reached| node ids — the
+    operator's documented partitioning assumption: the reached set of a
+    bounded-radius query fits in one broadcast, which holds for k-hop
+    neighborhoods; a GLOBAL traversal uses parts_components' label
+    propagation instead) and one edge scan emits the distinct neighbor
+    partials.  The DuckDB twin is a WITH RECURSIVE reach closure with
+    MIN(level) per node."""
+    import ray
+
+    edges = _co_order_edges(sf_dir, support)
+    empty = pd.DataFrame({"l_partkey": pd.Series([], dtype="int64"),
+                          "level": pd.Series([], dtype="int64")})
+    if edges.count() == 0:
+        return empty
+
+    def block_min(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"m": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"m": [int(min(df["a_id"].min(), df["b_id"].min()))]})
+
+    src = int(edges.map_batches(block_min, batch_format="pandas")
+              .to_pandas()["m"].min())
+
+    visited = {src: 0}
+    frontier = {src}
+    for lvl in range(1, max_level + 1):
+        f_ref = ray.put(frozenset(frontier))
+
+        def neighbors(df: pd.DataFrame) -> pd.DataFrame:
+            f = ray.get(f_ref)
+            a = df["a_id"].to_numpy()
+            b = df["b_id"].to_numpy()
+            am = np.array([x in f for x in a], dtype=bool)
+            bm = np.array([x in f for x in b], dtype=bool)
+            out = np.unique(np.concatenate([b[am], a[bm]]))
+            return pd.DataFrame({"nb": out.astype("int64")})
+
+        nbs = edges.map_batches(neighbors, batch_format="pandas") \
+            .to_pandas()
+        nxt = set(int(x) for x in nbs["nb"]) - set(visited)
+        if not nxt:
+            break
+        for n in nxt:
+            visited[n] = lvl
+        frontier = nxt
+
+    out = pd.DataFrame({"l_partkey": list(visited),
+                        "level": [visited[k] for k in visited]})
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    out["level"] = out["level"].astype("int64")
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# time-series resample + gap fill: hourly last-observation-carried-forward
+# per event type over the corpus's full hour range — the regularization a
+# downstream feature pipeline runs before any fixed-step model
+# ---------------------------------------------------------------------------
+
+
+def events_gap_fill(sf_dir: str) -> pd.DataFrame:
+    """One row per (event_type, hour) from each type's first observation
+    to the global max hour: the hour's LAST value in cents (ties on ts
+    break by event_id — the deterministic arg-last), forward-filled from
+    the previous observed hour when the hour has no events, plus a
+    ``filled`` flag.  Hours before a type's first observation are absent
+    (both sides drop the leading NULLs).
+
+    Scale shape: one pass emits per-(type, hour) arg-last partials
+    (sort + groupby-last inside the batch, ≤ types×hours rows out) plus
+    the global hour range; the type-hash bucket finishes the per-hour
+    arg-last exactly, builds the dense hour axis with np.arange, and
+    forward-fills via ONE searchsorted — no per-hour Python, no global
+    sort."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "hour": pd.Series([], dtype="int64"),
+                "ts_us": pd.Series([], dtype="int64"),
+                "event_id": pd.Series([], dtype="int64"),
+                "cents": pd.Series([], dtype="int64")})
+        d = df.copy()
+        d["ts_us"] = d["ts"].to_numpy().astype("datetime64[us]") \
+            .astype("int64")
+        d["hour"] = d["ts_us"] // 3_600_000_000
+        d["cents"] = np.floor(d["value"].to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        d = d.sort_values(["ts_us", "event_id"], kind="mergesort")
+        last = d.groupby(["event_type", "hour"], as_index=False).last()
+        return last[["event_type", "hour", "ts_us", "event_id", "cents"]]
+
+    parts = ds.map_batches(partial, batch_format="pandas").materialize()
+    rng = parts.map_batches(
+        lambda df: pd.DataFrame({"mx": [df["hour"].max()]})
+        if len(df) else pd.DataFrame({"mx": pd.Series([], dtype="int64")}),
+        batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                          "hour": pd.Series([], dtype="datetime64[us]"),
+                          "cents": pd.Series([], dtype="int64"),
+                          "filled": pd.Series([], dtype="int64")})
+    if rng.empty:
+        return empty
+    max_hour = int(rng["mx"].max())
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (pd.util.hash_pandas_object(
+            df["event_type"].astype(object), index=False).to_numpy()
+            % 16).astype("int64")
+        return df
+
+    def fill_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for et, g in df.groupby("event_type", sort=False):
+            # finish the per-hour arg-last exactly across block partials
+            g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+            last = g.groupby("hour", as_index=False).last() \
+                .sort_values("hour")
+            hours = last["hour"].to_numpy(dtype="int64")
+            cents = last["cents"].to_numpy(dtype="int64")
+            axis = np.arange(hours[0], max_hour + 1, dtype="int64")
+            idx = np.searchsorted(hours, axis, side="right") - 1
+            frames.append(pd.DataFrame({
+                "event_type": et,
+                "hour": axis,
+                "cents": cents[idx],
+                "filled": (~np.isin(axis, hours)).astype("int64")}))
+        if not frames:
+            return pd.DataFrame({
+                "event_type": pd.Series([], dtype=object),
+                "hour": pd.Series([], dtype="int64"),
+                "cents": pd.Series([], dtype="int64"),
+                "filled": pd.Series([], dtype="int64")})
+        return pd.concat(frames, ignore_index=True)
+
+    out = parts.map_batches(keyed, batch_format="pandas") \
+        .groupby("_b").map_groups(fill_bucket, batch_format="pandas") \
+        .to_pandas()
+    if out.empty:
+        return empty
+    return pd.DataFrame({
+        "event_type": out["event_type"],
+        "hour": pd.to_datetime(out["hour"].astype("int64")
+                               * 3_600_000_000, unit="us"),
+        "cents": out["cents"].astype("int64"),
+        "filled": out["filled"].astype("int64"),
+    }).sort_values(["event_type", "hour"]).reset_index(drop=True)

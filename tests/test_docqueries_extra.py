@@ -65,6 +65,8 @@ ORACLE_QUERIES = [
     "docs_lm_score",
     "emb_hard_negatives",
     "emb_kcenter",
+    "docs_phrase_search",
+    "emb_random_projection",
 ]
 
 
@@ -517,6 +519,8 @@ def test_new_doc_operators_handle_empty_tables(tmp_path):
         (dq.docs_lm_score, ["doc_id", "nbig", "avg_lm_q"]),
         (dq.emb_hard_negatives, ["query_id", "rank", "vec_id", "score"]),
         (dq.emb_kcenter, ["sel_rank", "vec_id", "maxsim"]),
+        (dq.docs_phrase_search, ["doc_id", "n_matches"]),
+        (dq.emb_random_projection, ["vec_id", "dim", "value"]),
     ]:
         out = fn(sf)
         assert len(out) == 0, fn.__name__

@@ -92,6 +92,8 @@ ORACLE_QUERIES = [
     "orders_skyline",
     "events_linreg",
     "events_concurrency",
+    "parts_bfs_levels",
+    "events_gap_fill",
 ]
 
 
@@ -363,4 +365,34 @@ def test_concurrency_tie_and_zero_length_semantics(tmp_path):
         entrymod.oracle_sql()["events_concurrency"]).fetch_df()
     con.close()
     problems = compare("events_concurrency", got, to_pandas(sql_df))
+    assert not problems, problems
+
+
+def test_gap_fill_carries_last_observation_forward(tmp_path):
+    """Pins the LOCF contract on a corpus with REAL gaps (the sf0.01
+    events table has ~16 events/hour, so the fill path is mostly dormant
+    there): hour 0 has two events (arg-last by ts wins), hours 1-2 are
+    gaps carrying hour 0's value, hour 3 observes again; a second type
+    starting later must not emit rows before its first observation."""
+    import pandas as pd
+
+    _write_events(tmp_path, [
+        (0, "2024-01-01 00:10:00", 1, "a", 1.00),
+        (1, "2024-01-01 00:50:00", 1, "a", 2.00),   # arg-last of hour 0
+        (2, "2024-01-01 03:30:00", 1, "a", 5.00),
+        (3, "2024-01-01 02:15:00", 2, "b", 9.00),   # b starts at hour 2
+    ])
+    got = rel.events_gap_fill(str(tmp_path))
+    a = got[got["event_type"] == "a"]
+    assert list(a["cents"]) == [200, 200, 200, 500]
+    assert list(a["filled"]) == [0, 1, 1, 0]
+    b = got[got["event_type"] == "b"]
+    assert list(b["cents"]) == [900, 900]           # hours 2, 3 only
+    assert list(b["filled"]) == [0, 1]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    sql_df = con.execute(entrymod.oracle_sql()["events_gap_fill"]).fetch_df()
+    con.close()
+    problems = compare("events_gap_fill", got, to_pandas(sql_df))
     assert not problems, problems
