@@ -25,10 +25,15 @@ import sys
 
 
 def _ray_init():
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # under `ray job submit` the runtime presets RAY_ADDRESS to the
+        # cluster address — attach to it; standalone runs default local
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -726,10 +726,11 @@ def crawl_scalable(
     driver round trips per page.  This is the multi-node shape (on a
     real cluster the driver loop is a head-node serialization point and
     each dispatch a network RTT); on THIS single node it measures at
-    parity with the driver loop at 8 CPUs and ~20% behind at 32 (the
-    in-process RTT it saves is cheap, and the driver loop re-chunks
-    leases across workers more finely), so the driver loop remains the
-    default and the benched configuration.  Restricted to the
+    parity with the driver loop at both 8 and 32 CPUs (after the
+    adaptive-chunk dispatch fix; before it, the driver loop's frozen
+    ~74-item chunks made self-leasing look ~20% behind at 32 — the gap
+    was the driver loop's own dispatch bottleneck, since removed), so
+    the driver loop remains the default and the benched configuration.  Restricted to the
     politeness-off, unbudgeted, non-checkpointed throughput scan;
     quiescence is flow-counter conservation checked by the workers
     themselves (see FetchExtractWorker.run_selflease).
