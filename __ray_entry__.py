@@ -354,6 +354,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_gap_fill": rel.events_gap_fill,
         "docs_phrase_search": dq.docs_phrase_search,
         "emb_random_projection": dq.emb_random_projection,
+        "orders_scd2": rel.orders_scd2,
+        "docs_gopher_rules": dq.docs_gopher_rules,
+        "docs_line_filter": dq.docs_line_filter,
+        "docs_line_dedup": dq.docs_line_dedup,
+        "emb_hamming_topk": dq.emb_hamming_topk,
+        "emb_mmr": dq.emb_mmr,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -526,7 +532,77 @@ def _pq_dist_sql(s: int, sub: int = 16, lhs: str = "e.embedding") -> str:
         for i in range(s * sub, (s + 1) * sub))
 
 
+def _emb_dot_sql(a: str, b: str, dims: int = 64) -> str:
+    """Left-to-right 64-term dot product (matches the engine's strictly
+    dim-ordered accumulation — the emb_power_iteration contract)."""
+    return " + ".join(f"{a}[{i + 1}]*{b}[{i + 1}]" for i in range(dims))
+
+
+def _hamming_sql(k: int = 10, dims: int = 64) -> str:
+    """Sign-code Hamming top-k twin of docqueries.emb_hamming_topk."""
+    terms = " + ".join(
+        f"(CASE WHEN (e.embedding[{i + 1}] >= 0) <> (q.qe[{i + 1}] >= 0)"
+        f" THEN 1 ELSE 0 END)" for i in range(dims))
+    return f"""
+        WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY ham, vec_id) AS BIGINT)
+                   AS rank,
+               vec_id, CAST(ham AS BIGINT) AS hamming
+        FROM (SELECT e.vec_id, ({terms}) AS ham
+              FROM embeddings e CROSS JOIN q)
+        ORDER BY ham, vec_id LIMIT {k}
+    """
+
+
+def _mmr_sql(k: int = 5, dims: int = 64) -> str:
+    """Iterative MMR twin of docqueries.emb_mmr: one (pick, sel, sims)
+    CTE triple per round; cosine is dot/(n_sel * n_cand) with
+    left-to-right sums exactly as the engine computes it."""
+    sq = _emb_dot_sql("e.embedding", "e.embedding", dims)
+    sqb = _emb_dot_sql("b.embedding", "b.embedding", dims)
+    parts = [f"""WITH qn AS (
+  SELECT embedding AS qe, sqrt({_emb_dot_sql('embedding', 'embedding', dims)}) AS nq
+  FROM embeddings WHERE vec_id = 0
+), base AS (
+  SELECT e.vec_id, e.embedding, sqrt({sq}) AS nrm,
+         ({_emb_dot_sql('e.embedding', 'qn.qe', dims)}) / (qn.nq * sqrt({sq})) AS rel
+  FROM embeddings e CROSS JOIN qn
+  WHERE e.vec_id <> 0
+)"""]
+    for r in range(1, k + 1):
+        if r == 1:
+            score, excl, joins = "ROUND(0.5*rel, 6)", "", ""
+        else:
+            greatest = ", ".join(f"sim_{j}" for j in range(1, r))
+            score = (f"ROUND(0.5*rel - 0.5*GREATEST({greatest}), 6)"
+                     if r > 2 else "ROUND(0.5*rel - 0.5*sim_1, 6)")
+            excl = "WHERE " + " AND ".join(
+                f"b.vec_id <> (SELECT vec_id FROM pick_{j})"
+                for j in range(1, r))
+            joins = " ".join(
+                f"JOIN sims_{j} USING (vec_id)" for j in range(1, r))
+        parts.append(f""", pick_{r} AS (
+  SELECT b.vec_id, {score} AS score
+  FROM base b {joins}
+  {excl}
+  ORDER BY score DESC, b.vec_id LIMIT 1
+), sel_{r} AS (
+  SELECT b.vec_id, b.embedding, b.nrm FROM base b
+  WHERE b.vec_id = (SELECT vec_id FROM pick_{r})
+), sims_{r} AS (
+  SELECT b.vec_id,
+         ({_emb_dot_sql('b.embedding', 's.embedding', dims)}) / (s.nrm * b.nrm) AS sim_{r}
+  FROM base b CROSS JOIN sel_{r} s
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, vec_id, score FROM pick_{r}"
+        for r in range(1, k + 1))
+    parts.append(f"\n{union}\nORDER BY round")
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
     from ai_intel_web_scraper_ray.functions.quality import QUALITY_STOPWORDS
     from ai_intel_web_scraper_ray.functions.tokenizer import TOKEN_PATTERN
     from ai_intel_web_scraper_ray.pipelines.docqueries import (
@@ -3147,4 +3223,108 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ±1 Johnson–Lindenstrauss projection, generated left-to-right sums
         "emb_random_projection": _random_projection_sql(),
+        # SCD-2 dimension build from the orders change log
+        "orders_scd2": """
+            WITH s AS (
+              SELECT o_custkey,
+                     CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+                     strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+                     COALESCE(LEAD(strftime(o_orderdate, '%Y-%m-%d')) OVER w,
+                              '9999-12-31') AS valid_to,
+                     CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT)
+                         AS price_cents,
+                     CAST(CASE WHEN LEAD(o_orderkey) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS BIGINT) AS is_current
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+            )
+            SELECT o_custkey, version, valid_from, valid_to, price_cents,
+                   is_current
+            FROM s ORDER BY o_custkey, version
+        """,
+        # Gopher-rule word census (thresholds mirror docqueries constants)
+        "docs_gopher_rules": f"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                     generate_subscripts(string_split(text,' '), 1) AS pos
+              FROM documents
+            ), runs AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(word) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) = word
+                          THEN 0 ELSE 1 END AS brk
+              FROM w
+            ), grp AS (
+              SELECT doc_id,
+                     SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS rid
+              FROM runs
+            ), runlen AS (
+              SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS max_run FROM
+                (SELECT doc_id, rid, COUNT(*) AS cnt
+                 FROM grp GROUP BY doc_id, rid)
+              GROUP BY doc_id
+            ), stats AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST((SUM(length(word))*100)//COUNT(*) AS BIGINT)
+                         AS mean_wlen_c100,
+                     CAST((COUNT(DISTINCT word)*1000000)//COUNT(*) AS BIGINT)
+                         AS ttr_ppm
+              FROM w GROUP BY doc_id
+            )
+            SELECT s.doc_id, n_words, mean_wlen_c100, ttr_ppm, max_run,
+                   CAST(CASE WHEN n_words >= {dq._GOPHER_MIN_WORDS}
+                             AND ttr_ppm >= {dq._GOPHER_TTR_MIN_PPM}
+                             AND max_run <= {dq._GOPHER_MAX_RUN}
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM stats s JOIN runlen r USING (doc_id) ORDER BY s.doc_id
+        """,
+        # C4-adapted line filter over fixed 10-word windows
+        "docs_line_filter": f"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                     generate_subscripts(string_split(text,' '), 1) AS pos
+              FROM documents
+            ), l AS (
+              SELECT doc_id, (pos-1)//{dq.LINE_WORDS} AS line_no,
+                     COUNT(*) AS n_w, COUNT(DISTINCT word) AS n_d,
+                     MAX(CASE WHEN word IN ({', '.join(
+                         repr(s) for s in dq.LINE_STOPWORDS)})
+                         THEN 1 ELSE 0 END) AS has_stop
+              FROM w GROUP BY doc_id, line_no
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN n_d >= {dq.LINE_MIN_DISTINCT}
+                            AND has_stop = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_kept,
+                   CAST(SUM(CASE WHEN n_d >= {dq.LINE_MIN_DISTINCT}
+                            AND has_stop = 1 THEN n_w ELSE 0 END) AS BIGINT)
+                       AS kept_words
+            FROM l GROUP BY doc_id ORDER BY doc_id
+        """,
+        # global duplicate-line removal (md5-prefix line key shared with
+        # the engine so grouping semantics are identical on both sides)
+        "docs_line_dedup": f"""
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                     generate_subscripts(string_split(text,' '), 1) AS pos
+              FROM documents
+            ), l AS (
+              SELECT doc_id, (pos-1)//{dq.LINE_WORDS} AS line_no,
+                     substr(md5(string_agg(word, ' ' ORDER BY pos)), 1, 16)
+                         AS line_key
+              FROM w GROUP BY doc_id, line_no
+            ), r AS (
+              SELECT doc_id, line_no,
+                     ROW_NUMBER() OVER (PARTITION BY line_key
+                                        ORDER BY doc_id, line_no) AS rn
+              FROM l
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup
+            FROM r GROUP BY doc_id ORDER BY doc_id
+        """,
+        "emb_hamming_topk": _hamming_sql(),
+        "emb_mmr": _mmr_sql(),
     }

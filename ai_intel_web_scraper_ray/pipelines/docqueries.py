@@ -3799,3 +3799,341 @@ def emb_random_projection(sf_dir: str, n_out: int = _RP_OUT_DIMS) -> pd.DataFram
     for c in ("vec_id", "dim"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rules (Rae et al. 2021, public): per-document word
+# census — word count, mean word length, type-token ratio, longest
+# same-word run — and a keep flag from banded thresholds.  All metrics are
+# exact integers (centi-chars / ppm) so the SQL twin hash-matches.
+# ---------------------------------------------------------------------------
+
+_GOPHER_MIN_WORDS = 30
+_GOPHER_TTR_MIN_PPM = 350_000
+_GOPHER_MAX_RUN = 2
+
+
+def docs_gopher_rules(sf_dir: str) -> pd.DataFrame:
+    """Gopher-rule quality census: (doc_id, n_words, mean_wlen_c100,
+    ttr_ppm, max_run, keep).
+
+    Scale shape: row-local — each Arrow batch explodes to a word frame and
+    reduces with C-level pandas groupbys (length sum, nunique) plus one
+    run-length encoding over the ordered word array; no exchange, only the
+    6-int projection leaves the workers."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in (
+                "doc_id", "n_words", "mean_wlen_c100", "ttr_ppm",
+                "max_run", "keep")})
+        words = df["text"].fillna("").str.split(" ")
+        ex = df[["doc_id"]].copy()
+        ex["word"] = words
+        ex = ex.explode("word", ignore_index=True)
+        did = ex["doc_id"].to_numpy(dtype="int64")
+        w = ex["word"].to_numpy(dtype=object)
+        g = ex.groupby("doc_id", sort=True)
+        n_words = g.size()
+        sum_len = ex["word"].str.len().groupby(did).sum()
+        nuniq = g["word"].nunique()
+        # longest same-word run (run-length encode the ordered stream)
+        same = np.concatenate(
+            [[False], (w[1:] == w[:-1]) & (did[1:] == did[:-1])])
+        run_id = (~same).cumsum() - 1
+        run_len = np.bincount(run_id)
+        run_doc = did[~same]
+        max_run = pd.Series(run_len).groupby(run_doc).max()
+        out = pd.DataFrame({
+            "doc_id": n_words.index.to_numpy(dtype="int64"),
+            "n_words": n_words.to_numpy(dtype="int64"),
+            "mean_wlen_c100": (sum_len.to_numpy(dtype="int64") * 100)
+            // n_words.to_numpy(dtype="int64"),
+            "ttr_ppm": (nuniq.to_numpy(dtype="int64") * 1_000_000)
+            // n_words.to_numpy(dtype="int64"),
+            "max_run": max_run.to_numpy(dtype="int64"),
+        })
+        out["keep"] = ((out["n_words"] >= _GOPHER_MIN_WORDS)
+                       & (out["ttr_ppm"] >= _GOPHER_TTR_MIN_PPM)
+                       & (out["max_run"] <= _GOPHER_MAX_RUN)
+                       ).astype("int64")
+        return out
+
+    out = ds.map_batches(census, batch_format="pandas").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# C4-adapted line filtering (Raffel et al. 2020, public): the synthetic
+# corpus has no newlines, so "lines" are fixed windows of LINE_WORDS
+# consecutive words (the documented adaptation — the reference rule keeps
+# lines with enough distinct words and a stopword).  A line is kept when
+# it has ≥ LINE_MIN_DISTINCT distinct words and contains a stopword.
+# ---------------------------------------------------------------------------
+
+LINE_WORDS = 10
+LINE_MIN_DISTINCT = 8
+LINE_STOPWORDS = ("the", "a")
+
+
+def _line_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Explode a documents batch to (doc_id, line_no, word) rows."""
+    words = df["text"].fillna("").str.split(" ")
+    ex = df[["doc_id"]].copy()
+    ex["word"] = words
+    ex = ex.explode("word", ignore_index=True)
+    pos = ex.groupby("doc_id", sort=False).cumcount().to_numpy()
+    ex["line_no"] = (pos // LINE_WORDS).astype("int64")
+    return ex
+
+
+def docs_line_filter(sf_dir: str) -> pd.DataFrame:
+    """Per-document C4-style line census: (doc_id, n_lines, n_kept,
+    kept_words) over fixed 10-word line windows.
+
+    Scale shape: row-local — lines never leave their document, each batch
+    reduces with two C-level pandas groupbys ((doc, line) census then per-
+    doc rollup); only the 4-int projection leaves the workers."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in (
+                "doc_id", "n_lines", "n_kept", "kept_words")})
+        ex = _line_frame(df)
+        ex["is_stop"] = ex["word"].isin(LINE_STOPWORDS)
+        lines = ex.groupby(["doc_id", "line_no"], sort=False).agg(
+            n_w=("word", "size"), n_d=("word", "nunique"),
+            has_stop=("is_stop", "max"))
+        lines["kept"] = ((lines["n_d"] >= LINE_MIN_DISTINCT)
+                         & lines["has_stop"])
+        lines["kept_w"] = lines["n_w"].where(lines["kept"], 0)
+        out = lines.reset_index().groupby("doc_id", sort=True).agg(
+            n_lines=("line_no", "size"), n_kept=("kept", "sum"),
+            kept_words=("kept_w", "sum")).reset_index()
+        return out.astype("int64")
+
+    out = ds.map_batches(census, batch_format="pandas").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Global duplicate-line removal (the C4 "dedupe repeated lines across the
+# corpus" pass): a line's owner is its first occurrence by (doc_id,
+# line_no); every later occurrence counts as a dup against its document.
+# ---------------------------------------------------------------------------
+
+
+def docs_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """Per-document duplicate-line counts: (doc_id, n_lines, n_dup).
+
+    Scale shape: documents explode to (line_md5, doc_id, line_no)
+    PROJECTIONS (line text never moves); occurrences co-partition under
+    hash(line_md5) % 64 where one vectorized sort + shift marks every
+    non-first occurrence; per-doc dup partials union with the row-local
+    line counts and reduce under a doc-hash bucket.  The md5-prefix line
+    key is shared with the oracle SQL, so grouping semantics (including
+    any collision) are identical on both sides."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def line_occurrences(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "line_key": pd.Series([], dtype=object),
+                "doc_id": pd.Series([], dtype="int64"),
+                "line_no": pd.Series([], dtype="int64"),
+                "_b": pd.Series([], dtype="int64")})
+        ex = _line_frame(df)
+        lines = ex.groupby(["doc_id", "line_no"], sort=False)["word"] \
+            .agg(" ".join).reset_index(name="line")
+        key = lines["line"].map(
+            lambda s: hashlib.md5(s.encode()).hexdigest()[:16])
+        return pd.DataFrame({
+            "line_key": key,
+            "doc_id": lines["doc_id"].astype("int64"),
+            "line_no": lines["line_no"].astype("int64"),
+            "_b": (key.map(lambda h: int(h[:4], 16) % 64)).astype("int64")})
+
+    occ = ds.map_batches(line_occurrences, batch_format="pandas")
+
+    def bucket_dups(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["line_key", "doc_id", "line_no"],
+                            kind="mergesort").reset_index(drop=True)
+        keys = df["line_key"].to_numpy(dtype=object)
+        dup = np.concatenate([[False], keys[1:] == keys[:-1]])
+        per_doc = pd.Series(dup.astype("int64")) \
+            .groupby(df["doc_id"].to_numpy()).sum()
+        return pd.DataFrame({
+            "doc_id": per_doc.index.to_numpy(dtype="int64"),
+            "n_lines": np.zeros(len(per_doc), dtype="int64"),
+            "n_dup": per_doc.to_numpy(dtype="int64")})
+
+    dups = occ.groupby("_b").map_groups(bucket_dups, batch_format="pandas")
+
+    def line_counts(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in (
+                "doc_id", "n_lines", "n_dup")})
+        n_words = df["text"].fillna("").str.split(" ").str.len() \
+            .to_numpy(dtype="int64")
+        n_lines = -(-n_words // LINE_WORDS)  # ceil division
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_lines": n_lines,
+            "n_dup": np.zeros(len(df), dtype="int64")})
+
+    counts = ds.map_batches(line_counts, batch_format="pandas")
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["doc_id"].astype("int64") % 64).astype("int64")
+        return df
+
+    def merge_doc(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", sort=False).agg(
+            n_lines=("n_lines", "sum"), n_dup=("n_dup", "sum"))
+        return g.reset_index().astype("int64")
+
+    out = counts.union(dups).map_batches(keyed, batch_format="pandas") \
+        .groupby("_b").map_groups(merge_doc, batch_format="pandas") \
+        .to_pandas()
+    out = out[["doc_id", "n_lines", "n_dup"]]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sign-binarized Hamming top-k: the classic binary-code ANN baseline
+# (Charikar 2002 hyperplane LSH with the identity hyperplanes).  Codes are
+# one uint64 per vector, distance is XOR+popcount — the cheapest possible
+# scale path for a first-stage retrieval filter.
+# ---------------------------------------------------------------------------
+
+
+def emb_hamming_topk(sf_dir: str, query_vec_id: int = 0,
+                     k: int = 10) -> pd.DataFrame:
+    """Top-``k`` vectors by Hamming distance between sign codes
+    (bit i = embedding[i] >= 0), ties broken by vec_id.
+
+    Scale shape: each block packs signs to ONE uint64 per vector
+    (np.packbits) and scores with XOR+popcount — 8 bytes/vector of
+    distance state; per-block top-k partials merge on the driver
+    (≤ k × blocks rows).  The query code is a closure scalar, not a
+    broadcast table."""
+    q = _query_vec(sf_dir, query_vec_id)
+    qbits = (q >= 0.0)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
+        bits = vecs >= 0.0
+        ham = (bits != qbits).sum(axis=1).astype("int64")
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        take = min(k, len(ids))
+        order = np.lexsort((ids, ham))[:take]
+        return pd.DataFrame({"vec_id": ids[order], "hamming": ham[order]})
+
+    out = _emb(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    out = out.sort_values(["hamming", "vec_id"]).head(k) \
+        .reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype="int64")
+    for c in ("vec_id", "hamming", "rank"):
+        out[c] = out[c].astype("int64")
+    return out[["rank", "vec_id", "hamming"]]
+
+
+# ---------------------------------------------------------------------------
+# Maximal marginal relevance (Carbonell & Goldstein 1998, public): greedy
+# diverse top-k — each round picks argmax of
+# ROUND(0.5*cos(v, query) - 0.5*max_{s in selected} cos(v, s), 6),
+# ties by vec_id.  Dot products accumulate STRICTLY in dim order and
+# cosine is dot / (nq * nv) on both sides, so scores are bit-identical to
+# the generated SQL twin (the emb_power_iteration contract).
+# ---------------------------------------------------------------------------
+
+_MMR_K = 5
+_MMR_LAMBDA = 0.5
+
+
+def _dot_ltr(vecs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Left-to-right accumulated dot products (matches SQL's 64-term sum)."""
+    acc = np.zeros(len(vecs), dtype=np.float64)
+    for i in range(vecs.shape[1]):
+        acc += vecs[:, i] * q[i]
+    return acc
+
+
+def _norm_ltr(v: np.ndarray) -> float:
+    acc = 0.0
+    for x in v:
+        acc += x * x
+    return float(np.sqrt(acc))
+
+
+def emb_mmr(sf_dir: str, query_vec_id: int = 0) -> pd.DataFrame:
+    """MMR selection of ``_MMR_K`` diverse results for the query vector
+    (query excluded from candidates): (round, vec_id, score).
+
+    Scale shape: one streaming pass per round (k passes total); each
+    block computes scores against the ≤ k-vector selected set held in the
+    task closure and emits its top-1 partial — the driver merges
+    ≤ blocks rows per round.  Vectors never leave their blocks."""
+    q = _query_vec(sf_dir, query_vec_id)
+    nq = _norm_ltr(q)
+    selected: list[tuple[int, np.ndarray, float]] = []  # (vec_id, vec, norm)
+    rows = []
+    for rnd in range(1, _MMR_K + 1):
+        sel = [(v, n) for (_, v, n) in selected]
+        sel_ids = {vid for (vid, _, _) in selected}
+
+        def partial(t: pa.Table, _sel=tuple(sel), _ids=frozenset(sel_ids)
+                    ) -> pd.DataFrame:
+            empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                  "score": pd.Series([], dtype="float64")})
+            if len(t) == 0:
+                return empty
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+            keep = ~np.isin(ids, list(_ids) + [query_vec_id])
+            if not keep.any():
+                return empty
+            vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)
+                            )[keep]
+            ids = ids[keep]
+            norms = np.array([_norm_ltr(v) for v in vecs])
+            rel = _dot_ltr(vecs, q) / (nq * norms)
+            if _sel:
+                sims = np.stack([_dot_ltr(vecs, sv) / (sn * norms)
+                                 for (sv, sn) in _sel])
+                max_sim = np.max(sims, axis=0)
+            else:
+                max_sim = np.zeros(len(vecs))
+            score = np.round(_MMR_LAMBDA * rel
+                             - (1.0 - _MMR_LAMBDA) * max_sim, 6)
+            best = np.lexsort((ids, -score))[0]
+            return pd.DataFrame({"vec_id": [ids[best]],
+                                 "score": [score[best]]})
+
+        cand = _emb(sf_dir).map_batches(partial, batch_format="pyarrow") \
+            .to_pandas()
+        cand = cand.sort_values(["score", "vec_id"],
+                                ascending=[False, True])
+        vid = int(cand.iloc[0]["vec_id"])
+        rows.append({"round": rnd, "vec_id": vid,
+                     "score": float(cand.iloc[0]["score"])})
+        v = _query_vec(sf_dir, vid)
+        selected.append((vid, v, _norm_ltr(v)))
+    out = pd.DataFrame(rows)
+    out["round"] = out["round"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out

@@ -4591,3 +4591,69 @@ def events_gap_fill(sf_dir: str) -> pd.DataFrame:
         "cents": out["cents"].astype("int64"),
         "filled": out["filled"].astype("int64"),
     }).sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 dimension build: treat each customer's order stream as a
+# change log and emit validity intervals (valid_from = order date,
+# valid_to = next order's date, open interval pinned to 9999-12-31).
+# The standard lakehouse "build the slowly-changing dimension from the
+# CDC stream" shape (reference has no SCD op; this is the training-data/
+# lakehouse extension surface).
+# ---------------------------------------------------------------------------
+
+
+def orders_scd2(sf_dir: str) -> pd.DataFrame:
+    """SCD-2 intervals per customer from the orders change log.
+
+    One row per order: (o_custkey, version, valid_from, valid_to,
+    price_cents, is_current) where version numbers the customer's orders
+    by (o_orderdate, o_orderkey) and valid_to is the NEXT version's
+    valid_from ('9999-12-31' for the open current row).
+
+    Scale shape: customers hash-bucket on o_custkey % 64 so each bucket
+    holds complete change histories; inside a bucket ONE mergesort + ONE
+    vectorized shift computes every customer's lead(valid_from) — the
+    orders_running_total pattern, no per-key Python.  Dates travel as
+    strings so the hash contract is dtype-stable."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["o_custkey"].astype("int64")
+                    % _N_RUN_BUCKETS).astype("int64")
+        return df
+
+    def bucket_scd2(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                            kind="mergesort").reset_index(drop=True)
+        cust = df["o_custkey"].to_numpy(dtype="int64")
+        dates = df["o_orderdate"].dt.strftime("%Y-%m-%d").to_numpy()
+        # version = 1-based rank within customer (arrival order after sort)
+        version = np.arange(len(df), dtype="int64")
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        version -= np.repeat(version[starts],
+                             np.diff(np.r_[starts, len(df)]))
+        version += 1
+        # lead(valid_from) within customer; last row of each customer open
+        valid_to = np.concatenate(
+            [dates[1:], np.array(["9999-12-31"], dtype=object)]).astype(object)
+        last = np.concatenate([cust[1:] != cust[:-1], [True]])
+        valid_to[last] = "9999-12-31"
+        cents = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        return pd.DataFrame({
+            "o_custkey": cust,
+            "version": version,
+            "valid_from": dates,
+            "valid_to": valid_to.astype(str),
+            "price_cents": cents,
+            "is_current": last.astype("int64")})
+
+    out = ds.map_batches(keyed, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_scd2, batch_format="pandas") \
+        .to_pandas()
+    for c in ("o_custkey", "version", "price_cents", "is_current"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["o_custkey", "version"]).reset_index(drop=True)

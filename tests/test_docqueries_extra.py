@@ -67,6 +67,11 @@ ORACLE_QUERIES = [
     "emb_kcenter",
     "docs_phrase_search",
     "emb_random_projection",
+    "docs_gopher_rules",
+    "docs_line_filter",
+    "docs_line_dedup",
+    "emb_hamming_topk",
+    "emb_mmr",
 ]
 
 

@@ -70,6 +70,7 @@ ORACLE_QUERIES = [
     "events_pivot",
     "orders_monthly_growth",
     "orders_running_total",
+    "orders_scd2",
     "events_dau_wau",
     "parts_co_ordered",
     "parts_components",
