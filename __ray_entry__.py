@@ -360,6 +360,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": dq.docs_line_dedup,
         "emb_hamming_topk": dq.emb_hamming_topk,
         "emb_mmr": dq.emb_mmr,
+        "docs_bm25": dq.docs_bm25,
+        "parts_neighbor_jaccard": rel.parts_neighbor_jaccard,
+        "lineitem_manifest_stats": rel.lineitem_manifest_stats,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -599,6 +602,45 @@ def _mmr_sql(k: int = 5, dims: int = 64) -> str:
         for r in range(1, k + 1))
     parts.append(f"\n{union}\nORDER BY round")
     return "".join(parts)
+
+
+def _bm25_sql(k: int = 20) -> str:
+    """Okapi BM25 twin of docqueries.docs_bm25 — term order, association
+    order and the k1/b literals mirror the engine expression exactly."""
+    from ai_intel_web_scraper_ray.pipelines.docqueries import BM25_TERMS
+
+    terms = list(BM25_TERMS)
+    tf_cols = ",\n                   ".join(
+        f"SUM(CASE WHEN word = '{t}' THEN 1 ELSE 0 END) AS tf_{t}"
+        for t in terms)
+    df_sel = ",\n                   ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in terms)
+    score_terms = " + ".join(
+        f"LN((g.n_docs - g.df_{t} + 0.5) / (g.df_{t} + 0.5) + 1.0)"
+        f" * (d.tf_{t} * 2.2)"
+        f" / (d.tf_{t} + 1.2 * (0.25 + 0.75 * d.dl / g.avgdl))"
+        for t in terms)
+    return f"""
+        WITH w AS (
+          SELECT doc_id, unnest(string_split(text,' ')) AS word
+          FROM documents
+        ), d AS (
+          SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl,
+                   {tf_cols}
+          FROM w GROUP BY doc_id
+        ), g AS (
+          SELECT COUNT(*) AS n_docs, SUM(dl)/COUNT(*) AS avgdl,
+                   {df_sel}
+          FROM d
+        )
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS rank,
+               doc_id, score
+        FROM (SELECT d.doc_id, ROUND({score_terms}, 6) AS score
+              FROM d CROSS JOIN g)
+        ORDER BY score DESC, doc_id LIMIT {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3327,4 +3369,50 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_hamming_topk": _hamming_sql(),
         "emb_mmr": _mmr_sql(),
+        "docs_bm25": _bm25_sql(),
+        # neighborhood Jaccard over the co-order part graph (support 2)
+        "parts_neighbor_jaccard": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            ), edges AS (SELECT u, v FROM pairs WHERE n >= 2),
+            dir AS (SELECT u AS node, v AS nbr FROM edges
+                    UNION ALL SELECT v, u FROM edges),
+            deg AS (SELECT node, COUNT(*) AS d FROM dir GROUP BY node),
+            com AS (
+              SELECT e.u, e.v, COUNT(y.nbr) AS common
+              FROM edges e
+              JOIN dir x ON x.node = e.u
+              JOIN dir y ON y.node = e.v AND y.nbr = x.nbr
+              GROUP BY e.u, e.v
+            )
+            SELECT e.u AS a_id, e.v AS b_id,
+                   CAST(COALESCE(c.common, 0) AS BIGINT) AS common,
+                   CAST((COALESCE(c.common, 0) * 1000000)
+                        // (du.d + dv.d - COALESCE(c.common, 0)) AS BIGINT)
+                       AS jaccard_ppm
+            FROM edges e
+            JOIN deg du ON du.node = e.u
+            JOIN deg dv ON dv.node = e.v
+            LEFT JOIN com c ON c.u = e.u AND c.v = e.v
+            ORDER BY a_id, b_id
+        """,
+        # manifest / zone-map build: per ship-month partition statistics
+        "lineitem_manifest_stats": """
+            SELECT strftime(l_shipdate, '%Y-%m') AS month,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   MIN(strftime(l_shipdate, '%Y-%m-%d')) AS min_date,
+                   MAX(strftime(l_shipdate, '%Y-%m-%d')) AS max_date,
+                   CAST(MIN(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS min_price_cents,
+                   CAST(MAX(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS max_price_cents,
+                   CAST(FLOOR(SUM(l_quantity) + 0.5) AS BIGINT) AS sum_qty,
+                   CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+            FROM lineitem
+            GROUP BY 1 ORDER BY 1
+        """,
     }

@@ -4137,3 +4137,86 @@ def emb_mmr(sf_dir: str, query_vec_id: int = 0) -> pd.DataFrame:
     out["round"] = out["round"].astype("int64")
     out["vec_id"] = out["vec_id"].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (Robertson & Spärck Jones / Okapi, public): the
+# standard keyword-search scorer — idf * tf·(k1+1) / (tf + k1·(1 − b +
+# b·dl/avgdl)) summed over query terms in fixed term order.  Floats are
+# IEEE doubles with a pinned association order and a final ROUND(…, 6),
+# the emb_power_iteration contract.
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("merge", "window", "spark")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def docs_bm25(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Top-``k`` documents by BM25 score for the fixed query terms:
+    (rank, doc_id, score).
+
+    Scale shape: pass 1 reduces per-block (n_docs, total_words, df per
+    term) partials — a term-count-sized table, O(terms × blocks) to the
+    driver, never O(rows); pass 2 broadcasts the 3 scalars + df map in
+    the task closure and emits per-block top-k partials (argpartition),
+    so only k × blocks projection rows move."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    terms = list(BM25_TERMS)
+
+    def _tf_matrix(df: pd.DataFrame):
+        """(dl vector, doc-aligned tf matrix [rows × terms]) via one
+        explode + one C-level crosstab — no per-row Python."""
+        words = df["text"].fillna("").str.split(" ")
+        dl = words.str.len().to_numpy(dtype="int64")
+        ex = df[["doc_id"]].copy()
+        ex["word"] = words
+        ex = ex.explode("word", ignore_index=True)
+        hits = ex[ex["word"].isin(terms)]
+        tf = np.zeros((len(df), len(terms)), dtype=np.int64)
+        if not hits.empty:
+            pos = pd.Series(np.arange(len(df)), index=df["doc_id"].to_numpy())
+            ridx = pos[hits["doc_id"].to_numpy()].to_numpy()
+            cidx = hits["word"].map({t: i for i, t in enumerate(terms)}) \
+                .to_numpy(dtype="int64")
+            np.add.at(tf, (ridx, cidx), 1)
+        return dl, tf
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        dl, tf = _tf_matrix(df)
+        row = {"n_docs": [int(len(df))], "total_words": [int(dl.sum())]}
+        for j, t in enumerate(terms):
+            row[f"df_{t}"] = [int((tf[:, j] > 0).sum())]
+        return pd.DataFrame(row)
+
+    parts = ds.map_batches(stats_partial, batch_format="pandas").to_pandas()
+    n_docs = int(parts["n_docs"].sum())
+    avgdl = float(parts["total_words"].sum()) / n_docs
+    idf = {}
+    for t in terms:
+        df_t = float(parts[f"df_{t}"].sum())
+        idf[t] = float(np.log((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0))
+
+    def score_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        dl_i, tf_mat = _tf_matrix(df)
+        dl = dl_i.astype(np.float64)
+        denom_dl = _BM25_K1 * (0.25 + 0.75 * dl / avgdl)
+        score = np.zeros(len(df), dtype=np.float64)
+        for j, t in enumerate(terms):  # fixed term order = SQL's sum
+            tf = tf_mat[:, j].astype(np.float64)
+            score += idf[t] * (tf * 2.2) / (tf + denom_dl)
+        score = np.round(score, 6)
+        ids = df["doc_id"].to_numpy(dtype="int64")
+        take = min(k, len(ids))
+        order = np.lexsort((ids, -score))[:take]
+        return pd.DataFrame({"doc_id": ids[order], "score": score[order]})
+
+    out = ds.map_batches(score_partial, batch_format="pandas").to_pandas()
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype="int64")
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out[["rank", "doc_id", "score"]]

@@ -4657,3 +4657,247 @@ def orders_scd2(sf_dir: str) -> pd.DataFrame:
     for c in ("o_custkey", "version", "price_cents", "is_current"):
         out[c] = out[c].astype("int64")
     return out.sort_values(["o_custkey", "version"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Node-neighborhood Jaccard similarity over the co-order part graph —
+# the standard link-prediction / entity-resolution signal: for every edge
+# (u, v), |N(u) ∩ N(v)| / |N(u) ∪ N(v)| in exact integer ppm.
+# ---------------------------------------------------------------------------
+
+
+def parts_neighbor_jaccard(sf_dir: str, support: int = 2) -> pd.DataFrame:
+    """Per-edge neighborhood Jaccard (a_id, b_id, common, jaccard_ppm).
+
+    Scale shape: reuses the materialized co-order edge build (order-hash
+    buckets, never a row-level self-join).  Common-neighbor counts come
+    from each middle-vertex bucket's vectorized self-merge (the
+    parts_triangles wedge shape, oriented merge bounded by bucket
+    degree²); degrees and wedge counts then attach to edges through
+    TAGGED-UNION exchanges (union frames co-partition on the join key and
+    one pandas merge runs per bucket) — three bounded exchanges, no
+    driver-side maps."""
+    edges = _co_order_edges(sf_dir, support)
+
+    def to_directed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "node": np.concatenate([df["a_id"].to_numpy(dtype="int64"),
+                                    df["b_id"].to_numpy(dtype="int64")]),
+            "nbr": np.concatenate([df["b_id"].to_numpy(dtype="int64"),
+                                   df["a_id"].to_numpy(dtype="int64")])})
+        out["_b"] = (out["node"] % 64).astype("int64")
+        return out
+
+    directed = edges.map_batches(to_directed, batch_format="pandas") \
+        .materialize()
+
+    # degrees per node (node-bucket groupby; buckets hold complete nodes)
+    def bucket_deg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False).agg(deg=("nbr", "size"))
+        return g.astype("int64")
+
+    degrees = directed.groupby("_b").map_groups(
+        bucket_deg, batch_format="pandas")
+
+    # wedges: within each middle-vertex bucket, self-merge on the middle
+    # node; (u < v) orientation bounds the blowup by oriented degree².
+    def bucket_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(df, on="node")
+        m = m[m["nbr_x"] < m["nbr_y"]]
+        out = m.groupby(["nbr_x", "nbr_y"], as_index=False).size() \
+            .rename(columns={"nbr_x": "a_id", "nbr_y": "b_id",
+                             "size": "common"})
+        out["_p"] = ((out["a_id"] * 1_000_003 + out["b_id"]) % 64) \
+            .astype("int64")
+        return out.astype("int64")
+
+    wedges = directed.groupby("_b").map_groups(
+        bucket_wedges, batch_format="pandas")
+
+    # attach deg_a under node-bucket of a_id (tagged union + one merge)
+    def tag_edge_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["a_id"].astype("int64"),
+            "a_id": df["a_id"].astype("int64"),
+            "b_id": df["b_id"].astype("int64"),
+            "deg": np.full(len(df), -1, dtype="int64"),
+            "_b": (df["a_id"].astype("int64") % 64).astype("int64")})
+
+    def tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["node"].astype("int64"),
+            "a_id": np.full(len(df), -1, dtype="int64"),
+            "b_id": np.full(len(df), -1, dtype="int64"),
+            "deg": df["deg"].astype("int64"),
+            "_b": (df["node"].astype("int64") % 64).astype("int64")})
+
+    def merge_deg(col_out: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            e = df[df["deg"] < 0][["key", "a_id", "b_id"]]
+            d = df[df["deg"] >= 0][["key", "deg"]]
+            if e.empty:
+                return pd.DataFrame({
+                    "a_id": pd.Series([], dtype="int64"),
+                    "b_id": pd.Series([], dtype="int64"),
+                    col_out: pd.Series([], dtype="int64")})
+            m = e.merge(d, on="key", how="left")
+            return pd.DataFrame({
+                "a_id": m["a_id"].astype("int64"),
+                "b_id": m["b_id"].astype("int64"),
+                col_out: m["deg"].fillna(0).astype("int64")})
+        return fn
+
+    e_with_da = edges.map_batches(tag_edge_a, batch_format="pandas") \
+        .union(degrees.map_batches(tag_deg, batch_format="pandas")) \
+        .groupby("_b").map_groups(merge_deg("deg_a"), batch_format="pandas")
+
+    # attach deg_b under node-bucket of b_id
+    def tag_edge_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["b_id"].astype("int64"),
+            "a_id": df["a_id"].astype("int64"),
+            "b_id": df["b_id"].astype("int64"),
+            "deg": -df["deg_a"].astype("int64") - 2,  # smuggle deg_a < -1
+            "_b": (df["b_id"].astype("int64") % 64).astype("int64")})
+
+    def merge_deg_b(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["deg"] < -1][["key", "a_id", "b_id", "deg"]].copy()
+        d = df[df["deg"] >= 0][["key", "deg"]].rename(
+            columns={"deg": "deg_b"})
+        if e.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                                 ("a_id", "b_id", "deg_a", "deg_b", "_p")})
+        e["deg_a"] = (-e["deg"] - 2).astype("int64")
+        m = e.merge(d, on="key", how="left")
+        out = pd.DataFrame({
+            "a_id": m["a_id"].astype("int64"),
+            "b_id": m["b_id"].astype("int64"),
+            "deg_a": m["deg_a"].astype("int64"),
+            "deg_b": m["deg_b"].fillna(0).astype("int64")})
+        out["_p"] = ((out["a_id"] * 1_000_003 + out["b_id"]) % 64) \
+            .astype("int64")
+        return out
+
+    e_with_deg = e_with_da.map_batches(tag_edge_b, batch_format="pandas") \
+        .union(degrees.map_batches(tag_deg, batch_format="pandas")) \
+        .groupby("_b").map_groups(merge_deg_b, batch_format="pandas")
+
+    # final pair-bucket merge: edges (with degrees) ⋈ wedge counts
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["common"] < 0][["a_id", "b_id", "deg_a", "deg_b"]]
+        # each middle-vertex bucket emitted a PARTIAL count for a pair;
+        # sum partials before attaching them to the edge
+        w = df[df["common"] >= 0].groupby(["a_id", "b_id"], as_index=False) \
+            .agg(common=("common", "sum"))
+        if e.empty:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                                 ("a_id", "b_id", "common", "jaccard_ppm")})
+        m = e.merge(w, on=["a_id", "b_id"], how="left")
+        common = m["common"].fillna(0).astype("int64")
+        union = (m["deg_a"] + m["deg_b"] - common).astype("int64")
+        return pd.DataFrame({
+            "a_id": m["a_id"].astype("int64"),
+            "b_id": m["b_id"].astype("int64"),
+            "common": common,
+            "jaccard_ppm": (common * 1_000_000) // union})
+
+    def tag_e(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["common"] = np.full(len(df), -1, dtype="int64")
+        return out[["a_id", "b_id", "deg_a", "deg_b", "common", "_p"]]
+
+    def tag_w(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["deg_a"] = np.zeros(len(df), dtype="int64")
+        out["deg_b"] = np.zeros(len(df), dtype="int64")
+        return out[["a_id", "b_id", "deg_a", "deg_b", "common", "_p"]]
+
+    out = e_with_deg.map_batches(tag_e, batch_format="pandas") \
+        .union(wedges.map_batches(tag_w, batch_format="pandas")) \
+        .groupby("_p").map_groups(finish, batch_format="pandas") \
+        .to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse manifest / zone-map build: per ship-month partition statistics
+# (row count, value min/max, sum, distinct part count) — the metadata a
+# table format writes next to its data files so reads can skip partitions
+# (the write-side counterpart of lineitem_partition_prune).
+# ---------------------------------------------------------------------------
+
+
+def lineitem_manifest_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-month manifest row: (month, n_rows, min_date, max_date,
+    min_price_cents, max_price_cents, sum_qty, n_parts).
+
+    Scale shape: every stat except the distinct-part count reduces from
+    per-block partials (count/min/max/sum are mergeable — O(months ×
+    blocks) to the exchange, never O(rows)); distinct parts co-partition
+    as per-block-deduped (month, partkey) projections under a month-hash
+    bucket.  Both partial streams finish in ONE tagged-union exchange."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_shipdate", "l_extendedprice", "l_quantity", "l_partkey"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["month"] = d["l_shipdate"].dt.strftime("%Y-%m")
+        d["date"] = d["l_shipdate"].dt.strftime("%Y-%m-%d")
+        d["cents"] = np.floor(
+            d["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
+        g = d.groupby("month", as_index=False).agg(
+            n_rows=("cents", "size"), min_date=("date", "min"),
+            max_date=("date", "max"), min_price_cents=("cents", "min"),
+            max_price_cents=("cents", "max"), sum_qty=("l_quantity", "sum"))
+        g["sum_qty"] = np.floor(
+            g["sum_qty"].to_numpy() + 0.5).astype("int64")
+        g["l_partkey"] = np.full(len(g), -1, dtype="int64")
+        return g
+
+    def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[["l_shipdate", "l_partkey"]].copy()
+        d["month"] = d["l_shipdate"].dt.strftime("%Y-%m")
+        d = d.drop_duplicates(["month", "l_partkey"])
+        return pd.DataFrame({
+            "month": d["month"],
+            "n_rows": np.zeros(len(d), dtype="int64"),
+            "min_date": np.full(len(d), "9999-12-31", dtype=object),
+            "max_date": np.full(len(d), "0000-01-01", dtype=object),
+            "min_price_cents": np.full(len(d), np.iinfo("int64").max,
+                                       dtype="int64"),
+            "max_price_cents": np.full(len(d), np.iinfo("int64").min,
+                                       dtype="int64"),
+            "sum_qty": np.zeros(len(d), dtype="int64"),
+            "l_partkey": d["l_partkey"].astype("int64")})
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = df["month"].map(
+            lambda m: (int(m[:4]) * 12 + int(m[5:7])) % 16).astype("int64")
+        return df
+
+    def merge_month(df: pd.DataFrame) -> pd.DataFrame:
+        stats = df[df["l_partkey"] < 0]
+        parts = df[df["l_partkey"] >= 0]
+        g = stats.groupby("month", as_index=False).agg(
+            n_rows=("n_rows", "sum"), min_date=("min_date", "min"),
+            max_date=("max_date", "max"),
+            min_price_cents=("min_price_cents", "min"),
+            max_price_cents=("max_price_cents", "max"),
+            sum_qty=("sum_qty", "sum"))
+        np_ = parts.drop_duplicates(["month", "l_partkey"]) \
+            .groupby("month", as_index=False).agg(
+                n_parts=("l_partkey", "size"))
+        return g.merge(np_, on="month", how="left").fillna({"n_parts": 0})
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .union(ds.map_batches(distinct_partial, batch_format="pandas")) \
+        .map_batches(keyed, batch_format="pandas") \
+        .groupby("_b").map_groups(merge_month, batch_format="pandas") \
+        .to_pandas()
+    for c in ("n_rows", "min_price_cents", "max_price_cents", "sum_qty",
+              "n_parts"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("month").reset_index(drop=True)

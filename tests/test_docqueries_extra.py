@@ -72,6 +72,7 @@ ORACLE_QUERIES = [
     "docs_line_dedup",
     "emb_hamming_topk",
     "emb_mmr",
+    "docs_bm25",
 ]
 
 

@@ -71,6 +71,8 @@ ORACLE_QUERIES = [
     "orders_monthly_growth",
     "orders_running_total",
     "orders_scd2",
+    "parts_neighbor_jaccard",
+    "lineitem_manifest_stats",
     "events_dau_wau",
     "parts_co_ordered",
     "parts_components",
