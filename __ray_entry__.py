@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bm25": dq.docs_bm25,
         "parts_neighbor_jaccard": rel.parts_neighbor_jaccard,
         "lineitem_manifest_stats": rel.lineitem_manifest_stats,
+        "orders_rfm": rel.orders_rfm,
+        "docs_zipf_slope": dq.docs_zipf_slope,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -3414,5 +3416,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
             FROM lineitem
             GROUP BY 1 ORDER BY 1
+        """,
+        # RFM segmentation with exact NTILE(5) tie semantics
+        "orders_rfm": """
+            WITH m AS (
+              SELECT o_custkey,
+                     CAST(date_diff('day', MAX(o_orderdate),
+                          (SELECT MAX(o_orderdate) FROM orders)) AS BIGINT)
+                         AS recency_days,
+                     CAST(COUNT(*) AS BIGINT) AS frequency,
+                     CAST(SUM(CAST(FLOOR(o_totalprice*100 + 0.5) AS BIGINT))
+                          AS BIGINT) AS monetary_cents
+              FROM orders GROUP BY o_custkey
+            )
+            SELECT o_custkey, recency_days, frequency, monetary_cents,
+                   CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey)
+                        AS BIGINT) AS r_score,
+                   CAST(NTILE(5) OVER (ORDER BY frequency, o_custkey)
+                        AS BIGINT) AS f_score,
+                   CAST(NTILE(5) OVER (ORDER BY monetary_cents, o_custkey)
+                        AS BIGINT) AS m_score,
+                   CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) * 100
+                        + NTILE(5) OVER (ORDER BY frequency, o_custkey) * 10
+                        + NTILE(5) OVER (ORDER BY monetary_cents, o_custkey)
+                        AS BIGINT) AS rfm
+            FROM m ORDER BY o_custkey
+        """,
+        # Zipf-law OLS fit over the global top-100 vocabulary
+        "docs_zipf_slope": """
+            WITH w AS (
+              SELECT unnest(string_split(text,' ')) AS word FROM documents
+            ), cnt AS (
+              SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+              FROM w GROUP BY word
+            ), top AS (
+              SELECT word, n,
+                     CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word)
+                          AS BIGINT) AS rank
+              FROM cnt ORDER BY n DESC, word LIMIT 100
+            ), reg AS (
+              SELECT COUNT(*) AS np, SUM(LN(rank)) AS sx, SUM(LN(n)) AS sy,
+                     SUM(LN(rank)*LN(rank)) AS sxx,
+                     SUM(LN(rank)*LN(n)) AS sxy,
+                     MAX(CASE WHEN rank = 1 THEN n END) AS top_count
+              FROM top
+            )
+            SELECT CAST(np AS BIGINT) AS n_points,
+                   CAST(top_count AS BIGINT) AS top_count,
+                   ROUND((np*sxy - sx*sy) / (np*sxx - sx*sx), 6) AS slope
+            FROM reg
         """,
     }

@@ -4220,3 +4220,57 @@ def docs_bm25(sf_dir: str, k: int = 20) -> pd.DataFrame:
     out["rank"] = np.arange(1, len(out) + 1, dtype="int64")
     out["doc_id"] = out["doc_id"].astype("int64")
     return out[["rank", "doc_id", "score"]]
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq) against
+# ln(rank) for the global top-K words — the standard corpus-statistics
+# sanity check for scraped text.  Counts and ranks are exact integers;
+# the tiny K-row log-log regression happens once on the driver.
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP_K = 100
+
+
+def docs_zipf_slope(sf_dir: str, k: int = _ZIPF_TOP_K) -> pd.DataFrame:
+    """One-row result: (n_points, top_count, slope) where slope is the
+    OLS fit of ln(count) ~ ln(rank) over the top-``k`` words
+    (rank ties broken by word), ROUND(…, 6).
+
+    Scale shape: unbounded vocabulary counts reduce under word-hash
+    buckets (the docs_top_tokens exchange); each bucket emits its top-k
+    partial so the driver merges ≤ k × 64 projection rows, then runs the
+    k-point regression locally — O(k), independent of corpus size."""
+    ds = _docs(sf_dir, ["text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split(" ").explode()
+        g = words.value_counts().reset_index()
+        g.columns = ["word", "n"]
+        # deterministic word-hash bucket (not Python hash(): per-process salt)
+        g["_b"] = g["word"].map(
+            lambda w: int.from_bytes(w.encode()[:8].ljust(8, b"\0"),
+                                     "big") % 64).astype("int64")
+        return g
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", as_index=False)["n"].sum()
+        g = g.sort_values(["n", "word"], ascending=[False, True]).head(k)
+        g["n"] = g["n"].astype("int64")
+        return g[["word", "n"]]
+
+    top = ds.map_batches(count_partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_topk, batch_format="pandas") \
+        .to_pandas()
+    top = top.sort_values(["n", "word"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
+    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+    y = np.log(top["n"].to_numpy(dtype=np.float64))
+    n = float(len(top))
+    sx, sy = float(x.sum()), float(y.sum())
+    sxx, sxy = float((x * x).sum()), float((x * y).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return pd.DataFrame({
+        "n_points": pd.Series([len(top)], dtype="int64"),
+        "top_count": pd.Series([int(top["n"].iloc[0])], dtype="int64"),
+        "slope": pd.Series([round(slope, 6)], dtype="float64")})

@@ -4901,3 +4901,147 @@ def lineitem_manifest_stats(sf_dir: str) -> pd.DataFrame:
               "n_parts"):
         out[c] = out[c].astype("int64")
     return out.sort_values("month").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# RFM customer segmentation (classic marketing-analytics shape): per
+# customer recency / frequency / monetary metrics, each scored into
+# quintiles with exact NTILE(5) OVER (ORDER BY metric, custkey)
+# semantics — computed WITHOUT a global sort via the docs_ntile
+# histogram + below-count decomposition.
+# ---------------------------------------------------------------------------
+
+
+def _global_ntile(base, value_col: str, n_tiles: int):
+    """(o_custkey, tile) with NTILE(n) OVER (ORDER BY value, custkey)
+    semantics: merged value histogram → cumulative below-counts
+    (O(distinct values × blocks) to the driver) + per-value custkey rank
+    under 64-way value-hash buckets."""
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df[value_col].to_numpy(dtype="int64"),
+                         return_counts=True)
+        return pd.DataFrame({"v": u.astype("int64"), "n": c.astype("int64")})
+
+    parts = base.map_batches(hist_partial, batch_format="pandas") \
+        .to_pandas()
+    hist = parts.groupby("v")["n"].sum().sort_index()
+    domain = hist.index.to_numpy(dtype="int64")
+    counts = hist.to_numpy(dtype="int64")
+    below = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    n_total = int(counts.sum())
+    q, rem = divmod(n_total, n_tiles)
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["o_custkey", value_col]].copy()
+        out["_b"] = (out[value_col].astype("int64") % 64).astype("int64")
+        return out
+
+    def rank_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([value_col, "o_custkey"],
+                            kind="mergesort").reset_index(drop=True)
+        v = df[value_col].to_numpy(dtype="int64")
+        within = df.groupby(value_col).cumcount().to_numpy()
+        r0 = below[np.searchsorted(domain, v)] + within
+        cut = rem * (q + 1)
+        tile = np.where(r0 < cut, r0 // max(q + 1, 1),
+                        rem + (r0 - cut) // max(q, 1)) + 1
+        return pd.DataFrame({"o_custkey": df["o_custkey"].astype("int64"),
+                             "tile": tile.astype("int64")})
+
+    return base.map_batches(bucketize, batch_format="pandas") \
+        .groupby("_b").map_groups(rank_bucket, batch_format="pandas")
+
+
+def orders_rfm(sf_dir: str, n_tiles: int = 5) -> pd.DataFrame:
+    """RFM segmentation: (o_custkey, recency_days, frequency,
+    monetary_cents, r_score, f_score, m_score, rfm) with quintile scores
+    under exact NTILE semantics (ties broken by custkey).
+
+    Scale shape: per-customer metrics reduce from per-block partials
+    under a custkey bucket; the global anchor date is the max of
+    per-block maxes (one tiny driver reduce); each score is ONE
+    histogram pass + ONE value-bucket rank exchange (`_global_ntile`,
+    the docs_ntile decomposition — no global sort anywhere); scores
+    re-attach to metrics through a custkey-bucket tagged-union merge."""
+    ds = _read(sf_dir, "orders",
+               ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        d["day"] = (d["o_orderdate"].to_numpy().astype("datetime64[D]")
+                    .astype("int64"))
+        d["cents"] = np.floor(
+            d["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        g = d.groupby("o_custkey", as_index=False).agg(
+            last_day=("day", "max"), frequency=("day", "size"),
+            monetary_cents=("cents", "sum"))
+        g["_b"] = (g["o_custkey"].astype("int64") % 64).astype("int64")
+        return g
+
+    def merge_cust(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            last_day=("last_day", "max"), frequency=("frequency", "sum"),
+            monetary_cents=("monetary_cents", "sum"))
+        return g.astype("int64")
+
+    base = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(merge_cust, batch_format="pandas") \
+        .materialize()
+
+    anchor = base.map_batches(
+        lambda df: pd.DataFrame({"m": [int(df["last_day"].max())]}
+                                if len(df) else {"m": []}),
+        batch_format="pandas").to_pandas()["m"].max()
+
+    def add_recency(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["recency_days"] = (int(anchor)
+                               - out["last_day"].astype("int64"))
+        return out[["o_custkey", "recency_days", "frequency",
+                    "monetary_cents"]]
+
+    metrics = base.map_batches(add_recency, batch_format="pandas") \
+        .materialize()
+
+    scored = {}
+    for col, name in (("recency_days", "r_score"), ("frequency", "f_score"),
+                      ("monetary_cents", "m_score")):
+        scored[name] = _global_ntile(metrics, col, n_tiles)
+
+    # attach the three scores under a custkey-bucket tagged union
+    def tag(ds_in, col_idx: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "o_custkey": df["o_custkey"].astype("int64"),
+                "kind": np.full(len(df), col_idx, dtype="int64"),
+                "a": df.get("recency_days",
+                            df.get("tile")).astype("int64"),
+                "b": df.get("frequency",
+                            pd.Series(np.zeros(len(df)))).astype("int64"),
+                "c": df.get("monetary_cents",
+                            pd.Series(np.zeros(len(df)))).astype("int64"),
+                "_b": (df["o_custkey"].astype("int64") % 64)
+                .astype("int64")})
+        return ds_in.map_batches(fn, batch_format="pandas")
+
+    unioned = tag(metrics, 0).union(
+        tag(scored["r_score"], 1), tag(scored["f_score"], 2),
+        tag(scored["m_score"], 3))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        m = df[df["kind"] == 0][["o_custkey", "a", "b", "c"]].rename(
+            columns={"a": "recency_days", "b": "frequency",
+                     "c": "monetary_cents"})
+        for idx, name in ((1, "r_score"), (2, "f_score"), (3, "m_score")):
+            s = df[df["kind"] == idx][["o_custkey", "a"]].rename(
+                columns={"a": name})
+            m = m.merge(s, on="o_custkey", how="left")
+        m["rfm"] = (m["r_score"] * 100 + m["f_score"] * 10
+                    + m["m_score"]).astype("int64")
+        return m.astype("int64")
+
+    out = unioned.groupby("_b").map_groups(finish, batch_format="pandas") \
+        .to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("o_custkey").reset_index(drop=True)

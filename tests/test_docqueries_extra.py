@@ -73,6 +73,7 @@ ORACLE_QUERIES = [
     "emb_hamming_topk",
     "emb_mmr",
     "docs_bm25",
+    "docs_zipf_slope",
 ]
 
 

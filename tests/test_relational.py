@@ -73,6 +73,7 @@ ORACLE_QUERIES = [
     "orders_scd2",
     "parts_neighbor_jaccard",
     "lineitem_manifest_stats",
+    "orders_rfm",
     "events_dau_wau",
     "parts_co_ordered",
     "parts_components",
