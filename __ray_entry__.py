@@ -365,6 +365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_manifest_stats": rel.lineitem_manifest_stats,
         "orders_rfm": rel.orders_rfm,
         "docs_zipf_slope": dq.docs_zipf_slope,
+        "orders_cohort_retention": rel.orders_cohort_retention,
+        "events_bitmap_distinct": rel.events_bitmap_distinct,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -3465,5 +3467,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(top_count AS BIGINT) AS top_count,
                    ROUND((np*sxy - sx*sy) / (np*sxx - sx*sx), 6) AS slope
             FROM reg
+        """,
+        # cohort retention triangle (distinct customers per cohort × offset)
+        "orders_cohort_retention": """
+            WITH m AS (
+              SELECT o_custkey,
+                     (YEAR(o_orderdate)*12 + MONTH(o_orderdate) - 1) AS mon
+              FROM orders
+            ), c AS (
+              SELECT o_custkey, mon,
+                     MIN(mon) OVER (PARTITION BY o_custkey) AS cohort
+              FROM m
+            ), t AS (
+              SELECT DISTINCT o_custkey, cohort, mon - cohort AS months_since
+              FROM c
+            )
+            SELECT lpad(CAST(cohort//12 AS VARCHAR), 4, '0') || '-' ||
+                   lpad(CAST(cohort%12 + 1 AS VARCHAR), 2, '0')
+                       AS cohort_month,
+                   CAST(months_since AS BIGINT) AS months_since,
+                   CAST(COUNT(*) AS BIGINT) AS n_customers
+            FROM t GROUP BY cohort, months_since
+            ORDER BY cohort_month, months_since
+        """,
+        # exact distinct users per day (engine: OR-mergeable bitmaps)
+        "events_bitmap_distinct": """
+            SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY 1 ORDER BY 1
         """,
     }

@@ -5045,3 +5045,140 @@ def orders_rfm(sf_dir: str, n_tiles: int = 5) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention matrix: customers grouped by first-order month, then
+# for every months-since-cohort offset the count of distinct customers
+# still ordering — the classic product-analytics triangle.
+# ---------------------------------------------------------------------------
+
+
+def orders_cohort_retention(sf_dir: str) -> pd.DataFrame:
+    """(cohort_month, months_since, n_customers) — distinct active
+    customers per cohort × month offset.
+
+    Scale shape: custkey buckets hold complete order histories, so the
+    cohort month (per-customer MIN) and every (cohort, offset, customer)
+    activity triple are bucket-local; per-bucket DISTINCT shrinks the
+    final exchange to census partials keyed by (cohort, offset) — a
+    months² table, independent of customer count."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_b"] = (out["o_custkey"].astype("int64") % 64).astype("int64")
+        return out
+
+    def bucket_census(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.copy()
+        mon = (d["o_orderdate"].dt.year.to_numpy(dtype="int64") * 12
+               + d["o_orderdate"].dt.month.to_numpy(dtype="int64") - 1)
+        d["mon"] = mon
+        first = d.groupby("o_custkey")["mon"].transform("min")
+        d["cohort"] = first
+        d["months_since"] = (d["mon"] - first).astype("int64")
+        trip = d.drop_duplicates(["o_custkey", "cohort", "months_since"])
+        g = trip.groupby(["cohort", "months_since"], as_index=False) \
+            .agg(n_customers=("o_custkey", "size"))
+        return g.astype("int64")
+
+    out = ds.map_batches(keyed, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_census, batch_format="pandas") \
+        .to_pandas()
+    out = out.groupby(["cohort", "months_since"], as_index=False) \
+        ["n_customers"].sum()
+    cohort_month = (out["cohort"] // 12).astype("int64").astype(str) \
+        .str.zfill(4) + "-" + ((out["cohort"] % 12) + 1).astype("int64") \
+        .astype(str).str.zfill(2)
+    res = pd.DataFrame({
+        "cohort_month": cohort_month,
+        "months_since": out["months_since"].astype("int64"),
+        "n_customers": out["n_customers"].astype("int64")})
+    return res.sort_values(["cohort_month", "months_since"]) \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct counting via OR-mergeable bitmaps (the roaring-bitmap
+# pattern): each block packs its user ids into a fixed-domain bitset per
+# day; bitmap partials OR together associatively, so the exchange carries
+# (day, word_idx, bits) triples bounded by domain/64 × days — never rows.
+# ---------------------------------------------------------------------------
+
+
+def _or_by_key(day: np.ndarray, word: np.ndarray, bits: np.ndarray):
+    """OR-reduce ``bits`` within (day, word) groups — one lexsort + one
+    np.bitwise_or.reduceat, no per-group Python."""
+    order = np.lexsort((word, day))
+    d, w, b = day[order], word[order], bits[order].astype("uint64")
+    if len(d) == 0:
+        return d, w, b
+    starts = np.flatnonzero(
+        np.concatenate([[True], (d[1:] != d[:-1]) | (w[1:] != w[:-1])]))
+    return (d[starts], w[starts],
+            np.bitwise_or.reduceat(b, starts))
+
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype="int64")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via a byte-LUT."""
+    return _POP8[x.view("uint8").reshape(len(x), 8)].sum(axis=1) \
+        if len(x) else np.zeros(0, dtype="int64")
+
+
+def events_bitmap_distinct(sf_dir: str) -> pd.DataFrame:
+    """Exact distinct users per day via OR-merged uint64 bitmaps:
+    (day, n_distinct).
+
+    Scale shape: pass 1 reduces a per-block (max user id) scalar; pass 2
+    emits per-(day, word) nonzero bitmap words (np.bitwise_or scatter),
+    merged under a day-hash bucket with ONE vectorized groupby-OR and
+    popcounted — the Bloom-semijoin OR-merge shape, but exact because the
+    id domain is dense.  (A sparse/unbounded domain would shard the
+    bitmap by id-range first — same algebra, one more key.)"""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"m": [int(df["user_id"].max())]}
+                            if len(df) else {"m": []})
+
+    max_uid = int(ds.map_batches(max_partial, batch_format="pandas")
+                  .to_pandas()["m"].max())
+    n_words = (max_uid >> 6) + 1
+
+    def bitmap_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({
+                "day": pd.Series([], dtype="int64"),
+                "word": pd.Series([], dtype="int64"),
+                "bits": pd.Series([], dtype="uint64"),
+                "_b": pd.Series([], dtype="int64")})
+        day = (df["ts"].to_numpy().astype("datetime64[D]")
+               .astype("int64"))
+        uid = df["user_id"].to_numpy(dtype="int64")
+        word = uid >> 6
+        bit = np.uint64(1) << (uid & 63).astype("uint64")
+        d2, w2, b2 = _or_by_key(day, word, bit)
+        out = pd.DataFrame({"day": d2, "word": w2, "bits": b2})
+        out["_b"] = (out["day"].astype("int64") % 16).astype("int64")
+        return out
+
+    def bucket_or(df: pd.DataFrame) -> pd.DataFrame:
+        d2, _, b2 = _or_by_key(df["day"].to_numpy(dtype="int64"),
+                               df["word"].to_numpy(dtype="int64"),
+                               df["bits"].to_numpy(dtype="uint64"))
+        pop = _popcount64(b2)
+        out = pd.DataFrame({"day": d2, "n": pop}) \
+            .groupby("day", as_index=False)["n"].sum()
+        return out.astype("int64")
+
+    out = ds.map_batches(bitmap_partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_or, batch_format="pandas") \
+        .to_pandas()
+    res = pd.DataFrame({
+        "day": pd.to_datetime(out["day"].astype("int64"), unit="D"),
+        "n_distinct": out["n"].astype("int64")})
+    return res.sort_values("day").reset_index(drop=True)

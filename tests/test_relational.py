@@ -74,6 +74,8 @@ ORACLE_QUERIES = [
     "parts_neighbor_jaccard",
     "lineitem_manifest_stats",
     "orders_rfm",
+    "orders_cohort_retention",
+    "events_bitmap_distinct",
     "events_dau_wau",
     "parts_co_ordered",
     "parts_components",
