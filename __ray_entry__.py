@@ -367,6 +367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_zipf_slope": dq.docs_zipf_slope,
         "orders_cohort_retention": rel.orders_cohort_retention,
         "events_bitmap_distinct": rel.events_bitmap_distinct,
+        "parts_abc_classes": rel.parts_abc_classes,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -3495,5 +3496,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
             FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # Pareto/ABC classes from a global weighted running share
+        "parts_abc_classes": """
+            WITH p AS (
+              SELECT l_partkey AS p_partkey,
+                     CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100
+                          + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+              FROM lineitem GROUP BY 1
+            ), r AS (
+              SELECT p_partkey, revenue_cents,
+                     SUM(revenue_cents) OVER (ORDER BY revenue_cents DESC,
+                                              p_partkey) AS cum,
+                     SUM(revenue_cents) OVER () AS total
+              FROM p
+            )
+            SELECT p_partkey, revenue_cents,
+                   CAST((cum * 1000000) // total AS BIGINT) AS cum_ppm,
+                   CASE WHEN (cum * 1000000) // total <= 700000 THEN 'A'
+                        WHEN (cum * 1000000) // total <= 900000 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM r ORDER BY p_partkey
         """,
     }

@@ -5182,3 +5182,88 @@ def events_bitmap_distinct(sf_dir: str) -> pd.DataFrame:
         "day": pd.to_datetime(out["day"].astype("int64"), unit="D"),
         "n_distinct": out["n"].astype("int64")})
     return res.sort_values("day").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Pareto / ABC inventory analysis: parts ranked by revenue, classified by
+# the cumulative revenue share AT their rank (A ≤ 70%, B ≤ 90%, else C).
+# The global weighted running total is computed WITHOUT a global sort:
+# the docs_ntile below-count decomposition extended with per-value sums.
+# ---------------------------------------------------------------------------
+
+
+def parts_abc_classes(sf_dir: str) -> pd.DataFrame:
+    """(p_partkey, revenue_cents, cum_ppm, abc_class) with exact
+    SUM OVER (ORDER BY revenue DESC, partkey) semantics.
+
+    Scale shape: per-part revenues reduce under a partkey bucket; ONE
+    merged (value → count, sum) histogram gives every distinct revenue
+    its cumulative prefix (O(distinct × blocks) to the driver, never
+    O(rows)); within a value, ranks and running sums are closed-form
+    (same value × position), computed under 64-way value-hash buckets —
+    one mergesort + vectorized arithmetic per bucket."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(df["l_extendedprice"].to_numpy()
+                         * (1 - df["l_discount"].to_numpy())
+                         * 100 + 0.5).astype("int64")
+        g = pd.DataFrame({"p_partkey": df["l_partkey"].astype("int64"),
+                          "cents": cents}) \
+            .groupby("p_partkey", as_index=False)["cents"].sum()
+        g["_b"] = (g["p_partkey"].astype("int64") % 64).astype("int64")
+        return g
+
+    def merge_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_partkey", as_index=False)["cents"].sum()
+        return g.astype("int64")
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(merge_part, batch_format="pandas") \
+        .materialize()
+
+    # merged (revenue value → n parts, total cents) histogram; cumulative
+    # prefixes in DESCENDING revenue order
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("cents", as_index=False).agg(
+            n=("p_partkey", "size"), s=("cents", "sum"))
+        return g.astype("int64")
+
+    hist = parts.map_batches(hist_partial, batch_format="pandas") \
+        .to_pandas().groupby("cents").agg(n=("n", "sum"), s=("s", "sum")) \
+        .sort_index(ascending=False)
+    vals = hist.index.to_numpy(dtype="int64")          # descending
+    sum_before = np.concatenate(
+        ([0], np.cumsum(hist["s"].to_numpy(dtype="int64"))[:-1]))
+    total = int(hist["s"].sum())
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["cents", "p_partkey"],
+                            ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+        c = df["cents"].to_numpy(dtype="int64")
+        within = df.groupby("cents", sort=False).cumcount().to_numpy()
+        # vals is descending: searchsorted with a reversed view
+        idx = len(vals) - 1 - np.searchsorted(vals[::-1], c, side="left")
+        cum = sum_before[idx] + (within + 1) * c
+        cum_ppm = (cum * 1_000_000) // total
+        cls = np.where(cum_ppm <= 700_000, "A",
+                       np.where(cum_ppm <= 900_000, "B", "C"))
+        return pd.DataFrame({
+            "p_partkey": df["p_partkey"].astype("int64"),
+            "revenue_cents": c,
+            "cum_ppm": cum_ppm.astype("int64"),
+            "abc_class": cls})
+
+    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_b"] = (out["cents"].astype("int64") % 64).astype("int64")
+        return out
+
+    out = parts.map_batches(bucketize, batch_format="pandas") \
+        .groupby("_b").map_groups(classify, batch_format="pandas") \
+        .to_pandas()
+    for c in ("p_partkey", "revenue_cents", "cum_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)

@@ -76,6 +76,7 @@ ORACLE_QUERIES = [
     "orders_rfm",
     "orders_cohort_retention",
     "events_bitmap_distinct",
+    "parts_abc_classes",
     "events_dau_wau",
     "parts_co_ordered",
     "parts_components",
