@@ -3415,7 +3415,8 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS min_price_cents,
                    CAST(MAX(CAST(FLOOR(l_extendedprice*100 + 0.5) AS BIGINT))
                         AS BIGINT) AS max_price_cents,
-                   CAST(FLOOR(SUM(l_quantity) + 0.5) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_quantity*100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS sum_qty_c100,
                    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
             FROM lineitem
             GROUP BY 1 ORDER BY 1
@@ -3445,7 +3446,9 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS rfm
             FROM m ORDER BY o_custkey
         """,
-        # Zipf-law OLS fit over the global top-100 vocabulary
+        # Zipf-law OLS fit over the global top-100 vocabulary; per-row
+        # fixed-point logs (round(ln·10⁶)) make every aggregate an exact
+        # integer — the events_linreg contract, same trunc-toward-zero //
         "docs_zipf_slope": """
             WITH w AS (
               SELECT unnest(string_split(text,' ')) AS word FROM documents
@@ -3457,16 +3460,24 @@ def oracle_sql() -> dict[str, str]:
                      CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word)
                           AS BIGINT) AS rank
               FROM cnt ORDER BY n DESC, word LIMIT 100
-            ), reg AS (
-              SELECT COUNT(*) AS np, SUM(LN(rank)) AS sx, SUM(LN(n)) AS sy,
-                     SUM(LN(rank)*LN(rank)) AS sxx,
-                     SUM(LN(rank)*LN(n)) AS sxy,
-                     MAX(CASE WHEN rank = 1 THEN n END) AS top_count
+            ), fp AS (
+              SELECT n, rank,
+                     CAST(ROUND(LN(rank) * 1000000, 0) AS HUGEINT) AS x6,
+                     CAST(ROUND(LN(n) * 1000000, 0) AS HUGEINT) AS y6
               FROM top
+            ), reg AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS np,
+                     SUM(x6) AS sx, SUM(y6) AS sy,
+                     SUM(x6*x6) AS sxx, SUM(x6*y6) AS sxy,
+                     MAX(CASE WHEN rank = 1 THEN n END) AS top_count
+              FROM fp
             )
             SELECT CAST(np AS BIGINT) AS n_points,
                    CAST(top_count AS BIGINT) AS top_count,
-                   ROUND((np*sxy - sx*sy) / (np*sxx - sx*sx), 6) AS slope
+                   CAST(CASE WHEN np*sxx - sx*sx = 0 THEN 0
+                             ELSE ((np*sxy - sx*sy) * 1000000)
+                                  // (np*sxx - sx*sx)
+                        END AS BIGINT) AS slope_ppm
             FROM reg
         """,
         # cohort retention triangle (distinct customers per cohort × offset)

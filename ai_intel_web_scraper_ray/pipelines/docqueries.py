@@ -4028,16 +4028,19 @@ def emb_hamming_topk(sf_dir: str, query_vec_id: int = 0,
     distance state; per-block top-k partials merge on the driver
     (≤ k × blocks rows).  The query code is a closure scalar, not a
     broadcast table."""
+    from ..stages.dedup import _popcount64
+
     q = _query_vec(sf_dir, query_vec_id)
-    qbits = (q >= 0.0)
+    qcode = np.packbits(q >= 0.0).view(">u8").astype(np.uint64)[0]
 
     def partial(t: pa.Table) -> pd.DataFrame:
         if len(t) == 0:
             return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})
         vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
-        bits = vecs >= 0.0
-        ham = (bits != qbits).sum(axis=1).astype("int64")
+        codes = np.packbits(vecs >= 0.0, axis=1).copy().view(">u8") \
+            .astype(np.uint64).ravel()
+        ham = _popcount64(codes ^ qcode)
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
         take = min(k, len(ids))
         order = np.lexsort((ids, ham))[:take]
@@ -4126,6 +4129,8 @@ def emb_mmr(sf_dir: str, query_vec_id: int = 0) -> pd.DataFrame:
 
         cand = _emb(sf_dir).map_batches(partial, batch_format="pyarrow") \
             .to_pandas()
+        if cand.empty:  # fewer candidates than rounds: emit fewer rows
+            break
         cand = cand.sort_values(["score", "vec_id"],
                                 ascending=[False, True])
         vid = int(cand.iloc[0]["vec_id"])
@@ -4233,9 +4238,15 @@ _ZIPF_TOP_K = 100
 
 
 def docs_zipf_slope(sf_dir: str, k: int = _ZIPF_TOP_K) -> pd.DataFrame:
-    """One-row result: (n_points, top_count, slope) where slope is the
-    OLS fit of ln(count) ~ ln(rank) over the top-``k`` words
-    (rank ties broken by word), ROUND(…, 6).
+    """One-row result: (n_points, top_count, slope_ppm) where slope_ppm
+    is the integer-ppm OLS fit of ln(count) ~ ln(rank) over the top-``k``
+    words (rank ties broken by word).
+
+    Logs are quantized PER ROW to fixed-point micro-units
+    (round(ln·10⁶)) so every cross-row aggregate is an exact integer —
+    summation-order independent, unlike a float SUM whose association
+    order SQL does not pin (the events_linreg contract, including its
+    truncate-toward-zero division).
 
     Scale shape: unbounded vocabulary counts reduce under word-hash
     buckets (the docs_top_tokens exchange); each bucket emits its top-k
@@ -4264,13 +4275,22 @@ def docs_zipf_slope(sf_dir: str, k: int = _ZIPF_TOP_K) -> pd.DataFrame:
         .to_pandas()
     top = top.sort_values(["n", "word"], ascending=[False, True]) \
         .head(k).reset_index(drop=True)
-    x = np.log(np.arange(1, len(top) + 1, dtype=np.float64))
-    y = np.log(top["n"].to_numpy(dtype=np.float64))
-    n = float(len(top))
-    sx, sy = float(x.sum()), float(y.sum())
-    sxx, sxy = float((x * x).sum()), float((x * y).sum())
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    x6 = np.round(np.log(np.arange(1, len(top) + 1, dtype=np.float64))
+                  * 1_000_000).astype("int64")
+    y6 = np.round(np.log(top["n"].to_numpy(dtype=np.float64))
+                  * 1_000_000).astype("int64")
+    n = len(top)
+    sx, sy = int(x6.sum()), int(y6.sum())
+    sxx = int((x6 * x6).sum())
+    sxy = int((x6 * y6).sum())
+    num = (n * sxy - sx * sy) * 1_000_000
+    den = n * sxx - sx * sx
+    if den == 0:
+        slope_ppm = 0
+    else:  # den > 0 (variance); mirror DuckDB's truncate-toward-zero //
+        q = abs(num) // den
+        slope_ppm = q if num >= 0 else -q
     return pd.DataFrame({
-        "n_points": pd.Series([len(top)], dtype="int64"),
+        "n_points": pd.Series([n], dtype="int64"),
         "top_count": pd.Series([int(top["n"].iloc[0])], dtype="int64"),
-        "slope": pd.Series([round(slope, 6)], dtype="float64")})
+        "slope_ppm": pd.Series([slope_ppm], dtype="int64")})

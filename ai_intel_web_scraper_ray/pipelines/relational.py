@@ -4696,8 +4696,10 @@ def parts_neighbor_jaccard(sf_dir: str, support: int = 2) -> pd.DataFrame:
         g = df.groupby("node", as_index=False).agg(deg=("nbr", "size"))
         return g.astype("int64")
 
+    # materialized: consumed by BOTH degree-attachment unions below —
+    # without this the bucket_deg exchange would re-run per consumer
     degrees = directed.groupby("_b").map_groups(
-        bucket_deg, batch_format="pandas")
+        bucket_deg, batch_format="pandas").materialize()
 
     # wedges: within each middle-vertex bucket, self-merge on the middle
     # node; (u < v) orientation bounds the blowup by oriented degree².
@@ -4831,7 +4833,7 @@ def parts_neighbor_jaccard(sf_dir: str, support: int = 2) -> pd.DataFrame:
 
 def lineitem_manifest_stats(sf_dir: str) -> pd.DataFrame:
     """Per-month manifest row: (month, n_rows, min_date, max_date,
-    min_price_cents, max_price_cents, sum_qty, n_parts).
+    min_price_cents, max_price_cents, sum_qty_c100, n_parts).
 
     Scale shape: every stat except the distinct-part count reduces from
     per-block partials (count/min/max/sum are mergeable — O(months ×
@@ -4847,12 +4849,15 @@ def lineitem_manifest_stats(sf_dir: str) -> pd.DataFrame:
         d["date"] = d["l_shipdate"].dt.strftime("%Y-%m-%d")
         d["cents"] = np.floor(
             d["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
+        # per-ROW integer centi-quantities so partials merge exactly under
+        # any block layout (rounding a per-block float sum would double-
+        # round vs the oracle's one global rounding)
+        d["qty_c100"] = np.floor(
+            d["l_quantity"].to_numpy() * 100 + 0.5).astype("int64")
         g = d.groupby("month", as_index=False).agg(
             n_rows=("cents", "size"), min_date=("date", "min"),
             max_date=("date", "max"), min_price_cents=("cents", "min"),
-            max_price_cents=("cents", "max"), sum_qty=("l_quantity", "sum"))
-        g["sum_qty"] = np.floor(
-            g["sum_qty"].to_numpy() + 0.5).astype("int64")
+            max_price_cents=("cents", "max"), sum_qty_c100=("qty_c100", "sum"))
         g["l_partkey"] = np.full(len(g), -1, dtype="int64")
         return g
 
@@ -4869,7 +4874,7 @@ def lineitem_manifest_stats(sf_dir: str) -> pd.DataFrame:
                                        dtype="int64"),
             "max_price_cents": np.full(len(d), np.iinfo("int64").min,
                                        dtype="int64"),
-            "sum_qty": np.zeros(len(d), dtype="int64"),
+            "sum_qty_c100": np.zeros(len(d), dtype="int64"),
             "l_partkey": d["l_partkey"].astype("int64")})
 
     def keyed(df: pd.DataFrame) -> pd.DataFrame:
@@ -4886,7 +4891,7 @@ def lineitem_manifest_stats(sf_dir: str) -> pd.DataFrame:
             max_date=("max_date", "max"),
             min_price_cents=("min_price_cents", "min"),
             max_price_cents=("max_price_cents", "max"),
-            sum_qty=("sum_qty", "sum"))
+            sum_qty_c100=("sum_qty_c100", "sum"))
         np_ = parts.drop_duplicates(["month", "l_partkey"]) \
             .groupby("month", as_index=False).agg(
                 n_parts=("l_partkey", "size"))
@@ -4897,8 +4902,8 @@ def lineitem_manifest_stats(sf_dir: str) -> pd.DataFrame:
         .map_batches(keyed, batch_format="pandas") \
         .groupby("_b").map_groups(merge_month, batch_format="pandas") \
         .to_pandas()
-    for c in ("n_rows", "min_price_cents", "max_price_cents", "sum_qty",
-              "n_parts"):
+    for c in ("n_rows", "min_price_cents", "max_price_cents",
+              "sum_qty_c100", "n_parts"):
         out[c] = out[c].astype("int64")
     return out.sort_values("month").reset_index(drop=True)
 
@@ -5120,34 +5125,19 @@ def _or_by_key(day: np.ndarray, word: np.ndarray, bits: np.ndarray):
             np.bitwise_or.reduceat(b, starts))
 
 
-_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype="int64")
-
-
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized popcount of a uint64 array via a byte-LUT."""
-    return _POP8[x.view("uint8").reshape(len(x), 8)].sum(axis=1) \
-        if len(x) else np.zeros(0, dtype="int64")
-
-
 def events_bitmap_distinct(sf_dir: str) -> pd.DataFrame:
     """Exact distinct users per day via OR-merged uint64 bitmaps:
     (day, n_distinct).
 
-    Scale shape: pass 1 reduces a per-block (max user id) scalar; pass 2
-    emits per-(day, word) nonzero bitmap words (np.bitwise_or scatter),
-    merged under a day-hash bucket with ONE vectorized groupby-OR and
-    popcounted — the Bloom-semijoin OR-merge shape, but exact because the
-    id domain is dense.  (A sparse/unbounded domain would shard the
-    bitmap by id-range first — same algebra, one more key.)"""
+    Scale shape: each block emits its per-(day, word) nonzero bitmap
+    words (one lexsort + np.bitwise_or.reduceat), merged under a day-hash
+    bucket with the same vectorized OR and popcounted — the Bloom-semijoin
+    OR-merge shape, but exact because the id domain is dense.  (A sparse/
+    unbounded domain would shard the bitmap by id-range first — same
+    algebra, one more key.)"""
+    from ..stages.dedup import _popcount64
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-
-    def max_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"m": [int(df["user_id"].max())]}
-                            if len(df) else {"m": []})
-
-    max_uid = int(ds.map_batches(max_partial, batch_format="pandas")
-                  .to_pandas()["m"].max())
-    n_words = (max_uid >> 6) + 1
 
     def bitmap_partial(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
@@ -5178,6 +5168,10 @@ def events_bitmap_distinct(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(bitmap_partial, batch_format="pandas") \
         .groupby("_b").map_groups(bucket_or, batch_format="pandas") \
         .to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[ns]"),
+            "n_distinct": pd.Series([], dtype="int64")})
     res = pd.DataFrame({
         "day": pd.to_datetime(out["day"].astype("int64"), unit="D"),
         "n_distinct": out["n"].astype("int64")})
@@ -5247,7 +5241,11 @@ def parts_abc_classes(sf_dir: str) -> pd.DataFrame:
         # vals is descending: searchsorted with a reversed view
         idx = len(vals) - 1 - np.searchsorted(vals[::-1], c, side="left")
         cum = sum_before[idx] + (within + 1) * c
-        cum_ppm = (cum * 1_000_000) // total
+        # ×1e6 exceeds int64 once total cents > ~9.2e12 (TPC-H SF≥0.5);
+        # the SQL twin computes this step in HUGEINT — mirror with Python
+        # big ints (the docs_dsir_weights contract)
+        cum_ppm = np.array(
+            [(int(x) * 1_000_000) // total for x in cum], dtype="int64")
         cls = np.where(cum_ppm <= 700_000, "A",
                        np.where(cum_ppm <= 900_000, "B", "C"))
         return pd.DataFrame({

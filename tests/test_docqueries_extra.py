@@ -532,3 +532,23 @@ def test_new_doc_operators_handle_empty_tables(tmp_path):
         out = fn(sf)
         assert len(out) == 0, fn.__name__
         assert list(out.columns) == cols, fn.__name__
+
+
+def test_mmr_fewer_candidates_than_rounds(tmp_path):
+    """MMR must emit fewer rows, not crash, when the candidate pool is
+    smaller than the round count (r2 review finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([list(map(float, rng.standard_normal(64)))
+                               for _ in range(4)],
+                              pa.list_(pa.float64())),
+        "label": pa.array([0, 1, 0, 1], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = dq.emb_mmr(str(tmp_path))  # 3 candidates, 5 rounds
+    assert list(out["round"]) == [1, 2, 3]
+    assert set(out["vec_id"]) == {1, 2, 3}

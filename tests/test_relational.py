@@ -403,3 +403,62 @@ def test_gap_fill_carries_last_observation_forward(tmp_path):
     con.close()
     problems = compare("events_gap_fill", got, to_pandas(sql_df))
     assert not problems, problems
+
+
+def test_abc_classes_survive_int64_overflow(tmp_path):
+    """cum × 1e6 exceeds int64 once total cents > ~9.2e12 — the big-int
+    path must match DuckDB's HUGEINT window sum (r2 review finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 40
+    price = 4.0e11  # 4e13 cents each → total 1.6e15 cents; ×1e6 >> int64
+    t = pa.table({
+        "l_partkey": pa.array(list(range(n)), pa.int64()),
+        "l_extendedprice": pa.array([price] * n, pa.float64()),
+        "l_discount": pa.array([0.0] * n, pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = rel.parts_abc_classes(str(tmp_path))
+    assert (out["cum_ppm"] > 0).all() and (out["cum_ppm"] <= 1_000_000).all()
+    exp = duckdb.sql(f"""
+        WITH p AS (
+          SELECT l_partkey AS p_partkey,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100
+                      + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+          FROM '{tmp_path}/lineitem.parquet' GROUP BY 1
+        ), r AS (
+          SELECT p_partkey, revenue_cents,
+                 SUM(revenue_cents) OVER (ORDER BY revenue_cents DESC,
+                                          p_partkey) AS cum,
+                 SUM(revenue_cents) OVER () AS total
+          FROM p
+        )
+        SELECT p_partkey, CAST((cum * 1000000) // total AS BIGINT) AS cum_ppm
+        FROM r ORDER BY p_partkey
+    """).df()
+    assert list(out["cum_ppm"]) == list(exp["cum_ppm"].astype("int64"))
+
+
+def test_manifest_stats_fractional_quantities(tmp_path):
+    """Per-row centi-quantity keeps partials exactly mergeable under any
+    block layout — per-block rounding would double-round (r2 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 64
+    import pandas as pd
+
+    t = pa.table({
+        "l_shipdate": pa.array(
+            [pd.Timestamp("1995-03-01")] * n, pa.timestamp("us")),
+        "l_extendedprice": pa.array([10.0] * n, pa.float64()),
+        "l_quantity": pa.array([2.3] * n, pa.float64()),
+        "l_partkey": pa.array([i % 5 for i in range(n)], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = rel.lineitem_manifest_stats(str(tmp_path))
+    assert len(out) == 1
+    # 64 rows × floor(230.5) = 64 × 230 — identical however blocks split
+    assert int(out["sum_qty_c100"].iloc[0]) == 64 * 230
+    assert int(out["n_parts"].iloc[0]) == 5
