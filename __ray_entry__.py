@@ -368,6 +368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cohort_retention": rel.orders_cohort_retention,
         "events_bitmap_distinct": rel.events_bitmap_distinct,
         "parts_abc_classes": rel.parts_abc_classes,
+        "orders_basket_rules": rel.orders_basket_rules,
+        "parts_kcore_peel": rel.parts_kcore_peel,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -3528,5 +3530,82 @@ def oracle_sql() -> dict[str, str]:
                         WHEN (cum * 1000000) // total <= 900000 THEN 'B'
                         ELSE 'C' END AS abc_class
             FROM r ORDER BY p_partkey
+        """,
+        # association rules (support / confidence / lift) over baskets
+        "orders_basket_rules": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+            pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM li GROUP BY 1),
+            pairs AS (
+              SELECT a.l_partkey AS a_id, b.l_partkey AS b_id,
+                     CAST(COUNT(*) AS BIGINT) AS n_pair
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 3
+            )
+            SELECT p.a_id, p.b_id, p.n_pair, ca.n AS n_a, cb.n AS n_b,
+                   CAST((p.n_pair * 1000000) // ca.n AS BIGINT)
+                       AS conf_ab_ppm,
+                   CAST((p.n_pair * 1000000) // cb.n AS BIGINT)
+                       AS conf_ba_ppm,
+                   CAST((CAST(p.n_pair AS HUGEINT) * n.n_orders * 1000000)
+                        // (CAST(ca.n AS HUGEINT) * cb.n) AS BIGINT)
+                       AS lift_ppm
+            FROM pairs p
+            JOIN pc ca ON ca.l_partkey = p.a_id
+            JOIN pc cb ON cb.l_partkey = p.b_id
+            CROSS JOIN n
+            ORDER BY a_id, b_id
+        """,
+        # 3-round k-core peel at adaptive k = quantile_disc(deg, 0.25)+1
+        "parts_kcore_peel": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey GROUP BY 1, 2
+            ), e AS (SELECT u, v FROM pairs WHERE n >= 2),
+            nodes AS (SELECT DISTINCT u AS node FROM e
+                      UNION SELECT DISTINCT v FROM e),
+            d1 AS (SELECT node, COUNT(*) AS deg FROM
+                   (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+                   GROUP BY node),
+            kv AS (SELECT quantile_disc(deg, 0.25) + 1 AS k FROM d1),
+            drop1 AS (SELECT node FROM d1 WHERE deg < (SELECT k FROM kv)),
+            e2 AS (SELECT u, v FROM e
+                   WHERE u NOT IN (SELECT node FROM drop1)
+                     AND v NOT IN (SELECT node FROM drop1)),
+            d2 AS (SELECT node, COUNT(*) AS deg FROM
+                   (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+                   GROUP BY node),
+            drop2 AS (
+              SELECT n.node FROM nodes n LEFT JOIN d2 ON d2.node = n.node
+              WHERE n.node NOT IN (SELECT node FROM drop1)
+                AND (d2.deg IS NULL OR d2.deg < (SELECT k FROM kv))),
+            e3 AS (SELECT u, v FROM e2
+                   WHERE u NOT IN (SELECT node FROM drop2)
+                     AND v NOT IN (SELECT node FROM drop2)),
+            d3 AS (SELECT node, COUNT(*) AS deg FROM
+                   (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+                   GROUP BY node),
+            drop3 AS (
+              SELECT n.node FROM nodes n LEFT JOIN d3 ON d3.node = n.node
+              WHERE n.node NOT IN (SELECT node FROM drop1)
+                AND n.node NOT IN (SELECT node FROM drop2)
+                AND (d3.deg IS NULL OR d3.deg < (SELECT k FROM kv))),
+            e4 AS (SELECT u, v FROM e3
+                   WHERE u NOT IN (SELECT node FROM drop3)
+                     AND v NOT IN (SELECT node FROM drop3)),
+            d4 AS (SELECT node, COUNT(*) AS deg FROM
+                   (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
+                   GROUP BY node)
+            SELECT n.node AS part,
+                   CAST(COALESCE(d4.deg, 0) AS BIGINT) AS degree,
+                   CAST(CASE WHEN n.node IN (SELECT node FROM drop1) THEN 1
+                             WHEN n.node IN (SELECT node FROM drop2) THEN 2
+                             WHEN n.node IN (SELECT node FROM drop3) THEN 3
+                             ELSE 0 END AS BIGINT) AS dropped_round
+            FROM nodes n LEFT JOIN d4 ON d4.node = n.node ORDER BY part
         """,
     }

@@ -5265,3 +5265,317 @@ def parts_abc_classes(sf_dir: str) -> pd.DataFrame:
     for c in ("p_partkey", "revenue_cents", "cum_ppm"):
         out[c] = out[c].astype("int64")
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Association-rule mining over order baskets (support / confidence /
+# lift): the classic market-basket extension of parts_co_ordered.  All
+# metrics are exact integer ppm; lift's ×N×10⁶ numerator is computed in
+# Python big ints (HUGEINT in the twin).
+# ---------------------------------------------------------------------------
+
+
+def orders_basket_rules(sf_dir: str, support: int = 3) -> pd.DataFrame:
+    """(a_id, b_id, n_pair, n_a, n_b, conf_ab_ppm, conf_ba_ppm, lift_ppm)
+    for part pairs co-ordered ≥ ``support`` times.
+
+    Scale shape: pair counts reuse the order-bucket self-merge (never a
+    row-level self-join); per-part order counts reduce under part
+    buckets; counts attach to pairs through two tagged-union exchanges
+    (the parts_neighbor_jaccard pattern); the total-order count N is one
+    scalar driver reduce of per-block partials."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["l_orderkey", "l_partkey"]).copy()
+        out["_b"] = (out["l_orderkey"].astype("int64") % 64).astype("int64")
+        return out
+
+    deduped = ds.map_batches(dedup_bucket, batch_format="pandas") \
+        .materialize()
+
+    # total distinct orders: per-bucket exact counts (buckets own orders)
+    def order_count(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"n": [int(df["l_orderkey"].nunique())]})
+
+    n_orders = int(deduped.groupby("_b")
+                   .map_groups(order_count, batch_format="pandas")
+                   .to_pandas()["n"].sum())
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
+        out = m.groupby(["l_partkey_x", "l_partkey_y"],
+                        as_index=False).size().rename(columns={"size": "n"})
+        out["_p"] = ((out["l_partkey_x"].astype("int64") * 1_000_003
+                      + out["l_partkey_y"].astype("int64")) % 64) \
+            .astype("int64")
+        return out
+
+    def pair_merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["l_partkey_x", "l_partkey_y"],
+                         as_index=False)["n"].sum()
+        out = out[out["n"] >= support]
+        return pd.DataFrame({
+            "a_id": out["l_partkey_x"].astype("int64"),
+            "b_id": out["l_partkey_y"].astype("int64"),
+            "n_pair": out["n"].astype("int64")})
+
+    pairs = deduped.groupby("_b") \
+        .map_groups(gen_pairs, batch_format="pandas") \
+        .groupby("_p").map_groups(pair_merge, batch_format="pandas") \
+        .materialize()
+
+    # per-part distinct-order counts: the (order, part) dedup must be
+    # GLOBAL, so it runs inside the order buckets (each holds complete
+    # orders) and the per-part partials merge under part buckets
+    def part_partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        g = d.groupby("l_partkey", as_index=False).size() \
+            .rename(columns={"l_partkey": "part", "size": "n"})
+        g["_b"] = (g["part"].astype("int64") % 64).astype("int64")
+        return g.astype("int64")
+
+    def part_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("part", as_index=False)["n"].sum().astype("int64")
+
+    part_counts = deduped.groupby("_b") \
+        .map_groups(part_partial, batch_format="pandas") \
+        .groupby("_b").map_groups(part_merge, batch_format="pandas") \
+        .materialize()
+
+    # attach n_a then n_b through tagged-union part-bucket exchanges
+    def tag_pairs(key_col: str, carry: list):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["a_id", "b_id", "n_pair"] + carry].copy()
+            out["key"] = out[key_col].astype("int64")
+            out["cnt"] = np.full(len(df), -1, dtype="int64")
+            out["_b"] = (out["key"] % 64).astype("int64")
+            return out
+        return fn
+
+    def tag_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "a_id": np.full(len(df), -1, dtype="int64"),
+            "b_id": np.full(len(df), -1, dtype="int64"),
+            "n_pair": np.full(len(df), -1, dtype="int64"),
+            "key": df["part"].astype("int64"),
+            "cnt": df["n"].astype("int64"),
+            "_b": (df["part"].astype("int64") % 64).astype("int64")})
+
+    def attach(col_out: str, carry: list):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            e = df[df["cnt"] < 0][["a_id", "b_id", "n_pair", "key"] + carry]
+            c = df[df["cnt"] >= 0][["key", "cnt"]]
+            if e.empty:
+                cols = ["a_id", "b_id", "n_pair"] + carry + [col_out]
+                return pd.DataFrame(
+                    {x: pd.Series([], dtype="int64") for x in cols})
+            m = e.merge(c, on="key", how="left")
+            m[col_out] = m["cnt"].fillna(0).astype("int64")
+            return m[["a_id", "b_id", "n_pair"] + carry + [col_out]] \
+                .astype("int64")
+        return fn
+
+    with_na = pairs.map_batches(tag_pairs("a_id", []),
+                                batch_format="pandas") \
+        .union(part_counts.map_batches(tag_counts, batch_format="pandas")) \
+        .groupby("_b").map_groups(attach("n_a", []), batch_format="pandas")
+
+    def tag_counts_b(df: pd.DataFrame) -> pd.DataFrame:
+        out = tag_counts(df)
+        out["n_a"] = np.full(len(df), -1, dtype="int64")
+        return out
+
+    def tag_pairs_b(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["a_id", "b_id", "n_pair", "n_a"]].copy()
+        out["key"] = out["b_id"].astype("int64")
+        out["cnt"] = np.full(len(df), -1, dtype="int64")
+        out["_b"] = (out["key"] % 64).astype("int64")
+        return out
+
+    with_nb = with_na.map_batches(tag_pairs_b, batch_format="pandas") \
+        .union(part_counts.map_batches(tag_counts_b,
+                                       batch_format="pandas")) \
+        .groupby("_b").map_groups(attach("n_b", ["n_a"]),
+                                  batch_format="pandas")
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            cols = ("a_id", "b_id", "n_pair", "n_a", "n_b",
+                    "conf_ab_ppm", "conf_ba_ppm", "lift_ppm")
+            return pd.DataFrame(
+                {x: pd.Series([], dtype="int64") for x in cols})
+        out = df.copy()
+        out["conf_ab_ppm"] = (out["n_pair"] * 1_000_000) // out["n_a"]
+        out["conf_ba_ppm"] = (out["n_pair"] * 1_000_000) // out["n_b"]
+        # ×N×10⁶ exceeds int64 at web scale — Python big ints (HUGEINT twin)
+        out["lift_ppm"] = np.array(
+            [(int(p) * n_orders * 1_000_000) // (int(a) * int(b))
+             for p, a, b in zip(out["n_pair"], out["n_a"], out["n_b"])],
+            dtype="int64")
+        return out[["a_id", "b_id", "n_pair", "n_a", "n_b",
+                    "conf_ab_ppm", "conf_ba_ppm", "lift_ppm"]]
+
+    out = with_nb.map_batches(score, batch_format="pandas").to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["a_id", "b_id"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling over the co-order part graph: rounds of "drop every node
+# with degree < k" — the standard community/anchor decomposition.  k is
+# data-adaptive (exact quantile_disc(0.25) of initial degree + 1, order
+# statistic — 25th percentile, gentle enough not to cascade the whole
+# graph away) so the peel is live at every scale factor; the driver gate
+# pins THREE peel rounds (the emb_kmeans_iterate fixed-iteration
+# contract: an iterative fixpoint made reproducible by pinning rounds).
+# ---------------------------------------------------------------------------
+
+
+def parts_kcore_peel(sf_dir: str, rounds: int = 3,
+                     support: int = 2) -> pd.DataFrame:
+    """(part, degree, dropped_round) after ``rounds`` peels at
+    k = quantile_disc(initial degree, 0.25) + 1; survivors report 0
+    and their final degree, peeled nodes the round that removed them.
+
+    Scale shape: k comes from a degree HISTOGRAM (O(distinct degrees) to
+    the driver, never O(nodes)); each round the node universe and the
+    per-node surviving degrees meet in node-hash buckets and only the
+    round's VICTIMS leave the workers; the accumulated peel set
+    broadcasts via ``ray.put`` as a sorted int64 array (the exact-dedup
+    loser-broadcast shape) and edges filter by searchsorted membership."""
+    import ray
+
+    edges = _co_order_edges(sf_dir, support)
+
+    def to_directed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "node": np.concatenate([df["a_id"].to_numpy(dtype="int64"),
+                                    df["b_id"].to_numpy(dtype="int64")]),
+            "nbr": np.concatenate([df["b_id"].to_numpy(dtype="int64"),
+                                   df["a_id"].to_numpy(dtype="int64")])})
+        out["_b"] = (out["node"] % 64).astype("int64")
+        return out
+
+    directed = edges.map_batches(to_directed, batch_format="pandas") \
+        .materialize()
+
+    def bucket_degs(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False).size() \
+            .rename(columns={"size": "deg"})
+        g["_b"] = (g["node"].astype("int64") % 64).astype("int64")
+        return g.astype("int64")
+
+    # node universe + initial degrees (bucket-complete, materialized once)
+    universe = directed.groupby("_b") \
+        .map_groups(bucket_degs, batch_format="pandas").materialize()
+
+    # adaptive k: exact quantile_disc(0.5) + 1 from a degree histogram —
+    # O(distinct degree values) to the driver, never O(nodes)
+    def deg_hist(df: pd.DataFrame) -> pd.DataFrame:
+        u, c = np.unique(df["deg"].to_numpy(dtype="int64"),
+                         return_counts=True)
+        return pd.DataFrame({"v": u.astype("int64"),
+                             "n": c.astype("int64")})
+
+    hist = universe.map_batches(deg_hist, batch_format="pandas") \
+        .to_pandas().groupby("v")["n"].sum().sort_index()
+    counts = hist.to_numpy(dtype="int64")
+    n_nodes = int(counts.sum())
+    pos = (n_nodes - 1) // 4  # quantile_disc(0.25): floor(p·(n−1))
+    k = int(hist.index.to_numpy(dtype="int64")[
+        np.searchsorted(np.cumsum(counts), pos + 1)]) + 1
+
+    dropped: dict[int, int] = {}
+    for rnd in range(1, rounds + 1):
+        gone = np.sort(np.array(list(dropped), dtype="int64"))
+        gone_ref = ray.put(gone)
+
+        def alive_degs(df: pd.DataFrame, _ref=gone_ref) -> pd.DataFrame:
+            g = ray.get(_ref)
+            node = df["node"].to_numpy(dtype="int64")
+            nbr = df["nbr"].to_numpy(dtype="int64")
+            if len(g):
+                keep = ~(np.isin(node, g) | np.isin(nbr, g))
+                node = node[keep]
+            p = pd.DataFrame({"node": node}) \
+                .groupby("node", as_index=False).size() \
+                .rename(columns={"size": "deg"})
+            p["kind"] = np.ones(len(p), dtype="int64")
+            p["_b"] = (p["node"].astype("int64") % 64).astype("int64")
+            return p.astype("int64")
+
+        def tag_universe(df: pd.DataFrame, _ref=gone_ref) -> pd.DataFrame:
+            g = ray.get(_ref)
+            node = df["node"].to_numpy(dtype="int64")
+            if len(g):
+                node = node[~np.isin(node, g)]
+            return pd.DataFrame({
+                "node": node,
+                "deg": np.zeros(len(node), dtype="int64"),
+                "kind": np.zeros(len(node), dtype="int64"),
+                "_b": (node % 64).astype("int64")})
+
+        def victims(df: pd.DataFrame) -> pd.DataFrame:
+            # per-node surviving degree (0 when only the universe row
+            # exists — every edge vanished), then the k-core rule
+            g = df.groupby("node", as_index=False)["deg"].sum()
+            v = g[g["deg"] < k][["node"]]
+            return v.astype("int64")
+
+        new_victims = directed.map_batches(alive_degs,
+                                           batch_format="pandas") \
+            .union(universe.map_batches(tag_universe,
+                                        batch_format="pandas")) \
+            .groupby("_b").map_groups(victims, batch_format="pandas") \
+            .to_pandas()
+        if new_victims.empty:
+            break
+        for v in new_victims["node"].tolist():
+            dropped[int(v)] = rnd
+
+    gone = np.sort(np.array(list(dropped), dtype="int64"))
+    gone_ref = ray.put(gone)
+
+    def final_rows(df: pd.DataFrame, _ref=gone_ref) -> pd.DataFrame:
+        g = ray.get(_ref)
+        node = df["node"].to_numpy(dtype="int64")
+        nbr = df["nbr"].to_numpy(dtype="int64")
+        if len(g):
+            keep = ~(np.isin(node, g) | np.isin(nbr, g))
+            node = node[keep]
+        p = pd.DataFrame({"node": node}) \
+            .groupby("node", as_index=False).size() \
+            .rename(columns={"size": "deg"})
+        p["_b"] = (p["node"].astype("int64") % 64).astype("int64")
+        return p.astype("int64")
+
+    def merge_final(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["deg"].sum() \
+            .astype("int64")
+
+    survivors = directed.map_batches(final_rows, batch_format="pandas") \
+        .groupby("_b").map_groups(merge_final, batch_format="pandas") \
+        .to_pandas()
+    if survivors.empty:  # total cascade: every map emitted a schema-less
+        survivors = pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                  "deg": pd.Series([], dtype="int64")})
+    rows = pd.concat([
+        pd.DataFrame({"part": survivors["node"].astype("int64"),
+                      "degree": survivors["deg"].astype("int64"),
+                      "dropped_round": np.zeros(len(survivors),
+                                                dtype="int64")}),
+        pd.DataFrame({"part": list(dropped.keys()),
+                      "degree": np.zeros(len(dropped), dtype="int64"),
+                      "dropped_round": list(dropped.values())}),
+        # survivors with zero remaining edges (not peeled, every edge
+        # gone only via the FINAL filter) cannot occur: a zero-degree
+        # unpeeled node would have been a victim in the last round
+    ], ignore_index=True)
+    for c in rows.columns:
+        rows[c] = rows[c].astype("int64")
+    return rows.sort_values("part").reset_index(drop=True)

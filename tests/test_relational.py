@@ -77,6 +77,8 @@ ORACLE_QUERIES = [
     "orders_cohort_retention",
     "events_bitmap_distinct",
     "parts_abc_classes",
+    "orders_basket_rules",
+    "parts_kcore_peel",
     "events_dau_wau",
     "parts_co_ordered",
     "parts_components",
