@@ -370,6 +370,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_abc_classes": rel.parts_abc_classes,
         "orders_basket_rules": rel.orders_basket_rules,
         "parts_kcore_peel": rel.parts_kcore_peel,
+        "events_invalid_transitions": rel.events_invalid_transitions,
+        "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -3607,5 +3609,44 @@ def oracle_sql() -> dict[str, str]:
                              WHEN n.node IN (SELECT node FROM drop3) THEN 3
                              ELSE 0 END AS BIGINT) AS dropped_round
             FROM nodes n LEFT JOIN d4 ON d4.node = n.node ORDER BY part
+        """,
+        # funnel state-machine validation (purchase needs view/click lag)
+        "events_invalid_transitions": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     LAG(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND (prev IS NULL
+                                 OR prev NOT IN ('view', 'click'))
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
+            FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        # per-source language-mix entropy in exact fixed-point micro-nats
+        "docs_source_lang_entropy": """
+            WITH c AS (
+              SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+              FROM documents GROUP BY 1, 2
+            ), t AS (
+              SELECT source, lang, n,
+                     SUM(n) OVER (PARTITION BY source) AS tot
+              FROM c
+            ), q AS (
+              SELECT source, lang, n, tot,
+                     CAST(ROUND(-LN(CAST(n AS DOUBLE) / tot) * 1000000, 0)
+                          AS HUGEINT) AS term6
+              FROM t
+            )
+            SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_langs,
+                   CAST(SUM(CAST(n AS HUGEINT) * term6)
+                        // SUM(CAST(n AS HUGEINT)) AS BIGINT)
+                       AS entropy_micronat
+            FROM q GROUP BY source ORDER BY source
         """,
     }

@@ -4294,3 +4294,53 @@ def docs_zipf_slope(sf_dir: str, k: int = _ZIPF_TOP_K) -> pd.DataFrame:
         "n_points": pd.Series([n], dtype="int64"),
         "top_count": pd.Series([int(top["n"].iloc[0])], dtype="int64"),
         "slope_ppm": pd.Series([slope_ppm], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Language-mix entropy per source (corpus-diversity audit): Shannon
+# entropy of each source's language distribution in fixed-point micro-
+# nats — per-TERM quantization (round(-ln(p)·10⁶) with p as an exact
+# count ratio) keeps every cross-row aggregate an exact integer (the
+# docs_zipf_slope / events_linreg contract).
+# ---------------------------------------------------------------------------
+
+
+def docs_source_lang_entropy(sf_dir: str) -> pd.DataFrame:
+    """(source, n_docs, n_langs, entropy_micronat) where
+    entropy_micronat = Σ_lang n_l · round(-ln(n_l/n)·10⁶) // n.
+
+    Scale shape: (source, lang) census partials reduce under a source
+    bucket — the exchange is bounded by |sources| × |langs| × blocks,
+    never rows; the per-term log quantization and the final floor-divide
+    run where the census lives."""
+    ds = _docs(sf_dir, ["source", "lang"])
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["_b"] = g["source"].map(
+            lambda s: int.from_bytes(str(s).encode()[:8].ljust(8, b"\0"),
+                                     "big") % 16).astype("int64")
+        return g
+
+    def entropy(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["source", "lang"], as_index=False)["n"].sum()
+        tot = g.groupby("source")["n"].transform("sum").to_numpy(
+            dtype="int64")
+        n = g["n"].to_numpy(dtype="int64")
+        term6 = np.round(-np.log(n / tot) * 1_000_000).astype("int64")
+        # Σ n·term6 can pass int64 at web scale (n ~ 10¹², term6 ~ 10⁷):
+        # Python big ints, HUGEINT in the twin (the events_linreg shape)
+        g["w"] = [int(a) * int(b) for a, b in zip(n, term6)]
+        out = g.groupby("source", as_index=False).agg(
+            n_docs=("n", "sum"), n_langs=("lang", "size"), w=("w", "sum"))
+        out["entropy_micronat"] = [
+            int(w) // int(d) for w, d in zip(out["w"], out["n_docs"])]
+        return out[["source", "n_docs", "n_langs", "entropy_micronat"]]
+
+    out = ds.map_batches(census, batch_format="pandas") \
+        .groupby("_b").map_groups(entropy, batch_format="pandas") \
+        .to_pandas()
+    for c in ("n_docs", "n_langs", "entropy_micronat"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("source").reset_index(drop=True)

@@ -5579,3 +5579,58 @@ def parts_kcore_peel(sf_dir: str, rounds: int = 3,
     for c in rows.columns:
         rows[c] = rows[c].astype("int64")
     return rows.sort_values("part").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence validation: per user, count transitions that violate the
+# funnel state machine (a purchase must follow a view/click by the SAME
+# user — i.e. a purchase whose immediately preceding event is also a
+# purchase, or that starts the stream, is invalid).  The standard
+# data-quality gate before training on clickstreams.
+# ---------------------------------------------------------------------------
+
+
+def events_invalid_transitions(sf_dir: str) -> pd.DataFrame:
+    """(user_id, n_events, n_purchases, n_invalid) per user; n_invalid
+    counts purchases NOT preceded by a view or click event.
+
+    Scale shape: users hash-bucket (complete streams per bucket); inside
+    a bucket ONE mergesort by (user, ts, event_id) + ONE shifted compare
+    classifies every transition — the orders_running_total pattern, no
+    per-key Python."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["_b"] = (out["user_id"].astype("int64") % 64).astype("int64")
+        return out
+
+    def bucket_scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        uid = df["user_id"].to_numpy(dtype="int64")
+        et = df["event_type"].to_numpy(dtype=object)
+        is_purchase = et == "purchase"
+        prev_ok = np.concatenate(
+            [[False], (et[:-1] == "view") | (et[:-1] == "click")])
+        same_user = np.concatenate([[False], uid[1:] == uid[:-1]])
+        invalid = is_purchase & ~(prev_ok & same_user)
+        g = pd.DataFrame({
+            "user_id": uid,
+            "one": np.ones(len(df), dtype="int64"),
+            "pur": is_purchase.astype("int64"),
+            "inv": invalid.astype("int64")}) \
+            .groupby("user_id", as_index=False).sum()
+        return pd.DataFrame({
+            "user_id": g["user_id"].astype("int64"),
+            "n_events": g["one"].astype("int64"),
+            "n_purchases": g["pur"].astype("int64"),
+            "n_invalid": g["inv"].astype("int64")})
+
+    out = ds.map_batches(keyed, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_scan, batch_format="pandas") \
+        .to_pandas()
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("user_id").reset_index(drop=True)

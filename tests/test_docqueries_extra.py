@@ -74,6 +74,7 @@ ORACLE_QUERIES = [
     "emb_mmr",
     "docs_bm25",
     "docs_zipf_slope",
+    "docs_source_lang_entropy",
 ]
 
 

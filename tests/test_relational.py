@@ -79,6 +79,7 @@ ORACLE_QUERIES = [
     "parts_abc_classes",
     "orders_basket_rules",
     "parts_kcore_peel",
+    "events_invalid_transitions",
     "events_dau_wau",
     "parts_co_ordered",
     "parts_components",
