@@ -227,3 +227,64 @@ class TestUrlFastPaths:
             path = p.path.rstrip("/") if p.path != "/" else "/"
             assert normalize_url(url) == urlunparse(
                 (p.scheme, p.netloc, path, p.params, "", "")), url
+
+
+class TestBlockLayoutInvariance:
+    """Distributed results must be pure functions of the DATA, not of the
+    block layout: re-run the exchange-heavy round-2 operators with 1 and
+    17 input blocks and require identical tables (r2-session guard for
+    the per-batch-partial dedup/merge class)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def _with_blocks(self, monkeypatch, module, attr, blocks):
+        import ray.data as rd
+
+        if attr == "_docs":  # docqueries: _docs(sf_dir, columns, blocks)
+            def patched(sf_dir, columns=None, num_blocks=8):
+                return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=columns,
+                                       override_num_blocks=blocks)
+        else:  # relational: _read(sf_dir, table, columns, blocks)
+            def patched(sf_dir, table, columns=None, num_blocks=8):
+                return rd.read_parquet(f"{sf_dir}/{table}.parquet",
+                                       columns=columns,
+                                       override_num_blocks=blocks)
+
+        monkeypatch.setattr(module, attr, patched)
+
+    def test_line_dedup_layout_invariant(self, monkeypatch):
+        from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+        base = dq.docs_line_dedup(self.SF)
+        for blocks in (1, 17):
+            self._with_blocks(monkeypatch, dq, "_docs", blocks)
+            alt = dq.docs_line_dedup(self.SF)
+            assert alt.equals(base), f"layout {blocks} diverged"
+
+    def test_bitmap_distinct_layout_invariant(self, monkeypatch):
+        from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+        base = rel.events_bitmap_distinct(self.SF)
+        for blocks in (1, 17):
+            self._with_blocks(monkeypatch, rel, "_read", blocks)
+            alt = rel.events_bitmap_distinct(self.SF)
+            assert alt.equals(base), f"layout {blocks} diverged"
+
+    def test_abc_classes_layout_invariant(self, monkeypatch):
+        from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+        base = rel.parts_abc_classes(self.SF)
+        for blocks in (1, 17):
+            self._with_blocks(monkeypatch, rel, "_read", blocks)
+            alt = rel.parts_abc_classes(self.SF)
+            assert alt.equals(base), f"layout {blocks} diverged"
+
+    def test_basket_rules_layout_invariant(self, monkeypatch):
+        from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+        base = rel.orders_basket_rules(self.SF)
+        for blocks in (1, 17):
+            self._with_blocks(monkeypatch, rel, "_read", blocks)
+            alt = rel.orders_basket_rules(self.SF)
+            assert alt.equals(base), f"layout {blocks} diverged"
