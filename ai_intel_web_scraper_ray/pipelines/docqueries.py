@@ -4031,16 +4031,29 @@ def emb_hamming_topk(sf_dir: str, query_vec_id: int = 0,
     from ..stages.dedup import _popcount64
 
     q = _query_vec(sf_dir, query_vec_id)
-    qcode = np.packbits(q >= 0.0).view(">u8").astype(np.uint64)[0]
+
+    def _sign_words(mat: np.ndarray) -> np.ndarray:
+        """(rows × ceil(dim/64)) uint64 sign codes; tail bits zero-pad so
+        XOR-popcount stays exact at any dimension."""
+        bits = mat >= 0.0
+        pad = (-bits.shape[1]) % 64
+        if pad:
+            bits = np.concatenate(
+                [bits, np.zeros((bits.shape[0], pad), dtype=bool)], axis=1)
+        return np.packbits(bits, axis=1).copy().view(">u8") \
+            .astype(np.uint64)
+
+    qcode = _sign_words(q.reshape(1, -1))[0]
 
     def partial(t: pa.Table) -> pd.DataFrame:
         if len(t) == 0:
             return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                                  "hamming": pd.Series([], dtype="int64")})
         vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False))
-        codes = np.packbits(vecs >= 0.0, axis=1).copy().view(">u8") \
-            .astype(np.uint64).ravel()
-        ham = _popcount64(codes ^ qcode)
+        codes = _sign_words(vecs)
+        ham = np.zeros(len(codes), dtype="int64")
+        for w in range(codes.shape[1]):  # ceil(dim/64) words, tiny loop
+            ham += _popcount64(codes[:, w] ^ qcode[w])
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
         take = min(k, len(ids))
         order = np.lexsort((ids, ham))[:take]
@@ -4341,6 +4354,12 @@ def docs_source_lang_entropy(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(census, batch_format="pandas") \
         .groupby("_b").map_groups(entropy, batch_format="pandas") \
         .to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype="int64"),
+            "n_langs": pd.Series([], dtype="int64"),
+            "entropy_micronat": pd.Series([], dtype="int64")})
     for c in ("n_docs", "n_langs", "entropy_micronat"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)

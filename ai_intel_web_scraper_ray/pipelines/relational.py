@@ -2657,18 +2657,30 @@ def events_dau_wau(sf_dir: str) -> pd.DataFrame:
 _COMP_SUPPORT = 3
 
 
-def _co_order_edges(sf_dir: str, support: int):
-    """Materialized co-order edge Dataset (a_id, b_id, a_seq, b_seq):
-    parts co-ordered in ≥ ``support`` distinct orders.  The market-basket
-    pipeline — order-hash buckets → per-bucket vectorized self-merge →
-    pair-hash-bucketed count merge, never a row-level self-join exchange.
-    Shared by ``parts_components`` and ``parts_bfs_levels``."""
+def _order_part_buckets(sf_dir: str):
+    """Materialized distinct (l_orderkey, l_partkey) projections under
+    order-hash buckets (each bucket owns complete orders — batch-level
+    dedup finishes globally inside the bucket).  Shared root of every
+    co-order graph pipeline."""
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
 
     def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
         out = df.drop_duplicates(["l_orderkey", "l_partkey"]).copy()
         out["_b"] = (out["l_orderkey"].astype("int64") % 64).astype("int64")
         return out
+
+    return ds.map_batches(dedup_bucket, batch_format="pandas") \
+        .materialize()
+
+
+def _co_order_pair_counts(sf_dir: str, support: int, deduped=None):
+    """Dataset (a_id, b_id, n_pair): part pairs co-ordered in ≥
+    ``support`` distinct orders, with their exact counts.  The
+    market-basket pipeline — order-hash buckets → per-bucket vectorized
+    self-merge → pair-hash-bucketed count merge, never a row-level
+    self-join exchange."""
+    if deduped is None:
+        deduped = _order_part_buckets(sf_dir)
 
     def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["l_orderkey", "l_partkey"])
@@ -2681,19 +2693,32 @@ def _co_order_edges(sf_dir: str, support: int):
             .astype("int64")
         return out
 
-    def pair_edges(df: pd.DataFrame) -> pd.DataFrame:
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(["l_partkey_x", "l_partkey_y"],
                          as_index=False)["n"].sum()
         out = out[out["n"] >= support]
-        a = out["l_partkey_x"].astype("int64")
-        b = out["l_partkey_y"].astype("int64")
+        return pd.DataFrame({
+            "a_id": out["l_partkey_x"].astype("int64"),
+            "b_id": out["l_partkey_y"].astype("int64"),
+            "n_pair": out["n"].astype("int64")})
+
+    return deduped.groupby("_b") \
+        .map_groups(gen_pairs, batch_format="pandas") \
+        .groupby("_p").map_groups(pair_counts, batch_format="pandas")
+
+
+def _co_order_edges(sf_dir: str, support: int):
+    """Materialized co-order edge Dataset (a_id, b_id, a_seq, b_seq):
+    parts co-ordered in ≥ ``support`` distinct orders (counts dropped).
+    Shared by ``parts_components`` and ``parts_bfs_levels``."""
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a_id"].astype("int64")
+        b = df["b_id"].astype("int64")
         return pd.DataFrame({"a_id": a, "b_id": b,
                              "a_seq": a, "b_seq": b})
 
-    return ds.map_batches(dedup_bucket, batch_format="pandas") \
-        .groupby("_b").map_groups(gen_pairs, batch_format="pandas") \
-        .groupby("_p").map_groups(pair_edges, batch_format="pandas") \
-        .materialize()
+    return _co_order_pair_counts(sf_dir, support) \
+        .map_batches(project, batch_format="pandas").materialize()
 
 
 def parts_components(sf_dir: str, support: int = _COMP_SUPPORT) -> pd.DataFrame:
@@ -5284,48 +5309,22 @@ def orders_basket_rules(sf_dir: str, support: int = 3) -> pd.DataFrame:
     buckets; counts attach to pairs through two tagged-union exchanges
     (the parts_neighbor_jaccard pattern); the total-order count N is one
     scalar driver reduce of per-block partials."""
-    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-
-    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.drop_duplicates(["l_orderkey", "l_partkey"]).copy()
-        out["_b"] = (out["l_orderkey"].astype("int64") % 64).astype("int64")
-        return out
-
-    deduped = ds.map_batches(dedup_bucket, batch_format="pandas") \
-        .materialize()
+    deduped = _order_part_buckets(sf_dir)
 
     # total distinct orders: per-bucket exact counts (buckets own orders)
     def order_count(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {"n": [int(df["l_orderkey"].nunique())]})
 
-    n_orders = int(deduped.groupby("_b")
-                   .map_groups(order_count, batch_format="pandas")
-                   .to_pandas()["n"].sum())
+    counts_df = deduped.groupby("_b") \
+        .map_groups(order_count, batch_format="pandas").to_pandas()
+    if counts_df.empty:  # empty lineitem: no baskets, empty result
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in (
+            "a_id", "b_id", "n_pair", "n_a", "n_b",
+            "conf_ab_ppm", "conf_ba_ppm", "lift_ppm")})
+    n_orders = int(counts_df["n"].sum())
 
-    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(["l_orderkey", "l_partkey"])
-        m = df.merge(df, on="l_orderkey")
-        m = m[m["l_partkey_x"] < m["l_partkey_y"]]
-        out = m.groupby(["l_partkey_x", "l_partkey_y"],
-                        as_index=False).size().rename(columns={"size": "n"})
-        out["_p"] = ((out["l_partkey_x"].astype("int64") * 1_000_003
-                      + out["l_partkey_y"].astype("int64")) % 64) \
-            .astype("int64")
-        return out
-
-    def pair_merge(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(["l_partkey_x", "l_partkey_y"],
-                         as_index=False)["n"].sum()
-        out = out[out["n"] >= support]
-        return pd.DataFrame({
-            "a_id": out["l_partkey_x"].astype("int64"),
-            "b_id": out["l_partkey_y"].astype("int64"),
-            "n_pair": out["n"].astype("int64")})
-
-    pairs = deduped.groupby("_b") \
-        .map_groups(gen_pairs, batch_format="pandas") \
-        .groupby("_p").map_groups(pair_merge, batch_format="pandas") \
+    pairs = _co_order_pair_counts(sf_dir, support, deduped=deduped) \
         .materialize()
 
     # per-part distinct-order counts: the (order, part) dedup must be
@@ -5409,8 +5408,14 @@ def orders_basket_rules(sf_dir: str, support: int = 3) -> pd.DataFrame:
             return pd.DataFrame(
                 {x: pd.Series([], dtype="int64") for x in cols})
         out = df.copy()
-        out["conf_ab_ppm"] = (out["n_pair"] * 1_000_000) // out["n_a"]
-        out["conf_ba_ppm"] = (out["n_pair"] * 1_000_000) // out["n_b"]
+        # ×10⁶ exceeds int64 once pair counts pass ~9.2e12 — Python big
+        # ints here too (numpy would wrap silently where BIGINT errors)
+        out["conf_ab_ppm"] = np.array(
+            [(int(x) * 1_000_000) // int(a)
+             for x, a in zip(out["n_pair"], out["n_a"])], dtype="int64")
+        out["conf_ba_ppm"] = np.array(
+            [(int(x) * 1_000_000) // int(b)
+             for x, b in zip(out["n_pair"], out["n_b"])], dtype="int64")
         # ×N×10⁶ exceeds int64 at web scale — Python big ints (HUGEINT twin)
         out["lift_ppm"] = np.array(
             [(int(p) * n_orders * 1_000_000) // (int(a) * int(b))
@@ -5482,8 +5487,12 @@ def parts_kcore_peel(sf_dir: str, rounds: int = 3,
         return pd.DataFrame({"v": u.astype("int64"),
                              "n": c.astype("int64")})
 
-    hist = universe.map_batches(deg_hist, batch_format="pandas") \
-        .to_pandas().groupby("v")["n"].sum().sort_index()
+    hist_df = universe.map_batches(deg_hist, batch_format="pandas") \
+        .to_pandas()
+    if hist_df.empty:  # empty graph: nothing to peel, empty result
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in ("part", "degree", "dropped_round")})
+    hist = hist_df.groupby("v")["n"].sum().sort_index()
     counts = hist.to_numpy(dtype="int64")
     n_nodes = int(counts.sum())
     pos = (n_nodes - 1) // 4  # quantile_disc(0.25): floor(p·(n−1))
@@ -5564,18 +5573,22 @@ def parts_kcore_peel(sf_dir: str, rounds: int = 3,
     if survivors.empty:  # total cascade: every map emitted a schema-less
         survivors = pd.DataFrame({"node": pd.Series([], dtype="int64"),
                                   "deg": pd.Series([], dtype="int64")})
-    rows = pd.concat([
-        pd.DataFrame({"part": survivors["node"].astype("int64"),
-                      "degree": survivors["deg"].astype("int64"),
-                      "dropped_round": np.zeros(len(survivors),
-                                                dtype="int64")}),
-        pd.DataFrame({"part": list(dropped.keys()),
-                      "degree": np.zeros(len(dropped), dtype="int64"),
-                      "dropped_round": list(dropped.values())}),
-        # survivors with zero remaining edges (not peeled, every edge
-        # gone only via the FINAL filter) cannot occur: a zero-degree
-        # unpeeled node would have been a victim in the last round
-    ], ignore_index=True)
+    # final rows come from the NODE UNIVERSE, not the surviving edges: an
+    # unpeeled node whose last neighbors died in the final round has zero
+    # surviving edges but still belongs in the output with degree 0
+    all_nodes = universe.map_batches(
+        lambda df: df[["node"]], batch_format="pandas").to_pandas()
+    if all_nodes.empty:
+        all_nodes = pd.DataFrame({"node": pd.Series([], dtype="int64")})
+    deg_map = dict(zip(survivors["node"].astype("int64"),
+                       survivors["deg"].astype("int64")))
+    node = all_nodes["node"].to_numpy(dtype="int64")
+    rows = pd.DataFrame({
+        "part": node,
+        "degree": pd.Series(node).map(deg_map).fillna(0).astype("int64"),
+        "dropped_round": pd.Series(node).map(dropped).fillna(0)
+        .astype("int64")})
+    rows.loc[rows["dropped_round"] > 0, "degree"] = 0
     for c in rows.columns:
         rows[c] = rows[c].astype("int64")
     return rows.sort_values("part").reset_index(drop=True)
@@ -5631,6 +5644,9 @@ def events_invalid_transitions(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(keyed, batch_format="pandas") \
         .groupby("_b").map_groups(bucket_scan, batch_format="pandas") \
         .to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in (
+            "user_id", "n_events", "n_purchases", "n_invalid")})
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)

@@ -553,3 +553,30 @@ def test_mmr_fewer_candidates_than_rounds(tmp_path):
     out = dq.emb_mmr(str(tmp_path))  # 3 candidates, 5 rounds
     assert list(out["round"]) == [1, 2, 3]
     assert set(out["vec_id"]) == {1, 2, 3}
+
+
+def test_entropy_and_hamming_edge_cases(tmp_path):
+    """Entropy returns a typed empty frame on an empty documents table;
+    Hamming codes stay exact at non-64-multiple dims (r2 review)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({"source": pa.array([], pa.string()),
+                     "lang": pa.array([], pa.string())})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    assert len(dq.docs_source_lang_entropy(str(tmp_path))) == 0
+
+    rng = np.random.default_rng(3)
+    dim = 96  # not a multiple of 64 → two words, zero-padded tail
+    vecs = [list(map(float, rng.standard_normal(dim))) for _ in range(6)]
+    emb = pa.table({"vec_id": pa.array(list(range(6)), pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float64())),
+                    "label": pa.array([0] * 6, pa.int64())})
+    pq.write_table(emb, tmp_path / "embeddings.parquet")
+    out = dq.emb_hamming_topk(str(tmp_path), k=6)
+    q = np.array(vecs[0])
+    exp = [(int(((np.array(v) >= 0) != (q >= 0)).sum()), i)
+           for i, v in enumerate(vecs)]
+    exp.sort()
+    assert list(out["vec_id"]) == [i for (_, i) in exp]
+    assert list(out["hamming"]) == [h for (h, _) in exp]

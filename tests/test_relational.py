@@ -465,3 +465,53 @@ def test_manifest_stats_fractional_quantities(tmp_path):
     # 64 rows × floor(230.5) = 64 × 230 — identical however blocks split
     assert int(out["sum_qty_c100"].iloc[0]) == 64 * 230
     assert int(out["n_parts"].iloc[0]) == 5
+
+
+def test_kcore_keeps_zero_degree_survivors(tmp_path):
+    """A node that survives every peel round but loses all its edges in
+    the final round must still appear with (degree 0, dropped_round 0) —
+    the SQL oracle emits it from the node universe (r2 review repro)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # star chain: 1-2, 1-3, 2-4, 3-5, 4-6, 5-7 (each co-ordered twice)
+    edges = [(1, 2), (1, 3), (2, 4), (3, 5), (4, 6), (5, 7)]
+    orders, parts = [], []
+    oid = 0
+    for (u, v) in edges:
+        for _ in range(2):
+            orders += [oid, oid]
+            parts += [u, v]
+            oid += 1
+    t = pa.table({"l_orderkey": pa.array(orders, pa.int64()),
+                  "l_partkey": pa.array(parts, pa.int64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = rel.parts_kcore_peel(str(tmp_path))
+    # k = 2; rounds peel {6,7}, {4,5}, {2,3}; node 1 survives edgeless
+    row = out[out["part"] == 1]
+    assert len(row) == 1
+    assert int(row["degree"].iloc[0]) == 0
+    assert int(row["dropped_round"].iloc[0]) == 0
+    assert set(out[out["dropped_round"] == 1]["part"]) == {6, 7}
+    assert set(out[out["dropped_round"] == 2]["part"]) == {4, 5}
+    assert set(out[out["dropped_round"] == 3]["part"]) == {2, 3}
+
+
+def test_new_rel_operators_handle_empty_tables(tmp_path):
+    """Empty inputs return typed empty frames, never KeyError (the Ray
+    empty-block-loses-schema class; r2 review findings)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    li = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                   "l_partkey": pa.array([], pa.int64())})
+    pq.write_table(li, tmp_path / "lineitem.parquet")
+    ev = pa.table({"user_id": pa.array([], pa.int64()),
+                   "ts": pa.array([], pa.timestamp("us")),
+                   "event_id": pa.array([], pa.int64()),
+                   "event_type": pa.array([], pa.string())})
+    pq.write_table(ev, tmp_path / "events.parquet")
+    assert len(rel.parts_kcore_peel(str(tmp_path))) == 0
+    assert len(rel.orders_basket_rules(str(tmp_path))) == 0
+    assert len(rel.events_invalid_transitions(str(tmp_path))) == 0
+    assert len(rel.events_bitmap_distinct(str(tmp_path))) == 0
