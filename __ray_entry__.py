@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_filter": dq.docs_line_filter,
         "docs_line_dedup": dq.docs_line_dedup,
         "emb_hamming_topk": dq.emb_hamming_topk,
+        "emb_hamming_recall": dq.emb_hamming_recall,
         "emb_mmr": dq.emb_mmr,
         "docs_bm25": dq.docs_bm25,
         "parts_neighbor_jaccard": rel.parts_neighbor_jaccard,
@@ -563,6 +564,49 @@ def _hamming_sql(k: int = 10, dims: int = 64) -> str:
         FROM (SELECT e.vec_id, ({terms}) AS ham
               FROM embeddings e CROSS JOIN q)
         ORDER BY ham, vec_id LIMIT {k}
+    """
+
+
+def _hamming_recall_sql(k: int = 10, n_queries: int = 8,
+                        dims: int = 64) -> str:
+    """Recall@k of sign-code Hamming top-k vs exact cosine top-k — twin
+    of docqueries.emb_hamming_recall (query excluded from both sets;
+    ties break by vec_id in both rankings)."""
+    terms = " + ".join(
+        f"(CASE WHEN (e.embedding[{i + 1}] >= 0) <> (q.qe[{i + 1}] >= 0)"
+        f" THEN 1 ELSE 0 END)" for i in range(dims))
+    return f"""
+        WITH q AS (
+          SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+          FROM embeddings WHERE vec_id < {n_queries}
+        ), ham AS (
+          SELECT q.qid, e.vec_id AS vid, ({terms}) AS hd
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+        ), htop AS (
+          SELECT qid, vid FROM (
+            SELECT qid, vid,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY hd, vid) AS rn
+            FROM ham) WHERE rn <= {k}
+        ), cs AS (
+          SELECT q.qid, e.vec_id AS vid,
+                 list_cosine_similarity(
+                     CAST(e.embedding AS DOUBLE[]), q.qe) AS s
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+        ), ctop AS (
+          SELECT qid, vid FROM (
+            SELECT qid, vid,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY s DESC, vid) AS rn
+            FROM cs) WHERE rn <= {k}
+        )
+        SELECT c.qid AS query_vec_id,
+               CAST(SUM(CASE WHEN h.vid IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               CAST(SUM(CASE WHEN h.vid IS NOT NULL THEN 1 ELSE 0 END)
+                    * 1000000 // {k} AS BIGINT) AS recall_ppm
+        FROM ctop c LEFT JOIN htop h ON h.qid = c.qid AND h.vid = c.vid
+        GROUP BY c.qid ORDER BY query_vec_id
     """
 
 
@@ -3377,6 +3421,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY doc_id ORDER BY doc_id
         """,
         "emb_hamming_topk": _hamming_sql(),
+        "emb_hamming_recall": _hamming_recall_sql(),
         "emb_mmr": _mmr_sql(),
         "docs_bm25": _bm25_sql(),
         # neighborhood Jaccard over the co-order part graph (support 2)

@@ -4018,6 +4018,18 @@ def docs_line_dedup(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _sign_words(mat: np.ndarray) -> np.ndarray:
+    """(rows × ceil(dim/64)) uint64 sign codes (bit i = mat[:, i] >= 0);
+    tail bits zero-pad so XOR-popcount stays exact at any dimension."""
+    bits = mat >= 0.0
+    pad = (-bits.shape[1]) % 64
+    if pad:
+        bits = np.concatenate(
+            [bits, np.zeros((bits.shape[0], pad), dtype=bool)], axis=1)
+    return np.packbits(bits, axis=1).copy().view(">u8") \
+        .astype(np.uint64)
+
+
 def emb_hamming_topk(sf_dir: str, query_vec_id: int = 0,
                      k: int = 10) -> pd.DataFrame:
     """Top-``k`` vectors by Hamming distance between sign codes
@@ -4031,18 +4043,6 @@ def emb_hamming_topk(sf_dir: str, query_vec_id: int = 0,
     from ..stages.dedup import _popcount64
 
     q = _query_vec(sf_dir, query_vec_id)
-
-    def _sign_words(mat: np.ndarray) -> np.ndarray:
-        """(rows × ceil(dim/64)) uint64 sign codes; tail bits zero-pad so
-        XOR-popcount stays exact at any dimension."""
-        bits = mat >= 0.0
-        pad = (-bits.shape[1]) % 64
-        if pad:
-            bits = np.concatenate(
-                [bits, np.zeros((bits.shape[0], pad), dtype=bool)], axis=1)
-        return np.packbits(bits, axis=1).copy().view(">u8") \
-            .astype(np.uint64)
-
     qcode = _sign_words(q.reshape(1, -1))[0]
 
     def partial(t: pa.Table) -> pd.DataFrame:
@@ -4363,3 +4363,91 @@ def docs_source_lang_entropy(sf_dir: str) -> pd.DataFrame:
     for c in ("n_docs", "n_langs", "entropy_micronat"):
         out[c] = out[c].astype("int64")
     return out.sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Binary-quantization recall audit: recall@k of the sign-code Hamming
+# path against exact cosine top-k — the eval that decides whether the
+# 8-byte-per-vector first stage is safe for a corpus (emb_ivf_recall's
+# shape for the binary index).
+# ---------------------------------------------------------------------------
+
+
+def emb_hamming_recall(sf_dir: str, k: int = 10,
+                       n_queries: int = 8) -> pd.DataFrame:
+    """(query_vec_id, n_hits, recall_ppm): overlap between Hamming top-k
+    and exact cosine top-k for the first ``n_queries`` vectors (query
+    itself excluded from both candidate sets).
+
+    Scale shape: ONE streaming pass serves all queries — each block
+    scores every query against its rows (sign codes: XOR+popcount; exact:
+    one matmul against the broadcast query block) and emits two top-k
+    partials per query; the driver merges ≤ 2·k·blocks·queries projection
+    rows."""
+    import pyarrow.parquet as pq_mod
+
+    from ..stages.dedup import _popcount64
+
+    qt = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"],
+                           filters=[("vec_id", "<", n_queries)])
+    q_ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    q_mat = np.stack(qt["embedding"].to_numpy(zero_copy_only=False)) \
+        .astype(np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    q_codes = _sign_words(q_mat)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = ("query_vec_id", "vec_id", "metric", "kind")
+        if len(t) == 0:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in cols})
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        codes = _sign_words(vecs)
+        norms = np.sqrt((vecs * vecs).sum(axis=1))
+        frames = []
+        for qi in range(len(q_ids)):
+            keep = ids != q_ids[qi]
+            if not keep.any():
+                continue
+            bid, bvec, bcode = ids[keep], vecs[keep], codes[keep]
+            # Hamming partial (ascending metric)
+            ham = np.zeros(len(bcode), dtype="int64")
+            for w in range(bcode.shape[1]):
+                ham += _popcount64(bcode[:, w] ^ q_codes[qi][w])
+            take = min(k, len(bid))
+            hsel = np.lexsort((bid, ham))[:take]
+            frames.append(pd.DataFrame({
+                "query_vec_id": q_ids[qi], "vec_id": bid[hsel],
+                "metric": ham[hsel], "kind": 0}))
+            # exact cosine partial (descending similarity → negate to
+            # reuse the ascending merge; ppm-rounded like emb_knn ranks)
+            cos = (bvec @ q_mat[qi]) / (norms[keep] * q_norm[qi])
+            csel = np.lexsort((bid, -cos))[:take]
+            frames.append(pd.DataFrame({
+                "query_vec_id": q_ids[qi], "vec_id": bid[csel],
+                "metric": -np.round(cos[csel] * 1e9).astype("int64"),
+                "kind": 1}))
+        if not frames:
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="int64") for c in cols})
+        return pd.concat(frames, ignore_index=True)
+
+    parts = _emb(sf_dir).map_batches(partial, batch_format="pyarrow") \
+        .to_pandas()
+    rows = []
+    for qid in q_ids:
+        sub = parts[parts["query_vec_id"] == qid]
+        ham_top = sub[sub["kind"] == 0].sort_values(["metric", "vec_id"]) \
+            .head(k)["vec_id"]
+        cos_top = sub[sub["kind"] == 1].sort_values(["metric", "vec_id"]) \
+            .head(k)["vec_id"]
+        hits = len(set(ham_top) & set(cos_top))
+        rows.append({"query_vec_id": int(qid), "n_hits": hits,
+                     "recall_ppm": (hits * 1_000_000) // k})
+    out = pd.DataFrame(rows)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("query_vec_id").reset_index(drop=True)

@@ -71,6 +71,7 @@ ORACLE_QUERIES = [
     "docs_line_filter",
     "docs_line_dedup",
     "emb_hamming_topk",
+    "emb_hamming_recall",
     "emb_mmr",
     "docs_bm25",
     "docs_zipf_slope",
@@ -580,3 +581,24 @@ def test_entropy_and_hamming_edge_cases(tmp_path):
     exp.sort()
     assert list(out["vec_id"]) == [i for (_, i) in exp]
     assert list(out["hamming"]) == [h for (h, _) in exp]
+
+
+def test_hamming_recall_small_pool(tmp_path):
+    """emb_hamming_recall with fewer candidates than k and non-64 dims:
+    each query sees 5 candidates, both top-k sets are the full pool, so
+    recall_ppm = 5*1e6 // 10 = 500000 for every query; queries are the
+    available vec_id<8 rows even when the table has fewer than 8."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    dim = 80  # non-multiple of 64 → padded second word
+    vecs = [list(map(float, rng.standard_normal(dim))) for _ in range(6)]
+    emb = pa.table({"vec_id": pa.array(list(range(6)), pa.int64()),
+                    "embedding": pa.array(vecs, pa.list_(pa.float64())),
+                    "label": pa.array([0] * 6, pa.int64())})
+    pq.write_table(emb, tmp_path / "embeddings.parquet")
+    out = dq.emb_hamming_recall(str(tmp_path), k=10)
+    assert list(out["query_vec_id"]) == list(range(6))
+    assert (out["n_hits"] == 5).all()
+    assert (out["recall_ppm"] == 500000).all()
