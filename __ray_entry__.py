@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_line_dedup": dq.docs_line_dedup,
         "emb_hamming_topk": dq.emb_hamming_topk,
         "emb_hamming_recall": dq.emb_hamming_recall,
+        "docs_bpe_merges": dq.docs_bpe_merges,
         "emb_mmr": dq.emb_mmr,
         "docs_bm25": dq.docs_bm25,
         "parts_neighbor_jaccard": rel.parts_neighbor_jaccard,
@@ -653,6 +654,50 @@ def _mmr_sql(k: int = 5, dims: int = 64) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS round, vec_id, score FROM pick_{r}"
         for r in range(1, k + 1))
+    parts.append(f"\n{union}\nORDER BY round")
+    return "".join(parts)
+
+
+def _bpe_sql(rounds: int = 5) -> str:
+    """Generated BPE-training twin of docqueries.docs_bpe_merges: one
+    (pair-count, winner, apply) CTE triple per round.  Both sides merge
+    via leftmost-nonoverlapping replace over sentinel-wrapped symbols
+    (chr(1)/chr(2) wrappers share no characters between adjacent
+    matches), so SQL ``replace`` is bit-identical to the engine's
+    str.replace merge rule."""
+    parts = [r"""WITH w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+    FROM documents) GROUP BY word
+), v0 AS (
+  SELECT chr(1) || list_aggregate(string_split(word, ''), 'string_agg',
+                                  chr(2) || chr(1)) || chr(2) AS sym, n
+  FROM w0
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", p{r} AS (
+  SELECT pair, SUM(n) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(l)),
+                                 i -> l[i] || chr(3) || l[i+1])) AS pair, n
+    FROM (SELECT string_split(substr(sym, 2, length(sym) - 2),
+                              chr(2) || chr(1)) AS l, n FROM v{r - 1}))
+  GROUP BY pair
+), win{r} AS (
+  SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+), v{r} AS (
+  SELECT replace(v.sym,
+                 chr(1) || string_split(w.pair, chr(3))[1] || chr(2) ||
+                 chr(1) || string_split(w.pair, chr(3))[2] || chr(2),
+                 chr(1) || string_split(w.pair, chr(3))[1] ||
+                 string_split(w.pair, chr(3))[2] || chr(2)) AS sym, v.n
+  FROM v{r - 1} v CROSS JOIN win{r} w
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"string_split(pair, chr(3))[1] AS s1, "
+        f"string_split(pair, chr(3))[2] AS s2, "
+        f"CAST(cnt AS BIGINT) AS n FROM win{r}"
+        for r in range(1, rounds + 1))
     parts.append(f"\n{union}\nORDER BY round")
     return "".join(parts)
 
@@ -3422,6 +3467,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_hamming_topk": _hamming_sql(),
         "emb_hamming_recall": _hamming_recall_sql(),
+        "docs_bpe_merges": _bpe_sql(),
         "emb_mmr": _mmr_sql(),
         "docs_bm25": _bm25_sql(),
         # neighborhood Jaccard over the co-order part graph (support 2)

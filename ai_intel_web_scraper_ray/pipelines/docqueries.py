@@ -4451,3 +4451,137 @@ def emb_hamming_recall(sf_dir: str, k: int = 10,
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("query_vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Distributed BPE tokenizer training (Sennrich, Haddow & Birch 2016,
+# "Neural Machine Translation of Rare Words with Subword Units", public):
+# learn the first N merge rules from the corpus.  The engine applies a
+# pinned offline tokenizer elsewhere (functions/tokenizer.py); this is the
+# missing other half — TRAINING a subword vocabulary at corpus scale.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+_BPE_S1, _BPE_S2 = "\x01", "\x02"   # per-symbol wrappers
+_BPE_SEP = "\x03"                   # pair-key separator (< any word char)
+
+
+def _bpe_wrap(sym: str) -> str:
+    return _BPE_S1 + sym + _BPE_S2
+
+
+def docs_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS) -> pd.DataFrame:
+    """First ``rounds`` BPE merge rules (round, s1, s2, n) learned from
+    the corpus: each round merges the adjacent symbol pair with the
+    highest frequency-weighted count (ties by pair key ascending).
+
+    Scale shape:
+    - the corpus collapses ONCE to the distinct-word frequency table
+      (per-batch Counter partials → distributed ``groupby("word")``, the
+      docs_top_tokens exchange); every later pass is vocab-sized, never
+      corpus-sized — at web scale the vocab table is millions of rows
+      while the corpus is billions of documents;
+    - pair counting per round: per-block Counter partials (overlapping
+      adjacent pairs, weighted by word freq) under the repo-standard
+      64-way pair-hash bucket groupby; each bucket emits its top-1, the
+      driver picks the global winner over ≤64 rows;
+    - merge application is ONE vectorized leftmost-nonoverlapping
+      ``str.replace`` per round over sentinel-wrapped symbol strings
+      ("\\x01sym\\x02" per symbol): wrappers make adjacent matches share
+      no characters, so plain non-overlapping replace IS the BPE merge
+      rule — bit-identical semantics in Python str.replace, RE2 and SQL
+      ``replace`` (no lookarounds anywhere);
+    - rounds are inherently sequential (each merge changes the next
+      round's pair counts — the kmeans_iterate precedent), but each
+      round is ONE distributed execution: instead of materializing the
+      mutated vocab per round, workers re-derive it from the pinned
+      merge list (≤ rounds tiny strings in the task closure, ≤ rounds
+      vectorized replaces) inside the same pass that counts the next
+      round's pairs.  At large R (real tokenizers train 30–50k merges)
+      checkpoint the applied vocab every K rounds to bound the replay —
+      same trade the crawl checkpoints make.
+
+    Word contract: ``[a-z0-9_]+`` over lowercased text, shared with
+    docs_top_tokens, so sentinel bytes can never occur inside a symbol.
+    Stops early (emits fewer rows) if a round finds no pairs."""
+    import polars as pl
+
+    ds = _docs(sf_dir, ["text"])
+
+    def word_partial(t: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for text in t["text"].to_pylist():
+            c.update(re.findall(r"[a-z0-9_]+", (text or "").lower()))
+        words = list(c.keys())
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "n": pa.array([c[w] for w in words], pa.int64()),
+        })
+
+    def wrap(t: pa.Table) -> pa.Table:
+        words = t["word"].to_pylist()
+        return pa.table({
+            "sym": pa.array(["".join(_bpe_wrap(ch) for ch in w)
+                             for w in words], pa.string()),
+            "n": pa.array(t["sum(n)"].to_numpy(zero_copy_only=False)
+                          .astype("int64"), pa.int64()),
+        })
+
+    vocab = ds.map_batches(word_partial, batch_format="pyarrow") \
+        .groupby("word").sum("n") \
+        .map_batches(wrap, batch_format="pyarrow").materialize()
+
+    def make_pair_partial(patreps):
+        def pair_partial(df: pd.DataFrame) -> pa.Table:
+            from collections import Counter
+
+            s = df["sym"]
+            for pat, rep in patreps:    # replay pinned merges so far
+                s = s.str.replace(pat, rep, regex=False)
+            c: Counter = Counter()
+            for sym, n in zip(s, df["n"].to_numpy()):
+                syms = sym[1:-1].split(_BPE_S2 + _BPE_S1)
+                for a, b in zip(syms, syms[1:]):
+                    c[a + _BPE_SEP + b] += int(n)
+            keys = list(c.keys())
+            bucket = (pl.Series(keys).hash(seed=0) % 64).to_numpy() \
+                .astype(np.int64) if keys else np.array([], dtype=np.int64)
+            return pa.table({
+                "pair": pa.array(keys, pa.string()),
+                "cnt": pa.array([c[k] for k in keys], pa.int64()),
+                "_b": pa.array(bucket, pa.int64()),
+            })
+
+        return pair_partial
+
+    def bucket_top1(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"pair": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype="int64")})
+        agg = df.groupby("pair", as_index=False)["cnt"].sum()
+        return agg.sort_values(["cnt", "pair"], ascending=[False, True]) \
+            .head(1)[["pair", "cnt"]]
+
+    merges = []
+    patreps = []
+    for r in range(1, rounds + 1):
+        cands = vocab.map_batches(make_pair_partial(list(patreps)),
+                                  batch_format="pandas") \
+            .groupby("_b").map_groups(bucket_top1, batch_format="pandas") \
+            .to_pandas()
+        if len(cands) == 0:
+            break
+        win = cands.sort_values(["cnt", "pair"],
+                                ascending=[False, True]).iloc[0]
+        a, b = win["pair"].split(_BPE_SEP)
+        merges.append({"round": r, "s1": a, "s2": b, "n": int(win["cnt"])})
+        patreps.append((_bpe_wrap(a) + _bpe_wrap(b), _bpe_wrap(a + b)))
+
+    out = pd.DataFrame(merges, columns=["round", "s1", "s2", "n"])
+    out["round"] = out["round"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    out["s1"] = out["s1"].astype(str)
+    out["s2"] = out["s2"].astype(str)
+    return out.reset_index(drop=True)

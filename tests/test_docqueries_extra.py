@@ -72,6 +72,7 @@ ORACLE_QUERIES = [
     "docs_line_dedup",
     "emb_hamming_topk",
     "emb_hamming_recall",
+    "docs_bpe_merges",
     "emb_mmr",
     "docs_bm25",
     "docs_zipf_slope",
@@ -583,7 +584,28 @@ def test_entropy_and_hamming_edge_cases(tmp_path):
     assert list(out["hamming"]) == [h for (h, _) in exp]
 
 
-def test_hamming_recall_small_pool(tmp_path):
+def test_bpe_merge_semantics(tmp_path):
+    """Pins the BPE contract on a hand-computed corpus: pair counts are
+    OVERLAPPING ("aaaa" has 3 (a,a) adjacencies), merge application is
+    leftmost-NON-overlapping ("a a a a" -> "aa aa", not "aa a a"), and
+    the loop stops early when no pairs remain."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["aaaa aaaa bc", "bc bc"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "source": pa.array(["s", "s"], pa.string()),
+        "n_chars": pa.array([12, 5], pa.int64()),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = dq.docs_bpe_merges(str(tmp_path))  # rounds=5, stops after 3
+    rows = list(out.itertuples(index=False, name=None))
+    # r1: (a,a) 3 overlapping adjacencies x freq 2 = 6, beats (b,c)=3
+    # r2: after "aaaa"->"aa aa", (aa,aa)=2 < (b,c)=3 -> (b,c) wins
+    # r3: (aa,aa)=2 is the only pair left; r4 finds none -> early stop
+    assert rows == [(1, "a", "a", 6), (2, "b", "c", 3), (3, "aa", "aa", 2)]
     """emb_hamming_recall with fewer candidates than k and non-64 dims:
     each query sees 5 candidates, both top-k sets are the full pool, so
     recall_ppm = 5*1e6 // 10 = 500000 for every query; queries are the
