@@ -351,6 +351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_linreg": rel.events_linreg,
         "events_concurrency": rel.events_concurrency,
         "parts_bfs_levels": rel.parts_bfs_levels,
+        "parts_sssp": rel.parts_sssp,
         "events_gap_fill": rel.events_gap_fill,
         "docs_phrase_search": dq.docs_phrase_search,
         "emb_random_projection": dq.emb_random_projection,
@@ -655,6 +656,43 @@ def _mmr_sql(k: int = 5, dims: int = 64) -> str:
         f"SELECT CAST({r} AS BIGINT) AS round, vec_id, score FROM pick_{r}"
         for r in range(1, k + 1))
     parts.append(f"\n{union}\nORDER BY round")
+    return "".join(parts)
+
+
+def _sssp_sql(rounds: int = 3) -> str:
+    """Hop-bounded Bellman-Ford twin of relational.parts_sssp: the
+    relax-then-min round is generated once per hop; integer edge costs
+    make every round's min tie-free."""
+    parts = ["""
+        WITH dedup AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), pairs AS (
+            SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS n
+            FROM dedup a JOIN dedup b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+            GROUP BY x, y HAVING COUNT(*) >= 2
+        ), e AS (
+            SELECT x AS src, y AS dst, 1000000 // n AS w FROM pairs
+            UNION ALL
+            SELECT y, x, 1000000 // n FROM pairs
+        ), d0 AS (
+            SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS cost FROM e
+            HAVING COUNT(*) > 0
+        )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", d{r} AS (
+            SELECT node, MIN(cost) AS cost FROM (
+                SELECT node, cost FROM d{r - 1}
+                UNION ALL
+                SELECT e.dst AS node, d.cost + e.w AS cost
+                FROM d{r - 1} d JOIN e ON e.src = d.node
+            ) GROUP BY node
+        )""")
+    parts.append(f"""
+        SELECT node AS l_partkey, CAST(cost AS BIGINT) AS cost
+        FROM d{rounds} ORDER BY node
+    """)
     return "".join(parts)
 
 
@@ -3468,6 +3506,7 @@ def oracle_sql() -> dict[str, str]:
         "emb_hamming_topk": _hamming_sql(),
         "emb_hamming_recall": _hamming_recall_sql(),
         "docs_bpe_merges": _bpe_sql(),
+        "parts_sssp": _sssp_sql(),
         "emb_mmr": _mmr_sql(),
         "docs_bm25": _bm25_sql(),
         # neighborhood Jaccard over the co-order part graph (support 2)

@@ -4519,6 +4519,85 @@ def parts_bfs_levels(sf_dir: str, support: int = _BFS_SUPPORT,
     return out.sort_values("l_partkey").reset_index(drop=True)
 
 
+_SSSP_SUPPORT = 2
+_SSSP_ROUNDS = 3
+
+
+def parts_sssp(sf_dir: str, support: int = _SSSP_SUPPORT,
+               rounds: int = _SSSP_ROUNDS) -> pd.DataFrame:
+    """Hop-bounded weighted single-source shortest path (Bellman-Ford,
+    ``rounds`` relaxation rounds) from the minimum part key over the
+    co-order graph: edge cost = 1_000_000 // n_pair (heavily co-ordered
+    parts are "closer"), so cost is exact int64 and tie-free to merge.
+
+    Scale shape: the weighted edge Dataset stays on the workers; each
+    round broadcasts the current distance MAP (the parts_bfs_levels
+    partitioning assumption: a bounded-radius query's reached set fits
+    one broadcast — a GLOBAL SSSP would switch to the label-propagation
+    exchange shape of parts_components) and ONE edge scan emits
+    per-block min-relaxation partials (node, candidate_cost); the driver
+    merges ≤ reached × blocks rows with an integer min.  A node relaxed
+    in round r can be improved again in round r+1 via a cheaper 2-hop
+    path — the min-merge keeps Bellman-Ford semantics, and the loop
+    stops early on a fixpoint.  The DuckDB twin iterates the identical
+    relax-then-min rounds as generated CTEs."""
+    import ray
+
+    counts = _co_order_pair_counts(sf_dir, support).materialize()
+    empty = pd.DataFrame({"l_partkey": pd.Series([], dtype="int64"),
+                          "cost": pd.Series([], dtype="int64")})
+    if counts.count() == 0:
+        return empty
+
+    def block_min(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"m": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            {"m": [int(min(df["a_id"].min(), df["b_id"].min()))]})
+
+    src = int(counts.map_batches(block_min, batch_format="pandas")
+              .to_pandas()["m"].min())
+
+    dist = {src: 0}
+    for _ in range(rounds):
+        d_ref = ray.put(dict(dist))
+
+        def relax(df: pd.DataFrame) -> pd.DataFrame:
+            d = pd.Series(ray.get(d_ref), dtype="float64")
+            a = df["a_id"].to_numpy().astype("int64")
+            b = df["b_id"].to_numpy().astype("int64")
+            w = (1_000_000 // df["n_pair"].to_numpy()).astype("int64")
+            da = pd.Series(a).map(d).to_numpy()
+            db = pd.Series(b).map(d).to_numpy()
+            am, bm = ~np.isnan(da), ~np.isnan(db)
+            nodes = np.concatenate([b[am], a[bm]])
+            # costs ≤ rounds × 1e6 — exact in float64, cast back to int64
+            costs = np.concatenate([da[am] + w[am], db[bm] + w[bm]]) \
+                .astype("int64")
+            out = pd.DataFrame({"node": pd.Series(nodes, dtype="int64"),
+                                "cost": pd.Series(costs, dtype="int64")})
+            return out.groupby("node", as_index=False)["cost"].min()
+
+        cands = counts.map_batches(relax, batch_format="pandas") \
+            .to_pandas()
+        changed = False
+        if len(cands):
+            merged = cands.groupby("node")["cost"].min()
+            for node, cost in merged.items():
+                node, cost = int(node), int(cost)
+                if node not in dist or cost < dist[node]:
+                    dist[node] = cost
+                    changed = True
+        if not changed:
+            break
+
+    out = pd.DataFrame({"l_partkey": list(dist),
+                        "cost": [dist[k] for k in dist]})
+    out["l_partkey"] = out["l_partkey"].astype("int64")
+    out["cost"] = out["cost"].astype("int64")
+    return out.sort_values("l_partkey").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # time-series resample + gap fill: hourly last-observation-carried-forward
 # per event type over the corpus's full hour range — the regularization a

@@ -103,8 +103,35 @@ ORACLE_QUERIES = [
     "events_linreg",
     "events_concurrency",
     "parts_bfs_levels",
+    "parts_sssp",
     "events_gap_fill",
 ]
+
+
+def test_sssp_two_hop_cheaper_than_direct(tmp_path):
+    """Bellman-Ford re-relaxation: node 3 is first reached in round 1 via
+    the expensive direct edge (1,3) and must be IMPROVED in round 2 by
+    the cheaper 2-hop path 1→2→3 — the property BFS levels can't see."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+    rows_ok, rows_pk = [], []
+    ok = 0
+    for parts, n_orders in (((1, 2), 10), ((2, 3), 10), ((1, 3), 2)):
+        for _ in range(n_orders):
+            ok += 1
+            for p in parts:
+                rows_ok.append(ok)
+                rows_pk.append(p)
+    t = pa.table({"l_orderkey": pa.array(rows_ok, pa.int64()),
+                  "l_partkey": pa.array(rows_pk, pa.int64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = rel.parts_sssp(str(tmp_path))
+    got = dict(zip(out["l_partkey"], out["cost"]))
+    # w(1,2)=w(2,3)=1e6//10=100000; w(1,3)=1e6//2=500000
+    assert got == {1: 0, 2: 100000, 3: 200000}
 
 
 @pytest.fixture(scope="module")
