@@ -4391,6 +4391,10 @@ def emb_hamming_recall(sf_dir: str, k: int = 10,
     qt = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
                            columns=["vec_id", "embedding"],
                            filters=[("vec_id", "<", n_queries)])
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                          for c in ("query_vec_id", "n_hits", "recall_ppm")})
+    if len(qt) == 0:
+        return empty
     q_ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
     q_mat = np.stack(qt["embedding"].to_numpy(zero_copy_only=False)) \
         .astype(np.float64)
@@ -4437,9 +4441,13 @@ def emb_hamming_recall(sf_dir: str, k: int = 10,
 
     parts = _emb(sf_dir).map_batches(partial, batch_format="pyarrow") \
         .to_pandas()
+    if len(parts) == 0:     # every block emitted a typed empty — Ray
+        return empty        # still drops the schema on all-empty output
     rows = []
     for qid in q_ids:
         sub = parts[parts["query_vec_id"] == qid]
+        if len(sub) == 0:       # no candidates at all (1-row corpus):
+            continue            # the SQL twin emits no row either
         ham_top = sub[sub["kind"] == 0].sort_values(["metric", "vec_id"]) \
             .head(k)["vec_id"]
         cos_top = sub[sub["kind"] == 1].sort_values(["metric", "vec_id"]) \
@@ -4447,6 +4455,8 @@ def emb_hamming_recall(sf_dir: str, k: int = 10,
         hits = len(set(ham_top) & set(cos_top))
         rows.append({"query_vec_id": int(qid), "n_hits": hits,
                      "recall_ppm": (hits * 1_000_000) // k})
+    if not rows:
+        return empty
     out = pd.DataFrame(rows)
     for c in out.columns:
         out[c] = out[c].astype("int64")

@@ -606,6 +606,42 @@ def test_bpe_merge_semantics(tmp_path):
     # r2: after "aaaa"->"aa aa", (aa,aa)=2 < (b,c)=3 -> (b,c) wins
     # r3: (aa,aa)=2 is the only pair left; r4 finds none -> early stop
     assert rows == [(1, "a", "a", 6), (2, "b", "c", 3), (3, "aa", "aa", 2)]
+
+
+def test_new_ops_degenerate_tables(tmp_path):
+    """Empty/one-row inputs: emb_hamming_recall returns a typed empty
+    frame for an empty embeddings table AND for a 1-row corpus (the SQL
+    twin emits no row when a query has zero candidates); docs_bpe_merges
+    returns a typed empty frame when the corpus has no words."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    emb = pa.table({"vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64())),
+                    "label": pa.array([], pa.int64())})
+    pq.write_table(emb, tmp_path / "embeddings.parquet")
+    out = dq.emb_hamming_recall(str(tmp_path))
+    assert len(out) == 0 and list(out.columns) == [
+        "query_vec_id", "n_hits", "recall_ppm"]
+
+    one = pa.table({"vec_id": pa.array([0], pa.int64()),
+                    "embedding": pa.array([[1.0] * 64],
+                                          pa.list_(pa.float64())),
+                    "label": pa.array([0], pa.int64())})
+    pq.write_table(one, tmp_path / "embeddings.parquet")
+    assert len(dq.emb_hamming_recall(str(tmp_path))) == 0
+
+    docs = pa.table({"doc_id": pa.array([0], pa.int64()),
+                     "text": pa.array(["!!! ???"], pa.string()),
+                     "lang": pa.array(["en"], pa.string()),
+                     "source": pa.array(["s"], pa.string()),
+                     "n_chars": pa.array([7], pa.int64())})
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = dq.docs_bpe_merges(str(tmp_path))
+    assert len(out) == 0 and list(out.columns) == ["round", "s1", "s2", "n"]
+
+
+def test_hamming_recall_small_pool(tmp_path):
     """emb_hamming_recall with fewer candidates than k and non-64 dims:
     each query sees 5 candidates, both top-k sets are the full pool, so
     recall_ppm = 5*1e6 // 10 = 500000 for every query; queries are the
