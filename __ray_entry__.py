@@ -352,6 +352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_concurrency": rel.events_concurrency,
         "parts_bfs_levels": rel.parts_bfs_levels,
         "parts_sssp": rel.parts_sssp,
+        "orders_ship_calendar": rel.orders_ship_calendar,
         "events_gap_fill": rel.events_gap_fill,
         "docs_phrase_search": dq.docs_phrase_search,
         "emb_random_projection": dq.emb_random_projection,
@@ -3507,6 +3508,23 @@ def oracle_sql() -> dict[str, str]:
         "emb_hamming_recall": _hamming_recall_sql(),
         "docs_bpe_merges": _bpe_sql(),
         "parts_sssp": _sssp_sql(),
+        # FULL OUTER calendar alignment of the two fact-date streams
+        "orders_ship_calendar": """
+            WITH o AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY 1
+            ), s AS (
+                SELECT date_trunc('day', l_shipdate) AS day,
+                       COUNT(*) AS n_shipped
+                FROM lineitem GROUP BY 1
+            )
+            SELECT COALESCE(o.day, s.day) AS day,
+                   CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(s.n_shipped, 0) AS BIGINT) AS n_shipped
+            FROM o FULL OUTER JOIN s ON o.day = s.day
+            ORDER BY day
+        """,
         "emb_mmr": _mmr_sql(),
         "docs_bm25": _bm25_sql(),
         # neighborhood Jaccard over the co-order part graph (support 2)

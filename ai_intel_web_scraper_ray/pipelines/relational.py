@@ -3312,6 +3312,53 @@ def parts_triangles(sf_dir: str, min_weight: int = 2) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def orders_ship_calendar(sf_dir: str) -> pd.DataFrame:
+    """Daily order-placement counts FULL-OUTER-aligned with daily
+    line-shipment counts: one row per day present on EITHER side,
+    zero-filled where the other stream has no activity (ship dates trail
+    order dates by months, so both null paths are live).
+
+    Scale shape: each fact stream collapses to per-day count partials
+    inside map_batches (≤ |days| rows per block out), finished exactly
+    under a 64-way day-hash bucket groupby; the outer alignment then
+    merges two AGGREGATED calendars on the driver — a date domain is
+    bounded (30 years < 11k rows), so the FULL OUTER join is a
+    bounded-domain final, never a fact-table exchange."""
+    def day_partial(col):
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "day": pd.Series([], dtype="datetime64[ns]"),
+                    "n": pd.Series([], dtype="int64"),
+                    "_b": pd.Series([], dtype="int64")})
+            out = df[col].dt.floor("D").value_counts() \
+                .rename_axis("day").reset_index(name="n")
+            out["_b"] = (out["day"].astype("int64") % 64).astype("int64")
+            return out
+
+        return partial
+
+    def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "day": pd.Series([], dtype="datetime64[ns]"),
+                "n": pd.Series([], dtype="int64")})
+        return df.groupby("day", as_index=False)["n"].sum()
+
+    def daily(table: str, col: str) -> pd.DataFrame:
+        return _read(sf_dir, table, [col]) \
+            .map_batches(day_partial(col), batch_format="pandas") \
+            .groupby("_b").map_groups(bucket_sum, batch_format="pandas") \
+            .to_pandas()
+
+    o = daily("orders", "o_orderdate").rename(columns={"n": "n_orders"})
+    s = daily("lineitem", "l_shipdate").rename(columns={"n": "n_shipped"})
+    out = o.merge(s, on="day", how="outer")
+    for c in ("n_orders", "n_shipped"):
+        out[c] = out[c].fillna(0).astype("int64")
+    return out.sort_values("day").reset_index(drop=True)
+
+
 def events_new_users_daily(sf_dir: str) -> pd.DataFrame:
     """Count of users whose FIRST event falls on each day.
 

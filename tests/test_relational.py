@@ -104,8 +104,20 @@ ORACLE_QUERIES = [
     "events_concurrency",
     "parts_bfs_levels",
     "parts_sssp",
+    "orders_ship_calendar",
     "events_gap_fill",
 ]
+
+
+def test_ship_calendar_outer_sides_live():
+    """The FULL OUTER alignment must exercise BOTH null paths on the
+    testdata: ship dates trail order dates, so some days have orders but
+    no shipments and vice versa."""
+    from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+    out = rel.orders_ship_calendar(SF_DIR)
+    assert (out["n_orders"] == 0).any(), "no ship-only days"
+    assert (out["n_shipped"] == 0).any(), "no order-only days"
 
 
 def test_sssp_two_hop_cheaper_than_direct(tmp_path):
