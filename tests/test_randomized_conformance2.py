@@ -351,3 +351,54 @@ class TestCubeRangeMedian:
         out = rel.events_range_window(str(tmp_path))
         assert list(out.columns) == ["event_type", "day", "n", "sum_3d"]
         assert len(out) == 0
+
+
+class TestBpeMerges:
+    @pytest.mark.parametrize("seed", [5, 19, 63])
+    def test_matches_bruteforce(self, seed, tmp_path):
+        """docs_bpe_merges vs a sequential pure-Python BPE on random
+        corpora: small alphabets force repeated-symbol merges (the
+        'aaa' overlap class) and frequent count ties (the pair-key
+        tie-break)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+        rng = np.random.RandomState(seed)
+        words = ["".join(rng.choice(list("abc"), size=rng.randint(1, 7)))
+                 for _ in range(30)]
+        texts = [" ".join(rng.choice(words, size=rng.randint(3, 25)))
+                 for _ in range(12)]
+        docs = pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array(["s"] * len(texts), pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        })
+        pq.write_table(docs, tmp_path / "documents.parquet")
+
+        got = dq.docs_bpe_merges(str(tmp_path))
+
+        from collections import Counter
+        c: Counter = Counter()
+        for t in texts:
+            c.update(t.split())
+        w = lambda s: "\x01" + s + "\x02"  # noqa: E731
+        vocab = {"".join(w(ch) for ch in word): n for word, n in c.items()}
+        exp = []
+        for r in range(1, 6):
+            pc: Counter = Counter()
+            for sym, n in vocab.items():
+                syms = sym[1:-1].split("\x02\x01")
+                for a, b in zip(syms, syms[1:]):
+                    pc[a + "\x03" + b] += n
+            if not pc:
+                break
+            key = min(pc, key=lambda k: (-pc[k], k))
+            a, b = key.split("\x03")
+            exp.append((r, a, b, pc[key]))
+            vocab = {s.replace(w(a) + w(b), w(a + b)): n
+                     for s, n in vocab.items()}
+        assert list(got.itertuples(index=False, name=None)) == exp
