@@ -374,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_abc_classes": rel.parts_abc_classes,
         "orders_basket_rules": rel.orders_basket_rules,
         "parts_kcore_peel": rel.parts_kcore_peel,
+        "parts_clustering_coeff": rel.parts_clustering_coeff,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         # crawl + chunking (non-SQL, rows-only)
@@ -1525,6 +1526,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST((SELECT COUNT(*) FROM w
                          JOIN e ON w.y = e.u AND w.z = e.v) AS BIGINT)
                        AS n_triangles
+        """,
+        "parts_clustering_coeff": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT a.l_partkey AS u, c.l_partkey AS v
+                FROM b a JOIN b c USING (l_orderkey)
+                WHERE a.l_partkey < c.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            deg AS (
+                SELECT node, COUNT(*) AS degree FROM (
+                    SELECT u AS node FROM e
+                    UNION ALL SELECT v FROM e
+                ) GROUP BY node
+            ),
+            tri AS (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM e e1
+                JOIN e e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+            ),
+            tcnt AS (
+                SELECT node, COUNT(*) AS n_tri FROM (
+                    SELECT a AS node FROM tri
+                    UNION ALL SELECT b FROM tri
+                    UNION ALL SELECT c FROM tri
+                ) GROUP BY node
+            )
+            SELECT CAST(d.node AS BIGINT) AS part_id,
+                   CAST(d.degree AS BIGINT) AS degree,
+                   CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_tri,
+                   CAST((2000000 * COALESCE(t.n_tri, 0))
+                        // (d.degree * (d.degree - 1)) AS BIGINT)
+                       AS coeff_ppm
+            FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+            WHERE d.degree >= 2
+            ORDER BY part_id
         """,
         "events_new_users_daily": """
             WITH f AS (

@@ -5776,3 +5776,126 @@ def events_invalid_transitions(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# per-node local clustering coefficient over the co-order part graph
+# ---------------------------------------------------------------------------
+
+
+def parts_clustering_coeff(sf_dir: str, support: int = 2) -> pd.DataFrame:
+    """(part_id, degree, n_tri, coeff_ppm) for every part of co-order
+    degree ≥ 2: the local clustering coefficient
+    ``coeff_ppm = (2_000_000 * n_tri) // (degree * (degree - 1))`` over
+    the graph whose edges are part pairs co-ordered in ≥ ``support``
+    distinct orders.
+
+    Scale shape: edges reuse the market-basket pair kernel
+    (:func:`_co_order_pair_counts`) and are MATERIALIZED once for three
+    consumers (degree partials, wedge generation, triangle confirmation).
+    Wedges are oriented at the triangle's MIN vertex — the
+    ``parts_triangles`` enumeration bound — but CARRY their center so a
+    confirmed triangle credits all three corners; confirmation is an
+    exact multi-key ``Dataset.join`` of wedges against edges, never a
+    broadcast edge set.  Degree and triangle partials are tagged rows of
+    one union that meets in node-hash buckets for the final integer
+    ratio, so only per-bucket node partials ever move."""
+    # pin explicit Arrow schemas on every block feeding the hash-shuffle
+    # join: a tiny graph leaves some hash partitions EMPTY and an empty
+    # pandas block loses its key dtypes, crashing the per-partition
+    # pyarrow join (see NOTES_r2 sharp edges)
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    wedge_schema = pa.schema([("c", pa.int64()), ("y", pa.int64()),
+                              ("z", pa.int64())])
+
+    def project_edges(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({"u": df["a_id"].astype("int64"),
+                            "v": df["b_id"].astype("int64")})
+        return pa.Table.from_pandas(out, schema=edge_schema,
+                                    preserve_index=False)
+
+    edges = _co_order_pair_counts(sf_dir, support) \
+        .map_batches(project_edges, batch_format="pandas").materialize()
+    cols = ("part_id", "degree", "n_tri", "coeff_ppm")
+    if edges.count() == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def degree_partial(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.concatenate([df["u"].to_numpy(dtype="int64"),
+                                df["v"].to_numpy(dtype="int64")])
+        g = pd.Series(nodes, dtype="int64").value_counts()
+        out = pd.DataFrame({"node": g.index.to_numpy(dtype="int64"),
+                            "deg": g.to_numpy(dtype="int64")})
+        out["tri"] = np.zeros(len(out), dtype="int64")
+        out["_n"] = (out["node"] % 64).astype("int64")
+        return out
+
+    def bucket_u(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_u"] = (df["u"] % 64).astype("int64")
+        return df
+
+    def gen_wedges(df: pd.DataFrame) -> pa.Table:
+        m = df.merge(df, on="u")
+        m = m[m["v_x"] < m["v_y"]]
+        out = pd.DataFrame({"c": m["u"].astype("int64"),
+                            "y": m["v_x"].astype("int64"),
+                            "z": m["v_y"].astype("int64")})
+        return pa.Table.from_pandas(out, schema=wedge_schema,
+                                    preserve_index=False)
+
+    parts = [edges.map_batches(degree_partial, batch_format="pandas")]
+
+    wedges = edges.map_batches(bucket_u, batch_format="pandas") \
+        .groupby("_u").map_groups(gen_wedges, batch_format="pandas") \
+        .materialize()
+    if wedges.count() > 0:
+        # size the exchange to the data: a tiny wedge set spread over
+        # fixed partitions leaves empties that crash the pyarrow join
+        n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.05,
+                                   cap=16)
+        tri = wedges.join(edges, join_type="inner",
+                          num_partitions=n_parts,
+                          on=("y", "z"), right_on=("u", "v"))
+
+        def tri_partial(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                     for c in ("node", "deg", "tri", "_n")})
+            nodes = np.concatenate([df["c"].to_numpy(dtype="int64"),
+                                    df["y"].to_numpy(dtype="int64"),
+                                    df["z"].to_numpy(dtype="int64")])
+            g = pd.Series(nodes, dtype="int64").value_counts()
+            out = pd.DataFrame({"node": g.index.to_numpy(dtype="int64"),
+                                "tri": g.to_numpy(dtype="int64")})
+            out["deg"] = np.zeros(len(out), dtype="int64")
+            out["_n"] = (out["node"] % 64).astype("int64")
+            return out[["node", "deg", "tri", "_n"]]
+
+        parts.append(tri.map_batches(tri_partial, batch_format="pandas"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", as_index=False)[["deg", "tri"]].sum()
+        g = g[g["deg"] >= 2]
+        if len(g) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in cols})
+        # Python-int ratio: 2e6 × tri can pass int64 on a web-scale hub
+        # node (tri grows with degree²) — the HUGEINT-safe ppm contract
+        coeff = [(2_000_000 * int(t)) // (int(d) * (int(d) - 1))
+                 for d, t in zip(g["deg"], g["tri"])]
+        return pd.DataFrame({
+            "part_id": g["node"].astype("int64"),
+            "degree": g["deg"].astype("int64"),
+            "n_tri": g["tri"].astype("int64"),
+            "coeff_ppm": pd.Series(coeff, dtype="int64").to_numpy()})
+
+    merged = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    out = merged.groupby("_n").map_groups(finish, batch_format="pandas") \
+        .to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = out[list(cols)]
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("part_id").reset_index(drop=True)

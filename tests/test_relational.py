@@ -79,6 +79,7 @@ ORACLE_QUERIES = [
     "parts_abc_classes",
     "orders_basket_rules",
     "parts_kcore_peel",
+    "parts_clustering_coeff",
     "events_invalid_transitions",
     "events_dau_wau",
     "parts_co_ordered",
@@ -144,6 +145,69 @@ def test_sssp_two_hop_cheaper_than_direct(tmp_path):
     got = dict(zip(out["l_partkey"], out["cost"]))
     # w(1,2)=w(2,3)=1e6//10=100000; w(1,3)=1e6//2=500000
     assert got == {1: 0, 2: 100000, 3: 200000}
+
+
+def test_clustering_coeff_known_graph(tmp_path):
+    """Triangle {1,2,3} plus pendant 4—1: node 1 has deg 3 and one
+    triangle (coeff 333333 ppm), nodes 2/3 have deg 2 fully closed
+    (1000000 ppm), pendant 4 (deg 1) is excluded."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows_ok, rows_pk = [], []
+    ok = 0
+    for parts, n_orders in (((1, 2), 2), ((1, 3), 2), ((2, 3), 2),
+                            ((1, 4), 2)):
+        for _ in range(n_orders):
+            ok += 1
+            for p in parts:
+                rows_ok.append(ok)
+                rows_pk.append(p)
+    t = pa.table({"l_orderkey": pa.array(rows_ok, pa.int64()),
+                  "l_partkey": pa.array(rows_pk, pa.int64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = rel.parts_clustering_coeff(str(tmp_path))
+    got = {int(r.part_id): (int(r.degree), int(r.n_tri), int(r.coeff_ppm))
+           for r in out.itertuples()}
+    assert got == {1: (3, 1, 333333), 2: (2, 1, 1000000),
+                   3: (2, 1, 1000000)}
+
+
+def test_clustering_coeff_triangle_free(tmp_path):
+    """A path graph has wedges but no triangles: every deg≥2 node reports
+    coeff 0 and the empty-triangle union path must keep its schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows_ok, rows_pk = [], []
+    ok = 0
+    for parts in ((1, 2), (2, 3), (3, 4)):
+        for _ in range(2):
+            ok += 1
+            for p in parts:
+                rows_ok.append(ok)
+                rows_pk.append(p)
+    t = pa.table({"l_orderkey": pa.array(rows_ok, pa.int64()),
+                  "l_partkey": pa.array(rows_pk, pa.int64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = rel.parts_clustering_coeff(str(tmp_path))
+    got = {int(r.part_id): (int(r.degree), int(r.n_tri), int(r.coeff_ppm))
+           for r in out.itertuples()}
+    assert got == {2: (2, 0, 0), 3: (2, 0, 0)}
+
+
+def test_clustering_coeff_empty_graph(tmp_path):
+    """No pair reaches the co-order support → typed empty frame."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"l_orderkey": pa.array([1, 2], pa.int64()),
+                  "l_partkey": pa.array([1, 2], pa.int64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = rel.parts_clustering_coeff(str(tmp_path))
+    assert list(out.columns) == ["part_id", "degree", "n_tri", "coeff_ppm"]
+    assert len(out) == 0
+    assert all(str(dt) == "int64" for dt in out.dtypes)
 
 
 @pytest.fixture(scope="module")
