@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_clustering_coeff": rel.parts_clustering_coeff,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
+        "docs_cdc_chunks": dq.docs_cdc_chunks,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -2361,6 +2362,47 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u1 ON bc.w1 = u1.word
             JOIN uni u2 ON bc.w2 = u2.word
             ORDER BY lift_q DESC, w1, w2 LIMIT 20
+        """,
+        # content-defined chunking census: boundary AFTER every word whose
+        # md5-32 ≡ 0 (mod 8); shared = chunk text in ≥2 distinct docs.
+        # Chunk identity via the same md5 on both sides.
+        "docs_cdc_chunks": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), pos AS (
+                SELECT doc_id, UNNEST(range(1, len(w) + 1)) AS i, w
+                FROM toks WHERE len(w) > 0
+            ), marked AS (
+                SELECT doc_id, i, w[i] AS word,
+                       CASE WHEN CAST(('0x' || substr(md5(w[i]), 1, 8))
+                                 AS BIGINT) % 8 = 0
+                            THEN 1 ELSE 0 END AS brk
+                FROM pos
+            ), cids AS (
+                SELECT doc_id, i, word,
+                       COALESCE(SUM(brk) OVER (
+                           PARTITION BY doc_id ORDER BY i
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS cid
+                FROM marked
+            ), chunks AS (
+                SELECT doc_id, cid,
+                       md5(string_agg(word, ' ' ORDER BY i)) AS h
+                FROM cids GROUP BY doc_id, cid
+            ), shared AS (
+                SELECT h FROM chunks
+                GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+            )
+            SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(SUM(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_shared
+            FROM chunks c LEFT JOIN shared s ON c.h = s.h
+            GROUP BY c.doc_id
+            ORDER BY doc_id
         """,
         # histogram of exact-duplicate group sizes (engine groups by
         # sha256(text) prefix; SQL groups by the text itself — identical

@@ -4595,3 +4595,93 @@ def docs_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS) -> pd.DataFrame:
     out["s1"] = out["s1"].astype(str)
     out["s2"] = out["s2"].astype(str)
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (word-level FastCDC shape) + cross-doc chunk
+# dedup census
+# ---------------------------------------------------------------------------
+
+_CDC_MOD = 8  # expected chunk length ≈ 8 words
+
+
+def docs_cdc_chunks(sf_dir: str) -> pd.DataFrame:
+    """(doc_id, n_chunks, n_shared): content-defined chunking — each
+    doc's lowercased whitespace words are cut AFTER every word whose
+    md5-32 ≡ 0 (mod ``_CDC_MOD``), the FastCDC idea at word granularity:
+    boundaries depend only on LOCAL content, so an insertion early in a
+    doc re-chunks O(1) chunks instead of shifting every fixed-size
+    window.  ``n_shared`` counts the doc's chunk instances whose chunk
+    text occurs in ≥ 2 distinct docs — the dedup-friendliness census.
+
+    Scale shape: boundaries and chunk hashes are computed once per block
+    (boundary md5 cached per distinct word within the block); only
+    (doc_id, chunk-md5) projections enter the chunk-hash exchange —
+    chunk TEXT never moves.  Shared-ownership resolves inside each
+    chunk-hash bucket (md5 keys can't collide across buckets) and the
+    per-doc partials finish under a doc-hash bucket, so nothing
+    vocabulary- or corpus-sized reaches the driver."""
+    import hashlib
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def chunk_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        cache: Dict[str, bool] = {}
+        out_ids: List[int] = []
+        out_h: List[str] = []
+        for d, text in zip(ids, texts):
+            words = (text or "").lower().split()
+            if not words:
+                continue
+            start = 0
+            last = len(words) - 1
+            for j, w in enumerate(words):
+                b = cache.get(w)
+                if b is None:
+                    b = int(hashlib.md5(w.encode()).hexdigest()[:8],
+                            16) % _CDC_MOD == 0
+                    cache[w] = b
+                if b or j == last:
+                    chunk = " ".join(words[start:j + 1])
+                    out_ids.append(int(d))
+                    out_h.append(hashlib.md5(chunk.encode()).hexdigest())
+                    start = j + 1
+        hb = [int(h[:8], 16) % 64 for h in out_h]
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            "h": pa.array(out_h, pa.string()),
+            "_hb": pa.array(hb, pa.int64())})
+
+    def bucket_share(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                                 ("doc_id", "n_chunks", "n_shared", "_db")})
+        nd = df.groupby("h")["doc_id"].nunique()
+        shared = nd.index[nd >= 2]
+        flag = df["h"].isin(set(shared))
+        g = pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                          "one": np.ones(len(df), dtype="int64"),
+                          "sh": flag.to_numpy().astype("int64")}) \
+            .groupby("doc_id", as_index=False).sum()
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "n_chunks": g["one"].astype("int64"),
+            "n_shared": g["sh"].astype("int64"),
+            "_db": (g["doc_id"] % 64).astype("int64")})
+
+    def doc_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("doc_id", as_index=False)[["n_chunks",
+                                                  "n_shared"]].sum()
+        return g.astype("int64")
+
+    out = ds.map_batches(chunk_rows, batch_format="pyarrow") \
+        .groupby("_hb").map_groups(bucket_share, batch_format="pandas") \
+        .groupby("_db").map_groups(doc_merge, batch_format="pandas") \
+        .to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in
+                             ("doc_id", "n_chunks", "n_shared")})
+    out = out[["doc_id", "n_chunks", "n_shared"]].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -77,7 +77,62 @@ ORACLE_QUERIES = [
     "docs_bm25",
     "docs_zipf_slope",
     "docs_source_lang_entropy",
+    "docs_cdc_chunks",
 ]
+
+
+def _cdc_words(boundary: bool, n: int) -> list[str]:
+    """Find n distinct words whose md5-32 % 8 == 0 matches ``boundary``."""
+    import hashlib
+
+    out = []
+    i = 0
+    while len(out) < n:
+        w = f"w{i}"
+        if (int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 8 == 0) \
+                == boundary:
+            out.append(w)
+        i += 1
+    return out
+
+
+def test_cdc_chunks_boundary_semantics(tmp_path):
+    """Chunks cut AFTER a boundary word; a front insertion only re-chunks
+    the prefix (the content-defined property), so the tail chunk stays
+    shared across all three docs; empty docs vanish."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    b = _cdc_words(True, 1)[0]
+    p = _cdc_words(False, 6)  # plain words
+    doc1 = f"{p[0]} {p[1]} {b} {p[2]} {p[3]}"        # [p0 p1 b][p2 p3]
+    doc2 = f"{p[4]} {b} {p[2]} {p[3]}"               # [p4 b][p2 p3]
+    doc3 = f"{p[5]} {p[0]} {p[1]} {b} {p[2]} {p[3]}"  # [p5 p0 p1 b][p2 p3]
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array([doc1, doc2, doc3, ""], pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dq.docs_cdc_chunks(str(tmp_path))
+    got = {int(r.doc_id): (int(r.n_chunks), int(r.n_shared))
+           for r in out.itertuples()}
+    assert got == {1: (2, 1), 2: (2, 1), 3: (2, 1)}
+
+
+def test_cdc_chunks_trailing_boundary(tmp_path):
+    """A doc ENDING on a boundary word must not emit a trailing empty
+    chunk, and identical single-chunk docs count each other as shared."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    b = _cdc_words(True, 1)[0]
+    p = _cdc_words(False, 2)
+    text = f"{p[0]} {p[1]} {b}"
+    t = pa.table({"doc_id": pa.array([7, 9], pa.int64()),
+                  "text": pa.array([text, text], pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dq.docs_cdc_chunks(str(tmp_path))
+    got = {int(r.doc_id): (int(r.n_chunks), int(r.n_shared))
+           for r in out.itertuples()}
+    assert got == {7: (1, 1), 9: (1, 1)}
 
 
 @pytest.fixture(scope="module")
