@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_basket_rules": rel.orders_basket_rules,
         "parts_kcore_peel": rel.parts_kcore_peel,
         "parts_clustering_coeff": rel.parts_clustering_coeff,
+        "orders_changepoint": rel.orders_changepoint,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -1134,6 +1135,31 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 ORDER BY 1
         """,
         # month-over-month revenue growth: LAG over the monthly aggregate
+        # CUSUM changepoint over daily revenue: integer mean (total //
+        # n_days), HUGEINT running deviation, earliest-argmax tie pin
+        "orders_changepoint": """
+            WITH d AS (
+                SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)
+                           AS day,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS rev
+                FROM orders GROUP BY 1
+            ), s AS (
+                SELECT day, rev,
+                       SUM(rev - (SELECT SUM(rev) // COUNT(*) FROM d))
+                           OVER (ORDER BY day) AS dev
+                FROM d
+            ), cp AS (
+                SELECT MIN(day) AS cpd FROM s
+                WHERE ABS(dev) = (SELECT MAX(ABS(dev)) FROM s)
+            )
+            SELECT day,
+                   CAST(rev AS BIGINT) AS revenue_cents,
+                   CAST(dev AS BIGINT) AS dev_cents,
+                   CAST(CASE WHEN day = (SELECT cpd FROM cp)
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_cp
+            FROM s ORDER BY day
+        """,
         "orders_monthly_growth": """
             WITH m AS (
                 SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)

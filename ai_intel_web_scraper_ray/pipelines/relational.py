@@ -2536,6 +2536,61 @@ def orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
     return out[["month", "revenue_cents", "delta_cents"]]
 
 
+def orders_changepoint(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint detection over daily order revenue: per-day
+    cents, the cumulative deviation ``dev_i = Σ_{j≤i}(rev_j - mean)``
+    with the integer mean ``total // n_days``, and ``is_cp = 1`` on the
+    EARLIEST day attaining the maximum |dev| — the classic
+    level-shift-location statistic.
+
+    Scale shape: the fact stream collapses to per-day cent partials
+    inside ``map_batches`` (the events_tumbling / monthly-growth
+    pattern); the CUSUM scan then runs over the BOUNDED day calendar
+    (≤ ~11k rows for 30 years) on the driver with Python-int
+    accumulation, so the running deviation is HUGEINT-safe even when
+    the day sums press against int64."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "day": pd.Series([], dtype="datetime64[ns]"),
+                "cents": pd.Series([], dtype="int64")})
+        df = df.copy()
+        df["day"] = df["o_orderdate"].dt.floor("D")
+        df["cents"] = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        return df.groupby("day", as_index=False)["cents"].sum()
+
+    days = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cols = ("day", "revenue_cents", "dev_cents", "is_cp")
+    if days.empty:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[ns]"),
+            "revenue_cents": pd.Series([], dtype="int64"),
+            "dev_cents": pd.Series([], dtype="int64"),
+            "is_cp": pd.Series([], dtype="int64")})
+    days = days.groupby("day", as_index=False)["cents"].sum() \
+        .sort_values("day").reset_index(drop=True)
+    rev = [int(x) for x in days["cents"]]
+    total = sum(rev)
+    mbar = total // len(rev)
+    dev: list = []
+    acc = 0
+    for r in rev:
+        acc += r - mbar
+        dev.append(acc)
+    mx = max(abs(x) for x in dev)
+    cp_idx = next(i for i, x in enumerate(dev) if abs(x) == mx)
+    out = pd.DataFrame({
+        "day": days["day"],
+        "revenue_cents": pd.Series(rev, dtype="int64"),
+        "dev_cents": pd.Series(dev, dtype="int64"),
+        "is_cp": pd.Series([1 if i == cp_idx else 0
+                            for i in range(len(rev))], dtype="int64")})
+    return out[list(cols)]
+
+
 # ---------------------------------------------------------------------------
 # running total (UNBOUNDED PRECEDING window): cumulative revenue per customer
 # over order time — the one window frame shape not yet covered (rolling_avg

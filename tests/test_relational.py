@@ -80,6 +80,7 @@ ORACLE_QUERIES = [
     "orders_basket_rules",
     "parts_kcore_peel",
     "parts_clustering_coeff",
+    "orders_changepoint",
     "events_invalid_transitions",
     "events_dau_wau",
     "parts_co_ordered",
@@ -145,6 +146,44 @@ def test_sssp_two_hop_cheaper_than_direct(tmp_path):
     got = dict(zip(out["l_partkey"], out["cost"]))
     # w(1,2)=w(2,3)=1e6//10=100000; w(1,3)=1e6//2=500000
     assert got == {1: 0, 2: 100000, 3: 200000}
+
+
+def _write_orders_days(tmp_path, day_cents):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    days, prices = [], []
+    for d, cents in day_cents:
+        days.append(pd.Timestamp(d))
+        prices.append(cents / 100.0)
+    t = pa.table({
+        "o_orderdate": pa.array(days, pa.timestamp("ns")),
+        "o_totalprice": pa.array(prices, pa.float64())})
+    pq.write_table(t, tmp_path / "orders.parquet")
+
+
+def test_changepoint_level_shift(tmp_path):
+    """10 days at 100¢ then 10 days at 500¢: |CUSUM| peaks exactly at the
+    last pre-shift day."""
+    day_cents = [(f"2024-01-{d:02d}", 10000) for d in range(1, 11)] + \
+                [(f"2024-01-{d:02d}", 50000) for d in range(11, 21)]
+    _write_orders_days(tmp_path, day_cents)
+    out = rel.orders_changepoint(str(tmp_path))
+    assert len(out) == 20
+    cp = out[out["is_cp"] == 1]
+    assert len(cp) == 1
+    assert str(cp["day"].iloc[0])[:10] == "2024-01-10"
+
+
+def test_changepoint_constant_series_pins_first_day(tmp_path):
+    """A constant series has dev ≡ 0 everywhere; the earliest-argmax pin
+    must mark exactly the first day."""
+    day_cents = [(f"2024-02-{d:02d}", 7700) for d in range(1, 6)]
+    _write_orders_days(tmp_path, day_cents)
+    out = rel.orders_changepoint(str(tmp_path))
+    assert out["dev_cents"].tolist() == [0] * 5
+    assert out["is_cp"].tolist() == [1, 0, 0, 0, 0]
 
 
 def test_clustering_coeff_known_graph(tmp_path):
