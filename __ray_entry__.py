@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
+        "docs_vocab_growth": dq.docs_vocab_growth,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -2388,6 +2389,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u1 ON bc.w1 = u1.word
             JOIN uni u2 ON bc.w2 = u2.word
             ORDER BY lift_q DESC, w1, w2 LIMIT 20
+        """,
+        # Heaps'-law vocabulary growth: distinct words first seen at or
+        # before each of 8 equal-width doc_id prefix boundaries
+        "docs_vocab_growth": r"""
+            WITH dom AS (
+                SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents
+            ), toks AS (
+                SELECT doc_id,
+                       UNNEST(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x != '')) AS word
+                FROM documents
+            ), firsts AS (
+                SELECT word, MIN(doc_id) AS first_doc FROM toks
+                GROUP BY word
+            ), ks AS (
+                SELECT UNNEST(range(1, 9)) AS k
+            )
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(dom.lo - 1 + ((dom.hi - dom.lo + 1) * ks.k) // 8
+                        AS BIGINT) AS t_doc,
+                   CAST(COALESCE(SUM(CASE WHEN f.first_doc <=
+                            dom.lo - 1 + ((dom.hi - dom.lo + 1) * ks.k) // 8
+                        THEN 1 ELSE 0 END), 0) AS BIGINT) AS vocab
+            FROM ks, dom
+            LEFT JOIN firsts f ON TRUE
+            WHERE dom.lo IS NOT NULL
+            GROUP BY ks.k, dom.lo, dom.hi
+            ORDER BY k
         """,
         # content-defined chunking census: boundary AFTER every word whose
         # md5-32 ≡ 0 (mod 8); shared = chunk text in ≥2 distinct docs.

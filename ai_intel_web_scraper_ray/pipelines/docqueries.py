@@ -4598,6 +4598,80 @@ def docs_bpe_merges(sf_dir: str, rounds: int = _BPE_ROUNDS) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Heaps'-law vocabulary growth: prefix-distinct vocabulary curve
+# ---------------------------------------------------------------------------
+
+_VOCAB_LEVELS = 8
+
+
+def docs_vocab_growth(sf_dir: str) -> pd.DataFrame:
+    """(k, t_doc, vocab): the vocabulary-growth (Heaps'-law) curve —
+    for 8 equal-width ``doc_id`` prefixes of the corpus, how many
+    DISTINCT words first appear at-or-before each prefix boundary.
+
+    Scale shape: per-block partials reduce each word to its block-local
+    min ``doc_id``; the exact global first-occurrence finishes under the
+    64-way word-hash bucket, where each bucket immediately collapses to
+    an 8-bin searchsorted HISTOGRAM against the broadcast thresholds —
+    the unbounded vocabulary never leaves the workers and the driver
+    merges 64×8 partial counts.  First-occurrence buckets can't collide
+    across words, so the cumulative curve is exact (the
+    ``docs_percent_rank`` below-count argument)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def minmax(t: pa.Table) -> pd.DataFrame:
+        ids = t["doc_id"].to_pandas().astype("int64")
+        if len(ids) == 0:
+            return pd.DataFrame({"lo": pd.Series([], dtype="int64"),
+                                 "hi": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"lo": [ids.min()], "hi": [ids.max()]})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    cols = ("k", "t_doc", "vocab")
+    if mm.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    lo, hi = int(mm["lo"].min()), int(mm["hi"].max())
+    span = hi - lo + 1
+    thresholds = [lo - 1 + (span * k) // _VOCAB_LEVELS
+                  for k in range(1, _VOCAB_LEVELS + 1)]
+    th = np.asarray(thresholds, dtype="int64")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        out = _doc_word_counts(t)
+        out = out.groupby("word", as_index=False)["doc_id"].min() \
+            .rename(columns={"doc_id": "first_doc"})
+        out["first_doc"] = out["first_doc"].astype("int64")
+        out["_b"] = _word_bucket_col(out["word"])
+        return out[["word", "first_doc", "_b"]]
+
+    def word_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("word", as_index=False)["first_doc"].min()
+        firsts = np.sort(g["first_doc"].to_numpy(dtype="int64"))
+        counts = np.searchsorted(firsts, th, side="right")
+        return pd.DataFrame({
+            "k": np.arange(1, _VOCAB_LEVELS + 1, dtype="int64"),
+            "vocab": counts.astype("int64")})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if partials.count() == 0:
+        # docs exist but none has a word: the curve is all-zero (the
+        # oracle's LEFT JOIN keeps every k row)
+        g = pd.DataFrame({"k": np.arange(1, _VOCAB_LEVELS + 1,
+                                         dtype="int64"),
+                          "vocab": np.zeros(_VOCAB_LEVELS, dtype="int64")})
+    else:
+        parts = partials.groupby("_b") \
+            .map_groups(word_bucket, batch_format="pandas").to_pandas()
+        g = parts.groupby("k", as_index=False)["vocab"].sum()
+    g = g.sort_values("k").reset_index(drop=True)
+    return pd.DataFrame({
+        "k": g["k"].astype("int64"),
+        "t_doc": pd.Series([thresholds[int(k) - 1] for k in g["k"]],
+                           dtype="int64"),
+        "vocab": g["vocab"].astype("int64")})
+
+
+# ---------------------------------------------------------------------------
 # content-defined chunking (word-level FastCDC shape) + cross-doc chunk
 # dedup census
 # ---------------------------------------------------------------------------

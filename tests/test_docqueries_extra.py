@@ -78,7 +78,37 @@ ORACLE_QUERIES = [
     "docs_zipf_slope",
     "docs_source_lang_entropy",
     "docs_cdc_chunks",
+    "docs_vocab_growth",
 ]
+
+
+def test_vocab_growth_known_curve(tmp_path):
+    """doc_id domain 10..40 → thresholds 9+31k//8; first occurrences
+    a→10, b→10, c→20, d→40 give the pinned cumulative curve."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"doc_id": pa.array([10, 20, 30, 40], pa.int64()),
+                  "text": pa.array(["a b", "b c", "a", "d"], pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dq.docs_vocab_growth(str(tmp_path))
+    assert out["k"].tolist() == list(range(1, 9))
+    assert out["t_doc"].tolist() == [9 + (31 * k) // 8 for k in range(1, 9)]
+    assert out["vocab"].tolist() == [2, 2, 3, 3, 3, 3, 3, 4]
+
+
+def test_vocab_growth_wordless_corpus(tmp_path):
+    """Docs exist but no words: the curve keeps all 8 rows at zero (the
+    oracle's LEFT JOIN semantics)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["", "   "], pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dq.docs_vocab_growth(str(tmp_path))
+    assert out["vocab"].tolist() == [0] * 8
+    assert out["k"].tolist() == list(range(1, 9))
 
 
 def _cdc_words(boundary: bool, n: int) -> list[str]:
