@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_nn_within_label": dq.emb_nn_within_label,
         "emb_int8_quantize": dq.emb_int8_quantize,
         "emb_power_iteration": dq.emb_power_iteration,
+        "emb_pca_top2": dq.emb_pca_top2,
         "emb_ivf_recall": dq.emb_ivf_recall,
         "emb_mips_topk": dq.emb_mips_topk,
         "docs_pii_scrub": dq.docs_pii_scrub,
@@ -442,6 +443,83 @@ def _kcenter_sql(k: int) -> str:
             for i in range(1, k)]
     return ("\n".join(parts) + "\nSELECT * FROM (" + "\n".join(sel)
             + ") ORDER BY sel_rank")
+
+
+def _pca2_sql(dim: int = 64) -> str:
+    """Generated deflated-power-iteration twin of ``emb_pca_top2``:
+    v1 = the emb_power_iteration chain (2 iterations, ROUND-6 after each
+    normalize), λ1 = ROUND(Σ(x·v1)², 6), then two u iterations of
+    w = Cu - λ1·v1·ROUND(v1ᵀu, 6) with the same normalize-then-ROUND
+    contract.  Every inter-step scalar/vector is rounded exactly where
+    the engine rounds."""
+    r = range(dim)
+
+    def vsel(src: str, dst: str) -> str:
+        return ", ".join(
+            f"CASE WHEN nrm = 0 THEN 0.0 ELSE ROUND({src}{i} / nrm, 6) END"
+            f" AS {dst}{i}" for i in r)
+
+    def sq(p: str) -> str:
+        return " + ".join(f"{p}{i}*{p}{i}" for i in r)
+
+    parts = [
+        "WITH w1 AS (SELECT "
+        + ", ".join(f"SUM(CAST(e.embedding[{i + 1}] AS DOUBLE)"
+                    f" * CAST(e.embedding[1] AS DOUBLE)) AS w{i}"
+                    for i in r)
+        + " FROM embeddings e),",
+        f"n1 AS (SELECT sqrt({sq('w')}) AS nrm, * FROM w1),",
+        f"v1 AS (SELECT {vsel('w', 'a')} FROM n1),",
+        "d1 AS (SELECT e.vec_id, ("
+        + " + ".join(f"CAST(e.embedding[{i + 1}] AS DOUBLE) * v1.a{i}"
+                     for i in r)
+        + ") AS dot1 FROM embeddings e CROSS JOIN v1),",
+        "w2 AS (SELECT "
+        + ", ".join(f"SUM(CAST(e.embedding[{i + 1}] AS DOUBLE)"
+                    f" * d1.dot1) AS u{i}" for i in r)
+        + " FROM embeddings e JOIN d1 USING (vec_id)),",
+        f"n2 AS (SELECT sqrt({sq('u')}) AS nrm, * FROM w2),",
+        f"vf AS (SELECT {vsel('u', 'f')} FROM n2),",
+        "dl AS (SELECT ("
+        + " + ".join(f"CAST(e.embedding[{i + 1}] AS DOUBLE) * vf.f{i}"
+                     for i in r)
+        + ") AS dv FROM embeddings e CROSS JOIN vf),",
+        "lam AS (SELECT ROUND(SUM(dv * dv), 6) AS l FROM dl),",
+        # u iteration 1: u0 = e1 → Cu0 column, deflate by l·f·ROUND(f1,6)
+        "t1 AS (SELECT "
+        + ", ".join(f"SUM(CAST(e.embedding[{i + 1}] AS DOUBLE)"
+                    f" * CAST(e.embedding[2] AS DOUBLE)) AS g{i}"
+                    for i in r)
+        + " FROM embeddings e),",
+        "y1 AS (SELECT "
+        + ", ".join(f"g{i} - lam.l * vf.f{i} * ROUND(vf.f1, 6) AS y{i}"
+                    for i in r)
+        + " FROM t1 CROSS JOIN vf CROSS JOIN lam),",
+        f"m1 AS (SELECT sqrt({sq('y')}) AS nrm, * FROM y1),",
+        f"u1 AS (SELECT {vsel('y', 'p')} FROM m1),",
+        # u iteration 2
+        "du AS (SELECT e.vec_id, ("
+        + " + ".join(f"CAST(e.embedding[{i + 1}] AS DOUBLE) * u1.p{i}"
+                     for i in r)
+        + ") AS dotu FROM embeddings e CROSS JOIN u1),",
+        "t2 AS (SELECT "
+        + ", ".join(f"SUM(CAST(e.embedding[{i + 1}] AS DOUBLE)"
+                    f" * du.dotu) AS h{i}" for i in r)
+        + " FROM embeddings e JOIN du USING (vec_id)),",
+        "dv2 AS (SELECT ROUND("
+        + " + ".join(f"vf.f{i} * u1.p{i}" for i in r)
+        + ", 6) AS d FROM vf CROSS JOIN u1),",
+        "y2 AS (SELECT "
+        + ", ".join(f"h{i} - lam.l * vf.f{i} * dv2.d AS q{i}" for i in r)
+        + " FROM t2 CROSS JOIN vf CROSS JOIN lam CROSS JOIN dv2),",
+        f"m2 AS (SELECT sqrt({sq('q')}) AS nrm, * FROM y2),",
+        f"uf AS (SELECT {vsel('q', 'z')} FROM m2)",
+        f"SELECT UNNEST(RANGE(0, {dim})) AS dim,",
+        "UNNEST([" + ", ".join(f"f{i}" for i in r) + "]) AS loading1,",
+        "UNNEST([" + ", ".join(f"z{i}" for i in r) + "]) AS loading2",
+        "FROM vf CROSS JOIN uf",
+    ]
+    return "\n".join(parts)
 
 
 def _random_projection_sql(n_out: int = 16, dim: int = 64) -> str:
@@ -3195,6 +3273,7 @@ def oracle_sql() -> dict[str, str]:
         # two power iterations from e0; ROUND(w/||w||, 6) after each pass
         # is the same inter-iteration contract as emb_kmeans_iterate
         # (generated 64-dim sums below)
+        "emb_pca_top2": _pca2_sql(),
         "emb_power_iteration": """
             WITH w1 AS (
                 SELECT {W1} FROM embeddings e

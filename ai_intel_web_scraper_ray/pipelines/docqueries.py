@@ -2455,6 +2455,52 @@ def _power_pass(ds, v: np.ndarray, dim: int) -> np.ndarray:
     return parts.to_numpy(dtype=np.float64).sum(axis=0)
 
 
+def emb_pca_top2(sf_dir: str, dim: int = 64, iters: int = 2) -> pd.DataFrame:
+    """Top-2 principal directions of the (uncentered) Gram matrix XᵀX
+    via power iteration + Hotelling deflation: v1 exactly as
+    ``emb_power_iteration``; then λ1 = ROUND(Σ_rows (x·v1)², 6) and u
+    iterates ``w = Cu - λ1·v1·ROUND(v1ᵀu, 6)`` with the same
+    normalize-then-ROUND(,6) inter-step contract, so the iterative
+    float fixpoint is reproducible in SQL.
+
+    Scale shape: every step is one streaming pass of 1×64 per-block
+    partials (``_power_pass`` / a scalar Σ(x·v1)² partial) — embeddings
+    never leave their blocks, no shuffle anywhere; the driver holds two
+    64-vectors and a scalar."""
+    ds = _emb(sf_dir)
+    v1 = np.zeros(dim, dtype=np.float64)
+    v1[0] = 1.0
+    for _ in range(iters):
+        w = _power_pass(ds, v1, dim)
+        nrm = float(np.sqrt((w * w).sum()))
+        v1 = np.round(w / nrm, 6) if nrm > 0 else np.zeros(dim)
+
+    # λ1 = Σ_rows (x·v1)² — one scalar-partial pass
+    def lam_partial(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return pd.DataFrame({"l": pd.Series([], dtype="float64")})
+        X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        d = X @ v1
+        return pd.DataFrame({"l": [float((d * d).sum())]})
+
+    lam = round(float(ds.map_batches(lam_partial, batch_format="pyarrow")
+                      .to_pandas()["l"].sum()), 6)
+
+    u = np.zeros(dim, dtype=np.float64)
+    u[1] = 1.0
+    for _ in range(iters):
+        t = _power_pass(ds, u, dim)
+        dvu = round(float(v1 @ u), 6)
+        w = t - lam * v1 * dvu
+        nrm = float(np.sqrt((w * w).sum()))
+        u = np.round(w / nrm, 6) if nrm > 0 else np.zeros(dim)
+
+    return pd.DataFrame({"dim": np.arange(dim, dtype=np.int64),
+                         "loading1": v1.astype(np.float64),
+                         "loading2": u.astype(np.float64)})
+
+
 def emb_power_iteration(sf_dir: str, dim: int = 64,
                         iters: int = 2) -> pd.DataFrame:
     """Top principal direction via ``iters`` power iterations starting

@@ -79,7 +79,22 @@ ORACLE_QUERIES = [
     "docs_source_lang_entropy",
     "docs_cdc_chunks",
     "docs_vocab_growth",
+    "emb_pca_top2",
 ]
+
+
+def test_pca_top2_deflation_properties():
+    """loading1 must equal emb_power_iteration's direction exactly (same
+    contract); the deflated second direction must be unit-norm and
+    near-orthogonal to the first."""
+    out = dq.emb_pca_top2(SF_DIR)
+    p1 = dq.emb_power_iteration(SF_DIR)
+    assert np.allclose(out["loading1"].to_numpy(),
+                       p1["loading"].to_numpy())
+    v1 = out["loading1"].to_numpy()
+    v2 = out["loading2"].to_numpy()
+    assert abs(np.linalg.norm(v2) - 1.0) < 1e-4
+    assert abs(float(v1 @ v2)) < 0.05
 
 
 def test_vocab_growth_known_curve(tmp_path):
