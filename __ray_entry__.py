@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_kcore_peel": rel.parts_kcore_peel,
         "parts_clustering_coeff": rel.parts_clustering_coeff,
         "orders_changepoint": rel.orders_changepoint,
+        "parts_mst": rel.parts_mst,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -410,6 +411,7 @@ _PINNED = os.path.join(_PINNED_DIR, "doc_expected.parquet")
 _PINNED_CRAWL = os.path.join(_PINNED_DIR, "crawl_expected.parquet")
 _PINNED_DEDUP = os.path.join(_PINNED_DIR, "dedup_expected.parquet")
 _PINNED_CRAWL_MULTI = os.path.join(_PINNED_DIR, "crawl_multi_expected.parquet")
+_PINNED_MST = os.path.join(_PINNED_DIR, "mst_expected.parquet")
 _PINNED_CRAWL_INTERLEAVED = os.path.join(
     _PINNED_DIR, "crawl_interleaved_expected.parquet")
 _PINNED_CRAWL_MULTI_ORDERED = os.path.join(
@@ -2728,6 +2730,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE p.algo = 'minhash'
               AND p.corpus_min_sha = (SELECT MIN(sha256(text)) FROM documents)
             ORDER BY p.doc_id
+        """,
+        # minimum spanning forest: the engine runs distributed Borůvka;
+        # the pinned table is an INDEPENDENT sequential Kruskal — they
+        # agree exactly because the (w, u, v) edge order is total
+        "parts_mst": f"""
+            SELECT CAST(p.u AS BIGINT) AS u, CAST(p.v AS BIGINT) AS v,
+                   CAST(p.w AS BIGINT) AS w
+            FROM read_parquet('{_PINNED_MST}') p
+            WHERE p.corpus_n = (SELECT COUNT(*) FROM lineitem)
+              AND p.corpus_sum = (SELECT SUM(l_orderkey + 3 * l_partkey)
+                                  FROM lineitem)
+            ORDER BY u, v
         """,
         "docs_simhash_dedup": f"""
             SELECT p.doc_id FROM read_parquet('{_PINNED_DEDUP}') p

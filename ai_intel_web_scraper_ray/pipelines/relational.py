@@ -5834,6 +5834,187 @@ def events_invalid_transitions(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# minimum spanning forest of the weighted co-order graph (Borůvka)
+# ---------------------------------------------------------------------------
+
+_MST_MAX_ROUNDS = 16
+
+
+def parts_mst(sf_dir: str, support: int = 2) -> pd.DataFrame:
+    """Minimum spanning FOREST of the weighted co-order part graph
+    (edge cost = ``1_000_000 // n_pair``, the parts_sssp convention;
+    ties broken by the TOTAL order ``(w, u, v)``, which makes the MSF
+    unique) via distributed BORŮVKA: each round every component selects
+    its minimum outgoing edge under the total order, selected edges
+    contract components, and the loop ends when no cross-component edge
+    remains.  Returns the forest's (u, v, w) rows sorted by (u, v).
+
+    Scale shape: per round, component labels attach to edge endpoints
+    through two hash-shuffle ``Dataset.join``s against the node-keyed
+    comp table (never a broadcast NODE map); per-component minima finish
+    under comp-hash buckets, so at most ONE row per surviving component
+    — i.e. a slice of the OUTPUT, which is what the driver must hold
+    anyway — leaves the workers per round; the round's contraction
+    (union-find over ≤ #components selected edges) therefore runs on the
+    driver at output scale, and the comp table relabels via a broadcast
+    sorted old→new label array (the parts_kcore_peel loser-broadcast
+    shape, geometrically shrinking after round 1).  Components at least
+    halve per round, so rounds ≤ log₂(max component size).  Intra-
+    component edges are dropped for good each round, so the edge scan
+    shrinks monotonically.
+
+    Oracle: an INDEPENDENT sequential Kruskal
+    (tools/gen_pinned_oracles.gen_mst_expected) pinned per corpus —
+    Borůvka and Kruskal agree exactly because the edge order is total."""
+    import ray
+
+    from ..stages.dedup import label_components  # noqa: F401  (shape ref)
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                             ("w", pa.int64())])
+    comp_schema = pa.schema([("node", pa.int64()), ("comp", pa.int64())])
+
+    def weighted(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({
+            "u": df["a_id"].astype("int64"),
+            "v": df["b_id"].astype("int64"),
+            "w": (1_000_000 // df["n_pair"].astype("int64"))
+            .astype("int64")})
+        return pa.Table.from_pandas(out, schema=edge_schema,
+                                    preserve_index=False)
+
+    edges = _co_order_pair_counts(sf_dir, support) \
+        .map_batches(weighted, batch_format="pandas").materialize()
+    cols = ("u", "v", "w")
+    if edges.count() == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def node_rows(df: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(np.concatenate([
+            df["u"].to_numpy(dtype="int64"),
+            df["v"].to_numpy(dtype="int64")]))
+        return pd.DataFrame({"node": nodes,
+                             "_b": (nodes % 64).astype("int64")})
+
+    def node_dedup(df: pd.DataFrame) -> pa.Table:
+        nodes = df["node"].drop_duplicates().astype("int64")
+        out = pd.DataFrame({"node": nodes, "comp": nodes})
+        return pa.Table.from_pandas(out, schema=comp_schema,
+                                    preserve_index=False)
+
+    comp = edges.map_batches(node_rows, batch_format="pandas") \
+        .groupby("_b").map_groups(node_dedup, batch_format="pandas") \
+        .materialize()
+
+    lab_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                            ("w", pa.int64()), ("cu", pa.int64()),
+                            ("cv", pa.int64())])
+
+    def strip_u(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({"u": df["u"].astype("int64"),
+                            "v": df["v"].astype("int64"),
+                            "w": df["w"].astype("int64"),
+                            "cu": df["comp"].astype("int64")})
+        return pa.Table.from_pandas(out, schema=pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("w", pa.int64()),
+             ("cu", pa.int64())]), preserve_index=False)
+
+    def strip_v(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({"u": df["u"].astype("int64"),
+                            "v": df["v"].astype("int64"),
+                            "w": df["w"].astype("int64"),
+                            "cu": df["cu"].astype("int64"),
+                            "cv": df["comp"].astype("int64")})
+        out = out[out["cu"] != out["cv"]]
+        return pa.Table.from_pandas(out, schema=lab_schema,
+                                    preserve_index=False)
+
+    def tag_comps(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[["cu", "w", "u", "v", "cv"]].rename(columns={"cu": "c",
+                                                            "cv": "co"})
+        b = df[["cv", "w", "u", "v", "cu"]].rename(columns={"cv": "c",
+                                                            "cu": "co"})
+        out = pd.concat([a, b], ignore_index=True)
+        out["_b"] = (out["c"] % 64).astype("int64")
+        return out
+
+    def comp_min(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(["w", "u", "v"], kind="mergesort") \
+            .drop_duplicates("c")
+        return out[["c", "co", "u", "v", "w"]].astype("int64")
+
+    sel_frames: list = []
+    cur = edges
+    n_edges = cur.count()
+    for _ in range(_MST_MAX_ROUNDS):
+        n_join = max(1, min(32, n_edges // 10_000 + 1))
+        lab = cur.join(comp, join_type="inner", num_partitions=n_join,
+                       on=("u",), right_on=("node",)) \
+            .map_batches(strip_u, batch_format="pandas") \
+            .join(comp, join_type="inner", num_partitions=n_join,
+                  on=("v",), right_on=("node",)) \
+            .map_batches(strip_v, batch_format="pandas").materialize()
+        n_edges = lab.count()
+        if n_edges == 0:
+            break
+        sel = lab.map_batches(tag_comps, batch_format="pandas") \
+            .groupby("_b").map_groups(comp_min, batch_format="pandas") \
+            .to_pandas()
+        sel_frames.append(sel[["u", "v", "w"]].drop_duplicates(["u", "v"]))
+
+        # output-scale contraction: union-find over the selected edges
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for c1, c2 in zip(sel["c"], sel["co"]):
+            r1, r2 = find(int(c1)), find(int(c2))
+            if r1 != r2:
+                # min label wins so comp labels stay stable/deterministic
+                lo2, hi2 = (r1, r2) if r1 < r2 else (r2, r1)
+                parent[hi2] = lo2
+        relabel = {c: find(c) for c in parent}
+        old = np.sort(np.asarray(list(relabel), dtype="int64"))
+        new = np.asarray([relabel[int(o)] for o in old], dtype="int64")
+        old_ref = ray.put(old)
+        new_ref = ray.put(new)
+
+        def relabel_comp(df: pd.DataFrame) -> pa.Table:
+            o = ray.get(old_ref)
+            nw = ray.get(new_ref)
+            c = df["comp"].to_numpy(dtype="int64")
+            pos = np.searchsorted(o, c)
+            hit = (pos < len(o))
+            hit[hit] = o[pos[hit]] == c[hit]
+            c = c.copy()
+            c[hit] = nw[pos[hit]]
+            out = pd.DataFrame({"node": df["node"].astype("int64"),
+                                "comp": c})
+            return pa.Table.from_pandas(out, schema=comp_schema,
+                                        preserve_index=False)
+
+        comp = comp.map_batches(relabel_comp,
+                                batch_format="pandas").materialize()
+        cur = lab.map_batches(
+            lambda df: pa.Table.from_pandas(
+                df[["u", "v", "w"]].astype("int64"), schema=edge_schema,
+                preserve_index=False),
+            batch_format="pandas")
+
+    if not sel_frames:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = pd.concat(sel_frames, ignore_index=True) \
+        .drop_duplicates(["u", "v"]).astype("int64")
+    return out.sort_values(["u", "v"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # per-node local clustering coefficient over the co-order part graph
 # ---------------------------------------------------------------------------
 

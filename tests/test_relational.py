@@ -81,6 +81,7 @@ ORACLE_QUERIES = [
     "parts_kcore_peel",
     "parts_clustering_coeff",
     "orders_changepoint",
+    "parts_mst",
     "events_invalid_transitions",
     "events_dau_wau",
     "parts_co_ordered",
@@ -146,6 +147,71 @@ def test_sssp_two_hop_cheaper_than_direct(tmp_path):
     got = dict(zip(out["l_partkey"], out["cost"]))
     # w(1,2)=w(2,3)=1e6//10=100000; w(1,3)=1e6//2=500000
     assert got == {1: 0, 2: 100000, 3: 200000}
+
+
+def _write_coorder_graph(tmp_path, edge_orders):
+    """Write a lineitem table whose co-order graph has one edge per
+    (parts_pair, n_orders) entry."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows_ok, rows_pk = [], []
+    ok = 0
+    for parts, n_orders in edge_orders:
+        for _ in range(n_orders):
+            ok += 1
+            for p in parts:
+                rows_ok.append(ok)
+                rows_pk.append(p)
+    t = pa.table({"l_orderkey": pa.array(rows_ok, pa.int64()),
+                  "l_partkey": pa.array(rows_pk, pa.int64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+
+
+def test_mst_cycle_property(tmp_path):
+    """Triangle with one expensive edge: the heaviest cycle edge (1,3)
+    must be excluded (w(1,2)=w(2,3)=100000 beat w(1,3)=500000)."""
+    _write_coorder_graph(tmp_path, (((1, 2), 10), ((2, 3), 10),
+                                    ((1, 3), 2)))
+    out = rel.parts_mst(str(tmp_path))
+    got = {(int(r.u), int(r.v)): int(r.w) for r in out.itertuples()}
+    assert got == {(1, 2): 100000, (2, 3): 100000}
+
+
+def test_mst_multi_round_and_forest(tmp_path):
+    """Cheap edges (1,2) and (3,4) are picked by every endpoint in round
+    1, leaving TWO contracted components whose only bridge (2,3) must be
+    found in round 2 — the Borůvka contraction loop is genuinely
+    exercised; the disconnected pair {8,9} stays its own tree (FOREST
+    semantics)."""
+    _write_coorder_graph(tmp_path, (((1, 2), 10), ((3, 4), 10),
+                                    ((2, 3), 2), ((8, 9), 3)))
+    out = rel.parts_mst(str(tmp_path))
+    got = set(zip(out["u"].astype(int), out["v"].astype(int)))
+    assert got == {(1, 2), (3, 4), (2, 3), (8, 9)}
+
+
+def test_mst_tie_break_total_order(tmp_path):
+    """All edges equal weight on a 4-cycle: the (w, u, v) total order
+    keeps (1,2), (1,4), (2,3) and drops (3,4) — the lexicographically
+    largest cycle edge."""
+    _write_coorder_graph(tmp_path, (((1, 2), 5), ((2, 3), 5),
+                                    ((3, 4), 5), ((1, 4), 5)))
+    out = rel.parts_mst(str(tmp_path))
+    got = set(zip(out["u"].astype(int), out["v"].astype(int)))
+    assert got == {(1, 2), (1, 4), (2, 3)}
+
+
+def test_mst_empty_graph(tmp_path):
+    """No pair reaches support → typed empty frame."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"l_orderkey": pa.array([1, 2], pa.int64()),
+                  "l_partkey": pa.array([1, 2], pa.int64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = rel.parts_mst(str(tmp_path))
+    assert list(out.columns) == ["u", "v", "w"] and len(out) == 0
 
 
 def _write_orders_days(tmp_path, day_cents):

@@ -341,6 +341,71 @@ def gen_crawl_multi_expected() -> None:
     print(f"wrote {len(t)} multi-crawl rows -> {CRAWL_MULTI_OUT}")
 
 
+MST_OUT = os.path.join(os.path.dirname(OUT), "mst_expected.parquet")
+
+
+def gen_mst_expected() -> None:
+    """Pin the minimum spanning forest of each test corpus's weighted
+    co-order graph via an INDEPENDENT sequential KRUSKAL (sort edges by
+    the total order (w, u, v), union-find) — the engine runs BORŮVKA, so
+    agreement validates the algorithm, not a shared code path.  Keyed by
+    (corpus_n, corpus_sum) of the lineitem table so sf levels can't
+    collide."""
+    import duckdb
+
+    frames = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/lineitem.parquet"
+        con = duckdb.connect()
+        edges = con.execute(f"""
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM read_parquet('{path}')),
+            e AS (SELECT a.l_partkey AS u, c.l_partkey AS v,
+                         COUNT(*) AS n
+                  FROM b a JOIN b c USING (l_orderkey)
+                  WHERE a.l_partkey < c.l_partkey
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT u, v, 1000000 // n AS w FROM e
+        """).fetchall()
+        key = con.execute(f"""
+            SELECT COUNT(*), SUM(l_orderkey + 3 * l_partkey)
+            FROM read_parquet('{path}')
+        """).fetchone()
+        con.close()
+        corpus_n, corpus_sum = int(key[0]), int(key[1])
+
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        mst = []
+        for w, u, v in sorted((int(w), int(u), int(v))
+                              for u, v, w in edges):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                lo2, hi2 = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi2] = lo2
+                mst.append((u, v, w))
+        mst.sort()
+        frames.append(pa.table({
+            "corpus_n": pa.array([corpus_n] * len(mst), pa.int64()),
+            "corpus_sum": pa.array([corpus_sum] * len(mst), pa.int64()),
+            "u": pa.array([m[0] for m in mst], pa.int64()),
+            "v": pa.array([m[1] for m in mst], pa.int64()),
+            "w": pa.array([m[2] for m in mst], pa.int64()),
+        }))
+        print(f"{sf}: {len(mst)} MSF edges from {len(edges)} edges")
+    out = pa.concat_tables(frames)
+    pq.write_table(out, MST_OUT)
+    print(f"wrote {len(out)} MST rows -> {MST_OUT}")
+
+
 def main() -> None:
     rows = {}
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
@@ -363,6 +428,7 @@ def main() -> None:
     gen_crawl_interleaved_expected()
     gen_crawl_multi_expected()
     gen_dedup_expected()
+    gen_mst_expected()
 
 
 if __name__ == "__main__":
