@@ -378,6 +378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_clustering_coeff": rel.parts_clustering_coeff,
         "orders_changepoint": rel.orders_changepoint,
         "parts_mst": rel.parts_mst,
+        "events_decayed_counts": rel.events_decayed_counts,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -1216,6 +1217,25 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 ORDER BY 1
         """,
         # month-over-month revenue growth: LAG over the monthly aggregate
+        # time-decayed engagement: integer one-week half-life weights
+        # anchored at MAX(ts); µs-integer age so day boundaries can't
+        # straddle a fractional second
+        "events_decayed_counts": """
+            WITH a AS (SELECT MAX(ts) AS anchor FROM events),
+            w AS (
+                SELECT user_id,
+                       1000000 // (CAST(1 AS BIGINT) << CAST(LEAST(
+                           ((epoch_us((SELECT anchor FROM a))
+                             - epoch_us(ts)) // 86400000000) // 7,
+                           20) AS BIGINT)) AS wq
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(wq) AS BIGINT) AS decayed_q,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM w GROUP BY user_id
+            ORDER BY decayed_q DESC, user_id LIMIT 20
+        """,
         # CUSUM changepoint over daily revenue: integer mean (total //
         # n_days), HUGEINT running deviation, earliest-argmax tie pin
         "orders_changepoint": """

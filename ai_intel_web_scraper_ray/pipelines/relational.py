@@ -3042,6 +3042,66 @@ def events_top_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out[["user_id", "n"]].reset_index(drop=True)
 
 
+def events_decayed_counts(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Time-decayed engagement score per user: each event contributes
+    ``1_000_000 // 2^(age_days // 7)`` (integer half-life of one week,
+    anchored at the corpus MAX(ts)); top-``k`` users by decayed score,
+    ties to the smaller id.  The integer weight table makes the decay
+    fixpoint-free and exactly mergeable — no float Σ order to pin.
+
+    Scale shape: one bounded-partial pass finds the global anchor
+    timestamp; the scoring pass reduces each block to per-user integer
+    partials that finish under the 64-way user-hash bucket, and only
+    each bucket's local top-k reaches the driver (the events_top_users
+    merge argument)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def ts_max(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"m": pd.Series([], dtype="datetime64[ns]")})
+        return pd.DataFrame({"m": [df["ts"].max()]})
+
+    mx = ds.map_batches(ts_max, batch_format="pandas").to_pandas()
+    cols = ("user_id", "decayed_q", "n_events")
+    if mx.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    anchor = mx["m"].max()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("user_id", "dq", "n", "_b")})
+        # integer µs so engine and SQL (epoch_us) can't disagree on a
+        # fractional-second day boundary
+        age_days = ((anchor - df["ts"]).to_numpy()
+                    .astype("timedelta64[us]").astype("int64")
+                    // 86_400_000_000)
+        kexp = np.minimum(age_days // 7, 20)
+        w = (1_000_000 // np.left_shift(np.int64(1), kexp)).astype("int64")
+        out = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                            "dq": w,
+                            "n": np.ones(len(df), dtype="int64")}) \
+            .groupby("user_id", as_index=False).sum()
+        out["_b"] = (out["user_id"] % 64).astype("int64")
+        return out
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False)[["dq", "n"]].sum()
+        return out.sort_values(["dq", "user_id"],
+                               ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    tops = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_top, batch_format="pandas") \
+        .to_pandas()
+    out = tops.sort_values(["dq", "user_id"], ascending=[False, True],
+                           kind="mergesort").head(k)
+    return pd.DataFrame({
+        "user_id": out["user_id"].astype("int64").to_numpy(),
+        "decayed_q": out["dq"].astype("int64").to_numpy(),
+        "n_events": out["n"].astype("int64").to_numpy()})
+
+
 # ---------------------------------------------------------------------------
 # iterative graph ranking: PageRank over the directed co-order part graph
 # (both directions of every co-order pair, edge weight = co-order count).

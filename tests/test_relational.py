@@ -82,6 +82,7 @@ ORACLE_QUERIES = [
     "parts_clustering_coeff",
     "orders_changepoint",
     "parts_mst",
+    "events_decayed_counts",
     "events_invalid_transitions",
     "events_dau_wau",
     "parts_co_ordered",
@@ -166,6 +167,27 @@ def _write_coorder_graph(tmp_path, edge_orders):
     t = pa.table({"l_orderkey": pa.array(rows_ok, pa.int64()),
                   "l_partkey": pa.array(rows_pk, pa.int64())})
     pq.write_table(t, tmp_path / "lineitem.parquet")
+
+
+def test_decayed_counts_half_life(tmp_path):
+    """Pinned weights: an anchor-day event scores 1_000_000, one aged
+    8 days scores 500_000 (one half-life), one aged 70 days scores
+    1_000_000 // 2^10 = 976; deep past decays to exactly 0."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    anchor = pd.Timestamp("2024-06-01")
+    rows = pd.DataFrame({
+        "user_id": pd.Series([1, 2, 3, 4], dtype="int64"),
+        "ts": [anchor, anchor - pd.Timedelta(days=8),
+               anchor - pd.Timedelta(days=70),
+               anchor - pd.Timedelta(days=7 * 25)]})
+    pq.write_table(__import__("pyarrow").Table.from_pandas(
+        rows, preserve_index=False), tmp_path / "events.parquet")
+    out = rel.events_decayed_counts(str(tmp_path))
+    got = dict(zip(out["user_id"].astype(int),
+                   out["decayed_q"].astype(int)))
+    assert got == {1: 1_000_000, 2: 500_000, 3: 976, 4: 0}
 
 
 def test_mst_cycle_property(tmp_path):
