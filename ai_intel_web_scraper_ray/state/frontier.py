@@ -75,6 +75,17 @@ class FrontierShard:
             fetch_robots=lambda host: robots_texts.get(host),
             respect_robots=respect_robots,
         )
+        # compile robots Crawl-delay floors onto the politeness buckets:
+        # texts known up front compile NOW (so politeness.active — and with
+        # it host-affinity routing — engages before the first lease); hosts
+        # whose robots arrive later (real fetcher) raise lazily in take()
+        self._delay_checked: set = set()
+        if respect_robots:
+            for h in robots_texts:
+                self._delay_checked.add(h)
+                d = self.robots.crawl_delay(h)
+                if d is not None:
+                    self.politeness.raise_floor(h, d)
         self._seq = 0
         self.offered = 0
         self.admitted = 0
@@ -220,6 +231,11 @@ class FrontierShard:
                     self.budget_dropped += 1
                     continue
                 self.emitted_by_host[host] = used + 1
+            if self.robots.respect and host not in self._delay_checked:
+                self._delay_checked.add(host)
+                d = self.robots.crawl_delay(host)
+                if d is not None:
+                    self.politeness.raise_floor(host, d)
             t = self.politeness.reserve(host, now)
             out.append((url, depth, t))
             self.emitted += 1

@@ -35,6 +35,13 @@ class HostPoliteness:
         return self.min_delay > 0 or any(
             d > 0 for d in self.per_host_delay.values())
 
+    def raise_floor(self, host: str, delay: float) -> None:
+        """Raise ``host``'s effective min-delay to at least ``delay``
+        (robots Crawl-delay compilation) — never lowers a configured
+        delay."""
+        if delay > self.per_host_delay.get(host, self.min_delay):
+            self.per_host_delay[host] = delay
+
     def reserve(self, host: str, now: float) -> float:
         """Returns the scheduled fetch time (>= now) for one fetch of
         ``host`` and advances the bucket."""

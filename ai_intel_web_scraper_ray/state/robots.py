@@ -31,10 +31,7 @@ class RobotsCache:
         self.respect = respect_robots
         self._cache: Dict[str, Optional[urllib.robotparser.RobotFileParser]] = {}
 
-    def allowed(self, url: str) -> bool:
-        if not self.respect:
-            return True
-        host = host_of(url)
+    def _parser(self, host: str) -> Optional[urllib.robotparser.RobotFileParser]:
         if host not in self._cache:
             parser = None
             text = self.fetch_robots(host) if self.fetch_robots else None
@@ -42,8 +39,27 @@ class RobotsCache:
                 parser = urllib.robotparser.RobotFileParser()
                 parser.parse(text.splitlines())
             self._cache[host] = parser
-        parser = self._cache[host]
+        return self._cache[host]
+
+    def allowed(self, url: str) -> bool:
+        if not self.respect:
+            return True
+        parser = self._parser(host_of(url))
         return True if parser is None else parser.can_fetch(self.user_agent, url)
+
+    def crawl_delay(self, host: str) -> Optional[float]:
+        """The robots.txt ``Crawl-delay`` declared for our UA (or ``*``),
+        in seconds — None when robots are not respected, the host has no
+        robots.txt, or no delay is declared.  Callers compile this onto
+        the host's politeness bucket as a FLOOR (a configured per-host
+        delay is never lowered)."""
+        if not self.respect:
+            return None
+        parser = self._parser(host)
+        if parser is None:
+            return None
+        d = parser.crawl_delay(self.user_agent)
+        return float(d) if d is not None else None
 
     def snapshot(self) -> Dict[str, Optional[str]]:
         # robots text is re-fetchable; checkpoint only the host list

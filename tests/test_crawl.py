@@ -188,6 +188,41 @@ class TestScalableCrawl:
         assert BASE in urls  # seed itself allowed (p0)
         assert not any(u.startswith("https://docs.hot.example/p1") for u in urls)
 
+    def test_robots_crawl_delay_floor(self):
+        """A robots.txt Crawl-delay must schedule fetches even when no
+        politeness delay is configured: with delay 2 s declared the
+        virtual clock accrues at least (n-1)×2 s for the single host."""
+        robots = {"docs.hot.example":
+                  "User-agent: *\nCrawl-delay: 2\n"}
+        got = crawl_scalable(
+            PAGES, [BASE], max_depth=2, exclude_patterns=("/excluded/",),
+            num_shards=2, respect_robots=True, robots_texts=robots,
+        )
+        n = len(got["records"])
+        assert n > 1
+        assert got["virtual_time"] >= (n - 1) * 2.0
+
+    def test_robots_crawl_delay_never_lowers_config(self):
+        """A configured per-host delay above the robots Crawl-delay wins
+        (raise_floor only raises); a declared delay above the default
+        min_delay wins over it."""
+        from ai_intel_web_scraper_ray.state.politeness import HostPoliteness
+        from ai_intel_web_scraper_ray.state.robots import RobotsCache
+
+        cache = RobotsCache(
+            fetch_robots=lambda h: "User-agent: *\nCrawl-delay: 2\n",
+            respect_robots=True)
+        assert cache.crawl_delay("h.example") == 2.0
+
+        pol = HostPoliteness(min_delay=0.5,
+                             per_host_delay={"big.example": 5.0})
+        pol.raise_floor("big.example", 2.0)   # config 5.0 stays
+        pol.raise_floor("small.example", 2.0)  # floor raised over 0.5
+        assert pol.per_host_delay["big.example"] == 5.0
+        assert pol.per_host_delay["small.example"] == 2.0
+        t0 = pol.reserve("small.example", 0.0)
+        assert pol.reserve("small.example", 0.0) - t0 == 2.0
+
 
 class TestSeenSet:
     def test_cuckoo_membership(self):
