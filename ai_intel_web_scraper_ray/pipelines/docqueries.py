@@ -2491,9 +2491,11 @@ def emb_pca_top2(sf_dir: str, dim: int = 64, iters: int = 2) -> pd.DataFrame:
     u[1] = 1.0
     for _ in range(iters):
         t = _power_pass(ds, u, dim)
-        dvu = round(float(v1 @ u), 6)
+        # left-to-right 64-term dot and norm — the association order the
+        # SQL twin writes explicitly (_dot_ltr/_norm_ltr convention)
+        dvu = round(float(_dot_ltr(v1[None, :], u)[0]), 6)
         w = t - lam * v1 * dvu
-        nrm = float(np.sqrt((w * w).sum()))
+        nrm = _norm_ltr(w)
         u = np.round(w / nrm, 6) if nrm > 0 else np.zeros(dim)
 
     return pd.DataFrame({"dim": np.arange(dim, dtype=np.int64),

@@ -3071,11 +3071,13 @@ def events_decayed_counts(sf_dir: str, k: int = 20) -> pd.DataFrame:
         if len(df) == 0:
             return pd.DataFrame({c: pd.Series([], dtype="int64")
                                  for c in ("user_id", "dq", "n", "_b")})
-        # integer µs so engine and SQL (epoch_us) can't disagree on a
-        # fractional-second day boundary
-        age_days = ((anchor - df["ts"]).to_numpy()
-                    .astype("timedelta64[us]").astype("int64")
-                    // 86_400_000_000)
+        # floor each OPERAND to integer µs (exactly SQL's epoch_us), not
+        # the difference — flooring the difference disagrees by 1 µs when
+        # ts carries a sub-µs fraction larger than the anchor's
+        anchor_us = int(np.datetime64(anchor, "us").astype("int64"))
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype("int64")
+        age_days = (anchor_us - ts_us) // 86_400_000_000
         kexp = np.minimum(age_days // 7, 20)
         w = (1_000_000 // np.left_shift(np.int64(1), kexp)).astype("int64")
         out = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
@@ -5897,7 +5899,9 @@ def events_invalid_transitions(sf_dir: str) -> pd.DataFrame:
 # minimum spanning forest of the weighted co-order graph (Borůvka)
 # ---------------------------------------------------------------------------
 
-_MST_MAX_ROUNDS = 16
+# components at least halve per round, so 64 rounds cover 2^64 nodes —
+# a safety backstop, not a truncation point (exhaustion raises)
+_MST_MAX_ROUNDS = 64
 
 
 def parts_mst(sf_dir: str, support: int = 2) -> pd.DataFrame:
@@ -5927,8 +5931,6 @@ def parts_mst(sf_dir: str, support: int = 2) -> pd.DataFrame:
     (tools/gen_pinned_oracles.gen_mst_expected) pinned per corpus —
     Borůvka and Kruskal agree exactly because the edge order is total."""
     import ray
-
-    from ..stages.dedup import label_components  # noqa: F401  (shape ref)
 
     edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64()),
                              ("w", pa.int64())])
@@ -6006,6 +6008,7 @@ def parts_mst(sf_dir: str, support: int = 2) -> pd.DataFrame:
     sel_frames: list = []
     cur = edges
     n_edges = cur.count()
+    converged = False
     for _ in range(_MST_MAX_ROUNDS):
         n_join = max(1, min(32, n_edges // 10_000 + 1))
         lab = cur.join(comp, join_type="inner", num_partitions=n_join,
@@ -6016,6 +6019,7 @@ def parts_mst(sf_dir: str, support: int = 2) -> pd.DataFrame:
             .map_batches(strip_v, batch_format="pandas").materialize()
         n_edges = lab.count()
         if n_edges == 0:
+            converged = True
             break
         sel = lab.map_batches(tag_comps, batch_format="pandas") \
             .groupby("_b").map_groups(comp_min, batch_format="pandas") \
@@ -6067,6 +6071,12 @@ def parts_mst(sf_dir: str, support: int = 2) -> pd.DataFrame:
                 preserve_index=False),
             batch_format="pandas")
 
+    if not converged:
+        # never return a silently incomplete forest — halving components
+        # can't need 64 rounds, so this only fires on a logic regression
+        raise RuntimeError(
+            f"parts_mst: cross-component edges remain after "
+            f"{_MST_MAX_ROUNDS} Borůvka rounds")
     if not sel_frames:
         return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
     out = pd.concat(sel_frames, ignore_index=True) \

@@ -233,7 +233,10 @@ class FrontierShard:
                 self.emitted_by_host[host] = used + 1
             if self.robots.respect and host not in self._delay_checked:
                 self._delay_checked.add(host)
-                d = self.robots.crawl_delay(host)
+                # refresh=True: offer-time allowed() caches a None parser
+                # for hosts whose robots text wasn't available yet, so the
+                # one-shot lease-time check must re-ask the robots source
+                d = self.robots.crawl_delay(host, refresh=True)
                 if d is not None:
                     self.politeness.raise_floor(host, d)
             t = self.politeness.reserve(host, now)

@@ -47,14 +47,22 @@ class RobotsCache:
         parser = self._parser(host_of(url))
         return True if parser is None else parser.can_fetch(self.user_agent, url)
 
-    def crawl_delay(self, host: str) -> Optional[float]:
+    def crawl_delay(self, host: str, refresh: bool = False) -> Optional[float]:
         """The robots.txt ``Crawl-delay`` declared for our UA (or ``*``),
         in seconds — None when robots are not respected, the host has no
         robots.txt, or no delay is declared.  Callers compile this onto
         the host's politeness bucket as a FLOOR (a configured per-host
-        delay is never lowered)."""
+        delay is never lowered).
+
+        ``refresh=True`` drops a cached MISS (parser None) and re-asks
+        ``fetch_robots`` — ``allowed()`` runs at offer time for every
+        admitted URL and caches None for hosts whose robots text wasn't
+        available yet, so a dynamic robots source (real fetcher) would
+        otherwise never surface a late-arriving Crawl-delay."""
         if not self.respect:
             return None
+        if refresh and self._cache.get(host) is None:
+            self._cache.pop(host, None)
         parser = self._parser(host)
         if parser is None:
             return None

@@ -214,6 +214,17 @@ class TestScalableCrawl:
             respect_robots=True)
         assert cache.crawl_delay("h.example") == 2.0
 
+        # late-arriving robots text (dynamic source): offer-time allowed()
+        # caches a MISS; the lease-time crawl_delay(refresh=True) must
+        # re-ask the source instead of trusting the cached None
+        texts = {}
+        dyn = RobotsCache(fetch_robots=lambda h: texts.get(h),
+                          respect_robots=True)
+        assert dyn.allowed("https://late.example/p") is True  # caches None
+        texts["late.example"] = "User-agent: *\nCrawl-delay: 3\n"
+        assert dyn.crawl_delay("late.example") is None  # stale cache
+        assert dyn.crawl_delay("late.example", refresh=True) == 3.0
+
         pol = HostPoliteness(min_delay=0.5,
                              per_host_delay={"big.example": 5.0})
         pol.raise_floor("big.example", 2.0)   # config 5.0 stays
