@@ -716,6 +716,8 @@ def crawl_scalable(
     per_host_selectors: Optional[Dict[str, str]] = None,
     capture_media_refs: bool = False,
     collect_seen: bool = True,
+    heap_mem_cap: Optional[int] = None,
+    heap_spill_dir: Optional[str] = None,
 ) -> dict:
     """Throughput-shaped crawl: a fetch/extract worker actor pool fed by
     politeness-scheduled leases from the frontier shards; links route
@@ -798,7 +800,9 @@ def crawl_scalable(
     shards = make_shards(num_shards, min_delay, respect_robots, robots_texts,
                          depth_refinement=max_depth < 10**6,
                          per_host_delay=per_host_delay,
-                         per_host_budget=per_host_budget)
+                         per_host_budget=per_host_budget,
+                         heap_mem_cap=heap_mem_cap,
+                         spill_dir=heap_spill_dir)
     ray.get([s.set_peers.remote(shards) for s in shards])
 
     ckpt = CrawlCheckpoint(checkpoint_dir) if checkpoint_dir else None

@@ -29,6 +29,9 @@ so one token bucket exists per host no matter how many shards hold its URLs.
 from __future__ import annotations
 
 import heapq
+import os
+import pickle
+import tempfile
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import ray
@@ -37,6 +40,108 @@ from ..functions.urls import frontier_shard, host_of
 from .politeness import HostPoliteness
 from .robots import RobotsCache
 from .seenset import SeenSet
+
+
+class SpillHeap:
+    """External-memory (depth, seq, url) priority queue: the 10^10-URL
+    frontier answer to a per-shard heap that no longer fits in RAM.
+
+    The in-memory heap is bounded at ``mem_cap`` entries; on overflow the
+    WORST-keyed half is written as one sorted on-disk segment carrying
+    its min key.  Pops stay EXACT: before any pop, every segment whose
+    min key beats the in-memory minimum is reloaded — BFS offers arrive
+    in (mostly) nondecreasing depth, so spilled segments hold the deep
+    tail and reloads happen only when the crawl actually reaches that
+    depth.  ``mem_cap=None`` (the default) is a plain in-memory heap,
+    bit-identical to the pre-spill behavior.
+
+    Keys are unique per shard ((depth, seq) with a shard-local seq), so
+    heap-vs-segment comparisons can't tie."""
+
+    def __init__(self, mem_cap: Optional[int] = None,
+                 spill_dir: Optional[str] = None):
+        self._heap: List[Tuple[int, int, str]] = []
+        self.mem_cap = mem_cap
+        self._spill_dir = spill_dir
+        # (min_key, path, count) per on-disk segment
+        self._segments: List[Tuple[Tuple[int, int, str], str, int]] = []
+        self._spilled = 0
+        self._n_files = 0
+        self.spill_events = 0
+
+    def __len__(self) -> int:
+        return len(self._heap) + self._spilled
+
+    def _dir(self) -> str:
+        if self._spill_dir is None:
+            self._spill_dir = tempfile.mkdtemp(prefix="frontier_spill_")
+        else:
+            os.makedirs(self._spill_dir, exist_ok=True)
+        return self._spill_dir
+
+    def _spill(self) -> None:
+        keep = max(1, (self.mem_cap or 1) // 2)
+        items = sorted(self._heap)
+        self._heap = items[:keep]
+        rest = items[keep:]
+        if not rest:
+            return
+        path = os.path.join(self._dir(), f"seg{self._n_files}.pkl")
+        self._n_files += 1
+        with open(path, "wb") as f:
+            pickle.dump(rest, f, protocol=pickle.HIGHEST_PROTOCOL)
+        self._segments.append((rest[0], path, len(rest)))
+        self._spilled += len(rest)
+        self.spill_events += 1
+
+    def push(self, item: Tuple[int, int, str]) -> None:
+        heapq.heappush(self._heap, item)
+        if self.mem_cap is not None and len(self._heap) > self.mem_cap:
+            self._spill()
+
+    def _reload_due(self) -> None:
+        while self._segments:
+            best = min(range(len(self._segments)),
+                       key=lambda i: self._segments[i][0])
+            if self._heap and self._heap[0] <= self._segments[best][0]:
+                return
+            _, path, cnt = self._segments.pop(best)
+            with open(path, "rb") as f:
+                items = pickle.load(f)
+            os.remove(path)
+            self._spilled -= cnt
+            for it in items:
+                heapq.heappush(self._heap, it)
+            if self.mem_cap is not None and \
+                    len(self._heap) > 2 * self.mem_cap:
+                self._spill()
+
+    def pop(self) -> Tuple[int, int, str]:
+        self._reload_due()
+        return heapq.heappop(self._heap)
+
+    def snapshot(self) -> List[Tuple[int, int, str]]:
+        """Full sorted contents (checkpoint reads every segment — the
+        checkpoint already serializes the whole frontier)."""
+        items = list(self._heap)
+        for _, path, _ in self._segments:
+            with open(path, "rb") as f:
+                items.extend(pickle.load(f))
+        return sorted(items)
+
+    def restore(self, items: Sequence[Tuple[int, int, str]]) -> None:
+        for _, path, _ in self._segments:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        self._segments = []
+        self._spilled = 0
+        self._heap = [tuple(x) for x in items]
+        heapq.heapify(self._heap)
+        if self.mem_cap is not None:
+            while len(self._heap) > self.mem_cap:
+                self._spill()
 
 
 @ray.remote(num_cpus=0.25)
@@ -52,6 +157,8 @@ class FrontierShard:
         depth_refinement: bool = True,
         per_host_delay: Optional[Dict[str, float]] = None,
         per_host_budget: Optional[Dict[str, int]] = None,
+        heap_mem_cap: Optional[int] = None,
+        spill_dir: Optional[str] = None,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -60,7 +167,12 @@ class FrontierShard:
         # the crawl sets this False and saves the re-fetches
         self.depth_refinement = depth_refinement
         self.seen = SeenSet(capacity_hint)
-        self.heap: List[Tuple[int, int, str]] = []  # (depth, discovery_seq, url)
+        # (depth, discovery_seq, url); heap_mem_cap bounds the in-memory
+        # slice, overflow spills to sorted disk segments (SpillHeap)
+        self.heap = SpillHeap(
+            heap_mem_cap,
+            os.path.join(spill_dir, f"shard{shard_id}") if spill_dir
+            else None)
         self.politeness = HostPoliteness(min_delay, per_host_delay)
         # per-host fetch budgets (lease-level: counts fetch ATTEMPTS of
         # leased URLs; the reference's successful-extract budget semantics
@@ -112,7 +224,7 @@ class FrontierShard:
         if enqueue:
             for (url, depth), is_new in zip(items, out):
                 if is_new and self.robots.allowed(url):
-                    heapq.heappush(self.heap, (depth, self._seq, url))
+                    self.heap.push((depth, self._seq, url))
                     self._seq += 1
                     self.admitted += 1
         return out
@@ -171,7 +283,7 @@ class FrontierShard:
         pushed = 0
         for url, depth in items:
             if self.robots.allowed(url):
-                heapq.heappush(self.heap, (depth, self._seq, url))
+                self.heap.push((depth, self._seq, url))
                 self._seq += 1
                 self.admitted += 1
                 pushed += 1
@@ -220,7 +332,7 @@ class FrontierShard:
         worker must settle it with :meth:`complete_lease`."""
         out = []
         while self.heap and len(out) < n:
-            depth, _, url = heapq.heappop(self.heap)
+            depth, _, url = self.heap.pop()
             host = host_of(url)
             if self.per_host_budget:
                 cap = self.per_host_budget.get(host)
@@ -288,7 +400,7 @@ class FrontierShard:
         return {
             "shard_id": self.shard_id,
             "seen": self.seen.snapshot_items(),
-            "heap": sorted(self.heap),
+            "heap": self.heap.snapshot(),
             "seq": self._seq,
             "politeness": self.politeness.snapshot(),
             "counters": (self.offered, self.admitted, self.emitted),
@@ -299,8 +411,7 @@ class FrontierShard:
 
     def restore(self, state: Dict) -> None:
         self.seen = SeenSet.restore(state["seen"])
-        self.heap = [tuple(x) for x in state["heap"]]
-        heapq.heapify(self.heap)
+        self.heap.restore([tuple(x) for x in state["heap"]])
         self._seq = state["seq"]
         self.politeness.restore(state["politeness"])
         self.offered, self.admitted, self.emitted = state["counters"]
@@ -320,11 +431,14 @@ def make_shards(
     depth_refinement: bool = True,
     per_host_delay: Optional[Dict[str, float]] = None,
     per_host_budget: Optional[Dict[str, int]] = None,
+    heap_mem_cap: Optional[int] = None,
+    spill_dir: Optional[str] = None,
 ):
     return [
         FrontierShard.remote(
             i, num_shards, min_delay, respect_robots, robots_texts, capacity_hint,
             depth_refinement, per_host_delay, per_host_budget,
+            heap_mem_cap, spill_dir,
         )
         for i in range(num_shards)
     ]

@@ -56,3 +56,65 @@ class TestScalableEdges:
         got = crawl_scalable(PAGES, ["https://docs.hot.example/p0"], max_pages=5,
                              num_shards=2, exclude_patterns=("/excluded/",))
         assert len(got["records"]) == 5
+
+
+class TestSpillHeap:
+    def test_matches_plain_heap_random_interleave(self):
+        """Randomized interleaved push/pop: a mem_cap=8 SpillHeap must pop
+        the exact same global order as an unbounded heap, and must have
+        actually spilled."""
+        import heapq
+        import random
+
+        from ai_intel_web_scraper_ray.state.frontier import SpillHeap
+
+        rng = random.Random(42)
+        sh = SpillHeap(mem_cap=8)
+        ref: list = []
+        seq = 0
+        pops_sh, pops_ref = [], []
+        for _ in range(2000):
+            if ref and rng.random() < 0.4:
+                pops_sh.append(sh.pop())
+                pops_ref.append(heapq.heappop(ref))
+            else:
+                item = (rng.randint(0, 9), seq, f"https://h/{seq}")
+                seq += 1
+                sh.push(item)
+                heapq.heappush(ref, item)
+            assert len(sh) == len(ref)
+        while ref:
+            pops_sh.append(sh.pop())
+            pops_ref.append(heapq.heappop(ref))
+        assert pops_sh == pops_ref
+        assert sh.spill_events > 0
+
+    def test_snapshot_restore_with_active_segments(self):
+        """snapshot() must read back spilled segments; restore() into a
+        capped heap re-spills and preserves pop order."""
+        from ai_intel_web_scraper_ray.state.frontier import SpillHeap
+
+        sh = SpillHeap(mem_cap=8)
+        items = [(d, i, f"https://h/{i}") for i, d in enumerate(
+            [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3, 2, 3, 8, 4])]
+        for it in items:
+            sh.push(it)
+        snap = sh.snapshot()
+        assert snap == sorted(items)
+        sh2 = SpillHeap(mem_cap=4)
+        sh2.restore(snap)
+        assert [sh2.pop() for _ in range(len(items))] == sorted(items)
+
+    def test_crawl_scalable_spilled_equals_unbounded(self):
+        """A crawl with a tiny per-shard heap cap must fetch the exact
+        same record set and min-depths as the unbounded crawl."""
+        base = "https://docs.hot.example/p0"
+        a = crawl_scalable(PAGES, [base], max_depth=3,
+                           exclude_patterns=("/excluded/",), num_shards=2)
+        b = crawl_scalable(PAGES, [base], max_depth=3,
+                           exclude_patterns=("/excluded/",), num_shards=2,
+                           heap_mem_cap=4)
+        da = {r["url"]: r["depth"] for r in a["records"]}
+        db = {r["url"]: r["depth"] for r in b["records"]}
+        assert da == db
+        assert a["seen"] == b["seen"]
