@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_changepoint": rel.orders_changepoint,
         "parts_mst": rel.parts_mst,
         "events_decayed_counts": rel.events_decayed_counts,
+        "events_markov_stationary": rel.events_markov_stationary,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -1217,6 +1218,56 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 ORDER BY 1
         """,
         # month-over-month revenue growth: LAG over the monthly aggregate
+        # approach-to-stationary of the event-type Markov chain: three
+        # integer-ppm power steps (per-term // 10^6, so the sum is
+        # order-free) from the uniform ppm vector
+        "events_markov_stationary": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            ), counts AS (
+                SELECT prev_type AS from_type, event_type AS to_type,
+                       COUNT(*) AS n
+                FROM seq WHERE prev_type IS NOT NULL
+                GROUP BY 1, 2
+            ), p AS (
+                SELECT from_type, to_type,
+                       n * 1000000 // SUM(n) OVER (PARTITION BY from_type)
+                           AS p_ppm
+                FROM counts
+            ), tps AS (SELECT DISTINCT event_type AS t FROM events),
+            v0 AS (SELECT t, 1000000 // (SELECT COUNT(*) FROM tps) AS v
+                   FROM tps),
+            v1 AS (
+                SELECT tps.t,
+                       COALESCE(SUM((v0.v * p.p_ppm) // 1000000), 0) AS v
+                FROM tps
+                LEFT JOIN p ON p.to_type = tps.t
+                LEFT JOIN v0 ON v0.t = p.from_type
+                GROUP BY tps.t
+            ),
+            v2 AS (
+                SELECT tps.t,
+                       COALESCE(SUM((v1.v * p.p_ppm) // 1000000), 0) AS v
+                FROM tps
+                LEFT JOIN p ON p.to_type = tps.t
+                LEFT JOIN v1 ON v1.t = p.from_type
+                GROUP BY tps.t
+            ),
+            v3 AS (
+                SELECT tps.t,
+                       COALESCE(SUM((v2.v * p.p_ppm) // 1000000), 0) AS v
+                FROM tps
+                LEFT JOIN p ON p.to_type = tps.t
+                LEFT JOIN v2 ON v2.t = p.from_type
+                GROUP BY tps.t
+            )
+            SELECT t AS event_type, CAST(v AS BIGINT) AS v_ppm
+            FROM v3 ORDER BY event_type
+        """,
         # time-decayed engagement: integer one-week half-life weights
         # anchored at MAX(ts); µs-integer age so day boundaries can't
         # straddle a fractional second

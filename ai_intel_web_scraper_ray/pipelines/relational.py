@@ -3042,6 +3042,83 @@ def events_top_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out[["user_id", "n"]].reset_index(drop=True)
 
 
+_MARKOV_ITERS = 3
+
+
+def events_markov_stationary(sf_dir: str,
+                             iters: int = _MARKOV_ITERS) -> pd.DataFrame:
+    """(event_type, v_ppm): ``iters`` integer-ppm power-iteration steps
+    of the uniform distribution through the first-order event-type
+    transition matrix — the approach-to-stationary distribution of the
+    user behavior chain.  Every step is
+    ``v'[j] = Σ_i (v[i] · p_ppm[i,j]) // 10⁶`` with
+    ``p_ppm = n(i,j)·10⁶ // Σ_j n(i,·)`` — fully integer, so the float
+    Σ-order problem never arises and the DuckDB twin iterates the
+    IDENTICAL generated CTE steps.
+
+    Scale shape: transition counts reuse the ``events_transition_matrix``
+    exchange (user-hash buckets, one sort + shift per bucket, |types|²-
+    bounded partials); the iteration then runs on the driver over the
+    BOUNDED |types|² matrix — O(k²) integer work, no data motion."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df[["user_id", "ts", "event_id", "event_type", "_b"]]
+
+    def bucket_transitions(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2 or "user_id" not in df.columns:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy(dtype=object)
+        same = uid[:-1] == uid[1:]
+        pairs = pd.DataFrame({"from_type": et[:-1][same],
+                              "to_type": et[1:][same]})
+        out = pairs.groupby(["from_type", "to_type"], as_index=False) \
+            .agg(n=("to_type", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    def type_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"t": pd.Series(
+            df["event_type"].drop_duplicates(), dtype=object)})
+
+    types = _read(sf_dir, "events", ["event_type"]) \
+        .map_batches(type_partial, batch_format="pandas").to_pandas()
+    cols = ("event_type", "v_ppm")
+    if types.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "v_ppm": pd.Series([], dtype="int64")})
+    universe = sorted(types["t"].drop_duplicates())
+
+    parts = ds.map_batches(keep, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_transitions,
+                                  batch_format="pandas").to_pandas()
+    p: dict = {}
+    if not parts.empty:
+        counts = parts.groupby(["from_type", "to_type"],
+                               as_index=False)["n"].sum()
+        marg = counts.groupby("from_type")["n"].transform("sum")
+        counts["p_ppm"] = (counts["n"].astype("int64") * 1_000_000
+                           // marg.astype("int64"))
+        for r in counts.itertuples():
+            p[(r.from_type, r.to_type)] = int(r.p_ppm)
+
+    k = len(universe)
+    v = {t: 1_000_000 // k for t in universe}
+    for _ in range(iters):
+        v = {j: sum((v[i] * p.get((i, j), 0)) // 1_000_000
+                    for i in universe) for j in universe}
+    return pd.DataFrame({
+        "event_type": pd.Series(universe, dtype=object),
+        "v_ppm": pd.Series([v[t] for t in universe], dtype="int64")})
+
+
 def events_decayed_counts(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Time-decayed engagement score per user: each event contributes
     ``1_000_000 // 2^(age_days // 7)`` (integer half-life of one week,

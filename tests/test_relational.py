@@ -83,6 +83,7 @@ ORACLE_QUERIES = [
     "orders_changepoint",
     "parts_mst",
     "events_decayed_counts",
+    "events_markov_stationary",
     "events_invalid_transitions",
     "events_dau_wau",
     "parts_co_ordered",
@@ -167,6 +168,27 @@ def _write_coorder_graph(tmp_path, edge_orders):
     t = pa.table({"l_orderkey": pa.array(rows_ok, pa.int64()),
                   "l_partkey": pa.array(rows_pk, pa.int64())})
     pq.write_table(t, tmp_path / "lineitem.parquet")
+
+
+def test_markov_stationary_absorbing_and_leak(tmp_path):
+    """A→B→B chain absorbs all surviving mass into B; type C (a single
+    event, no transitions) is in the universe but its mass LEAKS (no
+    outgoing row) — pinned integer semantics: {A: 0, B: 666666, C: 0}."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame({
+        "event_id": pd.Series(range(6), dtype="int64"),
+        "user_id": pd.Series([1, 1, 1, 2, 2, 3], dtype="int64"),
+        "ts": [base + pd.Timedelta(minutes=i) for i in range(6)],
+        "event_type": ["A", "B", "B", "A", "B", "C"]})
+    pq.write_table(pa.Table.from_pandas(rows, preserve_index=False),
+                   tmp_path / "events.parquet")
+    out = rel.events_markov_stationary(str(tmp_path))
+    got = dict(zip(out["event_type"], out["v_ppm"].astype(int)))
+    assert got == {"A": 0, "B": 666666, "C": 0}
 
 
 def test_decayed_counts_half_life(tmp_path):
