@@ -295,6 +295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_minhash_dedup": dq.docs_minhash_dedup,       # pinned-table oracle
         "docs_ngram_dedup": dq.docs_ngram_dedup,
         "docs_simhash_dedup": dq.docs_simhash_dedup,       # pinned-table oracle
+        "docs_ensemble_dedup": dq.docs_ensemble_dedup,     # pinned-table oracle
         "emb_cosine_dedup": dq.emb_cosine_dedup,
         "media_decode": dq.media_decode,                   # rows-only (stub decode)
         "docs_simhash": dq.docs_simhash,                   # pinned-table oracle
@@ -2817,6 +2818,14 @@ def oracle_sql() -> dict[str, str]:
         "docs_simhash_dedup": f"""
             SELECT p.doc_id FROM read_parquet('{_PINNED_DEDUP}') p
             WHERE p.algo = 'simhash'
+              AND p.corpus_min_sha = (SELECT MIN(sha256(text)) FROM documents)
+            ORDER BY p.doc_id
+        """,
+        # union-of-candidates ensemble (MinHash ∪ SimHash edges, one
+        # greedy replay) — pinned independent sequential twin
+        "docs_ensemble_dedup": f"""
+            SELECT p.doc_id FROM read_parquet('{_PINNED_DEDUP}') p
+            WHERE p.algo = 'ensemble'
               AND p.corpus_min_sha = (SELECT MIN(sha256(text)) FROM documents)
             ORDER BY p.doc_id
         """,

@@ -192,6 +192,23 @@ def docs_simhash_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def docs_ensemble_dedup(sf_dir: str) -> pd.DataFrame:
+    """Ensemble near-dedup survivors: MinHash ∪ SimHash candidate edges
+    under ONE greedy keep-first resolve (stages.dedup.ensemble_near_dedup)
+    — drops strictly more than either method alone on this corpus, and
+    cross-method transitive chains collapse to one survivor.  Pinned
+    oracle: the independent sequential replay in
+    tools/gen_pinned_oracles.gen_dedup_expected (algo='ensemble')."""
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: t.append_column("id", t["doc_id"]).append_column("arrival_seq", t["doc_id"]),
+        batch_format="pyarrow",
+    )
+    deduped, _ = dd.ensemble_near_dedup(ds)
+    out = deduped.select_columns(["doc_id"]).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def emb_cosine_dedup(sf_dir: str) -> pd.DataFrame:
     """Embedding-cosine near-dup dedup over the embeddings table
     (rows-only check)."""

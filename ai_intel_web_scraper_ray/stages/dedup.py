@@ -547,6 +547,7 @@ def minhash_dedup(
     materialize_input: bool = True,
     two_pass: bool = None,
     distributed_resolve: bool = None,
+    _edges_only: bool = False,
 ):
     """Drop near-duplicate rows (estimated Jaccard ≥ threshold), keeping the
     first arrival of each near-dup cluster per the greedy reference
@@ -713,6 +714,10 @@ def minhash_dedup(
 
     bands = sig_ds.map_batches(to_bands, batch_format="pyarrow")
     edges_ds = bands.groupby("bucket").map_groups(bucket_edges, batch_format="pandas")
+    if _edges_only:
+        # ensemble composition hook: hand the verified candidate edges to
+        # a caller that merges several methods under ONE greedy resolve
+        return edges_ds
     dropped = _resolve_edges(edges_ds, distributed_resolve)
     return _apply_drop(ds, id_col, dropped)
 
@@ -858,6 +863,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     materialize_input: bool = True,
     distributed_resolve: bool = None,
+    _edges_only: bool = False,
 ):
     """Near-dup rows with SimHash hamming distance ≤ max_hamming dropped
     (greedy keep-first).  Candidate recall is EXACT by the pigeonhole
@@ -927,7 +933,60 @@ def simhash_dedup(
 
     chunks = ds.map_batches(to_chunks, batch_format="pyarrow")
     edges_ds = chunks.groupby("bucket").map_groups(bucket_edges, batch_format="pandas")
+    if _edges_only:
+        return edges_ds
     dropped = _resolve_edges(edges_ds, distributed_resolve)
+    return _apply_drop(ds, id_col, dropped)
+
+
+def ensemble_near_dedup(
+    ds,
+    id_col: str = "id",
+    text_col: str = "text",
+    seq_col: str = "arrival_seq",
+    minhash_threshold: float = mh.DEFAULT_THRESHOLD,
+    max_hamming: int = 3,
+    materialize_input: bool = True,
+    distributed_resolve: bool = None,
+):
+    """Ensemble near-dedup: the UNION of MinHash-LSH (verified) and
+    SimHash (hamming ≤ ``max_hamming``) candidate edges resolved by ONE
+    greedy keep-first pass.  Recall is ≥ either method alone, and
+    resolving the union jointly collapses transitive chains that cross
+    methods (A≈B by MinHash, B≈C by SimHash → one survivor), which two
+    sequential dedups would miss when the first pass drops the bridge.
+
+    Scale shape: both candidate paths are the existing banded exchanges
+    (projections only, capped groups); the union is a block-level
+    concat (no shuffle) canonicalized to one pinned Arrow schema so
+    empty edge blocks from either path can't drop the union's schema;
+    resolution reuses ``_resolve_edges`` (driver greedy below 2 M edges,
+    per-component distributed replay above).  Returns
+    ``(deduped_ds, n_dropped)``."""
+    if materialize_input:
+        ds = ds.materialize()
+    e_min = minhash_dedup(ds, id_col, text_col, seq_col,
+                          threshold=minhash_threshold,
+                          materialize_input=False, _edges_only=True)
+    e_sim = simhash_dedup(ds, id_col, text_col, seq_col,
+                          max_hamming=max_hamming,
+                          materialize_input=False, _edges_only=True)
+
+    schema = ds.schema()
+    id_type = schema.types[schema.names.index(id_col)]
+    if not isinstance(id_type, pa.DataType):
+        id_type = pa.string()
+    canon_schema = pa.schema([("a_id", id_type), ("b_id", id_type),
+                              ("a_seq", pa.int64()), ("b_seq", pa.int64())])
+
+    def canon(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(
+            df[["a_id", "b_id", "a_seq", "b_seq"]], schema=canon_schema,
+            preserve_index=False)
+
+    edges = e_min.map_batches(canon, batch_format="pandas").union(
+        e_sim.map_batches(canon, batch_format="pandas"))
+    dropped = _resolve_edges(edges, distributed_resolve)
     return _apply_drop(ds, id_col, dropped)
 
 

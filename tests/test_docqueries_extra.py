@@ -80,7 +80,43 @@ ORACLE_QUERIES = [
     "docs_cdc_chunks",
     "docs_vocab_growth",
     "emb_pca_top2",
+    "docs_ensemble_dedup",
 ]
+
+
+def test_ensemble_dedup_clique_and_no_edges(tmp_path):
+    """4 identical docs + 1 unique: both candidate paths produce the
+    clique, the joint greedy keeps the first + the unique.  An all-unique
+    corpus produces EMPTY edge sets on both paths — the canonicalized
+    union must keep its schema and drop nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ai_intel_web_scraper_ray.stages import dedup as dd2
+
+    dup = "the quick brown fox jumps over the lazy dog " * 8
+    uniq = "completely different content about databases " * 8
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                  "text": pa.array([dup, dup, dup, dup, uniq])})
+    ds = rd.from_arrow(t).map_batches(
+        lambda b: b.append_column("id", b["doc_id"])
+        .append_column("arrival_seq", b["doc_id"]),
+        batch_format="pyarrow")
+    deduped, n_dropped = dd2.ensemble_near_dedup(ds)
+    kept = sorted(deduped.select_columns(["doc_id"]).to_pandas()["doc_id"])
+    assert kept == [1, 5] and n_dropped == 3
+
+    texts = [f"unique document number {i} with its own words {i * 7} "
+             f"{'alpha beta gamma delta'[i:]}" for i in range(6)]
+    t2 = pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                   "text": pa.array(texts)})
+    ds2 = rd.from_arrow(t2).map_batches(
+        lambda b: b.append_column("id", b["doc_id"])
+        .append_column("arrival_seq", b["doc_id"]),
+        batch_format="pyarrow")
+    deduped2, n2 = dd2.ensemble_near_dedup(ds2)
+    assert n2 == 0 and deduped2.count() == 6
 
 
 def test_pca_top2_deflation_properties():

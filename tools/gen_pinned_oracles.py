@@ -250,9 +250,15 @@ def gen_dedup_expected() -> None:
         n = len(doc_ids)
         corpus_key = min(hashlib.sha256(x.encode()).hexdigest()
                          for x in texts if x is not None)
-        for algo, edge_fn in (("minhash", _minhash_edges),
-                              ("simhash", _simhash_edges)):
-            survivors = _greedy_survivors(n, doc_ids, edge_fn(doc_ids, texts))
+        edges_min = _minhash_edges(doc_ids, texts)
+        edges_sim = _simhash_edges(doc_ids, texts)
+        for algo, edges in (("minhash", edges_min),
+                            ("simhash", edges_sim),
+                            # ensemble = union of candidates, ONE greedy
+                            # replay (adjacency is a set, so the concat
+                            # self-dedups)
+                            ("ensemble", edges_min + edges_sim)):
+            survivors = _greedy_survivors(n, doc_ids, edges)
             frames.append(pa.table({
                 "corpus_min_sha": pa.array([corpus_key] * len(survivors),
                                            pa.string()),
