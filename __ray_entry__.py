@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_mst": rel.parts_mst,
         "events_decayed_counts": rel.events_decayed_counts,
         "events_markov_stationary": rel.events_markov_stationary,
+        "events_abtest": rel.events_abtest,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -1219,6 +1220,41 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 ORDER BY 1
         """,
         # month-over-month revenue growth: LAG over the monthly aggregate
+        # md5-split A/B chi-square readout: HUGEINT intermediates, zero
+        # marginals pin chi2 to 0
+        "events_abtest": """
+            WITH u AS (
+                SELECT user_id,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 2
+                           AS variant,
+                       MAX(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS conv
+                FROM events GROUP BY user_id
+            ), c AS (
+                SELECT
+                    SUM(CASE WHEN variant = 0 AND conv = 1
+                             THEN 1 ELSE 0 END) AS a,
+                    SUM(CASE WHEN variant = 0 AND conv = 0
+                             THEN 1 ELSE 0 END) AS b,
+                    SUM(CASE WHEN variant = 1 AND conv = 1
+                             THEN 1 ELSE 0 END) AS c2,
+                    SUM(CASE WHEN variant = 1 AND conv = 0
+                             THEN 1 ELSE 0 END) AS d
+                FROM u
+            )
+            SELECT CAST(a AS BIGINT) AS n_a_conv,
+                   CAST(b AS BIGINT) AS n_a_no,
+                   CAST(c2 AS BIGINT) AS n_b_conv,
+                   CAST(d AS BIGINT) AS n_b_no,
+                   CAST(CASE WHEN (a+b) * (c2+d) * (a+c2) * (b+d) = 0
+                        THEN 0
+                        ELSE (CAST(1000000 AS HUGEINT) * (a+b+c2+d)
+                              * (a*d - b*c2) * (a*d - b*c2))
+                             // ((a+b) * (c2+d) * (a+c2) * (b+d))
+                        END AS BIGINT) AS chi2_ppm
+            FROM c
+        """,
         # approach-to-stationary of the event-type Markov chain: three
         # integer-ppm power steps (per-term // 10^6, so the sum is
         # order-free) from the uniform ppm vector

@@ -3042,6 +3042,67 @@ def events_top_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out[["user_id", "n"]].reset_index(drop=True)
 
 
+def events_abtest(sf_dir: str) -> pd.DataFrame:
+    """Deterministic A/B experiment readout: users split into variants by
+    ``md5_32(user_id) % 2`` (the shared-hash conformance convention),
+    conversion = has ≥1 'purchase' event, and the 2×2 chi-square
+    independence statistic in exact ppm —
+    ``χ²·10⁶ = 10⁶·N·(ad-bc)² // ((a+b)(c+d)(a+c)(b+d))`` with Python
+    big-int / HUGEINT intermediates (the (ad-bc)² product passes int64
+    long before web scale).  Any zero marginal pins χ² to 0.
+
+    Scale shape: per-block (user, purchased) partials finish under the
+    64-way user-hash bucket (per-user OR is exact there); each bucket
+    emits its four contingency cells, so the driver merges 64×4
+    integers."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("user_id", "conv", "_b")})
+        g = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "conv": (df["event_type"] == "purchase").astype("int64")}) \
+            .groupby("user_id", as_index=False)["conv"].max()
+        g["_b"] = (g["user_id"] % 64).astype("int64")
+        return g
+
+    def bucket_cells(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)["conv"].max()
+        uids = g["user_id"].astype("int64")
+        variant = uids.map(lambda u: int(hashlib.md5(
+            str(u).encode()).hexdigest()[:8], 16) % 2).to_numpy()
+        conv = g["conv"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "a": [int(((variant == 0) & (conv == 1)).sum())],
+            "b": [int(((variant == 0) & (conv == 0)).sum())],
+            "c": [int(((variant == 1) & (conv == 1)).sum())],
+            "d": [int(((variant == 1) & (conv == 0)).sum())]})
+
+    cells = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_cells, batch_format="pandas") \
+        .to_pandas()
+    cols = ("n_a_conv", "n_a_no", "n_b_conv", "n_b_no", "chi2_ppm")
+    if cells.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    a = int(cells["a"].sum())
+    b = int(cells["b"].sum())
+    c = int(cells["c"].sum())
+    d = int(cells["d"].sum())
+    denom = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = 0 if denom == 0 else \
+        (1_000_000 * (a + b + c + d) * (a * d - b * c) ** 2) // denom
+    return pd.DataFrame({
+        "n_a_conv": pd.Series([a], dtype="int64"),
+        "n_a_no": pd.Series([b], dtype="int64"),
+        "n_b_conv": pd.Series([c], dtype="int64"),
+        "n_b_no": pd.Series([d], dtype="int64"),
+        "chi2_ppm": pd.Series([chi2], dtype="int64")})
+
+
 _MARKOV_ITERS = 3
 
 

@@ -84,6 +84,7 @@ ORACLE_QUERIES = [
     "parts_mst",
     "events_decayed_counts",
     "events_markov_stationary",
+    "events_abtest",
     "events_invalid_transitions",
     "events_dau_wau",
     "parts_co_ordered",
@@ -168,6 +169,40 @@ def _write_coorder_graph(tmp_path, edge_orders):
     t = pa.table({"l_orderkey": pa.array(rows_ok, pa.int64()),
                   "l_partkey": pa.array(rows_pk, pa.int64())})
     pq.write_table(t, tmp_path / "lineitem.parquet")
+
+
+def test_abtest_known_contingency(tmp_path):
+    """Hand-built 2×2 table: 4 variant-0 users all convert, 1 of 4
+    variant-1 users converts → χ²·10⁶ = 10⁶·8·144 // 240 = 4_800_000."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def variant(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+
+    v0 = [u for u in range(100) if variant(u) == 0][:4]
+    v1 = [u for u in range(100) if variant(u) == 1][:4]
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for u in v0:
+        rows.append((u, "purchase"))
+    rows.append((v1[0], "purchase"))
+    for u in v1[1:]:
+        rows.append((u, "view"))
+    df = pd.DataFrame({
+        "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "event_type": [r[1] for r in rows],
+        "ts": [base] * len(rows)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    out = rel.events_abtest(str(tmp_path))
+    r = out.iloc[0]
+    assert (int(r.n_a_conv), int(r.n_a_no), int(r.n_b_conv),
+            int(r.n_b_no)) == (4, 0, 1, 3)
+    assert int(r.chi2_ppm) == 4_800_000
 
 
 def test_markov_stationary_absorbing_and_leak(tmp_path):
