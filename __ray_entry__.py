@@ -382,6 +382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_counts": rel.events_decayed_counts,
         "events_markov_stationary": rel.events_markov_stationary,
         "events_abtest": rel.events_abtest,
+        "events_conversion_lag": rel.events_conversion_lag,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -1220,6 +1221,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1 ORDER BY 1
         """,
         # month-over-month revenue growth: LAG over the monthly aggregate
+        # view→purchase conversion latency: whole-minute lags between the
+        # two firsts, exact discrete quantiles; HAVING matches the
+        # engine's typed-empty on a corpus with no conversions
+        "events_conversion_lag": """
+            WITH f AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) AS fv,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS fp
+                FROM events GROUP BY user_id
+            ), lags AS (
+                SELECT (fp - fv) // 60000000 AS lag_min
+                FROM f
+                WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp >= fv
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(quantile_disc(lag_min, 0.5) AS BIGINT)
+                       AS median_min,
+                   CAST(quantile_disc(lag_min, 0.9) AS BIGINT) AS p90_min
+            FROM lags HAVING COUNT(*) > 0
+        """,
         # md5-split A/B chi-square readout: HUGEINT intermediates, zero
         # marginals pin chi2 to 0
         "events_abtest": """

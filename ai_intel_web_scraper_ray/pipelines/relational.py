@@ -3042,6 +3042,67 @@ def events_top_users(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out[["user_id", "n"]].reset_index(drop=True)
 
 
+def events_conversion_lag(sf_dir: str) -> pd.DataFrame:
+    """(n_users, median_min, p90_min): view→purchase conversion latency —
+    for every user whose first purchase is at-or-after their first view,
+    the whole-minute lag between the two firsts (µs-operand-floored),
+    summarized by the exact discrete median and p90 (DuckDB
+    ``quantile_disc`` = the ``ceil(q·n)-1``-th order statistic).
+
+    Scale shape: per-block (user, first-view, first-purchase) min
+    partials finish under the 64-way user-hash bucket; each bucket emits
+    its users' integer lags and the driver selects the two order
+    statistics with O(n) ``np.partition`` over the CONVERTING-user lag
+    vector (one int per converting user — the bounded-output argument;
+    for a corpus where even that is too large, the bounded-domain
+    histogram refinement of docs_token_percentiles applies)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"user_id": pd.Series([], dtype="int64"),
+                "fv": pd.Series([], dtype="int64"),
+                "fp": pd.Series([], dtype="int64"),
+                "_b": pd.Series([], dtype="int64")}
+        df = df[df["event_type"].isin(("view", "purchase"))]
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64").to_numpy(),
+            "fv": np.where(df["event_type"].to_numpy() == "view",
+                           us, np.int64(2**62)),
+            "fp": np.where(df["event_type"].to_numpy() == "purchase",
+                           us, np.int64(2**62))}) \
+            .groupby("user_id", as_index=False).min()
+        g["_b"] = (g["user_id"] % 64).astype("int64")
+        return g
+
+    def bucket_lags(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", as_index=False)[["fv", "fp"]].min()
+        sent = np.int64(2**62)
+        m = (g["fv"] < sent) & (g["fp"] < sent) & (g["fp"] >= g["fv"])
+        lag = ((g.loc[m, "fp"] - g.loc[m, "fv"]) // 60_000_000) \
+            .astype("int64")
+        return pd.DataFrame({"lag_min": lag.to_numpy()})
+
+    lags = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_lags, batch_format="pandas") \
+        .to_pandas()
+    cols = ("n_users", "median_min", "p90_min")
+    if lags.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    v = lags["lag_min"].to_numpy(dtype="int64")
+    n = len(v)
+    k50 = -(-(1 * n) // 2) - 1   # ceil(0.5·n) - 1
+    k90 = -(-(9 * n) // 10) - 1  # ceil(0.9·n) - 1
+    return pd.DataFrame({
+        "n_users": pd.Series([n], dtype="int64"),
+        "median_min": pd.Series([int(np.partition(v, k50)[k50])],
+                                dtype="int64"),
+        "p90_min": pd.Series([int(np.partition(v, k90)[k90])],
+                             dtype="int64")})
+
+
 def events_abtest(sf_dir: str) -> pd.DataFrame:
     """Deterministic A/B experiment readout: users split into variants by
     ``md5_32(user_id) % 2`` (the shared-hash conformance convention),

@@ -85,6 +85,7 @@ ORACLE_QUERIES = [
     "events_decayed_counts",
     "events_markov_stationary",
     "events_abtest",
+    "events_conversion_lag",
     "events_invalid_transitions",
     "events_dau_wau",
     "parts_co_ordered",
@@ -169,6 +170,34 @@ def _write_coorder_graph(tmp_path, edge_orders):
     t = pa.table({"l_orderkey": pa.array(rows_ok, pa.int64()),
                   "l_partkey": pa.array(rows_pk, pa.int64())})
     pq.write_table(t, tmp_path / "lineitem.parquet")
+
+
+def test_conversion_lag_firsts_and_quantiles(tmp_path):
+    """Lags use the FIRST view and FIRST purchase (later events ignored);
+    a purchase-before-any-view user doesn't convert; quantile indices are
+    ceil(q·n)-1 (DuckDB quantile_disc)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    # users 1..3 convert with lags 10, 20, 30 min (extra later events)
+    for u, lag in ((1, 10), (2, 20), (3, 30)):
+        rows += [(u, "view", 0), (u, "purchase", lag),
+                 (u, "view", lag + 5), (u, "purchase", lag + 60)]
+    rows += [(4, "purchase", 0), (4, "view", 10)]   # purchase first: no
+    rows += [(5, "view", 0)]                         # never purchases
+    df = pd.DataFrame({
+        "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "event_type": [r[1] for r in rows],
+        "ts": [base + pd.Timedelta(minutes=r[2]) for r in rows]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    out = rel.events_conversion_lag(str(tmp_path))
+    r = out.iloc[0]
+    # n=3: median idx ceil(1.5)-1=1 → 20; p90 idx ceil(2.7)-1=2 → 30
+    assert (int(r.n_users), int(r.median_min), int(r.p90_min)) == (3, 20, 30)
 
 
 def test_abtest_known_contingency(tmp_path):
