@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_int8_quantize": dq.emb_int8_quantize,
         "emb_power_iteration": dq.emb_power_iteration,
         "emb_pca_top2": dq.emb_pca_top2,
+        "emb_knn_classify": dq.emb_knn_classify,
         "emb_ivf_recall": dq.emb_ivf_recall,
         "emb_mips_topk": dq.emb_mips_topk,
         "docs_pii_scrub": dq.docs_pii_scrub,
@@ -3427,6 +3428,41 @@ def oracle_sql() -> dict[str, str]:
         # is the same inter-iteration contract as emb_kmeans_iterate
         # (generated 64-dim sums below)
         "emb_pca_top2": _pca2_sql(),
+        # kNN label propagation audit: vec_id%5==0 held out, majority of
+        # 3 nearest labeled neighbors (ROUND-6 cosine; ties → smaller
+        # vec_id; vote ties → smaller label)
+        "emb_knn_classify": """
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
+                       label AS true_label
+                FROM embeddings WHERE vec_id % 5 = 0
+                ORDER BY vec_id LIMIT 16
+            ), scored AS (
+                SELECT q.qid, q.true_label, e.vec_id, e.label,
+                       ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cs
+                FROM embeddings e, q WHERE e.vec_id % 5 != 0
+            ), top3 AS (
+                SELECT qid, true_label, label,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY cs DESC, vec_id) AS rn
+                FROM scored
+            ), votes AS (
+                SELECT qid, true_label, label, COUNT(*) AS nv
+                FROM top3 WHERE rn <= 3 GROUP BY 1, 2, 3
+            ), pred AS (
+                SELECT qid, true_label, label AS pred_label,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY nv DESC, label) AS rn
+                FROM votes
+            )
+            SELECT CAST(qid AS BIGINT) AS vec_id,
+                   CAST(pred_label AS INTEGER) AS pred_label,
+                   CAST(true_label AS INTEGER) AS true_label,
+                   CAST(CASE WHEN pred_label = true_label
+                             THEN 1 ELSE 0 END AS BIGINT) AS correct
+            FROM pred WHERE rn = 1 ORDER BY vec_id
+        """,
         "emb_power_iteration": """
             WITH w1 AS (
                 SELECT {W1} FROM embeddings e

@@ -2472,6 +2472,102 @@ def _power_pass(ds, v: np.ndarray, dim: int) -> np.ndarray:
     return parts.to_numpy(dtype=np.float64).sum(axis=0)
 
 
+def emb_knn_classify(sf_dir: str, holdout_mod: int = 5, k: int = 3,
+                     n_queries: int = 16) -> pd.DataFrame:
+    """Semi-supervised kNN label propagation audit: vectors with
+    ``vec_id % holdout_mod == 0`` are treated as UNLABELED; for the
+    ``n_queries`` smallest of them, predict the majority label of their
+    ``k`` nearest LABELED neighbors (ROUND-6 cosine, ties → smaller
+    vec_id; vote ties → smaller label) and report correctness against
+    the hidden true label.
+
+    Scale shape: one bounded pass picks the query sample (each block
+    ships ≤ n_queries candidate rows); the scoring pass broadcasts the
+    tiny query matrix and emits per-(query, block) top-k partials of the
+    LABELED rows only — every global top-k member is a block-local
+    top-k member, so the driver merge over blocks×k×queries projections
+    is exact (the emb_knn argument)."""
+    import ray
+
+    ds = _emb(sf_dir)
+
+    def q_partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"vec_id": pd.Series([], dtype="int64"),
+                "label": pd.Series([], dtype="int64")}
+        cols.update({f"e{i}": pd.Series([], dtype="float64")
+                     for i in range(64)})
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = ids % holdout_mod == 0
+        if not m.any():
+            return pd.DataFrame(cols)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[m]) \
+            .astype(np.float64)
+        sub = pd.DataFrame({"vec_id": ids[m].astype("int64"),
+                            "label": t["label"].to_numpy(
+                                zero_copy_only=False)[m].astype("int64")})
+        for i in range(64):
+            sub[f"e{i}"] = vecs[:, i]
+        return sub.nsmallest(n_queries, "vec_id")
+
+    qdf = ds.map_batches(q_partial, batch_format="pyarrow").to_pandas()
+    cols = ("vec_id", "pred_label", "true_label", "correct")
+    if qdf.empty:
+        return pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "pred_label": pd.Series([], dtype="int32"),
+            "true_label": pd.Series([], dtype="int32"),
+            "correct": pd.Series([], dtype="int64")})
+    qdf = qdf.nsmallest(n_queries, "vec_id").reset_index(drop=True)
+    Q = qdf[[f"e{i}" for i in range(64)]].to_numpy(dtype=np.float64)
+    qids = qdf["vec_id"].to_numpy(dtype="int64")
+    true_labels = dict(zip(qids, qdf["label"].astype(int)))
+    q_ref = ray.put(Q)
+
+    def score_partial(t: pa.Table) -> pd.DataFrame:
+        cols2 = {"qid": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "label": pd.Series([], dtype="int64"),
+                 "cs": pd.Series([], dtype="float64")}
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = ids % holdout_mod != 0
+        if not m.any():
+            return pd.DataFrame(cols2)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[m]) \
+            .astype(np.float64)
+        labels = t["label"].to_numpy(zero_copy_only=False)[m] \
+            .astype("int64")
+        lids = ids[m].astype("int64")
+        qm = ray.get(q_ref)
+        rows = []
+        for qi in range(qm.shape[0]):
+            cs = np.round(cosine_scores(vecs, qm[qi]), 6)
+            order = np.lexsort((lids, -cs))[:k]
+            for j in order:
+                rows.append((int(qids[qi]), int(lids[j]),
+                             int(labels[j]), float(cs[j])))
+        return pd.DataFrame(rows, columns=["qid", "vec_id", "label", "cs"])
+
+    parts = ds.map_batches(score_partial, batch_format="pyarrow") \
+        .to_pandas()
+    out_rows = []
+    for qid in qids:
+        g = parts[parts["qid"] == qid]
+        g = g.sort_values(["cs", "vec_id"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        votes = g.groupby("label").size().reset_index(name="nv") \
+            .sort_values(["nv", "label"], ascending=[False, True],
+                         kind="mergesort")
+        pred = int(votes["label"].iloc[0])
+        tl = int(true_labels[qid])
+        out_rows.append((int(qid), pred, tl, int(pred == tl)))
+    out = pd.DataFrame(out_rows, columns=list(cols))
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["pred_label"] = out["pred_label"].astype("int32")
+    out["true_label"] = out["true_label"].astype("int32")
+    out["correct"] = out["correct"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def emb_pca_top2(sf_dir: str, dim: int = 64, iters: int = 2) -> pd.DataFrame:
     """Top-2 principal directions of the (uncentered) Gram matrix XᵀX
     via power iteration + Hotelling deflation: v1 exactly as

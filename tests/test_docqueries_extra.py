@@ -81,7 +81,19 @@ ORACLE_QUERIES = [
     "docs_vocab_growth",
     "emb_pca_top2",
     "docs_ensemble_dedup",
+    "emb_knn_classify",
 ]
+
+
+def test_knn_classify_contract():
+    """16 held-out queries, int32 label dtypes, correctness column is
+    consistent with pred==true."""
+    out = dq.emb_knn_classify(SF_DIR)
+    assert len(out) == 16
+    assert (out["vec_id"] % 5 == 0).all()
+    assert str(out["pred_label"].dtype) == "int32"
+    assert ((out["pred_label"] == out["true_label"]).astype(int)
+            == out["correct"]).all()
 
 
 def test_ensemble_dedup_clique_and_no_edges(tmp_path):
