@@ -1265,7 +1265,7 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END) AS c2,
                     SUM(CASE WHEN variant = 1 AND conv = 0
                              THEN 1 ELSE 0 END) AS d
-                FROM u
+                FROM u HAVING COUNT(*) > 0
             )
             SELECT CAST(a AS BIGINT) AS n_a_conv,
                    CAST(b AS BIGINT) AS n_a_no,

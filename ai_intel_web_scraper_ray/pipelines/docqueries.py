@@ -2549,6 +2549,15 @@ def emb_knn_classify(sf_dir: str, holdout_mod: int = 5, k: int = 3,
 
     parts = ds.map_batches(score_partial, batch_format="pyarrow") \
         .to_pandas()
+    if parts.empty:
+        # held-out queries but ZERO labeled vectors: the oracle's scored
+        # CTE is empty, so the result is typed-empty (degenerate-table
+        # class — guard the collected driver frame)
+        return pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "pred_label": pd.Series([], dtype="int32"),
+            "true_label": pd.Series([], dtype="int32"),
+            "correct": pd.Series([], dtype="int64")})
     out_rows = []
     for qid in qids:
         g = parts[parts["qid"] == qid]

@@ -3210,8 +3210,8 @@ def events_markov_stationary(sf_dir: str,
         return pd.DataFrame({"t": pd.Series(
             df["event_type"].drop_duplicates(), dtype=object)})
 
-    types = _read(sf_dir, "events", ["event_type"]) \
-        .map_batches(type_partial, batch_format="pandas").to_pandas()
+    # the main read already carries event_type — no second table scan
+    types = ds.map_batches(type_partial, batch_format="pandas").to_pandas()
     cols = ("event_type", "v_ppm")
     if types.empty:
         return pd.DataFrame({"event_type": pd.Series([], dtype=object),

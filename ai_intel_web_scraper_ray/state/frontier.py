@@ -63,7 +63,9 @@ class SpillHeap:
         self._heap: List[Tuple[int, int, str]] = []
         self.mem_cap = mem_cap
         self._spill_dir = spill_dir
-        # (min_key, path, count) per on-disk segment
+        self._made_tempdir = False
+        # (min_key, path, count) per on-disk segment, as a HEAP on
+        # min_key so the due-reload check is an O(1) peek, never a scan
         self._segments: List[Tuple[Tuple[int, int, str], str, int]] = []
         self._spilled = 0
         self._n_files = 0
@@ -75,6 +77,7 @@ class SpillHeap:
     def _dir(self) -> str:
         if self._spill_dir is None:
             self._spill_dir = tempfile.mkdtemp(prefix="frontier_spill_")
+            self._made_tempdir = True
         else:
             os.makedirs(self._spill_dir, exist_ok=True)
         return self._spill_dir
@@ -90,7 +93,7 @@ class SpillHeap:
         self._n_files += 1
         with open(path, "wb") as f:
             pickle.dump(rest, f, protocol=pickle.HIGHEST_PROTOCOL)
-        self._segments.append((rest[0], path, len(rest)))
+        heapq.heappush(self._segments, (rest[0], path, len(rest)))
         self._spilled += len(rest)
         self.spill_events += 1
 
@@ -101,11 +104,9 @@ class SpillHeap:
 
     def _reload_due(self) -> None:
         while self._segments:
-            best = min(range(len(self._segments)),
-                       key=lambda i: self._segments[i][0])
-            if self._heap and self._heap[0] <= self._segments[best][0]:
+            if self._heap and self._heap[0] <= self._segments[0][0]:
                 return
-            _, path, cnt = self._segments.pop(best)
+            _, path, cnt = heapq.heappop(self._segments)
             with open(path, "rb") as f:
                 items = pickle.load(f)
             os.remove(path)
@@ -130,6 +131,14 @@ class SpillHeap:
         return sorted(items)
 
     def restore(self, items: Sequence[Tuple[int, int, str]]) -> None:
+        self._drop_segments()
+        self._heap = [tuple(x) for x in items]
+        heapq.heapify(self._heap)
+        if self.mem_cap is not None:
+            while len(self._heap) > self.mem_cap:
+                self._spill()
+
+    def _drop_segments(self) -> None:
         for _, path, _ in self._segments:
             try:
                 os.remove(path)
@@ -137,11 +146,24 @@ class SpillHeap:
                 pass
         self._segments = []
         self._spilled = 0
-        self._heap = [tuple(x) for x in items]
-        heapq.heapify(self._heap)
-        if self.mem_cap is not None:
-            while len(self._heap) > self.mem_cap:
-                self._spill()
+
+    def close(self) -> None:
+        """Delete remaining spill segments (and the auto-created tempdir)
+        — undrained crawls must not leak /tmp disk."""
+        self._drop_segments()
+        if self._made_tempdir and self._spill_dir is not None:
+            try:
+                os.rmdir(self._spill_dir)
+            except OSError:
+                pass
+            self._spill_dir = None
+            self._made_tempdir = False
+
+    def __del__(self):  # best-effort teardown for discarded shards
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 @ray.remote(num_cpus=0.25)

@@ -105,6 +105,23 @@ class TestSpillHeap:
         sh2.restore(snap)
         assert [sh2.pop() for _ in range(len(items))] == sorted(items)
 
+    def test_close_reclaims_segments(self, tmp_path):
+        """close() deletes undrained segment files and the spill dir —
+        a terminated crawl must not leak /tmp disk."""
+        import os
+
+        from ai_intel_web_scraper_ray.state.frontier import SpillHeap
+
+        d = str(tmp_path / "spill")
+        sh = SpillHeap(mem_cap=4, spill_dir=d)
+        for i in range(64):
+            sh.push((i % 7, i, f"https://h/{i}"))
+        assert sh.spill_events > 0
+        assert any(f.endswith(".pkl") for f in os.listdir(d))
+        sh.close()
+        assert not any(f.endswith(".pkl") for f in os.listdir(d))
+        assert len(sh) == len(sh._heap)  # only the in-memory slice left
+
     def test_crawl_scalable_spilled_equals_unbounded(self):
         """A crawl with a tiny per-shard heap cap must fetch the exact
         same record set and min-depths as the unbounded crawl."""
