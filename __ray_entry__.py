@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_stationary": rel.events_markov_stationary,
         "events_abtest": rel.events_abtest,
         "events_conversion_lag": rel.events_conversion_lag,
+        "orders_seasonal_decompose": rel.orders_seasonal_decompose,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -1347,6 +1348,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM w GROUP BY user_id
             ORDER BY decayed_q DESC, user_id LIMIT 20
+        """,
+        # classical seasonal decomposition over the observed month rows:
+        # centered 12-row trend (full windows only), per-calendar-month
+        # integer residual means (// truncates toward zero in DuckDB —
+        # the engine matches with sign-aware truncation)
+        "orders_seasonal_decompose": """
+            WITH mo AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                           AS month,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS rev
+                FROM orders GROUP BY 1
+            ), w AS (
+                SELECT month, rev,
+                       SUM(rev) OVER (ORDER BY month
+                           ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING)
+                           AS wsum,
+                       COUNT(*) OVER (ORDER BY month
+                           ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING) AS wn
+                FROM mo
+            ), t AS (
+                SELECT month, rev, wsum // 12 AS trend
+                FROM w WHERE wn = 12
+            ), s AS (
+                SELECT month(month) AS moy,
+                       SUM(rev - trend) AS dsum, COUNT(*) AS dn
+                FROM t GROUP BY 1
+            )
+            SELECT t.month,
+                   CAST(t.rev AS BIGINT) AS revenue_cents,
+                   CAST(t.trend AS BIGINT) AS trend_cents,
+                   CAST(s.dsum // s.dn AS BIGINT) AS seasonal_cents
+            FROM t JOIN s ON month(t.month) = s.moy
+            ORDER BY t.month
         """,
         # CUSUM changepoint over daily revenue: integer mean (total //
         # n_days), HUGEINT running deviation, earliest-argmax tie pin

@@ -2536,6 +2536,78 @@ def orders_monthly_growth(sf_dir: str) -> pd.DataFrame:
     return out[["month", "revenue_cents", "delta_cents"]]
 
 
+def orders_seasonal_decompose(sf_dir: str) -> pd.DataFrame:
+    """Classical seasonal decomposition of monthly revenue over the
+    OBSERVED month series: trend = centered 12-row moving sum // 12
+    (full windows only), seasonal = per-calendar-month mean of the
+    detrended residuals — integer throughout, with DuckDB's
+    truncate-toward-zero ``//`` semantics on the (possibly negative)
+    residual means.
+
+    Scale shape: the fact stream collapses to per-month cent partials
+    inside ``map_batches`` (the monthly-growth pattern); the
+    decomposition then runs over the BOUNDED month calendar on the
+    driver — O(#months) integer work, no data motion."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "month": pd.Series([], dtype="datetime64[ns]"),
+                "cents": pd.Series([], dtype="int64")})
+        df = df.copy()
+        df["month"] = df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        df["cents"] = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        return df.groupby("month", as_index=False)["cents"].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cols = ("month", "revenue_cents", "trend_cents", "seasonal_cents")
+    if parts.empty:
+        return pd.DataFrame({
+            "month": pd.Series([], dtype="datetime64[ns]"),
+            "revenue_cents": pd.Series([], dtype="int64"),
+            "trend_cents": pd.Series([], dtype="int64"),
+            "seasonal_cents": pd.Series([], dtype="int64")})
+    m = parts.groupby("month", as_index=False)["cents"].sum() \
+        .sort_values("month").reset_index(drop=True)
+    rev = [int(x) for x in m["cents"]]
+    n = len(rev)
+    rows = []  # (idx, trend)
+    for i in range(n):
+        lo, hi = i - 6, i + 6  # ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING
+        if lo < 0 or hi > n:
+            continue
+        rows.append((i, sum(rev[lo:hi]) // 12))
+    if not rows:
+        return pd.DataFrame({
+            "month": pd.Series([], dtype="datetime64[ns]"),
+            "revenue_cents": pd.Series([], dtype="int64"),
+            "trend_cents": pd.Series([], dtype="int64"),
+            "seasonal_cents": pd.Series([], dtype="int64")})
+    dsum: dict = {}
+    dn: dict = {}
+    for i, trend in rows:
+        moy = int(m["month"].iloc[i].month)
+        dsum[moy] = dsum.get(moy, 0) + (rev[i] - trend)
+        dn[moy] = dn.get(moy, 0) + 1
+
+    def trunc_div(a: int, b: int) -> int:
+        # DuckDB // truncates toward zero; Python floors — match DuckDB
+        return -((-a) // b) if a < 0 else a // b
+
+    seasonal = {moy: trunc_div(dsum[moy], dn[moy]) for moy in dsum}
+    out = pd.DataFrame({
+        "month": [m["month"].iloc[i] for i, _ in rows],
+        "revenue_cents": pd.Series([rev[i] for i, _ in rows],
+                                   dtype="int64"),
+        "trend_cents": pd.Series([t for _, t in rows], dtype="int64"),
+        "seasonal_cents": pd.Series(
+            [seasonal[int(m["month"].iloc[i].month)] for i, _ in rows],
+            dtype="int64")})
+    return out[list(cols)]
+
+
 def orders_changepoint(sf_dir: str) -> pd.DataFrame:
     """CUSUM changepoint detection over daily order revenue: per-day
     cents, the cumulative deviation ``dev_i = Σ_{j≤i}(rev_j - mean)``

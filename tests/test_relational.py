@@ -86,6 +86,7 @@ ORACLE_QUERIES = [
     "events_markov_stationary",
     "events_abtest",
     "events_conversion_lag",
+    "orders_seasonal_decompose",
     "events_invalid_transitions",
     "events_dau_wau",
     "parts_co_ordered",
@@ -170,6 +171,42 @@ def _write_coorder_graph(tmp_path, edge_orders):
     t = pa.table({"l_orderkey": pa.array(rows_ok, pa.int64()),
                   "l_partkey": pa.array(rows_pk, pa.int64())})
     pq.write_table(t, tmp_path / "lineitem.parquet")
+
+
+def test_seasonal_decompose_trunc_div_parity(tmp_path):
+    """30 seeded months (one order per month) vs a direct DuckDB run of
+    the oracle SQL on the same table: the negative residual means must
+    agree, i.e. the engine's sign-aware TRUNCATION matches DuckDB's //
+    (Python floor would differ on odd negative sums)."""
+    import random
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.check_correctness import compare
+
+    rng = random.Random(11)
+    months = pd.date_range("2020-01-01", periods=30, freq="MS")
+    df = pd.DataFrame({
+        "o_orderdate": months,
+        "o_totalprice": [rng.randrange(100, 99999) / 100.0
+                         for _ in months]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "orders.parquet")
+    got = rel.orders_seasonal_decompose(str(tmp_path))
+    assert (got["seasonal_cents"] < 0).any(), "negative path not live"
+    import __ray_entry__ as em
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/orders.parquet')")
+    exp = con.execute(em.oracle_sql()["orders_seasonal_decompose"]) \
+        .fetch_df()
+    con.close()
+    problems = compare("orders_seasonal_decompose", got, exp)
+    assert not problems, problems
 
 
 def test_conversion_lag_firsts_and_quantiles(tmp_path):
