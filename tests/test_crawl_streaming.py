@@ -77,6 +77,24 @@ class TestStreamedRecords:
         assert got == sorted(r["url"] for r in full["records"])
         assert resumed["seen"] == full["seen"]
 
+    def test_checkpoint_resume_with_spilling_heap(self, tmp_path):
+        """Interrupt + resume with a tiny per-shard heap cap: the
+        checkpoint must serialize spilled segments (SpillHeap.snapshot)
+        and the resumed crawl must reach the identical seen set."""
+        ckpt = str(tmp_path / "ck")
+        common = dict(max_depth=3, exclude_patterns=EXC, num_shards=2,
+                      lease_per_shard=4, chunk_size=4, num_workers=2,
+                      heap_mem_cap=4,
+                      heap_spill_dir=str(tmp_path / "spill"))
+        crawl_scalable(PAGES, [BASE], checkpoint_dir=ckpt,
+                       stop_after_fetches=2, **common)
+        resumed = crawl_scalable(PAGES, [BASE], checkpoint_dir=ckpt,
+                                 resume=True, **common)
+        full = crawl_scalable(PAGES, [BASE], max_depth=3,
+                              exclude_patterns=EXC, num_shards=2,
+                              num_workers=2)
+        assert resumed["seen"] == full["seen"]
+
 
 class TestInterleavedFromCrawl:
     """capture_media_refs + the distributed fragments → interleaved-docs
