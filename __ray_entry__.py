@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_stationary": rel.events_markov_stationary,
         "events_abtest": rel.events_abtest,
         "events_conversion_lag": rel.events_conversion_lag,
+        "events_kaplan_meier": rel.events_kaplan_meier,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
@@ -1244,6 +1245,49 @@ def oracle_sql() -> dict[str, str]:
                        AS median_min,
                    CAST(quantile_disc(lag_min, 0.9) AS BIGINT) AS p90_min
             FROM lags HAVING COUNT(*) > 0
+        """,
+        # Kaplan–Meier product-limit curve with right-censoring at
+        # MAX(ts); per-step ppm truncation via a recursive CTE (the
+        # events_daily_ewma recurrence contract)
+        "events_kaplan_meier": """
+            WITH RECURSIVE f AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view'
+                                THEN epoch_us(ts) END) AS fv,
+                       MIN(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END) AS fp
+                FROM events GROUP BY user_id
+            ), cohort AS (
+                SELECT CASE WHEN fp IS NOT NULL
+                            THEN (fp - fv) // 60000000
+                            ELSE ((SELECT MAX(epoch_us(ts)) FROM events)
+                                  - fv) // 60000000 END AS t,
+                       CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS death
+                FROM f
+                WHERE fv IS NOT NULL AND (fp IS NULL OR fp >= fv)
+            ), dt AS (
+                SELECT t, COUNT(*) AS d FROM cohort
+                WHERE death = 1 GROUP BY t
+            ), o AS (
+                SELECT t, d,
+                       (SELECT COUNT(*) FROM cohort c WHERE c.t >= dt.t)
+                           AS n,
+                       ROW_NUMBER() OVER (ORDER BY t) AS rn
+                FROM dt
+            ), km AS (
+                SELECT rn, t, d, n,
+                       CAST(1000000 * (n - d) // n AS BIGINT) AS s
+                FROM o WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.t, o.d, o.n,
+                       CAST(km.s * (o.n - o.d) // o.n AS BIGINT)
+                FROM km JOIN o ON o.rn = km.rn + 1
+            )
+            SELECT CAST(t AS BIGINT) AS t_min,
+                   CAST(n AS BIGINT) AS n_risk,
+                   CAST(d AS BIGINT) AS n_events,
+                   s AS surv_ppm
+            FROM km ORDER BY t_min
         """,
         # md5-split A/B chi-square readout: HUGEINT intermediates, zero
         # marginals pin chi2 to 0

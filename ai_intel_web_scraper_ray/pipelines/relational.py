@@ -6476,3 +6476,106 @@ def parts_clustering_coeff(sf_dir: str, support: int = 2) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("part_id").reset_index(drop=True)
+
+
+def events_kaplan_meier(sf_dir: str) -> pd.DataFrame:
+    """Kaplan–Meier survival curve for view→purchase conversion with
+    right-censoring: the cohort is every user with a first 'view' whose
+    first 'purchase' (if any) is at-or-after it; converting users die at
+    the whole-minute lag between the two firsts, non-converters are
+    censored at the corpus MAX(ts).  One output row per distinct death
+    time — (t_min, n_risk, n_events, surv_ppm) — where the survival
+    estimate is the standard product-limit recurrence kept in exact ppm
+    with per-step truncation: S_i = S_{i-1}·(n_i−d_i) // n_i, S_0=10⁶.
+
+    Scale shape: one bounded-partial pass finds the censoring anchor;
+    per-block (user, first-view, first-purchase) min partials finish
+    under the 64-way user-hash bucket, and each bucket emits its
+    (t, death/censor) COUNT histogram — so the driver merges at most
+    |distinct times|×2×64 integer rows, never per-user rows, and runs
+    the O(|distinct death times|) recurrence locally (the bounded-final
+    contract of orders_changepoint).  Reference parity: survival readout
+    over the same first-event semantics as events_conversion_lag
+    (reference analytics/report.py aggregates)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def ts_max(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"m": pd.Series([], dtype="datetime64[ns]")})
+        return pd.DataFrame({"m": [df["ts"].max()]})
+
+    cols = ("t_min", "n_risk", "n_events", "surv_ppm")
+    mx = ds.map_batches(ts_max, batch_format="pandas").to_pandas()
+    if mx.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    anchor_us = int(np.datetime64(mx["m"].max(), "us").astype("int64"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pcols = {"user_id": pd.Series([], dtype="int64"),
+                 "fv": pd.Series([], dtype="int64"),
+                 "fp": pd.Series([], dtype="int64"),
+                 "_b": pd.Series([], dtype="int64")}
+        df = df[df["event_type"].isin(("view", "purchase"))]
+        if len(df) == 0:
+            return pd.DataFrame(pcols)
+        us = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        g = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64").to_numpy(),
+            "fv": np.where(df["event_type"].to_numpy() == "view",
+                           us, np.int64(2**62)),
+            "fp": np.where(df["event_type"].to_numpy() == "purchase",
+                           us, np.int64(2**62))}) \
+            .groupby("user_id", as_index=False).min()
+        g["_b"] = (g["user_id"] % 64).astype("int64")
+        return g
+
+    def bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
+        hcols = {"t": pd.Series([], dtype="int64"),
+                 "death": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64")}
+        g = df.groupby("user_id", as_index=False)[["fv", "fp"]].min()
+        sent = np.int64(2**62)
+        g = g[g["fv"] < sent]
+        if len(g) == 0:
+            return pd.DataFrame(hcols)
+        has_p = g["fp"].to_numpy() < sent
+        fv = g["fv"].to_numpy()
+        fp = g["fp"].to_numpy()
+        keep = ~has_p | (fp >= fv)
+        fv, fp, has_p = fv[keep], fp[keep], has_p[keep]
+        if len(fv) == 0:
+            return pd.DataFrame(hcols)
+        t = np.where(has_p, (fp - fv) // 60_000_000,
+                     (anchor_us - fv) // 60_000_000).astype("int64")
+        h = pd.DataFrame({"t": t, "death": has_p.astype("int64"),
+                          "n": np.ones(len(t), dtype="int64")}) \
+            .groupby(["t", "death"], as_index=False).sum()
+        return h
+
+    hist = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_hist, batch_format="pandas") \
+        .to_pandas()
+    if hist.empty or "t" not in hist.columns:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    hist = hist.groupby(["t", "death"], as_index=False)["n"].sum()
+    # at-risk(t) = cohort members with event-or-censor time >= t:
+    # suffix sums over times sorted descending
+    times = np.sort(hist["t"].unique())
+    total_at = hist.groupby("t")["n"].sum().reindex(times, fill_value=0) \
+        .to_numpy(dtype="int64")
+    deaths_at = hist[hist["death"] == 1].groupby("t")["n"].sum() \
+        .reindex(times, fill_value=0).to_numpy(dtype="int64")
+    n_risk_all = total_at[::-1].cumsum()[::-1]
+    rows = []
+    s = 1_000_000
+    for t, n_i, d_i in zip(times, n_risk_all, deaths_at):
+        if d_i == 0:
+            continue
+        s = (s * (int(n_i) - int(d_i))) // int(n_i)
+        rows.append((int(t), int(n_i), int(d_i), s))
+    if not rows:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("t_min").reset_index(drop=True)

@@ -114,6 +114,7 @@ ORACLE_QUERIES = [
     "parts_sssp",
     "orders_ship_calendar",
     "events_gap_fill",
+    "events_kaplan_meier",
 ]
 
 
@@ -207,6 +208,34 @@ def test_seasonal_decompose_trunc_div_parity(tmp_path):
     con.close()
     problems = compare("orders_seasonal_decompose", got, exp)
     assert not problems, problems
+
+
+def test_kaplan_meier_censoring_and_truncation(tmp_path):
+    """Hand-built cohort: two deaths (10, 20 min), one user censored at
+    the corpus MAX(ts), one purchase-before-view user excluded.  The
+    survival recurrence truncates per step: S(10)=10⁶·2//3=666666,
+    S(20)=666666·1//2=333333 — and the censored user stays in the risk
+    set at both death times."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01")
+    rows = [(1, "view", 0), (1, "purchase", 10),
+            (2, "view", 0), (2, "purchase", 20),
+            (3, "view", 0),                       # censored at max ts (20)
+            (4, "purchase", 5), (4, "view", 8)]   # purchase first: excluded
+    df = pd.DataFrame({
+        "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "event_type": [r[1] for r in rows],
+        "ts": [base + pd.Timedelta(minutes=r[2]) for r in rows]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    out = rel.events_kaplan_meier(str(tmp_path))
+    got = [tuple(int(x) for x in r)
+           for r in out[["t_min", "n_risk", "n_events", "surv_ppm"]]
+           .itertuples(index=False)]
+    assert got == [(10, 3, 1, 666666), (20, 2, 1, 333333)]
 
 
 def test_conversion_lag_firsts_and_quantiles(tmp_path):
