@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_abtest": rel.events_abtest,
         "events_conversion_lag": rel.events_conversion_lag,
         "events_kaplan_meier": rel.events_kaplan_meier,
+        "events_autocorr": rel.events_autocorr,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
@@ -1288,6 +1289,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d AS BIGINT) AS n_events,
                    s AS surv_ppm
             FROM km ORDER BY t_min
+        """,
+        # daily-count ACF: gap-filled calendar series, exact integer
+        # centering e=n·x−S (n² cancels), trunc-toward-zero ppm ratio
+        "events_autocorr": """
+            WITH d AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                       COUNT(*) AS x
+                FROM events GROUP BY 1
+            ), cal AS (
+                SELECT CAST(UNNEST(generate_series(
+                    CAST((SELECT MIN(day) FROM d) AS TIMESTAMP),
+                    CAST((SELECT MAX(day) FROM d) AS TIMESTAMP),
+                    INTERVAL 1 DAY)) AS DATE) AS day
+            ), s AS (
+                SELECT COALESCE(d.x, 0) AS x,
+                       ROW_NUMBER() OVER (ORDER BY cal.day) AS i
+                FROM cal LEFT JOIN d USING (day)
+            ), c AS (
+                SELECT i,
+                       CAST((SELECT COUNT(*) FROM s) AS HUGEINT) * x
+                           - (SELECT SUM(x) FROM s) AS e
+                FROM s
+            ), dn AS (SELECT SUM(e * e) AS den FROM c),
+            num AS (
+                SELECT t.lag AS lag, SUM(a.e * b.e) AS num
+                FROM generate_series(1, 7) t(lag)
+                JOIN c a ON TRUE
+                JOIN c b ON b.i = a.i + t.lag
+                GROUP BY t.lag
+            )
+            SELECT CAST(lag AS BIGINT) AS lag,
+                   CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_days,
+                   CASE WHEN (SELECT den FROM dn) = 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(1000000 * num // (SELECT den FROM dn)
+                                  AS BIGINT) END AS r_ppm
+            FROM num ORDER BY lag
         """,
         # md5-split A/B chi-square readout: HUGEINT intermediates, zero
         # marginals pin chi2 to 0

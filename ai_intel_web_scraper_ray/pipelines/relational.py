@@ -6579,3 +6579,64 @@ def events_kaplan_meier(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("t_min").reset_index(drop=True)
+
+
+def events_autocorr(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..``max_lag``: one row (lag, n_days, r_ppm) per lag that has at
+    least one pair.  The series is gap-filled with zeros over the
+    contiguous calendar range so the lag spacing is uniform, and the
+    Pearson numerator/denominator use exact integer centering — with
+    S = Σx the centered value is e_t = n·x_t − S (the n² factors cancel
+    in the ratio), so num_k = Σ e_t·e_{t+k} and den = Σ e_t² are exact
+    integers with no float mean to pin.  r_ppm = 10⁶·num_k trunc-div
+    den (sign-aware: DuckDB ``//`` truncates toward zero); a constant
+    series (den = 0) pins every lag to 0.
+
+    Scale shape: per-block per-day count partials reduce a web-scale
+    event log to at most |calendar days| × blocks integer rows; the
+    driver merges them and runs the O(max_lag·n_days) ACF locally with
+    Python big-ints (the bounded-calendar final contract of
+    orders_changepoint — HUGEINT-safe at any event volume)."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                                 "x": pd.Series([], dtype="int64")})
+        days = df["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+        g = pd.DataFrame({"day": days,
+                          "x": np.ones(len(days), dtype="int64")}) \
+            .groupby("day", as_index=False).sum()
+        return g
+
+    cols = ("lag", "n_days", "r_ppm")
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    g = parts.groupby("day")["x"].sum()
+    lo, hi = int(g.index.min()), int(g.index.max())
+    x = np.zeros(hi - lo + 1, dtype="int64")
+    x[g.index.to_numpy(dtype="int64") - lo] = g.to_numpy(dtype="int64")
+    n = len(x)
+    s_tot = int(x.sum())
+    e = [n * int(v) - s_tot for v in x]
+    den = sum(v * v for v in e)
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    rows = []
+    for k in range(1, max_lag + 1):
+        if n - k <= 0:
+            break
+        num = sum(e[i] * e[i + k] for i in range(n - k))
+        r = 0 if den == 0 else tdiv(1_000_000 * num, den)
+        rows.append((k, n, r))
+    if not rows:
+        return pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

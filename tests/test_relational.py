@@ -115,6 +115,7 @@ ORACLE_QUERIES = [
     "orders_ship_calendar",
     "events_gap_fill",
     "events_kaplan_meier",
+    "events_autocorr",
 ]
 
 
@@ -236,6 +237,28 @@ def test_kaplan_meier_censoring_and_truncation(tmp_path):
            for r in out[["t_min", "n_risk", "n_events", "surv_ppm"]]
            .itertuples(index=False)]
     assert got == [(10, 3, 1, 666666), (20, 2, 1, 333333)]
+
+
+def test_autocorr_gap_fill_and_trunc_division(tmp_path):
+    """One event on day 0 and one on day 2: the gap day is filled with a
+    zero, giving x=[1,0,1] → e=[1,−2,1], den=6.  Lag 1 is the
+    truncate-toward-zero pin: −4·10⁶/6 → −666666 (floor would be
+    −666667); lag 2 is 10⁶//6 = 166666."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": pd.Series([1, 2], dtype="int64"),
+        "event_type": ["view", "view"],
+        "ts": [base, base + pd.Timedelta(days=2)]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    out = rel.events_autocorr(str(tmp_path))
+    got = [tuple(int(x) for x in r)
+           for r in out[["lag", "n_days", "r_ppm"]].itertuples(index=False)]
+    assert got == [(1, 3, -666666), (2, 3, 166666)]
 
 
 def test_conversion_lag_firsts_and_quantiles(tmp_path):
