@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_conversion_lag": rel.events_conversion_lag,
         "events_kaplan_meier": rel.events_kaplan_meier,
         "events_autocorr": rel.events_autocorr,
+        "orders_holt_forecast": rel.orders_holt_forecast,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
@@ -1289,6 +1290,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(d AS BIGINT) AS n_events,
                    s AS surv_ppm
             FROM km ORDER BY t_min
+        """,
+        # Holt linear-trend smoothing in integer tenths (α=0.2, β=0.1);
+        # every step truncates toward zero; the level expression is
+        # repeated inside the trend step because the CTE can't reference
+        # its own select-list alias
+        "orders_holt_forecast": """
+            WITH RECURSIVE mo AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                           AS month,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS y
+                FROM orders GROUP BY 1
+            ), o AS (
+                SELECT month, y, ROW_NUMBER() OVER (ORDER BY month) AS rn
+                FROM mo
+            ), h AS (
+                SELECT rn, month, y, y AS l, CAST(0 AS BIGINT) AS b
+                FROM o WHERE rn = 1
+                UNION ALL
+                SELECT o.rn, o.month, o.y,
+                       (2 * o.y + 8 * (h.l + h.b)) // 10,
+                       (((2 * o.y + 8 * (h.l + h.b)) // 10 - h.l)
+                        + 9 * h.b) // 10
+                FROM h JOIN o ON o.rn = h.rn + 1
+            )
+            SELECT month,
+                   CAST(y AS BIGINT) AS revenue_cents,
+                   CAST(l AS BIGINT) AS level_cents,
+                   CAST(b AS BIGINT) AS trend_cents,
+                   CAST(l + b AS BIGINT) AS fc1_cents
+            FROM h ORDER BY month
         """,
         # daily-count ACF: gap-filled calendar series, exact integer
         # centering e=n·x−S (n² cancels), trunc-toward-zero ppm ratio

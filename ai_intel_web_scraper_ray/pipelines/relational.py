@@ -6640,3 +6640,69 @@ def events_autocorr(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+def orders_holt_forecast(sf_dir: str) -> pd.DataFrame:
+    """Holt linear-trend exponential smoothing over the observed monthly
+    revenue series, kept exactly integer: with α=0.2 and β=0.1 in
+    tenths, level l_t = (2·y_t + 8·(l_{t-1}+b_{t-1})) trunc-div 10 and
+    trend b_t = ((l_t − l_{t-1}) + 9·b_{t-1}) trunc-div 10, initialised
+    at l_1 = y_1, b_1 = 0.  Every division truncates toward zero
+    (DuckDB ``//``; the level delta and trend go negative on a falling
+    series).  One row per month — (month, revenue_cents, level_cents,
+    trend_cents, fc1_cents) — where fc1 = l_t + b_t is the one-step-
+    ahead forecast made at t (the last row's fc1 is the out-of-sample
+    next-month forecast).
+
+    Scale shape: the fact stream collapses to per-month cent partials
+    inside ``map_batches`` (the orders_monthly_growth pattern); the
+    recurrence runs over the BOUNDED month calendar on the driver with
+    Python big-ints (the orders_seasonal_decompose final contract)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "month": pd.Series([], dtype="datetime64[ns]"),
+                "cents": pd.Series([], dtype="int64")})
+        df = df.copy()
+        df["month"] = df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        df["cents"] = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        return df.groupby("month", as_index=False)["cents"].sum()
+
+    def empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "month": pd.Series([], dtype="datetime64[ns]"),
+            "revenue_cents": pd.Series([], dtype="int64"),
+            "level_cents": pd.Series([], dtype="int64"),
+            "trend_cents": pd.Series([], dtype="int64"),
+            "fc1_cents": pd.Series([], dtype="int64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return empty()
+    m = parts.groupby("month", as_index=False)["cents"].sum() \
+        .sort_values("month").reset_index(drop=True)
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    rows = []
+    l = b = 0
+    for i, (month, y) in enumerate(zip(m["month"], m["cents"])):
+        y = int(y)
+        if i == 0:
+            l, b = y, 0
+        else:
+            l_new = tdiv(2 * y + 8 * (l + b), 10)
+            b = tdiv((l_new - l) + 9 * b, 10)
+            l = l_new
+        rows.append((month, y, l, b, l + b))
+    out = pd.DataFrame(rows, columns=["month", "revenue_cents",
+                                      "level_cents", "trend_cents",
+                                      "fc1_cents"])
+    for c in out.columns[1:]:
+        out[c] = out[c].astype("int64")
+    return out

@@ -116,6 +116,7 @@ ORACLE_QUERIES = [
     "events_gap_fill",
     "events_kaplan_meier",
     "events_autocorr",
+    "orders_holt_forecast",
 ]
 
 
@@ -237,6 +238,26 @@ def test_kaplan_meier_censoring_and_truncation(tmp_path):
            for r in out[["t_min", "n_risk", "n_events", "surv_ppm"]]
            .itertuples(index=False)]
     assert got == [(10, 3, 1, 666666), (20, 2, 1, 333333)]
+
+
+def test_holt_forecast_negative_trend_truncates(tmp_path):
+    """Falling two-month series y=[1000, 25] cents: l₂ = (50+8000)//10 =
+    805, Δl = −195, and the trend step must TRUNCATE toward zero —
+    b₂ = trunc(−195/10) = −19 (floor would be −20), fc1 = 786."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame({
+        "o_orderdate": pd.to_datetime(["2024-01-15", "2024-02-15"]),
+        "o_totalprice": [10.00, 0.25]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "orders.parquet")
+    out = rel.orders_holt_forecast(str(tmp_path))
+    got = [tuple(int(x) for x in r)
+           for r in out[["revenue_cents", "level_cents", "trend_cents",
+                         "fc1_cents"]].itertuples(index=False)]
+    assert got == [(1000, 1000, 0, 1000), (25, 805, -19, 786)]
 
 
 def test_autocorr_gap_fill_and_trunc_division(tmp_path):
