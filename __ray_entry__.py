@@ -387,11 +387,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kaplan_meier": rel.events_kaplan_meier,
         "events_autocorr": rel.events_autocorr,
         "orders_holt_forecast": rel.orders_holt_forecast,
+        "orders_benford": rel.orders_benford,
+        "parts_degree_assortativity": rel.parts_degree_assortativity,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
         "docs_vocab_growth": dq.docs_vocab_growth,
+        "docs_readability": dq.docs_readability,
+        "emb_silhouette": dq.emb_silhouette,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -1321,6 +1325,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b AS BIGINT) AS trend_cents,
                    CAST(l + b AS BIGINT) AS fc1_cents
             FROM h ORDER BY month
+        """,
+        # Benford first-digit audit over integer cents; expectation ppm
+        # pinned as literals (= floor(1e6*log10(1+1/d)), the same table
+        # the engine carries in relational._BENFORD_PPM)
+        "orders_benford": """
+            WITH c AS (
+                SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                              AS BIGINT) AS VARCHAR),
+                                   1, 1) AS BIGINT) AS digit,
+                       COUNT(*) AS n
+                FROM orders GROUP BY 1
+            ), t AS (SELECT SUM(n) AS total FROM c),
+            b AS (
+                SELECT * FROM (VALUES
+                    (1, 301029), (2, 176091), (3, 124938), (4, 96910),
+                    (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+                    (9, 45757)) AS v(digit, benford_ppm)
+            )
+            SELECT c.digit,
+                   CAST(c.n AS BIGINT) AS n_orders,
+                   CAST(1000000 * c.n // t.total AS BIGINT) AS obs_ppm,
+                   CAST(b.benford_ppm AS BIGINT) AS benford_ppm,
+                   CAST(1000000 * c.n // t.total - b.benford_ppm
+                        AS BIGINT) AS delta_ppm
+            FROM c JOIN b USING (digit) CROSS JOIN t
+            ORDER BY c.digit
+        """,
+        # degree assortativity of the co-order graph: HUGEINT moments
+        # over the directed edge list, trunc-div ppm (numerator may be
+        # negative; the denominator is a variance)
+        "parts_degree_assortativity": """
+            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS (
+              SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
+              FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2
+            ), edges AS (SELECT u, v FROM pairs WHERE n >= 2),
+            dir AS (SELECT u AS node, v AS nbr FROM edges
+                    UNION ALL SELECT v, u FROM edges),
+            deg AS (SELECT node, COUNT(*) AS d FROM dir GROUP BY node),
+            e AS (
+              SELECT dj.d AS j, dk.d AS k
+              FROM dir
+              JOIN deg dj ON dj.node = dir.node
+              JOIN deg dk ON dk.node = dir.nbr
+            ), m AS (
+              SELECT CAST(COUNT(*) AS HUGEINT) AS mm,
+                     SUM(CAST(j AS HUGEINT) * k) AS a,
+                     SUM(CAST(j AS HUGEINT)) AS b,
+                     SUM(CAST(j AS HUGEINT) * j) AS c
+              FROM e HAVING COUNT(*) > 0
+            )
+            SELECT CAST(mm // 2 AS BIGINT) AS n_edges,
+                   CAST(a AS BIGINT) AS sum_jk,
+                   CAST(b AS BIGINT) AS sum_j,
+                   CAST(c AS BIGINT) AS sum_j2,
+                   CAST(CASE WHEN mm * c - b * b = 0 THEN 0
+                        ELSE (1000000 * (mm * a - b * b))
+                             // (mm * c - b * b)
+                        END AS BIGINT) AS r_ppm
+            FROM m
         """,
         # daily-count ACF: gap-filled calendar series, exact integer
         # centering e=n·x−S (n² cancels), trunc-toward-zero ppm ratio
@@ -2750,6 +2816,26 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u2 ON bc.w2 = u2.word
             ORDER BY lift_q DESC, w1, w2 LIMIT 20
         """,
+        # integer Flesch-style readability: regex-class run counts (the
+        # engine runs the identical three classes per row), trunc-div on
+        # non-negative operands ≡ floor-div
+        "docs_readability": r"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(w AS BIGINT) AS n_words,
+                   CAST(s AS BIGINT) AS n_sents,
+                   CAST(y AS BIGINT) AS n_syll,
+                   CAST(206835 - 1015 * w // s - 84600 * y // w
+                        AS BIGINT) AS flesch_milli
+            FROM (
+                SELECT doc_id,
+                       len(regexp_extract_all(text, '\S+')) AS w,
+                       GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                           AS s,
+                       len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                           AS y
+                FROM documents
+            ) WHERE w > 0 ORDER BY doc_id
+        """,
         # Heaps'-law vocabulary growth: distinct words first seen at or
         # before each of 8 equal-width doc_id prefix boundaries
         "docs_vocab_growth": r"""
@@ -3266,6 +3352,44 @@ def oracle_sql() -> dict[str, str]:
             for i in range(64))
         ).replace("{NM}", " + ".join(
             f"m.m{i} * m.m{i}" for i in range(64))),
+        # simplified silhouette vs label-SUM centroids (the 1/n cancels
+        # in cosine): a/b each ROUND(,6) first, then the sil expression
+        # re-rounds — generated 64-dim SUM twin like centroid_distances
+        "emb_silhouette": """
+            WITH s AS (
+                SELECT label, {SUMS}
+                FROM embeddings GROUP BY label
+            ), sims AS (
+                SELECT e.vec_id, e.label AS own_label, s.label AS cl,
+                       ROUND(({DOT}) / (sqrt({NE}) * sqrt({NS})), 6) AS sim
+                FROM embeddings e CROSS JOIN s
+            ), ab AS (
+                SELECT vec_id, own_label AS label,
+                       MAX(CASE WHEN cl = own_label THEN sim END) AS a_sim,
+                       COALESCE(MAX(CASE WHEN cl <> own_label THEN sim END),
+                                0) AS b_sim
+                FROM sims GROUP BY vec_id, own_label
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(label AS BIGINT) AS label,
+                   a_sim, b_sim,
+                   CASE WHEN 1 - LEAST(a_sim, b_sim) <= 0 THEN 0.0
+                        ELSE ROUND((a_sim - b_sim)
+                                   / (1 - LEAST(a_sim, b_sim)), 6)
+                   END AS sil
+            FROM ab ORDER BY vec_id
+        """.replace("{SUMS}", ", ".join(
+            f"SUM(CAST(embedding[{i + 1}] AS DOUBLE)) AS s{i}"
+            for i in range(64))
+        ).replace("{DOT}", " + ".join(
+            f"CAST(e.embedding[{i + 1}] AS DOUBLE) * s.s{i}"
+            for i in range(64))
+        ).replace("{NE}", " + ".join(
+            f"CAST(e.embedding[{i + 1}] AS DOUBLE)"
+            f" * CAST(e.embedding[{i + 1}] AS DOUBLE)"
+            for i in range(64))
+        ).replace("{NS}", " + ".join(
+            f"s.s{i} * s.s{i}" for i in range(64))),
         # product-quantization codes: per-subspace ROUND(L2², 6) argmin
         # against the vec_id<8 codebook — same rounding contract as the
         # kmeans twins, generated over the 4×16-dim subspaces

@@ -4929,3 +4929,150 @@ def docs_cdc_chunks(sf_dir: str) -> pd.DataFrame:
                              ("doc_id", "n_chunks", "n_shared")})
     out = out[["doc_id", "n_chunks", "n_shared"]].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# readability scoring: the Flesch-reading-ease family recast as an exact
+# integer contract — the document-quality signal a curation tier uses to
+# bucket corpora by audience / complexity before mixing
+# ---------------------------------------------------------------------------
+
+
+def docs_readability(sf_dir: str) -> pd.DataFrame:
+    """Per document: word / sentence / syllable-proxy counts and an
+    integer Flesch-style score,
+
+        flesch_milli = 206835 − 1015·W trunc-div S − 84600·Y trunc-div W,
+
+    where W = ``\\S+`` runs, S = ``[.!?]+`` runs floored at 1 (an
+    unpunctuated doc is one sentence), Y = ``[aeiouy]+`` vowel groups of
+    the lowercased text (the standard offline syllable proxy).  All
+    operands are non-negative so trunc-div ≡ floor-div on both sides.
+    Documents with zero words are absent (the SQL twin's WHERE).
+
+    Scale shape: row-local regex counts over Arrow string batches — one
+    ``map_batches`` pass, three compiled-RE2-class scans per row, no
+    exchange at all."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "n_words": pd.Series([], dtype="int64"),
+            "n_sents": pd.Series([], dtype="int64"),
+            "n_syll": pd.Series([], dtype="int64"),
+            "flesch_milli": pd.Series([], dtype="int64")})
+        if t.num_rows == 0:
+            return empty
+        txt = t["text"].to_pandas().fillna("")
+        w = txt.str.count(r"\S+").to_numpy(dtype="int64")
+        s = txt.str.count(r"[.!?]+").to_numpy(dtype="int64")
+        y = txt.str.lower().str.count(r"[aeiouy]+").to_numpy(dtype="int64")
+        keep = w > 0
+        if not keep.any():
+            return empty
+        doc_id = t["doc_id"].to_pandas().to_numpy(dtype="int64")[keep]
+        w, s, y = w[keep], np.maximum(s[keep], 1), y[keep]
+        flesch = 206835 - 1015 * w // s - 84600 * y // w
+        return pd.DataFrame({"doc_id": doc_id, "n_words": w, "n_sents": s,
+                             "n_syll": y, "flesch_milli": flesch})
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "n_words": pd.Series([], dtype="int64"),
+            "n_sents": pd.Series([], dtype="int64"),
+            "n_syll": pd.Series([], dtype="int64"),
+            "flesch_milli": pd.Series([], dtype="int64")})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# simplified silhouette over the labeled embedding corpus: per-vector
+# cohesion-vs-separation against label centroids — the clustering-quality
+# audit that decides whether a labeling/clustering is worth training on
+# ---------------------------------------------------------------------------
+
+
+def emb_silhouette(sf_dir: str) -> pd.DataFrame:
+    """Per vector: cosine to its OWN label centroid (``a_sim``), the max
+    cosine to any OTHER label centroid (``b_sim``), and the simplified
+    silhouette
+
+        sil = ROUND((a − b) / (1 − LEAST(a, b)), 6)     (0 if the
+        denominator is 0; b = 0 if no other label exists),
+
+    with a and b each ROUND(…,6) first (the corpus-wide float contract).
+    Cosine against the label's element-wise SUM vector equals cosine
+    against its centroid (the 1/n cancels), so no count bookkeeping.
+
+    Scale shape: batch scatter-add partials build the labels×dim sum
+    matrix (bounded by the label vocabulary); the driver merges partials
+    once and broadcasts the tiny matrix back through a second streaming
+    pass — two linear scans, no shuffle."""
+    ds = _emb(sf_dir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        if len(labels) == 0:
+            return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                                 "sums": pd.Series([], dtype=object)})
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), mat.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, mat)
+        return pd.DataFrame({"label": uniq.astype("int64"),
+                             "sums": [r.tobytes() for r in sums]})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                          "label": pd.Series([], dtype="int64"),
+                          "a_sim": pd.Series([], dtype="float64"),
+                          "b_sim": pd.Series([], dtype="float64"),
+                          "sil": pd.Series([], dtype="float64")})
+    if parts.empty or "label" not in parts.columns:
+        return empty
+    merged: dict = {}
+    dim = None
+    for lab, blob in zip(parts["label"], parts["sums"]):
+        v = np.frombuffer(blob, dtype=np.float64)
+        dim = len(v)
+        merged[int(lab)] = merged.get(int(lab), np.zeros(dim)) + v
+    labs = np.array(sorted(merged), dtype=np.int64)
+    cents = np.stack([merged[int(l)] for l in labs])
+    cnorm = np.sqrt((cents * cents).sum(axis=1))
+    cnorm[cnorm == 0] = 1.0
+    import ray as _ray
+    cents_ref = _ray.put((labs, cents / cnorm[:, None]))
+
+    def score(t: pa.Table) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return empty.copy()
+        labs_b, cn = _ray.get(cents_ref)
+        vid = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        lab = t["label"].to_numpy(zero_copy_only=False).astype("int64")
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        n = np.sqrt((mat * mat).sum(axis=1))
+        n[n == 0] = 1.0
+        sims = np.round((mat / n[:, None]) @ cn.T, 6)
+        pos = np.searchsorted(labs_b, lab)
+        own = sims[np.arange(len(lab)), pos]
+        other = sims.copy()
+        other[np.arange(len(lab)), pos] = -np.inf
+        b = other.max(axis=1)
+        b = np.where(np.isfinite(b), b, 0.0)
+        den = 1.0 - np.minimum(own, b)
+        safe = np.where(den <= 0, 1.0, den)
+        sil = np.where(den <= 0, 0.0, np.round((own - b) / safe, 6))
+        return pd.DataFrame({"vec_id": vid, "label": lab, "a_sim": own,
+                             "b_sim": b, "sil": sil})
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if out.empty or "vec_id" not in out.columns:
+        return empty
+    return out.sort_values("vec_id").reset_index(drop=True)

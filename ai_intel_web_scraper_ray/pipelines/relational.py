@@ -6706,3 +6706,191 @@ def orders_holt_forecast(sf_dir: str) -> pd.DataFrame:
     for c in out.columns[1:]:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: the classic anomaly screen a data-quality
+# tier runs over monetary fact columns — observed first-significant-digit
+# shares vs the Benford expectation, integer ppm throughout
+# ---------------------------------------------------------------------------
+
+# floor(1e6 * log10(1 + 1/d)) for d = 1..9, pinned as literals so the
+# engine and the SQL twin share one source of truth (no float log10 at
+# query time on either side)
+_BENFORD_PPM = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+                6: 66946, 7: 57991, 8: 51152, 9: 45757}
+
+
+def orders_benford(sf_dir: str) -> pd.DataFrame:
+    """First-significant-digit census of order totals: one row per digit
+    that OCCURS (matching the SQL GROUP BY — absent digits are absent,
+    not zero-filled) with (digit, n_orders, obs_ppm, benford_ppm,
+    delta_ppm), obs_ppm = 10⁶·n // total and delta_ppm its deviation
+    from the pinned Benford expectation.
+
+    Totals are first made integer cents (``FLOOR(p·100 + 0.5)``, the
+    corpus-wide cent contract), so the first digit is exact — never a
+    float-formatting artifact.
+
+    Scale shape: per-batch digit histograms (≤9 rows each) merge on the
+    driver; the fact table never leaves ``map_batches``."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"digit": pd.Series([], dtype="int64"),
+                              "n": pd.Series([], dtype="int64")})
+        if len(df) == 0 or "o_totalprice" not in df.columns:
+            return empty
+        cents = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        # first significant digit via integer magnitude reduction —
+        # vectorized, no string round trip
+        mag = np.ones_like(cents)
+        while True:
+            nxt = mag * 10
+            grow = nxt <= cents
+            if not grow.any():
+                break
+            mag[grow] = nxt[grow]
+        digit = cents // mag
+        out = pd.DataFrame({"digit": digit}).groupby(
+            "digit", as_index=False).size().rename(columns={"size": "n"})
+        return out.astype("int64")
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({"digit": pd.Series([], dtype="int64"),
+                          "n_orders": pd.Series([], dtype="int64"),
+                          "obs_ppm": pd.Series([], dtype="int64"),
+                          "benford_ppm": pd.Series([], dtype="int64"),
+                          "delta_ppm": pd.Series([], dtype="int64")})
+    if parts.empty or "digit" not in parts.columns:
+        return empty
+    m = parts.groupby("digit", as_index=False)["n"].sum()
+    total = int(m["n"].sum())
+    if total == 0:
+        return empty
+    out = pd.DataFrame({
+        "digit": m["digit"].astype("int64"),
+        "n_orders": m["n"].astype("int64")})
+    out["obs_ppm"] = (1_000_000 * out["n_orders"] // total).astype("int64")
+    out["benford_ppm"] = out["digit"].map(_BENFORD_PPM).astype("int64")
+    out["delta_ppm"] = (out["obs_ppm"] - out["benford_ppm"]).astype("int64")
+    return out.sort_values("digit").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity of the co-order part graph: do high-degree parts
+# co-order with other high-degree parts?  Pearson r over the directed
+# edge-endpoint degree pairs, exact integer moments
+# ---------------------------------------------------------------------------
+
+
+def parts_degree_assortativity(sf_dir: str, support: int = 2) -> pd.DataFrame:
+    """One row — (n_edges, sum_jk, sum_j, sum_j2, r_ppm) — where the sums
+    run over the 2E DIRECTED orientations of the co-order edges
+    (:func:`_co_order_pair_counts`, co-ordered in ≥ ``support`` orders),
+    j/k are endpoint degrees, and
+
+        r_ppm = 10⁶ · (M·Σjk − (Σj)²)  trunc-div  (M·Σj² − (Σj)²),
+
+    M = 2E (the standard Newman assortativity with the half-factors
+    cleared; the denominator is a variance so only the numerator can go
+    negative — trunc-toward-zero matches DuckDB ``//``).  An empty graph
+    yields zero rows (the SQL twin's ``HAVING COUNT(*) > 0``).
+
+    Scale shape: degrees are exact per node-hash bucket; each bucket then
+    re-keys its half-edges by NEIGHBOR and a second bucketed pass (a
+    tagged union of degree rows and half-edge rows, co-partitioned on the
+    same key) attaches the neighbor degree and reduces to ONE moment
+    partial per bucket — two bounded exchanges, no driver-side maps.
+    Partial moments travel as decimal strings so a web-scale graph can't
+    overflow int64 between stages; the driver folds 64 such rows with
+    Python big-ints."""
+    edges = _co_order_pair_counts(sf_dir, support)
+    empty = pd.DataFrame({"n_edges": pd.Series([], dtype="int64"),
+                          "sum_jk": pd.Series([], dtype="int64"),
+                          "sum_j": pd.Series([], dtype="int64"),
+                          "sum_j2": pd.Series([], dtype="int64"),
+                          "r_ppm": pd.Series([], dtype="int64")})
+
+    def to_directed(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "a_id" not in df.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "nbr": pd.Series([], dtype="int64"),
+                                 "_b": pd.Series([], dtype="int64")})
+        out = pd.DataFrame({
+            "node": np.concatenate([df["a_id"].to_numpy(dtype="int64"),
+                                    df["b_id"].to_numpy(dtype="int64")]),
+            "nbr": np.concatenate([df["b_id"].to_numpy(dtype="int64"),
+                                   df["a_id"].to_numpy(dtype="int64")])})
+        out["_b"] = (out["node"] % 64).astype("int64")
+        return out
+
+    # pass A (node buckets hold ALL of a node's half-edges → exact deg):
+    # emit tag=0 degree rows keyed by the node itself and tag=1 half-edge
+    # rows keyed by the NEIGHBOR, carrying j = deg(node)
+    def emit_keyed(df: pd.DataFrame) -> pd.DataFrame:
+        empty_k = pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                "j": pd.Series([], dtype="int64"),
+                                "tag": pd.Series([], dtype="int64"),
+                                "_b2": pd.Series([], dtype="int64")})
+        if len(df) == 0 or "node" not in df.columns:
+            return empty_k
+        deg = df.groupby("node")["nbr"].size()
+        d_rows = pd.DataFrame({"key": deg.index.to_numpy(dtype="int64"),
+                               "j": deg.to_numpy(dtype="int64"),
+                               "tag": np.int64(0)})
+        h_rows = pd.DataFrame({"key": df["nbr"].to_numpy(dtype="int64"),
+                               "j": df["node"].map(deg).to_numpy(
+                                   dtype="int64"),
+                               "tag": np.int64(1)})
+        out = pd.concat([d_rows, h_rows], ignore_index=True)
+        out["_b2"] = (out["key"] % 64).astype("int64")
+        return out.astype("int64")
+
+    # pass B: attach k = deg(key) to each half-edge, reduce to one moment
+    # partial per bucket (decimal strings — int64-overflow-proof)
+    def moment_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty_m = pd.DataFrame({"cnt": pd.Series([], dtype="int64"),
+                                "s_jk": pd.Series([], dtype=object),
+                                "s_j": pd.Series([], dtype=object),
+                                "s_j2": pd.Series([], dtype=object)})
+        if len(df) == 0 or "tag" not in df.columns:
+            return empty_m
+        degmap = df[df["tag"] == 0].set_index("key")["j"]
+        he = df[df["tag"] == 1]
+        if len(he) == 0:
+            return empty_m
+        j = he["j"].to_numpy(dtype="int64")
+        k = he["key"].map(degmap).to_numpy(dtype="int64")
+        s_jk = sum(int(a) * int(b) for a, b in zip(j, k))
+        s_j = int(j.sum())
+        s_j2 = sum(int(a) * int(a) for a in j)
+        return pd.DataFrame({"cnt": [np.int64(len(he))],
+                             "s_jk": [str(s_jk)], "s_j": [str(s_j)],
+                             "s_j2": [str(s_j2)]})
+
+    parts = edges.map_batches(to_directed, batch_format="pandas") \
+        .groupby("_b").map_groups(emit_keyed, batch_format="pandas") \
+        .groupby("_b2").map_groups(moment_partial, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty or "cnt" not in parts.columns or parts["cnt"].sum() == 0:
+        return empty
+
+    m_ends = int(parts["cnt"].sum())
+    a = sum(int(x) for x in parts["s_jk"])
+    b = sum(int(x) for x in parts["s_j"])
+    c = sum(int(x) for x in parts["s_j2"])
+    num = m_ends * a - b * b
+    den = m_ends * c - b * b
+
+    def tdiv(x: int, y: int) -> int:
+        q = abs(x) // abs(y)
+        return q if (x >= 0) == (y >= 0) else -q
+
+    r_ppm = 0 if den == 0 else tdiv(1_000_000 * num, den)
+    return pd.DataFrame({"n_edges": [np.int64(m_ends // 2)],
+                         "sum_jk": [np.int64(a)],
+                         "sum_j": [np.int64(b)],
+                         "sum_j2": [np.int64(c)],
+                         "r_ppm": [np.int64(r_ppm)]})

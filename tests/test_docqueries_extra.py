@@ -82,6 +82,8 @@ ORACLE_QUERIES = [
     "emb_pca_top2",
     "docs_ensemble_dedup",
     "emb_knn_classify",
+    "docs_readability",
+    "emb_silhouette",
 ]
 
 
@@ -808,3 +810,55 @@ def test_hamming_recall_small_pool(tmp_path):
     assert list(out["query_vec_id"]) == list(range(6))
     assert (out["n_hits"] == 5).all()
     assert (out["recall_ppm"] == 500000).all()
+
+
+def test_readability_degenerate_docs(tmp_path):
+    """No-punctuation docs count as ONE sentence; an all-whitespace doc
+    has zero words and is ABSENT (the SQL WHERE); vowel-group runs count
+    once per run, not per vowel."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["hello world no punctuation here",
+                          "   \t  ",
+                          "Beautiful!! Queueing... aeiou"], pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dq.docs_readability(str(tmp_path))
+    assert list(out["doc_id"]) == [1, 3]
+    r1 = out[out["doc_id"] == 1].iloc[0]
+    assert r1["n_sents"] == 1            # floored at one sentence
+    assert r1["n_words"] == 5
+    # doc 3: "Beautiful!!" → eau+i+u = [eau][i][u]? lowercased runs:
+    # b(eau)t(i)f(u)l = 3, q(ueuei)ng = 1, (aeiou) = 1, plus words=3
+    r3 = out[out["doc_id"] == 3].iloc[0]
+    assert r3["n_words"] == 3
+    assert r3["n_sents"] == 2            # '!!' and '...' runs
+    assert r3["n_syll"] == 5
+    assert r3["flesch_milli"] == 206835 - 1015 * 3 // 2 - 84600 * 5 // 3
+
+
+def test_silhouette_single_label(tmp_path):
+    """With one label there is no 'other' centroid: b_sim pins to 0 and
+    sil = ROUND(a / (1 - LEAST(a, 0)), 6) — both sides of the driver
+    compare must agree on the degenerate corpus."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = [[1.0] + [0.0] * 63, [0.5] + [0.5] + [0.0] * 62]
+    t = pa.table({
+        "vec_id": pa.array([0, 1], pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([7, 7], pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    got = dq.emb_silhouette(str(tmp_path))
+    assert (got["b_sim"] == 0.0).all()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    exp = con.execute(entrymod.oracle_sql()["emb_silhouette"]).fetch_df()
+    con.close()
+    problems = compare("emb_silhouette", got, exp)
+    assert not problems, problems

@@ -117,6 +117,8 @@ ORACLE_QUERIES = [
     "events_kaplan_meier",
     "events_autocorr",
     "orders_holt_forecast",
+    "orders_benford",
+    "parts_degree_assortativity",
 ]
 
 
@@ -941,3 +943,50 @@ def test_new_rel_operators_handle_empty_tables(tmp_path):
     assert len(rel.orders_basket_rules(str(tmp_path))) == 0
     assert len(rel.events_invalid_transitions(str(tmp_path))) == 0
     assert len(rel.events_bitmap_distinct(str(tmp_path))) == 0
+
+
+def test_assortativity_star_is_minus_one(tmp_path):
+    """A 3-leaf star is perfectly disassortative: r_ppm must be exactly
+    −1000000, exercising the negative-numerator trunc-div path (DuckDB
+    ``//`` truncates toward zero; a floor-div engine would emit
+    −1000000 only by luck of exact division — this fixture divides
+    exactly, so pair it with the moment columns to pin the path)."""
+    _write_coorder_graph(tmp_path, (((1, 2), 2), ((1, 3), 2), ((1, 4), 2)))
+    out = rel.parts_degree_assortativity(str(tmp_path))
+    assert len(out) == 1
+    row = out.iloc[0]
+    # M=6 directed ends; A=Σjk=18, B=Σj=12, C=Σj²=30
+    assert row["n_edges"] == 3
+    assert row["sum_jk"] == 18
+    assert row["sum_j"] == 12
+    assert row["sum_j2"] == 30
+    assert row["r_ppm"] == -1_000_000
+
+
+def test_assortativity_empty_graph(tmp_path):
+    """No co-order pair reaches support → zero rows (the SQL twin's
+    HAVING)."""
+    _write_coorder_graph(tmp_path, (((1, 2), 1),))
+    out = rel.parts_degree_assortativity(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["n_edges", "sum_jk", "sum_j", "sum_j2",
+                                 "r_ppm"]
+
+
+def test_benford_digits_exact(tmp_path):
+    """Pinned totals: first digits come from integer CENTS (123.45 →
+    12345 → digit 1), never from float formatting; absent digits are
+    absent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    totals = [123.45, 19.99, 901.00, 0.07, 55.55]
+    t = pa.table({"o_totalprice": pa.array(totals, pa.float64())})
+    pq.write_table(t, tmp_path / "orders.parquet")
+    out = rel.orders_benford(str(tmp_path))
+    got = dict(zip(out["digit"], out["n_orders"]))
+    assert got == {1: 2, 5: 1, 7: 1, 9: 1}
+    row1 = out[out["digit"] == 1].iloc[0]
+    assert row1["obs_ppm"] == 400_000
+    assert row1["benford_ppm"] == 301_029
+    assert row1["delta_ppm"] == 98_971
