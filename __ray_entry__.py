@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_kaplan_meier": rel.events_kaplan_meier,
         "events_autocorr": rel.events_autocorr,
         "orders_holt_forecast": rel.orders_holt_forecast,
+        "orders_theil_sen": rel.orders_theil_sen,
         "orders_benford": rel.orders_benford,
         "parts_degree_assortativity": rel.parts_degree_assortativity,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
@@ -1325,6 +1326,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b AS BIGINT) AS trend_cents,
                    CAST(l + b AS BIGINT) AS fc1_cents
             FROM h ORDER BY month
+        """,
+        # Theil–Sen robust trend: median of pairwise slopes in tenths of
+        # a cent per month; // truncates toward zero, quantile_disc is the
+        # ceil(q·n)−1 order statistic — both matched by the engine
+        "orders_theil_sen": """
+            WITH m AS (
+                SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                            AS BIGINT) AS x,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS rev
+                FROM orders GROUP BY 1
+            ), p AS (
+                SELECT (b.rev - a.rev) * 10 // (b.x - a.x) AS slope
+                FROM m a JOIN m b ON a.x < b.x
+            ), s AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                       CAST(quantile_disc(slope, 0.5) AS BIGINT)
+                           AS slope_tenths
+                FROM p
+            ), ic AS (
+                SELECT CAST(quantile_disc(m.rev * 10 - s.slope_tenths * m.x,
+                                          0.5) AS BIGINT)
+                           AS intercept_tenths
+                FROM m, s
+            )
+            SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_months,
+                   s.n_pairs, s.slope_tenths, ic.intercept_tenths
+            FROM s, ic WHERE s.n_pairs > 0
         """,
         # Benford first-digit audit over integer cents; expectation ppm
         # pinned as literals (= floor(1e6*log10(1+1/d)), the same table

@@ -6894,3 +6894,74 @@ def parts_degree_assortativity(sf_dir: str, support: int = 2) -> pd.DataFrame:
                          "sum_j": [np.int64(b)],
                          "sum_j2": [np.int64(c)],
                          "r_ppm": [np.int64(r_ppm)]})
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend estimator over monthly revenue: the slope is the
+# MEDIAN of all pairwise slopes — a single outlier month that would drag an
+# OLS fit (events_linreg) moves a Theil–Sen fit by at most one order
+# statistic.  Reference parity: new-capability operator (time-series family
+# alongside orders_holt_forecast / orders_changepoint).
+# ---------------------------------------------------------------------------
+
+
+def orders_theil_sen(sf_dir: str) -> pd.DataFrame:
+    """Theil–Sen trend over monthly revenue, integer tenths of a cent.
+
+    x = year·12 + month (calendar gaps WIDEN the pair denominator rather
+    than being silently ignored), rev = monthly cents.  slope =
+    quantile_disc(0.5) over the C(n,2) pairwise slopes
+    ``(rev_j − rev_i)·10 trunc-div (x_j − x_i)``; intercept =
+    quantile_disc(0.5) over ``rev_i·10 − slope·x_i``.  Both divisions
+    truncate toward zero (DuckDB ``//``), and quantile_disc is the
+    ceil(q·n)−1 order statistic on the ascending sort (the
+    events_conversion_lag contract).  Fewer than two observed months →
+    empty frame (the SQL twin's ``n_pairs > 0`` guard).
+
+    Scale shape: the fact stream collapses to per-month cent partials
+    inside ``map_batches`` (the monthly-growth pattern); the pair
+    enumeration then runs over the BOUNDED month calendar on the driver —
+    O(#months²) integer work on ≤ a-few-hundred months, no data motion."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"x": pd.Series([], dtype="int64"),
+                                 "cents": pd.Series([], dtype="int64")})
+        df = df.copy()
+        df["x"] = (df["o_orderdate"].dt.year * 12
+                   + df["o_orderdate"].dt.month).astype("int64")
+        df["cents"] = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        return df.groupby("x", as_index=False)["cents"].sum()
+
+    cols = ("n_months", "n_pairs", "slope_tenths", "intercept_tenths")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return empty
+    m = parts.groupby("x", as_index=False)["cents"].sum() \
+        .sort_values("x").reset_index(drop=True)
+    n = len(m)
+    if n < 2:
+        return empty
+    x = m["x"].to_numpy(dtype="int64")
+    rev = m["cents"].to_numpy(dtype="int64")
+    i, j = np.triu_indices(n, k=1)
+    num = (rev[j] - rev[i]) * 10
+    den = x[j] - x[i]  # > 0 (strictly increasing months)
+    # DuckDB // truncates toward zero; Python floors — match DuckDB
+    slopes = np.sign(num) * (np.abs(num) // den)
+
+    def q_disc(v: np.ndarray) -> int:
+        # quantile_disc(0.5): ceil(0.5·n)−1 index on the ascending sort
+        v = np.sort(v)
+        return int(v[(len(v) + 1) // 2 - 1])
+
+    slope = q_disc(slopes)
+    intercept = q_disc(rev * 10 - slope * x)
+    return pd.DataFrame({
+        "n_months": pd.Series([n], dtype="int64"),
+        "n_pairs": pd.Series([len(slopes)], dtype="int64"),
+        "slope_tenths": pd.Series([slope], dtype="int64"),
+        "intercept_tenths": pd.Series([intercept], dtype="int64")})

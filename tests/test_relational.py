@@ -990,3 +990,31 @@ def test_benford_digits_exact(tmp_path):
     assert row1["obs_ppm"] == 400_000
     assert row1["benford_ppm"] == 301_029
     assert row1["delta_ppm"] == 98_971
+
+
+def test_theil_sen_gap_and_truncation(tmp_path):
+    """Months Jan/Feb/Apr 2024 (the Apr gap widens the pair denominator
+    to 3 resp. 2): revs [1000, 900, 954] cents give pair slopes
+    [-1000, trunc(-460/3) = -153 (floor would be -154), 270] → median
+    slope -153 tenths/month; intercept median = 954·10 + 153·24292 =
+    3726216."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+    df = pd.DataFrame({
+        "o_orderdate": pd.to_datetime(
+            ["2024-01-15", "2024-02-15", "2024-04-15"]),
+        "o_totalprice": [10.00, 9.00, 9.54]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "orders.parquet")
+    out = rel.orders_theil_sen(str(tmp_path))
+    got = [tuple(int(x) for x in r) for r in out.itertuples(index=False)]
+    assert got == [(3, 3, -153, 3726216)]
+
+    # degenerate: a single month has no pairs -> empty frame
+    pq.write_table(pa.Table.from_pandas(
+        df.iloc[:1], preserve_index=False), tmp_path / "orders.parquet")
+    assert len(rel.orders_theil_sen(str(tmp_path))) == 0
