@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr": rel.events_autocorr,
         "orders_holt_forecast": rel.orders_holt_forecast,
         "orders_theil_sen": rel.orders_theil_sen,
+        "events_ks_test": rel.events_ks_test,
         "orders_benford": rel.orders_benford,
         "parts_degree_assortativity": rel.parts_degree_assortativity,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
@@ -1354,6 +1355,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_months,
                    s.n_pairs, s.slope_tenths, ic.intercept_tenths
             FROM s, ic WHERE s.n_pairs > 0
+        """,
+        # two-sample KS over purchase cents between md5-split variants:
+        # cross-multiplied cumulative counts keep D exact-integer; HUGEINT
+        # guards ca·tb; at_cents pins the earliest argmax
+        "events_ks_test": """
+            WITH p AS (
+                SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+                       CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 2 AS variant
+                FROM events WHERE event_type = 'purchase'
+            ), h AS (
+                SELECT cents,
+                       SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS na,
+                       SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS nb
+                FROM p GROUP BY cents
+            ), t AS (SELECT SUM(na) AS ta, SUM(nb) AS tb FROM h),
+            c AS (
+                SELECT cents,
+                       SUM(na) OVER (ORDER BY cents) AS ca,
+                       SUM(nb) OVER (ORDER BY cents) AS cb
+                FROM h
+            ), d AS (
+                SELECT cents,
+                       ABS(CAST(ca AS HUGEINT) * t.tb
+                           - CAST(cb AS HUGEINT) * t.ta) AS diff
+                FROM c CROSS JOIN t
+            )
+            SELECT CAST(t.ta AS BIGINT) AS n_a,
+                   CAST(t.tb AS BIGINT) AS n_b,
+                   CAST(CAST(1000000 AS HUGEINT) * (SELECT MAX(diff) FROM d)
+                        // (CAST(t.ta AS HUGEINT) * t.tb) AS BIGINT)
+                       AS d_ppm,
+                   CAST((SELECT MIN(cents) FROM d
+                         WHERE diff = (SELECT MAX(diff) FROM d))
+                        AS BIGINT) AS at_cents
+            FROM t WHERE t.ta > 0 AND t.tb > 0
         """,
         # Benford first-digit audit over integer cents; expectation ppm
         # pinned as literals (= floor(1e6*log10(1+1/d)), the same table

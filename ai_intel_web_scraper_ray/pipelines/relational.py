@@ -6965,3 +6965,81 @@ def orders_theil_sen(sf_dir: str) -> pd.DataFrame:
         "n_pairs": pd.Series([len(slopes)], dtype="int64"),
         "slope_tenths": pd.Series([slope], dtype="int64"),
         "intercept_tenths": pd.Series([intercept], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# two-sample Kolmogorov–Smirnov test over purchase values: the nonparametric
+# companion to events_abtest's chi-square — compares the whole value
+# DISTRIBUTION between the two md5-split variants, not just a conversion
+# rate.  Exact-integer: D is maximised over cross-multiplied cumulative
+# counts, so no float CDF ever exists to round.
+# ---------------------------------------------------------------------------
+
+
+def events_ks_test(sf_dir: str) -> pd.DataFrame:
+    """Two-sample KS statistic between variant value distributions.
+
+    Users split by ``md5_32(user_id) % 2`` (the events_abtest shared-hash
+    convention); samples are purchase-event cents.  Over the ascending
+    distinct-cents domain, ``diff(t) = |cA(t)·nB − cB(t)·nA|`` with
+    cumulative counts cA/cB — D·nA·nB in exact integers —
+    ``d_ppm = 10⁶·max(diff) // (nA·nB)`` and ``at_cents`` is the smallest
+    t attaining the max (pinned tie).  Either variant empty → empty frame
+    (the SQL twin's marginal guard).  Python big-int / HUGEINT
+    intermediates: cA·nB passes int64 long before web scale.
+
+    Scale shape: per-block (cents, variant) histogram partials merge on
+    the driver over the bounded price domain (the docs_token_percentiles
+    pattern — distinct cents, not rows); the cumulative walk is
+    O(distinct values) integer work.  An unbounded continuous domain
+    would range-bucket the same partials instead."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"]
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("cents", "na", "nb")})
+        uids = df["user_id"].astype("int64")
+        uniq = pd.Series(uids.unique())
+        vmap = dict(zip(uniq, uniq.map(lambda u: int(hashlib.md5(
+            str(u).encode()).hexdigest()[:8], 16) % 2)))
+        variant = uids.map(vmap).to_numpy(dtype="int64")
+        cents = np.floor(
+            df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        g = pd.DataFrame({"cents": cents, "variant": variant}) \
+            .groupby(["cents", "variant"]).size().unstack(fill_value=0)
+        out = pd.DataFrame({"cents": g.index.to_numpy(dtype="int64")})
+        out["na"] = g[0].to_numpy(dtype="int64") if 0 in g.columns \
+            else np.zeros(len(g), dtype="int64")
+        out["nb"] = g[1].to_numpy(dtype="int64") if 1 in g.columns \
+            else np.zeros(len(g), dtype="int64")
+        return out
+
+    cols = ("n_a", "n_b", "d_ppm", "at_cents")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return empty
+    h = parts.groupby("cents", as_index=False)[["na", "nb"]].sum() \
+        .sort_values("cents").reset_index(drop=True)
+    ta = int(h["na"].sum())
+    tb = int(h["nb"].sum())
+    if ta == 0 or tb == 0:
+        return empty
+    ca = cb = 0
+    best = -1
+    at = 0
+    for cents, na, nb in zip(h["cents"], h["na"], h["nb"]):
+        ca += int(na)
+        cb += int(nb)
+        diff = abs(ca * tb - cb * ta)
+        if diff > best:
+            best, at = diff, int(cents)
+    return pd.DataFrame({
+        "n_a": pd.Series([ta], dtype="int64"),
+        "n_b": pd.Series([tb], dtype="int64"),
+        "d_ppm": pd.Series([1_000_000 * best // (ta * tb)], dtype="int64"),
+        "at_cents": pd.Series([at], dtype="int64")})

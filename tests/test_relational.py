@@ -1018,3 +1018,42 @@ def test_theil_sen_gap_and_truncation(tmp_path):
     pq.write_table(pa.Table.from_pandas(
         df.iloc[:1], preserve_index=False), tmp_path / "orders.parquet")
     assert len(rel.orders_theil_sen(str(tmp_path))) == 0
+
+
+def test_ks_test_earliest_argmax_pin(tmp_path):
+    """Variant-0 users {1,3,6} buy at [100,200,300] cents, variant-1
+    users {2,4,5} at [250,350,400] (md5 parities recomputed here, not
+    imported): |cA−cB|·3 peaks at 6 for BOTH t=200 and t=300, so
+    at_cents must pin the EARLIEST argmax (200); d_ppm = 6·10⁶//9 =
+    666666.  A non-purchase row must be excluded."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+    assert [int(hashlib.md5(str(u).encode()).hexdigest()[:8], 16) % 2
+            for u in (1, 3, 6, 2, 4, 5)] == [0, 0, 0, 1, 1, 1]
+    base = pd.Timestamp("2024-05-01")
+    rows = [(1, "purchase", 1.00), (3, "purchase", 2.00),
+            (6, "purchase", 3.00), (2, "purchase", 2.50),
+            (4, "purchase", 3.50), (5, "purchase", 4.00),
+            (1, "view", 99.0)]
+    df = pd.DataFrame({
+        "user_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "event_type": [r[1] for r in rows],
+        "value": [r[2] for r in rows],
+        "ts": [base + pd.Timedelta(minutes=i) for i in range(len(rows))]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    out = rel.events_ks_test(str(tmp_path))
+    got = [tuple(int(x) for x in r) for r in out.itertuples(index=False)]
+    assert got == [(3, 3, 666666, 200)]
+
+    # one-variant-only corpus -> empty frame (marginal guard)
+    pq.write_table(pa.Table.from_pandas(
+        df[df["user_id"].isin([1, 3, 6])], preserve_index=False),
+        tmp_path / "events.parquet")
+    assert len(rel.events_ks_test(str(tmp_path))) == 0
