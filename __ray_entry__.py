@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ntile": dq.docs_ntile,
         "docs_vector_enrich": dq.docs_vector_enrich,
         "docs_bigram_lift": dq.docs_bigram_lift,
+        "docs_rake_keywords": dq.docs_rake_keywords,
         "docs_rarity_score": dq.docs_rarity_score,
         "docs_interleaved_media_stats": dq.docs_interleaved_media_stats,
         "docs_media_ref_counts": dq.docs_media_ref_counts,
@@ -2853,6 +2854,55 @@ def oracle_sql() -> dict[str, str]:
         # top bigram collocations by scaled lift (integer-exact monotone
         # twin of PMI); engine joins c(w1)/c(w2) via two word-hash-bucket
         # exchanges, min-support filtered before scoring
+        # RAKE keyphrases: maximal non-stopword alpha-token runs; the
+        # stoplist literal is pinned independently in
+        # tests/test_pinned_constants.py; explicit ASCII blank class so
+        # RE2 and Python tokenize identically
+        "docs_rake_keywords": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text),
+                                          '[a-z]+|[^a-z\t\n\f\r ]+') AS toks
+                FROM documents
+            ), w AS (
+                SELECT doc_id,
+                       CAST(generate_subscripts(toks, 1) AS BIGINT) AS ord,
+                       unnest(toks) AS tok
+                FROM tok
+            ), nw AS (
+                SELECT doc_id, ord, tok,
+                       ord - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                                ORDER BY ord) AS grp
+                FROM w
+                WHERE regexp_matches(tok, '^[a-z]')
+                  AND tok NOT IN (
+                    'the','and','of','to','a','in','is','it','for','on',
+                    'with','as','at','by','an','be','this','that','are',
+                    'was','or','from','but','not','have','has','had','we',
+                    'you','they')
+            ), ph AS (
+                SELECT doc_id, grp, COUNT(*) AS plen,
+                       string_agg(tok, ' ' ORDER BY ord) AS phrase
+                FROM nw GROUP BY doc_id, grp
+            ), ws AS (
+                SELECT nw.tok AS word, COUNT(*) AS freq,
+                       SUM(ph.plen) AS deg
+                FROM nw JOIN ph USING (doc_id, grp)
+                GROUP BY nw.tok
+            ), sc AS (
+                SELECT word, deg * 1000000 // freq AS wscore FROM ws
+            ), oc AS (
+                SELECT nw.doc_id, nw.grp, SUM(sc.wscore) AS psum
+                FROM nw JOIN sc ON nw.tok = sc.word
+                GROUP BY nw.doc_id, nw.grp
+            )
+            SELECT ph.phrase,
+                   CAST(COUNT(*) AS BIGINT) AS n_occ,
+                   CAST(MIN(oc.psum) AS BIGINT) AS score
+            FROM ph JOIN oc USING (doc_id, grp)
+            GROUP BY ph.phrase
+            ORDER BY score DESC, phrase LIMIT 20
+        """,
         "docs_bigram_lift": r"""
             WITH toks AS (
                 SELECT doc_id,

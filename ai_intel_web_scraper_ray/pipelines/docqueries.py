@@ -5076,3 +5076,197 @@ def emb_silhouette(sf_dir: str) -> pd.DataFrame:
     if out.empty or "vec_id" not in out.columns:
         return empty
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010): candidate phrases are maximal
+# runs of non-stopword alpha tokens; word score = degree·10⁶ // frequency;
+# phrase score = Σ word scores.  The classic unsupervised keyphrase miner a
+# training-data pipeline runs for corpus labeling/topic seeding.
+# ---------------------------------------------------------------------------
+
+# explicit ASCII whitespace class on BOTH sides (RE2's \s is ASCII-only;
+# Python's is not — spelling the class out makes the twins identical on
+# exotic whitespace)
+_RAKE_TOKEN_RE = re.compile(r"[a-z]+|[^a-z\t\n\f\r ]+")
+_RAKE_STOPWORDS = frozenset((
+    "the", "and", "of", "to", "a", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "an", "be", "this", "that", "are", "was",
+    "or", "from", "but", "not", "have", "has", "had", "we", "you", "they"))
+_RAKE_TOP_K = 20
+
+
+def docs_rake_keywords(sf_dir: str, k: int = _RAKE_TOP_K) -> pd.DataFrame:
+    """Top-k RAKE keyphrases over the corpus.
+
+    Tokens are ``[a-z]+`` runs of lowercased text; any other non-blank run
+    is a boundary token (so punctuation breaks phrases exactly as in the
+    SQL twin).  A candidate phrase is a maximal run of non-stopword alpha
+    tokens.  freq(w) counts word occurrences inside candidates, deg(w)
+    sums the containing phrase's length per occurrence,
+    ``wscore = deg·10⁶ // freq`` (non-negative — no truncation-sign
+    hazard), and a phrase scores the SUM of its words' scores (duplicate
+    words count per position).  Output: (phrase, n_occ, score), score
+    DESC then phrase ASC, top k.
+
+    Scale shape: one tokenize pass emits (word → freq,deg) partials and
+    batch-local (phrase → occ) counts as a tagged union; exchange 1
+    (64-way key-hash buckets) finishes word scores where word rows land
+    and dedups phrases where phrase rows land, EXPLODING each distinct
+    phrase into per-position word rows; exchange 2 attaches word scores
+    under the word bucket; exchange 3 sums per-phrase partials under the
+    phrase bucket and keeps its bucket's top-k — the driver merges
+    ≤ 64·k rows.  Texts never move; only projections shuffle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    tag_cols = ("kind", "key", "aux", "a", "b", "_b")
+
+    def _empty_tagged() -> pd.DataFrame:
+        return pd.DataFrame({
+            "kind": pd.Series([], dtype=object),
+            "key": pd.Series([], dtype=object),
+            "aux": pd.Series([], dtype=object),
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "_b": pd.Series([], dtype="int64")})
+
+    def _bucket(keys: pd.Series) -> pd.Series:
+        return (pd.util.hash_pandas_object(
+            keys.astype(object), index=False) % 64).astype("int64")
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        wfreq: Dict[str, int] = {}
+        wdeg: Dict[str, int] = {}
+        pocc: Dict[str, int] = {}
+        for tx in t["text"].to_pylist():
+            toks = _RAKE_TOKEN_RE.findall((tx or "").lower())
+            run: List[str] = []
+            for tok in toks + ["."]:  # sentinel boundary flushes the tail
+                if "a" <= tok[0] <= "z" and tok not in _RAKE_STOPWORDS:
+                    run.append(tok)
+                    continue
+                if run:
+                    plen = len(run)
+                    for w in run:
+                        wfreq[w] = wfreq.get(w, 0) + 1
+                        wdeg[w] = wdeg.get(w, 0) + plen
+                    p = " ".join(run)
+                    pocc[p] = pocc.get(p, 0) + 1
+                    run = []
+        if not wfreq and not pocc:
+            return _empty_tagged()
+        out = pd.DataFrame({
+            "kind": ["w"] * len(wfreq) + ["p"] * len(pocc),
+            "key": list(wfreq) + list(pocc),
+            "aux": [""] * (len(wfreq) + len(pocc)),
+            "a": pd.Series(list(wfreq.values()) + list(pocc.values()),
+                           dtype="int64"),
+            "b": pd.Series(list(wdeg.values()) + [0] * len(pocc),
+                           dtype="int64")})
+        out["_b"] = _bucket(out["key"])
+        return out
+
+    def pass1(df: pd.DataFrame) -> pd.DataFrame:
+        # word rows: finish freq/deg -> wscore, stay keyed by word;
+        # phrase rows: dedup, then explode into per-position word rows
+        # (keyed by word) + one occurrence row (keyed by phrase)
+        if len(df) == 0 or "kind" not in df.columns:
+            return _empty_tagged()
+        parts: List[pd.DataFrame] = []
+        w = df[df["kind"] == "w"]
+        if len(w):
+            g = w.groupby("key", as_index=False)[["a", "b"]].sum()
+            ws = pd.DataFrame({
+                "kind": "ws", "key": g["key"], "aux": "",
+                "a": (g["b"].to_numpy(dtype="int64") * 1_000_000
+                      // g["a"].to_numpy(dtype="int64")),
+                "b": np.int64(0)})
+            ws["_b"] = _bucket(ws["key"])
+            parts.append(ws)
+        p = df[df["kind"] == "p"]
+        if len(p):
+            g = p.groupby("key", as_index=False)["a"].sum()
+            occ = pd.DataFrame({
+                "kind": "occ", "key": g["key"], "aux": "",
+                "a": g["a"].astype("int64"), "b": np.int64(0)})
+            occ["_b"] = _bucket(occ["key"])
+            parts.append(occ)
+            phrases = g["key"].tolist()
+            pw_phrase: List[str] = []
+            pw_word: List[str] = []
+            for ph in phrases:
+                for wd in ph.split(" "):
+                    pw_phrase.append(ph)
+                    pw_word.append(wd)
+            pw = pd.DataFrame({
+                "kind": "pw", "key": pw_word, "aux": pw_phrase,
+                "a": np.int64(0), "b": np.int64(0)})
+            pw["_b"] = _bucket(pw["key"])
+            parts.append(pw)
+        if not parts:
+            return _empty_tagged()
+        return pd.concat(parts, ignore_index=True)[list(tag_cols)]
+
+    def pass2(df: pd.DataFrame) -> pd.DataFrame:
+        # word bucket: attach wscore to phrase-word rows; pass occurrence
+        # rows through re-keyed by phrase
+        if len(df) == 0 or "kind" not in df.columns:
+            return _empty_tagged()
+        parts: List[pd.DataFrame] = []
+        occ = df[df["kind"] == "occ"]
+        if len(occ):
+            occ = occ.copy()
+            occ["_b"] = _bucket(occ["key"])
+            parts.append(occ[list(tag_cols)])
+        pw = df[df["kind"] == "pw"]
+        ws = df[df["kind"] == "ws"]
+        if len(pw):
+            scored = pw.merge(
+                ws[["key", "a"]].rename(columns={"a": "wscore"}),
+                on="key", how="inner")
+            sp = pd.DataFrame({
+                "kind": "sp", "key": scored["aux"], "aux": "",
+                "a": scored["wscore"].astype("int64"), "b": np.int64(0)})
+            sp["_b"] = _bucket(sp["key"])
+            parts.append(sp[list(tag_cols)])
+        if not parts:
+            return _empty_tagged()
+        return pd.concat(parts, ignore_index=True)
+
+    def pass3(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "phrase": pd.Series([], dtype=object),
+            "n_occ": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="int64")})
+        if len(df) == 0 or "kind" not in df.columns:
+            return empty
+        sp = df[df["kind"] == "sp"]
+        occ = df[df["kind"] == "occ"]
+        if len(sp) == 0 or len(occ) == 0:
+            return empty
+        score = sp.groupby("key", as_index=False)["a"].sum() \
+            .rename(columns={"key": "phrase", "a": "score"})
+        n_occ = occ.groupby("key", as_index=False)["a"].sum() \
+            .rename(columns={"key": "phrase", "a": "n_occ"})
+        out = score.merge(n_occ, on="phrase", how="inner")
+        out = out.sort_values(["score", "phrase"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+        return out[["phrase", "n_occ", "score"]]
+
+    cands = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(pass1, batch_format="pandas") \
+        .groupby("_b").map_groups(pass2, batch_format="pandas") \
+        .groupby("_b").map_groups(pass3, batch_format="pandas") \
+        .to_pandas()
+    if cands.empty or "phrase" not in cands.columns:
+        return pd.DataFrame({
+            "phrase": pd.Series([], dtype=object),
+            "n_occ": pd.Series([], dtype="int64"),
+            "score": pd.Series([], dtype="int64")})
+    out = cands.sort_values(["score", "phrase"],
+                            ascending=[False, True],
+                            kind="mergesort").head(k).reset_index(drop=True)
+    for c in ("n_occ", "score"):
+        out[c] = out[c].astype("int64")
+    return out[["phrase", "n_occ", "score"]]

@@ -862,3 +862,36 @@ def test_silhouette_single_label(tmp_path):
     con.close()
     problems = compare("emb_silhouette", got, exp)
     assert not problems, problems
+
+
+def test_rake_keywords_hand_walked(tmp_path):
+    """Two docs hand-walked through RAKE: doc2's bare 'learning' phrase
+    dilutes learning's score (deg·10⁶//freq = 7·10⁶//4) so
+    'deep learning' (3 occurrences) scores 3_750_000, below the two
+    4_000_000 singleton phrases whose tie is broken phrase-ASC."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    df = pd.DataFrame({
+        "doc_id": pd.Series([1, 2], dtype="int64"),
+        "text": ["Deep learning of deep nets! fast nets",
+                 "deep learning, deep learning and learning"]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "documents.parquet")
+    out = dq.docs_rake_keywords(str(tmp_path))
+    got = [(r.phrase, int(r.n_occ), int(r.score))
+           for r in out.itertuples(index=False)]
+    assert got == [("deep nets", 1, 4_000_000),
+                   ("fast nets", 1, 4_000_000),
+                   ("deep learning", 3, 3_750_000),
+                   ("learning", 1, 1_750_000)]
+
+    # empty corpus: typed empty frame, schema intact
+    pq.write_table(pa.Table.from_pandas(
+        df.iloc[:0], preserve_index=False), tmp_path / "documents.parquet")
+    empty = dq.docs_rake_keywords(str(tmp_path))
+    assert list(empty.columns) == ["phrase", "n_occ", "score"]
+    assert len(empty) == 0

@@ -63,3 +63,19 @@ def test_topic_keywords_pinned():
     from ai_intel_web_scraper_ray.functions.tagging import DEFAULT_TOPIC_KEYWORDS
 
     assert DEFAULT_TOPIC_KEYWORDS == PINNED_TOPIC_KEYWORDS
+
+
+PINNED_RAKE_STOPWORDS = [
+    "the", "and", "of", "to", "a", "in", "is", "it", "for", "on",
+    "with", "as", "at", "by", "an", "be", "this", "that", "are", "was",
+    "or", "from", "but", "not", "have", "has", "had", "we", "you", "they",
+]
+
+
+def test_rake_stoplist_matches_pinned_transcription():
+    """The oracle SQL carries the stoplist as literals; this pinned copy
+    keeps implementation drift from slipping past the gate unnoticed."""
+    from ai_intel_web_scraper_ray.pipelines.docqueries import _RAKE_STOPWORDS
+
+    assert _RAKE_STOPWORDS == frozenset(PINNED_RAKE_STOPWORDS)
+    assert len(PINNED_RAKE_STOPWORDS) == 30
