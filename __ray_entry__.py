@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_holt_forecast": rel.orders_holt_forecast,
         "orders_theil_sen": rel.orders_theil_sen,
         "events_ks_test": rel.events_ks_test,
+        "parts_hits": rel.parts_hits,
         "orders_benford": rel.orders_benford,
         "parts_degree_assortativity": rel.parts_degree_assortativity,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
@@ -1356,6 +1357,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_months,
                    s.n_pairs, s.slope_tenths, ic.intercept_tenths
             FROM s, ic WHERE s.n_pairs > 0
+        """,
+        # one HITS round over the oriented (src<dst, ≥2 co-orders) part
+        # graph: integer max-normalized auth then hub; hub⁰ ≡ 1 folded
+        # into the first auth sum; sink-only parts carry hub_ppm 0
+        "parts_hits": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT a.l_partkey AS src, c.l_partkey AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM b a JOIN b c USING (l_orderkey)
+                WHERE a.l_partkey < c.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            a1 AS (SELECT dst AS node, SUM(n) AS a1 FROM e GROUP BY dst),
+            ma AS (SELECT MAX(a1) AS m FROM a1),
+            a1p AS (SELECT node, a1 * 1000000 // ma.m AS auth_ppm
+                    FROM a1, ma),
+            h1 AS (SELECT e.src AS node, SUM(e.n * a1p.auth_ppm) AS h
+                   FROM e JOIN a1p ON e.dst = a1p.node GROUP BY e.src),
+            mh AS (SELECT MAX(h) AS m FROM h1),
+            h1p AS (SELECT node, h * 1000000 // mh.m AS hub_ppm
+                    FROM h1, mh)
+            SELECT CAST(a1p.node AS BIGINT) AS part,
+                   CAST(a1p.auth_ppm AS BIGINT) AS auth_ppm,
+                   CAST(COALESCE(h1p.hub_ppm, 0) AS BIGINT) AS hub_ppm
+            FROM a1p LEFT JOIN h1p ON a1p.node = h1p.node
+            ORDER BY auth_ppm DESC, part LIMIT 20
         """,
         # two-sample KS over purchase cents between md5-split variants:
         # cross-multiplied cumulative counts keep D exact-integer; HUGEINT

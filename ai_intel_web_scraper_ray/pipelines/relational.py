@@ -7043,3 +7043,104 @@ def events_ks_test(sf_dir: str) -> pd.DataFrame:
         "n_b": pd.Series([tb], dtype="int64"),
         "d_ppm": pd.Series([1_000_000 * best // (ta * tb)], dtype="int64"),
         "at_cents": pd.Series([at], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities over the ORIENTED co-order graph (src < dst, the
+# parts_triangles orientation): one full mutual-reinforcement round in
+# integer ppm — the eigen-pair companion to parts_pagerank's single
+# random-walk eigenvector.
+# ---------------------------------------------------------------------------
+
+
+def parts_hits(sf_dir: str, support: int = 2, k: int = 20) -> pd.DataFrame:
+    """One HITS round with max-normalization, exact-integer.
+
+    Edges (src < dst, weight n = distinct co-orders ≥ ``support``).
+    auth¹(v) = Σ_{u→v} n (hub⁰ ≡ 1 folded analytically), normalized
+    ``auth_ppm = auth¹·10⁶ // max(auth¹)``; hub¹(u) = Σ_{u→v} n·auth_ppm(v),
+    normalized the same way.  Output: top-k parts by (auth_ppm DESC,
+    part ASC) with their hub_ppm (0 for sink-only parts).  All divisions
+    are non-negative floors — no truncation-sign hazard.
+
+    Scale shape: the weighted edge table comes from the shared
+    market-basket pair builder (order-hash buckets, pair-hash merge) and
+    is MATERIALIZED once — both HITS half-steps stream over it.  auth
+    sums reduce under dst-hash buckets; the hub step attaches auth to
+    edges with ONE hash-shuffle ``Dataset.join`` on dst and reduces under
+    src-hash buckets; the two normalizing maxima are streaming scalar
+    aggregates.  Scores stay in node-keyed datasets; the driver merges
+    64-way bucket top-k partials (≤ 64·k rows) and the ≤ k hub lookups."""
+    edges = _co_order_pair_counts(sf_dir, support).materialize()
+    cols = ("part", "auth_ppm", "hub_ppm")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    if edges.count() == 0:
+        return empty
+
+    def auth_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("b_id", as_index=False)["n_pair"].sum() \
+            .rename(columns={"b_id": "node", "n_pair": "a1"})
+        out["_d"] = (out["node"] % 64).astype("int64")
+        return out
+
+    auth = edges.map_batches(auth_partial, batch_format="pandas") \
+        .groupby("_d").map_groups(
+            lambda df: df.groupby("node", as_index=False)["a1"].sum(),
+            batch_format="pandas").materialize()
+    ma = int(auth.max("a1"))
+
+    def auth_norm(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["node"].astype("int64"),
+            "auth_ppm": (df["a1"].astype("int64") * 1_000_000 // ma)
+            .astype("int64")})
+
+    authp = auth.map_batches(auth_norm, batch_format="pandas") \
+        .materialize()
+
+    n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.5, cap=16)
+    joined = edges.join(authp, join_type="inner",
+                        num_partitions=n_parts,
+                        on=("b_id",), right_on=("node",))
+
+    def hub_partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["n_pair"].astype("int64") * df["auth_ppm"].astype("int64")
+        out = pd.DataFrame({"node": df["a_id"].astype("int64"), "h": c}) \
+            .groupby("node", as_index=False)["h"].sum()
+        out["_s"] = (out["node"] % 64).astype("int64")
+        return out
+
+    hub = joined.map_batches(hub_partial, batch_format="pandas") \
+        .groupby("_s").map_groups(
+            lambda df: df.groupby("node", as_index=False)["h"].sum(),
+            batch_format="pandas").materialize()
+    mh = int(hub.max("h"))
+
+    def top_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["auth_ppm", "node"],
+                              ascending=[False, True],
+                              kind="mergesort").head(k)
+
+    tops = authp.map_batches(
+        lambda df: df.assign(_d=(df["node"] % 64).astype("int64")),
+        batch_format="pandas") \
+        .groupby("_d").map_groups(top_partial, batch_format="pandas") \
+        .to_pandas()
+    tops = tops.sort_values(["auth_ppm", "node"],
+                            ascending=[False, True],
+                            kind="mergesort").head(k)
+    want = set(int(x) for x in tops["node"])
+
+    def hub_lookup(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["node"].isin(want)].copy()
+        out["hub_ppm"] = (out["h"].astype("int64") * 1_000_000 // mh) \
+            .astype("int64")
+        return out[["node", "hub_ppm"]]
+
+    hubs = hub.map_batches(hub_lookup, batch_format="pandas").to_pandas()
+    out = tops.merge(hubs, on="node", how="left")
+    out["hub_ppm"] = out["hub_ppm"].fillna(0).astype("int64")
+    out = out.rename(columns={"node": "part"})
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[list(cols)].reset_index(drop=True)

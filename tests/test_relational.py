@@ -1057,3 +1057,25 @@ def test_ks_test_earliest_argmax_pin(tmp_path):
         df[df["user_id"].isin([1, 3, 6])], preserve_index=False),
         tmp_path / "events.parquet")
     assert len(rel.events_ks_test(str(tmp_path))) == 0
+
+
+def test_hits_source_sink_asymmetry(tmp_path):
+    """Two orders over parts {1,2,3} give oriented edges (1→2,1→3,2→3)
+    each weight 2: auth = {2: 2, 3: 4} → ppm {500000, 1000000}; hub =
+    {1: 3·10⁶, 2: 2·10⁶} → ppm {1000000, 666666}.  Part 3 is sink-only
+    (hub 0) and part 1 source-only (absent — only authority nodes rank)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+    rows = [(o, p) for o in (1, 2) for p in (1, 2, 3)]
+    df = pd.DataFrame({
+        "l_orderkey": pd.Series([r[0] for r in rows], dtype="int64"),
+        "l_partkey": pd.Series([r[1] for r in rows], dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "lineitem.parquet")
+    out = rel.parts_hits(str(tmp_path))
+    got = [tuple(int(x) for x in r) for r in out.itertuples(index=False)]
+    assert got == [(3, 1_000_000, 0), (2, 500_000, 666_666)]
