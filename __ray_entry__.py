@@ -104,6 +104,33 @@ def _crawl_fixture_ordered_query(sf_dir: str) -> pd.DataFrame:
     return df
 
 
+def _crawl_lineage_query(sf_dir: str) -> pd.DataFrame:
+    """Per-shard frontier LINEAGE counters for the fixture crawl
+    (north rule: "per-partition lineage + metrics"): offered (with
+    duplicate-sighting multiplicity), seen / admitted (distinct), and
+    emitted leases — a drained, unbudgeted, robots-off crawl must emit
+    exactly what it admits.  depth_refinement is off (max_depth sentinel)
+    so the multiplicity counters are schedule-independent; hash-checked
+    against the pinned independent sequential walk
+    (tools/gen_pinned_oracles.py:gen_crawl_lineage_expected)."""
+    from ai_intel_web_scraper_ray.pipelines.crawl import crawl_scalable
+    from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+
+    pages = make_web_graph()
+    res = crawl_scalable(pages, ["https://docs.hot.example/p0"],
+                         exclude_patterns=("/excluded/",), num_shards=4,
+                         max_depth=10**6, materialize_records=False,
+                         collect_seen=False)
+    rows = sorted(res["stats"], key=lambda d: d["shard"])
+    out = pd.DataFrame({
+        "shard": [r["shard"] for r in rows],
+        "offered": [r["offered"] for r in rows],
+        "seen": [r["seen"] for r in rows],
+        "admitted": [r["admitted"] for r in rows],
+        "emitted": [r["emitted"] for r in rows]})
+    return out.astype("int64")
+
+
 def _crawl_multi_fixture_query(sf_dir: str) -> pd.DataFrame:
     """Multi-source crawl through one shared frontier (compiled competitor
     configs: per-host politeness + per-host excludes).  Record SET +
@@ -403,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
+        "crawl_lineage_fixture": _crawl_lineage_query,
         "crawl_multi_fixture": _crawl_multi_fixture_query,
         "crawl_interleaved_fixture": _crawl_interleaved_fixture_query,
         "crawl_multi_ordered_fixture": _crawl_multi_ordered_query,
@@ -432,6 +460,8 @@ _PINNED_CRAWL_MULTI = os.path.join(_PINNED_DIR, "crawl_multi_expected.parquet")
 _PINNED_MST = os.path.join(_PINNED_DIR, "mst_expected.parquet")
 _PINNED_CRAWL_INTERLEAVED = os.path.join(
     _PINNED_DIR, "crawl_interleaved_expected.parquet")
+_PINNED_CRAWL_LINEAGE = os.path.join(
+    _PINNED_DIR, "crawl_lineage_expected.parquet")
 _PINNED_CRAWL_MULTI_ORDERED = os.path.join(
     _PINNED_DIR, "crawl_multi_ordered_expected.parquet")
 
@@ -3284,6 +3314,10 @@ def oracle_sql() -> dict[str, str]:
         "crawl_fixture_ordered": f"""
             SELECT url, depth, crawl_rank, title
             FROM read_parquet('{_PINNED_CRAWL}') ORDER BY crawl_rank
+        """,
+        "crawl_lineage_fixture": f"""
+            SELECT shard, offered, seen, admitted, emitted
+            FROM read_parquet('{_PINNED_CRAWL_LINEAGE}') ORDER BY shard
         """,
         "crawl_multi_fixture": f"""
             SELECT url, depth, title

@@ -349,3 +349,55 @@ def oracle_crawl(
                     visited.add(norm)
                     queue.append((norm, depth + 1))
     return order, visited
+
+
+def oracle_crawl_lineage(
+    pages: Dict[str, dict],
+    base_url: str,
+    content_selector: str = "article",
+    num_shards: int = 4,
+    exclude_patterns: Sequence[str] = (),
+) -> List[dict]:
+    """Per-shard frontier lineage counters from an independent sequential
+    walk (no depth cutoff, no page budget): ``offered`` counts every
+    admissible link sighting WITH multiplicity, ``seen``/``admitted`` the
+    distinct first sightings, ``emitted`` the leases — which a drained,
+    unbudgeted, robots-off crawl must equal admitted exactly.  Routing by
+    the engine's URL-hash ``shard_of`` (an engine-defined convention with
+    no reference twin — the counters, not the routing, are under test)."""
+    from ai_intel_web_scraper_ray.state.frontier import shard_of
+
+    def excluded(url: str) -> bool:
+        return any(p in url for p in exclude_patterns)
+
+    offered = [0] * num_shards
+    admitted = [0] * num_shards
+    visited: Set[str] = set()
+    queue: deque = deque()
+    start = normalize_url(base_url)
+
+    def offer(norm: str) -> None:
+        s = shard_of(norm, num_shards)
+        offered[s] += 1
+        if norm not in visited:
+            visited.add(norm)
+            admitted[s] += 1
+            queue.append(norm)
+
+    offer(start)
+    while queue:
+        url = queue.popleft()
+        page = pages.get(url)
+        if page is None or page["status"] != 200:
+            continue
+        _, text = extract_content(page["html"], content_selector, url)
+        if not text.strip():
+            continue
+        for link in extract_links(page["html"], url, content_selector):
+            norm = normalize_url(link)
+            if excluded(norm) or not is_same_domain(norm, base_url):
+                continue
+            offer(norm)
+    return [{"shard": s, "offered": offered[s], "seen": admitted[s],
+             "admitted": admitted[s], "emitted": admitted[s]}
+            for s in range(num_shards)]

@@ -135,3 +135,31 @@ class TestSpillHeap:
         db = {r["url"]: r["depth"] for r in b["records"]}
         assert da == db
         assert a["seen"] == b["seen"]
+
+
+def test_lineage_counters_match_sequential_walk():
+    """North rule "per-partition lineage + metrics": the scalable crawl's
+    per-shard offered/seen/admitted/emitted counters equal the independent
+    sequential walk's — offered includes duplicate-sighting multiplicity
+    (schedule-independent with depth refinement off), and a drained
+    unbudgeted robots-off crawl emits exactly what it admits."""
+    from ai_intel_web_scraper_ray.pipelines.crawl import crawl_scalable
+    from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+
+    from .oracle import oracle_crawl_lineage
+
+    pages = make_web_graph()
+    res = crawl_scalable(pages, ["https://docs.hot.example/p0"],
+                         exclude_patterns=("/excluded/",), num_shards=4,
+                         max_depth=10**6, materialize_records=False,
+                         collect_seen=False)
+    got = sorted(
+        ({k: st[k] for k in ("shard", "offered", "seen",
+                             "admitted", "emitted")}
+         for st in res["stats"]), key=lambda d: d["shard"])
+    want = oracle_crawl_lineage({p["url"]: p for p in pages},
+                                "https://docs.hot.example/p0",
+                                num_shards=4,
+                                exclude_patterns=("/excluded/",))
+    assert got == want
+    assert sum(d["offered"] for d in got) > sum(d["seen"] for d in got)

@@ -87,6 +87,37 @@ def gen_crawl_expected() -> None:
     print(f"wrote {len(t)} crawl rows -> {CRAWL_OUT}")
 
 
+CRAWL_LINEAGE_OUT = os.path.join(os.path.dirname(OUT),
+                                 "crawl_lineage_expected.parquet")
+
+
+def gen_crawl_lineage_expected() -> None:
+    """Pin per-shard frontier lineage counters for the fixture crawl from
+    the independent sequential walk (tests/oracle.py:oracle_crawl_lineage):
+    offered with duplicate multiplicity, distinct seen/admitted, and
+    emitted == admitted for a drained unbudgeted robots-off crawl."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+    from oracle import oracle_crawl_lineage
+
+    from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+
+    pages = {p["url"]: p for p in make_web_graph()}
+    rows = oracle_crawl_lineage(pages, "https://docs.hot.example/p0",
+                                num_shards=4,
+                                exclude_patterns=("/excluded/",))
+    t = pa.table({
+        "shard": pa.array([r["shard"] for r in rows], pa.int64()),
+        "offered": pa.array([r["offered"] for r in rows], pa.int64()),
+        "seen": pa.array([r["seen"] for r in rows], pa.int64()),
+        "admitted": pa.array([r["admitted"] for r in rows], pa.int64()),
+        "emitted": pa.array([r["emitted"] for r in rows], pa.int64()),
+    })
+    pq.write_table(t, CRAWL_LINEAGE_OUT)
+    print(f"wrote {len(t)} lineage rows -> {CRAWL_LINEAGE_OUT}")
+
+
 CRAWL_INTERLEAVED_OUT = os.path.join(os.path.dirname(OUT),
                                      "crawl_interleaved_expected.parquet")
 
@@ -431,6 +462,7 @@ def main() -> None:
     pq.write_table(out, OUT)
     print(f"wrote {len(out)} pinned rows -> {OUT}")
     gen_crawl_expected()
+    gen_crawl_lineage_expected()
     gen_crawl_interleaved_expected()
     gen_crawl_multi_expected()
     gen_dedup_expected()
