@@ -359,6 +359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_lang_vocab_overlap": dq.docs_lang_vocab_overlap,
         "docs_incremental_dedup": dq.docs_incremental_dedup,
         "emb_pq_codes": dq.emb_pq_codes,
+        "emb_residual_quantize": dq.emb_residual_quantize,
         "emb_pq_adc_topk": dq.emb_pq_adc_topk,
         "emb_prefix_fidelity": dq.emb_prefix_fidelity,
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
@@ -678,6 +679,19 @@ def _pq_dist_sql(s: int, sub: int = 16, lhs: str = "e.embedding") -> str:
         f"(CAST({lhs}[{i + 1}] AS DOUBLE) - cb.ce[{i + 1}])"
         f" * (CAST({lhs}[{i + 1}] AS DOUBLE) - cb.ce[{i + 1}])"
         for i in range(s * sub, (s + 1) * sub))
+
+
+def _rq2_dist_sql(dims: int = 64) -> str:
+    """Level-2 residual-quantization distance: squared L2 between the
+    vector's level-1 residual (e − its centroid a1e) and a residual-
+    codebook entry (cb2 − its own centroid a1b) — the emb_residual_quantize
+    float contract."""
+    return " + ".join(
+        f"((CAST(e.embedding[{i + 1}] AS DOUBLE) - a1e.ce[{i + 1}])"
+        f" - (cb2.ce[{i + 1}] - a1b.ce[{i + 1}]))"
+        f" * ((CAST(e.embedding[{i + 1}] AS DOUBLE) - a1e.ce[{i + 1}])"
+        f" - (cb2.ce[{i + 1}] - a1b.ce[{i + 1}]))"
+        for i in range(dims))
 
 
 def _emb_dot_sql(a: str, b: str, dims: int = 64) -> str:
@@ -3568,6 +3582,46 @@ def oracle_sql() -> dict[str, str]:
             for i in range(64))
         ).replace("{NS}", " + ".join(
             f"s.s{i} * s.s{i}" for i in range(64))),
+        # residual quantization (RQ-2): level-1 argmin against the
+        # vec_id<8 codebook, level-2 argmin of the residual against the
+        # vectors-8..15-minus-their-own-centroid codebook; every distance
+        # ROUND(,6), ties to the smaller id; err_sq is the winning rounded
+        # level-2 distance
+        "emb_residual_quantize": """
+            WITH cb AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), d1 AS (
+                SELECT e.vec_id, cb.cid, ROUND({DRQ1}, 6) AS d
+                FROM embeddings e CROSS JOIN cb
+            ), a1 AS (
+                SELECT vec_id, cid FROM (
+                    SELECT vec_id, cid, ROW_NUMBER() OVER (
+                        PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+                WHERE rn = 1
+            ), a1v AS (
+                SELECT a1.vec_id, cb.ce FROM a1 JOIN cb ON a1.cid = cb.cid
+            ), cb2 AS (
+                SELECT vec_id AS cid2, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id >= 8 AND vec_id < 16
+            ), d2 AS (
+                SELECT e.vec_id, a1.cid AS code1, cb2.cid2,
+                       ROUND({DRQ2}, 6) AS d
+                FROM embeddings e
+                JOIN a1 ON a1.vec_id = e.vec_id
+                JOIN a1v a1e ON a1e.vec_id = e.vec_id
+                CROSS JOIN cb2
+                JOIN a1v a1b ON a1b.vec_id = cb2.cid2
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(code1 AS BIGINT) AS code1,
+                   CAST(cid2 AS BIGINT) AS code2,
+                   d AS err_sq
+            FROM (SELECT vec_id, code1, cid2, d, ROW_NUMBER() OVER (
+                      PARTITION BY vec_id ORDER BY d, cid2) AS rn FROM d2)
+            WHERE rn = 1 ORDER BY vec_id
+        """.replace("{DRQ1}", _pq_dist_sql(0, sub=64)).replace(
+            "{DRQ2}", _rq2_dist_sql()),
         # product-quantization codes: per-subspace ROUND(L2², 6) argmin
         # against the vec_id<8 codebook — same rounding contract as the
         # kmeans twins, generated over the 4×16-dim subspaces

@@ -5270,3 +5270,73 @@ def docs_rake_keywords(sf_dir: str, k: int = _RAKE_TOP_K) -> pd.DataFrame:
     for c in ("n_occ", "score"):
         out[c] = out[c].astype("int64")
     return out[["phrase", "n_occ", "score"]]
+
+
+def emb_residual_quantize(sf_dir: str, k_cent: int = 8) -> pd.DataFrame:
+    """Two-level residual quantization (RQ-2): level 1 codes against the
+    deterministic ``vec_id < 8`` codebook by ROUND(L2², 6) argmin (the
+    kmeans/PQ float contract, ties to the smaller id); level 2 codes the
+    RESIDUAL ``v − c1`` against the residual codebook built from vectors
+    8..15 (each reduced by ITS OWN level-1 centroid), same contract, code
+    id = the source vec_id; ``err_sq`` is the winning rounded level-2
+    distance — the reconstruction-error audit a vector-compression
+    pipeline ships with its codes.
+
+    Scale shape: both codebooks (8×64 floats each) are ONE ``ray.put``
+    broadcast; coding is a row-local vectorized matmul per batch — no
+    shuffle, and 64 floats leave as two small ints + one rounded error
+    (the additive-quantization compression path at 10⁹ vectors)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", 2 * k_cent)])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+    if len(ids) <= k_cent:
+        # no residual-codebook member exists: the SQL twin's cb2 join is
+        # empty and emits zero rows
+        return pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "code1": pd.Series([], dtype="int64"),
+            "code2": pd.Series([], dtype="int64"),
+            "err_sq": pd.Series([], dtype="float64")})
+    order = np.argsort(ids)
+    vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]) \
+        .astype(np.float64)
+    cb1 = vecs[:k_cent]                       # level-1 codebook (ids 0..7)
+    src2 = vecs[k_cent:2 * k_cent]            # ids 8..15
+
+    def assign1(v: np.ndarray) -> np.ndarray:
+        d = np.round(
+            ((v[:, None, :] - cb1[None, :, :]) ** 2).sum(axis=-1), 6)
+        return np.argmin(d, axis=1)
+
+    rcb = src2 - cb1[assign1(src2)]           # residual codebook
+    cb1_ref = ray.put(cb1)
+    rcb_ref = ray.put(rcb)
+
+    def encode(batch: pa.Table) -> pd.DataFrame:
+        c1m = ray.get(cb1_ref)
+        rm = ray.get(rcb_ref)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        v = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        d1 = np.round(
+            ((v[:, None, :] - c1m[None, :, :]) ** 2).sum(axis=-1), 6)
+        code1 = np.argmin(d1, axis=1)
+        r = v - c1m[code1]
+        d2 = np.round(
+            ((r[:, None, :] - rm[None, :, :]) ** 2).sum(axis=-1), 6)
+        j = np.argmin(d2, axis=1)
+        return pd.DataFrame({
+            "vec_id": vid,
+            "code1": code1.astype("int64"),
+            "code2": (j + k_cent).astype("int64"),
+            "err_sq": d2[np.arange(len(vid)), j]})
+
+    out = _emb(sf_dir).map_batches(encode, batch_format="pyarrow") \
+        .to_pandas()
+    for c in ("vec_id", "code1", "code2"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)

@@ -895,3 +895,44 @@ def test_rake_keywords_hand_walked(tmp_path):
     empty = dq.docs_rake_keywords(str(tmp_path))
     assert list(empty.columns) == ["phrase", "n_occ", "score"]
     assert len(empty) == 0
+
+
+def test_residual_quantize_improves_and_degenerates(tmp_path):
+    """RQ-2 on a planted corpus: vectors near codebook-1 entry 0 whose
+    residuals match residual-codebook entry 8 must code (0, 8) with a
+    near-zero err_sq; and a table with ≤ 8 vectors has no residual
+    codebook → empty frame (the SQL twin's empty cb2 join)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    rng = np.random.default_rng(7)
+    cb1 = rng.normal(size=(8, 64)) * 10.0          # well-separated level-1
+    res8 = rng.normal(size=64)                     # residual direction
+    vecs = list(cb1)                               # ids 0..7: the codebook
+    vecs.append(cb1[0] + res8)                     # id 8: residual = res8
+    for i in range(9, 16):                         # ids 9..15: other cells
+        vecs.append(cb1[i - 8] + rng.normal(size=64) * 0.1)
+    # test rows 16..19: centroid 0 plus (almost) exactly res8
+    for j in range(16, 20):
+        vecs.append(cb1[0] + res8 + rng.normal(size=64) * 1e-4)
+    df = pd.DataFrame({
+        "vec_id": pd.Series(range(len(vecs)), dtype="int64"),
+        "embedding": [list(map(float, v)) for v in vecs]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "embeddings.parquet")
+    out = dq.emb_residual_quantize(str(tmp_path))
+    rows = out.set_index("vec_id")
+    for j in range(16, 20):
+        assert int(rows.loc[j, "code1"]) == 0
+        assert int(rows.loc[j, "code2"]) == 8
+        assert float(rows.loc[j, "err_sq"]) < 1e-4
+
+    pq.write_table(pa.Table.from_pandas(df.iloc[:6], preserve_index=False),
+                   tmp_path / "embeddings.parquet")
+    empty = dq.emb_residual_quantize(str(tmp_path))
+    assert len(empty) == 0
+    assert list(empty.columns) == ["vec_id", "code1", "code2", "err_sq"]
