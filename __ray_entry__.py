@@ -417,6 +417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_autocorr": rel.events_autocorr,
         "orders_holt_forecast": rel.orders_holt_forecast,
         "orders_theil_sen": rel.orders_theil_sen,
+        "orders_rolling_median": rel.orders_rolling_median,
         "events_ks_test": rel.events_ks_test,
         "parts_hits": rel.parts_hits,
         "orders_benford": rel.orders_benford,
@@ -1373,6 +1374,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(b AS BIGINT) AS trend_cents,
                    CAST(l + b AS BIGINT) AS fc1_cents
             FROM h ORDER BY month
+        """,
+        # rolling 7-row daily-revenue median: quantile_disc as a window
+        # aggregate over the observed day series (order-statistic frame)
+        "orders_rolling_median": """
+            WITH d AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS rev
+                FROM orders GROUP BY 1
+            )
+            SELECT day,
+                   CAST(rev AS BIGINT) AS revenue_cents,
+                   CAST(quantile_disc(rev, 0.5) OVER (
+                            ORDER BY day
+                            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS med7_cents
+            FROM d ORDER BY day
         """,
         # Theil–Sen robust trend: median of pairwise slopes in tenths of
         # a cent per month; // truncates toward zero, quantile_disc is the

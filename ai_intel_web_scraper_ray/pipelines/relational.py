@@ -7144,3 +7144,48 @@ def parts_hits(sf_dir: str, support: int = 2, k: int = 20) -> pd.DataFrame:
     for c in cols:
         out[c] = out[c].astype("int64")
     return out[list(cols)].reset_index(drop=True)
+
+
+def orders_rolling_median(sf_dir: str) -> pd.DataFrame:
+    """7-row rolling median of daily revenue (ROWS BETWEEN 6 PRECEDING
+    AND CURRENT ROW over the OBSERVED day series — calendar gaps are
+    rows absent from the window, exactly the SQL frame semantics).  The
+    median is quantile_disc's ceil(0.5·n)−1 ascending order statistic
+    (the events_conversion_lag contract) — an ORDER-STATISTIC window no
+    shift/diff trick can vectorize, unlike the mean in
+    events_rolling_avg.
+
+    Scale shape: the fact stream collapses to per-day cent partials in
+    ``map_batches`` (the monthly-growth pattern); the rolling walk runs
+    over the BOUNDED day calendar on the driver — ≤7-element sorts per
+    day, no data motion."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "day": pd.Series([], dtype="datetime64[ns]"),
+                "cents": pd.Series([], dtype="int64")})
+        df = df.copy()
+        df["day"] = df["o_orderdate"].dt.floor("D")
+        df["cents"] = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        return df.groupby("day", as_index=False)["cents"].sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "day": pd.Series([], dtype="datetime64[ns]"),
+            "revenue_cents": pd.Series([], dtype="int64"),
+            "med7_cents": pd.Series([], dtype="int64")})
+    d = parts.groupby("day", as_index=False)["cents"].sum() \
+        .sort_values("day").reset_index(drop=True)
+    rev = d["cents"].to_numpy(dtype="int64")
+    med = np.empty(len(rev), dtype="int64")
+    for i in range(len(rev)):
+        w = np.sort(rev[max(0, i - 6):i + 1])
+        med[i] = w[(len(w) + 1) // 2 - 1]
+    return pd.DataFrame({
+        "day": d["day"],
+        "revenue_cents": pd.Series(rev, dtype="int64"),
+        "med7_cents": pd.Series(med, dtype="int64")})

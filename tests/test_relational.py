@@ -1079,3 +1079,24 @@ def test_hits_source_sink_asymmetry(tmp_path):
     out = rel.parts_hits(str(tmp_path))
     got = [tuple(int(x) for x in r) for r in out.itertuples(index=False)]
     assert got == [(3, 1_000_000, 0), (2, 500_000, 666_666)]
+
+
+def test_rolling_median_lower_order_statistic(tmp_path):
+    """Even windows take the LOWER median (quantile_disc = ceil(q·n)−1):
+    daily revenues [40,10,30,20] → windows sorted [40]→40, [10,40]→10,
+    [10,30,40]→30, [10,20,30,40]→20."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+    df = pd.DataFrame({
+        "o_orderdate": pd.to_datetime(
+            ["2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04"]),
+        "o_totalprice": [0.40, 0.10, 0.30, 0.20]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "orders.parquet")
+    out = rel.orders_rolling_median(str(tmp_path))
+    assert out["revenue_cents"].tolist() == [40, 10, 30, 20]
+    assert out["med7_cents"].tolist() == [40, 10, 30, 20]
