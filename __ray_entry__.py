@@ -345,6 +345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_vector_enrich": dq.docs_vector_enrich,
         "docs_bigram_lift": dq.docs_bigram_lift,
         "docs_rake_keywords": dq.docs_rake_keywords,
+        "docs_js_divergence": dq.docs_js_divergence,
         "docs_rarity_score": dq.docs_rarity_score,
         "docs_interleaved_media_stats": dq.docs_interleaved_media_stats,
         "docs_media_ref_counts": dq.docs_media_ref_counts,
@@ -2944,6 +2945,49 @@ def oracle_sql() -> dict[str, str]:
         # top bigram collocations by scaled lift (integer-exact monotone
         # twin of PMI); engine joins c(w1)/c(w2) via two word-hash-bucket
         # exchanges, min-support filtered before scoring
+        # pairwise Jensen–Shannon divergence between language unigram
+        # distributions: per-word fixed-point ln (round(ln·10⁶), the zipf
+        # contract), exact-integer sums (HUGEINT), trunc-div halves
+        "docs_js_divergence": """
+            WITH w AS (
+                SELECT lang, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            ), c AS (
+                SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+                FROM w WHERE word <> '' GROUP BY 1, 2
+            ), t AS (
+                SELECT lang, SUM(n) AS tot FROM c GROUP BY lang
+            ), p AS (
+                SELECT t1.lang AS l1, t2.lang AS l2,
+                       t1.tot AS ta, t2.tot AS tb
+                FROM t t1 JOIN t t2 ON t1.lang < t2.lang
+            ), v AS (
+                SELECT DISTINCT p.l1, p.l2, p.ta, p.tb, c.word
+                FROM p JOIN c ON c.lang IN (p.l1, p.l2)
+            ), u AS (
+                SELECT v.l1, v.l2, v.ta, v.tb, v.word,
+                       COALESCE(ca.n, 0) AS a, COALESCE(cb.n, 0) AS b
+                FROM v
+                LEFT JOIN c ca ON ca.lang = v.l1 AND ca.word = v.word
+                LEFT JOIN c cb ON cb.lang = v.l2 AND cb.word = v.word
+            ), s AS (
+                SELECT l1, l2, ta, tb,
+                       CAST(COUNT(*) AS BIGINT) AS n_words,
+                       SUM(CASE WHEN a > 0 THEN a * CAST(ROUND(ln(
+                           (2.0 * a * tb) /
+                           (CAST(a AS DOUBLE) * tb + CAST(b AS DOUBLE) * ta))
+                           * 1000000) AS BIGINT) ELSE 0 END) AS sa,
+                       SUM(CASE WHEN b > 0 THEN b * CAST(ROUND(ln(
+                           (2.0 * b * ta) /
+                           (CAST(b AS DOUBLE) * ta + CAST(a AS DOUBLE) * tb))
+                           * 1000000) AS BIGINT) ELSE 0 END) AS sb
+                FROM u GROUP BY 1, 2, 3, 4
+            )
+            SELECT l1 AS lang1, l2 AS lang2, n_words,
+                   CAST(sa // (2 * ta) + sb // (2 * tb) AS BIGINT)
+                       AS jsd_micro
+            FROM s ORDER BY l1, l2
+        """,
         # RAKE keyphrases: maximal non-stopword alpha-token runs; the
         # stoplist literal is pinned independently in
         # tests/test_pinned_constants.py; explicit ASCII blank class so

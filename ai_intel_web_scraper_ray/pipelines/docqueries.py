@@ -5340,3 +5340,132 @@ def emb_residual_quantize(sf_dir: str, k_cent: int = 8) -> pd.DataFrame:
     for c in ("vec_id", "code1", "code2"):
         out[c] = out[c].astype("int64")
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def docs_js_divergence(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Jensen–Shannon divergence between language unigram
+    distributions, in integer micro-nats.
+
+    For each lang pair (l1 < l2) over the UNION vocabulary with counts
+    (a, b) and totals (ta, tb): the p-side per-word log ratio is
+    quantized to ``lq = round(ln((2.0·a·tb) / (a·tb + b·ta)) · 10⁶)``
+    (float association written identically in engine and SQL — the
+    docs_zipf_slope fixed-point-ln contract), summed as exact integers
+    ``sa = Σ a·lq``, and ``jsd_micro = sa tdiv (2·ta) + sb tdiv (2·tb)``
+    with truncate-toward-zero division (each half is a KL ≥ 0, but
+    per-word rounding can nudge a near-zero sum negative — hence
+    sign-aware).  Words are space-split, empties dropped, on both sides.
+
+    Scale shape: unbounded vocabulary counts finish under 64-way
+    word-hash buckets (the docs_zipf_slope exchange), MATERIALIZED once
+    and streamed twice — a tiny per-lang totals pass, then per-bucket
+    pair terms with the bounded lang-totals dict a closure broadcast.
+    Bucket partials carry Python big-int sums as strings (the
+    parts_degree_assortativity convention: Σ a·lq can pass 2⁶³ on a web
+    corpus), so the driver merges 64 × |pairs| projection rows and never
+    sees a word."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["lang", "text"]].copy()
+        out["word"] = out["text"].fillna("").str.split(" ")
+        out = out[["lang", "word"]].explode("word")
+        out = out[out["word"] != ""]
+        if len(out) == 0:
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype=object),
+                "word": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64"),
+                "_b": pd.Series([], dtype="int64")})
+        g = out.groupby(["lang", "word"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["_b"] = g["word"].map(
+            lambda w: int.from_bytes(w.encode()[:8].ljust(8, b"\0"),
+                                     "big") % 64).astype("int64")
+        return g
+
+    def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["lang", "word"], as_index=False)["n"].sum()
+        out["n"] = out["n"].astype("int64")
+        out["_b"] = df["_b"].iloc[0] if len(df) else np.int64(0)
+        return out
+
+    counts = ds.map_batches(count_partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_counts, batch_format="pandas") \
+        .materialize()
+
+    cols = ("lang1", "lang2", "n_words", "jsd_micro")
+    empty = pd.DataFrame({
+        "lang1": pd.Series([], dtype=object),
+        "lang2": pd.Series([], dtype=object),
+        "n_words": pd.Series([], dtype="int64"),
+        "jsd_micro": pd.Series([], dtype="int64")})
+
+    tot_parts = counts.map_batches(
+        lambda df: df.groupby("lang", as_index=False)["n"].sum(),
+        batch_format="pandas").to_pandas()
+    if tot_parts.empty:
+        return empty
+    totals = {str(l): int(n) for l, n in
+              tot_parts.groupby("lang")["n"].sum().items()}
+    langs = sorted(totals)
+    if len(langs) < 2:
+        return empty
+
+    def term_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pv = df.pivot_table(index="word", columns="lang", values="n",
+                            aggfunc="sum", fill_value=0)
+        rows = []
+        for i, l1 in enumerate(langs):
+            for l2 in langs[i + 1:]:
+                a = pv[l1].to_numpy(dtype="float64") if l1 in pv.columns \
+                    else np.zeros(len(pv))
+                b = pv[l2].to_numpy(dtype="float64") if l2 in pv.columns \
+                    else np.zeros(len(pv))
+                mask = (a > 0) | (b > 0)
+                a, b = a[mask], b[mask]
+                ta, tb = float(totals[l1]), float(totals[l2])
+                sa = sb = 0
+                ma = a > 0
+                if ma.any():
+                    lq = np.round(np.log(
+                        (2.0 * a[ma]) * tb / (a[ma] * tb + b[ma] * ta))
+                        * 1_000_000)
+                    sa = sum(int(x) * int(y)
+                             for x, y in zip(a[ma], lq))
+                mb = b > 0
+                if mb.any():
+                    lq = np.round(np.log(
+                        (2.0 * b[mb]) * ta / (b[mb] * ta + a[mb] * tb))
+                        * 1_000_000)
+                    sb = sum(int(x) * int(y)
+                             for x, y in zip(b[mb], lq))
+                rows.append((l1, l2, int(mask.sum()), str(sa), str(sb)))
+        return pd.DataFrame({
+            "lang1": [r[0] for r in rows],
+            "lang2": [r[1] for r in rows],
+            "n_words": pd.Series([r[2] for r in rows], dtype="int64"),
+            "sa": [r[3] for r in rows],
+            "sb": [r[4] for r in rows]})
+
+    parts = counts.groupby("_b").map_groups(
+        term_partial, batch_format="pandas").to_pandas()
+    if parts.empty or "lang1" not in parts.columns:
+        return empty
+
+    def tdiv(x: int, y: int) -> int:
+        q = abs(x) // y
+        return q if x >= 0 else -q
+
+    out_rows = []
+    for (l1, l2), g in parts.groupby(["lang1", "lang2"]):
+        sa = sum(int(x) for x in g["sa"])
+        sb = sum(int(x) for x in g["sb"])
+        jsd = tdiv(sa, 2 * totals[l1]) + tdiv(sb, 2 * totals[l2])
+        out_rows.append((l1, l2, int(g["n_words"].sum()), jsd))
+    out_rows.sort()
+    return pd.DataFrame({
+        "lang1": [r[0] for r in out_rows],
+        "lang2": [r[1] for r in out_rows],
+        "n_words": pd.Series([r[2] for r in out_rows], dtype="int64"),
+        "jsd_micro": pd.Series([r[3] for r in out_rows], dtype="int64")})

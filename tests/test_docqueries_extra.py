@@ -936,3 +936,41 @@ def test_residual_quantize_improves_and_degenerates(tmp_path):
     empty = dq.emb_residual_quantize(str(tmp_path))
     assert len(empty) == 0
     assert list(empty.columns) == ["vec_id", "code1", "code2", "err_sq"]
+
+
+def test_js_divergence_pins_identical_and_disjoint(tmp_path):
+    """JSD planted cases: identical unigram distributions score 0;
+    fully disjoint vocabularies score 2*(round(ln2*1e6) tdiv 2) =
+    693146 micro-nats (the per-word fixed-point-ln contract); a
+    single-language or empty corpus returns a typed empty frame."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    # en and fr have IDENTICAL distributions {x:2, y:1}; de is disjoint
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "lang": ["en", "en", "fr", "de"],
+        "text": ["x x", "y", "x y x", "p q r"]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "documents.parquet")
+    out = dq.docs_js_divergence(str(tmp_path))
+    got = {(r.lang1, r.lang2): (int(r.n_words), int(r.jsd_micro))
+           for r in out.itertuples(index=False)}
+    assert got[("en", "fr")] == (2, 0)            # identical → 0
+    assert got[("de", "en")] == (5, 693146)       # disjoint → ~ln 2
+    assert got[("de", "fr")] == (5, 693146)
+    assert list(out.columns) == ["lang1", "lang2", "n_words", "jsd_micro"]
+
+    # single lang → empty; empty corpus → empty, schema intact
+    pq.write_table(pa.Table.from_pandas(
+        df[df["lang"] == "en"], preserve_index=False),
+        tmp_path / "documents.parquet")
+    assert len(dq.docs_js_divergence(str(tmp_path))) == 0
+    pq.write_table(pa.Table.from_pandas(df.iloc[:0], preserve_index=False),
+                   tmp_path / "documents.parquet")
+    empty = dq.docs_js_divergence(str(tmp_path))
+    assert len(empty) == 0
+    assert list(empty.columns) == ["lang1", "lang2", "n_words", "jsd_micro"]
