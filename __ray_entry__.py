@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rolling_median": rel.orders_rolling_median,
         "events_ks_test": rel.events_ks_test,
         "parts_hits": rel.parts_hits,
+        "parts_adamic_adar": rel.parts_adamic_adar,
         "orders_benford": rel.orders_benford,
         "parts_degree_assortativity": rel.parts_degree_assortativity,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
@@ -1423,6 +1424,45 @@ def oracle_sql() -> dict[str, str]:
         """,
         # one HITS round over the oriented (src<dst, ≥2 co-orders) part
         # graph: integer max-normalized auth then hub; hub⁰ ≡ 1 folded
+        # top-20 Adamic-Adar link predictions over the co-order graph:
+        # non-edge pairs scored Σ 1e12 // round(ln(deg c)·1e6) over common
+        # neighbors c (fixed-point-ln contract); ties pinned by
+        # (score DESC, part_a, part_b)
+        "parts_adamic_adar": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT a.l_partkey AS u, c.l_partkey AS v
+                FROM b a JOIN b c USING (l_orderkey)
+                WHERE a.l_partkey < c.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            nbr AS (
+                SELECT u AS c, v AS n FROM e
+                UNION ALL SELECT v, u FROM e
+            ),
+            w AS (
+                SELECT c, CAST(1000000000000 // CAST(ROUND(
+                    ln(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT)
+                    AS BIGINT) AS wc
+                FROM nbr GROUP BY c HAVING COUNT(*) >= 2
+            ),
+            cand AS (
+                SELECT n1.n AS a, n2.n AS b,
+                       CAST(COUNT(*) AS BIGINT) AS n_common,
+                       CAST(SUM(w.wc) AS BIGINT) AS aa
+                FROM nbr n1
+                JOIN nbr n2 ON n1.c = n2.c AND n1.n < n2.n
+                JOIN w ON w.c = n1.c
+                GROUP BY 1, 2
+            )
+            SELECT CAST(cand.a AS BIGINT) AS part_a,
+                   CAST(cand.b AS BIGINT) AS part_b,
+                   n_common, aa AS aa_score
+            FROM cand LEFT JOIN e ON cand.a = e.u AND cand.b = e.v
+            WHERE e.u IS NULL
+            ORDER BY aa_score DESC, part_a, part_b
+            LIMIT 20
+        """,
         # into the first auth sum; sink-only parts carry hub_ppm 0
         "parts_hits": """
             WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),

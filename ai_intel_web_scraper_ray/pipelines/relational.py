@@ -7189,3 +7189,107 @@ def orders_rolling_median(sf_dir: str) -> pd.DataFrame:
         "day": d["day"],
         "revenue_cents": pd.Series(rev, dtype="int64"),
         "med7_cents": pd.Series(med, dtype="int64")})
+
+
+def parts_adamic_adar(sf_dir: str, support: int = 2, k: int = 20
+                      ) -> pd.DataFrame:
+    """Top-``k`` Adamic–Adar link predictions over the co-order part
+    graph: for every NON-edge pair (a < b), the score
+    ``aa_score = Σ_{c ∈ N(a)∩N(b)} 1e12 // round(ln(deg c)·10⁶)`` —
+    the docs_zipf_slope fixed-point-ln contract makes the per-center
+    weight an exact integer, so partial sums are association-free.
+    Output (part_a, part_b, n_common, aa_score), ties pinned by
+    (aa_score DESC, part_a, part_b), existing edges excluded.
+
+    Scale shape: directed adjacency under 64-way node-hash buckets —
+    each center's FULL neighborhood lands in one bucket, so its degree
+    (hence its AA weight) is computed where its wedges are generated
+    and each wedge carries the center weight out, no degree exchange.
+    Wedge partials and edge-tag rows meet under pair-hash buckets
+    (the parts_neighbor_jaccard tagged-union convention): sum partials,
+    drop edge pairs, emit a per-bucket top-``k`` — the driver merges
+    ≤ 64·k candidate rows and never sees a wedge.  Reference parity:
+    co-order analytics family (reference analytics/report.py
+    aggregations); the AA readout is the engine's link-prediction
+    extension over the same graph."""
+    edges = _co_order_pair_counts(sf_dir, support)
+
+    def to_directed(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "node": np.concatenate([df["a_id"].to_numpy(dtype="int64"),
+                                    df["b_id"].to_numpy(dtype="int64")]),
+            "nbr": np.concatenate([df["b_id"].to_numpy(dtype="int64"),
+                                   df["a_id"].to_numpy(dtype="int64")])})
+        out["_b"] = (out["node"] % 64).astype("int64")
+        return out
+
+    directed = edges.map_batches(to_directed, batch_format="pandas") \
+        .materialize()
+    cols = ("part_a", "part_b", "n_common", "aa_score")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    if directed.count() == 0:
+        return empty
+
+    pcols = ("a", "b", "n_common", "aa", "_p")
+
+    def bucket_wedges(df: pd.DataFrame) -> pd.DataFrame:
+        deg = df.groupby("node")["nbr"].size()
+        deg2 = deg[deg >= 2]
+        if len(deg2) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in pcols})
+        lq = np.round(np.log(deg2.to_numpy(dtype="float64"))
+                      * 1_000_000).astype("int64")
+        wc = pd.Series(1_000_000_000_000 // lq, index=deg2.index)
+        m = df.merge(df, on="node")
+        m = m[m["nbr_x"] < m["nbr_y"]]
+        if len(m) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in pcols})
+        m["wc"] = m["node"].map(wc).astype("int64")
+        g = m.groupby(["nbr_x", "nbr_y"], as_index=False).agg(
+            n_common=("wc", "size"), aa=("wc", "sum"))
+        out = pd.DataFrame({"a": g["nbr_x"].astype("int64"),
+                            "b": g["nbr_y"].astype("int64"),
+                            "n_common": g["n_common"].astype("int64"),
+                            "aa": g["aa"].astype("int64")})
+        out["_p"] = ((out["a"] * 1_000_003 + out["b"]) % 64).astype("int64")
+        return out
+
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"a": df["a_id"].astype("int64"),
+                            "b": df["b_id"].astype("int64")})
+        out["n_common"] = np.full(len(out), -1, dtype="int64")
+        out["aa"] = np.full(len(out), -1, dtype="int64")
+        out["_p"] = ((out["a"] * 1_000_003 + out["b"]) % 64).astype("int64")
+        return out
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[df["aa"] >= 0]
+        if len(w) == 0:
+            return empty.copy()
+        e = df[df["aa"] < 0][["a", "b"]]
+        g = w.groupby(["a", "b"], as_index=False).agg(
+            n_common=("n_common", "sum"), aa=("aa", "sum"))
+        m = g.merge(e.assign(_e=np.int64(1)), on=["a", "b"], how="left")
+        m = m[m["_e"].isna()]
+        m = m.sort_values(["aa", "a", "b"],
+                          ascending=[False, True, True],
+                          kind="stable").head(k)
+        return pd.DataFrame({
+            "part_a": m["a"].astype("int64"),
+            "part_b": m["b"].astype("int64"),
+            "n_common": m["n_common"].astype("int64"),
+            "aa_score": m["aa"].astype("int64")})
+
+    wedges = directed.groupby("_b").map_groups(
+        bucket_wedges, batch_format="pandas")
+    cand = wedges.union(edges.map_batches(tag_edge, batch_format="pandas")) \
+        .groupby("_p").map_groups(finish, batch_format="pandas") \
+        .to_pandas()
+    if cand.empty or "aa_score" not in cand.columns:
+        return empty
+    cand = cand.sort_values(["aa_score", "part_a", "part_b"],
+                            ascending=[False, True, True],
+                            kind="stable").head(k)
+    return cand[list(cols)].astype("int64").reset_index(drop=True)

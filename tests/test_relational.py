@@ -1100,3 +1100,42 @@ def test_rolling_median_lower_order_statistic(tmp_path):
     out = rel.orders_rolling_median(str(tmp_path))
     assert out["revenue_cents"].tolist() == [40, 10, 30, 20]
     assert out["med7_cents"].tolist() == [40, 10, 30, 20]
+
+
+def test_adamic_adar_known_graph(tmp_path):
+    """Triangle {1,2,3} plus pendant 4—1: the only non-edges with a
+    common neighbor are (2,4) and (3,4), each through center 1 (deg 3,
+    weight 1e12 // round(ln3·1e6) = 910239); every edge pair is excluded
+    even though it has common neighbors."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows_ok, rows_pk = [], []
+    ok = 0
+    for parts in ((1, 2), (1, 3), (2, 3), (1, 4)):
+        for _ in range(2):
+            ok += 1
+            for p in parts:
+                rows_ok.append(ok)
+                rows_pk.append(p)
+    t = pa.table({"l_orderkey": pa.array(rows_ok, pa.int64()),
+                  "l_partkey": pa.array(rows_pk, pa.int64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = rel.parts_adamic_adar(str(tmp_path))
+    got = [(int(r.part_a), int(r.part_b), int(r.n_common),
+            int(r.aa_score)) for r in out.itertuples(index=False)]
+    assert got == [(2, 4, 1, 910239), (3, 4, 1, 910239)]
+
+
+def test_adamic_adar_empty_graph(tmp_path):
+    """No pair reaches co-order support → typed empty frame."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"l_orderkey": pa.array([1, 2], pa.int64()),
+                  "l_partkey": pa.array([1, 2], pa.int64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = rel.parts_adamic_adar(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["part_a", "part_b", "n_common",
+                                 "aa_score"]
