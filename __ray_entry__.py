@@ -346,6 +346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bigram_lift": dq.docs_bigram_lift,
         "docs_rake_keywords": dq.docs_rake_keywords,
         "docs_js_divergence": dq.docs_js_divergence,
+        "docs_char_entropy": dq.docs_char_entropy,
         "docs_rarity_score": dq.docs_rarity_score,
         "docs_interleaved_media_stats": dq.docs_interleaved_media_stats,
         "docs_media_ref_counts": dq.docs_media_ref_counts,
@@ -2985,6 +2986,30 @@ def oracle_sql() -> dict[str, str]:
         # top bigram collocations by scaled lift (integer-exact monotone
         # twin of PMI); engine joins c(w1)/c(w2) via two word-hash-bucket
         # exchanges, min-support filtered before scoring
+        # per-document character Shannon entropy in micro-nats: per-char
+        # term c·round(ln(n/c)·1e6) (fixed-point-ln contract), exact
+        # integer sum, one trunc-div by n; empty docs emit no row
+        "docs_char_entropy": """
+            WITH ch AS (
+                SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+                FROM documents
+            ), c AS (
+                SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+                FROM ch WHERE ch <> '' GROUP BY 1, 2
+            ), n AS (
+                SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+                       CAST(COUNT(*) AS BIGINT) AS n_distinct
+                FROM c GROUP BY 1
+            ), s AS (
+                SELECT c.doc_id,
+                       SUM(c.c * CAST(ROUND(ln(CAST(n.n AS DOUBLE) / c.c)
+                           * 1000000) AS BIGINT)) AS t
+                FROM c JOIN n USING (doc_id) GROUP BY 1
+            )
+            SELECT n.doc_id, n.n AS n_chars, n.n_distinct,
+                   CAST(s.t // n.n AS BIGINT) AS entropy_micro
+            FROM n JOIN s USING (doc_id) ORDER BY n.doc_id
+        """,
         # pairwise Jensen–Shannon divergence between language unigram
         # distributions: per-word fixed-point ln (round(ln·10⁶), the zipf
         # contract), exact-integer sums (HUGEINT), trunc-div halves

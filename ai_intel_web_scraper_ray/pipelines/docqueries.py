@@ -5469,3 +5469,71 @@ def docs_js_divergence(sf_dir: str) -> pd.DataFrame:
         "lang2": [r[1] for r in out_rows],
         "n_words": pd.Series([r[2] for r in out_rows], dtype="int64"),
         "jsd_micro": pd.Series([r[3] for r in out_rows], dtype="int64")})
+
+
+def docs_char_entropy(sf_dir: str) -> pd.DataFrame:
+    """Per-document character-level Shannon entropy in integer
+    micro-nats: (doc_id, n_chars, n_distinct, entropy_micro) where
+    ``entropy_micro = (Σ_ch c·round(ln(n/c)·10⁶)) // n`` over the doc's
+    code-point counts — the docs_zipf_slope fixed-point-ln contract per
+    term, exact-integer sum, one trunc-div at the end.  Empty documents
+    emit no row (the SQL twin's empty char split).
+
+    Scale shape: strictly row-local — no exchange.  The per-batch kernel
+    is fully vectorized and CHAR-exact without a Python per-row loop:
+    one C-level join of the batch's texts, one utf-32-le encode to a
+    fixed-width uint32 code-point array, doc ids repeated by pandas
+    str.len, then a single lexsort + reduceat for (doc, char) counts and
+    a bincount-style reduceat back to per-doc sums."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    cols = ("doc_id", "n_chars", "n_distinct", "entropy_micro")
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df["text"].fillna("").astype(str)
+        lens = texts.str.len().to_numpy(dtype="int64")
+        keep = lens > 0
+        if not keep.any():
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype=object),
+                "n_chars": pd.Series([], dtype="int64"),
+                "n_distinct": pd.Series([], dtype="int64"),
+                "entropy_micro": pd.Series([], dtype="int64")})
+        ids = df["doc_id"].to_numpy()[keep]
+        lens = lens[keep]
+        blob = "".join(texts[keep])
+        cps = np.frombuffer(blob.encode("utf-32-le"), dtype=np.uint32) \
+            .astype("int64")
+        doc = np.repeat(np.arange(len(lens), dtype="int64"), lens)
+        order = np.lexsort((cps, doc))
+        d_s, c_s = doc[order], cps[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], (d_s[1:] != d_s[:-1])
+                            | (c_s[1:] != c_s[:-1]))))
+        cnt = np.diff(np.append(starts, len(d_s))).astype("int64")
+        grp_doc = d_s[starts]
+        n_of = lens[grp_doc].astype("float64")
+        lq = np.round(np.log(n_of / cnt) * 1_000_000).astype("int64")
+        term = cnt * lq
+        # per-doc reduceat over the (doc-major) group array
+        doc_starts = np.flatnonzero(
+            np.concatenate(([True], grp_doc[1:] != grp_doc[:-1])))
+        tsum = np.add.reduceat(term, doc_starts)
+        ndist = np.diff(np.append(doc_starts, len(grp_doc))).astype("int64")
+        docs_present = grp_doc[doc_starts]
+        return pd.DataFrame({
+            "doc_id": ids[docs_present],
+            "n_chars": lens[docs_present],
+            "n_distinct": ndist,
+            "entropy_micro": (tsum // lens[docs_present]).astype("int64")})
+
+    out = ds.map_batches(per_batch, batch_format="pandas").to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype=object),
+            "n_chars": pd.Series([], dtype="int64"),
+            "n_distinct": pd.Series([], dtype="int64"),
+            "entropy_micro": pd.Series([], dtype="int64")})
+    out = out[list(cols)]
+    for c in cols[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)

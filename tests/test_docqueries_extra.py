@@ -974,3 +974,38 @@ def test_js_divergence_pins_identical_and_disjoint(tmp_path):
     empty = dq.docs_js_divergence(str(tmp_path))
     assert len(empty) == 0
     assert list(empty.columns) == ["lang1", "lang2", "n_words", "jsd_micro"]
+
+
+def test_char_entropy_pins_uniform_and_constant(tmp_path):
+    """Entropy planted cases: a single repeated char scores 0; a
+    4-char uniform doc scores ln4 in micro-nats with the per-term
+    fixed-point contract (4 × 1·round(ln4·1e6) // 4 = 1386294); a
+    non-ascii doc counts CODE POINTS, not bytes; empty text emits no
+    row."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d"],
+        "text": ["xxxx", "abcd", "éé€€", ""]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "documents.parquet")
+    out = dq.docs_char_entropy(str(tmp_path))
+    got = {r.doc_id: (int(r.n_chars), int(r.n_distinct),
+                      int(r.entropy_micro))
+           for r in out.itertuples(index=False)}
+    assert got == {"a": (4, 1, 0),
+                   "b": (4, 4, 1386294),
+                   "c": (4, 2, 693147)}
+    assert list(out.columns) == ["doc_id", "n_chars", "n_distinct",
+                                 "entropy_micro"]
+
+    pq.write_table(pa.Table.from_pandas(df.iloc[:0], preserve_index=False),
+                   tmp_path / "documents.parquet")
+    empty = dq.docs_char_entropy(str(tmp_path))
+    assert len(empty) == 0
+    assert list(empty.columns) == ["doc_id", "n_chars", "n_distinct",
+                                   "entropy_micro"]
