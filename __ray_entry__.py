@@ -423,6 +423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ks_test": rel.events_ks_test,
         "parts_hits": rel.parts_hits,
         "parts_adamic_adar": rel.parts_adamic_adar,
+        "events_welch_ttest": rel.events_welch_ttest,
         "orders_benford": rel.orders_benford,
         "parts_degree_assortativity": rel.parts_degree_assortativity,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
@@ -1425,6 +1426,58 @@ def oracle_sql() -> dict[str, str]:
         """,
         # one HITS round over the oriented (src<dst, ≥2 co-orders) part
         # graph: integer max-normalized auth then hub; hub⁰ ≡ 1 folded
+        # Welch's t-test of event value between the md5-split variants:
+        # exact integer cents moments per variant; the t / Welch-
+        # Satterthwaite-df readout is one scalar float expression with
+        # the identical association order on both sides, micro-rounded
+        "events_welch_ttest": """
+            WITH v AS (
+                SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) % 2
+                           AS variant,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+                FROM events
+            ), m AS (
+                SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(c) AS BIGINT) AS s,
+                       CAST(SUM(c * c) AS BIGINT) AS q
+                FROM v GROUP BY variant
+            ), p AS (
+                SELECT a.n AS na, a.s AS sa, a.q AS qa,
+                       b.n AS nb, b.s AS sb, b.q AS qb
+                FROM m a JOIN m b ON a.variant = 0 AND b.variant = 1
+                WHERE a.n >= 2 AND b.n >= 2
+            ), f AS (
+                SELECT na, nb,
+                       CAST(sa AS DOUBLE) / na / 100.0 AS ma,
+                       CAST(sb AS DOUBLE) / nb / 100.0 AS mb,
+                       (CAST(qa AS DOUBLE) / na
+                        - (CAST(sa AS DOUBLE) / na)
+                          * (CAST(sa AS DOUBLE) / na))
+                           / 10000.0 * na / (na - 1.0) AS va,
+                       (CAST(qb AS DOUBLE) / nb
+                        - (CAST(sb AS DOUBLE) / nb)
+                          * (CAST(sb AS DOUBLE) / nb))
+                           / 10000.0 * nb / (nb - 1.0) AS vb
+                FROM p
+            ), g AS (
+                SELECT na, nb, ma, mb, va, vb,
+                       va / na + vb / nb AS se2
+                FROM f
+            )
+            SELECT na AS n_a, nb AS n_b,
+                   ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+                   CAST(CASE WHEN se2 = 0 THEN 0 ELSE
+                        ROUND((ma - mb) / sqrt(se2) * 1000000)
+                        END AS BIGINT) AS t_micro,
+                   CAST(CASE WHEN se2 = 0 THEN 0 ELSE
+                        ROUND(se2 * se2
+                              / ((va / na) * (va / na) / (na - 1.0)
+                                 + (vb / nb) * (vb / nb) / (nb - 1.0))
+                              * 1000000)
+                        END AS BIGINT) AS df_micro
+            FROM g
+        """,
         # top-20 Adamic-Adar link predictions over the co-order graph:
         # non-edge pairs scored Σ 1e12 // round(ln(deg c)·1e6) over common
         # neighbors c (fixed-point-ln contract); ties pinned by

@@ -7293,3 +7293,82 @@ def parts_adamic_adar(sf_dir: str, support: int = 2, k: int = 20
                             ascending=[False, True, True],
                             kind="stable").head(k)
     return cand[list(cols)].astype("int64").reset_index(drop=True)
+
+
+def events_welch_ttest(sf_dir: str) -> pd.DataFrame:
+    """Welch's unequal-variance t-test of event ``value`` between the
+    two ``md5_32(user_id) % 2`` variants (the events_abtest split
+    convention): one row (n_a, n_b, mean_a, mean_b, t_micro, df_micro)
+    where t is the Welch statistic and df the Welch–Satterthwaite
+    degrees of freedom, both rounded to integer micro.  Values become
+    exact cents (the events_value_stats moment contract) so the three
+    per-variant moments (n, Σc, Σc²) merge as integers in any order;
+    the t/df readout is ONE scalar float expression written with the
+    IDENTICAL association order in engine and SQL over those six
+    integers.  Emitted only when both variants have n ≥ 2; a zero
+    pooled standard error pins t_micro = df_micro = 0.
+
+    Scale shape: per-block (variant, n, s, q) partials — the driver
+    merges ≤ 2 rows per block and runs the closed form locally."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                 for c in ("variant", "n", "s", "q")})
+        u = df["user_id"].astype("int64")
+        vmap = {int(x): int(hashlib.md5(
+            str(int(x)).encode()).hexdigest()[:8], 16) % 2
+            for x in u.unique()}
+        c = np.floor(df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        out = pd.DataFrame({"variant": u.map(vmap).astype("int64"),
+                            "c": c, "c2": c * c})
+        return out.groupby("variant", as_index=False).agg(
+            n=("c", "size"), s=("c", "sum"), q=("c2", "sum"))
+
+    cols = ("n_a", "n_b", "mean_a", "mean_b", "t_micro", "df_micro")
+
+    def _empty() -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_a": pd.Series([], dtype="int64"),
+            "n_b": pd.Series([], dtype="int64"),
+            "mean_a": pd.Series([], dtype="float64"),
+            "mean_b": pd.Series([], dtype="float64"),
+            "t_micro": pd.Series([], dtype="int64"),
+            "df_micro": pd.Series([], dtype="int64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "variant" not in parts.columns:
+        return _empty()
+    agg = parts.groupby("variant")[["n", "s", "q"]].sum()
+    if not (0 in agg.index and 1 in agg.index):
+        return _empty()
+    na, sa, qa = (int(agg.loc[0, k]) for k in ("n", "s", "q"))
+    nb, sb, qb = (int(agg.loc[1, k]) for k in ("n", "s", "q"))
+    if na < 2 or nb < 2:
+        return _empty()
+    fna, fnb = float(na), float(nb)
+    ma = float(sa) / fna / 100.0
+    mb = float(sb) / fnb / 100.0
+    va = (float(qa) / fna - (float(sa) / fna) * (float(sa) / fna)) \
+        / 10000.0 * fna / (fna - 1.0)
+    vb = (float(qb) / fnb - (float(sb) / fnb) * (float(sb) / fnb)) \
+        / 10000.0 * fnb / (fnb - 1.0)
+    se2 = va / fna + vb / fnb
+    if se2 == 0.0:
+        t_micro = df_micro = 0
+    else:
+        t_micro = int(np.round((ma - mb) / np.sqrt(se2) * 1_000_000))
+        df_micro = int(np.round(
+            se2 * se2 / ((va / fna) * (va / fna) / (fna - 1.0)
+                         + (vb / fnb) * (vb / fnb) / (fnb - 1.0))
+            * 1_000_000))
+    return pd.DataFrame({
+        "n_a": pd.Series([na], dtype="int64"),
+        "n_b": pd.Series([nb], dtype="int64"),
+        "mean_a": pd.Series([float(np.round(ma, 6))], dtype="float64"),
+        "mean_b": pd.Series([float(np.round(mb, 6))], dtype="float64"),
+        "t_micro": pd.Series([t_micro], dtype="int64"),
+        "df_micro": pd.Series([df_micro], dtype="int64")})

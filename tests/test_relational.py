@@ -1139,3 +1139,52 @@ def test_adamic_adar_empty_graph(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["part_a", "part_b", "n_common",
                                  "aa_score"]
+
+
+def test_welch_ttest_planted_and_degenerate(tmp_path):
+    """Planted Welch case: variant A values {0,2} (mean 1, var 2) vs
+    variant B {4,6} (mean 5, var 2) → se² = 2, t = −4/√2 = −2.828427…
+    (micro −2828427), Welch–Satterthwaite df = 2 (micro 2000000).
+    One-variant corpora emit nothing; equal constant values pin
+    t_micro = df_micro = 0 via the se² = 0 guard."""
+    import hashlib
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def variant(uid: int) -> int:
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:8], 16) % 2
+
+    v0 = [u for u in range(1, 40) if variant(u) == 0][:3]
+    v1 = [u for u in range(1, 40) if variant(u) == 1][:3]
+
+    def write(vals0, vals1):
+        users = v0[:len(vals0)] + v1[:len(vals1)]
+        vals = list(vals0) + list(vals1)
+        df = pd.DataFrame({
+            "event_id": pd.Series(range(len(vals)), dtype="int64"),
+            "ts": pd.to_datetime(["2024-01-01"] * len(vals)),
+            "user_id": pd.Series(users, dtype="int64"),
+            "event_type": ["view"] * len(vals),
+            "value": pd.Series(vals, dtype="float64"),
+            "props": ["{}"] * len(vals)})
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       tmp_path / "events.parquet")
+
+    write([0.0, 2.0], [4.0, 6.0])
+    out = rel.events_welch_ttest(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.n_a), int(r.n_b)) == (2, 2)
+    assert (float(r.mean_a), float(r.mean_b)) == (1.0, 5.0)
+    assert int(r.t_micro) == -2828427
+    assert int(r.df_micro) == 2000000
+
+    write([0.0, 2.0, 3.0], [])          # one variant only → empty
+    assert len(rel.events_welch_ttest(str(tmp_path))) == 0
+
+    write([7.0, 7.0], [7.0, 7.0])       # zero pooled se → pinned zeros
+    out = rel.events_welch_ttest(str(tmp_path))
+    assert int(out.iloc[0].t_micro) == 0
+    assert int(out.iloc[0].df_micro) == 0
