@@ -424,6 +424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_hits": rel.parts_hits,
         "parts_adamic_adar": rel.parts_adamic_adar,
         "events_welch_ttest": rel.events_welch_ttest,
+        "orders_gini": rel.orders_gini,
         "orders_benford": rel.orders_benford,
         "parts_degree_assortativity": rel.parts_degree_assortativity,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
@@ -1426,6 +1427,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         # one HITS round over the oriented (src<dst, ≥2 co-orders) part
         # graph: integer max-normalized auth then hub; hub⁰ ≡ 1 folded
+        # Gini coefficient of per-customer spend in exact ppm: ranks from
+        # the (cents, custkey) total order; rank-weighted sum kept in
+        # HUGEINT (engine: Python big ints over the value histogram)
+        "orders_gini": """
+            WITH s AS (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS cents
+                FROM orders GROUP BY o_custkey
+            ), r AS (
+                SELECT cents,
+                       ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rk
+                FROM s
+            ), a AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(cents) AS HUGEINT) AS tot,
+                       SUM(CAST(rk AS HUGEINT) * cents) AS rs
+                FROM r
+            )
+            SELECT n AS n_customers,
+                   CAST(tot AS BIGINT) AS total_cents,
+                   CAST((1000000 * (2 * rs - (n + 1) * tot))
+                        // (n * tot) AS BIGINT) AS gini_ppm
+            FROM a WHERE n > 0 AND tot > 0
+        """,
         # Welch's t-test of event value between the md5-split variants:
         # exact integer cents moments per variant; the t / Welch-
         # Satterthwaite-df readout is one scalar float expression with

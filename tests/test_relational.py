@@ -1188,3 +1188,38 @@ def test_welch_ttest_planted_and_degenerate(tmp_path):
     out = rel.events_welch_ttest(str(tmp_path))
     assert int(out.iloc[0].t_micro) == 0
     assert int(out.iloc[0].df_micro) == 0
+
+
+def test_gini_pins_equality_and_extreme(tmp_path):
+    """Gini planted cases: equal spends → 0; near-total concentration
+    {1,1,1,9997} cents → (2·(1+2+3+4·9997)−5·10000)·1e6 // (4·10000) =
+    749700; an empty orders table → typed empty frame."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(cust_cents):
+        df = pd.DataFrame({
+            "o_orderkey": pd.Series(range(len(cust_cents)), dtype="int64"),
+            "o_custkey": pd.Series([c for c, _ in cust_cents],
+                                   dtype="int64"),
+            "o_totalprice": pd.Series([v / 100.0 for _, v in cust_cents],
+                                      dtype="float64")})
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       tmp_path / "orders.parquet")
+
+    write([(1, 500), (2, 500), (3, 500)])
+    out = rel.orders_gini(str(tmp_path))
+    assert (int(out.iloc[0].n_customers), int(out.iloc[0].total_cents),
+            int(out.iloc[0].gini_ppm)) == (3, 1500, 0)
+
+    write([(1, 1), (2, 1), (3, 1), (4, 9997)])
+    out = rel.orders_gini(str(tmp_path))
+    assert (int(out.iloc[0].n_customers), int(out.iloc[0].total_cents),
+            int(out.iloc[0].gini_ppm)) == (4, 10000, 749700)
+
+    write([])
+    empty = rel.orders_gini(str(tmp_path))
+    assert len(empty) == 0
+    assert list(empty.columns) == ["n_customers", "total_cents",
+                                   "gini_ppm"]
