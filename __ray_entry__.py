@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rake_keywords": dq.docs_rake_keywords,
         "docs_js_divergence": dq.docs_js_divergence,
         "docs_char_entropy": dq.docs_char_entropy,
+        "docs_textrank": dq.docs_textrank,
         "docs_rarity_score": dq.docs_rarity_score,
         "docs_interleaved_media_stats": dq.docs_interleaved_media_stats,
         "docs_media_ref_counts": dq.docs_media_ref_counts,
@@ -3065,6 +3066,48 @@ def oracle_sql() -> dict[str, str]:
         # top bigram collocations by scaled lift (integer-exact monotone
         # twin of PMI); engine joins c(w1)/c(w2) via two word-hash-bucket
         # exchanges, min-support filtered before scoring
+        # TextRank keywords: two integer-ppm PageRank iterations (the
+        # parts_pagerank 850/1000 damping contract) over the undirected
+        # adjacent-word graph; docs_bigram_lift tokenization; top-20 by
+        # (rank DESC, word)
+        "docs_textrank": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), big0 AS (
+                SELECT doc_id, UNNEST(range(1, len(w))) AS i, w FROM toks
+            ), big AS (
+                SELECT w[i] AS a, w[i + 1] AS b FROM big0
+                WHERE w[i] <> w[i + 1]
+            ), e AS (
+                SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                    SELECT a AS src, b AS dst FROM big
+                    UNION ALL SELECT b, a FROM big
+                ) GROUP BY 1, 2
+            ), o AS (
+                SELECT src, CAST(SUM(n) AS BIGINT) AS outw
+                FROM e GROUP BY src
+            ), c1 AS (
+                SELECT e.dst,
+                       CAST(SUM(1000000 * e.n // o.outw) AS BIGINT) AS c
+                FROM e JOIN o USING (src) GROUP BY e.dst
+            ), r1 AS (
+                SELECT dst AS node,
+                       CAST(150000 + 850 * c // 1000 AS BIGINT) AS r
+                FROM c1
+            ), c2 AS (
+                SELECT e.dst,
+                       CAST(SUM(r1.r * e.n // o.outw) AS BIGINT) AS c
+                FROM e JOIN o USING (src)
+                JOIN r1 ON r1.node = e.src
+                GROUP BY e.dst
+            )
+            SELECT dst AS word,
+                   CAST(150000 + 850 * c // 1000 AS BIGINT) AS rank_ppm
+            FROM c2 ORDER BY rank_ppm DESC, word LIMIT 20
+        """,
         # per-document character Shannon entropy in micro-nats: per-char
         # term c·round(ln(n/c)·1e6) (fixed-point-ln contract), exact
         # integer sum, one trunc-div by n; empty docs emit no row

@@ -5537,3 +5537,140 @@ def docs_char_entropy(sf_dir: str) -> pd.DataFrame:
     for c in cols[1:]:
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+_TEXTRANK_TOP = 20
+
+
+def docs_textrank(sf_dir: str, k: int = _TEXTRANK_TOP) -> pd.DataFrame:
+    """TextRank keyword extraction: two PageRank iterations (damping
+    0.85 as integer 850/1000 ops — the parts_pagerank ppm contract) over
+    the UNDIRECTED adjacent-word co-occurrence graph; top-``k`` words by
+    final rank, ties pinned by (rank_ppm DESC, word).  Tokenization is
+    the docs_bigram_lift contract (``lower().split()``); each adjacency
+    occurrence adds weight 1 in BOTH directions, self-pairs dropped.
+    Iteration 1 folds the uniform 10⁶ start rank analytically
+    (contribution = 10⁶·n // outw); iteration 2 is rank·n // outw.
+
+    Scale shape: directed-edge partials finish under a 64-way src
+    word-hash bucket where outw is exact (a src's edges are colocated);
+    the edge table is MATERIALIZED once for both iterations.  Rank₁
+    reduces under dst-hash buckets and re-attaches to edges through a
+    tagged-union exchange keyed by the SAME word hash — never a driver
+    rank vector over an unbounded vocabulary.  Per-bucket top-k bounds
+    the driver merge to ≤ 64·k rows."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def _whash(s: pd.Series) -> pd.Series:
+        return (pd.util.hash_pandas_object(
+            s.astype(object), index=False).reset_index(drop=True)
+            % 64).astype("int64")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        cnt: Dict[tuple, int] = {}
+        for tx in t["text"].to_pylist():
+            words = (tx or "").lower().split()
+            for a, b in zip(words, words[1:]):
+                if a == b:
+                    continue
+                cnt[(a, b)] = cnt.get((a, b), 0) + 1
+                cnt[(b, a)] = cnt.get((b, a), 0) + 1
+        src = [p[0] for p in cnt]
+        dst = [p[1] for p in cnt]
+        n = list(cnt.values())
+        bucket = _whash(pd.Series(src, dtype=object))
+        return pa.table({
+            "src": pa.array(src, pa.string()),
+            "dst": pa.array(dst, pa.string()),
+            "n": pa.array(n, pa.int64()),
+            "_s": pa.array(bucket.to_numpy(), pa.int64())})
+
+    def finish_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["src", "dst"], as_index=False)["n"].sum()
+        out["outw"] = out.groupby("src")["n"].transform("sum")
+        out["n"] = out["n"].astype("int64")
+        out["outw"] = out["outw"].astype("int64")
+        return out[["src", "dst", "n", "outw"]]
+
+    edges = ds.map_batches(pair_partial, batch_format="pyarrow") \
+        .groupby("_s").map_groups(finish_edges, batch_format="pandas") \
+        .materialize()
+    cols = ("word", "rank_ppm")
+    empty = pd.DataFrame({"word": pd.Series([], dtype=object),
+                          "rank_ppm": pd.Series([], dtype="int64")})
+    if edges.count() == 0:
+        return empty
+
+    def contrib1(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "dst": df["dst"].astype(object),
+            "c": (1_000_000 * df["n"].astype("int64"))
+            // df["outw"].astype("int64")})
+        out = out.groupby("dst", as_index=False)["c"].sum()
+        out["_d"] = _whash(out["dst"]).to_numpy()
+        return out
+
+    def damp(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("dst", as_index=False)["c"].sum()
+        return pd.DataFrame({
+            "node": out["dst"].astype(object),
+            "rank": (150_000 + 850 * out["c"].astype("int64") // 1_000)
+            .astype("int64")})
+
+    rank1 = edges.map_batches(contrib1, batch_format="pandas") \
+        .groupby("_d").map_groups(damp, batch_format="pandas")
+
+    # tagged union: edge rows (rank −1) + rank rows (n −1) meet under
+    # the src word-hash bucket; one pandas merge per bucket
+    def tag_edge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["src", "dst", "n", "outw"]].copy()
+        out["rank"] = np.full(len(out), -1, dtype="int64")
+        out["_s"] = _whash(out["src"]).to_numpy()
+        return out
+
+    def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "src": df["node"].astype(object),
+            "dst": pd.Series([""] * len(df), dtype=object),
+            "n": np.full(len(df), -1, dtype="int64"),
+            "outw": np.full(len(df), -1, dtype="int64"),
+            "rank": df["rank"].astype("int64")})
+        out["_s"] = _whash(out["src"]).to_numpy()
+        return out
+
+    def contrib2(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["rank"] < 0][["src", "dst", "n", "outw"]]
+        r = df[df["rank"] >= 0][["src", "rank"]]
+        if e.empty or r.empty:
+            return pd.DataFrame({
+                "dst": pd.Series([], dtype=object),
+                "c": pd.Series([], dtype="int64"),
+                "_d": pd.Series([], dtype="int64")})
+        m = e.merge(r, on="src", how="inner")
+        out = pd.DataFrame({
+            "dst": m["dst"].astype(object),
+            "c": (m["rank"].astype("int64") * m["n"].astype("int64"))
+            // m["outw"].astype("int64")})
+        out = out.groupby("dst", as_index=False)["c"].sum()
+        out["_d"] = _whash(out["dst"]).to_numpy()
+        return out
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        out = damp(df).rename(columns={"node": "word",
+                                       "rank": "rank_ppm"})
+        return out.sort_values(["rank_ppm", "word"],
+                               ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    tops = edges.map_batches(tag_edge, batch_format="pandas") \
+        .union(rank1.map_batches(tag_rank, batch_format="pandas")) \
+        .groupby("_s").map_groups(contrib2, batch_format="pandas") \
+        .groupby("_d").map_groups(bucket_top, batch_format="pandas") \
+        .to_pandas()
+    if tops.empty or "word" not in tops.columns:
+        return empty
+    out = tops.sort_values(["rank_ppm", "word"],
+                           ascending=[False, True],
+                           kind="mergesort").head(k)
+    out["rank_ppm"] = out["rank_ppm"].astype("int64")
+    return out[list(cols)].reset_index(drop=True)

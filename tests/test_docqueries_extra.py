@@ -1009,3 +1009,28 @@ def test_char_entropy_pins_uniform_and_constant(tmp_path):
     assert len(empty) == 0
     assert list(empty.columns) == ["doc_id", "n_chars", "n_distinct",
                                    "entropy_micro"]
+
+
+def test_textrank_path_graph_pins_two_iterations(tmp_path):
+    """Path graph x—y—z from one doc: after the two integer-ppm
+    iterations y (the hub) ranks 1127500 and the leaves tie at 936250
+    (hand-computed through the 850/1000 damping contract); ties order
+    alphabetically; empty corpus → typed empty frame."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    df = pd.DataFrame({"doc_id": ["d1"], "text": ["x y z"]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "documents.parquet")
+    out = dq.docs_textrank(str(tmp_path))
+    got = [(r.word, int(r.rank_ppm)) for r in out.itertuples(index=False)]
+    assert got == [("y", 1127500), ("x", 936250), ("z", 936250)]
+
+    pq.write_table(pa.Table.from_pandas(df.iloc[:0], preserve_index=False),
+                   tmp_path / "documents.parquet")
+    empty = dq.docs_textrank(str(tmp_path))
+    assert len(empty) == 0
+    assert list(empty.columns) == ["word", "rank_ppm"]
