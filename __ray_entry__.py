@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
         "emb_nn_within_label": dq.emb_nn_within_label,
         "emb_int8_quantize": dq.emb_int8_quantize,
+        "emb_isotropy": dq.emb_isotropy,
         "emb_power_iteration": dq.emb_power_iteration,
         "emb_pca_top2": dq.emb_pca_top2,
         "emb_knn_classify": dq.emb_knn_classify,
@@ -945,6 +946,10 @@ def oracle_sql() -> dict[str, str]:
     from ai_intel_web_scraper_ray.pipelines.relational import SESSION_GAP_MIN
 
     stop_pat = r"\b(?:" + "|".join(QUALITY_STOPWORDS) + r")\b"
+    # left-assoc 64-term norm chain — the _norm_ltr association contract
+    iso_norm_chain = " + ".join(
+        f"(CAST(embedding[{d}] AS DOUBLE) * CAST(embedding[{d}] AS DOUBLE))"
+        for d in range(1, 65))
 
     return {
         "q1_pricing_summary": """
@@ -3724,6 +3729,32 @@ def oracle_sql() -> dict[str, str]:
         # global int8 scalar quantization: per-dim min/max over the corpus,
         # codes = floor(((x - mn) * 255) / (mx - mn)) — the identical IEEE
         # double expression the engine evaluates, so no rounding slack
+        # mean pairwise cosine via the sum-vector identity over
+        # 1e6-quantized unit vectors: ‖S‖²−T exact in HUGEINT; `//`
+        # truncates toward zero on both sides (NOTES_r2 #64)
+        "emb_isotropy": f"""
+            WITH n2 AS (
+                SELECT vec_id, ({iso_norm_chain}) AS norm2 FROM embeddings
+            ), q AS (
+                SELECT e.vec_id, d.d,
+                       CAST(ROUND(CAST(e.embedding[d.d] AS DOUBLE)
+                            / sqrt(n2.norm2) * 1000000) AS BIGINT) AS q
+                FROM embeddings e JOIN n2 USING (vec_id)
+                CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS d) d
+                WHERE n2.norm2 > 0
+            ), s AS (
+                SELECT d, CAST(SUM(q) AS HUGEINT) AS sd FROM q GROUP BY d
+            ), agg AS (
+                SELECT (SELECT SUM(sd * sd) FROM s) AS ss,
+                       (SELECT CAST(SUM(q * q) AS HUGEINT) FROM q) AS t,
+                       (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT)
+                        FROM q) AS n
+            )
+            SELECT n AS n_vecs,
+                   CAST((ss - t) // (n * (n - 1) * 1000000) AS BIGINT)
+                       AS mean_cos_micro
+            FROM agg WHERE n >= 2
+        """,
         "emb_int8_quantize": """
             WITH flat AS (
                 SELECT vec_id, d.d AS d,

@@ -5674,3 +5674,71 @@ def docs_textrank(sf_dir: str, k: int = _TEXTRANK_TOP) -> pd.DataFrame:
                            kind="mergesort").head(k)
     out["rank_ppm"] = out["rank_ppm"].astype("int64")
     return out[list(cols)].reset_index(drop=True)
+
+
+def emb_isotropy(sf_dir: str) -> pd.DataFrame:
+    """Embedding isotropy audit: the mean pairwise cosine similarity
+    over all ordered pairs i ≠ j, in integer micro —
+    ``mean_cos_micro = (Σ_d S_d² − T) tdiv (n(n−1)·10⁶)`` where each
+    vector is unit-normalized (left-to-right float64 norm — the
+    _norm_ltr SQL association contract), QUANTIZED to integer
+    ``q_d = round(v̂_d·10⁶)``, ``S_d = Σᵢ q_{i,d}`` and
+    ``T = Σᵢ‖qᵢ‖²`` are exact integers, and the sum-vector identity
+    ``Σ_{i≠j}⟨qᵢ,qⱼ⟩ = ‖S‖² − T`` makes the all-pairs readout one
+    streaming pass.  tdiv is sign-aware truncation (DuckDB ``//``
+    truncates toward zero; NOTES_r2 #64).  Zero-norm vectors are
+    excluded; fewer than 2 kept vectors → empty frame.
+
+    Scale shape: each block emits a 64-int S partial plus (T, n) —
+    O(blocks·dim) integers to the driver, embeddings never leave their
+    blocks, no shuffle; ‖S‖² runs in Python big ints (S_d² passes 2⁶³
+    near n ≈ 3·10³ already)."""
+    ds = _emb(sf_dir)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        X = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        acc = np.zeros(len(X), dtype=np.float64)
+        for i in range(X.shape[1]):
+            acc += X[:, i] * X[:, i]
+        keep = acc > 0.0
+        X, acc = X[keep], acc[keep]
+        if len(X) == 0:
+            return pd.DataFrame({
+                "d": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+                "t": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64")})
+        q = np.round(X / np.sqrt(acc)[:, None] * 1_000_000) \
+            .astype("int64")
+        s = q.sum(axis=0)
+        return pd.DataFrame({
+            "d": np.arange(1, q.shape[1] + 1, dtype="int64"),
+            "s": s,
+            "t": np.concatenate((
+                [int((q * q).sum())],
+                np.zeros(q.shape[1] - 1, dtype="int64"))).astype("int64"),
+            "n": np.concatenate((
+                [len(q)],
+                np.zeros(q.shape[1] - 1, dtype="int64"))).astype("int64")})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = ("n_vecs", "mean_cos_micro")
+    if parts.empty or "d" not in parts.columns:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    n = int(parts["n"].sum())
+    if n < 2:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    t = int(parts["t"].sum())
+    sd = parts.groupby("d")["s"].sum()
+    ss = sum(int(x) * int(x) for x in sd)
+    num = ss - t
+    den = n * (n - 1) * 1_000_000
+    mean_cos = abs(num) // den
+    if num < 0:
+        mean_cos = -mean_cos
+    return pd.DataFrame({
+        "n_vecs": pd.Series([n], dtype="int64"),
+        "mean_cos_micro": pd.Series([mean_cos], dtype="int64")})

@@ -1034,3 +1034,45 @@ def test_textrank_path_graph_pins_two_iterations(tmp_path):
     empty = dq.docs_textrank(str(tmp_path))
     assert len(empty) == 0
     assert list(empty.columns) == ["word", "rank_ppm"]
+
+
+def test_isotropy_pins_aligned_orthogonal_opposed(tmp_path):
+    """Sum-vector identity planted cases: two copies of e₁ → exactly
+    10⁶ micro (quantized ‖q‖²//10⁶); e₁ vs e₂ → 0; e₁ vs −e₁ → −10⁶
+    (the sign-aware trunc-div path); a zero vector is excluded from n;
+    fewer than 2 kept vectors → typed empty frame."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    def write(vecs):
+        arrs = [np.zeros(64, dtype=np.float32) for _ in vecs]
+        for a, (d, sign) in zip(arrs, vecs):
+            a[d] = sign
+        df = pd.DataFrame({
+            "vec_id": pd.Series(range(len(vecs)), dtype="int64"),
+            "embedding": [list(map(float, a)) for a in arrs]})
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       tmp_path / "embeddings.parquet")
+
+    write([(0, 1.0), (0, 1.0)])
+    out = dq.emb_isotropy(str(tmp_path))
+    assert (int(out.iloc[0].n_vecs),
+            int(out.iloc[0].mean_cos_micro)) == (2, 1_000_000)
+
+    write([(0, 1.0), (1, 1.0)])
+    out = dq.emb_isotropy(str(tmp_path))
+    assert int(out.iloc[0].mean_cos_micro) == 0
+
+    write([(0, 1.0), (0, -1.0), (1, 0.0)])   # third row is all-zero
+    out = dq.emb_isotropy(str(tmp_path))
+    assert (int(out.iloc[0].n_vecs),
+            int(out.iloc[0].mean_cos_micro)) == (2, -1_000_000)
+
+    write([(0, 1.0)])
+    empty = dq.emb_isotropy(str(tmp_path))
+    assert len(empty) == 0
+    assert list(empty.columns) == ["n_vecs", "mean_cos_micro"]
