@@ -427,6 +427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_adamic_adar": rel.parts_adamic_adar,
         "events_welch_ttest": rel.events_welch_ttest,
         "orders_gini": rel.orders_gini,
+        "parts_stress_centrality": rel.parts_stress_centrality,
         "orders_benford": rel.orders_benford,
         "parts_degree_assortativity": rel.parts_degree_assortativity,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
@@ -467,6 +468,7 @@ _PINNED_CRAWL = os.path.join(_PINNED_DIR, "crawl_expected.parquet")
 _PINNED_DEDUP = os.path.join(_PINNED_DIR, "dedup_expected.parquet")
 _PINNED_CRAWL_MULTI = os.path.join(_PINNED_DIR, "crawl_multi_expected.parquet")
 _PINNED_MST = os.path.join(_PINNED_DIR, "mst_expected.parquet")
+_PINNED_STRESS = os.path.join(_PINNED_DIR, "stress_expected.parquet")
 _PINNED_CRAWL_INTERLEAVED = os.path.join(
     _PINNED_DIR, "crawl_interleaved_expected.parquet")
 _PINNED_CRAWL_LINEAGE = os.path.join(
@@ -3550,6 +3552,19 @@ def oracle_sql() -> dict[str, str]:
               AND p.corpus_sum = (SELECT SUM(l_orderkey + 3 * l_partkey)
                                   FROM lineitem)
             ORDER BY u, v
+        """,
+        # sampled-source stress centrality — pinned independent
+        # sequential Brandes-stress twin (the parts_mst pinning pattern);
+        # exact-integer sigma*g so two different algorithms must agree
+        # bit-for-bit
+        "parts_stress_centrality": f"""
+            SELECT CAST(p.part_id AS BIGINT) AS part_id,
+                   CAST(p.stress AS BIGINT) AS stress
+            FROM read_parquet('{_PINNED_STRESS}') p
+            WHERE p.corpus_n = (SELECT COUNT(*) FROM lineitem)
+              AND p.corpus_sum = (SELECT SUM(l_orderkey + 3 * l_partkey)
+                                  FROM lineitem)
+            ORDER BY stress DESC, part_id
         """,
         "docs_simhash_dedup": f"""
             SELECT p.doc_id FROM read_parquet('{_PINNED_DEDUP}') p

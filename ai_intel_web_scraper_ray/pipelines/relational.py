@@ -7433,3 +7433,159 @@ def orders_gini(sf_dir: str) -> pd.DataFrame:
         "n_customers": pd.Series([n], dtype="int64"),
         "total_cents": pd.Series([tot], dtype="int64"),
         "gini_ppm": pd.Series([gini], dtype="int64")})
+
+
+_STRESS_SOURCES = 4
+_STRESS_TOP = 20
+_STRESS_MAX_ROUNDS = 64
+
+
+def parts_stress_centrality(sf_dir: str, support: int = 2,
+                            n_sources: int = _STRESS_SOURCES,
+                            k: int = _STRESS_TOP) -> pd.DataFrame:
+    """Sampled-source STRESS centrality over the co-order graph: for the
+    ``n_sources`` smallest part keys S, ``stress(v) = Σ_{s∈S} σ_sv·g_s(v)``
+    — the number of shortest s→t paths passing through interior v,
+    summed over all targets t.  Unlike betweenness (rational pair
+    dependencies), stress is EXACT INTEGERS end to end: the forward
+    level-synchronous pass counts shortest-path multiplicities
+    ``σ_sv = Σ_{u∈pred} σ_su`` and the backward pass counts DAG
+    continuations ``g_s(v) = Σ_{w∈succ} (1 + g_s(w))`` — so a
+    distributed engine and an independent sequential implementation
+    must agree bit-for-bit.  Sources and endpoints score 0 from their
+    own terms (σ·g only credits interior vertices via s≠v and g>0…
+    precisely: v=s is excluded, leaves have g=0).  Top-``k`` rows
+    (part_id, stress), ties pinned by (stress DESC, part_id).
+
+    Scale shape: the edge Dataset is MATERIALIZED once and every round
+    is ONE streaming edge scan — all ``n_sources`` BFS trees advance
+    simultaneously against broadcast (ray.put) dist/σ arrays indexed by
+    a sorted node vector (np.searchsorted, no Python membership loop).
+    The driver holds O(|reached|·n_sources) integers — the documented
+    parts_bfs_levels bounded-reach assumption for sampled-source
+    centrality; a full-graph exact betweenness would switch to the
+    label-propagation exchange shape of parts_components.  The final
+    σ·g products run in Python big ints (path counts multiply past 2⁶³
+    on dense graphs long before web scale).  Oracle: pinned table from
+    an INDEPENDENT sequential Brandes-stress in
+    tools/gen_pinned_oracles.py (the parts_mst pinning pattern)."""
+    import ray
+
+    edges = _co_order_edges(sf_dir, support).materialize()
+    empty = pd.DataFrame({"part_id": pd.Series([], dtype="int64"),
+                          "stress": pd.Series([], dtype="int64")})
+    if edges.count() == 0:
+        return empty
+
+    def block_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": np.unique(np.concatenate(
+            [df["a_id"].to_numpy(dtype="int64"),
+             df["b_id"].to_numpy(dtype="int64")]))})
+
+    nodes = np.unique(edges.map_batches(block_nodes, batch_format="pandas")
+                      .to_pandas()["n"].to_numpy(dtype="int64"))
+    srcs = nodes[:n_sources]
+    ns = len(srcs)
+    nv = len(nodes)
+    dist = np.full((nv, ns), -1, dtype="int64")
+    sig = np.zeros((nv, ns), dtype="int64")
+    for j, s in enumerate(srcs):
+        i = int(np.searchsorted(nodes, s))
+        dist[i, j] = 0
+        sig[i, j] = 1
+
+    nodes_ref = ray.put(nodes)
+
+    # forward: one edge scan per level advances every source's BFS tree;
+    # a block emits (node_idx, source, σ-partial) only for fresh nodes
+    for rnd in range(1, _STRESS_MAX_ROUNDS + 1):
+        dist_ref = ray.put(dist)
+        sig_ref = ray.put(sig)
+
+        def fwd(df: pd.DataFrame, r=rnd, dr=dist_ref, sr=sig_ref):
+            nd = ray.get(nodes_ref)
+            d = ray.get(dr)
+            s = ray.get(sr)
+            ia = np.searchsorted(nd, df["a_id"].to_numpy(dtype="int64"))
+            ib = np.searchsorted(nd, df["b_id"].to_numpy(dtype="int64"))
+            outs = []
+            for j in range(d.shape[1]):
+                for u, v in ((ia, ib), (ib, ia)):
+                    m = (d[u, j] == r - 1) & (d[v, j] == -1)
+                    if m.any():
+                        outs.append(pd.DataFrame({
+                            "i": v[m].astype("int64"),
+                            "j": np.full(int(m.sum()), j, dtype="int64"),
+                            "sg": s[u[m], j]}))
+            if not outs:
+                return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                     for c in ("i", "j", "sg")})
+            out = pd.concat(outs, ignore_index=True)
+            return out.groupby(["i", "j"], as_index=False)["sg"].sum()
+
+        msgs = edges.map_batches(fwd, batch_format="pandas").to_pandas()
+        if msgs.empty or "i" not in msgs.columns:
+            break
+        g = msgs.groupby(["i", "j"], as_index=False)["sg"].sum()
+        ii = g["i"].to_numpy(dtype="int64")
+        jj = g["j"].to_numpy(dtype="int64")
+        dist[ii, jj] = rnd
+        sig[ii, jj] = g["sg"].to_numpy(dtype="int64")
+    else:
+        raise RuntimeError("stress forward pass did not converge in "
+                           f"{_STRESS_MAX_ROUNDS} rounds")
+
+    # backward: per level, one edge scan sums DAG continuations
+    # g(u) = Σ_{succ w} (1 + g(w)) for nodes at that level
+    gacc = np.zeros((nv, ns), dtype="int64")
+    max_lvl = int(dist.max())
+    for lvl in range(max_lvl - 1, -1, -1):
+        dist_ref = ray.put(dist)
+        g_ref = ray.put(gacc)
+
+        def bwd(df: pd.DataFrame, lv=lvl, dr=dist_ref, gr=g_ref):
+            nd = ray.get(nodes_ref)
+            d = ray.get(dr)
+            gg = ray.get(gr)
+            ia = np.searchsorted(nd, df["a_id"].to_numpy(dtype="int64"))
+            ib = np.searchsorted(nd, df["b_id"].to_numpy(dtype="int64"))
+            outs = []
+            for j in range(d.shape[1]):
+                for u, v in ((ia, ib), (ib, ia)):
+                    m = (d[u, j] == lv) & (d[v, j] == lv + 1)
+                    if m.any():
+                        outs.append(pd.DataFrame({
+                            "i": u[m].astype("int64"),
+                            "j": np.full(int(m.sum()), j, dtype="int64"),
+                            "c": 1 + gg[v[m], j]}))
+            if not outs:
+                return pd.DataFrame({c: pd.Series([], dtype="int64")
+                                     for c in ("i", "j", "c")})
+            out = pd.concat(outs, ignore_index=True)
+            return out.groupby(["i", "j"], as_index=False)["c"].sum()
+
+        msgs = edges.map_batches(bwd, batch_format="pandas").to_pandas()
+        if msgs.empty or "i" not in msgs.columns:
+            continue
+        g = msgs.groupby(["i", "j"], as_index=False)["c"].sum()
+        gacc[g["i"].to_numpy(dtype="int64"),
+             g["j"].to_numpy(dtype="int64")] = \
+            g["c"].to_numpy(dtype="int64")
+
+    # interior credit only: v = s has σ·g counting paths v itself starts
+    stress = []
+    for i in range(nv):
+        t = 0
+        for j in range(ns):
+            if nodes[i] == srcs[j] or dist[i, j] <= 0:
+                continue
+            t += int(sig[i, j]) * int(gacc[i, j])
+        stress.append(t)
+    out = pd.DataFrame({"part_id": nodes.astype("int64"),
+                        "stress": pd.Series(stress, dtype=object)})
+    out = out.sort_values(["stress", "part_id"],
+                          ascending=[False, True],
+                          kind="mergesort").head(k)
+    out["stress"] = out["stress"].astype("int64")
+    out["part_id"] = out["part_id"].astype("int64")
+    return out.reset_index(drop=True)

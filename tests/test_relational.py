@@ -1223,3 +1223,60 @@ def test_gini_pins_equality_and_extreme(tmp_path):
     assert len(empty) == 0
     assert list(empty.columns) == ["n_customers", "total_cents",
                                    "gini_ppm"]
+
+
+def test_stress_centrality_path_graph(tmp_path):
+    """Path 1—2—3—4—5 with sources {1,2,3,4}: hand-summed σ·g gives
+    stress 6 for node 3, 5 for node 2, 3 for node 4, 0 for the
+    endpoints — σ ≡ 1 on a path so this pins the backward g recurrence
+    and the interior-only credit."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows_ok, rows_pk = [], []
+    ok = 0
+    for parts in ((1, 2), (2, 3), (3, 4), (4, 5)):
+        for _ in range(2):
+            ok += 1
+            for p in parts:
+                rows_ok.append(ok)
+                rows_pk.append(p)
+    t = pa.table({"l_orderkey": pa.array(rows_ok, pa.int64()),
+                  "l_partkey": pa.array(rows_pk, pa.int64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = rel.parts_stress_centrality(str(tmp_path))
+    got = [(int(r.part_id), int(r.stress))
+           for r in out.itertuples(index=False)]
+    assert got == [(3, 6), (2, 5), (4, 3), (1, 0), (5, 0)]
+
+
+def test_stress_centrality_diamond_counts_multiplicity(tmp_path):
+    """4-cycle 1-2-4-3-1 with all nodes as sources: every node carries
+    the same stress 2, and the σ=2 multiplicity through the two
+    opposite corners must NOT over-credit the far corner (σ·g with
+    g=0 at the target); empty graph → typed empty."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows_ok, rows_pk = [], []
+    ok = 0
+    for parts in ((1, 2), (1, 3), (2, 4), (3, 4)):
+        for _ in range(2):
+            ok += 1
+            for p in parts:
+                rows_ok.append(ok)
+                rows_pk.append(p)
+    t = pa.table({"l_orderkey": pa.array(rows_ok, pa.int64()),
+                  "l_partkey": pa.array(rows_pk, pa.int64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    out = rel.parts_stress_centrality(str(tmp_path))
+    got = [(int(r.part_id), int(r.stress))
+           for r in out.itertuples(index=False)]
+    assert got == [(1, 2), (2, 2), (3, 2), (4, 2)]
+
+    t = pa.table({"l_orderkey": pa.array([1, 2], pa.int64()),
+                  "l_partkey": pa.array([1, 2], pa.int64())})
+    pq.write_table(t, tmp_path / "lineitem.parquet")
+    empty = rel.parts_stress_centrality(str(tmp_path))
+    assert len(empty) == 0
+    assert list(empty.columns) == ["part_id", "stress"]

@@ -443,6 +443,82 @@ def gen_mst_expected() -> None:
     print(f"wrote {len(out)} MST rows -> {MST_OUT}")
 
 
+STRESS_OUT = os.path.join(os.path.dirname(OUT), "stress_expected.parquet")
+
+
+def gen_stress_expected() -> None:
+    """Pin sampled-source stress centrality via an INDEPENDENT sequential
+    Brandes-stress (adjacency dicts, deque BFS with path counts, g
+    accumulated over nodes grouped by descending distance) — the engine
+    runs simultaneous vectorized level-synchronous edge scans, so
+    agreement validates the integer sigma*g decomposition, not a shared
+    code path.  Keyed by (corpus_n, corpus_sum) like the MST pin."""
+    from collections import deque
+
+    import duckdb
+
+    frames = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/lineitem.parquet"
+        con = duckdb.connect()
+        edges = con.execute(f"""
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM read_parquet('{path}')),
+            e AS (SELECT a.l_partkey AS u, c.l_partkey AS v
+                  FROM b a JOIN b c USING (l_orderkey)
+                  WHERE a.l_partkey < c.l_partkey
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT u, v FROM e
+        """).fetchall()
+        key = con.execute(f"""
+            SELECT COUNT(*), SUM(l_orderkey + 3 * l_partkey)
+            FROM read_parquet('{path}')
+        """).fetchone()
+        con.close()
+        corpus_n, corpus_sum = int(key[0]), int(key[1])
+
+        adj: dict = {}
+        for u, v in edges:
+            adj.setdefault(int(u), set()).add(int(v))
+            adj.setdefault(int(v), set()).add(int(u))
+        nodes = sorted(adj)
+        stress = {n: 0 for n in nodes}
+        for s_node in nodes[:4]:
+            dist = {s_node: 0}
+            sig = {s_node: 1}
+            dq = deque([s_node])
+            order = []
+            while dq:
+                u = dq.popleft()
+                order.append(u)
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        sig[w] = 0
+                        dq.append(w)
+                    if dist[w] == dist[u] + 1:
+                        sig[w] += sig[u]
+            g = {n: 0 for n in dist}
+            for u in reversed(order):
+                for w in adj[u]:
+                    if dist.get(w, -1) == dist[u] + 1:
+                        g[u] += 1 + g[w]
+            for v in dist:
+                if v != s_node:
+                    stress[v] += sig[v] * g[v]
+        ranked = sorted(nodes, key=lambda n: (-stress[n], n))[:20]
+        frames.append(pa.table({
+            "corpus_n": pa.array([corpus_n] * len(ranked), pa.int64()),
+            "corpus_sum": pa.array([corpus_sum] * len(ranked), pa.int64()),
+            "part_id": pa.array(ranked, pa.int64()),
+            "stress": pa.array([stress[n] for n in ranked], pa.int64()),
+        }))
+        print(f"{sf}: top stress {stress[ranked[0]] if ranked else 0}")
+    out = pa.concat_tables(frames)
+    pq.write_table(out, STRESS_OUT)
+    print(f"wrote {len(out)} stress rows -> {STRESS_OUT}")
+
+
 def main() -> None:
     rows = {}
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
@@ -467,6 +543,7 @@ def main() -> None:
     gen_crawl_multi_expected()
     gen_dedup_expected()
     gen_mst_expected()
+    gen_stress_expected()
 
 
 if __name__ == "__main__":
