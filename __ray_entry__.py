@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_js_divergence": dq.docs_js_divergence,
         "docs_char_entropy": dq.docs_char_entropy,
         "docs_textrank": dq.docs_textrank,
+        "docs_hapax_ratio": dq.docs_hapax_ratio,
         "docs_rarity_score": dq.docs_rarity_score,
         "docs_interleaved_media_stats": dq.docs_interleaved_media_stats,
         "docs_media_ref_counts": dq.docs_media_ref_counts,
@@ -3073,6 +3074,27 @@ def oracle_sql() -> dict[str, str]:
         # top bigram collocations by scaled lift (integer-exact monotone
         # twin of PMI); engine joins c(w1)/c(w2) via two word-hash-bucket
         # exchanges, min-support filtered before scoring
+        # per-language hapax legomenon share over the lower().split()
+        # vocabulary; trunc-div on non-negative operands ≡ floor-div
+        "docs_hapax_ratio": r"""
+            WITH tok AS (
+                SELECT lang,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x != '')) AS word
+                FROM documents
+            ), c AS (
+                SELECT lang, word, COUNT(*) AS n
+                FROM tok GROUP BY 1, 2
+            )
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax,
+                   CAST(1000000 * SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        // COUNT(*) AS BIGINT) AS hapax_ppm
+            FROM c GROUP BY lang ORDER BY lang
+        """,
         # TextRank keywords: two integer-ppm PageRank iterations (the
         # parts_pagerank 850/1000 damping contract) over the undirected
         # adjacent-word graph; docs_bigram_lift tokenization; top-20 by

@@ -5742,3 +5742,61 @@ def emb_isotropy(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n_vecs": pd.Series([n], dtype="int64"),
         "mean_cos_micro": pd.Series([mean_cos], dtype="int64")})
+
+
+def docs_hapax_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-language hapax legomenon share: (lang, n_distinct, n_hapax,
+    hapax_ppm) where a hapax is a word occurring exactly once in that
+    language's corpus slice and ``hapax_ppm = 10⁶·n_hapax //
+    n_distinct`` — the classic vocabulary-freshness signal next to
+    docs_vocab_growth's Heaps curve.  Tokenization is the
+    docs_bigram_lift contract (``lower().split()``).
+
+    Scale shape: per-batch (lang, word) count partials finish under the
+    64-way word-hash bucket (a word's global count is exact there);
+    each bucket emits per-lang (distinct, hapax) partials so the driver
+    merges ≤ 64·|langs| integer rows and never sees a word."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cnt: Dict[tuple, int] = {}
+        for lg, tx in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for w in (tx or "").lower().split():
+                cnt[(lg, w)] = cnt.get((lg, w), 0) + 1
+        langs = [k[0] for k in cnt]
+        words = [k[1] for k in cnt]
+        bucket = (pd.util.hash_pandas_object(
+            pd.Series(words, dtype=object), index=False) % 64) \
+            .astype("int64")
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "word": pa.array(words, pa.string()),
+            "n": pa.array(list(cnt.values()), pa.int64()),
+            "_b": pa.array(bucket.to_numpy(), pa.int64())})
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "word"], as_index=False)["n"].sum()
+        out = g.groupby("lang", as_index=False).agg(
+            n_distinct=("n", "size"),
+            n_hapax=("n", lambda s: int((s == 1).sum())))
+        out["n_distinct"] = out["n_distinct"].astype("int64")
+        out["n_hapax"] = out["n_hapax"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(bucket_stats, batch_format="pandas") \
+        .to_pandas()
+    cols = ("lang", "n_distinct", "n_hapax", "hapax_ppm")
+    if parts.empty or "lang" not in parts.columns:
+        return pd.DataFrame({
+            "lang": pd.Series([], dtype=object),
+            "n_distinct": pd.Series([], dtype="int64"),
+            "n_hapax": pd.Series([], dtype="int64"),
+            "hapax_ppm": pd.Series([], dtype="int64")})
+    out = parts.groupby("lang", as_index=False)[
+        ["n_distinct", "n_hapax"]].sum()
+    out["hapax_ppm"] = (1_000_000 * out["n_hapax"].astype("int64")
+                        // out["n_distinct"].astype("int64"))
+    for c in cols[1:]:
+        out[c] = out[c].astype("int64")
+    return out[list(cols)].sort_values("lang").reset_index(drop=True)

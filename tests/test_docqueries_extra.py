@@ -1076,3 +1076,34 @@ def test_isotropy_pins_aligned_orthogonal_opposed(tmp_path):
     empty = dq.emb_isotropy(str(tmp_path))
     assert len(empty) == 0
     assert list(empty.columns) == ["n_vecs", "mean_cos_micro"]
+
+
+def test_hapax_ratio_counts_global_not_per_batch(tmp_path):
+    """A word split across two docs of the same lang is NOT a hapax
+    (global count 2) — the per-batch-partials-are-not-global-dedup
+    regression class; distinct langs count separately; empty corpus →
+    typed empty frame."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c"],
+        "lang": ["en", "en", "fr"],
+        "text": ["alpha beta", "alpha gamma", "alpha"]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "documents.parquet")
+    out = dq.docs_hapax_ratio(str(tmp_path))
+    got = {r.lang: (int(r.n_distinct), int(r.n_hapax), int(r.hapax_ppm))
+           for r in out.itertuples(index=False)}
+    # en: alpha×2 (not hapax), beta, gamma → 2/3 hapax
+    assert got == {"en": (3, 2, 666666), "fr": (1, 1, 1000000)}
+
+    pq.write_table(pa.Table.from_pandas(df.iloc[:0], preserve_index=False),
+                   tmp_path / "documents.parquet")
+    empty = dq.docs_hapax_ratio(str(tmp_path))
+    assert len(empty) == 0
+    assert list(empty.columns) == ["lang", "n_distinct", "n_hapax",
+                                   "hapax_ppm"]
