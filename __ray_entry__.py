@@ -349,6 +349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_char_entropy": dq.docs_char_entropy,
         "docs_textrank": dq.docs_textrank,
         "docs_hapax_ratio": dq.docs_hapax_ratio,
+        "docs_simpson_diversity": dq.docs_simpson_diversity,
         "docs_rarity_score": dq.docs_rarity_score,
         "docs_interleaved_media_stats": dq.docs_interleaved_media_stats,
         "docs_media_ref_counts": dq.docs_media_ref_counts,
@@ -3074,6 +3075,29 @@ def oracle_sql() -> dict[str, str]:
         # top bigram collocations by scaled lift (integer-exact monotone
         # twin of PMI); engine joins c(w1)/c(w2) via two word-hash-bucket
         # exchanges, min-support filtered before scoring
+        # per-language Simpson diversity: exact-integer collision
+        # probability Σn(n−1) // (N(N−1)) in HUGEINT; langs with N<2
+        # emit no row
+        "docs_simpson_diversity": r"""
+            WITH tok AS (
+                SELECT lang,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x != '')) AS word
+                FROM documents
+            ), c AS (
+                SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+                FROM tok GROUP BY 1, 2
+            )
+            SELECT lang,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens,
+                   CAST(CAST(1000000 AS HUGEINT)
+                        * SUM(CAST(n AS HUGEINT) * (n - 1))
+                        // (SUM(n) * (SUM(n) - 1)) AS BIGINT)
+                       AS simpson_ppm
+            FROM c GROUP BY lang HAVING SUM(n) >= 2
+            ORDER BY lang
+        """,
         # per-language hapax legomenon share over the lower().split()
         # vocabulary; trunc-div on non-negative operands ≡ floor-div
         "docs_hapax_ratio": r"""

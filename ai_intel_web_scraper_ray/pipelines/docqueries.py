@@ -5800,3 +5800,71 @@ def docs_hapax_ratio(sf_dir: str) -> pd.DataFrame:
     for c in cols[1:]:
         out[c] = out[c].astype("int64")
     return out[list(cols)].sort_values("lang").reset_index(drop=True)
+
+
+def docs_simpson_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per-language Simpson diversity of the word distribution:
+    (lang, n_tokens, simpson_ppm) with
+    ``simpson_ppm = 10⁶·Σ_w n_w(n_w−1) // (N(N−1))`` — the probability
+    two tokens drawn without replacement are the same word, EXACT in
+    integers end to end (no ln, no floats; the concentration twin of
+    docs_char_entropy).  Languages with N < 2 tokens emit no row.
+    Tokenization is the docs_bigram_lift contract (lower().split()).
+
+    Scale shape: (lang, word) count partials finish under the 64-way
+    word-hash bucket; each bucket emits per-lang Σn(n−1) and Σn
+    partials (Python big-int strings — n_w(n_w−1) sums pass 2⁶³ on a
+    web corpus), so the driver merges ≤ 64·|langs| rows."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        cnt: Dict[tuple, int] = {}
+        for lg, tx in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for w in (tx or "").lower().split():
+                cnt[(lg, w)] = cnt.get((lg, w), 0) + 1
+        langs = [k[0] for k in cnt]
+        words = [k[1] for k in cnt]
+        bucket = (pd.util.hash_pandas_object(
+            pd.Series(words, dtype=object), index=False) % 64) \
+            .astype("int64")
+        return pa.table({
+            "lang": pa.array(langs, pa.string()),
+            "word": pa.array(words, pa.string()),
+            "n": pa.array(list(cnt.values()), pa.int64()),
+            "_b": pa.array(bucket.to_numpy(), pa.int64())})
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "word"], as_index=False)["n"].sum()
+        rows = []
+        for lg, sub in g.groupby("lang"):
+            pairs = sum(int(x) * (int(x) - 1) for x in sub["n"])
+            rows.append((lg, str(pairs), int(sub["n"].sum())))
+        return pd.DataFrame({
+            "lang": [r[0] for r in rows],
+            "pairs": pd.Series([r[1] for r in rows], dtype=object),
+            "tok": pd.Series([r[2] for r in rows], dtype="int64")})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(bucket_stats, batch_format="pandas") \
+        .to_pandas()
+    cols = ("lang", "n_tokens", "simpson_ppm")
+    empty = pd.DataFrame({
+        "lang": pd.Series([], dtype=object),
+        "n_tokens": pd.Series([], dtype="int64"),
+        "simpson_ppm": pd.Series([], dtype="int64")})
+    if parts.empty or "lang" not in parts.columns:
+        return empty
+    rows = []
+    for lg, sub in parts.groupby("lang"):
+        n = int(sub["tok"].sum())
+        if n < 2:
+            continue
+        pairs = sum(int(x) for x in sub["pairs"])
+        rows.append((lg, n, (1_000_000 * pairs) // (n * (n - 1))))
+    if not rows:
+        return empty
+    rows.sort()
+    return pd.DataFrame({
+        "lang": [r[0] for r in rows],
+        "n_tokens": pd.Series([r[1] for r in rows], dtype="int64"),
+        "simpson_ppm": pd.Series([r[2] for r in rows], dtype="int64")})

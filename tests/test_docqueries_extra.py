@@ -1107,3 +1107,34 @@ def test_hapax_ratio_counts_global_not_per_batch(tmp_path):
     assert len(empty) == 0
     assert list(empty.columns) == ["lang", "n_distinct", "n_hapax",
                                    "hapax_ppm"]
+
+
+def test_simpson_diversity_pins_uniform_and_concentrated(tmp_path):
+    """Simpson planted cases: all-same-word lang scores exactly 10⁶;
+    all-distinct lang scores 0; {a:2, b:1} → 2·1e6 // 6 = 333333;
+    counts are GLOBAL per lang across docs; a 1-token lang emits no
+    row; empty corpus → typed empty frame."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    df = pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d", "e"],
+        "lang": ["en", "en", "fr", "de", "it"],
+        "text": ["w w", "w", "p q r", "a a b", "solo"]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "documents.parquet")
+    out = dq.docs_simpson_diversity(str(tmp_path))
+    got = {r.lang: (int(r.n_tokens), int(r.simpson_ppm))
+           for r in out.itertuples(index=False)}
+    assert got == {"en": (3, 1_000_000), "fr": (3, 0),
+                   "de": (3, 333333)}
+    assert "it" not in got
+
+    pq.write_table(pa.Table.from_pandas(df.iloc[:0], preserve_index=False),
+                   tmp_path / "documents.parquet")
+    empty = dq.docs_simpson_diversity(str(tmp_path))
+    assert len(empty) == 0
+    assert list(empty.columns) == ["lang", "n_tokens", "simpson_ppm"]
