@@ -430,6 +430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_welch_ttest": rel.events_welch_ttest,
         "orders_gini": rel.orders_gini,
         "parts_stress_centrality": rel.parts_stress_centrality,
+        "parts_xyz_classes": rel.parts_xyz_classes,
         "orders_benford": rel.orders_benford,
         "parts_degree_assortativity": rel.parts_degree_assortativity,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
@@ -1437,6 +1438,37 @@ def oracle_sql() -> dict[str, str]:
         """,
         # one HITS round over the oriented (src<dst, ≥2 co-orders) part
         # graph: integer max-normalized auth then hub; hub⁰ ≡ 1 folded
+        # XYZ demand-variability classes: integer-exact squared CV of
+        # monthly centi-quantity over the global month horizon (zeros
+        # implicit); cv² is the monotone twin of CV so class cuts match
+        "parts_xyz_classes": """
+            WITH d AS (
+                SELECT l_partkey, date_trunc('month', l_shipdate) AS mo,
+                       CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS q
+                FROM lineitem GROUP BY 1, 2
+            ), m AS (
+                SELECT CAST(COUNT(DISTINCT mo) AS HUGEINT) AS nm FROM d
+            ), s AS (
+                SELECT l_partkey AS p_partkey,
+                       CAST(COUNT(*) AS BIGINT) AS n_months_active,
+                       CAST(SUM(q) AS HUGEINT) AS sq,
+                       SUM(CAST(q AS HUGEINT) * q) AS sq2
+                FROM d GROUP BY 1
+            ), v AS (
+                SELECT p_partkey, n_months_active,
+                       CAST(sq AS BIGINT) AS sum_qty_centi,
+                       CAST((1000000 * ((SELECT nm FROM m) * sq2
+                                        - sq * sq))
+                            // (sq * sq) AS BIGINT) AS cv2_ppm
+                FROM s WHERE sq > 0
+            )
+            SELECT p_partkey, n_months_active, sum_qty_centi, cv2_ppm,
+                   CASE WHEN cv2_ppm <= 250000 THEN 'X'
+                        WHEN cv2_ppm <= 1000000 THEN 'Y'
+                        ELSE 'Z' END AS xyz_class
+            FROM v ORDER BY p_partkey
+        """,
         # Gini coefficient of per-customer spend in exact ppm: ranks from
         # the (cents, custkey) total order; rank-weighted sum kept in
         # HUGEINT (engine: Python big ints over the value histogram)

@@ -1280,3 +1280,34 @@ def test_stress_centrality_diamond_counts_multiplicity(tmp_path):
     empty = rel.parts_stress_centrality(str(tmp_path))
     assert len(empty) == 0
     assert list(empty.columns) == ["part_id", "stress"]
+
+
+def test_xyz_classes_zero_months_in_horizon(tmp_path):
+    """Over a 3-month global horizon: a steady part is X (cv² = 0); a
+    part selling in only one month has cv² = M−1 = 2 → Z; a part
+    selling equally in 2 of 3 months has cv² = 0.5 → Y — zero months
+    in the horizon count, so the class depends on OTHER parts' months."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (1, "2024-01-05", 10.0), (1, "2024-02-05", 10.0),
+        (1, "2024-03-05", 10.0),
+        (2, "2024-01-10", 7.0),
+        (3, "2024-01-15", 10.0), (3, "2024-02-15", 10.0),
+    ]
+    df = pd.DataFrame({
+        "l_orderkey": pd.Series(range(len(rows)), dtype="int64"),
+        "l_partkey": pd.Series([r[0] for r in rows], dtype="int64"),
+        "l_shipdate": pd.to_datetime([r[1] for r in rows]),
+        "l_quantity": pd.Series([r[2] for r in rows], dtype="float64")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "lineitem.parquet")
+    out = rel.parts_xyz_classes(str(tmp_path))
+    got = {int(r.p_partkey): (int(r.n_months_active), int(r.cv2_ppm),
+                              r.xyz_class)
+           for r in out.itertuples(index=False)}
+    assert got[1] == (3, 0, "X")
+    assert got[2] == (1, 2_000_000, "Z")
+    assert got[3] == (2, 500_000, "Y")
