@@ -431,6 +431,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_gini": rel.orders_gini,
         "parts_stress_centrality": rel.parts_stress_centrality,
         "parts_xyz_classes": rel.parts_xyz_classes,
+        "events_hour_uniformity": rel.events_hour_uniformity,
         "orders_benford": rel.orders_benford,
         "parts_degree_assortativity": rel.parts_degree_assortativity,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
@@ -1645,6 +1646,35 @@ def oracle_sql() -> dict[str, str]:
                          WHERE diff = (SELECT MAX(diff) FROM d))
                         AS BIGINT) AS at_cents
             FROM t WHERE t.ta > 0 AND t.tb > 0
+        """,
+        # hour-of-day uniformity chi-square per event type; zero-count
+        # hours contribute N^2 each so the sum runs over OBSERVED hours
+        # only (24*o - N)^2 stays HUGEINT-safe at web scale
+        "events_hour_uniformity": """
+            WITH h AS (
+                SELECT event_type, hour(ts) AS hr,
+                       CAST(COUNT(*) AS HUGEINT) AS n
+                FROM events GROUP BY 1, 2
+            ), tot AS (
+                SELECT event_type, SUM(n) AS n_events,
+                       COUNT(*) AS n_hours_active
+                FROM h GROUP BY 1
+            ), s AS (
+                SELECT h.event_type,
+                       SUM((24 * h.n - tot.n_events)
+                           * (24 * h.n - tot.n_events)) AS obs
+                FROM h JOIN tot USING (event_type)
+                GROUP BY h.event_type
+            )
+            SELECT tot.event_type,
+                   CAST(tot.n_events AS BIGINT) AS n_events,
+                   CAST(tot.n_hours_active AS BIGINT) AS n_hours_active,
+                   CAST(1000000 * (s.obs
+                            + (24 - tot.n_hours_active)
+                              * tot.n_events * tot.n_events)
+                        // (576 * tot.n_events) AS BIGINT) AS chi2_ppm
+            FROM tot JOIN s USING (event_type)
+            ORDER BY tot.event_type
         """,
         # Benford first-digit audit over integer cents; expectation ppm
         # pinned as literals (= floor(1e6*log10(1+1/d)), the same table

@@ -7669,3 +7669,50 @@ def parts_xyz_classes(sf_dir: str) -> pd.DataFrame:
     for c in cols[:-1]:
         out[c] = out[c].astype("int64")
     return out[list(cols)].sort_values("p_partkey").reset_index(drop=True)
+
+
+def events_hour_uniformity(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type hour-of-day uniformity test: the chi-square
+    statistic against the uniform 24-bin hourly distribution in exact
+    ppm — ``chi2_ppm = 10⁶·Σ_h (24·o_h − N)² // (24²·N)`` (the algebraic
+    expansion of Σ(o−N/24)²/(N/24) with every intermediate an integer;
+    zero-count hours contribute N², so the formula needs only the
+    OBSERVED hour rows).  Output (event_type, n_events, n_hours_active,
+    chi2_ppm) sorted by type; the numerator runs in Python big ints
+    (HUGEINT in the twin — (24·o−N)² passes 2⁶³ near N ≈ 4·10⁸).
+
+    Scale shape: per-block (type, hour) count partials are ≤ 24·|types|
+    rows each, so the driver merge is O(24·|types|·blocks) integers —
+    the bounded-final contract of events_value_stats; no shuffle."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "event_type": df["event_type"].astype(object),
+            "hour": pd.to_datetime(df["ts"]).dt.hour.astype("int64")}) \
+            .groupby(["event_type", "hour"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    cols = ("event_type", "n_events", "n_hours_active", "chi2_ppm")
+    if parts.empty or "event_type" not in parts.columns:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n_events": pd.Series([], dtype="int64"),
+            "n_hours_active": pd.Series([], dtype="int64"),
+            "chi2_ppm": pd.Series([], dtype="int64")})
+    g = parts.groupby(["event_type", "hour"], as_index=False)["n"].sum()
+    rows = []
+    for et, sub in g.groupby("event_type"):
+        n = int(sub["n"].sum())
+        obs = sum((24 * int(o) - n) ** 2 for o in sub["n"])
+        zero_hours = 24 - len(sub)
+        chi2 = (1_000_000 * (obs + zero_hours * n * n)) // (576 * n)
+        rows.append((et, n, len(sub), chi2))
+    rows.sort()
+    return pd.DataFrame({
+        "event_type": [r[0] for r in rows],
+        "n_events": pd.Series([r[1] for r in rows], dtype="int64"),
+        "n_hours_active": pd.Series([r[2] for r in rows], dtype="int64"),
+        "chi2_ppm": pd.Series([r[3] for r in rows], dtype="int64")})
