@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_incremental_agg": rel.orders_incremental_agg,
         "events_anomaly_mad": rel.events_anomaly_mad,
         "events_transition_matrix": rel.events_transition_matrix,
+        "events_entropy_rate": rel.events_entropy_rate,
         "orders_skyline": rel.orders_skyline,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
@@ -2941,6 +2942,35 @@ def oracle_sql() -> dict[str, str]:
                         // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
                        AS prob_ppm
             FROM counts ORDER BY from_type, to_type
+        """,
+        # per-state conditional entropy of the event-type Markov chain:
+        # the transition-matrix counts folded through the
+        # docs_char_entropy fixed-point-ln contract (micro-nats)
+        "events_entropy_rate": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            ), counts AS (
+                SELECT prev_type AS from_type, event_type AS to_type,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM seq WHERE prev_type IS NOT NULL
+                GROUP BY 1, 2
+            ), m AS (
+                SELECT from_type, SUM(n) AS m,
+                       CAST(COUNT(*) AS BIGINT) AS n_to
+                FROM counts GROUP BY 1
+            ), s AS (
+                SELECT c.from_type,
+                       SUM(c.n * CAST(ROUND(ln(CAST(m.m AS DOUBLE) / c.n)
+                           * 1000000) AS BIGINT)) AS t
+                FROM counts c JOIN m USING (from_type) GROUP BY 1
+            )
+            SELECT m.from_type, CAST(m.m AS BIGINT) AS n_trans, m.n_to,
+                   CAST(s.t // m.m AS BIGINT) AS entropy_micro
+            FROM m JOIN s USING (from_type) ORDER BY from_type
         """,
         # Pareto skyline of 1995 orders (price maximal, date minimal);
         # equal pairs don't dominate — NOT EXISTS keeps both

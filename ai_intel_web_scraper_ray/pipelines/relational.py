@@ -7716,3 +7716,68 @@ def events_hour_uniformity(sf_dir: str) -> pd.DataFrame:
         "n_events": pd.Series([r[1] for r in rows], dtype="int64"),
         "n_hours_active": pd.Series([r[2] for r in rows], dtype="int64"),
         "chi2_ppm": pd.Series([r[3] for r in rows], dtype="int64")})
+
+
+def events_entropy_rate(sf_dir: str) -> pd.DataFrame:
+    """Per-state conditional entropy of the first-order event-type
+    Markov chain in integer micro-nats: for each ``from_type`` with row
+    marginal m and successor counts c_j,
+    ``entropy_micro = (Σ_j c_j·round(ln(m/c_j)·10⁶)) // m`` — the
+    docs_char_entropy fixed-point-ln contract applied to the
+    events_transition_matrix transition counts.  Output
+    (from_type, n_trans, n_to, entropy_micro) sorted by from_type; a
+    deterministic state (one successor) scores exactly 0.
+
+    Scale shape: identical to events_transition_matrix — users
+    hash-bucket (user_id % 64, whole history per bucket), ONE sort +
+    shift-masked bigram build per bucket, |types|²-bounded count
+    partials; the entropy fold on the driver is O(|types|²)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df[["user_id", "ts", "event_id", "event_type", "_b"]]
+
+    def bucket_transitions(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2 or "user_id" not in df.columns:
+            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                                 "to_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        et = df["event_type"].to_numpy(dtype=object)
+        same = uid[:-1] == uid[1:]
+        pairs = pd.DataFrame({"from_type": et[:-1][same],
+                              "to_type": et[1:][same]})
+        out = pairs.groupby(["from_type", "to_type"], as_index=False) \
+            .agg(n=("to_type", "size"))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = ds.map_batches(keep, batch_format="pandas") \
+              .groupby("_b").map_groups(bucket_transitions,
+                                        batch_format="pandas").to_pandas()
+    cols = ("from_type", "n_trans", "n_to", "entropy_micro")
+    if parts.empty or "from_type" not in parts.columns:
+        return pd.DataFrame({
+            "from_type": pd.Series([], dtype=object),
+            "n_trans": pd.Series([], dtype="int64"),
+            "n_to": pd.Series([], dtype="int64"),
+            "entropy_micro": pd.Series([], dtype="int64")})
+    counts = parts.groupby(["from_type", "to_type"],
+                           as_index=False)["n"].sum()
+    rows = []
+    for ft, sub in counts.groupby("from_type"):
+        m = int(sub["n"].sum())
+        c = sub["n"].to_numpy(dtype="int64")
+        lq = np.round(np.log(float(m) / c) * 1_000_000).astype("int64")
+        t = int((c * lq).sum())
+        rows.append((ft, m, len(sub), t // m))
+    rows.sort()
+    return pd.DataFrame({
+        "from_type": [r[0] for r in rows],
+        "n_trans": pd.Series([r[1] for r in rows], dtype="int64"),
+        "n_to": pd.Series([r[2] for r in rows], dtype="int64"),
+        "entropy_micro": pd.Series([r[3] for r in rows], dtype="int64")})

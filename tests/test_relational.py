@@ -1311,3 +1311,33 @@ def test_xyz_classes_zero_months_in_horizon(tmp_path):
     assert got[1] == (3, 0, "X")
     assert got[2] == (1, 2_000_000, "Z")
     assert got[3] == (2, 500_000, "Y")
+
+
+def test_entropy_rate_pins_deterministic_and_uniform_states(tmp_path):
+    """A state with ONE successor type scores exactly 0 micro-nats; a
+    state splitting 2/2 between two successors scores ln(2)·10⁶ =
+    693147 (each term c·round(ln(m/c)·10⁶) with m=4, c=2).  Transitions
+    never cross users."""
+    _write_events(tmp_path, [
+        # user 1: a→b, b→a, a→c, c→a, a→b
+        (0, "2024-01-01 00:00:00", 1, "a", 0.0),
+        (1, "2024-01-01 01:00:00", 1, "b", 0.0),
+        (2, "2024-01-01 02:00:00", 1, "a", 0.0),
+        (3, "2024-01-01 03:00:00", 1, "c", 0.0),
+        (4, "2024-01-01 04:00:00", 1, "a", 0.0),
+        (5, "2024-01-01 05:00:00", 1, "b", 0.0),
+        # user 2: a→c, then c (sequence end; no cross-user transition)
+        (6, "2024-01-01 00:00:00", 2, "a", 0.0),
+        (7, "2024-01-01 01:00:00", 2, "c", 0.0),
+    ])
+    out = rel.events_entropy_rate(str(tmp_path))
+    got = {r.from_type: (int(r.n_trans), int(r.n_to), int(r.entropy_micro))
+           for r in out.itertuples(index=False)}
+    # a: successors b,c,b,c → 2×b + 2×c (m=4, uniform over 2) → ln2·1e6
+    assert got["a"] == (4, 2, 693147)
+    # b: 1×a (user1's b→a), deterministic → 0
+    assert got["b"] == (1, 1, 0)
+    # c: 1×a → deterministic → 0
+    assert got["c"] == (1, 1, 0)
+    assert list(out.columns) == ["from_type", "n_trans", "n_to",
+                                 "entropy_micro"]
