@@ -312,6 +312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_url_canonical": dq.docs_url_canonical,
         "docs_interleaved_roundtrip": dq.docs_interleaved_roundtrip,
         "docs_top_tokens": dq.docs_top_tokens,
+        "docs_burstiness": dq.docs_burstiness,
         "docs_fingerprints": dq.docs_fingerprints,         # pinned-table oracle
         "docs_top_per_source": dq.docs_top_per_source,
         "docs_decontaminate": dq.docs_decontaminate,
@@ -3192,6 +3193,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         # per-language hapax legomenon share over the lower().split()
         # vocabulary; trunc-div on non-negative operands ≡ floor-div
+        # word burstiness: exact-integer Fano factor (var/mean · 10⁶) of
+        # per-document counts over ALL D docs (zeros included);
+        # min-support 10, top-30 by (fano DESC, word)
+        "docs_burstiness": r"""
+            WITH d AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents
+            ), tok AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\s+'),
+                           x -> x != '')) AS word
+                FROM documents
+            ), c AS (
+                SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS c
+                FROM tok GROUP BY 1, 2
+            ), s AS (
+                SELECT word, SUM(c) AS tot, SUM(c * c) AS ss,
+                       CAST(COUNT(*) AS BIGINT) AS df
+                FROM c GROUP BY word HAVING SUM(c) >= 10
+            )
+            SELECT word, CAST(tot AS BIGINT) AS tot, df,
+                   CAST((d.nd * ss - tot * tot) * 1000000
+                        // (d.nd * tot) AS BIGINT) AS fano_ppm
+            FROM s, d
+            ORDER BY fano_ppm DESC, word LIMIT 30
+        """,
         "docs_hapax_ratio": r"""
             WITH tok AS (
                 SELECT lang,

@@ -5868,3 +5868,93 @@ def docs_simpson_diversity(sf_dir: str) -> pd.DataFrame:
         "lang": [r[0] for r in rows],
         "n_tokens": pd.Series([r[1] for r in rows], dtype="int64"),
         "simpson_ppm": pd.Series([r[2] for r in rows], dtype="int64")})
+
+
+_BURST_MIN_TOT = 10
+_BURST_TOP = 30
+
+
+def docs_burstiness(sf_dir: str, min_tot: int = _BURST_MIN_TOT,
+                    k: int = _BURST_TOP) -> pd.DataFrame:
+    """Word burstiness as the exact-integer Fano factor of per-document
+    counts over ALL D documents (zeros included):
+    ``fano_ppm = (D·Σc² − tot²)·10⁶ // (D·tot)`` — var/mean of the count
+    distribution, ≥10⁶ marks bursty words, <10⁶ regular ones (Church &
+    Gale's adaptation signal for training-data curation).  Words with
+    ``tot < min_tot`` are dropped BEFORE ranking; output is the global
+    top-``k`` by (fano_ppm DESC, word ASC) with (word, tot, df,
+    fano_ppm).  Tokenization is the docs_bigram_lift contract
+    (``lower().split()``); a doc's counts are row-local so the per-doc
+    distribution needs no dedup exchange.
+
+    Scale shape: per-batch (word, c) per-doc count partials finish
+    under the 64-way word-hash bucket (a word's tot/Σc²/df are exact
+    there — doc_id never ships); each bucket ranks its own words with
+    Python big-int arithmetic (D·Σc² passes 2⁶³ on a web corpus) and
+    emits ≤ k candidates, so the driver merges ≤ 64·k rows."""
+    n_docs = int(_docs(sf_dir, ["doc_id"]).count())
+    cols = ("word", "tot", "df", "fano_ppm")
+    empty = pd.DataFrame({
+        "word": pd.Series([], dtype=object),
+        "tot": pd.Series([], dtype="int64"),
+        "df": pd.Series([], dtype="int64"),
+        "fano_ppm": pd.Series([], dtype="int64")})
+    if n_docs == 0:
+        return empty
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        words: list = []
+        counts: list = []
+        for tx in t["text"].to_pylist():
+            cnt: Dict[str, int] = {}
+            for w in (tx or "").lower().split():
+                cnt[w] = cnt.get(w, 0) + 1
+            words.extend(cnt.keys())
+            counts.extend(cnt.values())
+        bucket = (pd.util.hash_pandas_object(
+            pd.Series(words, dtype=object), index=False) % 64) \
+            .astype("int64")
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "c": pa.array(counts, pa.int64()),
+            "_b": pa.array(bucket.to_numpy(), pa.int64())})
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "word" not in df.columns:
+            return empty.copy()
+        df = df.copy()
+        # object dtype → Python big-int sums (D·Σc² passes 2⁶³ at scale)
+        df["c"] = df["c"].astype("int64").map(int).astype(object)
+        df["c2"] = df["c"] * df["c"]
+        g = df.groupby("word").agg(
+            tot=("c", "sum"), ss=("c2", "sum"), df_=("c", "size"))
+        g = g[g["tot"] >= min_tot]
+        if len(g) == 0:
+            return empty.copy()
+        cand = []
+        for word, tot, ss, dfreq in zip(g.index, g["tot"], g["ss"],
+                                        g["df_"]):
+            tot_i, ss_i = int(tot), int(ss)
+            fano = (n_docs * ss_i - tot_i * tot_i) * 1_000_000 \
+                // (n_docs * tot_i)
+            cand.append((word, tot_i, int(dfreq), fano))
+        cand.sort(key=lambda r: (-r[3], r[0]))
+        cand = cand[:k]
+        return pd.DataFrame({
+            "word": [r[0] for r in cand],
+            "tot": pd.Series([r[1] for r in cand], dtype="int64"),
+            "df": pd.Series([r[2] for r in cand], dtype="int64"),
+            "fano_ppm": pd.Series([r[3] for r in cand], dtype="int64")})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(bucket_top, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty or "word" not in parts.columns:
+        return empty
+    parts = parts.sort_values(
+        ["fano_ppm", "word"], ascending=[False, True],
+        kind="mergesort").head(k)
+    for c in cols[1:]:
+        parts[c] = parts[c].astype("int64")
+    return parts[list(cols)].reset_index(drop=True)

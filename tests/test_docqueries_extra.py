@@ -1138,3 +1138,32 @@ def test_simpson_diversity_pins_uniform_and_concentrated(tmp_path):
     empty = dq.docs_simpson_diversity(str(tmp_path))
     assert len(empty) == 0
     assert list(empty.columns) == ["lang", "n_tokens", "simpson_ppm"]
+
+
+def test_burstiness_separates_bursty_from_uniform(tmp_path):
+    """Over D=4 docs: a word with all 4 occurrences in ONE doc has
+    Fano = (D·16 − 16)·10⁶ // (D·4) = 3·10⁶; a word spread 1-per-doc
+    has variance 0 → 0 ppm; ranking pins (fano DESC, word ASC)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    texts = ["x x x x y", "y", "y", "y"]
+    t = pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 4, pa.string()),
+        "source": pa.array(["s"] * 4, pa.string()),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dq.docs_burstiness(str(tmp_path), min_tot=1)
+    got = {r.word: (int(r.tot), int(r.df), int(r.fano_ppm))
+           for r in out.itertuples(index=False)}
+    assert got["x"] == (4, 1, 3_000_000)
+    assert got["y"] == (4, 4, 0)
+    assert list(out["word"]) == ["x", "y"]  # fano DESC then word ASC
+    # min-support drops everything → typed empty with the full schema
+    hi = dq.docs_burstiness(str(tmp_path), min_tot=100)
+    assert len(hi) == 0
+    assert list(hi.columns) == ["word", "tot", "df", "fano_ppm"]
