@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly_mad": rel.events_anomaly_mad,
         "events_transition_matrix": rel.events_transition_matrix,
         "events_entropy_rate": rel.events_entropy_rate,
+        "customer_er_pairs": rel.customer_er_pairs,
         "orders_skyline": rel.orders_skyline,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
@@ -2943,6 +2944,32 @@ def oracle_sql() -> dict[str, str]:
                         // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
                        AS prob_ppm
             FROM counts ORDER BY from_type, to_type
+        """,
+        # FastSS delete-1 blocking entity resolution: candidate pairs
+        # share a (name ∪ one-char-deletes) variant, verified with exact
+        # byte Levenshtein ≤ 1 — the blocking is lossless for distance 1
+        # and BOTH sides run blocking + verify, so equivalence is exact
+        "customer_er_pairs": """
+            WITH v AS (
+                SELECT c_custkey, c_name,
+                       unnest(list_prepend(c_name, list_transform(
+                           range(1, length(c_name) + 1),
+                           i -> substr(c_name, 1, CAST(i - 1 AS INT))
+                                || substr(c_name, CAST(i + 1 AS INT)))))
+                           AS variant
+                FROM customer
+            ), cand AS (
+                SELECT DISTINCT a.c_custkey AS custkey1,
+                                b.c_custkey AS custkey2,
+                                a.c_name AS n1, b.c_name AS n2
+                FROM v a JOIN v b
+                  ON a.variant = b.variant
+                 AND a.c_custkey < b.c_custkey
+            )
+            SELECT custkey1, custkey2,
+                   CAST(levenshtein(n1, n2) AS BIGINT) AS dist
+            FROM cand WHERE levenshtein(n1, n2) <= 1
+            ORDER BY custkey1, custkey2
         """,
         # per-state conditional entropy of the event-type Markov chain:
         # the transition-matrix counts folded through the

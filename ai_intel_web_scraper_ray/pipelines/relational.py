@@ -7781,3 +7781,107 @@ def events_entropy_rate(sf_dir: str) -> pd.DataFrame:
         "n_trans": pd.Series([r[1] for r in rows], dtype="int64"),
         "n_to": pd.Series([r[2] for r in rows], dtype="int64"),
         "entropy_micro": pd.Series([r[3] for r in rows], dtype="int64")})
+
+
+def customer_er_pairs(sf_dir: str) -> pd.DataFrame:
+    """Entity resolution over customer names with FastSS delete-1
+    blocking: two customers match iff their names are within Levenshtein
+    distance 1 (DuckDB byte semantics).  Blocking key = the name itself
+    plus every single-character deletion — for distance ≤1 the delete-1
+    neighborhoods of matching strings always intersect, so blocking is
+    LOSSLESS and the exact DP only runs inside tiny candidate groups.
+    Output (custkey1, custkey2, dist) with custkey1 < custkey2, sorted.
+
+    Scale shape: variant projections (never full rows) exchange under a
+    64-way variant-hash bucket; a variant's group is bounded by the
+    alphabet size when names are distinct (strings sharing a delete
+    differ at ≤1 position), so in-bucket pairing is O(|group|²) on tiny
+    groups.  Candidate pairs dedup under a pair-hash bucket (the same
+    pair can surface via two shared variants, e.g. transpositions) and
+    are verified there with ONE batched-DP Levenshtein pass per bucket —
+    the docs_edit_dedup kernel, vectorized across the pair axis.  The
+    driver only collects verified matches (the ER output itself)."""
+    from .docqueries import _batched_levenshtein
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    cols = ("custkey1", "custkey2", "dist")
+    empty = pd.DataFrame({
+        "custkey1": pd.Series([], dtype="int64"),
+        "custkey2": pd.Series([], dtype="int64"),
+        "dist": pd.Series([], dtype="int64")})
+
+    def variants(df: pd.DataFrame) -> pa.Table:
+        keys, names, vs = [], [], []
+        for k, nm in zip(df["c_custkey"].astype("int64"),
+                         df["c_name"].astype(object)):
+            s = nm or ""
+            seen = {s}
+            for i in range(len(s)):
+                seen.add(s[:i] + s[i + 1:])
+            for v in seen:
+                keys.append(int(k))
+                names.append(s)
+                vs.append(v)
+        bucket = (pd.util.hash_pandas_object(
+            pd.Series(vs, dtype=object), index=False) % 64).to_numpy()
+        return pa.table({
+            "k": pa.array(keys, pa.int64()),
+            "name": pa.array(names, pa.string()),
+            "variant": pa.array(vs, pa.string()),
+            "_b": pa.array(bucket.astype("int64"), pa.int64())})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_k1, out_k2, out_n1, out_n2 = [], [], [], []
+        if len(df) and "variant" in df.columns:
+            for _, g in df.groupby("variant", sort=False):
+                if len(g) < 2:
+                    continue
+                g = g.sort_values("k")
+                ks = g["k"].to_numpy(dtype="int64")
+                ns = g["name"].to_numpy(dtype=object)
+                ia, ib = np.triu_indices(len(g), k=1)
+                out_k1.extend(ks[ia])
+                out_k2.extend(ks[ib])
+                out_n1.extend(ns[ia])
+                out_n2.extend(ns[ib])
+        pb = (pd.util.hash_pandas_object(
+            pd.Series([f"{a}|{b}" for a, b in zip(out_k1, out_k2)],
+                      dtype=object), index=False) % 64).to_numpy()
+        return pd.DataFrame({
+            "k1": pd.Series(out_k1, dtype="int64"),
+            "k2": pd.Series(out_k2, dtype="int64"),
+            "n1": pd.Series(out_n1, dtype=object),
+            "n2": pd.Series(out_n2, dtype=object),
+            "_pb": pd.Series(pb, dtype="int64")})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "k1" not in df.columns:
+            return empty.copy()
+        df = df.drop_duplicates(["k1", "k2"]).reset_index(drop=True)
+        raw_a = [s.encode("utf-8") for s in df["n1"]]
+        raw_b = [s.encode("utf-8") for s in df["n2"]]
+        la = np.array([len(b) for b in raw_a], dtype=np.int64)
+        lb = np.array([len(b) for b in raw_b], dtype=np.int64)
+        width = max(int(la.max()), int(lb.max()), 1)
+        ca = np.zeros((len(df), width), dtype=np.int32)
+        cb = np.zeros((len(df), width), dtype=np.int32)
+        for i, (a, b) in enumerate(zip(raw_a, raw_b)):
+            ca[i, :len(a)] = np.frombuffer(a, dtype=np.uint8)
+            cb[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        d = _batched_levenshtein(ca, la, cb, lb)
+        hit = d <= 1
+        return pd.DataFrame({
+            "custkey1": df["k1"].to_numpy()[hit],
+            "custkey2": df["k2"].to_numpy()[hit],
+            "dist": d[hit].astype("int64")})
+
+    out = ds.map_batches(variants, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_pairs, batch_format="pandas") \
+        .groupby("_pb").map_groups(verify, batch_format="pandas") \
+        .to_pandas()
+    if out.empty or "custkey1" not in out.columns:
+        return empty
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[list(cols)].sort_values(["custkey1", "custkey2"]) \
+        .reset_index(drop=True)

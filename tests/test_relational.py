@@ -1341,3 +1341,33 @@ def test_entropy_rate_pins_deterministic_and_uniform_states(tmp_path):
     assert got["c"] == (1, 1, 0)
     assert list(out.columns) == ["from_type", "n_trans", "n_to",
                                  "entropy_micro"]
+
+
+def test_er_pairs_blocking_verify_and_dedup(tmp_path):
+    """Delete-1 blocking surfaces substitution, insert/delete and
+    identical-name pairs (dist 1/1/0); a transposition ('ab' vs 'ba')
+    is a blocking CANDIDATE via two shared variants but fails the exact
+    Levenshtein ≤ 1 verify — and must not appear twice either."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    names = ["abc", "abd", "ab", "ba", "dup", "dup", "zzzzzz"]
+    t = pa.table({
+        "c_custkey": pa.array(range(len(names)), pa.int64()),
+        "c_name": pa.array(names, pa.string()),
+        "c_nationkey": pa.array([0] * len(names), pa.int32()),
+        "c_acctbal": pa.array([0.0] * len(names), pa.float64()),
+        "c_mktsegment": pa.array(["B"] * len(names), pa.string())})
+    pq.write_table(t, tmp_path / "customer.parquet")
+    out = rel.customer_er_pairs(str(tmp_path))
+    got = {(int(r.custkey1), int(r.custkey2)): int(r.dist)
+           for r in out.itertuples(index=False)}
+    assert len(got) == len(out)  # no duplicate pairs
+    assert got[(0, 1)] == 1      # abc ~ abd (substitution)
+    assert got[(0, 2)] == 1      # abc ~ ab  (deletion)
+    assert got[(4, 5)] == 0      # identical names
+    assert (2, 3) not in got     # ab vs ba: lev 2, verify rejects
+    # abd~ab is also dist 1 — pinned complete result set
+    assert got[(1, 2)] == 1
+    assert set(got) == {(0, 1), (0, 2), (1, 2), (4, 5)}
