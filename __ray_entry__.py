@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_transition_matrix": rel.events_transition_matrix,
         "events_entropy_rate": rel.events_entropy_rate,
         "customer_er_pairs": rel.customer_er_pairs,
+        "parts_closeness": rel.parts_closeness,
         "orders_skyline": rel.orders_skyline,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
@@ -4716,6 +4717,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         # BFS hop distance over the co-order part graph (≤ 4 hops from the
         # min edge endpoint); recursive reach closure, MIN(level) per node
+        # hop-6 Wasserman–Faust closeness from the 4 smallest part keys:
+        # the parts_bfs_levels reach closure per source, farness = Σ min
+        # levels, (n_reach−1)²·10⁶ // ((n_nodes−1)·farness)
+        "parts_closeness": """
+            WITH RECURSIVE dedup AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+                SELECT a.l_partkey AS x, b.l_partkey AS y
+                FROM dedup a JOIN dedup b
+                  ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+                GROUP BY x, y HAVING COUNT(*) >= 2
+            ), e AS (
+                SELECT x AS a, y AS b FROM pairs
+                UNION ALL SELECT y, x FROM pairs
+            ), nodes AS (
+                SELECT DISTINCT a AS pk FROM e
+            ), nn AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes
+            ), srcs AS (
+                SELECT pk AS src FROM nodes ORDER BY pk LIMIT 4
+            ), reach(src, pk, lvl) AS (
+                SELECT src, src, 0 FROM srcs
+                UNION
+                SELECT r.src, e.b, r.lvl + 1 FROM reach r
+                JOIN e ON e.a = r.pk
+                WHERE r.lvl < 6
+            ), d AS (
+                SELECT src, pk, MIN(lvl) AS dist
+                FROM reach GROUP BY 1, 2
+            ), agg AS (
+                SELECT src, CAST(COUNT(*) AS BIGINT) AS n_reach,
+                       CAST(SUM(dist) AS BIGINT) AS farness
+                FROM d GROUP BY src
+            )
+            SELECT src, n_reach, farness,
+                   CASE WHEN farness = 0 OR nn.n <= 1 THEN 0
+                        ELSE CAST((n_reach - 1) * (n_reach - 1) * 1000000
+                             // ((nn.n - 1) * farness) AS BIGINT)
+                   END AS closeness_ppm
+            FROM agg, nn ORDER BY src
+        """,
         "parts_bfs_levels": """
             WITH RECURSIVE dedup AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

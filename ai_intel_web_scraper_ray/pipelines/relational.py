@@ -7885,3 +7885,102 @@ def customer_er_pairs(sf_dir: str) -> pd.DataFrame:
         out[c] = out[c].astype("int64")
     return out[list(cols)].sort_values(["custkey1", "custkey2"]) \
         .reset_index(drop=True)
+
+
+_CLOSE_SOURCES = 4
+_CLOSE_MAX_LEVEL = 6
+
+
+def parts_closeness(sf_dir: str, support: int = _BFS_SUPPORT,
+                    n_sources: int = _CLOSE_SOURCES,
+                    max_level: int = _CLOSE_MAX_LEVEL) -> pd.DataFrame:
+    """Hop-bounded Wasserman–Faust closeness centrality from the
+    ``n_sources`` smallest part keys over the co-order graph:
+    ``closeness_ppm = (n_reach−1)²·10⁶ // ((n_nodes−1)·farness)`` where
+    farness sums BFS distances ≤ ``max_level`` — the reachability-scaled
+    form, so a source reaching few nodes cheaply doesn't beat one
+    reaching the whole graph.  Isolated sources (farness 0) score 0.
+    Output (src, n_reach, farness, closeness_ppm) sorted by src.
+
+    Scale shape: the parts_bfs_levels contract run SIMULTANEOUSLY for
+    all sources — each level broadcasts the per-source frontier sets
+    and ONE edge scan emits distinct (source, neighbor) partials, so K
+    sources cost max_level scans total, not K·max_level; the edge
+    Dataset is materialized once and never leaves the workers.  The
+    node census is a per-block distinct partial (the part key space is
+    dimension-sized — the parts_components assumption)."""
+    import ray
+
+    edges = _co_order_edges(sf_dir, support)
+    cols = ("src", "n_reach", "farness", "closeness_ppm")
+    empty = pd.DataFrame({
+        "src": pd.Series([], dtype="int64"),
+        "n_reach": pd.Series([], dtype="int64"),
+        "farness": pd.Series([], dtype="int64"),
+        "closeness_ppm": pd.Series([], dtype="int64")})
+    if edges.count() == 0:
+        return empty
+
+    def block_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(np.concatenate([df["a_id"].to_numpy(),
+                                      df["b_id"].to_numpy()]))
+        return pd.DataFrame({"pk": u.astype("int64")})
+
+    all_nodes = np.unique(
+        edges.map_batches(block_nodes, batch_format="pandas")
+        .to_pandas()["pk"].to_numpy())
+    n_nodes = int(len(all_nodes))
+    sources = [int(x) for x in all_nodes[:n_sources]]
+
+    visited = {s: {s: 0} for s in sources}
+    frontier = {s: {s} for s in sources}
+    for lvl in range(1, max_level + 1):
+        f_ref = ray.put({s: frozenset(f) for s, f in frontier.items()
+                         if f})
+        if not ray.get(f_ref):
+            break
+
+        def neighbors(df: pd.DataFrame) -> pd.DataFrame:
+            fmap = ray.get(f_ref)
+            a = df["a_id"].to_numpy()
+            b = df["b_id"].to_numpy()
+            srcs, nbs = [], []
+            for s, f in fmap.items():
+                am = np.array([x in f for x in a], dtype=bool)
+                bm = np.array([x in f for x in b], dtype=bool)
+                out = np.unique(np.concatenate([b[am], a[bm]]))
+                srcs.extend([s] * len(out))
+                nbs.extend(out)
+            return pd.DataFrame({
+                "src": pd.Series(srcs, dtype="int64"),
+                "nb": pd.Series(nbs, dtype="int64")})
+
+        nbs = edges.map_batches(neighbors, batch_format="pandas") \
+            .to_pandas()
+        progressed = False
+        for s in sources:
+            sub = nbs[nbs["src"] == s]["nb"] if len(nbs) else []
+            nxt = set(int(x) for x in sub) - set(visited[s])
+            for n in nxt:
+                visited[s][n] = lvl
+            frontier[s] = nxt
+            progressed = progressed or bool(nxt)
+        if not progressed:
+            break
+
+    rows = []
+    for s in sources:
+        n_reach = len(visited[s])
+        farness = sum(visited[s].values())
+        if farness == 0 or n_nodes <= 1:
+            cl = 0
+        else:
+            cl = ((n_reach - 1) * (n_reach - 1) * 1_000_000
+                  // ((n_nodes - 1) * farness))
+        rows.append((s, n_reach, farness, cl))
+    rows.sort()
+    return pd.DataFrame({
+        "src": pd.Series([r[0] for r in rows], dtype="int64"),
+        "n_reach": pd.Series([r[1] for r in rows], dtype="int64"),
+        "farness": pd.Series([r[2] for r in rows], dtype="int64"),
+        "closeness_ppm": pd.Series([r[3] for r in rows], dtype="int64")})

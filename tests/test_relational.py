@@ -1371,3 +1371,24 @@ def test_er_pairs_blocking_verify_and_dedup(tmp_path):
     # abd~ab is also dist 1 — pinned complete result set
     assert got[(1, 2)] == 1
     assert set(got) == {(0, 1), (0, 2), (1, 2), (4, 5)}
+
+
+def test_closeness_path_graph_hand_computed(tmp_path):
+    """Path 1—2—3—4—5 (support 2): from src 1, distances 0+1+2+3+4=10
+    over n_reach=5 of n_nodes=5 → (4²·10⁶)//(4·10) = 400000; src 3 (the
+    center) has farness 1+1+2+2=6 → 16·10⁶//24 = 666666.  An isolated
+    pair (6—7) has farness 1 → (1·10⁶)//(6·1) = 166666 via the
+    reachability penalty (n_reach−1)²/(n_nodes−1)."""
+    _write_coorder_graph(tmp_path, [
+        ((1, 2), 2), ((2, 3), 2), ((3, 4), 2), ((4, 5), 2),
+        ((6, 7), 2)])
+    out = rel.parts_closeness(str(tmp_path))
+    got = {int(r.src): (int(r.n_reach), int(r.farness),
+                        int(r.closeness_ppm))
+           for r in out.itertuples(index=False)}
+    # sources = 4 smallest node ids: 1, 2, 3, 4 ; n_nodes = 7
+    assert got[1] == (5, 10, 4 * 4 * 1_000_000 // (6 * 10))
+    assert got[2] == (5, 7, 16_000_000 // (6 * 7))
+    assert got[3] == (5, 6, 16_000_000 // (6 * 6))
+    assert got[4] == (5, 7, 16_000_000 // (6 * 7))
+    assert set(got) == {1, 2, 3, 4}
