@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_entropy_rate": rel.events_entropy_rate,
         "customer_er_pairs": rel.customer_er_pairs,
         "parts_closeness": rel.parts_closeness,
+        "events_dp_counts": rel.events_dp_counts,
         "orders_skyline": rel.orders_skyline,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
@@ -2945,6 +2946,25 @@ def oracle_sql() -> dict[str, str]:
                         // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
                        AS prob_ppm
             FROM counts ORDER BY from_type, to_type
+        """,
+        # DP-shaped noisy release: Laplace(10) by inverse CDF from the
+        # md5 uniform (md5_32(type)+0.5)/2³² — deterministic so both
+        # sides add the identical noise; sign(u−½)=0 at exactly ½
+        "events_dp_counts": """
+            WITH c AS (
+                SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY 1
+            ), u AS (
+                SELECT event_type, n,
+                       (CAST(('0x' || substr(md5(event_type), 1, 8))
+                             AS BIGINT) + 0.5) / 4294967296.0 AS u
+                FROM c
+            )
+            SELECT event_type, n,
+                   n + CAST(ROUND(-10.0 * sign(u - 0.5)
+                            * ln(1 - 2 * abs(u - 0.5))) AS BIGINT)
+                       AS noisy_n
+            FROM u ORDER BY event_type
         """,
         # FastSS delete-1 blocking entity resolution: candidate pairs
         # share a (name ∪ one-char-deletes) variant, verified with exact

@@ -7984,3 +7984,49 @@ def parts_closeness(sf_dir: str, support: int = _BFS_SUPPORT,
         "n_reach": pd.Series([r[1] for r in rows], dtype="int64"),
         "farness": pd.Series([r[2] for r in rows], dtype="int64"),
         "closeness_ppm": pd.Series([r[3] for r in rows], dtype="int64")})
+
+
+_DP_SCALE = 10.0  # Laplace b = 1/ε with ε = 0.1
+
+
+def events_dp_counts(sf_dir: str, b: float = _DP_SCALE) -> pd.DataFrame:
+    """Differentially-private-SHAPED per-type event counts: Laplace(b)
+    noise drawn by inverse CDF from a DETERMINISTIC md5 uniform
+    ``u = (md5_32(event_type)+0.5)/2³²`` so engine and twin add the
+    IDENTICAL noise — ``noisy_n = n + round(−b·sgn(u−½)·ln(1−2|u−½|))``
+    (the docs_weighted_sample md5-uniform contract; a seeded release
+    pipeline would swap the hash input for ``seed‖type``).  Real DP
+    needs fresh randomness — this pins the mechanism's dataflow shape:
+    one bounded count aggregate, per-key noise, no second pass.
+    Output (event_type, n, noisy_n) sorted by type.
+
+    Scale shape: per-block (type, count) partials — the bounded-final
+    contract of events_value_stats; noise is O(|types|) driver work."""
+    import hashlib
+    import math
+
+    ds = _read(sf_dir, "events", ["event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "event_type" not in parts.columns:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "noisy_n": pd.Series([], dtype="int64")})
+    g = parts.groupby("event_type", as_index=False)["n"].sum()
+    noisy = []
+    for et, n in zip(g["event_type"], g["n"]):
+        h = int(hashlib.md5(str(et).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        s = 0.0 if u == 0.5 else (1.0 if u > 0.5 else -1.0)
+        noise = -b * s * math.log(1 - 2 * abs(u - 0.5))
+        noisy.append(int(n) + int(np.round(noise)))
+    g["noisy_n"] = pd.Series(noisy, dtype="int64")
+    g["n"] = g["n"].astype("int64")
+    return g.sort_values("event_type").reset_index(drop=True)

@@ -1392,3 +1392,29 @@ def test_closeness_path_graph_hand_computed(tmp_path):
     assert got[3] == (5, 6, 16_000_000 // (6 * 6))
     assert got[4] == (5, 7, 16_000_000 // (6 * 7))
     assert set(got) == {1, 2, 3, 4}
+
+
+def test_dp_counts_noise_is_deterministic_and_bounded(tmp_path):
+    """The md5-uniform Laplace noise is pinned per type: recomputing the
+    inverse CDF in the test reproduces noisy_n exactly, two runs agree,
+    and |noise| ≤ b·ln(2³²) ≈ 222."""
+    import hashlib
+    import math
+
+    _write_events(tmp_path, [
+        (i, f"2024-01-01 0{i % 10}:00:00", i, t, 1.0)
+        for i, t in enumerate(["view"] * 7 + ["purchase"] * 3)
+    ])
+    out = rel.events_dp_counts(str(tmp_path))
+    out2 = rel.events_dp_counts(str(tmp_path))
+    assert out.equals(out2)
+    got = {r.event_type: (int(r.n), int(r.noisy_n))
+           for r in out.itertuples(index=False)}
+    for et, (n, noisy) in got.items():
+        h = int(hashlib.md5(et.encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        s = 0.0 if u == 0.5 else (1.0 if u > 0.5 else -1.0)
+        expect = n + int(round(-10.0 * s * math.log(1 - 2 * abs(u - 0.5))))
+        assert noisy == expect
+        assert abs(noisy - n) <= 222
+    assert got["view"][0] == 7 and got["purchase"][0] == 3
