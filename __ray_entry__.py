@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_interleaved_roundtrip": dq.docs_interleaved_roundtrip,
         "docs_top_tokens": dq.docs_top_tokens,
         "docs_burstiness": dq.docs_burstiness,
+        "emb_lid": dq.emb_lid,
         "docs_fingerprints": dq.docs_fingerprints,         # pinned-table oracle
         "docs_top_per_source": dq.docs_top_per_source,
         "docs_decontaminate": dq.docs_decontaminate,
@@ -4443,6 +4444,45 @@ def oracle_sql() -> dict[str, str]:
         # kNN label propagation audit: vec_id%5==0 held out, majority of
         # 3 nearest labeled neighbors (ROUND-6 cosine; ties → smaller
         # vec_id; vote ties → smaller label)
+        # Levina–Bickel MLE local intrinsic dimensionality at sampled
+        # points: k=8 nearest by d = 1−ROUND(cos,6) (ties → smaller
+        # vec_id), fixed-point ln terms, zero-distance neighbors
+        # excluded from k AND the sum
+        "emb_lid": """
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id % 7 = 0
+                ORDER BY vec_id LIMIT 16
+            ), scored AS (
+                SELECT q.qid, e.vec_id,
+                       1 - ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS d
+                FROM embeddings e, q WHERE e.vec_id <> q.qid
+            ), topk AS (
+                SELECT qid, vec_id, d,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY d, vec_id) AS rn
+                FROM scored
+            ), nn AS (
+                SELECT qid, vec_id, d FROM topk WHERE rn <= 8
+            ), mx AS (
+                SELECT qid, MAX(d) AS dk FROM nn GROUP BY qid
+            ), terms AS (
+                SELECT nn.qid,
+                       CAST(COUNT(*) FILTER (WHERE nn.d > 0) AS BIGINT)
+                           AS k_eff,
+                       SUM(CASE WHEN nn.d > 0 THEN
+                           CAST(ROUND(ln(mx.dk / nn.d) * 1000000)
+                                AS BIGINT) ELSE 0 END) AS s
+                FROM nn JOIN mx USING (qid) GROUP BY nn.qid
+            )
+            SELECT qid, k_eff,
+                   CAST(COALESCE(s, 0) AS BIGINT) AS sum_micro,
+                   CASE WHEN COALESCE(s, 0) > 0
+                        THEN CAST(k_eff * 1000000000000 // s AS BIGINT)
+                        ELSE 0 END AS lid_ppm
+            FROM terms ORDER BY qid
+        """,
         "emb_knn_classify": """
             WITH q AS (
                 SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,

@@ -5958,3 +5958,107 @@ def docs_burstiness(sf_dir: str, min_tot: int = _BURST_MIN_TOT,
     for c in cols[1:]:
         parts[c] = parts[c].astype("int64")
     return parts[list(cols)].reset_index(drop=True)
+
+
+_LID_K = 8
+_LID_MOD = 7
+_LID_QUERIES = 16
+
+
+def emb_lid(sf_dir: str, k: int = _LID_K, mod: int = _LID_MOD,
+            n_queries: int = _LID_QUERIES) -> pd.DataFrame:
+    """Local intrinsic dimensionality (Levina–Bickel MLE) at sampled
+    points: for the ``n_queries`` smallest vec_ids with
+    ``vec_id % mod == 0``, take the ``k`` nearest OTHER vectors by
+    cosine distance ``d = 1 − ROUND(cos, 6)`` (ties → smaller vec_id)
+    and report ``lid_ppm = k_eff·10¹² // Σᵢ round(ln(d_k/d_i)·10⁶)``
+    over neighbors with d > 0 (k_eff counts them; zero-distance
+    duplicates are excluded from BOTH k and the sum, and an all-zero or
+    zero-sum neighborhood scores 0).  High LID marks regions where ANN
+    indexes degrade — the curation-time difficulty audit next to
+    emb_isotropy's global score.  Output (qid, k_eff, sum_micro,
+    lid_ppm) sorted by qid.
+
+    Scale shape: the emb_knn contract — one bounded pass samples the
+    query matrix (≤ n_queries rows per block partial), the scoring pass
+    broadcasts it and emits per-(query, block) top-k projections, so
+    the driver merge is ≤ blocks×k×queries rows and the integer term
+    sum is order-free."""
+    import ray
+
+    ds = _emb(sf_dir)
+
+    def q_partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"vec_id": pd.Series([], dtype="int64")}
+        cols.update({f"e{i}": pd.Series([], dtype="float64")
+                     for i in range(64)})
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = ids % mod == 0
+        if not m.any():
+            return pd.DataFrame(cols)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[m]) \
+            .astype(np.float64)
+        sub = pd.DataFrame({"vec_id": ids[m].astype("int64")})
+        for i in range(64):
+            sub[f"e{i}"] = vecs[:, i]
+        return sub.nsmallest(n_queries, "vec_id")
+
+    qdf = ds.map_batches(q_partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({
+        "qid": pd.Series([], dtype="int64"),
+        "k_eff": pd.Series([], dtype="int64"),
+        "sum_micro": pd.Series([], dtype="int64"),
+        "lid_ppm": pd.Series([], dtype="int64")})
+    if qdf.empty or "vec_id" not in qdf.columns:
+        return empty
+    qdf = qdf.nsmallest(n_queries, "vec_id").reset_index(drop=True)
+    Q = qdf[[f"e{i}" for i in range(64)]].to_numpy(dtype=np.float64)
+    qids = qdf["vec_id"].to_numpy(dtype="int64")
+    q_ref = ray.put(Q)
+    qids_ref = ray.put(qids)
+
+    def score_partial(t: pa.Table) -> pd.DataFrame:
+        cols2 = {"qid": pd.Series([], dtype="int64"),
+                 "vec_id": pd.Series([], dtype="int64"),
+                 "d": pd.Series([], dtype="float64")}
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        if len(ids) == 0:
+            return pd.DataFrame(cols2)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        qm, qi_arr = ray.get(q_ref), ray.get(qids_ref)
+        rows = []
+        for qi in range(qm.shape[0]):
+            keep = ids != qi_arr[qi]
+            if not keep.any():
+                continue
+            d = 1.0 - np.round(cosine_scores(vecs[keep], qm[qi]), 6)
+            lids = ids[keep]
+            order = np.lexsort((lids, d))[:k]
+            for j in order:
+                rows.append((int(qi_arr[qi]), int(lids[j]), float(d[j])))
+        return pd.DataFrame(rows, columns=["qid", "vec_id", "d"])
+
+    parts = ds.map_batches(score_partial, batch_format="pyarrow") \
+        .to_pandas()
+    if parts.empty:
+        return empty
+    out_rows = []
+    for qid in qids:
+        g = parts[parts["qid"] == qid]
+        if len(g) == 0:
+            continue
+        g = g.sort_values(["d", "vec_id"], kind="mergesort").head(k)
+        d = g["d"].to_numpy(dtype=np.float64)
+        dk = float(d.max())
+        pos = d > 0
+        k_eff = int(pos.sum())
+        s = int(np.round(np.log(dk / d[pos]) * 1_000_000)
+                .astype("int64").sum()) if k_eff else 0
+        lid = k_eff * 10**12 // s if s > 0 else 0
+        out_rows.append((int(qid), k_eff, s, lid))
+    out = pd.DataFrame(out_rows,
+                       columns=["qid", "k_eff", "sum_micro", "lid_ppm"])
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("qid").reset_index(drop=True)

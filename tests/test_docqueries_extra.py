@@ -1167,3 +1167,47 @@ def test_burstiness_separates_bursty_from_uniform(tmp_path):
     hi = dq.docs_burstiness(str(tmp_path), min_tot=100)
     assert len(hi) == 0
     assert list(hi.columns) == ["word", "tot", "df", "fano_ppm"]
+
+
+def test_lid_excludes_zero_distance_duplicates(tmp_path):
+    """A query with an EXACT duplicate among its 8 neighbors drops it
+    from both k_eff and the sum (d=0 would blow up ln d_k/d_i); the
+    remaining terms reproduce the hand-evaluated MLE."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    def unit(t):
+        v = np.zeros(64, dtype=np.float32)
+        v[0], v[1] = 1.0, t
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    # vec 0 is the only query (vec_id % 7 == 0 among ids 0..6);
+    # vec 1 duplicates it exactly; 2..6 sit at increasing angles
+    ts = [0.0, 0.0, 0.1, 0.2, 0.3, 0.4, 0.5]
+    vecs = [unit(t) for t in ts]
+    t = pa.table({
+        "vec_id": pa.array(range(7), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 7, pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = dq.emb_lid(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert int(r.qid) == 0
+    assert int(r.k_eff) == 5  # 6 candidates, duplicate excluded
+    # replicate the pinned arithmetic from the raw cosines
+    q = np.asarray(vecs[0], dtype=np.float64)
+    ds_ = []
+    for v in vecs[2:]:
+        v64 = np.asarray(v, dtype=np.float64)
+        cs = float(v64 @ q / (np.linalg.norm(v64) * np.linalg.norm(q)))
+        ds_.append(1.0 - round(cs, 6))
+    dk = max(ds_)
+    s = sum(int(np.round(math.log(dk / d) * 1_000_000)) for d in ds_)
+    assert int(r.sum_micro) == s
+    assert int(r.lid_ppm) == 5 * 10**12 // s
