@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_top_tokens": dq.docs_top_tokens,
         "docs_burstiness": dq.docs_burstiness,
         "emb_lid": dq.emb_lid,
+        "emb_snn_components": dq.emb_snn_components,
         "docs_fingerprints": dq.docs_fingerprints,         # pinned-table oracle
         "docs_top_per_source": dq.docs_top_per_source,
         "docs_decontaminate": dq.docs_decontaminate,
@@ -4444,6 +4445,40 @@ def oracle_sql() -> dict[str, str]:
         # kNN label propagation audit: vec_id%5==0 held out, majority of
         # 3 nearest labeled neighbors (ROUND-6 cosine; ties → smaller
         # vec_id; vote ties → smaller label)
+        # mutual-3NN graph components: directed top-3 by ROUND-6 cosine
+        # (ties → smaller vec_id), an edge needs BOTH directions, then
+        # min-label closure; nodes with no mutual edge emit nothing
+        "emb_snn_components": """
+            WITH RECURSIVE topk AS (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                               CAST(b.embedding AS DOUBLE[]),
+                               CAST(a.embedding AS DOUBLE[])), 6) DESC,
+                               b.vec_id) AS rn
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id
+            ), nn AS (
+                SELECT src, dst FROM topk WHERE rn <= 3
+            ), mutual AS (
+                SELECT x.src AS a, x.dst AS b
+                FROM nn x JOIN nn y ON x.src = y.dst AND x.dst = y.src
+                WHERE x.src < x.dst
+            ), e AS (
+                SELECT a, b FROM mutual UNION ALL SELECT b, a FROM mutual
+            ), nodes AS (
+                SELECT DISTINCT a AS v FROM e
+            ), reach(v, l) AS (
+                SELECT v, v FROM nodes
+                UNION
+                SELECT e.b, r.l FROM reach r JOIN e ON e.a = r.v
+            ), comp AS (
+                SELECT v, MIN(l) AS component_id FROM reach GROUP BY v
+            )
+            SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                   CAST(SUM(v) AS BIGINT) AS vec_checksum
+            FROM comp GROUP BY 1 ORDER BY 1
+        """,
         # Levina–Bickel MLE local intrinsic dimensionality at sampled
         # points: k=8 nearest by d = 1−ROUND(cos,6) (ties → smaller
         # vec_id), fixed-point ln terms, zero-distance neighbors

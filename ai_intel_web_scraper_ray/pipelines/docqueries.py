@@ -6062,3 +6062,132 @@ def emb_lid(sf_dir: str, k: int = _LID_K, mod: int = _LID_MOD,
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("qid").reset_index(drop=True)
+
+
+_SNN_K = 3
+
+
+def emb_snn_components(sf_dir: str, k: int = _SNN_K) -> pd.DataFrame:
+    """Mutual-kNN (shared-nearest-neighbor) clustering: an undirected
+    edge joins two vectors iff EACH is in the other's top-``k`` by
+    cosine (ROUND 6, ties → smaller vec_id, self excluded); connected
+    components of that graph are the clusters — the density-adaptive
+    grouping used to find coherent corpus regions where a fixed-radius
+    rule can't.  Vectors with no mutual edge emit no row.  Output one
+    row per component: (component_id = min vec_id, n_vecs,
+    vec_checksum) sorted by component_id.
+
+    Scale shape: the normalized matrix ships ONCE via ``ray.put`` and
+    each block ranks its own rows against it with one matmul — the
+    documented assumption is N·d floats fit the object store (the
+    crawl page-index pattern); beyond that the candidate pass swaps to
+    the emb_ivf_recall bucketed scan.  Ties rank through ONE int64
+    composite key ((−cs_micro)·2³³ + vec_id — exact while vec_id < 2³³)
+    so per-row top-k is argpartition, not a Python loop.  Directed hits
+    dedup to mutual edges under a pair-hash bucket (count == 2), and
+    components run in the label_components min-label exchange."""
+    import ray
+
+    from ..stages.dedup import label_components
+
+    ds = _emb(sf_dir).materialize()
+    empty = pd.DataFrame({
+        "component_id": pd.Series([], dtype="int64"),
+        "n_vecs": pd.Series([], dtype="int64"),
+        "vec_checksum": pd.Series([], dtype="int64")})
+
+    def mat_partial(t: pa.Table) -> pd.DataFrame:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        cols = {"vec_id": pd.Series(ids, dtype="int64")}
+        if len(ids) == 0:
+            cols.update({f"e{i}": pd.Series([], dtype="float64")
+                         for i in range(64)})
+            return pd.DataFrame(cols)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        out = pd.DataFrame(cols)
+        for i in range(64):
+            out[f"e{i}"] = vecs[:, i]
+        return out
+
+    mdf = ds.map_batches(mat_partial, batch_format="pyarrow").to_pandas()
+    if len(mdf) < 2:
+        return empty
+    mdf = mdf.sort_values("vec_id").reset_index(drop=True)
+    all_ids = mdf["vec_id"].to_numpy(dtype="int64")
+    M = mdf[[f"e{i}" for i in range(64)]].to_numpy(dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    Mh = M / norms[:, None]
+    m_ref = ray.put(Mh)
+    ids_ref = ray.put(all_ids)
+
+    def topk_partial(t: pa.Table) -> pd.DataFrame:
+        cols2 = {"a": pd.Series([], dtype="int64"),
+                 "b": pd.Series([], dtype="int64"),
+                 "_pb": pd.Series([], dtype="int64")}
+        bids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        if len(bids) == 0:
+            return pd.DataFrame(cols2)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        bn = np.linalg.norm(vecs, axis=1)
+        bn[bn == 0] = 1.0
+        mh, aid = ray.get(m_ref), ray.get(ids_ref)
+        cs = np.round((vecs / bn[:, None]) @ mh.T, 6)
+        cs_i = np.round(cs * 1_000_000).astype(np.int64)
+        # exclude self: the matrix is vec_id-sorted, so searchsorted
+        # finds each block row's own column
+        self_col = np.searchsorted(aid, bids)
+        # sentinel below any real cs_micro (≥ −10⁶) — NOT int64 min,
+        # whose negation in the composite key would overflow
+        cs_i[np.arange(len(bids)), self_col] = -2_000_000
+        key = (-cs_i) * (1 << 33) + aid[None, :]
+        kk = min(k, key.shape[1] - 1)
+        idx = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        src = np.repeat(bids, kk)
+        dst = aid[idx.ravel()]
+        lo = np.minimum(src, dst)
+        hi = np.maximum(src, dst)
+        pb = ((lo * 1_000_003 + hi) % 64).astype("int64")
+        return pd.DataFrame({"a": lo, "b": hi, "_pb": pb})
+
+    def mutual(df: pd.DataFrame) -> pd.DataFrame:
+        cols3 = {"a_id": pd.Series([], dtype="int64"),
+                 "b_id": pd.Series([], dtype="int64"),
+                 "a_seq": pd.Series([], dtype="int64"),
+                 "b_seq": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "a" not in df.columns:
+            return pd.DataFrame(cols3)
+        g = df.groupby(["a", "b"], as_index=False).size()
+        g = g[g["size"] >= 2]
+        return pd.DataFrame({
+            "a_id": g["a"].astype("int64"),
+            "b_id": g["b"].astype("int64"),
+            "a_seq": g["a"].astype("int64"),
+            "b_seq": g["b"].astype("int64")})
+
+    edges = ds.map_batches(topk_partial, batch_format="pyarrow") \
+        .groupby("_pb").map_groups(mutual, batch_format="pandas")
+    if edges.count() == 0:
+        return empty
+    labels, _, _ = label_components(edges)
+
+    def lab_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_lb"] = (df["label"].astype("int64") % 64).astype("int64")
+        return df
+
+    def comp_stats(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("label", as_index=False).agg(
+            n_vecs=("id", "size"), vec_checksum=("id", "sum"))
+        return out.rename(columns={"label": "component_id"})
+
+    out = labels.map_batches(lab_bucket, batch_format="pandas") \
+        .groupby("_lb").map_groups(comp_stats, batch_format="pandas") \
+        .to_pandas()
+    if not len(out):
+        return empty
+    for c in ("component_id", "n_vecs", "vec_checksum"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("component_id").reset_index(drop=True)

@@ -1211,3 +1211,31 @@ def test_lid_excludes_zero_distance_duplicates(tmp_path):
     s = sum(int(np.round(math.log(dk / d) * 1_000_000)) for d in ds_)
     assert int(r.sum_micro) == s
     assert int(r.lid_ppm) == 5 * 10**12 // s
+
+
+def test_snn_components_mutual_k2_splits_two_triads(tmp_path):
+    """Two orthogonal triads with k=2: every vector's top-2 are its own
+    triad mates (mutual), so exactly two components come out, labeled
+    by their min vec_id with exact id checksums."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    def unit(axis, t_axis, t):
+        v = np.zeros(64, dtype=np.float64)
+        v[axis], v[t_axis] = 1.0, t
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    vecs = [unit(0, 1, 0.0), unit(0, 1, 0.1), unit(0, 1, 0.2),
+            unit(2, 3, 0.0), unit(2, 3, 0.1), unit(2, 3, 0.2)]
+    t = pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 6, pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = dq.emb_snn_components(str(tmp_path), k=2)
+    got = {int(r.component_id): (int(r.n_vecs), int(r.vec_checksum))
+           for r in out.itertuples(index=False)}
+    assert got == {0: (3, 3), 3: (3, 12)}
