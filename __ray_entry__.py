@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_er_pairs": rel.customer_er_pairs,
         "parts_closeness": rel.parts_closeness,
         "events_dp_counts": rel.events_dp_counts,
+        "events_attribution": rel.events_attribution,
         "orders_skyline": rel.orders_skyline,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
@@ -2948,6 +2949,36 @@ def oracle_sql() -> dict[str, str]:
                         // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
                        AS prob_ppm
             FROM counts ORDER BY from_type, to_type
+        """,
+        # last-touch attribution: latest same-user view STRICTLY before
+        # each purchase, ≤24 h back, ties → larger event_id; purchases
+        # with no qualifying view fall into view_hour = −1
+        "events_attribution": """
+            WITH p AS (
+                SELECT event_id, user_id, ts,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM events WHERE event_type = 'purchase'
+            ), v AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'view'
+            ), j AS (
+                SELECT p.event_id AS pid, v.ts AS vts,
+                       ROW_NUMBER() OVER (PARTITION BY p.event_id
+                           ORDER BY v.ts DESC, v.event_id DESC) AS rn
+                FROM p JOIN v
+                  ON p.user_id = v.user_id
+                 AND v.ts < p.ts
+                 AND v.ts >= p.ts - INTERVAL 24 HOURS
+            ), best AS (
+                SELECT pid, vts FROM j WHERE rn = 1
+            )
+            SELECT CASE WHEN b.vts IS NULL THEN CAST(-1 AS BIGINT)
+                        ELSE CAST(EXTRACT(hour FROM b.vts) AS BIGINT)
+                   END AS view_hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                   CAST(SUM(p.cents) AS BIGINT) AS cents_total
+            FROM p LEFT JOIN best b ON b.pid = p.event_id
+            GROUP BY 1 ORDER BY 1
         """,
         # DP-shaped noisy release: Laplace(10) by inverse CDF from the
         # md5 uniform (md5_32(type)+0.5)/2³² — deterministic so both

