@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_closeness": rel.parts_closeness,
         "events_dp_counts": rel.events_dp_counts,
         "events_attribution": rel.events_attribution,
+        "events_bot_users": rel.events_bot_users,
         "orders_skyline": rel.orders_skyline,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
@@ -2949,6 +2950,35 @@ def oracle_sql() -> dict[str, str]:
                         // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
                        AS prob_ppm
             FROM counts ORDER BY from_type, to_type
+        """,
+        # cadence-regularity bot census: users with ≥5 gaps flag iff
+        # IQR·10⁶ // median < 1.4·10⁶ (quantile_disc order statistics;
+        # zero median = perfectly regular = bot)
+        "events_bot_users": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)
+                           AS gap
+                FROM events
+            ), m AS (
+                SELECT user_id,
+                       quantile_disc(gap, 0.5) AS med,
+                       quantile_disc(gap, 0.75)
+                           - quantile_disc(gap, 0.25) AS iqr
+                FROM g WHERE gap IS NOT NULL
+                GROUP BY user_id HAVING COUNT(*) >= 5
+            ), f AS (
+                SELECT user_id,
+                       CASE WHEN med = 0
+                                 OR iqr * 1000000 // med < 1400000
+                            THEN 1 ELSE 0 END AS is_bot
+                FROM m
+            )
+            SELECT CAST(is_bot AS BIGINT) AS is_bot,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(user_id) AS BIGINT) AS user_checksum
+            FROM f GROUP BY 1 ORDER BY 1
         """,
         # last-touch attribution: latest same-user view STRICTLY before
         # each purchase, ≤24 h back, ties → larger event_id; purchases

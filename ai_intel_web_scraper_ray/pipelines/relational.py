@@ -8099,3 +8099,87 @@ def events_attribution(sf_dir: str) -> pd.DataFrame:
     for c in cols:
         out[c] = out[c].astype("int64")
     return out.sort_values("view_hour").reset_index(drop=True)
+
+
+_BOT_MIN_GAPS = 5
+_BOT_REG_PPM = 1_400_000
+
+
+def events_bot_users(sf_dir: str, min_gaps: int = _BOT_MIN_GAPS,
+                     reg_ppm: int = _BOT_REG_PPM) -> pd.DataFrame:
+    """Cadence-regularity bot flagging: a user with ≥ ``min_gaps``
+    inter-event gaps is a bot iff ``IQR·10⁶ // median < reg_ppm`` over
+    their gap distribution (quantile_disc order statistics — too-even
+    timing is the classic automation tell; a zero median is perfectly
+    regular and flags).  The census output (is_bot, n_users,
+    user_checksum) keeps the result bounded at any corpus size; the
+    1.4·10⁶ threshold splits the synthetic population so BOTH classes
+    are live in the gate.
+
+    Scale shape: user-hash buckets carry whole histories; inside a
+    bucket gaps come from ONE (user, ts, event_id) sort + diff masked
+    at user boundaries, and per-user quantiles from ONE (user, gap)
+    sort + vectorized ceil(q·n)−1 indexing — no per-user Python; each
+    bucket emits its two census partials."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    cols = ("is_bot", "n_users", "user_checksum")
+    empty = pd.DataFrame({
+        "is_bot": pd.Series([], dtype="int64"),
+        "n_users": pd.Series([], dtype="int64"),
+        "user_checksum": pd.Series([], dtype="int64")})
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df[["user_id", "ts", "event_id", "_b"]]
+
+    def bucket_census(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2 or "user_id" not in df.columns:
+            return empty.copy()
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        uid = df["user_id"].to_numpy(dtype="int64")
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        same = uid[:-1] == uid[1:]
+        gu = uid[1:][same]
+        gaps = (ts[1:] - ts[:-1])[same]
+        if len(gu) == 0:
+            return empty.copy()
+        order = np.lexsort((gaps, gu))
+        gu, gaps = gu[order], gaps[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], gu[1:] != gu[:-1])))
+        n = np.diff(np.append(starts, len(gu))).astype("int64")
+        keep = n >= min_gaps
+        if not keep.any():
+            return empty.copy()
+        st, nn = starts[keep], n[keep]
+        users = gu[st]
+
+        def q_disc(q: float) -> np.ndarray:
+            idx = st + np.ceil(q * nn).astype("int64") - 1
+            return gaps[idx]
+
+        med = q_disc(0.5)
+        iqr = q_disc(0.75) - q_disc(0.25)
+        is_bot = np.where(
+            (med == 0) | (np.where(med == 0, 0,
+             iqr * 1_000_000 // np.where(med == 0, 1, med)) < reg_ppm),
+            1, 0).astype("int64")
+        out = pd.DataFrame({"is_bot": is_bot, "u": users})
+        agg = out.groupby("is_bot", as_index=False).agg(
+            n_users=("u", "size"), user_checksum=("u", "sum"))
+        for c in cols:
+            agg[c] = agg[c].astype("int64")
+        return agg[list(cols)]
+
+    parts = ds.map_batches(tag, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_census, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty or "is_bot" not in parts.columns:
+        return empty
+    out = parts.groupby("is_bot", as_index=False)[
+        ["n_users", "user_checksum"]].sum()
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("is_bot").reset_index(drop=True)

@@ -1445,3 +1445,35 @@ def test_attribution_pins_strictness_window_and_ties(tmp_path):
     assert got[9] == (1, 200)       # user 1 → 09:30 view (not 05:00)
     assert got[-1] == (2, 800)      # users 2 and 3 unattributed
     assert set(got) == {-1, 9}
+
+
+def test_bot_users_flags_metronome_and_zero_gaps(tmp_path):
+    """A metronome user (identical gaps → IQR 0) and an all-equal-ts
+    user (median 0) both flag; a user with wildly uneven gaps does
+    not; users under 5 gaps are ignored entirely."""
+    rows = []
+    eid = 0
+    # user 1: exactly 60s gaps ×6 → IQR 0 → bot
+    for i in range(7):
+        rows.append((eid, f"2024-01-01 00:{i:02d}:00", 1, "view", 0.0))
+        eid += 1
+    # user 2: all events at one ts → median gap 0 → bot
+    for _ in range(6):
+        rows.append((eid, "2024-01-01 00:00:00", 2, "view", 0.0))
+        eid += 1
+    # user 3: gaps 1s, 60s, 1h, 10h, 100h → IQR ≈ 10× median → human
+    for t in ("2024-01-01 00:00:00", "2024-01-01 00:00:01",
+              "2024-01-01 00:01:01", "2024-01-01 01:01:01",
+              "2024-01-01 11:01:01", "2024-01-05 15:01:01"):
+        rows.append((eid, t, 3, "view", 0.0))
+        eid += 1
+    # user 4: only 3 gaps → below min_gaps, not counted
+    for i in range(4):
+        rows.append((eid, f"2024-01-01 0{i}:00:00", 4, "view", 0.0))
+        eid += 1
+    _write_events(tmp_path, rows)
+    out = rel.events_bot_users(str(tmp_path))
+    got = {int(r.is_bot): (int(r.n_users), int(r.user_checksum))
+           for r in out.itertuples(index=False)}
+    assert got[1] == (2, 3)   # users 1 and 2
+    assert got[0] == (1, 3)   # user 3
