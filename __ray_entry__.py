@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_hamming_topk": dq.emb_hamming_topk,
         "emb_hamming_recall": dq.emb_hamming_recall,
         "docs_bpe_merges": dq.docs_bpe_merges,
+        "docs_bpe_fertility": dq.docs_bpe_fertility,
         "emb_mmr": dq.emb_mmr,
         "docs_bm25": dq.docs_bm25,
         "parts_neighbor_jaccard": rel.parts_neighbor_jaccard,
@@ -907,6 +908,72 @@ def _bpe_sql(rounds: int = 5) -> str:
         f"CAST(cnt AS BIGINT) AS n FROM win{r}"
         for r in range(1, rounds + 1))
     parts.append(f"\n{union}\nORDER BY round")
+    return "".join(parts)
+
+
+def _bpe_fertility_sql(rounds: int = 5) -> str:
+    """Generated twin of docqueries.docs_bpe_fertility: the _bpe_sql
+    training chain (w0/v0, p/win/v per round), then the learned merges
+    replay over each (lang, word) with LEFT JOIN ON TRUE so an EMPTY
+    win{r} (degenerate corpus ran out of pairs) leaves symbols
+    untouched instead of emptying the chain; symbol count = number of
+    chr(1) wrappers."""
+    parts = [r"""WITH w0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS word
+    FROM documents) GROUP BY word
+), v0 AS (
+  SELECT chr(1) || list_aggregate(string_split(word, ''), 'string_agg',
+                                  chr(2) || chr(1)) || chr(2) AS sym, n
+  FROM w0
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""", p{r} AS (
+  SELECT pair, SUM(n) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(l)),
+                                 i -> l[i] || chr(3) || l[i+1])) AS pair, n
+    FROM (SELECT string_split(substr(sym, 2, length(sym) - 2),
+                              chr(2) || chr(1)) AS l, n FROM v{r - 1}))
+  GROUP BY pair
+), win{r} AS (
+  SELECT pair, cnt FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+), v{r} AS (
+  SELECT replace(v.sym,
+                 chr(1) || string_split(w.pair, chr(3))[1] || chr(2) ||
+                 chr(1) || string_split(w.pair, chr(3))[2] || chr(2),
+                 chr(1) || string_split(w.pair, chr(3))[1] ||
+                 string_split(w.pair, chr(3))[2] || chr(2)) AS sym, v.n
+  FROM v{r - 1} v CROSS JOIN win{r} w
+)""")
+    parts.append(r""", wl AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+        AS word
+    FROM documents) GROUP BY lang, word
+), u0 AS (
+  SELECT lang, n, chr(1) || list_aggregate(string_split(word, ''),
+             'string_agg', chr(2) || chr(1)) || chr(2) AS sym
+  FROM wl
+)""")
+    for r in range(1, rounds + 1):
+        parts.append(f""", u{r} AS (
+  SELECT u.lang, u.n,
+         CASE WHEN w.pair IS NULL THEN u.sym
+              ELSE replace(u.sym,
+                 chr(1) || string_split(w.pair, chr(3))[1] || chr(2) ||
+                 chr(1) || string_split(w.pair, chr(3))[2] || chr(2),
+                 chr(1) || string_split(w.pair, chr(3))[1] ||
+                 string_split(w.pair, chr(3))[2] || chr(2))
+         END AS sym
+  FROM u{r - 1} u LEFT JOIN win{r} w ON TRUE
+)""")
+    parts.append(f"""
+SELECT lang, CAST(SUM(n) AS BIGINT) AS n_word_tokens,
+       CAST(SUM(n * (length(sym) - length(replace(sym, chr(1), ''))))
+            AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(n * (length(sym) - length(replace(sym, chr(1), ''))))
+            * 1000000 // SUM(n) AS BIGINT) AS fertility_ppm
+FROM u{rounds} GROUP BY lang ORDER BY lang""")
     return "".join(parts)
 
 
@@ -5101,6 +5168,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_hamming_topk": _hamming_sql(),
         "emb_hamming_recall": _hamming_recall_sql(),
         "docs_bpe_merges": _bpe_sql(),
+        # per-lang fertility of the corpus-trained BPE (generated twin:
+        # training chain + LEFT-JOIN-ON-TRUE merge replay per word)
+        "docs_bpe_fertility": _bpe_fertility_sql(),
         "parts_sssp": _sssp_sql(),
         # FULL OUTER calendar alignment of the two fact-date streams
         "orders_ship_calendar": """

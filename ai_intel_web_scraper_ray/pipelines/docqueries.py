@@ -6191,3 +6191,69 @@ def emb_snn_components(sf_dir: str, k: int = _SNN_K) -> pd.DataFrame:
     for c in ("component_id", "n_vecs", "vec_checksum"):
         out[c] = out[c].astype("int64")
     return out.sort_values("component_id").reset_index(drop=True)
+
+
+def docs_bpe_fertility(sf_dir: str, rounds: int = _BPE_ROUNDS) -> pd.DataFrame:
+    """Tokenizer fertility per language under the corpus-trained BPE:
+    train the ``rounds`` pinned merges (docs_bpe_merges — the identical
+    distributed training), apply them to every word occurrence and
+    report ``fertility_ppm = n_bpe_tokens·10⁶ // n_word_tokens`` per
+    lang — the compression audit that tells a curation pipeline which
+    languages the tokenizer under-serves.  Word contract
+    ``[a-z0-9_]+`` over lowercased text (the BPE/top_tokens contract);
+    langs whose slice has no words emit no row.  Output (lang,
+    n_word_tokens, n_bpe_tokens, fertility_ppm) sorted by lang.
+
+    Scale shape: training is docs_bpe_merges' vocab-table exchange;
+    application needs NO word exchange at all — symbol counts are
+    additive over occurrences, so each batch tokenizes, replays the ≤
+    ``rounds`` pinned merges with vectorized sentinel replaces on its
+    batch-distinct words, and emits per-lang (Σwords, Σsymbols)
+    partials; the driver merges ≤ |langs|·blocks rows."""
+    merges = docs_bpe_merges(sf_dir, rounds=rounds)
+    patreps = [(_bpe_wrap(r.s1) + _bpe_wrap(r.s2), _bpe_wrap(r.s1 + r.s2))
+               for r in merges.itertuples(index=False)]
+    ds = _docs(sf_dir, ["lang", "text"])
+    cols = ("lang", "n_word_tokens", "n_bpe_tokens", "fertility_ppm")
+    empty = pd.DataFrame({
+        "lang": pd.Series([], dtype=object),
+        "n_word_tokens": pd.Series([], dtype="int64"),
+        "n_bpe_tokens": pd.Series([], dtype="int64"),
+        "fertility_ppm": pd.Series([], dtype="int64")})
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for lg, tx in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for w in re.findall(r"[a-z0-9_]+", (tx or "").lower()):
+                c[(lg, w)] += 1
+        if not c:
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype=object),
+                "nw": pd.Series([], dtype="int64"),
+                "nb": pd.Series([], dtype="int64")})
+        langs = [k[0] for k in c]
+        words = [k[1] for k in c]
+        n = np.array(list(c.values()), dtype="int64")
+        s = pd.Series(["".join(_bpe_wrap(ch) for ch in w)
+                       for w in words], dtype=object)
+        for pat, rep in patreps:
+            s = s.str.replace(pat, rep, regex=False)
+        syms = s.str.count(_BPE_S1).to_numpy(dtype="int64")
+        df = pd.DataFrame({"lang": langs, "nw": n, "nb": n * syms})
+        out = df.groupby("lang", as_index=False)[["nw", "nb"]].sum()
+        out["nw"] = out["nw"].astype("int64")
+        out["nb"] = out["nb"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty or "lang" not in parts.columns:
+        return empty
+    g = parts.groupby("lang", as_index=False)[["nw", "nb"]].sum()
+    g["fertility_ppm"] = (g["nb"].astype("int64") * 1_000_000
+                          // g["nw"].astype("int64"))
+    g = g.rename(columns={"nw": "n_word_tokens", "nb": "n_bpe_tokens"})
+    for c in cols[1:]:
+        g[c] = g[c].astype("int64")
+    return g[list(cols)].sort_values("lang").reset_index(drop=True)

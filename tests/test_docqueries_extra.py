@@ -1239,3 +1239,48 @@ def test_snn_components_mutual_k2_splits_two_triads(tmp_path):
     got = {int(r.component_id): (int(r.n_vecs), int(r.vec_checksum))
            for r in out.itertuples(index=False)}
     assert got == {0: (3, 3), 3: (3, 12)}
+
+
+def test_bpe_fertility_per_lang_and_empty_win_parity(tmp_path):
+    """With 2 training rounds, 'aaaa' collapses to ONE symbol (fertility
+    10⁶) while 'xyzw' stays 4 (4·10⁶).  And on a corpus whose training
+    runs out of pairs (all 1-char words), the generated twin's
+    LEFT JOIN ON TRUE replay must keep rows — verified by running the
+    oracle SQL directly against the engine output."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+    from __ray_entry__ import _bpe_fertility_sql
+    from tools.check_correctness import compare
+
+    def write(texts_langs):
+        t = pa.table({
+            "doc_id": pa.array(range(len(texts_langs)), pa.int64()),
+            "text": pa.array([x[0] for x in texts_langs], pa.string()),
+            "lang": pa.array([x[1] for x in texts_langs], pa.string()),
+            "source": pa.array(["s"] * len(texts_langs), pa.string()),
+            "n_chars": pa.array([len(x[0]) for x in texts_langs],
+                                pa.int64())})
+        pq.write_table(t, tmp_path / "documents.parquet")
+
+    write([("aaaa aaaa", "en"), ("xyzw", "fr")])
+    out = dq.docs_bpe_fertility(str(tmp_path), rounds=2)
+    got = {r.lang: (int(r.n_word_tokens), int(r.n_bpe_tokens),
+                    int(r.fertility_ppm))
+           for r in out.itertuples(index=False)}
+    assert got["en"] == (2, 2, 1_000_000)
+    assert got["fr"] == (1, 4, 4_000_000)
+
+    # degenerate: every word 1 char → win1..win5 all EMPTY
+    write([("a b c a", "en"), ("z", "fr")])
+    eng = dq.docs_bpe_fertility(str(tmp_path), rounds=5)
+    assert {r.lang: int(r.fertility_ppm)
+            for r in eng.itertuples(index=False)} == {
+                "en": 1_000_000, "fr": 1_000_000}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet("
+                f"'{tmp_path}/documents.parquet')")
+    sql = con.execute(_bpe_fertility_sql()).fetchdf()
+    problems = compare("docs_bpe_fertility", eng, sql)
+    assert not problems, problems
