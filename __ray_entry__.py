@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dp_counts": rel.events_dp_counts,
         "events_attribution": rel.events_attribution,
         "events_bot_users": rel.events_bot_users,
+        "parts_edge_churn": rel.parts_edge_churn,
         "orders_skyline": rel.orders_skyline,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
@@ -4940,6 +4941,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         # BFS hop distance over the co-order part graph (≤ 4 hops from the
         # min edge endpoint); recursive reach closure, MIN(level) per node
+        # month-over-month Jaccard of the co-order edge set; the last
+        # observed month compares against an empty successor
+        "parts_edge_churn": """
+            WITH e AS (
+                SELECT DISTINCT
+                       CAST(date_trunc('month', o.o_orderdate)
+                            AS TIMESTAMP) AS m,
+                       a.l_partkey AS x, b.l_partkey AS y
+                FROM lineitem a
+                JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                                AND a.l_partkey < b.l_partkey
+                JOIN orders o ON o.o_orderkey = a.l_orderkey
+            ), cnt AS (
+                SELECT m, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY m
+            ), com AS (
+                SELECT e1.m, CAST(COUNT(*) AS BIGINT) AS c
+                FROM e e1 JOIN e e2
+                  ON e1.x = e2.x AND e1.y = e2.y
+                 AND e2.m = e1.m + INTERVAL 1 MONTH
+                GROUP BY e1.m
+            )
+            SELECT c1.m AS month1, c1.n AS n_edges1,
+                   COALESCE(c2.n, 0) AS n_edges2,
+                   COALESCE(com.c, 0) AS n_common,
+                   CAST(COALESCE(com.c, 0) * 1000000
+                        // (c1.n + COALESCE(c2.n, 0) - COALESCE(com.c, 0))
+                        AS BIGINT) AS jaccard_ppm
+            FROM cnt c1
+            LEFT JOIN cnt c2 ON c2.m = c1.m + INTERVAL 1 MONTH
+            LEFT JOIN com ON com.m = c1.m
+            ORDER BY month1
+        """,
         # hop-6 Wasserman–Faust closeness from the 4 smallest part keys:
         # the parts_bfs_levels reach closure per source, farness = Σ min
         # levels, (n_reach−1)²·10⁶ // ((n_nodes−1)·farness)

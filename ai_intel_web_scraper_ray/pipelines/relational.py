@@ -8183,3 +8183,119 @@ def events_bot_users(sf_dir: str, min_gaps: int = _BOT_MIN_GAPS,
     for c in cols:
         out[c] = out[c].astype("int64")
     return out.sort_values("is_bot").reset_index(drop=True)
+
+
+def parts_edge_churn(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month stability of the co-order part graph: for each
+    order month m, Jaccard between that month's edge set (parts sharing
+    ≥1 order dated in m, a<b) and month m+1's —
+    ``jaccard_ppm = common·10⁶ // (n₁+n₂−common)`` — the temporal-graph
+    churn audit (an assortment shift shows up as a Jaccard cliff).  The
+    last observed month compares against an empty successor (0 ppm).
+    Output (month1, n_edges1, n_edges2, n_common, jaccard_ppm) sorted.
+
+    Scale shape: lineitem's distinct (order, part) projection
+    hash-joins orders' (key, month) — never a driver-side fact map (the
+    q5 lesson); pairs generate per ORDER bucket with one vectorized
+    self-merge; global edge dedup and the consecutive-month match both
+    finish under the PAIR-hash bucket (every month of an (a,b) edge
+    colocates, so a shift compare inside one sort finds m→m+1 runs);
+    each bucket emits ≤ |months| partials."""
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    cols = ("month1", "n_edges1", "n_edges2", "n_common", "jaccard_ppm")
+    empty = pd.DataFrame({
+        "month1": pd.Series([], dtype="datetime64[us]"),
+        "n_edges1": pd.Series([], dtype="int64"),
+        "n_edges2": pd.Series([], dtype="int64"),
+        "n_common": pd.Series([], dtype="int64"),
+        "jaccard_ppm": pd.Series([], dtype="int64")})
+
+    def omonth(df: pd.DataFrame) -> pd.DataFrame:
+        m = pd.to_datetime(df["o_orderdate"]).to_numpy() \
+            .astype("datetime64[M]").astype("int64")
+        return pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "m": pd.Series(m, dtype="int64")})
+
+    def lp(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["l_orderkey", "l_partkey"]).copy()
+        out["l_orderkey"] = out["l_orderkey"].astype("int64")
+        out["l_partkey"] = out["l_partkey"].astype("int64")
+        return out
+
+    joined = line.map_batches(lp, batch_format="pandas").join(
+        orders.map_batches(omonth, batch_format="pandas"),
+        join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "lineitem"),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def ob(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_ob"] = (df["l_orderkey"].astype("int64") % 64).astype("int64")
+        return df[["l_orderkey", "l_partkey", "m", "_ob"]]
+
+    def gen_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame({
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "m": pd.Series([], dtype="int64"),
+                "_pb": pd.Series([], dtype="int64")})
+        mm = df.merge(df[["l_orderkey", "l_partkey"]], on="l_orderkey")
+        mm = mm[mm["l_partkey_x"] < mm["l_partkey_y"]]
+        out = mm.drop_duplicates(["l_partkey_x", "l_partkey_y", "m"])
+        return pd.DataFrame({
+            "a": out["l_partkey_x"].astype("int64").to_numpy(),
+            "b": out["l_partkey_y"].astype("int64").to_numpy(),
+            "m": out["m"].astype("int64").to_numpy(),
+            "_pb": ((out["l_partkey_x"].astype("int64") * 1_000_003
+                     + out["l_partkey_y"].astype("int64")) % 64)
+            .astype("int64").to_numpy()})
+
+    def churn_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols2 = {"m": pd.Series([], dtype="int64"),
+                 "n_edges": pd.Series([], dtype="int64"),
+                 "n_common": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "a" not in df.columns:
+            return pd.DataFrame(cols2)
+        d = df.drop_duplicates(["a", "b", "m"]) \
+            .sort_values(["a", "b", "m"], kind="mergesort")
+        a = d["a"].to_numpy(dtype="int64")
+        b = d["b"].to_numpy(dtype="int64")
+        m = d["m"].to_numpy(dtype="int64")
+        nxt = np.zeros(len(d), dtype=bool)
+        if len(d) > 1:
+            nxt[:-1] = (a[:-1] == a[1:]) & (b[:-1] == b[1:]) \
+                & (m[:-1] + 1 == m[1:])
+        out = pd.DataFrame({"m": m, "one": 1,
+                            "c": nxt.astype("int64")})
+        agg = out.groupby("m", as_index=False).agg(
+            n_edges=("one", "sum"), n_common=("c", "sum"))
+        for c in ("m", "n_edges", "n_common"):
+            agg[c] = agg[c].astype("int64")
+        return agg
+
+    parts = joined.map_batches(ob, batch_format="pandas") \
+        .groupby("_ob").map_groups(gen_pairs, batch_format="pandas") \
+        .groupby("_pb").map_groups(churn_partial, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty or "m" not in parts.columns:
+        return empty
+    g = parts.groupby("m", as_index=False)[["n_edges", "n_common"]].sum()
+    cnt = dict(zip(g["m"].astype(int), g["n_edges"].astype(int)))
+    rows = []
+    for m1, n1, c in zip(g["m"].astype(int), g["n_edges"].astype(int),
+                         g["n_common"].astype(int)):
+        n2 = cnt.get(m1 + 1, 0)
+        union = n1 + n2 - c
+        rows.append((m1, n1, n2, c, c * 1_000_000 // union))
+    rows.sort()
+    return pd.DataFrame({
+        "month1": pd.Series(np.array([r[0] for r in rows],
+                                     dtype="int64").astype("datetime64[M]")
+                            .astype("datetime64[us]")),
+        "n_edges1": pd.Series([r[1] for r in rows], dtype="int64"),
+        "n_edges2": pd.Series([r[2] for r in rows], dtype="int64"),
+        "n_common": pd.Series([r[3] for r in rows], dtype="int64"),
+        "jaccard_ppm": pd.Series([r[4] for r in rows], dtype="int64")})

@@ -1477,3 +1477,36 @@ def test_bot_users_flags_metronome_and_zero_gaps(tmp_path):
            for r in out.itertuples(index=False)}
     assert got[1] == (2, 3)   # users 1 and 2
     assert got[0] == (1, 3)   # user 3
+
+
+def test_edge_churn_jaccard_and_last_month(tmp_path):
+    """Jan edges {(1,2),(2,3)}, Feb edges {(1,2),(4,5)} → common 1,
+    union 3 → 333333 ppm; Feb (the last observed month) compares
+    against an empty March (0 ppm)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # orders 10,11 in Jan; 12,13 in Feb
+    odf = pd.DataFrame({
+        "o_orderkey": pd.Series([10, 11, 12, 13], dtype="int64"),
+        "o_orderdate": pd.to_datetime([
+            "2024-01-05", "2024-01-20", "2024-02-03", "2024-02-28"])})
+    pq.write_table(pa.Table.from_pandas(odf, preserve_index=False),
+                   tmp_path / "orders.parquet")
+    rows = [(10, 1), (10, 2),          # Jan edge (1,2)
+            (11, 2), (11, 3),          # Jan edge (2,3)
+            (12, 1), (12, 2),          # Feb edge (1,2)
+            (13, 4), (13, 5)]          # Feb edge (4,5)
+    ldf = pd.DataFrame({
+        "l_orderkey": pd.Series([r[0] for r in rows], dtype="int64"),
+        "l_partkey": pd.Series([r[1] for r in rows], dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(ldf, preserve_index=False),
+                   tmp_path / "lineitem.parquet")
+    out = rel.parts_edge_churn(str(tmp_path))
+    got = {str(r.month1)[:7]: (int(r.n_edges1), int(r.n_edges2),
+                               int(r.n_common), int(r.jaccard_ppm))
+           for r in out.itertuples(index=False)}
+    assert got["2024-01"] == (2, 2, 1, 333_333)
+    assert got["2024-02"] == (2, 0, 0, 0)
+    assert set(got) == {"2024-01", "2024-02"}
