@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": rel.events_attribution,
         "events_bot_users": rel.events_bot_users,
         "parts_edge_churn": rel.parts_edge_churn,
+        "parts_bom_rollup": rel.parts_bom_rollup,
         "orders_skyline": rel.orders_skyline,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
@@ -4941,6 +4942,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         # BFS hop distance over the co-order part graph (≤ 4 hops from the
         # min edge endpoint); recursive reach closure, MIN(level) per node
+        # BOM-style subtree rollup over the decimal prefix hierarchy:
+        # node v aggregates every part whose prefix chain passes v;
+        # the root 0 counts once per part (first k reaching 0)
+        "parts_bom_rollup": """
+            WITH pc AS (
+                SELECT p_partkey AS p,
+                       CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT)
+                           AS cents
+                FROM part
+            ), anc AS (
+                SELECT p, cents,
+                       p // CAST(POWER(10, k) AS BIGINT) AS node
+                FROM pc, (SELECT unnest(range(0, 13)) AS k)
+                WHERE p // CAST(POWER(10, k) AS BIGINT) <= 99
+                  AND (k = 0
+                       OR p // CAST(POWER(10, k) AS BIGINT) > 0
+                       OR p // CAST(POWER(10, k - 1) AS BIGINT) > 0)
+            )
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(cents) AS BIGINT) AS total_cents
+            FROM anc GROUP BY node ORDER BY node
+        """,
         # month-over-month Jaccard of the co-order edge set; the last
         # observed month compares against an empty successor
         "parts_edge_churn": """

@@ -8299,3 +8299,69 @@ def parts_edge_churn(sf_dir: str) -> pd.DataFrame:
         "n_edges2": pd.Series([r[2] for r in rows], dtype="int64"),
         "n_common": pd.Series([r[3] for r in rows], dtype="int64"),
         "jaccard_ppm": pd.Series([r[4] for r in rows], dtype="int64")})
+
+
+_BOM_MAX_NODE = 99
+
+
+def parts_bom_rollup(sf_dir: str) -> pd.DataFrame:
+    """Hierarchical subtree rollup (the BOM-explosion shape) over the
+    synthetic decimal prefix tree: node v is an ancestor of part p iff
+    v = p // 10ᵏ for some k ≥ 0 (each part is its own depth-0 node and
+    the root 0 is counted ONCE per part — the first k where the prefix
+    chain hits 0).  For every node ≤ ``_BOM_MAX_NODE``: the part count
+    and exact retail cents of its whole subtree.  Output (node,
+    n_parts, total_cents) sorted by node.
+
+    Scale shape: ancestor expansion is row-local (≤ 13 vectorized
+    prefix divisions per block — no recursion, no exchange) and each
+    block emits ≤ 100-node partials, so the driver merge is bounded
+    regardless of part count — a recursive-CTE rollup re-expressed as
+    a flat bounded fan-out, the way a streaming engine wants it."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+    cols = ("node", "n_parts", "total_cents")
+    empty = pd.DataFrame({
+        "node": pd.Series([], dtype="int64"),
+        "n_parts": pd.Series([], dtype="int64"),
+        "total_cents": pd.Series([], dtype="int64")})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty.copy()
+        p = df["p_partkey"].to_numpy(dtype="int64")
+        cents = np.floor(
+            df["p_retailprice"].to_numpy() * 100 + 0.5).astype("int64")
+        nodes, cs = [], []
+        for k in range(0, 13):
+            a = p // 10**k
+            if k == 0:
+                # every part is its own depth-0 node (part 0 included)
+                emit = a <= _BOM_MAX_NODE
+            else:
+                # the root 0 is emitted exactly once: at the FIRST k
+                # where the prefix chain reaches it (prev > 0)
+                prev = p // 10 ** (k - 1)
+                emit = (a <= _BOM_MAX_NODE) & ((a > 0) | (prev > 0))
+            if emit.any():
+                nodes.append(a[emit])
+                cs.append(cents[emit])
+            if (a == 0).all():
+                break
+        if not nodes:
+            return empty.copy()
+        out = pd.DataFrame({"node": np.concatenate(nodes),
+                            "cents": np.concatenate(cs)})
+        agg = out.groupby("node", as_index=False).agg(
+            n_parts=("cents", "size"), total_cents=("cents", "sum"))
+        for c in cols:
+            agg[c] = agg[c].astype("int64")
+        return agg[list(cols)]
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "node" not in parts.columns:
+        return empty
+    out = parts.groupby("node", as_index=False)[
+        ["n_parts", "total_cents"]].sum()
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)

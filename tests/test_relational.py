@@ -1510,3 +1510,27 @@ def test_edge_churn_jaccard_and_last_month(tmp_path):
     assert got["2024-01"] == (2, 2, 1, 333_333)
     assert got["2024-02"] == (2, 0, 0, 0)
     assert set(got) == {"2024-01", "2024-02"}
+
+
+def test_bom_rollup_prefix_chain_and_root_once(tmp_path):
+    """Parts 5/12/123/1234: deep parts roll into their 2-digit and
+    1-digit prefixes and the root exactly once each; nodes over 99
+    never appear."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame({
+        "p_partkey": pd.Series([5, 12, 123, 1234], dtype="int64"),
+        "p_retailprice": pd.Series([1.0, 2.0, 3.0, 4.0],
+                                   dtype="float64")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "part.parquet")
+    out = rel.parts_bom_rollup(str(tmp_path))
+    got = {int(r.node): (int(r.n_parts), int(r.total_cents))
+           for r in out.itertuples(index=False)}
+    assert got[0] == (4, 1000)
+    assert got[1] == (3, 900)
+    assert got[12] == (3, 900)
+    assert got[5] == (1, 100)
+    assert set(got) == {0, 1, 5, 12}
