@@ -5033,8 +5033,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src, n_reach, farness,
                    CASE WHEN farness = 0 OR nn.n <= 1 THEN 0
-                        ELSE CAST((n_reach - 1) * (n_reach - 1) * 1000000
-                             // ((nn.n - 1) * farness) AS BIGINT)
+                        ELSE CAST(CAST(n_reach - 1 AS HUGEINT)
+                             * (n_reach - 1) * 1000000
+                             // (CAST(nn.n - 1 AS HUGEINT) * farness)
+                             AS BIGINT)
                    END AS closeness_ppm
             FROM agg, nn ORDER BY src
         """,

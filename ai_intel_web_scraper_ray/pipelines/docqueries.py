@@ -6250,9 +6250,13 @@ def docs_bpe_fertility(sf_dir: str, rounds: int = _BPE_ROUNDS) -> pd.DataFrame:
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if parts.empty or "lang" not in parts.columns:
         return empty
+    # object-dtype Python ints: nb·10⁶ passes 2⁶³ on a web corpus (the
+    # SQL side is HUGEINT automatically via SUM(BIGINT))
+    parts["nw"] = parts["nw"].map(int).astype(object)
+    parts["nb"] = parts["nb"].map(int).astype(object)
     g = parts.groupby("lang", as_index=False)[["nw", "nb"]].sum()
-    g["fertility_ppm"] = (g["nb"].astype("int64") * 1_000_000
-                          // g["nw"].astype("int64"))
+    g["fertility_ppm"] = [int(b) * 1_000_000 // int(w)
+                          for b, w in zip(g["nb"], g["nw"])]
     g = g.rename(columns={"nw": "n_word_tokens", "nb": "n_bpe_tokens"})
     for c in cols[1:]:
         g[c] = g[c].astype("int64")
