@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bot_users": rel.events_bot_users,
         "parts_edge_churn": rel.parts_edge_churn,
         "parts_bom_rollup": rel.parts_bom_rollup,
+        "events_dup_within_window": rel.events_dup_within_window,
         "orders_skyline": rel.orders_skyline,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
@@ -3019,6 +3020,24 @@ def oracle_sql() -> dict[str, str]:
                         // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
                        AS prob_ppm
             FROM counts ORDER BY from_type, to_type
+        """,
+        # rapid-repeat (retry-storm) audit: an event is a repeat iff
+        # the same (user, type) fired within 1 h before it (LAG on the
+        # identical key — engine's adjacent-row shift compare)
+        "events_dup_within_window": """
+            WITH l AS (
+                SELECT event_type,
+                       CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                                PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) <= 3600000000
+                            THEN 1 ELSE 0 END AS dup
+                FROM events
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(dup) AS BIGINT) AS n_dups,
+                   CAST(SUM(dup) * 1000000 // COUNT(*) AS BIGINT)
+                       AS dup_ppm
+            FROM l GROUP BY 1 ORDER BY 1
         """,
         # cadence-regularity bot census: users with ≥5 gaps flag iff
         # IQR·10⁶ // median < 1.4·10⁶ (quantile_disc order statistics;

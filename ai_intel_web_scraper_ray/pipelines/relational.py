@@ -8365,3 +8365,68 @@ def parts_bom_rollup(sf_dir: str) -> pd.DataFrame:
     for c in cols:
         out[c] = out[c].astype("int64")
     return out.sort_values("node").reset_index(drop=True)
+
+
+_DUPWIN_US = 3_600_000_000  # 1 hour
+
+
+def events_dup_within_window(sf_dir: str,
+                             window_us: int = _DUPWIN_US) -> pd.DataFrame:
+    """Rapid-repeat (retry-storm) audit: an event is a REPEAT iff the
+    same (user_id, event_type) fired within ``window_us`` before it
+    (LAG over the identical key ordered by (ts, event_id) — the
+    double-fire / at-least-once-delivery smell).  Census output
+    (event_type, n_events, n_dups, dup_ppm) sorted by type, with
+    ``dup_ppm = n_dups·10⁶ // n_events``; both classes are live at the
+    gate SFs (184 repeats at sf0.01, 14 at sf0.001).
+
+    Scale shape: user-hash buckets carry whole histories; inside a
+    bucket ONE (user, type, ts, event_id) sort + shift compare finds
+    every repeat (the key's previous occurrence is always the adjacent
+    row), and each bucket emits ≤ |types| count partials."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    cols = ("event_type", "n_events", "n_dups", "dup_ppm")
+    empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype=object),
+        "n_events": pd.Series([], dtype="int64"),
+        "n_dups": pd.Series([], dtype="int64"),
+        "dup_ppm": pd.Series([], dtype="int64")})
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df[["event_id", "ts", "user_id", "event_type", "_b"]]
+
+    def bucket_census(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty.copy()
+        df = df.sort_values(["user_id", "event_type", "ts",
+                             "event_id"], kind="mergesort")
+        uid = df["user_id"].to_numpy(dtype="int64")
+        et = df["event_type"].to_numpy(dtype=object)
+        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype("int64")
+        dup = np.zeros(len(df), dtype="int64")
+        if len(df) > 1:
+            same = (uid[:-1] == uid[1:]) & (et[:-1] == et[1:])
+            dup[1:] = (same & (ts[1:] - ts[:-1] <= window_us)) \
+                .astype("int64")
+        out = pd.DataFrame({"event_type": et, "one": 1, "dup": dup})
+        agg = out.groupby("event_type", as_index=False).agg(
+            n_events=("one", "sum"), n_dups=("dup", "sum"))
+        agg["n_events"] = agg["n_events"].astype("int64")
+        agg["n_dups"] = agg["n_dups"].astype("int64")
+        return agg
+
+    parts = ds.map_batches(tag, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_census, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty or "event_type" not in parts.columns:
+        return empty
+    out = parts.groupby("event_type", as_index=False)[
+        ["n_events", "n_dups"]].sum()
+    out["dup_ppm"] = (out["n_dups"].astype("int64") * 1_000_000
+                      // out["n_events"].astype("int64"))
+    for c in cols[1:]:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -1534,3 +1534,23 @@ def test_bom_rollup_prefix_chain_and_root_once(tmp_path):
     assert got[12] == (3, 900)
     assert got[5] == (1, 100)
     assert set(got) == {0, 1, 5, 12}
+
+
+def test_dup_within_window_boundary_and_chain(tmp_path):
+    """A repeat exactly AT the window boundary counts (≤); one 1 µs
+    past does not; a burst of 3 counts 2 repeats (each row checks only
+    its previous identical-key occurrence); different users never
+    pair."""
+    _write_events(tmp_path, [
+        (0, "2024-01-01 00:00:00.000000", 1, "view", 0.0),
+        (1, "2024-01-01 01:00:00.000000", 1, "view", 0.0),   # ≤ 1h: dup
+        (2, "2024-01-01 02:00:00.000001", 1, "view", 0.0),   # 1h+1µs: no
+        (3, "2024-01-01 02:30:00.000000", 1, "view", 0.0),   # dup (vs #2)
+        (4, "2024-01-01 00:10:00.000000", 2, "view", 0.0),   # other user
+        (5, "2024-01-01 00:00:00.000000", 1, "click", 0.0),  # other type
+    ])
+    out = rel.events_dup_within_window(str(tmp_path))
+    got = {r.event_type: (int(r.n_events), int(r.n_dups), int(r.dup_ppm))
+           for r in out.itertuples(index=False)}
+    assert got["view"] == (5, 2, 400_000)
+    assert got["click"] == (1, 0, 0)
