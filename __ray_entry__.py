@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_edge_churn": rel.parts_edge_churn,
         "parts_bom_rollup": rel.parts_bom_rollup,
         "events_dup_within_window": rel.events_dup_within_window,
+        "orders_backtest_mae": rel.orders_backtest_mae,
         "orders_skyline": rel.orders_skyline,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
@@ -3020,6 +3021,35 @@ def oracle_sql() -> dict[str, str]:
                         // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
                        AS prob_ppm
             FROM counts ORDER BY from_type, to_type
+        """,
+        # forecast backtest: one-step MAE of naive-1 vs seasonal-12
+        # over monthly revenue, evaluated where the lagged month exists
+        "orders_backtest_mae": """
+            WITH m AS (
+                SELECT CAST(date_trunc('month', o_orderdate)
+                            AS TIMESTAMP) AS mo,
+                       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5)
+                                AS BIGINT)) AS cents
+                FROM orders GROUP BY 1
+            ), naive AS (
+                SELECT ABS(a.cents - b.cents) AS err
+                FROM m a JOIN m b ON b.mo = a.mo - INTERVAL 1 MONTH
+            ), seas AS (
+                SELECT ABS(a.cents - b.cents) AS err
+                FROM m a JOIN m b ON b.mo = a.mo - INTERVAL 12 MONTH
+            )
+            SELECT 'naive_1' AS method,
+                   CAST(COUNT(*) AS BIGINT) AS n_eval,
+                   CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                             ELSE SUM(err) // COUNT(*) END AS BIGINT)
+                       AS mae_cents
+            FROM naive
+            UNION ALL
+            SELECT 'seasonal_12', CAST(COUNT(*) AS BIGINT),
+                   CAST(CASE WHEN COUNT(*) = 0 THEN 0
+                             ELSE SUM(err) // COUNT(*) END AS BIGINT)
+            FROM seas
+            ORDER BY method
         """,
         # rapid-repeat (retry-storm) audit: an event is a repeat iff
         # the same (user, type) fired within 1 h before it (LAG on the

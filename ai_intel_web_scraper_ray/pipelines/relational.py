@@ -8430,3 +8430,48 @@ def events_dup_within_window(sf_dir: str,
     for c in cols[1:]:
         out[c] = out[c].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def orders_backtest_mae(sf_dir: str) -> pd.DataFrame:
+    """Forecast backtesting over monthly revenue: one-step-ahead MAE of
+    the naive forecast (previous calendar month) vs the seasonal naive
+    (same month last year), each evaluated on every observed month
+    whose reference month is also observed —
+    ``mae_cents = Σ|actual−forecast| // n_eval`` (integer cents, DuckDB
+    trunc-div on non-negatives).  The model-selection primitive behind
+    orders_holt_forecast: which baseline must a real model beat.
+    Output (method, n_eval, mae_cents) for 'naive_1' and 'seasonal_12'.
+
+    Scale shape: per-block (month, cents) partials — the monthly table
+    is bounded by the time horizon, so the driver fold over two lag
+    self-matches is O(months); no exchange anywhere."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = pd.to_datetime(df["o_orderdate"]).to_numpy() \
+            .astype("datetime64[M]").astype("int64")
+        cents = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        out = pd.DataFrame({"m": m, "cents": cents}) \
+            .groupby("m", as_index=False)["cents"].sum()
+        out["m"] = out["m"].astype("int64")
+        out["cents"] = out["cents"].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rows = []
+    if parts.empty or "m" not in parts.columns:
+        rev = {}
+    else:
+        g = parts.groupby("m", as_index=False)["cents"].sum()
+        rev = dict(zip(g["m"].astype(int), g["cents"].astype(int)))
+    for method, lag in (("naive_1", 1), ("seasonal_12", 12)):
+        errs = [abs(c - rev[m - lag]) for m, c in rev.items()
+                if m - lag in rev]
+        mae = sum(errs) // len(errs) if errs else 0
+        rows.append((method, len(errs), mae))
+    rows.sort()
+    return pd.DataFrame({
+        "method": [r[0] for r in rows],
+        "n_eval": pd.Series([r[1] for r in rows], dtype="int64"),
+        "mae_cents": pd.Series([r[2] for r in rows], dtype="int64")})

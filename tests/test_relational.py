@@ -1554,3 +1554,24 @@ def test_dup_within_window_boundary_and_chain(tmp_path):
            for r in out.itertuples(index=False)}
     assert got["view"] == (5, 2, 400_000)
     assert got["click"] == (1, 0, 0)
+
+
+def test_backtest_mae_skips_unobserved_reference_months(tmp_path):
+    """Months Jan/Feb/Apr 2024 (March missing): naive evaluates Feb
+    (|200−100|=100) only — Apr's reference March is unobserved;
+    seasonal-12 has no evaluable month and reports (0, 0)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame({
+        "o_orderdate": pd.to_datetime(
+            ["2024-01-15", "2024-02-10", "2024-04-01"]),
+        "o_totalprice": pd.Series([1.00, 2.00, 9.00], dtype="float64")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "orders.parquet")
+    out = rel.orders_backtest_mae(str(tmp_path))
+    got = {r.method: (int(r.n_eval), int(r.mae_cents))
+           for r in out.itertuples(index=False)}
+    assert got["naive_1"] == (1, 100)
+    assert got["seasonal_12"] == (0, 0)
