@@ -379,6 +379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_pq_codes": dq.emb_pq_codes,
         "emb_residual_quantize": dq.emb_residual_quantize,
         "emb_pq_adc_topk": dq.emb_pq_adc_topk,
+        "emb_pq_recall": dq.emb_pq_recall,
         "emb_prefix_fidelity": dq.emb_prefix_fidelity,
         "docs_dup_cluster_sizes": dq.docs_dup_cluster_sizes,
         "emb_nn_within_label": dq.emb_nn_within_label,
@@ -979,6 +980,68 @@ SELECT lang, CAST(SUM(n) AS BIGINT) AS n_word_tokens,
             * 1000000 // SUM(n) AS BIGINT) AS fertility_ppm
 FROM u{rounds} GROUP BY lang ORDER BY lang""")
     return "".join(parts)
+
+
+def _pq_recall_sql(k: int = 10, n_sub: int = 4, sub: int = 16) -> str:
+    """Recall@k of PQ/ADC vs exact L2 for query vec 0 — twin of
+    docqueries.emb_pq_recall.  Codes, LUT and the ADC sum reuse the
+    emb_pq_adc_topk contract verbatim; the exact leg is the 64-term
+    subspace-ordered distance chain ROUND(D0+D1+D2+D3, 6); the query is
+    excluded from both candidate sets and ties break by vec_id."""
+    d = [_pq_dist_sql(s) for s in range(n_sub)]
+    lq = [_pq_dist_sql(s, lhs="q.qe") for s in range(n_sub)]
+    ex = [_pq_dist_sql(s, lhs="e.embedding")
+          .replace("cb.ce", "q.qe") for s in range(n_sub)]
+    a_ctes = ",\n            ".join(
+        f"""a{s} AS (SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY d{s}, cid) AS rn FROM d)
+                WHERE rn = 1)""" for s in range(n_sub))
+    return f"""
+            WITH cb AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id = 0
+            ), lut AS (
+                SELECT cb.cid,
+                       ROUND({lq[0]}, 6) AS l0, ROUND({lq[1]}, 6) AS l1,
+                       ROUND({lq[2]}, 6) AS l2, ROUND({lq[3]}, 6) AS l3
+                FROM cb CROSS JOIN q
+            ), d AS (
+                SELECT e.vec_id, cb.cid,
+                       ROUND({d[0]}, 6) AS d0, ROUND({d[1]}, 6) AS d1,
+                       ROUND({d[2]}, 6) AS d2, ROUND({d[3]}, 6) AS d3
+                FROM embeddings e CROSS JOIN cb
+            ), {a_ctes},
+            adcs AS (
+                SELECT a0.vec_id,
+                       ROUND(l0.l0 + l1.l1 + l2.l2 + l3.l3, 6) AS adc
+                FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id)
+                        JOIN a3 USING (vec_id)
+                     JOIN lut l0 ON l0.cid = a0.cid
+                     JOIN lut l1 ON l1.cid = a1.cid
+                     JOIN lut l2 ON l2.cid = a2.cid
+                     JOIN lut l3 ON l3.cid = a3.cid
+                WHERE a0.vec_id <> 0
+            ), approx AS (
+                SELECT vec_id FROM adcs ORDER BY adc, vec_id LIMIT {k}
+            ), ex AS (
+                SELECT e.vec_id,
+                       ROUND({ex[0]} + {ex[1]} + {ex[2]} + {ex[3]}, 6)
+                           AS dist
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+            ), exact10 AS (
+                SELECT vec_id FROM ex ORDER BY dist, vec_id LIMIT {k}
+            ), hits AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS h
+                FROM approx JOIN exact10 USING (vec_id)
+            )
+            SELECT CAST(0 AS BIGINT) AS query_vec_id, h AS n_hits,
+                   CAST(h * 1000000 // {k} AS BIGINT) AS recall_ppm
+            FROM hits
+    """
 
 
 def _bm25_sql(k: int = 20) -> str:
@@ -4314,6 +4377,8 @@ def oracle_sql() -> dict[str, str]:
         # product-quantization codes: per-subspace ROUND(L2², 6) argmin
         # against the vec_id<8 codebook — same rounding contract as the
         # kmeans twins, generated over the 4×16-dim subspaces
+        # PQ/ADC recall@10 vs exact L2 (generated twin)
+        "emb_pq_recall": _pq_recall_sql(),
         "emb_pq_codes": """
             WITH cb AS (
                 SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce

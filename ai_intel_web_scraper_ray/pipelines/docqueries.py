@@ -6261,3 +6261,88 @@ def docs_bpe_fertility(sf_dir: str, rounds: int = _BPE_ROUNDS) -> pd.DataFrame:
     for c in cols[1:]:
         g[c] = g[c].astype("int64")
     return g[list(cols)].sort_values("lang").reset_index(drop=True)
+
+
+def emb_pq_recall(sf_dir: str, n_sub: int = _PQ_SUBSPACES,
+                  k_cent: int = _PQ_K, k: int = 10) -> pd.DataFrame:
+    """Recall@``k`` of PQ/ADC search vs exact L2 for query vec 0 — the
+    third leg of the quantization-audit family (emb_hamming_recall,
+    emb_ivf_recall): how many of the true ``k`` nearest survive the
+    64-float → ``n_sub``-byte compression.  The query is excluded from
+    both candidate sets; both rankings round to 6 decimals and break
+    ties by vec_id (the emb_pq_codes float contract).  Output one row
+    (query_vec_id, n_hits, recall_ppm).
+
+    Scale shape: ONE streaming pass emits per-block top-k partials for
+    BOTH metrics (ADC touches only the broadcast codebook + LUT; the
+    exact leg is a row-local vectorized distance), so the driver merge
+    is ≤ 2·k·blocks projection rows — the emb_knn argument."""
+    import pyarrow.parquet as pq_mod
+    import ray
+
+    t = pq_mod.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", k_cent)])
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                          for c in ("query_vec_id", "n_hits",
+                                    "recall_ppm")})
+    if len(t) == 0:
+        return empty
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
+    cb = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]) \
+        .astype(np.float64)
+    dim = cb.shape[1]
+    sub = dim // n_sub
+    q = _query_vec(sf_dir, 0).astype(np.float64).reshape(n_sub, sub)
+    cbs = cb.reshape(cb.shape[0], n_sub, sub)
+    diff = q[None, :, :] - cbs
+    lut = np.round((diff * diff).sum(axis=-1).T, 6)  # (n_sub, k_cent)
+    cb_ref = ray.put(cbs)
+    lut_ref = ray.put(lut)
+    q_ref = ray.put(q)
+
+    def block_partial(batch: pa.Table) -> pd.DataFrame:
+        cols = ("vec_id", "metric", "kind")
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False) \
+            .astype("int64")
+        keep = ids != 0
+        if not keep.any():
+            return pd.DataFrame(
+                {c: pd.Series([], dtype="float64" if c == "metric"
+                              else "int64") for c in cols})
+        ids = ids[keep]
+        v = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)
+                     [keep]).astype(np.float64) \
+            .reshape(len(ids), n_sub, sub)
+        cbk, lt, qq = ray.get(cb_ref), ray.get(lut_ref), ray.get(q_ref)
+        adc = np.zeros(len(ids), dtype=np.float64)
+        exact = np.zeros(len(ids), dtype=np.float64)
+        for s in range(n_sub):
+            d = np.round(((v[:, None, s, :] - cbk[None, :, s, :]) ** 2)
+                         .sum(axis=-1), 6)
+            adc += lt[s][np.argmin(d, axis=1)]
+            exact += ((v[:, s, :] - qq[s]) ** 2).sum(axis=-1)
+        adc = np.round(adc, 6)
+        exact = np.round(exact, 6)
+        take = min(k, len(ids))
+        asel = np.lexsort((ids, adc))[:take]
+        esel = np.lexsort((ids, exact))[:take]
+        return pd.concat([
+            pd.DataFrame({"vec_id": ids[asel], "metric": adc[asel],
+                          "kind": 0}),
+            pd.DataFrame({"vec_id": ids[esel], "metric": exact[esel],
+                          "kind": 1})], ignore_index=True)
+
+    parts = _emb(sf_dir).map_batches(block_partial,
+                                     batch_format="pyarrow").to_pandas()
+    if len(parts) == 0 or "vec_id" not in parts.columns:
+        return empty
+    approx = parts[parts["kind"] == 0] \
+        .sort_values(["metric", "vec_id"]).head(k)["vec_id"]
+    exact10 = parts[parts["kind"] == 1] \
+        .sort_values(["metric", "vec_id"]).head(k)["vec_id"]
+    hits = len(set(approx) & set(exact10))
+    return pd.DataFrame({
+        "query_vec_id": pd.Series([0], dtype="int64"),
+        "n_hits": pd.Series([hits], dtype="int64"),
+        "recall_ppm": pd.Series([hits * 1_000_000 // k], dtype="int64")})

@@ -1284,3 +1284,28 @@ def test_bpe_fertility_per_lang_and_empty_win_parity(tmp_path):
     sql = con.execute(_bpe_fertility_sql()).fetchdf()
     problems = compare("docs_bpe_fertility", eng, sql)
     assert not problems, problems
+
+
+def test_pq_recall_excludes_query_and_divides_by_k(tmp_path):
+    """With only 9 non-query vectors and k=10, BOTH rankings hold all 9
+    candidates → n_hits 9 but recall_ppm is still 9·10⁶//10 = 900000
+    (the denominator is k, not the candidate count), and vec 0 never
+    appears in its own candidate sets."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(10, 64).astype(np.float32)
+    t = pa.table({
+        "vec_id": pa.array(range(10), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 10, pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = dq.emb_pq_recall(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.query_vec_id), int(r.n_hits), int(r.recall_ppm)) \
+        == (0, 9, 900_000)
