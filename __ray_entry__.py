@@ -3152,7 +3152,8 @@ def oracle_sql() -> dict[str, str]:
             ), f AS (
                 SELECT user_id,
                        CASE WHEN med = 0
-                                 OR iqr * 1000000 // med < 1400000
+                                 OR CAST(iqr AS HUGEINT) * 1000000
+                                    // med < 1400000
                             THEN 1 ELSE 0 END AS is_bot
                 FROM m
             )
@@ -3483,8 +3484,6 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY lang HAVING SUM(n) >= 2
             ORDER BY lang
         """,
-        # per-language hapax legomenon share over the lower().split()
-        # vocabulary; trunc-div on non-negative operands ≡ floor-div
         # word burstiness: exact-integer Fano factor (var/mean · 10⁶) of
         # per-document counts over ALL D docs (zeros included);
         # min-support 10, top-30 by (fano DESC, word)
@@ -3511,6 +3510,8 @@ def oracle_sql() -> dict[str, str]:
             FROM s, d
             ORDER BY fano_ppm DESC, word LIMIT 30
         """,
+        # per-language hapax legomenon share over the lower().split()
+        # vocabulary; trunc-div on non-negative operands ≡ floor-div
         "docs_hapax_ratio": r"""
             WITH tok AS (
                 SELECT lang,
@@ -4374,11 +4375,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn = 1 ORDER BY vec_id
         """.replace("{DRQ1}", _pq_dist_sql(0, sub=64)).replace(
             "{DRQ2}", _rq2_dist_sql()),
+        # PQ/ADC recall@10 vs exact L2 (generated twin)
+        "emb_pq_recall": _pq_recall_sql(),
         # product-quantization codes: per-subspace ROUND(L2², 6) argmin
         # against the vec_id<8 codebook — same rounding contract as the
         # kmeans twins, generated over the 4×16-dim subspaces
-        # PQ/ADC recall@10 vs exact L2 (generated twin)
-        "emb_pq_recall": _pq_recall_sql(),
         "emb_pq_codes": """
             WITH cb AS (
                 SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
@@ -4686,9 +4687,6 @@ def oracle_sql() -> dict[str, str]:
         # is the same inter-iteration contract as emb_kmeans_iterate
         # (generated 64-dim sums below)
         "emb_pca_top2": _pca2_sql(),
-        # kNN label propagation audit: vec_id%5==0 held out, majority of
-        # 3 nearest labeled neighbors (ROUND-6 cosine; ties → smaller
-        # vec_id; vote ties → smaller label)
         # mutual-3NN graph components: directed top-3 by ROUND-6 cosine
         # (ties → smaller vec_id), an edge needs BOTH directions, then
         # min-label closure; nodes with no mutual edge emit nothing
@@ -4762,6 +4760,9 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END AS lid_ppm
             FROM terms ORDER BY qid
         """,
+        # kNN label propagation audit: vec_id%5==0 held out, majority of
+        # 3 nearest labeled neighbors (ROUND-6 cosine; ties → smaller
+        # vec_id; vote ties → smaller label)
         "emb_knn_classify": """
             WITH q AS (
                 SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv,
@@ -5054,8 +5055,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(running) AS BIGINT) AS max_concurrent
             FROM r GROUP BY 1 ORDER BY 1
         """,
-        # BFS hop distance over the co-order part graph (≤ 4 hops from the
-        # min edge endpoint); recursive reach closure, MIN(level) per node
         # BOM-style subtree rollup over the decimal prefix hierarchy:
         # node v aggregates every part whose prefix chain passes v;
         # the root 0 counts once per part (first k reaching 0)
@@ -5154,6 +5153,8 @@ def oracle_sql() -> dict[str, str]:
                    END AS closeness_ppm
             FROM agg, nn ORDER BY src
         """,
+        # BFS hop distance over the co-order part graph (≤ 4 hops from the
+        # min edge endpoint); recursive reach closure, MIN(level) per node
         "parts_bfs_levels": """
             WITH RECURSIVE dedup AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -6037,6 +6037,10 @@ def emb_lid(sf_dir: str, k: int = _LID_K, mod: int = _LID_MOD,
             order = np.lexsort((lids, d))[:k]
             for j in order:
                 rows.append((int(qi_arr[qi]), int(lids[j]), float(d[j])))
+        if not rows:
+            # typed empty — an all-query block (keep never true) must
+            # not emit object-dtype columns into the schema unification
+            return pd.DataFrame(cols2)
         return pd.DataFrame(rows, columns=["qid", "vec_id", "d"])
 
     parts = ds.map_batches(score_partial, batch_format="pyarrow") \

@@ -3239,24 +3239,14 @@ def events_abtest(sf_dir: str) -> pd.DataFrame:
 _MARKOV_ITERS = 3
 
 
-def events_markov_stationary(sf_dir: str,
-                             iters: int = _MARKOV_ITERS) -> pd.DataFrame:
-    """(event_type, v_ppm): ``iters`` integer-ppm power-iteration steps
-    of the uniform distribution through the first-order event-type
-    transition matrix — the approach-to-stationary distribution of the
-    user behavior chain.  Every step is
-    ``v'[j] = Σ_i (v[i] · p_ppm[i,j]) // 10⁶`` with
-    ``p_ppm = n(i,j)·10⁶ // Σ_j n(i,·)`` — fully integer, so the float
-    Σ-order problem never arises and the DuckDB twin iterates the
-    IDENTICAL generated CTE steps.
-
-    Scale shape: transition counts reuse the ``events_transition_matrix``
-    exchange (user-hash buckets, one sort + shift per bucket, |types|²-
-    bounded partials); the iteration then runs on the driver over the
-    BOUNDED |types|² matrix — O(k²) integer work, no data motion."""
-    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
-                                  "event_type"])
-
+def _transition_counts(ds) -> pd.DataFrame:
+    """Merged first-order (from_type, to_type, n) transition counts over
+    per-user histories ordered by (ts, event_id) — the shared kernel of
+    events_transition_matrix / events_markov_stationary /
+    events_entropy_rate: users hash-bucket (user_id % 64, whole history
+    per bucket); inside a bucket ONE sort + shift-masked bigram build
+    (no per-user Python); the |types|²-bounded partials merge on the
+    driver.  Returns a typed-empty frame when no transitions exist."""
     def keep(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
@@ -3278,6 +3268,35 @@ def events_markov_stationary(sf_dir: str,
         out["n"] = out["n"].astype("int64")
         return out
 
+    parts = ds.map_batches(keep, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_transitions,
+                                  batch_format="pandas").to_pandas()
+    if parts.empty or "from_type" not in parts.columns:
+        return pd.DataFrame({"from_type": pd.Series([], dtype=object),
+                             "to_type": pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype="int64")})
+    return parts.groupby(["from_type", "to_type"], as_index=False)["n"] \
+        .sum()
+
+
+def events_markov_stationary(sf_dir: str,
+                             iters: int = _MARKOV_ITERS) -> pd.DataFrame:
+    """(event_type, v_ppm): ``iters`` integer-ppm power-iteration steps
+    of the uniform distribution through the first-order event-type
+    transition matrix — the approach-to-stationary distribution of the
+    user behavior chain.  Every step is
+    ``v'[j] = Σ_i (v[i] · p_ppm[i,j]) // 10⁶`` with
+    ``p_ppm = n(i,j)·10⁶ // Σ_j n(i,·)`` — fully integer, so the float
+    Σ-order problem never arises and the DuckDB twin iterates the
+    IDENTICAL generated CTE steps.
+
+    Scale shape: transition counts reuse the ``events_transition_matrix``
+    exchange (user-hash buckets, one sort + shift per bucket, |types|²-
+    bounded partials); the iteration then runs on the driver over the
+    BOUNDED |types|² matrix — O(k²) integer work, no data motion."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+
     def type_partial(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"t": pd.Series(
             df["event_type"].drop_duplicates(), dtype=object)})
@@ -3290,13 +3309,9 @@ def events_markov_stationary(sf_dir: str,
                              "v_ppm": pd.Series([], dtype="int64")})
     universe = sorted(types["t"].drop_duplicates())
 
-    parts = ds.map_batches(keep, batch_format="pandas") \
-        .groupby("_b").map_groups(bucket_transitions,
-                                  batch_format="pandas").to_pandas()
+    counts = _transition_counts(ds)
     p: dict = {}
-    if not parts.empty:
-        counts = parts.groupby(["from_type", "to_type"],
-                               as_index=False)["n"].sum()
+    if not counts.empty:
         marg = counts.groupby("from_type")["n"].transform("sum")
         counts["p_ppm"] = (counts["n"].astype("int64") * 1_000_000
                            // marg.astype("int64"))
@@ -4591,36 +4606,12 @@ def events_transition_matrix(sf_dir: str) -> pd.DataFrame:
     row-marginal division is O(|types|²)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
-        return df[["user_id", "ts", "event_id", "event_type", "_b"]]
-
-    def bucket_transitions(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2 or "user_id" not in df.columns:
-            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
-                                 "to_type": pd.Series([], dtype=object),
-                                 "n": pd.Series([], dtype="int64")})
-        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        uid = df["user_id"].to_numpy()
-        et = df["event_type"].to_numpy(dtype=object)
-        same = uid[:-1] == uid[1:]
-        pairs = pd.DataFrame({"from_type": et[:-1][same],
-                              "to_type": et[1:][same]})
-        out = pairs.groupby(["from_type", "to_type"], as_index=False) \
-            .agg(n=("to_type", "size"))
-        out["n"] = out["n"].astype("int64")
-        return out
-
-    parts = ds.map_batches(keep, batch_format="pandas") \
-              .groupby("_b").map_groups(bucket_transitions,
-                                        batch_format="pandas").to_pandas()
-    if parts.empty:
+    out = _transition_counts(ds)
+    if out.empty:
         return pd.DataFrame({"from_type": pd.Series([], dtype=object),
                              "to_type": pd.Series([], dtype=object),
                              "n": pd.Series([], dtype="int64"),
                              "prob_ppm": pd.Series([], dtype="int64")})
-    out = parts.groupby(["from_type", "to_type"], as_index=False)["n"].sum()
     marg = out.groupby("from_type")["n"].transform("sum")
     out["prob_ppm"] = (out["n"].astype("int64") * 1_000_000
                        // marg.astype("int64"))
@@ -7735,45 +7726,21 @@ def events_entropy_rate(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
                                   "event_type"])
 
-    def keep(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
-        return df[["user_id", "ts", "event_id", "event_type", "_b"]]
-
-    def bucket_transitions(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) < 2 or "user_id" not in df.columns:
-            return pd.DataFrame({"from_type": pd.Series([], dtype=object),
-                                 "to_type": pd.Series([], dtype=object),
-                                 "n": pd.Series([], dtype="int64")})
-        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        uid = df["user_id"].to_numpy()
-        et = df["event_type"].to_numpy(dtype=object)
-        same = uid[:-1] == uid[1:]
-        pairs = pd.DataFrame({"from_type": et[:-1][same],
-                              "to_type": et[1:][same]})
-        out = pairs.groupby(["from_type", "to_type"], as_index=False) \
-            .agg(n=("to_type", "size"))
-        out["n"] = out["n"].astype("int64")
-        return out
-
-    parts = ds.map_batches(keep, batch_format="pandas") \
-              .groupby("_b").map_groups(bucket_transitions,
-                                        batch_format="pandas").to_pandas()
-    cols = ("from_type", "n_trans", "n_to", "entropy_micro")
-    if parts.empty or "from_type" not in parts.columns:
+    counts = _transition_counts(ds)
+    if counts.empty:
         return pd.DataFrame({
             "from_type": pd.Series([], dtype=object),
             "n_trans": pd.Series([], dtype="int64"),
             "n_to": pd.Series([], dtype="int64"),
             "entropy_micro": pd.Series([], dtype="int64")})
-    counts = parts.groupby(["from_type", "to_type"],
-                           as_index=False)["n"].sum()
     rows = []
     for ft, sub in counts.groupby("from_type"):
         m = int(sub["n"].sum())
         c = sub["n"].to_numpy(dtype="int64")
         lq = np.round(np.log(float(m) / c) * 1_000_000).astype("int64")
-        t = int((c * lq).sum())
+        # Python big-int fold: Σ c·round(ln(m/c)·10⁶) passes 2⁶³ at web
+        # scale (the twin's SUM is HUGEINT); O(|types|²) driver work
+        t = sum(int(ci) * int(li) for ci, li in zip(c, lq))
         rows.append((ft, m, len(sub), t // m))
     rows.sort()
     return pd.DataFrame({
@@ -7935,19 +7902,21 @@ def parts_closeness(sf_dir: str, support: int = _BFS_SUPPORT,
     visited = {s: {s: 0} for s in sources}
     frontier = {s: {s} for s in sources}
     for lvl in range(1, max_level + 1):
-        f_ref = ray.put({s: frozenset(f) for s, f in frontier.items()
-                         if f})
+        f_ref = ray.put({s: np.fromiter(f, dtype="int64", count=len(f))
+                         for s, f in frontier.items() if f})
         if not ray.get(f_ref):
             break
 
         def neighbors(df: pd.DataFrame) -> pd.DataFrame:
             fmap = ray.get(f_ref)
-            a = df["a_id"].to_numpy()
-            b = df["b_id"].to_numpy()
+            a = df["a_id"].to_numpy(dtype="int64")
+            b = df["b_id"].to_numpy(dtype="int64")
             srcs, nbs = [], []
             for s, f in fmap.items():
-                am = np.array([x in f for x in a], dtype=bool)
-                bm = np.array([x in f for x in b], dtype=bool)
+                # np.isin is the C-level membership filter (the
+                # relational-module idiom) — never a per-element loop
+                am = np.isin(a, f)
+                bm = np.isin(b, f)
                 out = np.unique(np.concatenate([b[am], a[bm]]))
                 srcs.extend([s] * len(out))
                 nbs.extend(out)
@@ -8162,10 +8131,12 @@ def events_bot_users(sf_dir: str, min_gaps: int = _BOT_MIN_GAPS,
 
         med = q_disc(0.5)
         iqr = q_disc(0.75) - q_disc(0.25)
-        is_bot = np.where(
-            (med == 0) | (np.where(med == 0, 0,
-             iqr * 1_000_000 // np.where(med == 0, 1, med)) < reg_ppm),
-            1, 0).astype("int64")
+        # Python big-ints: iqr·10⁶ wraps int64 past a ~107-day IQR (the
+        # twin is HUGEINT); O(users-in-bucket) scalar ops
+        is_bot = np.fromiter(
+            (1 if m == 0 or int(q) * 1_000_000 // int(m) < reg_ppm
+             else 0 for m, q in zip(med, iqr)),
+            dtype="int64", count=len(med))
         out = pd.DataFrame({"is_bot": is_bot, "u": users})
         agg = out.groupby("is_bot", as_index=False).agg(
             n_users=("u", "size"), user_checksum=("u", "sum"))
@@ -8425,8 +8396,10 @@ def events_dup_within_window(sf_dir: str,
         return empty
     out = parts.groupby("event_type", as_index=False)[
         ["n_events", "n_dups"]].sum()
-    out["dup_ppm"] = (out["n_dups"].astype("int64") * 1_000_000
-                      // out["n_events"].astype("int64"))
+    # Python big-ints: n_dups·10⁶ wraps int64 past ~9.2e12 repeats (the
+    # twin's SUM(dup)·10⁶ is HUGEINT); O(|types|) driver work
+    out["dup_ppm"] = [int(d) * 1_000_000 // int(n)
+                      for d, n in zip(out["n_dups"], out["n_events"])]
     for c in cols[1:]:
         out[c] = out[c].astype("int64")
     return out.sort_values("event_type").reset_index(drop=True)
