@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_bot_users": rel.events_bot_users,
         "parts_edge_churn": rel.parts_edge_churn,
         "parts_bom_rollup": rel.parts_bom_rollup,
+        "parts_croston": rel.parts_croston,
         "events_dup_within_window": rel.events_dup_within_window,
         "orders_backtest_mae": rel.orders_backtest_mae,
         "orders_skyline": rel.orders_skyline,
@@ -5054,6 +5055,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('day', ts) AS day,
                    CAST(MAX(running) AS BIGINT) AS max_concurrent
             FROM r GROUP BY 1 ORDER BY 1
+        """,
+        # Croston intermittent demand: coupled size/interval integer
+        # EWMAs (α=¼ floor-div, the daily_ewma recurrence contract)
+        # replayed per part by one recursive CTE; single-demand parts
+        # emit nothing
+        "parts_croston": """
+            WITH RECURSIVE d AS (
+                SELECT l_partkey AS p,
+                       CAST(date_trunc('month', l_shipdate)
+                            AS TIMESTAMP) AS m,
+                       SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT))
+                           AS cq
+                FROM lineitem GROUP BY 1, 2
+            ), h AS (
+                SELECT p, cq,
+                       CAST(EXTRACT(year FROM m) * 12
+                            + EXTRACT(month FROM m) AS BIGINT) AS mi,
+                       row_number() OVER (PARTITION BY p ORDER BY m)
+                           AS i,
+                       COUNT(*) OVER (PARTITION BY p) AS nd
+                FROM d
+            ), hh AS (
+                SELECT * FROM h WHERE nd >= 2
+            ), r AS (
+                SELECT p, i, mi, nd, cq AS z, CAST(0 AS BIGINT) AS pm
+                FROM hh WHERE i = 1
+                UNION ALL
+                SELECT h.p, h.i, h.mi, h.nd,
+                       (3 * r.z + h.cq) // 4,
+                       CASE WHEN r.i = 1 THEN h.mi - r.mi
+                            ELSE (3 * r.pm + (h.mi - r.mi)) // 4 END
+                FROM hh h JOIN r ON h.p = r.p AND h.i = r.i + 1
+            )
+            SELECT p AS p_partkey, CAST(nd AS BIGINT) AS n_demands,
+                   CAST(z AS BIGINT) AS z_cq, CAST(pm AS BIGINT) AS p_m,
+                   CAST(z // pm AS BIGINT) AS forecast_cq
+            FROM r WHERE i = nd ORDER BY p
         """,
         # BOM-style subtree rollup over the decimal prefix hierarchy:
         # node v aggregates every part whose prefix chain passes v;

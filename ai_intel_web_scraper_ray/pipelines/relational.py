@@ -8448,3 +8448,70 @@ def orders_backtest_mae(sf_dir: str) -> pd.DataFrame:
         "method": [r[0] for r in rows],
         "n_eval": pd.Series([r[1] for r in rows], dtype="int64"),
         "mae_cents": pd.Series([r[2] for r in rows], dtype="int64")})
+
+
+def parts_croston(sf_dir: str) -> pd.DataFrame:
+    """Croston intermittent-demand forecast per part over its monthly
+    demand series: two coupled integer EWMAs with α=¼ — demand size
+    ``z_j = (3z+q_j)//4`` (z₁ = q₁, centi-qty) and inter-demand
+    interval ``p_j = (3p+i_j)//4`` (p₂ = i₂ months) — the
+    events_daily_ewma floor-div recurrence contract, so the DuckDB twin
+    replays both with ONE recursive CTE.  Forecast = z // p centi-qty
+    per month; parts with a single demand month emit nothing (no
+    interval exists).  Output (p_partkey, n_demands, z_cq, p_m,
+    forecast_cq) sorted by part.
+
+    Scale shape: the distributed piece is the (part, month) demand
+    reduction (per-batch partials); each part's complete bounded series
+    lands in its part-hash bucket where the sequential scan runs IN the
+    worker — per-key recurrences distribute by key, never on the
+    driver."""
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate",
+                                    "l_quantity"])
+    cols = ("p_partkey", "n_demands", "z_cq", "p_m", "forecast_cq")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = pd.to_datetime(df["l_shipdate"]).to_numpy() \
+            .astype("datetime64[M]").astype("int64")
+        cq = np.floor(
+            df["l_quantity"].to_numpy() * 100 + 0.5).astype("int64")
+        out = pd.DataFrame({"p": df["l_partkey"].astype("int64"),
+                            "m": m, "cq": cq}) \
+            .groupby(["p", "m"], as_index=False)["cq"].sum()
+        out["_b"] = (out["p"] % 64).astype("int64")
+        return out
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "p" not in df.columns:
+            return empty.copy()
+        df = df.groupby(["p", "m"], as_index=False)["cq"].sum() \
+            .sort_values(["p", "m"], kind="mergesort")
+        rows = []
+        for pk, g in df.groupby("p", sort=False):
+            if len(g) < 2:
+                continue
+            ms = g["m"].to_numpy(dtype="int64")
+            qs = g["cq"].to_numpy(dtype="int64")
+            z = int(qs[0])
+            p_m = 0
+            for j in range(1, len(g)):
+                z = (3 * z + int(qs[j])) // 4
+                gap = int(ms[j] - ms[j - 1])
+                p_m = gap if j == 1 else (3 * p_m + gap) // 4
+            rows.append((int(pk), len(g), z, p_m, z // p_m))
+        if not rows:
+            return empty.copy()
+        out = pd.DataFrame(rows, columns=list(cols))
+        for c in cols:
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(scan, batch_format="pandas") \
+        .to_pandas()
+    if out.empty or "p_partkey" not in out.columns:
+        return empty
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("p_partkey").reset_index(drop=True)

@@ -1575,3 +1575,29 @@ def test_backtest_mae_skips_unobserved_reference_months(tmp_path):
            for r in out.itertuples(index=False)}
     assert got["naive_1"] == (1, 100)
     assert got["seasonal_12"] == (0, 0)
+
+
+def test_croston_coupled_recurrences_hand_computed(tmp_path):
+    """Part 1 demands (cq, month): (400, Jan), (800, Mar), (400, Aug):
+    z = ((3·400+800)//4 = 500 → (3·500+400)//4 = 475); p = (i₂=2 →
+    (3·2+5)//4 = 2); forecast = 475//2 = 237.  Part 2 has a single
+    demand month and emits nothing."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(1, "2024-01-10", 2.0), (1, "2024-01-20", 2.0),
+            (1, "2024-03-05", 8.0), (1, "2024-08-15", 4.0),
+            (2, "2024-02-01", 5.0)]
+    df = pd.DataFrame({
+        "l_orderkey": pd.Series(range(len(rows)), dtype="int64"),
+        "l_partkey": pd.Series([r[0] for r in rows], dtype="int64"),
+        "l_shipdate": pd.to_datetime([r[1] for r in rows]),
+        "l_quantity": pd.Series([r[2] for r in rows], dtype="float64")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "lineitem.parquet")
+    out = rel.parts_croston(str(tmp_path))
+    got = {int(r.p_partkey): (int(r.n_demands), int(r.z_cq), int(r.p_m),
+                              int(r.forecast_cq))
+           for r in out.itertuples(index=False)}
+    assert got == {1: (3, 475, 2, 237)}
