@@ -310,6 +310,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dup_within_window": rel.events_dup_within_window,
         "orders_backtest_mae": rel.orders_backtest_mae,
         "orders_skyline": rel.orders_skyline,
+        "lineitem_rle_runs": rel.lineitem_rle_runs,
+        "events_lead_lag": rel.events_lead_lag,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -5092,6 +5094,94 @@ def oracle_sql() -> dict[str, str]:
                    CAST(z AS BIGINT) AS z_cq, CAST(pm AS BIGINT) AS p_m,
                    CAST(z // pm AS BIGINT) AS forecast_cq
             FROM r WHERE i = nd ORDER BY p
+        """,
+        # RLE run census per column under the (l_orderkey, l_linenumber)
+        # clustering; n_runs counts change-points including the first
+        # row (LAG IS DISTINCT FROM), avg run length in ppm
+        "lineitem_rle_runs": """
+            WITH t AS (
+                SELECT l_orderkey, l_returnflag, l_linestatus, l_suppkey,
+                       LAG(l_orderkey)   OVER w AS p_ok,
+                       LAG(l_returnflag) OVER w AS p_rf,
+                       LAG(l_linestatus) OVER w AS p_ls,
+                       LAG(l_suppkey)    OVER w AS p_sk
+                FROM lineitem
+                WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+            ), runs AS (
+                SELECT 'l_orderkey' AS column_name, COUNT(*) AS n_rows,
+                       COUNT(*) FILTER (l_orderkey IS DISTINCT FROM p_ok)
+                           AS n_runs
+                FROM t
+                UNION ALL
+                SELECT 'l_returnflag', COUNT(*),
+                       COUNT(*) FILTER (l_returnflag IS DISTINCT FROM p_rf)
+                FROM t
+                UNION ALL
+                SELECT 'l_linestatus', COUNT(*),
+                       COUNT(*) FILTER (l_linestatus IS DISTINCT FROM p_ls)
+                FROM t
+                UNION ALL
+                SELECT 'l_suppkey', COUNT(*),
+                       COUNT(*) FILTER (l_suppkey IS DISTINCT FROM p_sk)
+                FROM t
+            )
+            SELECT column_name, CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_runs AS BIGINT) AS n_runs,
+                   CAST(CAST(n_rows AS HUGEINT) * 1000000 // n_runs
+                        AS BIGINT) AS avg_run_len_ppm
+            FROM runs WHERE n_rows > 0 ORDER BY column_name
+        """,
+        # lead–lag betas between gap-filled daily view/purchase series:
+        # exact integer centering e_t = n·x_t − Σx (autocorr contract),
+        # beta_ppm = 10⁶·Σ eˣ_t·eʸ_{t+k} // Σ(eˣ)² (trunc-div)
+        "events_lead_lag": """
+            WITH ev AS (
+                SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                       event_type
+                FROM events WHERE event_type IN ('view', 'purchase')
+            ), bounds AS (
+                SELECT MIN(d) AS lo, MAX(d) AS hi,
+                       datediff('day', MIN(d), MAX(d)) + 1 AS n
+                FROM ev
+            ), cal AS (
+                SELECT datediff('day', b.lo, gs.d) AS idx
+                FROM bounds b,
+                     LATERAL (SELECT unnest(generate_series(
+                         b.lo, b.hi, INTERVAL 1 DAY))::DATE AS d) gs
+            ), cnt AS (
+                SELECT datediff('day', b.lo, e.d) AS idx,
+                       COUNT(*) FILTER (e.event_type = 'view')
+                           AS xv,
+                       COUNT(*) FILTER (e.event_type = 'purchase')
+                           AS yv
+                FROM ev e, bounds b GROUP BY 1
+            ), s AS (
+                SELECT c.idx,
+                       CAST(COALESCE(t.xv, 0) AS HUGEINT) AS xv,
+                       CAST(COALESCE(t.yv, 0) AS HUGEINT) AS yv
+                FROM cal c LEFT JOIN cnt t ON t.idx = c.idx
+            ), tot AS (
+                SELECT SUM(xv) AS sx, SUM(yv) AS sy FROM s
+            ), e AS (
+                SELECT s.idx,
+                       (SELECT n FROM bounds) * s.xv - tot.sx AS ex,
+                       (SELECT n FROM bounds) * s.yv - tot.sy AS ey
+                FROM s, tot
+            ), den AS (
+                SELECT SUM(ex * ex) AS dx FROM e
+            ), lags AS (
+                SELECT unnest(range(-3, 4)) AS lag
+            )
+            SELECT CAST(l.lag AS BIGINT) AS lag,
+                   CAST((SELECT n FROM bounds) AS BIGINT) AS n_days,
+                   CAST(CASE WHEN (SELECT dx FROM den) = 0 THEN 0
+                        ELSE 1000000 * (
+                            SELECT COALESCE(SUM(a.ex * b.ey), 0)
+                            FROM e a JOIN e b ON b.idx = a.idx + l.lag)
+                            // (SELECT dx FROM den) END AS BIGINT)
+                        AS beta_ppm
+            FROM lags l WHERE (SELECT lo FROM bounds) IS NOT NULL
+            ORDER BY lag
         """,
         # BOM-style subtree rollup over the decimal prefix hierarchy:
         # node v aggregates every part whose prefix chain passes v;

@@ -8515,3 +8515,155 @@ def parts_croston(sf_dir: str) -> pd.DataFrame:
     for c in cols:
         out[c] = out[c].astype("int64")
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# storage-layout operator: RLE run census — how RLE-encodable is each column
+# under the table's natural (l_orderkey, l_linenumber) clustering?  Zone-map
+# sibling of lineitem_manifest_stats: per-block internal transition counts
+# plus block-edge values, stitched in O(blocks) on the driver.
+# ---------------------------------------------------------------------------
+
+
+def lineitem_rle_runs(sf_dir: str) -> pd.DataFrame:
+    """Run-length census per column under the global
+    ``(l_orderkey, l_linenumber)`` order: for each of ``l_orderkey``,
+    ``l_returnflag``, ``l_linestatus``, ``l_suppkey`` report
+    (column_name, n_rows, n_runs, avg_run_len_ppm) — the encoder's-eye
+    view a columnar writer (parquet RLE_DICTIONARY, Lance) uses to pick
+    encodings.  ``n_runs`` counts change-points including the first row;
+    ``avg_run_len_ppm = n_rows·10⁶ // n_runs`` (Python big-ints, so a
+    10¹³-row table cannot wrap int64).
+
+    Scale shape: one range sort on the composite key (the table's
+    native clustering, so at 100 TB this sort is a no-op re-read of
+    already-clustered files), then ONE pass with ``batch_size=None``
+    pinning batch==block: each block emits 1 summary row per column
+    (internal transition count + first/last value + block min key).
+    The driver stitches at block boundaries — O(blocks·columns) rows,
+    never the data."""
+    cols = ["l_orderkey", "l_returnflag", "l_linestatus", "l_suppkey"]
+    ds = _read(sf_dir, "lineitem", ["l_linenumber"] + cols) \
+        .sort(["l_orderkey", "l_linenumber"])
+
+    def block_summary(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "column_name": pd.Series([], dtype="object"),
+                "n_rows": pd.Series([], dtype="int64"),
+                "n_trans": pd.Series([], dtype="int64"),
+                "first_v": pd.Series([], dtype="object"),
+                "last_v": pd.Series([], dtype="object"),
+                "min_key": pd.Series([], dtype="int64")})
+        min_key = int(df["l_orderkey"].iloc[0]) * (1 << 32) \
+            + int(df["l_linenumber"].iloc[0])
+        rows = []
+        for c in cols:
+            v = df[c].to_numpy()
+            n_trans = int((v[1:] != v[:-1]).sum())
+            rows.append((c, len(v), n_trans, str(v[0]), str(v[-1]),
+                         min_key))
+        return pd.DataFrame(rows, columns=["column_name", "n_rows",
+                                           "n_trans", "first_v",
+                                           "last_v", "min_key"])
+
+    parts = ds.map_batches(block_summary, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    out_cols = ("column_name", "n_rows", "n_runs", "avg_run_len_ppm")
+    if parts.empty or "column_name" not in parts.columns:
+        return pd.DataFrame({
+            "column_name": pd.Series([], dtype="object"),
+            "n_rows": pd.Series([], dtype="int64"),
+            "n_runs": pd.Series([], dtype="int64"),
+            "avg_run_len_ppm": pd.Series([], dtype="int64")})
+    rows = []
+    for c in cols:
+        g = parts[parts["column_name"] == c].sort_values("min_key")
+        if len(g) == 0:
+            continue
+        n_rows = int(g["n_rows"].sum())
+        # each block contributes (1 + internal transitions) runs; a
+        # boundary where prev.last == next.first merges two runs
+        n_runs = int(g["n_trans"].sum()) + len(g)
+        lasts = g["last_v"].to_numpy()
+        firsts = g["first_v"].to_numpy()
+        n_runs -= int((lasts[:-1] == firsts[1:]).sum())
+        rows.append((c, n_rows, n_runs,
+                     n_rows * 1_000_000 // n_runs))
+    out = pd.DataFrame(rows, columns=list(out_cols))
+    for c in ("n_rows", "n_runs", "avg_run_len_ppm"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("column_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# lead–lag analysis: which daily series leads, views or purchases?  Exact
+# integer regression betas at lags −3..+3 (the events_autocorr centering
+# contract, cross-series).
+# ---------------------------------------------------------------------------
+
+
+def events_lead_lag(sf_dir: str, max_lag: int = 3) -> pd.DataFrame:
+    """Cross-correlation-style lead–lag betas between the daily ``view``
+    and ``purchase`` count series: for lag k ∈ [−3, 3],
+    ``beta_ppm = 10⁶·Σₜ eˣ_t·eʸ_{t+k}  trunc-div  Σₜ (eˣ_t)²`` where
+    both series are gap-filled with zeros over the union calendar and
+    centered exactly as integers (e_t = n·x_t − Σx, the events_autocorr
+    contract — the n² factors cancel).  A positive beta at k>0 means
+    views lead purchases by k days.  Output (lag, n_days, beta_ppm),
+    one row per lag; a constant view series (den = 0) pins every beta
+    to 0.
+
+    Scale shape: per-block (day, type) count partials reduce the event
+    log to ≤ |days|·2·blocks integer rows; the driver merges them and
+    computes the O(max_lag·n_days) moment sums in Python big-ints
+    (HUGEINT-safe at any event volume, like orders_changepoint)."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(("view", "purchase"))]
+        if len(df) == 0:
+            return pd.DataFrame({"day": pd.Series([], dtype="int64"),
+                                 "is_p": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        days = df["ts"].to_numpy().astype("datetime64[D]").astype("int64")
+        is_p = (df["event_type"].to_numpy() == "purchase").astype("int64")
+        g = pd.DataFrame({"day": days, "is_p": is_p}) \
+            .groupby(["day", "is_p"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return g
+
+    cols = ("lag", "n_days", "beta_ppm")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "day" not in parts.columns:
+        return empty
+    g = parts.groupby(["day", "is_p"])["n"].sum()
+    lo = int(parts["day"].min())
+    hi = int(parts["day"].max())
+    n = hi - lo + 1
+    x = np.zeros(n, dtype="int64")
+    y = np.zeros(n, dtype="int64")
+    for (day, is_p), cnt in g.items():
+        (y if is_p else x)[int(day) - lo] = int(cnt)
+    s_x, s_y = int(x.sum()), int(y.sum())
+    ex = [n * int(v) - s_x for v in x]
+    ey = [n * int(v) - s_y for v in y]
+    den = sum(v * v for v in ex)
+
+    def tdiv(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    rows = []
+    for k in range(-max_lag, max_lag + 1):
+        num = 0
+        for t in range(n):
+            if 0 <= t + k < n:
+                num += ex[t] * ey[t + k]
+        beta = 0 if den == 0 else tdiv(1_000_000 * num, den)
+        rows.append((k, n, beta))
+    out = pd.DataFrame(rows, columns=list(cols))
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out

@@ -1601,3 +1601,114 @@ def test_croston_coupled_recurrences_hand_computed(tmp_path):
                               int(r.forecast_cq))
            for r in out.itertuples(index=False)}
     assert got == {1: (3, 475, 2, 237)}
+
+
+def test_rle_runs_hand_computed(tmp_path):
+    """6 rows in (orderkey, linenumber) order: returnflag A,A,B,B,A,A
+    → 3 runs; linestatus all 'O' → 1 run; orderkey 1,1,1,2,2,3 → 3
+    runs; suppkey 7,7,7,7,7,9 → 2 runs.  Rows are written shuffled so
+    the result only holds if the engine's range sort + block-boundary
+    stitching reconstructs the global order."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [(1, 1, "A", "O", 7), (1, 2, "A", "O", 7), (1, 3, "B", "O", 7),
+            (2, 1, "B", "O", 7), (2, 2, "A", "O", 7), (3, 1, "A", "O", 9)]
+    perm = [3, 0, 5, 2, 4, 1]          # shuffled on disk
+    df = pd.DataFrame({
+        "l_orderkey": pd.Series([rows[i][0] for i in perm], dtype="int64"),
+        "l_linenumber": pd.Series([rows[i][1] for i in perm],
+                                  dtype="int32"),
+        "l_returnflag": [rows[i][2] for i in perm],
+        "l_linestatus": [rows[i][3] for i in perm],
+        "l_suppkey": pd.Series([rows[i][4] for i in perm], dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "lineitem.parquet")
+    out = rel.lineitem_rle_runs(str(tmp_path))
+    got = {r.column_name: (int(r.n_rows), int(r.n_runs),
+                           int(r.avg_run_len_ppm))
+           for r in out.itertuples(index=False)}
+    assert got == {"l_orderkey": (6, 3, 2_000_000),
+                   "l_returnflag": (6, 3, 2_000_000),
+                   "l_linestatus": (6, 1, 6_000_000),
+                   "l_suppkey": (6, 2, 3_000_000)}
+
+
+def test_rle_runs_empty_table(tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame({
+        "l_orderkey": pd.Series([], dtype="int64"),
+        "l_linenumber": pd.Series([], dtype="int32"),
+        "l_returnflag": pd.Series([], dtype="object"),
+        "l_linestatus": pd.Series([], dtype="object"),
+        "l_suppkey": pd.Series([], dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "lineitem.parquet")
+    out = rel.lineitem_rle_runs(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["column_name", "n_rows", "n_runs",
+                                 "avg_run_len_ppm"]
+
+
+def test_lead_lag_views_lead_purchases(tmp_path):
+    """Purchases copy the view series shifted +1 day, so the lag=+1
+    beta dominates every other lag and equals exactly 10⁶ when the
+    series are aligned copies over the interior.  Series: views
+    3,1,2,5 on days 0-3; purchases 0,3,1,2,5 on days 0-4 (union
+    calendar n=5)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    days_v = [0] * 3 + [1] * 1 + [2] * 2 + [3] * 5
+    days_p = [1] * 3 + [2] * 1 + [3] * 2 + [4] * 5
+    ts = ([pd.Timestamp("2024-03-01") + pd.Timedelta(days=d)
+           for d in days_v] +
+          [pd.Timestamp("2024-03-01") + pd.Timedelta(days=d)
+           for d in days_p])
+    et = ["view"] * len(days_v) + ["purchase"] * len(days_p)
+    df = pd.DataFrame({
+        "ts": ts, "event_type": et,
+        "user_id": pd.Series(range(len(ts)), dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    out = rel.events_lead_lag(str(tmp_path))
+    betas = {int(r.lag): int(r.beta_ppm)
+             for r in out.itertuples(index=False)}
+    assert len(betas) == 7 and out["n_days"].eq(5).all()
+    assert betas[1] == max(betas.values())
+    assert betas[1] > 0
+
+    # engine == oracle on this fixture
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet'")
+    want = con.execute(
+        entrymod.oracle_sql()["events_lead_lag"]).df()
+    got = {int(r.lag): int(r.beta_ppm)
+           for r in want.itertuples(index=False)}
+    assert betas == got
+
+
+def test_lead_lag_constant_view_series_pins_zero(tmp_path):
+    """A constant view series has den = 0 → every beta pinned to 0."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = [pd.Timestamp("2024-03-01") + pd.Timedelta(days=d)
+          for d in range(4)] + [pd.Timestamp("2024-03-02"),
+                                pd.Timestamp("2024-03-03")]
+    et = ["view"] * 4 + ["purchase"] * 2
+    df = pd.DataFrame({
+        "ts": ts, "event_type": et,
+        "user_id": pd.Series(range(len(ts)), dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "events.parquet")
+    out = rel.events_lead_lag(str(tmp_path))
+    assert out["beta_ppm"].eq(0).all() and len(out) == 7
