@@ -312,6 +312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_skyline": rel.orders_skyline,
         "lineitem_rle_runs": rel.lineitem_rle_runs,
         "events_lead_lag": rel.events_lead_lag,
+        "parts_katz": rel.parts_katz,
+        "parts_label_propagation": rel.parts_label_propagation,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -5182,6 +5184,95 @@ def oracle_sql() -> dict[str, str]:
                         AS beta_ppm
             FROM lags l WHERE (SELECT lo FROM bounds) IS NOT NULL
             ORDER BY lag
+        """,
+        # truncated Katz centrality: exact length-1/2/3 walk counts into
+        # each node of the support-2 co-order graph, katz_64 =
+        # 16·w1 + 4·w2 + w3 (β=¼ × 4³), top-20 ties (katz DESC, part ASC)
+        "parts_katz": """
+            WITH d AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM d l1 JOIN d l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ), edges AS (
+                SELECT a, b FROM pairs
+                UNION ALL SELECT b AS a, a AS b FROM pairs
+            ), w1 AS (
+                SELECT b AS node, CAST(COUNT(*) AS HUGEINT) AS w
+                FROM edges GROUP BY 1
+            ), w2 AS (
+                SELECT e.b AS node, SUM(w1.w) AS w
+                FROM edges e JOIN w1 ON w1.node = e.a GROUP BY 1
+            ), w3 AS (
+                SELECT e.b AS node, SUM(w2.w) AS w
+                FROM edges e JOIN w2 ON w2.node = e.a GROUP BY 1
+            )
+            SELECT CAST(w1.node AS BIGINT) AS p_partkey,
+                   CAST(w1.w AS BIGINT) AS w1,
+                   CAST(w2.w AS BIGINT) AS w2,
+                   CAST(w3.w AS BIGINT) AS w3,
+                   CAST(16 * w1.w + 4 * w2.w + w3.w AS BIGINT)
+                       AS katz_64
+            FROM w1 JOIN w2 USING (node) JOIN w3 USING (node)
+            ORDER BY katz_64 DESC, p_partkey LIMIT 20
+        """,
+        # synchronous label propagation, 4 rounds: relabel every node
+        # with its most frequent neighbor label (ties → smallest), then
+        # census the final labels
+        "parts_label_propagation": """
+            WITH d AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM d l1 JOIN d l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 3
+            ), edges AS (
+                SELECT a, b FROM pairs
+                UNION ALL SELECT b AS a, a AS b FROM pairs
+            ), lab0 AS (
+                SELECT DISTINCT a AS id, a AS lab FROM edges
+            ), c1 AS (
+                SELECT e.b AS id, l.lab, COUNT(*) AS c
+                FROM edges e JOIN lab0 l ON l.id = e.a GROUP BY 1, 2
+            ), lab1 AS (
+                SELECT id, lab FROM (
+                    SELECT id, lab, row_number() OVER (
+                        PARTITION BY id ORDER BY c DESC, lab) AS rn
+                    FROM c1) WHERE rn = 1
+            ), c2 AS (
+                SELECT e.b AS id, l.lab, COUNT(*) AS c
+                FROM edges e JOIN lab1 l ON l.id = e.a GROUP BY 1, 2
+            ), lab2 AS (
+                SELECT id, lab FROM (
+                    SELECT id, lab, row_number() OVER (
+                        PARTITION BY id ORDER BY c DESC, lab) AS rn
+                    FROM c2) WHERE rn = 1
+            ), c3 AS (
+                SELECT e.b AS id, l.lab, COUNT(*) AS c
+                FROM edges e JOIN lab2 l ON l.id = e.a GROUP BY 1, 2
+            ), lab3 AS (
+                SELECT id, lab FROM (
+                    SELECT id, lab, row_number() OVER (
+                        PARTITION BY id ORDER BY c DESC, lab) AS rn
+                    FROM c3) WHERE rn = 1
+            ), c4 AS (
+                SELECT e.b AS id, l.lab, COUNT(*) AS c
+                FROM edges e JOIN lab3 l ON l.id = e.a GROUP BY 1, 2
+            ), lab4 AS (
+                SELECT id, lab FROM (
+                    SELECT id, lab, row_number() OVER (
+                        PARTITION BY id ORDER BY c DESC, lab) AS rn
+                    FROM c4) WHERE rn = 1
+            )
+            SELECT CAST(lab AS BIGINT) AS community_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(id) AS BIGINT) AS part_checksum
+            FROM lab4 GROUP BY 1 ORDER BY 1
         """,
         # BOM-style subtree rollup over the decimal prefix hierarchy:
         # node v aggregates every part whose prefix chain passes v;

@@ -8667,3 +8667,221 @@ def events_lead_lag(sf_dir: str, max_lag: int = 3) -> pd.DataFrame:
     for c in cols:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Katz-style walk-count centrality: attenuated counts of length-1/2/3 walks
+# ending at each node of the co-order graph (β=1/4, integer-scaled ×4³ so
+# katz_64 = 16·w1 + 4·w2 + w3 is exact) — the walk-counting sibling of
+# parts_pagerank's normalized propagation.
+# ---------------------------------------------------------------------------
+
+_KATZ_SUPPORT = 2
+_KATZ_TOP = 20
+
+
+def parts_katz(sf_dir: str, support: int = _KATZ_SUPPORT,
+               k: int = _KATZ_TOP) -> pd.DataFrame:
+    """Top-``k`` parts by truncated Katz centrality over the co-order
+    graph (pairs co-ordered in ≥ ``support`` orders): w_j[v] = number of
+    length-j walks ending at v (w1 = degree, w_{j+1}[v] = Σ_{u~v} w_j[u]),
+    ``katz_64 = 16·w1 + 4·w2 + w3`` (β=¼ scaled by 4³ — exact integers,
+    no float attenuation).  Ties pinned (katz_64 DESC, part ASC).
+    Output (p_partkey, w1, w2, w3, katz_64).
+
+    Scale shape: the edge table is materialized once (loop-invariant);
+    each propagation is one hash-shuffle ``Dataset.join`` on src plus a
+    dst-hash bucket reduction — walk counts live in node-keyed datasets,
+    never on the driver.  The three series are aligned with ONE tagged
+    union + per-node-bucket pivot instead of two more joins.  Walk
+    counts fit int64 for max degree ≤ ~2·10⁶ (Δ³ < 2⁶³); the DuckDB
+    twin runs HUGEINT throughout."""
+    edges = _co_order_pair_counts(sf_dir, support)
+
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a_id"].astype("int64")
+        b = df["b_id"].astype("int64")
+        return pd.DataFrame({"src": pd.concat([a, b], ignore_index=True),
+                             "dst": pd.concat([b, a], ignore_index=True)})
+
+    edges = edges.map_batches(symmetrize, batch_format="pandas") \
+        .materialize()
+    out_cols = ("p_partkey", "w1", "w2", "w3", "katz_64")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64")
+                          for c in out_cols})
+    if edges.count() == 0:
+        return empty
+
+    def degree(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("dst", as_index=False).size() \
+            .rename(columns={"dst": "node", "size": "w"})
+        out["_d"] = (out["node"] % 64).astype("int64")
+        return out
+
+    def merge_w(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("node", as_index=False)["w"].sum()
+        out["node"] = out["node"].astype("int64")
+        out["w"] = out["w"].astype("int64")
+        return out
+
+    n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.5,
+                               cap=16)
+
+    def propagate(w_ds):
+        """w_{j+1} = A · w_j : join edges on src, reduce per dst."""
+        joined = edges.join(w_ds, join_type="inner",
+                            num_partitions=n_parts,
+                            on=("src",), right_on=("node",))
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"node": df["dst"].astype("int64"),
+                                "w": df["w"].astype("int64")})
+            out = out.groupby("node", as_index=False)["w"].sum()
+            out["_d"] = (out["node"] % 64).astype("int64")
+            return out
+
+        return joined.map_batches(contrib, batch_format="pandas") \
+            .groupby("_d").map_groups(merge_w, batch_format="pandas") \
+            .materialize()
+
+    w1 = edges.map_batches(degree, batch_format="pandas") \
+        .groupby("_d").map_groups(merge_w, batch_format="pandas") \
+        .materialize()
+    w2 = propagate(w1)
+    w3 = propagate(w2)
+
+    def tag(j):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["node", "w"]].copy()
+            out["j"] = np.int64(j)
+            out["_n"] = (out["node"] % 64).astype("int64")
+            return out
+        return f
+
+    def pivot_top(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.pivot_table(index="node", columns="j", values="w",
+                           aggfunc="sum", fill_value=0).reset_index()
+        out = pd.DataFrame({"p_partkey": p["node"].astype("int64")})
+        for j, c in ((1, "w1"), (2, "w2"), (3, "w3")):
+            out[c] = (p[j].astype("int64") if j in p.columns
+                      else np.zeros(len(p), dtype="int64"))
+        out["katz_64"] = 16 * out["w1"] + 4 * out["w2"] + out["w3"]
+        return out.sort_values(["katz_64", "p_partkey"],
+                               ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    tops = w1.map_batches(tag(1), batch_format="pandas") \
+        .union(w2.map_batches(tag(2), batch_format="pandas"),
+               w3.map_batches(tag(3), batch_format="pandas")) \
+        .groupby("_n").map_groups(pivot_top, batch_format="pandas") \
+        .to_pandas()
+    if tops.empty or "p_partkey" not in tops.columns:
+        return empty
+    out = tops.sort_values(["katz_64", "p_partkey"],
+                           ascending=[False, True],
+                           kind="mergesort").head(k)
+    for c in out_cols:
+        out[c] = out[c].astype("int64")
+    return out[list(out_cols)].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# community detection: synchronous label propagation (4 rounds, most-
+# frequent neighbor label, ties → smallest label) over the co-order graph —
+# the community sibling of parts_components' connectivity labels.
+# ---------------------------------------------------------------------------
+
+_LPA_SUPPORT = 3
+_LPA_ROUNDS = 4
+
+
+def parts_label_propagation(sf_dir: str, support: int = _LPA_SUPPORT,
+                            rounds: int = _LPA_ROUNDS) -> pd.DataFrame:
+    """Synchronous label propagation over the co-order part graph
+    (support ≥ ``support``): every node starts labeled with its own id;
+    each of ``rounds`` rounds relabels EVERY node with the most frequent
+    label among its neighbors, ties → smallest label.  Fixed round
+    count + pinned ties make the (possibly non-converged) fixpoint
+    deterministic on both sides.  Output is the community census
+    (community_id = final label, n_parts, part_checksum), sorted.
+
+    Scale shape: the edge table is materialized once; each round is one
+    hash-shuffle ``Dataset.join`` (labels attach to edges on src) plus a
+    dst-hash-bucket vectorized mode (groupby-count → sort → first) —
+    labels live in node-keyed datasets, never on the driver.  The twin
+    replays the rounds as chained window-CTEs."""
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a_id"].astype("int64")
+        b = df["b_id"].astype("int64")
+        return pd.DataFrame({
+            "a_id": pd.concat([a, b], ignore_index=True),
+            "b_id": pd.concat([b, a], ignore_index=True)})
+
+    edges = _co_order_pair_counts(sf_dir, support) \
+        .map_batches(symmetrize, batch_format="pandas").materialize()
+    empty = pd.DataFrame({"community_id": pd.Series([], dtype="int64"),
+                          "n_parts": pd.Series([], dtype="int64"),
+                          "part_checksum": pd.Series([], dtype="int64")})
+    if edges.count() == 0:
+        return empty
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["a_id"].astype("int64")
+        out = pd.DataFrame({"node": n}).drop_duplicates()
+        out["lab"] = out["node"]
+        out["_d"] = (out["node"] % 64).astype("int64")
+        return out
+
+    def dedup_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("node")[["node", "lab"]]
+
+    labels = edges.map_batches(init_labels, batch_format="pandas") \
+        .groupby("_d").map_groups(dedup_nodes, batch_format="pandas") \
+        .materialize()
+
+    n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.3,
+                               cap=16)
+
+    def neighbor_mode(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby(["dst", "lab"], as_index=False).size()
+        cnt = cnt.sort_values(["dst", "size", "lab"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        out = cnt.drop_duplicates("dst")
+        return pd.DataFrame({"node": out["dst"].astype("int64"),
+                             "lab": out["lab"].astype("int64")})
+
+    for _ in range(rounds):
+        joined = edges.join(labels, join_type="inner",
+                            num_partitions=n_parts,
+                            on=("a_id",), right_on=("node",))
+
+        def project(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"dst": df["b_id"].astype("int64"),
+                                "lab": df["lab"].astype("int64")})
+            out["_d"] = (out["dst"] % 64).astype("int64")
+            return out
+
+        labels = joined.map_batches(project, batch_format="pandas") \
+            .groupby("_d").map_groups(neighbor_mode,
+                                      batch_format="pandas") \
+            .materialize()
+
+    def lab_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_lb"] = (df["lab"].astype("int64") % 64).astype("int64")
+        return df
+
+    def census(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("lab", as_index=False).agg(
+            n_parts=("node", "size"), part_checksum=("node", "sum"))
+        return out.rename(columns={"lab": "community_id"})
+
+    out = labels.map_batches(lab_bucket, batch_format="pandas") \
+        .groupby("_lb").map_groups(census, batch_format="pandas") \
+        .to_pandas()
+    if not len(out):
+        return empty
+    for c in ("community_id", "n_parts", "part_checksum"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("community_id").reset_index(drop=True)

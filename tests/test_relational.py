@@ -1712,3 +1712,73 @@ def test_lead_lag_constant_view_series_pins_zero(tmp_path):
                    tmp_path / "events.parquet")
     out = rel.events_lead_lag(str(tmp_path))
     assert out["beta_ppm"].eq(0).all() and len(out) == 7
+
+
+def _write_basket_lineitem(tmp_path, baskets):
+    """Write a lineitem table whose order k contains baskets[k]'s parts."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ok, pk = [], []
+    for i, basket in enumerate(baskets):
+        for p in basket:
+            ok.append(i)
+            pk.append(p)
+    df = pd.DataFrame({"l_orderkey": pd.Series(ok, dtype="int64"),
+                       "l_partkey": pd.Series(pk, dtype="int64")})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / "lineitem.parquet")
+
+
+def test_katz_path_graph_hand_computed(tmp_path):
+    """Path 1—2—3 (each edge co-ordered twice, support 2): w1 = (1,2,1),
+    w2 = (2,2,2), w3 = (2,4,2) → katz_64 = (26,44,26); ties pinned
+    part ASC so the order is 2,1,3."""
+    _write_basket_lineitem(
+        tmp_path, [(1, 2), (1, 2), (2, 3), (2, 3)])
+    out = rel.parts_katz(str(tmp_path))
+    got = [(int(r.p_partkey), int(r.w1), int(r.w2), int(r.w3),
+            int(r.katz_64)) for r in out.itertuples(index=False)]
+    assert got == [(2, 2, 2, 4, 44), (1, 1, 2, 2, 26), (3, 1, 2, 2, 26)]
+
+
+def test_katz_empty_graph(tmp_path):
+    """No pair reaches support → typed empty frame."""
+    _write_basket_lineitem(tmp_path, [(1, 2), (3, 4)])
+    out = rel.parts_katz(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["p_partkey", "w1", "w2", "w3",
+                                 "katz_64"]
+
+
+def test_label_propagation_triangle_and_oscillating_pair(tmp_path):
+    """Triangle {1,2,3} converges to community 1 by round 2; the
+    isolated edge {10,11} OSCILLATES under synchronous updates and
+    after exactly 4 rounds lands back on self-labels → two singleton
+    communities.  This pins the fixed-round synchronous semantics
+    (an asynchronous or converged variant would merge the pair)."""
+    tri = [(1, 2, 3)] * 3
+    pair = [(10, 11)] * 3
+    _write_basket_lineitem(tmp_path, tri + pair)
+    out = rel.parts_label_propagation(str(tmp_path))
+    got = {int(r.community_id): (int(r.n_parts), int(r.part_checksum))
+           for r in out.itertuples(index=False)}
+    assert got == {1: (3, 6), 10: (1, 10), 11: (1, 11)}
+
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{tmp_path}/lineitem.parquet'")
+    want = con.execute(
+        entrymod.oracle_sql()["parts_label_propagation"]).df()
+    assert {int(r.community_id): (int(r.n_parts), int(r.part_checksum))
+            for r in want.itertuples(index=False)} == got
+
+
+def test_label_propagation_empty_graph(tmp_path):
+    _write_basket_lineitem(tmp_path, [(1, 2)])
+    out = rel.parts_label_propagation(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["community_id", "n_parts",
+                                 "part_checksum"]
