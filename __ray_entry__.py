@@ -455,12 +455,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_benford": rel.orders_benford,
         "parts_degree_assortativity": rel.parts_degree_assortativity,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
+        "orders_mode_priority": rel.orders_mode_priority,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
         "docs_vocab_growth": dq.docs_vocab_growth,
         "docs_readability": dq.docs_readability,
         "emb_silhouette": dq.emb_silhouette,
+        "docs_charclass_census": dq.docs_charclass_census,
+        "docs_media_context": dq.docs_media_context,
+        "emb_cluster_stats": dq.emb_cluster_stats,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -5830,6 +5834,98 @@ def oracle_sql() -> dict[str, str]:
                                  OR prev NOT IN ('view', 'click'))
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
             FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        # modal order priority per month (deterministic tie rule:
+        # highest count, then lexicographically smallest priority)
+        "orders_mode_priority": """
+            WITH census AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)
+                           AS month,
+                       o_orderpriority, COUNT(*) AS n
+                FROM orders GROUP BY 1, 2
+            ), ranked AS (
+                SELECT month, o_orderpriority, n,
+                       ROW_NUMBER() OVER (PARTITION BY month
+                                          ORDER BY n DESC, o_orderpriority)
+                           AS rn
+                FROM census
+            )
+            SELECT month, o_orderpriority AS mode_priority,
+                   CAST(n AS BIGINT) AS n_mode
+            FROM ranked WHERE rn = 1 ORDER BY month
+        """,
+        # character-class census per language (both sides count with RE2:
+        # pyarrow count_substring_regex / DuckDB regexp_replace)
+        "docs_charclass_census": r"""
+            WITH per AS (
+                SELECT lang, length(text) AS n_chars,
+                       length(text) - length(regexp_replace(
+                           text, '[a-z]', '', 'g')) AS n_lower,
+                       length(text) - length(regexp_replace(
+                           text, '[A-Z]', '', 'g')) AS n_upper,
+                       length(text) - length(regexp_replace(
+                           text, '[0-9]', '', 'g')) AS n_digit,
+                       length(text) - length(regexp_replace(
+                           text, ' ', '', 'g')) AS n_space
+                FROM documents
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+                   CAST(SUM(n_lower) AS BIGINT) AS n_lower,
+                   CAST(SUM(n_upper) AS BIGINT) AS n_upper,
+                   CAST(SUM(n_digit) AS BIGINT) AS n_digit,
+                   CAST(SUM(n_space) AS BIGINT) AS n_space,
+                   CAST(SUM(n_chars - n_lower - n_upper - n_digit - n_space)
+                        AS BIGINT) AS n_other
+            FROM per GROUP BY lang ORDER BY lang
+        """,
+        # ±2-token context window around every media span of the
+        # interleaved corpus (same span synthesis as
+        # docs_interleaved_media_stats: one media span per 's'-prefixed
+        # token, positional refs; DuckDB list slices are 1-based inclusive)
+        "docs_media_context": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, w, unnest(w) AS word,
+                       generate_subscripts(w, 1) AS pos
+                FROM toks
+            )
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                   'img://' || word || '/' || CAST(pos AS VARCHAR)
+                       AS media_ref,
+                   array_to_string(
+                       w[greatest(pos - 2, 1):least(pos + 2, len(w))],
+                       ' ') AS context
+            FROM tok WHERE word LIKE 's%' ORDER BY doc_id, pos
+        """,
+        # per-cluster fit stats over the spherical k-means assignment
+        # contract; ONE integer-micro rounding of each score drives both
+        # the argmax and the distortion sums
+        "emb_cluster_stats": """
+            WITH cents AS (
+                SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+                FROM embeddings WHERE vec_id < 8
+            ), scored AS (
+                SELECT e.vec_id, c.cid,
+                       CAST(ROUND(list_cosine_similarity(
+                           CAST(e.embedding AS DOUBLE[]), c.ce) * 1000000, 0)
+                           AS BIGINT) AS sm
+                FROM embeddings e CROSS JOIN cents c
+            ), best AS (
+                SELECT vec_id, cid, sm,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY sm DESC, cid) AS rn
+                FROM scored
+            )
+            SELECT CAST(cid AS BIGINT) AS cluster_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(1000000 - sm) AS BIGINT) AS distortion_micro,
+                   CAST(MAX(1000000 - sm) AS BIGINT) AS max_dist_micro
+            FROM best WHERE rn = 1 GROUP BY cid ORDER BY cid
         """,
         # per-source language-mix entropy in exact fixed-point micro-nats
         "docs_source_lang_entropy": """

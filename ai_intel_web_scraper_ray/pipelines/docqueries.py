@@ -6350,3 +6350,178 @@ def emb_pq_recall(sf_dir: str, n_sub: int = _PQ_SUBSPACES,
         "query_vec_id": pd.Series([0], dtype="int64"),
         "n_hits": pd.Series([hits], dtype="int64"),
         "recall_ppm": pd.Series([hits * 1_000_000 // k], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# character-class census (encoding-hygiene signal: a corpus slice whose
+# non-ascii / digit / punctuation mass drifts is the first symptom of
+# mojibake or template spam in a web crawl)
+# ---------------------------------------------------------------------------
+
+
+def docs_charclass_census(sf_dir: str) -> pd.DataFrame:
+    """Per-language character-class counts over the corpus: lowercase,
+    uppercase, digit, space, and everything else, plus doc/char totals.
+
+    Scale shape: per-batch RE2 count kernels (pyarrow
+    ``count_substring_regex`` — the same RE2 engine DuckDB's regexes run
+    on, so class semantics match by construction) collapse each block to
+    ≤ |langs| partial rows; one tiny groupby merges partials.  No
+    exchange carries text."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        cols = ("lang", "n_docs", "n_chars", "n_lower", "n_upper",
+                "n_digit", "n_space", "n_other")
+        if len(t) == 0:
+            return pd.DataFrame({c: pd.Series(
+                [], dtype=object if c == "lang" else "int64") for c in cols})
+        df = pd.DataFrame({"lang": t["lang"].to_pandas()})
+        df["n_chars"] = pc.utf8_length(t["text"]).to_numpy(
+            zero_copy_only=False).astype("int64")
+        for col, pat in (("n_lower", "[a-z]"), ("n_upper", "[A-Z]"),
+                         ("n_digit", "[0-9]"), ("n_space", " ")):
+            df[col] = pc.count_substring_regex(t["text"], pat).to_numpy(
+                zero_copy_only=False).astype("int64")
+        df["n_other"] = (df["n_chars"] - df["n_lower"] - df["n_upper"]
+                         - df["n_digit"] - df["n_space"])
+        df["n_docs"] = 1
+        return df.groupby("lang", as_index=False)[list(cols[1:])].sum()
+
+    out = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c == "lang" else "int64")
+            for c in ("lang", "n_docs", "n_chars", "n_lower", "n_upper",
+                      "n_digit", "n_space", "n_other")})
+    out = out.groupby("lang", as_index=False).sum()
+    for c in out.columns:
+        if c != "lang":
+            out[c] = out[c].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# media context windows: the alt-text-style ±2-token window around every
+# media span of the interleaved corpus — the extraction step an
+# image-caption training pipeline runs before caption filtering
+# ---------------------------------------------------------------------------
+
+
+def docs_media_context(sf_dir: str) -> pd.DataFrame:
+    """For every media span in the interleaved corpus (one span per
+    trigger-prefixed token, positional refs — the
+    docs_interleaved_media_stats synthesis), emit the surrounding ±2-token
+    text window: (doc_id, pos, media_ref, context).
+
+    Scale shape: span synthesis through the REAL codec plus window
+    extraction are one row-local Arrow batch transform — media spans and
+    their contexts leave the workers as finished projection rows; text
+    bodies never enter an exchange."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    cols = ("doc_id", "pos", "media_ref", "context")
+
+    def windows(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "pos": pd.Series([], dtype="int64"),
+                "media_ref": pd.Series([], dtype=object),
+                "context": pd.Series([], dtype=object)})
+        inter = _interleaved_with_media(t, positional_refs=True)
+        texts = t["text"].to_pylist()
+        dids, poss, refs, ctxs = [], [], [], []
+        for did, tx, spans in zip(inter["doc_id"].to_pylist(), texts,
+                                  inter["spans"].to_pylist()):
+            toks = (tx or "").lower().split()
+            for s in spans:
+                if s["kind"] != "media":
+                    continue
+                pos = int(s["media_ref"].rsplit("/", 1)[1])  # 1-based
+                lo = max(0, pos - 3)
+                ctx = " ".join(toks[lo:pos + 2])
+                dids.append(int(did))
+                poss.append(pos)
+                refs.append(s["media_ref"])
+                ctxs.append(ctx)
+        return pd.DataFrame({"doc_id": pd.Series(dids, dtype="int64"),
+                             "pos": pd.Series(poss, dtype="int64"),
+                             "media_ref": pd.Series(refs, dtype=object),
+                             "context": pd.Series(ctxs, dtype=object)})
+
+    out = ds.map_batches(windows, batch_format="pyarrow").to_pandas()
+    if out.empty or "doc_id" not in out.columns:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype="int64"),
+            "pos": pd.Series([], dtype="int64"),
+            "media_ref": pd.Series([], dtype=object),
+            "context": pd.Series([], dtype=object)})
+    return out[list(cols)].sort_values(["doc_id", "pos"]) \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# per-cluster fit statistics on top of the spherical k-means assignment
+# contract: size + integer-micro cosine distortion (sum and max) — the
+# cluster-balance / quantization-error audit a curriculum or IVF build reads
+# ---------------------------------------------------------------------------
+
+
+def emb_cluster_stats(sf_dir: str, n_seeds: int = 8) -> pd.DataFrame:
+    """Per-cluster fit of the one-pass spherical k-means assignment
+    (seeds = vec_id < n_seeds): member count, summed and max cosine
+    distortion in integer micro units (1e6 − round(cos·1e6)).
+
+    The assignment argmax runs on ``round(cos·1e6)`` (ties → lowest
+    centroid id) so the distortion integers and the cluster membership
+    derive from ONE rounding of each score — summation-order
+    independent, and int64-safe (1e9 members × 1e6 ≈ 1e15 < 2⁶³).
+
+    Scale shape: the (n_seeds × dim) centroid matrix is one ``ray.put``
+    broadcast; each block emits ≤ n_seeds partial rows (count / sum /
+    max merge associatively); the driver folds ≤ n_seeds × blocks rows."""
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n_seeds)])
+    cols = ("cluster_id", "n_members", "distortion_micro", "max_dist_micro")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    if len(t) == 0:
+        return empty
+    order = np.argsort(t["vec_id"].to_numpy(zero_copy_only=False))
+    cents = np.stack(t["embedding"].to_numpy(zero_copy_only=False)[order]) \
+        .astype(np.float64)
+    cents_ref = ray.put(cents)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return empty
+        c = ray.get(cents_ref)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        sm = np.round(np.column_stack(
+            [cosine_scores(vecs, c[j]) for j in range(c.shape[0])])
+            * 1_000_000).astype("int64")
+        best = np.argmax(sm, axis=1)          # first max → lowest cid
+        dist = 1_000_000 - sm[np.arange(len(sm)), best]
+        agg = pd.DataFrame({"cluster_id": best.astype("int64"),
+                            "dist": dist}) \
+            .groupby("cluster_id", as_index=False) \
+            .agg(n_members=("dist", "size"),
+                 distortion_micro=("dist", "sum"),
+                 max_dist_micro=("dist", "max"))
+        return agg
+
+    parts = _emb(sf_dir).map_batches(partial,
+                                     batch_format="pyarrow").to_pandas()
+    if len(parts) == 0 or "cluster_id" not in parts.columns:
+        return empty
+    out = parts.groupby("cluster_id", as_index=False).agg(
+        n_members=("n_members", "sum"),
+        distortion_micro=("distortion_micro", "sum"),
+        max_dist_micro=("max_dist_micro", "max"))
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[list(cols)].sort_values("cluster_id").reset_index(drop=True)

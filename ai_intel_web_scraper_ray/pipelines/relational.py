@@ -8885,3 +8885,53 @@ def parts_label_propagation(sf_dir: str, support: int = _LPA_SUPPORT,
     for c in ("community_id", "n_parts", "part_checksum"):
         out[c] = out[c].astype("int64")
     return out.sort_values("community_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# per-group MODE with a deterministic tie rule: the modal order priority per
+# order month (the reference's status-count shape taken one step further —
+# argmax of a census instead of the census itself)
+# ---------------------------------------------------------------------------
+
+
+def orders_mode_priority(sf_dir: str) -> pd.DataFrame:
+    """Modal ``o_orderpriority`` per order month; ties break to the
+    lexicographically smallest priority.  Output
+    (month, mode_priority, n_mode) — n_mode = how many orders carry the
+    modal priority that month.
+
+    Scale shape: per-batch (month, priority) count partials collapse the
+    fact stream to a ≤ months×|priorities| projection (both bounded);
+    one tiny groupby merges partials and the argmax per month runs on
+    the bounded census — no row-level exchange, no driver structure over
+    orders."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "month": pd.Series([], dtype="datetime64[ns]"),
+                "o_orderpriority": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype="int64")})
+        df = df.copy()
+        df["month"] = df["o_orderdate"].dt.to_period("M").dt.to_timestamp()
+        out = df.groupby(["month", "o_orderpriority"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        return out
+
+    census = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if census.empty:
+        return pd.DataFrame({
+            "month": pd.Series([], dtype="datetime64[ns]"),
+            "mode_priority": pd.Series([], dtype=object),
+            "n_mode": pd.Series([], dtype="int64")})
+    census = census.groupby(["month", "o_orderpriority"], as_index=False)["n"].sum()
+    # argmax per month: highest n first, then lexicographically smallest
+    census = census.sort_values(
+        ["month", "n", "o_orderpriority"],
+        ascending=[True, False, True], kind="mergesort")
+    out = census.groupby("month", as_index=False).first() \
+        .rename(columns={"o_orderpriority": "mode_priority", "n": "n_mode"})
+    out["n_mode"] = out["n_mode"].astype("int64")
+    return out[["month", "mode_priority", "n_mode"]] \
+        .sort_values("month").reset_index(drop=True)

@@ -84,6 +84,9 @@ ORACLE_QUERIES = [
     "emb_knn_classify",
     "docs_readability",
     "emb_silhouette",
+    "docs_charclass_census",
+    "docs_media_context",
+    "emb_cluster_stats",
 ]
 
 
@@ -1309,3 +1312,68 @@ def test_pq_recall_excludes_query_and_divides_by_k(tmp_path):
     r = out.iloc[0]
     assert (int(r.query_vec_id), int(r.n_hits), int(r.recall_ppm)) \
         == (0, 9, 900_000)
+
+
+def test_charclass_census_pins_classes(tmp_path):
+    """Known mixed-class doc: counts per class are exact and n_other
+    picks up punctuation + non-ascii codepoints."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "lang": pa.array(["en", "en"], pa.string()),
+                  "text": pa.array(["Ab1 c!", "naïve"], pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dq.docs_charclass_census(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    # "Ab1 c!": A upper, b+c lower, 1 digit, 1 space, ! other (6 chars)
+    # "naïve":  n,a,v,e lower, ï other (5 chars)
+    assert r["n_docs"] == 2 and r["n_chars"] == 11
+    assert r["n_lower"] == 6 and r["n_upper"] == 1
+    assert r["n_digit"] == 1 and r["n_space"] == 1 and r["n_other"] == 2
+
+
+def test_media_context_window_clipping(tmp_path):
+    """Trigger tokens at the doc edges clip their windows; the context
+    always spans 1-based tokens [pos-2, pos+2] ∩ [1, len]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"doc_id": pa.array([7], pa.int64()),
+                  "text": pa.array(["sun alpha beta sea gamma sky"],
+                                   pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dq.docs_media_context(str(tmp_path))
+    got = {(int(r.pos)): r.context for r in out.itertuples()}
+    assert got == {
+        1: "sun alpha beta",                 # left-clipped
+        4: "alpha beta sea gamma sky",       # full ±2
+        6: "sea gamma sky",                  # right-clipped
+    }
+    assert out["media_ref"].tolist() == [
+        "img://sun/1", "img://sea/4", "img://sky/6"]
+
+
+def test_cluster_stats_identical_vector_zero_distortion(tmp_path):
+    """A member identical to its centroid contributes 0 distortion; all
+    members are assigned exactly once (sizes sum to the table)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    vecs = [[1.0, 0.0], [0.0, 1.0],          # seeds 0, 1
+            [1.0, 0.0],                      # exact copy of seed 0
+            [0.6, 0.8]]                      # closer to seed 1
+    t = pa.table({"vec_id": pa.array(range(4), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                  "label": pa.array([0, 0, 0, 0], pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = dq.emb_cluster_stats(str(tmp_path), n_seeds=2)
+    assert out["n_members"].sum() == 4
+    c0 = out[out["cluster_id"] == 0].iloc[0]
+    # seed 0 + its exact copy: both at cos==1 → distortion 0
+    assert c0["n_members"] == 2 and c0["distortion_micro"] == 0
+    c1 = out[out["cluster_id"] == 1].iloc[0]
+    # 0.6/0.8 → cos 0.8 vs seed1, 0.6 vs seed0 → joins 1, dist 200000
+    assert c1["n_members"] == 2
+    assert c1["max_dist_micro"] == 200000

@@ -88,6 +88,7 @@ ORACLE_QUERIES = [
     "events_conversion_lag",
     "orders_seasonal_decompose",
     "events_invalid_transitions",
+    "orders_mode_priority",
     "events_dau_wau",
     "parts_co_ordered",
     "parts_components",
@@ -1782,3 +1783,23 @@ def test_label_propagation_empty_graph(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["community_id", "n_parts",
                                  "part_checksum"]
+
+
+def test_mode_priority_tie_breaks_lexicographic(tmp_path):
+    """Two priorities tied at 2 orders in one month → the
+    lexicographically smaller one wins."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.Timestamp("2024-03-05")
+    t = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array([ts] * 4, pa.timestamp("us")),
+        "o_orderpriority": pa.array(
+            ["2-HIGH", "2-HIGH", "1-URGENT", "1-URGENT"], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "orders.parquet")
+    out = rel.orders_mode_priority(str(tmp_path))
+    assert len(out) == 1
+    assert out.iloc[0]["mode_priority"] == "1-URGENT"
+    assert out.iloc[0]["n_mode"] == 2
