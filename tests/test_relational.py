@@ -1788,6 +1788,7 @@ def test_label_propagation_empty_graph(tmp_path):
 def test_mode_priority_tie_breaks_lexicographic(tmp_path):
     """Two priorities tied at 2 orders in one month → the
     lexicographically smaller one wins."""
+    import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
 
