@@ -456,6 +456,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_degree_assortativity": rel.parts_degree_assortativity,
         "orders_seasonal_decompose": rel.orders_seasonal_decompose,
         "orders_mode_priority": rel.orders_mode_priority,
+        "events_periodogram": rel.events_periodogram,
+        "events_burst_detect": rel.events_burst_detect,
+        "events_hll_sliding": rel.events_hll_sliding,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -1089,6 +1092,41 @@ def _bm25_sql(k: int = 20) -> str:
         FROM (SELECT d.doc_id, ROUND({score_terms}, 6) AS score
               FROM d CROSS JOIN g)
         ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+def _periodogram_sql(periods=(8, 12, 24, 168)) -> str:
+    """Generated twin for events_periodogram: the integer micro cos/sin
+    tables are recomputed here (math.cos/sin + Python round), independent
+    of the engine's table builder."""
+    import math
+
+    rows = []
+    for p in periods:
+        for k in range(p):
+            c = round(math.cos(2 * math.pi * k / p) * 1_000_000)
+            s = round(math.sin(2 * math.pi * k / p) * 1_000_000)
+            rows.append(f"({p},{k},{c},{s})")
+    vals = ",".join(rows)
+    return f"""
+        WITH hours AS (
+            SELECT epoch_us(ts) // 3600000000 AS h,
+                   CAST(COUNT(*) AS HUGEINT) AS n
+            FROM events GROUP BY 1
+        ), tab(period, k, c, s) AS (VALUES {vals}),
+        terms AS (
+            SELECT tab.period,
+                   SUM(n * tab.c) AS sc, SUM(n * tab.s) AS ss
+            FROM hours JOIN tab ON (hours.h % tab.period) = tab.k
+            GROUP BY tab.period
+        ), pw AS (
+            SELECT period, sc * sc + ss * ss AS power FROM terms
+        )
+        SELECT CAST(period AS BIGINT) AS period,
+               CAST(CASE WHEN (SELECT SUM(power) FROM pw) = 0 THEN 0
+                    ELSE power * 1000000 // (SELECT SUM(power) FROM pw)
+                    END AS BIGINT) AS power_ppm
+        FROM pw ORDER BY period
     """
 
 
@@ -5834,6 +5872,88 @@ def oracle_sql() -> dict[str, str]:
                                  OR prev NOT IN ('view', 'click'))
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid
             FROM s GROUP BY user_id ORDER BY user_id
+        """,
+        # fixed-point periodogram: the VALUES table is regenerated here
+        # with math.cos/sin + Python round — an independent computation of
+        # the engine's integer micro tables
+        "events_periodogram": _periodogram_sql(),
+        # 2-state burst-detection Viterbi forward costs: recursive CTE
+        # over the full day calendar, HUGEINT dp carries, min-normalized
+        # outputs (the engine's exact integer contract)
+        "events_burst_detect": """
+            WITH RECURSIVE bounds AS (
+                SELECT date_trunc('day', MIN(ts)) AS lo,
+                       date_trunc('day', MAX(ts)) AS hi,
+                       CAST(COUNT(*) AS BIGINT) AS total
+                FROM events
+            ), cal AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                FROM bounds WHERE lo IS NOT NULL
+            ), cnt AS (
+                SELECT date_trunc('day', ts) AS day,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1
+            ), base0 AS (
+                SELECT cal.day, COALESCE(cnt.c, 0) AS c,
+                       ROW_NUMBER() OVER (ORDER BY cal.day) AS i
+                FROM cal LEFT JOIN cnt USING (day)
+            ), p2 AS (
+                SELECT lam0, 2 * lam0 AS lam1,
+                       CAST(ROUND(LN(CAST(lam0 AS DOUBLE)) * 1000000, 0)
+                            AS BIGINT) AS l0,
+                       CAST(ROUND(LN(CAST(2 * lam0 AS DOUBLE)) * 1000000, 0)
+                            AS BIGINT) AS l1
+                FROM (SELECT GREATEST(1, total // GREATEST(
+                          (SELECT COUNT(*) FROM base0), 1)) AS lam0
+                      FROM bounds)
+            ), base AS (
+                SELECT b.i, b.day, b.c,
+                       CAST(p2.lam0 AS HUGEINT) * 1000000
+                           - CAST(b.c AS HUGEINT) * p2.l0 AS cost0,
+                       CAST(p2.lam1 AS HUGEINT) * 1000000
+                           - CAST(b.c AS HUGEINT) * p2.l1 AS cost1
+                FROM base0 b CROSS JOIN p2
+            ), dp AS (
+                SELECT i, day, c, cost0 AS dp0, 2000000 + cost1 AS dp1
+                FROM base WHERE i = 1
+                UNION ALL
+                SELECT b.i, b.day, b.c,
+                       b.cost0 + LEAST(dp.dp0, dp.dp1),
+                       b.cost1 + LEAST(dp.dp0 + 2000000, dp.dp1)
+                FROM base b JOIN dp ON b.i = dp.i + 1
+            )
+            SELECT day, CAST(c AS BIGINT) AS n_events,
+                   CAST(dp0 - LEAST(dp0, dp1) AS BIGINT) AS rdp0,
+                   CAST(dp1 - LEAST(dp0, dp1) AS BIGINT) AS rdp1,
+                   CAST(CASE WHEN dp0 <= dp1 THEN 0 ELSE 1 END AS BIGINT)
+                       AS state
+            FROM dp ORDER BY day
+        """,
+        # sliding 7-day HLL register max-merge (same md5 registers as
+        # events_hll_registers, built per day)
+        "events_hll_sliding": """
+            WITH du AS (
+                SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+                FROM events
+            ), h AS (
+                SELECT day, CAST(('0x' || substr(md5(CAST(user_id
+                                 AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM du
+            ), regs AS (
+                SELECT day, CAST(h % 256 AS BIGINT) AS bucket,
+                       CAST(MAX(53 - length(ltrim(bin(h // 256), '0')))
+                            AS BIGINT) AS max_rank
+                FROM h GROUP BY day, bucket
+            ), merged AS (
+                SELECT d.day, r.bucket, MAX(r.max_rank) AS mr
+                FROM (SELECT DISTINCT day FROM regs) d
+                JOIN regs r ON r.day BETWEEN d.day - INTERVAL 6 DAY
+                                         AND d.day
+                GROUP BY 1, 2
+            )
+            SELECT day, CAST(SUM(mr) AS BIGINT) AS sum_rank,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets
+            FROM merged GROUP BY day ORDER BY day
         """,
         # modal order priority per month (deterministic tie rule:
         # highest count, then lexicographically smallest priority)

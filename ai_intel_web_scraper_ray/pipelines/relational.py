@@ -8935,3 +8935,220 @@ def orders_mode_priority(sf_dir: str) -> pd.DataFrame:
     out["n_mode"] = out["n_mode"].astype("int64")
     return out[["month", "mode_priority", "n_mode"]] \
         .sort_values("month").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# fixed-point periodogram: DFT power of the hourly event-count series at a
+# few candidate periods — the seasonality-detection scan a scheduling or
+# anomaly pipeline runs before fitting seasonal models.  Integer micro
+# cos/sin tables make the spectral sums exact and order-free; |DFT|² is
+# time-shift invariant, so the absolute epoch-hour index needs no anchoring.
+# ---------------------------------------------------------------------------
+
+_DFT_PERIODS = (8, 12, 24, 168)
+
+
+def _dft_tables(periods=_DFT_PERIODS) -> dict:
+    """round(cos/sin(2πk/P)·10⁶) integer tables (libm + Python round —
+    the oracle generator recomputes them independently)."""
+    import math
+
+    tabs = {}
+    for p in periods:
+        tabs[p] = ([round(math.cos(2 * math.pi * k / p) * 1_000_000)
+                    for k in range(p)],
+                   [round(math.sin(2 * math.pi * k / p) * 1_000_000)
+                    for k in range(p)])
+    return tabs
+
+
+def events_periodogram(sf_dir: str) -> pd.DataFrame:
+    """Relative DFT power (ppm of the summed candidate-period powers) of
+    the hourly event-count series at periods 8/12/24/168 h.
+
+    Scale shape: the fact stream collapses to (epoch-hour, n) partials
+    inside ``map_batches`` and ONE bounded-calendar census reaches the
+    driver (hours grow with time, not data volume); the spectral fold
+    runs there with Python big-int accumulation — Σ n_h·cos table values
+    passes 2⁶³ on a web-scale corpus (the twin's SUM is HUGEINT)."""
+    ds = _read(sf_dir, "events", ["ts"])
+    cols = ("period", "power_ppm")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"h": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        h = (df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+             // 3_600_000_000)
+        return pd.DataFrame({"h": h}).groupby("h", as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    hours = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if hours.empty:
+        return empty
+    hours = hours.groupby("h", as_index=False)["n"].sum()
+    hs = hours["h"].to_numpy(dtype="int64")
+    ns = hours["n"].to_numpy(dtype="int64")
+    tabs = _dft_tables()
+    powers = {}
+    for p in _DFT_PERIODS:
+        ct, st = tabs[p]
+        k = hs % p
+        # Python big-int folds (exact at any corpus size)
+        sc = sum(int(n) * ct[int(kk)] for n, kk in zip(ns, k))
+        ss = sum(int(n) * st[int(kk)] for n, kk in zip(ns, k))
+        powers[p] = sc * sc + ss * ss
+    total = sum(powers.values())
+    out = pd.DataFrame({
+        "period": pd.Series(sorted(powers), dtype="int64"),
+        "power_ppm": pd.Series(
+            [powers[p] * 1_000_000 // total if total else 0
+             for p in sorted(powers)], dtype="int64")})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Kleinberg-style 2-state burst detection over the daily event-count series:
+# per-day Viterbi forward costs for a base-rate state (λ0 = daily mean) and
+# a burst state (λ1 = 2λ0), Poisson NLL in integer micro-nats with a fixed
+# entry penalty — the burst-window detector a trend-monitoring pipeline
+# runs over crawl or query logs.
+# ---------------------------------------------------------------------------
+
+_BURST_GAMMA = 2_000_000  # state-entry penalty (2.0 in micro units)
+
+
+def events_burst_detect(sf_dir: str) -> pd.DataFrame:
+    """Per-day forward Viterbi costs of the 2-state burst HMM over the
+    full day calendar (gap days count 0 events).  Output
+    (day, n_events, rdp0, rdp1, state): costs are normalized by the
+    day's min so the emitted integers stay int64-bounded at any scale
+    (the raw prefix costs grow with the series), state = argmin with
+    ties → base state 0.
+
+    Cost contract (mirrored exactly by the recursive-CTE twin):
+    ``cost_s(d) = λ_s·10⁶ − c_d·round(ln(λ_s)·10⁶)`` with
+    ``λ0 = max(1, total // n_days)``, ``λ1 = 2·λ0``; transitions charge
+    ``γ = 2·10⁶`` on 0→1 only; day 1 starts ``(cost0, γ + cost1)``.
+
+    Scale shape: the fact stream collapses to per-day count partials;
+    the sequential DP runs on the driver over the BOUNDED day calendar
+    (the changepoint/CUSUM argument) with Python-int accumulation."""
+    import math
+
+    ds = _read(sf_dir, "events", ["ts"])
+    cols = ("day", "n_events", "rdp0", "rdp1", "state")
+    empty = pd.DataFrame({
+        "day": pd.Series([], dtype="datetime64[ns]"),
+        "n_events": pd.Series([], dtype="int64"),
+        "rdp0": pd.Series([], dtype="int64"),
+        "rdp1": pd.Series([], dtype="int64"),
+        "state": pd.Series([], dtype="int64")})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "day": pd.Series([], dtype="datetime64[ns]"),
+                "n": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"day": df["ts"].dt.floor("D")})
+        return df.groupby("day", as_index=False).size() \
+            .rename(columns={"size": "n"})
+
+    days = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if days.empty:
+        return empty
+    days = days.groupby("day", as_index=False)["n"].sum() \
+        .sort_values("day").reset_index(drop=True)
+    # full calendar: gap days are 0-event days
+    cal = pd.date_range(days["day"].min(), days["day"].max(), freq="D")
+    series = days.set_index("day")["n"].reindex(cal, fill_value=0)
+    c = [int(x) for x in series.to_numpy()]
+    total, n_days = sum(c), len(c)
+    lam0 = max(1, total // n_days)
+    lam1 = 2 * lam0
+    l0 = round(math.log(lam0) * 1_000_000)
+    l1 = round(math.log(lam1) * 1_000_000)
+    dp0 = dp1 = 0
+    rows = []
+    for i, cd in enumerate(c):
+        cost0 = lam0 * 1_000_000 - cd * l0
+        cost1 = lam1 * 1_000_000 - cd * l1
+        if i == 0:
+            dp0, dp1 = cost0, _BURST_GAMMA + cost1
+        else:
+            dp0, dp1 = (cost0 + min(dp0, dp1),
+                        cost1 + min(dp0 + _BURST_GAMMA, dp1))
+        m = min(dp0, dp1)
+        rows.append((cal[i], cd, dp0 - m, dp1 - m, 0 if dp0 <= dp1 else 1))
+    return pd.DataFrame({
+        "day": [r[0] for r in rows],
+        "n_events": pd.Series([r[1] for r in rows], dtype="int64"),
+        "rdp0": pd.Series([r[2] for r in rows], dtype="int64"),
+        "rdp1": pd.Series([r[3] for r in rows], dtype="int64"),
+        "state": pd.Series([r[4] for r in rows], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# sliding-window distinct via HLL register merge: the same 256-register
+# sketch as events_hll_registers built PER DAY, then max-merged over a
+# trailing 7-day window — the mergeability property that makes sketches the
+# right distinct-count tool at scale, exercised end-to-end with exact
+# integer outputs (register sums, not float estimates).
+# ---------------------------------------------------------------------------
+
+
+def events_hll_sliding(sf_dir: str) -> pd.DataFrame:
+    """Per day (days present in the data): the trailing-7-day max-merge
+    of the daily HLL register tables, reported as (day, sum_rank,
+    n_buckets) — the integer register-level projection of the merged
+    sketch (sum of register values, count of non-empty registers).
+
+    Scale shape: per-batch distinct users → (day, bucket, rank) partials
+    → one (day, bucket) groupby MAX; the exchange is O(days × 256 ×
+    blocks) integers regardless of user cardinality, and the window
+    merge folds the bounded days×256 register census on the driver."""
+    import hashlib
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    cols = ("day", "sum_rank", "n_buckets")
+    empty = pd.DataFrame({
+        "day": pd.Series([], dtype="datetime64[ns]"),
+        "sum_rank": pd.Series([], dtype="int64"),
+        "n_buckets": pd.Series([], dtype="int64")})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "day": pd.Series([], dtype="datetime64[ns]"),
+                "bucket": pd.Series([], dtype="int64"),
+                "max_rank": pd.Series([], dtype="int64")})
+        df = pd.DataFrame({"day": df["ts"].dt.floor("D"),
+                           "user_id": df["user_id"]}) \
+            .drop_duplicates(["day", "user_id"])
+        h = df["user_id"].map(lambda u: int(
+            hashlib.md5(str(u).encode()).hexdigest()[:15], 16))
+        out = pd.DataFrame({
+            "day": df["day"].to_numpy(),
+            "bucket": (h % _HLL_M).to_numpy(dtype="int64"),
+            "max_rank": np.array(
+                [(_HLL_REST_BITS + 1) - int(r).bit_length()
+                 for r in (h // _HLL_M)], dtype="int64")})
+        return out.groupby(["day", "bucket"], as_index=False).max()
+
+    regs = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["day", "bucket"]).max("max_rank").to_pandas()
+    if regs.empty:
+        return empty
+    regs = regs.rename(columns={"max(max_rank)": "max_rank"})
+    days = np.sort(regs["day"].unique())
+    rows = []
+    for d in days:
+        lo = d - np.timedelta64(6, "D")
+        win = regs[(regs["day"] >= lo) & (regs["day"] <= d)]
+        merged = win.groupby("bucket")["max_rank"].max()
+        rows.append((d, int(merged.sum()), len(merged)))
+    return pd.DataFrame({
+        "day": [r[0] for r in rows],
+        "sum_rank": pd.Series([r[1] for r in rows], dtype="int64"),
+        "n_buckets": pd.Series([r[2] for r in rows], dtype="int64")})

@@ -89,6 +89,9 @@ ORACLE_QUERIES = [
     "orders_seasonal_decompose",
     "events_invalid_transitions",
     "orders_mode_priority",
+    "events_periodogram",
+    "events_burst_detect",
+    "events_hll_sliding",
     "events_dau_wau",
     "parts_co_ordered",
     "parts_components",
@@ -1804,3 +1807,75 @@ def test_mode_priority_tie_breaks_lexicographic(tmp_path):
     assert len(out) == 1
     assert out.iloc[0]["mode_priority"] == "1-URGENT"
     assert out.iloc[0]["n_mode"] == 2
+
+
+def _write_events(tmp_path, ts_list, users=None):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = len(ts_list)
+    users = users if users is not None else [1] * n
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([pd.Timestamp(x) for x in ts_list],
+                       pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["view"] * n, pa.string()),
+        "value": pa.array([1.0] * n, pa.float64()),
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+
+
+def test_periodogram_pure_daily_cycle_dominates(tmp_path):
+    """Events only at hour 0 of each day for 14 days: the 24 h period
+    carries (nearly) all candidate power; an aliased divisor (12/8)
+    stays below it."""
+    ts = [f"2024-01-{d:02d} 00:30:00" for d in range(1, 15)]
+    _write_events(tmp_path, ts)
+    out = rel.events_periodogram(str(tmp_path))
+    assert out["period"].tolist() == [8, 12, 24, 168]
+    p = dict(zip(out["period"], out["power_ppm"]))
+    # a once-per-day impulse train is a Dirac comb: every divisor
+    # harmonic (24/12/8) carries EQUAL power; the non-divisor 168 h
+    # period gets (almost) none
+    assert p[24] == max(p.values())
+    assert p[24] == p[12] == p[8]
+    assert p[168] < p[24] // 100
+    assert sum(p.values()) <= 1_000_000
+
+
+def test_burst_detect_flags_burst_days(tmp_path):
+    """1 event/day baseline with a 50-event day in the middle: the
+    burst day flips to state 1 and gap days appear with 0 events."""
+    ts = []
+    for d in (1, 2, 3, 5, 6):           # day 4 is a calendar gap
+        ts.append(f"2024-02-{d:02d} 10:00:00")
+    ts += [f"2024-02-03 1{k % 10}:0{k % 6}:00" for k in range(50)]
+    _write_events(tmp_path, ts)
+    out = rel.events_burst_detect(str(tmp_path))
+    assert len(out) == 6                # full calendar Feb 1..6
+    byday = out.set_index(out["day"].dt.day)
+    assert byday.loc[4, "n_events"] == 0
+    assert byday.loc[3, "state"] == 1   # the burst day
+    assert byday.loc[1, "state"] == 0
+    # normalization invariant: one of rdp0/rdp1 is 0 every day
+    assert ((out["rdp0"] == 0) | (out["rdp1"] == 0)).all()
+
+
+def test_hll_sliding_merges_trailing_window_only(tmp_path):
+    """User A on day 1, user B on day 5, user C on day 20: day 5's
+    window merges days 1+5 (both registers), day 20's only itself."""
+    _write_events(
+        tmp_path,
+        ["2024-03-01 08:00:00", "2024-03-05 08:00:00",
+         "2024-03-20 08:00:00"],
+        users=[101, 202, 303])
+    out = rel.events_hll_sliding(str(tmp_path))
+    assert len(out) == 3
+    d1, d5, d20 = (out.iloc[0], out.iloc[1], out.iloc[2])
+    assert d1["n_buckets"] == 1 and d20["n_buckets"] == 1
+    # 101 and 202 land in different md5 buckets → day-5 window holds both
+    assert d5["n_buckets"] == 2
+    assert d5["sum_rank"] == d1["sum_rank"] + (d5["sum_rank"] - d1["sum_rank"])
+    assert d20["sum_rank"] > 0
