@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lead_lag": rel.events_lead_lag,
         "parts_katz": rel.parts_katz,
         "parts_label_propagation": rel.parts_label_propagation,
+        "parts_mis": rel.parts_mis,
         # document/text operators
         "docs_lang_distribution": dq.docs_lang_distribution,
         "docs_token_stats": dq.docs_token_stats,
@@ -499,6 +500,7 @@ _PINNED_CRAWL = os.path.join(_PINNED_DIR, "crawl_expected.parquet")
 _PINNED_DEDUP = os.path.join(_PINNED_DIR, "dedup_expected.parquet")
 _PINNED_CRAWL_MULTI = os.path.join(_PINNED_DIR, "crawl_multi_expected.parquet")
 _PINNED_MST = os.path.join(_PINNED_DIR, "mst_expected.parquet")
+_PINNED_MIS = os.path.join(_PINNED_DIR, "mis_expected.parquet")
 _PINNED_STRESS = os.path.join(_PINNED_DIR, "stress_expected.parquet")
 _PINNED_CRAWL_INTERLEAVED = os.path.join(
     _PINNED_DIR, "crawl_interleaved_expected.parquet")
@@ -4057,6 +4059,18 @@ def oracle_sql() -> dict[str, str]:
               AND p.corpus_sum = (SELECT SUM(l_orderkey + 3 * l_partkey)
                                   FROM lineitem)
             ORDER BY u, v
+        """,
+        # maximal independent set — the engine runs Luby-style parallel
+        # min-id rounds; the pinned table is an INDEPENDENT sequential
+        # greedy by ascending id (they provably coincide)
+        "parts_mis": f"""
+            SELECT CAST(p.part AS BIGINT) AS part,
+                   CAST(p.in_mis AS BIGINT) AS in_mis
+            FROM read_parquet('{_PINNED_MIS}') p
+            WHERE p.corpus_n = (SELECT COUNT(*) FROM lineitem)
+              AND p.corpus_sum = (SELECT SUM(l_orderkey + 3 * l_partkey)
+                                  FROM lineitem)
+            ORDER BY part
         """,
         # sampled-source stress centrality — pinned independent
         # sequential Brandes-stress twin (the parts_mst pinning pattern);

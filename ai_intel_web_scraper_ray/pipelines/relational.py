@@ -9152,3 +9152,141 @@ def events_hll_sliding(sf_dir: str) -> pd.DataFrame:
         "day": [r[0] for r in rows],
         "sum_rank": pd.Series([r[1] for r in rows], dtype="int64"),
         "n_buckets": pd.Series([r[2] for r in rows], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# maximal independent set over the co-order part graph: Luby-style parallel
+# rounds with the MIN-ID rule (an undecided node enters the MIS when its id
+# beats every undecided neighbor; MIS neighbors exclude).  The parallel
+# fixpoint equals the sequential greedy-by-ascending-id MIS, which the
+# pinned oracle recomputes independently (the parts_mst two-algorithm
+# pinning pattern).
+# ---------------------------------------------------------------------------
+
+_MIS_MAX_ROUNDS = 64
+_MIS_SENTINEL = np.int64(2) ** 62
+
+
+def parts_mis(sf_dir: str, support: int = 2) -> pd.DataFrame:
+    """(part, in_mis) for every node of the support-≥2 co-order graph.
+
+    Scale shape: statuses live in node-keyed datasets; each round is ONE
+    hash-shuffle join (statuses onto edge sources) plus one node-bucket
+    exchange of (min undecided neighbor, MIS-neighbor flag) partials —
+    the same per-round cost as one label-propagation round.  Joining and
+    excluding fold into a single update because two adjacent nodes can
+    never enter together (one has the smaller id) and a node adjacent to
+    a new MIS member sees the flag next round, before its own min-id
+    test can fire.  Terminates in ≤ rounds(graph) rounds (the minimum
+    undecided id always enters); a 64-round backstop raises rather than
+    returning a non-maximal set."""
+    def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["a_id"].astype("int64")
+        b = df["b_id"].astype("int64")
+        return pd.DataFrame({
+            "src": pd.concat([a, b], ignore_index=True),
+            "dst": pd.concat([b, a], ignore_index=True)})
+
+    edges = _co_order_pair_counts(sf_dir, support) \
+        .map_batches(symmetrize, batch_format="pandas").materialize()
+    empty = pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                          "in_mis": pd.Series([], dtype="int64")})
+    if edges.count() == 0:
+        return empty
+
+    def init_status(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"node": df["src"].astype("int64")}) \
+            .drop_duplicates()
+        out["st"] = np.int64(0)          # 0 undecided / 1 MIS / 2 excluded
+        out["min_und"] = _MIS_SENTINEL
+        out["has_mis"] = np.int64(0)
+        out["kind"] = np.int64(0)
+        out["_n"] = (out["node"] % 64).astype("int64")
+        return out
+
+    def dedup_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates("node")[
+            ["node", "st", "min_und", "has_mis", "kind", "_n"]]
+
+    status = edges.map_batches(init_status, batch_format="pandas") \
+        .groupby("_n").map_groups(dedup_nodes, batch_format="pandas") \
+        .materialize()
+
+    n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.3, cap=16)
+
+    def n_undecided(ds) -> int:
+        parts = ds.map_batches(
+            lambda df: pd.DataFrame(
+                {"n": pd.Series([int((df["st"] == 0).sum())],
+                                dtype="int64")}),
+            batch_format="pandas").to_pandas()
+        return int(parts["n"].sum()) if len(parts) else 0
+
+    def nb_info(df: pd.DataFrame) -> pd.DataFrame:
+        """Edge rows carrying the source's status → per-dst partials."""
+        und = df[df["st"] == 0]
+        mi = df[df["st"] == 1]
+        a = und.groupby("dst", as_index=False)["src"].min() \
+            .rename(columns={"dst": "node", "src": "min_und"})
+        b = mi[["dst"]].drop_duplicates().rename(columns={"dst": "node"})
+        a["has_mis"] = np.int64(0)
+        b["min_und"] = _MIS_SENTINEL
+        b["has_mis"] = np.int64(1)
+        out = pd.concat([a, b], ignore_index=True)
+        if len(out) == 0:
+            return pd.DataFrame({
+                "node": pd.Series([], dtype="int64"),
+                "st": pd.Series([], dtype="int64"),
+                "min_und": pd.Series([], dtype="int64"),
+                "has_mis": pd.Series([], dtype="int64"),
+                "kind": pd.Series([], dtype="int64"),
+                "_n": pd.Series([], dtype="int64")})
+        out["node"] = out["node"].astype("int64")
+        out["min_und"] = out["min_und"].astype("int64")
+        out["st"] = np.int64(-1)
+        out["kind"] = np.int64(1)
+        out["_n"] = (out["node"] % 64).astype("int64")
+        return out[["node", "st", "min_und", "has_mis", "kind", "_n"]]
+
+    def decide(df: pd.DataFrame) -> pd.DataFrame:
+        st = df[df["kind"] == 0]
+        nb = df[df["kind"] == 1].groupby("node", as_index=False).agg(
+            nb_min=("min_und", "min"), nb_mis=("has_mis", "max"))
+        m = st.merge(nb, on="node", how="left")
+        und = (m["st"] == 0).to_numpy()
+        has_mis = (m["nb_mis"].fillna(0) == 1).to_numpy()
+        min_und = m["nb_min"].fillna(_MIS_SENTINEL).to_numpy(dtype="int64")
+        new_st = m["st"].to_numpy(dtype="int64").copy()
+        new_st[und & has_mis] = 2
+        new_st[und & ~has_mis
+               & (m["node"].to_numpy(dtype="int64") < min_und)] = 1
+        out = pd.DataFrame({"node": m["node"].astype("int64"),
+                            "st": new_st})
+        out["min_und"] = _MIS_SENTINEL
+        out["has_mis"] = np.int64(0)
+        out["kind"] = np.int64(0)
+        out["_n"] = (out["node"] % 64).astype("int64")
+        return out[["node", "st", "min_und", "has_mis", "kind", "_n"]]
+
+    converged = False
+    for _ in range(_MIS_MAX_ROUNDS):
+        if n_undecided(status) == 0:
+            converged = True
+            break
+        joined = edges.join(status, join_type="inner",
+                            num_partitions=n_parts,
+                            on=("src",), right_on=("node",))
+        contribs = joined.map_batches(nb_info, batch_format="pandas")
+        status = status.union(contribs) \
+            .groupby("_n").map_groups(decide, batch_format="pandas") \
+            .materialize()
+    if not converged and n_undecided(status) != 0:
+        raise RuntimeError(
+            f"parts_mis did not converge in {_MIS_MAX_ROUNDS} rounds")
+
+    out = status.map_batches(
+        lambda df: pd.DataFrame({
+            "part": df["node"].astype("int64"),
+            "in_mis": (df["st"] == 1).astype("int64")}),
+        batch_format="pandas").to_pandas()
+    return out.sort_values("part").reset_index(drop=True)

@@ -92,6 +92,7 @@ ORACLE_QUERIES = [
     "events_periodogram",
     "events_burst_detect",
     "events_hll_sliding",
+    "parts_mis",
     "events_dau_wau",
     "parts_co_ordered",
     "parts_components",
@@ -1879,3 +1880,29 @@ def test_hll_sliding_merges_trailing_window_only(tmp_path):
     assert d5["n_buckets"] == 2
     assert d5["sum_rank"] == d1["sum_rank"] + (d5["sum_rank"] - d1["sum_rank"])
     assert d20["sum_rank"] > 0
+
+
+def test_mis_path_graph_multi_round(tmp_path):
+    """Ascending-id path 1-2-3-4-5: greedy-by-id keeps {1,3,5} — the
+    parallel rounds must walk the chain (1 joins, 2 excluded, 3 joins,
+    4 excluded, 5 joins), exercising the exclusion-lag round order."""
+    _write_coorder_graph(tmp_path, (((1, 2), 2), ((2, 3), 2),
+                                    ((3, 4), 2), ((4, 5), 2)))
+    out = rel.parts_mis(str(tmp_path))
+    got = dict(zip(out["part"].astype(int), out["in_mis"].astype(int)))
+    assert got == {1: 1, 2: 0, 3: 1, 4: 0, 5: 1}
+
+
+def test_mis_star_and_empty(tmp_path):
+    """Star with a high-id center: every leaf joins, the center is
+    excluded; an under-support corpus yields a typed empty frame."""
+    _write_coorder_graph(tmp_path, (((9, 1), 2), ((9, 2), 2),
+                                    ((9, 3), 2)))
+    out = rel.parts_mis(str(tmp_path))
+    got = dict(zip(out["part"].astype(int), out["in_mis"].astype(int)))
+    assert got == {1: 1, 2: 1, 3: 1, 9: 0}
+
+    _write_coorder_graph(tmp_path, (((1, 2), 1),))
+    out2 = rel.parts_mis(str(tmp_path))
+    assert len(out2) == 0
+    assert list(out2.columns) == ["part", "in_mis"]

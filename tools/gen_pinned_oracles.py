@@ -519,6 +519,60 @@ def gen_stress_expected() -> None:
     print(f"wrote {len(out)} stress rows -> {STRESS_OUT}")
 
 
+MIS_OUT = os.path.join(os.path.dirname(OUT), "mis_expected.parquet")
+
+
+def gen_mis_expected() -> None:
+    """Pin the maximal independent set of each test corpus's co-order
+    graph (support ≥ 2) via an INDEPENDENT sequential greedy by ascending
+    node id (select a node iff no smaller selected neighbor) — the engine
+    runs Luby-style parallel min-id rounds, so agreement validates the
+    algorithm, not a shared code path.  Keyed by (corpus_n, corpus_sum)
+    of the lineitem table like the MST pin."""
+    import duckdb
+
+    frames = []
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/lineitem.parquet"
+        con = duckdb.connect()
+        edges = con.execute(f"""
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey
+                       FROM read_parquet('{path}')),
+            e AS (SELECT a.l_partkey AS u, c.l_partkey AS v
+                  FROM b a JOIN b c USING (l_orderkey)
+                  WHERE a.l_partkey < c.l_partkey
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+            SELECT u, v FROM e
+        """).fetchall()
+        key = con.execute(f"""
+            SELECT COUNT(*), SUM(l_orderkey + 3 * l_partkey)
+            FROM read_parquet('{path}')
+        """).fetchone()
+        con.close()
+        corpus_n, corpus_sum = int(key[0]), int(key[1])
+
+        adj: dict = {}
+        for u, v in edges:
+            adj.setdefault(int(u), set()).add(int(v))
+            adj.setdefault(int(v), set()).add(int(u))
+        selected: set = set()
+        for node in sorted(adj):
+            if not any(nb in selected for nb in adj[node]):
+                selected.add(node)
+        nodes = sorted(adj)
+        frames.append(pa.table({
+            "corpus_n": pa.array([corpus_n] * len(nodes), pa.int64()),
+            "corpus_sum": pa.array([corpus_sum] * len(nodes), pa.int64()),
+            "part": pa.array(nodes, pa.int64()),
+            "in_mis": pa.array([1 if n in selected else 0 for n in nodes],
+                               pa.int64()),
+        }))
+        print(f"{sf}: {len(selected)} MIS nodes of {len(nodes)}")
+    out = pa.concat_tables(frames)
+    pq.write_table(out, MIS_OUT)
+    print(f"wrote {len(out)} MIS rows -> {MIS_OUT}")
+
+
 def main() -> None:
     rows = {}
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
@@ -544,6 +598,7 @@ def main() -> None:
     gen_dedup_expected()
     gen_mst_expected()
     gen_stress_expected()
+    gen_mis_expected()
 
 
 if __name__ == "__main__":
