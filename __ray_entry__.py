@@ -460,6 +460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_periodogram": rel.events_periodogram,
         "events_burst_detect": rel.events_burst_detect,
         "events_hll_sliding": rel.events_hll_sliding,
+        "events_sax_words": rel.events_sax_words,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -5968,6 +5969,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, CAST(SUM(mr) AS BIGINT) AS sum_rank,
                    CAST(COUNT(*) AS BIGINT) AS n_buckets
             FROM merged GROUP BY day ORDER BY day
+        """,
+        # SAX word census: 4 six-hour quarters per active user-day,
+        # zero-filled, quartile breakpoints via quantile_disc (the
+        # ceil(q·n)-1 contract), boundaries inclusive downward
+        "events_sax_words": """
+            WITH ud AS (
+                SELECT user_id, date_trunc('day', ts) AS day,
+                       (epoch_us(ts) % 86400000000) // 21600000000 AS q
+                FROM events
+            ), cnt AS (
+                SELECT user_id, day, q, CAST(COUNT(*) AS BIGINT) AS c
+                FROM ud GROUP BY 1, 2, 3
+            ), quarters AS (
+                SELECT a.user_id, a.day, qq.q, COALESCE(cnt.c, 0) AS c
+                FROM (SELECT DISTINCT user_id, day FROM ud) a
+                CROSS JOIN (SELECT unnest(range(0, 4)) AS q) qq
+                LEFT JOIN cnt ON cnt.user_id = a.user_id
+                             AND cnt.day = a.day AND cnt.q = qq.q
+            ), bp AS (
+                SELECT quantile_disc(c, 0.25) AS b1,
+                       quantile_disc(c, 0.5) AS b2,
+                       quantile_disc(c, 0.75) AS b3
+                FROM quarters
+            ), sym AS (
+                SELECT user_id, day, q,
+                       CASE WHEN c <= b1 THEN 'a' WHEN c <= b2 THEN 'b'
+                            WHEN c <= b3 THEN 'c' ELSE 'd' END AS s
+                FROM quarters CROSS JOIN bp
+            ), words AS (
+                SELECT user_id, day, string_agg(s, '' ORDER BY q) AS word
+                FROM sym GROUP BY 1, 2
+            )
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS n_userdays
+            FROM words GROUP BY word ORDER BY word
         """,
         # modal order priority per month (deterministic tie rule:
         # highest count, then lexicographically smallest priority)

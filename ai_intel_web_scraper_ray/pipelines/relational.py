@@ -9290,3 +9290,107 @@ def parts_mis(sf_dir: str, support: int = 2) -> pd.DataFrame:
             "in_mis": (df["st"] == 1).astype("int64")}),
         batch_format="pandas").to_pandas()
     return out.sort_values("part").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization of per-user daily activity: 4 six-hour quarter counts
+# per active user-day, global quartile breakpoints (quantile_disc contract),
+# one 4-letter word per user-day, corpus word census — the symbolic
+# time-series representation behind motif mining / anomaly grouping.
+# ---------------------------------------------------------------------------
+
+
+def events_sax_words(sf_dir: str) -> pd.DataFrame:
+    """Census of 4-letter SAX words (alphabet a<b<c<d on the global
+    quartiles of quarter counts, boundaries inclusive downward: x ≤ q25
+    → 'a', ≤ q50 → 'b', ≤ q75 → 'c', else 'd') over all active
+    user-days; quarters with no events count 0.
+
+    Scale shape: the fact stream collapses to (user, day, quarter)
+    count partials; user-hash buckets assemble exact counts + zero-fill
+    (complete user history per bucket) into a materialized quarters
+    dataset.  Pass 1 reads the global quartiles from a bounded-domain
+    count histogram (the docs_token_percentiles contract:
+    ``ceil(q·n)−1`` = DuckDB quantile_disc).  Pass 2 symbolizes per
+    bucket and ships ≤ 256-word census partials to the driver."""
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+    empty = pd.DataFrame({"word": pd.Series([], dtype=object),
+                          "n_userdays": pd.Series([], dtype="int64")})
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype="int64"),
+                "day": pd.Series([], dtype="datetime64[ns]"),
+                "q": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64"),
+                "_b": pd.Series([], dtype="int64")})
+        epoch = df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "day": df["ts"].dt.floor("D"),
+            "q": (epoch % 86_400_000_000) // 21_600_000_000})
+        out = out.groupby(["user_id", "day", "q"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        out["c"] = out["c"].astype("int64")
+        out["_b"] = (out["user_id"] % 64).astype("int64")
+        return out
+
+    def quarters_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cnt = df.groupby(["user_id", "day", "q"], as_index=False)["c"].sum()
+        ud = cnt[["user_id", "day"]].drop_duplicates()
+        full = ud.merge(pd.DataFrame({"q": np.arange(4, dtype="int64")}),
+                        how="cross")
+        out = full.merge(cnt, on=["user_id", "day", "q"], how="left")
+        out["c"] = out["c"].fillna(0).astype("int64")
+        out["_b"] = (out["user_id"].astype("int64") % 64).astype("int64")
+        return out[["user_id", "day", "q", "c", "_b"]]
+
+    quarters = ds.map_batches(keep, batch_format="pandas") \
+        .groupby("_b").map_groups(quarters_bucket, batch_format="pandas") \
+        .materialize()
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"v": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        u, cc = np.unique(df["c"].to_numpy(dtype="int64"),
+                          return_counts=True)
+        return pd.DataFrame({"v": u.astype("int64"),
+                             "n": cc.astype("int64")})
+
+    parts = quarters.map_batches(hist_partial,
+                                 batch_format="pandas").to_pandas()
+    if parts.empty or parts["n"].sum() == 0:
+        return empty
+    hist = parts.groupby("v")["n"].sum().sort_index()
+    n = int(hist.sum())
+    cum = hist.cumsum()
+
+    def q_disc(q: float) -> int:
+        idx = int(np.ceil(q * n)) - 1
+        return int(cum.index[(cum > idx).argmax()])
+
+    b1, b2, b3 = q_disc(0.25), q_disc(0.5), q_disc(0.75)
+
+    def words_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "day", "q"], kind="mergesort")
+        c = df["c"].to_numpy(dtype="int64")
+        sym = np.full(len(c), "d", dtype=object)
+        sym[c <= b3] = "c"
+        sym[c <= b2] = "b"
+        sym[c <= b1] = "a"
+        w = pd.DataFrame({"user_id": df["user_id"], "day": df["day"],
+                          "s": sym}) \
+            .groupby(["user_id", "day"], sort=False)["s"].agg("".join)
+        out = w.reset_index(name="word") \
+            .groupby("word", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return out
+
+    wparts = quarters.groupby("_b") \
+        .map_groups(words_bucket, batch_format="pandas").to_pandas()
+    out = wparts.groupby("word", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_userdays"})
+    out["n_userdays"] = out["n_userdays"].astype("int64")
+    return out.sort_values("word").reset_index(drop=True)

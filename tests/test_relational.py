@@ -93,6 +93,7 @@ ORACLE_QUERIES = [
     "events_burst_detect",
     "events_hll_sliding",
     "parts_mis",
+    "events_sax_words",
     "events_dau_wau",
     "parts_co_ordered",
     "parts_components",
@@ -1906,3 +1907,19 @@ def test_mis_star_and_empty(tmp_path):
     out2 = rel.parts_mis(str(tmp_path))
     assert len(out2) == 0
     assert list(out2.columns) == ["part", "in_mis"]
+
+
+def test_sax_words_zero_fill_and_breakpoints(tmp_path):
+    """One user, one day, events only in quarter 0 (×3) and quarter 2
+    (×1): the zero-filled quarter multiset {3,1,0,0} pins the quartile
+    breakpoints and the resulting word (quantile_disc = ceil(q·n)-1
+    order statistic, hand-derived below)."""
+    ts = ["2024-04-01 01:00:00", "2024-04-01 02:00:00",
+          "2024-04-01 03:00:00", "2024-04-01 13:00:00"]
+    _write_events(tmp_path, ts, users=[7, 7, 7, 7])
+    out = rel.events_sax_words(str(tmp_path))
+    # multiset {3,1,0,0} sorted [0,0,1,3]: q25→idx0→0, q50→idx1→0,
+    # q75→idx2→1 ⇒ symbols: q0 c=3→'d', q1 c=0→'a', q2 c=1→'c',
+    # q3 c=0→'a'
+    assert out["word"].tolist() == ["daca"]
+    assert out["n_userdays"].tolist() == [1]
