@@ -470,6 +470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_charclass_census": dq.docs_charclass_census,
         "docs_media_context": dq.docs_media_context,
         "emb_cluster_stats": dq.emb_cluster_stats,
+        "emb_nn_descent": dq.emb_nn_descent,
         # crawl + chunking (non-SQL, rows-only)
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
@@ -6095,6 +6096,87 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(1000000 - sm) AS BIGINT) AS distortion_micro,
                    CAST(MAX(1000000 - sm) AS BIGINT) AS max_dist_micro
             FROM best WHERE rn = 1 GROUP BY cid ORDER BY cid
+        """,
+        # NN-descent recall audit: ring init + one
+        # neighbors-of-neighbors refinement round vs exact top-3 on the
+        # vec_id % 31 sample; ONE integer-micro rounding drives every
+        # top-k (ties → lowest nb)
+        "emb_nn_descent": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            nn AS (SELECT COUNT(*) AS n FROM e),
+            nb0 AS (
+                SELECT e.vec_id AS src, (e.vec_id + i.i) % nn.n AS nb
+                FROM e CROSS JOIN (SELECT unnest(range(1, 4)) AS i) i
+                CROSS JOIN nn
+                WHERE (e.vec_id + i.i) % nn.n <> e.vec_id
+            ), nb0d AS (SELECT DISTINCT src, nb FROM nb0),
+            cand AS (
+                SELECT src, nb, MAX(is0) AS is0 FROM (
+                    SELECT src, nb, 1 AS is0 FROM nb0d
+                    UNION ALL SELECT nb AS src, src AS nb, 0 FROM nb0d
+                    UNION ALL SELECT a.src, b.nb, 0
+                    FROM nb0d a JOIN nb0d b ON a.nb = b.src
+                ) WHERE src <> nb GROUP BY src, nb
+            ), scored AS (
+                SELECT c.src, c.nb, c.is0,
+                       CAST(ROUND(list_cosine_similarity(ea.v, eb.v)
+                                  * 1000000, 0) AS BIGINT) AS sm
+                FROM cand c JOIN e ea ON ea.vec_id = c.src
+                            JOIN e eb ON eb.vec_id = c.nb
+            ), n1 AS (
+                SELECT src, nb FROM (
+                    SELECT src, nb, ROW_NUMBER() OVER (
+                        PARTITION BY src ORDER BY sm DESC, nb) AS rn
+                    FROM scored) WHERE rn <= 3
+            ), q AS (SELECT vec_id FROM e WHERE vec_id < 16),
+            exs AS (
+                SELECT a.vec_id AS src, b.vec_id AS nb,
+                       CAST(ROUND(list_cosine_similarity(a.v, b.v)
+                                  * 1000000, 0) AS BIGINT) AS sm
+                FROM (SELECT e.vec_id, e.v FROM e JOIN q USING (vec_id)) a
+                CROSS JOIN e b WHERE b.vec_id <> a.vec_id
+            ), ex AS (
+                SELECT src, nb FROM (
+                    SELECT src, nb, ROW_NUMBER() OVER (
+                        PARTITION BY src ORDER BY sm DESC, nb) AS rn
+                    FROM exs) WHERE rn <= 3
+            ), den AS (SELECT COUNT(*) AS d FROM ex),
+            nq AS (SELECT COUNT(*) AS c FROM q),
+            smp AS (SELECT * FROM scored WHERE src < 16),
+            smp1 AS (
+                SELECT src, nb, sm FROM (
+                    SELECT src, nb, sm, ROW_NUMBER() OVER (
+                        PARTITION BY src ORDER BY sm DESC, nb) AS rn
+                    FROM smp) WHERE rn <= 3
+            ),
+            h0 AS (SELECT COUNT(*) AS h FROM
+                   (SELECT src, nb FROM smp WHERE is0 = 1) s0
+                   JOIN ex USING (src, nb)),
+            h1 AS (SELECT COUNT(*) AS h FROM smp1 JOIN ex USING (src, nb)),
+            b0 AS (SELECT COALESCE(SUM(mx), 0) AS s FROM
+                   (SELECT src, MAX(sm) AS mx FROM smp WHERE is0 = 1
+                    GROUP BY src)),
+            b1 AS (SELECT COALESCE(SUM(mx), 0) AS s FROM
+                   (SELECT src, MAX(sm) AS mx FROM smp GROUP BY src)),
+            ne0 AS (SELECT COUNT(*) AS c FROM nb0d),
+            ne1 AS (SELECT COUNT(*) AS c FROM n1)
+            SELECT * FROM (
+                SELECT CAST(0 AS BIGINT) AS round,
+                       CAST(nq.c AS BIGINT) AS n_queries,
+                       CAST(CASE WHEN den.d = 0 THEN 0
+                            ELSE h0.h * 1000000 // den.d END AS BIGINT)
+                           AS recall_ppm,
+                       CAST(b0.s AS BIGINT) AS sum_best_sm,
+                       CAST(ne0.c AS BIGINT) AS n_edges
+                FROM nq, den, h0, b0, ne0
+                UNION ALL
+                SELECT CAST(1 AS BIGINT), CAST(nq.c AS BIGINT),
+                       CAST(CASE WHEN den.d = 0 THEN 0
+                            ELSE h1.h * 1000000 // den.d END AS BIGINT),
+                       CAST(b1.s AS BIGINT), CAST(ne1.c AS BIGINT)
+                FROM nq, den, h1, b1, ne1
+            ) ORDER BY round
         """,
         # per-source language-mix entropy in exact fixed-point micro-nats
         "docs_source_lang_entropy": """

@@ -6525,3 +6525,265 @@ def emb_cluster_stats(sf_dir: str, n_seeds: int = 8) -> pd.DataFrame:
     for c in cols:
         out[c] = out[c].astype("int64")
     return out[list(cols)].sort_values("cluster_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# NN-descent: one neighbors-of-neighbors refinement round over a trivially
+# seeded k-NN graph (ring init), audited on a FIXED 16-query sample — the
+# graph-ANN construction step (NN-descent / HNSW-family) expressed as
+# bucketed exchanges + per-bucket top-k.
+# ---------------------------------------------------------------------------
+
+_NND_K = 3
+_NND_NQ = 16
+
+
+def emb_nn_descent(sf_dir: str, k: int = _NND_K,
+                   n_q: int = _NND_NQ) -> pd.DataFrame:
+    """Audit of one NN-descent round: per round r ∈ {0 = ring init,
+    1 = refined with candidates = neighbors ∪ reverse neighbors ∪
+    neighbors-of-neighbors, keep top-k by ``round(cos·10⁶)`` with
+    nb-asc ties}, emit (round, n_queries, recall_ppm, sum_best_sm,
+    n_edges): recall@k vs exact top-k on the fixed ``vec_id < 16``
+    query sample, the summed per-query best neighbor score (monotone
+    non-decreasing across rounds BY CONSTRUCTION — the live signal even
+    when recall stays 0 on an unclustered corpus), and the round's
+    total neighbor-edge count (observes the full distributed build, not
+    just the sample).
+
+    Scale shape: the neighbor table is O(n·k) rows; refinement is one
+    int-keyed hash join (neighbors-of-neighbors) plus two bucketed
+    tagged-union exchanges that gather endpoint vectors as opaque
+    float64 bytes (pyarrow's acero join rejects list payloads, and a
+    pandas union of tensor-typed and absent columns won't concat) and a
+    src-bucket top-k.  Only the exact audit (bounded query sample,
+    broadcast query matrix, per-block partial top-k) touches every pair
+    for the sampled queries; the driver folds sample-sized frames."""
+    import ray
+
+    emb = _emb(sf_dir).materialize()
+    n = emb.count()
+    if n == 0:
+        # SQL twin semantics: the two audit rows survive an empty table
+        return pd.DataFrame({
+            "round": pd.Series([0, 1], dtype="int64"),
+            "n_queries": pd.Series([0, 0], dtype="int64"),
+            "recall_ppm": pd.Series([0, 0], dtype="int64"),
+            "sum_best_sm": pd.Series([0, 0], dtype="int64"),
+            "n_edges": pd.Series([0, 0], dtype="int64")})
+
+    def ring(t: pa.Table) -> pd.DataFrame:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        src = np.repeat(ids, k)
+        nb = (src + np.tile(np.arange(1, k + 1, dtype="int64"),
+                            len(ids))) % n
+        keep = nb != src
+        return pd.DataFrame({"src": src[keep],
+                             "nb": nb[keep]}).drop_duplicates()
+
+    nb0 = emb.select_columns(["vec_id"]) \
+        .map_batches(ring, batch_format="pyarrow").materialize()
+    n_edges0 = nb0.count()
+
+    n_parts = max(1, min(8, n // 100_000 + 1))
+
+    def flip(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"src": df["nb"].astype("int64"),
+                             "nb": df["src"].astype("int64")})
+
+    rev = nb0.map_batches(flip, batch_format="pandas")
+    nb0r = nb0.map_batches(
+        lambda df: pd.DataFrame({"s2": df["src"].astype("int64"),
+                                 "n2": df["nb"].astype("int64")}),
+        batch_format="pandas").materialize()
+    non = nb0.join(nb0r, join_type="inner", num_partitions=n_parts,
+                   on=("nb",), right_on=("s2",)) \
+        .map_batches(lambda df: pd.DataFrame(
+            {"src": df["src"].astype("int64"),
+             "nb": df["n2"].astype("int64")}), batch_format="pandas")
+
+    def tag0(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["src", "nb"]].copy()
+        out["is0"] = np.int64(1)
+        return out
+
+    def tag_other(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["src", "nb"]].copy()
+        out["is0"] = np.int64(0)
+        return out
+
+    def cand_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["src"] != df["nb"]]
+        out = df.groupby(["src", "nb"], as_index=False)["is0"].max()
+        return out
+
+    def bucket_s(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_s"] = (df["src"].astype("int64") % 64).astype("int64")
+        return df
+
+    cand = nb0.map_batches(tag0, batch_format="pandas") \
+        .union(rev.map_batches(tag_other, batch_format="pandas"),
+               non.map_batches(tag_other, batch_format="pandas")) \
+        .map_batches(bucket_s, batch_format="pandas") \
+        .groupby("_s").map_groups(cand_bucket, batch_format="pandas") \
+        .materialize()
+
+    # gather both endpoint vectors through two bucketed tagged-union
+    # exchanges; vectors ride as opaque float64 bytes
+    def emb_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"a": df["vec_id"].astype("int64")})
+        out["b"] = np.int64(-1)
+        out["is0"] = np.int64(0)
+        vecs = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        out["vec"] = [v.tobytes() for v in vecs]
+        out["kind"] = np.int64(0)
+        out["_g"] = (out["a"] % 64).astype("int64")
+        return out
+
+    emb_tagged = emb.map_batches(emb_rows, batch_format="pandas") \
+        .materialize()
+
+    def cand_by_nb(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"a": df["nb"].astype("int64"),
+                            "b": df["src"].astype("int64"),
+                            "is0": df["is0"].astype("int64")})
+        out["vec"] = b""
+        out["kind"] = np.int64(1)
+        out["_g"] = (out["a"] % 64).astype("int64")
+        return out
+
+    def attach_vec(df: pd.DataFrame) -> pd.DataFrame:
+        """kind-0 = (a=vec_id, vec); kind-1 = (a=key, b=other endpoint).
+        Emits flipped rows keyed on the other endpoint, carrying the
+        looked-up vector."""
+        e = df[df["kind"] == 0][["a", "vec"]]
+        c = df[df["kind"] == 1][["a", "b", "is0"]]
+        m = c.merge(e, on="a", how="inner")
+        out = pd.DataFrame({"a": m["b"].astype("int64"),
+                            "b": m["a"].astype("int64"),
+                            "is0": m["is0"].astype("int64")})
+        out["vec"] = m["vec"]
+        out["kind"] = np.int64(1)
+        out["_g"] = (out["a"] % 64).astype("int64")
+        return out
+
+    with_nbv = cand.map_batches(cand_by_nb, batch_format="pandas") \
+        .union(emb_tagged) \
+        .groupby("_g").map_groups(attach_vec, batch_format="pandas")
+
+    def score_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["kind"] == 0][["a", "vec"]].rename(
+            columns={"vec": "sv"})
+        c = df[df["kind"] == 1][["a", "b", "is0", "vec"]]
+        m = c.merge(e, on="a", how="inner")
+        if len(m) == 0:
+            return pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                                 "nb": pd.Series([], dtype="int64"),
+                                 "is0": pd.Series([], dtype="int64"),
+                                 "sm": pd.Series([], dtype="int64")})
+        a = np.frombuffer(b"".join(m["sv"].tolist()),
+                          dtype=np.float64).reshape(len(m), -1)
+        b = np.frombuffer(b"".join(m["vec"].tolist()),
+                          dtype=np.float64).reshape(len(m), -1)
+        sims = np.einsum("ij,ij->i", a, b) / (
+            np.sqrt((a * a).sum(axis=1)) * np.sqrt((b * b).sum(axis=1)))
+        return pd.DataFrame({"src": m["a"].astype("int64"),
+                             "nb": m["b"].astype("int64"),
+                             "is0": m["is0"].astype("int64"),
+                             "sm": np.round(sims * 1_000_000)
+                             .astype("int64")})
+
+    scored = with_nbv.union(emb_tagged) \
+        .groupby("_g").map_groups(score_bucket, batch_format="pandas") \
+        .materialize()
+
+    def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["src", "sm", "nb"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        return df.groupby("src", sort=False).head(k)[["src", "nb"]]
+
+    n_edges1 = scored.map_batches(bucket_s, batch_format="pandas") \
+        .groupby("_s").map_groups(topk_bucket, batch_format="pandas") \
+        .count()
+
+    # exact top-k for the fixed query sample (broadcast query matrix,
+    # per-block partial top-k — the emb_knn audit shape)
+    def q_filter(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return t.filter(pa.array(ids < n_q))
+
+    qt = emb.map_batches(q_filter, batch_format="pyarrow").to_pandas()
+    q_ids = qt["vec_id"].to_numpy(dtype="int64")
+    q_mat = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
+    q_ref = ray.put((q_ids, q_mat))
+
+    def exact_partial(t: pa.Table) -> pd.DataFrame:
+        empty = pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                              "nb": pd.Series([], dtype="int64"),
+                              "sm": pd.Series([], dtype="int64")})
+        if len(t) == 0:
+            return empty
+        qids, qm = ray.get(q_ref)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        m = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        sims = (m @ qm.T) / np.outer(
+            np.sqrt((m * m).sum(axis=1)), np.sqrt((qm * qm).sum(axis=1)))
+        sm = np.round(sims * 1_000_000).astype("int64")
+        frames = []
+        for j, qid in enumerate(qids):
+            keep = ids != qid
+            take = min(k, int(keep.sum()))
+            if take == 0:
+                continue
+            order = np.lexsort((ids[keep], -sm[keep, j]))[:take]
+            frames.append(pd.DataFrame({
+                "src": np.full(take, qid, dtype="int64"),
+                "nb": ids[keep][order], "sm": sm[keep, j][order]}))
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    ex_parts = emb.map_batches(exact_partial,
+                               batch_format="pyarrow").to_pandas()
+    if len(ex_parts) == 0 or "src" not in ex_parts.columns:
+        ex = pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                           "nb": pd.Series([], dtype="int64")})
+    else:
+        ex = ex_parts.sort_values(
+            ["src", "sm", "nb"], ascending=[True, False, True],
+            kind="mergesort").groupby("src", sort=False).head(k)[
+            ["src", "nb"]]
+    denom = len(ex)
+
+    # bounded sample frame: every scored candidate row of the 16 queries
+    def sample_filter(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["src"].astype("int64") < n_q]
+
+    smp = scored.map_batches(sample_filter,
+                             batch_format="pandas").to_pandas()
+    if len(smp) == 0 or "src" not in smp.columns:
+        smp = pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                            "nb": pd.Series([], dtype="int64"),
+                            "is0": pd.Series([], dtype="int64"),
+                            "sm": pd.Series([], dtype="int64")})
+    smp0 = smp[smp["is0"] == 1]
+    smp1 = smp.sort_values(["src", "sm", "nb"],
+                           ascending=[True, False, True],
+                           kind="mergesort") \
+        .groupby("src", sort=False).head(k)
+    hits0 = len(smp0[["src", "nb"]].merge(ex, on=["src", "nb"]))
+    hits1 = len(smp1[["src", "nb"]].merge(ex, on=["src", "nb"]))
+    best0 = int(smp0.groupby("src")["sm"].max().sum())
+    best1 = int(smp1.groupby("src")["sm"].max().sum())
+    nq_eff = len(q_ids)
+    return pd.DataFrame({
+        "round": pd.Series([0, 1], dtype="int64"),
+        "n_queries": pd.Series([nq_eff, nq_eff], dtype="int64"),
+        "recall_ppm": pd.Series(
+            [hits0 * 1_000_000 // denom if denom else 0,
+             hits1 * 1_000_000 // denom if denom else 0], dtype="int64"),
+        "sum_best_sm": pd.Series([best0, best1], dtype="int64"),
+        "n_edges": pd.Series([n_edges0, n_edges1], dtype="int64")})

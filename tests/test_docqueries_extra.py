@@ -87,6 +87,7 @@ ORACLE_QUERIES = [
     "docs_charclass_census",
     "docs_media_context",
     "emb_cluster_stats",
+    "emb_nn_descent",
 ]
 
 
@@ -1377,3 +1378,30 @@ def test_cluster_stats_identical_vector_zero_distortion(tmp_path):
     # 0.6/0.8 → cos 0.8 vs seed1, 0.6 vs seed0 → joins 1, dist 200000
     assert c1["n_members"] == 2
     assert c1["max_dist_micro"] == 200000
+
+
+def test_nn_descent_refinement_improves(tmp_path):
+    """Two parity-interleaved clusters: ring init gives each node one
+    same-cluster neighbor; the neighbors-of-neighbors round must find
+    more, so recall and the summed best score both rise and the
+    neighbor-edge count stays n·k."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    n, d = 24, 8
+    base = {0: np.ones(d), 1: np.concatenate([np.ones(d // 2) * -1,
+                                              np.ones(d // 2)])}
+    vecs = [(base[i % 2] + 0.05 * rng.randn(d)).astype(np.float32)
+            for i in range(n)]
+    t = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                  "embedding": pa.array([v.tolist() for v in vecs],
+                                        pa.list_(pa.float32())),
+                  "label": pa.array([i % 2 for i in range(n)], pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = dq.emb_nn_descent(str(tmp_path))
+    r0, r1 = out.iloc[0], out.iloc[1]
+    assert r1["sum_best_sm"] >= r0["sum_best_sm"]
+    assert r1["recall_ppm"] > r0["recall_ppm"]
+    assert r0["n_edges"] == 24 * 3
+    assert r1["n_edges"] == 24 * 3
