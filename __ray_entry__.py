@@ -461,6 +461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_burst_detect": rel.events_burst_detect,
         "events_hll_sliding": rel.events_hll_sliding,
         "events_sax_words": rel.events_sax_words,
+        "events_value_percentile_cont": rel.events_value_percentile_cont,
+        "orders_hill_tail": rel.orders_hill_tail,
+        "lineitem_integrity_audit": rel.lineitem_integrity_audit,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -5970,6 +5973,80 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, CAST(SUM(mr) AS BIGINT) AS sum_rank,
                    CAST(COUNT(*) AS BIGINT) AS n_buckets
             FROM merged GROUP BY day ORDER BY day
+        """,
+        # PERCENTILE_CONT as exact integer interpolation (cents×10,
+        # denominator-10 rational position)
+        "events_value_percentile_cont": """
+            WITH v AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                           AS cents FROM events),
+            o AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) - 1
+                      AS rk FROM v),
+            nn AS (SELECT COUNT(*) AS n FROM v)
+            SELECT CAST(n AS BIGINT) AS n_events,
+                   CAST((SELECT cents FROM o WHERE rk = ((n-1)*5)//10)
+                            * (10 - ((n-1)*5) % 10)
+                        + COALESCE((SELECT cents FROM o
+                                    WHERE rk = ((n-1)*5)//10 + 1), 0)
+                            * (((n-1)*5) % 10) AS BIGINT) AS p50_c10,
+                   CAST((SELECT cents FROM o WHERE rk = ((n-1)*9)//10)
+                            * (10 - ((n-1)*9) % 10)
+                        + COALESCE((SELECT cents FROM o
+                                    WHERE rk = ((n-1)*9)//10 + 1), 0)
+                            * (((n-1)*9) % 10) AS BIGINT) AS p90_c10
+            FROM nn WHERE n > 0
+        """,
+        # Hill tail-index estimator over the top-100 order totals
+        # (fixed-point ln of the ratio to the m-th order statistic)
+        "orders_hill_tail": """
+            WITH c AS (SELECT CAST(FLOOR(o_totalprice * 100 + 0.5)
+                           AS BIGINT) AS cents FROM orders),
+            top AS (SELECT cents FROM c ORDER BY cents DESC LIMIT 100),
+            xm AS (SELECT MIN(cents) AS xm, COUNT(*) AS m FROM top),
+            lr AS (SELECT CAST(ROUND(LN(CAST(cents AS DOUBLE) / xm.xm)
+                               * 1000000, 0) AS HUGEINT) AS l
+                   FROM top, xm)
+            SELECT CAST(xm.m AS BIGINT) AS m_used,
+                   CAST(xm.xm AS BIGINT) AS xm_cents,
+                   CAST((SELECT SUM(l) FROM lr) // xm.m AS BIGINT)
+                       AS hill_inv_micro
+            FROM xm WHERE xm.m > 0
+        """,
+        # referential-integrity audit (anti-join counts; customers who
+        # never ordered are the live orphan branch)
+        "lineitem_integrity_audit": """
+            WITH cm AS (
+                SELECT COUNT(*) AS n_rows, COUNT(o.k) AS n_matched
+                FROM customer c LEFT JOIN
+                     (SELECT DISTINCT o_custkey AS k FROM orders) o
+                  ON c.c_custkey = o.k
+            ), lm AS (
+                SELECT COUNT(*) AS n_rows, COUNT(o.k) AS n_matched
+                FROM lineitem l LEFT JOIN
+                     (SELECT DISTINCT o_orderkey AS k FROM orders) o
+                  ON l.l_orderkey = o.k
+            ), ce AS (
+                SELECT COUNT(*) AS n_rows, COUNT(e.k) AS n_matched
+                FROM customer c LEFT JOIN
+                     (SELECT DISTINCT user_id AS k FROM events) e
+                  ON c.c_custkey = e.k
+            )
+            SELECT * FROM (
+                SELECT 'customer_events' AS "check",
+                       CAST(n_rows AS BIGINT) AS n_rows,
+                       CAST(n_matched AS BIGINT) AS n_matched,
+                       CAST(n_rows - n_matched AS BIGINT) AS n_orphans
+                FROM ce
+                UNION ALL
+                SELECT 'customer_orders', CAST(n_rows AS BIGINT),
+                       CAST(n_matched AS BIGINT),
+                       CAST(n_rows - n_matched AS BIGINT)
+                FROM cm
+                UNION ALL
+                SELECT 'lineitem_orders', CAST(n_rows AS BIGINT),
+                       CAST(n_matched AS BIGINT),
+                       CAST(n_rows - n_matched AS BIGINT)
+                FROM lm
+            ) ORDER BY "check"
         """,
         # SAX word census: 4 six-hour quarters per active user-day,
         # zero-filled, quartile breakpoints via quantile_disc (the

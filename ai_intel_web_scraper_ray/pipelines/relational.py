@@ -9394,3 +9394,243 @@ def events_sax_words(sf_dir: str) -> pd.DataFrame:
         .rename(columns={"n": "n_userdays"})
     out["n_userdays"] = out["n_userdays"].astype("int64")
     return out.sort_values("word").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# interpolated percentile (PERCENTILE_CONT contract): exact integer
+# interpolation over the cents domain — pos = (n−1)·q as a rational with
+# denominator 10, result in cents×10 so no float ever forms
+# ---------------------------------------------------------------------------
+
+
+def events_value_percentile_cont(sf_dir: str) -> pd.DataFrame:
+    """Interpolated p50/p90 of the event value in exact cents×10:
+    ``pos = (n−1)·q``, ``out = cents[⌊pos⌋]·(10−rem) + cents[⌊pos⌋+1]·rem``
+    with ``rem = ((n−1)·10q) mod 10`` — the linear interpolation
+    PERCENTILE_CONT performs, kept integer-exact.
+
+    Scale shape: per-block bounded-domain cents histograms merge on the
+    driver (the docs_token_percentiles contract); both order statistics
+    read from the cumulative histogram — no global sort."""
+    ds = _read(sf_dir, "events", ["value"])
+    cols = ("n_events", "p50_c10", "p90_c10")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"cents": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        cents = np.floor(
+            df["value"].to_numpy() * 100 + 0.5).astype("int64")
+        u, c = np.unique(cents, return_counts=True)
+        return pd.DataFrame({"cents": u, "n": c.astype("int64")})
+
+    parts = ds.map_batches(hist_partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return empty
+    hist = parts.groupby("cents")["n"].sum().sort_index()
+    n = int(hist.sum())
+    if n == 0:
+        return empty
+    cum = hist.cumsum()
+
+    def order_stat(rk: int) -> int:
+        return int(cum.index[(cum > rk).argmax()])
+
+    def p_cont(tenths: int) -> int:
+        num = (n - 1) * tenths
+        lo, rem = num // 10, num % 10
+        v = order_stat(lo) * (10 - rem)
+        if rem:
+            v += order_stat(lo + 1) * rem
+        return v
+
+    return pd.DataFrame({
+        "n_events": pd.Series([n], dtype="int64"),
+        "p50_c10": pd.Series([p_cont(5)], dtype="int64"),
+        "p90_c10": pd.Series([p_cont(9)], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Hill tail-index estimator over the order-value distribution: the
+# power-law heaviness audit (mean log-ratio of the top-m order statistics
+# to the m-th), fixed-point ln contract
+# ---------------------------------------------------------------------------
+
+_HILL_M = 100
+
+
+def orders_hill_tail(sf_dir: str, m: int = _HILL_M) -> pd.DataFrame:
+    """(m_used, xm_cents, hill_inv_micro): the top-``m`` order totals in
+    cents, their minimum x_m, and ``(Σ round(ln(x_i/x_m)·10⁶)) // m`` —
+    the inverse Hill estimator in integer micro-nats (larger ⇒ heavier
+    tail).  Per-row ln ratios are rounded BEFORE the big-int sum so the
+    fold is order-free.
+
+    Scale shape: each block emits its partial top-m cents (a bounded
+    m-row projection); the driver merges ≤ m × blocks values — the
+    emb_knn partial-top-k audit shape applied to a scalar column."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    cols = ("m_used", "xm_cents", "hill_inv_micro")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def top_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"cents": pd.Series([], dtype="int64")})
+        cents = np.floor(
+            df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+        take = min(m, len(cents))
+        top = np.partition(cents, len(cents) - take)[-take:]
+        return pd.DataFrame({"cents": top})
+
+    parts = ds.map_batches(top_partial, batch_format="pandas").to_pandas()
+    if parts.empty or len(parts) == 0:
+        return empty
+    top = np.sort(parts["cents"].to_numpy(dtype="int64"))[::-1][:m]
+    if len(top) == 0:
+        return empty
+    xm = int(top[-1])
+    lr = np.round(np.log(top.astype(np.float64) / xm) * 1_000_000) \
+        .astype("int64")
+    total = sum(int(x) for x in lr)        # big-int fold (web-scale m ok)
+    return pd.DataFrame({
+        "m_used": pd.Series([len(top)], dtype="int64"),
+        "xm_cents": pd.Series([xm], dtype="int64"),
+        "hill_inv_micro": pd.Series([total // len(top)], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit via Bloom-prefiltered anti-join: definite
+# orphans fall out of the bitmap for free (no false negatives), only the
+# maybe-present keys pay the exact verify join
+# ---------------------------------------------------------------------------
+
+
+def lineitem_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """Three key checks as one audit table, (check, n_rows, n_matched,
+    n_orphans): 'lineitem_orders' (every lineitem's l_orderkey exists in
+    orders) and 'customer_orders' (customers with ≥1 order) — the clean
+    rows — plus 'customer_events' (customers with any event activity),
+    whose never-active customers keep the orphan branch live.
+
+    Scale shape: the referenced side collapses to OR-mergeable 128 KiB
+    Bloom bitmaps (functions/bloom.py) — never a driver keyset; probe
+    rows failing the bitmap are DEFINITE orphans (no false negatives)
+    and are counted vectorized per block; only maybe-present keys (with
+    row multiplicities, deduped per key bucket) pay an exact
+    ``Dataset.join`` verify, so false positives can't inflate matches."""
+    import ray
+
+    from ..functions.bloom import (bloom_merge, bloom_might_contain,
+                                   bloom_partial)
+
+    def audit(probe_ds, probe_key: str, dim_ds, dim_key: str,
+              n_join: int) -> tuple:
+        def to_bitmap(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"bitmap": [
+                bloom_partial(df[dim_key].to_numpy(dtype="int64"))]})
+
+        partials = dim_ds.map_batches(to_bitmap, batch_format="pandas",
+                                      batch_size=None).to_pandas()
+        bloom_ref = ray.put(bloom_merge(partials["bitmap"].tolist()))
+
+        def probe(df: pd.DataFrame) -> pd.DataFrame:
+            if len(df) == 0:
+                return pd.DataFrame({
+                    "key": pd.Series([], dtype="int64"),
+                    "m": pd.Series([], dtype="int64"),
+                    "definite": pd.Series([], dtype="int64"),
+                    "total": pd.Series([], dtype="int64")})
+            keys = df[probe_key].to_numpy(dtype="int64")
+            maybe = bloom_might_contain(ray.get(bloom_ref), keys)
+            mk = pd.DataFrame({"key": keys[maybe]}) \
+                .groupby("key", as_index=False).size() \
+                .rename(columns={"size": "m"})
+            mk["definite"] = np.int64(0)
+            mk["total"] = np.int64(0)
+            head = pd.DataFrame({
+                "key": pd.Series([-1], dtype="int64"),
+                "m": pd.Series([0], dtype="int64"),
+                "definite": pd.Series([int((~maybe).sum())],
+                                      dtype="int64"),
+                "total": pd.Series([len(keys)], dtype="int64")})
+            return pd.concat([head, mk], ignore_index=True)
+
+        probed = probe_ds.map_batches(probe,
+                                      batch_format="pandas").materialize()
+
+        def counters(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "definite": pd.Series([int(df["definite"].sum())],
+                                      dtype="int64"),
+                "total": pd.Series([int(df["total"].sum())],
+                                   dtype="int64")})
+
+        folded = probed.map_batches(counters,
+                                    batch_format="pandas").to_pandas()
+        n_rows = int(folded["total"].sum())
+        n_definite = int(folded["definite"].sum())
+
+        def maybe_keys(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[df["key"] >= 0].groupby("key", as_index=False)[
+                "m"].sum()
+            out["_k"] = (out["key"] % 64).astype("int64")
+            return out
+
+        def merge_keys(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("key", as_index=False)["m"].sum()
+            out["key"] = out["key"].astype("int64")
+            out["m"] = out["m"].astype("int64")
+            return out
+
+        maybe_ds = probed.map_batches(maybe_keys, batch_format="pandas") \
+            .groupby("_k").map_groups(merge_keys, batch_format="pandas") \
+            .materialize()
+        n_maybe_rows = 0
+        parts2 = maybe_ds.map_batches(
+            lambda df: pd.DataFrame({"s": pd.Series(
+                [int(df["m"].sum())], dtype="int64")}),
+            batch_format="pandas").to_pandas()
+        if len(parts2):
+            n_maybe_rows = int(parts2["s"].sum())
+
+        def dim_keys(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"dk": df[dim_key].astype("int64")})
+            out["_k"] = (out["dk"] % 64).astype("int64")
+            return out
+
+        dim_distinct = dim_ds.map_batches(dim_keys,
+                                          batch_format="pandas") \
+            .groupby("_k").map_groups(
+                lambda df: df.drop_duplicates("dk")[["dk"]],
+                batch_format="pandas").materialize()
+        if maybe_ds.count() == 0 or dim_distinct.count() == 0:
+            matched = 0
+        else:
+            joined = maybe_ds.join(dim_distinct, join_type="inner",
+                                   num_partitions=n_join,
+                                   on=("key",), right_on=("dk",))
+            mparts = joined.map_batches(
+                lambda df: pd.DataFrame({"s": pd.Series(
+                    [int(df["m"].sum())], dtype="int64")}),
+                batch_format="pandas").to_pandas()
+            matched = int(mparts["s"].sum()) if len(mparts) else 0
+        n_orphans = n_definite + (n_maybe_rows - matched)
+        return n_rows, matched, n_orphans
+
+    n_join = _join_partitions(sf_dir, "orders", cap=8)
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    orders_k = _read(sf_dir, "orders", ["o_orderkey"])
+    r1 = audit(li, "l_orderkey", orders_k, "o_orderkey", n_join)
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orders_c = _read(sf_dir, "orders", ["o_custkey"])
+    r2 = audit(cust, "c_custkey", orders_c, "o_custkey", n_join)
+    cust2 = _read(sf_dir, "customer", ["c_custkey"])
+    ev_users = _read(sf_dir, "events", ["user_id"])
+    r3 = audit(cust2, "c_custkey", ev_users, "user_id", n_join)
+    return pd.DataFrame({
+        "check": ["customer_events", "customer_orders",
+                  "lineitem_orders"],
+        "n_rows": pd.Series([r3[0], r2[0], r1[0]], dtype="int64"),
+        "n_matched": pd.Series([r3[1], r2[1], r1[1]], dtype="int64"),
+        "n_orphans": pd.Series([r3[2], r2[2], r1[2]], dtype="int64")})

@@ -94,6 +94,9 @@ ORACLE_QUERIES = [
     "events_hll_sliding",
     "parts_mis",
     "events_sax_words",
+    "events_value_percentile_cont",
+    "orders_hill_tail",
+    "lineitem_integrity_audit",
     "events_dau_wau",
     "parts_co_ordered",
     "parts_components",
@@ -1923,3 +1926,75 @@ def test_sax_words_zero_fill_and_breakpoints(tmp_path):
     # q3 c=0→'a'
     assert out["word"].tolist() == ["daca"]
     assert out["n_userdays"].tolist() == [1]
+
+
+def test_percentile_cont_interpolates_exactly(tmp_path):
+    """values [1,2,3,4] → cents [100..400]: p50 pos 1.5 → 250c = 2500
+    c10; p90 pos 2.7 → 300·3? no — (n−1)·9=27 → lo 2, rem 7 →
+    300·3 + 400·7 = 3700 c10 (370 cents)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts = pd.Timestamp("2024-01-01")
+    t = pa.table({
+        "event_id": pa.array(range(4), pa.int64()),
+        "ts": pa.array([ts] * 4, pa.timestamp("us")),
+        "user_id": pa.array([1] * 4, pa.int64()),
+        "event_type": pa.array(["view"] * 4, pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64())})
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = rel.events_value_percentile_cont(str(tmp_path))
+    assert out.iloc[0]["n_events"] == 4
+    assert out.iloc[0]["p50_c10"] == 2500
+    assert out.iloc[0]["p90_c10"] == 3700
+
+
+def test_hill_tail_pareto_like(tmp_path):
+    """Geometric tail x_i = 100·2^i: ln-ratios to the min are exact
+    multiples of ln2 → hill_inv_micro = mean(0,ln2,2ln2,3ln2)·1e6."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "o_orderkey": pa.array(range(4), pa.int64()),
+        "o_totalprice": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64())})
+    pq.write_table(t, tmp_path / "orders.parquet")
+    out = rel.orders_hill_tail(str(tmp_path))
+    r = out.iloc[0]
+    assert r["m_used"] == 4 and r["xm_cents"] == 100
+    import math
+    exp = (0 + round(math.log(2) * 1e6) + round(math.log(4) * 1e6)
+           + round(math.log(8) * 1e6)) // 4
+    assert r["hill_inv_micro"] == exp
+
+
+def test_integrity_audit_counts_orphans(tmp_path):
+    """lineitem rows pointing at a missing order are orphans; customers
+    without orders/events are orphans in their checks."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 99], pa.int64())}),
+        tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([10, 10], pa.int64())}),
+        tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 20], pa.int64())}),
+        tmp_path / "customer.parquet")
+    ts = pd.Timestamp("2024-01-01")
+    pq.write_table(pa.table({
+        "ts": pa.array([ts], pa.timestamp("us")),
+        "user_id": pa.array([20], pa.int64())}),
+        tmp_path / "events.parquet")
+    out = rel.lineitem_integrity_audit(str(tmp_path))
+    got = {r.check: (int(r.n_rows), int(r.n_matched), int(r.n_orphans))
+           for r in out.itertuples()}
+    assert got == {"lineitem_orders": (4, 3, 1),
+                   "customer_orders": (2, 1, 1),
+                   "customer_events": (2, 1, 1)}
