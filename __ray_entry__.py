@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_percentile_cont": rel.events_value_percentile_cont,
         "orders_hill_tail": rel.orders_hill_tail,
         "lineitem_integrity_audit": rel.lineitem_integrity_audit,
+        "orders_basket_simjoin": rel.orders_basket_simjoin,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -1146,7 +1147,10 @@ def oracle_sql() -> dict[str, str]:
         PII_IP_RE as _PII_IP,
         PII_PHONE_RE as _PII_PHONE,
     )
-    from ai_intel_web_scraper_ray.pipelines.relational import SESSION_GAP_MIN
+    from ai_intel_web_scraper_ray.pipelines.relational import (
+        SESSION_GAP_MIN,
+        _SIMJOIN_TAU,
+    )
 
     stop_pat = r"\b(?:" + "|".join(QUALITY_STOPWORDS) + r")\b"
     # left-assoc 64-term norm chain — the _norm_ltr association contract
@@ -6047,6 +6051,25 @@ def oracle_sql() -> dict[str, str]:
                        CAST(n_rows - n_matched AS BIGINT)
                 FROM lm
             ) ORDER BY "check"
+        """,
+        # PPJoin set-similarity self-join over order baskets: brute-force
+        # pairwise twin; the integer threshold test (i·2 ≥ u·1 for τ=1/2)
+        # pins borderline pairs on both sides
+        "orders_basket_simjoin": f"""
+            WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                        FROM lineitem),
+            sz AS (SELECT o, COUNT(*) AS s FROM bp GROUP BY o),
+            inter AS (SELECT a.o AS oa, b.o AS ob, COUNT(*) AS i
+                      FROM bp a JOIN bp b ON a.p = b.p AND a.o < b.o
+                      GROUP BY a.o, b.o),
+            j AS (SELECT oa, ob, i, sa.s + sb.s - i AS u
+                  FROM inter JOIN sz sa ON sa.o = oa
+                             JOIN sz sb ON sb.o = ob)
+            SELECT oa AS o1, ob AS o2,
+                   CAST(i * 1000000 // u AS BIGINT) AS jac_ppm
+            FROM j
+            WHERE i * {_SIMJOIN_TAU[1]} >= u * {_SIMJOIN_TAU[0]}
+            ORDER BY o1, o2
         """,
         # SAX word census: 4 six-hour quarters per active user-day,
         # zero-filled, quartile breakpoints via quantile_disc (the

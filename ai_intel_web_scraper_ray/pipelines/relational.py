@@ -9634,3 +9634,210 @@ def lineitem_integrity_audit(sf_dir: str) -> pd.DataFrame:
         "n_rows": pd.Series([r3[0], r2[0], r1[0]], dtype="int64"),
         "n_matched": pd.Series([r3[1], r2[1], r1[1]], dtype="int64"),
         "n_orphans": pd.Series([r3[2], r2[2], r1[2]], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style set-similarity self-join over order baskets: global-
+# frequency prefix filtering generates candidates, an exact pair-bucket
+# intersection count verifies them — the classic distributed similarity
+# join (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+# Detection"), applied to the basket dual of the co-order graph
+# ---------------------------------------------------------------------------
+
+_SIMJOIN_TAU = (1, 2)          # Jaccard threshold as a rational num/den
+
+
+def orders_basket_simjoin(sf_dir: str) -> pd.DataFrame:
+    """All order pairs whose part-baskets have Jaccard ≥ τ (= 1/2),
+    output (o1, o2, jac_ppm = i·10⁶ // u) sorted.  The threshold test is
+    integer-exact (``i·den ≥ u·num``), so engine and oracle agree on
+    borderline pairs bit-for-bit.
+
+    Scale shape (prefix filter, NOT an all-pairs join): tokens sort by
+    (global frequency asc, partkey asc); a basket of size s emits only
+    its first ``s − ⌈τ·s⌉ + 1`` tokens — any pair with J ≥ τ must share
+    a token inside BOTH prefixes (the smallest common token has ≥
+    ⌈τ·s⌉ − 1 common followers in each basket), so candidate generation
+    under the token-hash bucket is lossless while rare-token bias keeps
+    the per-token pair fan-out far below the raw inverted index's.
+    Exact verify: candidates re-exchange against the basket table
+    (``Dataset.join`` on orderkey), and intersection sizes fall out of
+    one adjacent-equal scan per PAIR bucket — baskets never transit the
+    driver.  The part-frequency table is dimension-sized and broadcast
+    (``ray.put`` once).  A pathologically hot prefix token still bounds
+    its pair fan-out by that token's prefix support; salt-by-partner
+    range if a corpus ever concentrates prefixes (not needed here)."""
+    tn, td = _SIMJOIN_TAU
+    line = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    empty = pd.DataFrame({
+        "o1": pd.Series([], dtype="int64"),
+        "o2": pd.Series([], dtype="int64"),
+        "jac_ppm": pd.Series([], dtype="int64")})
+
+    def proj(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["l_orderkey", "l_partkey"]).copy()
+        out["l_orderkey"] = out["l_orderkey"].astype("int64")
+        out["l_partkey"] = out["l_partkey"].astype("int64")
+        out["_ob"] = (out["l_orderkey"] % 64).astype("int64")
+        return out[["l_orderkey", "l_partkey", "_ob"]]
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame({
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "l_partkey": pd.Series([], dtype="int64"),
+                "_ob": pd.Series([], dtype="int64")})
+        return df.drop_duplicates(["l_orderkey", "l_partkey"])
+
+    bp = line.map_batches(proj, batch_format="pandas") \
+        .groupby("_ob").map_groups(dedup_bucket, batch_format="pandas") \
+        .materialize()
+    if bp.count() == 0:
+        return empty
+
+    # global token frequency (dimension-sized: one row per part) → rank
+    def freq_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_partkey", as_index=False).size() \
+            .rename(columns={"size": "n"})
+        g["l_partkey"] = g["l_partkey"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    fparts = bp.map_batches(freq_partial, batch_format="pandas") \
+        .to_pandas()
+    freq = fparts.groupby("l_partkey")["n"].sum()
+    order = np.lexsort((freq.index.to_numpy(dtype="int64"),
+                        freq.to_numpy(dtype="int64")))
+    ranked_parts = freq.index.to_numpy(dtype="int64")[order]
+    pk_sorted = np.sort(ranked_parts)
+    rank_by_pk = np.empty(len(ranked_parts), dtype="int64")
+    rank_by_pk[np.searchsorted(pk_sorted, ranked_parts)] = \
+        np.arange(len(ranked_parts), dtype="int64")
+    rank_ref = ray.put((pk_sorted, rank_by_pk))
+
+    def prefix_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"tok": pd.Series([], dtype="int64"),
+                "o": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+                "_tb": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame(cols)
+        pks, rks = ray.get(rank_ref)
+        d = df.copy()
+        d["_r"] = rks[np.searchsorted(pks, d["l_partkey"].to_numpy())]
+        d = d.sort_values(["l_orderkey", "_r"], kind="mergesort")
+        s = d.groupby("l_orderkey")["_r"].transform("size") \
+            .to_numpy(dtype="int64")
+        pos = d.groupby("l_orderkey").cumcount().to_numpy(dtype="int64")
+        plen = s - (tn * s + td - 1) // td + 1
+        keep = pos < plen
+        return pd.DataFrame({
+            "tok": d["l_partkey"].to_numpy(dtype="int64")[keep],
+            "o": d["l_orderkey"].to_numpy(dtype="int64")[keep],
+            "s": s[keep],
+            "_tb": (d["l_partkey"].to_numpy(dtype="int64")[keep] % 64)})
+
+    def cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "sa": pd.Series([], dtype="int64"),
+                "sb": pd.Series([], dtype="int64"),
+                "_pb": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "tok" not in df.columns:
+            return pd.DataFrame(cols)
+        mm = df.merge(df[["tok", "o", "s"]], on="tok")
+        mm = mm[mm["o_x"] < mm["o_y"]]
+        if len(mm) == 0:
+            return pd.DataFrame(cols)
+        mm = mm.drop_duplicates(["o_x", "o_y"])
+        a = mm["o_x"].to_numpy(dtype="int64")
+        b = mm["o_y"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "a": a, "b": b,
+            "sa": mm["s_x"].to_numpy(dtype="int64"),
+            "sb": mm["s_y"].to_numpy(dtype="int64"),
+            "_pb": (a * 1_000_003 + b) % 64})
+
+    def probe_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"okey": pd.Series([], dtype="int64"),
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "sa": pd.Series([], dtype="int64"),
+                "sb": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "a" not in df.columns:
+            return pd.DataFrame(cols)
+        d = df.drop_duplicates(["a", "b"])
+        return pd.DataFrame({
+            "okey": np.concatenate([d["a"].to_numpy(dtype="int64"),
+                                    d["b"].to_numpy(dtype="int64")]),
+            "a": np.tile(d["a"].to_numpy(dtype="int64"), 2),
+            "b": np.tile(d["b"].to_numpy(dtype="int64"), 2),
+            "sa": np.tile(d["sa"].to_numpy(dtype="int64"), 2),
+            "sb": np.tile(d["sb"].to_numpy(dtype="int64"), 2)})
+
+    probes = bp.map_batches(prefix_rows, batch_format="pandas") \
+        .groupby("_tb").map_groups(cand_pairs, batch_format="pandas") \
+        .groupby("_pb").map_groups(probe_rows, batch_format="pandas") \
+        .materialize()
+    if probes.count() == 0:
+        return empty
+
+    joined = probes.join(
+        bp, join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "lineitem"),
+        on=("okey",), right_on=("l_orderkey",))
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o1": pd.Series([], dtype="int64"),
+                "o2": pd.Series([], dtype="int64"),
+                "jac_ppm": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "a" not in df.columns:
+            return pd.DataFrame(cols)
+        d = df.sort_values(["a", "b", "l_partkey"], kind="mergesort")
+        a = d["a"].to_numpy(dtype="int64")
+        b = d["b"].to_numpy(dtype="int64")
+        t = d["l_partkey"].to_numpy(dtype="int64")
+        dup = np.zeros(len(d), dtype="int64")
+        if len(d) > 1:
+            dup[1:] = ((a[1:] == a[:-1]) & (b[1:] == b[:-1])
+                       & (t[1:] == t[:-1])).astype("int64")
+        g = pd.DataFrame({"a": a, "b": b, "i": dup,
+                          "sa": d["sa"].to_numpy(dtype="int64"),
+                          "sb": d["sb"].to_numpy(dtype="int64")}) \
+            .groupby(["a", "b"], as_index=False) \
+            .agg(i=("i", "sum"), sa=("sa", "first"), sb=("sb", "first"))
+        i = g["i"].to_numpy(dtype="int64")
+        u = g["sa"].to_numpy(dtype="int64") \
+            + g["sb"].to_numpy(dtype="int64") - i
+        keep = i * td >= u * tn
+        return pd.DataFrame({
+            "o1": g["a"].to_numpy(dtype="int64")[keep],
+            "o2": g["b"].to_numpy(dtype="int64")[keep],
+            "jac_ppm": i[keep] * 1_000_000 // u[keep]})
+
+    def rekey(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "sa": pd.Series([], dtype="int64"),
+                "sb": pd.Series([], dtype="int64"),
+                "l_partkey": pd.Series([], dtype="int64"),
+                "_pb": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "a" not in df.columns:
+            return pd.DataFrame(cols)
+        out = df[["a", "b", "sa", "sb", "l_partkey"]].copy()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        out["_pb"] = ((out["a"] * 1_000_003 + out["b"]) % 64) \
+            .astype("int64")
+        return out
+
+    parts = joined.map_batches(rekey, batch_format="pandas") \
+        .groupby("_pb").map_groups(verify, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty or "o1" not in parts.columns:
+        return empty
+    out = parts.sort_values(["o1", "o2"], kind="mergesort") \
+        .reset_index(drop=True)
+    for c in ("o1", "o2", "jac_ppm"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -96,6 +96,7 @@ ORACLE_QUERIES = [
     "events_sax_words",
     "events_value_percentile_cont",
     "orders_hill_tail",
+    "orders_basket_simjoin",
     "lineitem_integrity_audit",
     "events_dau_wau",
     "parts_co_ordered",
@@ -1998,3 +1999,53 @@ def test_integrity_audit_counts_orphans(tmp_path):
     assert got == {"lineitem_orders": (4, 3, 1),
                    "customer_orders": (2, 1, 1),
                    "customer_events": (2, 1, 1)}
+
+
+def _write_baskets(tmp_path, baskets):
+    """Write a lineitem table with one row per (order, part) from
+    ``baskets`` (dict order → part list; duplicates allowed to exercise
+    the distinct projection)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ok, pk = [], []
+    for o, parts in baskets.items():
+        for p in parts:
+            ok.append(o)
+            pk.append(p)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_partkey": pa.array(pk, pa.int64())}),
+        tmp_path / "lineitem.parquet")
+
+
+def test_basket_simjoin_threshold_and_prefix(tmp_path):
+    """Hand baskets: (1,2) identical → J=1e6; (3,4) share 3 of 4-item
+    baskets → J = 3/5 = 600000 ≥ τ (candidate MUST survive the prefix
+    filter: plen(4) = 3 under τ=1/2, the shared tokens reach both
+    prefixes); (3,5) share 2 of 4 → J = 2/6 < τ dropped; duplicate
+    lineitem rows collapse in the distinct projection."""
+    _write_baskets(tmp_path, {
+        1: [10, 20],
+        2: [10, 20, 20],           # dup row → distinct basket {10,20}
+        3: [30, 40, 50, 60],
+        4: [30, 40, 50, 70],
+        5: [50, 60, 80, 90]})
+    out = rel.orders_basket_simjoin(str(tmp_path))
+    got = {(int(r.o1), int(r.o2)): int(r.jac_ppm)
+           for r in out.itertuples()}
+    assert got == {(1, 2): 1_000_000, (3, 4): 600_000}
+
+
+def test_basket_simjoin_empty_and_singletons(tmp_path):
+    """Disjoint singleton baskets → no candidate pairs → typed empty;
+    two singletons sharing their only part → J=1."""
+    _write_baskets(tmp_path, {1: [10], 2: [20], 3: [30]})
+    out = rel.orders_basket_simjoin(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["o1", "o2", "jac_ppm"]
+
+    _write_baskets(tmp_path, {1: [10], 2: [10]})
+    out2 = rel.orders_basket_simjoin(str(tmp_path))
+    assert {(int(r.o1), int(r.o2)): int(r.jac_ppm)
+            for r in out2.itertuples()} == {(1, 2): 1_000_000}
