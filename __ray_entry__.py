@@ -465,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_hill_tail": rel.orders_hill_tail,
         "lineitem_integrity_audit": rel.lineitem_integrity_audit,
         "orders_basket_simjoin": rel.orders_basket_simjoin,
+        "orders_fd_audit": rel.orders_fd_audit,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -1149,6 +1150,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from ai_intel_web_scraper_ray.pipelines.relational import (
         SESSION_GAP_MIN,
+        _FD_CANDIDATES,
         _SIMJOIN_TAU,
     )
 
@@ -6071,6 +6073,21 @@ def oracle_sql() -> dict[str, str]:
             WHERE i * {_SIMJOIN_TAU[1]} >= u * {_SIMJOIN_TAU[0]}
             ORDER BY o1, o2
         """,
+        # functional-dependency audit: COUNT(DISTINCT lhs) vs
+        # COUNT(DISTINCT (lhs, rhs)) per pinned candidate, generated from
+        # the same _FD_CANDIDATES tuple the engine walks
+        "orders_fd_audit": "\nUNION ALL\n".join(
+            f"""SELECT '{tab}' AS tab, '{lhs}' AS lhs, '{rhs}' AS rhs,
+                   CAST(COUNT(DISTINCT {lhs}) AS BIGINT) AS n_lhs,
+                   CAST(COUNT(DISTINCT ({lhs}, {rhs})) AS BIGINT)
+                       AS n_pairs,
+                   CAST(COUNT(DISTINCT ({lhs}, {rhs}))
+                        - COUNT(DISTINCT {lhs}) AS BIGINT) AS n_viol,
+                   CAST(CASE WHEN COUNT(DISTINCT {lhs})
+                                  = COUNT(DISTINCT ({lhs}, {rhs}))
+                             THEN 1 ELSE 0 END AS BIGINT) AS holds
+            FROM {tab}"""
+            for tab, lhs, rhs in _FD_CANDIDATES),
         # SAX word census: 4 six-hour quarters per active user-day,
         # zero-filled, quartile breakpoints via quantile_disc (the
         # ceil(q·n)-1 contract), boundaries inclusive downward

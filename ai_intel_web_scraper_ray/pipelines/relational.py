@@ -9841,3 +9841,74 @@ def orders_basket_simjoin(sf_dir: str) -> pd.DataFrame:
     for c in ("o1", "o2", "jac_ppm"):
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# functional-dependency audit (schema profiling, the Metanome/HyFD
+# verification step): FD lhs → rhs holds iff |distinct lhs| =
+# |distinct (lhs, rhs)| — counted under lhs-hash buckets so each lhs
+# value (and every pair built on it) settles in exactly one bucket
+# ---------------------------------------------------------------------------
+
+_FD_CANDIDATES = (
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_name", "c_custkey"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderkey", "o_custkey"),
+    ("part", "p_type", "p_brand"),
+    ("supplier", "s_name", "s_nationkey"),
+)
+
+
+def orders_fd_audit(sf_dir: str) -> pd.DataFrame:
+    """Verify the pinned candidate FDs: (tab, lhs, rhs, n_lhs, n_pairs,
+    n_viol, holds) per candidate, sorted — ``n_viol = n_pairs − n_lhs``
+    is the number of extra rhs values carried by multi-valued lhs keys
+    (0 ⇔ the dependency holds; an empty table holds vacuously).
+
+    Scale shape: each candidate is ONE pass over a two-column
+    projection — per-block distinct (lhs, rhs) partials land in
+    lhs-hash buckets (a given lhs value, hence every pair built on it,
+    settles in exactly one bucket), the bucket counts its distinct lhs
+    and distinct pairs, and the driver folds ≤ 64 two-int partials per
+    candidate.  Values never leave the workers; no global sort, no
+    driver keysets."""
+    rows = []
+    for tab, lhs, rhs in _FD_CANDIDATES:
+        ds = _read(sf_dir, tab, [lhs, rhs])
+
+        def proj(df: pd.DataFrame, lhs=lhs, rhs=rhs) -> pd.DataFrame:
+            out = df.drop_duplicates([lhs, rhs])[[lhs, rhs]].copy()
+            out.columns = ["l", "r"]
+            out["_b"] = (pd.util.hash_pandas_object(
+                out["l"], index=False).to_numpy() % 64).astype("int64")
+            return out
+
+        def bucket_counts(df: pd.DataFrame) -> pd.DataFrame:
+            cols = {"nl": pd.Series([], dtype="int64"),
+                    "np": pd.Series([], dtype="int64")}
+            if len(df) == 0 or "l" not in df.columns:
+                return pd.DataFrame(cols)
+            d = df.drop_duplicates(["l", "r"])
+            return pd.DataFrame({
+                "nl": pd.Series([d["l"].nunique()], dtype="int64"),
+                "np": pd.Series([len(d)], dtype="int64")})
+
+        parts = ds.map_batches(proj, batch_format="pandas") \
+            .groupby("_b").map_groups(bucket_counts,
+                                      batch_format="pandas").to_pandas()
+        n_lhs = int(parts["nl"].sum()) if len(parts) else 0
+        n_pairs = int(parts["np"].sum()) if len(parts) else 0
+        rows.append((tab, lhs, rhs, n_lhs, n_pairs,
+                     n_pairs - n_lhs, int(n_lhs == n_pairs)))
+    rows.sort()
+    return pd.DataFrame({
+        "tab": [r[0] for r in rows],
+        "lhs": [r[1] for r in rows],
+        "rhs": [r[2] for r in rows],
+        "n_lhs": pd.Series([r[3] for r in rows], dtype="int64"),
+        "n_pairs": pd.Series([r[4] for r in rows], dtype="int64"),
+        "n_viol": pd.Series([r[5] for r in rows], dtype="int64"),
+        "holds": pd.Series([r[6] for r in rows], dtype="int64")})

@@ -97,6 +97,7 @@ ORACLE_QUERIES = [
     "events_value_percentile_cont",
     "orders_hill_tail",
     "orders_basket_simjoin",
+    "orders_fd_audit",
     "lineitem_integrity_audit",
     "events_dau_wau",
     "parts_co_ordered",
@@ -2049,3 +2050,47 @@ def test_basket_simjoin_empty_and_singletons(tmp_path):
     out2 = rel.orders_basket_simjoin(str(tmp_path))
     assert {(int(r.o1), int(r.o2)): int(r.jac_ppm)
             for r in out2.itertuples()} == {(1, 2): 1_000_000}
+
+
+def test_fd_audit_holds_and_violations(tmp_path):
+    """Hand tables: orders' key FD holds; customer c_custkey →
+    c_mktsegment is VIOLATED (one custkey, two segments → n_viol=1);
+    empty part table holds vacuously (0 = 0)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_partkey": pa.array([10, 11, 10], pa.int64()),
+        "l_suppkey": pa.array([5, 5, 6], pa.int64()),
+        "l_returnflag": pa.array(["A", "R", "A"])}),
+        tmp_path / "lineitem.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([7, 7], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT", "2-HIGH"])}),
+        tmp_path / "orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([7, 7], pa.int64()),
+        "c_name": pa.array(["x", "y"]),
+        "c_mktsegment": pa.array(["AUTO", "BUILDING"])}),
+        tmp_path / "customer.parquet")
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([], pa.int64()),
+        "p_type": pa.array([], pa.string()),
+        "p_brand": pa.array([], pa.string())}),
+        tmp_path / "part.parquet")
+    pq.write_table(pa.table({
+        "s_name": pa.array(["s1", "s2"]),
+        "s_nationkey": pa.array([1, 1], pa.int32())}),
+        tmp_path / "supplier.parquet")
+    out = rel.orders_fd_audit(str(tmp_path))
+    got = {(r.tab, r.lhs, r.rhs): (int(r.n_lhs), int(r.n_pairs),
+                                   int(r.n_viol), int(r.holds))
+           for r in out.itertuples()}
+    assert got[("orders", "o_orderkey", "o_custkey")] == (2, 2, 0, 1)
+    assert got[("customer", "c_custkey", "c_mktsegment")] == (1, 2, 1, 0)
+    assert got[("part", "p_type", "p_brand")] == (0, 0, 0, 1)
+    # lineitem l_orderkey → l_returnflag: order 1 has A+R → violated
+    assert got[("lineitem", "l_orderkey", "l_returnflag")] == (2, 3, 1, 0)
+    assert len(out) == len(rel._FD_CANDIDATES)
