@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_integrity_audit": rel.lineitem_integrity_audit,
         "orders_basket_simjoin": rel.orders_basket_simjoin,
         "orders_fd_audit": rel.orders_fd_audit,
+        "events_mann_kendall": rel.events_mann_kendall,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -6088,6 +6089,45 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS BIGINT) AS holds
             FROM {tab}"""
             for tab, lhs, rhs in _FD_CANDIDATES),
+        # Mann-Kendall trend test per event type: S and the tie-corrected
+        # 18·Var(S) numerator, both exact integers over zero-filled daily
+        # counts across the global day horizon
+        "events_mann_kendall": """
+            WITH dd AS (SELECT event_type,
+                               epoch_us(date_trunc('day', ts))
+                                   // 86400000000 AS day
+                        FROM events),
+            hor AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dd),
+            ty AS (SELECT DISTINCT event_type FROM dd),
+            cal AS (SELECT UNNEST(generate_series(d0, d1, 1)) AS day
+                    FROM hor),
+            cnt AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM dd GROUP BY 1, 2),
+            ser AS (SELECT t.event_type, g.day, COALESCE(cnt.c, 0) AS c
+                    FROM ty t CROSS JOIN cal g
+                    LEFT JOIN cnt ON cnt.event_type = t.event_type
+                                  AND cnt.day = g.day),
+            s AS (SELECT a.event_type,
+                         SUM(CASE WHEN b.c > a.c THEN 1
+                                  WHEN b.c < a.c THEN -1 ELSE 0 END)
+                             AS s_stat
+                  FROM ser a JOIN ser b ON a.event_type = b.event_type
+                                        AND a.day < b.day
+                  GROUP BY 1),
+            nn AS (SELECT event_type, COUNT(*) AS n FROM ser GROUP BY 1),
+            ties AS (SELECT event_type,
+                            SUM(t * (t - 1) * (2 * t + 5)) AS tt
+                     FROM (SELECT event_type, c, COUNT(*) AS t
+                           FROM ser GROUP BY 1, 2)
+                     GROUP BY 1)
+            SELECT nn.event_type, CAST(nn.n AS BIGINT) AS n_days,
+                   CAST(s.s_stat AS BIGINT) AS s_stat,
+                   CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tt
+                        AS BIGINT) AS var18num
+            FROM nn JOIN s USING (event_type)
+                    JOIN ties USING (event_type)
+            ORDER BY event_type
+        """,
         # SAX word census: 4 six-hour quarters per active user-day,
         # zero-filled, quartile breakpoints via quantile_disc (the
         # ceil(q·n)-1 contract), boundaries inclusive downward

@@ -9912,3 +9912,99 @@ def orders_fd_audit(sf_dir: str) -> pd.DataFrame:
         "n_pairs": pd.Series([r[4] for r in rows], dtype="int64"),
         "n_viol": pd.Series([r[5] for r in rows], dtype="int64"),
         "holds": pd.Series([r[6] for r in rows], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test per event type over zero-filled daily counts:
+# exact-integer S statistic and tie-corrected variance numerator (the
+# /18 is left undone so no float ever forms)
+# ---------------------------------------------------------------------------
+
+
+def events_mann_kendall(sf_dir: str) -> pd.DataFrame:
+    """(event_type, n_days, s_stat, var18num) sorted: S = Σ_{i<j}
+    sign(x_j − x_i) over the type's daily-count series x (zero-filled
+    across the GLOBAL day horizon), and ``var18num = n(n−1)(2n+5) −
+    Σ_t t(t−1)(2t+5)`` over tie groups t — 18·Var(S), kept integer.
+
+    Scale shape: per-block (type, day) count partials (bounded by
+    types × horizon per block) merge under the type-hash bucket, so each
+    type's full series assembles in exactly one group; the global day
+    horizon folds from per-block min/max partials (two ints each) and
+    broadcasts via closure.  S is one vectorized sign-outer per type —
+    n is calendar-bounded (~10³ days even at web scale), so n² stays
+    trivial while the EVENT count underneath is unbounded."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype=object),
+        "n_days": pd.Series([], dtype="int64"),
+        "s_stat": pd.Series([], dtype="int64"),
+        "var18num": pd.Series([], dtype="int64")})
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": pd.Series([], dtype=object),
+                "day": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64"),
+                "_tb": pd.Series([], dtype="int64")}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        d = pd.DataFrame({
+            "event_type": df["event_type"],
+            "day": pd.to_datetime(df["ts"]).to_numpy()
+            .astype("datetime64[D]").astype("int64")})
+        g = d.groupby(["event_type", "day"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        g["c"] = g["c"].astype("int64")
+        g["day"] = g["day"].astype("int64")
+        g["_tb"] = (pd.util.hash_pandas_object(
+            g["event_type"], index=False).to_numpy() % 64).astype("int64")
+        return g
+
+    partials = ds.map_batches(day_partial, batch_format="pandas") \
+        .materialize()
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "day" not in df.columns:
+            return pd.DataFrame({"lo": pd.Series([], dtype="int64"),
+                                 "hi": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "lo": pd.Series([int(df["day"].min())], dtype="int64"),
+            "hi": pd.Series([int(df["day"].max())], dtype="int64")})
+
+    mm = partials.map_batches(minmax, batch_format="pandas").to_pandas()
+    if mm.empty:
+        return empty
+    d0, d1 = int(mm["lo"].min()), int(mm["hi"].max())
+    n = d1 - d0 + 1
+
+    def mk_per_type(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": pd.Series([], dtype=object),
+                "n_days": pd.Series([], dtype="int64"),
+                "s_stat": pd.Series([], dtype="int64"),
+                "var18num": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "event_type" not in df.columns:
+            return pd.DataFrame(cols)
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            x = np.zeros(n, dtype="int64")
+            cc = g.groupby("day")["c"].sum()
+            x[cc.index.to_numpy(dtype="int64") - d0] = \
+                cc.to_numpy(dtype="int64")
+            s = int(np.sign(x[None, :] - x[:, None])[
+                np.triu_indices(n, k=1)].sum())
+            _, t = np.unique(x, return_counts=True)
+            t = t.astype("int64")
+            tie = int((t * (t - 1) * (2 * t + 5)).sum())
+            rows.append((et, n, s, n * (n - 1) * (2 * n + 5) - tie))
+        return pd.DataFrame({
+            "event_type": [r[0] for r in rows],
+            "n_days": pd.Series([r[1] for r in rows], dtype="int64"),
+            "s_stat": pd.Series([r[2] for r in rows], dtype="int64"),
+            "var18num": pd.Series([r[3] for r in rows], dtype="int64")})
+
+    parts = partials.groupby("_tb").map_groups(
+        mk_per_type, batch_format="pandas").to_pandas()
+    if parts.empty or "event_type" not in parts.columns:
+        return empty
+    return parts.sort_values("event_type", kind="mergesort") \
+        .reset_index(drop=True)

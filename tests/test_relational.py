@@ -98,6 +98,7 @@ ORACLE_QUERIES = [
     "orders_hill_tail",
     "orders_basket_simjoin",
     "orders_fd_audit",
+    "events_mann_kendall",
     "lineitem_integrity_audit",
     "events_dau_wau",
     "parts_co_ordered",
@@ -2094,3 +2095,35 @@ def test_fd_audit_holds_and_violations(tmp_path):
     # lineitem l_orderkey → l_returnflag: order 1 has A+R → violated
     assert got[("lineitem", "l_orderkey", "l_returnflag")] == (2, 3, 1, 0)
     assert len(out) == len(rel._FD_CANDIDATES)
+
+
+def test_mann_kendall_trend_and_ties(tmp_path):
+    """Strictly increasing daily counts → S = C(n,2), no count ties;
+    a type absent on interior days zero-fills (ties of 0s shrink
+    var18num).  3-day horizon, hand-computed."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ts, ety = [], []
+    # 'up': 1 event day0, 2 events day1, 3 events day2
+    for day, k in ((1, 1), (2, 2), (3, 3)):
+        for i in range(k):
+            ts.append(f"2024-01-0{day} 0{i}:00:00")
+            ety.append("up")
+    # 'spike': only day0 active → series [1,0,0]
+    ts.append("2024-01-01 05:00:00")
+    ety.append("spike")
+    pq.write_table(pa.table({
+        "event_type": pa.array(ety),
+        "ts": pa.array([pd.Timestamp(t) for t in ts],
+                       pa.timestamp("us"))}),
+        tmp_path / "events.parquet")
+    out = rel.events_mann_kendall(str(tmp_path))
+    got = {r.event_type: (int(r.n_days), int(r.s_stat), int(r.var18num))
+           for r in out.itertuples()}
+    # up: [1,2,3] → S = 3, no ties → var18num = 3·2·11 = 66
+    assert got["up"] == (3, 3, 66)
+    # spike: [1,0,0] → S = sign(0-1)+sign(0-1)+sign(0-0) = -2;
+    # ties: {0:2, 1:1} → tt = 2·1·9 = 18 → var18num = 66-18 = 48
+    assert got["spike"] == (3, -2, 48)
