@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_basket_simjoin": rel.orders_basket_simjoin,
         "orders_fd_audit": rel.orders_fd_audit,
         "events_mann_kendall": rel.events_mann_kendall,
+        "parts_ktruss": rel.parts_ktruss,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -516,6 +517,41 @@ _PINNED_CRAWL_LINEAGE = os.path.join(
     _PINNED_DIR, "crawl_lineage_expected.parquet")
 _PINNED_CRAWL_MULTI_ORDERED = os.path.join(
     _PINNED_DIR, "crawl_multi_ordered_expected.parquet")
+
+
+def _ktruss_sql(k: int, rounds: int, support: int) -> str:
+    """Generated k-truss twin: round i's per-edge triangle support
+    (tri/sup/es CTEs over edge set e_i), peel e_{i+1} = es_i filtered at
+    s ≥ k−2, survivors report a final recount with dropped_round 0."""
+    ctes = [f"""bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                       FROM lineitem),
+            e0 AS (SELECT a.p AS u, b.p AS v
+                   FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p
+                   GROUP BY 1, 2 HAVING COUNT(*) >= {support})"""]
+    for i in range(rounds + 1):
+        ctes.append(f"""tri{i} AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                   FROM e{i} e1
+                   JOIN e{i} e2 ON e2.u = e1.u AND e2.v > e1.v
+                   JOIN e{i} e3 ON e3.u = e1.v AND e3.v = e2.v),
+            sup{i} AS (SELECT u, v, COUNT(*) AS s FROM (
+                       SELECT x AS u, y AS v FROM tri{i}
+                       UNION ALL SELECT x, z FROM tri{i}
+                       UNION ALL SELECT y, z FROM tri{i}) GROUP BY 1, 2),
+            es{i} AS (SELECT e{i}.u, e{i}.v, COALESCE(sup{i}.s, 0) AS s
+                      FROM e{i} LEFT JOIN sup{i}
+                        ON sup{i}.u = e{i}.u AND sup{i}.v = e{i}.v)""")
+        if i < rounds:
+            ctes.append(f"""e{i + 1} AS (SELECT u, v FROM es{i}
+                        WHERE s >= {k - 2})""")
+    sel = [f"""SELECT u AS a_id, v AS b_id, CAST(s AS BIGINT) AS support,
+                  CAST(0 AS BIGINT) AS dropped_round FROM es{rounds}"""]
+    for i in range(rounds):
+        sel.append(f"""SELECT u, v, CAST(s AS BIGINT),
+                   CAST({i + 1} AS BIGINT)
+                   FROM es{i} WHERE s < {k - 2}""")
+    return ("WITH " + ",\n".join(ctes) + "\nSELECT * FROM (\n"
+            + "\nUNION ALL\n".join(sel)
+            + "\n) ORDER BY a_id, b_id")
 
 
 def _kcenter_sql(k: int) -> str:
@@ -1152,6 +1188,9 @@ def oracle_sql() -> dict[str, str]:
     from ai_intel_web_scraper_ray.pipelines.relational import (
         SESSION_GAP_MIN,
         _FD_CANDIDATES,
+        _KTRUSS_K,
+        _KTRUSS_ROUNDS,
+        _KTRUSS_SUPPORT,
         _SIMJOIN_TAU,
     )
 
@@ -6089,6 +6128,10 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS BIGINT) AS holds
             FROM {tab}"""
             for tab, lhs, rhs in _FD_CANDIDATES),
+        # k-truss peel (edge dual of k-core): generated round CTEs, each
+        # recomputing per-edge triangle support over the surviving set
+        "parts_ktruss": _ktruss_sql(_KTRUSS_K, _KTRUSS_ROUNDS,
+                                    _KTRUSS_SUPPORT),
         # Mann-Kendall trend test per event type: S and the tie-corrected
         # 18·Var(S) numerator, both exact integers over zero-filled daily
         # counts across the global day horizon

@@ -10008,3 +10008,179 @@ def events_mann_kendall(sf_dir: str) -> pd.DataFrame:
         return empty
     return parts.sort_values("event_type", kind="mergesort") \
         .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# k-truss peel of the co-order part graph: per-EDGE triangle support
+# (the edge dual of parts_kcore_peel's node degrees) with two pinned
+# peel rounds and a final survivor recount
+# ---------------------------------------------------------------------------
+
+_KTRUSS_K = 4
+_KTRUSS_ROUNDS = 2
+_KTRUSS_SUPPORT = 2          # co-order weight floor, as parts_triangles
+
+
+def _edge_support(edges, n_join: int) -> "rd.Dataset":
+    """(u, v, s): per-edge triangle support over the materialized edge
+    Dataset — center-carrying wedges (each confirmed triangle credits
+    all three corner edges, the parts_clustering_coeff contract)
+    confirmed by an exact multi-key ``Dataset.join`` against the edge
+    table, counts settled under the pair-hash bucket via a tagged union
+    (kind 0 = the edge itself, kind 1 = one triangle credit)."""
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["u", "v"]].copy()
+        out["kind"] = np.zeros(len(out), dtype="int64")
+        out["_pb"] = ((out["u"] * 1_000_003 + out["v"]) % 64) \
+            .astype("int64")
+        return out
+
+    def bucket_u(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["u", "v"]].copy()
+        out["_u"] = (out["u"] % 64).astype("int64")
+        return out
+
+    # pin explicit Arrow schemas on every block feeding the hash-shuffle
+    # join: a tiny graph leaves some hash partitions EMPTY and an empty
+    # pandas block loses its key dtypes, crashing the per-partition
+    # pyarrow join (NOTES_r2 sharp edges)
+    wedge_schema = pa.schema([("x", pa.int64()), ("y", pa.int64()),
+                              ("z", pa.int64())])
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def gen_wedges(df: pd.DataFrame) -> pa.Table:
+        cols = {"x": pd.Series([], dtype="int64"),
+                "y": pd.Series([], dtype="int64"),
+                "z": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "u" not in df.columns:
+            return pa.Table.from_pandas(pd.DataFrame(cols),
+                                        schema=wedge_schema,
+                                        preserve_index=False)
+        m = df.merge(df[["u", "v"]], on="u")
+        m = m[m["v_x"] < m["v_y"]]
+        out = pd.DataFrame({"x": m["u"].astype("int64").to_numpy(),
+                            "y": m["v_x"].astype("int64").to_numpy(),
+                            "z": m["v_y"].astype("int64").to_numpy()})
+        return pa.Table.from_pandas(out, schema=wedge_schema,
+                                    preserve_index=False)
+
+    def pin_edges(df: pd.DataFrame) -> pa.Table:
+        out = pd.DataFrame({"u": df["u"].astype("int64").to_numpy(),
+                            "v": df["v"].astype("int64").to_numpy()})
+        return pa.Table.from_pandas(out, schema=edge_schema,
+                                    preserve_index=False)
+
+    def corner_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"u": pd.Series([], dtype="int64"),
+                "v": pd.Series([], dtype="int64"),
+                "kind": pd.Series([], dtype="int64"),
+                "_pb": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "x" not in df.columns:
+            return pd.DataFrame(cols)
+        x = df["x"].to_numpy(dtype="int64")
+        y = df["y"].to_numpy(dtype="int64")
+        z = df["z"].to_numpy(dtype="int64")
+        u = np.concatenate([x, x, y])
+        v = np.concatenate([y, z, z])
+        return pd.DataFrame({
+            "u": u, "v": v, "kind": np.ones(len(u), dtype="int64"),
+            "_pb": (u * 1_000_003 + v) % 64})
+
+    def settle(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"u": pd.Series([], dtype="int64"),
+                "v": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "u" not in df.columns:
+            return pd.DataFrame(cols)
+        g = df.groupby(["u", "v"], as_index=False)["kind"].sum() \
+            .rename(columns={"kind": "s"})
+        for c in ("u", "v", "s"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    tagged = edges.map_batches(tag_edges, batch_format="pandas")
+    wedges = edges.map_batches(bucket_u, batch_format="pandas") \
+        .groupby("_u").map_groups(gen_wedges, batch_format="pandas") \
+        .materialize()
+    if wedges.count() > 0:
+        tri = wedges.join(
+            edges.map_batches(pin_edges, batch_format="pandas"),
+            join_type="inner", num_partitions=n_join,
+            on=("y", "z"), right_on=("u", "v"))
+        tagged = tagged.union(
+            tri.map_batches(corner_rows, batch_format="pandas"))
+    return tagged.groupby("_pb").map_groups(settle,
+                                            batch_format="pandas")
+
+
+def parts_ktruss(sf_dir: str) -> pd.DataFrame:
+    """(a_id, b_id, support, dropped_round) for every co-order edge
+    (weight ≥ 2): two pinned peel rounds at k = 4 remove edges whose
+    triangle support over the CURRENT edge set falls below k−2 = 2
+    (victims report the support that killed them and their round);
+    survivors report dropped_round = 0 and a final recount — the edge
+    dual of the k-core node peel, with cascades live (an edge can lose
+    its only triangle to a round-1 victim).
+
+    Scale shape: each round is one wedge-generation pass (oriented by
+    u < v, bounded by oriented degree²), one exact multi-key
+    ``Dataset.join`` confirming triangles, and one pair-hash-bucket
+    tagged-union settle — the edge table never transits the driver;
+    only each round's victims (output rows by contract) do."""
+    k, rounds = _KTRUSS_K, _KTRUSS_ROUNDS
+    empty = pd.DataFrame({
+        "a_id": pd.Series([], dtype="int64"),
+        "b_id": pd.Series([], dtype="int64"),
+        "support": pd.Series([], dtype="int64"),
+        "dropped_round": pd.Series([], dtype="int64")})
+
+    def project_uv(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["a_id"].astype("int64"),
+                             "v": df["b_id"].astype("int64")})
+
+    # size the triangle-confirmation exchange to the data: a tiny wedge
+    # set spread over fixed partitions leaves empties that crash the
+    # pyarrow join (NOTES_r2 sharp edges)
+    n_join = _join_partitions(sf_dir, "lineitem", selectivity=0.05,
+                              cap=16)
+    cur = _co_order_pair_counts(sf_dir, _KTRUSS_SUPPORT) \
+        .map_batches(project_uv, batch_format="pandas").materialize()
+    out_parts = []
+    for rnd in range(1, rounds + 1):
+        if cur.count() == 0:
+            break
+        sup = _edge_support(cur, n_join).materialize()
+
+        def victims(df: pd.DataFrame, rnd=rnd) -> pd.DataFrame:
+            d = df[df["s"] < k - 2]
+            return pd.DataFrame({
+                "a_id": d["u"].astype("int64"),
+                "b_id": d["v"].astype("int64"),
+                "support": d["s"].astype("int64"),
+                "dropped_round": np.full(len(d), rnd, dtype="int64")})
+
+        def survivors(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[df["s"] >= k - 2]
+            return pd.DataFrame({"u": d["u"].astype("int64"),
+                                 "v": d["v"].astype("int64")})
+
+        vp = sup.map_batches(victims, batch_format="pandas").to_pandas()
+        if len(vp):
+            out_parts.append(vp)
+        cur = sup.map_batches(survivors, batch_format="pandas") \
+            .materialize()
+    if cur.count() > 0:
+        fs = _edge_support(cur, n_join).to_pandas()
+        out_parts.append(pd.DataFrame({
+            "a_id": fs["u"].astype("int64"),
+            "b_id": fs["v"].astype("int64"),
+            "support": fs["s"].astype("int64"),
+            "dropped_round": np.zeros(len(fs), dtype="int64")}))
+    if not out_parts:
+        return empty
+    out = pd.concat(out_parts, ignore_index=True) \
+        .sort_values(["a_id", "b_id"], kind="mergesort") \
+        .reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out

@@ -99,6 +99,7 @@ ORACLE_QUERIES = [
     "orders_basket_simjoin",
     "orders_fd_audit",
     "events_mann_kendall",
+    "parts_ktruss",
     "lineitem_integrity_audit",
     "events_dau_wau",
     "parts_co_ordered",
@@ -2127,3 +2128,49 @@ def test_mann_kendall_trend_and_ties(tmp_path):
     # spike: [1,0,0] → S = sign(0-1)+sign(0-1)+sign(0-0) = -2;
     # ties: {0:2, 1:1} → tt = 2·1·9 = 18 → var18num = 66-18 = 48
     assert got["spike"] == (3, -2, 48)
+
+
+def test_ktruss_cascade_and_survivors(tmp_path):
+    """K4 = {1,2,3,4} (every edge in 2 triangles → survives both rounds,
+    final support 2) plus triangle {4,5,6}: its edges have support 1 <
+    k−2 → all three die ROUND 1 (no cascade needed), and pendant edge
+    (6,7) with support 0 dies round 1 too."""
+    edges = [((1, 2), 2), ((1, 3), 2), ((1, 4), 2), ((2, 3), 2),
+             ((2, 4), 2), ((3, 4), 2), ((4, 5), 2), ((4, 6), 2),
+             ((5, 6), 2), ((6, 7), 2)]
+    _write_coorder_graph(tmp_path, edges)
+    out = rel.parts_ktruss(str(tmp_path))
+    got = {(int(r.a_id), int(r.b_id)): (int(r.support),
+                                        int(r.dropped_round))
+           for r in out.itertuples()}
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    for e in k4:
+        assert got[e] == (2, 0), e
+    for e in [(4, 5), (4, 6), (5, 6)]:
+        assert got[e] == (1, 1), e
+    assert got[(6, 7)] == (0, 1)
+
+
+def test_ktruss_round2_cascade(tmp_path):
+    """Cascade: K4 {1,2,3,4} shares edge (3,4) with triangles {3,4,5}
+    and {3,4,6}.  Round 1 kills the support-1 edges (3,5),(4,5),(3,6),
+    (4,6); edge (3,4) had support 3 in round 1 but only 1 AFTER the
+    peel → dies in ROUND 2; the four K4-internal... recount: after
+    (3,4) dies the remaining K4 edges keep support derived from vertex
+    1-2 triangles only."""
+    edges = [((1, 2), 2), ((1, 3), 2), ((1, 4), 2), ((2, 3), 2),
+             ((2, 4), 2), ((3, 4), 2),
+             ((3, 5), 2), ((4, 5), 2), ((3, 6), 2), ((4, 6), 2)]
+    _write_coorder_graph(tmp_path, edges)
+    out = rel.parts_ktruss(str(tmp_path))
+    got = {(int(r.a_id), int(r.b_id)): (int(r.support),
+                                        int(r.dropped_round))
+           for r in out.itertuples()}
+    # round 1 victims: the four outrigger edges, each in exactly 1 tri
+    for e in [(3, 5), (4, 5), (3, 6), (4, 6)]:
+        assert got[e] == (1, 1), e
+    # (3,4): support 4 initially (tris with 1,2,5,6) → survives round 1;
+    # after the peel its only triangles are {1,3,4},{2,3,4} → support 2
+    # → SURVIVES round 2 as well (2 ≥ k−2).  The K4 core is a 4-truss.
+    for e in [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]:
+        assert got[e][1] == 0, e
