@@ -468,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fd_audit": rel.orders_fd_audit,
         "events_mann_kendall": rel.events_mann_kendall,
         "parts_ktruss": rel.parts_ktruss,
+        "docs_chi2_terms": dq.docs_chi2_terms,
         "events_invalid_transitions": rel.events_invalid_transitions,
         "docs_source_lang_entropy": dq.docs_source_lang_entropy,
         "docs_cdc_chunks": dq.docs_cdc_chunks,
@@ -6128,6 +6129,42 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1 ELSE 0 END AS BIGINT) AS holds
             FROM {tab}"""
             for tab, lhs, rhs in _FD_CANDIDATES),
+        # chi-square term selection per language over doc-presence
+        # contingency tables (min-support 25, HUGEINT intermediates,
+        # degenerate margins pinned to 0)
+        "docs_chi2_terms": f"""
+            WITH dw AS (SELECT DISTINCT doc_id, lang, word FROM (
+                    SELECT doc_id, lang,
+                           UNNEST(regexp_extract_all(lower(text),
+                                                     '[a-z0-9_]+')) AS word
+                    FROM documents)),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            lt AS (SELECT lang, COUNT(*) AS lt FROM documents GROUP BY 1),
+            wl AS (SELECT word, lang, COUNT(*) AS a FROM dw GROUP BY 1, 2),
+            wt AS (SELECT word, SUM(a) AS wt FROM wl GROUP BY 1
+                   HAVING SUM(a) >= {dq._CHI2_MIN_SUPPORT}),
+            cell AS (SELECT l.lang, w.word, COALESCE(wl.a, 0) AS a,
+                            w.wt, l.lt, nn.n
+                     FROM lt l CROSS JOIN wt w CROSS JOIN nn
+                     LEFT JOIN wl ON wl.word = w.word
+                                  AND wl.lang = l.lang),
+            chi AS (SELECT lang, word,
+                           CASE WHEN wt = 0 OR wt = n
+                                  OR lt = 0 OR lt = n THEN 0
+                                ELSE CAST(CAST(n AS HUGEINT)
+                                     * CAST(a * n - wt * lt AS HUGEINT)
+                                     * CAST(a * n - wt * lt AS HUGEINT)
+                                     * 1000000
+                                     // (CAST(wt AS HUGEINT) * (n - wt)
+                                         * lt * (n - lt))
+                                     AS BIGINT) END AS chi2_micro
+                    FROM cell)
+            SELECT lang, word, chi2_micro FROM chi
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY lang
+                                       ORDER BY chi2_micro DESC, word)
+                    <= {dq._CHI2_TOP_K}
+            ORDER BY lang, chi2_micro DESC, word
+        """,
         # k-truss peel (edge dual of k-core): generated round CTEs, each
         # recomputing per-edge triangle support over the surviving set
         "parts_ktruss": _ktruss_sql(_KTRUSS_K, _KTRUSS_ROUNDS,

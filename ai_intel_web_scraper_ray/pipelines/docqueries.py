@@ -6787,3 +6787,108 @@ def emb_nn_descent(sf_dir: str, k: int = _NND_K,
              hits1 * 1_000_000 // denom if denom else 0], dtype="int64"),
         "sum_best_sm": pd.Series([best0, best1], dtype="int64"),
         "n_edges": pd.Series([n_edges0, n_edges1], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# chi-square term selection per language: which words are most
+# ASSOCIATED with each language's documents (the classic feature-
+# selection statistic over doc-presence contingency tables)
+# ---------------------------------------------------------------------------
+
+_CHI2_MIN_SUPPORT = 25
+_CHI2_TOP_K = 5
+
+
+def docs_chi2_terms(sf_dir: str) -> pd.DataFrame:
+    """Top-5 words per language by χ² over the 2×2 doc-presence table,
+    (lang, word, chi2_micro) ordered (lang, chi2_micro desc, word).
+    With a = |docs of lang with word|, wt = |docs with word|,
+    lt = |docs of lang|, n = |docs|, the statistic reduces to
+    ``χ² = n·(a·n − wt·lt)² / (wt(n−wt)·lt(n−lt))`` — reported as
+    ``chi2_micro = ⌊χ²·10⁶⌋`` with degenerate margins (wt or lt ∈
+    {0, n}) pinned to 0.  Low-support words (wt < 25) are excluded
+    BEFORE scoring (the docs_bigram_lift ordering).
+
+    Scale shape: per-block distinct-(word, lang) presence partials merge
+    under the 64-way word-hash bucket (a word's full contingency row
+    assembles in exactly one bucket; the vocabulary never reaches the
+    driver); language totals are a bounded broadcast.  χ² numerators are
+    Python big-ints (n·(a·n)²·10⁶ passes 2⁶³ on a web corpus — the SQL
+    twin is HUGEINT) over the min-support-filtered candidate set only,
+    and each bucket emits at most top-k×|langs| candidate rows, so the
+    driver merge is exact and bounded."""
+    ds = _docs(sf_dir, ["lang", "text"])
+
+    lp = _docs(sf_dir, ["lang"]).map_batches(
+        lambda df: df.groupby("lang", as_index=False).size()
+        .rename(columns={"size": "c"}),
+        batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({
+        "lang": pd.Series([], dtype=object),
+        "word": pd.Series([], dtype=object),
+        "chi2_micro": pd.Series([], dtype="int64")})
+    if lp.empty:
+        return empty
+    lt_map = lp.groupby("lang")["c"].sum().to_dict()
+    n = int(sum(lt_map.values()))
+    langs = sorted(lt_map)
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for lg, tx in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            for w in set(re.findall(r"[a-z0-9_]+", (tx or "").lower())):
+                c[(w, lg)] += 1
+        out = pd.DataFrame({
+            "word": [k[0] for k in c],
+            "lang": [k[1] for k in c],
+            "a": pd.Series([c[k] for k in c], dtype="int64")})
+        out["_b"] = _word_bucket_col(out["word"])
+        return out
+
+    def word_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"lang": pd.Series([], dtype=object),
+                "word": pd.Series([], dtype=object),
+                "chi2_micro": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "word" not in df.columns:
+            return pd.DataFrame(cols)
+        g = df.groupby(["word", "lang"])["a"].sum()
+        wt = g.groupby(level="word").sum()
+        keep = wt[wt >= _CHI2_MIN_SUPPORT]
+        rows = []
+        for word, w_total in keep.items():
+            w_total = int(w_total)
+            for lg in langs:
+                lt = lt_map[lg]
+                if w_total in (0, n) or lt in (0, n):
+                    chi2 = 0
+                else:
+                    a = int(g.get((word, lg), 0))
+                    num = n * (a * n - w_total * lt) ** 2 * 1_000_000
+                    den = w_total * (n - w_total) * lt * (n - lt)
+                    chi2 = num // den
+                rows.append((lg, word, chi2))
+        if not rows:
+            return pd.DataFrame(cols)
+        out = pd.DataFrame(rows, columns=["lang", "word", "chi2_micro"])
+        out["chi2_micro"] = out["chi2_micro"].astype("int64")
+        # bounded candidate emission: global per-lang top-k is a subset
+        # of the per-bucket per-lang top-k (words live in one bucket)
+        out = out.sort_values(["lang", "chi2_micro", "word"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        return out.groupby("lang", as_index=False).head(_CHI2_TOP_K)
+
+    cands = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(word_bucket, batch_format="pandas") \
+        .to_pandas()
+    if cands.empty or "lang" not in cands.columns:
+        return empty
+    cands = cands.sort_values(["lang", "chi2_micro", "word"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    out = cands.groupby("lang", as_index=False).head(_CHI2_TOP_K) \
+        .reset_index(drop=True)
+    out["chi2_micro"] = out["chi2_micro"].astype("int64")
+    return out[["lang", "word", "chi2_micro"]]

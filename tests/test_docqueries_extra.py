@@ -16,6 +16,7 @@ from tools.check_correctness import compare, to_pandas
 SF_DIR = "/root/testdata/sf0.001"
 
 ORACLE_QUERIES = [
+    "docs_chi2_terms",
     "docs_stratified_sample",
     "docs_token_percentiles_by_lang",
     "emb_centroid_distances",
@@ -1405,3 +1406,26 @@ def test_nn_descent_refinement_improves(tmp_path):
     assert r1["recall_ppm"] > r0["recall_ppm"]
     assert r0["n_edges"] == 24 * 3
     assert r1["n_edges"] == 24 * 3
+
+
+def test_chi2_terms_hand_contingency(tmp_path, monkeypatch):
+    """4 docs, 2 langs, min-support lowered to 2: 'pos' appears in both
+    en docs and no de doc → a·n − wt·lt = 2·4 − 2·2 = 4 for en,
+    0·4 − 2·2 = −4 for de; χ² = 4·16/(2·2·2·2) = 4 → 4_000_000 both
+    ways (the statistic is symmetric in the 2×2 margins); 'both'
+    appears everywhere → wt = n → pinned 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(dq, "_CHI2_MIN_SUPPORT", 2)
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lang": pa.array(["en", "en", "de", "de"]),
+        "text": pa.array(["pos both", "pos both", "both", "both x"])})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dq.docs_chi2_terms(str(tmp_path))
+    got = {(r.lang, r.word): int(r.chi2_micro) for r in out.itertuples()}
+    assert got[("en", "pos")] == 4_000_000
+    assert got[("de", "pos")] == 4_000_000
+    assert got[("en", "both")] == 0
+    assert got[("de", "both")] == 0
