@@ -1818,7 +1818,7 @@ def test_mode_priority_tie_breaks_lexicographic(tmp_path):
     assert out.iloc[0]["n_mode"] == 2
 
 
-def _write_events(tmp_path, ts_list, users=None):
+def _write_event_times(tmp_path, ts_list, users=None):
     import pandas as pd
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -1841,7 +1841,7 @@ def test_periodogram_pure_daily_cycle_dominates(tmp_path):
     carries (nearly) all candidate power; an aliased divisor (12/8)
     stays below it."""
     ts = [f"2024-01-{d:02d} 00:30:00" for d in range(1, 15)]
-    _write_events(tmp_path, ts)
+    _write_event_times(tmp_path, ts)
     out = rel.events_periodogram(str(tmp_path))
     assert out["period"].tolist() == [8, 12, 24, 168]
     p = dict(zip(out["period"], out["power_ppm"]))
@@ -1861,7 +1861,7 @@ def test_burst_detect_flags_burst_days(tmp_path):
     for d in (1, 2, 3, 5, 6):           # day 4 is a calendar gap
         ts.append(f"2024-02-{d:02d} 10:00:00")
     ts += [f"2024-02-03 1{k % 10}:0{k % 6}:00" for k in range(50)]
-    _write_events(tmp_path, ts)
+    _write_event_times(tmp_path, ts)
     out = rel.events_burst_detect(str(tmp_path))
     assert len(out) == 6                # full calendar Feb 1..6
     byday = out.set_index(out["day"].dt.day)
@@ -1875,7 +1875,7 @@ def test_burst_detect_flags_burst_days(tmp_path):
 def test_hll_sliding_merges_trailing_window_only(tmp_path):
     """User A on day 1, user B on day 5, user C on day 20: day 5's
     window merges days 1+5 (both registers), day 20's only itself."""
-    _write_events(
+    _write_event_times(
         tmp_path,
         ["2024-03-01 08:00:00", "2024-03-05 08:00:00",
          "2024-03-20 08:00:00"],
@@ -1923,7 +1923,7 @@ def test_sax_words_zero_fill_and_breakpoints(tmp_path):
     order statistic, hand-derived below)."""
     ts = ["2024-04-01 01:00:00", "2024-04-01 02:00:00",
           "2024-04-01 03:00:00", "2024-04-01 13:00:00"]
-    _write_events(tmp_path, ts, users=[7, 7, 7, 7])
+    _write_event_times(tmp_path, ts, users=[7, 7, 7, 7])
     out = rel.events_sax_words(str(tmp_path))
     # multiset {3,1,0,0} sorted [0,0,1,3]: q25→idx0→0, q50→idx1→0,
     # q75→idx2→1 ⇒ symbols: q0 c=3→'d', q1 c=0→'a', q2 c=1→'c',
