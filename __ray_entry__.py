@@ -14,6 +14,14 @@ here (or in the library) calls ray.init()/ray.shutdown().
 from __future__ import annotations
 
 import os
+
+# Driver-process twin of the cap in ai_intel_web_scraper_ray/__init__:
+# polars (used by Ray Data's sort path) sizes its rayon + tokio pools to
+# the machine's 32 CPUs on first import — ~64 threads — and a long
+# all-queries gate run in ONE process walks the node into pthread_create
+# failure.  Must run before the first polars import anywhere.
+os.environ.setdefault("POLARS_MAX_THREADS", "4")
+
 from collections.abc import Callable
 from typing import Any
 
@@ -467,6 +475,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_basket_simjoin": rel.orders_basket_simjoin,
         "orders_fd_audit": rel.orders_fd_audit,
         "events_mann_kendall": rel.events_mann_kendall,
+        "parts_four_cycles": rel.parts_four_cycles,
+        "events_runs_test": rel.events_runs_test,
+        "events_spearman": rel.events_spearman,
+        "events_markov_accuracy": rel.events_markov_accuracy,
         "parts_ktruss": rel.parts_ktruss,
         "docs_chi2_terms": dq.docs_chi2_terms,
         "events_invalid_transitions": rel.events_invalid_transitions,
@@ -6207,6 +6219,145 @@ def oracle_sql() -> dict[str, str]:
             FROM nn JOIN s USING (event_type)
                     JOIN ties USING (event_type)
             ORDER BY event_type
+        """,
+        # 4-cycle census by the diagonal identity: codegree over ALL
+        # wedges (undirected adjacency), C4 = Σ C(codeg,2) / 2
+        "parts_four_cycles": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT a.l_partkey AS u, c.l_partkey AS v
+                FROM b a JOIN b c USING (l_orderkey)
+                WHERE a.l_partkey < c.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            und AS (SELECT u AS ctr, v AS nbr FROM e
+                    UNION ALL SELECT v, u FROM e),
+            wp AS (SELECT a.nbr AS v1, b.nbr AS v2
+                   FROM und a JOIN und b
+                   ON a.ctr = b.ctr AND a.nbr < b.nbr),
+            cd AS (SELECT v1, v2, CAST(COUNT(*) AS HUGEINT) AS c
+                   FROM wp GROUP BY 1, 2)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(MAX(c) AS BIGINT) AS max_codeg,
+                   CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS c4_two,
+                   CAST(SUM(c * (c - 1) // 2) // 2 AS BIGINT) AS n_c4
+            FROM cd HAVING COUNT(*) > 0
+        """,
+        # Wald–Wolfowitz runs test: same zero-filled daily series as
+        # mann_kendall; median = quantile_disc (ceil contract), days
+        # equal to the median excluded, runs counted via LAG sign flips
+        "events_runs_test": """
+            WITH dd AS (SELECT event_type,
+                               epoch_us(date_trunc('day', ts))
+                                   // 86400000000 AS day
+                        FROM events),
+            hor AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dd),
+            ty AS (SELECT DISTINCT event_type FROM dd),
+            cal AS (SELECT UNNEST(generate_series(d0, d1, 1)) AS day
+                    FROM hor),
+            cnt AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM dd GROUP BY 1, 2),
+            ser AS (SELECT t.event_type, g.day, COALESCE(cnt.c, 0) AS c
+                    FROM ty t CROSS JOIN cal g
+                    LEFT JOIN cnt ON cnt.event_type = t.event_type
+                                  AND cnt.day = g.day),
+            med AS (SELECT event_type, quantile_disc(c, 0.5) AS m
+                    FROM ser GROUP BY 1),
+            ex AS (SELECT s.event_type, s.day,
+                          CASE WHEN s.c > med.m THEN 1 ELSE 0 END AS sgn
+                   FROM ser s JOIN med USING (event_type)
+                   WHERE s.c <> med.m),
+            rr AS (SELECT event_type, sgn,
+                          LAG(sgn) OVER (PARTITION BY event_type
+                                         ORDER BY day) AS prev
+                   FROM ex),
+            agg AS (SELECT event_type,
+                           CAST(SUM(sgn) AS HUGEINT) AS n1,
+                           CAST(SUM(1 - sgn) AS HUGEINT) AS n2,
+                           SUM(CASE WHEN prev IS NULL OR sgn <> prev
+                                    THEN 1 ELSE 0 END) AS runs
+                    FROM rr GROUP BY 1)
+            SELECT event_type,
+                   CAST(n1 AS BIGINT) AS n_pos,
+                   CAST(n2 AS BIGINT) AS n_neg,
+                   CAST(runs AS BIGINT) AS n_runs,
+                   CAST(n1 + n2 + 2 * n1 * n2 AS BIGINT) AS exp2num,
+                   CAST(2 * n1 * n2 * (2 * n1 * n2 - (n1 + n2))
+                        AS BIGINT) AS var_num
+            FROM agg ORDER BY event_type
+        """,
+        # Spearman rank correlation between the pinned view/purchase
+        # daily series: doubled average ranks (2·RANK() + t − 1) stay
+        # integral; Pearson moments over ranks in HUGEINT
+        "events_spearman": """
+            WITH dd AS (SELECT event_type,
+                               epoch_us(date_trunc('day', ts))
+                                   // 86400000000 AS day
+                        FROM events
+                        WHERE event_type IN ('view', 'purchase')),
+            hor AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM dd),
+            cal AS (SELECT UNNEST(generate_series(d0, d1, 1)) AS day
+                    FROM hor),
+            cnt AS (SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM dd GROUP BY 1, 2),
+            serx AS (SELECT g.day, COALESCE(c.c, 0) AS v
+                     FROM cal g LEFT JOIN cnt c
+                     ON c.day = g.day AND c.event_type = 'view'),
+            sery AS (SELECT g.day, COALESCE(c.c, 0) AS v
+                     FROM cal g LEFT JOIN cnt c
+                     ON c.day = g.day AND c.event_type = 'purchase'),
+            rx AS (SELECT day, CAST(2 * RANK() OVER (ORDER BY v)
+                                    + COUNT(*) OVER (PARTITION BY v) - 1
+                                    AS HUGEINT) AS r2
+                   FROM serx),
+            ry AS (SELECT day, CAST(2 * RANK() OVER (ORDER BY v)
+                                    + COUNT(*) OVER (PARTITION BY v) - 1
+                                    AS HUGEINT) AS r2
+                   FROM sery),
+            m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+                         SUM(rx.r2 * ry.r2) AS sxy2,
+                         SUM(rx.r2 * rx.r2) AS sxx2,
+                         SUM(ry.r2 * ry.r2) AS syy2
+                  FROM rx JOIN ry USING (day))
+            SELECT CAST(n AS BIGINT) AS n_days,
+                   CAST(sxy2 AS BIGINT) AS sxy2,
+                   CAST(sxx2 AS BIGINT) AS sxx2,
+                   CAST(syy2 AS BIGINT) AS syy2,
+                   CAST(n * sxy2 - (n * (n + 1)) * (n * (n + 1))
+                        AS BIGINT) AS rho_num,
+                   CAST(n * sxx2 - (n * (n + 1)) * (n * (n + 1))
+                        AS BIGINT) AS den_x,
+                   CAST(n * syy2 - (n * (n + 1)) * (n * (n + 1))
+                        AS BIGINT) AS den_y
+            FROM m WHERE n > 0
+        """,
+        # Markov majority-predictor accuracy: argmax row of the
+        # transition-matrix counts, ties to the smallest successor
+        "events_markov_accuracy": """
+            WITH seq AS (
+                SELECT user_id, event_type,
+                       LAG(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            ), counts AS (
+                SELECT prev_type AS from_type, event_type AS to_type,
+                       CAST(COUNT(*) AS HUGEINT) AS n
+                FROM seq WHERE prev_type IS NOT NULL
+                GROUP BY 1, 2
+            ), best AS (
+                SELECT from_type, to_type, n,
+                       ROW_NUMBER() OVER (PARTITION BY from_type
+                                          ORDER BY n DESC, to_type)
+                           AS rk,
+                       SUM(n) OVER (PARTITION BY from_type) AS tot
+                FROM counts
+            )
+            SELECT from_type, to_type AS predicted,
+                   CAST(n AS BIGINT) AS n_correct,
+                   CAST(tot AS BIGINT) AS n_total,
+                   CAST(n * 1000000 // tot AS BIGINT) AS acc_ppm
+            FROM best WHERE rk = 1 ORDER BY from_type
         """,
         # SAX word census: 4 six-hour quarters per active user-day,
         # zero-filled, quartile breakpoints via quantile_disc (the

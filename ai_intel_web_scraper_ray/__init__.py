@@ -17,3 +17,15 @@ owned by the caller (driver, bench.py, or the pytest fixture).
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Cap polars' lazily-created rayon + tokio pools BEFORE anything imports
+# polars (Ray Data's sort path does, inside every worker).  Uncapped,
+# each Ray worker process that touches a sort spawns 32 rayon + 32 tokio
+# threads sized to the MACHINE's CPU count — ~130 threads/worker — and a
+# long gate run (260+ dataset executions) walks the node into
+# pthread_create failure.  This module is imported in every worker when
+# our map functions deserialize, which happens before the first polars
+# import in that worker.  setdefault → callers can still override.
+_os.environ.setdefault("POLARS_MAX_THREADS", "4")

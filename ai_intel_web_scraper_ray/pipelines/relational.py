@@ -10184,3 +10184,354 @@ def parts_ktruss(sf_dir: str) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Wald–Wolfowitz runs test per event type: randomness of the daily-count
+# series around its median (the nonparametric sibling of
+# events_mann_kendall's trend test — same series assembly, different
+# statistic: run structure instead of pairwise signs)
+# ---------------------------------------------------------------------------
+
+
+def _daily_type_partials(sf_dir: str, types=None):
+    """Shared series assembly for the daily-count statistics family
+    (events_mann_kendall shape): per-block (event_type, day, c, _tb)
+    count partials plus the global (d0, d1) day horizon folded from
+    per-block min/max.  ``types`` optionally restricts the scan (and the
+    horizon) to a pinned type subset.  Returns (partials, d0, d1);
+    (None, None, None) when no rows survive."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": pd.Series([], dtype=object),
+                "day": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64"),
+                "_tb": pd.Series([], dtype="int64")}
+        if len(df) == 0:
+            return pd.DataFrame(cols)
+        if types is not None:
+            df = df[df["event_type"].isin(types)]
+            if len(df) == 0:
+                return pd.DataFrame(cols)
+        d = pd.DataFrame({
+            "event_type": df["event_type"],
+            "day": pd.to_datetime(df["ts"]).to_numpy()
+            .astype("datetime64[D]").astype("int64")})
+        g = d.groupby(["event_type", "day"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        g["c"] = g["c"].astype("int64")
+        g["day"] = g["day"].astype("int64")
+        g["_tb"] = (pd.util.hash_pandas_object(
+            g["event_type"], index=False).to_numpy() % 64).astype("int64")
+        return g
+
+    partials = ds.map_batches(day_partial, batch_format="pandas") \
+        .materialize()
+
+    def minmax(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "day" not in df.columns:
+            return pd.DataFrame({"lo": pd.Series([], dtype="int64"),
+                                 "hi": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "lo": pd.Series([int(df["day"].min())], dtype="int64"),
+            "hi": pd.Series([int(df["day"].max())], dtype="int64")})
+
+    mm = partials.map_batches(minmax, batch_format="pandas").to_pandas()
+    if mm.empty:
+        return None, None, None
+    return partials, int(mm["lo"].min()), int(mm["hi"].max())
+
+
+def events_runs_test(sf_dir: str) -> pd.DataFrame:
+    """(event_type, n_pos, n_neg, n_runs, exp2num, var_num) sorted:
+    Wald–Wolfowitz runs test of the type's daily-count series
+    (zero-filled across the GLOBAL day horizon) dichotomized around its
+    median — days with c == median are EXCLUDED (the classical rule),
+    the rest become a 0/1 sign sequence in day order, and n_runs counts
+    its maximal constant blocks.  ``exp2num = n + 2·n1·n2`` is n·E[R]
+    and ``var_num = 2·n1·n2·(2·n1·n2 − n)`` the variance numerator of
+    n²(n−1)·Var(R) — both exact integers (n is calendar-bounded, so
+    int64 holds past a century-long horizon).  The median is the
+    quantile_disc contract: sorted[ceil(n/2)−1].  A type whose days all
+    tie the median vanishes entirely (empty sequence — the SQL group is
+    absent).
+
+    Scale shape: identical to events_mann_kendall — bounded per-block
+    (type, day) partials, type-hash bucket assembly, one vectorized
+    pass per type over a calendar-bounded series."""
+    partials, d0, d1 = _daily_type_partials(sf_dir)
+    empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype=object),
+        "n_pos": pd.Series([], dtype="int64"),
+        "n_neg": pd.Series([], dtype="int64"),
+        "n_runs": pd.Series([], dtype="int64"),
+        "exp2num": pd.Series([], dtype="int64"),
+        "var_num": pd.Series([], dtype="int64")})
+    if partials is None:
+        return empty
+    n = d1 - d0 + 1
+
+    def runs_per_type(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": pd.Series([], dtype=object),
+                "n_pos": pd.Series([], dtype="int64"),
+                "n_neg": pd.Series([], dtype="int64"),
+                "n_runs": pd.Series([], dtype="int64"),
+                "exp2num": pd.Series([], dtype="int64"),
+                "var_num": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "event_type" not in df.columns:
+            return pd.DataFrame(cols)
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            x = np.zeros(n, dtype="int64")
+            cc = g.groupby("day")["c"].sum()
+            x[cc.index.to_numpy(dtype="int64") - d0] = \
+                cc.to_numpy(dtype="int64")
+            med = int(np.sort(x)[(n + 1) // 2 - 1])
+            s = (x[x != med] > med).astype("int64")
+            if s.size == 0:
+                continue
+            n1 = int(s.sum())
+            n2 = int(s.size) - n1
+            runs = 1 + int((s[1:] != s[:-1]).sum())
+            nn = n1 + n2
+            rows.append((et, n1, n2, runs,
+                         nn + 2 * n1 * n2,
+                         2 * n1 * n2 * (2 * n1 * n2 - nn)))
+        return pd.DataFrame({
+            "event_type": [r[0] for r in rows],
+            "n_pos": pd.Series([r[1] for r in rows], dtype="int64"),
+            "n_neg": pd.Series([r[2] for r in rows], dtype="int64"),
+            "n_runs": pd.Series([r[3] for r in rows], dtype="int64"),
+            "exp2num": pd.Series([r[4] for r in rows], dtype="int64"),
+            "var_num": pd.Series([r[5] for r in rows], dtype="int64")})
+
+    parts = partials.groupby("_tb").map_groups(
+        runs_per_type, batch_format="pandas").to_pandas()
+    if parts.empty or "event_type" not in parts.columns:
+        return empty
+    return parts.sort_values("event_type", kind="mergesort") \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between the view and purchase daily-count
+# series — exact doubled-rank integers (average-rank ties stay integral
+# in half units), Pearson moments over ranks as BIGINT numerators
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_X = "view"
+_SPEARMAN_Y = "purchase"
+
+
+def events_spearman(sf_dir: str) -> pd.DataFrame:
+    """One row (n_days, sxy2, sxx2, syy2, rho_num, den_x, den_y):
+    Spearman correlation between the daily-count series of the pinned
+    types '{x}' and '{y}', zero-filled over the two types' joint day
+    horizon.  Ties take the classical average rank; ranks are carried
+    DOUBLED (r2 = 2·below + t + 1, an exact integer ≡ 2·RANK() + t − 1),
+    so every moment is exact: rho = rho_num / sqrt(den_x·den_y) with
+    ``rho_num = n·Σ(rx2·ry2) − (n(n+1))²`` and ``den_* = n·Σr2² −
+    (n(n+1))²`` (Σr2 = n(n+1) identically).  n is calendar-bounded, so
+    the n⁴-order terms hold in int64 past a decade-scale horizon; the
+    twin computes in HUGEINT.  Empty input → empty frame (the twin
+    filters its aggregate row on n > 0).
+
+    Scale shape: one column-pruned scan filtered to the two pinned
+    types; bounded (type, day) partials; the two calendar-length series
+    fold on the driver in O(horizon) with Python-int moments."""
+    partials, d0, d1 = _daily_type_partials(
+        sf_dir, types=(_SPEARMAN_X, _SPEARMAN_Y))
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in (
+        "n_days", "sxy2", "sxx2", "syy2", "rho_num", "den_x", "den_y")})
+    if partials is None:
+        return empty
+    n = d1 - d0 + 1
+
+    tot = partials.to_pandas()
+    if tot.empty:
+        return empty
+    series = {}
+    for et in (_SPEARMAN_X, _SPEARMAN_Y):
+        x = np.zeros(n, dtype="int64")
+        g = tot[tot["event_type"] == et].groupby("day")["c"].sum()
+        if len(g):
+            x[g.index.to_numpy(dtype="int64") - d0] = \
+                g.to_numpy(dtype="int64")
+        srt = np.sort(x)
+        below = np.searchsorted(srt, x, side="left")
+        t = np.searchsorted(srt, x, side="right") - below
+        series[et] = (2 * below + t + 1).astype("int64")
+    rx2 = series[_SPEARMAN_X]
+    ry2 = series[_SPEARMAN_Y]
+    # Σ(r2·r2) ≤ 4n³: int64 holds to n ≈ 1.3e6 days; past that (absurd
+    # calendar horizons) route the products through Python big-ints
+    if n > (1 << 20):
+        rx2, ry2 = rx2.astype(object), ry2.astype(object)
+    sxy2 = int((rx2 * ry2).sum())
+    sxx2 = int((rx2 * rx2).sum())
+    syy2 = int((ry2 * ry2).sum())
+    s = n * (n + 1)
+    return pd.DataFrame({
+        "n_days": pd.Series([n], dtype="int64"),
+        "sxy2": pd.Series([sxy2], dtype="int64"),
+        "sxx2": pd.Series([sxx2], dtype="int64"),
+        "syy2": pd.Series([syy2], dtype="int64"),
+        "rho_num": pd.Series([n * sxy2 - s * s], dtype="int64"),
+        "den_x": pd.Series([n * sxx2 - s * s], dtype="int64"),
+        "den_y": pd.Series([n * syy2 - s * s], dtype="int64")})
+
+
+events_spearman.__doc__ = events_spearman.__doc__.format(
+    x=_SPEARMAN_X, y=_SPEARMAN_Y)
+
+
+# ---------------------------------------------------------------------------
+# Markov next-event predictor accuracy: the majority-transition baseline
+# evaluated exactly from the transition counts themselves (argmax row of
+# the events_transition_matrix kernel; correct = the majority count)
+# ---------------------------------------------------------------------------
+
+
+def events_markov_accuracy(sf_dir: str) -> pd.DataFrame:
+    """(from_type, predicted, n_correct, n_total, acc_ppm) sorted: the
+    majority next-type predictor per state — predicted is the
+    most-frequent successor (count ties pinned to the lexicographically
+    smallest type), n_correct its count (tie-invariant), n_total the
+    state's outgoing transitions, acc_ppm = n_correct·10⁶ // n_total.
+    The top-1 accuracy of the order-1 Markov baseline falls out of the
+    counts alone — no second scoring pass over the events.
+
+    Scale shape: reuses the :func:`_transition_counts` exchange
+    (user-hash buckets, one sort + shift-masked bigram build per
+    bucket, |types|²-bounded partials); the argmax fold runs on the
+    driver over the bounded count table with Python-int arithmetic."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    counts = _transition_counts(ds)
+    empty = pd.DataFrame({
+        "from_type": pd.Series([], dtype=object),
+        "predicted": pd.Series([], dtype=object),
+        "n_correct": pd.Series([], dtype="int64"),
+        "n_total": pd.Series([], dtype="int64"),
+        "acc_ppm": pd.Series([], dtype="int64")})
+    if counts.empty:
+        return empty
+    rows = []
+    for ft, g in counts.groupby("from_type", sort=True):
+        g = g.sort_values(["n", "to_type"], ascending=[False, True],
+                          kind="mergesort")
+        n_correct = int(g.iloc[0]["n"])
+        predicted = g.iloc[0]["to_type"]
+        n_total = int(g["n"].sum())
+        rows.append((ft, predicted, n_correct, n_total,
+                     n_correct * 1_000_000 // n_total))
+    return pd.DataFrame({
+        "from_type": [r[0] for r in rows],
+        "predicted": [r[1] for r in rows],
+        "n_correct": pd.Series([r[2] for r in rows], dtype="int64"),
+        "n_total": pd.Series([r[3] for r in rows], dtype="int64"),
+        "acc_ppm": pd.Series([r[4] for r in rows], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# 4-cycle census of the co-order part graph: quadrilaterals counted by
+# the diagonal-pair identity C4 = Σ_pairs C(codeg,2) / 2 — the length-4
+# sibling of parts_triangles (no edge join needed: every 4-cycle is two
+# wedge-coincidences, so pair-codegree counts are the whole statistic)
+# ---------------------------------------------------------------------------
+
+
+def parts_four_cycles(sf_dir: str, support: int = 2) -> pd.DataFrame:
+    """One row (n_pairs, max_codeg, c4_two, n_c4): 4-cycle count of the
+    co-order part graph (edges = parts co-ordered in ≥ ``support``
+    orders).  For every unordered endpoint pair {u,w} the codegree is
+    its common-neighbor count (= wedges centered anywhere); each 4-cycle
+    u–x–w–y has exactly TWO diagonal pairs ({u,w} and {x,y}), so
+    ``c4_two = Σ C(codeg, 2)`` counts every quadrilateral twice and
+    ``n_c4 = c4_two // 2`` exactly (cycles, not necessarily induced —
+    chords don't disqualify).  n_pairs is the number of codegree-
+    positive pairs, max_codeg the densest diagonal.  Empty graph →
+    empty frame (the twin guards with HAVING).
+
+    Scale shape: wedge generation under the CENTER-hash bucket (one
+    vectorized self-merge per bucket — Σ deg² work, the
+    parts_clustering_coeff budget), codegrees settled under the
+    PAIR-hash bucket, and each pair bucket emits ONE partial row whose
+    Σ C(c,2) rides as a decimal string so the driver's 64-row fold runs
+    in Python big-ints (pair counts can push C(c,2) sums past 2⁶³ on a
+    web graph); output stays int64 with that documented bound."""
+    edges = _co_order_pair_counts(sf_dir, support)
+    empty = pd.DataFrame({
+        "n_pairs": pd.Series([], dtype="int64"),
+        "max_codeg": pd.Series([], dtype="int64"),
+        "c4_two": pd.Series([], dtype="int64"),
+        "n_c4": pd.Series([], dtype="int64")})
+
+    und_schema = pa.schema([("ctr", pa.int64()), ("nbr", pa.int64()),
+                            ("_cb", pa.int64())])
+
+    def undirect(df: pd.DataFrame) -> pa.Table:
+        if len(df) == 0 or "a_id" not in df.columns:
+            return pa.Table.from_pandas(
+                pd.DataFrame({"ctr": pd.Series([], dtype="int64"),
+                              "nbr": pd.Series([], dtype="int64"),
+                              "_cb": pd.Series([], dtype="int64")}),
+                schema=und_schema, preserve_index=False)
+        a = df["a_id"].astype("int64").to_numpy()
+        b = df["b_id"].astype("int64").to_numpy()
+        ctr = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        out = pd.DataFrame({"ctr": ctr, "nbr": nbr,
+                            "_cb": (ctr % 64).astype("int64")})
+        return pa.Table.from_pandas(out, schema=und_schema,
+                                    preserve_index=False)
+
+    def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"v1": pd.Series([], dtype="int64"),
+                "v2": pd.Series([], dtype="int64"),
+                "c": pd.Series([], dtype="int64"),
+                "_pb": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "ctr" not in df.columns:
+            return pd.DataFrame(cols)
+        m = df.merge(df[["ctr", "nbr"]], on="ctr")
+        m = m[m["nbr_x"] < m["nbr_y"]]
+        if len(m) == 0:
+            return pd.DataFrame(cols)
+        g = m.groupby(["nbr_x", "nbr_y"], as_index=False).size() \
+            .rename(columns={"size": "c"})
+        out = pd.DataFrame({
+            "v1": g["nbr_x"].astype("int64"),
+            "v2": g["nbr_y"].astype("int64"),
+            "c": g["c"].astype("int64")})
+        out["_pb"] = ((out["v1"] * 1_000_003 + out["v2"]) % 64) \
+            .astype("int64")
+        return out
+
+    def bucket_stats(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"n_pairs": pd.Series([], dtype="int64"),
+                "max_codeg": pd.Series([], dtype="int64"),
+                "c2_str": pd.Series([], dtype=object)}
+        if len(df) == 0 or "v1" not in df.columns:
+            return pd.DataFrame(cols)
+        g = df.groupby(["v1", "v2"], as_index=False)["c"].sum()
+        c2 = sum(int(c) * (int(c) - 1) // 2 for c in g["c"])
+        return pd.DataFrame({
+            "n_pairs": pd.Series([len(g)], dtype="int64"),
+            "max_codeg": pd.Series([int(g["c"].max())], dtype="int64"),
+            "c2_str": pd.Series([str(c2)], dtype=object)})
+
+    parts = edges.map_batches(undirect, batch_format="pandas") \
+        .groupby("_cb").map_groups(wedge_pairs, batch_format="pandas") \
+        .groupby("_pb").map_groups(bucket_stats, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty or "n_pairs" not in parts.columns or \
+            int(parts["n_pairs"].sum()) == 0:
+        return empty
+    c4_two = sum(int(s) for s in parts["c2_str"])
+    return pd.DataFrame({
+        "n_pairs": pd.Series([int(parts["n_pairs"].sum())], dtype="int64"),
+        "max_codeg": pd.Series([int(parts["max_codeg"].max())],
+                               dtype="int64"),
+        "c4_two": pd.Series([c4_two], dtype="int64"),
+        "n_c4": pd.Series([c4_two // 2], dtype="int64")})

@@ -99,6 +99,10 @@ ORACLE_QUERIES = [
     "orders_basket_simjoin",
     "orders_fd_audit",
     "events_mann_kendall",
+    "events_runs_test",
+    "events_spearman",
+    "events_markov_accuracy",
+    "parts_four_cycles",
     "parts_ktruss",
     "lineitem_integrity_audit",
     "events_dau_wau",
@@ -2174,3 +2178,152 @@ def test_ktruss_round2_cascade(tmp_path):
     # → SURVIVES round 2 as well (2 ≥ k−2).  The K4 core is a 4-truss.
     for e in [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]:
         assert got[e][1] == 0, e
+
+
+def _oracle_on(tmp_path, name):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    df = con.execute(entrymod.oracle_sql()[name]).fetch_df()
+    con.close()
+    return df
+
+
+def test_runs_test_median_exclusion_and_runs(tmp_path):
+    """'alt' daily counts [3,1,2,1,3]: median 2 (quantile_disc lower),
+    day 3 excluded, signs [1,0,0,1] → 2 pos / 2 neg / 3 runs,
+    exp2num = 4 + 8 = 12, var_num = 8·(8−4) = 32.  'flat' at 1/day ties
+    its median everywhere → excluded entirely (row absent, matching the
+    SQL group)."""
+    rows, eid = [], 0
+    for day, k in ((1, 3), (2, 1), (3, 2), (4, 1), (5, 3)):
+        for i in range(k):
+            rows.append((eid, f"2024-01-0{day} 0{i}:00:00", 1, "alt", 1.0))
+            eid += 1
+    for day in range(1, 6):
+        rows.append((eid, f"2024-01-0{day} 12:00:00", 2, "flat", 1.0))
+        eid += 1
+    _write_events(tmp_path, rows)
+    out = rel.events_runs_test(str(tmp_path))
+    got = {r.event_type: (int(r.n_pos), int(r.n_neg), int(r.n_runs),
+                          int(r.exp2num), int(r.var_num))
+           for r in out.itertuples()}
+    assert got == {"alt": (2, 2, 3, 12, 32)}
+    problems = compare("events_runs_test", out,
+                       to_pandas(_oracle_on(tmp_path, "events_runs_test")))
+    assert not problems, problems
+
+
+def test_spearman_doubled_ranks_with_ties(tmp_path):
+    """views/day [1,1,2] (tied pair → doubled average ranks [3,3,6]) vs
+    purchases/day [1,2,3] (ranks [2,4,6]): sxy2 = 54, sxx2 = 54,
+    syy2 = 56, rho_num = den_x = 18, den_y = 24 — all hand-computed."""
+    rows, eid = [], 0
+    for day, k in ((1, 1), (2, 1), (3, 2)):
+        for i in range(k):
+            rows.append((eid, f"2024-01-0{day} 0{i}:00:00", 1, "view", 1.0))
+            eid += 1
+    for day, k in ((1, 1), (2, 2), (3, 3)):
+        for i in range(k):
+            rows.append((eid, f"2024-01-0{day} 1{i}:00:00", 1,
+                         "purchase", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    out = rel.events_spearman(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.n_days), int(r.sxy2), int(r.sxx2), int(r.syy2)) \
+        == (3, 54, 54, 56)
+    assert (int(r.rho_num), int(r.den_x), int(r.den_y)) == (18, 18, 24)
+    problems = compare("events_spearman", out,
+                       to_pandas(_oracle_on(tmp_path, "events_spearman")))
+    assert not problems, problems
+
+
+def test_spearman_perfect_anticorrelation(tmp_path):
+    """views [1,2,3] vs purchases [3,2,1] → rho_num = −den = −24
+    (rho exactly −1)."""
+    rows, eid = [], 0
+    for day, k in ((1, 1), (2, 2), (3, 3)):
+        for i in range(k):
+            rows.append((eid, f"2024-01-0{day} 0{i}:00:00", 1, "view", 1.0))
+            eid += 1
+    for day, k in ((1, 3), (2, 2), (3, 1)):
+        for i in range(k):
+            rows.append((eid, f"2024-01-0{day} 1{i}:00:00", 1,
+                         "purchase", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    r = rel.events_spearman(str(tmp_path)).iloc[0]
+    assert int(r.rho_num) == -24
+    assert int(r.den_x) == 24 and int(r.den_y) == 24
+
+
+def test_markov_accuracy_majority_and_tie_pin(tmp_path):
+    """User 1 walks a,b,a,c,a,b → from 'a' the majority successor is
+    'b' (2 of 3, 666666 ppm); user 2 walks x,y,x,z → from 'x' the
+    counts tie 1–1 and the pin picks the lexicographically smaller
+    'y'."""
+    seq1 = ["a", "b", "a", "c", "a", "b"]
+    seq2 = ["x", "y", "x", "z"]
+    rows = []
+    for i, t in enumerate(seq1):
+        rows.append((i, f"2024-01-01 0{i}:00:00", 1, t, 1.0))
+    for i, t in enumerate(seq2):
+        rows.append((10 + i, f"2024-01-01 0{i}:30:00", 2, t, 1.0))
+    _write_events(tmp_path, rows)
+    out = rel.events_markov_accuracy(str(tmp_path))
+    got = {r.from_type: (r.predicted, int(r.n_correct), int(r.n_total),
+                         int(r.acc_ppm))
+           for r in out.itertuples()}
+    assert got["a"] == ("b", 2, 3, 666666)
+    assert got["x"] == ("y", 1, 2, 500000)
+    assert got["b"] == ("a", 1, 1, 1000000)
+    assert got["c"] == ("a", 1, 1, 1000000)
+    assert got["y"] == ("x", 1, 1, 1000000)
+    problems = compare(
+        "events_markov_accuracy", out,
+        to_pandas(_oracle_on(tmp_path, "events_markov_accuracy")))
+    assert not problems, problems
+
+
+def test_four_cycles_diagonal_identity(tmp_path):
+    """C4 square {1,2,3,4} (edges 12,23,34,14): diagonal pairs (1,3) and
+    (2,4) have codegree 2, the four side pairs codegree... sides ARE
+    edges, their codegree comes from wedges: (1,2) common nbr? nbrs(1) =
+    {2,4}, nbrs(2) = {1,3} → none.  So pairs with codegree: (1,3) c=2,
+    (2,4) c=2 → c4_two = 1+1 = 2 → n_c4 = 1.  Adding chord (1,3) doesn't
+    change codegrees of the diagonals but creates new wedge pairs
+    through node 1 and 3 — hand-recomputed below."""
+    edges = [((1, 2), 2), ((2, 3), 2), ((3, 4), 2), ((1, 4), 2)]
+    _write_coorder_graph(tmp_path, edges)
+    out = rel.parts_four_cycles(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.n_pairs), int(r.max_codeg), int(r.c4_two), int(r.n_c4)) \
+        == (2, 2, 2, 1)
+
+
+def test_four_cycles_with_chord_counts_noninduced(tmp_path):
+    """Square 1-2-3-4 plus chord (1,3): nbrs 1={2,3,4}, 2={1,3},
+    3={1,2,4}, 4={1,3}.  Wedge pairs: via 1: (2,3),(2,4),(3,4); via 2:
+    (1,3); via 3: (1,2),(1,4),(2,4); via 4: (1,3) → codegrees:
+    (1,3)=2,(2,4)=2, four singles → c4_two = C(2,2)... = 1+1 = 2,
+    n_c4 = 1 (the square still counts despite the chord — cycles are
+    not induced), n_pairs = 6, max_codeg = 2."""
+    edges = [((1, 2), 2), ((2, 3), 2), ((3, 4), 2), ((1, 4), 2),
+             ((1, 3), 2)]
+    _write_coorder_graph(tmp_path, edges)
+    out = rel.parts_four_cycles(str(tmp_path))
+    r = out.iloc[0]
+    assert (int(r.n_pairs), int(r.max_codeg), int(r.c4_two), int(r.n_c4)) \
+        == (6, 2, 2, 1)
+
+
+def test_four_cycles_empty_graph(tmp_path):
+    """No co-order pairs at support 2 → empty frame (HAVING contract)."""
+    edges = [((1, 2), 1)]
+    _write_coorder_graph(tmp_path, edges)
+    out = rel.parts_four_cycles(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["n_pairs", "max_codeg", "c4_two", "n_c4"]
