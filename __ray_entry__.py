@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_burstiness": dq.docs_burstiness,
         "emb_lid": dq.emb_lid,
         "emb_snn_components": dq.emb_snn_components,
+        "emb_dbscan": dq.emb_dbscan,
         "docs_fingerprints": dq.docs_fingerprints,         # pinned-table oracle
         "docs_top_per_source": dq.docs_top_per_source,
         "docs_decontaminate": dq.docs_decontaminate,
@@ -4845,6 +4846,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
                    CAST(SUM(v) AS BIGINT) AS vec_checksum
             FROM comp GROUP BY 1 ORDER BY 1
+        """,
+        # DBSCAN under cosine: neighbor = ROUND(cos,6) ≥ 0.32 (self
+        # excluded), core = ≥4 neighbors, clusters = components of the
+        # core-core graph (min-core-id label), border joins the MIN
+        # cluster label among its core neighbors, noise emits nothing
+        "emb_dbscan": """
+            WITH RECURSIVE nb AS (
+                SELECT a.vec_id AS i, b.vec_id AS j
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id
+                WHERE ROUND(list_cosine_similarity(
+                          CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[])), 6) >= 0.32
+            ), core AS (
+                SELECT i AS v FROM nb GROUP BY 1 HAVING COUNT(*) >= 4
+            ), ce AS (
+                SELECT nb.i AS a, nb.j AS b FROM nb
+                JOIN core x ON x.v = nb.i JOIN core y ON y.v = nb.j
+            ), reach(v, l) AS (
+                SELECT v, v FROM core
+                UNION
+                SELECT ce.b, r.l FROM reach r JOIN ce ON ce.a = r.v
+            ), comp AS (
+                SELECT v, MIN(l) AS cid FROM reach GROUP BY v
+            ), border AS (
+                SELECT nb.i AS v, MIN(comp.cid) AS cid
+                FROM nb JOIN core c ON c.v = nb.j
+                JOIN comp ON comp.v = nb.j
+                WHERE nb.i NOT IN (SELECT v FROM core)
+                GROUP BY 1
+            ), mem AS (
+                SELECT v, cid, 1 AS is_core FROM comp
+                UNION ALL SELECT v, cid, 0 FROM border
+            )
+            SELECT cid AS cluster_id,
+                   CAST(SUM(is_core) AS BIGINT) AS n_core,
+                   CAST(SUM(1 - is_core) AS BIGINT) AS n_border,
+                   CAST(SUM(v) AS BIGINT) AS vec_checksum
+            FROM mem GROUP BY 1 ORDER BY 1
         """,
         # Levina–Bickel MLE local intrinsic dimensionality at sampled
         # points: k=8 nearest by d = 1−ROUND(cos,6) (ties → smaller

@@ -6892,3 +6892,241 @@ def docs_chi2_terms(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     out["chi2_micro"] = out["chi2_micro"].astype("int64")
     return out[["lang", "word", "chi2_micro"]]
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over embeddings: density-based clustering under cosine
+# similarity — the radius-rule sibling of emb_snn_components' mutual-kNN
+# (fixed eps instead of adaptive k; core/border/noise trichotomy)
+# ---------------------------------------------------------------------------
+
+_DBSCAN_COS = 0.32        # neighbor ⇔ ROUND(cos, 6) ≥ this (eps in cos space)
+_DBSCAN_MINPTS = 4        # core ⇔ ≥ this many neighbors (self excluded)
+
+
+def emb_dbscan(sf_dir: str, thr: float = _DBSCAN_COS,
+               min_pts: int = _DBSCAN_MINPTS) -> pd.DataFrame:
+    """(cluster_id, n_core, n_border, vec_checksum) sorted: DBSCAN under
+    cosine similarity — a neighbor is any OTHER vector with
+    ``ROUND(cos, 6) ≥ thr``; core points have ≥ ``min_pts`` neighbors;
+    clusters are connected components of the core–core neighbor graph
+    labeled by their minimum core vec_id; border points (non-core with
+    ≥1 core neighbor) join the MINIMUM cluster label among their core
+    neighbors — the deterministic pin replacing classical DBSCAN's
+    arrival-order border assignment; noise emits nothing.
+    ``vec_checksum`` sums core+border member ids.  Thresholds are
+    calibrated to the synthetic table so clusters, border AND noise are
+    all live at both gate scales (0.32/4 → ~11 clusters, ~200 border,
+    ~180 noise on 500 vectors).
+
+    Scale shape: the emb_snn_components broadcast contract — the unit
+    matrix ships ONCE via ``ray.put`` and each block does one matmul
+    per pass (documented N·d object-store budget; beyond it the
+    neighbor pass swaps to the emb_ivf_recall bucketed scan).  Pass 1
+    computes exact global neighbor counts (block rows × all columns);
+    pass 2 emits a tagged union — core–core edges (with per-core
+    self-rows so singleton-core clusters survive) and border→core
+    links.  Components auto-switch like the dedup resolver: ≤2M
+    core-core edges fold on the driver via union-find (smaller-root
+    wins, so the root IS the min id — O(Eα) beats O(diameter)
+    join-rounds on dense cores); bigger graphs run in
+    label_components' min-label exchange.  The core-id set and the
+    (≤ n_core)-row label table fold on the driver: the same
+    bounded-side budget the snn matrix assembly already spends."""
+    import ray
+
+    from ..stages.dedup import label_components
+
+    ds = _emb(sf_dir).materialize()
+    empty = pd.DataFrame({
+        "cluster_id": pd.Series([], dtype="int64"),
+        "n_core": pd.Series([], dtype="int64"),
+        "n_border": pd.Series([], dtype="int64"),
+        "vec_checksum": pd.Series([], dtype="int64")})
+
+    def mat_partial(t: pa.Table) -> pd.DataFrame:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        cols = {"vec_id": pd.Series(ids, dtype="int64")}
+        if len(ids) == 0:
+            cols.update({f"e{i}": pd.Series([], dtype="float64")
+                         for i in range(64)})
+            return pd.DataFrame(cols)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        out = pd.DataFrame(cols)
+        for i in range(64):
+            out[f"e{i}"] = vecs[:, i]
+        return out
+
+    mdf = ds.map_batches(mat_partial, batch_format="pyarrow").to_pandas()
+    if len(mdf) < 2:
+        return empty
+    mdf = mdf.sort_values("vec_id").reset_index(drop=True)
+    all_ids = mdf["vec_id"].to_numpy(dtype="int64")
+    M = mdf[[f"e{i}" for i in range(64)]].to_numpy(dtype=np.float64)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    Mh = M / norms[:, None]
+    m_ref = ray.put(Mh)
+    ids_ref = ray.put(all_ids)
+
+    def block_cos(t: pa.Table):
+        """(bids, cs) for a block vs the broadcast matrix, self = −2."""
+        bids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        if len(bids) == 0:
+            return bids, None, None
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        bn = np.linalg.norm(vecs, axis=1)
+        bn[bn == 0] = 1.0
+        mh, aid = ray.get(m_ref), ray.get(ids_ref)
+        cs = np.round((vecs / bn[:, None]) @ mh.T, 6)
+        self_col = np.searchsorted(aid, bids)
+        cs[np.arange(len(bids)), self_col] = -2.0
+        return bids, cs, aid
+
+    def nbr_counts(t: pa.Table) -> pd.DataFrame:
+        bids, cs, _ = block_cos(t)
+        if cs is None:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "n_nbrs": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "vec_id": pd.Series(bids, dtype="int64"),
+            "n_nbrs": pd.Series((cs >= thr).sum(axis=1), dtype="int64")})
+
+    deg = ds.map_batches(nbr_counts, batch_format="pyarrow").to_pandas()
+    core_ids = np.sort(deg[deg["n_nbrs"] >= min_pts]["vec_id"]
+                       .to_numpy(dtype="int64"))
+    if len(core_ids) == 0:
+        return empty
+    core_ref = ray.put(core_ids)
+
+    def tagged(t: pa.Table) -> pd.DataFrame:
+        cols = {"kind": pd.Series([], dtype="int64"),
+                "x": pd.Series([], dtype="int64"),
+                "y": pd.Series([], dtype="int64")}
+        bids, cs, aid = block_cos(t)
+        if cs is None:
+            return pd.DataFrame(cols)
+        cset = ray.get(core_ref)
+        pos = np.searchsorted(cset, aid)
+        pos[pos >= len(cset)] = len(cset) - 1
+        col_core = cset[pos] == aid
+        rpos = np.searchsorted(cset, bids)
+        rpos[rpos >= len(cset)] = len(cset) - 1
+        row_core = cset[rpos] == bids
+        hitc = (cs >= thr) & col_core[None, :]
+        parts = []
+        if row_core.any():
+            ii, jj = np.where(hitc[row_core])
+            src = bids[row_core][ii]
+            dst = aid[jj]
+            parts.append(pd.DataFrame({
+                "kind": np.zeros(len(src), dtype="int64"),
+                "x": np.minimum(src, dst), "y": np.maximum(src, dst)}))
+            selfs = bids[row_core]
+            parts.append(pd.DataFrame({
+                "kind": np.zeros(len(selfs), dtype="int64"),
+                "x": selfs, "y": selfs}))
+        if (~row_core).any():
+            ii, jj = np.where(hitc[~row_core])
+            parts.append(pd.DataFrame({
+                "kind": np.ones(len(ii), dtype="int64"),
+                "x": bids[~row_core][ii], "y": aid[jj]}))
+        if not parts:
+            return pd.DataFrame(cols)
+        out = pd.concat(parts, ignore_index=True).drop_duplicates()
+        return out.astype({"kind": "int64", "x": "int64", "y": "int64"})
+
+    tg = ds.map_batches(tagged, batch_format="pyarrow").materialize()
+
+    def as_edges(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a_id": pd.Series([], dtype="int64"),
+                "b_id": pd.Series([], dtype="int64"),
+                "a_seq": pd.Series([], dtype="int64"),
+                "b_seq": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "kind" not in df.columns:
+            return pd.DataFrame(cols)
+        d = df[df["kind"] == 0]
+        return pd.DataFrame({"a_id": d["x"].astype("int64"),
+                             "b_id": d["y"].astype("int64"),
+                             "a_seq": d["x"].astype("int64"),
+                             "b_seq": d["y"].astype("int64")})
+
+    e0 = tg.map_batches(as_edges, batch_format="pandas").materialize()
+    n_edges = e0.count()
+    if n_edges == 0:
+        return empty
+    if n_edges <= 2_000_000:
+        # bounded-side fast path (the dedup family's documented
+        # auto-switch, in reverse): the core graph fits the driver —
+        # union-find with smaller-root-wins gives label = min id in
+        # O(E α) instead of O(diameter) join rounds
+        ep = e0.to_pandas()
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(ep["a_id"].to_numpy(dtype="int64"),
+                        ep["b_id"].to_numpy(dtype="int64")):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        node_ids = np.unique(np.concatenate([
+            ep["a_id"].to_numpy(dtype="int64"),
+            ep["b_id"].to_numpy(dtype="int64")]))
+        lab = pd.DataFrame({
+            "id": node_ids,
+            "label": np.array([find(int(v)) for v in node_ids],
+                              dtype="int64")})
+    else:
+        labels, _, _ = label_components(e0)
+        lab = labels.to_pandas()
+    if lab.empty:
+        return empty
+    lab_ids = lab["id"].to_numpy(dtype="int64")
+    order = np.argsort(lab_ids)
+    lab_ids = lab_ids[order]
+    lab_lab = lab["label"].to_numpy(dtype="int64")[order]
+    lid_ref = ray.put(lab_ids)
+    llb_ref = ray.put(lab_lab)
+
+    def border_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"v": pd.Series([], dtype="int64"),
+                "cid": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "kind" not in df.columns:
+            return pd.DataFrame(cols)
+        d = df[df["kind"] == 1]
+        if len(d) == 0:
+            return pd.DataFrame(cols)
+        li, ll = ray.get(lid_ref), ray.get(llb_ref)
+        cid = ll[np.searchsorted(li, d["y"].to_numpy(dtype="int64"))]
+        out = pd.DataFrame({"v": d["x"].to_numpy(dtype="int64"),
+                            "cid": cid})
+        return out.groupby("v", as_index=False)["cid"].min()
+
+    bparts = tg.map_batches(border_partial, batch_format="pandas") \
+        .to_pandas()
+    members = [pd.DataFrame({"v": lab_ids, "cid": lab_lab,
+                             "is_core": np.ones(len(lab_ids),
+                                                dtype="int64")})]
+    if len(bparts) and "v" in bparts.columns and len(bparts["v"]):
+        bb = bparts.groupby("v", as_index=False)["cid"].min()
+        bb["is_core"] = np.zeros(len(bb), dtype="int64")
+        members.append(bb)
+    mem = pd.concat(members, ignore_index=True)
+    out = mem.groupby("cid", as_index=False).agg(
+        n_core=("is_core", "sum"),
+        n_border=("v", "size"),
+        vec_checksum=("v", "sum"))
+    out["n_border"] = out["n_border"] - out["n_core"]
+    out = out.rename(columns={"cid": "cluster_id"})
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("cluster_id").reset_index(drop=True)

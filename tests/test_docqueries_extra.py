@@ -17,6 +17,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 ORACLE_QUERIES = [
     "docs_chi2_terms",
+    "emb_dbscan",
     "docs_stratified_sample",
     "docs_token_percentiles_by_lang",
     "emb_centroid_distances",
@@ -1429,3 +1430,58 @@ def test_chi2_terms_hand_contingency(tmp_path, monkeypatch):
     assert got[("de", "pos")] == 4_000_000
     assert got[("en", "both")] == 0
     assert got[("de", "both")] == 0
+
+
+def test_dbscan_core_border_noise_trichotomy(tmp_path):
+    """Two 5-vector fans (0–40° in disjoint planes) are all-core
+    (each has ≥4 in-plane neighbors at cos ≥ cos 40° = 0.77); a probe
+    at 105° in plane A sees only the 40° member (cos 65° = 0.42 ≥
+    0.32, cos 75° = 0.26 < 0.32) → border of cluster 0; an orthogonal
+    singleton is noise and emits nothing."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    def ang(deg, i, j):
+        v = np.zeros(64)
+        v[i] = np.cos(np.radians(deg))
+        v[j] = np.sin(np.radians(deg))
+        return v
+
+    vecs = [ang(d, 0, 1) for d in (0, 10, 20, 30, 40)] \
+        + [ang(d, 2, 5) for d in (0, 10, 20, 30, 40)] \
+        + [ang(105, 0, 1), [0.0] * 3 + [1.0] + [0.0] * 60]
+    ids = [0, 1, 2, 3, 4, 10, 11, 12, 13, 14, 20, 30]
+    t = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(np.asarray(v, dtype=np.float32))
+                               for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array([0] * len(ids), pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = dq.emb_dbscan(str(tmp_path))
+    got = {int(r.cluster_id): (int(r.n_core), int(r.n_border),
+                               int(r.vec_checksum))
+           for r in out.itertuples(index=False)}
+    assert got == {0: (5, 1, 30), 10: (5, 0, 60)}
+
+
+def test_dbscan_no_core_is_empty(tmp_path):
+    """Three mutually orthogonal vectors: nobody reaches min_pts → no
+    clusters, typed-empty frame."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    vecs = [np.eye(64)[i] for i in (0, 1, 2)]
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([list(v.astype(np.float32)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0], pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = dq.emb_dbscan(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["cluster_id", "n_core", "n_border",
+                                 "vec_checksum"]
