@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_lid": dq.emb_lid,
         "emb_snn_components": dq.emb_snn_components,
         "emb_dbscan": dq.emb_dbscan,
+        "emb_rptree_recall": dq.emb_rptree_recall,
         "docs_fingerprints": dq.docs_fingerprints,         # pinned-table oracle
         "docs_top_per_source": dq.docs_top_per_source,
         "docs_decontaminate": dq.docs_decontaminate,
@@ -690,6 +691,79 @@ def _random_projection_sql(n_out: int = 16, dim: int = 64) -> str:
             f"ROUND({terms}, 6) AS value FROM embeddings")
     return ("SELECT * FROM (" + " UNION ALL ".join(branches)
             + ") ORDER BY vec_id, dim")
+
+
+def _rptree_sql(k: int = 10, mod: int = 3, n_queries: int = 8,
+                dim: int = 64) -> str:
+    """Generated RP-tree recall twin: the three pinned ±1 projections as
+    left-to-right sums (the emb_random_projection association order),
+    quantile_disc median splits per node, leaf-restricted vs exact
+    cosine top-k compared per query."""
+    from ai_intel_web_scraper_ray.pipelines.docqueries import _rpt_sign
+
+    def proj(node: int) -> str:
+        return " + ".join(
+            f"({_rpt_sign(i, node)}) * CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i in range(dim))
+
+    return f"""
+        WITH p AS (SELECT vec_id,
+                          ROUND({proj(0)}, 6) AS p0,
+                          ROUND({proj(1)}, 6) AS p1,
+                          ROUND({proj(2)}, 6) AS p2
+                   FROM embeddings),
+        t0 AS (SELECT quantile_disc(p0, 0.5) AS t FROM p),
+        s AS (SELECT p.*, CASE WHEN p.p0 > t0.t THEN 1 ELSE 0 END AS s0
+              FROM p CROSS JOIN t0),
+        t1 AS (SELECT quantile_disc(p1, 0.5) AS t FROM s WHERE s0 = 0),
+        t2 AS (SELECT quantile_disc(p2, 0.5) AS t FROM s WHERE s0 = 1),
+        leaf AS (SELECT s.vec_id,
+                        CASE WHEN s0 = 0
+                             THEN CASE WHEN s.p1 > t1.t THEN 1 ELSE 0 END
+                             ELSE 2 + CASE WHEN s.p2 > t2.t
+                                           THEN 1 ELSE 0 END
+                        END AS lf
+                 FROM s CROSS JOIN t1 CROSS JOIN t2),
+        kkv AS (SELECT LEAST({k}, COUNT(*) - 1) AS kk FROM embeddings),
+        q AS (SELECT vec_id AS qid FROM embeddings
+              WHERE vec_id % {mod} = 0 ORDER BY vec_id LIMIT {n_queries}),
+        cs AS (SELECT q.qid, e2.vec_id AS cand,
+                      ROUND(list_cosine_similarity(
+                          CAST(e1.embedding AS DOUBLE[]),
+                          CAST(e2.embedding AS DOUBLE[])), 6) AS c
+               FROM q JOIN embeddings e1 ON e1.vec_id = q.qid
+                      JOIN embeddings e2 ON e2.vec_id <> q.qid),
+        ex AS (SELECT qid, cand,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY c DESC, cand) AS rn
+               FROM cs),
+        exact_k AS (SELECT qid, cand FROM ex CROSS JOIN kkv
+                    WHERE rn <= kk),
+        ann0 AS (SELECT cs.qid, cs.cand, cs.c
+                 FROM cs JOIN leaf lq ON lq.vec_id = cs.qid
+                        JOIN leaf lc ON lc.vec_id = cs.cand
+                                     AND lc.lf = lq.lf),
+        annr AS (SELECT qid, cand,
+                        ROW_NUMBER() OVER (PARTITION BY qid
+                                           ORDER BY c DESC, cand) AS rn
+                 FROM ann0),
+        ann AS (SELECT qid, cand FROM annr CROSS JOIN kkv
+                WHERE rn <= kk),
+        hit AS (SELECT e.qid, COUNT(*) AS nh
+                FROM exact_k e JOIN ann a USING (qid, cand) GROUP BY 1),
+        ls AS (SELECT lf, COUNT(*) AS n FROM leaf GROUP BY 1)
+        SELECT q.qid,
+               CAST(lq.lf AS BIGINT) AS leaf_id,
+               CAST(ls.n - 1 AS BIGINT) AS n_leaf,
+               CAST(COALESCE(hit.nh, 0) AS BIGINT) AS n_hit,
+               CAST(COALESCE(hit.nh, 0) * 1000000 // kkv.kk AS BIGINT)
+                   AS recall_ppm
+        FROM q JOIN leaf lq ON lq.vec_id = q.qid
+               JOIN ls ON ls.lf = lq.lf
+               LEFT JOIN hit ON hit.qid = q.qid
+               CROSS JOIN kkv
+        ORDER BY q.qid
+    """
 
 
 def _sentiment_sql() -> str:
@@ -5615,6 +5689,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ±1 Johnson–Lindenstrauss projection, generated left-to-right sums
         "emb_random_projection": _random_projection_sql(),
+        "emb_rptree_recall": _rptree_sql(),
         # SCD-2 dimension build from the orders change log
         "orders_scd2": """
             WITH s AS (

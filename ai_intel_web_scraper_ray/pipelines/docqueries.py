@@ -7130,3 +7130,174 @@ def emb_dbscan(sf_dir: str, thr: float = _DBSCAN_COS,
     for c in out.columns:
         out[c] = out[c].astype("int64")
     return out.sort_values("cluster_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Random-projection-tree ANN recall audit: a 2-level RP tree (pinned ±1
+# hyperplanes, median splits) is the tree-index family next to the
+# hashing (emb_hamming_recall), quantization (emb_pq_recall) and
+# inverted-list (emb_ivf_recall) audits — same recall@k contract
+# ---------------------------------------------------------------------------
+
+_RPT_K = 10
+_RPT_QUERY_MOD = 3
+_RPT_QUERIES = 8
+
+
+def _rpt_sign(i: int, node: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"rpt-{node}-{i}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def _rpt_median(vals: np.ndarray) -> float:
+    """quantile_disc(…, 0.5): the element at ceil(n/2)−1 of the sorted
+    values — the repo-wide discrete-median contract."""
+    s = np.sort(vals)
+    return float(s[(len(s) + 1) // 2 - 1])
+
+
+def emb_rptree_recall(sf_dir: str, k: int = _RPT_K,
+                      mod: int = _RPT_QUERY_MOD,
+                      n_queries: int = _RPT_QUERIES) -> pd.DataFrame:
+    """(qid, leaf_id, n_leaf, n_hit, recall_ppm) sorted by qid: build a
+    2-level random-projection tree — root plane and one plane per child,
+    ±1 signs pinned by md5 (`_rpt_sign`), each node split at the
+    quantile_disc MEDIAN of the projections of the vectors reaching it
+    (projections accumulate left-to-right in input-dim order and ROUND
+    6, the emb_random_projection association contract) — then audit
+    recall@k of leaf-restricted search: for each of the ``n_queries``
+    smallest vec_ids ≡ 0 (mod ``mod``), compare exact cosine top-k
+    (ROUND 6, ties → smaller vec_id, self excluded) against the same
+    ranking restricted to the query's leaf.  ``n_leaf`` is the leaf's
+    candidate-pool size (self excluded); ``recall_ppm =
+    n_hit·10⁶ // kk`` with kk = min(k, N−1).
+
+    Scale shape: the emb_pq_recall contract — ONE streaming pass serves
+    every query with two bounded top-k partials per (query, block)
+    (full-pool and leaf-restricted), merged on the driver (≤
+    2·k·queries·blocks rows).  The projection table (N×3) folds on the
+    driver to take the three median order statistics — smaller than
+    the snn family's N×64 matrix assembly, same documented budget; at
+    web scale the medians would come from the docs_token_percentiles
+    histogram exchange instead."""
+    import ray
+
+    ds = _emb(sf_dir).materialize()
+    cols = ("qid", "leaf_id", "n_leaf", "n_hit", "recall_ppm")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def mat_partial(t: pa.Table) -> pd.DataFrame:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        out = {"vec_id": pd.Series(ids, dtype="int64")}
+        if len(ids) == 0:
+            out.update({f"e{i}": pd.Series([], dtype="float64")
+                        for i in range(64)})
+            return pd.DataFrame(out)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        o = pd.DataFrame(out)
+        for i in range(64):
+            o[f"e{i}"] = vecs[:, i]
+        return o
+
+    mdf = ds.map_batches(mat_partial, batch_format="pyarrow").to_pandas()
+    if len(mdf) < 2:
+        return empty
+    mdf = mdf.sort_values("vec_id").reset_index(drop=True)
+    all_ids = mdf["vec_id"].to_numpy(dtype="int64")
+    M = mdf[[f"e{i}" for i in range(64)]].to_numpy(dtype=np.float64)
+
+    signs = np.array([[_rpt_sign(i, node) for node in range(3)]
+                      for i in range(64)], dtype=np.float64)
+    acc = np.zeros((len(M), 3), dtype=np.float64)
+    for i in range(64):        # left-to-right: the SQL association order
+        acc += M[:, i:i + 1] * signs[i]
+    P = np.round(acc, 6)
+    t0 = _rpt_median(P[:, 0])
+    right = P[:, 0] > t0
+    # the left child always holds the median element; the right child
+    # can be EMPTY (all-equal projections) — its threshold is then never
+    # consulted (no member evaluates the comparison)
+    t1 = _rpt_median(P[~right, 1])
+    t2 = _rpt_median(P[right, 2]) if right.any() else 0.0
+    leaf = np.where(right, 2 + (P[:, 2] > t2).astype("int64"),
+                    (P[:, 1] > t1).astype("int64")).astype("int64")
+
+    qmask = all_ids % mod == 0
+    qids = all_ids[qmask][:n_queries]
+    if len(qids) == 0:
+        return empty
+    qpos = np.searchsorted(all_ids, qids)
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    Mh = M / norms[:, None]
+    kk = min(k, len(all_ids) - 1)
+
+    q_ref = ray.put(Mh[qpos])
+    meta_ref = ray.put((qids, leaf[qpos], all_ids, leaf))
+
+    def score_partial(t: pa.Table) -> pd.DataFrame:
+        pcols = {"qid": pd.Series([], dtype="int64"),
+                 "cand": pd.Series([], dtype="int64"),
+                 "key": pd.Series([], dtype="int64"),
+                 "variant": pd.Series([], dtype="int64")}
+        bids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        if len(bids) == 0:
+            return pd.DataFrame(pcols)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        bn = np.linalg.norm(vecs, axis=1)
+        bn[bn == 0] = 1.0
+        qU = ray.get(q_ref)
+        qids_, qleaf_, aid_, leaf_ = ray.get(meta_ref)
+        bleaf = leaf_[np.searchsorted(aid_, bids)]
+        cs_i = np.round(np.round(qU @ (vecs / bn[:, None]).T, 6)
+                        * 1_000_000).astype(np.int64)
+        cs_i[qids_[:, None] == bids[None, :]] = -2_000_000   # self
+        key = (-cs_i) * (1 << 33) + bids[None, :]
+        rows = []
+        for vi, mask in ((0, np.ones_like(cs_i, dtype=bool)),
+                         (1, qleaf_[:, None] == bleaf[None, :])):
+            kmask = np.where(mask, key, np.iinfo(np.int64).max)
+            kt = min(kk, kmask.shape[1])
+            idx = np.argpartition(kmask, kt - 1, axis=1)[:, :kt]
+            kv = np.take_along_axis(kmask, idx, axis=1)
+            keep = kv < np.iinfo(np.int64).max
+            rows.append(pd.DataFrame({
+                "qid": np.repeat(qids_, kt)[keep.ravel()],
+                "cand": bids[idx.ravel()][keep.ravel()],
+                "key": kv.ravel()[keep.ravel()],
+                "variant": np.full(int(keep.sum()), vi, dtype="int64")}))
+        out = pd.concat(rows, ignore_index=True)
+        return out[out["key"] < (2_000_000 * (1 << 33))]  # drop self rows
+
+    parts = ds.map_batches(score_partial, batch_format="pyarrow") \
+        .to_pandas()
+    if parts.empty or "qid" not in parts.columns:
+        parts = pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                              "cand": pd.Series([], dtype="int64"),
+                              "key": pd.Series([], dtype="int64"),
+                              "variant": pd.Series([], dtype="int64")})
+    rows = []
+    leaf_sizes = {int(lf): int((leaf == lf).sum()) for lf in range(4)}
+    for qi, ql in zip(qids, leaf[qpos]):
+        g = parts[parts["qid"] == qi] if len(parts) else parts
+        exact = set()
+        ann = set()
+        if len(g):
+            ge = g[g["variant"] == 0].nsmallest(kk, "key")
+            exact = set(ge["cand"].tolist())
+            ga = g[g["variant"] == 1].nsmallest(kk, "key")
+            ann = set(ga["cand"].tolist())
+        n_hit = len(exact & ann)
+        rows.append((int(qi), int(ql), leaf_sizes[int(ql)] - 1, n_hit,
+                     n_hit * 1_000_000 // kk))
+    out = pd.DataFrame({
+        "qid": pd.Series([r[0] for r in rows], dtype="int64"),
+        "leaf_id": pd.Series([r[1] for r in rows], dtype="int64"),
+        "n_leaf": pd.Series([r[2] for r in rows], dtype="int64"),
+        "n_hit": pd.Series([r[3] for r in rows], dtype="int64"),
+        "recall_ppm": pd.Series([r[4] for r in rows], dtype="int64")})
+    return out.sort_values("qid").reset_index(drop=True)

@@ -18,6 +18,7 @@ SF_DIR = "/root/testdata/sf0.001"
 ORACLE_QUERIES = [
     "docs_chi2_terms",
     "emb_dbscan",
+    "emb_rptree_recall",
     "docs_stratified_sample",
     "docs_token_percentiles_by_lang",
     "emb_centroid_distances",
@@ -1485,3 +1486,42 @@ def test_dbscan_no_core_is_empty(tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["cluster_id", "n_core", "n_border",
                                  "vec_checksum"]
+
+
+def test_rptree_recall_identical_cluster_always_recalled(tmp_path):
+    """Six identical vectors share identical projections → the tree
+    cannot separate them, so a query among them finds all five copies
+    in BOTH the exact and the leaf-restricted top-10 → n_hit ≥ 5; the
+    engine output also hash-matches the generated SQL twin on this
+    adversarial fixture (median ties everywhere)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+    from __ray_entry__ import _rptree_sql
+    from tools.check_correctness import compare, to_pandas
+
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=64)
+    u /= np.linalg.norm(u)
+    vecs = [u] * 6 + [rng.normal(size=64) for _ in range(6)]
+    t = pa.table({
+        "vec_id": pa.array(range(12), pa.int64()),
+        "embedding": pa.array([list(np.asarray(v, dtype=np.float32))
+                               for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array([0] * 12, pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = dq.emb_rptree_recall(str(tmp_path))
+    assert list(out["qid"]) == [0, 3, 6, 9]
+    # queries 0 and 3 sit inside the identical six: their five twins are
+    # exact top-5 AND leaf-mates → at least 5 hits of kk=10
+    byq = {int(r.qid): int(r.n_hit) for r in out.itertuples(index=False)}
+    assert byq[0] >= 5 and byq[3] >= 5
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    sql = con.execute(_rptree_sql()).fetch_df()
+    con.close()
+    problems = compare("emb_rptree_recall", out, to_pandas(sql))
+    assert not problems, problems
