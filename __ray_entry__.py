@@ -481,6 +481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_runs_test": rel.events_runs_test,
         "events_spearman": rel.events_spearman,
         "events_markov_accuracy": rel.events_markov_accuracy,
+        "events_f2_sketch": rel.events_f2_sketch,
+        "customer_k_anonymity": rel.customer_k_anonymity,
         "parts_ktruss": rel.parts_ktruss,
         "docs_chi2_terms": dq.docs_chi2_terms,
         "events_invalid_transitions": rel.events_invalid_transitions,
@@ -6445,6 +6447,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n * syy2 - (n * (n + 1)) * (n * (n + 1))
                         AS BIGINT) AS den_y
             FROM m WHERE n > 0
+        """,
+        # AMS F2 sketch: one md5 hex digit per (sketch, user) gives the
+        # ±1 sign; est = (Σ sign·count)², exact = Σ count² in HUGEINT
+        "events_f2_sketch": """
+            WITH f AS (SELECT user_id, CAST(COUNT(*) AS HUGEINT) AS c
+                       FROM events GROUP BY 1),
+            sk AS (SELECT UNNEST(range(0, 16)) AS s),
+            e AS (SELECT sk.s AS sketch_id,
+                         SUM((CASE WHEN substr(md5('ams-' ||
+                                       CAST(f.user_id AS VARCHAR)),
+                                       CAST(sk.s AS INT) + 1, 1)
+                                   IN ('0','2','4','6','8','a','c','e')
+                                   THEN 1 ELSE -1 END) * f.c) AS t
+                  FROM sk CROSS JOIN f GROUP BY 1),
+            x AS (SELECT CAST(SUM(c * c) AS HUGEINT) AS f2 FROM f),
+            r AS (SELECT sketch_id, CAST(t * t AS HUGEINT) AS est FROM e
+                  UNION ALL
+                  SELECT -1, quantile_disc(CAST(t * t AS HUGEINT), 0.5)
+                  FROM e)
+            SELECT CAST(r.sketch_id AS BIGINT) AS sketch_id,
+                   CAST(r.est AS BIGINT) AS est,
+                   CAST(x.f2 AS BIGINT) AS exact_f2,
+                   CAST(ABS(r.est - x.f2) * 1000000 // x.f2 AS BIGINT)
+                       AS err_ppm
+            FROM r CROSS JOIN x
+            WHERE x.f2 IS NOT NULL
+            ORDER BY r.sketch_id
+        """,
+        # k-anonymity audit under the pinned (nation, segment)
+        # quasi-identifiers
+        "customer_k_anonymity": """
+            WITH cls AS (SELECT c_nationkey, c_mktsegment,
+                                CAST(COUNT(*) AS BIGINT) AS n
+                         FROM customer GROUP BY 1, 2)
+            SELECT CAST(MIN(n) AS BIGINT) AS k_min,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_singletons,
+                   CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                       AS n_below_5,
+                   CAST(SUM(n) AS BIGINT) AS n_rows
+            FROM cls HAVING COUNT(*) > 0
         """,
         # Markov majority-predictor accuracy: argmax row of the
         # transition-matrix counts, ties to the smallest successor

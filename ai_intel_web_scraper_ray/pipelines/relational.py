@@ -10535,3 +10535,179 @@ def parts_four_cycles(sf_dir: str, support: int = 2) -> pd.DataFrame:
                                dtype="int64"),
         "c4_two": pd.Series([c4_two], dtype="int64"),
         "n_c4": pd.Series([c4_two // 2], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# AMS (Alon–Matias–Szegedy) F2 sketch over per-user event counts — the
+# moment-sketch family member next to HLL (F0), KMV, CMS and bitmap
+# distinct: est_s = (Σ_u sign_s(u)·f_u)², unbiased for F2 = Σ f_u²
+# ---------------------------------------------------------------------------
+
+_AMS_SKETCHES = 16
+
+
+def _ams_signs(users: np.ndarray, n_sketches: int) -> np.ndarray:
+    """±1 sign matrix (len(users) × n_sketches): sketch s reads hex
+    digit s of md5('ams-' || user) — even digit → +1 — so ONE md5 per
+    user serves every sketch, and the SQL twin computes the identical
+    digit with substr(md5(...), s+1, 1)."""
+    import hashlib
+
+    out = np.empty((len(users), n_sketches), dtype=np.int64)
+    for r, u in enumerate(users):
+        hx = hashlib.md5(f"ams-{int(u)}".encode()).hexdigest()
+        for s in range(n_sketches):
+            out[r, s] = 1 if int(hx[s], 16) % 2 == 0 else -1
+    return out
+
+
+def events_f2_sketch(sf_dir: str,
+                     n_sketches: int = _AMS_SKETCHES) -> pd.DataFrame:
+    """(sketch_id, est, exact_f2, err_ppm) sorted, one row per sketch
+    plus a sketch_id = −1 MEDIAN row (quantile_disc lower median of the
+    ests — the estimator AMS actually publishes): est_s =
+    (Σ_u sign_s(u)·f_u)² where f_u is the user's event count and
+    sign_s(u) = ±1 from hex digit s of md5('ams-'||u); exact_f2 =
+    Σ f_u² (the self-join size / repeat-rate moment the sketch
+    estimates in one pass); err_ppm = |est − exact|·10⁶ // exact.
+
+    Scale shape: the est side is additive over EVENTS — Σ sign·f =
+    Σ_events sign(user(e)) — so each block emits one 16-int partial (an
+    in-block groupby collapses repeat users before the md5); the exact
+    side needs global per-user counts and runs in the events_top_users
+    user-hash bucket exchange, each bucket emitting its Σ f_u² partial
+    as a decimal string so the driver's 64-row fold runs in Python
+    big-ints (f_u² sums pass 2⁶³ on a web corpus); ests fold the same
+    way ((Σ sign·f)² ≤ N²)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    cols = ("sketch_id", "est", "exact_f2", "err_ppm")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def est_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"s": pd.Series([], dtype="int64"),
+                    "v": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame(out_cols)
+        g = df.groupby("user_id", as_index=False).size()
+        users = g["user_id"].to_numpy(dtype="int64")
+        cnt = g["size"].to_numpy(dtype="int64")
+        sg = _ams_signs(users, n_sketches)
+        v = (sg * cnt[:, None]).sum(axis=0)
+        return pd.DataFrame({
+            "s": pd.Series(np.arange(n_sketches), dtype="int64"),
+            "v": pd.Series(v, dtype="int64")})
+
+    est_p = ds.map_batches(est_partial, batch_format="pandas").to_pandas()
+    if est_p.empty or "s" not in est_p.columns or len(est_p) == 0:
+        return empty
+    sums = [0] * n_sketches
+    for s, v in zip(est_p["s"], est_p["v"]):
+        sums[int(s)] += int(v)
+    ests = [x * x for x in sums]
+
+    def bucket_key(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64"),
+                                 "_b": pd.Series([], dtype="int64")})
+        g = df.groupby("user_id", as_index=False).size() \
+            .rename(columns={"size": "c"})
+        g["c"] = g["c"].astype("int64")
+        g["_b"] = (g["user_id"].astype("int64") % 64).astype("int64")
+        return g
+
+    def f2_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame({"f2_str": pd.Series([], dtype=object)})
+        g = df.groupby("user_id")["c"].sum()
+        f2 = sum(int(c) * int(c) for c in g)
+        return pd.DataFrame({"f2_str": pd.Series([str(f2)], dtype=object)})
+
+    f2p = ds.map_batches(bucket_key, batch_format="pandas") \
+        .groupby("_b").map_groups(f2_partial, batch_format="pandas") \
+        .to_pandas()
+    exact = sum(int(x) for x in f2p["f2_str"]) \
+        if len(f2p) and "f2_str" in f2p.columns else 0
+    if exact == 0:
+        return empty
+    rows = [(s, ests[s]) for s in range(n_sketches)]
+    med = sorted(e for _, e in rows)[(n_sketches + 1) // 2 - 1]
+    rows.append((-1, med))
+    return pd.DataFrame({
+        "sketch_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "est": pd.Series([r[1] for r in rows], dtype="int64"),
+        "exact_f2": pd.Series([exact] * len(rows), dtype="int64"),
+        "err_ppm": pd.Series([abs(r[1] - exact) * 1_000_000 // exact
+                              for r in rows], dtype="int64")}) \
+        .sort_values("sketch_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over pinned quasi-identifiers — the data-governance
+# census: how re-identifiable is the customer table under
+# (c_nationkey, c_mktsegment)?
+# ---------------------------------------------------------------------------
+
+
+def customer_k_anonymity(sf_dir: str) -> pd.DataFrame:
+    """One row (k_min, n_classes, n_singletons, n_below_5, n_rows): the
+    k-anonymity audit of customers under the pinned quasi-identifier
+    pair (c_nationkey, c_mktsegment) — k_min is the smallest
+    equivalence-class size (the table is k_min-anonymous), singletons
+    are unique individuals, n_below_5 counts rows in classes smaller
+    than 5 (the conventional release floor).  Empty table → empty frame.
+
+    Scale shape: per-block (qi-pair, count) partials merge under the
+    class-hash bucket (bounded by |nations|×|segments| per block); each
+    bucket emits its own (min, classes, singletons, below5, rows) fold
+    and the driver merges ≤ 64 rows."""
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+    cols = ("k_min", "n_classes", "n_singletons", "n_below_5", "n_rows")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pc_ = {"c_nationkey": pd.Series([], dtype="int64"),
+               "c_mktsegment": pd.Series([], dtype=object),
+               "n": pd.Series([], dtype="int64"),
+               "_b": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "c_nationkey" not in df.columns:
+            return pd.DataFrame(pc_)
+        g = df.groupby(["c_nationkey", "c_mktsegment"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        g["n"] = g["n"].astype("int64")
+        g["c_nationkey"] = g["c_nationkey"].astype("int64")
+        g["_b"] = ((g["c_nationkey"] * 31
+                    + pd.util.hash_pandas_object(
+                        g["c_mktsegment"], index=False).astype("int64"))
+                   % 64).astype("int64")
+        return g
+
+    def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
+        bc = {c: pd.Series([], dtype="int64") for c in cols}
+        if len(df) == 0 or "n" not in df.columns:
+            return pd.DataFrame(bc)
+        g = df.groupby(["c_nationkey", "c_mktsegment"])["n"].sum()
+        sizes = g.to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "k_min": pd.Series([int(sizes.min())], dtype="int64"),
+            "n_classes": pd.Series([len(sizes)], dtype="int64"),
+            "n_singletons": pd.Series([int((sizes == 1).sum())],
+                                      dtype="int64"),
+            "n_below_5": pd.Series([int(sizes[sizes < 5].sum())],
+                                   dtype="int64"),
+            "n_rows": pd.Series([int(sizes.sum())], dtype="int64")})
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_fold, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty or "k_min" not in parts.columns or len(parts) == 0:
+        return empty
+    return pd.DataFrame({
+        "k_min": pd.Series([int(parts["k_min"].min())], dtype="int64"),
+        "n_classes": pd.Series([int(parts["n_classes"].sum())],
+                               dtype="int64"),
+        "n_singletons": pd.Series([int(parts["n_singletons"].sum())],
+                                  dtype="int64"),
+        "n_below_5": pd.Series([int(parts["n_below_5"].sum())],
+                               dtype="int64"),
+        "n_rows": pd.Series([int(parts["n_rows"].sum())], dtype="int64")})

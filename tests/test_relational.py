@@ -103,6 +103,8 @@ ORACLE_QUERIES = [
     "events_spearman",
     "events_markov_accuracy",
     "parts_four_cycles",
+    "events_f2_sketch",
+    "customer_k_anonymity",
     "parts_ktruss",
     "lineitem_integrity_audit",
     "events_dau_wau",
@@ -2327,3 +2329,45 @@ def test_four_cycles_empty_graph(tmp_path):
     out = rel.parts_four_cycles(str(tmp_path))
     assert len(out) == 0
     assert list(out.columns) == ["n_pairs", "max_codeg", "c4_two", "n_c4"]
+
+
+def test_f2_sketch_exact_and_sign_math(tmp_path):
+    """Two users with counts 3 and 1: exact F2 = 10; each sketch's est
+    is (±3 ±1)² ∈ {4, 16}, median row present with sketch_id −1 —
+    verified against the oracle twin (which computes the identical md5
+    hex-digit signs)."""
+    rows = []
+    for i in range(3):
+        rows.append((i, f"2024-01-01 0{i}:00:00", 7, "view", 1.0))
+    rows.append((3, "2024-01-01 05:00:00", 11, "view", 1.0))
+    _write_events(tmp_path, rows)
+    out = rel.events_f2_sketch(str(tmp_path))
+    assert len(out) == 17
+    assert set(out["exact_f2"]) == {10}
+    per = out[out["sketch_id"] >= 0]
+    assert set(int(x) for x in per["est"]) <= {4, 16}
+    med = out[out["sketch_id"] == -1].iloc[0]
+    assert int(med.est) == sorted(int(x) for x in per["est"])[7]
+    problems = compare("events_f2_sketch", out,
+                       to_pandas(_oracle_on(tmp_path, "events_f2_sketch")))
+    assert not problems, problems
+
+
+def test_k_anonymity_class_census(tmp_path):
+    """Hand-built customers: class A×SEG1 has 5 rows, B×SEG1 has 1,
+    B×SEG2 has 2 → k_min 1, 3 classes, 1 singleton, below-5 rows =
+    1 + 2 = 3, total 8."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nk = [1] * 5 + [2] + [2, 2]
+    seg = ["S1"] * 5 + ["S1"] + ["S2", "S2"]
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(8), pa.int64()),
+        "c_nationkey": pa.array(nk, pa.int64()),
+        "c_mktsegment": pa.array(seg, pa.string())}),
+        tmp_path / "customer.parquet")
+    out = rel.customer_k_anonymity(str(tmp_path))
+    r = out.iloc[0]
+    assert (int(r.k_min), int(r.n_classes), int(r.n_singletons),
+            int(r.n_below_5), int(r.n_rows)) == (1, 3, 1, 3, 8)
