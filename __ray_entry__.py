@@ -185,6 +185,26 @@ def _crawl_multi_ordered_query(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("crawl_rank").reset_index(drop=True)
 
 
+def _crawl_robots_fixture_query(sf_dir: str) -> pd.DataFrame:
+    """Robots-gated fixture crawl (north rule: robots handling on the
+    frontier): respect_robots=True with the pinned per-host robots.txt —
+    admission drops disallowed URLs at offer time, so the record SET +
+    BFS min-depths must equal the independent robots-aware sequential
+    walk (tools/gen_pinned_oracles.py:gen_crawl_robots_expected)."""
+    from ai_intel_web_scraper_ray.pipelines.crawl import crawl_scalable
+    from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+    from tools.gen_pinned_oracles import CRAWL_ROBOTS_TEXTS
+
+    pages = make_web_graph()
+    res = crawl_scalable(
+        pages, ["https://docs.hot.example/p0"], max_depth=3,
+        exclude_patterns=("/excluded/",), num_shards=4,
+        respect_robots=True, robots_texts=CRAWL_ROBOTS_TEXTS)
+    df = pd.DataFrame(res["records"])[["url", "depth", "title"]]
+    df["depth"] = df["depth"].astype("int64")
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def _crawl_interleaved_fixture_query(sf_dir: str) -> pd.DataFrame:
     """The north-star archival flow end to end, span-level: streamed crawl
     with media capture (worker-written fragments, driver never holds
@@ -499,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_fixture": _crawl_fixture_query,
         "crawl_fixture_ordered": _crawl_fixture_ordered_query,
         "crawl_lineage_fixture": _crawl_lineage_query,
+        "crawl_robots_fixture": _crawl_robots_fixture_query,
         "crawl_multi_fixture": _crawl_multi_fixture_query,
         "crawl_interleaved_fixture": _crawl_interleaved_fixture_query,
         "crawl_multi_ordered_fixture": _crawl_multi_ordered_query,
@@ -525,6 +546,8 @@ _PINNED = os.path.join(_PINNED_DIR, "doc_expected.parquet")
 _PINNED_CRAWL = os.path.join(_PINNED_DIR, "crawl_expected.parquet")
 _PINNED_DEDUP = os.path.join(_PINNED_DIR, "dedup_expected.parquet")
 _PINNED_CRAWL_MULTI = os.path.join(_PINNED_DIR, "crawl_multi_expected.parquet")
+_PINNED_CRAWL_ROBOTS = os.path.join(_PINNED_DIR,
+                                    "crawl_robots_expected.parquet")
 _PINNED_MST = os.path.join(_PINNED_DIR, "mst_expected.parquet")
 _PINNED_MIS = os.path.join(_PINNED_DIR, "mis_expected.parquet")
 _PINNED_STRESS = os.path.join(_PINNED_DIR, "stress_expected.parquet")
@@ -4265,6 +4288,10 @@ def oracle_sql() -> dict[str, str]:
         "crawl_multi_fixture": f"""
             SELECT url, depth, title
             FROM read_parquet('{_PINNED_CRAWL_MULTI}') ORDER BY url
+        """,
+        "crawl_robots_fixture": f"""
+            SELECT url, depth, title
+            FROM read_parquet('{_PINNED_CRAWL_ROBOTS}') ORDER BY url
         """,
         # span-level interleaved archival table for the fixture crawl,
         # pinned by an independent sequential BFS + codec replay

@@ -401,3 +401,72 @@ def oracle_crawl_lineage(
     return [{"shard": s, "offered": offered[s], "seen": admitted[s],
              "admitted": admitted[s], "emitted": admitted[s]}
             for s in range(num_shards)]
+
+
+def oracle_crawl_robots(
+    pages: Dict[str, dict],
+    base_url: str,
+    robots_texts: Dict[str, str],
+    content_selector: str = "article",
+    max_depth: int = 3,
+    max_pages: int = 200,
+    exclude_patterns: Sequence[str] = (),
+    user_agent: str = "CompetitiveIntel/1.0",
+) -> List[dict]:
+    """Sequential BFS replay of :func:`oracle_crawl` with robots.txt
+    ADMISSION gating (the engine's frontier semantics: a URL is admitted
+    iff unseen AND allowed; a disallowed URL is consumed as seen and
+    never revisited).  Parsing is stdlib ``urllib.robotparser`` — the
+    same grammar the engine's RobotsCache speaks, evaluated here in an
+    independent sequential loop.  Returns [{url, depth, title}, ...] in
+    crawl order (BFS ⇒ depth is the shortest same-domain distance)."""
+    import urllib.robotparser
+
+    from ai_intel_web_scraper_ray.functions.urls import host_of
+
+    parsers: Dict[str, object] = {}
+
+    def allowed(url: str) -> bool:
+        host = host_of(url)
+        if host not in parsers:
+            text = robots_texts.get(host)
+            p = None
+            if text is not None:
+                p = urllib.robotparser.RobotFileParser()
+                p.parse(text.splitlines())
+            parsers[host] = p
+        p = parsers[host]
+        return True if p is None else p.can_fetch(user_agent, url)
+
+    def excluded(url: str) -> bool:
+        return any(pat in url for pat in exclude_patterns)
+
+    visited: Set[str] = set()
+    records: List[dict] = []
+    start = normalize_url(base_url)
+    queue: deque = deque()
+    if allowed(start):
+        queue.append((start, 0))
+    visited.add(start)
+
+    while queue and len(records) < max_pages:
+        url, depth = queue.popleft()
+        if excluded(url):
+            continue
+        page = pages.get(url)
+        if page is None or page["status"] != 200:
+            continue
+        title, text = extract_content(page["html"], content_selector, url)
+        if not text.strip():
+            continue
+        records.append({"url": url, "depth": depth, "title": title})
+        if depth < max_depth:
+            for link in extract_links(page["html"], url, content_selector):
+                norm = normalize_url(link)
+                if norm in visited or not is_same_domain(norm, base_url) \
+                        or excluded(norm):
+                    continue
+                visited.add(norm)
+                if allowed(norm):
+                    queue.append((norm, depth + 1))
+    return records

@@ -299,3 +299,23 @@ class TestSeenSet:
         assert not any(s.check_and_insert_batch(urls))
         assert len(s) == 5000
 
+
+
+def test_robots_record_set_matches_sequential_oracle():
+    """Record SET + BFS min-depths of a robots-gated distributed crawl
+    equal the independent robots-aware sequential walk
+    (oracle_crawl_robots) — live, not just the pinned parquet."""
+    from .oracle import oracle_crawl_robots
+    from tools.gen_pinned_oracles import CRAWL_ROBOTS_TEXTS
+
+    got = crawl_scalable(
+        PAGES, [BASE], max_depth=3, exclude_patterns=("/excluded/",),
+        num_shards=4, respect_robots=True,
+        robots_texts=CRAWL_ROBOTS_TEXTS)
+    eng = {(r["url"], r["depth"]) for r in got["records"]}
+    exp = {(r["url"], r["depth"])
+           for r in oracle_crawl_robots(PAGES_BY_URL, BASE,
+                                        CRAWL_ROBOTS_TEXTS,
+                                        exclude_patterns=("/excluded/",))}
+    assert eng == exp
+    assert not any("/p7" in u or "/p12" in u for u, _ in eng)

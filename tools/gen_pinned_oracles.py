@@ -573,6 +573,46 @@ def gen_mis_expected() -> None:
     print(f"wrote {len(out)} MIS rows -> {MIS_OUT}")
 
 
+
+
+CRAWL_ROBOTS_OUT = os.path.join(os.path.dirname(OUT),
+                                "crawl_robots_expected.parquet")
+
+# the fixture robots mirrored by __ray_entry__._crawl_robots_fixture_query:
+# Disallow /p7 and /p12 prune two interior subtrees on the hot host
+# (prefix semantics: /p12 also gates nothing else at n=40); cold hosts
+# have no robots.txt (allowed)
+CRAWL_ROBOTS_TEXTS = {
+    "docs.hot.example": "User-agent: *\nDisallow: /p7\nDisallow: /p12\n",
+}
+
+
+def gen_crawl_robots_expected() -> None:
+    """Pin the robots-gated fixture crawl (record set + BFS min-depths)
+    from the independent sequential walk
+    (tests/oracle.py:oracle_crawl_robots)."""
+    import sys as _sys
+    _sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests"))
+    from oracle import oracle_crawl_robots
+
+    from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+
+    pages = {p["url"]: p for p in make_web_graph()}
+    rows = oracle_crawl_robots(pages, "https://docs.hot.example/p0",
+                               CRAWL_ROBOTS_TEXTS,
+                               exclude_patterns=("/excluded/",))
+    rows = sorted(rows, key=lambda r: r["url"])
+    t = pa.table({
+        "url": pa.array([r["url"] for r in rows], pa.string()),
+        "depth": pa.array([r["depth"] for r in rows], pa.int64()),
+        "title": pa.array([r["title"] for r in rows], pa.string()),
+    })
+    pq.write_table(t, CRAWL_ROBOTS_OUT)
+    print(f"wrote {len(t)} robots-crawl rows -> {CRAWL_ROBOTS_OUT}")
+
+
 def main() -> None:
     rows = {}
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
@@ -595,6 +635,7 @@ def main() -> None:
     gen_crawl_lineage_expected()
     gen_crawl_interleaved_expected()
     gen_crawl_multi_expected()
+    gen_crawl_robots_expected()
     gen_dedup_expected()
     gen_mst_expected()
     gen_stress_expected()
