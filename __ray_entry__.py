@@ -503,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_markov_accuracy": rel.events_markov_accuracy,
         "events_f2_sketch": rel.events_f2_sketch,
         "customer_k_anonymity": rel.customer_k_anonymity,
+        "lineitem_zone_overlap": rel.lineitem_zone_overlap,
         "parts_ktruss": rel.parts_ktruss,
         "docs_chi2_terms": dq.docs_chi2_terms,
         "events_invalid_transitions": rel.events_invalid_transitions,
@@ -6516,6 +6517,34 @@ def oracle_sql() -> dict[str, str]:
                        AS n_below_5,
                    CAST(SUM(n) AS BIGINT) AS n_rows
             FROM cls HAVING COUNT(*) > 0
+        """,
+        # zone-map overlap (clustering depth) of l_shipdate under the
+        # physical orderkey-range layout vs the ship-month re-sort
+        "lineitem_zone_overlap": """
+            WITH d AS (SELECT l_orderkey // 512 AS part,
+                              epoch_us(date_trunc('day', l_shipdate))
+                                  // 86400000000 AS day,
+                              year(l_shipdate) * 12 + month(l_shipdate)
+                                  AS mpart
+                       FROM lineitem),
+            zm AS (SELECT 'orderkey_range' AS layout, part,
+                          MIN(day) AS lo, MAX(day) AS hi
+                   FROM d GROUP BY 1, 2
+                   UNION ALL
+                   SELECT 'ship_month', mpart, MIN(day), MAX(day)
+                   FROM d GROUP BY 1, 2),
+            ov AS (SELECT a.layout, a.part,
+                          (SELECT COUNT(*) FROM zm b
+                           WHERE b.layout = a.layout
+                             AND b.part <> a.part
+                             AND b.lo <= a.hi AND b.hi >= a.lo) AS o
+                   FROM zm a)
+            SELECT layout, CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(MAX(o) AS BIGINT) AS max_overlaps,
+                   CAST(SUM(o) AS BIGINT) AS sum_overlaps,
+                   CAST(SUM(o) * 1000000 // COUNT(*) AS BIGINT)
+                       AS avg_ppm
+            FROM ov GROUP BY 1 ORDER BY 1
         """,
         # Markov majority-predictor accuracy: argmax row of the
         # transition-matrix counts, ties to the smallest successor

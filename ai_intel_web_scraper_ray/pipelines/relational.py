@@ -10711,3 +10711,97 @@ def customer_k_anonymity(sf_dir: str) -> pd.DataFrame:
         "n_below_5": pd.Series([int(parts["n_below_5"].sum())],
                                dtype="int64"),
         "n_rows": pd.Series([int(parts["n_rows"].sum())], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Zone-map overlap audit (clustering depth): how many partitions must a
+# ship-date range probe open under (a) the table's physical
+# orderkey-range layout vs (b) a ship-month re-sort?  The layout-quality
+# metric that decides whether a compaction / Z-order pays off
+# ---------------------------------------------------------------------------
+
+_ZONE_ORDERKEY_WIDTH = 512
+
+
+def lineitem_zone_overlap(sf_dir: str,
+                          width: int = _ZONE_ORDERKEY_WIDTH) -> pd.DataFrame:
+    """Two rows (layout, n_parts, max_overlaps, sum_overlaps, avg_ppm):
+    zone-map the l_shipdate column (integer epoch days) per partition
+    under two layouts — 'orderkey_range' (partition = l_orderkey //
+    ``width``, the physical insert order) and 'ship_month' (the
+    lineitem_manifest_stats re-sort) — and count, per partition, how
+    many OTHER partitions' [lo, hi] day ranges intersect it.  A range
+    probe opens overlaps + 1 partitions, so ``avg_ppm =
+    sum_overlaps·10⁶ // n_parts`` is the layout's clustering depth:
+    high for the insert order (dates spray across orderkeys), ~0 after
+    the month re-sort.  Rows sorted by layout.
+
+    Scale shape: min/max zone maps are mergeable — per-block (layout,
+    part, lo, hi) partials reduce under the partition key; the merged
+    manifest (one row per partition) folds on the driver with TWO
+    searchsorted passes — overlaps_i = P − #{lo_j > hi_i} − #{hi_j <
+    lo_i} − 1 (the two exclusion sets are provably disjoint), so the
+    sweep is O(P log P) with no pairwise matrix."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    cols = ("layout", "n_parts", "max_overlaps", "sum_overlaps",
+            "avg_ppm")
+    empty = pd.DataFrame({
+        "layout": pd.Series([], dtype=object),
+        "n_parts": pd.Series([], dtype="int64"),
+        "max_overlaps": pd.Series([], dtype="int64"),
+        "sum_overlaps": pd.Series([], dtype="int64"),
+        "avg_ppm": pd.Series([], dtype="int64")})
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        pc_ = {"layout": pd.Series([], dtype=object),
+               "part": pd.Series([], dtype="int64"),
+               "lo": pd.Series([], dtype="int64"),
+               "hi": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame(pc_)
+        day = df["l_shipdate"].to_numpy().astype("datetime64[D]") \
+            .astype("int64")
+        frames = []
+        for name, key in (
+                ("orderkey_range",
+                 df["l_orderkey"].to_numpy(dtype="int64") // width),
+                ("ship_month",
+                 (pd.to_datetime(df["l_shipdate"]).dt.year * 12
+                  + pd.to_datetime(df["l_shipdate"]).dt.month)
+                 .to_numpy(dtype="int64"))):
+            g = pd.DataFrame({"part": key, "d": day}) \
+                .groupby("part", as_index=False) \
+                .agg(lo=("d", "min"), hi=("d", "max"))
+            g["layout"] = name
+            frames.append(g[["layout", "part", "lo", "hi"]])
+        out = pd.concat(frames, ignore_index=True)
+        for c in ("part", "lo", "hi"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty or "layout" not in parts.columns or len(parts) == 0:
+        return empty
+    rows = []
+    for name, g in parts.groupby("layout", sort=True):
+        zm = g.groupby("part", as_index=False).agg(lo=("lo", "min"),
+                                                   hi=("hi", "max"))
+        lo = np.sort(zm["lo"].to_numpy(dtype="int64"))
+        hi = np.sort(zm["hi"].to_numpy(dtype="int64"))
+        p_ = len(zm)
+        lo_u = zm["lo"].to_numpy(dtype="int64")
+        hi_u = zm["hi"].to_numpy(dtype="int64")
+        # overlaps_i = P − #{lo_j > hi_i} − #{hi_j < lo_i} − 1
+        ov = (p_
+              - (p_ - np.searchsorted(lo, hi_u, side="right"))
+              - np.searchsorted(hi, lo_u, side="left")
+              - 1).astype("int64")
+        so = int(ov.sum())
+        rows.append((name, p_, int(ov.max()), so,
+                     so * 1_000_000 // p_))
+    return pd.DataFrame({
+        "layout": [r[0] for r in rows],
+        "n_parts": pd.Series([r[1] for r in rows], dtype="int64"),
+        "max_overlaps": pd.Series([r[2] for r in rows], dtype="int64"),
+        "sum_overlaps": pd.Series([r[3] for r in rows], dtype="int64"),
+        "avg_ppm": pd.Series([r[4] for r in rows], dtype="int64")})

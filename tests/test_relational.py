@@ -105,6 +105,7 @@ ORACLE_QUERIES = [
     "parts_four_cycles",
     "events_f2_sketch",
     "customer_k_anonymity",
+    "lineitem_zone_overlap",
     "parts_ktruss",
     "lineitem_integrity_audit",
     "events_dau_wau",
@@ -2371,3 +2372,29 @@ def test_k_anonymity_class_census(tmp_path):
     r = out.iloc[0]
     assert (int(r.k_min), int(r.n_classes), int(r.n_singletons),
             int(r.n_below_5), int(r.n_rows)) == (1, 3, 1, 3, 8)
+
+
+def test_zone_overlap_two_layouts(tmp_path):
+    """orderkey parts (width 512): part0 = keys {1,2} spans Jan–Mar,
+    part1 = key 600 at Feb (inside part0's span → mutual overlap),
+    part2 = key 1100 at Dec (isolated) → overlaps [1,1,0], sum 2,
+    avg 666666 ppm.  The ship-month re-sort gives 4 single-day
+    partitions → zero overlap everywhere."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    keys = [1, 2, 600, 1100]
+    ship = ["2024-01-01", "2024-03-01", "2024-02-01", "2024-12-01"]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(keys, pa.int64()),
+        "l_shipdate": pa.array(
+            [np.datetime64(d, "us") for d in ship],
+            pa.timestamp("us"))}),
+        tmp_path / "lineitem.parquet")
+    out = rel.lineitem_zone_overlap(str(tmp_path))
+    got = {r.layout: (int(r.n_parts), int(r.max_overlaps),
+                      int(r.sum_overlaps), int(r.avg_ppm))
+           for r in out.itertuples(index=False)}
+    assert got == {"orderkey_range": (3, 1, 2, 666666),
+                   "ship_month": (4, 0, 0, 0)}
