@@ -6071,6 +6071,77 @@ def emb_lid(sf_dir: str, k: int = _LID_K, mod: int = _LID_MOD,
 _SNN_K = 3
 
 
+def _components_auto(e0) -> pd.DataFrame:
+    """(id, label) components of a materialized (a_id, b_id, a_seq,
+    b_seq) edge Dataset with the dedup family's auto-switch: ≤2M edges
+    fold on the driver via union-find (smaller-root-wins, so the root
+    IS the min id — O(Eα) beats O(diameter) join rounds on dense
+    graphs); bigger graphs run in label_components' min-label exchange.
+    Returns a possibly-empty pandas frame."""
+    from ..stages.dedup import label_components
+
+    n_edges = e0.count()
+    if n_edges == 0:
+        return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                             "label": pd.Series([], dtype="int64")})
+    if n_edges > 2_000_000:
+        labels, _, _ = label_components(e0)
+        return labels.to_pandas()
+    ep = e0.to_pandas()
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(ep["a_id"].to_numpy(dtype="int64"),
+                    ep["b_id"].to_numpy(dtype="int64")):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    node_ids = np.unique(np.concatenate([
+        ep["a_id"].to_numpy(dtype="int64"),
+        ep["b_id"].to_numpy(dtype="int64")]))
+    return pd.DataFrame({
+        "id": node_ids,
+        "label": np.array([find(int(v)) for v in node_ids],
+                          dtype="int64")})
+
+
+def _emb_matrix(ds):
+    """Driver-assembled (ids, raw float64 matrix) from an embeddings
+    Dataset — the snn-family broadcast contract (documented N·d
+    object-store budget): per-block 64-column fan-out partials,
+    vec_id-sorted on the driver.  Returns (None, None) with fewer than
+    2 vectors.  Shared by emb_snn_components / emb_dbscan /
+    emb_rptree_recall."""
+    def mat_partial(t: pa.Table) -> pd.DataFrame:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        cols = {"vec_id": pd.Series(ids, dtype="int64")}
+        if len(ids) == 0:
+            cols.update({f"e{i}": pd.Series([], dtype="float64")
+                         for i in range(64)})
+            return pd.DataFrame(cols)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        out = pd.DataFrame(cols)
+        for i in range(64):
+            out[f"e{i}"] = vecs[:, i]
+        return out
+
+    mdf = ds.map_batches(mat_partial, batch_format="pyarrow").to_pandas()
+    if len(mdf) < 2:
+        return None, None
+    mdf = mdf.sort_values("vec_id").reset_index(drop=True)
+    ids = mdf["vec_id"].to_numpy(dtype="int64")
+    m = mdf[[f"e{i}" for i in range(64)]].to_numpy(dtype=np.float64)
+    return ids, m
+
+
 def emb_snn_components(sf_dir: str, k: int = _SNN_K) -> pd.DataFrame:
     """Mutual-kNN (shared-nearest-neighbor) clustering: an undirected
     edge joins two vectors iff EACH is in the other's top-``k`` by
@@ -6088,11 +6159,11 @@ def emb_snn_components(sf_dir: str, k: int = _SNN_K) -> pd.DataFrame:
     the emb_ivf_recall bucketed scan.  Ties rank through ONE int64
     composite key ((−cs_micro)·2³³ + vec_id — exact while vec_id < 2³³)
     so per-row top-k is argpartition, not a Python loop.  Directed hits
-    dedup to mutual edges under a pair-hash bucket (count == 2), and
-    components run in the label_components min-label exchange."""
+    dedup to mutual edges under a pair-hash bucket (count == 2);
+    components auto-switch (``_components_auto``): ≤2M mutual edges
+    fold on the driver via union-find, bigger graphs run in
+    label_components' min-label exchange."""
     import ray
-
-    from ..stages.dedup import label_components
 
     ds = _emb(sf_dir).materialize()
     empty = pd.DataFrame({
@@ -6100,26 +6171,9 @@ def emb_snn_components(sf_dir: str, k: int = _SNN_K) -> pd.DataFrame:
         "n_vecs": pd.Series([], dtype="int64"),
         "vec_checksum": pd.Series([], dtype="int64")})
 
-    def mat_partial(t: pa.Table) -> pd.DataFrame:
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
-        cols = {"vec_id": pd.Series(ids, dtype="int64")}
-        if len(ids) == 0:
-            cols.update({f"e{i}": pd.Series([], dtype="float64")
-                         for i in range(64)})
-            return pd.DataFrame(cols)
-        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
-            .astype(np.float64)
-        out = pd.DataFrame(cols)
-        for i in range(64):
-            out[f"e{i}"] = vecs[:, i]
-        return out
-
-    mdf = ds.map_batches(mat_partial, batch_format="pyarrow").to_pandas()
-    if len(mdf) < 2:
+    all_ids, M = _emb_matrix(ds)
+    if all_ids is None:
         return empty
-    mdf = mdf.sort_values("vec_id").reset_index(drop=True)
-    all_ids = mdf["vec_id"].to_numpy(dtype="int64")
-    M = mdf[[f"e{i}" for i in range(64)]].to_numpy(dtype=np.float64)
     norms = np.linalg.norm(M, axis=1)
     norms[norms == 0] = 1.0
     Mh = M / norms[:, None]
@@ -6172,26 +6226,14 @@ def emb_snn_components(sf_dir: str, k: int = _SNN_K) -> pd.DataFrame:
             "b_seq": g["b"].astype("int64")})
 
     edges = ds.map_batches(topk_partial, batch_format="pyarrow") \
-        .groupby("_pb").map_groups(mutual, batch_format="pandas")
-    if edges.count() == 0:
+        .groupby("_pb").map_groups(mutual, batch_format="pandas") \
+        .materialize()
+    lab = _components_auto(edges)
+    if lab.empty:
         return empty
-    labels, _, _ = label_components(edges)
-
-    def lab_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_lb"] = (df["label"].astype("int64") % 64).astype("int64")
-        return df
-
-    def comp_stats(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("label", as_index=False).agg(
-            n_vecs=("id", "size"), vec_checksum=("id", "sum"))
-        return out.rename(columns={"label": "component_id"})
-
-    out = labels.map_batches(lab_bucket, batch_format="pandas") \
-        .groupby("_lb").map_groups(comp_stats, batch_format="pandas") \
-        .to_pandas()
-    if not len(out):
-        return empty
+    out = lab.groupby("label", as_index=False).agg(
+        n_vecs=("id", "size"), vec_checksum=("id", "sum")) \
+        .rename(columns={"label": "component_id"})
     for c in ("component_id", "n_vecs", "vec_checksum"):
         out[c] = out[c].astype("int64")
     return out.sort_values("component_id").reset_index(drop=True)
@@ -6935,8 +6977,6 @@ def emb_dbscan(sf_dir: str, thr: float = _DBSCAN_COS,
     bounded-side budget the snn matrix assembly already spends."""
     import ray
 
-    from ..stages.dedup import label_components
-
     ds = _emb(sf_dir).materialize()
     empty = pd.DataFrame({
         "cluster_id": pd.Series([], dtype="int64"),
@@ -6944,26 +6984,9 @@ def emb_dbscan(sf_dir: str, thr: float = _DBSCAN_COS,
         "n_border": pd.Series([], dtype="int64"),
         "vec_checksum": pd.Series([], dtype="int64")})
 
-    def mat_partial(t: pa.Table) -> pd.DataFrame:
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
-        cols = {"vec_id": pd.Series(ids, dtype="int64")}
-        if len(ids) == 0:
-            cols.update({f"e{i}": pd.Series([], dtype="float64")
-                         for i in range(64)})
-            return pd.DataFrame(cols)
-        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
-            .astype(np.float64)
-        out = pd.DataFrame(cols)
-        for i in range(64):
-            out[f"e{i}"] = vecs[:, i]
-        return out
-
-    mdf = ds.map_batches(mat_partial, batch_format="pyarrow").to_pandas()
-    if len(mdf) < 2:
+    all_ids, M = _emb_matrix(ds)
+    if all_ids is None:
         return empty
-    mdf = mdf.sort_values("vec_id").reset_index(drop=True)
-    all_ids = mdf["vec_id"].to_numpy(dtype="int64")
-    M = mdf[[f"e{i}" for i in range(64)]].to_numpy(dtype=np.float64)
     norms = np.linalg.norm(M, axis=1)
     norms[norms == 0] = 1.0
     Mh = M / norms[:, None]
@@ -7054,40 +7077,7 @@ def emb_dbscan(sf_dir: str, thr: float = _DBSCAN_COS,
                              "b_seq": d["y"].astype("int64")})
 
     e0 = tg.map_batches(as_edges, batch_format="pandas").materialize()
-    n_edges = e0.count()
-    if n_edges == 0:
-        return empty
-    if n_edges <= 2_000_000:
-        # bounded-side fast path (the dedup family's documented
-        # auto-switch, in reverse): the core graph fits the driver —
-        # union-find with smaller-root-wins gives label = min id in
-        # O(E α) instead of O(diameter) join rounds
-        ep = e0.to_pandas()
-        parent: dict = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent.setdefault(r, r) != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
-
-        for a, b in zip(ep["a_id"].to_numpy(dtype="int64"),
-                        ep["b_id"].to_numpy(dtype="int64")):
-            ra, rb = find(int(a)), find(int(b))
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        node_ids = np.unique(np.concatenate([
-            ep["a_id"].to_numpy(dtype="int64"),
-            ep["b_id"].to_numpy(dtype="int64")]))
-        lab = pd.DataFrame({
-            "id": node_ids,
-            "label": np.array([find(int(v)) for v in node_ids],
-                              dtype="int64")})
-    else:
-        labels, _, _ = label_components(e0)
-        lab = labels.to_pandas()
+    lab = _components_auto(e0)
     if lab.empty:
         return empty
     lab_ids = lab["id"].to_numpy(dtype="int64")
@@ -7188,26 +7178,9 @@ def emb_rptree_recall(sf_dir: str, k: int = _RPT_K,
     cols = ("qid", "leaf_id", "n_leaf", "n_hit", "recall_ppm")
     empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
 
-    def mat_partial(t: pa.Table) -> pd.DataFrame:
-        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
-        out = {"vec_id": pd.Series(ids, dtype="int64")}
-        if len(ids) == 0:
-            out.update({f"e{i}": pd.Series([], dtype="float64")
-                        for i in range(64)})
-            return pd.DataFrame(out)
-        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
-            .astype(np.float64)
-        o = pd.DataFrame(out)
-        for i in range(64):
-            o[f"e{i}"] = vecs[:, i]
-        return o
-
-    mdf = ds.map_batches(mat_partial, batch_format="pyarrow").to_pandas()
-    if len(mdf) < 2:
+    all_ids, M = _emb_matrix(ds)
+    if all_ids is None:
         return empty
-    mdf = mdf.sort_values("vec_id").reset_index(drop=True)
-    all_ids = mdf["vec_id"].to_numpy(dtype="int64")
-    M = mdf[[f"e{i}" for i in range(64)]].to_numpy(dtype=np.float64)
 
     signs = np.array([[_rpt_sign(i, node) for node in range(3)]
                       for i in range(64)], dtype=np.float64)

@@ -10571,39 +10571,19 @@ def events_f2_sketch(sf_dir: str,
     Σ f_u² (the self-join size / repeat-rate moment the sketch
     estimates in one pass); err_ppm = |est − exact|·10⁶ // exact.
 
-    Scale shape: the est side is additive over EVENTS — Σ sign·f =
-    Σ_events sign(user(e)) — so each block emits one 16-int partial (an
-    in-block groupby collapses repeat users before the md5); the exact
-    side needs global per-user counts and runs in the events_top_users
-    user-hash bucket exchange, each bucket emitting its Σ f_u² partial
+    Scale shape: ONE events scan builds materialized (user, c, bucket)
+    partials that serve both sides.  The est side is additive over
+    partial rows — Σ sign·f = Σ_events sign(user(e)) — so each block
+    emits one 16-int fold (an in-block groupby collapses repeat users
+    before the md5); the exact side needs global per-user counts and
+    runs in the events_top_users user-hash bucket exchange over the
+    same partials, each bucket emitting its Σ f_u² partial
     as a decimal string so the driver's 64-row fold runs in Python
     big-ints (f_u² sums pass 2⁶³ on a web corpus); ests fold the same
     way ((Σ sign·f)² ≤ N²)."""
     ds = _read(sf_dir, "events", ["user_id"])
     cols = ("sketch_id", "est", "exact_f2", "err_ppm")
     empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
-
-    def est_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out_cols = {"s": pd.Series([], dtype="int64"),
-                    "v": pd.Series([], dtype="int64")}
-        if len(df) == 0 or "user_id" not in df.columns:
-            return pd.DataFrame(out_cols)
-        g = df.groupby("user_id", as_index=False).size()
-        users = g["user_id"].to_numpy(dtype="int64")
-        cnt = g["size"].to_numpy(dtype="int64")
-        sg = _ams_signs(users, n_sketches)
-        v = (sg * cnt[:, None]).sum(axis=0)
-        return pd.DataFrame({
-            "s": pd.Series(np.arange(n_sketches), dtype="int64"),
-            "v": pd.Series(v, dtype="int64")})
-
-    est_p = ds.map_batches(est_partial, batch_format="pandas").to_pandas()
-    if est_p.empty or "s" not in est_p.columns or len(est_p) == 0:
-        return empty
-    sums = [0] * n_sketches
-    for s, v in zip(est_p["s"], est_p["v"]):
-        sums[int(s)] += int(v)
-    ests = [x * x for x in sums]
 
     def bucket_key(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "user_id" not in df.columns:
@@ -10623,9 +10603,38 @@ def events_f2_sketch(sf_dir: str,
         f2 = sum(int(c) * int(c) for c in g)
         return pd.DataFrame({"f2_str": pd.Series([str(f2)], dtype=object)})
 
-    f2p = ds.map_batches(bucket_key, batch_format="pandas") \
-        .groupby("_b").map_groups(f2_partial, batch_format="pandas") \
+    # ONE events scan: the (user, c, _b) partials serve BOTH sides —
+    # Σ sign·f is additive over partial rows (duplicate users across
+    # blocks just split their counts), the exact Σf² side needs the
+    # user-bucket exchange
+    partials = ds.map_batches(bucket_key, batch_format="pandas") \
+        .materialize()
+
+    def est_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"s": pd.Series([], dtype="int64"),
+                    "v": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame(out_cols)
+        g = df.groupby("user_id", as_index=False)["c"].sum()
+        users = g["user_id"].to_numpy(dtype="int64")
+        cnt = g["c"].to_numpy(dtype="int64")
+        sg = _ams_signs(users, n_sketches)
+        v = (sg * cnt[:, None]).sum(axis=0)
+        return pd.DataFrame({
+            "s": pd.Series(np.arange(n_sketches), dtype="int64"),
+            "v": pd.Series(v, dtype="int64")})
+
+    est_p = partials.map_batches(est_partial, batch_format="pandas") \
         .to_pandas()
+    if est_p.empty or "s" not in est_p.columns or len(est_p) == 0:
+        return empty
+    sums = [0] * n_sketches
+    for s, v in zip(est_p["s"], est_p["v"]):
+        sums[int(s)] += int(v)
+    ests = [x * x for x in sums]
+
+    f2p = partials.groupby("_b").map_groups(
+        f2_partial, batch_format="pandas").to_pandas()
     exact = sum(int(x) for x in f2p["f2_str"]) \
         if len(f2p) and "f2_str" in f2p.columns else 0
     if exact == 0:
@@ -10759,15 +10768,14 @@ def lineitem_zone_overlap(sf_dir: str,
                "hi": pd.Series([], dtype="int64")}
         if len(df) == 0 or "l_orderkey" not in df.columns:
             return pd.DataFrame(pc_)
-        day = df["l_shipdate"].to_numpy().astype("datetime64[D]") \
-            .astype("int64")
+        sd = pd.to_datetime(df["l_shipdate"])
+        day = sd.to_numpy().astype("datetime64[D]").astype("int64")
         frames = []
         for name, key in (
                 ("orderkey_range",
                  df["l_orderkey"].to_numpy(dtype="int64") // width),
                 ("ship_month",
-                 (pd.to_datetime(df["l_shipdate"]).dt.year * 12
-                  + pd.to_datetime(df["l_shipdate"]).dt.month)
+                 (sd.dt.year * 12 + sd.dt.month)
                  .to_numpy(dtype="int64"))):
             g = pd.DataFrame({"part": key, "d": day}) \
                 .groupby("part", as_index=False) \
