@@ -373,7 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simhash_dedup": dq.docs_simhash_dedup,       # pinned-table oracle
         "docs_ensemble_dedup": dq.docs_ensemble_dedup,     # pinned-table oracle
         "emb_cosine_dedup": dq.emb_cosine_dedup,
-        "media_decode": dq.media_decode,                   # rows-only (stub decode)
+        "media_decode": dq.media_decode,
         "docs_simhash": dq.docs_simhash,                   # pinned-table oracle
         # similarity search
         "emb_knn": dq.emb_knn,
@@ -549,6 +549,8 @@ _PINNED_DEDUP = os.path.join(_PINNED_DIR, "dedup_expected.parquet")
 _PINNED_CRAWL_MULTI = os.path.join(_PINNED_DIR, "crawl_multi_expected.parquet")
 _PINNED_CRAWL_ROBOTS = os.path.join(_PINNED_DIR,
                                     "crawl_robots_expected.parquet")
+_PINNED_MEDIA_DECODE = os.path.join(_PINNED_DIR,
+                                    "media_decode_expected.parquet")
 _PINNED_MST = os.path.join(_PINNED_DIR, "mst_expected.parquet")
 _PINNED_MIS = os.path.join(_PINNED_DIR, "mis_expected.parquet")
 _PINNED_STRESS = os.path.join(_PINNED_DIR, "stress_expected.parquet")
@@ -4293,6 +4295,16 @@ def oracle_sql() -> dict[str, str]:
         "crawl_robots_fixture": f"""
             SELECT url, depth, title
             FROM read_parquet('{_PINNED_CRAWL_ROBOTS}') ORDER BY url
+        """,
+        # fake-decode features are a pure function of the media ref (one
+        # per doc_id), so the pinned sequential replay joins on the
+        # refs this SF's documents generate
+        "media_decode": f"""
+            SELECT p.media_ref, p.pixel_mean, p.pixel_std, p.decode_ok
+            FROM documents d
+            JOIN read_parquet('{_PINNED_MEDIA_DECODE}') p
+              ON p.media_ref = 'media://img/' || CAST(d.doc_id AS VARCHAR)
+            ORDER BY p.media_ref
         """,
         # span-level interleaved archival table for the fixture crawl,
         # pinned by an independent sequential BFS + codec replay

@@ -613,6 +613,41 @@ def gen_crawl_robots_expected() -> None:
     print(f"wrote {len(t)} robots-crawl rows -> {CRAWL_ROBOTS_OUT}")
 
 
+
+
+MEDIA_DECODE_OUT = os.path.join(os.path.dirname(OUT),
+                                "media_decode_expected.parquet")
+
+
+def gen_media_decode_expected(max_doc: int = 5000) -> None:
+    """Pin the deterministic fake-decode features for every media ref the
+    testdata can produce (refs depend only on doc_id; pixel stats depend
+    only on the ref) — replayed here in a sequential loop so the driver
+    hash-checks the actor-pool decode stage end to end."""
+    from ai_intel_web_scraper_ray.stages.multimodal import (
+        _decode_fake,
+        synthesize_media_table,
+    )
+
+    refs = [f"media://img/{d}" for d in range(max_doc)]
+    t = synthesize_media_table(refs)
+    means, stds = [], []
+    for payload, w, h in zip(t["payload"].to_pylist(),
+                             t["width"].to_pylist(),
+                             t["height"].to_pylist()):
+        img = _decode_fake(payload, w or 64, h or 48)
+        means.append(float(img.mean()))
+        stds.append(float(img.std()))
+    out = pa.table({
+        "media_ref": pa.array(refs, pa.string()),
+        "pixel_mean": pa.array(means, pa.float64()),
+        "pixel_std": pa.array(stds, pa.float64()),
+        "decode_ok": pa.array([True] * len(refs), pa.bool_()),
+    })
+    pq.write_table(out, MEDIA_DECODE_OUT)
+    print(f"wrote {len(out)} media-decode rows -> {MEDIA_DECODE_OUT}")
+
+
 def main() -> None:
     rows = {}
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
@@ -636,6 +671,7 @@ def main() -> None:
     gen_crawl_interleaved_expected()
     gen_crawl_multi_expected()
     gen_crawl_robots_expected()
+    gen_media_decode_expected()
     gen_dedup_expected()
     gen_mst_expected()
     gen_stress_expected()
