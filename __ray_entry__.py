@@ -498,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fd_audit": rel.orders_fd_audit,
         "events_mann_kendall": rel.events_mann_kendall,
         "parts_four_cycles": rel.parts_four_cycles,
+        "parts_rich_club": rel.parts_rich_club,
         "events_runs_test": rel.events_runs_test,
         "events_spearman": rel.events_spearman,
         "events_markov_accuracy": rel.events_markov_accuracy,
@@ -6399,6 +6400,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS c4_two,
                    CAST(SUM(c * (c - 1) // 2) // 2 AS BIGINT) AS n_c4
             FROM cd HAVING COUNT(*) > 0
+        """,
+        # rich-club density over the co-order graph at pinned degree
+        # floors
+        "parts_rich_club": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e AS (
+                SELECT a.l_partkey AS u, c.l_partkey AS v
+                FROM b a JOIN b c USING (l_orderkey)
+                WHERE a.l_partkey < c.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ),
+            und AS (SELECT u AS x FROM e UNION ALL SELECT v FROM e),
+            deg AS (SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM und GROUP BY 1),
+            ks AS (SELECT UNNEST([2, 4, 8]) AS k),
+            nk AS (SELECT ks.k, COUNT(*) AS n
+                   FROM ks JOIN deg ON deg.d > ks.k GROUP BY 1),
+            ek AS (SELECT ks.k, COUNT(*) AS m
+                   FROM ks
+                   JOIN e ON TRUE
+                   JOIN deg da ON da.node = e.u AND da.d > ks.k
+                   JOIN deg db ON db.node = e.v AND db.d > ks.k
+                   GROUP BY 1)
+            SELECT CAST(nk.k AS BIGINT) AS k,
+                   CAST(nk.n AS BIGINT) AS n_rich,
+                   CAST(COALESCE(ek.m, 0) AS BIGINT) AS n_edges,
+                   CAST(2 * COALESCE(ek.m, 0) * 1000000
+                        // (nk.n * (nk.n - 1)) AS BIGINT) AS rc_ppm
+            FROM nk LEFT JOIN ek USING (k)
+            WHERE nk.n >= 2 ORDER BY nk.k
         """,
         # Wald–Wolfowitz runs test: same zero-filled daily series as
         # mann_kendall; median = quantile_disc (ceil contract), days

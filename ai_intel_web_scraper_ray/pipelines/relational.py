@@ -10813,3 +10813,109 @@ def lineitem_zone_overlap(sf_dir: str,
         "max_overlaps": pd.Series([r[2] for r in rows], dtype="int64"),
         "sum_overlaps": pd.Series([r[3] for r in rows], dtype="int64"),
         "avg_ppm": pd.Series([r[4] for r in rows], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Rich-club coefficient of the co-order part graph: do high-degree parts
+# preferentially co-order with each other?  rc(k) = density of the
+# subgraph induced by nodes of degree > k — the topology audit next to
+# parts_degree_assortativity's correlation coefficient
+# ---------------------------------------------------------------------------
+
+_RICH_CLUB_KS = (2, 4, 8)
+
+
+def parts_rich_club(sf_dir: str, ks=_RICH_CLUB_KS,
+                    support: int = 2) -> pd.DataFrame:
+    """(k, n_rich, n_edges, rc_ppm) sorted by k: for each pinned degree
+    floor k, the rich club is the set of nodes with degree > k; n_edges
+    counts co-order edges internal to it and ``rc_ppm = 2·n_edges·10⁶
+    // (n_rich·(n_rich−1))`` is its density.  Floors whose club has
+    fewer than 2 members emit no row (the twin's HAVING).
+
+    Scale shape: degrees fold from undirected-projection count partials
+    under a node-hash bucket; the qualified-id arrays (one per floor,
+    bounded by |parts| — a dimension) broadcast via closure, and ONE
+    pass over the materialized edge Dataset emits per-block (k, m)
+    membership-count partials via searchsorted — no per-k rescan."""
+    edges = _co_order_pair_counts(sf_dir, support)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "a_id" not in df.columns:
+            return pd.DataFrame({"u": pd.Series([], dtype="int64"),
+                                 "v": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"u": df["a_id"].astype("int64"),
+                             "v": df["b_id"].astype("int64")})
+
+    e = edges.map_batches(project, batch_format="pandas").materialize()
+    empty = pd.DataFrame({
+        "k": pd.Series([], dtype="int64"),
+        "n_rich": pd.Series([], dtype="int64"),
+        "n_edges": pd.Series([], dtype="int64"),
+        "rc_ppm": pd.Series([], dtype="int64")})
+    if e.count() == 0:
+        return empty
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "u" not in df.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "d": pd.Series([], dtype="int64"),
+                                 "_b": pd.Series([], dtype="int64")})
+        n = np.concatenate([df["u"].to_numpy(dtype="int64"),
+                            df["v"].to_numpy(dtype="int64")])
+        g = pd.Series(n).value_counts().rename_axis("node").reset_index(
+            name="d")
+        g["node"] = g["node"].astype("int64")
+        g["d"] = g["d"].astype("int64")
+        g["_b"] = (g["node"] % 64).astype("int64")
+        return g
+
+    def deg_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "node" not in df.columns:
+            return pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                                 "d": pd.Series([], dtype="int64")})
+        return df.groupby("node", as_index=False)["d"].sum()
+
+    deg = e.map_batches(deg_partial, batch_format="pandas") \
+        .groupby("_b").map_groups(deg_merge, batch_format="pandas") \
+        .to_pandas()
+    if deg.empty or "node" not in deg.columns:
+        return empty
+    nodes = deg["node"].to_numpy(dtype="int64")
+    dd = deg["d"].to_numpy(dtype="int64")
+    quals = {int(k): np.sort(nodes[dd > k]) for k in ks}
+
+    def edge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"k": pd.Series([], dtype="int64"),
+                "m": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "u" not in df.columns:
+            return pd.DataFrame(cols)
+        u = df["u"].to_numpy(dtype="int64")
+        v = df["v"].to_numpy(dtype="int64")
+        rows = []
+        for k, q in quals.items():
+            if len(q) == 0:
+                continue
+            m = int((_in_sorted(u, q) & _in_sorted(v, q)).sum())
+            rows.append((k, m))
+        return pd.DataFrame({
+            "k": pd.Series([r[0] for r in rows], dtype="int64"),
+            "m": pd.Series([r[1] for r in rows], dtype="int64")})
+
+    mp = e.map_batches(edge_counts, batch_format="pandas").to_pandas()
+    out_rows = []
+    for k in sorted(int(x) for x in ks):
+        n_rich = len(quals[k])
+        if n_rich < 2:
+            continue
+        m = int(mp[mp["k"] == k]["m"].sum()) if len(mp) and \
+            "k" in mp.columns else 0
+        out_rows.append((k, n_rich, m,
+                         2 * m * 1_000_000 // (n_rich * (n_rich - 1))))
+    if not out_rows:
+        return empty
+    return pd.DataFrame({
+        "k": pd.Series([r[0] for r in out_rows], dtype="int64"),
+        "n_rich": pd.Series([r[1] for r in out_rows], dtype="int64"),
+        "n_edges": pd.Series([r[2] for r in out_rows], dtype="int64"),
+        "rc_ppm": pd.Series([r[3] for r in out_rows], dtype="int64")})

@@ -106,6 +106,7 @@ ORACLE_QUERIES = [
     "events_f2_sketch",
     "customer_k_anonymity",
     "lineitem_zone_overlap",
+    "parts_rich_club",
     "parts_ktruss",
     "lineitem_integrity_audit",
     "events_dau_wau",
@@ -2398,3 +2399,19 @@ def test_zone_overlap_two_layouts(tmp_path):
            for r in out.itertuples(index=False)}
     assert got == {"orderkey_range": (3, 1, 2, 666666),
                    "ship_month": (4, 0, 0, 0)}
+
+
+def test_rich_club_floors_and_density(tmp_path):
+    """K4 {1,2,3,4} (degree 3) plus a 9-leaf star at node 5 (degree 9):
+    at k=2 the club is {1,2,3,4,5} with the K4's 6 internal edges →
+    rc = 12e6 // 20 = 600000; at k=4 and k=8 only node 5 qualifies
+    (club size 1 < 2) → rows absent."""
+    edges = [((1, 2), 2), ((1, 3), 2), ((1, 4), 2), ((2, 3), 2),
+             ((2, 4), 2), ((3, 4), 2)]
+    edges += [((5, 100 + i), 2) for i in range(9)]
+    _write_coorder_graph(tmp_path, edges)
+    out = rel.parts_rich_club(str(tmp_path))
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (int(r.k), int(r.n_rich), int(r.n_edges), int(r.rc_ppm)) \
+        == (2, 5, 6, 600000)
