@@ -499,6 +499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_mann_kendall": rel.events_mann_kendall,
         "parts_four_cycles": rel.parts_four_cycles,
         "parts_rich_club": rel.parts_rich_club,
+        "parts_modularity": rel.parts_modularity,
         "events_runs_test": rel.events_runs_test,
         "events_spearman": rel.events_spearman,
         "events_markov_accuracy": rel.events_markov_accuracy,
@@ -5499,6 +5500,71 @@ def oracle_sql() -> dict[str, str]:
         # synchronous label propagation, 4 rounds: relabel every node
         # with its most frequent neighbor label (ties → smallest), then
         # census the final labels
+        "parts_modularity": """
+            WITH d AS (
+                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            ), pairs AS (
+                SELECT l1.l_partkey AS a, l2.l_partkey AS b
+                FROM d l1 JOIN d l2
+                  ON l1.l_orderkey = l2.l_orderkey
+                 AND l1.l_partkey < l2.l_partkey
+                GROUP BY 1, 2 HAVING COUNT(*) >= 3
+            ), edges AS (
+                SELECT a, b FROM pairs
+                UNION ALL SELECT b AS a, a AS b FROM pairs
+            ), lab0 AS (
+                SELECT DISTINCT a AS id, a AS lab FROM edges
+            ), c1 AS (
+                SELECT e.b AS id, l.lab, COUNT(*) AS c
+                FROM edges e JOIN lab0 l ON l.id = e.a GROUP BY 1, 2
+            ), lab1 AS (
+                SELECT id, lab FROM (
+                    SELECT id, lab, row_number() OVER (
+                        PARTITION BY id ORDER BY c DESC, lab) AS rn
+                    FROM c1) WHERE rn = 1
+            ), c2 AS (
+                SELECT e.b AS id, l.lab, COUNT(*) AS c
+                FROM edges e JOIN lab1 l ON l.id = e.a GROUP BY 1, 2
+            ), lab2 AS (
+                SELECT id, lab FROM (
+                    SELECT id, lab, row_number() OVER (
+                        PARTITION BY id ORDER BY c DESC, lab) AS rn
+                    FROM c2) WHERE rn = 1
+            ), c3 AS (
+                SELECT e.b AS id, l.lab, COUNT(*) AS c
+                FROM edges e JOIN lab2 l ON l.id = e.a GROUP BY 1, 2
+            ), lab3 AS (
+                SELECT id, lab FROM (
+                    SELECT id, lab, row_number() OVER (
+                        PARTITION BY id ORDER BY c DESC, lab) AS rn
+                    FROM c3) WHERE rn = 1
+            ), c4 AS (
+                SELECT e.b AS id, l.lab, COUNT(*) AS c
+                FROM edges e JOIN lab3 l ON l.id = e.a GROUP BY 1, 2
+            ), lab4 AS (
+                SELECT id, lab FROM (
+                    SELECT id, lab, row_number() OVER (
+                        PARTITION BY id ORDER BY c DESC, lab) AS rn
+                    FROM c4) WHERE rn = 1
+            ), m AS (
+                SELECT CAST(COUNT(*) AS HUGEINT) AS m2 FROM edges
+            ), attach AS (
+                SELECT la.lab AS la, lb.lab AS lbl
+                FROM edges e JOIN lab4 la ON la.id = e.a
+                             JOIN lab4 lb ON lb.id = e.b
+            ), per AS (
+                SELECT la AS lab,
+                       CAST(SUM(CASE WHEN la = lbl THEN 1 ELSE 0 END)
+                            AS HUGEINT) AS intra2,
+                       CAST(COUNT(*) AS HUGEINT) AS dsum
+                FROM attach GROUP BY 1
+            )
+            SELECT CAST(lab AS BIGINT) AS community_id,
+                   CAST(intra2 AS BIGINT) AS intra2,
+                   CAST(dsum AS BIGINT) AS deg_sum,
+                   CAST(intra2 * m.m2 - dsum * dsum AS BIGINT) AS q_num
+            FROM per CROSS JOIN m ORDER BY 1
+        """,
         "parts_label_propagation": """
             WITH d AS (
                 SELECT DISTINCT l_orderkey, l_partkey FROM lineitem

@@ -8795,21 +8795,15 @@ _LPA_SUPPORT = 3
 _LPA_ROUNDS = 4
 
 
-def parts_label_propagation(sf_dir: str, support: int = _LPA_SUPPORT,
-                            rounds: int = _LPA_ROUNDS) -> pd.DataFrame:
-    """Synchronous label propagation over the co-order part graph
-    (support ≥ ``support``): every node starts labeled with its own id;
-    each of ``rounds`` rounds relabels EVERY node with the most frequent
-    label among its neighbors, ties → smallest label.  Fixed round
-    count + pinned ties make the (possibly non-converged) fixpoint
-    deterministic on both sides.  Output is the community census
-    (community_id = final label, n_parts, part_checksum), sorted.
-
-    Scale shape: the edge table is materialized once; each round is one
-    hash-shuffle ``Dataset.join`` (labels attach to edges on src) plus a
-    dst-hash-bucket vectorized mode (groupby-count → sort → first) —
-    labels live in node-keyed datasets, never on the driver.  The twin
-    replays the rounds as chained window-CTEs."""
+def _lpa_label_dataset(sf_dir: str, support: int, rounds: int):
+    """(edges, labels) after ``rounds`` synchronous LPA rounds over the
+    co-order graph — the shared core of parts_label_propagation and
+    parts_modularity: symmetrized materialized edge Dataset plus the
+    node-keyed (node, lab) label Dataset.  Returns (None, None) on an
+    empty graph.  Each round is one hash-shuffle ``Dataset.join``
+    (labels attach to edges on src) plus a dst-hash-bucket vectorized
+    mode (groupby-count → sort → first) — labels live in node-keyed
+    datasets, never on the driver."""
     def symmetrize(df: pd.DataFrame) -> pd.DataFrame:
         a = df["a_id"].astype("int64")
         b = df["b_id"].astype("int64")
@@ -8819,11 +8813,8 @@ def parts_label_propagation(sf_dir: str, support: int = _LPA_SUPPORT,
 
     edges = _co_order_pair_counts(sf_dir, support) \
         .map_batches(symmetrize, batch_format="pandas").materialize()
-    empty = pd.DataFrame({"community_id": pd.Series([], dtype="int64"),
-                          "n_parts": pd.Series([], dtype="int64"),
-                          "part_checksum": pd.Series([], dtype="int64")})
     if edges.count() == 0:
-        return empty
+        return None, None
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         n = df["a_id"].astype("int64")
@@ -8866,6 +8857,29 @@ def parts_label_propagation(sf_dir: str, support: int = _LPA_SUPPORT,
             .groupby("_d").map_groups(neighbor_mode,
                                       batch_format="pandas") \
             .materialize()
+
+    return edges, labels
+
+
+def parts_label_propagation(sf_dir: str, support: int = _LPA_SUPPORT,
+                            rounds: int = _LPA_ROUNDS) -> pd.DataFrame:
+    """Synchronous label propagation over the co-order part graph
+    (support ≥ ``support``): every node starts labeled with its own id;
+    each of ``rounds`` rounds relabels EVERY node with the most frequent
+    label among its neighbors, ties → smallest label.  Fixed round
+    count + pinned ties make the (possibly non-converged) fixpoint
+    deterministic on both sides.  Output is the community census
+    (community_id = final label, n_parts, part_checksum), sorted.
+
+    Scale shape: :func:`_lpa_label_dataset` (per-round hash-shuffle
+    join + bucket mode); the census runs under label-hash buckets.  The
+    twin replays the rounds as chained window-CTEs."""
+    empty = pd.DataFrame({"community_id": pd.Series([], dtype="int64"),
+                          "n_parts": pd.Series([], dtype="int64"),
+                          "part_checksum": pd.Series([], dtype="int64")})
+    edges, labels = _lpa_label_dataset(sf_dir, support, rounds)
+    if labels is None:
+        return empty
 
     def lab_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -10919,3 +10933,87 @@ def parts_rich_club(sf_dir: str, ks=_RICH_CLUB_KS,
         "n_rich": pd.Series([r[1] for r in out_rows], dtype="int64"),
         "n_edges": pd.Series([r[2] for r in out_rows], dtype="int64"),
         "rc_ppm": pd.Series([r[3] for r in out_rows], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Modularity of the label-propagation communities: the evaluation metric
+# for the partition parts_label_propagation produces — exact integer
+# numerators (Q = Σ_c q_num_c / (2m)²)
+# ---------------------------------------------------------------------------
+
+
+def parts_modularity(sf_dir: str, support: int = _LPA_SUPPORT,
+                     rounds: int = _LPA_ROUNDS) -> pd.DataFrame:
+    """(community_id, intra2, deg_sum, q_num) sorted: Newman modularity
+    of the parts_label_propagation partition, kept exact — per
+    community ``intra2`` counts DIRECTED intra-community edges (= 2·e_c
+    over the symmetrized table), ``deg_sum`` its degree mass (= the
+    community's directed out-edge count), and ``q_num = intra2·2m −
+    deg_sum²`` so that Q = Σ_c q_num / (2m)² with 2m = the directed
+    edge count.  int64 holds q_num to ~1.5e9 undirected edges; the twin
+    computes in HUGEINT.
+
+    Scale shape: labels come from :func:`_lpa_label_dataset` (node-keyed
+    datasets, per-round shuffle joins); the final label table is a
+    PARTS-dimension side (bounded) and broadcasts via ray.put, so ONE
+    pass over the materialized edge Dataset emits per-block
+    (label, intra2, deg) partials — both endpoint lookups are
+    searchsorted, no second join round."""
+    import ray
+
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in (
+        "community_id", "intra2", "deg_sum", "q_num")})
+    edges, labels = _lpa_label_dataset(sf_dir, support, rounds)
+    if labels is None:
+        return empty
+    lab = labels.to_pandas()
+    nodes = lab["node"].to_numpy(dtype="int64")
+    order = np.argsort(nodes)
+    nodes = nodes[order]
+    labs = lab["lab"].to_numpy(dtype="int64")[order]
+    n_ref = ray.put(nodes)
+    l_ref = ray.put(labs)
+    m2 = edges.count()
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"lab": pd.Series([], dtype="int64"),
+                "intra2": pd.Series([], dtype="int64"),
+                "deg": pd.Series([], dtype="int64"),
+                "_b": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "a_id" not in df.columns:
+            return pd.DataFrame(cols)
+        nd, lb = ray.get(n_ref), ray.get(l_ref)
+        la = lb[np.searchsorted(nd, df["a_id"].to_numpy(dtype="int64"))]
+        lbl = lb[np.searchsorted(nd, df["b_id"].to_numpy(dtype="int64"))]
+        g = pd.DataFrame({"lab": la,
+                          "same": (la == lbl).astype("int64")}) \
+            .groupby("lab", as_index=False) \
+            .agg(intra2=("same", "sum"), deg=("same", "size"))
+        g["_b"] = (g["lab"] % 64).astype("int64")
+        for c in ("lab", "intra2", "deg", "_b"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "lab" not in df.columns:
+            return pd.DataFrame({"lab": pd.Series([], dtype="int64"),
+                                 "intra2": pd.Series([], dtype="int64"),
+                                 "deg": pd.Series([], dtype="int64")})
+        return df.groupby("lab", as_index=False).agg(
+            intra2=("intra2", "sum"), deg=("deg", "sum"))
+
+    per = edges.map_batches(per_block, batch_format="pandas") \
+        .groupby("_b").map_groups(merge, batch_format="pandas") \
+        .to_pandas()
+    if per.empty or "lab" not in per.columns:
+        return empty
+    rows = []
+    for r in per.itertuples(index=False):
+        i2, dc = int(r.intra2), int(r.deg)
+        rows.append((int(r.lab), i2, dc, i2 * m2 - dc * dc))
+    rows.sort()
+    return pd.DataFrame({
+        "community_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "intra2": pd.Series([r[1] for r in rows], dtype="int64"),
+        "deg_sum": pd.Series([r[2] for r in rows], dtype="int64"),
+        "q_num": pd.Series([r[3] for r in rows], dtype="int64")})

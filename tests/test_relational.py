@@ -107,6 +107,7 @@ ORACLE_QUERIES = [
     "customer_k_anonymity",
     "lineitem_zone_overlap",
     "parts_rich_club",
+    "parts_modularity",
     "parts_ktruss",
     "lineitem_integrity_audit",
     "events_dau_wau",
@@ -2415,3 +2416,18 @@ def test_rich_club_floors_and_density(tmp_path):
     r = out.iloc[0]
     assert (int(r.k), int(r.n_rich), int(r.n_edges), int(r.rc_ppm)) \
         == (2, 5, 6, 600000)
+
+
+def test_modularity_two_triangles_exact(tmp_path):
+    """Two disjoint triangles (LPA converges to per-triangle min-label
+    communities): per community intra2 = 6 (directed), deg_sum = 6,
+    2m = 12 → q_num = 6·12 − 36 = 36 each; Q = 72/144 = 0.5, the known
+    modularity of two equal disconnected cliques."""
+    edges = [((1, 2), 3), ((2, 3), 3), ((1, 3), 3),
+             ((7, 8), 3), ((8, 9), 3), ((7, 9), 3)]
+    _write_coorder_graph(tmp_path, edges)
+    out = rel.parts_modularity(str(tmp_path))
+    got = {int(r.community_id): (int(r.intra2), int(r.deg_sum),
+                                 int(r.q_num))
+           for r in out.itertuples(index=False)}
+    assert got == {1: (6, 6, 36), 7: (6, 6, 36)}
