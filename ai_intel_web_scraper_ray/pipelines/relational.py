@@ -9948,47 +9948,14 @@ def events_mann_kendall(sf_dir: str) -> pd.DataFrame:
     broadcasts via closure.  S is one vectorized sign-outer per type —
     n is calendar-bounded (~10³ days even at web scale), so n² stays
     trivial while the EVENT count underneath is unbounded."""
-    ds = _read(sf_dir, "events", ["event_type", "ts"])
     empty = pd.DataFrame({
         "event_type": pd.Series([], dtype=object),
         "n_days": pd.Series([], dtype="int64"),
         "s_stat": pd.Series([], dtype="int64"),
         "var18num": pd.Series([], dtype="int64")})
-
-    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"event_type": pd.Series([], dtype=object),
-                "day": pd.Series([], dtype="int64"),
-                "c": pd.Series([], dtype="int64"),
-                "_tb": pd.Series([], dtype="int64")}
-        if len(df) == 0:
-            return pd.DataFrame(cols)
-        d = pd.DataFrame({
-            "event_type": df["event_type"],
-            "day": pd.to_datetime(df["ts"]).to_numpy()
-            .astype("datetime64[D]").astype("int64")})
-        g = d.groupby(["event_type", "day"], as_index=False).size() \
-            .rename(columns={"size": "c"})
-        g["c"] = g["c"].astype("int64")
-        g["day"] = g["day"].astype("int64")
-        g["_tb"] = (pd.util.hash_pandas_object(
-            g["event_type"], index=False).to_numpy() % 64).astype("int64")
-        return g
-
-    partials = ds.map_batches(day_partial, batch_format="pandas") \
-        .materialize()
-
-    def minmax(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0 or "day" not in df.columns:
-            return pd.DataFrame({"lo": pd.Series([], dtype="int64"),
-                                 "hi": pd.Series([], dtype="int64")})
-        return pd.DataFrame({
-            "lo": pd.Series([int(df["day"].min())], dtype="int64"),
-            "hi": pd.Series([int(df["day"].max())], dtype="int64")})
-
-    mm = partials.map_batches(minmax, batch_format="pandas").to_pandas()
-    if mm.empty:
+    partials, d0, d1 = _daily_type_partials(sf_dir)
+    if partials is None:
         return empty
-    d0, d1 = int(mm["lo"].min()), int(mm["hi"].max())
     n = d1 - d0 + 1
 
     def mk_per_type(df: pd.DataFrame) -> pd.DataFrame:
