@@ -13,11 +13,10 @@ import __ray_entry__ as entrymod
 
 # the ONLY queries allowed to run without a DuckDB oracle (driver falls
 # back to a rows-only check) — each needs a reason
-ROWS_ONLY_ALLOWED = {
-    # deterministic stub kernels (no codecs in container); plumbing is
-    # pytest-verified in tests/test_custom_ops.py / stages tests
-    "media_decode",
-}
+# every registered query must carry an oracle twin — the media_decode
+# waiver was retired when its deterministic kernels got a pinned
+# sequential-replay table (tools/gen_pinned_oracles.py)
+ROWS_ONLY_ALLOWED: set = set()
 
 
 def test_every_query_has_oracle_or_waiver():

@@ -619,16 +619,25 @@ MEDIA_DECODE_OUT = os.path.join(os.path.dirname(OUT),
                                 "media_decode_expected.parquet")
 
 
-def gen_media_decode_expected(max_doc: int = 5000) -> None:
+def gen_media_decode_expected() -> None:
     """Pin the deterministic fake-decode features for every media ref the
     testdata can produce (refs depend only on doc_id; pixel stats depend
     only on the ref) — replayed here in a sequential loop so the driver
-    hash-checks the actor-pool decode stage end to end."""
+    hash-checks the actor-pool decode stage end to end.  The ref range
+    is DERIVED from the shipped documents tables (max doc_id over every
+    SF) so a new scale factor can never silently truncate the pin."""
     from ai_intel_web_scraper_ray.stages.multimodal import (
         _decode_fake,
         synthesize_media_table,
     )
 
+    max_doc = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        t = pq.read_table(f"/root/testdata/{sf}/documents.parquet",
+                          columns=["doc_id"])
+        max_doc = max(max_doc,
+                      int(pa.compute.max(t["doc_id"]).as_py()) + 1)
+    assert max_doc > 0, "no documents found under /root/testdata"
     refs = [f"media://img/{d}" for d in range(max_doc)]
     t = synthesize_media_table(refs)
     means, stds = [], []
