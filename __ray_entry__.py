@@ -360,6 +360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_snn_components": dq.emb_snn_components,
         "emb_dbscan": dq.emb_dbscan,
         "emb_rptree_recall": dq.emb_rptree_recall,
+        "emb_lof": dq.emb_lof,
         "docs_fingerprints": dq.docs_fingerprints,         # pinned-table oracle
         "docs_top_per_source": dq.docs_top_per_source,
         "docs_decontaminate": dq.docs_decontaminate,
@@ -5799,6 +5800,48 @@ def oracle_sql() -> dict[str, str]:
         # ±1 Johnson–Lindenstrauss projection, generated left-to-right sums
         "emb_random_projection": _random_projection_sql(),
         "emb_rptree_recall": _rptree_sql(),
+        # Local Outlier Factor: micro distances (the cluster_stats
+        # conversion), kk nearest by (d ASC, id), reach = max(d, kdist),
+        # two pinned fixed-point ratio levels, top-10 by lof
+        "emb_lof": """
+            WITH cs AS (
+                SELECT a.vec_id AS p, b.vec_id AS o,
+                       1000000 - CAST(ROUND(list_cosine_similarity(
+                           CAST(a.embedding AS DOUBLE[]),
+                           CAST(b.embedding AS DOUBLE[])) * 1000000, 0)
+                           AS BIGINT) AS d
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id <> b.vec_id
+            ),
+            kkv AS (SELECT LEAST(3, COUNT(*) - 1) AS kk FROM embeddings),
+            rk AS (SELECT p, o, d,
+                          ROW_NUMBER() OVER (PARTITION BY p
+                                             ORDER BY d, o) AS rn
+                   FROM cs),
+            nn AS (SELECT p, o, d FROM rk CROSS JOIN kkv WHERE rn <= kk),
+            kd AS (SELECT p, MAX(d) AS kdist FROM nn GROUP BY 1),
+            reach AS (SELECT nn.p,
+                             CAST(SUM(GREATEST(nn.d, kdo.kdist))
+                                  AS HUGEINT) AS s
+                      FROM nn JOIN kd kdo ON kdo.p = nn.o GROUP BY 1),
+            lrd AS (SELECT reach.p,
+                           CAST(kkv.kk AS HUGEINT) * 1000000000000
+                               // GREATEST(reach.s, 1) AS v
+                    FROM reach CROSS JOIN kkv),
+            lof AS (SELECT nn.p,
+                           CAST(SUM(lo.v) * 1000000
+                                // (kkv.kk * lp.v) AS BIGINT) AS lof_ppm
+                    FROM nn JOIN lrd lo ON lo.p = nn.o
+                            JOIN lrd lp ON lp.p = nn.p
+                            CROSS JOIN kkv
+                    GROUP BY nn.p, kkv.kk, lp.v)
+            SELECT lof.p AS vec_id,
+                   CAST(kd.kdist AS BIGINT) AS kdist_micro,
+                   CAST(lrd.v AS BIGINT) AS lrd_ppm,
+                   lof.lof_ppm
+            FROM lof JOIN kd ON kd.p = lof.p JOIN lrd ON lrd.p = lof.p
+            ORDER BY lof.lof_ppm DESC, vec_id LIMIT 10
+        """,
         # SCD-2 dimension build from the orders change log
         "orders_scd2": """
             WITH s AS (

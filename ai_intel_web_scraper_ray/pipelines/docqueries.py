@@ -7274,3 +7274,96 @@ def emb_rptree_recall(sf_dir: str, k: int = _RPT_K,
         "n_hit": pd.Series([r[3] for r in rows], dtype="int64"),
         "recall_ppm": pd.Series([r[4] for r in rows], dtype="int64")})
     return out.sort_values("qid").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Local Outlier Factor over embeddings: density-based anomaly scoring
+# (the events_anomaly_mad sibling for vector space) — exact fixed-point
+# contract so the twin hash-matches an inherently ratio-heavy statistic
+# ---------------------------------------------------------------------------
+
+_LOF_K = 3
+_LOF_TOP = 10
+
+
+def emb_lof(sf_dir: str, k: int = _LOF_K, top: int = _LOF_TOP) -> pd.DataFrame:
+    """(vec_id, kdist_micro, lrd_ppm, lof_ppm) — the ``top`` highest-LOF
+    vectors (ties → smaller vec_id): classic LOF with kk = min(k, N−1)
+    neighbors under cosine distance ``d_micro = 10⁶ − cs_micro`` (cs
+    ROUND 6, neighbor ties → smaller vec_id, self excluded), pinned
+    fixed-point: reach(p,o) = max(d(p,o), kdist(o)); ``lrd_ppm =
+    kk·10¹² // max(Σ reach, 1)`` (the max(…,1) keeps duplicate-cluster
+    densities finite on both sides); ``lof_ppm = Σ lrd(o)·10⁶ //
+    (kk·lrd(p))`` — >10⁶ marks points less dense than their neighbors.
+    Σ lrd ≤ kk·kk·10¹² keeps the ·10⁶ product inside int64 for kk = 3;
+    the twin computes in HUGEINT.
+
+    Scale shape: the snn broadcast contract — every block ranks its own
+    rows against the unit matrix ONCE and emits exact top-kk neighbor
+    rows (full-matrix columns make the per-row top-k exact in-block, no
+    cross-block merge); the N·kk neighbor-list fold (kdist join, reach
+    sums, the two ratio levels) runs on the driver in Python ints —
+    bounded by the same N·d budget the matrix broadcast already
+    spends."""
+    import ray
+
+    ds = _emb(sf_dir).materialize()
+    cols = ("vec_id", "kdist_micro", "lrd_ppm", "lof_ppm")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    all_ids, M = _emb_matrix(ds)
+    if all_ids is None:
+        return empty
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    Mh = M / norms[:, None]
+    kk = min(k, len(all_ids) - 1)
+    m_ref = ray.put(Mh)
+    ids_ref = ray.put(all_ids)
+
+    def knn_partial(t: pa.Table) -> pd.DataFrame:
+        pcols = {"vec_id": pd.Series([], dtype="int64"),
+                 "nbr": pd.Series([], dtype="int64"),
+                 "d_micro": pd.Series([], dtype="int64")}
+        bids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        if len(bids) == 0:
+            return pd.DataFrame(pcols)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        bn = np.linalg.norm(vecs, axis=1)
+        bn[bn == 0] = 1.0
+        mh, aid = ray.get(m_ref), ray.get(ids_ref)
+        cs_i = np.round(np.round((vecs / bn[:, None]) @ mh.T, 6)
+                        * 1_000_000).astype(np.int64)
+        self_col = np.searchsorted(aid, bids)
+        cs_i[np.arange(len(bids)), self_col] = -2_000_000
+        key = (-cs_i) * (1 << 33) + aid[None, :]
+        idx = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        kv = np.take_along_axis(cs_i, idx, axis=1)
+        return pd.DataFrame({
+            "vec_id": np.repeat(bids, kk),
+            "nbr": aid[idx.ravel()],
+            "d_micro": (1_000_000 - kv.ravel()).astype("int64")})
+
+    nn = ds.map_batches(knn_partial, batch_format="pyarrow").to_pandas()
+    if nn.empty or "vec_id" not in nn.columns:
+        return empty
+    kdist = nn.groupby("vec_id")["d_micro"].max()
+    kd = {int(i): int(v) for i, v in kdist.items()}
+    reach_sum: dict = {}
+    nbrs: dict = {}
+    for r in nn.itertuples(index=False):
+        p, o, d = int(r.vec_id), int(r.nbr), int(r.d_micro)
+        reach_sum[p] = reach_sum.get(p, 0) + max(d, kd[o])
+        nbrs.setdefault(p, []).append(o)
+    lrd = {p: kk * 10**12 // max(s, 1) for p, s in reach_sum.items()}
+    rows = []
+    for p, os_ in nbrs.items():
+        lof = sum(lrd[o] for o in os_) * 1_000_000 // (kk * lrd[p])
+        rows.append((p, kd[p], lrd[p], lof))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:top]
+    return pd.DataFrame({
+        "vec_id": pd.Series([r[0] for r in rows], dtype="int64"),
+        "kdist_micro": pd.Series([r[1] for r in rows], dtype="int64"),
+        "lrd_ppm": pd.Series([r[2] for r in rows], dtype="int64"),
+        "lof_ppm": pd.Series([r[3] for r in rows], dtype="int64")})

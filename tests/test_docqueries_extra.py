@@ -19,6 +19,7 @@ ORACLE_QUERIES = [
     "docs_chi2_terms",
     "emb_dbscan",
     "emb_rptree_recall",
+    "emb_lof",
     "docs_stratified_sample",
     "docs_token_percentiles_by_lang",
     "emb_centroid_distances",
@@ -1524,4 +1525,45 @@ def test_rptree_recall_identical_cluster_always_recalled(tmp_path):
     sql = con.execute(_rptree_sql()).fetch_df()
     con.close()
     problems = compare("emb_rptree_recall", out, to_pandas(sql))
+    assert not problems, problems
+
+
+def test_lof_isolated_point_scores_highest(tmp_path):
+    """A tight 5-vector fan plus one far-off probe: the probe's
+    neighbors are dense (small reach sums) while its own density is
+    low → its LOF tops the list and exceeds 10⁶; the fan members score
+    ≈10⁶ (their neighborhoods share their density).  Engine output also
+    hash-matches the SQL twin on this fixture."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+    import __ray_entry__ as entrymod
+    from tools.check_correctness import compare, to_pandas
+
+    def ang(deg, i, j):
+        v = np.zeros(64)
+        v[i] = np.cos(np.radians(deg))
+        v[j] = np.sin(np.radians(deg))
+        return v
+
+    vecs = [ang(d, 0, 1) for d in (0, 5, 10, 15, 20)] + [ang(80, 0, 1)]
+    t = pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array([list(np.asarray(v, dtype=np.float32))
+                               for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array([0] * 6, pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = dq.emb_lof(str(tmp_path))
+    assert int(out.iloc[0]["vec_id"]) == 5
+    assert int(out.iloc[0]["lof_ppm"]) > 1_000_000
+    fan = out[out["vec_id"] != 5]["lof_ppm"]
+    assert (fan < out.iloc[0]["lof_ppm"]).all()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    sql = con.execute(entrymod.oracle_sql()["emb_lof"]).fetch_df()
+    con.close()
+    problems = compare("emb_lof", out, to_pandas(sql))
     assert not problems, problems
