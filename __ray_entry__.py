@@ -361,6 +361,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_dbscan": dq.emb_dbscan,
         "emb_rptree_recall": dq.emb_rptree_recall,
         "emb_lof": dq.emb_lof,
+        "docs_containment": dq.docs_containment,
         "docs_fingerprints": dq.docs_fingerprints,         # pinned-table oracle
         "docs_top_per_source": dq.docs_top_per_source,
         "docs_decontaminate": dq.docs_decontaminate,
@@ -3065,6 +3066,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_spans
             FROM tok WHERE word LIKE 's%'
             GROUP BY word ORDER BY n_docs DESC, media_ref
+        """,
+        # Broder containment pairs over df-floored word 8-grams
+        "docs_containment": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), shs AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 6, 1)),
+                           i -> w[i]||' '||w[i+1]||' '||w[i+2]||' '||w[i+3]
+                                ||' '||w[i+4]||' '||w[i+5]||' '||w[i+6]
+                                ||' '||w[i+7])) AS s
+                FROM toks
+            ), tok AS (
+                SELECT doc_id, unnest(s) AS sh FROM shs
+            ), df AS (
+                SELECT sh, COUNT(*) AS d FROM tok GROUP BY 1
+            ), keep AS (
+                SELECT tok.doc_id, tok.sh FROM tok JOIN df USING (sh)
+                WHERE df.d <= 32
+            ), sizes AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM keep GROUP BY 1
+            ), copair AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS co
+                FROM keep a JOIN keep b
+                  ON a.sh = b.sh AND a.doc_id <> b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT src, dst, co, sa.n AS n_src,
+                   CAST(co * 1000000 // sa.n AS BIGINT) AS containment_ppm
+            FROM copair JOIN sizes sa ON sa.doc_id = src
+            WHERE co * 1000000 // sa.n >= 800000
+            ORDER BY src, dst
         """,
         # MinHash-LSH recall audit: md5-shared 16-perm signatures, 4x4
         # bands, exact shingle-Jaccard pair set rebuilt in SQL

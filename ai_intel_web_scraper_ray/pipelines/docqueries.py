@@ -7367,3 +7367,153 @@ def emb_lof(sf_dir: str, k: int = _LOF_K, top: int = _LOF_TOP) -> pd.DataFrame:
         "kdist_micro": pd.Series([r[1] for r in rows], dtype="int64"),
         "lrd_ppm": pd.Series([r[2] for r in rows], dtype="int64"),
         "lof_ppm": pd.Series([r[3] for r in rows], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# Broder CONTAINMENT pairs: the asymmetric near-subset signal — a doc
+# whose 8-gram set lives ≥80% inside another is a quote/mirror/subset
+# even when symmetric Jaccard (docs_ngram_dedup) stays low.  Boilerplate
+# grams (df > floor) are dropped from the signal on BOTH sides, which is
+# also what bounds per-gram pair generation at scale
+# ---------------------------------------------------------------------------
+
+_CONTAIN_N = 8
+_CONTAIN_PPM = 800_000
+_CONTAIN_DF_MAX = 32
+
+
+def docs_containment(sf_dir: str, n: int = _CONTAIN_N,
+                     thr_ppm: int = _CONTAIN_PPM,
+                     df_max: int = _CONTAIN_DF_MAX) -> pd.DataFrame:
+    """(src, dst, co, n_src, containment_ppm) sorted by (src, dst):
+    DIRECTED pairs with ``co·10⁶ // n_src ≥ thr_ppm`` where co = shared
+    distinct word-``n``-grams and n_src = the SOURCE doc's distinct
+    grams — Broder containment, the asymmetric sibling of
+    docs_ngram_dedup's resemblance.  Grams occurring in more than
+    ``df_max`` documents are excluded from BOTH co and n_src (the
+    pinned boilerplate floor): it keeps the signal about copying rather
+    than stock phrases AND caps per-gram pair fan-out at df_max² —
+    the scale bound that makes the gram-bucket pair generation safe on
+    a web corpus.
+
+    Scale shape: per-doc-distinct (gram-hash, doc) projections (text
+    never ships) settle df under the gram-hash bucket; each surviving
+    gram emits its ordered doc pairs (≤ df_max² each) into a pair-hash
+    bucket where co settles exactly; kept-gram sizes settle under a
+    doc-hash bucket and broadcast sorted via ray.put for the final
+    threshold (the docs_crossdup plasma-membership budget — at 100 TB
+    swap the broadcast for a shuffle join on src).  Hash collisions:
+    the oracle compares exact gram strings, the engine 64-bit hashes —
+    the docs_crossdup-documented negligible-inflation class."""
+    import polars as pl
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    cols = ("src", "dst", "co", "n_src", "containment_ppm")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        grams: List[str] = []
+        docs: List[int] = []
+        for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            gs = set(mh.shingles(tx, n))
+            grams.extend(gs)
+            docs.extend([int(did)] * len(gs))
+        if not grams:
+            return pa.table({"gh": pa.array([], pa.uint64()),
+                             "doc": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int64())})
+        gh = pl.Series(grams).hash(seed=0).to_numpy().astype(np.uint64)
+        return pa.table({
+            "gh": pa.array(gh, pa.uint64()),
+            "doc": pa.array(docs, pa.int64()),
+            "_b": pa.array((gh % 64).astype(np.int64), pa.int64())})
+
+    def gram_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        pcols = {"kind": pd.Series([], dtype="int64"),
+                 "x": pd.Series([], dtype="int64"),
+                 "y": pd.Series([], dtype="int64"),
+                 "_k": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "gh" not in df.columns:
+            return pd.DataFrame(pcols)
+        dfreq = df["gh"].map(df["gh"].value_counts())
+        keep = df[dfreq <= df_max]
+        if len(keep) == 0:
+            return pd.DataFrame(pcols)
+        parts = []
+        # per-doc kept-gram count partials (kind 1, routed by doc)
+        sz = keep.groupby("doc", as_index=False).size()
+        parts.append(pd.DataFrame({
+            "kind": np.ones(len(sz), dtype="int64"),
+            "x": sz["doc"].to_numpy(dtype="int64"),
+            "y": sz["size"].to_numpy(dtype="int64"),
+            "_k": (sz["doc"].to_numpy(dtype="int64") % 64)}))
+        # ordered co-occurrence pairs (kind 0, routed by pair hash)
+        m = keep.merge(keep, on="gh")
+        m = m[m["doc_x"] != m["doc_y"]]
+        if len(m):
+            px = m["doc_x"].to_numpy(dtype="int64")
+            py = m["doc_y"].to_numpy(dtype="int64")
+            parts.append(pd.DataFrame({
+                "kind": np.zeros(len(px), dtype="int64"),
+                "x": px, "y": py,
+                "_k": ((px * 1_000_003 + py) % 64)}))
+        out = pd.concat(parts, ignore_index=True)
+        out["_k"] = out["_k"].astype("int64")
+        return out
+
+    tagged = ds.map_batches(gram_partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(gram_bucket, batch_format="pandas") \
+        .materialize()
+
+    def size_merge(df: pd.DataFrame) -> pd.DataFrame:
+        scols = {"doc": pd.Series([], dtype="int64"),
+                 "n_src": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "kind" not in df.columns:
+            return pd.DataFrame(scols)
+        d = df[df["kind"] == 1]
+        if len(d) == 0:
+            return pd.DataFrame(scols)
+        g = d.groupby("x", as_index=False)["y"].sum()
+        return pd.DataFrame({"doc": g["x"].astype("int64"),
+                             "n_src": g["y"].astype("int64")})
+
+    sizes = tagged.map_batches(size_merge, batch_format="pandas") \
+        .to_pandas()
+    if sizes.empty or "doc" not in sizes.columns or len(sizes) == 0:
+        return empty
+    sizes = sizes.groupby("doc", as_index=False)["n_src"].sum()
+    sdocs = sizes["doc"].to_numpy(dtype="int64")
+    order = np.argsort(sdocs)
+    sdocs = sdocs[order]
+    ssz = sizes["n_src"].to_numpy(dtype="int64")[order]
+    d_ref = ray.put(sdocs)
+    s_ref = ray.put(ssz)
+
+    def pair_merge(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "kind" not in df.columns:
+            return empty.copy()
+        d = df[df["kind"] == 0]
+        if len(d) == 0:
+            return empty.copy()
+        g = d.groupby(["x", "y"], as_index=False).size() \
+            .rename(columns={"size": "co"})
+        docs_, szs_ = ray.get(d_ref), ray.get(s_ref)
+        n_src = szs_[np.searchsorted(docs_, g["x"].to_numpy(dtype="int64"))]
+        cont = g["co"].to_numpy(dtype="int64") * 1_000_000 // n_src
+        m = cont >= thr_ppm
+        return pd.DataFrame({
+            "src": g["x"].to_numpy(dtype="int64")[m],
+            "dst": g["y"].to_numpy(dtype="int64")[m],
+            "co": g["co"].to_numpy(dtype="int64")[m],
+            "n_src": n_src[m],
+            "containment_ppm": cont[m]})
+
+    out = tagged.groupby("_k").map_groups(
+        pair_merge, batch_format="pandas").to_pandas()
+    if out.empty or "src" not in out.columns or len(out) == 0:
+        return empty
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[list(cols)].sort_values(["src", "dst"]) \
+        .reset_index(drop=True)

@@ -20,6 +20,7 @@ ORACLE_QUERIES = [
     "emb_dbscan",
     "emb_rptree_recall",
     "emb_lof",
+    "docs_containment",
     "docs_stratified_sample",
     "docs_token_percentiles_by_lang",
     "emb_centroid_distances",
@@ -1567,3 +1568,33 @@ def test_lof_isolated_point_scores_highest(tmp_path):
     con.close()
     problems = compare("emb_lof", out, to_pandas(sql))
     assert not problems, problems
+
+
+def test_containment_asymmetric_and_df_floor(tmp_path):
+    """doc 1 = 10 words (3 distinct 8-grams), doc 2 = doc 1's text plus
+    a long unique tail: every gram of doc 1 is inside doc 2 →
+    containment(1→2) = 10⁶ (row emitted) while containment(2→1) is far
+    below 0.8 (row absent).  A boilerplate gram shared by MANY docs is
+    df-floored out on both sides: 40 copies of one sentence contribute
+    no pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tail = " ".join(f"tail{i}" for i in range(30))
+    texts = [base, base + " " + tail]
+    # 40 identical boilerplate docs (their shared grams have df 40 > 32)
+    texts += ["common one two three four five six seven eight nine"] * 40
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts), pa.string()),
+        "source": pa.array(["s"] * len(texts), pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dq.docs_containment(str(tmp_path))
+    got = {(int(r.src), int(r.dst)): (int(r.co), int(r.n_src),
+                                      int(r.containment_ppm))
+           for r in out.itertuples(index=False)}
+    assert got == {(0, 1): (3, 3, 1_000_000)}
