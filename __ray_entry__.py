@@ -362,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_rptree_recall": dq.emb_rptree_recall,
         "emb_lof": dq.emb_lof,
         "docs_containment": dq.docs_containment,
+        "emb_knn_calibration": dq.emb_knn_calibration,
         "docs_fingerprints": dq.docs_fingerprints,         # pinned-table oracle
         "docs_top_per_source": dq.docs_top_per_source,
         "docs_decontaminate": dq.docs_decontaminate,
@@ -5839,6 +5840,41 @@ def oracle_sql() -> dict[str, str]:
         # ±1 Johnson–Lindenstrauss projection, generated left-to-right sums
         "emb_random_projection": _random_projection_sql(),
         "emb_rptree_recall": _rptree_sql(),
+        # kNN reliability table: hold out vec_id%5==0, majority of 5
+        # nearest labeled (tie pins = emb_knn_classify), bucket by the
+        # winning vote count
+        "emb_knn_calibration": """
+            WITH q AS (SELECT vec_id, label AS tl,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id % 5 = 0),
+            lab AS (SELECT vec_id, label AS nl,
+                           CAST(embedding AS DOUBLE[]) AS le
+                    FROM embeddings WHERE vec_id % 5 <> 0),
+            kkv AS (SELECT LEAST(5, COUNT(*)) AS kk FROM lab),
+            cs AS (SELECT q.vec_id AS qid, q.tl, l.vec_id AS nid, l.nl,
+                          ROUND(list_cosine_similarity(q.qe, l.le), 6)
+                              AS c
+                   FROM q CROSS JOIN lab l),
+            rk AS (SELECT qid, tl, nl,
+                          ROW_NUMBER() OVER (PARTITION BY qid
+                                             ORDER BY c DESC, nid) AS rn
+                   FROM cs),
+            top AS (SELECT qid, tl, nl FROM rk CROSS JOIN kkv
+                    WHERE rn <= kk),
+            vt AS (SELECT qid, tl, nl, CAST(COUNT(*) AS BIGINT) AS v
+                   FROM top GROUP BY 1, 2, 3),
+            pred AS (SELECT qid, tl, nl, v,
+                            ROW_NUMBER() OVER (PARTITION BY qid
+                                               ORDER BY v DESC, nl) AS r
+                     FROM vt)
+            SELECT CAST(v AS BIGINT) AS votes,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN nl = tl THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_correct,
+                   CAST(SUM(CASE WHEN nl = tl THEN 1 ELSE 0 END)
+                        * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+            FROM pred WHERE r = 1 GROUP BY 1 ORDER BY 1
+        """,
         # Local Outlier Factor: micro distances (the cluster_stats
         # conversion), kk nearest by (d ASC, id), reach = max(d, kdist),
         # two pinned fixed-point ratio levels, top-10 by lof

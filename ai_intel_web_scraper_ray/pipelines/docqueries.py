@@ -7517,3 +7517,106 @@ def docs_containment(sf_dir: str, n: int = _CONTAIN_N,
         out[c] = out[c].astype("int64")
     return out[list(cols)].sort_values(["src", "dst"]) \
         .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# kNN calibration (reliability table): does a 5/5 neighbor vote actually
+# mean more than a 2/5 vote?  The evaluation layer over
+# emb_knn_classify's prediction contract
+# ---------------------------------------------------------------------------
+
+_CAL_K = 5
+_CAL_MOD = 5
+
+
+def emb_knn_calibration(sf_dir: str, k: int = _CAL_K,
+                        holdout_mod: int = _CAL_MOD) -> pd.DataFrame:
+    """(votes, n, n_correct, acc_ppm) sorted by votes: hold out every
+    vector with ``vec_id % holdout_mod == 0``, predict each one's label
+    as the majority of its ``k`` nearest LABELED neighbors (ROUND-6
+    cosine, neighbor ties → smaller vec_id, vote ties → smaller label —
+    the emb_knn_classify pins), then bucket ALL holdout points by the
+    winning vote count and report per-bucket accuracy — the reliability
+    table that says whether vote share is a usable confidence signal.
+
+    Scale shape: the labeled matrix broadcasts once (snn budget); each
+    block classifies its own holdout rows against the full labeled
+    column set (exact in-block top-k — no cross-block merge), reduces
+    them to a ≤ k-row (votes, n, n_correct) partial via a one-hot
+    label-count matrix (labels are a bounded domain; no per-row Python),
+    and the driver folds ≤ k·blocks rows."""
+    import ray
+
+    ds = _emb(sf_dir).materialize()
+    cols = ("votes", "n", "n_correct", "acc_ppm")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    meta = ds.select_columns(["vec_id", "label"]).to_pandas()
+    if len(meta) < 2:
+        return empty
+    meta = meta.sort_values("vec_id").reset_index(drop=True)
+    all_ids = meta["vec_id"].to_numpy(dtype="int64")
+    all_labels = meta["label"].to_numpy(dtype="int64")
+    labeled = all_ids % holdout_mod != 0
+    if not labeled.any() or labeled.all():
+        return empty
+    lab_ids = all_ids[labeled]
+    lab_labels = all_labels[labeled]
+    n_classes = int(all_labels.max()) + 1
+
+    ids2, M = _emb_matrix(ds)
+    if ids2 is None:
+        return empty
+    norms = np.linalg.norm(M, axis=1)
+    norms[norms == 0] = 1.0
+    Mh = M / norms[:, None]
+    lab_m = Mh[labeled]
+    m_ref = ray.put(lab_m)
+    meta_ref = ray.put((lab_ids, lab_labels))
+    kk = min(k, len(lab_ids))
+
+    def block_partial(t: pa.Table) -> pd.DataFrame:
+        pcols = {"votes": pd.Series([], dtype="int64"),
+                 "n": pd.Series([], dtype="int64"),
+                 "n_correct": pd.Series([], dtype="int64")}
+        bids = t["vec_id"].to_numpy(zero_copy_only=False).astype("int64")
+        hm = bids % holdout_mod == 0
+        if not hm.any():
+            return pd.DataFrame(pcols)
+        vecs = np.stack(t["embedding"].to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)[hm]
+        true = t["label"].to_numpy(zero_copy_only=False) \
+            .astype("int64")[hm]
+        bn = np.linalg.norm(vecs, axis=1)
+        bn[bn == 0] = 1.0
+        lm = ray.get(m_ref)
+        lids, llabels = ray.get(meta_ref)
+        cs_i = np.round(np.round((vecs / bn[:, None]) @ lm.T, 6)
+                        * 1_000_000).astype(np.int64)
+        key = (-cs_i) * (1 << 33) + lids[None, :]
+        idx = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        nl = llabels[idx]                       # (rows, kk) neighbor labels
+        counts = (nl[:, :, None]
+                  == np.arange(n_classes)[None, None, :]).sum(axis=1)
+        pred = counts.argmax(axis=1)            # first max = smallest label
+        votes = counts.max(axis=1)
+        correct = (pred == true).astype("int64")
+        g = pd.DataFrame({"votes": votes.astype("int64"),
+                          "c": correct}) \
+            .groupby("votes", as_index=False) \
+            .agg(n=("c", "size"), n_correct=("c", "sum"))
+        for c in ("votes", "n", "n_correct"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    parts = ds.map_batches(block_partial, batch_format="pyarrow") \
+        .to_pandas()
+    if parts.empty or "votes" not in parts.columns or len(parts) == 0:
+        return empty
+    out = parts.groupby("votes", as_index=False).agg(
+        n=("n", "sum"), n_correct=("n_correct", "sum"))
+    out["acc_ppm"] = (out["n_correct"].astype("int64") * 1_000_000
+                      // out["n"].astype("int64"))
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[list(cols)].sort_values("votes").reset_index(drop=True)

@@ -21,6 +21,7 @@ ORACLE_QUERIES = [
     "emb_rptree_recall",
     "emb_lof",
     "docs_containment",
+    "emb_knn_calibration",
     "docs_stratified_sample",
     "docs_token_percentiles_by_lang",
     "emb_centroid_distances",
@@ -1598,3 +1599,49 @@ def test_containment_asymmetric_and_df_floor(tmp_path):
                                       int(r.containment_ppm))
            for r in out.itertuples(index=False)}
     assert got == {(0, 1): (3, 3, 1_000_000)}
+
+
+def test_knn_calibration_vote_buckets(tmp_path):
+    """Holdout 0 sits inside a tight labeled fan of label 7 → 5/5 vote,
+    correct; holdout 5 is orthogonal to everything and its 5 nearest
+    labeled are a mixed bag — we only assert its bucket arithmetic via
+    the oracle twin (engine ≡ SQL on this fixture) and that the 5-vote
+    bucket is fully correct."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+    import __ray_entry__ as entrymod
+    from tools.check_correctness import compare, to_pandas
+
+    def ang(deg, i, j):
+        v = np.zeros(64)
+        v[i] = np.cos(np.radians(deg))
+        v[j] = np.sin(np.radians(deg))
+        return v
+
+    # ids 1,2,3,4,6 labeled 7 in a tight fan; id 0 (holdout) inside it;
+    # id 5 (holdout) orthogonal, true label 3 → predicted 7, wrong
+    vecs = [ang(10, 0, 1), ang(0, 0, 1), ang(5, 0, 1), ang(15, 0, 1),
+            ang(20, 0, 1), np.eye(64)[5], ang(25, 0, 1)]
+    labels = [7, 7, 7, 7, 7, 3, 7]
+    t = pa.table({
+        "vec_id": pa.array(range(7), pa.int64()),
+        "embedding": pa.array([list(np.asarray(v, dtype=np.float32))
+                               for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32())})
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = dq.emb_knn_calibration(str(tmp_path))
+    got = {int(r.votes): (int(r.n), int(r.n_correct))
+           for r in out.itertuples(index=False)}
+    # both holdouts see only label-7 neighbors → one 5/5 bucket of 2,
+    # with exactly one correct (id 0)
+    assert got == {5: (2, 1)}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/embeddings.parquet')")
+    sql = con.execute(entrymod.oracle_sql()["emb_knn_calibration"]).fetch_df()
+    con.close()
+    problems = compare("emb_knn_calibration", out, to_pandas(sql))
+    assert not problems, problems
