@@ -6471,7 +6471,7 @@ def oracle_sql() -> dict[str, str]:
         # functional-dependency audit: COUNT(DISTINCT lhs) vs
         # COUNT(DISTINCT (lhs, rhs)) per pinned candidate, generated from
         # the same _FD_CANDIDATES tuple the engine walks
-        "orders_fd_audit": "\nUNION ALL\n".join(
+        "orders_fd_audit": "SELECT * FROM (\n" + "\nUNION ALL\n".join(
             f"""SELECT '{tab}' AS tab, '{lhs}' AS lhs, '{rhs}' AS rhs,
                    CAST(COUNT(DISTINCT {lhs}) AS BIGINT) AS n_lhs,
                    CAST(COUNT(DISTINCT ({lhs}, {rhs})) AS BIGINT)
@@ -6482,7 +6482,8 @@ def oracle_sql() -> dict[str, str]:
                                   = COUNT(DISTINCT ({lhs}, {rhs}))
                              THEN 1 ELSE 0 END AS BIGINT) AS holds
             FROM {tab}"""
-            for tab, lhs, rhs in _FD_CANDIDATES),
+            for tab, lhs, rhs in _FD_CANDIDATES)
+            + "\n) ORDER BY tab, lhs, rhs",
         # chi-square term selection per language over doc-presence
         # contingency tables (min-support 25, HUGEINT intermediates,
         # degenerate margins pinned to 0)

@@ -6112,6 +6112,72 @@ def _components_auto(e0) -> pd.DataFrame:
                           dtype="int64")})
 
 
+def _components_census(e0, driver_max_edges: int = 2_000_000) -> pd.DataFrame:
+    """(component_id, n_vecs, vec_checksum) census of the components of
+    a materialized (a_id, b_id, a_seq, b_seq) edge Dataset, sorted by
+    component_id (= the component's min id, both branches).  ≤2M edges
+    reuse ``_components_auto``'s driver union-find and fold the census
+    in place (the labels are already driver-resident); bigger graphs
+    run label_components' min-label exchange and settle the census
+    DISTRIBUTED — per-block (label, n, id-sum) partials merge under a
+    label-hash bucket, so only ≤ #components rows ever reach the
+    driver, never the raw node-label table."""
+    from ..stages.dedup import label_components
+
+    empty = pd.DataFrame({
+        "component_id": pd.Series([], dtype="int64"),
+        "n_vecs": pd.Series([], dtype="int64"),
+        "vec_checksum": pd.Series([], dtype="int64")})
+    n_edges = e0.count()
+    if n_edges == 0:
+        return empty
+    if n_edges <= driver_max_edges:
+        lab = _components_auto(e0)
+        if lab.empty:
+            return empty
+        out = lab.groupby("label", as_index=False).agg(
+            n_vecs=("id", "size"), vec_checksum=("id", "sum")) \
+            .rename(columns={"label": "component_id"})
+        for c in ("component_id", "n_vecs", "vec_checksum"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values("component_id").reset_index(drop=True)
+
+    labels, _, _ = label_components(e0)
+
+    def census_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"component_id": pd.Series([], dtype="int64"),
+                "n_vecs": pd.Series([], dtype="int64"),
+                "vec_checksum": pd.Series([], dtype="int64"),
+                "_lb": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "label" not in df.columns:
+            return pd.DataFrame(cols)
+        g = df.groupby("label", as_index=False).agg(
+            n_vecs=("id", "size"), vec_checksum=("id", "sum"))
+        return pd.DataFrame({
+            "component_id": g["label"].astype("int64"),
+            "n_vecs": g["n_vecs"].astype("int64"),
+            "vec_checksum": g["vec_checksum"].astype("int64"),
+            "_lb": (g["label"].astype("int64") % 64)})
+
+    def census_merge(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"component_id": pd.Series([], dtype="int64"),
+                "n_vecs": pd.Series([], dtype="int64"),
+                "vec_checksum": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "component_id" not in df.columns:
+            return pd.DataFrame(cols)
+        g = df.groupby("component_id", as_index=False).agg(
+            n_vecs=("n_vecs", "sum"), vec_checksum=("vec_checksum", "sum"))
+        return g.astype({"component_id": "int64", "n_vecs": "int64",
+                         "vec_checksum": "int64"})
+
+    parts = labels.map_batches(census_partial, batch_format="pandas") \
+        .groupby("_lb").map_groups(census_merge,
+                                   batch_format="pandas").to_pandas()
+    if parts.empty or "component_id" not in parts.columns:
+        return empty
+    return parts.sort_values("component_id").reset_index(drop=True)
+
+
 def _emb_matrix(ds):
     """Driver-assembled (ids, raw float64 matrix) from an embeddings
     Dataset — the snn-family broadcast contract (documented N·d
@@ -6160,9 +6226,10 @@ def emb_snn_components(sf_dir: str, k: int = _SNN_K) -> pd.DataFrame:
     composite key ((−cs_micro)·2³³ + vec_id — exact while vec_id < 2³³)
     so per-row top-k is argpartition, not a Python loop.  Directed hits
     dedup to mutual edges under a pair-hash bucket (count == 2);
-    components auto-switch (``_components_auto``): ≤2M mutual edges
+    components auto-switch (``_components_census``): ≤2M mutual edges
     fold on the driver via union-find, bigger graphs run in
-    label_components' min-label exchange."""
+    label_components' min-label exchange AND settle the census under
+    label-hash buckets — only ≤ #components rows reach the driver."""
     import ray
 
     ds = _emb(sf_dir).materialize()
@@ -6228,15 +6295,8 @@ def emb_snn_components(sf_dir: str, k: int = _SNN_K) -> pd.DataFrame:
     edges = ds.map_batches(topk_partial, batch_format="pyarrow") \
         .groupby("_pb").map_groups(mutual, batch_format="pandas") \
         .materialize()
-    lab = _components_auto(edges)
-    if lab.empty:
-        return empty
-    out = lab.groupby("label", as_index=False).agg(
-        n_vecs=("id", "size"), vec_checksum=("id", "sum")) \
-        .rename(columns={"label": "component_id"})
-    for c in ("component_id", "n_vecs", "vec_checksum"):
-        out[c] = out[c].astype("int64")
-    return out.sort_values("component_id").reset_index(drop=True)
+    out = _components_census(edges)
+    return out if len(out) else empty
 
 
 def docs_bpe_fertility(sf_dir: str, rounds: int = _BPE_ROUNDS) -> pd.DataFrame:
@@ -7404,7 +7464,16 @@ def docs_containment(sf_dir: str, n: int = _CONTAIN_N,
     threshold (the docs_crossdup plasma-membership budget — at 100 TB
     swap the broadcast for a shuffle join on src).  Hash collisions:
     the oracle compares exact gram strings, the engine 64-bit hashes —
-    the docs_crossdup-documented negligible-inflation class."""
+    the docs_crossdup-documented negligible-inflation class, PLUS a
+    second failure mode unique to the df floor: two distinct grams
+    colliding into one 64-bit hash pool their document frequencies, and
+    if the pooled df crosses ``df_max`` the engine silently DROPS both
+    grams (pair deflation, surfacing as a gate hash mismatch rather
+    than a caught error).  At 64-bit width the expected collision count
+    over a test-scale vocabulary is ≪1; a paranoid deployment shrinks
+    the surface further by salting the hash with the gram byte-length
+    ((hash, len) as the key), which only same-length grams can
+    collide."""
     import polars as pl
     import ray
 

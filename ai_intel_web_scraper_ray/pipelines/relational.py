@@ -59,6 +59,23 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     return sorted_arr[pos] == values
 
 
+# customer-derived key/lookup arrays (q3 segment keys, q5 custkey→nation,
+# q18 HAVING winners, q22 urgent custkeys) broadcast via ray.put only
+# while the side stays genuinely small; above this row ceiling the query
+# swaps to a hash-shuffle semi/anti/inner ``Dataset.join`` on the customer
+# or order key, so no SF-proportional array ever lands in plasma whole —
+# customer is a FACT-scale table at 100× (VERDICT r2 §wrong-1)
+_CUST_BROADCAST_MAX = 5_000_000
+
+# broadcast-path plasma puts route through this alias so tests can prove
+# the shuffle path never touches it (monkeypatch to raise)
+_ray_put = ray.put
+
+# test-introspection only: which side each gated query took on its last
+# call in this process ("broadcast" | "shuffle")
+_LAST_PATH: dict = {}
+
+
 def _join_partitions(sf_dir: str, table: str, selectivity: float = 1.0,
                      target_bytes: int = 32 << 20, cap: int = 64) -> int:
     """Size ``Dataset.join``'s hash partitions to the data actually
@@ -133,27 +150,55 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q3_top_orders(sf_dir: str) -> pd.DataFrame:
-    """Fact⋈fact is a hash-SHUFFLE join on the order key; only the true
-    dimension (customer→segment) is broadcast.  No driver-side structure is
-    ever O(|orders|): the filtered orders stay a Dataset all the way into
-    ``Dataset.join`` and the driver only sees the final 10 rows."""
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    # sorted int64 array, not a Python set — numeric numpy arrays are
-    # zero-copy from plasma; a pickled set re-deserializes per batch task
-    seg_keys_ref = ray.put(np.sort(
-        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
-        .to_numpy(dtype="int64")
-    ))
-
+def q3_top_orders(sf_dir: str,
+                  broadcast_max_rows: int = _CUST_BROADCAST_MAX
+                  ) -> pd.DataFrame:
+    """Fact⋈fact is a hash-SHUFFLE join on the order key.  The
+    customer→segment side is broadcast only while customer stays under
+    ``broadcast_max_rows``; above that (customer is SF-proportional — a
+    fact-scale table at 100×) the segment filter runs as a hash-shuffle
+    ``left_semi`` join on o_custkey, so no O(|customer|) array is ever
+    built on the driver or in plasma.  Either way no driver-side
+    structure is ever O(|orders|): the filtered orders stay a Dataset
+    all the way into ``Dataset.join`` and the driver only sees the
+    final 10 rows."""
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
-        seg_keys = ray.get(seg_keys_ref)
-        df = df[_in_sorted(df["o_custkey"].to_numpy(dtype="int64"), seg_keys)]
-        return df[["o_orderkey", "o_orderdate"]]
+    if cust_ds.count() <= broadcast_max_rows:
+        _LAST_PATH["q3"] = "broadcast"
+        cust = cust_ds.to_pandas()
+        # sorted int64 array, not a Python set — numeric numpy arrays are
+        # zero-copy from plasma; a pickled set re-deserializes per batch task
+        seg_keys_ref = _ray_put(np.sort(
+            cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"]
+            .to_numpy(dtype="int64")
+        ))
 
-    orders_ds = orders_ds.map_batches(filter_orders, batch_format="pandas")
+        def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
+            seg_keys = ray.get(seg_keys_ref)
+            df = df[_in_sorted(df["o_custkey"].to_numpy(dtype="int64"),
+                               seg_keys)]
+            return df[["o_orderkey", "o_orderdate"]]
+
+        orders_ds = orders_ds.map_batches(filter_orders,
+                                          batch_format="pandas")
+    else:
+        _LAST_PATH["q3"] = "shuffle"
+        # pinned Arrow schema so EMPTY hash partitions keep their key
+        # dtype into the per-partition pyarrow join (NOTES_r2 sharp edge)
+        seg_schema = pa.schema([("c_custkey", pa.int64())])
+
+        def seg_keys_t(t: pa.Table) -> pa.Table:
+            out = t.filter(pc.equal(t["c_mktsegment"], "BUILDING")) \
+                   .select(["c_custkey"])
+            return out.cast(seg_schema)
+
+        seg_ds = cust_ds.map_batches(seg_keys_t, batch_format="pyarrow")
+        orders_ds = orders_ds.join(
+            seg_ds, join_type="left_semi", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "o_orderdate"])
 
     line_ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -200,34 +245,64 @@ def q3_top_orders(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
-    """Broadcast only the true dimensions (customer→nation: one int per
-    customer; nation: 25 rows).  lineitem⋈orders is a hash-SHUFFLE join on
-    the order key via ``Dataset.join`` — the driver never builds any
-    O(|orders|) or O(|lineitem|) structure.  Per-batch partials reduce the
-    post-join rows to ≤25 per batch before the driver combine."""
+def q5_nation_revenue(sf_dir: str,
+                      broadcast_max_rows: int = _CUST_BROADCAST_MAX
+                      ) -> pd.DataFrame:
+    """Nation (25 rows) is always broadcast; customer→nation is broadcast
+    only under ``broadcast_max_rows`` — above that the custkey→nationkey
+    resolve runs as a hash-shuffle inner ``Dataset.join`` of orders
+    against the (c_custkey, c_nationkey) projection, so no O(|customer|)
+    array ever lands in plasma whole.  lineitem⋈orders is a hash-SHUFFLE
+    join on the order key via ``Dataset.join`` — the driver never builds
+    any O(|orders|) or O(|lineitem|) structure.  Per-batch partials
+    reduce the post-join rows to ≤25 per batch before the driver
+    combine."""
     nation = _read(sf_dir, "nation").to_pandas()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    # two parallel numpy arrays sorted by custkey, not a Python dict —
-    # numeric numpy arrays are zero-copy from plasma; a pickled dict
-    # re-deserializes per batch task
-    order = np.argsort(cust["c_custkey"].to_numpy(dtype="int64"))
-    cust_nation_ref = ray.put((
-        cust["c_custkey"].to_numpy(dtype="int64")[order],
-        cust["c_nationkey"].to_numpy(dtype="int32")[order],
-    ))
-
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
-    def orders_nk(df: pd.DataFrame) -> pd.DataFrame:
-        keys, nks = ray.get(cust_nation_ref)
-        ck = df["o_custkey"].to_numpy(dtype="int64")
-        hit = _in_sorted(ck, keys)
-        df = df[hit].copy()
-        df["nk"] = nks[np.searchsorted(keys, ck[hit])]
-        return df[["o_orderkey", "nk"]]
+    if cust_ds.count() <= broadcast_max_rows:
+        _LAST_PATH["q5"] = "broadcast"
+        cust = cust_ds.to_pandas()
+        # two parallel numpy arrays sorted by custkey, not a Python dict —
+        # numeric numpy arrays are zero-copy from plasma; a pickled dict
+        # re-deserializes per batch task
+        order = np.argsort(cust["c_custkey"].to_numpy(dtype="int64"))
+        cust_nation_ref = _ray_put((
+            cust["c_custkey"].to_numpy(dtype="int64")[order],
+            cust["c_nationkey"].to_numpy(dtype="int32")[order],
+        ))
 
-    orders_ds = orders_ds.map_batches(orders_nk, batch_format="pandas")
+        def orders_nk(df: pd.DataFrame) -> pd.DataFrame:
+            keys, nks = ray.get(cust_nation_ref)
+            ck = df["o_custkey"].to_numpy(dtype="int64")
+            hit = _in_sorted(ck, keys)
+            df = df[hit].copy()
+            df["nk"] = nks[np.searchsorted(keys, ck[hit])]
+            return df[["o_orderkey", "nk"]]
+
+        orders_ds = orders_ds.map_batches(orders_nk, batch_format="pandas")
+    else:
+        _LAST_PATH["q5"] = "shuffle"
+        cust_schema = pa.schema([("c_custkey", pa.int64()),
+                                 ("c_nationkey", pa.int64())])
+
+        def cust_proj(t: pa.Table) -> pa.Table:
+            return t.select(["c_custkey", "c_nationkey"]).cast(cust_schema)
+
+        cds = cust_ds.map_batches(cust_proj, batch_format="pyarrow")
+        nk_schema = pa.schema([("o_orderkey", pa.int64()),
+                               ("nk", pa.int64())])
+
+        def pick_nk(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "nk": t["c_nationkey"]}).cast(nk_schema)
+
+        orders_ds = orders_ds.join(
+            cds, join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).map_batches(pick_nk, batch_format="pyarrow")
 
     line_ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -1252,14 +1327,20 @@ def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
 _Q18_MIN_QTY = 300.0
 
 
-def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+def q18_large_orders(sf_dir: str,
+                     broadcast_max_rows: int = _CUST_BROADCAST_MAX
+                     ) -> pd.DataFrame:
     """Top-100 biggest orders whose total line quantity exceeds a
     threshold.  Per-orderkey quantity sums run as per-batch partials + one
     distributed groupby; the HAVING filter applies inside ``map_batches``
-    on the grouped result, so only the qualifying handful of orderkeys
-    (46 at sf0.01) ever reaches the driver.  Orders and customer rows are
-    then filtered by broadcast ``pc.is_in`` on those winners — neither
-    table shuffles, and names resolve only for the ≤100 output rows."""
+    on the grouped result.  While the qualifying set stays under
+    ``broadcast_max_rows`` (46 keys at sf0.01) it is collected and both
+    orders and customer filter by broadcast ``pc.is_in``; above that (the
+    HAVING survivors are SF-proportional) the survivors STAY a Dataset,
+    meet orders in a hash-shuffle inner join on the order key, and the
+    top-100 settles per 64-way orderkey bucket before the driver merges
+    ≤ 64×100 candidate rows — only customer-name resolution for the ≤100
+    winners uses a (bounded) broadcast filter."""
     line_ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
     # high-cardinality key (one group per orderkey): Ray's sort-based
@@ -1271,40 +1352,90 @@ def q18_large_orders(sf_dir: str) -> pd.DataFrame:
         out["_b"] = (out["l_orderkey"].astype("int64") % 64).astype("int64")
         return out
 
-    def bucket_agg(df: pd.DataFrame) -> pd.DataFrame:
+    big_schema = pa.schema([("l_orderkey", pa.int64()),
+                            ("sum_qty", pa.float64())])
+
+    def bucket_agg(df: pd.DataFrame) -> pa.Table:
         out = df.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
-        return out[out["l_quantity"] > _Q18_MIN_QTY]
+        out = out[out["l_quantity"] > _Q18_MIN_QTY] \
+            .rename(columns={"l_quantity": "sum_qty"})
+        return pa.Table.from_pandas(out, schema=big_schema,
+                                    preserve_index=False)
 
-    big = line_ds.map_batches(qty_partial, batch_format="pandas") \
+    big_ds = line_ds.map_batches(qty_partial, batch_format="pandas") \
         .groupby("_b").map_groups(bucket_agg, batch_format="pandas") \
-        .to_pandas()
-    big = big.rename(columns={"l_quantity": "sum_qty"})
+        .materialize()
+    orders_ds = _read(sf_dir, "orders",
+                      ["o_orderkey", "o_custkey", "o_orderdate",
+                       "o_totalprice"])
 
-    winner_keys = pa.array(big["l_orderkey"].astype("int64"))
-    orders = (
-        _read(sf_dir, "orders",
-              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
-        .map_batches(
-            lambda t: t.filter(pc.is_in(t["o_orderkey"], value_set=winner_keys)),
-            batch_format="pyarrow")
-        .to_pandas()
-    )
-    cust_keys = pa.array(orders["o_custkey"].astype("int64"))
+    if big_ds.count() <= broadcast_max_rows:
+        _LAST_PATH["q18"] = "broadcast"
+        big = big_ds.to_pandas()
+        winner_keys = pa.array(big["l_orderkey"].astype("int64"))
+        orders = orders_ds.map_batches(
+            lambda t: t.filter(pc.is_in(t["o_orderkey"],
+                                        value_set=winner_keys)),
+            batch_format="pyarrow").to_pandas()
+        cand = big.merge(orders, left_on="l_orderkey",
+                         right_on="o_orderkey")
+    else:
+        _LAST_PATH["q18"] = "shuffle"
+        joined = orders_ds.join(
+            big_ds, join_type="inner", num_partitions=8,
+            on=("o_orderkey",), right_on=("l_orderkey",),
+        )
+
+        # per-bucket top-100 partials on the exact output order key
+        # (total_cents desc, orderdate, orderkey); driver merges ≤ 64×100
+        def bucket_top100(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["total_cents"] = np.floor(
+                df["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+            return df.sort_values(
+                ["total_cents", "o_orderdate", "o_orderkey"],
+                ascending=[False, True, True], kind="mergesort").head(100) \
+                .drop(columns=["total_cents"])
+
+        def obucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_ob"] = (df["o_orderkey"].astype("int64") % 64) \
+                .astype("int64")
+            return df
+
+        cand = joined.map_batches(obucket, batch_format="pandas") \
+            .groupby("_ob").map_groups(bucket_top100,
+                                       batch_format="pandas") \
+            .to_pandas()
+
+    if len(cand) == 0:
+        return pd.DataFrame({
+            "c_name": pd.Series([], dtype=object),
+            "o_custkey": pd.Series([], dtype="int64"),
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_totalprice": pd.Series([], dtype="float64"),
+            "sum_qty": pd.Series([], dtype="float64")})
+
+    cand["total_cents"] = np.floor(
+        cand["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    cand = cand.sort_values(["total_cents", "o_orderdate", "o_orderkey"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(100)
+
+    # name resolution for the ≤100 winners — bounded broadcast either way
+    cust_keys = pa.array(cand["o_custkey"].astype("int64"))
     cust = (
         _read(sf_dir, "customer", ["c_custkey", "c_name"])
         .map_batches(
-            lambda t: t.filter(pc.is_in(t["c_custkey"], value_set=cust_keys)),
+            lambda t: t.filter(pc.is_in(t["c_custkey"],
+                                        value_set=cust_keys)),
             batch_format="pyarrow")
         .to_pandas()
     )
-
-    out = big.merge(orders, left_on="l_orderkey", right_on="o_orderkey") \
-             .merge(cust, left_on="o_custkey", right_on="c_custkey")
-    out["total_cents"] = np.floor(
-        out["o_totalprice"].to_numpy() * 100 + 0.5).astype("int64")
+    out = cand.merge(cust, left_on="o_custkey", right_on="c_custkey")
     out = out.sort_values(["total_cents", "o_orderdate", "o_orderkey"],
-                          ascending=[False, True, True], kind="mergesort") \
-             .head(100)
+                          ascending=[False, True, True], kind="mergesort")
     out["o_totalprice"] = out["total_cents"] / 100.0
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     out["o_custkey"] = out["o_custkey"].astype("int64")
@@ -1320,7 +1451,9 @@ def q18_large_orders(sf_dir: str) -> pd.DataFrame:
 _Q22_PRIORITY = "1-URGENT"
 
 
-def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
+def q22_idle_rich_customers(sf_dir: str,
+                            broadcast_max_rows: int = _CUST_BROADCAST_MAX
+                            ) -> pd.DataFrame:
     """Per-segment count and balance of customers whose account balance
     beats the positive-balance average and who never placed an URGENT
     order.
@@ -1328,11 +1461,16 @@ def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
     Scale shape: the scalar average is (sum_cents, n) partials — and the
     threshold compare is EXACT integer math (`bal_cents * n > sum_cents`),
     immune to float summation order on both engine and oracle sides.  The
-    NOT-EXISTS side (distinct urgent custkeys) is assembled into ONE
+    NOT-EXISTS side has two gears: while customer stays under
+    ``broadcast_max_rows`` the distinct urgent custkeys assemble into ONE
     sorted int64 array inside a remote task — the driver holds only the
     ObjectRef, filter tasks mmap it zero-copy from plasma and run a
-    vectorized ``searchsorted`` anti-membership test.  Customer rows never
-    shuffle."""
+    vectorized ``searchsorted`` anti-membership test.  Above the ceiling
+    (urgent custkeys are SF-proportional) the NOT EXISTS runs as a
+    hash-shuffle ``left_anti`` ``Dataset.join`` of customer against the
+    per-batch-deduped urgent custkey projection — no O(|customer|) plasma
+    object on that path, and duplicate right-side keys are harmless to
+    anti-join semantics so no global distinct is needed."""
     cust_cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
 
     def avg_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1346,43 +1484,62 @@ def q22_idle_rich_customers(sf_dir: str) -> pd.DataFrame:
     sum_cents = int(parts["sum_cents"].sum())
     n_pos = int(parts["n"].sum())
 
-    # per-batch dedup shrinks each block to its unique custkeys; the final
-    # cross-block distinct is np.unique inside the assemble task — no
-    # Aggregate shuffle for what is just a sorted-set build
+    # per-batch dedup shrinks each block to its unique custkeys
+    urgent_schema = pa.schema([("o_custkey", pa.int64())])
     urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
         .map_batches(
-            lambda df: df.loc[df["o_orderpriority"] == _Q22_PRIORITY,
-                              ["o_custkey"]].drop_duplicates(),
-            batch_format="pandas")
+            lambda t: t.filter(
+                pc.equal(t["o_orderpriority"], _Q22_PRIORITY))
+            .select(["o_custkey"])
+            .group_by("o_custkey").aggregate([])
+            .cast(urgent_schema),
+            batch_format="pyarrow")
 
-    @ray.remote
-    def assemble(*tables) -> np.ndarray:
-        # varargs so Ray resolves each block ref (refs nested inside a
-        # list arrive unresolved); blocks may be Arrow or pandas
-        import pyarrow as _pa
-        tables = [t if isinstance(t, _pa.Table) else _pa.Table.from_pandas(t)
-                  for t in tables]
-        keys = _pa.concat_tables(
-            [t.select(["o_custkey"]) for t in tables])["o_custkey"]
-        return np.unique(keys.to_numpy(zero_copy_only=False).astype("int64"))
-
-    urgent_ref = assemble.remote(*urgent.to_arrow_refs())
-
-    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
-        urgent_keys = ray.get(urgent_ref)
+    def rich_seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # rich filter + per-segment partials (anti-membership already
+        # applied by the caller's gear)
         bal_cents = np.floor(
             df["c_acctbal"].to_numpy() * 100 + 0.5).astype("int64")
         rich = bal_cents * n_pos > sum_cents
-        idle = ~_in_sorted(df["c_custkey"].to_numpy(dtype="int64"),
-                           urgent_keys)
-        df = df[rich & idle].copy()
-        df["bal_cents"] = bal_cents[rich & idle]
-        out = df.groupby("c_mktsegment", as_index=False).agg(
+        df = df[rich].copy()
+        df["bal_cents"] = bal_cents[rich]
+        return df.groupby("c_mktsegment", as_index=False).agg(
             n_custs=("c_custkey", "size"), sum_cents=("bal_cents", "sum"))
-        return out
 
-    parts = _read(sf_dir, "customer", cust_cols) \
-        .map_batches(seg_partial, batch_format="pandas").to_pandas()
+    cust_ds = _read(sf_dir, "customer", cust_cols)
+    if cust_ds.count() <= broadcast_max_rows:
+        _LAST_PATH["q22"] = "broadcast"
+
+        @ray.remote
+        def assemble(*tables) -> np.ndarray:
+            # varargs so Ray resolves each block ref (refs nested inside a
+            # list arrive unresolved); blocks may be Arrow or pandas
+            import pyarrow as _pa
+            tables = [t if isinstance(t, _pa.Table)
+                      else _pa.Table.from_pandas(t) for t in tables]
+            keys = _pa.concat_tables(
+                [t.select(["o_custkey"]) for t in tables])["o_custkey"]
+            return np.unique(
+                keys.to_numpy(zero_copy_only=False).astype("int64"))
+
+        urgent_ref = assemble.remote(*urgent.to_arrow_refs())
+
+        def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+            urgent_keys = ray.get(urgent_ref)
+            idle = ~_in_sorted(df["c_custkey"].to_numpy(dtype="int64"),
+                               urgent_keys)
+            return rich_seg_partial(df[idle])
+
+        parts = cust_ds.map_batches(seg_partial,
+                                    batch_format="pandas").to_pandas()
+    else:
+        _LAST_PATH["q22"] = "shuffle"
+        idle_ds = cust_ds.join(
+            urgent, join_type="left_anti", num_partitions=8,
+            on=("c_custkey",), right_on=("o_custkey",),
+        )
+        parts = idle_ds.map_batches(rich_seg_partial,
+                                    batch_format="pandas").to_pandas()
     agg = parts.groupby("c_mktsegment", as_index=False).agg(
         n_custs=("n_custs", "sum"), sum_cents=("sum_cents", "sum"))
     agg["total_acctbal"] = agg["sum_cents"] / 100.0
@@ -9945,9 +10102,13 @@ def events_mann_kendall(sf_dir: str) -> pd.DataFrame:
     types × horizon per block) merge under the type-hash bucket, so each
     type's full series assembles in exactly one group; the global day
     horizon folds from per-block min/max partials (two ints each) and
-    broadcasts via closure.  S is one vectorized sign-outer per type —
-    n is calendar-bounded (~10³ days even at web scale), so n² stays
-    trivial while the EVENT count underneath is unbounded."""
+    broadcasts via closure.  S is computed per type WITHOUT the n×n
+    sign-outer (which at century horizons would cost ~10 GB of int64):
+    with P = n(n−1)/2 total pairs, E = Σ_t t(t−1)/2 tied pairs and
+    D = #inversions (i<j with x_i > x_j, counted by a bottom-up
+    vectorized merge in O(n log n)), S = (P − E − D) − D = P − E − 2D.
+    n is calendar-bounded, and the EVENT count underneath is
+    unbounded."""
     empty = pd.DataFrame({
         "event_type": pd.Series([], dtype=object),
         "n_days": pd.Series([], dtype="int64"),
@@ -9957,6 +10118,29 @@ def events_mann_kendall(sf_dir: str) -> pd.DataFrame:
     if partials is None:
         return empty
     n = d1 - d0 + 1
+
+    def inv_count(a: np.ndarray) -> int:
+        # pairs (i<j) with a[i] > a[j], bottom-up merge, vectorized
+        # cross-counts via searchsorted — O(n log n), no n×n matrix
+        a = a.copy()
+        m = len(a)
+        inv = 0
+        width = 1
+        while width < m:
+            for lo in range(0, m, 2 * width):
+                mid = min(lo + width, m)
+                hi = min(lo + 2 * width, m)
+                if mid >= hi:
+                    continue
+                left = a[lo:mid]
+                right = a[mid:hi]
+                pos = np.searchsorted(left, right, side="right")
+                inv += int((len(left) - pos).sum())
+                merged = np.concatenate([left, right])
+                merged.sort(kind="stable")
+                a[lo:hi] = merged
+            width *= 2
+        return inv
 
     def mk_per_type(df: pd.DataFrame) -> pd.DataFrame:
         cols = {"event_type": pd.Series([], dtype=object),
@@ -9971,10 +10155,11 @@ def events_mann_kendall(sf_dir: str) -> pd.DataFrame:
             cc = g.groupby("day")["c"].sum()
             x[cc.index.to_numpy(dtype="int64") - d0] = \
                 cc.to_numpy(dtype="int64")
-            s = int(np.sign(x[None, :] - x[:, None])[
-                np.triu_indices(n, k=1)].sum())
             _, t = np.unique(x, return_counts=True)
             t = t.astype("int64")
+            p_total = n * (n - 1) // 2
+            e_pairs = int((t * (t - 1) // 2).sum())
+            s = p_total - e_pairs - 2 * inv_count(x)
             tie = int((t * (t - 1) * (2 * t + 5)).sum())
             rows.append((et, n, s, n * (n - 1) * (2 * n + 5) - tie))
         return pd.DataFrame({

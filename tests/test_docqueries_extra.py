@@ -1251,6 +1251,31 @@ def test_snn_components_mutual_k2_splits_two_triads(tmp_path):
     assert got == {0: (3, 3), 3: (3, 12)}
 
 
+def test_components_census_distributed_matches_driver():
+    """Force the label_components branch (driver_max_edges=0) on a
+    small edge set and check it matches the driver union-find census
+    row-for-row — the >2M-edge path must not collect the raw node-label
+    table (regression for the ADVICE r2 driver-census fold)."""
+    import pandas as pd
+    import ray.data as rd
+    from ai_intel_web_scraper_ray.pipelines.docqueries import \
+        _components_census
+
+    # two components: {1,2,3} (chain) and {10, 11}
+    edges = pd.DataFrame({
+        "a_id": pd.Series([1, 2, 10], dtype="int64"),
+        "b_id": pd.Series([2, 3, 11], dtype="int64"),
+        "a_seq": pd.Series([1, 2, 10], dtype="int64"),
+        "b_seq": pd.Series([2, 3, 11], dtype="int64")})
+    e0 = rd.from_pandas(edges).materialize()
+    drv = _components_census(e0)
+    dist = _components_census(e0, driver_max_edges=0)
+    pd.testing.assert_frame_equal(drv, dist)
+    got = {int(r.component_id): (int(r.n_vecs), int(r.vec_checksum))
+           for r in dist.itertuples(index=False)}
+    assert got == {1: (3, 6), 10: (2, 21)}
+
+
 def test_bpe_fertility_per_lang_and_empty_win_parity(tmp_path):
     """With 2 training rounds, 'aaaa' collapses to ONE symbol (fertility
     10⁶) while 'xyzw' stays 4 (4·10⁶).  And on a corpus whose training

@@ -660,6 +660,51 @@ class TestQ19DualPath:
         assert int(a["n_rows"].iloc[0]) > 0
 
 
+class TestCustomerShufflePath:
+    """VERDICT r2 item 1: q3/q5/q18/q22 must have a customer-side plan
+    that builds NO O(|customer|) driver/plasma object.  broadcast_max_
+    rows=0 forces it; the broadcast-path ``_ray_put`` seam is patched to
+    raise, proving the shuffle plan never touches plasma broadcast."""
+
+    def _forced(self, monkeypatch, fn, **kw):
+        import pandas as pd
+
+        a = fn(SF_DIR)
+
+        def boom(_):
+            raise AssertionError("broadcast path engaged on shuffle plan")
+
+        monkeypatch.setattr(rel, "_ray_put", boom)
+        b = fn(SF_DIR, broadcast_max_rows=0)
+        monkeypatch.undo()
+        pd.testing.assert_frame_equal(a, b)
+        return a
+
+    def test_q3_semi_join_matches_broadcast(self, monkeypatch):
+        a = self._forced(monkeypatch, rel.q3_top_orders)
+        assert rel._LAST_PATH["q3"] == "shuffle"
+        assert len(a) > 0
+
+    def test_q5_inner_join_matches_broadcast(self, monkeypatch):
+        a = self._forced(monkeypatch, rel.q5_nation_revenue)
+        assert rel._LAST_PATH["q5"] == "shuffle"
+        assert len(a) > 0
+
+    def test_q18_winner_join_matches_broadcast(self, monkeypatch):
+        a = self._forced(monkeypatch, rel.q18_large_orders)
+        assert rel._LAST_PATH["q18"] == "shuffle"
+        # sf0.001 has few HAVING winners but the shuffle plan must agree
+        # even when empty-ish; the row count is data-dependent
+        assert list(a.columns) == ["c_name", "o_custkey", "o_orderkey",
+                                   "o_orderdate", "o_totalprice",
+                                   "sum_qty"]
+
+    def test_q22_anti_join_matches_broadcast(self, monkeypatch):
+        a = self._forced(monkeypatch, rel.q22_idle_rich_customers)
+        assert rel._LAST_PATH["q22"] == "shuffle"
+        assert len(a) > 0
+
+
 def test_q7_empty_join_side_returns_empty_frame():
     """Regression: a nation pair with NO suppliers at this SF makes the
     lineitem join side globally empty — Ray's hash-shuffle join would
