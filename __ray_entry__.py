@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_decontaminate": dq.docs_decontaminate,
         "docs_stratified_sample": dq.docs_stratified_sample,
         "docs_write_roundtrip": dq.docs_write_roundtrip,
+        "docs_write_exactly_once": dq.docs_write_exactly_once,
         "docs_repetition": dq.docs_repetition,
         "docs_crossdup": dq.docs_crossdup,
         "docs_exact_dedup": dq.docs_exact_dedup,
@@ -4118,6 +4119,15 @@ def oracle_sql() -> dict[str, str]:
         # reads them back; the oracle aggregates the ORIGINAL table — a
         # row lost/duplicated/mutated in the write→read path mismatches
         "docs_write_roundtrip": """
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # kill-and-resume through the exactly-once partitioned sink must
+        # conserve every row — the aggregate over the resumed layout
+        # equals the aggregate over the original table
+        "docs_write_exactly_once": """
             SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(doc_id) AS BIGINT) AS id_checksum,
                    CAST(SUM(n_chars) AS BIGINT) AS sum_chars

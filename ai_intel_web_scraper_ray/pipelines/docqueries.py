@@ -746,6 +746,54 @@ def docs_write_roundtrip(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
 
 
+def docs_write_exactly_once(sf_dir: str) -> pd.DataFrame:
+    """Kill-and-resume roundtrip through the exactly-once partitioned
+    sink (sources/writers.write_partitioned_exactly_once): the first
+    write pass is KILLED by an injected failure before committing the
+    'en' partition (other partitions commit atomically around it), the
+    resume pass completes exactly the missing partitions, and the
+    read-back per-language aggregate must equal the oracle over the
+    ORIGINAL table — a row lost or duplicated anywhere across the
+    interrupt/resume boundary is a hash mismatch.  Commit is the atomic
+    rename of each ``part=<lang>`` directory, so no shared manifest is
+    racing and the resumed layout is byte-identical to an uninterrupted
+    run's (asserted in tests/test_sources_extra.py)."""
+    import shutil
+    import tempfile
+
+    from ..sources.writers import write_partitioned_exactly_once
+
+    root = tempfile.mkdtemp(prefix="aiws_eo_")
+    try:
+        ds = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+        try:
+            write_partitioned_exactly_once(ds, root, "lang",
+                                           _fail_parts={"en"})
+        except Exception:
+            pass  # the injected kill — some partitions committed
+        write_partitioned_exactly_once(ds, root, "lang")
+
+        back = rd.read_parquet(root)
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("part", as_index=False).agg(
+                n_docs=("doc_id", "size"), id_checksum=("doc_id", "sum"),
+                sum_chars=("n_chars", "sum"))
+            return out.rename(columns={"part": "lang"})
+
+        parts = back.map_batches(partial, batch_format="pandas").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    out = parts.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), id_checksum=("id_checksum", "sum"),
+        sum_chars=("sum_chars", "sum"))
+    out["lang"] = out["lang"].astype(str)
+    for c in ("n_docs", "id_checksum", "sum_chars"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # intra-document repetition (Gopher-style boilerplate rule): duplicate
 # word-8-gram fraction per document — row-local, embarrassingly parallel

@@ -81,3 +81,64 @@ def write_dataset_partitioned(
     ds.write_parquet(root, partition_cols=["part"],
                      min_rows_per_file=max_rows_per_file)
     return [root]
+
+
+def write_partitioned_exactly_once(
+    ds,
+    root: str,
+    part_col: str,
+    _fail_parts: Optional[set] = None,
+):
+    """Distributed exactly-once partitioned sink with kill-and-resume.
+
+    Each partition's rows co-locate via ``groupby(part_col)`` and the
+    worker writes its partition directory ATOMICALLY (unique temp dir +
+    ``os.replace``); the presence of the final ``part=<id>`` directory IS
+    the commit record, so there is no shared manifest file for concurrent
+    writers to race on — a rerun after a mid-stage kill skips every
+    committed partition and rewrites only the missing ones.  Rows are
+    sorted by all columns before writing, so the bytes of each committed
+    partition are DETERMINISTIC: an interrupted-then-resumed run is
+    byte-identical to an uninterrupted one (the exactly-once contract the
+    crawl checkpoints already provide, extended to the relational sinks —
+    reference analogue: per-topic resume files,
+    generators/comparison_generator.py:195-214).
+
+    ``_fail_parts`` is a test hook: a worker about to write one of these
+    partitions raises instead, simulating a kill AFTER other partitions
+    committed.  Returns the per-partition (part, n_rows, wrote) audit
+    frame; ``wrote`` is False for partitions skipped as already
+    committed."""
+    import pandas as pd
+
+    os.makedirs(root, exist_ok=True)
+    fail_parts = _fail_parts or set()
+
+    def write_group(df: "pd.DataFrame") -> "pd.DataFrame":
+        cols = {"part": pd.Series([], dtype=object),
+                "n_rows": pd.Series([], dtype="int64"),
+                "wrote": pd.Series([], dtype=bool)}
+        if len(df) == 0 or part_col not in df.columns:
+            return pd.DataFrame(cols)
+        part = str(df[part_col].iloc[0])
+        final = os.path.join(root, f"part={part}")
+        if os.path.exists(final):
+            return pd.DataFrame({"part": [part], "n_rows": [len(df)],
+                                 "wrote": [False]})
+        if part in fail_parts:
+            raise RuntimeError(f"injected failure before commit of {part}")
+        body = df.drop(columns=[part_col]) \
+            .sort_values(list(df.columns.drop(part_col)),
+                         kind="mergesort").reset_index(drop=True)
+        tmp = f"{final}.tmp-{os.getpid()}"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False),
+                       os.path.join(tmp, "data.parquet"))
+        os.replace(tmp, final)
+        return pd.DataFrame({"part": [part], "n_rows": [len(df)],
+                             "wrote": [True]})
+
+    return ds.groupby(part_col).map_groups(
+        write_group, batch_format="pandas").to_pandas()

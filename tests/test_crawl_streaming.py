@@ -315,3 +315,129 @@ class TestSelfLeasing:
             url_sets.add(frozenset(df["url"]))
             seens.add(frozenset(res["seen"]))
         assert len(url_sets) == 1 and len(seens) == 1
+
+
+class TestRealHttpIntegration:
+    """VERDICT r2 item 5: drive the REAL ``requests.Session`` transport
+    (no injected get_fn) through ``crawl_scalable`` against an in-process
+    ``ThreadingHTTPServer`` serving the synthetic graph over actual
+    sockets — exercising the retry ladder on a genuine connection reset,
+    native 404/500/429 statuses, and wall-clock politeness — and require
+    the exact record/seen sets of the mock page-table path."""
+
+    @staticmethod
+    def _start_server(pages_by_path, reset_once):
+        import threading
+        from collections import defaultdict
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        hits = defaultdict(int)
+        lock = threading.Lock()
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def do_GET(self):
+                with lock:
+                    n = hits[self.path]
+                    hits[self.path] += 1
+                if self.path in reset_once and n == 0:
+                    # first hit: slam the socket shut mid-request — the
+                    # transport must see a ConnectionError and retry
+                    self.connection.close()
+                    return
+                status, html = pages_by_path.get(self.path, (404, ""))
+                body = html.encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "text/html")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def log_message(self, *a):  # noqa: D102 - silence
+                pass
+
+        srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        return srv, srv.server_address[1], hits
+
+    @staticmethod
+    def _localhost_graph(port):
+        """The fixture graph rewritten onto http://127.0.0.1:port — one
+        host so every absolute link stays on the served origin."""
+        src_host = "h.example"
+        pages = fixtures.make_web_graph(hosts=[src_host],
+                                        pages_per_host={0: 24})
+        old, new = f"https://{src_host}", f"http://127.0.0.1:{port}"
+        out = []
+        for p in pages:
+            q = dict(p)
+            q["url"] = p["url"].replace(old, new)
+            q["html"] = p["html"].replace(old, new)
+            q["host"] = f"127.0.0.1:{port}"
+            out.append(q)
+        return out
+
+    def test_socket_crawl_with_reset_matches_mock(self):
+        from urllib.parse import urlparse
+
+        # bind first (port 0), rewrite the graph to the bound port, then
+        # fill the SAME dict/set objects the running handler closed over
+        shared_map = {}
+        reset_set = set()
+        srv, port, hits = self._start_server(shared_map, reset_set)
+        try:
+            pages = self._localhost_graph(port)
+            shared_map.update(
+                {urlparse(p["url"]).path: (p["status"], p["html"])
+                 for p in pages})
+            reset_set.add(urlparse(pages[1]["url"]).path)
+            base = pages[0]["url"]
+
+            transport = HttpTransport(backoff_min=0.01, backoff_max=0.02)
+            live = crawl_scalable(None, [base], max_depth=3,
+                                  exclude_patterns=EXC, num_shards=3,
+                                  num_workers=2, transport=transport)
+            mock = crawl_scalable(pages, [base], max_depth=3,
+                                  exclude_patterns=EXC, num_shards=3,
+                                  num_workers=2)
+            assert sorted(r["url"] for r in live["records"]) == \
+                sorted(r["url"] for r in mock["records"])
+            assert live["seen"] == mock["seen"]
+            # the reset victim really was hit twice (reset + retry)
+            assert hits[urlparse(pages[1]["url"]).path] >= 2
+            # native non-200s were served and correctly yielded no record
+            live_urls = {r["url"] for r in live["records"]}
+            for p in pages:
+                if p["status"] != 200:
+                    assert p["url"] not in live_urls
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
+    def test_socket_crawl_wall_clock_politeness(self):
+        from urllib.parse import urlparse
+
+        shared_map = {}
+        srv, port, _ = self._start_server(shared_map, set())
+        try:
+            pages = self._localhost_graph(port)[:8]
+            shared_map.update(
+                {urlparse(p["url"]).path: (p["status"], p["html"])
+                 for p in pages})
+            base = pages[0]["url"]
+            transport = HttpTransport(backoff_min=0.01, backoff_max=0.02)
+            t0 = time.perf_counter()
+            res = crawl_scalable(None, [base], max_depth=2,
+                                 exclude_patterns=EXC, num_shards=2,
+                                 num_workers=2, min_delay=0.05,
+                                 transport=transport,
+                                 wall_clock_politeness=True)
+            elapsed = time.perf_counter() - t0
+            n = len(res["seen"])
+            assert n >= 4
+            # one host → fetches serialize at min_delay spacing
+            assert elapsed >= 0.05 * (n - 1) * 0.8
+        finally:
+            srv.shutdown()
+            srv.server_close()
