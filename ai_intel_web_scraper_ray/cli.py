@@ -241,6 +241,33 @@ def cmd_vector_query(args):
         print(f"    Text: {preview}...")
 
 
+def cmd_serve(args):
+    """Run the query-time serve app over a chunk store (reference:
+    webapp/app.py — the FastAPI surface, reimplemented on stdlib http;
+    see pipelines/serve.py)."""
+    _ray_init()
+    import ray.data as rd
+
+    from .pipelines.serve import QueryEngine, serve_app
+    from .state.sessions import SessionManager
+
+    ds = rd.read_parquet(args.input).materialize()
+    name = os.path.basename(os.path.normpath(args.input))
+    sch = ds.schema()
+    dim = sch.types[sch.names.index("embedding")].list_size
+    engine = QueryEngine({name: ds}, embed_dim=dim)
+    mgr = SessionManager(db_path=args.sessions_db)
+    srv, port = serve_app(engine, mgr, host=args.host, port=args.port)
+    print(f"serving on http://{args.host}:{port} "
+          f"(collections: {name}, {ds.count()} chunks) — Ctrl-C to stop")
+    try:
+        import threading
+
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
 def cmd_export(args):
     from .pipelines.generate import export_markdown
 
@@ -305,6 +332,14 @@ def main(argv=None):
     c.add_argument("--in", dest="input", required=True)
     c.add_argument("--out", required=True)
     c.set_defaults(fn=cmd_export)
+
+    c = sub.add_parser("serve")
+    c.add_argument("--in", dest="input", required=True,
+                   help="chunk-store parquet dir (vectorize output)")
+    c.add_argument("--host", default="127.0.0.1")
+    c.add_argument("--port", type=int, default=8000)
+    c.add_argument("--sessions-db", default=None)
+    c.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     args.fn(args)
