@@ -322,6 +322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hll_registers": rel.events_hll_registers,
         "events_cms_topk": rel.events_cms_topk,
         "events_watermark_late": rel.events_watermark_late,
+        "events_late_window_agg": rel.events_late_window_agg,
         "events_window_join": rel.events_window_join,
         "orders_incremental_agg": rel.orders_incremental_agg,
         "events_anomaly_mad": rel.events_anomaly_mad,
@@ -3235,6 +3236,33 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_dup_spans
             FROM cnt c JOIN own o USING (ref)
             GROUP BY c.doc_id ORDER BY c.doc_id
+        """,
+        # watermark + allowed-lateness WINDOW aggregate: the prior-arrival
+        # running max of event time is the low watermark; an event is
+        # dropped late iff ts < watermark - 2h (strict; first arrival
+        # never late), accepted events aggregate into their event-time day
+        "events_late_window_agg": """
+            WITH w AS (
+                SELECT ts, value,
+                       MAX(ts) OVER (ORDER BY event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) AS wm
+                FROM events
+            ), lab AS (
+                SELECT date_trunc('day', ts) AS day,
+                       (wm IS NOT NULL
+                        AND ts < wm - INTERVAL 2 HOUR) AS late,
+                       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+                FROM w
+            )
+            SELECT day,
+                   CAST(SUM(CASE WHEN late THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_accepted,
+                   CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_late,
+                   CAST(SUM(CASE WHEN late THEN 0 ELSE cents END)
+                        AS BIGINT) AS accepted_cents
+            FROM lab GROUP BY day ORDER BY day
         """,
         # last-value-wins compaction of the keyed event log
         "events_log_compaction": """

@@ -4601,6 +4601,119 @@ def orders_incremental_agg(sf_dir: str,
     return merged.sort_values("o_orderpriority").reset_index(drop=True)
 
 
+_WM_LATENESS_US = 2 * 3600 * 1_000_000    # 2 h allowed lateness
+
+
+def events_late_window_agg(sf_dir: str,
+                           lateness_us: int = _WM_LATENESS_US
+                           ) -> pd.DataFrame:
+    """Watermark + allowed-lateness stream semantics: replay events in
+    ARRIVAL order (event_id) under a low watermark = max event-time over
+    all PRIOR arrivals; an event is DROPPED-LATE iff its event time has
+    already fallen more than ``lateness_us`` behind the watermark
+    (``ts < watermark − lateness``, strict — the first arrival is never
+    late).  Accepted events aggregate into their event-time day window.
+    Output (day, n_accepted, n_late, accepted_cents) sorted by day, with
+    late drops attributed to their own event-time day — the audit a
+    streaming pipeline needs to size its lateness allowance.
+
+    Scale shape (the ``docs_pack_blocks`` exclusive-prefix contract): a
+    16-byte (event_id, ts_us, cents) projection range-sorts by event_id —
+    the only shuffle; per-Ray-block maxima (ONE row each) reach the
+    driver for the exclusive prefix-max (O(#blocks) state, never
+    O(#events)); a second pass over the SAME materialized blocks
+    (``batch_size=None`` pins batch == block) computes each row's
+    prior-arrival watermark as max(carry-in, within-block exclusive
+    running max) via ``np.maximum.accumulate`` and emits ≤ |days|-row
+    day partials.  Events never ship twice and no per-event state ever
+    reaches the driver."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "value"])
+
+    def project(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype("int64")
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype("int64")
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "ts_us": pa.array(ts_us, pa.int64()),
+            "cents": pa.array(cents, pa.int64())})
+
+    proj = ds.map_batches(project, batch_format="pyarrow") \
+        .sort("event_id").materialize()
+
+    def block_max(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"first_id": pa.array([], pa.int64()),
+                             "max_ts": pa.array([], pa.int64())})
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        return pa.table({"first_id": pa.array([int(ids[0])], pa.int64()),
+                         "max_ts": pa.array([int(ts.max())], pa.int64())})
+
+    parts = proj.map_batches(block_max, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+    empty = pd.DataFrame({
+        "day": pd.Series([], dtype="datetime64[us]"),
+        "n_accepted": pd.Series([], dtype="int64"),
+        "n_late": pd.Series([], dtype="int64"),
+        "accepted_cents": pd.Series([], dtype="int64")})
+    if len(parts) == 0:
+        return empty
+    parts = parts.sort_values("first_id").reset_index(drop=True)
+    # sentinel well below any real epoch-us but far from int64 min, so
+    # `wm - lateness_us` can never wrap
+    lo = -(2 ** 62)
+    carry = parts["max_ts"].cummax().shift(fill_value=lo).astype("int64")
+    carry_of = dict(zip(parts["first_id"].astype("int64"), carry))
+
+    day_us = 86_400_000_000
+
+    def day_partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"day_us": pd.Series([], dtype="int64"),
+                "n_accepted": pd.Series([], dtype="int64"),
+                "n_late": pd.Series([], dtype="int64"),
+                "accepted_cents": pd.Series([], dtype="int64")}
+        if len(t) == 0:
+            return pd.DataFrame(cols)
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        cin = carry_of[int(ids[0])]
+        # exclusive running max: watermark BEFORE each arrival
+        wm = np.empty(len(ts), dtype="int64")
+        wm[0] = cin
+        if len(ts) > 1:
+            np.maximum.accumulate(ts[:-1], out=wm[1:])
+            np.maximum(wm[1:], cin, out=wm[1:])
+        late = (wm != lo) & (ts < wm - lateness_us)
+        day = (ts // day_us) * day_us
+        df = pd.DataFrame({
+            "day_us": day,
+            "acc": (~late).astype("int64"),
+            "lat": late.astype("int64"),
+            "c": np.where(late, 0, cents)})
+        out = df.groupby("day_us", as_index=False).agg(
+            n_accepted=("acc", "sum"), n_late=("lat", "sum"),
+            accepted_cents=("c", "sum"))
+        return out.astype({"day_us": "int64", "n_accepted": "int64",
+                           "n_late": "int64", "accepted_cents": "int64"})
+
+    merged = proj.map_batches(day_partial, batch_format="pyarrow",
+                              batch_size=None).to_pandas()
+    if merged.empty or "day_us" not in merged.columns:
+        return empty
+    out = merged.groupby("day_us", as_index=False).agg(
+        n_accepted=("n_accepted", "sum"), n_late=("n_late", "sum"),
+        accepted_cents=("accepted_cents", "sum"))
+    out["day"] = out["day_us"].astype("datetime64[us]")
+    for c in ("n_accepted", "n_late", "accepted_cents"):
+        out[c] = out[c].astype("int64")
+    return out[["day", "n_accepted", "n_late", "accepted_cents"]] \
+        .sort_values("day").reset_index(drop=True)
+
+
 def events_log_compaction(sf_dir: str) -> pd.DataFrame:
     """Last-value-wins log compaction: one row per (user, event type)
     carrying the latest (ts, value) by event time with arrival-id

@@ -2476,3 +2476,61 @@ def test_modularity_two_triangles_exact(tmp_path):
                                  int(r.q_num))
            for r in out.itertuples(index=False)}
     assert got == {1: (6, 6, 36), 7: (6, 6, 36)}
+
+
+class TestLateWindowAgg:
+    def test_hand_fixture_strict_boundary(self, tmp_path):
+        """Strict lateness boundary: an event exactly AT watermark−2h is
+        accepted; below it is dropped; the first arrival is never late."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = pd.Timestamp("2024-03-01")
+        rows = [
+            # (arrival, event_time, value)
+            (0, d + pd.Timedelta(hours=10), 1.00),   # first: never late
+            (1, d + pd.Timedelta(hours=7), 2.00),    # < 08:00 -> late
+            (2, d + pd.Timedelta(hours=8, minutes=30), 4.00),  # accepted
+            (3, d + pd.Timedelta(hours=11), 8.00),   # accepted, wm -> 11
+            (4, d + pd.Timedelta(hours=9), 16.00),   # == 09:00 boundary: kept
+            (5, d + pd.Timedelta(days=1, hours=1), 32.00),  # next day
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(pd.Series([r[1] for r in rows])
+                           .astype("datetime64[us]")),
+            "user_id": pa.array([1] * len(rows), pa.int64()),
+            "event_type": pa.array(["x"] * len(rows), pa.string()),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string())})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = rel.events_late_window_agg(str(tmp_path))
+        assert len(out) == 2
+        r0 = out.iloc[0]
+        assert (int(r0.n_accepted), int(r0.n_late)) == (4, 1)
+        assert int(r0.accepted_cents) == 100 + 400 + 800 + 1600
+        r1 = out.iloc[1]
+        assert (int(r1.n_accepted), int(r1.n_late)) == (1, 0)
+        assert int(r1.accepted_cents) == 3200
+
+    def test_block_split_invariance(self):
+        """The two-pass exclusive-prefix watermark must not depend on how
+        the arrival stream splits into Ray blocks."""
+        import ray.data as rd
+
+        a = rel.events_late_window_agg(SF_DIR)
+
+        import pandas as pd
+
+        orig_read = rel._read
+
+        def read13(sf_dir, table, columns=None, num_blocks=8):
+            return orig_read(sf_dir, table, columns, num_blocks=13)
+
+        rel._read = read13
+        try:
+            b = rel.events_late_window_agg(SF_DIR)
+        finally:
+            rel._read = orig_read
+        pd.testing.assert_frame_equal(a, b)
