@@ -1119,36 +1119,33 @@ def q19_branch_revenue(sf_dir: str,
 _Q7_NATIONS = (3, 15)  # nationkeys traded between, both directions
 
 
-def q7_nation_trade(sf_dir: str, nations=None) -> pd.DataFrame:
+def q7_nation_trade(sf_dir: str, nations=None,
+                    broadcast_max_rows: int = _CUST_BROADCAST_MAX
+                    ) -> pd.DataFrame:
     """Revenue shipped between two nations, by direction and ship year.
     ``nations`` overrides the default pair (tests use a supplier-less
     pair to pin the empty-join-side guard).
 
-    Scale shape: supplier→nationkey and customer→nationkey are TRUE
-    dimensions (one int per key) broadcast once via ``ray.put``; both fact
-    tables are pre-filtered to the two nations BEFORE the
-    lineitem⋈orders hash-shuffle join, so the exchange moves only the
-    qualifying ~2/N_nations fraction of each side.  The cross-pair
-    predicate (supp_nation != cust_nation) applies post-join and the
-    final groupby has ≤ 2×2×n_years groups — per-batch partials reduce it
-    to pennies before the driver combine."""
+    Scale shape: under ``broadcast_max_rows``, supplier→nationkey and
+    customer→nationkey broadcast once via ``ray.put``; above it (both
+    are SF-proportional) each fact feed resolves its nation by an inner
+    hash-shuffle join against the nation-pair-filtered key projection
+    instead.  Either way both fact tables are pre-filtered to the two
+    nations BEFORE the lineitem⋈orders hash-shuffle join, so that
+    exchange moves only the qualifying ~2/N_nations fraction of each
+    side.  The cross-pair predicate (supp_nation != cust_nation) applies
+    post-join and the final groupby has ≤ 2×2×n_years groups — per-batch
+    partials reduce it to pennies before the driver combine."""
     n_lo, n_hi = nations if nations is not None else _Q7_NATIONS
 
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    s_order = np.argsort(supp["s_suppkey"].to_numpy(dtype="int64"))
-    supp_ref = ray.put((
-        supp["s_suppkey"].to_numpy(dtype="int64")[s_order],
-        supp["s_nationkey"].to_numpy(dtype="int32")[s_order],
-    ))
-
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    c_order = np.argsort(cust["c_custkey"].to_numpy(dtype="int64"))
-    cust_ref = ray.put((
-        cust["c_custkey"].to_numpy(dtype="int64")[c_order],
-        cust["c_nationkey"].to_numpy(dtype="int32")[c_order],
-    ))
-
-    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders_raw = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    line_raw = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount", "l_shipdate"])
+    lo_ts = pd.Timestamp("1996-01-01")
+    hi_ts = pd.Timestamp("1998-01-01")
 
     # the nation filters are selective enough that a block can come out
     # EMPTY — pin an explicit Arrow schema on every block feeding the
@@ -1156,47 +1153,123 @@ def q7_nation_trade(sf_dir: str, nations=None) -> pd.DataFrame:
     # the per-partition pyarrow join crashes (see NOTES_r2 sharp edges)
     orders_schema = pa.schema([("o_orderkey", pa.int64()),
                                ("cust_nk", pa.int32())])
-
-    def orders_nk(df: pd.DataFrame) -> pa.Table:
-        keys, nks = ray.get(cust_ref)
-        ck = df["o_custkey"].to_numpy(dtype="int64")
-        hit = _in_sorted(ck, keys)
-        df = df[hit].copy()
-        df["cust_nk"] = nks[np.searchsorted(keys, ck[hit])]
-        df = df[df["cust_nk"].isin((n_lo, n_hi))]
-        return pa.Table.from_pandas(df[["o_orderkey", "cust_nk"]],
-                                    schema=orders_schema,
-                                    preserve_index=False)
-
-    orders_ds = orders_ds.map_batches(orders_nk, batch_format="pandas")
-
-    line_ds = _read(sf_dir, "lineitem",
-                    ["l_orderkey", "l_suppkey", "l_extendedprice",
-                     "l_discount", "l_shipdate"])
-    lo_ts = pd.Timestamp("1996-01-01")
-    hi_ts = pd.Timestamp("1998-01-01")
-
     line_schema = pa.schema([("l_orderkey", pa.int64()),
                              ("supp_nk", pa.int32()),
                              ("l_year", pa.int64()),
                              ("rev_cents", pa.int64())])
 
-    def line_partial(df: pd.DataFrame) -> pa.Table:
-        df = df[(df["l_shipdate"] >= lo_ts) & (df["l_shipdate"] < hi_ts)]
-        keys, nks = ray.get(supp_ref)
-        sk = df["l_suppkey"].to_numpy(dtype="int64")
-        hit = _in_sorted(sk, keys)
-        df = df[hit].copy()
-        df["supp_nk"] = nks[np.searchsorted(keys, sk[hit])]
-        df = df[df["supp_nk"].isin((n_lo, n_hi))].copy()
-        df["l_year"] = df["l_shipdate"].dt.year.astype("int64")
-        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
-        out = df.groupby(["l_orderkey", "supp_nk", "l_year"],
-                         as_index=False)["rev_cents"].sum()
-        return pa.Table.from_pandas(out, schema=line_schema,
-                                    preserve_index=False)
+    if max(cust_ds.count(), supp_ds.count()) <= broadcast_max_rows:
+        _LAST_PATH["q7"] = "broadcast"
+        supp = supp_ds.to_pandas()
+        s_order = np.argsort(supp["s_suppkey"].to_numpy(dtype="int64"))
+        supp_ref = _ray_put((
+            supp["s_suppkey"].to_numpy(dtype="int64")[s_order],
+            supp["s_nationkey"].to_numpy(dtype="int32")[s_order],
+        ))
 
-    line_ds = line_ds.map_batches(line_partial, batch_format="pandas")
+        cust = cust_ds.to_pandas()
+        c_order = np.argsort(cust["c_custkey"].to_numpy(dtype="int64"))
+        cust_ref = _ray_put((
+            cust["c_custkey"].to_numpy(dtype="int64")[c_order],
+            cust["c_nationkey"].to_numpy(dtype="int32")[c_order],
+        ))
+
+        def orders_nk(df: pd.DataFrame) -> pa.Table:
+            keys, nks = ray.get(cust_ref)
+            ck = df["o_custkey"].to_numpy(dtype="int64")
+            hit = _in_sorted(ck, keys)
+            df = df[hit].copy()
+            df["cust_nk"] = nks[np.searchsorted(keys, ck[hit])]
+            df = df[df["cust_nk"].isin((n_lo, n_hi))]
+            return pa.Table.from_pandas(df[["o_orderkey", "cust_nk"]],
+                                        schema=orders_schema,
+                                        preserve_index=False)
+
+        orders_ds = orders_raw.map_batches(orders_nk,
+                                           batch_format="pandas")
+
+        def line_partial(df: pd.DataFrame) -> pa.Table:
+            df = df[(df["l_shipdate"] >= lo_ts) & (df["l_shipdate"] < hi_ts)]
+            keys, nks = ray.get(supp_ref)
+            sk = df["l_suppkey"].to_numpy(dtype="int64")
+            hit = _in_sorted(sk, keys)
+            df = df[hit].copy()
+            df["supp_nk"] = nks[np.searchsorted(keys, sk[hit])]
+            df = df[df["supp_nk"].isin((n_lo, n_hi))].copy()
+            df["l_year"] = df["l_shipdate"].dt.year.astype("int64")
+            df["rev_cents"] = _rev_cents(df["l_extendedprice"],
+                                         df["l_discount"])
+            out = df.groupby(["l_orderkey", "supp_nk", "l_year"],
+                             as_index=False)["rev_cents"].sum()
+            return pa.Table.from_pandas(out, schema=line_schema,
+                                        preserve_index=False)
+
+        line_ds = line_raw.map_batches(line_partial,
+                                       batch_format="pandas")
+    else:
+        _LAST_PATH["q7"] = "shuffle"
+        pair = pa.array([int(n_lo), int(n_hi)], pa.int64())
+
+        cpair_schema = pa.schema([("c_custkey", pa.int64()),
+                                  ("c_nationkey", pa.int64())])
+
+        def cust_pair(t: pa.Table) -> pa.Table:
+            m = pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                         value_set=pair)
+            return t.filter(m).select(["c_custkey", "c_nationkey"]) \
+                .cast(cpair_schema)
+
+        def pick_cust_nk(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "cust_nk": pc.cast(t["c_nationkey"], pa.int32())}) \
+                .cast(orders_schema)
+
+        orders_ds = orders_raw.join(
+            cust_ds.map_batches(cust_pair, batch_format="pyarrow"),
+            join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).map_batches(pick_cust_nk, batch_format="pyarrow")
+
+        spair_schema = pa.schema([("s_suppkey", pa.int64()),
+                                  ("s_nationkey", pa.int64())])
+
+        def supp_pair(t: pa.Table) -> pa.Table:
+            m = pc.is_in(pc.cast(t["s_nationkey"], pa.int64()),
+                         value_set=pair)
+            return t.filter(m).select(["s_suppkey", "s_nationkey"]) \
+                .cast(spair_schema)
+
+        lp_schema = pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_year", pa.int64()),
+                               ("rev_cents", pa.int64())])
+
+        def line_proj(df: pd.DataFrame) -> pa.Table:
+            df = df[(df["l_shipdate"] >= lo_ts)
+                    & (df["l_shipdate"] < hi_ts)].copy()
+            out = pd.DataFrame({
+                "l_orderkey": df["l_orderkey"].astype("int64"),
+                "l_suppkey": df["l_suppkey"].astype("int64"),
+                "l_year": df["l_shipdate"].dt.year.astype("int64"),
+                "rev_cents": _rev_cents(df["l_extendedprice"],
+                                        df["l_discount"])})
+            return pa.Table.from_pandas(out, schema=lp_schema,
+                                        preserve_index=False)
+
+        def fold_supp(df: pd.DataFrame) -> pa.Table:
+            df = df.copy()
+            df["supp_nk"] = df["s_nationkey"].astype("int32")
+            out = df.groupby(["l_orderkey", "supp_nk", "l_year"],
+                             as_index=False)["rev_cents"].sum()
+            return pa.Table.from_pandas(out, schema=line_schema,
+                                        preserve_index=False)
+
+        line_ds = line_raw.map_batches(line_proj, batch_format="pandas") \
+            .join(supp_ds.map_batches(supp_pair, batch_format="pyarrow"),
+                  join_type="inner", num_partitions=8,
+                  on=("l_suppkey",), right_on=("s_suppkey",)) \
+            .map_batches(fold_supp, batch_format="pandas")
 
     # ~2/25 nations × ~2/7 ship years survive the feed filters
     n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.03)
@@ -1601,65 +1674,130 @@ _Q8_REGION = 0    # customer region under analysis
 _Q8_NATION = 15   # supplier nation whose share we measure
 
 
-def q8_market_share(sf_dir: str) -> pd.DataFrame:
+def q8_market_share(sf_dir: str,
+                    broadcast_max_rows: int = _CUST_BROADCAST_MAX
+                    ) -> pd.DataFrame:
     """Target nation's share of revenue shipped to one customer region.
 
-    Scale shape: nation (25 rows) resolves the region membership on the
-    driver; customer→nationkey and supplier→is-target are broadcast
-    sorted-array lookups.  The lineitem feed pre-aggregates
-    (orderkey, year) → (total cents, target-nation cents) per batch, the
-    orders feed keeps only in-region orderkeys, and the two meet in ONE
-    hash-shuffle join on the order key.  Post-join partials reduce to
-    ≤ n_years rows per batch; the driver divides two exact integer sums
-    (q14's ratio idiom)."""
+    Scale shape: nation (25 rows) always resolves region membership on
+    the driver.  Under ``broadcast_max_rows``, customer→nationkey and
+    supplier→is-target are broadcast sorted-array lookups; above it
+    (both are SF-proportional) the in-region order filter runs as a
+    hash-shuffle ``left_semi`` join on the cust key and the is-target
+    flag comes from an inner lineitem⋈supplier join on the supp key.
+    Either way the lineitem feed pre-aggregates (orderkey, year) →
+    (total cents, target-nation cents) partials and the two feeds meet
+    in ONE hash-shuffle join on the order key; post-join partials reduce
+    to ≤ n_years rows per batch and the driver divides two exact integer
+    sums (q14's ratio idiom)."""
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
     region_nks = np.sort(nation.loc[nation["n_regionkey"] == _Q8_REGION,
                                     "n_nationkey"].to_numpy(dtype="int64"))
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    in_region = _in_sorted(cust["c_nationkey"].to_numpy(dtype="int64"),
-                           region_nks)
-    cust_ref = ray.put(np.sort(
-        cust.loc[in_region, "c_custkey"].to_numpy(dtype="int64")))
-
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    tgt_ref = ray.put(np.sort(
-        supp.loc[supp["s_nationkey"] == _Q8_NATION,
-                 "s_suppkey"].to_numpy(dtype="int64")))
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    orders_raw = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    line_raw = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_suppkey", "l_extendedprice",
+                      "l_discount", "l_shipdate"])
 
     orders_schema = pa.schema([("o_orderkey", pa.int64())])
-
-    def orders_feed(df: pd.DataFrame) -> pa.Table:
-        keys = ray.get(cust_ref)
-        df = df[_in_sorted(df["o_custkey"].to_numpy(dtype="int64"), keys)]
-        return pa.Table.from_pandas(df[["o_orderkey"]],
-                                    schema=orders_schema,
-                                    preserve_index=False)
-
-    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]) \
-        .map_batches(orders_feed, batch_format="pandas")
-
     line_schema = pa.schema([("l_orderkey", pa.int64()),
                              ("l_year", pa.int64()),
                              ("cents", pa.int64()),
                              ("tgt_cents", pa.int64())])
 
-    def line_feed(df: pd.DataFrame) -> pa.Table:
-        tgt = ray.get(tgt_ref)
-        df = df.copy()
-        df["l_year"] = df["l_shipdate"].dt.year.astype("int64")
-        df["cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
-        is_tgt = _in_sorted(df["l_suppkey"].to_numpy(dtype="int64"), tgt)
-        df["tgt_cents"] = np.where(is_tgt, df["cents"].to_numpy(), 0)
-        out = df.groupby(["l_orderkey", "l_year"], as_index=False).agg(
-            cents=("cents", "sum"), tgt_cents=("tgt_cents", "sum"))
-        return pa.Table.from_pandas(out, schema=line_schema,
-                                    preserve_index=False)
+    if max(cust_ds.count(), supp_ds.count()) <= broadcast_max_rows:
+        _LAST_PATH["q8"] = "broadcast"
+        cust = cust_ds.to_pandas()
+        in_region = _in_sorted(cust["c_nationkey"].to_numpy(dtype="int64"),
+                               region_nks)
+        cust_ref = _ray_put(np.sort(
+            cust.loc[in_region, "c_custkey"].to_numpy(dtype="int64")))
 
-    line_ds = _read(sf_dir, "lineitem",
-                    ["l_orderkey", "l_suppkey", "l_extendedprice",
-                     "l_discount", "l_shipdate"]) \
-        .map_batches(line_feed, batch_format="pandas")
+        supp = supp_ds.to_pandas()
+        tgt_ref = _ray_put(np.sort(
+            supp.loc[supp["s_nationkey"] == _Q8_NATION,
+                     "s_suppkey"].to_numpy(dtype="int64")))
+
+        def orders_feed(df: pd.DataFrame) -> pa.Table:
+            keys = ray.get(cust_ref)
+            df = df[_in_sorted(df["o_custkey"].to_numpy(dtype="int64"),
+                               keys)]
+            return pa.Table.from_pandas(df[["o_orderkey"]],
+                                        schema=orders_schema,
+                                        preserve_index=False)
+
+        orders_ds = orders_raw.map_batches(orders_feed,
+                                           batch_format="pandas")
+
+        def line_feed(df: pd.DataFrame) -> pa.Table:
+            tgt = ray.get(tgt_ref)
+            df = df.copy()
+            df["l_year"] = df["l_shipdate"].dt.year.astype("int64")
+            df["cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
+            is_tgt = _in_sorted(df["l_suppkey"].to_numpy(dtype="int64"), tgt)
+            df["tgt_cents"] = np.where(is_tgt, df["cents"].to_numpy(), 0)
+            out = df.groupby(["l_orderkey", "l_year"], as_index=False).agg(
+                cents=("cents", "sum"), tgt_cents=("tgt_cents", "sum"))
+            return pa.Table.from_pandas(out, schema=line_schema,
+                                        preserve_index=False)
+
+        line_ds = line_raw.map_batches(line_feed, batch_format="pandas")
+    else:
+        _LAST_PATH["q8"] = "shuffle"
+        ckeys_schema = pa.schema([("c_custkey", pa.int64())])
+        region_set = pa.array([int(x) for x in region_nks], pa.int64())
+
+        def cust_region(t: pa.Table) -> pa.Table:
+            m = pc.is_in(pc.cast(t["c_nationkey"], pa.int64()),
+                         value_set=region_set)
+            return t.filter(m).select(["c_custkey"]).cast(ckeys_schema)
+
+        orders_ds = orders_raw.join(
+            cust_ds.map_batches(cust_region, batch_format="pyarrow"),
+            join_type="left_semi", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).map_batches(
+            lambda t: t.select(["o_orderkey"]).cast(orders_schema),
+            batch_format="pyarrow")
+
+        lp_schema = pa.schema([("l_orderkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("l_year", pa.int64()),
+                               ("cents", pa.int64())])
+
+        def line_proj(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame({
+                "l_orderkey": df["l_orderkey"].astype("int64"),
+                "l_suppkey": df["l_suppkey"].astype("int64"),
+                "l_year": df["l_shipdate"].dt.year.astype("int64"),
+                "cents": _rev_cents(df["l_extendedprice"],
+                                    df["l_discount"])})
+            return pa.Table.from_pandas(out, schema=lp_schema,
+                                        preserve_index=False)
+
+        supp_schema = pa.schema([("s_suppkey", pa.int64()),
+                                 ("s_nationkey", pa.int64())])
+        sds = supp_ds.map_batches(
+            lambda t: t.select(["s_suppkey", "s_nationkey"])
+            .cast(supp_schema), batch_format="pyarrow")
+
+        lj = line_raw.map_batches(line_proj, batch_format="pandas").join(
+            sds, join_type="inner", num_partitions=8,
+            on=("l_suppkey",), right_on=("s_suppkey",))
+
+        def to_oy(df: pd.DataFrame) -> pa.Table:
+            df = df.copy()
+            df["tgt_cents"] = np.where(
+                df["s_nationkey"].to_numpy(dtype="int64") == _Q8_NATION,
+                df["cents"].to_numpy(dtype="int64"), 0)
+            out = df.groupby(["l_orderkey", "l_year"], as_index=False).agg(
+                cents=("cents", "sum"), tgt_cents=("tgt_cents", "sum"))
+            return pa.Table.from_pandas(out, schema=line_schema,
+                                        preserve_index=False)
+
+        line_ds = lj.map_batches(to_oy, batch_format="pandas")
 
     joined = line_ds.join(
         orders_ds, join_type="inner", num_partitions=8,
@@ -1692,51 +1830,119 @@ def q8_market_share(sf_dir: str) -> pd.DataFrame:
 _Q9_PART_FAMILY = "widget"  # substring of p_name
 
 
-def q9_nation_profit(sf_dir: str) -> pd.DataFrame:
+def q9_nation_profit(sf_dir: str,
+                     broadcast_max_rows: int = _CUST_BROADCAST_MAX
+                     ) -> pd.DataFrame:
     """Profit (revenue minus tax) booked per supplier nation and ship
     year, for parts of one family.
 
-    part→membership and supplier→nationkey are broadcast sorted arrays;
-    profit is computed per row in integer cents
+    While part and supplier stay under ``broadcast_max_rows`` each,
+    part→membership and supplier→nationkey are broadcast sorted arrays
+    and no shuffle happens anywhere.  Above the ceiling (BOTH are
+    SF-proportional — part is a fact-scale table at 100×) the family
+    filter runs as a hash-shuffle ``left_semi`` join on the part key and
+    the nation resolve as an inner join on the supp key, over a
+    pre-aggregated (l_suppkey, l_year, profit_cents) projection so the
+    join input is already collapsed to ≤ |suppliers|×|years| rows per
+    block.  Profit is computed per row in integer cents
     (rev_cents − floor(extprice·tax·100+0.5)), so sums are
-    order-independent.  The groupby key space is ≤ 25 nations × n_years —
-    per-batch partials collapse each batch to pennies and the driver
-    combine is trivial.  No shuffle anywhere."""
+    order-independent.  The final groupby key space is ≤ 25 nations ×
+    n_years — the driver combine is trivial either way."""
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
-    fam = part.map_batches(
-        lambda df: df.loc[df["p_name"].str.contains(_Q9_PART_FAMILY,
-                                                    regex=False),
-                          ["p_partkey"]],
-        batch_format="pandas").to_pandas()
-    fam_ref = ray.put(np.sort(fam["p_partkey"].to_numpy(dtype="int64")))
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    line_ds = _read(sf_dir, "lineitem",
+                    ["l_partkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_tax", "l_shipdate"])
 
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    s_order = np.argsort(supp["s_suppkey"].to_numpy(dtype="int64"))
-    supp_ref = ray.put((
-        supp["s_suppkey"].to_numpy(dtype="int64")[s_order],
-        supp["s_nationkey"].to_numpy(dtype="int32")[s_order],
-    ))
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        fam_keys = ray.get(fam_ref)
-        keys, nks = ray.get(supp_ref)
-        df = df[_in_sorted(df["l_partkey"].to_numpy(dtype="int64"), fam_keys)]
-        sk = df["l_suppkey"].to_numpy(dtype="int64")
-        hit = _in_sorted(sk, keys)
-        df = df[hit].copy()
-        df["nk"] = nks[np.searchsorted(keys, sk[hit])]
-        df["l_year"] = df["l_shipdate"].dt.year.astype("int64")
+    def profit_cents(df: pd.DataFrame) -> np.ndarray:
         rev = _rev_cents(df["l_extendedprice"], df["l_discount"])
         tax = np.floor(df["l_extendedprice"].to_numpy()
                        * df["l_tax"].to_numpy() * 100 + 0.5).astype("int64")
-        df["profit_cents"] = rev - tax
-        return df.groupby(["nk", "l_year"],
-                          as_index=False)["profit_cents"].sum()
+        return rev - tax
 
-    parts = _read(sf_dir, "lineitem",
-                  ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount",
-                   "l_tax", "l_shipdate"]) \
-        .map_batches(partial, batch_format="pandas").to_pandas()
+    if max(part.count(), supp_ds.count()) <= broadcast_max_rows:
+        _LAST_PATH["q9"] = "broadcast"
+        fam = part.map_batches(
+            lambda df: df.loc[df["p_name"].str.contains(_Q9_PART_FAMILY,
+                                                        regex=False),
+                              ["p_partkey"]],
+            batch_format="pandas").to_pandas()
+        fam_ref = _ray_put(np.sort(fam["p_partkey"].to_numpy(dtype="int64")))
+
+        supp = supp_ds.to_pandas()
+        s_order = np.argsort(supp["s_suppkey"].to_numpy(dtype="int64"))
+        supp_ref = _ray_put((
+            supp["s_suppkey"].to_numpy(dtype="int64")[s_order],
+            supp["s_nationkey"].to_numpy(dtype="int32")[s_order],
+        ))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            fam_keys = ray.get(fam_ref)
+            keys, nks = ray.get(supp_ref)
+            df = df[_in_sorted(df["l_partkey"].to_numpy(dtype="int64"),
+                               fam_keys)]
+            sk = df["l_suppkey"].to_numpy(dtype="int64")
+            hit = _in_sorted(sk, keys)
+            df = df[hit].copy()
+            df["nk"] = nks[np.searchsorted(keys, sk[hit])]
+            df["l_year"] = df["l_shipdate"].dt.year.astype("int64")
+            df["profit_cents"] = profit_cents(df)
+            return df.groupby(["nk", "l_year"],
+                              as_index=False)["profit_cents"].sum()
+
+        parts = line_ds.map_batches(partial,
+                                    batch_format="pandas").to_pandas()
+    else:
+        _LAST_PATH["q9"] = "shuffle"
+        fam_schema = pa.schema([("p_partkey", pa.int64())])
+
+        def fam_keys_t(t: pa.Table) -> pa.Table:
+            m = pc.match_substring(t["p_name"], _Q9_PART_FAMILY)
+            return t.filter(m).select(["p_partkey"]).cast(fam_schema)
+
+        fam_ds = part.map_batches(fam_keys_t, batch_format="pyarrow")
+
+        proj_schema = pa.schema([("l_partkey", pa.int64()),
+                                 ("l_suppkey", pa.int64()),
+                                 ("l_year", pa.int64()),
+                                 ("profit_cents", pa.int64())])
+
+        def line_proj(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame({
+                "l_partkey": df["l_partkey"].astype("int64"),
+                "l_suppkey": df["l_suppkey"].astype("int64"),
+                "l_year": df["l_shipdate"].dt.year.astype("int64"),
+                "profit_cents": profit_cents(df)})
+            return pa.Table.from_pandas(out, schema=proj_schema,
+                                        preserve_index=False)
+
+        fam_lines = line_ds.map_batches(line_proj, batch_format="pandas") \
+            .join(fam_ds, join_type="left_semi", num_partitions=8,
+                  on=("l_partkey",), right_on=("p_partkey",))
+
+        # collapse to (suppkey, year) partials BEFORE the supplier join
+        def pre_agg(df: pd.DataFrame) -> pd.DataFrame:
+            return df.groupby(["l_suppkey", "l_year"],
+                              as_index=False)["profit_cents"].sum()
+
+        supp_schema = pa.schema([("s_suppkey", pa.int64()),
+                                 ("s_nationkey", pa.int64())])
+        sds = supp_ds.map_batches(
+            lambda t: t.select(["s_suppkey", "s_nationkey"])
+            .cast(supp_schema), batch_format="pyarrow")
+
+        joined = fam_lines.map_batches(pre_agg, batch_format="pandas") \
+            .join(sds, join_type="inner", num_partitions=8,
+                  on=("l_suppkey",), right_on=("s_suppkey",))
+
+        def nk_partial(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.rename(columns={"s_nationkey": "nk"})
+            return out.groupby(["nk", "l_year"],
+                               as_index=False)["profit_cents"].sum()
+
+        parts = joined.map_batches(nk_partial,
+                                   batch_format="pandas").to_pandas()
+
     agg = parts.groupby(["nk", "l_year"], as_index=False)["profit_cents"].sum()
 
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()

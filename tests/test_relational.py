@@ -704,6 +704,21 @@ class TestCustomerShufflePath:
         assert rel._LAST_PATH["q22"] == "shuffle"
         assert len(a) > 0
 
+    def test_q9_semi_plus_supplier_join_matches_broadcast(self, monkeypatch):
+        a = self._forced(monkeypatch, rel.q9_nation_profit)
+        assert rel._LAST_PATH["q9"] == "shuffle"
+        assert len(a) > 0
+
+    def test_q7_pair_joins_match_broadcast(self, monkeypatch):
+        a = self._forced(monkeypatch, rel.q7_nation_trade)
+        assert rel._LAST_PATH["q7"] == "shuffle"
+        assert len(a) > 0
+
+    def test_q8_region_and_target_joins_match_broadcast(self, monkeypatch):
+        a = self._forced(monkeypatch, rel.q8_market_share)
+        assert rel._LAST_PATH["q8"] == "shuffle"
+        assert len(a) > 0
+
 
 def test_q7_empty_join_side_returns_empty_frame():
     """Regression: a nation pair with NO suppliers at this SF makes the
