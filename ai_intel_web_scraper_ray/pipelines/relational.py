@@ -1225,9 +1225,10 @@ def q7_nation_trade(sf_dir: str, nations=None,
                 "cust_nk": pc.cast(t["c_nationkey"], pa.int32())}) \
                 .cast(orders_schema)
 
+        n_pair = _join_partitions(sf_dir, "orders", selectivity=0.08)
         orders_ds = orders_raw.join(
             cust_ds.map_batches(cust_pair, batch_format="pyarrow"),
-            join_type="inner", num_partitions=8,
+            join_type="inner", num_partitions=n_pair,
             on=("o_custkey",), right_on=("c_custkey",),
         ).map_batches(pick_cust_nk, batch_format="pyarrow")
 
@@ -1265,9 +1266,10 @@ def q7_nation_trade(sf_dir: str, nations=None,
             return pa.Table.from_pandas(out, schema=line_schema,
                                         preserve_index=False)
 
+        n_lpair = _join_partitions(sf_dir, "lineitem", selectivity=0.08)
         line_ds = line_raw.map_batches(line_proj, batch_format="pandas") \
             .join(supp_ds.map_batches(supp_pair, batch_format="pyarrow"),
-                  join_type="inner", num_partitions=8,
+                  join_type="inner", num_partitions=n_lpair,
                   on=("l_suppkey",), right_on=("s_suppkey",)) \
             .map_batches(fold_supp, batch_format="pandas")
 
@@ -1377,58 +1379,134 @@ def q13_order_count_dist(sf_dir: str) -> pd.DataFrame:
 _Q17_BRAND = "Brand#23"
 
 
-def q17_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+def q17_small_qty_revenue(sf_dir: str,
+                          broadcast_max_rows: int = _CUST_BROADCAST_MAX
+                          ) -> pd.DataFrame:
     """Average yearly revenue lost if small-quantity orders (below 20 % of
     the part's average order quantity) of one brand were dropped.
 
     The correlated subquery (per-part AVG over the same fact table)
-    becomes: pass 1 streams lineitem pre-filtered to the brand's part
-    keys (broadcast sorted int64 array) into per-batch (partkey, sum_qty,
-    n) partials + one small groupby; the driver turns that ~|brand parts|
-    result into a broadcast threshold array; pass 2 streams lineitem
-    again with a vectorized ``searchsorted`` threshold compare.  The
-    quantity average is exact (quantities are integral doubles, so any
-    summation order is lossless), and revenue sums in integer cents."""
+    becomes two passes over lineitem.  Under ``broadcast_max_rows`` the
+    brand's part keys and the per-part thresholds are broadcast sorted
+    arrays (pass 1 partials fold on the driver, ~|brand parts| rows).
+    Above it (part is fact-scale at 100×) pass 1 runs as a left_semi
+    join on the part key with the per-part (sum_qty, n) settling under a
+    64-way part-hash bucket, the threshold table STAYS a Dataset, and
+    pass 2 resolves the compare through an inner join on the part key —
+    the threshold expression ``qty < 0.2·(sum/n)`` is the identical
+    float arithmetic on both plans, so they agree bit-for-bit.  Revenue
+    sums in integer cents either way."""
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
-    brand_keys = part.map_batches(
-        lambda df: df.loc[df["p_brand"] == _Q17_BRAND, ["p_partkey"]],
-        batch_format="pandas").to_pandas()
-    keys_ref = ray.put(np.sort(brand_keys["p_partkey"].to_numpy(dtype="int64")))
-
     line_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
 
-    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
-        df = df[_in_sorted(df["l_partkey"].to_numpy(dtype="int64"), keys)]
-        out = df.groupby("l_partkey", as_index=False).agg(
-            sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"))
-        return out
+    if part.count() <= broadcast_max_rows:
+        _LAST_PATH["q17"] = "broadcast"
+        brand_keys = part.map_batches(
+            lambda df: df.loc[df["p_brand"] == _Q17_BRAND, ["p_partkey"]],
+            batch_format="pandas").to_pandas()
+        keys_ref = _ray_put(
+            np.sort(brand_keys["p_partkey"].to_numpy(dtype="int64")))
 
-    qty = _read(sf_dir, "lineitem", line_cols) \
-        .map_batches(qty_partial, batch_format="pandas").to_pandas()
-    qty = qty.groupby("l_partkey", as_index=False).agg(
-        sum_qty=("sum_qty", "sum"), n=("n", "sum"))
-    order = np.argsort(qty["l_partkey"].to_numpy(dtype="int64"))
-    thresh_ref = ray.put((
-        qty["l_partkey"].to_numpy(dtype="int64")[order],
-        (0.2 * (qty["sum_qty"].to_numpy() / qty["n"].to_numpy()))[order],
-    ))
+        def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(keys_ref)
+            df = df[_in_sorted(df["l_partkey"].to_numpy(dtype="int64"),
+                               keys)]
+            out = df.groupby("l_partkey", as_index=False).agg(
+                sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"))
+            return out
 
-    def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
-        keys, thresh = ray.get(thresh_ref)
-        pk = df["l_partkey"].to_numpy(dtype="int64")
-        hit = _in_sorted(pk, keys)
-        df = df[hit]
-        small = df["l_quantity"].to_numpy() < thresh[
-            np.searchsorted(keys, pk[hit])]
-        df = df[small]
-        cents = np.floor(
-            df["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
-        return pd.DataFrame({"price_cents": [int(cents.sum())]})
+        qty = _read(sf_dir, "lineitem", line_cols) \
+            .map_batches(qty_partial, batch_format="pandas").to_pandas()
+        qty = qty.groupby("l_partkey", as_index=False).agg(
+            sum_qty=("sum_qty", "sum"), n=("n", "sum"))
+        order = np.argsort(qty["l_partkey"].to_numpy(dtype="int64"))
+        thresh_ref = _ray_put((
+            qty["l_partkey"].to_numpy(dtype="int64")[order],
+            (0.2 * (qty["sum_qty"].to_numpy() / qty["n"].to_numpy()))[order],
+        ))
 
-    parts = _read(sf_dir, "lineitem", line_cols) \
-        .map_batches(rev_partial, batch_format="pandas").to_pandas()
-    total_cents = int(parts["price_cents"].sum())
+        def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+            keys, thresh = ray.get(thresh_ref)
+            pk = df["l_partkey"].to_numpy(dtype="int64")
+            hit = _in_sorted(pk, keys)
+            df = df[hit]
+            small = df["l_quantity"].to_numpy() < thresh[
+                np.searchsorted(keys, pk[hit])]
+            df = df[small]
+            cents = np.floor(
+                df["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
+            return pd.DataFrame({"price_cents": [int(cents.sum())]})
+
+        parts = _read(sf_dir, "lineitem", line_cols) \
+            .map_batches(rev_partial, batch_format="pandas").to_pandas()
+        total_cents = int(parts["price_cents"].sum())
+    else:
+        _LAST_PATH["q17"] = "shuffle"
+        # one brand is ~1/25 of parts; size the hash partitions to the
+        # post-filter flow so no partition comes up EMPTY (the
+        # _join_partitions schema-loss contract)
+        n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.04)
+        bk_schema = pa.schema([("p_partkey", pa.int64())])
+        brand_ds = part.map_batches(
+            lambda t: t.filter(pc.equal(t["p_brand"], _Q17_BRAND))
+            .select(["p_partkey"]).cast(bk_schema),
+            batch_format="pyarrow")
+
+        lq_schema = pa.schema([("l_partkey", pa.int64()),
+                               ("l_quantity", pa.float64()),
+                               ("cents", pa.int64())])
+
+        def line_proj(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame({
+                "l_partkey": df["l_partkey"].astype("int64"),
+                "l_quantity": df["l_quantity"].astype("float64"),
+                "cents": np.floor(df["l_extendedprice"].to_numpy() * 100
+                                  + 0.5).astype("int64")})
+            return pa.Table.from_pandas(out, schema=lq_schema,
+                                        preserve_index=False)
+
+        brand_lines = _read(sf_dir, "lineitem", line_cols) \
+            .map_batches(line_proj, batch_format="pandas") \
+            .join(brand_ds, join_type="left_semi", num_partitions=n_parts,
+                  on=("l_partkey",), right_on=("p_partkey",)) \
+            .materialize()
+
+        # per-part (sum_qty, n) under a 64-way part-hash bucket — the
+        # threshold table never leaves the workers whole
+        def qpart(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("l_partkey", as_index=False).agg(
+                sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"))
+            out["_b"] = (out["l_partkey"].astype("int64") % 64) \
+                .astype("int64")
+            return out
+
+        qty_schema = pa.schema([("t_partkey", pa.int64()),
+                                ("sum_qty", pa.float64()),
+                                ("n", pa.int64())])
+
+        def qbucket(df: pd.DataFrame) -> pa.Table:
+            out = df.groupby("l_partkey", as_index=False).agg(
+                sum_qty=("sum_qty", "sum"), n=("n", "sum"))
+            out = out.rename(columns={"l_partkey": "t_partkey"})
+            return pa.Table.from_pandas(out, schema=qty_schema,
+                                        preserve_index=False)
+
+        qty_ds = brand_lines.map_batches(qpart, batch_format="pandas") \
+            .groupby("_b").map_groups(qbucket, batch_format="pandas")
+
+        joined = brand_lines.join(
+            qty_ds, join_type="inner", num_partitions=n_parts,
+            on=("l_partkey",), right_on=("t_partkey",))
+
+        def small_partial(df: pd.DataFrame) -> pd.DataFrame:
+            small = df["l_quantity"].to_numpy() < \
+                0.2 * (df["sum_qty"].to_numpy() / df["n"].to_numpy())
+            return pd.DataFrame({"price_cents": [int(
+                df["cents"].to_numpy(dtype="int64")[small].sum())]})
+
+        parts = joined.map_batches(small_partial,
+                                   batch_format="pandas").to_pandas()
+        total_cents = int(parts["price_cents"].sum())
     # floor(x*100+0.5)/100, NOT Python round(): round() is banker's
     # rounding, the oracle SQL mirrors this exact half-away formula
     v = total_cents / 100.0 / 7.0
@@ -1754,9 +1832,10 @@ def q8_market_share(sf_dir: str,
                          value_set=region_set)
             return t.filter(m).select(["c_custkey"]).cast(ckeys_schema)
 
+        n_ord = _join_partitions(sf_dir, "orders", selectivity=0.2)
         orders_ds = orders_raw.join(
             cust_ds.map_batches(cust_region, batch_format="pyarrow"),
-            join_type="left_semi", num_partitions=8,
+            join_type="left_semi", num_partitions=n_ord,
             on=("o_custkey",), right_on=("c_custkey",),
         ).map_batches(
             lambda t: t.select(["o_orderkey"]).cast(orders_schema),
@@ -1783,8 +1862,9 @@ def q8_market_share(sf_dir: str,
             lambda t: t.select(["s_suppkey", "s_nationkey"])
             .cast(supp_schema), batch_format="pyarrow")
 
+        n_lj = _join_partitions(sf_dir, "lineitem", selectivity=1.0)
         lj = line_raw.map_batches(line_proj, batch_format="pandas").join(
-            sds, join_type="inner", num_partitions=8,
+            sds, join_type="inner", num_partitions=n_lj,
             on=("l_suppkey",), right_on=("s_suppkey",))
 
         def to_oy(df: pd.DataFrame) -> pa.Table:
@@ -1916,8 +1996,9 @@ def q9_nation_profit(sf_dir: str,
             return pa.Table.from_pandas(out, schema=proj_schema,
                                         preserve_index=False)
 
+        n_fam = _join_partitions(sf_dir, "lineitem", selectivity=0.1)
         fam_lines = line_ds.map_batches(line_proj, batch_format="pandas") \
-            .join(fam_ds, join_type="left_semi", num_partitions=8,
+            .join(fam_ds, join_type="left_semi", num_partitions=n_fam,
                   on=("l_partkey",), right_on=("p_partkey",))
 
         # collapse to (suppkey, year) partials BEFORE the supplier join
@@ -1931,8 +2012,9 @@ def q9_nation_profit(sf_dir: str,
             lambda t: t.select(["s_suppkey", "s_nationkey"])
             .cast(supp_schema), batch_format="pyarrow")
 
+        n_supp = _join_partitions(sf_dir, "supplier", selectivity=1.0)
         joined = fam_lines.map_batches(pre_agg, batch_format="pandas") \
-            .join(sds, join_type="inner", num_partitions=8,
+            .join(sds, join_type="inner", num_partitions=n_supp,
                   on=("l_suppkey",), right_on=("s_suppkey",))
 
         def nk_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -2431,7 +2513,9 @@ def q2_min_cost_part(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def q5_rollup_revenue(sf_dir: str) -> pd.DataFrame:
+def q5_rollup_revenue(sf_dir: str,
+                      broadcast_max_rows: int = _CUST_BROADCAST_MAX
+                      ) -> pd.DataFrame:
     """Revenue rolled up region ⊃ nation ⊃ grand total.
 
     One distributed pass computes the finest level (per-nation integer
@@ -2445,24 +2529,47 @@ def q5_rollup_revenue(sf_dir: str) -> pd.DataFrame:
     nation = _read(sf_dir, "nation",
                    ["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    order = np.argsort(cust["c_custkey"].to_numpy(dtype="int64"))
-    cust_ref = ray.put((
-        cust["c_custkey"].to_numpy(dtype="int64")[order],
-        cust["c_nationkey"].to_numpy(dtype="int32")[order],
-    ))
-
+    cust_ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
-    def orders_nk(df: pd.DataFrame) -> pd.DataFrame:
-        keys, nks = ray.get(cust_ref)
-        ck = df["o_custkey"].to_numpy(dtype="int64")
-        hit = _in_sorted(ck, keys)
-        df = df[hit].copy()
-        df["nk"] = nks[np.searchsorted(keys, ck[hit])]
-        return df[["o_orderkey", "nk"]]
+    if cust_ds.count() <= broadcast_max_rows:
+        _LAST_PATH["q5_rollup"] = "broadcast"
+        cust = cust_ds.to_pandas()
+        order = np.argsort(cust["c_custkey"].to_numpy(dtype="int64"))
+        cust_ref = _ray_put((
+            cust["c_custkey"].to_numpy(dtype="int64")[order],
+            cust["c_nationkey"].to_numpy(dtype="int32")[order],
+        ))
 
-    orders_ds = orders_ds.map_batches(orders_nk, batch_format="pandas")
+        def orders_nk(t: pa.Table) -> pa.Table:
+            keys, nks = ray.get(cust_ref)
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False) \
+                .astype("int64")
+            hit = _in_sorted(ck, keys)
+            ok = t["o_orderkey"].to_numpy(zero_copy_only=False) \
+                .astype("int64")[hit]
+            nk = nks[np.searchsorted(keys, ck[hit])].astype("int64")
+            return pa.table({"o_orderkey": pa.array(ok, pa.int64()),
+                             "nk": pa.array(nk, pa.int64())})
+
+        orders_ds = orders_ds.map_batches(orders_nk,
+                                          batch_format="pyarrow")
+    else:
+        _LAST_PATH["q5_rollup"] = "shuffle"
+        cust_schema = pa.schema([("c_custkey", pa.int64()),
+                                 ("c_nationkey", pa.int64())])
+        nk_schema = pa.schema([("o_orderkey", pa.int64()),
+                               ("nk", pa.int64())])
+        orders_ds = orders_ds.join(
+            cust_ds.map_batches(
+                lambda t: t.select(["c_custkey", "c_nationkey"])
+                .cast(cust_schema), batch_format="pyarrow"),
+            join_type="inner", num_partitions=8,
+            on=("o_custkey",), right_on=("c_custkey",),
+        ).map_batches(
+            lambda t: pa.table({"o_orderkey": t["o_orderkey"],
+                                "nk": t["c_nationkey"]}).cast(nk_schema),
+            batch_format="pyarrow")
 
     line_ds = _read(sf_dir, "lineitem",
                     ["l_orderkey", "l_extendedprice", "l_discount"])

@@ -719,6 +719,16 @@ class TestCustomerShufflePath:
         assert rel._LAST_PATH["q8"] == "shuffle"
         assert len(a) > 0
 
+    def test_q17_threshold_join_matches_broadcast(self, monkeypatch):
+        a = self._forced(monkeypatch, rel.q17_small_qty_revenue)
+        assert rel._LAST_PATH["q17"] == "shuffle"
+        assert len(a) == 1
+
+    def test_q5_rollup_join_matches_broadcast(self, monkeypatch):
+        a = self._forced(monkeypatch, rel.q5_rollup_revenue)
+        assert rel._LAST_PATH["q5_rollup"] == "shuffle"
+        assert len(a) > 0
+
 
 def test_q7_empty_join_side_returns_empty_frame():
     """Regression: a nation pair with NO suppliers at this SF makes the
