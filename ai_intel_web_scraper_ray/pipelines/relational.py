@@ -2773,45 +2773,87 @@ _Q11_NATION = "NATION_3"
 _Q11_FRACTION = 0.001
 
 
-def q11_part_value_share(sf_dir: str) -> pd.DataFrame:
+def q11_part_value_share(sf_dir: str,
+                         broadcast_max_rows: int = _CUST_BROADCAST_MAX
+                         ) -> pd.DataFrame:
     """TPC-H Q11 shape: parts whose revenue from one nation's suppliers
     exceeds FRACTION of that nation's total revenue.
 
-    Scale shape: the nation's supplier keys are a broadcast SORTED int64
-    array (one ``ray.put``, ``searchsorted`` membership per batch — the
-    q17/q19 keyset pattern); pass 1 streams lineitem into a scalar total
-    via 1-row per-batch partials; pass 2 re-streams into bucketed
-    per-part sums (64 partkey-hash buckets, one vectorized pandas groupby
-    per bucket) with the threshold applied INSIDE the bucket — the driver
-    never holds per-part state, only the winners, and the winner count is
-    bounded by 1/FRACTION by construction (shares sum to 1)."""
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    Scale shape: under ``broadcast_max_rows`` the nation's supplier keys
+    are a broadcast SORTED int64 array (one ``ray.put``, ``searchsorted``
+    membership per batch — the q17/q19 keyset pattern); above it the
+    nation filter runs ONCE as a left_semi join on the supp key and the
+    filtered (partkey, cents) projection is materialized for both
+    passes.  Either way pass 1 folds a scalar total via 1-row per-batch
+    partials and pass 2 finishes bucketed per-part sums (64 partkey-hash
+    buckets, one vectorized pandas groupby per bucket) with the
+    threshold applied INSIDE the bucket — the driver never holds
+    per-part state, only the winners, and the winner count is bounded by
+    1/FRACTION by construction (shares sum to 1)."""
+    supp_ds = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
     nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
     nk = int(nat.loc[nat["n_name"] == _Q11_NATION, "n_nationkey"].iloc[0])
-    keys_ref = ray.put(np.sort(
-        supp.loc[supp["s_nationkey"] == nk, "s_suppkey"]
-        .to_numpy(dtype="int64")))
 
     cols = ["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"]
 
-    def total_partial(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
-        df = df[_in_sorted(df["l_suppkey"].to_numpy(dtype="int64"), keys)]
-        return pd.DataFrame({"v": [int(_rev_cents(
-            df["l_extendedprice"], df["l_discount"]).sum())]})
+    if supp_ds.count() <= broadcast_max_rows:
+        _LAST_PATH["q11"] = "broadcast"
+        supp = supp_ds.to_pandas()
+        keys_ref = _ray_put(np.sort(
+            supp.loc[supp["s_nationkey"] == nk, "s_suppkey"]
+            .to_numpy(dtype="int64")))
 
-    total = int(_read(sf_dir, "lineitem", cols)
-                .map_batches(total_partial, batch_format="pandas")
+        def nat_proj(df: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(keys_ref)
+            df = df[_in_sorted(df["l_suppkey"].to_numpy(dtype="int64"),
+                               keys)].copy()
+            return pd.DataFrame({
+                "l_partkey": df["l_partkey"].astype("int64"),
+                "v": _rev_cents(df["l_extendedprice"], df["l_discount"])})
+
+        nat_lines = _read(sf_dir, "lineitem", cols) \
+            .map_batches(nat_proj, batch_format="pandas").materialize()
+    else:
+        _LAST_PATH["q11"] = "shuffle"
+        sk_schema = pa.schema([("s_suppkey", pa.int64())])
+        skeys_ds = supp_ds.map_batches(
+            lambda t: t.filter(pc.equal(
+                pc.cast(t["s_nationkey"], pa.int64()), nk))
+            .select(["s_suppkey"]).cast(sk_schema),
+            batch_format="pyarrow")
+
+        lp_schema = pa.schema([("l_partkey", pa.int64()),
+                               ("l_suppkey", pa.int64()),
+                               ("v", pa.int64())])
+
+        def line_proj(df: pd.DataFrame) -> pa.Table:
+            out = pd.DataFrame({
+                "l_partkey": df["l_partkey"].astype("int64"),
+                "l_suppkey": df["l_suppkey"].astype("int64"),
+                "v": _rev_cents(df["l_extendedprice"], df["l_discount"])})
+            return pa.Table.from_pandas(out, schema=lp_schema,
+                                        preserve_index=False)
+
+        n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.04)
+        nat_lines = _read(sf_dir, "lineitem", cols) \
+            .map_batches(line_proj, batch_format="pandas") \
+            .join(skeys_ds, join_type="left_semi",
+                  num_partitions=n_parts,
+                  on=("l_suppkey",), right_on=("s_suppkey",)) \
+            .materialize()
+
+    def total_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "v": [int(df["v"].to_numpy(dtype="int64").sum())]})
+
+    total = int(nat_lines.map_batches(total_partial,
+                                      batch_format="pandas")
                 .to_pandas()["v"].sum())
     # int64 total < 2^53 cents → the double product matches DuckDB's
     # HUGEINT-to-double promotion bit-for-bit
     thr = total * _Q11_FRACTION
 
     def part_partial(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
-        df = df[_in_sorted(df["l_suppkey"].to_numpy(dtype="int64"),
-                           keys)].copy()
-        df["v"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
         out = df.groupby("l_partkey", as_index=False)["v"].sum()
         out["_b"] = (out["l_partkey"].astype("int64") % 64).astype("int64")
         return out[["l_partkey", "v", "_b"]]
@@ -2820,8 +2862,7 @@ def q11_part_value_share(sf_dir: str) -> pd.DataFrame:
         out = df.groupby("l_partkey", as_index=False)["v"].sum()
         return out[out["v"].to_numpy() > thr]
 
-    out = _read(sf_dir, "lineitem", cols) \
-        .map_batches(part_partial, batch_format="pandas") \
+    out = nat_lines.map_batches(part_partial, batch_format="pandas") \
         .groupby("_b").map_groups(bucket_winners, batch_format="pandas") \
         .to_pandas()
     if out.empty:
@@ -2847,14 +2888,19 @@ _Q20_HI = "1998-01-01"
 _Q20_MULT = 1.2
 
 
-def q20_excess_shippers(sf_dir: str) -> pd.DataFrame:
+def q20_excess_shippers(sf_dir: str,
+                        broadcast_max_rows: int = _CUST_BROADCAST_MAX
+                        ) -> pd.DataFrame:
     """TPC-H Q20 shape: suppliers whose shipped quantity of PREFIX-named
     parts over a two-year window exceeds MULT × the average such total.
 
-    Scale shape: the prefix part keys are a broadcast sorted int64 array
-    (lineitem never shuffles); per-supplier totals run as bucketed
-    aggregation (64 suppkey-hash buckets); the bucket output (ONE row per
-    qualifying supplier) is materialized once and consumed twice — a
+    Scale shape: under ``broadcast_max_rows`` the prefix part keys are a
+    broadcast sorted int64 array (lineitem never shuffles); above it
+    (part is fact-scale at 100×) the prefix filter runs as a left_semi
+    join on the part key over the window-filtered (suppkey, partkey, q)
+    projection.  Either way per-supplier totals run as bucketed
+    aggregation (64 suppkey-hash buckets); the bucket output (ONE row
+    per qualifying supplier) is materialized once and consumed twice — a
     1-row-per-batch moment partial for the exact global average, then a
     broadcast-threshold filter whose winners (a small tail by
     construction) are the only rows the driver collects.  Names resolve
@@ -2862,30 +2908,71 @@ def q20_excess_shippers(sf_dir: str) -> pd.DataFrame:
     only (the q15 pattern).  Quantities are integral doubles → int64
     sums, so every aggregate is order-independent and SQL-exact."""
     part = _read(sf_dir, "part", ["p_partkey", "p_name"])
-    pk = part.map_batches(
-        lambda df: df.loc[df["p_name"].str.startswith(_Q20_PREFIX),
-                          ["p_partkey"]],
-        batch_format="pandas").to_pandas()
-    keys_ref = ray.put(np.sort(pk["p_partkey"].to_numpy(dtype="int64")))
     lo = pd.Timestamp(_Q20_LO)
     hi = pd.Timestamp(_Q20_HI)
-
-    def supp_partial(df: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(keys_ref)
-        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
-        df = df[_in_sorted(df["l_partkey"].to_numpy(dtype="int64"),
-                           keys)].copy()
-        df["q"] = df["l_quantity"].to_numpy().astype("int64")
-        out = df.groupby("l_suppkey", as_index=False)["q"].sum()
-        out["_b"] = (out["l_suppkey"].astype("int64") % 64).astype("int64")
-        return out[["l_suppkey", "q", "_b"]]
 
     def bucket_sum(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("l_suppkey", as_index=False)["q"].sum()
 
-    per_supp = _read(sf_dir, "lineitem",
-                     ["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"]) \
-        .map_batches(supp_partial, batch_format="pandas") \
+    line_raw = _read(sf_dir, "lineitem",
+                     ["l_suppkey", "l_partkey", "l_quantity", "l_shipdate"])
+
+    if part.count() <= broadcast_max_rows:
+        _LAST_PATH["q20"] = "broadcast"
+        pk = part.map_batches(
+            lambda df: df.loc[df["p_name"].str.startswith(_Q20_PREFIX),
+                              ["p_partkey"]],
+            batch_format="pandas").to_pandas()
+        keys_ref = _ray_put(np.sort(pk["p_partkey"].to_numpy(dtype="int64")))
+
+        def supp_partial(df: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(keys_ref)
+            df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+            df = df[_in_sorted(df["l_partkey"].to_numpy(dtype="int64"),
+                               keys)].copy()
+            df["q"] = df["l_quantity"].to_numpy().astype("int64")
+            out = df.groupby("l_suppkey", as_index=False)["q"].sum()
+            out["_b"] = (out["l_suppkey"].astype("int64") % 64) \
+                .astype("int64")
+            return out[["l_suppkey", "q", "_b"]]
+
+        partials = line_raw.map_batches(supp_partial,
+                                        batch_format="pandas")
+    else:
+        _LAST_PATH["q20"] = "shuffle"
+        pk_schema = pa.schema([("p_partkey", pa.int64())])
+        pk_ds = part.map_batches(
+            lambda t: t.filter(pc.starts_with(t["p_name"], _Q20_PREFIX))
+            .select(["p_partkey"]).cast(pk_schema),
+            batch_format="pyarrow")
+
+        lp_schema = pa.schema([("l_suppkey", pa.int64()),
+                               ("l_partkey", pa.int64()),
+                               ("q", pa.int64())])
+
+        def line_proj(df: pd.DataFrame) -> pa.Table:
+            df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)]
+            out = pd.DataFrame({
+                "l_suppkey": df["l_suppkey"].astype("int64"),
+                "l_partkey": df["l_partkey"].astype("int64"),
+                "q": df["l_quantity"].to_numpy().astype("int64")})
+            return pa.Table.from_pandas(out, schema=lp_schema,
+                                        preserve_index=False)
+
+        n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.1)
+
+        def supp_fold(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.groupby("l_suppkey", as_index=False)["q"].sum()
+            out["_b"] = (out["l_suppkey"].astype("int64") % 64) \
+                .astype("int64")
+            return out[["l_suppkey", "q", "_b"]]
+
+        partials = line_raw.map_batches(line_proj, batch_format="pandas") \
+            .join(pk_ds, join_type="left_semi", num_partitions=n_parts,
+                  on=("l_partkey",), right_on=("p_partkey",)) \
+            .map_batches(supp_fold, batch_format="pandas")
+
+    per_supp = partials \
         .groupby("_b").map_groups(bucket_sum, batch_format="pandas") \
         .materialize()
 

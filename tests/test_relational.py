@@ -729,6 +729,15 @@ class TestCustomerShufflePath:
         assert rel._LAST_PATH["q5_rollup"] == "shuffle"
         assert len(a) > 0
 
+    def test_q11_nation_semi_join_matches_broadcast(self, monkeypatch):
+        a = self._forced(monkeypatch, rel.q11_part_value_share)
+        assert rel._LAST_PATH["q11"] == "shuffle"
+        assert len(a) > 0
+
+    def test_q20_prefix_semi_join_matches_broadcast(self, monkeypatch):
+        self._forced(monkeypatch, rel.q20_excess_shippers)
+        assert rel._LAST_PATH["q20"] == "shuffle"
+
 
 def test_q7_empty_join_side_returns_empty_frame():
     """Regression: a nation pair with NO suppliers at this SF makes the
