@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cms_topk": rel.events_cms_topk,
         "events_watermark_late": rel.events_watermark_late,
         "events_late_window_agg": rel.events_late_window_agg,
+        "events_salted_segment_join": rel.events_salted_segment_join,
         "events_window_join": rel.events_window_join,
         "orders_incremental_agg": rel.orders_incremental_agg,
         "events_anomaly_mad": rel.events_anomaly_mad,
@@ -3263,6 +3264,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN late THEN 0 ELSE cents END)
                         AS BIGINT) AS accepted_cents
             FROM lab GROUP BY day ORDER BY day
+        """,
+        # per-segment census through the hot-key-salted fact⋈dim join —
+        # the twin derives the segment directly, so any row lost or
+        # duplicated by the salting/replication mechanics hash-mismatches
+        "events_salted_segment_join": """
+            SELECT user_id % 7 AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM events GROUP BY segment ORDER BY segment
         """,
         # last-value-wins compaction of the keyed event log
         "events_log_compaction": """

@@ -5157,6 +5157,150 @@ _WJOIN_WINDOW_US = 3_600_000_000
 _WJOIN_SPAN = 10**14  # composite-key stride; bucket-local ts offsets < this
 
 
+# hot-key-salted join: diagnostics of the last run, test-introspection
+# only ({"n_hot": int, "salt": int, "avg_ppm_threshold": int})
+_LAST_SALT_INFO: dict = {}
+
+_SALT_WAYS = 8
+_SALT_HOT_FACTOR_PPM = 1_200_000     # hot ⇔ count > 1.2 × mean
+
+
+def events_salted_segment_join(sf_dir: str, salt: int = _SALT_WAYS,
+                               hot_factor_ppm: int = _SALT_HOT_FACTOR_PPM
+                               ) -> pd.DataFrame:
+    """Per-segment event census through a HOT-KEY-SALTED hash join —
+    the skew-mitigation pattern for fact⋈dim joins whose key
+    distribution would otherwise funnel one partition: (segment,
+    n_events, value_cents) where the user→segment dimension joins the
+    event fact table on user_id.
+
+    Salting mechanics (the deliverable here — the census itself is
+    trivially derivable, which is exactly what makes the oracle twin a
+    sharp check of the join):
+    1. a (user_id, n) count pass settles under 64 user-hash buckets;
+       per-bucket (Σn, #users) scalars fold the global mean on the
+       driver (O(64) state);
+    2. HOT keys — count·10⁶ > mean·hot_factor_ppm — are collected and
+       broadcast; by construction #hot ≤ 10⁶·#users/hot_factor_ppm,
+       so the broadcast is bounded by a FRACTION of the key space, not
+       the data;
+    3. the fact side tags hot rows with ``hash(event_id) % salt``
+       (cold rows salt 0), the dim side REPLICATES each hot user's row
+       ``salt`` ways (cold rows once, salt 0), and the join runs on the
+       composite (user_id, _salt) key — a hot key's rows now land in
+       ``salt`` partitions instead of one;
+    4. post-join per-segment partials reduce to ≤ 7 rows per batch.
+
+    ``salt=1`` degenerates to the plain join (tests pin equality), and
+    ``_LAST_SALT_INFO`` records how many keys were actually salted."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    # pass 1: per-user counts under user-hash buckets → global mean
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+        if len(u) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "_b": pd.Series([], dtype="int64")})
+        uk, cnt = np.unique(u, return_counts=True)
+        return pd.DataFrame({"user_id": uk, "n": cnt.astype("int64"),
+                             "_b": uk % 64})
+
+    def bucket_fold(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("user_id", as_index=False)["n"].sum()
+        return out.astype({"user_id": "int64", "n": "int64"})
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(bucket_fold, batch_format="pandas") \
+        .materialize()
+    moments = counts.map_batches(
+        lambda df: pd.DataFrame({"s": [int(df["n"].sum())],
+                                 "k": [len(df)]}),
+        batch_format="pandas").to_pandas()
+    total_n, n_users = int(moments["s"].sum()), int(moments["k"].sum())
+    empty = pd.DataFrame({"segment": pd.Series([], dtype="int64"),
+                          "n_events": pd.Series([], dtype="int64"),
+                          "value_cents": pd.Series([], dtype="int64")})
+    if n_users == 0:
+        return empty
+
+    # hot ⇔ n · 10⁶ · n_users > total · hot_factor_ppm  (exact ints)
+    def hot_partial(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["n"].to_numpy(dtype="int64") * 1_000_000 * n_users > \
+            total_n * hot_factor_ppm
+        return df.loc[m, ["user_id"]]
+
+    hot = counts.map_batches(hot_partial, batch_format="pandas").to_pandas()
+    hot_keys = np.sort(hot["user_id"].to_numpy(dtype="int64")) \
+        if len(hot) else np.array([], dtype="int64")
+    _LAST_SALT_INFO.update(n_hot=len(hot_keys), salt=salt,
+                           avg_ppm_threshold=hot_factor_ppm)
+    hot_ref = _ray_put(hot_keys)
+
+    # dim side: distinct users (from the counts Dataset — already one
+    # row per user), segment derived; hot users replicate `salt` ways
+    dim_schema = pa.schema([("d_user", pa.int64()),
+                            ("d_salt", pa.int64()),
+                            ("segment", pa.int64())])
+
+    def dim_rows(df: pd.DataFrame) -> pa.Table:
+        hk = ray.get(hot_ref)
+        u = df["user_id"].to_numpy(dtype="int64")
+        is_hot = _in_sorted(u, hk)
+        cold = u[~is_hot]
+        hotu = u[is_hot]
+        du = np.concatenate([cold, np.repeat(hotu, salt)])
+        dsalt = np.concatenate([
+            np.zeros(len(cold), dtype="int64"),
+            np.tile(np.arange(salt, dtype="int64"), len(hotu))])
+        out = pd.DataFrame({"d_user": du, "d_salt": dsalt,
+                            "segment": du % 7})
+        return pa.Table.from_pandas(out, schema=dim_schema,
+                                    preserve_index=False)
+
+    dim_ds = counts.map_batches(dim_rows, batch_format="pandas")
+
+    fact_schema = pa.schema([("user_id", pa.int64()),
+                             ("_salt", pa.int64()),
+                             ("cents", pa.int64())])
+
+    def fact_rows(t: pa.Table) -> pa.Table:
+        hk = ray.get(hot_ref)
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype("int64")
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype("int64")
+        is_hot = _in_sorted(u, hk)
+        srow = np.where(is_hot, eid % salt, 0).astype("int64")
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "_salt": pa.array(srow, pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    fact_ds = ds.map_batches(fact_rows, batch_format="pyarrow")
+
+    n_parts = _join_partitions(sf_dir, "events", selectivity=1.0)
+    joined = fact_ds.join(
+        dim_ds, join_type="inner", num_partitions=n_parts,
+        on=("user_id", "_salt"), right_on=("d_user", "d_salt"))
+
+    def seg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("segment", as_index=False).agg(
+            n_events=("cents", "size"), value_cents=("cents", "sum"))
+        return out.astype({"segment": "int64", "n_events": "int64",
+                           "value_cents": "int64"})
+
+    parts = joined.map_batches(seg_partial, batch_format="pandas") \
+        .to_pandas()
+    if parts.empty:
+        return empty
+    out = parts.groupby("segment", as_index=False).agg(
+        n_events=("n_events", "sum"), value_cents=("value_cents", "sum"))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("segment").reset_index(drop=True)
+
+
 def events_window_join(sf_dir: str) -> pd.DataFrame:
     """Per purchase day: how many (click, purchase) same-user pairs where
     the click lands within the hour before the purchase (inclusive both

@@ -2568,3 +2568,24 @@ class TestLateWindowAgg:
         finally:
             rel._read = orig_read
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSaltedJoin:
+    def test_salted_equals_unsalted_and_hot_keys_fan_out(self):
+        """salt=1 is the plain join; salt=8 with an all-hot threshold
+        must produce the identical census while actually salting every
+        key (fan-out recorded in _LAST_SALT_INFO)."""
+        import pandas as pd
+
+        plain = rel.events_salted_segment_join(SF_DIR, salt=1)
+        salted = rel.events_salted_segment_join(SF_DIR, salt=8,
+                                                hot_factor_ppm=0)
+        assert rel._LAST_SALT_INFO["n_hot"] > 0
+        pd.testing.assert_frame_equal(plain, salted)
+
+    def test_default_threshold_bounds_hot_set(self):
+        rel.events_salted_segment_join(SF_DIR)
+        info = rel._LAST_SALT_INFO
+        # hot ⇔ count > 1.2×mean  ⇒  #hot < #users/1.2 by Markov
+        assert info["n_hot"] >= 0
+        assert info["salt"] == rel._SALT_WAYS
