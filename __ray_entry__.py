@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark_late": rel.events_watermark_late,
         "events_late_window_agg": rel.events_late_window_agg,
         "events_salted_segment_join": rel.events_salted_segment_join,
+        "events_cdc_state": rel.events_cdc_state,
         "events_window_join": rel.events_window_join,
         "orders_incremental_agg": rel.orders_incremental_agg,
         "events_anomaly_mad": rel.events_anomaly_mad,
@@ -3264,6 +3265,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN late THEN 0 ELSE cents END)
                         AS BIGINT) AS accepted_cents
             FROM lab GROUP BY day ORDER BY day
+        """,
+        # delete-aware CDC merge: final state per user = last op by
+        # (ts, event_id); 'error' deletes the key; census the live keys
+        "events_cdc_state": """
+            WITH last AS (
+                SELECT user_id, event_type, value,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC,
+                                                   event_id DESC) AS rn
+                FROM events)
+            SELECT user_id % 7 AS segment,
+                   CAST(COUNT(*) AS BIGINT) AS n_live,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS value_cents
+            FROM last WHERE rn = 1 AND event_type <> 'error'
+            GROUP BY segment ORDER BY segment
         """,
         # per-segment census through the hot-key-salted fact⋈dim join —
         # the twin derives the segment directly, so any row lost or

@@ -5157,6 +5157,67 @@ _WJOIN_WINDOW_US = 3_600_000_000
 _WJOIN_SPAN = 10**14  # composite-key stride; bucket-local ts offsets < this
 
 
+_CDC_DELETE = "error"     # changelog op mapping: error ⇒ DELETE the key
+
+
+def events_cdc_state(sf_dir: str) -> pd.DataFrame:
+    """Delete-aware CDC merge (lakehouse MERGE INTO semantics): replay
+    the event stream as a changelog on key = user_id — every event
+    upserts the key's value, except ``error`` which DELETES the key —
+    and census the merged final state: (segment = user_id % 7, n_live,
+    value_cents) over keys whose LAST op (by event time, event_id
+    tiebreak) is not a delete.  The delete-aware sibling of
+    events_log_compaction's last-value-wins upsert.
+
+    Scale shape: "last op per key" is associative — per-batch partials
+    keep only each key's local winner (vectorized sort + tail, no
+    Python per key), the user-hash bucket settles the global winner and
+    applies the delete filter, and only ≤ 7-row segment partials leave
+    the buckets.  One projection exchange, no global sort."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def local_last(df: pd.DataFrame) -> pd.DataFrame:
+        w = df.sort_values(["ts", "event_id"]) \
+            .groupby("user_id", as_index=False).tail(1).copy()
+        w["_b"] = (w["user_id"] % 64).astype("int64")
+        return w[["event_id", "ts", "user_id", "event_type", "value",
+                  "_b"]]
+
+    def bucket_state(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"segment": pd.Series([], dtype="int64"),
+                "n_live": pd.Series([], dtype="int64"),
+                "value_cents": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame(cols)
+        w = df.sort_values(["ts", "event_id"]) \
+            .groupby("user_id", as_index=False).tail(1)
+        w = w[w["event_type"] != _CDC_DELETE].copy()
+        if len(w) == 0:
+            return pd.DataFrame(cols)
+        w["segment"] = (w["user_id"].astype("int64") % 7)
+        w["cents"] = np.floor(
+            w["value"].to_numpy() * 100 + 0.5).astype("int64")
+        out = w.groupby("segment", as_index=False).agg(
+            n_live=("cents", "size"), value_cents=("cents", "sum"))
+        return out.astype({"segment": "int64", "n_live": "int64",
+                           "value_cents": "int64"})
+
+    parts = ds.map_batches(local_last, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_state, batch_format="pandas") \
+        .to_pandas()
+    empty = pd.DataFrame({"segment": pd.Series([], dtype="int64"),
+                          "n_live": pd.Series([], dtype="int64"),
+                          "value_cents": pd.Series([], dtype="int64")})
+    if parts.empty or "segment" not in parts.columns:
+        return empty
+    out = parts.groupby("segment", as_index=False).agg(
+        n_live=("n_live", "sum"), value_cents=("value_cents", "sum"))
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values("segment").reset_index(drop=True)
+
+
 # hot-key-salted join: diagnostics of the last run, test-introspection
 # only ({"n_hot": int, "salt": int, "avg_ppm_threshold": int})
 _LAST_SALT_INFO: dict = {}

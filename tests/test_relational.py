@@ -2589,3 +2589,40 @@ class TestSaltedJoin:
         # hot ⇔ count > 1.2×mean  ⇒  #hot < #users/1.2 by Markov
         assert info["n_hot"] >= 0
         assert info["salt"] == rel._SALT_WAYS
+
+
+class TestCdcState:
+    def test_hand_fixture_delete_semantics(self, tmp_path):
+        """The key's LAST op decides: upsert-after-delete resurrects,
+        delete-after-upsert removes, tiebreak on event_id at equal ts."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t0 = pd.Timestamp("2024-05-01")
+        rows = [
+            # user 0: upsert then delete -> absent
+            (0, t0, 0, "click", 1.0),
+            (1, t0 + pd.Timedelta(hours=1), 0, "error", 9.0),
+            # user 1: delete then upsert -> live with 2.5
+            (2, t0, 1, "error", 9.0),
+            (3, t0 + pd.Timedelta(hours=1), 1, "purchase", 2.5),
+            # user 2: equal ts, higher event_id wins -> live 4.0
+            (4, t0, 2, "view", 3.0),
+            (5, t0, 2, "signup", 4.0),
+            # user 9: same segment as 2 (9 % 7 == 2), live 1.0
+            (6, t0, 9, "click", 1.0),
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(pd.Series([r[1] for r in rows])
+                           .astype("datetime64[us]")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string())})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = rel.events_cdc_state(str(tmp_path))
+        got = {int(r.segment): (int(r.n_live), int(r.value_cents))
+               for r in out.itertuples(index=False)}
+        assert got == {1: (1, 250), 2: (2, 500)}
