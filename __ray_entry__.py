@@ -325,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_late_window_agg": rel.events_late_window_agg,
         "events_salted_segment_join": rel.events_salted_segment_join,
         "events_cdc_state": rel.events_cdc_state,
+        "events_value_percentiles": rel.events_value_percentiles,
         "events_window_join": rel.events_window_join,
         "orders_incremental_agg": rel.orders_incremental_agg,
         "events_anomaly_mad": rel.events_anomaly_mad,
@@ -3265,6 +3266,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN late THEN 0 ELSE cents END)
                         AS BIGINT) AS accepted_cents
             FROM lab GROUP BY day ORDER BY day
+        """,
+        # exact discrete lower quantiles on integer cents per type:
+        # p_q = min cents whose cumulative count reaches ceil(q*n/100)
+        "events_value_percentiles": """
+            WITH c AS (SELECT event_type,
+                              CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                                  AS cents
+                       FROM events),
+            h AS (SELECT event_type, cents, COUNT(*) AS k
+                  FROM c GROUP BY event_type, cents),
+            cum AS (SELECT event_type, cents,
+                           SUM(k) OVER (PARTITION BY event_type
+                                        ORDER BY cents) AS ck,
+                           SUM(k) OVER (PARTITION BY event_type) AS n
+                    FROM h)
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+                   CAST(MIN(CASE WHEN ck >= CAST(CEIL(0.50 * n) AS BIGINT)
+                                 THEN cents END) AS BIGINT) AS p50_cents,
+                   CAST(MIN(CASE WHEN ck >= CAST(CEIL(0.95 * n) AS BIGINT)
+                                 THEN cents END) AS BIGINT) AS p95_cents,
+                   CAST(MIN(CASE WHEN ck >= CAST(CEIL(0.99 * n) AS BIGINT)
+                                 THEN cents END) AS BIGINT) AS p99_cents
+            FROM cum GROUP BY event_type ORDER BY event_type
         """,
         # delete-aware CDC merge: final state per user = last op by
         # (ts, event_id); 'error' deletes the key; census the live keys

@@ -5157,6 +5157,80 @@ _WJOIN_WINDOW_US = 3_600_000_000
 _WJOIN_SPAN = 10**14  # composite-key stride; bucket-local ts offsets < this
 
 
+_PCTL_QS = ((50, "p50_cents"), (95, "p95_cents"), (99, "p99_cents"))
+
+
+def events_value_percentiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT p50/p95/p99 of event value per event type — discrete lower
+    quantiles on integer cents: p_q = the smallest cents c whose
+    cumulative count reaches ``ceil(q·n/100)``.  Output (event_type,
+    n_events, p50_cents, p95_cents, p99_cents) sorted by type.
+
+    Scale shape: quantiles usually force a sort, but the value domain is
+    FIXED-POINT (integer cents) and therefore bounded by the domain, not
+    the event count — per-batch (type, cents, k) histogram partials
+    merge under a TYPE-hash bucket so each type's complete histogram
+    lands in exactly one group (≤ |domain| rows), the group reads its
+    quantiles off one cumsum, and ONE row per type reaches the driver.
+    No global sort, no per-event exchange beyond the histogram fold."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def hist_partial(t: pa.Table) -> pd.DataFrame:
+        cols = {"event_type": pd.Series([], dtype=object),
+                "cents": pd.Series([], dtype="int64"),
+                "k": pd.Series([], dtype="int64"),
+                "_tb": pd.Series([], dtype="int64")}
+        if len(t) == 0:
+            return pd.DataFrame(cols)
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype("int64")
+        df = pd.DataFrame({"event_type": t["event_type"].to_pylist(),
+                           "cents": cents})
+        out = df.groupby(["event_type", "cents"], as_index=False) \
+            .size().rename(columns={"size": "k"})
+        out["_tb"] = (pd.util.hash_array(
+            out["event_type"].to_numpy(dtype=object)) % 64).astype("int64")
+        return out
+
+    def type_quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"event_type": pd.Series([], dtype=object),
+                "n_events": pd.Series([], dtype="int64")}
+        cols.update({name: pd.Series([], dtype="int64")
+                     for _, name in _PCTL_QS})
+        if len(df) == 0 or "event_type" not in df.columns:
+            return pd.DataFrame(cols)
+        rows = []
+        for et, g in df.groupby("event_type", sort=True):
+            h = g.groupby("cents", as_index=False)["k"].sum() \
+                .sort_values("cents")
+            c = h["cents"].to_numpy(dtype="int64")
+            ck = h["k"].to_numpy(dtype="int64").cumsum()
+            n = int(ck[-1])
+            row = [et, n]
+            for q, _ in _PCTL_QS:
+                target = -(-q * n // 100)        # ceil(q·n/100), exact
+                row.append(int(c[np.searchsorted(ck, target)]))
+            rows.append(row)
+        return pd.DataFrame({
+            "event_type": [r[0] for r in rows],
+            "n_events": pd.Series([r[1] for r in rows], dtype="int64"),
+            **{name: pd.Series([r[2 + i] for r in rows], dtype="int64")
+               for i, (_, name) in enumerate(_PCTL_QS)}})
+
+    parts = ds.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("_tb").map_groups(type_quantiles,
+                                   batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({
+        "event_type": pd.Series([], dtype=object),
+        "n_events": pd.Series([], dtype="int64"),
+        **{name: pd.Series([], dtype="int64") for _, name in _PCTL_QS}})
+    if parts.empty or "event_type" not in parts.columns:
+        return empty
+    return parts.sort_values("event_type", kind="mergesort") \
+        .reset_index(drop=True)
+
+
 _CDC_DELETE = "error"     # changelog op mapping: error ⇒ DELETE the key
 
 

@@ -2626,3 +2626,28 @@ class TestCdcState:
         got = {int(r.segment): (int(r.n_live), int(r.value_cents))
                for r in out.itertuples(index=False)}
         assert got == {1: (1, 250), 2: (2, 500)}
+
+
+class TestValuePercentiles:
+    def test_hand_fixture_discrete_lower_quantile(self, tmp_path):
+        """10 values 1..10 (cents 100..1000): p50 = 5th smallest = 500,
+        p95 = ceil(9.5)=10th = 1000, p99 = 1000."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = 10
+        t = pa.table({
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(pd.Series([pd.Timestamp("2024-01-01")] * n)
+                           .astype("datetime64[us]")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array([float(i + 1) for i in range(n)],
+                              pa.float64()),
+            "props": pa.array(["{}"] * n, pa.string())})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = rel.events_value_percentiles(str(tmp_path))
+        r = out.iloc[0]
+        assert (int(r.n_events), int(r.p50_cents), int(r.p95_cents),
+                int(r.p99_cents)) == (10, 500, 1000, 1000)
