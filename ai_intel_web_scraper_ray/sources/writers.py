@@ -87,6 +87,7 @@ def write_partitioned_exactly_once(
     ds,
     root: str,
     part_col: str,
+    sort_cols: Optional[List[str]] = None,
     _fail_parts: Optional[set] = None,
 ):
     """Distributed exactly-once partitioned sink with kill-and-resume.
@@ -104,11 +105,14 @@ def write_partitioned_exactly_once(
     reference analogue: per-topic resume files,
     generators/comparison_generator.py:195-214).
 
-    ``_fail_parts`` is a test hook: a worker about to write one of these
-    partitions raises instead, simulating a kill AFTER other partitions
-    committed.  Returns the per-partition (part, n_rows, wrote) audit
-    frame; ``wrote`` is False for partitions skipped as already
-    committed."""
+    ``sort_cols``: the columns that define the deterministic row order
+    inside each partition (default: every column — pass an explicit
+    unique key, e.g. ``["chunk_id"]``, for tables carrying list/array
+    columns pandas cannot sort on).  ``_fail_parts`` is a test hook: a
+    worker about to write one of these partitions raises instead,
+    simulating a kill AFTER other partitions committed.  Returns the
+    per-partition (part, n_rows, wrote) audit frame; ``wrote`` is False
+    for partitions skipped as already committed."""
     import pandas as pd
 
     os.makedirs(root, exist_ok=True)
@@ -127,9 +131,10 @@ def write_partitioned_exactly_once(
                                  "wrote": [False]})
         if part in fail_parts:
             raise RuntimeError(f"injected failure before commit of {part}")
-        body = df.drop(columns=[part_col]) \
-            .sort_values(list(df.columns.drop(part_col)),
-                         kind="mergesort").reset_index(drop=True)
+        body = df.drop(columns=[part_col])
+        order = sort_cols or list(body.columns)
+        body = body.sort_values(order, kind="mergesort") \
+            .reset_index(drop=True)
         tmp = f"{final}.tmp-{os.getpid()}"
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
