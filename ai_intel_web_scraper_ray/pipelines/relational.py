@@ -25,15 +25,22 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pads
 
 import ray
 import ray.data as rd
 
 
-def _read(sf_dir: str, table: str, columns=None, num_blocks: int = 8):
-    # single-file tables → split for map/shuffle parallelism
+def _read(sf_dir: str, table: str, columns=None, num_blocks: int = 8,
+          filter=None):
+    # single-file tables → split for map/shuffle parallelism.
+    # ``filter`` (a pyarrow.dataset expression) pushes the predicate into
+    # the parquet scan itself — row groups outside the predicate's
+    # min/max never leave storage and surviving row groups are filtered
+    # before the block is built, so a date-windowed query reads only its
+    # window (exact row semantics, verified vs DuckDB).
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns,
-                           override_num_blocks=num_blocks)
+                           override_num_blocks=num_blocks, filter=filter)
 
 
 def _rev_cents(price, discount) -> np.ndarray:
@@ -124,17 +131,18 @@ def _join_partitions(sf_dir: str, table: str, selectivity: float = 1.0,
 
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    # shipdate cutoff pushes into the parquet scan — row groups past
+    # the cutoff never leave storage
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
-                "l_discount", "l_shipdate"])
-
-    cutoff = pa.scalar(np.datetime64("1998-09-01", "us"))
+                "l_discount", "l_shipdate"],
+               filter=pads.field("l_shipdate")
+               < np.datetime64("1998-09-01", "us"))
 
     def partial(t: pa.Table) -> pa.Table:
         # Arrow-native: no pandas conversion — the two tiny-cardinality
         # key columns dictionary-encode to integer codes, every measure
         # sums through np.bincount over the combined code
-        t = t.filter(pc.less(t["l_shipdate"], cutoff))
         rf = t["l_returnflag"].combine_chunks().dictionary_encode()
         ls = t["l_linestatus"].combine_chunks().dictionary_encode()
         rf_idx = rf.indices.to_numpy(zero_copy_only=False).astype("int64")
@@ -379,19 +387,20 @@ def q5_nation_revenue(sf_dir: str,
 
 
 def q6_revenue_delta(sf_dir: str) -> pd.DataFrame:
-    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
-    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
-    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    # the WHOLE predicate pushes into the parquet scan (row-group
+    # min/max pruning + exact row filtering before blocks form) — only
+    # the qualifying window's rows ever leave storage
+    expr = (
+        (pads.field("l_shipdate") >= np.datetime64("1996-01-01", "us"))
+        & (pads.field("l_shipdate") < np.datetime64("1997-01-01", "us"))
+        & (pads.field("l_discount") >= 0.05)
+        & (pads.field("l_discount") <= 0.07)
+        & (pads.field("l_quantity") < 24))
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount",
+                "l_shipdate"], filter=expr)
 
     def partial(t: pa.Table) -> pa.Table:
-        mask = pc.and_(
-            pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)),
-            pc.and_(
-                pc.and_(pc.greater_equal(t["l_discount"], 0.05), pc.less_equal(t["l_discount"], 0.07)),
-                pc.less(t["l_quantity"], 24),
-            ),
-        )
-        t = t.filter(mask)
         vals = pc.multiply(t["l_extendedprice"], t["l_discount"]).to_numpy(zero_copy_only=False)
         cents = int(np.floor(vals * 100 + 0.5).astype("int64").sum()) if len(vals) else 0
         return pa.table({"rev_cents": pa.array([cents], pa.int64()),
@@ -582,17 +591,16 @@ def q4_order_priority(sf_dir: str) -> pd.DataFrame:
     projection; post-join order duplicates (one per matching lineitem that
     survived batch-level dedup) are removed under a bounded key-bucket
     groupby, never per distinct orderkey."""
-    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
-    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+    # the 1996 window pushes into the orders scan
+    orders_ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pads.field("o_orderdate")
+                >= np.datetime64("1996-01-01", "us"))
+        & (pads.field("o_orderdate") < np.datetime64("1997-01-01", "us")))
 
-    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
-
-    def filter_orders(t: pa.Table) -> pa.Table:
-        m = pc.and_(pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi))
-        t = t.filter(m)
-        return t.select(["o_orderkey", "o_orderpriority"])
-
-    orders_ds = orders_ds.map_batches(filter_orders, batch_format="pyarrow")
+    orders_ds = orders_ds.map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow")
 
     keys_ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
 
@@ -681,16 +689,23 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
     so lineitem⋈part is a hash-shuffle join on the part key; revenue uses
     the same per-row integer-cents trick as q1/q6 so the int sums are
     order-independent and the final ratio is bit-stable vs DuckDB."""
-    line_ds = _read(sf_dir, "lineitem",
-                    ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    # the half-year window pushes into the lineitem scan
+    line_ds = _read(
+        sf_dir, "lineitem",
+        ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate")
+                >= np.datetime64("1996-01-01", "us"))
+        & (pads.field("l_shipdate") < np.datetime64("1996-07-01", "us")))
 
-    def line_proj(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[(df["l_shipdate"] >= pd.Timestamp("1996-01-01"))
-                & (df["l_shipdate"] < pd.Timestamp("1996-07-01"))].copy()
-        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
-        return df[["l_partkey", "rev_cents"]]
+    def line_proj(t: pa.Table) -> pa.Table:
+        rev = _rev_cents(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            t["l_discount"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "l_partkey": pc.cast(t["l_partkey"], pa.int64()),
+            "rev_cents": pa.array(rev, pa.int64())})
 
-    line_ds = line_ds.map_batches(line_proj, batch_format="pandas")
+    line_ds = line_ds.map_batches(line_proj, batch_format="pyarrow")
 
     part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
 
@@ -930,17 +945,16 @@ def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
     and the per-customer revenue finishes in a distributed groupby; the
     customer table is touched ONLY to resolve names for the 20 winners
     (a broadcast `pc.is_in` filter — never a driver-side map over it)."""
-    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    # the quarter window pushes into the orders scan
+    orders_ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate")
+                >= np.datetime64("1996-01-01", "us"))
+        & (pads.field("o_orderdate") < np.datetime64("1996-04-01", "us")))
 
-    q10_lo = pa.scalar(np.datetime64("1996-01-01", "us"))
-    q10_hi = pa.scalar(np.datetime64("1996-04-01", "us"))
-
-    def filter_orders(t: pa.Table) -> pa.Table:
-        m = pc.and_(pc.greater_equal(t["o_orderdate"], q10_lo),
-                    pc.less(t["o_orderdate"], q10_hi))
-        return t.select(["o_orderkey", "o_custkey"]).filter(m)
-
-    orders_ds = orders_ds.map_batches(filter_orders, batch_format="pyarrow")
+    orders_ds = orders_ds.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
 
     line_ds = _read(sf_dir, "lineitem",
                     ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
