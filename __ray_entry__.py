@@ -409,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_simpson_diversity": dq.docs_simpson_diversity,
         "docs_rarity_score": dq.docs_rarity_score,
         "docs_interleaved_media_stats": dq.docs_interleaved_media_stats,
+        "docs_media_ref_integrity": dq.docs_media_ref_integrity,
         "docs_media_ref_counts": dq.docs_media_ref_counts,
         "docs_inverted_index": dq.docs_inverted_index,
         "docs_mixture_weights": dq.docs_mixture_weights,
@@ -3056,6 +3057,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(a.first_pos, 0) AS BIGINT) AS first_pos
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        # referential-integrity audit: span refs vs the asset table
+        # ingested only from the doc_id %% 3 == 0 slice
+        "docs_media_ref_integrity": r"""
+            WITH toks AS (
+                SELECT doc_id, lang,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), tok AS (
+                SELECT doc_id, lang, unnest(w) AS word FROM toks
+            ), refs AS (
+                SELECT doc_id, lang, 'img://' || word AS media_ref
+                FROM tok WHERE word LIKE 's%'
+            ), assets AS (
+                SELECT DISTINCT media_ref FROM refs WHERE doc_id % 3 = 0
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_refs,
+                   CAST(SUM(CASE WHEN a.media_ref IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_resolved,
+                   CAST(SUM(CASE WHEN a.media_ref IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dangling
+            FROM refs r LEFT JOIN assets a USING (media_ref)
+            GROUP BY lang ORDER BY lang
         """,
         # shared-media-asset census over the interleaved corpus
         "docs_media_ref_counts": r"""

@@ -1976,6 +1976,118 @@ def docs_media_ref_counts(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+_ASSET_INGEST_MOD = 3     # assets ingested only from doc_id % 3 == 0 docs
+
+
+def docs_media_ref_integrity(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit over the interleaved corpus: the media
+    ASSET table holds only the refs ingested from the ``doc_id % 3 == 0``
+    slice (a partially-ingested asset store — the situation a real
+    multimodal pipeline must detect), and every document's media spans
+    are audited against it.  Output per language: (lang, n_refs,
+    n_resolved, n_dangling) — span occurrences whose ref does / does not
+    resolve to an asset row — sorted by lang.
+
+    Scale shape: the asset side is a corpus-derived Dataset (per-batch
+    distinct refs from the ingested slice, settled distinct under a
+    ref-hash bucket) and resolution is a hash-shuffle ``left_semi``
+    ``Dataset.join`` of the (lang, ref, n) span projection against it —
+    refs never collect on the driver; totals fold from per-batch ≤|langs|
+    partials and dangling = total − resolved, so only ≤2×|langs| rows
+    ever reach the driver."""
+    import ray.data as _rd  # noqa: F401
+
+    ds = _docs(sf_dir, ["doc_id", "lang", "text"])
+    cols = ("lang", "n_refs", "n_resolved", "n_dangling")
+    empty = pd.DataFrame({
+        "lang": pd.Series([], dtype=object),
+        **{c: pd.Series([], dtype="int64") for c in cols[1:]}})
+
+    ref_schema = pa.schema([("lang", pa.string()),
+                            ("media_ref", pa.string()),
+                            ("n", pa.int64())])
+
+    def ref_partial(t: pa.Table) -> pa.Table:
+        inter = _interleaved_with_media(t, positional_refs=False)
+        langs = t["lang"].to_pylist()
+        acc: Dict[tuple, int] = {}
+        for lg, spans in zip(langs, inter["spans"].to_pylist()):
+            for s in spans:
+                if s["kind"] == "media":
+                    key = (lg, s["media_ref"])
+                    acc[key] = acc.get(key, 0) + 1
+        return pa.table({
+            "lang": pa.array([k[0] for k in acc], pa.string()),
+            "media_ref": pa.array([k[1] for k in acc], pa.string()),
+            "n": pa.array(list(acc.values()), pa.int64())}) \
+            .cast(ref_schema)
+
+    refs = ds.map_batches(ref_partial, batch_format="pyarrow") \
+        .materialize()
+
+    asset_schema = pa.schema([("asset_ref", pa.string()),
+                              ("_b", pa.int64())])
+
+    def asset_partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype="int64")
+        keep = ids % _ASSET_INGEST_MOD == 0
+        inter = _interleaved_with_media(
+            t.filter(pa.array(keep)), positional_refs=False)
+        uniq = sorted({s["media_ref"]
+                       for spans in inter["spans"].to_pylist()
+                       for s in spans if s["kind"] == "media"})
+        b = (pd.util.hash_pandas_object(
+            pd.Series(uniq, dtype=object), index=False) % 64).astype("int64")
+        return pa.table({"asset_ref": pa.array(uniq, pa.string()),
+                         "_b": pa.array(b.to_numpy(), pa.int64())}) \
+            .cast(asset_schema)
+
+    def asset_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates("asset_ref")[["asset_ref"]]
+        return out.astype({"asset_ref": object})
+
+    assets = ds.map_batches(asset_partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(asset_distinct, batch_format="pandas")
+
+    def lang_total(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "lang" not in df.columns:
+            return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                                 "n_refs": pd.Series([], dtype="int64")})
+        return df.groupby("lang", as_index=False).agg(n_refs=("n", "sum"))
+
+    totals = refs.map_batches(lang_total, batch_format="pandas") \
+        .to_pandas()
+    if totals.empty or "lang" not in totals.columns:
+        return empty
+    totals = totals.groupby("lang", as_index=False)["n_refs"].sum()
+
+    resolved_ds = refs.join(assets, join_type="left_semi",
+                            num_partitions=4,
+                            on=("media_ref",), right_on=("asset_ref",))
+
+    def lang_resolved(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "lang" not in df.columns:
+            return pd.DataFrame({
+                "lang": pd.Series([], dtype=object),
+                "n_resolved": pd.Series([], dtype="int64")})
+        return df.groupby("lang", as_index=False).agg(
+            n_resolved=("n", "sum"))
+
+    res = resolved_ds.map_batches(lang_resolved,
+                                  batch_format="pandas").to_pandas()
+    if len(res) and "lang" in res.columns:
+        res = res.groupby("lang", as_index=False)["n_resolved"].sum()
+    else:
+        res = pd.DataFrame({"lang": pd.Series([], dtype=object),
+                            "n_resolved": pd.Series([], dtype="int64")})
+    out = totals.merge(res, on="lang", how="left")
+    out["n_resolved"] = out["n_resolved"].fillna(0).astype("int64")
+    out["n_refs"] = out["n_refs"].astype("int64")
+    out["n_dangling"] = out["n_refs"] - out["n_resolved"]
+    return out[list(cols)].sort_values("lang", kind="mergesort") \
+        .reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # inverted-index build: posting lists per word over a deterministic doc
 # shard (doc_id % 17 == 0 keeps postings bounded at any SF for the gate;
