@@ -802,7 +802,13 @@ def crawl_scalable(
                          per_host_delay=per_host_delay,
                          per_host_budget=per_host_budget,
                          heap_mem_cap=heap_mem_cap,
-                         spill_dir=heap_spill_dir)
+                         spill_dir=heap_spill_dir,
+                         # live robots: hosts not covered by robots_texts
+                         # fetch {scheme}://host/robots.txt ONCE through
+                         # the crawl transport, cached per host in the
+                         # shard (north-rule robots caching)
+                         robots_transport=(transport if respect_robots
+                                           else None))
     ray.get([s.set_peers.remote(shards) for s in shards])
 
     ckpt = CrawlCheckpoint(checkpoint_dir) if checkpoint_dir else None

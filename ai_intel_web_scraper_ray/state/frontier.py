@@ -181,6 +181,7 @@ class FrontierShard:
         per_host_budget: Optional[Dict[str, int]] = None,
         heap_mem_cap: Optional[int] = None,
         spill_dir: Optional[str] = None,
+        robots_transport=None,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -205,8 +206,26 @@ class FrontierShard:
         self.emitted_by_host: Dict[str, int] = {}
         self.budget_dropped = 0
         robots_texts = robots_texts or {}
+        # live robots fetch (north-rule "robots.txt caching"): a host not
+        # covered by the injected texts fetches {scheme}://host/robots.txt
+        # ONCE through the crawl transport — the scheme is learned from
+        # the host's first offered URL, and RobotsCache caches per host,
+        # so a transport error (incl. 404) simply means allow-all for
+        # that host, exactly like a missing injected text
+        self._host_scheme: Dict[str, str] = {}
+        self._robots_transport = robots_transport
+
+        def _fetch_robots(host: str) -> Optional[str]:
+            if host in robots_texts:
+                return robots_texts[host]
+            if self._robots_transport is None:
+                return None
+            scheme = self._host_scheme.get(host, "https")
+            return self._robots_transport.fetch(
+                f"{scheme}://{host}/robots.txt")
+
         self.robots = RobotsCache(
-            fetch_robots=lambda host: robots_texts.get(host),
+            fetch_robots=_fetch_robots,
             respect_robots=respect_robots,
         )
         # compile robots Crawl-delay floors onto the politeness buckets:
@@ -245,11 +264,25 @@ class FrontierShard:
         out = self.seen.check_and_insert_batch([u for u, _ in items])
         if enqueue:
             for (url, depth), is_new in zip(items, out):
+                if is_new:
+                    self._note_scheme(url)
                 if is_new and self.robots.allowed(url):
                     self.heap.push((depth, self._seq, url))
                     self._seq += 1
                     self.admitted += 1
         return out
+
+    def _note_scheme(self, url: str) -> None:
+        """Remember a host's scheme from its first offered URL so a live
+        robots fetch targets the right origin.  No-op unless live robots
+        mode is active."""
+        if self._robots_transport is None or not self.robots.respect:
+            return
+        h = host_of(url)
+        if h not in self._host_scheme:
+            i = url.find("://")
+            if i > 0:
+                self._host_scheme[h] = url[:i]
 
     # -- streaming mode: shard-to-shard routing ---------------------------
 
@@ -304,6 +337,7 @@ class FrontierShard:
             self.pushes_received += len(items)
         pushed = 0
         for url, depth in items:
+            self._note_scheme(url)
             if self.robots.allowed(url):
                 self.heap.push((depth, self._seq, url))
                 self._seq += 1
@@ -455,12 +489,13 @@ def make_shards(
     per_host_budget: Optional[Dict[str, int]] = None,
     heap_mem_cap: Optional[int] = None,
     spill_dir: Optional[str] = None,
+    robots_transport=None,
 ):
     return [
         FrontierShard.remote(
             i, num_shards, min_delay, respect_robots, robots_texts, capacity_hint,
             depth_refinement, per_host_delay, per_host_budget,
-            heap_mem_cap, spill_dir,
+            heap_mem_cap, spill_dir, robots_transport,
         )
         for i in range(num_shards)
     ]

@@ -441,3 +441,54 @@ class TestRealHttpIntegration:
         finally:
             srv.shutdown()
             srv.server_close()
+
+
+class TestLiveRobots:
+    """Live robots.txt over real sockets: with respect_robots=True and NO
+    injected robots_texts, shards must fetch /robots.txt through the
+    crawl transport once per host, cache it, and gate enqueue on it."""
+
+    _start_server = staticmethod(TestRealHttpIntegration._start_server)
+    _localhost_graph = staticmethod(
+        TestRealHttpIntegration._localhost_graph)
+
+    def test_robots_fetched_via_transport_and_enforced(self):
+        from urllib.parse import urlparse
+
+        shared_map = {}
+        srv, port, hits = self._start_server(shared_map, set())
+        try:
+            pages = self._localhost_graph(port)
+            shared_map.update(
+                {urlparse(p["url"]).path: (p["status"], p["html"])
+                 for p in pages})
+            # robots disallows /p1 (an early, definitely-reachable page)
+            shared_map["/robots.txt"] = (
+                200, "User-agent: *\nDisallow: /p1\n")
+            base = pages[0]["url"]
+            transport = HttpTransport(backoff_min=0.01, backoff_max=0.02)
+            live = crawl_scalable(None, [base], max_depth=3,
+                                  exclude_patterns=EXC, num_shards=3,
+                                  num_workers=2, transport=transport,
+                                  respect_robots=True)
+            blocked = pages[1]["url"]
+            assert blocked not in live["seen"] or \
+                blocked not in {r["url"] for r in live["records"]}
+            assert blocked not in {r["url"] for r in live["records"]}
+            # robots fetched over the socket, exactly once per shard at
+            # most (RobotsCache caches per host inside each shard)
+            assert 1 <= hits["/robots.txt"] <= 3
+
+            # parity: the same crawl with the text INJECTED (no live
+            # fetch) must produce the identical record set
+            injected = crawl_scalable(
+                None, [base], max_depth=3, exclude_patterns=EXC,
+                num_shards=3, num_workers=2, transport=transport,
+                respect_robots=True,
+                robots_texts={f"127.0.0.1:{port}":
+                              "User-agent: *\nDisallow: /p1\n"})
+            assert sorted(r["url"] for r in live["records"]) == \
+                sorted(r["url"] for r in injected["records"])
+        finally:
+            srv.shutdown()
+            srv.server_close()
