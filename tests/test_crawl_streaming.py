@@ -492,3 +492,35 @@ class TestLiveRobots:
         finally:
             srv.shutdown()
             srv.server_close()
+
+    def test_live_crawl_delay_raises_wall_clock_floor(self):
+        """A live robots Crawl-delay must raise the politeness floor
+        above the configured min_delay, in wall time."""
+        from urllib.parse import urlparse
+
+        shared_map = {}
+        srv, port, _ = self._start_server(shared_map, set())
+        try:
+            pages = self._localhost_graph(port)[:6]
+            shared_map.update(
+                {urlparse(p["url"]).path: (p["status"], p["html"])
+                 for p in pages})
+            shared_map["/robots.txt"] = (
+                200, "User-agent: *\nCrawl-delay: 0.15\n")
+            base = pages[0]["url"]
+            transport = HttpTransport(backoff_min=0.01, backoff_max=0.02)
+            t0 = time.perf_counter()
+            res = crawl_scalable(None, [base], max_depth=2,
+                                 exclude_patterns=EXC, num_shards=2,
+                                 num_workers=2, min_delay=0.01,
+                                 transport=transport,
+                                 respect_robots=True,
+                                 wall_clock_politeness=True)
+            elapsed = time.perf_counter() - t0
+            n = res["n_records"]
+            assert n >= 4
+            # the 0.15 s robots floor (not the 0.01 s min_delay) governs
+            assert elapsed >= 0.15 * (n - 1) * 0.8
+        finally:
+            srv.shutdown()
+            srv.server_close()
