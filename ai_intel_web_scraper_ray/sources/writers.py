@@ -88,6 +88,7 @@ def write_partitioned_exactly_once(
     root: str,
     part_col: str,
     sort_cols: Optional[List[str]] = None,
+    schema: Optional[pa.Schema] = None,
     _fail_parts: Optional[set] = None,
 ):
     """Distributed exactly-once partitioned sink with kill-and-resume.
@@ -108,7 +109,12 @@ def write_partitioned_exactly_once(
     ``sort_cols``: the columns that define the deterministic row order
     inside each partition (default: every column — pass an explicit
     unique key, e.g. ``["chunk_id"]``, for tables carrying list/array
-    columns pandas cannot sort on).  ``_fail_parts`` is a test hook: a
+    columns pandas cannot sort on).  ``schema``: optional pinned Arrow
+    schema for the partition BODY (without ``part_col``) — REQUIRED for
+    tables carrying sparse struct columns, where per-partition schema
+    inference would otherwise type an all-null child as ``null`` in one
+    partition and e.g. ``bool`` in another, making the partitions
+    unreadable as one dataset.  ``_fail_parts`` is a test hook: a
     worker about to write one of these partitions raises instead,
     simulating a kill AFTER other partitions committed.  Returns the
     per-partition (part, n_rows, wrote) audit frame; ``wrote`` is False
@@ -139,8 +145,12 @@ def write_partitioned_exactly_once(
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
-        pq.write_table(pa.Table.from_pandas(body, preserve_index=False),
-                       os.path.join(tmp, "data.parquet"))
+        if schema is not None:
+            body_t = pa.Table.from_pandas(body, schema=schema,
+                                          preserve_index=False)
+        else:
+            body_t = pa.Table.from_pandas(body, preserve_index=False)
+        pq.write_table(body_t, os.path.join(tmp, "data.parquet"))
         os.replace(tmp, final)
         return pd.DataFrame({"part": [part], "n_rows": [len(df)],
                              "wrote": [True]})

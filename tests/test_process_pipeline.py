@@ -311,3 +311,35 @@ class TestAnalysisStages:
             assert out.loc[i, "stop_hits"] == f["stop_hits"]
             import math
             assert out.loc[i, "stop_ppm"] == math.floor(f["stop_hits"] * 1e6 / max(f["n_words"], 1))
+
+
+class TestStagedBoundary:
+    def test_stage_dir_matches_in_memory_boundary(self, tmp_path):
+        """The 100-TB form of the mid-pipeline boundary (exactly-once
+        partitioned stage write + read-back) must produce the identical
+        processed record set, and a rerun must SKIP the committed stage
+        partitions."""
+        import os
+
+        kept_mem = sorted(
+            process_pipeline(make_ds(),
+                             topic_keywords=fixtures.TOPIC_KEYWORDS)
+            .to_pandas()["arrival_seq"])
+        stage = str(tmp_path / "stage")
+        kept_staged = sorted(
+            process_pipeline(make_ds(),
+                             topic_keywords=fixtures.TOPIC_KEYWORDS,
+                             stage_dir=stage)
+            .to_pandas()["arrival_seq"])
+        assert kept_mem == kept_staged
+        parts_before = sorted(os.listdir(stage))
+        assert any(d.startswith("part=") for d in parts_before)
+        # rerun with the same stage dir: committed partitions skip, and
+        # the result is unchanged
+        again = sorted(
+            process_pipeline(make_ds(),
+                             topic_keywords=fixtures.TOPIC_KEYWORDS,
+                             stage_dir=stage)
+            .to_pandas()["arrival_seq"])
+        assert again == kept_mem
+        assert sorted(os.listdir(stage)) == parts_before
