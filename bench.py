@@ -192,6 +192,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("events_value_range_join", lambda: rel.events_value_range_join(sf_dir))
     timed("emb_knn", lambda: dq.emb_knn(sf_dir))
     timed("docs_minhash_dedup", lambda: dq.docs_minhash_dedup(sf_dir))
+    # -- new in round 3 (totals are NOT comparable to r2 headline) --------
+    timed("events_late_window_agg", lambda: rel.events_late_window_agg(sf_dir))
+    timed("events_cdc_state", lambda: rel.events_cdc_state(sf_dir))
+    timed("events_value_percentiles",
+          lambda: rel.events_value_percentiles(sf_dir))
+    timed("events_salted_segment_join",
+          lambda: rel.events_salted_segment_join(sf_dir))
 
     # -- machine CPU-scaling baseline, AFTER every measured window (the
     # burn throttles what follows it; see the note at the top) ------------
