@@ -709,12 +709,13 @@ def q14_promo_revenue(sf_dir: str) -> pd.DataFrame:
 
     part_ds = _read(sf_dir, "part", ["p_partkey", "p_type"])
 
-    def part_proj(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["is_promo"] = df["p_type"].str.startswith("PROMO").astype("int64")
-        return df[["p_partkey", "is_promo"]]
+    def part_proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": pc.cast(t["p_partkey"], pa.int64()),
+            "is_promo": pc.cast(
+                pc.starts_with(t["p_type"], "PROMO"), pa.int64())})
 
-    part_ds = part_ds.map_batches(part_proj, batch_format="pandas")
+    part_ds = part_ds.map_batches(part_proj, batch_format="pyarrow")
 
     joined = line_ds.join(
         part_ds, join_type="inner", num_partitions=8,
@@ -754,26 +755,35 @@ def events_hopping(sf_dir: str) -> pd.DataFrame:
     the driver combine is O(windows), not O(events).  Value sums use
     integer cents so summation order cannot change the hash."""
     ds = _read(sf_dir, "events", ["ts", "value"])
-    hop = pd.Timedelta(minutes=HOP_MINUTES)
+    hop_us = HOP_MINUTES * 60 * 1_000_000
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["cents"] = np.floor(df["value"] * 100 + 0.5).astype("int64")
-        # window starts at every hop boundary; a 60-min window covers the
-        # event's own hop slot and the previous one
-        slot = df["ts"].dt.floor(f"{HOP_MINUTES}min")
-        a = df[["cents"]].assign(window_start=slot)
-        b = df[["cents"]].assign(window_start=slot - hop)
-        both = pd.concat([a, b], ignore_index=True)
-        return both.groupby("window_start", as_index=False).agg(
-            n_events=("cents", "size"), sum_cents=("cents", "sum"))
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native: slot arithmetic on zero-copy int64 microseconds;
+        # window starts at every hop boundary — a 60-min window covers
+        # the event's own hop slot and the previous one
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype("int64")
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype("int64")
+        slot = (ts // hop_us) * hop_us
+        w = np.concatenate([slot, slot - hop_us])
+        c2 = np.concatenate([cents, cents])
+        uw, inv = np.unique(w, return_inverse=True)
+        n = np.bincount(inv).astype("int64")
+        sc = np.bincount(inv, weights=c2.astype("float64")).astype("int64")
+        return pa.table({"window_start_us": pa.array(uw, pa.int64()),
+                         "n_events": pa.array(n, pa.int64()),
+                         "sum_cents": pa.array(sc, pa.int64())})
 
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out = partials.groupby("window_start", as_index=False).agg(
+    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = partials.groupby("window_start_us", as_index=False).agg(
         n_events=("n_events", "sum"), sum_cents=("sum_cents", "sum"))
+    out["window_start"] = out["window_start_us"].astype("datetime64[us]")
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_cents"] = out["sum_cents"].astype("int64")
-    return out.sort_values("window_start").reset_index(drop=True)
+    return out[["window_start", "n_events", "sum_cents"]] \
+        .sort_values("window_start").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -796,10 +806,13 @@ def events_asof_click(sf_dir: str) -> pd.DataFrame:
     bounded at 64; all matching work is the vectorized pandas kernel."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def tag(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["event_type"].isin(["purchase", "click"])].copy()
-        df["_ab"] = (df["user_id"].astype("int64") % _ASOF_BUCKETS).astype("int64")
-        return df[["event_id", "ts", "user_id", "event_type", "_ab"]]
+    _asof_kinds = pa.array(["purchase", "click"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=_asof_kinds))
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return t.select(["event_id", "ts", "user_id", "event_type"]) \
+            .append_column("_ab", pa.array(u % _ASOF_BUCKETS, pa.int64()))
 
     def bucket_asof(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["event_type"] == "purchase"].sort_values("ts", kind="mergesort")
@@ -824,7 +837,7 @@ def events_asof_click(sf_dir: str) -> pd.DataFrame:
         return out
 
     out = (
-        ds.map_batches(tag, batch_format="pandas")
+        ds.map_batches(tag, batch_format="pyarrow")
         .groupby("_ab").map_groups(bucket_asof, batch_format="pandas")
         .to_pandas()
     )
@@ -859,15 +872,23 @@ def events_value_range_join(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
     BAND_CENTS = int(RANGE_BAND * 100)
 
-    def project(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["event_type"].isin(["purchase", "click"])].copy()
-        df["cents"] = np.floor(df["value"] * 100 + 0.5).astype("int64")
+    _range_kinds = pa.array(["purchase", "click"])
+
+    def project(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=_range_kinds))
+        cents = np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
+        ).astype("int64")
         # epoch-hours (NOT raw ns — composing with raw ns overflows int64)
-        df["hour"] = (df["ts"].values.astype("datetime64[ns]").astype("int64")
-                      // 3_600_000_000_000)
-        df["_hb"] = (df["hour"] % _RANGE_HOUR_BUCKETS).astype("int64")
-        df["side"] = (df["event_type"] == "click").astype("int64")
-        return df[["event_id", "hour", "cents", "side", "_hb"]]
+        hour = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[ns]").astype("int64") // 3_600_000_000_000
+        side = pc.cast(pc.equal(t["event_type"], "click"), pa.int64())
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "hour": pa.array(hour, pa.int64()),
+            "cents": pa.array(cents, pa.int64()),
+            "side": side,
+            "_hb": pa.array(hour % _RANGE_HOUR_BUCKETS, pa.int64())})
 
     def bucket_count(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == 0]
@@ -886,7 +907,7 @@ def events_value_range_join(sf_dir: str) -> pd.DataFrame:
                              "n_close_clicks": n.astype("int64")})
 
     out = (
-        ds.map_batches(project, batch_format="pandas")
+        ds.map_batches(project, batch_format="pyarrow")
         .groupby("_hb").map_groups(bucket_count, batch_format="pandas")
         .to_pandas()
     )
@@ -911,10 +932,10 @@ def events_distinct_users(sf_dir: str) -> pd.DataFrame:
     rows before the driver combine — the driver never sees user ids."""
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
-    def pre(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.drop_duplicates().copy()
-        out["_b"] = (out["user_id"].astype("int64") % 64).astype("int64")
-        return out
+    def pre(t: pa.Table) -> pa.Table:
+        d = t.group_by(["event_type", "user_id"]).aggregate([])
+        u = d["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return d.append_column("_b", pa.array(u % 64, pa.int64()))
 
     def cnt(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["event_type", "user_id"])
@@ -924,7 +945,7 @@ def events_distinct_users(sf_dir: str) -> pd.DataFrame:
     # global DISTINCT under a bounded user-hash bucket (one vectorized
     # pandas dedup per bucket) — Ray's sort-based Aggregate on the full
     # (event_type, user_id) key space is ~8× slower at the same exchange
-    parts = ds.map_batches(pre, batch_format="pandas") \
+    parts = ds.map_batches(pre, batch_format="pyarrow") \
               .groupby("_b").map_groups(cnt, batch_format="pandas") \
               .to_pandas()
     out = parts.groupby("event_type", as_index=False)["n_users"].sum()
