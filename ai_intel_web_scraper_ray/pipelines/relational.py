@@ -1373,18 +1373,23 @@ def q13_order_count_dist(sf_dir: str) -> pd.DataFrame:
     # q18 pattern — ~8× cheaper than Ray's sort-based Aggregate here);
     # each bucket then emits its own count-of-counts partial, so ≤64×k
     # rows reach the driver
-    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("o_custkey", as_index=False).size()
-        out = out.rename(columns={"size": "n"})
-        out["_b"] = (out["o_custkey"].astype("int64") % 64).astype("int64")
-        return out
+    def count_partial(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False).astype("int64")
+        if len(ck) == 0:
+            return pa.table({"o_custkey": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int64())})
+        uk, cnt = np.unique(ck, return_counts=True)
+        return pa.table({"o_custkey": pa.array(uk, pa.int64()),
+                         "n": pa.array(cnt.astype("int64"), pa.int64()),
+                         "_b": pa.array(uk % 64, pa.int64())})
 
     def bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
         per_cust = df.groupby("o_custkey", as_index=False)["n"].sum()
         out = per_cust.groupby("n", as_index=False).size()
         return out.rename(columns={"n": "c_count", "size": "custdist"})
 
-    hist = orders_ds.map_batches(count_partial, batch_format="pandas") \
+    hist = orders_ds.map_batches(count_partial, batch_format="pyarrow") \
                     .groupby("_b").map_groups(bucket_hist,
                                               batch_format="pandas") \
                     .to_pandas()
@@ -1442,16 +1447,27 @@ def q17_small_qty_revenue(sf_dir: str,
         keys_ref = _ray_put(
             np.sort(brand_keys["p_partkey"].to_numpy(dtype="int64")))
 
-        def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
+        def qty_partial(t: pa.Table) -> pa.Table:
             keys = ray.get(keys_ref)
-            df = df[_in_sorted(df["l_partkey"].to_numpy(dtype="int64"),
-                               keys)]
-            out = df.groupby("l_partkey", as_index=False).agg(
-                sum_qty=("l_quantity", "sum"), n=("l_quantity", "size"))
-            return out
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False) \
+                .astype("int64")
+            hit = _in_sorted(pk, keys)
+            pk = pk[hit]
+            if len(pk) == 0:
+                return pa.table({"l_partkey": pa.array([], pa.int64()),
+                                 "sum_qty": pa.array([], pa.float64()),
+                                 "n": pa.array([], pa.int64())})
+            q = t["l_quantity"].to_numpy(zero_copy_only=False)[hit]
+            uk, inv = np.unique(pk, return_inverse=True)
+            return pa.table({
+                "l_partkey": pa.array(uk, pa.int64()),
+                "sum_qty": pa.array(np.bincount(inv, weights=q),
+                                    pa.float64()),
+                "n": pa.array(np.bincount(inv).astype("int64"),
+                              pa.int64())})
 
         qty = _read(sf_dir, "lineitem", line_cols) \
-            .map_batches(qty_partial, batch_format="pandas").to_pandas()
+            .map_batches(qty_partial, batch_format="pyarrow").to_pandas()
         qty = qty.groupby("l_partkey", as_index=False).agg(
             sum_qty=("sum_qty", "sum"), n=("n", "sum"))
         order = np.argsort(qty["l_partkey"].to_numpy(dtype="int64"))
@@ -1460,20 +1476,21 @@ def q17_small_qty_revenue(sf_dir: str,
             (0.2 * (qty["sum_qty"].to_numpy() / qty["n"].to_numpy()))[order],
         ))
 
-        def rev_partial(df: pd.DataFrame) -> pd.DataFrame:
+        def rev_partial(t: pa.Table) -> pa.Table:
             keys, thresh = ray.get(thresh_ref)
-            pk = df["l_partkey"].to_numpy(dtype="int64")
+            pk = t["l_partkey"].to_numpy(zero_copy_only=False) \
+                .astype("int64")
             hit = _in_sorted(pk, keys)
-            df = df[hit]
-            small = df["l_quantity"].to_numpy() < thresh[
-                np.searchsorted(keys, pk[hit])]
-            df = df[small]
-            cents = np.floor(
-                df["l_extendedprice"].to_numpy() * 100 + 0.5).astype("int64")
-            return pd.DataFrame({"price_cents": [int(cents.sum())]})
+            q = t["l_quantity"].to_numpy(zero_copy_only=False)[hit]
+            price = t["l_extendedprice"] \
+                .to_numpy(zero_copy_only=False)[hit]
+            small = q < thresh[np.searchsorted(keys, pk[hit])]
+            cents = np.floor(price[small] * 100 + 0.5).astype("int64")
+            return pa.table({
+                "price_cents": pa.array([int(cents.sum())], pa.int64())})
 
         parts = _read(sf_dir, "lineitem", line_cols) \
-            .map_batches(rev_partial, batch_format="pandas").to_pandas()
+            .map_batches(rev_partial, batch_format="pyarrow").to_pandas()
         total_cents = int(parts["price_cents"].sum())
     else:
         _LAST_PATH["q17"] = "shuffle"
@@ -1577,10 +1594,18 @@ def q18_large_orders(sf_dir: str,
     # Aggregate is ~8× slower than hash-bucketing to 64 coarse groups and
     # doing ONE vectorized pandas groupby per bucket — same exchange
     # volume, trivial sort key
-    def qty_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby("l_orderkey", as_index=False)["l_quantity"].sum()
-        out["_b"] = (out["l_orderkey"].astype("int64") % 64).astype("int64")
-        return out
+    def qty_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype("int64")
+        if len(ok) == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "l_quantity": pa.array([], pa.float64()),
+                             "_b": pa.array([], pa.int64())})
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        uk, inv = np.unique(ok, return_inverse=True)
+        sums = np.bincount(inv, weights=q)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "l_quantity": pa.array(sums, pa.float64()),
+                         "_b": pa.array(uk % 64, pa.int64())})
 
     big_schema = pa.schema([("l_orderkey", pa.int64()),
                             ("sum_qty", pa.float64())])
@@ -1592,7 +1617,7 @@ def q18_large_orders(sf_dir: str,
         return pa.Table.from_pandas(out, schema=big_schema,
                                     preserve_index=False)
 
-    big_ds = line_ds.map_batches(qty_partial, batch_format="pandas") \
+    big_ds = line_ds.map_batches(qty_partial, batch_format="pyarrow") \
         .groupby("_b").map_groups(bucket_agg, batch_format="pandas") \
         .materialize()
     orders_ds = _read(sf_dir, "orders",
@@ -2090,24 +2115,35 @@ def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
     driver sees ≤ 64 candidate rows, takes the exact integer max, and
     resolves names from the (SF-bounded) supplier dimension for the
     winners only."""
-    lo = pd.Timestamp(_Q15_LO)
-    hi = pd.Timestamp(_Q15_HI)
-
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[(df["l_shipdate"] >= lo) & (df["l_shipdate"] < hi)].copy()
-        df["rev_cents"] = _rev_cents(df["l_extendedprice"], df["l_discount"])
-        out = df.groupby("l_suppkey", as_index=False)["rev_cents"].sum()
-        out["_b"] = (out["l_suppkey"].astype("int64") % 64).astype("int64")
-        return out
+    def partial(t: pa.Table) -> pa.Table:
+        sk = t["l_suppkey"].to_numpy(zero_copy_only=False).astype("int64")
+        if len(sk) == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64()),
+                             "rev_cents": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int64())})
+        rev = _rev_cents(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False),
+            t["l_discount"].to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(sk, return_inverse=True)
+        sums = np.bincount(inv, weights=rev.astype("float64")) \
+            .astype("int64")
+        return pa.table({"l_suppkey": pa.array(uk, pa.int64()),
+                         "rev_cents": pa.array(sums, pa.int64()),
+                         "_b": pa.array(uk % 64, pa.int64())})
 
     def bucket_max(df: pd.DataFrame) -> pd.DataFrame:
         out = df.groupby("l_suppkey", as_index=False)["rev_cents"].sum()
         return out[out["rev_cents"] == out["rev_cents"].max()]
 
+    # the quarter window pushes into the scan
     cands = _read(sf_dir, "lineitem",
                   ["l_suppkey", "l_extendedprice", "l_discount",
-                   "l_shipdate"]) \
-        .map_batches(partial, batch_format="pandas") \
+                   "l_shipdate"],
+                  filter=(pads.field("l_shipdate")
+                          >= np.datetime64(_Q15_LO, "us"))
+                  & (pads.field("l_shipdate")
+                     < np.datetime64(_Q15_HI, "us"))) \
+        .map_batches(partial, batch_format="pyarrow") \
         .groupby("_b").map_groups(bucket_max, batch_format="pandas") \
         .to_pandas()
     best = int(cands["rev_cents"].max())
