@@ -326,6 +326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_salted_segment_join": rel.events_salted_segment_join,
         "events_cdc_state": rel.events_cdc_state,
         "events_value_percentiles": rel.events_value_percentiles,
+        "orders_open_interval_count": rel.orders_open_interval_count,
+        "events_session_attribution": rel.events_session_attribution,
         "events_window_join": rel.events_window_join,
         "orders_incremental_agg": rel.orders_incremental_agg,
         "events_anomaly_mad": rel.events_anomaly_mad,
@@ -3293,6 +3295,67 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN late THEN 0 ELSE cents END)
                         AS BIGINT) AS accepted_cents
             FROM lab GROUP BY day ORDER BY day
+        """,
+        # first-touch session attribution: purchases credit the session's
+        # first event type; sessions break on >30-min gaps per user
+        "events_session_attribution": """
+            WITH e AS (
+                SELECT user_id, ts, event_id, event_type, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w
+                                    > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+                SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING)
+                              AS sid
+                FROM e
+            ), fs AS (
+                SELECT user_id, sid, event_type AS first_touch,
+                       ROW_NUMBER() OVER (PARTITION BY user_id, sid
+                                          ORDER BY ts, event_id) AS rn
+                FROM s
+            ), pur AS (
+                SELECT user_id, sid,
+                       SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS np,
+                       SUM(CASE WHEN event_type = 'purchase'
+                                THEN CAST(FLOOR(value * 100 + 0.5)
+                                          AS BIGINT) ELSE 0 END) AS c
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT f.first_touch,
+                   CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                   CAST(SUM(p.np) AS BIGINT) AS n_purchases,
+                   CAST(SUM(p.c) AS BIGINT) AS attributed_cents
+            FROM fs f JOIN pur p USING (user_id, sid)
+            WHERE f.rn = 1
+            GROUP BY f.first_touch ORDER BY f.first_touch
+        """,
+        # concurrent-open-interval count: +1 at orderdate, -1 the day
+        # after the last lineitem shipdate; n_open = running sum at each
+        # delta day
+        "orders_open_interval_count": """
+            WITH last AS (
+                SELECT l_orderkey, MAX(l_shipdate) AS m
+                FROM lineitem GROUP BY l_orderkey
+            ), iv AS (
+                SELECT date_trunc('day', o.o_orderdate) AS sd,
+                       date_trunc('day', l.m) + INTERVAL 1 DAY AS ed
+                FROM orders o JOIN last l ON o.o_orderkey = l.l_orderkey
+            ), deltas AS (
+                SELECT sd AS day, 1 AS delta FROM iv
+                UNION ALL
+                SELECT ed AS day, -1 AS delta FROM iv
+            ), h AS (
+                SELECT day, SUM(delta) AS d FROM deltas GROUP BY day
+            )
+            SELECT day,
+                   CAST(SUM(d) OVER (ORDER BY day) AS BIGINT) AS n_open
+            FROM h ORDER BY day
         """,
         # exact discrete lower quantiles on integer cents per type:
         # p_q = min cents whose cumulative count reaches ceil(q*n/100)

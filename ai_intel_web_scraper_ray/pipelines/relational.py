@@ -5228,6 +5228,169 @@ _WJOIN_WINDOW_US = 3_600_000_000
 _WJOIN_SPAN = 10**14  # composite-key stride; bucket-local ts offsets < this
 
 
+def events_session_attribution(sf_dir: str) -> pd.DataFrame:
+    """First-touch attribution: sessionize each user's stream (30-min
+    gap, ts order with event_id tiebreak), credit every purchase in a
+    session to the session's FIRST event type (the acquisition channel),
+    and census per channel: (first_touch, n_sessions, n_purchases,
+    attributed_cents) sorted by channel.
+
+    Scale shape: the asof-join co-partition contract — every row of a
+    user lands in ONE of 64 user-hash buckets, so each bucket sees full
+    user histories and sessionizes them with ONE vectorized sort + diff
+    (no per-user Python); the bucket emits ≤ |event_types| partial rows
+    and the driver folds ≤ 64×|types|."""
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    def tag(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+        return t.append_column("_ab", pa.array(u % 64, pa.int64()))
+
+    def bucket_attr(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"first_touch": pd.Series([], dtype=object),
+                "n_sessions": pd.Series([], dtype="int64"),
+                "n_purchases": pd.Series([], dtype="int64"),
+                "attributed_cents": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame(cols)
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        ts_us = df["ts"].to_numpy().astype("datetime64[us]") \
+            .astype("int64")
+        uid = df["user_id"].to_numpy(dtype="int64")
+        new_user = np.empty(len(df), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gap_break = np.empty(len(df), dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = (ts_us[1:] - ts_us[:-1]) > gap_us
+        new_s = new_user | gap_break
+        sid = np.cumsum(new_s)          # global session ids within bucket
+        cents = np.floor(df["value"].to_numpy() * 100 + 0.5) \
+            .astype("int64")
+        is_purchase = (df["event_type"] == "purchase").to_numpy()
+        # first row of each session is exactly the new_s positions
+        first_touch = df.loc[new_s, "event_type"].to_numpy()
+        g = pd.DataFrame({
+            "sid": sid,
+            "np_": is_purchase.astype("int64"),
+            "c": np.where(is_purchase, cents, 0)})
+        per_s = g.groupby("sid", sort=True).agg(
+            np_=("np_", "sum"), c=("c", "sum"))
+        out = pd.DataFrame({
+            "first_touch": first_touch,
+            "n_purchases": per_s["np_"].to_numpy(dtype="int64"),
+            "attributed_cents": per_s["c"].to_numpy(dtype="int64")})
+        res = out.groupby("first_touch", as_index=False).agg(
+            n_sessions=("n_purchases", "size"),
+            n_purchases=("n_purchases", "sum"),
+            attributed_cents=("attributed_cents", "sum"))
+        return res.astype({"n_sessions": "int64", "n_purchases": "int64",
+                           "attributed_cents": "int64"})
+
+    parts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_ab").map_groups(bucket_attr,
+                                   batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({
+        "first_touch": pd.Series([], dtype=object),
+        "n_sessions": pd.Series([], dtype="int64"),
+        "n_purchases": pd.Series([], dtype="int64"),
+        "attributed_cents": pd.Series([], dtype="int64")})
+    if parts.empty or "first_touch" not in parts.columns:
+        return empty
+    out = parts.groupby("first_touch", as_index=False).agg(
+        n_sessions=("n_sessions", "sum"),
+        n_purchases=("n_purchases", "sum"),
+        attributed_cents=("attributed_cents", "sum"))
+    for c in ("n_sessions", "n_purchases", "attributed_cents"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("first_touch", kind="mergesort") \
+        .reset_index(drop=True)
+
+
+def orders_open_interval_count(sf_dir: str) -> pd.DataFrame:
+    """Concurrent-interval counting: how many orders are OPEN (order
+    placed, not yet fully shipped) on each day the count changes — an
+    order is open from ``o_orderdate`` (inclusive) to its LAST lineitem
+    shipdate (exclusive of the following day: the interval is
+    [orderdate, max_shipdate + 1 day)).  Output (day, n_open) with one
+    row per delta day, ``n_open`` being the count AFTER that day's
+    openings/closings apply.
+
+    Scale shape: interval stabbing without a sort over events — each
+    order contributes exactly TWO deltas (+1 at start, −1 at end), the
+    per-order last shipdate folds as (orderkey, max) partials under an
+    orderkey-hash bucket, one hash-shuffle join attaches the orderdate,
+    and delta partials aggregate per day INSIDE each batch, so the
+    driver folds a calendar-bounded (≤ ~2×days) delta histogram and one
+    cumsum — never O(|orders|) rows."""
+    line_ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    day_us = 86_400_000_000
+
+    def max_partial(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False).astype("int64")
+        if len(ok) == 0:
+            return pa.table({"l_orderkey": pa.array([], pa.int64()),
+                             "m_us": pa.array([], pa.int64()),
+                             "_b": pa.array([], pa.int64())})
+        ts = t["l_shipdate"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype("int64")
+        uk, inv = np.unique(ok, return_inverse=True)
+        m = np.full(len(uk), np.iinfo(np.int64).min, dtype="int64")
+        np.maximum.at(m, inv, ts)
+        return pa.table({"l_orderkey": pa.array(uk, pa.int64()),
+                         "m_us": pa.array(m, pa.int64()),
+                         "_b": pa.array(uk % 64, pa.int64())})
+
+    bmax_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("m_us", pa.int64())])
+
+    def bucket_max(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby("l_orderkey", as_index=False)["m_us"].max()
+        return pa.Table.from_pandas(out, schema=bmax_schema,
+                                    preserve_index=False)
+
+    last_ship = line_ds.map_batches(max_partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(bucket_max, batch_format="pandas")
+
+    orders_ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = orders_ds.join(
+        last_ship, join_type="inner",
+        num_partitions=_join_partitions(sf_dir, "orders"),
+        on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def delta_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"day_us": pd.Series([], dtype="int64"),
+                "delta": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "o_orderdate" not in df.columns:
+            return pd.DataFrame(cols)
+        start = df["o_orderdate"].to_numpy().astype("datetime64[us]") \
+            .astype("int64") // day_us * day_us
+        end = (df["m_us"].to_numpy(dtype="int64") // day_us + 1) * day_us
+        d = pd.DataFrame({
+            "day_us": np.concatenate([start, end]),
+            "delta": np.concatenate([
+                np.ones(len(start), dtype="int64"),
+                -np.ones(len(end), dtype="int64")])})
+        return d.groupby("day_us", as_index=False)["delta"].sum()
+
+    parts = joined.map_batches(delta_partial,
+                               batch_format="pandas").to_pandas()
+    empty = pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
+                          "n_open": pd.Series([], dtype="int64")})
+    if parts.empty or "day_us" not in parts.columns:
+        return empty
+    hist = parts.groupby("day_us", as_index=False)["delta"].sum() \
+        .sort_values("day_us")
+    out = pd.DataFrame({
+        "day": hist["day_us"].to_numpy(dtype="int64")
+        .astype("datetime64[us]"),
+        "n_open": hist["delta"].cumsum().astype("int64")})
+    return out.reset_index(drop=True)
+
+
 _PCTL_QS = ((50, "p50_cents"), (95, "p95_cents"), (99, "p99_cents"))
 
 

@@ -2651,3 +2651,65 @@ class TestValuePercentiles:
         r = out.iloc[0]
         assert (int(r.n_events), int(r.p50_cents), int(r.p95_cents),
                 int(r.p99_cents)) == (10, 500, 1000, 1000)
+
+
+class TestIntervalAndAttribution:
+    def test_open_interval_hand_fixture(self, tmp_path):
+        """Two orders: A open days 0-2 (ships day 2 -> closes day 3),
+        B open days 1-1 (ships day 1 -> closes day 2). Delta days:
+        d0 +1 (=1), d1 +1 (=2), d2 -1 (=1), d3 -1 (=0)."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        d = pd.Timestamp("2024-01-01")
+        orders = pa.table({
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_custkey": pa.array([1, 1], pa.int64()),
+            "o_orderdate": pa.array(pd.Series([d, d + pd.Timedelta(days=1)])
+                                    .astype("datetime64[us]")),
+            "o_orderpriority": pa.array(["1-URGENT"] * 2, pa.string()),
+            "o_totalprice": pa.array([1.0, 2.0], pa.float64())})
+        line = pa.table({
+            "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+            "l_shipdate": pa.array(pd.Series(
+                [d + pd.Timedelta(days=1), d + pd.Timedelta(days=2),
+                 d + pd.Timedelta(days=1)]).astype("datetime64[us]"))})
+        pq.write_table(orders, tmp_path / "orders.parquet")
+        pq.write_table(line, tmp_path / "lineitem.parquet")
+        out = rel.orders_open_interval_count(str(tmp_path))
+        got = [(str(r.day)[:10], int(r.n_open))
+               for r in out.itertuples(index=False)]
+        assert got == [("2024-01-01", 1), ("2024-01-02", 2),
+                       ("2024-01-03", 1), ("2024-01-04", 0)]
+
+    def test_attribution_hand_fixture(self, tmp_path):
+        """User's stream: view, purchase(2.0) in session 1; a >30-min gap;
+        click, purchase(4.0), purchase(8.0) in session 2.  First-touch
+        credits: view <- 200, click <- 1200."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t0 = pd.Timestamp("2024-01-01 10:00")
+        rows = [
+            (0, t0, "view", 1.0),
+            (1, t0 + pd.Timedelta(minutes=5), "purchase", 2.0),
+            (2, t0 + pd.Timedelta(minutes=50), "click", 1.0),
+            (3, t0 + pd.Timedelta(minutes=55), "purchase", 4.0),
+            (4, t0 + pd.Timedelta(minutes=60), "purchase", 8.0),
+        ]
+        t = pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(pd.Series([r[1] for r in rows])
+                           .astype("datetime64[us]")),
+            "user_id": pa.array([7] * len(rows), pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string())})
+        pq.write_table(t, tmp_path / "events.parquet")
+        out = rel.events_session_attribution(str(tmp_path))
+        got = {r.first_touch: (int(r.n_sessions), int(r.n_purchases),
+                               int(r.attributed_cents))
+               for r in out.itertuples(index=False)}
+        assert got == {"view": (1, 1, 200), "click": (1, 2, 1200)}
