@@ -779,7 +779,9 @@ def events_hopping(sf_dir: str) -> pd.DataFrame:
     partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = partials.groupby("window_start_us", as_index=False).agg(
         n_events=("n_events", "sum"), sum_cents=("sum_cents", "sum"))
-    out["window_start"] = out["window_start_us"].astype("datetime64[us]")
+    # ns dtype preserves the pre-rewrite column type (pandas-native)
+    out["window_start"] = out["window_start_us"] \
+        .astype("datetime64[us]").astype("datetime64[ns]")
     out["n_events"] = out["n_events"].astype("int64")
     out["sum_cents"] = out["sum_cents"].astype("int64")
     return out[["window_start", "n_events", "sum_cents"]] \
