@@ -255,7 +255,8 @@ def q3_top_orders(sf_dir: str,
 
         seg_ds = cust_ds.map_batches(seg_keys_t, batch_format="pyarrow")
         orders_ds = orders_ds.join(
-            seg_ds, join_type="left_semi", num_partitions=8,
+            seg_ds, join_type="left_semi",
+            num_partitions=_join_partitions(sf_dir, "orders"),
             on=("o_custkey",), right_on=("c_custkey",),
         ).select_columns(["o_orderkey", "o_orderdate"])
 
@@ -356,7 +357,8 @@ def q5_nation_revenue(sf_dir: str,
                 "nk": t["c_nationkey"]}).cast(nk_schema)
 
         orders_ds = orders_ds.join(
-            cds, join_type="inner", num_partitions=8,
+            cds, join_type="inner",
+            num_partitions=_join_partitions(sf_dir, "orders"),
             on=("o_custkey",), right_on=("c_custkey",),
         ).map_batches(pick_nk, batch_format="pyarrow")
 
@@ -1262,7 +1264,8 @@ def q7_nation_trade(sf_dir: str, nations=None,
                 "cust_nk": pc.cast(t["c_nationkey"], pa.int32())}) \
                 .cast(orders_schema)
 
-        n_pair = _join_partitions(sf_dir, "orders", selectivity=0.08)
+        # left side = FULL orders flow through this exchange
+        n_pair = _join_partitions(sf_dir, "orders", selectivity=1.0)
         orders_ds = orders_raw.join(
             cust_ds.map_batches(cust_pair, batch_format="pyarrow"),
             join_type="inner", num_partitions=n_pair,
@@ -1303,7 +1306,8 @@ def q7_nation_trade(sf_dir: str, nations=None,
             return pa.Table.from_pandas(out, schema=line_schema,
                                         preserve_index=False)
 
-        n_lpair = _join_partitions(sf_dir, "lineitem", selectivity=0.08)
+        # left side = date-windowed lineitem (~2/7 of ship years)
+        n_lpair = _join_partitions(sf_dir, "lineitem", selectivity=0.3)
         line_ds = line_raw.map_batches(line_proj, batch_format="pandas") \
             .join(supp_ds.map_batches(supp_pair, batch_format="pyarrow"),
                   join_type="inner", num_partitions=n_lpair,
@@ -1496,10 +1500,12 @@ def q17_small_qty_revenue(sf_dir: str,
         total_cents = int(parts["price_cents"].sum())
     else:
         _LAST_PATH["q17"] = "shuffle"
-        # one brand is ~1/25 of parts; size the hash partitions to the
-        # post-filter flow so no partition comes up EMPTY (the
-        # _join_partitions schema-loss contract)
-        n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.04)
+        # the semi-join EXCHANGE carries the full pre-filter lineitem
+        # projection (the join IS the brand filter), so size to the full
+        # flow; the second join below carries only the ~4% brand slice
+        n_parts = _join_partitions(sf_dir, "lineitem", selectivity=1.0)
+        n_parts_brand = _join_partitions(sf_dir, "lineitem",
+                                         selectivity=0.04)
         bk_schema = pa.schema([("p_partkey", pa.int64())])
         brand_ds = part.map_batches(
             lambda t: t.filter(pc.equal(t["p_brand"], _Q17_BRAND))
@@ -1549,7 +1555,7 @@ def q17_small_qty_revenue(sf_dir: str,
             .groupby("_b").map_groups(qbucket, batch_format="pandas")
 
         joined = brand_lines.join(
-            qty_ds, join_type="inner", num_partitions=n_parts,
+            qty_ds, join_type="inner", num_partitions=n_parts_brand,
             on=("l_partkey",), right_on=("t_partkey",))
 
         def small_partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -1639,7 +1645,8 @@ def q18_large_orders(sf_dir: str,
     else:
         _LAST_PATH["q18"] = "shuffle"
         joined = orders_ds.join(
-            big_ds, join_type="inner", num_partitions=8,
+            big_ds, join_type="inner",
+            num_partitions=_join_partitions(sf_dir, "orders"),
             on=("o_orderkey",), right_on=("l_orderkey",),
         )
 
@@ -1791,7 +1798,8 @@ def q22_idle_rich_customers(sf_dir: str,
     else:
         _LAST_PATH["q22"] = "shuffle"
         idle_ds = cust_ds.join(
-            urgent, join_type="left_anti", num_partitions=8,
+            urgent, join_type="left_anti",
+            num_partitions=_join_partitions(sf_dir, "customer"),
             on=("c_custkey",), right_on=("o_custkey",),
         )
         parts = idle_ds.map_batches(rich_seg_partial,
@@ -1894,7 +1902,8 @@ def q8_market_share(sf_dir: str,
                          value_set=region_set)
             return t.filter(m).select(["c_custkey"]).cast(ckeys_schema)
 
-        n_ord = _join_partitions(sf_dir, "orders", selectivity=0.2)
+        # left side = FULL orders flow through this exchange
+        n_ord = _join_partitions(sf_dir, "orders", selectivity=1.0)
         orders_ds = orders_raw.join(
             cust_ds.map_batches(cust_region, batch_format="pyarrow"),
             join_type="left_semi", num_partitions=n_ord,
@@ -2058,7 +2067,8 @@ def q9_nation_profit(sf_dir: str,
             return pa.Table.from_pandas(out, schema=proj_schema,
                                         preserve_index=False)
 
-        n_fam = _join_partitions(sf_dir, "lineitem", selectivity=0.1)
+        # left side = FULL lineitem projection (the join IS the filter)
+        n_fam = _join_partitions(sf_dir, "lineitem", selectivity=1.0)
         fam_lines = line_ds.map_batches(line_proj, batch_format="pandas") \
             .join(fam_ds, join_type="left_semi", num_partitions=n_fam,
                   on=("l_partkey",), right_on=("p_partkey",))
@@ -2637,7 +2647,8 @@ def q5_rollup_revenue(sf_dir: str,
             cust_ds.map_batches(
                 lambda t: t.select(["c_custkey", "c_nationkey"])
                 .cast(cust_schema), batch_format="pyarrow"),
-            join_type="inner", num_partitions=8,
+            join_type="inner",
+            num_partitions=_join_partitions(sf_dir, "orders"),
             on=("o_custkey",), right_on=("c_custkey",),
         ).map_batches(
             lambda t: pa.table({"o_orderkey": t["o_orderkey"],
@@ -2907,7 +2918,8 @@ def q11_part_value_share(sf_dir: str,
             return pa.Table.from_pandas(out, schema=lp_schema,
                                         preserve_index=False)
 
-        n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.04)
+        # left side = FULL lineitem projection (the join IS the filter)
+        n_parts = _join_partitions(sf_dir, "lineitem", selectivity=1.0)
         nat_lines = _read(sf_dir, "lineitem", cols) \
             .map_batches(line_proj, batch_format="pandas") \
             .join(skeys_ds, join_type="left_semi",
@@ -3032,7 +3044,8 @@ def q20_excess_shippers(sf_dir: str,
             return pa.Table.from_pandas(out, schema=lp_schema,
                                         preserve_index=False)
 
-        n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.1)
+        # left side = date-windowed lineitem (~2/7 of ship years)
+        n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.3)
 
         def supp_fold(df: pd.DataFrame) -> pd.DataFrame:
             out = df.groupby("l_suppkey", as_index=False)["q"].sum()
@@ -5536,9 +5549,13 @@ _SALT_WAYS = 8
 _SALT_HOT_FACTOR_PPM = 1_200_000     # hot ⇔ count > 1.2 × mean
 
 
+_SALT_HOT_BROADCAST_MAX = 1_000_000   # hot-set broadcast row ceiling
+
+
 def events_salted_segment_join(sf_dir: str, salt: int = _SALT_WAYS,
-                               hot_factor_ppm: int = _SALT_HOT_FACTOR_PPM
-                               ) -> pd.DataFrame:
+                               hot_factor_ppm: int = _SALT_HOT_FACTOR_PPM,
+                               hot_broadcast_max: int =
+                               _SALT_HOT_BROADCAST_MAX) -> pd.DataFrame:
     """Per-segment event census through a HOT-KEY-SALTED hash join —
     the skew-mitigation pattern for fact⋈dim joins whose key
     distribution would otherwise funnel one partition: (segment,
@@ -5561,6 +5578,14 @@ def events_salted_segment_join(sf_dir: str, salt: int = _SALT_WAYS,
        composite (user_id, _salt) key — a hot key's rows now land in
        ``salt`` partitions instead of one;
     4. post-join per-segment partials reduce to ≤ 7 rows per batch.
+
+    The Markov bound on step 2 is only #hot ≤ 10⁶·#users/hot_factor_ppm
+    — near-mean-heavy distributions can make that O(#users), the exact
+    plasma-broadcast class the q3/q5 gears exist to avoid.  So above
+    ``hot_broadcast_max`` hot keys the operator flips to SALT-ALL: every
+    fact row salts and the dim replicates EVERY key ``salt`` ways — no
+    broadcast at all, ``salt``× the (tiny, two-int-column) dim exchange,
+    identical result.
 
     ``salt=1`` degenerates to the plain join (tests pin equality), and
     ``_LAST_SALT_INFO`` records how many keys were actually salted."""
@@ -5601,12 +5626,20 @@ def events_salted_segment_join(sf_dir: str, salt: int = _SALT_WAYS,
             total_n * hot_factor_ppm
         return df.loc[m, ["user_id"]]
 
-    hot = counts.map_batches(hot_partial, batch_format="pandas").to_pandas()
-    hot_keys = np.sort(hot["user_id"].to_numpy(dtype="int64")) \
-        if len(hot) else np.array([], dtype="int64")
-    _LAST_SALT_INFO.update(n_hot=len(hot_keys), salt=salt,
+    hot_ds = counts.map_batches(hot_partial,
+                                batch_format="pandas").materialize()
+    n_hot = hot_ds.count()
+    salt_all = n_hot > hot_broadcast_max
+    if salt_all:
+        hot_keys = None
+        hot_ref = None
+    else:
+        hot = hot_ds.to_pandas()
+        hot_keys = np.sort(hot["user_id"].to_numpy(dtype="int64")) \
+            if len(hot) else np.array([], dtype="int64")
+        hot_ref = _ray_put(hot_keys)
+    _LAST_SALT_INFO.update(n_hot=n_hot, salt=salt, salt_all=salt_all,
                            avg_ppm_threshold=hot_factor_ppm)
-    hot_ref = _ray_put(hot_keys)
 
     # dim side: distinct users (from the counts Dataset — already one
     # row per user), segment derived; hot users replicate `salt` ways
@@ -5615,9 +5648,11 @@ def events_salted_segment_join(sf_dir: str, salt: int = _SALT_WAYS,
                             ("segment", pa.int64())])
 
     def dim_rows(df: pd.DataFrame) -> pa.Table:
-        hk = ray.get(hot_ref)
         u = df["user_id"].to_numpy(dtype="int64")
-        is_hot = _in_sorted(u, hk)
+        if salt_all:
+            is_hot = np.ones(len(u), dtype=bool)
+        else:
+            is_hot = _in_sorted(u, ray.get(hot_ref))
         cold = u[~is_hot]
         hotu = u[is_hot]
         du = np.concatenate([cold, np.repeat(hotu, salt)])
@@ -5636,14 +5671,16 @@ def events_salted_segment_join(sf_dir: str, salt: int = _SALT_WAYS,
                              ("cents", pa.int64())])
 
     def fact_rows(t: pa.Table) -> pa.Table:
-        hk = ray.get(hot_ref)
         u = t["user_id"].to_numpy(zero_copy_only=False).astype("int64")
         eid = t["event_id"].to_numpy(zero_copy_only=False).astype("int64")
         cents = np.floor(
             t["value"].to_numpy(zero_copy_only=False) * 100 + 0.5
         ).astype("int64")
-        is_hot = _in_sorted(u, hk)
-        srow = np.where(is_hot, eid % salt, 0).astype("int64")
+        if salt_all:
+            srow = (eid % salt).astype("int64")
+        else:
+            is_hot = _in_sorted(u, ray.get(hot_ref))
+            srow = np.where(is_hot, eid % salt, 0).astype("int64")
         return pa.table({"user_id": pa.array(u, pa.int64()),
                          "_salt": pa.array(srow, pa.int64()),
                          "cents": pa.array(cents, pa.int64())})

@@ -362,19 +362,34 @@ def serve_app(engine: QueryEngine, session_mgr, host: str = "127.0.0.1",
                         self.send_header("Cache-Control", "no-cache")
                         self.send_header("Transfer-Encoding", "chunked")
                         self.end_headers()
-                        for ev in engine.query_stream(
-                                req["query"],
-                                competitor_filter=req.get("competitor_filter"),
-                                topic_filter=req.get("topic_filter"),
-                                source_type_filter=req.get(
-                                    "source_type_filter"),
-                                n_results=int(req.get("n_results", 12)),
-                                session_id=req.get("session_id"),
-                                username=req.get("username"),
-                                session_mgr=session_mgr):
+
+                        def chunk(ev: str) -> None:
                             b = ev.encode()
                             self.wfile.write(
                                 f"{len(b):X}\r\n".encode() + b + b"\r\n")
+
+                        # once the 200 + chunked headers are out, an
+                        # engine error must arrive as an SSE error EVENT
+                        # inside the stream (app.py:265-267) — emitting a
+                        # second HTTP response here would corrupt the
+                        # chunk framing on the keep-alive connection
+                        try:
+                            for ev in engine.query_stream(
+                                    req["query"],
+                                    competitor_filter=req.get(
+                                        "competitor_filter"),
+                                    topic_filter=req.get("topic_filter"),
+                                    source_type_filter=req.get(
+                                        "source_type_filter"),
+                                    n_results=int(req.get("n_results", 12)),
+                                    session_id=req.get("session_id"),
+                                    username=req.get("username"),
+                                    session_mgr=session_mgr):
+                                chunk(ev)
+                        except Exception as e:
+                            chunk("event: error\ndata: "
+                                  + json.dumps({"detail": str(e)})
+                                  + "\n\n")
                         self.wfile.write(b"0\r\n\r\n")
                         return
                     return self._json({"detail": "not found"}, 404)

@@ -122,6 +122,14 @@ def write_partitioned_exactly_once(
     import pandas as pd
 
     os.makedirs(root, exist_ok=True)
+    # sweep orphaned temp dirs from a previous KILLED run (a worker that
+    # died between write and rename leaves _tmp-...; the underscore
+    # prefix keeps pyarrow dataset discovery from ever reading one as
+    # data even if this sweep is skipped).  Single-writer contract: two
+    # concurrent writers on one root are not supported.
+    for d in os.listdir(root):
+        if d.startswith("_tmp-"):
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     fail_parts = _fail_parts or set()
 
     def write_group(df: "pd.DataFrame") -> "pd.DataFrame":
@@ -141,11 +149,19 @@ def write_partitioned_exactly_once(
         order = sort_cols or list(body.columns)
         body = body.sort_values(order, kind="mergesort") \
             .reset_index(drop=True)
-        tmp = f"{final}.tmp-{os.getpid()}"
+        tmp = os.path.join(root, f"_tmp-{os.getpid()}-{part}")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
         if schema is not None:
+            # from_pandas(schema=...) silently DROPS columns missing
+            # from the schema — make that a loud contract violation
+            extra = set(body.columns) - set(schema.names)
+            if extra:
+                raise ValueError(
+                    "write_partitioned_exactly_once: columns "
+                    f"{sorted(extra)} not covered by the pinned schema "
+                    "(from_pandas would silently drop them)")
             body_t = pa.Table.from_pandas(body, schema=schema,
                                           preserve_index=False)
         else:

@@ -138,14 +138,18 @@ class SessionManager:
 
     def search_sessions(self, username: str, query: str,
                         limit: int = 50) -> List[Dict]:
-        """Title OR message-body substring match, newest-active first
-        (reference sessions.py:276-300)."""
-        like = f"%{query}%"
+        """Title OR message-body LITERAL substring match, newest-active
+        first (reference sessions.py:276-300).  The query is escaped so
+        %/_ in user input match themselves, not as LIKE wildcards."""
+        esc = query.replace("\\", "\\\\").replace("%", "\\%") \
+            .replace("_", "\\_")
+        like = f"%{esc}%"
         with self._conn() as c:
             rows = c.execute(
                 "SELECT DISTINCT s.* FROM sessions s LEFT JOIN messages m"
                 " ON m.session_id = s.session_id WHERE s.username=? AND"
-                " (s.title LIKE ? OR m.content LIKE ?)"
+                " (s.title LIKE ? ESCAPE '\\'"
+                "  OR m.content LIKE ? ESCAPE '\\')"
                 " ORDER BY s.last_active_at_ms DESC, s.session_id LIMIT ?",
                 (username, like, like, limit)).fetchall()
             return [dict(r) for r in rows]

@@ -2713,3 +2713,21 @@ class TestIntervalAndAttribution:
                                int(r.attributed_cents))
                for r in out.itertuples(index=False)}
         assert got == {"view": (1, 1, 200), "click": (1, 2, 1200)}
+
+
+def test_salted_join_salt_all_gear_matches(monkeypatch):
+    """Above the hot-set broadcast ceiling the join flips to SALT-ALL
+    (no broadcast at all) and must produce the identical census."""
+    import pandas as pd
+
+    plain = rel.events_salted_segment_join(SF_DIR, salt=1)
+
+    def boom(_):
+        raise AssertionError("broadcast engaged on salt-all gear")
+
+    monkeypatch.setattr(rel, "_ray_put", boom)
+    b = rel.events_salted_segment_join(SF_DIR, salt=8,
+                                       hot_broadcast_max=0)
+    monkeypatch.undo()
+    assert rel._LAST_SALT_INFO["salt_all"] is True
+    pd.testing.assert_frame_equal(plain, b)

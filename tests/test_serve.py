@@ -228,3 +228,32 @@ class TestServeApp:
         finally:
             srv.shutdown()
             srv.server_close()
+
+
+class TestSseMidStreamError:
+    def test_error_arrives_as_sse_event_with_clean_framing(self, tmp_path):
+        """An engine failure AFTER headers are sent must arrive as an
+        `event: error` inside the chunked stream with a proper terminal
+        chunk — never a second HTTP response."""
+        eng = QueryEngine({"main": chunks_ds()})
+
+        def boom(*a, **k):
+            yield "event: status\ndata: {}\n\n"
+            raise RuntimeError("mid-stream failure")
+
+        eng.query_stream = boom
+        mgr = make_mgr(tmp_path)
+        srv, port = serve_app(eng, mgr)
+        try:
+            with requests.post(
+                    f"http://127.0.0.1:{port}/api/query-stream",
+                    json={"query": "x"}, stream=True) as resp:
+                raw = b"".join(resp.iter_content(8192)).decode()
+            events = [e for e in raw.split("\n\n") if e.strip()]
+            kinds = [e.split("event: ", 1)[1].split("\n", 1)[0]
+                     for e in events]
+            assert kinds == ["status", "error"]
+            assert "mid-stream failure" in events[-1]
+        finally:
+            srv.shutdown()
+            srv.server_close()

@@ -393,3 +393,50 @@ class TestExactlyOncePartitionedSink:
                                                "o_orderpriority")
         assert not audit["wrote"].any()
         assert self._tree_bytes(root) == before
+
+    def test_orphaned_tmp_swept_and_invisible(self, tmp_path):
+        """A worker killed between write and rename leaves an
+        underscore-prefixed temp dir: read-back must never see it as
+        data and the next run must sweep it."""
+        import os
+
+        import pyarrow.parquet as pq_
+
+        from ai_intel_web_scraper_ray.sources.writers import (
+            write_partitioned_exactly_once,
+        )
+
+        root = str(tmp_path / "out")
+        write_partitioned_exactly_once(self._orders_ds(), root,
+                                       "o_orderpriority")
+        clean = self._tree_bytes(root)
+        # simulate the orphan: a stale temp dir with a parquet inside
+        orphan = os.path.join(root, "_tmp-99999-3-MEDIUM")
+        os.makedirs(orphan)
+        t = pq_.read_table(os.path.join(root, "part=3-MEDIUM",
+                                        "data.parquet"))
+        pq_.write_table(t, os.path.join(orphan, "data.parquet"))
+        # read-back ignores underscore-prefixed dirs (no duplicated rows)
+        n_clean = sum(pq_.read_table(os.path.join(root, d, "data.parquet"))
+                      .num_rows for d in os.listdir(root)
+                      if d.startswith("part="))
+        got = rd.read_parquet(root).count()
+        assert got == n_clean
+        # next run sweeps the orphan and changes nothing else
+        write_partitioned_exactly_once(self._orders_ds(), root,
+                                       "o_orderpriority")
+        assert not any(d.startswith("_tmp-") for d in os.listdir(root))
+        assert self._tree_bytes(root) == clean
+
+    def test_pinned_schema_rejects_uncovered_columns(self, tmp_path):
+        import pyarrow as pa_
+
+        from ai_intel_web_scraper_ray.sources.writers import (
+            write_partitioned_exactly_once,
+        )
+
+        schema = pa_.schema([("o_orderkey", pa_.int64())])
+        with pytest.raises(Exception, match="not covered"):
+            write_partitioned_exactly_once(
+                self._orders_ds(), str(tmp_path / "o"), "o_orderpriority",
+                schema=schema)
