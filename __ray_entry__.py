@@ -368,6 +368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_rptree_recall": dq.emb_rptree_recall,
         "emb_lof": dq.emb_lof,
         "docs_containment": dq.docs_containment,
+        "docs_dup_spans": dq.docs_dup_spans,
         "emb_knn_calibration": dq.emb_knn_calibration,
         "docs_fingerprints": dq.docs_fingerprints,         # pinned-table oracle
         "docs_top_per_source": dq.docs_top_per_source,
@@ -3139,6 +3140,53 @@ def oracle_sql() -> dict[str, str]:
             FROM copair JOIN sizes sa ON sa.doc_id = src
             WHERE co * 1000000 // sa.n >= 800000
             ORDER BY src, dst
+        """,
+        # ExactSubstr-style duplicated spans: positional word-8-grams,
+        # grams in >= 2 distinct docs cover [pos, pos+7]; spans = maximal
+        # consecutive covered runs per doc (engine merges via sorted-diff,
+        # twin via the gaps-and-islands ROW_NUMBER trick)
+        "docs_dup_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                   x -> x != '') AS w
+                FROM documents
+            ), gp AS (
+                SELECT doc_id,
+                       unnest(range(1, greatest(len(w) - 6, 1))) AS pos, w
+                FROM toks
+            ), g AS (
+                SELECT doc_id, pos,
+                       w[pos]||' '||w[pos+1]||' '||w[pos+2]||' '||w[pos+3]
+                       ||' '||w[pos+4]||' '||w[pos+5]||' '||w[pos+6]
+                       ||' '||w[pos+7] AS gram
+                FROM gp
+            ), dupg AS (
+                SELECT gram FROM g GROUP BY gram
+                HAVING COUNT(DISTINCT doc_id) >= 2
+            ), hits AS (
+                SELECT g.doc_id, g.pos FROM g JOIN dupg USING (gram)
+            ), covered AS (
+                SELECT DISTINCT doc_id, pos + d.d AS t
+                FROM hits CROSS JOIN
+                     (SELECT unnest(range(0, 8)) AS d) d
+            ), runs AS (
+                SELECT doc_id, t,
+                       t - ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY t) AS grp
+                FROM covered
+            ), spans AS (
+                SELECT doc_id,
+                       CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_spans,
+                       CAST(COUNT(*) AS BIGINT) AS dup_tokens
+                FROM runs GROUP BY doc_id
+            )
+            SELECT CAST(s.doc_id AS BIGINT) AS doc_id, s.n_spans,
+                   s.dup_tokens, CAST(len(t.w) AS BIGINT) AS n_tokens,
+                   CAST(s.dup_tokens * 1000000 // len(t.w) AS BIGINT)
+                       AS dup_ppm
+            FROM spans s JOIN toks t USING (doc_id)
+            ORDER BY doc_id
         """,
         # MinHash-LSH recall audit: md5-shared 16-perm signatures, 4x4
         # bands, exact shingle-Jaccard pair set rebuilt in SQL

@@ -7849,3 +7849,172 @@ def emb_knn_calibration(sf_dir: str, k: int = _CAL_K,
     for c in cols:
         out[c] = out[c].astype("int64")
     return out[list(cols)].sort_values("votes").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# duplicated-substring SPANS (Lee et al. 2021, arXiv:2107.06499
+# "Deduplicating Training Data Makes Language Models Better"): the
+# span-granular sibling of docs_crossdup — not just WHICH documents share
+# grams, but the maximal token runs inside each document that are covered
+# by cross-document duplicate 8-grams (the spans ExactSubstr would cut)
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 8
+_SPAN_BUCKETS = 64
+
+
+def docs_dup_spans(sf_dir: str, w: int = _SPAN_W) -> pd.DataFrame:
+    """(doc_id, n_spans, dup_tokens, n_tokens, dup_ppm) for every document
+    containing at least one duplicated span, sorted by doc_id.
+
+    A word-``w``-gram is *duplicated* when it occurs in >= 2 DISTINCT
+    documents; each occurrence covers token positions [pos, pos+w-1], and
+    a document's duplicated spans are the maximal runs of consecutive
+    covered positions (adjacent/overlapping gram hits merge — the
+    ExactSubstr span semantics at word granularity, reference dedup
+    context: competitive-intel/processors/deduplicator.py:37-70 which
+    only ever dropped whole records).  ``dup_tokens`` is the number of
+    covered token positions, ``dup_ppm = dup_tokens·10⁶ // n_tokens``.
+
+    Scale shape (two bounded shuffles, text never ships past the first
+    map):
+    - map pass: per-batch tokenize once; emit (gram_hash: 64-bit polars
+      seed-0, doc, pos) projections routed by gram-hash bucket, plus one
+      (doc, n_tokens) row routed by doc bucket (rides the same tagged
+      exchange);
+    - gram buckets: distinct-doc count per hash settles exactly in its
+      bucket; only positions of duplicated grams re-emit, routed by doc;
+    - doc buckets: per-doc sorted positions fold into maximal spans with
+      one vectorized diff (break iff gap > w, covered += min(diff, w)) —
+      no per-row Python, no whole-corpus state anywhere; the driver
+      collects only the per-document result rows.
+    Hash note: a 64-bit collision can only INFLATE coverage (mark a
+    unique gram duplicated) — the docs_crossdup-documented negligible
+    class; there is no df-floor deflation mode here."""
+    import polars as pl
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    cols = ("doc_id", "n_spans", "dup_tokens", "n_tokens", "dup_ppm")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        ghs: List[np.ndarray] = []
+        docs: List[np.ndarray] = []
+        poss: List[np.ndarray] = []
+        tok_docs: List[int] = []
+        tok_ns: List[int] = []
+        for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            words = (tx or "").lower().split()
+            tok_docs.append(int(did))
+            tok_ns.append(len(words))
+            if len(words) < w:
+                continue
+            grams = [" ".join(words[i:i + w])
+                     for i in range(len(words) - w + 1)]
+            gh = pl.Series(grams).hash(seed=0).to_numpy().astype(np.uint64)
+            ghs.append(gh)
+            docs.append(np.full(len(gh), int(did), dtype=np.int64))
+            poss.append(np.arange(1, len(gh) + 1, dtype=np.int64))
+        n0 = sum(len(x) for x in ghs)
+        kind = np.concatenate([np.zeros(n0, dtype=np.int64),
+                               np.ones(len(tok_docs), dtype=np.int64)])
+        if n0:
+            gh_all = np.concatenate(ghs)
+            a = np.concatenate([gh_all.view(np.int64),
+                                np.asarray(tok_docs, dtype=np.int64)])
+            b = np.concatenate([np.concatenate(docs),
+                                np.asarray(tok_ns, dtype=np.int64)])
+            c = np.concatenate([np.concatenate(poss),
+                                np.zeros(len(tok_docs), dtype=np.int64)])
+            k = np.concatenate([
+                (gh_all % _SPAN_BUCKETS).astype(np.int64),
+                np.asarray(tok_docs, dtype=np.int64) % _SPAN_BUCKETS])
+        else:
+            a = np.asarray(tok_docs, dtype=np.int64)
+            b = np.asarray(tok_ns, dtype=np.int64)
+            c = np.zeros(len(tok_docs), dtype=np.int64)
+            k = a % _SPAN_BUCKETS
+        return pa.table({"kind": pa.array(kind, pa.int64()),
+                         "a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "c": pa.array(c, pa.int64()),
+                         "_k": pa.array(k, pa.int64())})
+
+    def gram_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {"kind": pd.Series([], dtype="int64"),
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "_k2": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "kind" not in df.columns:
+            return pd.DataFrame(out_cols)
+        parts = []
+        tok = df[df["kind"] == 1]
+        if len(tok):
+            parts.append(pd.DataFrame({
+                "kind": np.ones(len(tok), dtype="int64"),
+                "a": tok["a"].to_numpy(dtype="int64"),
+                "b": tok["b"].to_numpy(dtype="int64"),
+                "_k2": tok["a"].to_numpy(dtype="int64") % _SPAN_BUCKETS}))
+        g = df[df["kind"] == 0]
+        if len(g):
+            # grams duplicated across >= 2 distinct docs (exact within the
+            # bucket: every occurrence of a hash lands here)
+            ndoc = g.drop_duplicates(["a", "b"]).groupby("a").size()
+            dup = ndoc[ndoc >= 2].index
+            hits = g[g["a"].isin(dup)]
+            if len(hits):
+                hd = hits["b"].to_numpy(dtype="int64")
+                parts.append(pd.DataFrame({
+                    "kind": np.zeros(len(hits), dtype="int64"),
+                    "a": hd,
+                    "b": hits["c"].to_numpy(dtype="int64"),
+                    "_k2": hd % _SPAN_BUCKETS}))
+        if not parts:
+            return pd.DataFrame(out_cols)
+        out = pd.concat(parts, ignore_index=True)
+        for c in ("kind", "a", "b", "_k2"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = {c: pd.Series([], dtype="int64") for c in cols}
+        if len(df) == 0 or "kind" not in df.columns:
+            return pd.DataFrame(out_cols)
+        hits = df[df["kind"] == 0]
+        if len(hits) == 0:
+            return pd.DataFrame(out_cols)
+        tok = df[df["kind"] == 1]
+        ntok = dict(zip(tok["a"].to_numpy(dtype="int64"),
+                        tok["b"].to_numpy(dtype="int64")))
+        h = hits.sort_values(["a", "b"])
+        doc = h["a"].to_numpy(dtype="int64")
+        pos = h["b"].to_numpy(dtype="int64")
+        new = np.empty(len(doc), dtype=bool)
+        new[0] = True
+        new[1:] = doc[1:] != doc[:-1]
+        diff = np.zeros(len(doc), dtype=np.int64)
+        diff[1:] = pos[1:] - pos[:-1]
+        contrib = np.where(new, w, np.minimum(diff, w)).astype(np.int64)
+        brk = (new | (diff > w)).astype(np.int64)
+        per = pd.DataFrame({"doc": doc, "contrib": contrib, "brk": brk}) \
+            .groupby("doc", as_index=False).agg(
+                dup_tokens=("contrib", "sum"), n_spans=("brk", "sum"))
+        nt = per["doc"].map(ntok).to_numpy(dtype="int64")
+        dup_tok = per["dup_tokens"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "doc_id": per["doc"].astype("int64"),
+            "n_spans": per["n_spans"].astype("int64"),
+            "dup_tokens": dup_tok,
+            "n_tokens": nt,
+            "dup_ppm": (dup_tok * 1_000_000 // np.maximum(nt, 1))
+            .astype("int64")})
+
+    out = ds.map_batches(gram_partial, batch_format="pyarrow") \
+        .groupby("_k") \
+        .map_groups(gram_bucket, batch_format="pandas") \
+        .groupby("_k2") \
+        .map_groups(doc_bucket, batch_format="pandas") \
+        .to_pandas()
+    if out.empty or "doc_id" not in out.columns or len(out) == 0:
+        return empty
+    return out[list(cols)].sort_values("doc_id").reset_index(drop=True)

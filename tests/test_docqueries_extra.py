@@ -94,6 +94,7 @@ ORACLE_QUERIES = [
     "docs_media_context",
     "emb_cluster_stats",
     "emb_nn_descent",
+    "docs_dup_spans",
 ]
 
 
@@ -1670,3 +1671,33 @@ def test_knn_calibration_vote_buckets(tmp_path):
     con.close()
     problems = compare("emb_knn_calibration", out, to_pandas(sql))
     assert not problems, problems
+
+
+def test_dup_spans_merge_and_multiplicity(tmp_path):
+    """Crafted corpus pins the span algebra: a 10-token run shared by two
+    docs yields 3 overlapping 8-gram hits that merge into ONE span of 10
+    covered tokens; a doc repeating the run in two separated places gets
+    n_spans=2; a unique-text doc emits no row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    run = " ".join(f"s{i}" for i in range(10))          # 10 shared tokens
+    filler = " ".join(f"f{i}" for i in range(9))        # 9 unique tokens
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            run,                                        # exactly the run
+            f"u0 {run} u1 u2 {filler} {run} u3",        # run twice, split
+            "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9",            # unique text
+        ], pa.string())})
+    pq.write_table(t, tmp_path / "documents.parquet")
+    out = dq.docs_dup_spans(str(tmp_path))
+    assert out["doc_id"].tolist() == [1, 2]
+    r1 = out[out["doc_id"] == 1].iloc[0]
+    assert (r1["n_spans"], r1["dup_tokens"], r1["n_tokens"]) == (1, 10, 10)
+    assert r1["dup_ppm"] == 1_000_000
+    r2 = out[out["doc_id"] == 2].iloc[0]
+    # doc 2: 24 tokens of context make the second run start far enough
+    # (gap > 8 positions) that the two covered runs stay separate spans
+    assert (r2["n_spans"], r2["dup_tokens"]) == (2, 20)
+    assert r2["n_tokens"] == 1 + 10 + 2 + 9 + 10 + 1
