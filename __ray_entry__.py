@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": rel.events_retention,
         "events_view_no_purchase": rel.events_view_no_purchase,
         "events_user_paths": rel.events_user_paths,
+        "events_cep_match": rel.events_cep_match,
         "events_pivot": rel.events_pivot,
         "orders_monthly_growth": rel.orders_monthly_growth,
         "orders_running_total": rel.orders_running_total,
@@ -1651,6 +1652,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT path, CAST(COUNT(*) AS BIGINT) AS n
             FROM tri GROUP BY path
             ORDER BY n DESC, path LIMIT 5
+        """,
+        # CEP / MATCH_RECOGNIZE: non-overlapping leftmost-greedy
+        # `view click+ purchase` runs per ordered user history — symbol
+        # string + regex on both sides (RE2 and Python re agree on this
+        # backtracking-free pattern); matched_events via length delta of
+        # the global non-overlapping replacement
+        "events_cep_match": """
+            WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CASE event_type
+                            WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                            WHEN 'purchase' THEN 'p'
+                            WHEN 'signup' THEN 's' ELSE 'e' END AS sym
+                FROM events
+            ), seq AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                       string_agg(sym, '' ORDER BY ts, event_id) AS s
+                FROM ev GROUP BY user_id
+            )
+            SELECT user_id, n_events,
+                   CAST(len(regexp_extract_all(s, 'vc+p')) AS BIGINT)
+                       AS n_matches,
+                   CAST(length(s) - length(regexp_replace(s, 'vc+p', '',
+                                                          'g')) AS BIGINT)
+                       AS matched_events
+            FROM seq
+            WHERE len(regexp_extract_all(s, 'vc+p')) >= 1
+            ORDER BY user_id
         """,
         # daily event-type crosstab (COUNT FILTER pivot)
         "events_pivot": """

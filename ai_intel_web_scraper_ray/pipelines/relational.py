@@ -21,6 +21,9 @@ across summation orders (round(2) for monetary sums, round(6) for ratios).
 
 from __future__ import annotations
 
+import re
+from typing import List
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -12272,3 +12275,92 @@ def parts_modularity(sf_dir: str, support: int = _LPA_SUPPORT,
         "intra2": pd.Series([r[1] for r in rows], dtype="int64"),
         "deg_sum": pd.Series([r[2] for r in rows], dtype="int64"),
         "q_num": pd.Series([r[3] for r in rows], dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
+# events: CEP sequence-pattern matching (MATCH_RECOGNIZE family) — count
+# non-overlapping `view click+ purchase` runs in each user's ordered
+# history.  The regex-over-symbol-string construction is the classic CEP
+# compilation: one C-regex pass per bucket, zero per-user Python
+# ---------------------------------------------------------------------------
+
+_CEP_SYMS = {"view": "v", "click": "c", "purchase": "p",
+             "signup": "s", "error": "e"}
+_CEP_PATTERN = "vc+p"
+
+
+def events_cep_match(sf_dir: str) -> pd.DataFrame:
+    """(user_id, n_events, n_matches, matched_events) for users whose
+    event-type sequence (ordered by ts, event_id) contains at least one
+    non-overlapping, leftmost-greedy match of ``view click+ purchase`` —
+    SQL MATCH_RECOGNIZE / Flink CEP semantics compiled the classic way:
+    each event type becomes one symbol char, a user's history becomes a
+    string, and the pattern becomes a compiled regex.
+
+    Scale shape: users are hash-bucketed (user_id % 64, complete history
+    per bucket — the events_user_paths co-partition); inside a bucket ONE
+    pandas sort orders every user's events, the bucket's symbols join
+    into a single string with ``|`` separators at user boundaries (the
+    pattern cannot cross ``|``), and ONE ``re.finditer`` pass over that
+    string finds every match — match→user attribution is a searchsorted
+    against the user start-offset array.  No per-user Python, no
+    quadratic paths; per-bucket output ≤ #users rows.  Leftmost
+    non-overlapping greedy semantics are identical in Python re and
+    DuckDB's RE2 for this pattern (no backtracking divergence: ``c+`` is
+    greedy and ``p`` is a literal), which is what the oracle twin's
+    regexp_extract_all / regexp_replace pair checks."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    cols = ("user_id", "n_events", "n_matches", "matched_events")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sym"] = df["event_type"].map(_CEP_SYMS).fillna("e")
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df[["user_id", "ts", "event_id", "sym", "_b"]]
+
+    pat = re.compile(_CEP_PATTERN)
+
+    def bucket_match(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty.copy()
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        uid = df["user_id"].to_numpy(dtype="int64")
+        syms = df["sym"].to_numpy(dtype=object)
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        starts = np.nonzero(new_user)[0]          # row index of each user
+        users = uid[starts]
+        n_events = np.diff(np.append(starts, len(uid)))
+        # bucket string: one char per event, '|' before each new user;
+        # char offset of user j's first symbol = starts[j] + j
+        pieces: List[str] = []
+        for j, s in enumerate(starts):
+            e = starts[j + 1] if j + 1 < len(starts) else len(uid)
+            pieces.append("".join(syms[s:e]))
+        blob = "|".join(pieces)
+        offsets = starts + np.arange(len(starts))
+        n_matches = np.zeros(len(users), dtype=np.int64)
+        matched = np.zeros(len(users), dtype=np.int64)
+        for m in pat.finditer(blob):
+            j = int(np.searchsorted(offsets, m.start(), side="right")) - 1
+            n_matches[j] += 1
+            matched[j] += m.end() - m.start()
+        hit = n_matches >= 1
+        return pd.DataFrame({
+            "user_id": users[hit],
+            "n_events": n_events[hit].astype("int64"),
+            "n_matches": n_matches[hit],
+            "matched_events": matched[hit]})
+
+    out = ds.map_batches(keep, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_match, batch_format="pandas") \
+        .to_pandas()
+    if out.empty or "user_id" not in out.columns or len(out) == 0:
+        return empty
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[list(cols)].sort_values("user_id").reset_index(drop=True)

@@ -67,6 +67,7 @@ ORACLE_QUERIES = [
     "events_retention",
     "events_view_no_purchase",
     "events_user_paths",
+    "events_cep_match",
     "events_pivot",
     "orders_monthly_growth",
     "orders_running_total",
@@ -2731,3 +2732,45 @@ def test_salted_join_salt_all_gear_matches(monkeypatch):
     monkeypatch.undo()
     assert rel._LAST_SALT_INFO["salt_all"] is True
     pd.testing.assert_frame_equal(plain, b)
+
+
+def test_cep_match_semantics(tmp_path):
+    """Pins the CEP algebra on a crafted history: greedy c+ consumes the
+    whole vccp run, leftmost restart skips the second v in vvcp,
+    non-overlapping scan finds both runs in vcpvcp, and a user with no
+    complete pattern emits no row.  Order ties on ts resolve by
+    event_id."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+    seqs = {
+        1: ["view", "click", "click", "purchase"],        # vccp → 1×4
+        2: ["view", "view", "click", "purchase"],         # vvcp → 1×3
+        3: ["view", "click", "purchase",
+            "view", "click", "purchase"],                 # vcpvcp → 2×6
+        4: ["click", "purchase", "view"],                 # no match
+    }
+    rows = []
+    eid = 0
+    for uid, types in seqs.items():
+        for et in types:
+            rows.append((eid, uid, et))
+            eid += 1
+    ts = pd.Series([pd.Timestamp("2024-01-01")] * len(rows)) \
+        .astype("datetime64[us]")     # identical ts → event_id breaks ties
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.Array.from_pandas(ts),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([0.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string())})
+    pq.write_table(t, tmp_path / "events.parquet")
+    out = rel.events_cep_match(str(tmp_path))
+    assert out["user_id"].tolist() == [1, 2, 3]
+    assert out["n_matches"].tolist() == [1, 1, 2]
+    assert out["matched_events"].tolist() == [4, 3, 6]
+    assert out["n_events"].tolist() == [4, 4, 6]
