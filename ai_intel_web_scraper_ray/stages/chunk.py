@@ -391,4 +391,8 @@ def chunk_stage(ds, concurrency: int = 4, batch_size: int = 256, **kwargs):
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=(1, max(1, concurrency)),
+        # a 256-node run WILL lose actors; replace them and re-run the
+        # lost batch instead of failing the stage (tests/test_fault_tolerance.py)
+        max_restarts=-1,
+        max_task_retries=-1,
     )

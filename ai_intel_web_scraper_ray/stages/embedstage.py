@@ -79,4 +79,7 @@ def embed_stage(ds, concurrency: int = 4, batch_size: int = EMBED_BATCH_SIZE, **
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, max(1, concurrency)),
+        # survive actor loss at cluster scale (tests/test_fault_tolerance.py)
+        max_restarts=-1,
+        max_task_retries=-1,
     )

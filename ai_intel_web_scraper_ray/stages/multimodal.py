@@ -152,4 +152,7 @@ def media_decode_stage(ds, concurrency: int = 4, batch_size: int = 64, **kwargs)
         MediaDecodeStage, fn_constructor_kwargs=kwargs,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=(1, max(1, concurrency)),
+        # survive actor loss at cluster scale (tests/test_fault_tolerance.py)
+        max_restarts=-1,
+        max_task_retries=-1,
     )

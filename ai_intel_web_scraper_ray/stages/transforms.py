@@ -138,6 +138,9 @@ def tag_stage(ds, concurrency: int = 4, batch_size: int = 4096, **kwargs):
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, max(1, concurrency)),
+        # survive actor loss at cluster scale (tests/test_fault_tolerance.py)
+        max_restarts=-1,
+        max_task_retries=-1,
     )
 
 

@@ -100,6 +100,16 @@ def main():
     import __ray_entry__ as entrymod
 
     con = duckdb.connect()
+    # Bound DuckDB's parallelism and memory: at default settings (all
+    # cores, 80% RAM) the heavy oracle twins (recursive CTEs, gram
+    # self-joins, all-pairs embedding joins) transiently allocate tens of
+    # thousands of glibc mmap chunks; stacked on Ray's baseline the
+    # process crosses vm.max_map_count (65530) and EVERY later
+    # pthread_create fails ("can't start new thread").  8 threads + a
+    # disk spill dir keeps the same results with a ~5k-map peak.
+    con.execute("SET threads TO 8")
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
     for tbl in ("region nation customer supplier part orders lineitem events documents embeddings".split()):
         con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')")
 
