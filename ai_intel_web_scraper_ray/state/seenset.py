@@ -26,6 +26,7 @@ from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
 import numpy as np
 
 _MAX_KICKS = 500
+_GROW_LOAD = 0.85   # filter load factor that triggers a 2x rebuild
 
 
 def _h(url: str) -> int:
@@ -180,11 +181,45 @@ class SeenSet:
     regardless of message arrival order (without this, an async crawl's
     ``max_depth`` frontier is race-dependent)."""
 
-    def __init__(self, capacity_hint: int = 1 << 16):
+    def __init__(self, capacity_hint: int = 1 << 16, grow: bool = True):
         self.filter = CuckooFilter(capacity_hint)
         self.exact: Dict[str, int] = {}
         self.filter_negatives = 0   # fast-path hits (exact store untouched)
         self.filter_positives = 0
+        self.filter_rebuilds = 0
+        # ``grow=False`` pins the fixed-size behavior (bloom spill as the
+        # only overflow response) — used by tests that exercise the spill
+        # path; production shards keep amortized growth on
+        self.grow = grow
+
+    def _maybe_grow(self) -> None:
+        """Rebuild the cuckoo filter at 2×+ slots once load crosses
+        ``_GROW_LOAD`` — the hash-table-style amortized growth that keeps
+        inserts O(1).
+
+        Without this, a shard whose URL count outruns ``capacity_hint``
+        degrades catastrophically: past ~85% load every insert walks the
+        full ``_MAX_KICKS`` eviction spiral in Python (~1 ms each) before
+        spilling to the bloom, collapsing offer throughput from ~140k/s
+        to ~1k/s (measured at 100k URLs over a 64k-slot filter) — fatal
+        for the 10^10-URL frontier the north rule sizes for.  The exact
+        store holds every seen URL, so the rebuild is complete by
+        construction; doubling until the corpus sits below the growth
+        load makes total rebuild work O(2n) amortized."""
+        if not self.grow:
+            return
+        f = self.filter
+        slots = f.nbuckets * 4
+        if f.count < _GROW_LOAD * slots:
+            return
+        new_cap = slots * 2
+        while len(self.exact) >= _GROW_LOAD * new_cap:
+            new_cap *= 2
+        nf = CuckooFilter(new_cap)
+        for url in self.exact:
+            nf.add(_h(url))
+        self.filter = nf
+        self.filter_rebuilds += 1
 
     def check_and_insert(self, url: str, depth: int = 0) -> bool:
         """True if url was new (and is now marked seen)."""
@@ -193,12 +228,14 @@ class SeenSet:
             self.filter_negatives += 1
             self.filter.add(key)
             self.exact[url] = depth
+            self._maybe_grow()
             return True
         self.filter_positives += 1
         if url in self.exact:
             return False
         self.filter.add(key)
         self.exact[url] = depth
+        self._maybe_grow()
         return True
 
     def offer_depth(self, url: str, depth: int) -> str:
@@ -209,12 +246,14 @@ class SeenSet:
             self.filter_negatives += 1
             self.filter.add(key)
             self.exact[url] = depth
+            self._maybe_grow()
             return "new"
         self.filter_positives += 1
         cur = self.exact.get(url)
         if cur is None:
             self.filter.add(key)
             self.exact[url] = depth
+            self._maybe_grow()
             return "new"
         if depth < cur:
             self.exact[url] = depth
@@ -249,6 +288,7 @@ class SeenSet:
                     continue
                 self.filter.add(int(keys[idx]))
                 exact[url] = depth
+                self._maybe_grow()
                 out.append(True)
                 continue
             if url in exact:
@@ -261,6 +301,7 @@ class SeenSet:
             self.filter_negatives += 1
             self.filter.add(int(keys[idx]))
             exact[url] = depth
+            self._maybe_grow()
             out.append(True)
         return out
 
@@ -281,6 +322,7 @@ class SeenSet:
                 if cur is None:
                     self.filter.add(int(keys[idx]))
                     exact[url] = depth
+                    self._maybe_grow()
                     out.append("new")
                 elif depth < cur:
                     exact[url] = depth
@@ -301,6 +343,7 @@ class SeenSet:
             self.filter_negatives += 1
             self.filter.add(int(keys[idx]))
             exact[url] = depth
+            self._maybe_grow()
             out.append("new")
         return out
 

@@ -290,14 +290,50 @@ class TestSeenSet:
         assert (c.filter.table == d.filter.table).all()
 
     def test_batch_with_spill(self):
-        """A deliberately-tiny filter overflows into the bloom spill; the
+        """A deliberately-tiny FIXED-SIZE filter (grow=False pins the
+        pre-growth behavior) overflows into the bloom spill; the
         vectorized precheck must still consult it (no false negatives)."""
-        s = SeenSet(16)   # 16-bucket floor, fills fast
+        s = SeenSet(16, grow=False)   # 16-bucket floor, fills fast
         urls = [f"https://spill/{i}" for i in range(5000)]
         s.check_and_insert_batch(urls)
         assert s.filter.spill is not None   # spill actually engaged
         assert not any(s.check_and_insert_batch(urls))
         assert len(s) == 5000
+
+    def test_filter_growth_amortized(self):
+        """Past ~85% load the filter rebuilds at 2x+ from the exact store
+        instead of entering the per-insert 500-kick eviction spiral (the
+        ~100x offer-throughput collapse measured at 100k URLs over a
+        64k-slot filter).  Growth preserves exact membership, keeps load
+        bounded, and never engages the bloom on a clean insert stream."""
+        s = SeenSet(256)
+        urls = [f"https://g/{i}" for i in range(20_000)]
+        assert all(s.check_and_insert_batch(urls))
+        assert s.filter_rebuilds >= 2
+        f = s.filter
+        assert f.count / (f.nbuckets * 4) < 0.85
+        assert f.spill is None
+        assert not any(s.check_and_insert_batch(urls))   # membership intact
+        assert len(s) == 20_000
+
+    def test_growth_batch_matches_scalar(self):
+        """Scalar and batch replays must stay bit-exact ACROSS a rebuild:
+        growth fires at the same insert index in both, so the rebuilt
+        tables are identical."""
+        urls = [f"https://gb/{i}" for i in range(3000)]
+        a, b = SeenSet(256), SeenSet(256)
+        got_a = [a.check_and_insert(u) for u in urls]
+        got_b = b.check_and_insert_batch(urls)
+        assert got_a == got_b
+        assert a.filter_rebuilds == b.filter_rebuilds >= 1
+        assert (a.filter.table == b.filter.table).all()
+        c, d = SeenSet(256), SeenSet(256)
+        mix = [(u, i % 5) for i, u in enumerate(urls)]
+        got_c = [c.offer_depth(u, dep) for u, dep in mix]
+        got_d = d.offer_depth_batch(mix)
+        assert got_c == got_d
+        assert c.filter_rebuilds == d.filter_rebuilds >= 1
+        assert (c.filter.table == d.filter.table).all()
 
 
 
