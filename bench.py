@@ -69,6 +69,48 @@ def _saturated_crawl(num_cpus: int, pages_table_ref, seeds) -> dict:
             "sustained": sat["sustained_docs_per_sec"]}
 
 
+
+def _frontier_microbench(n_urls: int = 200_000, heap_mem_cap: int = 20_000) -> dict:
+    """Single-shard frontier stress (no Ray): offer n_urls across ~1k hosts
+    through the seen-set (cuckoo + amortized growth) into a spilling heap,
+    then drain every lease.  Evidences the 10^10-URL design per round:
+    bounded in-memory heap (disk segments), bounded filter load (2x
+    rebuilds), bloom untouched on a clean stream.  URL strings are built
+    outside the timed windows."""
+    import shutil
+    import tempfile
+
+    from ai_intel_web_scraper_ray.state import frontier as _fr
+
+    Shard = _fr.FrontierShard.__ray_metadata__.modified_class
+    spill = tempfile.mkdtemp(prefix="bench_frontier_")
+    sh = Shard(0, 1, heap_mem_cap=heap_mem_cap, spill_dir=spill)
+    urls = [(f"https://h{i % 997}.example.com/p{i}", i % 7)
+            for i in range(n_urls)]
+    t0 = time.perf_counter()
+    for s in range(0, n_urls, 10_000):
+        sh.offer(urls[s:s + 10_000])
+    offer_sec = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    drained = 0
+    while True:
+        leases = sh.take(8192, now=0.0)
+        if not leases:
+            break
+        drained += len(leases)
+    drain_sec = time.perf_counter() - t0
+    shutil.rmtree(spill, ignore_errors=True)
+    f = sh.seen.filter
+    return {
+        "frontier_urls": n_urls,
+        "frontier_offer_urls_per_sec": round(n_urls / offer_sec, 1),
+        "frontier_drain_urls_per_sec": round(drained / drain_sec, 1),
+        "frontier_heap_spills": sh.heap.spill_events,
+        "frontier_filter_rebuilds": sh.seen.filter_rebuilds,
+        "frontier_filter_load_pct": round(100 * f.count / (f.nbuckets * 4), 1),
+    }
+
+
 def run_bench(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -225,6 +267,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "crawl_saturated_docs_per_sec": sat_docs_per_sec,
         "cpu_baseline_miter_per_sec": cpu_baseline,
     }
+    out.update(_frontier_microbench())
     ray.shutdown()
     return out
 
