@@ -718,6 +718,7 @@ def crawl_scalable(
     collect_seen: bool = True,
     heap_mem_cap: Optional[int] = None,
     heap_spill_dir: Optional[str] = None,
+    seen_capacity_hint: int = 1 << 16,
 ) -> dict:
     """Throughput-shaped crawl: a fetch/extract worker actor pool fed by
     politeness-scheduled leases from the frontier shards; links route
@@ -798,6 +799,7 @@ def crawl_scalable(
     if pages_table_ref is None and transport is None:
         pages_table_ref = pages_to_table_ref(pages)
     shards = make_shards(num_shards, min_delay, respect_robots, robots_texts,
+                         capacity_hint=seen_capacity_hint,
                          depth_refinement=max_depth < 10**6,
                          per_host_delay=per_host_delay,
                          per_host_budget=per_host_budget,

@@ -449,6 +449,7 @@ class FrontierShard:
             "emitted": self.emitted,
             "filter_negatives": self.seen.filter_negatives,
             "filter_positives": self.seen.filter_positives,
+            "filter_rebuilds": self.seen.filter_rebuilds,
             "budget_dropped": self.budget_dropped,
         }
 

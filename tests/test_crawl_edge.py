@@ -163,3 +163,27 @@ def test_lineage_counters_match_sequential_walk():
                                 exclude_patterns=("/excluded/",))
     assert got == want
     assert sum(d["offered"] for d in got) > sum(d["seen"] for d in got)
+
+
+def test_crawl_seen_growth_end_to_end():
+    """A crawl whose URL count outruns the shards' seen-set capacity_hint
+    must trigger amortized filter growth (not the kick-spiral collapse)
+    and produce EXACTLY the same records and seen set as a right-sized
+    run."""
+    from ai_intel_web_scraper_ray.pipelines.crawl import crawl_scalable
+    from ai_intel_web_scraper_ray.sources.synthetic import make_web_graph
+
+    pages = make_web_graph(
+        hosts=["h0.example", "h1.example", "h2.example"],
+        pages_per_host={0: 800, 1: 600, 2: 600})
+    seeds = [f"https://h{i}.example/p0" for i in range(3)]
+    big = crawl_scalable(pages, seeds, max_depth=10**9, num_shards=4,
+                         lease_per_shard=512)
+    small = crawl_scalable(pages, seeds, max_depth=10**9, num_shards=4,
+                           lease_per_shard=512, seen_capacity_hint=256)
+    assert small["seen"] == big["seen"]
+    assert {r["url"] for r in small["records"]} == \
+        {r["url"] for r in big["records"]}
+    rebuilds = sum(s["filter_rebuilds"] for s in small["stats"])
+    assert rebuilds >= 1          # growth actually exercised
+    assert sum(s["filter_rebuilds"] for s in big["stats"]) == 0
