@@ -314,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_triangles": rel.parts_triangles,
         "events_new_users_daily": rel.events_new_users_daily,
         "orders_profile": rel.orders_profile,
+        "orders_forget_customers": rel.orders_forget_customers,
         "events_daily_ewma": rel.events_daily_ewma,
         "events_session_table": rel.events_session_table,
         "lineitem_zorder_sample": rel.lineitem_zorder_sample,
@@ -2777,6 +2778,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
             FROM f GROUP BY day ORDER BY day
+        """,
+        # right-to-be-forgotten cascade accounting: the forgotten cohort
+        # is learned from customer (c_acctbal lives only there), then
+        # flows orders → lineitem as semi-join delete sets
+        "orders_forget_customers": """
+            WITH del_c AS (
+                SELECT c_custkey FROM customer WHERE c_acctbal < -900.0
+            ), del_o AS (
+                SELECT o_orderkey FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM del_c)
+            ), del_l AS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM del_o)
+            )
+            SELECT * FROM (
+                SELECT 'customer' AS tab,
+                       CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+                           AS rows_before,
+                       CAST((SELECT COUNT(*) FROM del_c) AS BIGINT)
+                           AS rows_deleted,
+                       CAST((SELECT COUNT(*) FROM customer)
+                            - (SELECT COUNT(*) FROM del_c) AS BIGINT)
+                           AS rows_after
+                UNION ALL
+                SELECT 'orders',
+                       CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+                       CAST((SELECT COUNT(*) FROM del_o) AS BIGINT),
+                       CAST((SELECT COUNT(*) FROM orders)
+                            - (SELECT COUNT(*) FROM del_o) AS BIGINT)
+                UNION ALL
+                SELECT 'lineitem',
+                       CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+                       CAST((SELECT COUNT(*) FROM del_l) AS BIGINT),
+                       CAST((SELECT COUNT(*) FROM lineitem)
+                            - (SELECT COUNT(*) FROM del_l) AS BIGINT)
+            ) ORDER BY tab
         """,
         "orders_profile": """
             SELECT 'o_custkey' AS col,

@@ -12364,3 +12364,103 @@ def events_cep_match(sf_dir: str) -> pd.DataFrame:
     for c in cols:
         out[c] = out[c].astype("int64")
     return out[list(cols)].sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# right-to-be-forgotten cascade: delete a customer cohort and everything
+# reachable from it (orders → lineitem), reporting exact per-table
+# delete accounting — the GDPR-deletion shape every retention pipeline
+# needs at 100 TB
+# ---------------------------------------------------------------------------
+
+_FORGET_ACCTBAL = -900.0
+
+
+def orders_forget_customers(sf_dir: str) -> pd.DataFrame:
+    """(tab, rows_before, rows_deleted, rows_after) for customer /
+    lineitem / orders (sorted by tab): the cascade erasure of every
+    customer with ``c_acctbal < -900`` — an attribute ONLY the customer
+    table holds, so both hops are forced to learn their delete sets from
+    upstream (no per-row shortcut exists in orders or lineitem).
+
+    Scale shape: the forgotten custkey set (≈0.9% of customer) and the
+    doomed orderkey set (≈1% of orders) are each assembled SORTED inside
+    the filter pass and broadcast once via ``ray.put``; the dependent
+    table marks deletions with one zero-copy ``np.searchsorted`` per
+    batch — the repo's small-side broadcast gear.  Counts settle as
+    per-batch partials (ints only cross the wire).  When a cohort
+    outgrows the broadcast budget the same cascade runs as two
+    ``Dataset.join`` left_semi hops (the q3/q5 dual-plan gear,
+    relational.py:141) — the plan swap is mechanical because each hop
+    already IS a semi-join.  Reference deletion context: the engine-side
+    exact dedup drop filters (stages/dedup.py) use the identical
+    sorted-broadcast + searchsorted membership plumbing."""
+    cols = ("tab", "rows_before", "rows_deleted", "rows_after")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def cust_partial(t: pa.Table) -> pa.Table:
+        bal = t["c_acctbal"].to_numpy(zero_copy_only=False)
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+        m = bal < _FORGET_ACCTBAL
+        return pa.table({"n": pa.array([len(t)], pa.int64()),
+                         "keys": pa.array([keys[m].tolist()],
+                                          pa.list_(pa.int64()))})
+
+    cp = cust.map_batches(cust_partial, batch_format="pyarrow").to_pandas()
+    n_cust = int(cp["n"].sum())
+    del_cust = np.sort(np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in cp["keys"]]
+        or [np.array([], dtype=np.int64)]))
+    cust_ref = _ray_put(del_cust)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def orders_partial(t: pa.Table) -> pa.Table:
+        dc = ray.get(cust_ref)                 # zero-copy plasma read
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(dc, ck)
+        hit = (idx < len(dc)) & (dc[np.minimum(idx, max(len(dc) - 1, 0))]
+                                 == ck) if len(dc) else np.zeros(
+                                     len(ck), dtype=bool)
+        return pa.table({"n": pa.array([len(t)], pa.int64()),
+                         "keys": pa.array([ok[hit].tolist()],
+                                          pa.list_(pa.int64()))})
+
+    op = orders.map_batches(orders_partial, batch_format="pyarrow") \
+        .to_pandas()
+    n_orders = int(op["n"].sum())
+    del_orders = np.sort(np.concatenate(
+        [np.asarray(x, dtype=np.int64) for x in op["keys"]]
+        or [np.array([], dtype=np.int64)]))
+    orders_ref = _ray_put(del_orders)
+
+    line = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def line_partial(t: pa.Table) -> pa.Table:
+        do = ray.get(orders_ref)
+        lk = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        if len(do):
+            idx = np.searchsorted(do, lk)
+            hit = (idx < len(do)) & (
+                do[np.minimum(idx, len(do) - 1)] == lk)
+            nd = int(hit.sum())
+        else:
+            nd = 0
+        return pa.table({"n": pa.array([len(t)], pa.int64()),
+                         "nd": pa.array([nd], pa.int64())})
+
+    lp = line.map_batches(line_partial, batch_format="pyarrow").to_pandas()
+    n_line = int(lp["n"].sum())
+    d_line = int(lp["nd"].sum())
+
+    rows = [("customer", n_cust, len(del_cust)),
+            ("lineitem", n_line, d_line),
+            ("orders", n_orders, len(del_orders))]
+    return pd.DataFrame({
+        "tab": [r[0] for r in rows],
+        "rows_before": pd.Series([r[1] for r in rows], dtype="int64"),
+        "rows_deleted": pd.Series([r[2] for r in rows], dtype="int64"),
+        "rows_after": pd.Series([r[1] - r[2] for r in rows],
+                                dtype="int64")})

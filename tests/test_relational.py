@@ -69,6 +69,7 @@ ORACLE_QUERIES = [
     "events_user_paths",
     "events_cep_match",
     "events_pivot",
+    "orders_forget_customers",
     "orders_monthly_growth",
     "orders_running_total",
     "orders_scd2",
