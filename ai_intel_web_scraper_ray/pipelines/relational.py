@@ -12458,9 +12458,10 @@ def orders_forget_customers(sf_dir: str) -> pd.DataFrame:
     rows = [("customer", n_cust, len(del_cust)),
             ("lineitem", n_line, d_line),
             ("orders", n_orders, len(del_orders))]
-    return pd.DataFrame({
+    out = pd.DataFrame({
         "tab": [r[0] for r in rows],
         "rows_before": pd.Series([r[1] for r in rows], dtype="int64"),
         "rows_deleted": pd.Series([r[2] for r in rows], dtype="int64"),
         "rows_after": pd.Series([r[1] - r[2] for r in rows],
                                 dtype="int64")})
+    return out[list(cols)]

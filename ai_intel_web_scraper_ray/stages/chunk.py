@@ -391,8 +391,11 @@ def chunk_stage(ds, concurrency: int = 4, batch_size: int = 256, **kwargs):
         batch_format="pandas",
         batch_size=batch_size,
         concurrency=(1, max(1, concurrency)),
-        # a 256-node run WILL lose actors; replace them and re-run the
-        # lost batch instead of failing the stage (tests/test_fault_tolerance.py)
+        # a 256-node run WILL lose actors: replace them without limit
+        # (transient node loss), but bound per-task retries so a POISON
+        # batch (one that deterministically kills its worker, e.g. an
+        # OOM-sized document) fails the stage after 8 attempts instead of
+        # livelocking kill/restart forever (tests/test_fault_tolerance.py)
         max_restarts=-1,
-        max_task_retries=-1,
+        max_task_retries=8,
     )

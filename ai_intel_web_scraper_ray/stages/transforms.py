@@ -138,9 +138,13 @@ def tag_stage(ds, concurrency: int = 4, batch_size: int = 4096, **kwargs):
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, max(1, concurrency)),
-        # survive actor loss at cluster scale (tests/test_fault_tolerance.py)
+        # a 256-node run WILL lose actors: replace them without limit
+        # (transient node loss), but bound per-task retries so a POISON
+        # batch (one that deterministically kills its worker, e.g. an
+        # OOM-sized document) fails the stage after 8 attempts instead of
+        # livelocking kill/restart forever (tests/test_fault_tolerance.py)
         max_restarts=-1,
-        max_task_retries=-1,
+        max_task_retries=8,
     )
 
 

@@ -166,8 +166,7 @@ class SpillHeap:
             pass
 
 
-@ray.remote(num_cpus=0.25)
-class FrontierShard:
+class FrontierShardImpl:
     def __init__(
         self,
         shard_id: int,
@@ -189,6 +188,7 @@ class FrontierShard:
         # cutoff can flip expansion decisions; with an unbounded max_depth
         # the crawl sets this False and saves the re-fetches
         self.depth_refinement = depth_refinement
+        self._capacity_hint = capacity_hint
         self.seen = SeenSet(capacity_hint)
         # (depth, discovery_seq, url); heap_mem_cap bounds the in-memory
         # slice, overflow spills to sorted disk segments (SpillHeap)
@@ -467,7 +467,10 @@ class FrontierShard:
         }
 
     def restore(self, state: Dict) -> None:
-        self.seen = SeenSet.restore(state["seen"])
+        # restore at the shard's CONFIGURED capacity — the default hint
+        # would force a ladder of replay rebuilds before the first lease
+        self.seen = SeenSet.restore(state["seen"],
+                                    capacity_hint=self._capacity_hint)
         self.heap.restore([tuple(x) for x in state["heap"]])
         self._seq = state["seq"]
         self.politeness.restore(state["politeness"])
@@ -477,6 +480,11 @@ class FrontierShard:
         flows = state.get("flows")
         if flows:
             self.offers_received, self.pushes_sent, self.pushes_received = flows
+
+
+# the actor handle everyone uses; FrontierShardImpl stays importable for
+# in-process benchmarks/tests (no private __ray_metadata__ unwrapping)
+FrontierShard = ray.remote(num_cpus=0.25)(FrontierShardImpl)
 
 
 def make_shards(

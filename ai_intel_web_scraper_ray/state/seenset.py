@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+from array import array
 from typing import Dict, Iterable, List, Optional, Sequence, Set, Tuple
 
 import numpy as np
@@ -191,6 +192,18 @@ class SeenSet:
         # only overflow response) — used by tests that exercise the spill
         # path; production shards keep amortized growth on
         self.grow = grow
+        # insertion-ordered 8-byte keys of every exact-store entry: the
+        # rebuild replays THESE instead of re-sha256ing every URL (a 50M-URL
+        # shard must not stall lease serving on a full-store re-hash)
+        self._keys = array("Q")
+
+    def _admit(self, url: str, key: int, depth: int) -> None:
+        """Insert a NEW url: filter + exact store + key cache + growth
+        check — the single write path every admit site shares."""
+        self.filter.add(key)
+        self.exact[url] = depth
+        self._keys.append(key)
+        self._maybe_grow()
 
     def _maybe_grow(self) -> None:
         """Rebuild the cuckoo filter at 2×+ slots once load crosses
@@ -216,8 +229,8 @@ class SeenSet:
         while len(self.exact) >= _GROW_LOAD * new_cap:
             new_cap *= 2
         nf = CuckooFilter(new_cap)
-        for url in self.exact:
-            nf.add(_h(url))
+        for k in self._keys:
+            nf.add(k)
         self.filter = nf
         self.filter_rebuilds += 1
 
@@ -226,16 +239,12 @@ class SeenSet:
         key = _h(url)
         if key not in self.filter:
             self.filter_negatives += 1
-            self.filter.add(key)
-            self.exact[url] = depth
-            self._maybe_grow()
+            self._admit(url, key, depth)
             return True
         self.filter_positives += 1
         if url in self.exact:
             return False
-        self.filter.add(key)
-        self.exact[url] = depth
-        self._maybe_grow()
+        self._admit(url, key, depth)
         return True
 
     def offer_depth(self, url: str, depth: int) -> str:
@@ -244,16 +253,12 @@ class SeenSet:
         key = _h(url)
         if key not in self.filter:
             self.filter_negatives += 1
-            self.filter.add(key)
-            self.exact[url] = depth
-            self._maybe_grow()
+            self._admit(url, key, depth)
             return "new"
         self.filter_positives += 1
         cur = self.exact.get(url)
         if cur is None:
-            self.filter.add(key)
-            self.exact[url] = depth
-            self._maybe_grow()
+            self._admit(url, key, depth)
             return "new"
         if depth < cur:
             self.exact[url] = depth
@@ -286,9 +291,7 @@ class SeenSet:
                 if url in exact:
                     out.append(False)
                     continue
-                self.filter.add(int(keys[idx]))
-                exact[url] = depth
-                self._maybe_grow()
+                self._admit(url, int(keys[idx]), depth)
                 out.append(True)
                 continue
             if url in exact:
@@ -299,9 +302,7 @@ class SeenSet:
                 out.append(False)
                 continue
             self.filter_negatives += 1
-            self.filter.add(int(keys[idx]))
-            exact[url] = depth
-            self._maybe_grow()
+            self._admit(url, int(keys[idx]), depth)
             out.append(True)
         return out
 
@@ -320,9 +321,7 @@ class SeenSet:
                 self.filter_positives += 1
                 cur = exact.get(url)
                 if cur is None:
-                    self.filter.add(int(keys[idx]))
-                    exact[url] = depth
-                    self._maybe_grow()
+                    self._admit(url, int(keys[idx]), depth)
                     out.append("new")
                 elif depth < cur:
                     exact[url] = depth
@@ -341,9 +340,7 @@ class SeenSet:
                     out.append("dup")
                 continue
             self.filter_negatives += 1
-            self.filter.add(int(keys[idx]))
-            exact[url] = depth
-            self._maybe_grow()
+            self._admit(url, int(keys[idx]), depth)
             out.append("new")
         return out
 
@@ -373,4 +370,5 @@ class SeenSet:
                 s.check_and_insert(it[0], int(it[1]))
         s.filter_negatives = 0
         s.filter_positives = 0
+        s.filter_rebuilds = 0   # replay rebuilds are not operational ones
         return s

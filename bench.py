@@ -82,7 +82,7 @@ def _frontier_microbench(n_urls: int = 200_000, heap_mem_cap: int = 20_000) -> d
 
     from ai_intel_web_scraper_ray.state import frontier as _fr
 
-    Shard = _fr.FrontierShard.__ray_metadata__.modified_class
+    Shard = _fr.FrontierShardImpl
     spill = tempfile.mkdtemp(prefix="bench_frontier_")
     sh = Shard(0, 1, heap_mem_cap=heap_mem_cap, spill_dir=spill)
     urls = [(f"https://h{i % 997}.example.com/p{i}", i % 7)

@@ -7,6 +7,7 @@ schema + order-insensitive values.  Usage:
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -108,8 +109,13 @@ def main():
     # pthread_create fails ("can't start new thread").  8 threads + a
     # disk spill dir keeps the same results with a ~5k-map peak.
     con.execute("SET threads TO 8")
-    con.execute("SET memory_limit='24GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_gate_spill'")
+    import tempfile
+
+    ram_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+              / (1 << 30))
+    con.execute(f"SET memory_limit='{max(4, int(ram_gb * 0.4))}GB'")
+    con.execute("SET temp_directory='"
+                + tempfile.mkdtemp(prefix="duckdb_gate_spill_") + "'")
     for tbl in ("region nation customer supplier part orders lineitem events documents embeddings".split()):
         con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')")
 
