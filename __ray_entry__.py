@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_view_no_purchase": rel.events_view_no_purchase,
         "events_user_paths": rel.events_user_paths,
         "events_cep_match": rel.events_cep_match,
+        "events_cep_sessions": rel.events_cep_sessions,
         "events_pivot": rel.events_pivot,
         "orders_monthly_growth": rel.orders_monthly_growth,
         "orders_running_total": rel.orders_running_total,
@@ -1319,6 +1320,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from ai_intel_web_scraper_ray.pipelines.relational import (
         SESSION_GAP_MIN,
+        _CEP_WINDOW_MIN,
         _FD_CANDIDATES,
         _KTRUSS_K,
         _KTRUSS_ROUNDS,
@@ -1681,6 +1683,48 @@ def oracle_sql() -> dict[str, str]:
             FROM seq
             WHERE len(regexp_extract_all(s, 'vc+p')) >= 1
             ORDER BY user_id
+        """,
+        # time-bounded CEP: the same pattern, reset at 30-minute session
+        # boundaries (gaps-and-islands session ids, then per-session
+        # symbol strings)
+        "events_cep_sessions": f"""
+            WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CASE event_type
+                            WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                            WHEN 'purchase' THEN 'p'
+                            WHEN 'signup' THEN 's' ELSE 'e' END AS sym
+                FROM events
+            ), g AS (
+                SELECT user_id, ts, event_id, sym,
+                       CASE WHEN ts - LAG(ts) OVER (
+                                PARTITION BY user_id
+                                ORDER BY ts, event_id)
+                            > INTERVAL {_CEP_WINDOW_MIN} MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM ev
+            ), s AS (
+                SELECT user_id, ts, event_id, sym,
+                       SUM(brk) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS sess
+                FROM g
+            ), seq AS (
+                SELECT user_id, sess,
+                       string_agg(sym, '' ORDER BY ts, event_id) AS str
+                FROM s GROUP BY user_id, sess
+            ), per AS (
+                SELECT user_id,
+                       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+                       CAST(SUM(len(regexp_extract_all(str, 'vc+p')))
+                           AS BIGINT) AS n_matches,
+                       CAST(SUM(CASE WHEN len(regexp_extract_all(
+                                str, 'vc+p')) > 0 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS sessions_with_match
+                FROM seq GROUP BY user_id
+            )
+            SELECT user_id, n_sessions, n_matches, sessions_with_match
+            FROM per WHERE n_matches >= 1 ORDER BY user_id
         """,
         # daily event-type crosstab (COUNT FILTER pivot)
         "events_pivot": """

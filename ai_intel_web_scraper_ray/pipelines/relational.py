@@ -12465,3 +12465,84 @@ def orders_forget_customers(sf_dir: str) -> pd.DataFrame:
         "rows_after": pd.Series([r[1] - r[2] for r in rows],
                                 dtype="int64")})
     return out[list(cols)]
+
+
+_CEP_WINDOW_MIN = 1440   # within(1 day) — the CEP time bound
+
+
+def events_cep_sessions(sf_dir: str) -> pd.DataFrame:
+    """(user_id, n_sessions, n_matches, sessions_with_match) for users
+    with at least one ``view click+ purchase`` match INSIDE a 1-day
+    activity session (gap > _CEP_WINDOW_MIN minutes starts a new one;
+    at this corpus's event sparsity the 30-minute browse-session window
+    leaves every session a singleton, so the day window is what makes
+    the time bound a REAL constraint rather than a vacuous one) — the time-bounded CEP variant: ``events_cep_match`` scans
+    the whole history, this one resets the pattern at every session
+    boundary (Flink CEP's within()/session-window composition).
+
+    Scale shape: identical to events_cep_match (user-hash buckets, one
+    pandas sort, ONE C-regex pass per bucket) — the only addition is the
+    vectorized session-id derivation (gap > 30 min starts a session, the
+    events_sessions diff construction) and separators at SESSION breaks
+    instead of user breaks, so a match can never span two sessions.
+    Match→session attribution stays a searchsorted; per-user reduction
+    folds the ≤ #sessions rows inside the bucket."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    cols = ("user_id", "n_sessions", "n_matches", "sessions_with_match")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+    gap_ns = np.int64(_CEP_WINDOW_MIN) * 60 * 1_000_000_000
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sym"] = df["event_type"].map(_CEP_SYMS).fillna("e")
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df[["user_id", "ts", "event_id", "sym", "_b"]]
+
+    pat = re.compile(_CEP_PATTERN)
+
+    def bucket_match(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty.copy()
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        uid = df["user_id"].to_numpy(dtype="int64")
+        ts = df["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        syms = df["sym"].to_numpy(dtype=object)
+        new_user = np.empty(len(uid), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        dt = np.zeros(len(uid), dtype=np.int64)
+        dt[1:] = ts[1:] - ts[:-1]
+        new_sess = new_user | (dt > gap_ns)
+        starts = np.nonzero(new_sess)[0]        # row index per session
+        sess_users = uid[starts]
+        pieces: List[str] = []
+        for j, s in enumerate(starts):
+            e = starts[j + 1] if j + 1 < len(starts) else len(uid)
+            pieces.append("".join(syms[s:e]))
+        blob = "|".join(pieces)
+        offsets = starts + np.arange(len(starts))
+        n_matches = np.zeros(len(starts), dtype=np.int64)
+        for m in pat.finditer(blob):
+            j = int(np.searchsorted(offsets, m.start(), side="right")) - 1
+            n_matches[j] += 1
+        per = pd.DataFrame({"user_id": sess_users,
+                            "m": n_matches,
+                            "hit": (n_matches >= 1).astype("int64")}) \
+            .groupby("user_id", as_index=False) \
+            .agg(n_sessions=("m", "size"), n_matches=("m", "sum"),
+                 sessions_with_match=("hit", "sum"))
+        per = per[per["n_matches"] >= 1]
+        for c in cols:
+            per[c] = per[c].astype("int64")
+        return per[list(cols)]
+
+    out = ds.map_batches(keep, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_match, batch_format="pandas") \
+        .to_pandas()
+    if out.empty or "user_id" not in out.columns or len(out) == 0:
+        return empty
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[list(cols)].sort_values("user_id").reset_index(drop=True)

@@ -68,6 +68,7 @@ ORACLE_QUERIES = [
     "events_view_no_purchase",
     "events_user_paths",
     "events_cep_match",
+    "events_cep_sessions",
     "events_pivot",
     "orders_forget_customers",
     "orders_monthly_growth",
