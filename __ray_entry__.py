@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_paths": rel.events_user_paths,
         "events_cep_match": rel.events_cep_match,
         "events_cep_sessions": rel.events_cep_sessions,
+        "events_key_skew": rel.events_key_skew,
         "events_pivot": rel.events_pivot,
         "orders_monthly_growth": rel.orders_monthly_growth,
         "orders_running_total": rel.orders_running_total,
@@ -1725,6 +1726,40 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id, n_sessions, n_matches, sessions_with_match
             FROM per WHERE n_matches >= 1 ORDER BY user_id
+        """,
+        # join-key skew profile: exact integer Gini of per-key counts
+        # (tie ranks are interchangeable in sum(i*c), so ROW_NUMBER
+        # order among equal counts is immaterial); HUGEINT casts keep
+        # n*S*10^6 exact
+        "events_key_skew": """
+            WITH c AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+                FROM events GROUP BY user_id
+            ), tot AS (
+                SELECT CAST(SUM(n) AS HUGEINT) AS s,
+                       CAST(COUNT(*) AS HUGEINT) AS k,
+                       CAST(MAX(n) AS BIGINT) AS mx
+                FROM c
+            ), rk AS (
+                SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS i FROM c
+            ), a AS (
+                SELECT CAST(SUM(CAST(i AS HUGEINT) * n) AS HUGEINT) AS a
+                FROM rk
+            )
+            SELECT CAST(s AS BIGINT) AS n_rows,
+                   CAST(k AS BIGINT) AS n_keys,
+                   mx AS max_count,
+                   CAST(mx * 1000000 // s AS BIGINT) AS max_share_ppm,
+                   CAST((SELECT COUNT(*) FROM c
+                         WHERE n > 10 * (SELECT CAST(s // k AS BIGINT)
+                                         FROM tot)) AS BIGINT)
+                       AS hot_keys_10x,
+                   CAST((2 * a - (k + 1) * s) * 1000000 // (k * s)
+                        AS BIGINT) AS gini_ppm,
+                   CAST(LEAST(64, GREATEST(1,
+                        mx // GREATEST(CAST(s // k AS BIGINT), 1)))
+                        AS BIGINT) AS recommended_salt
+            FROM tot, a
         """,
         # daily event-type crosstab (COUNT FILTER pivot)
         "events_pivot": """

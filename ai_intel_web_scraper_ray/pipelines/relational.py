@@ -12546,3 +12546,86 @@ def events_cep_sessions(sf_dir: str) -> pd.DataFrame:
     for c in cols:
         out[c] = out[c].astype("int64")
     return out[list(cols)].sort_values("user_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# key-skew advisor: the distribution profile a join planner consults
+# BEFORE picking a strategy (broadcast / shuffle / salt) — the analysis
+# half of events_salted_segment_join's mitigation half
+# ---------------------------------------------------------------------------
+
+
+def events_key_skew(sf_dir: str) -> pd.DataFrame:
+    """One-row skew profile of the events fact table's join key
+    (user_id): (n_rows, n_keys, max_count, max_share_ppm, hot_keys_10x,
+    gini_ppm, recommended_salt).
+
+    ``gini_ppm`` is the EXACT integer Gini of the per-key count
+    distribution — computed from a count-of-counts histogram, never a
+    global sort: per-key counts settle under 64 user-hash buckets, each
+    bucket emits (count_value, n_keys_with_it) partials, and the driver
+    folds the bounded histogram (≤ distinct count values, independent of
+    key cardinality).  Ranks of tied counts are interchangeable in
+    Σ i·c_(i), so the histogram form is exact:
+    for a run of f keys at value v starting after rank r the
+    contribution is v·(f·r + f·(f+1)/2).  All arithmetic is Python
+    arbitrary-precision on the driver (the SQL twin casts through
+    HUGEINT), so n·S·10⁶ cannot overflow.
+    ``recommended_salt = min(64, max(1, max_count // mean))`` is the
+    events_salted_segment_join salt factor the profile implies;
+    ``hot_keys_10x`` counts keys above 10× the floor mean (the
+    broadcast-set size that join's step 2 would collect)."""
+    ds = _read(sf_dir, "events", ["user_id"])
+
+    def count_partial(t: pa.Table) -> pd.DataFrame:
+        u = t["user_id"].to_numpy(zero_copy_only=False).astype("int64")
+        if len(u) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64"),
+                                 "_b": pd.Series([], dtype="int64")})
+        uk, cnt = np.unique(u, return_counts=True)
+        return pd.DataFrame({"user_id": uk, "n": cnt.astype("int64"),
+                             "_b": uk % 64})
+
+    def bucket_hist(df: pd.DataFrame) -> pd.DataFrame:
+        cols0 = {"v": pd.Series([], dtype="int64"),
+                 "f": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "user_id" not in df.columns:
+            return pd.DataFrame(cols0)
+        per_key = df.groupby("user_id")["n"].sum()
+        vc = per_key.value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(dtype="int64"),
+                             "f": vc.to_numpy().astype("int64")})
+
+    hist = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("_b").map_groups(bucket_hist, batch_format="pandas") \
+        .to_pandas()
+    cols = ("n_rows", "n_keys", "max_count", "max_share_ppm",
+            "hot_keys_10x", "gini_ppm", "recommended_salt")
+    if hist.empty or "v" not in hist.columns or len(hist) == 0:
+        return pd.DataFrame({c: pd.Series([], dtype="int64")
+                             for c in cols})
+    hist = hist.groupby("v", as_index=False)["f"].sum() \
+        .sort_values("v").reset_index(drop=True)
+    vs = [int(x) for x in hist["v"]]
+    fs = [int(x) for x in hist["f"]]
+    k = sum(fs)
+    S = sum(v * f for v, f in zip(vs, fs))
+    mx = vs[-1]
+    # Σ i·c_(i) over the ascending-sorted counts, folded per histogram run
+    A, r = 0, 0
+    for v, f in zip(vs, fs):
+        A += v * (f * r + f * (f + 1) // 2)
+        r += f
+    mean = S // k
+    hot = sum(f for v, f in zip(vs, fs) if v > 10 * mean)
+    gini_ppm = ((2 * A - (k + 1) * S) * 1_000_000) // (k * S)
+    salt = min(64, max(1, mx // max(mean, 1)))
+    return pd.DataFrame({
+        "n_rows": pd.Series([S], dtype="int64"),
+        "n_keys": pd.Series([k], dtype="int64"),
+        "max_count": pd.Series([mx], dtype="int64"),
+        "max_share_ppm": pd.Series([mx * 1_000_000 // S], dtype="int64"),
+        "hot_keys_10x": pd.Series([hot], dtype="int64"),
+        "gini_ppm": pd.Series([gini_ppm], dtype="int64"),
+        "recommended_salt": pd.Series([salt], dtype="int64")})

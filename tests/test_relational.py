@@ -69,6 +69,7 @@ ORACLE_QUERIES = [
     "events_user_paths",
     "events_cep_match",
     "events_cep_sessions",
+    "events_key_skew",
     "events_pivot",
     "orders_forget_customers",
     "orders_monthly_growth",
