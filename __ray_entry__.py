@@ -389,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ensemble_dedup": dq.docs_ensemble_dedup,     # pinned-table oracle
         "emb_cosine_dedup": dq.emb_cosine_dedup,
         "media_decode": dq.media_decode,
+        "media_frames": dq.media_frames,
         "docs_simhash": dq.docs_simhash,                   # pinned-table oracle
         # similarity search
         "emb_knn": dq.emb_knn,
@@ -4721,6 +4722,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{_PINNED_MEDIA_DECODE}') p
               ON p.media_ref = 'media://img/' || CAST(d.doc_id AS VARCHAR)
             ORDER BY p.media_ref
+        """,
+        # frame-sample twin in PURE SQL: payload = sha256(ref) digest
+        # tiled to 4096 bytes, so every 1024-byte frame slice is the
+        # 32-byte digest 32x and byte_sum = 32 * digest byte sum
+        "media_frames": """
+            WITH refs AS (
+                SELECT 'media://img/' || CAST(doc_id AS VARCHAR) AS media_ref
+                FROM documents
+            ), dsum AS (
+                SELECT media_ref,
+                       CAST(list_sum(list_transform(range(0, 32),
+                           i -> CAST(('0x' || substr(sha256(media_ref),
+                                       i * 2 + 1, 2)) AS BIGINT)))
+                           AS BIGINT) AS digest_sum
+                FROM refs
+            )
+            SELECT media_ref, CAST(f.f AS BIGINT) AS frame_index,
+                   CAST(1024 AS BIGINT) AS frame_bytes,
+                   CAST(digest_sum * 32 AS BIGINT) AS byte_sum
+            FROM dsum CROSS JOIN (SELECT unnest(range(0, 4)) AS f) f
+            ORDER BY media_ref, frame_index
         """,
         # span-level interleaved archival table for the fixture crawl,
         # pinned by an independent sequential BFS + codec replay

@@ -8018,3 +8018,45 @@ def docs_dup_spans(sf_dir: str, w: int = _SPAN_W) -> pd.DataFrame:
     if out.empty or "doc_id" not in out.columns or len(out) == 0:
         return empty
     return out[list(cols)].sort_values("doc_id").reset_index(drop=True)
+
+
+def media_frames(sf_dir: str) -> pd.DataFrame:
+    """(media_ref, frame_index, frame_bytes, byte_sum) through the REAL
+    frame-sampling actor pool: one synthesized 4096-byte video payload
+    per document flat-maps into 4 deterministic frame slices whose byte
+    sums the oracle recomputes in PURE SQL — the payload is a repeated
+    sha256(ref) digest stream, so each 1024-byte frame is the 32-byte
+    digest tiled 32×, and DuckDB's ``sha256()`` (hex) rebuilds the
+    digest byte sum with no pinned table.
+
+    This makes the frame-sample stage (stages/multimodal.py:
+    FrameSampleStage — the video analogue of the chunker, reference
+    chunking context vectorstore/chunker.py) a first-class gate row next
+    to media_decode's pinned-replay check: actor-pool flat-map fan-out,
+    byte-budgeted batches, per-frame payload slicing all exercised
+    end-to-end."""
+    from ..stages.multimodal import FrameSampleStage, synthesize_media_table
+
+    doc_ids = _docs(sf_dir, ["doc_id"]).to_pandas()["doc_id"].tolist()
+    refs = [f"media://img/{d}" for d in doc_ids]
+    ds = rd.from_arrow(synthesize_media_table(refs, media_type="video"))
+    frames = ds.map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 2), max_restarts=-1, max_task_retries=8)
+
+    def stats(t: pa.Table) -> pa.Table:
+        pays = t["payload"].to_pylist()
+        sums = np.fromiter(
+            (int(np.frombuffer(p, dtype=np.uint8).sum()) for p in pays),
+            dtype=np.int64, count=len(pays))
+        lens = np.fromiter((len(p) for p in pays), dtype=np.int64,
+                           count=len(pays))
+        return pa.table({
+            "media_ref": t["media_ref"],
+            "frame_index": pc.cast(t["frame_index"], pa.int64()),
+            "frame_bytes": pa.array(lens, pa.int64()),
+            "byte_sum": pa.array(sums, pa.int64())})
+
+    out = frames.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["media_ref", "frame_index"]) \
+        .reset_index(drop=True)

@@ -95,6 +95,7 @@ ORACLE_QUERIES = [
     "emb_cluster_stats",
     "emb_nn_descent",
     "docs_dup_spans",
+    "media_frames",
 ]
 
 
