@@ -390,6 +390,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dedup": dq.emb_cosine_dedup,
         "media_decode": dq.media_decode,
         "media_frames": dq.media_frames,
+        "media_resize_decode": dq.media_resize_decode,
         "docs_simhash": dq.docs_simhash,                   # pinned-table oracle
         # similarity search
         "emb_knn": dq.emb_knn,
@@ -4743,6 +4744,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(digest_sum * 32 AS BIGINT) AS byte_sum
             FROM dsum CROSS JOIN (SELECT unnest(range(0, 4)) AS f) f
             ORDER BY media_ref, frame_index
+        """,
+        # resize→decode twin: 32x24x3 = 2304 bytes = 72 tiled digests
+        "media_resize_decode": """
+            WITH refs AS (
+                SELECT 'media://img/' || CAST(doc_id AS VARCHAR) AS media_ref
+                FROM documents
+            ), dsum AS (
+                SELECT media_ref,
+                       CAST(list_sum(list_transform(range(0, 32),
+                           i -> CAST(('0x' || substr(sha256(media_ref),
+                                       i * 2 + 1, 2)) AS BIGINT)))
+                           AS BIGINT) AS s,
+                       CAST(list_sum(list_transform(range(0, 32),
+                           i -> CAST(('0x' || substr(sha256(media_ref),
+                                       i * 2 + 1, 2)) AS BIGINT)
+                                * CAST(('0x' || substr(sha256(media_ref),
+                                       i * 2 + 1, 2)) AS BIGINT)))
+                           AS BIGINT) AS sq
+                FROM refs
+            )
+            SELECT media_ref, CAST(32 AS BIGINT) AS width,
+                   CAST(24 AS BIGINT) AS height,
+                   CAST(s * 72 AS BIGINT) AS pixel_sum,
+                   CAST(sq * 72 AS BIGINT) AS pixel_sq_sum
+            FROM dsum ORDER BY media_ref
         """,
         # span-level interleaved archival table for the fixture crawl,
         # pinned by an independent sequential BFS + codec replay

@@ -8060,3 +8060,43 @@ def media_frames(sf_dir: str) -> pd.DataFrame:
     out = frames.map_batches(stats, batch_format="pyarrow").to_pandas()
     return out.sort_values(["media_ref", "frame_index"]) \
         .reset_index(drop=True)
+
+
+def media_resize_decode(sf_dir: str) -> pd.DataFrame:
+    """(media_ref, width, height, pixel_sum, pixel_sq_sum) through the
+    REAL resize actor pool followed by the decode kernel: resize rewrites
+    the typed metadata to 32×24, decode tiles the payload into
+    (24, 32, 3) = 2304 bytes — exactly 72 repetitions of the 32-byte
+    sha256(ref) digest — so the oracle rebuilds the integer pixel sums in
+    PURE SQL (pixel_sum = 72·Σdigest, pixel_sq_sum = 72·Σdigest²).
+    Completes the multimodal trio: decode (pinned replay), frame-sample
+    (pure-SQL frames), resize (this row)."""
+    from ..stages.multimodal import (MediaResizeStage, _decode_fake,
+                                     synthesize_media_table)
+
+    doc_ids = _docs(sf_dir, ["doc_id"]).to_pandas()["doc_id"].tolist()
+    refs = [f"media://img/{d}" for d in doc_ids]
+    ds = rd.from_arrow(synthesize_media_table(refs))
+    resized = ds.map_batches(
+        MediaResizeStage, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 2), max_restarts=-1, max_task_retries=8)
+
+    def stats(t: pa.Table) -> pa.Table:
+        pays = t["payload"].to_pylist()
+        ws = t["width"].to_pylist()
+        hs = t["height"].to_pylist()
+        sums = np.zeros(len(pays), dtype=np.int64)
+        sqs = np.zeros(len(pays), dtype=np.int64)
+        for i, (p, w, h) in enumerate(zip(pays, ws, hs)):
+            img = _decode_fake(p, w, h).astype(np.int64)
+            sums[i] = int(img.sum())
+            sqs[i] = int((img * img).sum())
+        return pa.table({
+            "media_ref": t["media_ref"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "pixel_sum": pa.array(sums, pa.int64()),
+            "pixel_sq_sum": pa.array(sqs, pa.int64())})
+
+    out = resized.map_batches(stats, batch_format="pyarrow").to_pandas()
+    return out.sort_values("media_ref").reset_index(drop=True)

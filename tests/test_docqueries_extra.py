@@ -96,6 +96,7 @@ ORACLE_QUERIES = [
     "emb_nn_descent",
     "docs_dup_spans",
     "media_frames",
+    "media_resize_decode",
 ]
 
 
