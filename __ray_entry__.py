@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_gap_stats": rel.orders_gap_stats,
         "events_top_users": rel.events_top_users,
         "parts_pagerank": rel.parts_pagerank,
+        "parts_ppr": rel.parts_ppr,
         "events_kmv_distinct": rel.events_kmv_distinct,
         "orders_bloom_semijoin": rel.orders_bloom_semijoin,
         "parts_triangles": rel.parts_triangles,
@@ -2763,6 +2764,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS part,
                    CAST(rank_ppm AS BIGINT) AS rank_ppm
             FROM r2 ORDER BY rank_ppm DESC, part LIMIT 20
+        """,
+        # personalized PageRank: teleport mass only on the p_size=1 seed
+        # cohort; universe = nodes incident to >=1 edge (isolated seeds
+        # out of scope on both sides); same 850/1000 damping and per-edge
+        # floor divisions as parts_pagerank
+        "parts_ppr": """
+            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS (
+                SELECT a.l_partkey AS src, c.l_partkey AS dst,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM b a JOIN b c USING (l_orderkey)
+                WHERE a.l_partkey != c.l_partkey
+                GROUP BY 1, 2
+            ),
+            ow AS (SELECT src, CAST(SUM(n) AS BIGINT) AS outw
+                   FROM e0 GROUP BY src),
+            e AS (SELECT e0.src, e0.dst, e0.n, ow.outw
+                  FROM e0 JOIN ow USING (src)),
+            nodes AS (SELECT src AS node FROM e
+                      UNION SELECT dst FROM e),
+            seeds AS (SELECT p_partkey AS node FROM part
+                      WHERE p_size = 1),
+            sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk FROM seeds),
+            r0 AS (
+                SELECT n.node,
+                       CASE WHEN s.node IS NOT NULL
+                            THEN 1000000 // (SELECT nk FROM sc)
+                            ELSE 0 END AS r
+                FROM nodes n LEFT JOIN seeds s ON n.node = s.node
+            ),
+            in1 AS (
+                SELECT e.dst AS node,
+                       CAST(SUM(r0.r * e.n // e.outw) AS BIGINT) AS c
+                FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst
+            ),
+            r1 AS (
+                SELECT r0.node,
+                       150 * r0.r // 1000
+                       + 850 * COALESCE(in1.c, 0) // 1000 AS r
+                FROM r0 LEFT JOIN in1 ON r0.node = in1.node
+            ),
+            in2 AS (
+                SELECT e.dst AS node,
+                       CAST(SUM(r1.r * e.n // e.outw) AS BIGINT) AS c
+                FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst
+            ),
+            r2 AS (
+                SELECT r0.node,
+                       150 * r0.r // 1000
+                       + 850 * COALESCE(in2.c, 0) // 1000 AS r
+                FROM r0 LEFT JOIN in2 ON r0.node = in2.node
+            )
+            SELECT CAST(node AS BIGINT) AS part,
+                   CAST(r AS BIGINT) AS pr_ppm
+            FROM r2 WHERE r > 0
+            ORDER BY r DESC, part LIMIT 20
         """,
         # the IDENTICAL KMV sketch (md5-based) run in SQL — deterministic,
         # so the estimate itself is hash-checked, not approximated

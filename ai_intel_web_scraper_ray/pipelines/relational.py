@@ -12629,3 +12629,134 @@ def events_key_skew(sf_dir: str) -> pd.DataFrame:
         "hot_keys_10x": pd.Series([hot], dtype="int64"),
         "gini_ppm": pd.Series([gini_ppm], dtype="int64"),
         "recommended_salt": pd.Series([salt], dtype="int64")})
+
+
+def parts_ppr(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Two personalized-PageRank iterations over the co-order part graph,
+    restarting on the ``p_size = 1`` part cohort: (part, pr_ppm) top-k by
+    final rank — the seeded-relevance sibling of :func:`parts_pagerank`
+    (same damping 850/1000, same integer-ppm arithmetic), the primitive
+    behind related-item / seed-expansion retrieval.
+
+    Scale shape: edge build identical to parts_pagerank (bounded basket
+    blowup, src-bucket outw settle, materialized once).  The seed vector
+    never exists as a dense table: seeds are a SORTED broadcast array
+    (searchsorted membership — a bounded ~2% slice of part; the q3 gear
+    applies above the broadcast budget) and the teleport term is
+    recomputed per node row.  Each iteration is ONE node-hash-bucket
+    groupby whose input carries (dst, floor-div edge contribution) plus
+    zero-contribution (src, 0) rows so teleport-only sources stay in the
+    rank table for the next iteration's join; iteration 2 attaches
+    rank₁ to edges with the same hash-shuffle ``Dataset.join`` as
+    parts_pagerank.  Universe = nodes incident to ≥1 edge (isolated
+    seeds are out of scope on BOTH sides, documented)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    def dedup_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.drop_duplicates(["l_orderkey", "l_partkey"]).copy()
+        out["_b"] = (out["l_orderkey"].astype("int64") % 64).astype("int64")
+        return out
+
+    def gen_dir_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["l_orderkey", "l_partkey"])
+        m = df.merge(df, on="l_orderkey")
+        m = m[m["l_partkey_x"] != m["l_partkey_y"]]
+        out = m.groupby(["l_partkey_x", "l_partkey_y"], as_index=False) \
+            .size().rename(columns={"l_partkey_x": "src",
+                                    "l_partkey_y": "dst", "size": "n"})
+        out["_s"] = (out["src"].astype("int64") % 64).astype("int64")
+        return out
+
+    def finish_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["src", "dst"], as_index=False)["n"].sum()
+        out["outw"] = out.groupby("src")["n"].transform("sum")
+        return out[["src", "dst", "n", "outw"]]
+
+    edges = ds.map_batches(dedup_bucket, batch_format="pandas") \
+        .groupby("_b").map_groups(gen_dir_pairs, batch_format="pandas") \
+        .groupby("_s").map_groups(finish_edges, batch_format="pandas") \
+        .materialize()
+
+    empty = pd.DataFrame({"part": pd.Series([], dtype="int64"),
+                          "pr_ppm": pd.Series([], dtype="int64")})
+    if edges.count() == 0:
+        return empty
+
+    seeds_df = _read(sf_dir, "part", ["p_partkey", "p_size"]) \
+        .map_batches(lambda t: t.filter(pc.equal(t["p_size"], 1))
+                     .select(["p_partkey"]), batch_format="pyarrow") \
+        .to_pandas()
+    seed_arr = np.sort(seeds_df["p_partkey"].to_numpy(dtype="int64"))
+    n_seed = len(seed_arr)
+    if n_seed == 0:
+        return empty
+    seed_ref = _ray_put(seed_arr)
+    e_ppm = 1_000_000 // n_seed
+
+    def _teleport(nodes: np.ndarray) -> np.ndarray:
+        sa = ray.get(seed_ref)
+        idx = np.searchsorted(sa, nodes)
+        hit = (idx < len(sa)) & (sa[np.minimum(idx, len(sa) - 1)] == nodes)
+        return np.where(hit, np.int64(e_ppm), np.int64(0))
+
+    def contrib1(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src"].to_numpy(dtype="int64")
+        dst = df["dst"].to_numpy(dtype="int64")
+        r0 = _teleport(src)
+        c = (r0 * df["n"].to_numpy(dtype="int64")) \
+            // df["outw"].to_numpy(dtype="int64")
+        out = pd.DataFrame({
+            "node": np.concatenate([dst, src]),
+            "c": np.concatenate([c, np.zeros(len(src), dtype="int64")])})
+        out = out.groupby("node", as_index=False)["c"].sum()
+        out["_d"] = (out["node"] % 64).astype("int64")
+        return out
+
+    def fold_rank(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        out = df.groupby("node", as_index=False)["c"].sum()
+        nodes = out["node"].to_numpy(dtype="int64")
+        tele = _teleport(nodes)
+        return pd.DataFrame({
+            "node": nodes,
+            col: (150 * tele // 1_000
+                  + 850 * out["c"].to_numpy(dtype="int64") // 1_000)
+            .astype("int64")})
+
+    rank1 = edges.map_batches(contrib1, batch_format="pandas") \
+        .groupby("_d").map_groups(
+            lambda df: fold_rank(df, "rank"), batch_format="pandas")
+
+    n_parts = _join_partitions(sf_dir, "lineitem", selectivity=0.5, cap=16)
+    joined = edges.join(rank1, join_type="inner",
+                        num_partitions=n_parts,
+                        on=("src",), right_on=("node",))
+
+    def contrib2(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["src"].to_numpy(dtype="int64")
+        dst = df["dst"].to_numpy(dtype="int64")
+        c = (df["rank"].to_numpy(dtype="int64")
+             * df["n"].to_numpy(dtype="int64")) \
+            // df["outw"].to_numpy(dtype="int64")
+        out = pd.DataFrame({
+            "node": np.concatenate([dst, src]),
+            "c": np.concatenate([c, np.zeros(len(src), dtype="int64")])})
+        out = out.groupby("node", as_index=False)["c"].sum()
+        out["_d"] = (out["node"] % 64).astype("int64")
+        return out
+
+    def bucket_top(df: pd.DataFrame) -> pd.DataFrame:
+        out = fold_rank(df, "pr_ppm")
+        out = out[out["pr_ppm"] > 0]
+        return out.sort_values(["pr_ppm", "node"],
+                               ascending=[False, True]).head(k)
+
+    tops = joined.map_batches(contrib2, batch_format="pandas") \
+        .groupby("_d").map_groups(bucket_top, batch_format="pandas") \
+        .to_pandas()
+    if tops.empty or "node" not in tops.columns or len(tops) == 0:
+        return empty
+    tops = tops.sort_values(["pr_ppm", "node"],
+                            ascending=[False, True]).head(k)
+    return pd.DataFrame({
+        "part": tops["node"].astype("int64").to_numpy(),
+        "pr_ppm": tops["pr_ppm"].astype("int64").to_numpy()})

@@ -70,6 +70,7 @@ ORACLE_QUERIES = [
     "events_cep_match",
     "events_cep_sessions",
     "events_key_skew",
+    "parts_ppr",
     "events_pivot",
     "orders_forget_customers",
     "orders_monthly_growth",
