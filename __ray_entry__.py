@@ -1688,7 +1688,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE len(regexp_extract_all(s, 'vc+p')) >= 1
             ORDER BY user_id
         """,
-        # time-bounded CEP: the same pattern, reset at 30-minute session
+        # time-bounded CEP: the same pattern, reset at 1-day session
         # boundaries (gaps-and-islands session ids, then per-session
         # symbol strings)
         "events_cep_sessions": f"""
@@ -1763,6 +1763,7 @@ def oracle_sql() -> dict[str, str]:
                         mx // GREATEST(CAST(s // k AS BIGINT), 1)))
                         AS BIGINT) AS recommended_salt
             FROM tot, a
+            WHERE k > 0   -- typed-empty twin: no rows when events is empty
         """,
         # daily event-type crosstab (COUNT FILTER pivot)
         "events_pivot": """
@@ -4807,19 +4808,18 @@ def oracle_sql() -> dict[str, str]:
             WITH refs AS (
                 SELECT 'media://img/' || CAST(doc_id AS VARCHAR) AS media_ref
                 FROM documents
+            ), dig AS (
+                SELECT media_ref,
+                       list_transform(range(0, 32),
+                           i -> CAST(('0x' || substr(sha256(media_ref),
+                                       i * 2 + 1, 2)) AS BIGINT)) AS b
+                FROM refs
             ), dsum AS (
                 SELECT media_ref,
-                       CAST(list_sum(list_transform(range(0, 32),
-                           i -> CAST(('0x' || substr(sha256(media_ref),
-                                       i * 2 + 1, 2)) AS BIGINT)))
-                           AS BIGINT) AS s,
-                       CAST(list_sum(list_transform(range(0, 32),
-                           i -> CAST(('0x' || substr(sha256(media_ref),
-                                       i * 2 + 1, 2)) AS BIGINT)
-                                * CAST(('0x' || substr(sha256(media_ref),
-                                       i * 2 + 1, 2)) AS BIGINT)))
+                       CAST(list_sum(b) AS BIGINT) AS s,
+                       CAST(list_sum(list_transform(b, x -> x * x))
                            AS BIGINT) AS sq
-                FROM refs
+                FROM dig
             )
             SELECT media_ref, CAST(32 AS BIGINT) AS width,
                    CAST(24 AS BIGINT) AS height,

@@ -12289,6 +12289,46 @@ _CEP_SYMS = {"view": "v", "click": "c", "purchase": "p",
 _CEP_PATTERN = "vc+p"
 
 
+def _cep_bucket_scan(df: pd.DataFrame, pat, gap_ns=None):
+    """Shared CEP bucket core for events_cep_match / events_cep_sessions:
+    sort one bucket by (user_id, ts, event_id), break pieces at user
+    boundaries (always) and at time gaps > ``gap_ns`` (when given), join
+    the pieces into ONE separator-delimited string, and run ONE compiled
+    regex pass with searchsorted match→piece attribution.
+
+    Returns (piece_user, piece_len, n_matches, matched_chars) numpy
+    arrays, one entry per piece.  The pattern cannot cross the ``|``
+    separator, so a match never spans two pieces."""
+    df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    uid = df["user_id"].to_numpy(dtype="int64")
+    syms = df["sym"].to_numpy(dtype=object)
+    brk = np.empty(len(uid), dtype=bool)
+    brk[0] = True
+    brk[1:] = uid[1:] != uid[:-1]
+    if gap_ns is not None:
+        ts = df["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+        dt = np.zeros(len(uid), dtype=np.int64)
+        dt[1:] = ts[1:] - ts[:-1]
+        brk |= dt > gap_ns
+    starts = np.nonzero(brk)[0]               # row index of each piece
+    piece_user = uid[starts]
+    piece_len = np.diff(np.append(starts, len(uid))).astype("int64")
+    # char offset of piece j's first symbol = starts[j] + j ('|' count)
+    pieces: List[str] = []
+    for j, s in enumerate(starts):
+        e = starts[j + 1] if j + 1 < len(starts) else len(uid)
+        pieces.append("".join(syms[s:e]))
+    blob = "|".join(pieces)
+    offsets = starts + np.arange(len(starts))
+    n_matches = np.zeros(len(starts), dtype=np.int64)
+    matched = np.zeros(len(starts), dtype=np.int64)
+    for m in pat.finditer(blob):
+        j = int(np.searchsorted(offsets, m.start(), side="right")) - 1
+        n_matches[j] += 1
+        matched[j] += m.end() - m.start()
+    return piece_user, piece_len, n_matches, matched
+
+
 def events_cep_match(sf_dir: str) -> pd.DataFrame:
     """(user_id, n_events, n_matches, matched_events) for users whose
     event-type sequence (ordered by ts, event_id) contains at least one
@@ -12325,34 +12365,11 @@ def events_cep_match(sf_dir: str) -> pd.DataFrame:
     def bucket_match(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "user_id" not in df.columns:
             return empty.copy()
-        df = df.sort_values(["user_id", "ts", "event_id"],
-                            kind="mergesort")
-        uid = df["user_id"].to_numpy(dtype="int64")
-        syms = df["sym"].to_numpy(dtype=object)
-        new_user = np.empty(len(uid), dtype=bool)
-        new_user[0] = True
-        new_user[1:] = uid[1:] != uid[:-1]
-        starts = np.nonzero(new_user)[0]          # row index of each user
-        users = uid[starts]
-        n_events = np.diff(np.append(starts, len(uid)))
-        # bucket string: one char per event, '|' before each new user;
-        # char offset of user j's first symbol = starts[j] + j
-        pieces: List[str] = []
-        for j, s in enumerate(starts):
-            e = starts[j + 1] if j + 1 < len(starts) else len(uid)
-            pieces.append("".join(syms[s:e]))
-        blob = "|".join(pieces)
-        offsets = starts + np.arange(len(starts))
-        n_matches = np.zeros(len(users), dtype=np.int64)
-        matched = np.zeros(len(users), dtype=np.int64)
-        for m in pat.finditer(blob):
-            j = int(np.searchsorted(offsets, m.start(), side="right")) - 1
-            n_matches[j] += 1
-            matched[j] += m.end() - m.start()
+        users, n_events, n_matches, matched = _cep_bucket_scan(df, pat)
         hit = n_matches >= 1
         return pd.DataFrame({
             "user_id": users[hit],
-            "n_events": n_events[hit].astype("int64"),
+            "n_events": n_events[hit],
             "n_matches": n_matches[hit],
             "matched_events": matched[hit]})
 
@@ -12473,18 +12490,18 @@ _CEP_WINDOW_MIN = 1440   # within(1 day) — the CEP time bound
 def events_cep_sessions(sf_dir: str) -> pd.DataFrame:
     """(user_id, n_sessions, n_matches, sessions_with_match) for users
     with at least one ``view click+ purchase`` match INSIDE a 1-day
-    activity session (gap > _CEP_WINDOW_MIN minutes starts a new one;
-    at this corpus's event sparsity the 30-minute browse-session window
-    leaves every session a singleton, so the day window is what makes
-    the time bound a REAL constraint rather than a vacuous one) — the time-bounded CEP variant: ``events_cep_match`` scans
-    the whole history, this one resets the pattern at every session
-    boundary (Flink CEP's within()/session-window composition).
+    activity session (gap > _CEP_WINDOW_MIN = 1440 minutes starts a new
+    one; at this corpus's event sparsity the 30-minute browse-session
+    window leaves every session a singleton, so the day window is what
+    makes the time bound a REAL constraint rather than a vacuous one) —
+    the time-bounded CEP variant: ``events_cep_match`` scans the whole
+    history, this one resets the pattern at every session boundary
+    (Flink CEP's within()/session-window composition).
 
-    Scale shape: identical to events_cep_match (user-hash buckets, one
-    pandas sort, ONE C-regex pass per bucket) — the only addition is the
-    vectorized session-id derivation (gap > 30 min starts a session, the
-    events_sessions diff construction) and separators at SESSION breaks
-    instead of user breaks, so a match can never span two sessions.
+    Scale shape: the shared :func:`_cep_bucket_scan` core (user-hash
+    buckets, one pandas sort, ONE C-regex pass per bucket) with
+    ``gap_ns`` set, so pieces break at _CEP_WINDOW_MIN-gaps as well as
+    user boundaries and a match can never span two sessions.
     Match→session attribution stays a searchsorted; per-user reduction
     folds the ≤ #sessions rows inside the bucket."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
@@ -12504,29 +12521,8 @@ def events_cep_sessions(sf_dir: str) -> pd.DataFrame:
     def bucket_match(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0 or "user_id" not in df.columns:
             return empty.copy()
-        df = df.sort_values(["user_id", "ts", "event_id"],
-                            kind="mergesort")
-        uid = df["user_id"].to_numpy(dtype="int64")
-        ts = df["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
-        syms = df["sym"].to_numpy(dtype=object)
-        new_user = np.empty(len(uid), dtype=bool)
-        new_user[0] = True
-        new_user[1:] = uid[1:] != uid[:-1]
-        dt = np.zeros(len(uid), dtype=np.int64)
-        dt[1:] = ts[1:] - ts[:-1]
-        new_sess = new_user | (dt > gap_ns)
-        starts = np.nonzero(new_sess)[0]        # row index per session
-        sess_users = uid[starts]
-        pieces: List[str] = []
-        for j, s in enumerate(starts):
-            e = starts[j + 1] if j + 1 < len(starts) else len(uid)
-            pieces.append("".join(syms[s:e]))
-        blob = "|".join(pieces)
-        offsets = starts + np.arange(len(starts))
-        n_matches = np.zeros(len(starts), dtype=np.int64)
-        for m in pat.finditer(blob):
-            j = int(np.searchsorted(offsets, m.start(), side="right")) - 1
-            n_matches[j] += 1
+        sess_users, _, n_matches, _ = _cep_bucket_scan(df, pat,
+                                                       gap_ns=gap_ns)
         per = pd.DataFrame({"user_id": sess_users,
                             "m": n_matches,
                             "hit": (n_matches >= 1).astype("int64")}) \
