@@ -73,3 +73,59 @@ def test_crawl_on_two_real_nodes():
     assert got["seen"] == sorted(ref["seen"])
     assert got["urls"] == sorted(r["url"] for r in ref["records"])
     assert got["n_records"] == ref["n_records"]
+
+
+_SCRIPT_SHUFFLE = r"""
+import json
+import ray
+from ray.cluster_utils import Cluster
+
+cluster = Cluster()
+cluster.add_node(num_cpus=2, object_store_memory=400 * 1024 * 1024)
+cluster.add_node(num_cpus=2, object_store_memory=400 * 1024 * 1024)
+ray.init(address=cluster.address, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+
+import sys
+sys.path.insert(0, "/root/repo")
+from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+sf = "/root/testdata/sf0.001"
+dedup = dq.docs_minhash_dedup(sf)          # band shuffles + bucket groupbys
+q1 = rel.q1_pricing_summary(sf)            # partials + driver merge
+print(json.dumps({
+    "nodes": len([n for n in ray.nodes() if n["Alive"]]),
+    "dedup": dedup.to_dict(orient="list"),
+    "q1": {k: [str(x) for x in v]
+           for k, v in q1.to_dict(orient="list").items()},
+}))
+ray.shutdown()
+cluster.shutdown()
+"""
+
+
+def test_shuffles_on_two_real_nodes():
+    """MinHash dedup (band exchanges, bucket groupbys, the plasma drop
+    filter) and TPC-H q1 (per-block partials) across a 2-node cluster
+    must equal the single-node results bit-for-bit — the hash-shuffle /
+    broadcast machinery is node-topology-independent."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT_SHUFFLE],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert got["nodes"] == 2
+
+    from ai_intel_web_scraper_ray.pipelines import docqueries as dq
+    from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+    sf = "/root/testdata/sf0.001"
+    ref_dedup = dq.docs_minhash_dedup(sf).to_dict(orient="list")
+    ref_q1 = {k: [str(x) for x in v] for k, v in
+              rel.q1_pricing_summary(sf).to_dict(orient="list").items()}
+    assert got["dedup"] == ref_dedup
+    assert got["q1"] == ref_q1
