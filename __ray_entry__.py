@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_paths": rel.events_user_paths,
         "events_cep_match": rel.events_cep_match,
         "events_cep_sessions": rel.events_cep_sessions,
+        "events_cep_guard": rel.events_cep_guard,
         "events_key_skew": rel.events_key_skew,
         "events_pivot": rel.events_pivot,
         "orders_monthly_growth": rel.orders_monthly_growth,
@@ -1686,6 +1687,32 @@ def oracle_sql() -> dict[str, str]:
                        AS matched_events
             FROM seq
             WHERE len(regexp_extract_all(s, 'vc+p')) >= 1
+            ORDER BY user_id
+        """,
+        # guard/negation CEP: signup (no error)* purchase — the
+        # exclusion-pattern class; per-user strings have no separator so
+        # [^e]* is the engine's [^e|]* language exactly
+        "events_cep_guard": """
+            WITH ev AS (
+                SELECT user_id, ts, event_id,
+                       CASE event_type
+                            WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                            WHEN 'purchase' THEN 'p'
+                            WHEN 'signup' THEN 's' ELSE 'e' END AS sym
+                FROM events
+            ), seq AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                       string_agg(sym, '' ORDER BY ts, event_id) AS s
+                FROM ev GROUP BY user_id
+            )
+            SELECT user_id, n_events,
+                   CAST(len(regexp_extract_all(s, 's[^e]*p')) AS BIGINT)
+                       AS n_matches,
+                   CAST(length(s) - length(regexp_replace(s, 's[^e]*p',
+                                                          '', 'g'))
+                       AS BIGINT) AS matched_events
+            FROM seq
+            WHERE len(regexp_extract_all(s, 's[^e]*p')) >= 1
             ORDER BY user_id
         """,
         # time-bounded CEP: the same pattern, reset at 1-day session

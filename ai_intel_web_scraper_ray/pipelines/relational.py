@@ -12756,3 +12756,53 @@ def parts_ppr(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return pd.DataFrame({
         "part": tops["node"].astype("int64").to_numpy(),
         "pr_ppm": tops["pr_ppm"].astype("int64").to_numpy()})
+
+
+_CEP_GUARD_PATTERN = r"s[^e|]*p"   # engine blob: '|' must not be crossed
+
+
+def events_cep_guard(sf_dir: str) -> pd.DataFrame:
+    """(user_id, n_events, n_matches, matched_events) for non-overlapping
+    leftmost-greedy ``signup (anything but error)* purchase`` runs per
+    ordered user history — the NEGATION/guard CEP class
+    (MATCH_RECOGNIZE's exclusion patterns: a run is killed by an
+    intervening error event), complementing events_cep_match's plain
+    sequence class.
+
+    Same :func:`_cep_bucket_scan` core.  The engine pattern excludes the
+    ``|`` piece separator from the negated class (``[^e|]``) so a match
+    cannot cross users; the SQL twin's per-user strings have no
+    separator, so its ``[^e]*`` is the identical language — Python re
+    and RE2 agree on greedy-star + literal-tail spans."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id",
+                                  "event_type"])
+    cols = ("user_id", "n_events", "n_matches", "matched_events")
+    empty = pd.DataFrame({c: pd.Series([], dtype="int64") for c in cols})
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sym"] = df["event_type"].map(_CEP_SYMS).fillna("e")
+        df["_b"] = (df["user_id"].astype("int64") % 64).astype("int64")
+        return df[["user_id", "ts", "event_id", "sym", "_b"]]
+
+    pat = re.compile(_CEP_GUARD_PATTERN)
+
+    def bucket_match(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "user_id" not in df.columns:
+            return empty.copy()
+        users, n_events, n_matches, matched = _cep_bucket_scan(df, pat)
+        hit = n_matches >= 1
+        return pd.DataFrame({
+            "user_id": users[hit],
+            "n_events": n_events[hit],
+            "n_matches": n_matches[hit],
+            "matched_events": matched[hit]})
+
+    out = ds.map_batches(keep, batch_format="pandas") \
+        .groupby("_b").map_groups(bucket_match, batch_format="pandas") \
+        .to_pandas()
+    if out.empty or "user_id" not in out.columns or len(out) == 0:
+        return empty
+    for c in cols:
+        out[c] = out[c].astype("int64")
+    return out[list(cols)].sort_values("user_id").reset_index(drop=True)

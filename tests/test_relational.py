@@ -69,6 +69,7 @@ ORACLE_QUERIES = [
     "events_user_paths",
     "events_cep_match",
     "events_cep_sessions",
+    "events_cep_guard",
     "events_key_skew",
     "parts_ppr",
     "events_pivot",
