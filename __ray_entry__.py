@@ -1333,6 +1333,26 @@ def oracle_sql() -> dict[str, str]:
         _SIMJOIN_TAU,
     )
 
+    from ai_intel_web_scraper_ray.stages.multimodal import (
+        DEFAULT_FRAMES_PER_VIDEO as _MM_FRAMES,
+        DEFAULT_PAYLOAD_BYTES as _MM_PAYLOAD,
+        DEFAULT_RESIZE_H as _MM_RH,
+        DEFAULT_RESIZE_W as _MM_RW,
+    )
+
+    # media twin constants DERIVED from the stage defaults (advisor r3) so
+    # engine and oracle cannot drift: frame slice = payload/frames; every
+    # slice/pixel-buffer is a whole number of 32-byte sha256 digest tiles
+    # (the pure-SQL twins rely on that alignment — assert it here rather
+    # than fail later with an opaque hash mismatch)
+    _mm_frame_bytes = _MM_PAYLOAD // _MM_FRAMES
+    _mm_frame_tiles = _mm_frame_bytes // 32
+    _mm_resize_tiles = _MM_RW * _MM_RH * 3 // 32
+    assert _MM_PAYLOAD % _MM_FRAMES == 0 and _mm_frame_bytes % 32 == 0, \
+        "frame-sample SQL twin needs digest-aligned frame slices"
+    assert (_MM_RW * _MM_RH * 3) % 32 == 0, \
+        "resize SQL twin needs a digest-aligned pixel buffer"
+
     stop_pat = r"\b(?:" + "|".join(QUALITY_STOPWORDS) + r")\b"
     # left-assoc 64-term norm chain — the _norm_ltr association contract
     iso_norm_chain = " + ".join(
@@ -4810,9 +4830,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY p.media_ref
         """,
         # frame-sample twin in PURE SQL: payload = sha256(ref) digest
-        # tiled to 4096 bytes, so every 1024-byte frame slice is the
-        # 32-byte digest 32x and byte_sum = 32 * digest byte sum
-        "media_frames": """
+        # tiled to DEFAULT_PAYLOAD_BYTES, so every frame slice is the
+        # 32-byte digest tiled _mm_frame_tiles times and
+        # byte_sum = _mm_frame_tiles * digest byte sum.  All constants
+        # derived from stages/multimodal.py defaults above.
+        "media_frames": f"""
             WITH refs AS (
                 SELECT 'media://img/' || CAST(doc_id AS VARCHAR) AS media_ref
                 FROM documents
@@ -4825,13 +4847,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM refs
             )
             SELECT media_ref, CAST(f.f AS BIGINT) AS frame_index,
-                   CAST(1024 AS BIGINT) AS frame_bytes,
-                   CAST(digest_sum * 32 AS BIGINT) AS byte_sum
-            FROM dsum CROSS JOIN (SELECT unnest(range(0, 4)) AS f) f
+                   CAST({_mm_frame_bytes} AS BIGINT) AS frame_bytes,
+                   CAST(digest_sum * {_mm_frame_tiles} AS BIGINT) AS byte_sum
+            FROM dsum CROSS JOIN (SELECT unnest(range(0, {_MM_FRAMES})) AS f) f
             ORDER BY media_ref, frame_index
         """,
-        # resize→decode twin: 32x24x3 = 2304 bytes = 72 tiled digests
-        "media_resize_decode": """
+        # resize→decode twin: w*h*3 bytes = _mm_resize_tiles tiled digests
+        # (constants derived from stages/multimodal.py defaults above)
+        "media_resize_decode": f"""
             WITH refs AS (
                 SELECT 'media://img/' || CAST(doc_id AS VARCHAR) AS media_ref
                 FROM documents
@@ -4848,10 +4871,10 @@ def oracle_sql() -> dict[str, str]:
                            AS BIGINT) AS sq
                 FROM dig
             )
-            SELECT media_ref, CAST(32 AS BIGINT) AS width,
-                   CAST(24 AS BIGINT) AS height,
-                   CAST(s * 72 AS BIGINT) AS pixel_sum,
-                   CAST(sq * 72 AS BIGINT) AS pixel_sq_sum
+            SELECT media_ref, CAST({_MM_RW} AS BIGINT) AS width,
+                   CAST({_MM_RH} AS BIGINT) AS height,
+                   CAST(s * {_mm_resize_tiles} AS BIGINT) AS pixel_sum,
+                   CAST(sq * {_mm_resize_tiles} AS BIGINT) AS pixel_sq_sum
             FROM dsum ORDER BY media_ref
         """,
         # span-level interleaved archival table for the fixture crawl,

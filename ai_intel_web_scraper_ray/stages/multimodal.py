@@ -31,7 +31,18 @@ MEDIA_SCHEMA = pa.schema(
 )
 
 
-def synthesize_media_table(refs, media_type: str = "image", payload_bytes: int = 4096) -> pa.Table:
+# Stage defaults, hoisted so the SQL oracle twins in __ray_entry__ can
+# derive their constants from HERE (advisor r3: hardcoded twin constants
+# silently desynchronize when a stage default changes).  The pure-SQL
+# frame/resize twins additionally assume DEFAULT_PAYLOAD_BYTES and the
+# resize pixel count are multiples of the 32-byte sha256 digest length.
+DEFAULT_PAYLOAD_BYTES = 4096
+DEFAULT_FRAMES_PER_VIDEO = 4
+DEFAULT_RESIZE_W = 32
+DEFAULT_RESIZE_H = 24
+
+
+def synthesize_media_table(refs, media_type: str = "image", payload_bytes: int = DEFAULT_PAYLOAD_BYTES) -> pa.Table:
     """Deterministic fake media payloads for tests/bench: payload =
     sha256-stream of the ref."""
     payloads = []
@@ -103,7 +114,8 @@ class MediaResizeStage:
     """Actor-pool stage: emit resized payload dimensions (fake resize keeps
     the deterministic payload, rescales metadata)."""
 
-    def __init__(self, target_width: int = 32, target_height: int = 24):
+    def __init__(self, target_width: int = DEFAULT_RESIZE_W,
+                 target_height: int = DEFAULT_RESIZE_H):
         self.tw, self.th = target_width, target_height
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -122,7 +134,7 @@ class FrameSampleStage:
     """Actor-pool flat-map: one video row → N frame rows (deterministic
     frame offsets); the video analogue of the chunker."""
 
-    def __init__(self, frames_per_video: int = 4):
+    def __init__(self, frames_per_video: int = DEFAULT_FRAMES_PER_VIDEO):
         self.k = frames_per_video
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -88,7 +88,8 @@ class CuckooFilter:
         self.nbuckets = nbuckets
         self.table = np.zeros((nbuckets, 4), dtype=np.uint16)  # 0 = empty
         self.spill: Optional[BloomFilter] = None
-        self.count = 0
+        self.count = 0      # total successful inserts (incl. bloom spills)
+        self.spilled = 0    # inserts that landed in the bloom, not a slot
         self._rng = np.random.RandomState(17)
         self._lut = _fp_lut()
         self._lut_list = _FP_LUT_LIST
@@ -169,6 +170,15 @@ class CuckooFilter:
             self.spill = BloomFilter(capacity=max(4096, self.nbuckets * 4))
         self.spill.add(self._spill_key(i, cur))
         self.count += 1
+        self.spilled += 1
+
+    @property
+    def occupied(self) -> int:
+        """Slots actually filled in the table: total inserts minus bloom
+        spills (a spill displaces nothing — the table was already full along
+        the kick chain).  Duplicate-fingerprint re-admissions DO fill a slot
+        and count as occupancy."""
+        return self.count - self.spilled
 
 
 class SeenSet:
@@ -223,13 +233,18 @@ class SeenSet:
             return
         f = self.filter
         slots = f.nbuckets * 4
-        if f.count < _GROW_LOAD * slots:
+        # gauge TRUE slot occupancy, not raw insert count: bloom-spill
+        # inserts fill no slot, so counting them would fire the rebuild
+        # early on a spill-heavy shard (advisor r3)
+        if f.occupied < _GROW_LOAD * slots:
             return
         new_cap = slots * 2
         while len(self.exact) >= _GROW_LOAD * new_cap:
             new_cap *= 2
         nf = CuckooFilter(new_cap)
-        for k in self._keys:
+        # dedupe the replay: two distinct URLs colliding on the 8-byte key
+        # would otherwise re-insert the same key into every future rebuild
+        for k in dict.fromkeys(self._keys):
             nf.add(k)
         self.filter = nf
         self.filter_rebuilds += 1

@@ -300,6 +300,19 @@ class TestSeenSet:
         assert not any(s.check_and_insert_batch(urls))
         assert len(s) == 5000
 
+    def test_occupancy_excludes_spills(self):
+        """The growth trigger gauges TRUE slot occupancy (advisor r3): bloom
+        spills increment the insert count but fill no slot, so `occupied`
+        must stay bounded by the physical slot count even when `count`
+        runs far past it on a spill-heavy fixed-size shard."""
+        s = SeenSet(16, grow=False)
+        s.check_and_insert_batch([f"https://occ/{i}" for i in range(5000)])
+        f = s.filter
+        slots = f.nbuckets * 4
+        assert f.spilled > 0 and f.count > slots   # raw count overran
+        assert f.occupied == f.count - f.spilled
+        assert f.occupied <= slots                  # physical bound holds
+
     def test_filter_growth_amortized(self):
         """Past ~85% load the filter rebuilds at 2x+ from the exact store
         instead of entering the per-insert 500-kick eviction spiral (the

@@ -86,9 +86,15 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list:
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     only = None
+    json_out = None
     for a in sys.argv[1:]:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--json="):
+            # full-gate result artifact: per-query status + the registry
+            # count, so committed evidence always shows coverage (a 50-row
+            # subset artifact can't masquerade as a full run)
+            json_out = a.split("=", 1)[1]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import ray
 
@@ -114,8 +120,8 @@ def main():
     ram_gb = (os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
               / (1 << 30))
     con.execute(f"SET memory_limit='{max(4, int(ram_gb * 0.4))}GB'")
-    con.execute("SET temp_directory='"
-                + tempfile.mkdtemp(prefix="duckdb_gate_spill_") + "'")
+    spill_dir = tempfile.mkdtemp(prefix="duckdb_gate_spill_")
+    con.execute(f"SET temp_directory='{spill_dir}'")
     for tbl in ("region nation customer supplier part orders lineitem events documents embeddings".split()):
         con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')")
 
@@ -128,35 +134,57 @@ def main():
             sys.exit(2)
     n_fail = 0
     n_run = 0
-    for name, fn in qs.items():
-        if only is not None and name not in only:
-            continue
-        n_run += 1
-        t0 = time.time()
-        try:
-            ray_df = to_pandas(fn(sf_dir))
-        except Exception as e:
-            print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
-            n_fail += 1
-            continue
-        dt = time.time() - t0
-        if name not in sqls:
-            print(f"ok   {name}: rows-only ({len(ray_df)} rows, {dt:.1f}s)")
-            continue
-        try:
-            sql_df = con.execute(sqls[name]).fetch_df()
-        except Exception as e:
-            print(f"FAIL {name}: oracle SQL raised {e}")
-            n_fail += 1
-            continue
-        problems = compare(name, ray_df, sql_df)
-        if problems:
-            print(f"FAIL {name}: {problems}")
-            n_fail += 1
-        else:
-            print(f"ok   {name}: match ({len(ray_df)} rows, {dt:.1f}s)")
+    results: dict = {}
+    try:
+        for name, fn in qs.items():
+            if only is not None and name not in only:
+                continue
+            n_run += 1
+            t0 = time.time()
+            try:
+                ray_df = to_pandas(fn(sf_dir))
+            except Exception as e:
+                print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
+                results[name] = {"ok": False, "err": f"{type(e).__name__}: {e}"}
+                n_fail += 1
+                continue
+            dt = time.time() - t0
+            if name not in sqls:
+                print(f"ok   {name}: rows-only ({len(ray_df)} rows, {dt:.1f}s)")
+                results[name] = {"ok": True, "mode": "rows_only",
+                                 "rows": len(ray_df), "sec": round(dt, 2)}
+                continue
+            try:
+                sql_df = con.execute(sqls[name]).fetch_df()
+            except Exception as e:
+                print(f"FAIL {name}: oracle SQL raised {e}")
+                results[name] = {"ok": False, "err": f"oracle: {e}"}
+                n_fail += 1
+                continue
+            problems = compare(name, ray_df, sql_df)
+            if problems:
+                print(f"FAIL {name}: {problems}")
+                results[name] = {"ok": False, "err": str(problems)}
+                n_fail += 1
+            else:
+                print(f"ok   {name}: match ({len(ray_df)} rows, {dt:.1f}s)")
+                results[name] = {"ok": True, "mode": "sql_match",
+                                 "rows": len(ray_df), "sec": round(dt, 2)}
+    finally:
+        import shutil
+
+        con.close()
+        shutil.rmtree(spill_dir, ignore_errors=True)
     print(f"\n{n_run - n_fail}/{n_run} queries ok"
           + (f" (of {len(qs)} registered)" if n_run != len(qs) else ""))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "registered": len(qs),
+                       "run": n_run, "ok": n_run - n_fail, "fail": n_fail,
+                       "results": results}, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     ray.shutdown()
     sys.exit(1 if n_fail else 0)
 
