@@ -393,6 +393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": dq.media_decode,
         "media_frames": dq.media_frames,
         "media_resize_decode": dq.media_resize_decode,
+        "docs_objection_handlers": dq.docs_objection_handlers,
         "docs_simhash": dq.docs_simhash,                   # pinned-table oracle
         # similarity search
         "emb_knn": dq.emb_knn,
@@ -1352,6 +1353,40 @@ def oracle_sql() -> dict[str, str]:
         "frame-sample SQL twin needs digest-aligned frame slices"
     assert (_MM_RW * _MM_RH * 3) % 32 == 0, \
         "resize SQL twin needs a digest-aligned pixel buffer"
+
+    # objection-generator twin pieces, DERIVED from the generate-module
+    # constants (same no-drift rule as the media twins): the SQL rebuilds
+    # the exact prompt the engine assembles, so template or clip changes
+    # propagate to both sides.  The digest-slice handler fields below pin
+    # the stub_llm_objections contract (sha256-hex slices of the prompt).
+    from ai_intel_web_scraper_ray.pipelines.generate import (
+        DEFAULT_MAX_SOURCE_TOKENS as _GEN_MAXTOK,
+        NO_SOURCES as _GEN_NOSRC,
+        OBJECTION_TEMPLATE as _GEN_OBJ_T,
+        OBJECTION_TEXT_CLIP as _GEN_CLIP,
+        SOURCE_ENTRY_TEMPLATE as _GEN_ENTRY_T,
+    )
+
+    def _sqlq(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    _ge1, _rest = _GEN_ENTRY_T.split("{source_type}")
+    _ge2, _rest = _rest.split("{title}")
+    _ge3, _rest = _rest.split("{url}")
+    _ge4, _ge5 = _rest.split("{text}")
+    # entry for a documents-derived record: source_type 'official_docs',
+    # title 'Doc {id}', url 'https://testdata.example/{source}/{id}'
+    # (mirrors docqueries.docs_objection_handlers's adapt map)
+    _gen_entry_sql = (
+        f"{_sqlq(_ge1)} || 'official_docs' || {_sqlq(_ge2)} || 'Doc ' || "
+        f"CAST(doc_id AS VARCHAR) || {_sqlq(_ge3)} || "
+        f"'https://testdata.example/' || source || '/' || "
+        f"CAST(doc_id AS VARCHAR) || {_sqlq(_ge4)} || "
+        f"substr(text, 1, {_GEN_CLIP}) || {_sqlq(_ge5)}")
+    _go1, _rest = _GEN_OBJ_T.split("{competitor_name}")
+    _go2, _rest = _rest.split("{kx_sources}")
+    _go3, _go4 = _rest.split("{competitor_sources}")
+    _gen_max_chars = _GEN_MAXTOK * 3
 
     stop_pat = r"\b(?:" + "|".join(QUALITY_STOPWORDS) + r")\b"
     # left-assoc 64-term norm chain — the _norm_ltr association contract
@@ -4876,6 +4911,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(s * {_mm_resize_tiles} AS BIGINT) AS pixel_sum,
                    CAST(sq * {_mm_resize_tiles} AS BIGINT) AS pixel_sq_sum
             FROM dsum ORDER BY media_ref
+        """,
+        # objection-handler twin in PURE SQL: rebuild both credibility-
+        # ranked take-while-packed source strings (cumulative-length
+        # window, c<=budget ⟺ the reference's first-overflow break since
+        # lengths are positive), assemble the prompt from the module
+        # template pieces, sha256 it, and slice the three stub handlers
+        # out of the hex digest exactly as stub_llm_objections +
+        # normalize_handler produce them
+        "docs_objection_handlers": f"""
+            WITH recs AS (
+                SELECT doc_id, source, text,
+                       CASE WHEN doc_id % 3 = 0 THEN 'kx' ELSE 'acme' END AS origin,
+                       CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END AS rnk,
+                       {_gen_entry_sql} AS entry
+                FROM documents
+            ), cum AS (
+                SELECT origin, rnk, doc_id, entry,
+                       SUM(length(entry)) OVER (
+                           PARTITION BY origin ORDER BY rnk, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS c
+                FROM recs
+            ), kx AS (
+                SELECT COALESCE(string_agg(entry, '' ORDER BY rnk, doc_id),
+                                {_sqlq(_GEN_NOSRC)}) AS p
+                FROM cum WHERE origin = 'kx' AND c <= {_gen_max_chars}
+            ), ac AS (
+                SELECT COALESCE(string_agg(entry, '' ORDER BY rnk, doc_id),
+                                {_sqlq(_GEN_NOSRC)}) AS p
+                FROM cum WHERE origin = 'acme' AND c <= {_gen_max_chars}
+            ), pr AS (
+                SELECT sha256({_sqlq(_go1)} || 'acme' || {_sqlq(_go2)} ||
+                              kx.p || {_sqlq(_go3)} || ac.p ||
+                              {_sqlq(_go4)}) AS h
+                FROM kx, ac
+            )
+            SELECT * FROM (
+                SELECT CAST(0 AS BIGINT) AS handler_idx,
+                       'objection-' || substr(h, 1, 8) AS objection,
+                       'point-' || substr(h, 9, 8) || ' point-' ||
+                           substr(h, 17, 8) AS response,
+                       'doc: ev-' || substr(h, 25, 8) AS evidence
+                FROM pr
+                UNION ALL
+                SELECT CAST(1 AS BIGINT),
+                       'objection-' || substr(h, 33, 8),
+                       'resp-' || substr(h, 41, 8), '' FROM pr
+                UNION ALL
+                SELECT CAST(2 AS BIGINT),
+                       'objection-' || substr(h, 49, 8),
+                       'speed: fast-' || substr(h, 57, 8), '' FROM pr
+            ) ORDER BY handler_idx
         """,
         # span-level interleaved archival table for the fixture crawl,
         # pinned by an independent sequential BFS + codec replay

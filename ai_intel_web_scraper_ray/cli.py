@@ -154,12 +154,22 @@ def cmd_vectorize(args):
 
 def cmd_generate(args):
     _ray_init()
-    from .pipelines.generate import generate_comparisons
+    from .pipelines.generate import generate_all, generate_comparisons
     from .sources.readers import read_source_records
 
     ds = read_source_records(_records_path(args.input))
-    entries = generate_comparisons(ds, args.primary, args.out)
-    print(f"generated {len(entries)} topic entries -> {args.out}")
+    if args.competitor:
+        # full reference `generate` verb: topics + objections/cross-cutting
+        # + narrative for one competitor (reference pipeline.py:240-349)
+        out = generate_all(ds, args.primary, args.competitor, args.out,
+                           step=args.step)
+        print(f"generated {len(out['entries'])} topic entries, "
+              f"{len(out['objections'])} objection handlers, "
+              f"{len(out['cross_cutting'])} cross-cutting themes, "
+              f"narrative={'yes' if out['narrative'] else 'no'} -> {args.out}")
+    else:
+        entries = generate_comparisons(ds, args.primary, args.out)
+        print(f"generated {len(entries)} topic entries -> {args.out}")
 
 
 def cmd_status(args):
@@ -310,6 +320,11 @@ def main(argv=None):
     c.add_argument("--in", dest="input", required=True)
     c.add_argument("--primary", required=True)
     c.add_argument("--out", required=True)
+    c.add_argument("--competitor", default=None,
+                   help="run the full generate verb (topics + objections + "
+                        "narrative) for this competitor origin")
+    c.add_argument("--step", default=None,
+                   choices=["topics", "objections", "narrative"])
     c.set_defaults(fn=cmd_generate)
 
     c = sub.add_parser("status")

@@ -8100,3 +8100,54 @@ def media_resize_decode(sf_dir: str) -> pd.DataFrame:
 
     out = resized.map_batches(stats, batch_format="pyarrow").to_pandas()
     return out.sort_values("media_ref").reset_index(drop=True)
+
+
+def docs_objection_handlers(sf_dir: str) -> pd.DataFrame:
+    """(handler_idx, objection, response, evidence) through the REAL
+    objection-generator dataflow (reference objection_generator.py:40-91):
+    documents mapped into two-origin source records (origin kx/acme by
+    doc_id%3, credibility official/community by doc_id%2 so the
+    credibility sort reorders within each origin), distributed
+    credibility-ranked char-budget packing of BOTH source sets
+    (format_sources_ds — sort + bounded streaming prefix), prompt
+    assembly, deterministic digest LLM stub, and the alt-field-name
+    normalization (theme/rebuttal, concern/counter, question/
+    kx_positioning).  The stub makes the handler set a pure function of
+    the packed prompt, so the oracle twin rebuilds the identical strings
+    in PURE SQL (take-while via a cumulative-length window + sha256)."""
+    import shutil
+    import tempfile
+
+    from .generate import generate_objections
+
+    def adapt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        srcs = t["source"].to_pylist()
+        return pa.table({
+            "origin": pa.array(
+                ["kx" if d % 3 == 0 else "acme" for d in ids], pa.string()),
+            "credibility": pa.array(
+                ["official" if d % 2 == 0 else "community" for d in ids],
+                pa.string()),
+            "source_type": pa.array(["official_docs"] * len(ids), pa.string()),
+            "title": pa.array([f"Doc {d}" for d in ids], pa.string()),
+            "url": pa.array(
+                [f"https://testdata.example/{s}/{d}" for s, d in zip(srcs, ids)],
+                pa.string()),
+            "text": t["text"],
+            "arrival_seq": pa.array(ids, pa.int64()),
+        })
+
+    records = _docs(sf_dir, ["doc_id", "source", "text"]).map_batches(
+        adapt, batch_format="pyarrow")
+    out_dir = tempfile.mkdtemp(prefix="objgen_gate_")
+    try:
+        handlers = generate_objections(records, "kx", "acme", out_dir)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pd.DataFrame({
+        "handler_idx": pd.array(range(len(handlers)), dtype="int64"),
+        "objection": [h["objection"] for h in handlers],
+        "response": [h["response"] for h in handlers],
+        "evidence": ["|".join(h.get("supporting_evidence", [])) for h in handlers],
+    })

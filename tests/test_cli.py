@@ -41,6 +41,17 @@ def test_cli_full_flow(tmp_path, capsys):
               "--out", entries])
     assert "generated" in capsys.readouterr().out
 
+    # full generate verb: objections + cross-cutting + narrative for one
+    # competitor origin (reference pipeline.py generate)
+    full = str(tmp_path / "entries_full")
+    cli.main(["generate", "--in", processed, "--primary", "crawl",
+              "--competitor", "crawl", "--out", full])
+    out = capsys.readouterr().out
+    assert "objection handlers" in out and "narrative=yes" in out
+    for fname in ("crawl_objection_handlers.json", "crawl_cross_cutting.json",
+                  "crawl_narrative.json"):
+        assert os.path.exists(os.path.join(full, fname)), fname
+
     cli.main(["status", "--dir", str(tmp_path)])
     out = capsys.readouterr().out
     assert "chunks" in out and "raw" in out

@@ -7,9 +7,21 @@ import ray.data as rd
 
 from ai_intel_web_scraper_ray.functions.embed import embed_text
 from ai_intel_web_scraper_ray.pipelines.generate import (
+    CREDIBILITY_RANK,
+    NO_SOURCES,
+    SOURCE_ENTRY_TEMPLATE,
     export_markdown,
+    format_sources_ds,
+    generate_all,
     generate_comparisons,
+    generate_narrative,
+    generate_objections,
+    normalize_comparison_row,
+    normalize_handler,
     stub_llm,
+    stub_llm_narrative,
+    stub_llm_objections,
+    summarize_entries,
 )
 from ai_intel_web_scraper_ray.pipelines.retrieval import ChunkRetriever, dedup_citations
 from ai_intel_web_scraper_ray.pipelines.vectorize import vectorize_pipeline
@@ -123,3 +135,132 @@ class TestGenerate:
         export_markdown(entries, p)
         text = open(p).read()
         assert "## t1" in text and "- a" in text and "- b" in text
+
+
+def _sequential_format_sources(records, text_clip, max_source_tokens=80_000):
+    """Independent sequential replay of the reference's _format_sources
+    (objection_generator.py:204-228): stable credibility sort preserving
+    load order, entry formatting, take-while char budget."""
+    max_chars = max_source_tokens * 3
+    ranked = sorted(records, key=lambda r: CREDIBILITY_RANK.get(r["credibility"], 3))
+    parts, total = [], 0
+    for r in ranked:
+        entry = SOURCE_ENTRY_TEMPLATE.format(
+            source_type=r["source_type"], title=r["title"], url=r["url"],
+            text=(r["text"] or "")[:text_clip])
+        if total + len(entry) > max_chars:
+            break
+        parts.append(entry)
+        total += len(entry)
+    return "".join(parts) if parts else NO_SOURCES
+
+
+class TestObjectionSummaryGenerators:
+    def _records(self, n=40):
+        recs = []
+        creds = ["community", "official", "third_party"]
+        for i, r in enumerate(fixtures.make_source_records(n)):
+            recs.append(dict(
+                r, origin="kx" if i % 3 == 0 else "acme",
+                credibility=creds[i % 3],
+                text=(r["text"] or "filler words here ") * 3))
+        return recs
+
+    def test_format_sources_matches_sequential_oracle(self):
+        recs = self._records(40)
+        ds = rd.from_arrow(fixtures.records_to_table(recs))
+        got = format_sources_ds(ds, text_clip=3000)
+        assert got == _sequential_format_sources(recs, 3000)
+
+    def test_format_sources_budget_take_while(self):
+        # tiny budget: only the prefix that fits, stop at first overflow
+        recs = self._records(40)
+        ds = rd.from_arrow(fixtures.records_to_table(recs))
+        got = format_sources_ds(ds, text_clip=3000, max_source_tokens=300)
+        want = _sequential_format_sources(recs, 3000, 300)
+        assert got == want
+        assert 0 < len(got) <= 900
+
+    def test_format_sources_empty(self):
+        recs = self._records(6)
+        ds = rd.from_arrow(fixtures.records_to_table(recs))
+        from ai_intel_web_scraper_ray.pipelines.generate import _filter_origin
+        assert format_sources_ds(_filter_origin(ds, "nobody")) == NO_SOURCES
+
+    def test_normalize_handler_alt_names(self):
+        assert normalize_handler({"theme": "t", "rebuttal": ["a", "b"]}) == {
+            "objection": "t", "response": "a b"}
+        out = normalize_handler({"concern": "c", "kx_positioning": {"x": "1", "y": "2"}})
+        assert out == {"objection": "c", "response": "x: 1; y: 2"}
+        out = normalize_handler({"question": "q", "evidence": {"doc": "d"}})
+        assert out["objection"] == "q"
+        assert out["response"] == "q"          # fallback: no response field
+        assert out["supporting_evidence"] == ["doc: d"]
+        out = normalize_handler({"objection": "o", "counter": 7, "evidence": "e"})
+        assert out["response"] == "7" and out["supporting_evidence"] == ["e"]
+
+    def test_normalize_comparison_row(self):
+        assert normalize_comparison_row({"dimension": "d", "kdb": "good",
+                                         "acme": "bad"}, "Acme")["kx_rating"] == "good"
+        r = normalize_comparison_row({"dimension": "d"}, "Acme")
+        assert r["kx_rating"] == "" and r["competitor_rating"] == ""
+        r = normalize_comparison_row(
+            {"dimension": "d", "kx_score": "5", "competitor_assessment": "3"}, "Acme")
+        assert r == {"dimension": "d", "kx_rating": "5", "competitor_rating": "3"}
+
+    def test_generate_objections_deterministic_and_resume(self, tmp_path):
+        recs = self._records(30)
+        ds = rd.from_arrow(fixtures.records_to_table(recs))
+        out1 = generate_objections(ds, "kx", "acme", str(tmp_path))
+        assert len(out1) == 3
+        assert all(set(h) >= {"objection", "response"} for h in out1)
+        # pure function of the packed prompt: digest fields match a manual replay
+        from ai_intel_web_scraper_ray.pipelines.generate import OBJECTION_TEMPLATE
+        kx_txt = _sequential_format_sources([r for r in recs if r["origin"] == "kx"], 3000)
+        ac_txt = _sequential_format_sources([r for r in recs if r["origin"] == "acme"], 3000)
+        prompt = OBJECTION_TEMPLATE.format(
+            competitor_name="acme", kx_sources=kx_txt, competitor_sources=ac_txt)
+        want = [normalize_handler(h) for h in stub_llm_objections(prompt)]
+        assert out1 == want
+        # resume: file exists -> returned verbatim without regeneration
+        marker = os.path.getmtime(tmp_path / "acme_objection_handlers.json")
+        out2 = generate_objections(ds, "kx", "acme", str(tmp_path))
+        assert out2 == out1
+        assert os.path.getmtime(tmp_path / "acme_objection_handlers.json") == marker
+
+    def test_generate_all_three_families(self, tmp_path):
+        recs = self._records(30)
+        # give the records topics so the comparison step has groups
+        for i, r in enumerate(recs):
+            r["topics"] = ["performance"] if i % 2 else ["storage"]
+        ds = rd.from_arrow(fixtures.records_to_table(recs))
+        out = generate_all(ds, "kx", "acme", str(tmp_path))
+        assert sorted(e["topic"] for e in out["entries"]) == ["performance", "storage"]
+        assert len(out["objections"]) == 3 and len(out["cross_cutting"]) == 3
+        # objections and cross-cutting use different templates -> different digests
+        assert out["objections"] != out["cross_cutting"]
+        nar = out["narrative"]
+        assert nar["competitor"] == "acme"
+        assert nar["sixty_second_pitch"].startswith("pitch-")
+        rows = nar["comparison_table"]["rows"]
+        assert len(rows) == 2 and all(
+            set(r) == {"dimension", "kx_rating", "competitor_rating"} for r in rows)
+        assert nar["deal_stage_talking_points"]["discovery"][0].startswith("talk-")
+        assert nar["cross_cutting_objections"][0]["objection"].startswith("objection-")
+        for fname in ("acme_objection_handlers.json", "acme_cross_cutting.json",
+                      "acme_narrative.json", "combined.json"):
+            assert (tmp_path / fname).exists(), fname
+        # narrative resume: step filter reloads entries from combined.json
+        nar2 = generate_all(ds, "kx", "acme", str(tmp_path), step="narrative")
+        assert nar2["narrative"] == nar
+        assert nar2["entries"] == out["entries"]
+
+    def test_summarize_entries_shape(self):
+        s = summarize_entries([
+            {"topic": "b", "summary": "sb", "strengths": ["x"], "limitations": []},
+            {"topic": "a", "summary": "sa", "strengths": [], "limitations": ["y"]},
+        ])
+        # sorted by topic, counts not contents
+        assert s.index("### a") < s.index("### b")
+        assert "**Strengths**: 0 identified" in s and "**Limitations**: 1 identified" in s
+        assert summarize_entries([]) == "[No topic entries generated yet]"
