@@ -209,6 +209,35 @@ def cmd_vector_status(args):
     print("\n" + "=" * 70)
 
 
+def cmd_battlecard(args):
+    """Battle-card verb (reference webapp/battlecard): KB-agent retrieval
+    fan-out over the chunk store, deterministic synthesis stub, markdown
+    report; status events stream to stdout like the reference's SSE."""
+    _ray_init()
+    import ray.data as rd
+
+    from .pipelines.battlecard import generate_battlecard, render_markdown
+    from .pipelines.retrieval import ChunkRetriever
+
+    ds = rd.read_parquet(args.input)
+    name = os.path.basename(os.path.normpath(args.input))
+    sch = ds.schema()
+    dim = sch.types[sch.names.index("embedding")].list_size
+    retr = ChunkRetriever({name: ds}, embed_dim=dim)
+    report = None
+    for kind, data in generate_battlecard(
+            retr, args.competitor, use_case=args.use_case, tone=args.tone,
+            client_name=args.client or "", primary=args.primary):
+        if kind == "status":
+            print(f"[{data['progress']:4.0%}] {data['message']}")
+        elif kind == "report":
+            report = data
+    md = render_markdown(report)
+    with open(args.out, "w") as f:
+        f.write(md)
+    print(f"battlecard -> {args.out} ({report['sources_count']} sources)")
+
+
 def cmd_vector_query(args):
     """Test query against the chunk store (reference:
     pipeline.py:cmd_vector_query — embed the query text, filtered top-k,
@@ -342,6 +371,18 @@ def main(argv=None):
     c.add_argument("--competitor")
     c.add_argument("--topic")
     c.set_defaults(fn=cmd_vector_query)
+
+    c = sub.add_parser("battlecard")
+    c.add_argument("--in", dest="input", required=True,
+                   help="chunk-store parquet dir (vectorize output)")
+    c.add_argument("--competitor", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--use-case", dest="use_case", default="general")
+    c.add_argument("--tone", default="highly_technical",
+                   choices=["highly_technical", "executive"])
+    c.add_argument("--client", default=None)
+    c.add_argument("--primary", default="kx")
+    c.set_defaults(fn=cmd_battlecard)
 
     c = sub.add_parser("export")
     c.add_argument("--in", dest="input", required=True)

@@ -1,0 +1,145 @@
+"""Battle-card surface tests (reference webapp/battlecard/generator.py,
+agents.py InternalKBAgent, report_renderer.py section structure)."""
+
+import ray.data as rd
+
+from ai_intel_web_scraper_ray.pipelines.battlecard import (
+    DEAL_STAGES,
+    KB_MAX_CHUNKS,
+    build_kb_queries,
+    build_synthesis_prompt,
+    generate_battlecard,
+    internal_kb_agent,
+    render_markdown,
+    stub_llm_battlecard,
+    stub_web_agent,
+)
+from ai_intel_web_scraper_ray.pipelines.retrieval import ChunkRetriever
+from ai_intel_web_scraper_ray.pipelines.vectorize import vectorize_pipeline
+
+from . import fixtures
+
+_CHUNKS = None
+
+
+def chunks_ds():
+    global _CHUNKS
+    if _CHUNKS is None:
+        records = fixtures.make_source_records(40)
+        ds = rd.from_arrow(fixtures.records_to_table(records))
+        _CHUNKS = vectorize_pipeline(ds, topic_names=fixtures.TOPIC_NAMES,
+                                     chunk_concurrency=2,
+                                     embed_concurrency=2).materialize()
+    return _CHUNKS
+
+
+def retriever():
+    return ChunkRetriever({"main": chunks_ds()})
+
+
+class TestKbAgent:
+    def test_build_queries_use_case_first(self):
+        qs = build_kb_queries("acme", "tick_to_trade")
+        assert qs[0] == "acme tick-to-trade latency throughput"
+        assert len(qs) == 7
+        assert build_kb_queries("acme")[0] == "acme limitations weaknesses"
+        assert len(build_kb_queries("acme", "unknown_case")) == 6
+
+    def test_agent_dedups_and_shapes(self):
+        out = internal_kb_agent(retriever(), "acme", primary="kx")
+        assert out["agent_name"] == "Internal Knowledge Base"
+        chunks = out["data"]["chunks"]
+        assert 0 < len(chunks) <= KB_MAX_CHUNKS
+        assert out["sources_count"] == out["data"]["total_found"]
+        # dedup across the 6+3 query fan-out: every chunk text distinct
+        # source (chunk_id held out of the payload like the reference)
+        keys = [(c["text"], c["source_url"]) for c in chunks]
+        assert len(keys) == len(set(keys))
+        assert set(chunks[0]) == {"text", "source_title", "source_type",
+                                  "source_url", "competitor", "credibility"}
+        # competitor filter respected: probes target 'acme' records
+        assert all(c["competitor"] == "acme" for c in chunks)
+
+    def test_agent_empty_store_side(self):
+        # primary 'kx' has no records in this fixture corpus — the strength
+        # queries contribute nothing, the agent still returns cleanly
+        out = internal_kb_agent(retriever(), "nonexistent", primary="kx")
+        assert out["data"]["chunks"] == []
+        assert out["sources_count"] == 0
+
+
+class TestSynthesis:
+    def test_prompt_sections(self):
+        agents = [stub_web_agent("Market News")("acme")]
+        p = build_synthesis_prompt("acme", agents, use_case="risk_management",
+                                   client_name="BigBank",
+                                   client_industry="banking",
+                                   call_notes="n" * 5000,
+                                   chat_context="c" * 5000)
+        assert "## CLIENT CONTEXT" in p and "**Client**: BigBank" in p
+        assert "**Target Use Case**: Risk Management" in p
+        assert "## ACTIVE CHAT SESSION CONTEXT" in p
+        assert "## INTELLIGENCE: MARKET NEWS" in p
+        # clipping: call notes 3000, chat 3000
+        assert "n" * 3001 not in p and "n" * 3000 in p
+        assert "c" * 3001 not in p and "c" * 3000 in p
+        # no client section when no client fields
+        p2 = build_synthesis_prompt("acme", agents)
+        assert "## CLIENT CONTEXT" not in p2
+
+    def test_stub_report_shape(self):
+        r = stub_llm_battlecard("x")
+        for key in ("why_kx_wins", "pain_points", "architecture_comparison",
+                    "benchmarks", "feature_matrix", "trap_questions",
+                    "objection_handlers", "competitor_news",
+                    "competitive_positioning", "deal_strategy",
+                    "pricing_guidance"):
+            assert key in r, key
+        assert [d["stage"] for d in r["deal_strategy"]] == DEAL_STAGES
+        assert r == stub_llm_battlecard("x")
+        assert r != stub_llm_battlecard("y")
+
+
+class TestOrchestrator:
+    def _run(self):
+        events = list(generate_battlecard(
+            retriever(), "acme", use_case="tick_to_trade",
+            client_name="BigBank",
+            extra_agents=[stub_web_agent("Market News")]))
+        return events
+
+    def test_status_sequence_and_report(self):
+        events = self._run()
+        steps = [d["step"] for k, d in events if k == "status"]
+        assert steps == ["starting", "agents", "agents_done", "synthesizing",
+                         "rendering", "done"]
+        progresses = [d["progress"] for k, d in events if k == "status"]
+        assert progresses == sorted(progresses) and progresses[-1] == 1.0
+        reports = [d for k, d in events if k == "report"]
+        assert len(reports) == 1
+        rep = reports[0]
+        assert rep["competitor_name"] == "acme"
+        assert rep["use_case"] == "Tick To Trade"
+        assert rep["agents_used"] == ["Internal Knowledge Base", "Market News"]
+        assert rep["sources_count"] >= 1
+        assert rep["why_kx_wins"].startswith("why-")
+
+    def test_deterministic(self):
+        r1 = [d for k, d in self._run() if k == "report"][0]
+        r2 = [d for k, d in self._run() if k == "report"][0]
+        assert r1 == r2
+
+    def test_render_markdown_sections(self):
+        rep = [d for k, d in self._run() if k == "report"][0]
+        md = render_markdown(rep)
+        for section in ("# Battle Card: KX vs acme", "## Why KX Wins",
+                        "## Client Context Matrix", "## Architecture Comparison",
+                        "## Performance Benchmarks", "## Feature Matrix",
+                        '## "Trap" Questions to Expose Weaknesses',
+                        "## Objection Handling Playbook",
+                        "## Competitive Positioning", "### Key Differentiators",
+                        "### Landmines to Set", "### Proof Points",
+                        "## Deal Strategy Playbook", "## Pricing & TCO Guidance"):
+            assert section in md, section
+        # empty news list -> section omitted (renderer skips empties)
+        assert "## Recent Competitor Activity" not in md

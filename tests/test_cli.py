@@ -69,3 +69,11 @@ def test_cli_full_flow(tmp_path, capsys):
               "--top-k", "3"])
     out = capsys.readouterr().out
     assert "Results: 3" in out and "Score:" in out
+
+    bc = str(tmp_path / "bc.md")
+    cli.main(["battlecard", "--in", chunks, "--competitor", "crawl",
+              "--out", bc, "--primary", "crawl"])
+    out = capsys.readouterr().out
+    assert "battlecard ->" in out and "Deploying agents" in out
+    text = open(bc).read()
+    assert "## Why KX Wins" in text and "## Deal Strategy Playbook" in text
