@@ -132,6 +132,17 @@ class SpillHeap:
 
     def restore(self, items: Sequence[Tuple[int, int, str]]) -> None:
         self._drop_segments()
+        # a killed process leaves its snapshot's spilled segment files on
+        # disk; the checkpoint fully supersedes them, so any *.pkl already
+        # in this shard's spill dir is stale — reclaim before re-spilling
+        # (also avoids seg-number collisions with the dead run's files)
+        if self._spill_dir is not None and os.path.isdir(self._spill_dir):
+            for fname in os.listdir(self._spill_dir):
+                if fname.endswith(".pkl"):
+                    try:
+                        os.remove(os.path.join(self._spill_dir, fname))
+                    except OSError:
+                        pass
         self._heap = [tuple(x) for x in items]
         heapq.heapify(self._heap)
         if self.mem_cap is not None:
