@@ -4717,6 +4717,13 @@ def oracle_sql() -> dict[str, str]:
         # pytest oracle, tests/test_relational-style): (a) LSH candidate
         # recall is 1 for the testdata's >=0.7 pairs, (b) near-dup clusters
         # are cliques, where greedy keep-first == drop-if-smaller-neighbor.
+        # inverted-index form, NOT the naive all-pairs list_intersect join:
+        # a pair below the 0.7 Jaccard bar with ZERO shared shingles can
+        # never qualify, so intersections are aggregated only over pairs
+        # co-occurring under some shingle (token equi-join + GROUP BY —
+        # ~1M co-pair rows at sf0.1 vs 12.5M list_intersect evaluations,
+        # which wedged the sf0.1 gate for 30+ min); the both-empty special
+        # case joins only the empty-shingle docs
         "docs_ngram_dedup": r"""
             WITH toks AS (
                 SELECT doc_id,
@@ -4729,12 +4736,24 @@ def oracle_sql() -> dict[str, str]:
                        ELSE list_distinct(list_transform(range(1, len(w) - 1),
                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
                 FROM toks
+            ), sizes AS (
+                SELECT doc_id, len(s) AS n FROM sh
+            ), tok AS (
+                SELECT doc_id, unnest(s) AS g FROM sh
+            ), co AS (
+                SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS c
+                FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
             ), pairs AS (
-                SELECT b.doc_id AS big
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-                WHERE (len(a.s) = 0 AND len(b.s) = 0)
-                   OR len(list_intersect(a.s, b.s)) >=
-                      0.7 * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                SELECT co.pb AS big
+                FROM co
+                JOIN sizes sa ON sa.doc_id = co.pa
+                JOIN sizes sb ON sb.doc_id = co.pb
+                WHERE co.c >= 0.7 * (sa.n + sb.n - co.c)
+                UNION ALL
+                SELECT b.doc_id
+                FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id
+                WHERE a.n = 0 AND b.n = 0
             )
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT big FROM pairs) ORDER BY doc_id

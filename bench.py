@@ -339,6 +339,34 @@ def run_sat_bench_nodes(n_nodes: int, cpus_per_node: int = 8) -> dict:
     total_cpus = n_nodes * cpus_per_node
     sat = _saturated_crawl(total_cpus, pages_table_ref,
                            [p["url"] for p in pages])
+
+    # shuffle-heavy stage families on the same multi-node cluster (verdict
+    # r3 #4): the crawl exercises actor messaging; these exercise what
+    # multi-node actually taxes — all-to-all block exchange through
+    # cross-node plasma.  process = map chain + three projection-shuffle
+    # dedups; q3 = filtered semi-join + groupby; salted join = skew-split
+    # fact⋈dim.  Short relational stages repeat to amortize fixed startup.
+    from __ray_entry__ import _documents_as_records
+    from ai_intel_web_scraper_ray.pipelines import relational as rel
+    from ai_intel_web_scraper_ray.pipelines.process import process_pipeline
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    t0 = time.perf_counter()
+    process_pipeline(
+        _documents_as_records(sf_dir, num_blocks=max(8, total_cpus // 4)),
+        min_word_count=10, tagger_concurrency=max(2, total_cpus // 4),
+        tagger_batch_size=512).count()
+    process_sec = round(time.perf_counter() - t0, 3)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        rel.q3_top_orders(sf_dir)
+    q3_sec = round((time.perf_counter() - t0) / reps, 3)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        rel.events_salted_segment_join(sf_dir)
+    salted_sec = round((time.perf_counter() - t0) / reps, 3)
+
     cpu_baseline = _cpu_baseline(total_cpus)
     n_alive = len([n for n in ray.nodes() if n["Alive"]])
     out = {
@@ -349,6 +377,9 @@ def run_sat_bench_nodes(n_nodes: int, cpus_per_node: int = 8) -> dict:
         "crawl_saturated_sec": round(sat["sec"], 3),
         "crawl_saturated_docs_per_sec": sat["docs_per_sec"],
         "crawl_sustained_docs_per_sec": sat["sustained"],
+        "process_sec": process_sec,
+        "q3_sec": q3_sec,
+        "salted_join_sec": salted_sec,
         "cpu_baseline_miter_per_sec": cpu_baseline,
     }
     ray.shutdown()
@@ -388,7 +419,7 @@ def main():
                 r_lo["crawl_saturated_docs_per_sec"], 1e-9)
             sus_lo = r_lo.get("crawl_sustained_docs_per_sec") or                 r_lo["crawl_saturated_docs_per_sec"]
             sus_hi = r_hi.get("crawl_sustained_docs_per_sec") or                 r_hi["crawl_saturated_docs_per_sec"]
-            runs.append({
+            run = {
                 "docs_per_sec_1node": r_lo["crawl_saturated_docs_per_sec"],
                 "docs_per_sec_4node": r_hi["crawl_saturated_docs_per_sec"],
                 "sustained_1node": sus_lo,
@@ -398,7 +429,16 @@ def main():
                 "raw_node_efficiency": round(ratio / (hi_n / lo_n), 3),
                 "sustained_node_efficiency": round(
                     (sus_hi / max(sus_lo, 1e-9)) / (hi_n / lo_n), 3),
-            })
+            }
+            # shuffle-stage node efficiencies: wall-time ratio over the
+            # node ratio (1.0 = perfect 4x speedup on 4x nodes)
+            for key in ("process_sec", "q3_sec", "salted_join_sec"):
+                if key in r_lo and key in r_hi:
+                    run[key + "_1node"] = r_lo[key]
+                    run[key + "_4node"] = r_hi[key]
+                    run[key.replace("_sec", "_node_efficiency")] = round(
+                        (r_lo[key] / max(r_hi[key], 1e-9)) / (hi_n / lo_n), 3)
+            runs.append(run)
 
         def median(xs):
             xs = sorted(xs)
@@ -416,6 +456,10 @@ def main():
                 [r["raw_node_efficiency"] for r in runs]),
             "median_sustained_node_efficiency": median(
                 [r["sustained_node_efficiency"] for r in runs]),
+            **{f"median_{k}": median([r[k] for r in runs])
+               for k in ("process_node_efficiency", "q3_node_efficiency",
+                         "salted_join_node_efficiency")
+               if all(k in r for r in runs)},
         }))
         return
     if "--scaling" in sys.argv:
