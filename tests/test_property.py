@@ -288,3 +288,50 @@ class TestBlockLayoutInvariance:
             self._with_blocks(monkeypatch, rel, "_read", blocks)
             alt = rel.orders_basket_rules(self.SF)
             assert alt.equals(base), f"layout {blocks} diverged"
+
+
+class TestWindowGramHashes:
+    """The vectorized gram helper (docqueries._window_gram_hashes) must
+    agree with the sequential set(shingles()) semantics on arbitrary
+    text batches: same per-doc distinct counts, and identical hashes for
+    identical gram sequences across different batch layouts."""
+
+    @given(st.lists(st.text(alphabet=string.ascii_lowercase + "  \t",
+                            max_size=120), min_size=0, max_size=12),
+           st.integers(min_value=2, max_value=5))
+    @settings(max_examples=60, deadline=None)
+    def test_distinct_counts_match_sequential(self, texts, n):
+        import numpy as np
+        import pyarrow as pa
+
+        from ai_intel_web_scraper_ray.pipelines.docqueries import (
+            _window_gram_hashes,
+        )
+
+        d, g = _window_gram_hashes(pa.chunked_array([pa.array(texts, pa.string())]), n)
+        got = np.bincount(d, minlength=len(texts)) if d.size else \
+            np.zeros(len(texts), dtype=int)
+        want = [len(set(minhash.shingles(tx, n))) for tx in texts]
+        assert got.tolist() == want
+
+    @given(st.lists(st.text(alphabet=string.ascii_lowercase + " ",
+                            min_size=0, max_size=80), min_size=2, max_size=8))
+    @settings(max_examples=40, deadline=None)
+    def test_hash_identity_stable_across_batches(self, texts):
+        """A document's gram-hash SET must not depend on which batch it
+        rides in — the cross-batch identity docs_crossdup's two phases
+        rely on."""
+        import numpy as np
+        import pyarrow as pa
+
+        from ai_intel_web_scraper_ray.pipelines.docqueries import (
+            _window_gram_hashes,
+        )
+
+        whole_d, whole_g = _window_gram_hashes(
+            pa.chunked_array([pa.array(texts, pa.string())]), 3)
+        for i, tx in enumerate(texts):
+            d1, g1 = _window_gram_hashes(
+                pa.chunked_array([pa.array([tx], pa.string())]), 3)
+            mine = np.sort(whole_g[whole_d == i])
+            assert np.array_equal(np.sort(g1), mine)
