@@ -1388,6 +1388,36 @@ def oracle_sql() -> dict[str, str]:
     _go3, _go4 = _rest.split("{competitor_sources}")
     _gen_max_chars = _GEN_MAXTOK * 3
 
+    # generated min-label connected-component rounds (relax + pointer
+    # jump per round, Shiloach–Vishkin style): each round is one
+    # O(V+E) join+GROUP BY, and the label distance-to-minimum contracts
+    # geometrically, so 24 rounds converge for any graph these corpora
+    # can produce (equality vs the exact closure is pinned at sf0.01 and
+    # sf0.1).  Used by emb_snn_components / emb_dbscan in place of a
+    # recursive reach(v,l) closure that materializes s^2 rows per
+    # component (50s at 500 vectors; effectively wedged at 2000).
+    _MINLABEL_N = 24
+    _MINLABEL_LAST = f"lbl{_MINLABEL_N}"
+
+    def _minlabel_rounds(edge_cte: str, node_cte: str) -> str:
+        """CTE chain lbl0..lblN over a SYMMETRIC edge list
+        ``edge_cte(a, b)`` and node set ``node_cte(v)``; lblN holds the
+        per-node component minimum."""
+        # AS MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs,
+        # so a chain where each round references the previous one 3x
+        # would otherwise expand 3^N copies of the base scan
+        parts = [f"lbl0 AS MATERIALIZED (SELECT v, v AS l FROM {node_cte})"]
+        for t in range(_MINLABEL_N):
+            parts.append(
+                f"lbl{t + 1} AS MATERIALIZED (SELECT v, MIN(l) AS l FROM ("
+                f"SELECT v, l FROM lbl{t} "
+                f"UNION ALL SELECT {edge_cte}.a AS v, lbl{t}.l "
+                f"FROM {edge_cte} JOIN lbl{t} ON lbl{t}.v = {edge_cte}.b "
+                f"UNION ALL SELECT x.v, y.l FROM lbl{t} x "
+                f"JOIN lbl{t} y ON y.v = x.l"
+                f") GROUP BY v)")
+        return ",\n            ".join(parts) + ","
+
     stop_pat = r"\b(?:" + "|".join(QUALITY_STOPWORDS) + r")\b"
     # left-assoc 64-term norm chain — the _norm_ltr association contract
     iso_norm_chain = " + ".join(
@@ -5608,8 +5638,13 @@ def oracle_sql() -> dict[str, str]:
         # mutual-3NN graph components: directed top-3 by ROUND-6 cosine
         # (ties → smaller vec_id), an edge needs BOTH directions, then
         # min-label closure; nodes with no mutual edge emit nothing
-        "emb_snn_components": """
-            WITH RECURSIVE topk AS (
+        # connected components via GENERATED relax+pointer-jump rounds
+        # (the parts_sssp per-round-CTE pattern), NOT a recursive
+        # reach(v,l) closure: the closure materializes s^2 (node, label)
+        # rows per component and took 50s at 500 vectors / wedged the
+        # sf0.1 gate at 2000 — the round chain is O((V+E) log V) total.
+        "emb_snn_components": f"""
+            WITH topk AS (
                 SELECT a.vec_id AS src, b.vec_id AS dst,
                        ROW_NUMBER() OVER (PARTITION BY a.vec_id
                            ORDER BY ROUND(list_cosine_similarity(
@@ -5624,16 +5659,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT x.src AS a, x.dst AS b
                 FROM nn x JOIN nn y ON x.src = y.dst AND x.dst = y.src
                 WHERE x.src < x.dst
-            ), e AS (
+            ), e AS MATERIALIZED (
                 SELECT a, b FROM mutual UNION ALL SELECT b, a FROM mutual
-            ), nodes AS (
+            ), nodes AS MATERIALIZED (
                 SELECT DISTINCT a AS v FROM e
-            ), reach(v, l) AS (
-                SELECT v, v FROM nodes
-                UNION
-                SELECT e.b, r.l FROM reach r JOIN e ON e.a = r.v
-            ), comp AS (
-                SELECT v, MIN(l) AS component_id FROM reach GROUP BY v
+            ),
+            {_minlabel_rounds('e', 'nodes')}
+            comp AS (
+                SELECT v, l AS component_id FROM {_MINLABEL_LAST}
             )
             SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
                    CAST(SUM(v) AS BIGINT) AS vec_checksum
@@ -5643,25 +5676,23 @@ def oracle_sql() -> dict[str, str]:
         # excluded), core = ≥4 neighbors, clusters = components of the
         # core-core graph (min-core-id label), border joins the MIN
         # cluster label among its core neighbors, noise emits nothing
-        "emb_dbscan": """
-            WITH RECURSIVE nb AS (
+        "emb_dbscan": f"""
+            WITH nb AS MATERIALIZED (
                 SELECT a.vec_id AS i, b.vec_id AS j
                 FROM embeddings a JOIN embeddings b
                   ON a.vec_id <> b.vec_id
                 WHERE ROUND(list_cosine_similarity(
                           CAST(a.embedding AS DOUBLE[]),
                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.32
-            ), core AS (
+            ), core AS MATERIALIZED (
                 SELECT i AS v FROM nb GROUP BY 1 HAVING COUNT(*) >= 4
-            ), ce AS (
+            ), ce AS MATERIALIZED (
                 SELECT nb.i AS a, nb.j AS b FROM nb
                 JOIN core x ON x.v = nb.i JOIN core y ON y.v = nb.j
-            ), reach(v, l) AS (
-                SELECT v, v FROM core
-                UNION
-                SELECT ce.b, r.l FROM reach r JOIN ce ON ce.a = r.v
-            ), comp AS (
-                SELECT v, MIN(l) AS cid FROM reach GROUP BY v
+            ),
+            {_minlabel_rounds('ce', 'core')}
+            comp AS (
+                SELECT v, l AS cid FROM {_MINLABEL_LAST}
             ), border AS (
                 SELECT nb.i AS v, MIN(comp.cid) AS cid
                 FROM nb JOIN core c ON c.v = nb.j
