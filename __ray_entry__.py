@@ -6892,44 +6892,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         # 3-round k-core peel at adaptive k = quantile_disc(deg, 0.25)+1
         "parts_kcore_peel": """
-            WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-            pairs AS (
+            -- AS MATERIALIZED throughout: DuckDB inlines plain CTEs, and
+            -- the e->e2->e3->e4 peel chain would otherwise re-expand the
+            -- lineitem pair self-join combinatorially (sf0.1 wedge)
+            WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            pairs AS MATERIALIZED (
               SELECT a.l_partkey AS u, b.l_partkey AS v, COUNT(*) AS n
               FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
                AND a.l_partkey < b.l_partkey GROUP BY 1, 2
-            ), e AS (SELECT u, v FROM pairs WHERE n >= 2),
-            nodes AS (SELECT DISTINCT u AS node FROM e
+            ), e AS MATERIALIZED (SELECT u, v FROM pairs WHERE n >= 2),
+            nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM e
                       UNION SELECT DISTINCT v FROM e),
-            d1 AS (SELECT node, COUNT(*) AS deg FROM
+            d1 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
                    (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
                    GROUP BY node),
-            kv AS (SELECT quantile_disc(deg, 0.25) + 1 AS k FROM d1),
-            drop1 AS (SELECT node FROM d1 WHERE deg < (SELECT k FROM kv)),
-            e2 AS (SELECT u, v FROM e
+            kv AS MATERIALIZED (SELECT quantile_disc(deg, 0.25) + 1 AS k FROM d1),
+            drop1 AS MATERIALIZED (SELECT node FROM d1 WHERE deg < (SELECT k FROM kv)),
+            e2 AS MATERIALIZED (SELECT u, v FROM e
                    WHERE u NOT IN (SELECT node FROM drop1)
                      AND v NOT IN (SELECT node FROM drop1)),
-            d2 AS (SELECT node, COUNT(*) AS deg FROM
+            d2 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
                    (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
                    GROUP BY node),
-            drop2 AS (
+            drop2 AS MATERIALIZED (
               SELECT n.node FROM nodes n LEFT JOIN d2 ON d2.node = n.node
               WHERE n.node NOT IN (SELECT node FROM drop1)
                 AND (d2.deg IS NULL OR d2.deg < (SELECT k FROM kv))),
-            e3 AS (SELECT u, v FROM e2
+            e3 AS MATERIALIZED (SELECT u, v FROM e2
                    WHERE u NOT IN (SELECT node FROM drop2)
                      AND v NOT IN (SELECT node FROM drop2)),
-            d3 AS (SELECT node, COUNT(*) AS deg FROM
+            d3 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
                    (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
                    GROUP BY node),
-            drop3 AS (
+            drop3 AS MATERIALIZED (
               SELECT n.node FROM nodes n LEFT JOIN d3 ON d3.node = n.node
               WHERE n.node NOT IN (SELECT node FROM drop1)
                 AND n.node NOT IN (SELECT node FROM drop2)
                 AND (d3.deg IS NULL OR d3.deg < (SELECT k FROM kv))),
-            e4 AS (SELECT u, v FROM e3
+            e4 AS MATERIALIZED (SELECT u, v FROM e3
                    WHERE u NOT IN (SELECT node FROM drop3)
                      AND v NOT IN (SELECT node FROM drop3)),
-            d4 AS (SELECT node, COUNT(*) AS deg FROM
+            d4 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
                    (SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4)
                    GROUP BY node)
             SELECT n.node AS part,
