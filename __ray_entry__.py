@@ -589,25 +589,30 @@ def _ktruss_sql(k: int, rounds: int, support: int) -> str:
     """Generated k-truss twin: round i's per-edge triangle support
     (tri/sup/es CTEs over edge set e_i), peel e_{i+1} = es_i filtered at
     s ≥ k−2, survivors report a final recount with dropped_round 0."""
-    ctes = [f"""bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    # AS MATERIALIZED throughout: DuckDB inlines plain CTEs, and each
+    # round references the previous edge set FOUR times (tri 3x + es),
+    # so an un-materialized chain re-expands the bp self-join
+    # multiplicatively — at sf0.1 this spilled >200 GB of DuckDB temp
+    # and filled the disk before timing out
+    ctes = [f"""bp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                        FROM lineitem),
-            e0 AS (SELECT a.p AS u, b.p AS v
+            e0 AS MATERIALIZED (SELECT a.p AS u, b.p AS v
                    FROM bp a JOIN bp b ON a.o = b.o AND a.p < b.p
                    GROUP BY 1, 2 HAVING COUNT(*) >= {support})"""]
     for i in range(rounds + 1):
-        ctes.append(f"""tri{i} AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        ctes.append(f"""tri{i} AS MATERIALIZED (SELECT e1.u AS x, e1.v AS y, e2.v AS z
                    FROM e{i} e1
                    JOIN e{i} e2 ON e2.u = e1.u AND e2.v > e1.v
                    JOIN e{i} e3 ON e3.u = e1.v AND e3.v = e2.v),
-            sup{i} AS (SELECT u, v, COUNT(*) AS s FROM (
+            sup{i} AS MATERIALIZED (SELECT u, v, COUNT(*) AS s FROM (
                        SELECT x AS u, y AS v FROM tri{i}
                        UNION ALL SELECT x, z FROM tri{i}
                        UNION ALL SELECT y, z FROM tri{i}) GROUP BY 1, 2),
-            es{i} AS (SELECT e{i}.u, e{i}.v, COALESCE(sup{i}.s, 0) AS s
+            es{i} AS MATERIALIZED (SELECT e{i}.u, e{i}.v, COALESCE(sup{i}.s, 0) AS s
                       FROM e{i} LEFT JOIN sup{i}
                         ON sup{i}.u = e{i}.u AND sup{i}.v = e{i}.v)""")
         if i < rounds:
-            ctes.append(f"""e{i + 1} AS (SELECT u, v FROM es{i}
+            ctes.append(f"""e{i + 1} AS MATERIALIZED (SELECT u, v FROM es{i}
                         WHERE s >= {k - 2})""")
     sel = [f"""SELECT u AS a_id, v AS b_id, CAST(s AS BIGINT) AS support,
                   CAST(0 AS BIGINT) AS dropped_round FROM es{rounds}"""]
