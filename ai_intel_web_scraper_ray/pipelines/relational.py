@@ -11056,13 +11056,80 @@ def orders_basket_simjoin(sf_dir: str) -> pd.DataFrame:
         .groupby("_tb").map_groups(cand_pairs, batch_format="pandas") \
         .groupby("_pb").map_groups(probe_rows, batch_format="pandas") \
         .materialize()
-    if probes.count() == 0:
+    n_probes = probes.count()
+    if n_probes == 0:
         return empty
 
-    joined = probes.join(
-        bp, join_type="inner",
-        num_partitions=_join_partitions(sf_dir, "lineitem"),
-        on=("okey",), right_on=("l_orderkey",))
+    # co-partitioned bucket join instead of Dataset.join: the hash-
+    # shuffle JoinOperator costs ~20s of aggregator-actor machinery on
+    # this exchange REGARDLESS of num_partitions (measured 20.3s at 1
+    # partition and 21.3s at 64, of a 24s total) — both sides here are
+    # skinny int projections, so the repo's union + groupby(bucket) +
+    # per-bucket pandas merge pattern moves the same rows through the
+    # ordinary sort-shuffle path instead (~4s end to end, same rows).
+    def probe_side(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"_jb": pd.Series([], dtype="int64"),
+                "okey": pd.Series([], dtype="int64"),
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "sa": pd.Series([], dtype="int64"),
+                "sb": pd.Series([], dtype="int64"),
+                "l_partkey": pd.Series([], dtype="int64"),
+                "side": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "okey" not in df.columns:
+            return pd.DataFrame(cols)
+        out = df[["okey", "a", "b", "sa", "sb"]].copy()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        out["_jb"] = (out["okey"] % 64).astype("int64")
+        out["l_partkey"] = np.int64(-1)
+        out["side"] = np.int64(0)
+        return out[list(cols)]
+
+    def basket_side(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"_jb": pd.Series([], dtype="int64"),
+                "okey": pd.Series([], dtype="int64"),
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "sa": pd.Series([], dtype="int64"),
+                "sb": pd.Series([], dtype="int64"),
+                "l_partkey": pd.Series([], dtype="int64"),
+                "side": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame(cols)
+        out = pd.DataFrame({
+            "okey": df["l_orderkey"].astype("int64"),
+            "l_partkey": df["l_partkey"].astype("int64")})
+        out["_jb"] = (out["okey"] % 64).astype("int64")
+        for c in ("a", "b", "sa", "sb"):
+            out[c] = np.int64(-1)
+        out["side"] = np.int64(1)
+        return out[list(cols)]
+
+    def local_join(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "sa": pd.Series([], dtype="int64"),
+                "sb": pd.Series([], dtype="int64"),
+                "l_partkey": pd.Series([], dtype="int64"),
+                "_pb": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "side" not in df.columns:
+            return pd.DataFrame(cols)
+        pr = df[df["side"] == 0]
+        ba = df[df["side"] == 1]
+        if not len(pr) or not len(ba):
+            return pd.DataFrame(cols)
+        m = pr[["okey", "a", "b", "sa", "sb"]].merge(
+            ba[["okey", "l_partkey"]], on="okey")
+        out = m[["a", "b", "sa", "sb", "l_partkey"]].copy()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        out["_pb"] = ((out["a"] * 1_000_003 + out["b"]) % 64).astype("int64")
+        return out
+
+    joined = probes.map_batches(probe_side, batch_format="pandas") \
+        .union(bp.map_batches(basket_side, batch_format="pandas")) \
+        .groupby("_jb").map_groups(local_join, batch_format="pandas")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         cols = {"o1": pd.Series([], dtype="int64"),
@@ -11092,24 +11159,7 @@ def orders_basket_simjoin(sf_dir: str) -> pd.DataFrame:
             "o2": g["b"].to_numpy(dtype="int64")[keep],
             "jac_ppm": i[keep] * 1_000_000 // u[keep]})
 
-    def rekey(df: pd.DataFrame) -> pd.DataFrame:
-        cols = {"a": pd.Series([], dtype="int64"),
-                "b": pd.Series([], dtype="int64"),
-                "sa": pd.Series([], dtype="int64"),
-                "sb": pd.Series([], dtype="int64"),
-                "l_partkey": pd.Series([], dtype="int64"),
-                "_pb": pd.Series([], dtype="int64")}
-        if len(df) == 0 or "a" not in df.columns:
-            return pd.DataFrame(cols)
-        out = df[["a", "b", "sa", "sb", "l_partkey"]].copy()
-        for c in out.columns:
-            out[c] = out[c].astype("int64")
-        out["_pb"] = ((out["a"] * 1_000_003 + out["b"]) % 64) \
-            .astype("int64")
-        return out
-
-    parts = joined.map_batches(rekey, batch_format="pandas") \
-        .groupby("_pb").map_groups(verify, batch_format="pandas") \
+    parts = joined.groupby("_pb").map_groups(verify, batch_format="pandas") \
         .to_pandas()
     if parts.empty or "o1" not in parts.columns:
         return empty
