@@ -129,3 +129,52 @@ def test_shuffles_on_two_real_nodes():
               rel.q1_pricing_summary(sf).to_dict(orient="list").items()}
     assert got["dedup"] == ref_dedup
     assert got["q1"] == ref_q1
+
+
+_SCRIPT_SIMJOIN = r"""
+import json
+import ray
+from ray.cluster_utils import Cluster
+
+cluster = Cluster()
+cluster.add_node(num_cpus=2, object_store_memory=400 * 1024 * 1024)
+cluster.add_node(num_cpus=2, object_store_memory=400 * 1024 * 1024)
+ray.init(address=cluster.address, include_dashboard=False,
+         logging_level="ERROR")
+from ray.data import DataContext
+DataContext.get_current().enable_progress_bars = False
+
+import sys
+sys.path.insert(0, "/root/repo")
+from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+sf = "/root/testdata/sf0.001"
+sj = rel.orders_basket_simjoin(sf)   # prefix filter + co-partitioned bucket join
+print(json.dumps({
+    "nodes": len([n for n in ray.nodes() if n["Alive"]]),
+    "sj": sj.to_dict(orient="list"),
+}))
+ray.shutdown()
+cluster.shutdown()
+"""
+
+
+def test_simjoin_bucket_join_on_two_real_nodes():
+    """The similarity self-join's union + bucketed-groupby co-partition
+    join (round-4 replacement for the hash-shuffle Dataset.join) across
+    a real 2-node cluster must equal the single-node result bit-for-bit
+    — probe and basket rows for the same okey bucket land on one node
+    regardless of where their source blocks lived."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT_SIMJOIN],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    got = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert got["nodes"] == 2
+
+    from ai_intel_web_scraper_ray.pipelines import relational as rel
+
+    ref = rel.orders_basket_simjoin("/root/testdata/sf0.001") \
+        .to_dict(orient="list")
+    assert got["sj"] == ref
