@@ -122,6 +122,14 @@ def main():
     con.execute(f"SET memory_limit='{max(4, int(ram_gb * 0.4))}GB'")
     spill_dir = tempfile.mkdtemp(prefix="duckdb_gate_spill_")
     con.execute(f"SET temp_directory='{spill_dir}'")
+    # disk-bomb guard: an un-materialized CTE chain can re-expand its
+    # base scan combinatorially and spill HUNDREDS of GB before timing
+    # out (the r4 parts_ktruss incident filled a 252 GB disk) — cap the
+    # spill so such an oracle fails fast with a clear error instead
+    try:
+        con.execute("SET max_temp_directory_size='40GB'")
+    except Exception:
+        pass  # older DuckDB without the setting
     for tbl in ("region nation customer supplier part orders lineitem events documents embeddings".split()):
         con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sf_dir}/{tbl}.parquet')")
 
