@@ -394,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": dq.media_frames,
         "media_resize_decode": dq.media_resize_decode,
         "docs_objection_handlers": dq.docs_objection_handlers,
+        "docs_comparison_pairs": dq.docs_comparison_pairs,
         "docs_simhash": dq.docs_simhash,                   # pinned-table oracle
         # similarity search
         "emb_knn": dq.emb_knn,
@@ -1393,6 +1394,21 @@ def oracle_sql() -> dict[str, str]:
     _go3, _go4 = _rest.split("{competitor_sources}")
     _gen_max_chars = _GEN_MAXTOK * 3
 
+    # comparison-pairing twin constants, DERIVED from the engine modules
+    # (same no-drift rule): char budget + truncation marker.  The cred
+    # cycle is asserted rank-aligned so the twin's rank column can be the
+    # plain doc_id % 4.
+    from ai_intel_web_scraper_ray.pipelines.docqueries import (
+        COMPARISON_CRED_CYCLE as _CMP_CYCLE,
+        COMPARISON_PAIR_BUDGET as _CMP_B,
+    )
+    from ai_intel_web_scraper_ray.stages.grouping import (
+        CREDIBILITY_RANK as _CMP_RANKS,
+        TRUNCATION_MARKER as _CMP_MARK,
+    )
+    assert [_CMP_RANKS.get(c, 3) for c in _CMP_CYCLE] == [0, 1, 2, 3], \
+        "comparison twin needs rank == doc_id % 4"
+
     # generated min-label connected-component rounds (relax + pointer
     # jump per round, Shiloach–Vishkin style): each round is one
     # O(V+E) join+GROUP BY, and the label distance-to-minimum contracts
@@ -1402,12 +1418,16 @@ def oracle_sql() -> dict[str, str]:
     # recursive reach(v,l) closure that materializes s^2 rows per
     # component (50s at 500 vectors; effectively wedged at 2000).
     _MINLABEL_N = 24
-    _MINLABEL_LAST = f"lbl{_MINLABEL_N}"
+    _MINLABEL_LAST = "lbl_fix"
 
     def _minlabel_rounds(edge_cte: str, node_cte: str) -> str:
         """CTE chain lbl0..lblN over a SYMMETRIC edge list
-        ``edge_cte(a, b)`` and node set ``node_cte(v)``; lblN holds the
-        per-node component minimum."""
+        ``edge_cte(a, b)`` and node set ``node_cte(v)``; lbl_fix holds
+        the per-node component minimum WITH a fixpoint assertion: if the
+        last two rounds still differ anywhere (a graph needing >N
+        rounds), the scalar subquery raises via error() so the gate
+        fails LOUDLY instead of silently reporting wrong components
+        (advisor r4)."""
         # AS MATERIALIZED is load-bearing: DuckDB INLINES plain CTEs,
         # so a chain where each round references the previous one 3x
         # would otherwise expand 3^N copies of the base scan
@@ -1421,6 +1441,14 @@ def oracle_sql() -> dict[str, str]:
                 f"UNION ALL SELECT x.v, y.l FROM lbl{t} x "
                 f"JOIN lbl{t} y ON y.v = x.l"
                 f") GROUP BY v)")
+        # + 0 keeps the schema; the subquery must evaluate to produce l
+        parts.append(
+            f"{_MINLABEL_LAST} AS MATERIALIZED (SELECT v, l + (SELECT "
+            f"CASE WHEN COUNT(*) > 0 THEN error("
+            f"'minlabel did not converge in {_MINLABEL_N} rounds') "
+            f"ELSE 0 END FROM lbl{_MINLABEL_N - 1} x "
+            f"JOIN lbl{_MINLABEL_N} y ON x.v = y.v AND x.l <> y.l"
+            f") AS l FROM lbl{_MINLABEL_N})")
         return ",\n            ".join(parts) + ","
 
     stop_pat = r"\b(?:" + "|".join(QUALITY_STOPWORDS) + r")\b"
@@ -5016,6 +5044,63 @@ def oracle_sql() -> dict[str, str]:
                        'objection-' || substr(h, 49, 8),
                        'speed: fast-' || substr(h, 57, 8), '' FROM pr
             ) ORDER BY handler_idx
+        """,
+        # comparison pairing: per-(topic, side) credibility-ranked greedy
+        # char-budget pack rebuilt as a cumulative-length window — full
+        # rows where c <= B, the unique overflow row (cb <= B < c) clipped
+        # to B-cb when room > 0, chr(10)x2 joins, marker when any overflow
+        # row exists — digested so only hashes cross the compare
+        "docs_comparison_pairs": f"""
+            WITH recs AS (
+                SELECT doc_id, COALESCE(text, '') AS text,
+                       doc_id % 3 = 0 AS is_primary,
+                       doc_id % 4 AS rnk,
+                       CASE WHEN doc_id % 2 = 0
+                            THEN ['t' || CAST(doc_id % 5 AS VARCHAR),
+                                  'u' || CAST(doc_id % 3 AS VARCHAR)]
+                            ELSE ['t' || CAST(doc_id % 5 AS VARCHAR)]
+                       END AS tps
+                FROM documents
+            ), ex AS (
+                SELECT doc_id, text, is_primary, rnk, UNNEST(tps) AS topic
+                FROM recs
+            ), cum AS (
+                SELECT topic, is_primary, rnk, doc_id, text,
+                       SUM(length(text)) OVER (
+                           PARTITION BY topic, is_primary
+                           ORDER BY rnk, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS c,
+                       COALESCE(SUM(length(text)) OVER (
+                           PARTITION BY topic, is_primary
+                           ORDER BY rnk, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb
+                FROM ex
+            ), agg AS (
+                SELECT topic, is_primary,
+                       COALESCE(string_agg(
+                           CASE WHEN c <= {_CMP_B} THEN text
+                                ELSE substr(text, 1,
+                                            CAST({_CMP_B} - cb AS INT)) END,
+                           chr(10) || chr(10) ORDER BY rnk, doc_id)
+                           FILTER (WHERE c <= {_CMP_B} OR cb < {_CMP_B}), '')
+                       || CASE WHEN MAX(CASE WHEN c > {_CMP_B}
+                                             AND cb <= {_CMP_B}
+                                        THEN 1 ELSE 0 END) = 1
+                               THEN {_sqlq(_CMP_MARK)} ELSE '' END AS ctx,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM cum
+                GROUP BY topic, is_primary
+            ), topics AS (SELECT DISTINCT topic FROM ex)
+            SELECT t.topic,
+                   sha256(COALESCE(p.ctx, '')) AS primary_digest,
+                   sha256(COALESCE(a.ctx, '')) AS competitor_digest,
+                   COALESCE(p.n, CAST(0 AS BIGINT)) AS n_primary,
+                   COALESCE(a.n, CAST(0 AS BIGINT)) AS n_competitor
+            FROM topics t
+            LEFT JOIN (SELECT * FROM agg WHERE is_primary) p USING (topic)
+            LEFT JOIN (SELECT * FROM agg WHERE NOT is_primary) a USING (topic)
+            ORDER BY t.topic
         """,
         # span-level interleaved archival table for the fixture crawl,
         # pinned by an independent sequential BFS + codec replay

@@ -39,6 +39,24 @@ def _ray_init():
     DataContext.get_current().enable_progress_bars = False
 
 
+def _embed_dim(ds) -> int:
+    """Embedding dimension of a chunk store: fixed_size_list carries
+    list_size; a variable-size list column (e.g. parquet written by an
+    older/external tool) doesn't — fall back to the first row's length
+    with a clear error instead of an AttributeError (advisor r4)."""
+    sch = ds.schema()
+    emb_type = sch.types[sch.names.index("embedding")]
+    dim = getattr(emb_type, "list_size", None)
+    if dim is not None and dim > 0:
+        return int(dim)
+    first = ds.limit(1).take(1)
+    if not first or first[0].get("embedding") is None:
+        raise SystemExit(
+            "chunk store needs a non-empty 'embedding' column "
+            "(fixed-size list, or at least one row to infer the dim)")
+    return len(first[0]["embedding"])
+
+
 def cmd_crawl(args):
     _ray_init()
     import pyarrow.parquet as pq
@@ -221,8 +239,7 @@ def cmd_battlecard(args):
 
     ds = rd.read_parquet(args.input)
     name = os.path.basename(os.path.normpath(args.input))
-    sch = ds.schema()
-    dim = sch.types[sch.names.index("embedding")].list_size
+    dim = _embed_dim(ds)
     retr = ChunkRetriever({name: ds}, embed_dim=dim)
     report = None
     for kind, data in generate_battlecard(
@@ -249,8 +266,7 @@ def cmd_vector_query(args):
 
     ds = rd.read_parquet(args.input)
     name = os.path.basename(os.path.normpath(args.input))
-    sch = ds.schema()
-    dim = sch.types[sch.names.index("embedding")].list_size
+    dim = _embed_dim(ds)
     retr = ChunkRetriever({name: ds}, embed_dim=dim)
     fused = retr.retrieve(
         args.query,
@@ -292,8 +308,7 @@ def cmd_serve(args):
 
     ds = rd.read_parquet(args.input).materialize()
     name = os.path.basename(os.path.normpath(args.input))
-    sch = ds.schema()
-    dim = sch.types[sch.names.index("embedding")].list_size
+    dim = _embed_dim(ds)
     engine = QueryEngine({name: ds}, embed_dim=dim)
     mgr = SessionManager(db_path=args.sessions_db)
     srv, port = serve_app(engine, mgr, host=args.host, port=args.port)

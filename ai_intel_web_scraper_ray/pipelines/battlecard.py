@@ -144,6 +144,9 @@ def stub_web_agent(name: str) -> Callable[[str, str], dict]:
             "error": None,
         }
 
+    # the 'Deploying agents' status line prints __name__; without this the
+    # status says 'agent' while agents_used says e.g. 'Market News'
+    agent.__name__ = name
     return agent
 
 

@@ -220,13 +220,16 @@ def emb_cosine_dedup(sf_dir: str) -> pd.DataFrame:
 
 def media_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing demo: synthesize deterministic media payloads
-    for each document and run the decode actor-pool stage (rows-only)."""
+    for each document and run the decode actor-pool stage (rows-only).
+    Refs are synthesized INSIDE map_batches — the doc_id column never
+    lands on the driver (the 100-TB shape this row demonstrates)."""
     from ..stages.multimodal import media_decode_stage, synthesize_media_table
 
-    doc_ids = _docs(sf_dir, ["doc_id"]).to_pandas()["doc_id"].tolist()
-    refs = [f"media://img/{d}" for d in doc_ids]
-    table = synthesize_media_table(refs)
-    ds = rd.from_arrow(table)
+    def to_media(t: pa.Table) -> pa.Table:
+        refs = [f"media://img/{d}" for d in t["doc_id"].to_pylist()]
+        return synthesize_media_table(refs)
+
+    ds = _docs(sf_dir, ["doc_id"]).map_batches(to_media, batch_format="pyarrow")
     out = media_decode_stage(ds, concurrency=2).to_pandas()
     out = out[["media_ref", "pixel_mean", "pixel_std", "decode_ok"]]
     return out.sort_values("media_ref").reset_index(drop=True)
@@ -8302,3 +8305,60 @@ def docs_objection_handlers(sf_dir: str) -> pd.DataFrame:
         "response": [h["response"] for h in handlers],
         "evidence": ["|".join(h.get("supporting_evidence", [])) for h in handlers],
     })
+
+
+#: char budget for the comparison-pairing gate row; the SQL twin derives
+#: from this constant (no-drift rule).
+COMPARISON_PAIR_BUDGET = 2000
+#: doc_id % 4 → credibility class; index == CREDIBILITY_RANK value, so the
+#: twin's rank column is simply doc_id % 4.
+COMPARISON_CRED_CYCLE = ("official", "third_party", "community", "unknown")
+
+
+def docs_comparison_pairs(sf_dir: str) -> pd.DataFrame:
+    """(topic, primary_digest, competitor_digest, n_primary, n_competitor)
+    through the scale-safe comparison pairing
+    (stages.grouping.pair_origins_by_topic — per-block budget prune +
+    count carriers + bounded topic groups; reference semantics
+    comparison_generator.py:190-248,266-299).  Documents become two-origin
+    records: origin kx/acme by doc_id%3, credibility cycling the 4 rank
+    classes by doc_id%4 (so the rank sort genuinely reorders), topics
+    ['t{doc_id%5}'] plus ['u{doc_id%3}'] on even doc_ids (multi-topic
+    explode), arrival_seq = doc_id.  The twin rebuilds the identical
+    packed strings in PURE SQL: per-(topic, side) cumulative-length window
+    in (rank, doc_id) order — full rows where c <= budget, the unique
+    overflow row clipped to budget-cb when room > 0, chr(10)x2 joins, the
+    TRUNCATION_MARKER appended whenever an overflow row exists — then
+    sha256 digests so no megabyte string ever crosses the compare."""
+    import hashlib
+
+    from ..stages.grouping import pair_origins_by_topic
+
+    def adapt(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "origin": pa.array(
+                ["kx" if d % 3 == 0 else "acme" for d in ids], pa.string()),
+            "credibility": pa.array(
+                [COMPARISON_CRED_CYCLE[d % 4] for d in ids], pa.string()),
+            "topics": pa.array(
+                [[f"t{d % 5}"] + ([f"u{d % 3}"] if d % 2 == 0 else [])
+                 for d in ids],
+                pa.list_(pa.string())),
+            "text": t["text"],
+            "arrival_seq": pa.array(ids, pa.int64()),
+        })
+
+    recs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        adapt, batch_format="pyarrow")
+    pairs = pair_origins_by_topic(
+        recs, "kx", char_budget=COMPARISON_PAIR_BUDGET).to_pandas()
+    sha = lambda s: hashlib.sha256(s.encode()).hexdigest()
+    out = pd.DataFrame({
+        "topic": pairs["topic"],
+        "primary_digest": [sha(s) for s in pairs["primary_context"]],
+        "competitor_digest": [sha(s) for s in pairs["competitor_context"]],
+        "n_primary": pairs["n_primary"].astype("int64"),
+        "n_competitor": pairs["n_competitor"].astype("int64"),
+    })
+    return out.sort_values("topic").reset_index(drop=True)

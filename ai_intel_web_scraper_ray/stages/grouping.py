@@ -24,6 +24,10 @@ import pyarrow.compute as pc
 
 CREDIBILITY_RANK = {"official": 0, "third_party": 1, "community": 2}
 
+#: appended after the packed parts when the char budget clipped the input
+#: (comparison_generator.py:266-299); the SQL oracle twin derives from this.
+TRUNCATION_MARKER = "\n[... additional context truncated ...]"
+
 
 def explode_topics(ds, topic_col: str = "topics", out_col: str = "topic"):
     """(record with topics list) → one row per (record, topic)."""
@@ -44,33 +48,128 @@ def topic_group_counts(ds, topic_col: str = "topics"):
     return explode_topics(ds, topic_col).groupby("topic").count()
 
 
+#: sorts after every real credibility rank; marks count-carrier rows.
+_CARRIER_RANK = np.int64(2**62)
+
+
+def _pack_ranked(texts: List[str], char_budget: int) -> str:
+    """Greedy char-budget packing over ALREADY (rank, seq)-sorted texts —
+    the inner loop of the reference's prompt packer
+    (comparison_generator.py:266-299): append until the first text that
+    would overflow, clip that one to the remaining room, mark truncation."""
+    parts: List[str] = []
+    used = 0
+    truncated = False
+    for text in texts:
+        text = text or ""
+        if used + len(text) > char_budget:
+            room = char_budget - used
+            if room > 0:
+                parts.append(text[:room])
+            truncated = True
+            break
+        parts.append(text)
+        used += len(text)
+    packed = "\n\n".join(parts)
+    if truncated:
+        packed += TRUNCATION_MARKER
+    return packed
+
+
 def pair_origins_by_topic(
     ds,
     primary_origin: str,
     topic_col: str = "topics",
     text_col: str = "text",
     char_budget: int = 4000,
+    seq_col: str = "arrival_seq",
 ):
     """J2: for each topic, pack the primary origin's records and the other
     origins' records into one row of packed context strings.  Returns a
-    small Dataset (one row per topic)."""
+    small Dataset (one row per topic).
+
+    Scale shape (reference semantics: comparison_generator.py:190-248,
+    266-299): the naive form — gather every record carrying a topic into
+    one ``map_groups`` group, then keep ~``char_budget`` chars — is an
+    unbounded single-group exchange on a skewed topic.  Instead a
+    per-block combiner prunes each (topic, side) to the (credibility
+    rank, ``seq_col``)-ordered PREFIX that can still influence the packed
+    output: a row whose block-local cumulative length *before* it already
+    exceeds the budget has a global cumulative-before at least as large
+    (block order is a subsequence of the global (rank, seq) order), so it
+    can be neither packed nor the clipped overflow row.  Kept texts are
+    clipped to ``char_budget + 1`` chars — non-overflow rows pack at most
+    ``char_budget`` chars of one text, the overflow row contributes at
+    most ``char_budget`` chars, and the +1 preserves the ``len(text) >
+    budget`` overflow test for clipped rows.  Dropped rows travel as one
+    count-carrier row per (topic, side) per block so ``n_primary`` /
+    ``n_competitor`` stay exact.  The topic exchange therefore ships
+    O(blocks × budget) bytes per topic instead of every hot-topic record.
+
+    Tie order within a credibility class is ``seq_col`` (the reference's
+    stable sort preserves its JSON load order; ``arrival_seq`` IS that
+    load order in this engine), which also makes the output deterministic
+    under any block arrival order — the old whole-group form inherited
+    whatever order the shuffle delivered."""
     exploded = explode_topics(ds, topic_col)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "topic": df["topic"].astype(str),
+            "is_primary": (df["origin"] == primary_origin).to_numpy(),
+            "rank": df["credibility"].map(
+                lambda c: CREDIBILITY_RANK.get(c, 3)).astype("int64"),
+            "seq": df[seq_col].astype("int64"),
+            "text": df[text_col].fillna("").astype(str),
+        })
+        out["_len"] = out["text"].str.len().astype("int64")
+        out = out.sort_values(["topic", "is_primary", "rank", "seq"],
+                              kind="stable")
+        grp = out.groupby(["topic", "is_primary"], sort=False)
+        cum_before = grp["_len"].cumsum() - out["_len"]
+        keep = out[cum_before <= char_budget].copy()
+        keep["text"] = keep["text"].str.slice(0, char_budget + 1)
+        keep["n_sub"] = np.int64(1)
+        keep["carrier"] = False
+        dropped = out[cum_before > char_budget]
+        if len(dropped):
+            cnt = (dropped.groupby(["topic", "is_primary"], sort=False)
+                   .size().reset_index(name="n_sub"))
+            cnt["rank"] = _CARRIER_RANK
+            cnt["seq"] = _CARRIER_RANK
+            cnt["text"] = ""
+            cnt["n_sub"] = cnt["n_sub"].astype("int64")
+            cnt["carrier"] = True
+            keep = pd.concat(
+                [keep.drop(columns=["_len"]),
+                 cnt[["topic", "is_primary", "rank", "seq", "text",
+                      "n_sub", "carrier"]]],
+                ignore_index=True)
+        else:
+            keep = keep.drop(columns=["_len"])
+        return keep.reset_index(drop=True)
 
     def pair(group: pd.DataFrame) -> pd.DataFrame:
         topic = group["topic"].iloc[0]
-        prim = group[group["origin"] == primary_origin]
-        comp = group[group["origin"] != primary_origin]
+        real = group[~group["carrier"]]
+
+        def packed(is_primary: bool) -> str:
+            side = real[real["is_primary"] == is_primary]
+            side = side.sort_values(["rank", "seq"], kind="stable")
+            return _pack_ranked(side["text"].tolist(), char_budget)
+
         return pd.DataFrame(
             {
                 "topic": [topic],
-                "primary_context": [pack_by_credibility(prim, text_col, char_budget)],
-                "competitor_context": [pack_by_credibility(comp, text_col, char_budget)],
-                "n_primary": [len(prim)],
-                "n_competitor": [len(comp)],
+                "primary_context": [packed(True)],
+                "competitor_context": [packed(False)],
+                "n_primary": [int(group.loc[group["is_primary"], "n_sub"].sum())],
+                "n_competitor": [int(group.loc[~group["is_primary"], "n_sub"].sum())],
             }
         )
 
-    return exploded.groupby("topic").map_groups(pair, batch_format="pandas")
+    combined = exploded.map_batches(combine, batch_format="pandas")
+    return combined.groupby("topic").map_groups(pair, batch_format="pandas")
 
 
 def pack_by_credibility(df: pd.DataFrame, text_col: str = "text",
@@ -97,7 +196,7 @@ def pack_by_credibility(df: pd.DataFrame, text_col: str = "text",
         used += len(text)
     packed = "\n\n".join(parts)
     if truncated:
-        packed += "\n[... additional context truncated ...]"
+        packed += TRUNCATION_MARKER
     return packed
 
 

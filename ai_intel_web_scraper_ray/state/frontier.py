@@ -56,7 +56,14 @@ class SpillHeap:
     bit-identical to the pre-spill behavior.
 
     Keys are unique per shard ((depth, seq) with a shard-local seq), so
-    heap-vs-segment comparisons can't tie."""
+    heap-vs-segment comparisons can't tie.
+
+    OWNERSHIP: a ``spill_dir`` belongs to exactly ONE live SpillHeap —
+    ``restore`` reclaims every ``*.pkl`` in it as stale debris from a
+    killed predecessor (see the comment there).  Frontier shards satisfy
+    this by construction (each gets a private ``shard{id}`` subdir);
+    anything else reusing a heap's spill dir concurrently would have its
+    live segments deleted.  Run one crawl per ``heap_spill_dir``."""
 
     def __init__(self, mem_cap: Optional[int] = None,
                  spill_dir: Optional[str] = None):

@@ -314,8 +314,9 @@ def _nodes_big_sf(src: str, factors=None) -> str:
     """Key-shifted replication of the sf tables into /tmp for the
     multi-node shuffle bench: each fact table gets ``factors[table]``
     copies with its primary key shifted per copy (shift 2e8 — above
-    every sf0.1 key, and factor x shift stays inside int32 so no
-    downstream cast can overflow); dimension tables copy 1:1.  Each copy
+    every sf0.1 key; factor x shift reaches ~5e10, so the invariant is
+    that the key columns are int64 — asserted below — NOT that the
+    shift fits int32); dimension tables copy 1:1.  Each copy
     is its own parquet file inside a ``{table}.parquet/`` directory, so
     readers see factor x blocks.  Built once, reused by both cluster
     legs (identical files -> identical work).  Factors are sized so each
@@ -347,6 +348,9 @@ def _nodes_big_sf(src: str, factors=None) -> str:
             tc = t
             for col in cols:
                 idx = tc.schema.get_field_index(col)
+                assert tc.schema.field(col).type == pa.int64(), (
+                    f"{tbl}.{col} must be int64: factor x SHIFT exceeds "
+                    f"int32 range, got {tc.schema.field(col).type}")
                 arr = pc.add(tc[col], pa.scalar(
                     c * SHIFT, tc.schema.field(col).type))
                 tc = tc.set_column(idx, col, arr)

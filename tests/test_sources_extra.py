@@ -205,6 +205,82 @@ class TestGrouping:
         assert out.iloc[0]["n_primary"] == 4
         assert out.iloc[0]["n_competitor"] == 4
 
+    @staticmethod
+    def _pair_oracle(recs, primary, char_budget):
+        """Independent sequential replay of the reference semantics
+        (comparison_generator.py:190-248,266-299): explode topics, per
+        (topic, side) sort by (credibility rank, arrival_seq), greedy
+        char-budget pack with first-overflow clip + marker."""
+        import collections
+        groups = collections.defaultdict(list)
+        for r in recs:
+            for t in r["topics"]:
+                side = r["origin"] == primary
+                groups[(t, side)].append(
+                    (gr.CREDIBILITY_RANK.get(r["credibility"], 3),
+                     r["arrival_seq"], r["text"] or ""))
+        rows = {}
+        for (t, side), items in groups.items():
+            items.sort(key=lambda x: (x[0], x[1]))
+            parts, used, trunc = [], 0, False
+            for _, _, text in items:
+                if used + len(text) > char_budget:
+                    room = char_budget - used
+                    if room > 0:
+                        parts.append(text[:room])
+                    trunc = True
+                    break
+                parts.append(text)
+                used += len(text)
+            packed = "\n\n".join(parts)
+            if trunc:
+                packed += "\n[... additional context truncated ...]"
+            row = rows.setdefault(t, {"topic": t, "primary_context": "",
+                                      "competitor_context": "",
+                                      "n_primary": 0, "n_competitor": 0})
+            key = "primary" if side else "competitor"
+            row[f"{key}_context"] = packed
+            row[f"n_{key}"] = len(items)
+        return sorted(rows.values(), key=lambda r: r["topic"])
+
+    def test_pair_origins_hot_topic_stress(self):
+        """One topic on >50% of records across many blocks (the skewed-key
+        case the combiner prune exists for), mixed credibilities, empty
+        texts inside the packed prefix, and a text longer than the whole
+        budget — distributed output must equal the sequential replay."""
+        import random
+        rng = random.Random(7)
+        budget = 500
+        recs = []
+        for i in range(600):
+            topics = ["hot"] if i % 3 else ["hot", f"cold{i % 7}"]
+            if i % 11 == 10:
+                topics = [f"cold{i % 7}"]
+            text = ""
+            if i % 5:
+                text = f"rec{i}:" + "x" * rng.randrange(0, 120)
+            if i == 17:
+                text = "L" * (budget * 3)      # single text > whole budget
+            recs.append(dict(
+                RECORDS[0], id=f"r{i}", arrival_seq=i, topics=topics,
+                text=text,
+                origin="kx" if i % 2 == 0 else "acme",
+                credibility=rng.choice(["official", "third_party",
+                                        "community", "unknown"]),
+            ))
+        expected = self._pair_oracle(recs, "kx", budget)
+        ds = rd.from_arrow(fixtures.records_to_table(recs)).repartition(16)
+        got = (gr.pair_origins_by_topic(ds, "kx", char_budget=budget)
+               .to_pandas().sort_values("topic").reset_index(drop=True))
+        assert len(got) == len(expected)
+        for i, exp in enumerate(expected):
+            row = got.iloc[i]
+            assert row["topic"] == exp["topic"]
+            assert row["primary_context"] == exp["primary_context"], exp["topic"]
+            assert row["competitor_context"] == exp["competitor_context"], exp["topic"]
+            assert int(row["n_primary"]) == exp["n_primary"]
+            assert int(row["n_competitor"]) == exp["n_competitor"]
+
 
 class TestBreakdowns:
     def test_status_counts_and_store_breakdowns(self):
