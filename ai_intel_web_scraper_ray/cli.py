@@ -234,17 +234,22 @@ def cmd_battlecard(args):
     _ray_init()
     import ray.data as rd
 
-    from .pipelines.battlecard import generate_battlecard, render_markdown
+    from .pipelines.battlecard import (corpus_web_agents,
+                                       generate_battlecard, render_markdown)
     from .pipelines.retrieval import ChunkRetriever
 
     ds = rd.read_parquet(args.input)
     name = os.path.basename(os.path.normpath(args.input))
     dim = _embed_dim(ds)
     retr = ChunkRetriever({name: ds}, embed_dim=dim)
+    extra = None
+    if getattr(args, "records", None):
+        extra = corpus_web_agents(rd.read_parquet(_records_path(args.records)))
     report = None
     for kind, data in generate_battlecard(
             retr, args.competitor, use_case=args.use_case, tone=args.tone,
-            client_name=args.client or "", primary=args.primary):
+            client_name=args.client or "", primary=args.primary,
+            extra_agents=extra):
         if kind == "status":
             print(f"[{data['progress']:4.0%}] {data['message']}")
         elif kind == "report":
@@ -397,6 +402,10 @@ def main(argv=None):
                    choices=["highly_technical", "executive"])
     c.add_argument("--client", default=None)
     c.add_argument("--primary", default="kx")
+    c.add_argument("--records", default=None,
+                   help="records parquet dir (process output); when given, "
+                        "the corpus-backed Benchmark / Developer Sentiment "
+                        "/ Market News agents run over it")
     c.set_defaults(fn=cmd_battlecard)
 
     c = sub.add_parser("export")

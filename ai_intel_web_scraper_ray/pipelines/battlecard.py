@@ -150,6 +150,232 @@ def stub_web_agent(name: str) -> Callable[[str, str], dict]:
     return agent
 
 
+# ---------------------------------------------------------------------------
+# Corpus-backed web agents: deterministic implementations of the reference's
+# Benchmark / Developer Sentiment / Market News agents (agents.py:329-604)
+# over the CRAWLED STORE instead of live web search (no network in this
+# sandbox; the stub_web_agent seam above remains for injecting live ones).
+# Each agent is ONE bounded map_batches pass over the records Dataset: rows
+# mentioning the competitor are extracted per batch, per-batch output is
+# capped at CORPUS_AGENT_CAP rows in arrival_seq order (the global earliest-
+# CAP set is contained in the union of per-batch earliest-CAP sets), and a
+# count carrier per batch keeps the total exact — the driver merge is
+# O(blocks × CAP), never the matching corpus.
+# ---------------------------------------------------------------------------
+
+#: per-agent result cap, mirroring the reference's max_uses-bounded searches
+CORPUS_AGENT_CAP = 12
+
+
+def _corpus_scan(records_ds, competitor: str, build_rows) -> Tuple[List[dict], int]:
+    """Bounded competitor-filtered scan: ``build_rows(sub_df) ->
+    list[(seq, dict)]`` runs per batch on the matching rows; returns the
+    globally earliest ``CORPUS_AGENT_CAP`` payloads and the exact total
+    match count."""
+    import pandas as pd
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        mask = (df["text"].fillna("").str.contains(competitor, case=False,
+                                                   regex=False)
+                | df["title"].fillna("").str.contains(competitor, case=False,
+                                                      regex=False))
+        sub = df[mask]
+        n_match = int(len(sub))
+        sub = sub.sort_values("arrival_seq").head(CORPUS_AGENT_CAP)
+        rows = build_rows(sub) if len(sub) else []
+        rows = sorted(rows, key=lambda x: x[0])[:CORPUS_AGENT_CAP]
+        return pd.DataFrame({
+            "seq": pd.array([s for s, _ in rows] + [-1], dtype="int64"),
+            "payload": pd.Series([json.dumps(d) for _, d in rows] + [""],
+                                 dtype=object),
+            "n_match": pd.array([0] * len(rows) + [n_match], dtype="int64"),
+        })
+
+    parts = records_ds.map_batches(scan, batch_format="pandas").to_pandas()
+    total = int(parts["n_match"].sum())
+    real = parts[parts["seq"] >= 0].sort_values("seq").head(CORPUS_AGENT_CAP)
+    return [json.loads(p) for p in real["payload"]], total
+
+
+def corpus_benchmark_agent(records_ds) -> Callable[[str, str], dict]:
+    """BenchmarkAgent (agents.py:329-411) over the crawled store: the M14
+    extractor (functions/benchmarkx.py — same regex bank as the reference's
+    benchmark_scraper.py:161-209) mines performance numbers from documents
+    mentioning the competitor; kx_value is filled from the same document
+    when it also names a KDB variant."""
+    from ..functions.benchmarkx import extract_benchmark_data
+
+    def agent(competitor: str, use_case: str = "") -> dict:
+        try:
+            def build(sub):
+                rows = []
+                for r in sub.itertuples():
+                    ext = extract_benchmark_data(r.text or "")
+                    perf = ext["performance_numbers"]
+                    if not perf:
+                        continue
+                    has_kx = any(d.upper().startswith("KDB")
+                                 for d in ext["databases_mentioned"])
+                    rows.append((int(r.arrival_seq), {
+                        "metric": perf[0],
+                        "kx_value": (perf[1] if has_kx and len(perf) > 1
+                                     else ""),
+                        "competitor_value": perf[0],
+                        "source": r.url or r.title or "",
+                    }))
+                return rows
+
+            benches, total = _corpus_scan(records_ds, competitor, build)
+            data = {
+                "benchmarks": benches,
+                "summary": (f"{len(benches)} benchmark mention(s) for "
+                            f"{competitor} across {total} matching "
+                            f"document(s)"),
+                "sources": sorted({b["source"] for b in benches if b["source"]}),
+            }
+            return {"agent_name": "Financial Benchmark", "data": data,
+                    "sources_count": len(benches), "error": None}
+        except Exception as e:  # mirror the reference's error envelope
+            return {"agent_name": "Financial Benchmark",
+                    "data": {"benchmarks": [], "summary": "", "sources": []},
+                    "sources_count": 0, "error": str(e)}
+
+    agent.__name__ = "Financial Benchmark"
+    return agent
+
+
+def corpus_sentiment_agent(records_ds) -> Callable[[str, str], dict]:
+    """DeveloperSentimentAgent (agents.py:414-507) over the crawled store:
+    the M13 estimator (functions/sentiment.py — the reference
+    community_scraper.py:294-319 signal lists) classifies competitor
+    mentions; negative rows become complaints (severity high at >=3 signal
+    hits), positive rows become positive_sentiment, and the matched
+    negative signals aggregate into developer_concerns."""
+    from ..functions.sentiment import NEGATIVE_SIGNALS, estimate_sentiment
+
+    def agent(competitor: str, use_case: str = "") -> dict:
+        try:
+            def build(sub):
+                rows = []
+                for r in sub.itertuples():
+                    text = r.text or ""
+                    senti = estimate_sentiment(text)
+                    if senti not in ("negative", "positive", "mixed"):
+                        continue
+                    lower = text.lower()
+                    hits = [s for s in NEGATIVE_SIGNALS if s in lower]
+                    rows.append((int(r.arrival_seq), {
+                        "kind": "complaint" if senti != "positive" else "positive",
+                        "issue": (r.title or text[:80]).strip(),
+                        "source": r.source_type or "",
+                        "severity": "high" if len(hits) >= 3 else "medium",
+                        "url": r.url or "",
+                        "signals": hits,
+                    }))
+                return rows
+
+            items, total = _corpus_scan(records_ds, competitor, build)
+            complaints = [{"issue": i["issue"], "source": i["source"],
+                           "severity": i["severity"], "url": i["url"]}
+                          for i in items if i["kind"] == "complaint"]
+            positive = [{"point": i["issue"], "source": i["source"],
+                         "url": i["url"]}
+                        for i in items if i["kind"] == "positive"]
+            counts: Dict[str, int] = {}
+            for i in items:
+                for s in i["signals"]:
+                    counts[s] = counts.get(s, 0) + 1
+            concerns = [s for s, _ in sorted(counts.items(),
+                                             key=lambda kv: (-kv[1], kv[0]))][:5]
+            data = {
+                "complaints": complaints,
+                "positive_sentiment": positive,
+                "developer_concerns": concerns,
+                "summary": (f"{len(complaints)} complaint(s), "
+                            f"{len(positive)} positive mention(s) for "
+                            f"{competitor} across {total} matching "
+                            f"document(s)"),
+            }
+            return {"agent_name": "Developer Sentiment", "data": data,
+                    "sources_count": len(complaints) + len(positive),
+                    "error": None}
+        except Exception as e:
+            return {"agent_name": "Developer Sentiment",
+                    "data": {"complaints": [], "positive_sentiment": [],
+                             "developer_concerns": [], "summary": ""},
+                    "sources_count": 0, "error": str(e)}
+
+    agent.__name__ = "Developer Sentiment"
+    return agent
+
+
+_RELEASE_RE = None
+
+
+def corpus_news_agent(records_ds) -> Callable[[str, str], dict]:
+    """MarketNewsAgent (agents.py:510-604) over the crawled store: dated
+    competitor mentions become news_items (newest first), titles naming a
+    release/version feed recent_releases."""
+    import re as _re
+    global _RELEASE_RE
+    if _RELEASE_RE is None:
+        _RELEASE_RE = _re.compile(r"\b(release[sd]?|v?\d+\.\d+)\b",
+                                  _re.IGNORECASE)
+
+    def agent(competitor: str, use_case: str = "") -> dict:
+        try:
+            def build(sub):
+                rows = []
+                for r in sub.itertuples():
+                    if r.content_date is None or r.content_date != r.content_date:
+                        continue
+                    title = (r.title or "").strip()
+                    rows.append((int(r.arrival_seq), {
+                        "headline": title or (r.text or "")[:80],
+                        "date": str(r.content_date)[:10],
+                        "source": r.source_type or "",
+                        "url": r.url or "",
+                        "implication": (f"Corpus-dated {competitor} activity "
+                                        f"via {r.source_type or 'unknown'}"),
+                        "is_release": bool(_RELEASE_RE.search(title)),
+                    }))
+                return rows
+
+            items, total = _corpus_scan(records_ds, competitor, build)
+            items.sort(key=lambda n: (n["date"], n["url"]), reverse=True)
+            news = [{k: v for k, v in n.items() if k != "is_release"}
+                    for n in items]
+            data = {
+                "news_items": news,
+                "funding_status": "",
+                "recent_releases": [n["headline"] for n in items
+                                    if n["is_release"]][:3],
+                "key_hires": [],
+                "summary": (f"{len(news)} dated item(s) for {competitor} "
+                            f"across {total} matching document(s)"),
+            }
+            return {"agent_name": "Market News", "data": data,
+                    "sources_count": len(news), "error": None}
+        except Exception as e:
+            return {"agent_name": "Market News",
+                    "data": {"news_items": [], "funding_status": "",
+                             "recent_releases": [], "key_hires": [],
+                             "summary": ""},
+                    "sources_count": 0, "error": str(e)}
+
+    agent.__name__ = "Market News"
+    return agent
+
+
+def corpus_web_agents(records_ds) -> List[Callable[[str, str], dict]]:
+    """The three corpus-backed agents in the reference's deployment order
+    (generator.py:206-300), ready for ``generate_battlecard(...,
+    extra_agents=corpus_web_agents(ds))``."""
+    return [corpus_benchmark_agent(records_ds),
+            corpus_sentiment_agent(records_ds),
+            corpus_news_agent(records_ds)]
+
+
 def build_synthesis_prompt(
     competitor_name: str,
     agent_results: List[dict],

@@ -13,6 +13,10 @@ from ai_intel_web_scraper_ray.pipelines.battlecard import (
     render_markdown,
     stub_llm_battlecard,
     stub_web_agent,
+    corpus_benchmark_agent,
+    corpus_news_agent,
+    corpus_sentiment_agent,
+    corpus_web_agents,
 )
 from ai_intel_web_scraper_ray.pipelines.retrieval import ChunkRetriever
 from ai_intel_web_scraper_ray.pipelines.vectorize import vectorize_pipeline
@@ -143,3 +147,81 @@ class TestOrchestrator:
             assert section in md, section
         # empty news list -> section omitted (renderer skips empties)
         assert "## Recent Competitor Activity" not in md
+
+
+class TestCorpusAgents:
+    """Corpus-backed Benchmark / Developer Sentiment / Market News agents
+    (reference agents.py:329-604) over a records Dataset — non-stub
+    sections derived from the corpus, stub seam untouched."""
+
+    def _records(self):
+        import datetime
+
+        recs = fixtures.make_source_records(20)
+        # plant deterministic corpus evidence for each agent
+        recs[0]["text"] = ("acme ingestion hit 1,200,000 rows/sec while "
+                           "kdb+ sustained 9,800,000 rows/sec on 32 cores")
+        recs[0]["url"] = "https://bench.example/acme-tsbs"
+        recs[1]["text"] = ("acme has a bug and a crash problem, memory "
+                           "issue under load; broken replication")
+        recs[1]["title"] = "acme instability report"
+        recs[2]["text"] = "acme is fast, great and reliable; love the API"
+        recs[2]["title"] = "acme praise"
+        recs[3]["title"] = "acme release v2.4 announced"
+        recs[3]["text"] = "acme shipped a release"
+        recs[3]["content_date"] = datetime.date(2026, 2, 3)
+        recs[4]["title"] = "acme partners with BigCo"
+        recs[4]["text"] = "acme announced a partnership"
+        recs[4]["content_date"] = datetime.date(2026, 3, 14)
+        return rd.from_arrow(fixtures.records_to_table(recs)).repartition(4)
+
+    def test_benchmark_agent(self):
+        out = corpus_benchmark_agent(self._records())("acme")
+        assert out["agent_name"] == "Financial Benchmark"
+        assert out["error"] is None
+        bm = out["data"]["benchmarks"]
+        assert out["sources_count"] == len(bm) >= 1
+        first = bm[0]
+        assert "rows/sec" in first["metric"]
+        assert first["kx_value"]                 # same doc names kdb+
+        assert first["source"] == "https://bench.example/acme-tsbs"
+        assert out["data"]["sources"] == ["https://bench.example/acme-tsbs"]
+
+    def test_sentiment_agent(self):
+        out = corpus_sentiment_agent(self._records())("acme")
+        d = out["data"]
+        assert any(c["issue"] == "acme instability report" and
+                   c["severity"] == "high" for c in d["complaints"])
+        assert any(p["point"] == "acme praise" for p in d["positive_sentiment"])
+        assert "bug" in d["developer_concerns"]
+        assert out["sources_count"] == (len(d["complaints"])
+                                        + len(d["positive_sentiment"]))
+
+    def test_news_agent(self):
+        out = corpus_news_agent(self._records())("acme")
+        d = out["data"]
+        heads = [n["headline"] for n in d["news_items"]]
+        assert "acme release v2.4 announced" in heads
+        # newest first
+        dates = [n["date"] for n in d["news_items"]]
+        assert dates == sorted(dates, reverse=True)
+        assert d["recent_releases"] == ["acme release v2.4 announced"]
+
+    def test_no_matches_clean(self):
+        for mk in (corpus_benchmark_agent, corpus_sentiment_agent,
+                   corpus_news_agent):
+            out = mk(self._records())("nonexistent-db")
+            assert out["sources_count"] == 0 and out["error"] is None
+
+    def test_orchestrator_with_corpus_agents(self):
+        events = list(generate_battlecard(
+            retriever(), "acme", extra_agents=corpus_web_agents(self._records())))
+        status = [d for k, d in events if k == "status"]
+        deploy = [s for s in status if s["step"] == "agents"][0]
+        for name in ("Financial Benchmark", "Developer Sentiment",
+                     "Market News"):
+            assert name in deploy["message"], name
+        rep = [d for k, d in events if k == "report"][0]
+        assert rep["agents_used"] == ["Internal Knowledge Base",
+                                      "Financial Benchmark",
+                                      "Developer Sentiment", "Market News"]

@@ -77,3 +77,13 @@ def test_cli_full_flow(tmp_path, capsys):
     assert "battlecard ->" in out and "Deploying agents" in out
     text = open(bc).read()
     assert "## Why KX Wins" in text and "## Deal Strategy Playbook" in text
+
+    # corpus-backed web agents over the processed store (--records)
+    bc2 = str(tmp_path / "bc_corpus.md")
+    cli.main(["battlecard", "--in", chunks, "--competitor", "crawl",
+              "--out", bc2, "--primary", "crawl", "--records", processed])
+    out = capsys.readouterr().out
+    for name in ("Financial Benchmark", "Developer Sentiment", "Market News"):
+        assert name in out, name
+    text = open(bc2).read()
+    assert "Financial Benchmark" in text      # agents_used footer line
