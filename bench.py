@@ -411,6 +411,11 @@ def run_sat_bench_nodes(n_nodes: int, cpus_per_node: int = 8) -> dict:
     pages = make_bench_web_graph(n_pages)
     pages_table_ref = pages_to_table_ref(pages)
     total_cpus = n_nodes * cpus_per_node
+    # in-window ceiling control (verdict r4 #3): the busy-loop baseline is
+    # captured BEFORE and AFTER the measured stages, inside this leg's
+    # process — the pair's ceiling-normalized efficiencies derive from
+    # these, never from a separate post-hoc run
+    cpu_baseline_pre = _cpu_baseline(total_cpus)
     sat = _saturated_crawl(total_cpus, pages_table_ref,
                            [p["url"] for p in pages])
 
@@ -460,6 +465,8 @@ def run_sat_bench_nodes(n_nodes: int, cpus_per_node: int = 8) -> dict:
         "q3_sec": q3_sec,
         "minhash_sec": minhash_sec,
         "cpu_baseline_miter_per_sec": cpu_baseline,
+        "cpu_baseline_pre": cpu_baseline_pre,
+        "cpu_baseline_mid": round((cpu_baseline_pre + cpu_baseline) / 2, 1),
     }
     ray.shutdown()
     cluster.shutdown()
@@ -509,14 +516,30 @@ def main():
                 "sustained_node_efficiency": round(
                     (sus_hi / max(sus_lo, 1e-9)) / (hi_n / lo_n), 3),
             }
+            # in-window CPU ceiling for THIS pair: how much compute the
+            # machine actually delivered at 4x CPUs during these legs
+            # (mean of each leg's pre/post busy-loop baselines).  1.0 =
+            # the hardware scaled perfectly; on one oversubscribed VM it
+            # routinely reads 0.6-0.9, and no Ray code can scale past it.
+            base_lo = r_lo.get("cpu_baseline_mid",
+                               r_lo["cpu_baseline_miter_per_sec"])
+            base_hi = r_hi.get("cpu_baseline_mid",
+                               r_hi["cpu_baseline_miter_per_sec"])
+            ceiling = (base_hi / max(base_lo, 1e-9)) / (hi_n / lo_n)
+            run["cpu_ceiling"] = round(ceiling, 3)
+            run["raw_norm_efficiency"] = round(
+                run["raw_node_efficiency"] / min(1.0, max(ceiling, 1e-9)), 3)
             # shuffle-stage node efficiencies: wall-time ratio over the
-            # node ratio (1.0 = perfect 4x speedup on 4x nodes)
+            # node ratio (1.0 = perfect 4x speedup on 4x nodes), raw and
+            # normalized by the pair's own in-window ceiling
             for key in ("process_sec", "q3_sec", "minhash_sec"):
                 if key in r_lo and key in r_hi:
                     run[key + "_1node"] = r_lo[key]
                     run[key + "_4node"] = r_hi[key]
-                    run[key.replace("_sec", "_node_efficiency")] = round(
-                        (r_lo[key] / max(r_hi[key], 1e-9)) / (hi_n / lo_n), 3)
+                    eff = (r_lo[key] / max(r_hi[key], 1e-9)) / (hi_n / lo_n)
+                    run[key.replace("_sec", "_node_efficiency")] = round(eff, 3)
+                    run[key.replace("_sec", "_norm_efficiency")] = round(
+                        eff / min(1.0, max(ceiling, 1e-9)), 3)
             runs.append(run)
 
         def median(xs):
@@ -535,9 +558,12 @@ def main():
                 [r["raw_node_efficiency"] for r in runs]),
             "median_sustained_node_efficiency": median(
                 [r["sustained_node_efficiency"] for r in runs]),
+            "median_cpu_ceiling": median([r["cpu_ceiling"] for r in runs]),
             **{f"median_{k}": median([r[k] for r in runs])
                for k in ("process_node_efficiency", "q3_node_efficiency",
-                         "minhash_node_efficiency")
+                         "minhash_node_efficiency", "raw_norm_efficiency",
+                         "process_norm_efficiency", "q3_norm_efficiency",
+                         "minhash_norm_efficiency")
                if all(k in r for r in runs)},
         }))
         return

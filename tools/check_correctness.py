@@ -99,7 +99,11 @@ def main():
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
+        # 8 CPUs reproduces the driver's gate environment; large synthetic
+        # SFs (tools/make_sf.py) can override via GRAFT_GATE_CPUS
+        ray.init(address="local",
+                 num_cpus=int(os.environ.get("GRAFT_GATE_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

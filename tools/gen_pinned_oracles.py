@@ -28,6 +28,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from ai_intel_web_scraper_ray.functions.fingerprint import fingerprint  # noqa: E402
 from ai_intel_web_scraper_ray.functions.simhash import simhash_batch  # noqa: E402
 
+# (label, dir) corpora to pin: the three driver testdata SFs plus any
+# extra dirs passed on argv (e.g. a synthesized /tmp/testdata_sf1 from
+# tools/make_sf.py) — every per-SF generator iterates this list, so a new
+# scale factor gets pinned rows by re-running this script with its dir.
+def sf_dirs():
+    dirs = [(sf, f"/root/testdata/{sf}")
+            for sf in ("sf0.001", "sf0.01", "sf0.1")]
+    dirs += [(os.path.basename(os.path.normpath(d)), d)
+             for d in sys.argv[1:] if not d.startswith("-")]
+    return dirs
+
+
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "tests", "pinned", "doc_expected.parquet")
 
@@ -273,8 +285,8 @@ def gen_dedup_expected() -> None:
     production kernels (those are pinned separately in doc_expected /
     validated by pytest oracles)."""
     frames = []
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        t = pq.read_table(f"/root/testdata/{sf}/documents.parquet",
+    for sf, sf_dir in sf_dirs():
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
                           columns=["doc_id", "text"])
         doc_ids = [int(x) for x in t["doc_id"].to_pylist()]
         texts = t["text"].to_pylist()
@@ -391,8 +403,8 @@ def gen_mst_expected() -> None:
     import duckdb
 
     frames = []
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        path = f"/root/testdata/{sf}/lineitem.parquet"
+    for sf, sf_dir in sf_dirs():
+        path = f"{sf_dir}/lineitem.parquet"
         con = duckdb.connect()
         edges = con.execute(f"""
             WITH b AS (SELECT DISTINCT l_orderkey, l_partkey
@@ -458,8 +470,8 @@ def gen_stress_expected() -> None:
     import duckdb
 
     frames = []
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        path = f"/root/testdata/{sf}/lineitem.parquet"
+    for sf, sf_dir in sf_dirs():
+        path = f"{sf_dir}/lineitem.parquet"
         con = duckdb.connect()
         edges = con.execute(f"""
             WITH b AS (SELECT DISTINCT l_orderkey, l_partkey
@@ -532,8 +544,8 @@ def gen_mis_expected() -> None:
     import duckdb
 
     frames = []
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        path = f"/root/testdata/{sf}/lineitem.parquet"
+    for sf, sf_dir in sf_dirs():
+        path = f"{sf_dir}/lineitem.parquet"
         con = duckdb.connect()
         edges = con.execute(f"""
             WITH b AS (SELECT DISTINCT l_orderkey, l_partkey
@@ -631,14 +643,15 @@ def gen_media_decode_expected() -> None:
         synthesize_media_table,
     )
 
-    max_doc = 0
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        t = pq.read_table(f"/root/testdata/{sf}/documents.parquet",
+    # actual distinct doc_ids (not a dense range: key-shifted synthetic
+    # SFs have ids near 2e9, and only real ids ever become refs)
+    ids = set()
+    for sf, sf_dir in sf_dirs():
+        t = pq.read_table(f"{sf_dir}/documents.parquet",
                           columns=["doc_id"])
-        max_doc = max(max_doc,
-                      int(pa.compute.max(t["doc_id"]).as_py()) + 1)
-    assert max_doc > 0, "no documents found under /root/testdata"
-    refs = [f"media://img/{d}" for d in range(max_doc)]
+        ids.update(int(x) for x in t["doc_id"].to_pylist())
+    assert ids, "no documents found in any pinned corpus"
+    refs = [f"media://img/{d}" for d in sorted(ids)]
     t = synthesize_media_table(refs)
     means, stds = [], []
     for payload, w, h in zip(t["payload"].to_pylist(),
@@ -659,8 +672,8 @@ def gen_media_decode_expected() -> None:
 
 def main() -> None:
     rows = {}
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        t = pq.read_table(f"/root/testdata/{sf}/documents.parquet", columns=["text"])
+    for sf, sf_dir in sf_dirs():
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
         texts = t["text"].to_pylist()
         sims = simhash_batch([x or "" for x in texts])
         for text, sim in zip(texts, sims):
