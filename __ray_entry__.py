@@ -1043,24 +1043,24 @@ def _sssp_sql(rounds: int = 3) -> str:
     relax-then-min round is generated once per hop; integer edge costs
     make every round's min tie-free."""
     parts = ["""
-        WITH dedup AS (
+        WITH dedup AS MATERIALIZED (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), pairs AS (
+        ), pairs AS MATERIALIZED (
             SELECT a.l_partkey AS x, b.l_partkey AS y, COUNT(*) AS n
             FROM dedup a JOIN dedup b
               ON a.l_orderkey = b.l_orderkey
              AND a.l_partkey < b.l_partkey
             GROUP BY x, y HAVING COUNT(*) >= 2
-        ), e AS (
+        ), e AS MATERIALIZED (
             SELECT x AS src, y AS dst, 1000000 // n AS w FROM pairs
             UNION ALL
             SELECT y, x, 1000000 // n FROM pairs
-        ), d0 AS (
+        ), d0 AS MATERIALIZED (
             SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS cost FROM e
             HAVING COUNT(*) > 0
         )"""]
     for r in range(1, rounds + 1):
-        parts.append(f""", d{r} AS (
+        parts.append(f""", d{r} AS MATERIALIZED (
             SELECT node, MIN(cost) AS cost FROM (
                 SELECT node, cost FROM d{r - 1}
                 UNION ALL
@@ -2656,28 +2656,27 @@ def oracle_sql() -> dict[str, str]:
         # connected components of the support-3 co-order part graph; the
         # oracle is recursive-CTE reachability (O(sum comp²) rows — fine
         # at oracle scale), the engine is min-label propagation
-        "parts_components": """
-            WITH RECURSIVE d AS (
-                SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-            ), pairs AS (
-                SELECT l1.l_partkey AS a, l2.l_partkey AS b
-                FROM d l1 JOIN d l2
+        # connected components via the generated min-label rounds (the
+        # recursive reach(v,l) closure materializes s^2 rows per
+        # component — wedged at the synthesized sf1, where replication
+        # multiplies co-order supports 10x and the >=3 filter stops
+        # pruning, densifying the graph to ~1.2M edges)
+        "parts_components": f"""
+            WITH pairs AS MATERIALIZED (
+                SELECT l1.l_partkey AS x, l2.l_partkey AS y
+                FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l1
+                JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l2
                   ON l1.l_orderkey = l2.l_orderkey
                  AND l1.l_partkey < l2.l_partkey
                 GROUP BY 1, 2 HAVING COUNT(*) >= 3
             ),
-            edges AS (
-                SELECT a, b FROM pairs
-                UNION ALL SELECT b AS a, a AS b FROM pairs
+            e AS MATERIALIZED (
+                SELECT x AS a, y AS b FROM pairs
+                UNION ALL SELECT y AS a, x AS b FROM pairs
             ),
-            nodes AS (SELECT DISTINCT a AS id FROM edges),
-            r(id, reach) AS (
-                SELECT id, id AS reach FROM nodes
-                UNION
-                SELECT r.id, e.b AS reach FROM r JOIN edges e
-                  ON e.a = r.reach
-            ),
-            comp AS (SELECT id, MIN(reach) AS component_id FROM r GROUP BY id)
+            nodes AS MATERIALIZED (SELECT DISTINCT a AS v FROM e),
+            {_minlabel_rounds('e', 'nodes')}
+            comp AS (SELECT v AS id, l AS component_id FROM {_MINLABEL_LAST})
             SELECT CAST(component_id AS BIGINT) AS component_id,
                    CAST(COUNT(*) AS BIGINT) AS n_parts,
                    CAST(SUM(id) AS BIGINT) AS part_checksum
@@ -2916,47 +2915,47 @@ def oracle_sql() -> dict[str, str]:
         # out of scope on both sides); same 850/1000 damping and per-edge
         # floor divisions as parts_pagerank
         "parts_ppr": """
-            WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-            e0 AS (
+            WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+            e0 AS MATERIALIZED (
                 SELECT a.l_partkey AS src, c.l_partkey AS dst,
                        CAST(COUNT(*) AS BIGINT) AS n
                 FROM b a JOIN b c USING (l_orderkey)
                 WHERE a.l_partkey != c.l_partkey
                 GROUP BY 1, 2
             ),
-            ow AS (SELECT src, CAST(SUM(n) AS BIGINT) AS outw
+            ow AS MATERIALIZED (SELECT src, CAST(SUM(n) AS BIGINT) AS outw
                    FROM e0 GROUP BY src),
-            e AS (SELECT e0.src, e0.dst, e0.n, ow.outw
+            e AS MATERIALIZED (SELECT e0.src, e0.dst, e0.n, ow.outw
                   FROM e0 JOIN ow USING (src)),
-            nodes AS (SELECT src AS node FROM e
+            nodes AS MATERIALIZED (SELECT src AS node FROM e
                       UNION SELECT dst FROM e),
-            seeds AS (SELECT p_partkey AS node FROM part
+            seeds AS MATERIALIZED (SELECT p_partkey AS node FROM part
                       WHERE p_size = 1),
-            sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk FROM seeds),
-            r0 AS (
+            sc AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS nk FROM seeds),
+            r0 AS MATERIALIZED (
                 SELECT n.node,
                        CASE WHEN s.node IS NOT NULL
                             THEN 1000000 // (SELECT nk FROM sc)
                             ELSE 0 END AS r
                 FROM nodes n LEFT JOIN seeds s ON n.node = s.node
             ),
-            in1 AS (
+            in1 AS MATERIALIZED (
                 SELECT e.dst AS node,
                        CAST(SUM(r0.r * e.n // e.outw) AS BIGINT) AS c
                 FROM e JOIN r0 ON e.src = r0.node GROUP BY e.dst
             ),
-            r1 AS (
+            r1 AS MATERIALIZED (
                 SELECT r0.node,
                        150 * r0.r // 1000
                        + 850 * COALESCE(in1.c, 0) // 1000 AS r
                 FROM r0 LEFT JOIN in1 ON r0.node = in1.node
             ),
-            in2 AS (
+            in2 AS MATERIALIZED (
                 SELECT e.dst AS node,
                        CAST(SUM(r1.r * e.n // e.outw) AS BIGINT) AS c
                 FROM e JOIN r1 ON e.src = r1.node GROUP BY e.dst
             ),
-            r2 AS (
+            r2 AS MATERIALIZED (
                 SELECT r0.node,
                        150 * r0.r // 1000
                        + 850 * COALESCE(in2.c, 0) // 1000 AS r
@@ -3554,18 +3553,46 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks
             ), sizes AS (
                 SELECT doc_id, len(s) AS n FROM shs
-            ), tok AS (
+            ), tok AS MATERIALIZED (
                 SELECT doc_id, unnest(s) AS sh FROM shs
-            ), copair AS (
-                SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS co
-                FROM tok a JOIN tok b
+            -- prefix-filtered exact pairs (same ppjoin argument as
+            -- docs_ngram_dedup, threshold 0.5): the full co-occurrence
+            -- join is quadratic in posting length at the synthesized sf1
+            ), df AS MATERIALIZED (
+                SELECT sh, COUNT(*) AS df FROM tok GROUP BY sh
+            ), pref AS MATERIALIZED (
+                SELECT doc_id, sh, rn, n FROM (
+                    SELECT tok.doc_id, tok.sh,
+                           ROW_NUMBER() OVER (PARTITION BY tok.doc_id
+                               ORDER BY df.df, tok.sh) AS rn,
+                           sizes.n
+                    FROM tok JOIN df USING (sh)
+                             JOIN sizes ON sizes.doc_id = tok.doc_id)
+                WHERE rn <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
+            ), cand AS MATERIALIZED (
+                -- ppjoin length + positional filters at t = 0.5:
+                -- |B| in [|A|/2, 2|A|], suffix bound vs (|A|+|B|)/3
+                SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+                FROM pref a JOIN pref b
                   ON a.sh = b.sh AND a.doc_id < b.doc_id
+                WHERE b.n * 2 >= a.n AND a.n * 2 >= b.n
+                  AND (LEAST(a.n - a.rn, b.n - b.rn) + 1) * 3
+                          >= a.n + b.n
+            ), copair AS (
+                SELECT c.pa, c.pb, COUNT(*) AS co
+                FROM cand c
+                JOIN tok ta ON ta.doc_id = c.pa
+                JOIN tok tb ON tb.doc_id = c.pb AND tb.sh = ta.sh
                 GROUP BY 1, 2
-            ), exact AS (
+            ), exact AS MATERIALIZED (
                 SELECT pa, pb FROM copair
                 JOIN sizes sa ON sa.doc_id = pa
                 JOIN sizes sb ON sb.doc_id = pb
                 WHERE co * 1000000 >= 500000 * (sa.n + sb.n - co)
+            -- per-posting hashing STREAMS into a 50k x 16-group MIN
+            -- aggregate (a materialized distinct-shingle hash table is
+            -- ~200M rows at sf1, where word permutation makes most
+            -- shingles unique — that was the OOM, not the md5 count)
             ), h AS (
                 SELECT doc_id, i.i AS i,
                        MIN(CAST(('0x' || substr(md5(CAST(i.i AS VARCHAR)
@@ -4224,19 +4251,60 @@ def oracle_sql() -> dict[str, str]:
         # edit-distance fuzzy dedup on normalized 32-char heads: drop iff a
         # same-lang lower-id doc sits within Levenshtein 4 (±4 length band)
         "docs_edit_dedup": r"""
-            WITH h AS (
+            -- pigeonhole candidate generation (Navarro partition filter):
+            -- ed(a,b) <= 4 with a's head split into 5 pieces forces one
+            -- piece to occur EXACTLY in b's head, shifted at most 4 —
+            -- so candidates join a's pieces against b's shifted
+            -- substrings, and the exact levenshtein runs only on them
+            -- (the per-lang all-pairs form is quadratic: wedged at sf1)
+            WITH hl AS MATERIALIZED (
                 SELECT doc_id, lang,
                        substr(regexp_replace(lower(COALESCE(text, '')),
-                                             '\s+', ' ', 'g'), 1, 32) AS head
+                                             '\s+', ' ', 'g'), 1, 32)
+                           AS head,
+                       length(substr(regexp_replace(lower(COALESCE(text,
+                           '')), '\s+', ' ', 'g'), 1, 32)) AS lh
                 FROM documents
+            ), seg AS MATERIALIZED (
+                SELECT doc_id, lang, lh, i.i AS i,
+                       substr(head, (i.i * lh) // 5 + 1,
+                              ((i.i + 1) * lh) // 5 - (i.i * lh) // 5)
+                           AS piece
+                FROM hl CROSS JOIN (SELECT UNNEST(RANGE(0, 5)) AS i) i
+                WHERE ((i.i + 1) * lh) // 5 - (i.i * lh) // 5 > 0
+            ), probe AS MATERIALIZED (
+                SELECT DISTINCT hl.doc_id, hl.lang,
+                       hl.lh + dl.dl AS lh_a, i.i AS i,
+                       substr(hl.head,
+                              (i.i * (hl.lh + dl.dl)) // 5 + 1 + d.d,
+                              ((i.i + 1) * (hl.lh + dl.dl)) // 5
+                                  - (i.i * (hl.lh + dl.dl)) // 5) AS piece
+                FROM hl
+                CROSS JOIN (SELECT UNNEST(RANGE(-4, 5)) AS dl) dl
+                CROSS JOIN (SELECT UNNEST(RANGE(0, 5)) AS i) i
+                CROSS JOIN (SELECT UNNEST(RANGE(-4, 5)) AS d) d
+                WHERE hl.lh + dl.dl >= 1
+                  AND ((i.i + 1) * (hl.lh + dl.dl)) // 5
+                          - (i.i * (hl.lh + dl.dl)) // 5 > 0
+                  AND (i.i * (hl.lh + dl.dl)) // 5 + 1 + d.d >= 1
+                  AND (i.i * (hl.lh + dl.dl)) // 5 + d.d
+                          + ((i.i + 1) * (hl.lh + dl.dl)) // 5
+                          - (i.i * (hl.lh + dl.dl)) // 5 <= hl.lh
+            ), cand AS MATERIALIZED (
+                SELECT DISTINCT s.doc_id AS a_id, p.doc_id AS b_id
+                FROM seg s JOIN probe p
+                  ON p.lang = s.lang AND p.i = s.i
+                 AND p.lh_a = s.lh AND p.piece = s.piece
+                 AND p.doc_id < s.doc_id
             ), dropped AS (
-                SELECT DISTINCT a.doc_id
-                FROM h a JOIN h b
-                  ON a.lang = b.lang AND b.doc_id < a.doc_id
-                 AND abs(length(a.head) - length(b.head)) <= 4
-                 AND levenshtein(a.head, b.head) <= 4
+                SELECT DISTINCT c.a_id AS doc_id
+                FROM cand c
+                JOIN hl a ON a.doc_id = c.a_id
+                JOIN hl b ON b.doc_id = c.b_id
+                WHERE abs(a.lh - b.lh) <= 4
+                  AND levenshtein(a.head, b.head) <= 4
             )
-            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM h
+            SELECT CAST(doc_id AS BIGINT) AS doc_id FROM hl
             WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
             ORDER BY doc_id
         """,
@@ -4788,24 +4856,54 @@ def oracle_sql() -> dict[str, str]:
         # which wedged the sf0.1 gate for 30+ min); the both-empty special
         # case joins only the empty-shingle docs
         "docs_ngram_dedup": r"""
+            -- prefix-filtered exact Jaccard (ppjoin): under the global
+            -- canonical shingle order (df asc, shingle), J(A,B) >= 0.7
+            -- forces the length-(n - ceil(0.7 n) + 1) prefixes to
+            -- intersect, so candidate pairs come from a PREFIX-only
+            -- inverted index (the full-index co-occurrence join is
+            -- quadratic in posting length and wedged at the synthesized
+            -- sf1); intersections are then counted exactly per candidate
             WITH toks AS (
                 SELECT doc_id,
                        list_filter(regexp_split_to_array(lower(text), '\s+'),
                                    x -> x != '') AS w
                 FROM documents
-            ), sh AS (
+            ), sh AS MATERIALIZED (
                 SELECT doc_id,
                        CASE WHEN len(w) < 3 THEN []::VARCHAR[]
                        ELSE list_distinct(list_transform(range(1, len(w) - 1),
                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) END AS s
                 FROM toks
-            ), sizes AS (
+            ), sizes AS MATERIALIZED (
                 SELECT doc_id, len(s) AS n FROM sh
-            ), tok AS (
+            ), tok AS MATERIALIZED (
                 SELECT doc_id, unnest(s) AS g FROM sh
+            ), df AS MATERIALIZED (
+                SELECT g, COUNT(*) AS df FROM tok GROUP BY g
+            ), pref AS MATERIALIZED (
+                SELECT doc_id, g, rn, n FROM (
+                    SELECT tok.doc_id, tok.g,
+                           ROW_NUMBER() OVER (PARTITION BY tok.doc_id
+                               ORDER BY df.df, tok.g) AS rn,
+                           sizes.n
+                    FROM tok JOIN df USING (g)
+                             JOIN sizes ON sizes.doc_id = tok.doc_id)
+                WHERE rn <= n - CAST(ceil(0.7 * n) AS BIGINT) + 1
+            ), cand AS MATERIALIZED (
+                -- ppjoin length + positional filters: |B| in
+                -- [0.7|A|, |A|/0.7], and the remaining-suffix overlap
+                -- bound must clear ceil(0.7/1.7 (|A|+|B|))
+                SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+                FROM pref a JOIN pref b
+                  ON a.g = b.g AND a.doc_id < b.doc_id
+                WHERE b.n * 10 >= a.n * 7 AND a.n * 10 >= b.n * 7
+                  AND (LEAST(a.n - a.rn, b.n - b.rn) + 1) * 17
+                          >= (a.n + b.n) * 7
             ), co AS (
-                SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS c
-                FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+                SELECT c.pa, c.pb, COUNT(*) AS c
+                FROM cand c
+                JOIN tok ta ON ta.doc_id = c.pa
+                JOIN tok tb ON tb.doc_id = c.pb AND tb.g = ta.g
                 GROUP BY 1, 2
             ), pairs AS (
                 SELECT co.pb AS big
@@ -4825,11 +4923,13 @@ def oracle_sql() -> dict[str, str]:
         # same drop-if-smaller-neighbor formulation (clusters are cliques;
         # two 16-plane LSH rotations catch every >=0.95 pair here)
         "emb_cosine_dedup": """
-            WITH pairs AS (
+            WITH v AS MATERIALIZED (
+                SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS emb
+                FROM embeddings
+            ), pairs AS (
                 SELECT b.vec_id AS big
-                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                             CAST(b.embedding AS DOUBLE[])) >= 0.95
+                FROM v a JOIN v b ON a.vec_id < b.vec_id
+                WHERE array_cosine_similarity(a.emb, b.emb) >= 0.95
             )
             SELECT vec_id FROM embeddings
             WHERE vec_id NOT IN (SELECT big FROM pairs) ORDER BY vec_id
@@ -5734,17 +5834,39 @@ def oracle_sql() -> dict[str, str]:
         # rows per component and took 50s at 500 vectors / wedged the
         # sf0.1 gate at 2000 — the round chain is O((V+E) log V) total.
         "emb_snn_components": f"""
-            WITH topk AS (
-                SELECT a.vec_id AS src, b.vec_id AS dst,
-                       ROW_NUMBER() OVER (PARTITION BY a.vec_id
-                           ORDER BY ROUND(list_cosine_similarity(
-                               CAST(b.embedding AS DOUBLE[]),
-                               CAST(a.embedding AS DOUBLE[])), 6) DESC,
-                               b.vec_id) AS rn
-                FROM embeddings a JOIN embeddings b
-                  ON a.vec_id <> b.vec_id
-            ), nn AS (
-                SELECT src, dst FROM topk WHERE rn <= 3
+            -- exact top-3 WITHOUT materializing the 4e8-pair window
+            -- (OOM at the synthesized sf1): pairs stream through three
+            -- MAX scans over an order-isomorphic integer key
+            -- (round6-score-micros, -vec_id); array_cosine_similarity on
+            -- DOUBLE[64] is bit-identical to list_cosine_similarity on
+            -- DOUBLE[] at 6-decimal rounding (probed on 2M pairs)
+            WITH v AS MATERIALIZED (
+                SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS emb
+                FROM embeddings
+            ),
+            P AS (
+                SELECT a.vec_id AS src,
+                       CAST(ROUND(ROUND(array_cosine_similarity(
+                                a.emb, b.emb), 6) * 1000000, 0) AS BIGINT)
+                           * 4294967296
+                       + (2147483647 - b.vec_id) AS key
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id
+            ),
+            t1 AS MATERIALIZED (
+                SELECT src, MAX(key) AS k FROM P GROUP BY src),
+            t2 AS MATERIALIZED (
+                SELECT P.src, MAX(P.key) AS k FROM P
+                JOIN t1 ON t1.src = P.src WHERE P.key < t1.k GROUP BY P.src),
+            t3 AS MATERIALIZED (
+                SELECT P.src, MAX(P.key) AS k FROM P
+                JOIN t2 ON t2.src = P.src WHERE P.key < t2.k GROUP BY P.src),
+            nn AS MATERIALIZED (
+                SELECT src, 2147483647
+                       - (((k % 4294967296) + 4294967296) % 4294967296)
+                       AS dst
+                FROM (SELECT src, k FROM t1 UNION ALL
+                      SELECT src, k FROM t2 UNION ALL
+                      SELECT src, k FROM t3)
             ), mutual AS (
                 SELECT x.src AS a, x.dst AS b
                 FROM nn x JOIN nn y ON x.src = y.dst AND x.dst = y.src
@@ -5767,13 +5889,15 @@ def oracle_sql() -> dict[str, str]:
         # core-core graph (min-core-id label), border joins the MIN
         # cluster label among its core neighbors, noise emits nothing
         "emb_dbscan": f"""
-            WITH nb AS MATERIALIZED (
+            WITH v AS MATERIALIZED (
+                SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS emb
+                FROM embeddings
+            ),
+            nb AS MATERIALIZED (
                 SELECT a.vec_id AS i, b.vec_id AS j
-                FROM embeddings a JOIN embeddings b
-                  ON a.vec_id <> b.vec_id
-                WHERE ROUND(list_cosine_similarity(
-                          CAST(a.embedding AS DOUBLE[]),
-                          CAST(b.embedding AS DOUBLE[])), 6) >= 0.32
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id
+                WHERE ROUND(array_cosine_similarity(a.emb, b.emb), 6)
+                      >= 0.32
             ), core AS MATERIALIZED (
                 SELECT i AS v FROM nb GROUP BY 1 HAVING COUNT(*) >= 4
             ), ce AS MATERIALIZED (
@@ -6633,21 +6757,38 @@ def oracle_sql() -> dict[str, str]:
         # conversion), kk nearest by (d ASC, id), reach = max(d, kdist),
         # two pinned fixed-point ratio levels, top-10 by lof
         "emb_lof": """
-            WITH cs AS (
-                SELECT a.vec_id AS p, b.vec_id AS o,
-                       1000000 - CAST(ROUND(list_cosine_similarity(
-                           CAST(a.embedding AS DOUBLE[]),
-                           CAST(b.embedding AS DOUBLE[])) * 1000000, 0)
-                           AS BIGINT) AS d
-                FROM embeddings a JOIN embeddings b
-                  ON a.vec_id <> b.vec_id
+            -- k=3 nearest per point WITHOUT the 4e8-pair window (see
+            -- emb_snn_components): three MAX scans over the key
+            -- (2000000 - d, -o), decoded back to (o, d)
+            WITH v AS MATERIALIZED (
+                SELECT vec_id, CAST(embedding AS DOUBLE[64]) AS emb
+                FROM embeddings
+            ),
+            P AS (
+                SELECT a.vec_id AS p,
+                       (2000000 - (1000000
+                            - CAST(ROUND(array_cosine_similarity(
+                                  a.emb, b.emb) * 1000000, 0) AS BIGINT)))
+                           * 4294967296
+                       + (2147483647 - b.vec_id) AS key
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id
             ),
             kkv AS (SELECT LEAST(3, COUNT(*) - 1) AS kk FROM embeddings),
-            rk AS (SELECT p, o, d,
-                          ROW_NUMBER() OVER (PARTITION BY p
-                                             ORDER BY d, o) AS rn
-                   FROM cs),
-            nn AS (SELECT p, o, d FROM rk CROSS JOIN kkv WHERE rn <= kk),
+            t1 AS MATERIALIZED (
+                SELECT p, MAX(key) AS k FROM P GROUP BY p),
+            t2 AS MATERIALIZED (
+                SELECT P.p, MAX(P.key) AS k FROM P
+                JOIN t1 ON t1.p = P.p WHERE P.key < t1.k GROUP BY P.p),
+            t3 AS MATERIALIZED (
+                SELECT P.p, MAX(P.key) AS k FROM P
+                JOIN t2 ON t2.p = P.p WHERE P.key < t2.k GROUP BY P.p),
+            nn AS MATERIALIZED (
+                SELECT p, 2147483647 - (k % 4294967296) AS o,
+                       2000000 - (k // 4294967296) AS d
+                FROM (SELECT p, k FROM t1 UNION ALL
+                      SELECT p, k FROM t2 UNION ALL
+                      SELECT p, k FROM t3)
+            ),
             kd AS (SELECT p, MAX(d) AS kdist FROM nn GROUP BY 1),
             reach AS (SELECT nn.p,
                              CAST(SUM(GREATEST(nn.d, kdo.kdist))
@@ -7209,20 +7350,48 @@ def oracle_sql() -> dict[str, str]:
         # PPJoin set-similarity self-join over order baskets: brute-force
         # pairwise twin; the integer threshold test (i·2 ≥ u·1 for τ=1/2)
         # pins borderline pairs on both sides
+        # basket pairs via DISTINCT-basket collapse: replicated corpora
+        # carry many orders with identical part sets, so the naive
+        # order-level inverted join aggregates ~1e9 pair rows (OOM at the
+        # synthesized sf1); instead pair the distinct basket signatures
+        # (tiny), then expand signature pairs and identical-signature
+        # groups back to order pairs — output-bound work, same rows
         "orders_basket_simjoin": f"""
-            WITH bp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
-                        FROM lineitem),
-            sz AS (SELECT o, COUNT(*) AS s FROM bp GROUP BY o),
-            inter AS (SELECT a.o AS oa, b.o AS ob, COUNT(*) AS i
-                      FROM bp a JOIN bp b ON a.p = b.p AND a.o < b.o
-                      GROUP BY a.o, b.o),
-            j AS (SELECT oa, ob, i, sa.s + sb.s - i AS u
-                  FROM inter JOIN sz sa ON sa.o = oa
-                             JOIN sz sb ON sb.o = ob)
-            SELECT oa AS o1, ob AS o2,
-                   CAST(i * 1000000 // u AS BIGINT) AS jac_ppm
-            FROM j
-            WHERE i * {_SIMJOIN_TAU[1]} >= u * {_SIMJOIN_TAU[0]}
+            WITH bp AS MATERIALIZED (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+            bh AS MATERIALIZED (
+                SELECT o, string_agg(CAST(p AS VARCHAR), ','
+                                     ORDER BY p) AS sig,
+                       COUNT(*) AS s
+                FROM bp GROUP BY o),
+            rep AS MATERIALIZED (
+                SELECT sig, MIN(o) AS ro, ANY_VALUE(s) AS s
+                FROM bh GROUP BY sig),
+            rbp AS MATERIALIZED (
+                SELECT rep.sig, bp.p FROM rep JOIN bp ON bp.o = rep.ro),
+            rinter AS (
+                SELECT a.sig AS sa, b.sig AS sb, COUNT(*) AS i
+                FROM rbp a JOIN rbp b ON a.p = b.p AND a.sig < b.sig
+                GROUP BY 1, 2),
+            rj AS MATERIALIZED (
+                SELECT sa, sb, i, ra.s + rb.s - i AS u
+                FROM rinter JOIN rep ra ON ra.sig = sa
+                            JOIN rep rb ON rb.sig = sb
+                WHERE i * {_SIMJOIN_TAU[1]} >= (ra.s + rb.s - i)
+                          * {_SIMJOIN_TAU[0]}),
+            cross_pairs AS (
+                SELECT LEAST(x.o, y.o) AS o1, GREATEST(x.o, y.o) AS o2,
+                       rj.i * 1000000 // rj.u AS jac_ppm
+                FROM rj JOIN bh x ON x.sig = rj.sa
+                        JOIN bh y ON y.sig = rj.sb),
+            same_pairs AS (
+                SELECT x.o AS o1, y.o AS o2,
+                       CAST(1000000 AS BIGINT) AS jac_ppm
+                FROM bh x JOIN bh y ON x.sig = y.sig AND x.o < y.o)
+            SELECT o1, o2, CAST(jac_ppm AS BIGINT) AS jac_ppm
+            FROM (SELECT * FROM cross_pairs UNION ALL
+                  SELECT * FROM same_pairs)
             ORDER BY o1, o2
         """,
         # functional-dependency audit: COUNT(DISTINCT lhs) vs
