@@ -3555,34 +3555,19 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, len(s) AS n FROM shs
             ), tok AS MATERIALIZED (
                 SELECT doc_id, unnest(s) AS sh FROM shs
-            -- prefix-filtered exact pairs (same ppjoin argument as
-            -- docs_ngram_dedup, threshold 0.5): the full co-occurrence
-            -- join is quadratic in posting length at the synthesized sf1
-            ), df AS MATERIALIZED (
-                SELECT sh, COUNT(*) AS df FROM tok GROUP BY sh
-            ), pref AS MATERIALIZED (
-                SELECT doc_id, sh, rn, n FROM (
-                    SELECT tok.doc_id, tok.sh,
-                           ROW_NUMBER() OVER (PARTITION BY tok.doc_id
-                               ORDER BY df.df, tok.sh) AS rn,
-                           sizes.n
-                    FROM tok JOIN df USING (sh)
-                             JOIN sizes ON sizes.doc_id = tok.doc_id)
-                WHERE rn <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
-            ), cand AS MATERIALIZED (
-                -- ppjoin length + positional filters at t = 0.5:
-                -- |B| in [|A|/2, 2|A|], suffix bound vs (|A|+|B|)/3
-                SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
-                FROM pref a JOIN pref b
-                  ON a.sh = b.sh AND a.doc_id < b.doc_id
-                WHERE b.n * 2 >= a.n AND a.n * 2 >= b.n
-                  AND (LEAST(a.n - a.rn, b.n - b.rn) + 1) * 3
-                          >= a.n + b.n
+            -- exact arm: the DIRECT co-occurrence aggregation is the
+            -- scalable form here — this corpus has a small shared
+            -- vocabulary (29k distinct shingles, sum f^2 ~ 2.5e8 at
+            -- sf1), so the pair stream flows through one spill-friendly
+            -- hash aggregate, while a ppjoin prefix join (dense
+            -- postings defeat the filter) re-joins tens of millions of
+            -- candidates against full postings and exceeds any spill
+            -- budget.  Opposite trade from docs_ngram_dedup, which has
+            -- mostly-unique shingles.
             ), copair AS (
-                SELECT c.pa, c.pb, COUNT(*) AS co
-                FROM cand c
-                JOIN tok ta ON ta.doc_id = c.pa
-                JOIN tok tb ON tb.doc_id = c.pb AND tb.sh = ta.sh
+                SELECT a.doc_id AS pa, b.doc_id AS pb, COUNT(*) AS co
+                FROM tok a JOIN tok b
+                  ON a.sh = b.sh AND a.doc_id < b.doc_id
                 GROUP BY 1, 2
             ), exact AS MATERIALIZED (
                 SELECT pa, pb FROM copair
@@ -6305,7 +6290,8 @@ def oracle_sql() -> dict[str, str]:
                        LAG(l_linestatus) OVER w AS p_ls,
                        LAG(l_suppkey)    OVER w AS p_sk
                 FROM lineitem
-                WINDOW w AS (ORDER BY l_orderkey, l_linenumber)
+                WINDOW w AS (ORDER BY l_orderkey, l_linenumber,
+                            l_suppkey, l_returnflag, l_linestatus)
             ), runs AS (
                 SELECT 'l_orderkey' AS column_name, COUNT(*) AS n_rows,
                        COUNT(*) FILTER (l_orderkey IS DISTINCT FROM p_ok)

@@ -5736,6 +5736,16 @@ def events_window_join(sf_dir: str) -> pd.DataFrame:
         empty = pd.DataFrame({"day": pd.Series([], dtype="datetime64[us]"),
                               "n_pairs": pd.Series([], dtype="int64"),
                               "sum_cents": pd.Series([], dtype="int64")})
+        # dense per-bucket user index: raw ids can be arbitrary int64
+        # (a key-shifted corpus puts them near 2e9, where raw_id * SPAN
+        # overflows — the old guard fired at the synthesized sf1), so
+        # the composite key uses the bucket-local rank instead; the
+        # no-bleed guard now bounds the DENSE count, which scales with
+        # users-per-bucket — raise the bucket count, not the stride,
+        # when a bucket approaches 2^62 // SPAN (~92k) users
+        _, uinv = np.unique(g["user_id"].to_numpy(dtype=np.int64),
+                            return_inverse=True)
+        g = g.assign(_uidx=uinv.astype(np.int64))
         p = g[g["side"] == 0]
         c = g[g["side"] == 1]
         if not len(p) or not len(c):
@@ -5743,13 +5753,13 @@ def events_window_join(sf_dir: str) -> pd.DataFrame:
         base = int(g["ts_us"].min())
         # no-bleed guards cover the WHOLE group (both sides): the bucket's
         # time span must fit the composite stride minus the window, and
-        # every user id (click-only ones included) must not overflow
+        # the dense user count must not overflow the stride multiply
         assert int(g["ts_us"].max()) - base < _WJOIN_SPAN - _WJOIN_WINDOW_US
-        assert int(g["user_id"].max()) < (2**62) // _WJOIN_SPAN
+        assert int(g["_uidx"].max()) < (2**62) // _WJOIN_SPAN
         off_p = p["ts_us"].to_numpy() - base
         off_c = c["ts_us"].to_numpy() - base
-        users_p = p["user_id"].to_numpy(dtype=np.int64)
-        users_c = c["user_id"].to_numpy(dtype=np.int64)
+        users_p = p["_uidx"].to_numpy(dtype=np.int64)
+        users_c = c["_uidx"].to_numpy(dtype=np.int64)
         ckey = users_c * _WJOIN_SPAN + off_c
         order = np.argsort(ckey, kind="stable")
         ckey = ckey[order]
@@ -9806,8 +9816,16 @@ def lineitem_rle_runs(sf_dir: str) -> pd.DataFrame:
     The driver stitches at block boundaries — O(blocks·columns) rows,
     never the data."""
     cols = ["l_orderkey", "l_returnflag", "l_linestatus", "l_suppkey"]
+    # (l_orderkey, l_linenumber) is NOT unique, so the sort appends every
+    # counted column: rows that still tie are identical in all counted
+    # values, making run counts invariant under tie order — without this
+    # a multi-block distributed sort and the oracle's ORDER BY can break
+    # ties differently and disagree on n_runs (found at the synthesized
+    # sf1; a single-block sf0.1 read masked it)
+    sort_cols = ["l_orderkey", "l_linenumber",
+                 "l_suppkey", "l_returnflag", "l_linestatus"]
     ds = _read(sf_dir, "lineitem", ["l_linenumber"] + cols) \
-        .sort(["l_orderkey", "l_linenumber"])
+        .sort(sort_cols)
 
     def block_summary(df: pd.DataFrame) -> pd.DataFrame:
         if len(df) == 0:
@@ -9817,9 +9835,15 @@ def lineitem_rle_runs(sf_dir: str) -> pd.DataFrame:
                 "n_trans": pd.Series([], dtype="int64"),
                 "first_v": pd.Series([], dtype="object"),
                 "last_v": pd.Series([], dtype="object"),
-                "min_key": pd.Series([], dtype="int64")})
-        min_key = int(df["l_orderkey"].iloc[0]) * (1 << 32) \
-            + int(df["l_linenumber"].iloc[0])
+                "min_key": pd.Series([], dtype="object")})
+        # total-order stitch key (zero-padded lexicographic == sort
+        # order): blocks whose first rows tie on the partial key would
+        # otherwise stitch in the wrong order at run boundaries
+        r0 = df.iloc[0]
+        min_key = (f"{int(r0['l_orderkey']):020d}|"
+                   f"{int(r0['l_linenumber']):010d}|"
+                   f"{int(r0['l_suppkey']):020d}|"
+                   f"{r0['l_returnflag']}|{r0['l_linestatus']}")
         rows = []
         for c in cols:
             v = df[c].to_numpy()
