@@ -1071,13 +1071,23 @@ def embedding_cosine_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 16,
+    n_rotations: int = 8,
     seed: int = 1234,
     materialize_input: bool = True,
 ):
-    """Near-dup by embedding cosine: random-hyperplane buckets (two
-    independent plane sets for recall — multi-probe) → per-bucket pairwise
-    cosine ≥ threshold → keep-min-id per greedy order.  Returns
-    (deduped_ds, n_dropped).
+    """Near-dup by embedding cosine: random-hyperplane buckets
+    (``n_rotations`` independent plane sets for recall — multi-probe) →
+    per-bucket pairwise cosine ≥ threshold → keep-min-id per greedy
+    order.  Returns (deduped_ds, n_dropped).
+
+    Recall sizing: a pair at cosine c misses one 16-plane rotation with
+    probability ~16·arccos(c)/π — ~12% at the synthesized sf1's
+    perturbed-copy angle (~0.023 rad) — so TWO rotations left ~1.5% of
+    that corpus's near-identical pairs without a candidate edge (149
+    extra survivors over 20k vectors; four rotations still left 4).
+    EIGHT rotations put the per-pair miss near 4e-8 at that density;
+    candidate volume grows linearly with rotations, never
+    quadratically.
 
     Scale shape: 16 planes → 65k buckets per rotation, so at 10⁹ vectors a
     bucket holds ~15k rows, and the per-bucket pairwise work is additionally
@@ -1096,9 +1106,9 @@ def embedding_cosine_dedup(
         unit = vecs / norms
         ids = t[id_col].to_pylist()
         tables = []
-        for rot in range(2):  # two independent plane sets → higher recall
+        for rot in range(n_rotations):  # independent plane sets → recall
             lsh = HyperplaneLSH(vecs.shape[1], n_planes, seed + rot)
-            buckets = lsh.bucket(unit) * 2 + rot
+            buckets = lsh.bucket(unit) * n_rotations + rot
             tables.append(
                 pa.table(
                     {
