@@ -4281,6 +4281,14 @@ def oracle_sql() -> dict[str, str]:
                   ON p.lang = s.lang AND p.i = s.i
                  AND p.lh_a = s.lh AND p.piece = s.piece
                  AND p.doc_id < s.doc_id
+                UNION
+                -- the pigeonhole argument needs every piece of the split
+                -- side nonempty (len >= 5); when BOTH heads are shorter,
+                -- brute-force the (tiny) short-short block
+                SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                FROM hl a JOIN hl b
+                  ON a.lang = b.lang AND b.doc_id < a.doc_id
+                 AND a.lh < 5 AND b.lh < 5
             ), dropped AS (
                 SELECT DISTINCT c.a_id AS doc_id
                 FROM cand c

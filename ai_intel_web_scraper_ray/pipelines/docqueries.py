@@ -3800,7 +3800,48 @@ def docs_edit_dedup(sf_dir: str, head_chars: int = _EDIT_HEAD_CHARS,
         codes = np.zeros((n, width), dtype=np.int32)
         for i, b in enumerate(raw):
             codes[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
-        ia, ib = np.triu_indices(n, k=1)  # ia < ib → a is the lower id
+        # pigeonhole candidate generation (mirrors the oracle twin, and
+        # the docs_edit_dedup SQL comment): ed(a,b) <= k with a's head
+        # split into k+1 pieces forces one piece to occur EXACTLY in b,
+        # shifted at most k — so the banded DP runs only on piece-match
+        # candidates.  The all-pairs length-banded triu was ~n²/2 DP
+        # evaluations per language: ~10 min wall at the synthesized
+        # sf1's 50k docs, seconds here.  Pieces are guaranteed nonempty
+        # only for heads of length >= k+1; the (tiny) short-short block
+        # is brute-forced.
+        nseg = max_dist + 1
+        seg_index: dict = {}
+        for r in range(n):
+            t, L = texts[r], int(char_lens[r])
+            for i in range(nseg):
+                s0, s1 = (i * L) // nseg, ((i + 1) * L) // nseg
+                if s1 > s0:
+                    seg_index.setdefault((i, L, t[s0:s1]), []).append(r)
+        cand = set()
+        for r in range(n):
+            t, lb_len = texts[r], int(char_lens[r])
+            for la in range(max(lb_len - max_dist, nseg),
+                            lb_len + max_dist + 1):
+                for i in range(nseg):
+                    s0, s1 = (i * la) // nseg, ((i + 1) * la) // nseg
+                    m = s1 - s0
+                    if m <= 0:
+                        continue
+                    for dsh in range(-max_dist, max_dist + 1):
+                        p0 = s0 + dsh
+                        if p0 < 0 or p0 + m > lb_len:
+                            continue
+                        for o in seg_index.get((i, la, t[p0:p0 + m]), ()):
+                            if o != r:
+                                cand.add((o, r) if o < r else (r, o))
+        short = np.nonzero(char_lens < nseg)[0]
+        for x in range(len(short)):
+            for y in range(x + 1, len(short)):
+                cand.add((int(short[x]), int(short[y])))
+        if not cand:
+            return df[["doc_id"]]
+        carr = np.array(sorted(cand), dtype=np.int64)
+        ia, ib = carr[:, 0], carr[:, 1]  # ia < ib → a is the lower id
         band = np.abs(char_lens[ia] - char_lens[ib]) <= max_dist
         ia, ib = ia[band], ib[band]
         dropped = np.zeros(n, dtype=bool)

@@ -662,6 +662,68 @@ def test_edit_dedup_byte_semantics_match_duckdb_on_non_ascii(tmp_path):
     assert 2 not in set(got["doc_id"])
 
 
+def test_edit_dedup_pigeonhole_candidates_exact(tmp_path):
+    """The pigeonhole candidate filter (both engine and oracle) must not
+    miss any true pair: short heads (<5 chars, where pieces can be
+    empty and the partition argument fails — covered by the brute
+    short-short branch), boundary-length pairs, prefix/suffix edits,
+    and a sequential all-pairs replay as the oracle of record."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import re as _re
+
+    texts = [
+        "ab", "xy", "a", "", "abcd",              # short heads
+        "abcde", "abcdx", "zbcde",                # len-5 boundary
+        "hello world this is a long head", "xello world this is a long head",
+        "hello world this is a long hexx",        # suffix edits
+        "qq" + "hello world this is a long h",    # prefix insert (shifted)
+        "totally different content here!!",
+    ]
+    rows = [(i, "en", t) for i, t in enumerate(texts)]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "source": pa.array(["t"] * len(rows), pa.string()),
+        "n_chars": pa.array([len(r[2]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+
+    # sequential all-pairs replay (reference semantics)
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (ca != cb))
+        return dp[-1]
+
+    heads = [_re.sub(r"[\t\n\f\r ]+", " ", x.lower())[:32] for x in texts]
+    dropped = set()
+    for a, b in itertools.combinations(range(len(heads)), 2):
+        if heads[a] == heads[b] or (abs(len(heads[a]) - len(heads[b])) <= 4
+                                    and lev(heads[a], heads[b]) <= 4):
+            dropped.add(max(a, b))
+    expected = sorted(set(range(len(heads))) - dropped)
+
+    got = dq.docs_edit_dedup(str(tmp_path))
+    assert list(got["doc_id"]) == expected
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    sql_df = con.execute(entrymod.oracle_sql()["docs_edit_dedup"]).fetch_df()
+    con.close()
+    assert list(sql_df["doc_id"]) == expected
+    # the short-short pair ('ab','xy': ed 2) and ('a','' : ed 1) must
+    # have been caught by the brute branch, not survive as false keeps
+    assert 1 not in set(got["doc_id"]) and 3 not in set(got["doc_id"])
+
+
 def test_new_doc_operators_handle_empty_tables(tmp_path):
     """An empty shard must be a no-op, not a driver-side KeyError."""
     import pyarrow as pa
