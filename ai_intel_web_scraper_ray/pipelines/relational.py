@@ -10996,7 +10996,82 @@ def orders_basket_simjoin(sf_dir: str) -> pd.DataFrame:
     if bp.count() == 0:
         return empty
 
-    # global token frequency (dimension-sized: one row per part) → rank
+    # --- distinct-basket collapse (synthesized-sf1 lesson): corpora
+    # with many IDENTICAL baskets (replicas, repeat orders) multiply
+    # every prefix token's support, and the candidate fan-out grows with
+    # the square of the duplication factor (the raw run filled the
+    # disk).  So: signature per order (sorted parts), one REPRESENTATIVE
+    # order per distinct signature, the whole ppjoin below runs on
+    # representative baskets only, and rep pairs + identical-signature
+    # groups expand back to order pairs at the end — expansion is
+    # OUTPUT-bound, every join a bucket co-partition merge.
+    import hashlib as _hl
+
+    def _sig_bucket(sig: str) -> int:
+        return int(_hl.md5(sig.encode()).hexdigest()[:8], 16) % 64
+
+    def sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"okey": pd.Series([], dtype="int64"),
+                "sig": pd.Series([], dtype="object"),
+                "s": pd.Series([], dtype="int64"),
+                "_sb": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame(cols)
+        d = df.sort_values(["l_orderkey", "l_partkey"], kind="mergesort")
+        grp = d.groupby("l_orderkey")
+        sig = grp["l_partkey"].agg(lambda v: ",".join(map(str, v)))
+        size = grp.size()
+        return pd.DataFrame({
+            "okey": sig.index.to_numpy(dtype="int64"),
+            "sig": sig.to_numpy(dtype=object),
+            "s": size.to_numpy(dtype="int64"),
+            "_sb": np.array([_sig_bucket(x) for x in sig], dtype="int64")})
+
+    def rep_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"sig": pd.Series([], dtype="object"),
+                "rep": pd.Series([], dtype="int64"),
+                "s": pd.Series([], dtype="int64"),
+                "_sb": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "sig" not in df.columns:
+            return pd.DataFrame(cols)
+        g = df.groupby("sig", as_index=False).agg(
+            rep=("okey", "min"), s=("s", "first"), _sb=("_sb", "first"))
+        for c in ("rep", "s", "_sb"):
+            g[c] = g[c].astype("int64")
+        return g[["sig", "rep", "s", "_sb"]]
+
+    sigs = bp.groupby("_ob").map_groups(sig_rows, batch_format="pandas") \
+        .materialize()
+    reps = sigs.groupby("_sb").map_groups(rep_rows, batch_format="pandas") \
+        .materialize()
+
+    def rep_mark(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"l_orderkey": pd.Series([], dtype="int64"),
+                "l_partkey": pd.Series([], dtype="int64"),
+                "_ob": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "rep" not in df.columns:
+            return pd.DataFrame(cols)
+        r = df["rep"].to_numpy(dtype="int64")
+        return pd.DataFrame({"l_orderkey": r,
+                             "l_partkey": np.full(len(r), -1, dtype="int64"),
+                             "_ob": r % 64})
+
+    def keep_reps(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"l_orderkey": pd.Series([], dtype="int64"),
+                "l_partkey": pd.Series([], dtype="int64"),
+                "_ob": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "l_orderkey" not in df.columns:
+            return pd.DataFrame(cols)
+        marks = df.loc[df["l_partkey"] < 0, "l_orderkey"].unique()
+        d = df[df["l_partkey"] >= 0]
+        return d[d["l_orderkey"].isin(set(marks.tolist()))]
+
+    bp_rep = bp.union(reps.map_batches(rep_mark, batch_format="pandas")) \
+        .groupby("_ob").map_groups(keep_reps, batch_format="pandas") \
+        .materialize()
+
+    # global token frequency over REPRESENTATIVE baskets → rank (any
+    # total order is lossless for the prefix filter)
     def freq_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("l_partkey", as_index=False).size() \
             .rename(columns={"size": "n"})
@@ -11004,7 +11079,7 @@ def orders_basket_simjoin(sf_dir: str) -> pd.DataFrame:
         g["n"] = g["n"].astype("int64")
         return g
 
-    fparts = bp.map_batches(freq_partial, batch_format="pandas") \
+    fparts = bp_rep.map_batches(freq_partial, batch_format="pandas") \
         .to_pandas()
     freq = fparts.groupby("l_partkey")["n"].sum()
     order = np.lexsort((freq.index.to_numpy(dtype="int64"),
@@ -11076,7 +11151,7 @@ def orders_basket_simjoin(sf_dir: str) -> pd.DataFrame:
             "sa": np.tile(d["sa"].to_numpy(dtype="int64"), 2),
             "sb": np.tile(d["sb"].to_numpy(dtype="int64"), 2)})
 
-    probes = bp.map_batches(prefix_rows, batch_format="pandas") \
+    probes = bp_rep.map_batches(prefix_rows, batch_format="pandas") \
         .groupby("_tb").map_groups(cand_pairs, batch_format="pandas") \
         .groupby("_pb").map_groups(probe_rows, batch_format="pandas") \
         .materialize()
@@ -11152,7 +11227,7 @@ def orders_basket_simjoin(sf_dir: str) -> pd.DataFrame:
         return out
 
     joined = probes.map_batches(probe_side, batch_format="pandas") \
-        .union(bp.map_batches(basket_side, batch_format="pandas")) \
+        .union(bp_rep.map_batches(basket_side, batch_format="pandas")) \
         .groupby("_jb").map_groups(local_join, batch_format="pandas")
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
@@ -11183,8 +11258,164 @@ def orders_basket_simjoin(sf_dir: str) -> pd.DataFrame:
             "o2": g["b"].to_numpy(dtype="int64")[keep],
             "jac_ppm": i[keep] * 1_000_000 // u[keep]})
 
-    parts = joined.groupby("_pb").map_groups(verify, batch_format="pandas") \
-        .to_pandas()
+    rp = joined.groupby("_pb").map_groups(verify, batch_format="pandas") \
+        .materialize()
+
+    # --- expansion: rep pairs -> (sig_a, sig_b) -> member order pairs,
+    # plus identical-signature groups pairwise at jac = 1e6 (i = u for
+    # equal baskets, so the ppm formula is exact).  Each step is a
+    # union + groupby(bucket) + per-bucket pandas merge; fan-out equals
+    # the emitted pair count, never an intermediate blow-up.
+    _XCOLS = {"k": "object", "o": "int64", "x": "object",
+              "jac": "int64", "side": "int64", "_xb": "int64"}
+
+    def _xempty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in _XCOLS.items()})
+
+    def _xframe(k, o, x, jac, side, xb) -> pd.DataFrame:
+        n = len(k)
+
+        def arr(v, dtype):
+            if np.isscalar(v):
+                return pd.Series(np.full(n, v), dtype=dtype) if dtype != "object" \
+                    else pd.Series([v] * n, dtype="object")
+            return pd.Series(v, dtype=dtype)
+
+        return pd.DataFrame({
+            "k": arr(k, "object"), "o": arr(o, "int64"),
+            "x": arr(x, "object"), "jac": arr(jac, "int64"),
+            "side": arr(side, "int64"), "_xb": arr(xb, "int64")})
+
+    # step 1+2: attach signatures to both rep keys (bucket by rep % 64)
+    def rp_by_o1(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "o1" not in df.columns:
+            return _xempty()
+        o1 = df["o1"].to_numpy(dtype="int64")
+        return _xframe([str(v) for v in o1], df["o2"].to_numpy("int64"),
+                       [""] * len(df), df["jac_ppm"].to_numpy("int64"),
+                       0, o1 % 64)
+
+    def rep_by_rep(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "rep" not in df.columns:
+            return _xempty()
+        r = df["rep"].to_numpy(dtype="int64")
+        return _xframe([str(v) for v in r], r, df["sig"].tolist(),
+                       0, 1, r % 64)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        """side-0 rows carry (k=join key, o=payload key, jac); side-1
+        rows map k -> x; output rekeys on o."""
+        if len(df) == 0 or "side" not in df.columns:
+            return _xempty()
+        pr = df[df["side"] == 0]
+        mp = df[df["side"] == 1][["k", "x"]]
+        if not len(pr) or not len(mp):
+            return _xempty()
+        m = pr.merge(mp, on="k", suffixes=("", "_m"))
+        if not len(m):
+            return _xempty()
+        o = m["o"].to_numpy(dtype="int64")
+        return _xframe([str(v) for v in o], o, m["x_m"].tolist(),
+                       m["jac"].to_numpy("int64"), 0, o % 64)
+
+    # after two attaches the row is (k=str(o2-rep), o=o2-rep, x=sig_a);
+    # run attach again against the rep map to swap in sig_b, yielding
+    # rows keyed for the member join: (x=sig_a, k..o reused)
+    s1 = rp.map_batches(rp_by_o1, batch_format="pandas") \
+        .union(reps.map_batches(rep_by_rep, batch_format="pandas")) \
+        .groupby("_xb").map_groups(attach, batch_format="pandas")
+    def _sigpair(df: pd.DataFrame) -> pd.DataFrame:
+        """join s1 (side 0: x=sig_a, k=rep_b) with the rep map (side 1:
+        k=rep, x=sig) -> one row per rep pair keyed by sig_a's bucket."""
+        if len(df) == 0 or "side" not in df.columns:
+            return _xempty()
+        pr = df[df["side"] == 0]
+        mp = df[df["side"] == 1][["k", "x"]]
+        if not len(pr) or not len(mp):
+            return _xempty()
+        m = pr.merge(mp, on="k", suffixes=("", "_m"))
+        if not len(m):
+            return _xempty()
+        # k = sig_a (member-join key), x = sig_b, o unused
+        return _xframe(m["x"].tolist(), 0, m["x_m"].tolist(),
+                       m["jac"].to_numpy("int64"), 0,
+                       [_sig_bucket(x) for x in m["x"]])
+
+    # s1 rows: k/o = o2 rep, x = sig_a, jac
+    s2 = s1.union(reps.map_batches(rep_by_rep, batch_format="pandas")) \
+        .groupby("_xb").map_groups(_sigpair, batch_format="pandas")
+
+    def sig_members(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0 or "sig" not in df.columns:
+            return _xempty()
+        return _xframe(df["sig"].tolist(), df["okey"].to_numpy("int64"),
+                       [""] * len(df), 0, 1,
+                       df["_sb"].to_numpy("int64"))
+
+    def expand_a(df: pd.DataFrame) -> pd.DataFrame:
+        """pair rows (k=sig_a, x=sig_b) x members of sig_a -> rows keyed
+        by sig_b's bucket with o = member_a."""
+        if len(df) == 0 or "side" not in df.columns:
+            return _xempty()
+        pr = df[df["side"] == 0]
+        mem = df[df["side"] == 1][["k", "o"]]
+        if not len(pr) or not len(mem):
+            return _xempty()
+        m = pr.merge(mem, on="k", suffixes=("", "_m"))
+        if not len(m):
+            return _xempty()
+        return _xframe(m["x"].tolist(), m["o_m"].to_numpy("int64"),
+                       [""] * len(m), m["jac"].to_numpy("int64"), 0,
+                       [_sig_bucket(x) for x in m["x"]])
+
+    def expand_b(df: pd.DataFrame) -> pd.DataFrame:
+        """x members of sig_b -> final (o1, o2, jac_ppm) partials."""
+        cols = {"o1": pd.Series([], dtype="int64"),
+                "o2": pd.Series([], dtype="int64"),
+                "jac_ppm": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "side" not in df.columns:
+            return pd.DataFrame(cols)
+        pr = df[df["side"] == 0]
+        mem = df[df["side"] == 1][["k", "o"]]
+        if not len(pr) or not len(mem):
+            return pd.DataFrame(cols)
+        m = pr.merge(mem, on="k", suffixes=("", "_m"))
+        if not len(m):
+            return pd.DataFrame(cols)
+        a = m["o"].to_numpy(dtype="int64")
+        b = m["o_m"].to_numpy(dtype="int64")
+        return pd.DataFrame({
+            "o1": np.minimum(a, b), "o2": np.maximum(a, b),
+            "jac_ppm": m["jac"].to_numpy("int64")})
+
+    def same_sig_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"o1": pd.Series([], dtype="int64"),
+                "o2": pd.Series([], dtype="int64"),
+                "jac_ppm": pd.Series([], dtype="int64")}
+        if len(df) == 0 or "sig" not in df.columns:
+            return pd.DataFrame(cols)
+        frames = []
+        for _, g in df.groupby("sig", sort=False):
+            if len(g) < 2:
+                continue
+            o = np.sort(g["okey"].to_numpy(dtype="int64"))
+            ia, ib = np.triu_indices(len(o), k=1)
+            frames.append(pd.DataFrame({
+                "o1": o[ia], "o2": o[ib],
+                "jac_ppm": np.full(len(ia), 1_000_000, dtype="int64")}))
+        if not frames:
+            return pd.DataFrame(cols)
+        return pd.concat(frames, ignore_index=True)
+
+    e1 = s2.union(sigs.map_batches(sig_members, batch_format="pandas")) \
+        .groupby("_xb").map_groups(expand_a, batch_format="pandas")
+    expanded = e1.union(sigs.map_batches(sig_members,
+                                         batch_format="pandas")) \
+        .groupby("_xb").map_groups(expand_b, batch_format="pandas")
+    same = sigs.groupby("_sb").map_groups(same_sig_pairs,
+                                          batch_format="pandas")
+    parts = expanded.union(same).to_pandas()
     if parts.empty or "o1" not in parts.columns:
         return empty
     out = parts.sort_values(["o1", "o2"], kind="mergesort") \
