@@ -11155,9 +11155,9 @@ def orders_basket_simjoin(sf_dir: str) -> pd.DataFrame:
         .groupby("_tb").map_groups(cand_pairs, batch_format="pandas") \
         .groupby("_pb").map_groups(probe_rows, batch_format="pandas") \
         .materialize()
-    n_probes = probes.count()
-    if n_probes == 0:
-        return empty
+    # NOTE: an empty probe set must NOT early-return — identical-basket
+    # groups still emit pairs through same_sig_pairs below (two orders
+    # sharing one distinct basket have no rep PAIR at all)
 
     # co-partitioned bucket join instead of Dataset.join: the hash-
     # shuffle JoinOperator costs ~20s of aggregator-actor machinery on
