@@ -3810,37 +3810,57 @@ def docs_edit_dedup(sf_dir: str, head_chars: int = _EDIT_HEAD_CHARS,
         # only for heads of length >= k+1; the (tiny) short-short block
         # is brute-forced.
         nseg = max_dist + 1
-        seg_index: dict = {}
-        for r in range(n):
-            t, L = texts[r], int(char_lens[r])
-            for i in range(nseg):
-                s0, s1 = (i * L) // nseg, ((i + 1) * L) // nseg
-                if s1 > s0:
-                    seg_index.setdefault((i, L, t[s0:s1]), []).append(r)
-        cand = set()
-        for r in range(n):
-            t, lb_len = texts[r], int(char_lens[r])
-            for la in range(max(lb_len - max_dist, nseg),
-                            lb_len + max_dist + 1):
+        # heads cluster into a handful of distinct lengths (almost all
+        # exactly head_chars), so both the segment table and the shifted
+        # probe table build as VECTORIZED str.slice calls per (length,
+        # piece, shift) combination — the per-row Python loop was the
+        # engine's hot spot at 50k docs (~2 min of dict churn)
+        hs = pd.Series(texts, dtype="object")
+        seg_frames, probe_frames = [], []
+        for L in np.unique(char_lens):
+            L = int(L)
+            rows = np.nonzero(char_lens == L)[0]
+            sub = hs.iloc[rows]
+            if L >= nseg:
                 for i in range(nseg):
-                    s0, s1 = (i * la) // nseg, ((i + 1) * la) // nseg
-                    m = s1 - s0
+                    s0, s1 = (i * L) // nseg, ((i + 1) * L) // nseg
+                    seg_frames.append(pd.DataFrame({
+                        "i": np.int64(i), "la": np.int64(L),
+                        "piece": sub.str.slice(s0, s1).to_numpy(),
+                        "r": rows}))
+            for la in range(max(L - max_dist, nseg), L + max_dist + 1):
+                for i in range(nseg):
+                    s0 = (i * la) // nseg
+                    m = ((i + 1) * la) // nseg - s0
                     if m <= 0:
                         continue
                     for dsh in range(-max_dist, max_dist + 1):
                         p0 = s0 + dsh
-                        if p0 < 0 or p0 + m > lb_len:
+                        if p0 < 0 or p0 + m > L:
                             continue
-                        for o in seg_index.get((i, la, t[p0:p0 + m]), ()):
-                            if o != r:
-                                cand.add((o, r) if o < r else (r, o))
+                        probe_frames.append(pd.DataFrame({
+                            "i": np.int64(i), "la": np.int64(la),
+                            "piece": sub.str.slice(p0, p0 + m).to_numpy(),
+                            "r": rows}))
+        cand_parts = []
+        if seg_frames and probe_frames:
+            segf = pd.concat(seg_frames, ignore_index=True)
+            prof = pd.concat(probe_frames, ignore_index=True)
+            mm = segf.merge(prof, on=["i", "la", "piece"],
+                            suffixes=("_s", "_p"))
+            mm = mm[mm["r_s"] != mm["r_p"]]
+            if len(mm):
+                a = np.minimum(mm["r_s"].to_numpy(), mm["r_p"].to_numpy())
+                b = np.maximum(mm["r_s"].to_numpy(), mm["r_p"].to_numpy())
+                cand_parts.append(np.stack([a, b], axis=1))
         short = np.nonzero(char_lens < nseg)[0]
-        for x in range(len(short)):
-            for y in range(x + 1, len(short)):
-                cand.add((int(short[x]), int(short[y])))
-        if not cand:
+        if len(short) > 1:
+            sa, sb = np.triu_indices(len(short), k=1)
+            cand_parts.append(np.stack([short[sa], short[sb]], axis=1))
+        if not cand_parts:
             return df[["doc_id"]]
-        carr = np.array(sorted(cand), dtype=np.int64)
+        carr = np.unique(np.concatenate(cand_parts, axis=0), axis=0) \
+            .astype(np.int64)
         ia, ib = carr[:, 0], carr[:, 1]  # ia < ib → a is the lower id
         band = np.abs(char_lens[ia] - char_lens[ib]) <= max_dist
         ia, ib = ia[band], ib[band]
