@@ -40,8 +40,12 @@ def _docs(sf_dir: str, columns=None, num_blocks: int = 8):
                            override_num_blocks=num_blocks)
 
 
-def _emb(sf_dir: str):
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+def _emb(sf_dir: str, num_blocks: int = 8):
+    # single small files read as ONE block, which serializes the
+    # brute-force matmul passes inside one OMP_NUM_THREADS=1 worker —
+    # split so block x broadcast-matrix passes parallelize
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           override_num_blocks=num_blocks)
 
 
 # ---------------------------------------------------------------------------
@@ -3331,14 +3335,22 @@ def docs_minhash_recall(sf_dir: str,
     def project(t: pa.Table) -> pd.DataFrame:
         keys: List[str] = []
         dids: List[int] = []
-        for did, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            did = int(did)
-            shs = _mha_shingles(tx)
+        rows = [(int(did), _mha_shingles(tx))
+                for did, tx in zip(t["doc_id"].to_pylist(),
+                                   t["text"].to_pylist())]
+        # hash each DISTINCT shingle once per permutation (corpora with
+        # a small shared vocabulary repeat shingles hundreds of times;
+        # per-posting hashing was ~240M driver-side md5 calls at the
+        # synthesized sf1, this is ~500x fewer)
+        distinct = sorted({s for _, shs in rows for s in shs})
+        hv = {s: np.array([int(hashlib.md5(f"{i}|{s}".encode())
+                               .hexdigest()[:8], 16)
+                           for i in range(_MHA_PERMS)], dtype=np.int64)
+              for s in distinct}
+        for did, shs in rows:
             if not shs:
                 continue
-            sig = [min(int(hashlib.md5(f"{i}|{s}".encode())
-                           .hexdigest()[:8], 16) for s in shs)
-                   for i in range(_MHA_PERMS)]
+            sig = np.min(np.stack([hv[s] for s in shs]), axis=0).tolist()
             keys.extend("S:" + s for s in shs)
             dids.extend([did] * len(shs))
             for b in range(_MHA_PERMS // _MHA_BAND_ROWS):
@@ -3357,30 +3369,50 @@ def docs_minhash_recall(sf_dir: str,
                               "b": pd.Series([], dtype="int64"),
                               "co": pd.Series([], dtype="int64"),
                               "_p": pd.Series([], dtype="int64")})
-        kinds: List[str] = []
-        out_a: List[int] = []
-        out_b: List[int] = []
+        kind_parts: List[np.ndarray] = []
+        a_parts: List[np.ndarray] = []
+        b_parts: List[np.ndarray] = []
         for key, sub in g.groupby("key", sort=False):
             ids = np.unique(sub["doc_id"].to_numpy(dtype=np.int64))
             if len(ids) < 2:
                 continue
             ia, ib = np.triu_indices(len(ids), k=1)
-            kinds.extend([key[0]] * len(ia))
-            out_a.extend(ids[ia].tolist())
-            out_b.extend(ids[ib].tolist())
-        if not out_a:
+            kind_parts.append(np.full(len(ia), key[0], dtype=object))
+            a_parts.append(ids[ia])
+            b_parts.append(ids[ib])
+        if not a_parts:
             return empty
-        df = pd.DataFrame({"kind": kinds,
-                           "a": np.array(out_a, dtype="int64"),
-                           "b": np.array(out_b, dtype="int64")})
+        df = pd.DataFrame({"kind": np.concatenate(kind_parts),
+                           "a": np.concatenate(a_parts),
+                           "b": np.concatenate(b_parts)})
         out = df.groupby(["kind", "a", "b"], as_index=False).size() \
             .rename(columns={"size": "co"})
         out["_p"] = ((out["a"] * 1_000_003 + out["b"]) % 64).astype("int64")
         return out
 
+    import ray
+
+    # broadcast the per-doc shingle counts so the exact-arm threshold
+    # filter runs INSIDE the pair-bucket merge: only surviving exact
+    # pairs and banding candidates reach the driver (the unfiltered
+    # co-pair table is ~112M rows at the synthesized sf1)
+    sizes_ref = ray.put(size_of)
+
     def pair_merge(g: pd.DataFrame) -> pd.DataFrame:
-        return g.groupby(["kind", "a", "b"], as_index=False).agg(
+        m = g.groupby(["kind", "a", "b"], as_index=False).agg(
             co=("co", "sum"))
+        if not len(m):
+            return m
+        is_s = (m["kind"] == "S").to_numpy()
+        if is_s.any():
+            so = ray.get(sizes_ref)
+            sub = m.loc[is_s]
+            na = sub["a"].map(so).to_numpy(dtype=np.int64)
+            nb = sub["b"].map(so).to_numpy(dtype=np.int64)
+            co = sub["co"].to_numpy(dtype=np.int64)
+            keep = co * 1_000_000 >= theta_ppm * (na + nb - co)
+            m = m.drop(index=sub.index[~keep])
+        return m
 
     pairs = ds.map_batches(project, batch_format="pyarrow") \
         .groupby("_b").map_groups(key_pairs, batch_format="pandas") \
@@ -3391,12 +3423,7 @@ def docs_minhash_recall(sf_dir: str,
     cand_pairs: set = set()
     if not pairs.empty:
         ex = pairs[pairs["kind"] == "S"]
-        na = ex["a"].map(size_of).to_numpy(dtype=np.int64)
-        nb = ex["b"].map(size_of).to_numpy(dtype=np.int64)
-        co = ex["co"].to_numpy(dtype=np.int64)
-        keep = co * 1_000_000 >= theta_ppm * (na + nb - co)
-        exact_pairs = set(zip(ex["a"].to_numpy()[keep].tolist(),
-                              ex["b"].to_numpy()[keep].tolist()))
+        exact_pairs = set(zip(ex["a"].tolist(), ex["b"].tolist()))
         cd = pairs[pairs["kind"] == "B"]
         cand_pairs = set(zip(cd["a"].tolist(), cd["b"].tolist()))
 
